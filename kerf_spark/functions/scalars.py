@@ -1,0 +1,271 @@
+"""Kerf scalar-verb surface: math / string / array / map / json / hash / rand.
+
+The reference implements atomic (rank-polymorphic) application once
+(verbs.cc:32-83) and would lift every scalar verb over arrays with it;
+kerf1 supplies the verb list (§2.8 of SURVEY.md).  On Spark, columnar
+expressions are *already* atomic over rows, and ``F.transform`` lifts
+over array elements — so this module is a thin, kerf-named veneer over
+``pyspark.sql.functions`` plus the few places where kerf semantics
+diverge from ANSI (mod sign, NaN handling, 1-based vs 0-based).
+
+Everything is a JVM Column expression; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .semantics import nan_to_null
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ----------------------------------------------------------------- math
+def neg(x):  # verbs.cc:236-255
+    return -_c(x)
+
+
+def divide(x, y):
+    """Kerf ``%`` is float division (APL-family); div-by-zero -> null
+    (kerf yields inf; we normalize per the null adapter)."""
+    y_ = _c(y)
+    return F.when(y_ == 0, F.lit(None)).otherwise(_c(x) / y_)
+
+
+def intdiv(x, y):
+    y_ = _c(y)
+    return F.when(y_ == 0, F.lit(None)).otherwise(F.floor(_c(x) / y_).cast("long"))
+
+
+def mod(x, y):
+    """Kerf/K mod is floored (sign follows divisor) — Spark's pmod."""
+    return F.pmod(_c(x), _c(y))
+
+
+def power(x, y):
+    return F.pow(_c(x), _c(y))
+
+
+def sqrt(x):
+    """sqrt of negative -> null (kerf NaN-is-null)."""
+    return nan_to_null(F.sqrt(_c(x)))
+
+
+def ln(x):
+    return F.when(_c(x) > 0, F.log(_c(x)))
+
+
+def log10(x):
+    return F.when(_c(x) > 0, F.log10(_c(x)))
+
+
+def exp(x):
+    return F.exp(_c(x))
+
+
+def absolute(x):
+    return F.abs(_c(x))
+
+
+def floor_(x):
+    return F.floor(_c(x))
+
+
+def ceil_(x):
+    return F.ceil(_c(x))
+
+
+def sign(x):
+    return F.signum(_c(x)).cast("int")
+
+
+def within(x, lo, hi):
+    """Kerf ``within``: lo <= x <= hi."""
+    return _c(x).between(lo, hi)
+
+
+# ----------------------------------------------------------------- string
+def len_(s):
+    return F.length(_c(s))
+
+
+def upper(s):
+    return F.upper(_c(s))
+
+
+def lower(s):
+    return F.lower(_c(s))
+
+
+def trim_(s):
+    return F.trim(_c(s))
+
+
+def substr(s, pos: int, n: int):
+    """1-based substring (SQL convention, matches the oracle)."""
+    return F.substring(_c(s), pos, n)
+
+
+def split_(s, pattern: str):
+    return F.split(_c(s), pattern)
+
+
+def like(s, pattern: str):
+    return _c(s).like(pattern)
+
+
+def rlike(s, pattern: str):
+    return _c(s).rlike(pattern)
+
+
+def replace_all(s, pattern: str, repl: str):
+    return F.regexp_replace(_c(s), pattern, repl)
+
+
+def concat_ws(sep: str, *cols):
+    return F.concat_ws(sep, *[_c(c) for c in cols])
+
+
+def format_(fmt: str, *cols):
+    return F.format_string(fmt, *[_c(c) for c in cols])
+
+
+def tokens(s):
+    """Whitespace tokenization of trimmed text (empty -> empty array)."""
+    t = F.trim(_c(s))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+# ----------------------------------------------------------------- array
+# kerf verbs first/last/reverse/enlist/flatten/count (slop.h:1173-1186)
+def first_(a):
+    return F.element_at(_c(a), 1)
+
+
+def last_(a):
+    return F.element_at(_c(a), -1)
+
+
+def reverse_(a):
+    return F.reverse(_c(a))
+
+
+def enlist(*xs):
+    return F.array(*[_c(x) for x in xs])
+
+
+def flatten_(a):
+    return F.flatten(_c(a))
+
+
+def count_(a):
+    return F.size(_c(a))
+
+
+def til(n):
+    """kerf ``range n`` / ``til n`` as an array value (AFFINE analogue —
+    lazy until projected).  For a *table* of n rows use ``spark.range``."""
+    return F.sequence(F.lit(0), F.lit(n - 1))
+
+
+def take_cyclic(n: int, a):
+    """Kerf cyclic take: ``5 take 1 2 3`` -> [1,2,3,1,2]."""
+    arr = _c(a)
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    return F.transform(idx, lambda i: F.element_at(arr, (i % F.size(arr)) + 1))
+
+
+def in_(x, a):
+    return F.array_contains(_c(a), x) if not isinstance(x, Column) else F.array_contains(_c(a), x)
+
+
+def find_(a, x):
+    """Index of first match, 1-based; 0 when absent (array_position)."""
+    return F.array_position(_c(a), x)
+
+
+def distinct_(a):
+    return F.array_distinct(_c(a))
+
+
+def union_(a, b):
+    return F.array_union(_c(a), _c(b))
+
+
+def intersect_(a, b):
+    return F.array_intersect(_c(a), _c(b))
+
+
+def except_(a, b):
+    return F.array_except(_c(a), _c(b))
+
+
+# ----------------------------------------------------------------- map
+def keys_(m):  # slop.h:1206-1207
+    return F.map_keys(_c(m))
+
+
+def values_(m):
+    return F.map_values(_c(m))
+
+
+def map_amend(m, k, v):
+    """Point-amend a map value (presented.cc:339-361): m[k] := v."""
+    return F.map_concat(
+        F.map_filter(_c(m), lambda kk, _: kk != F.lit(k)),
+        F.create_map(F.lit(k), _c(v) if isinstance(v, Column) else F.lit(v)),
+    )
+
+
+def map_lookup(m, k):
+    """m[k], nil if absent (presented.cc:511-532)."""
+    return F.element_at(_c(m), k)
+
+
+# ----------------------------------------------------------------- json
+def json_get(s, path: str):
+    """Atlas/JSON field extraction (ATLAS decl enums.h:262)."""
+    return F.get_json_object(_c(s), path)
+
+
+def json_parse(s, schema: str):
+    return F.from_json(_c(s), schema)
+
+
+def json_render(col):
+    return F.to_json(_c(col))
+
+
+# ----------------------------------------------------------------- hash / rand
+def hash64(*cols):
+    """64-bit xxHash — same family as the reference's fasthash/xxh
+    (hash.h:46-54)."""
+    return F.xxhash64(*[_c(c) for c in cols])
+
+
+def md5_(s):
+    return F.md5(_c(s).cast("string"))
+
+
+def rand_uniform(seed: int | None = None):
+    """U[0,1) per row (reference: per-thread PCG64, rng.h:7-46).
+    Seeded for reproducibility — Spark's generator is per-partition
+    deterministic given the seed, the distributed analogue of kerf's
+    per-thread streams."""
+    return F.rand(seed) if seed is not None else F.rand()
+
+
+def rand_normal(seed: int | None = None):
+    return F.randn(seed) if seed is not None else F.randn()
+
+
+# ----------------------------------------------------------------- cast
+def cast_(x, to: str):
+    """Explicit cast (I_cast/F_cast, presented.h:39-41).  double->int
+    truncates toward zero like kerf (Spark semantics match)."""
+    return _c(x).cast(to)

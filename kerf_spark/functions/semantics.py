@@ -1,0 +1,99 @@
+"""Kerf null / NaN / infinity / truthiness semantics adapter.
+
+The reference encodes nulls and infinities as in-band sentinels
+(kerf.h:211-229: INT64_MIN is int-null ``IN``, INT64_MAX is int-inf
+``II``; floats use NaN as null) and gives them specific semantics:
+
+* NaN == NaN is TRUE and NaN sorts smallest
+  (kerf.h:39 FLOAT_NANS_COMPARE_AS_SMALLEST, grade.cc:15-26,
+  test.cc:102-108 "NANs are equal in Kerf").
+* int-null matches float-null cross-type (test.cc:81-109).
+* truthiness: 0, '\\0', nil are falsy; null-ish adds IN/NaN
+  (slop.h:919-944).
+
+Spark/ANSI semantics differ on every point (NULL != NULL, NaN sorts
+greatest, NaN != NULL).  The engine's rule: **normalize at the edge,
+never leak sentinels inward**.  ``nan_to_null`` at ingest makes Spark
+NULL the one null representation, after which kerf-equality is
+``eqNullSafe`` and kerf-ordering is Spark's NULLS FIRST default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def nan_to_null(col: Column | str) -> Column:
+    """Normalize float NaN to NULL (kerf: NaN *is* the float null)."""
+    c = _c(col)
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
+def normalize_floats(df: DataFrame) -> DataFrame:
+    """Apply ``nan_to_null`` to every float/double column of a frame.
+
+    The ingest-time edge of the adapter: after this, NaN-equality and
+    NaN-smallest ordering hold automatically under Spark NULL rules
+    (with NULLS FIRST, Spark's ascending default).
+    """
+    exprs = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            exprs.append(nan_to_null(f.name).alias(f.name))
+        else:
+            exprs.append(F.col(f.name))
+    return df.select(*exprs)
+
+
+def match(a: Column | str, b: Column | str) -> Column:
+    """Kerf ``match``: structural equality where null==null (and, after
+    normalize_floats, NaN==NaN).  grade.cc:45-118 / slop.h:963-975."""
+    return _c(a).eqNullSafe(_c(b))
+
+
+def kerf_eq(a: Column | str, b: Column | str) -> Column:
+    """Element equality under kerf rules: NaN==NaN, null==null.
+
+    Unlike raw ``==`` (which yields NULL when either side is NULL) this
+    always yields a boolean.
+    """
+    an, bn = nan_to_null(_c(a)), nan_to_null(_c(b))
+    return an.eqNullSafe(bn)
+
+
+def truthy(col: Column | str) -> Column:
+    """Kerf truthiness (slop.h:919-933): 0, 0.0, NaN, '', '\\0', NULL
+    are falsy; everything else truthy.  Always returns a non-null bool."""
+    c = _c(col)
+    return F.coalesce(
+        F.when(F.isnull(c), F.lit(False)).otherwise(
+            c.cast("string").isin("0", "0.0", "", "NaN", "false") == F.lit(False)
+        ),
+        F.lit(False),
+    )
+
+
+def nullish(col: Column | str) -> Column:
+    """Kerf nullish test (slop.h:935-944): NULL or NaN."""
+    c = _c(col)
+    try:
+        return F.isnull(c) | F.isnan(c)
+    except Exception:
+        return F.isnull(c)
+
+
+def coalesce0(col: Column | str) -> Column:
+    """Null -> additive identity, the common agg-input normalization."""
+    return F.coalesce(_c(col), F.lit(0))
+
+
+def sort_key_kerf(col: Column | str) -> Column:
+    """Ascending sort key matching kerf's total order: NaN/null smallest
+    (grade.cc:15-26).  Use ``df.orderBy(sort_key_kerf(c).asc_nulls_first())``."""
+    return nan_to_null(col)

@@ -1,0 +1,195 @@
+"""As-of and interval (window) joins — the tick-database core operators.
+
+The reference's whole temporal type system (enums.h:166-185) exists to
+serve queries like "for each trade, the most recent quote at or before
+it"; kerf1 ships ``asof`` for this and the reference plants the hooks
+(SQL ``on`` token lexer.h:104, SORT_INDEX enums.h:265).  Spark has no
+built-in as-of join, so this is genuinely custom (SURVEY.md §2.3, §4).
+
+Implementation: the **union-tag + forward-fill** plan.
+
+    1. tag left rows (is_left=1) and right rows (is_left=0), union
+    2. single shuffle: partition by the ``by`` keys
+    3. single sort within partitions: (ts, is_left, tiebreak)
+    4. last(right_col, ignorenulls) over rows-unbounded-preceding
+       forward-fills each right column onto subsequent left rows
+    5. keep left rows
+
+Why this shape at 100 TB: exactly ONE shuffle of left+right on the join
+key and ONE within-partition sort — the same cost profile as a
+sort-merge join, with no row explosion (contrast the naive
+``left.join(right, r.ts <= l.ts)`` + max, which is quadratic per key).
+Skewed keys are handled by AQE skew-split since the heavy op is a
+window, and the plan stays fully JVM-side (no Python).
+
+Tie semantics: right rows sort *before* left rows at equal timestamps
+(is_left ascending with right=0), so an exactly-simultaneous quote IS
+visible to the trade — kerf's ``<=`` convention.  Among right rows with
+identical timestamps the last by ``tiebreak`` wins deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_L = "__kf_is_left"
+_TB = "__kf_tiebreak"
+_RT = "__kf_right_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | str | None = None,
+    right_cols: Sequence[str] | None = None,
+    tolerance_ns: int | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group.
+
+    Parameters
+    ----------
+    on : ordering column name, present in both frames (epoch-ns long or
+        any orderable type).
+    by : equi-key column(s) present in both frames (e.g. ``sym``).
+    right_cols : right columns to carry (default: all non-key columns).
+        Name collisions with left get ``suffix``.
+    tolerance_ns : if set, matches older than ``on - tolerance_ns`` are
+        nulled out (kerf window-limited asof).
+    tiebreak : right column ordering ties at equal ``on`` (last wins);
+        defaults to arbitrary-but-deterministic by all carried columns.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in right_cols
+    }
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias(_L),
+        F.lit(None).cast("long").alias(_RT),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c]) for c in right_cols],
+    )
+    rhs = right.select(
+        *[F.col(c) if c in by or c == on else F.lit(None).cast(t).alias(c)
+          for c, t in left.dtypes],
+        F.lit(0).alias(_L),
+        F.col(on).cast("long").alias(_RT),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+    )
+
+    tb = F.col(out_names[tiebreak]) if tiebreak else F.struct(
+        *[F.col(out_names[c]) for c in right_cols]
+    )
+    unioned = lhs.unionByName(rhs).withColumn(_TB, tb)
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col(on).asc(), F.col(_L).asc(), F.col(_TB).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col(_L),
+        F.last(F.col(_RT), ignorenulls=True).over(w).alias(_RT),
+        *[
+            F.last(F.col(out_names[c]), ignorenulls=True).over(w).alias(out_names[c])
+            for c in right_cols
+        ],
+    )
+
+    out = filled.where(F.col(_L) == 1)
+    if tolerance_ns is not None:
+        stale = F.col(_RT) < (F.col(on).cast("long") - F.lit(tolerance_ns))
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(stale | F.col(_RT).isNull(), F.lit(None))
+                .otherwise(F.col(out_names[c]))
+                .alias(out_names[c])
+                for c in right_cols
+            ],
+        )
+    else:
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(out_names[c]) for c in right_cols],
+        )
+    return out
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lo_ns: int,
+    hi_ns: int,
+    by: Sequence[str] | str | None = None,
+    bucket_ns: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: all right rows with ``r.on in [l.on+lo, l.on+hi]``
+    per ``by`` group (kerf window-join; SURVEY.md §2.3).
+
+    Scale strategy: a raw range predicate inside an equi-join on ``by``
+    is fine when ``by`` is selective, but degenerates toward
+    nested-loops for hot keys.  When ``bucket_ns`` is given, both sides
+    are bucketed to span-sized buckets and the left side explodes to the
+    covered bucket range, turning the range join into an equi-join on
+    (by, bucket) + residual filter — bounded fan-out, shuffle-friendly.
+    ``bucket_ns`` should be >= (hi-lo) for a fan-out of at most 2-3
+    buckets per row.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    ln, rn = left.alias("l"), right.alias("r")
+    renames = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in by
+    }
+
+    key_eq = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in by]
+    lo = F.col(f"l.{on}").cast("long") + F.lit(lo_ns)
+    hi = F.col(f"l.{on}").cast("long") + F.lit(hi_ns)
+    in_range = (F.col(f"r.{on}").cast("long") >= lo) & (
+        F.col(f"r.{on}").cast("long") <= hi
+    )
+
+    if bucket_ns is None:
+        joined = ln.join(rn, [*key_eq, in_range], "inner")
+    else:
+        b = F.lit(bucket_ns)
+        lb = ln.withColumn(
+            "__kf_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col(f"{on}").cast("long") + F.lit(lo_ns)) / b),
+                    F.floor((F.col(f"{on}").cast("long") + F.lit(hi_ns)) / b),
+                )
+            ),
+        ).alias("l")
+        rb = rn.withColumn(
+            "__kf_bucket", F.floor(F.col(on).cast("long") / b)
+        ).alias("r")
+        joined = lb.join(
+            rb,
+            [
+                F.col("l.__kf_bucket") == F.col("r.__kf_bucket"),
+                *[F.col(f"l.{c}") == F.col(f"r.{c}") for c in by],
+                in_range,
+            ],
+            "inner",
+        )
+
+    return joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"r.{c}").alias(renames[c]) for c in right.columns if c not in by],
+    )

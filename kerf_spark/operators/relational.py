@@ -1,0 +1,136 @@
+"""Relational surface: kerf-SQL verbs select/update/delete/insert/upsert,
+top-k, set ops, dictionary joins.
+
+The reference lexes+parses the full SQL surface (``select update insert
+upsert delete ... from group where order limit``, lexer.h:103-104,
+parser.h:541-567) but never evaluates it (interpreter stub).  These are
+the evaluations, expressed as stock DataFrame ops so Catalyst owns
+pushdown, pruning, and join planning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cols(cs) -> list[Column]:
+    if isinstance(cs, (str, Column)):
+        cs = [cs]
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+# ----------------------------------------------------------- update/delete
+def update(df: DataFrame, where: Column, **sets: Column) -> DataFrame:
+    """SQL ``update t set c=expr where cond`` as a pure transformation:
+    rows matching ``where`` get the new values, others keep theirs.
+    (Persisted-table update is the catalog's partition-rewrite job.)"""
+    out = df
+    for name, expr in sets.items():
+        base = F.col(name) if name in df.columns else F.lit(None)
+        out = out.withColumn(name, F.when(where, expr).otherwise(base))
+    return out
+
+
+def delete(df: DataFrame, where: Column) -> DataFrame:
+    """SQL ``delete from t where cond`` == keep the complement.
+    Null-safe: rows where ``where`` is NULL are kept (ANSI delete
+    semantics — only TRUE predicates delete)."""
+    return df.where(~F.coalesce(where, F.lit(False)))
+
+
+def insert(df: DataFrame, rows: DataFrame) -> DataFrame:
+    """Append by column name (kerf table append; schema must conform —
+    promotion is handled by the catalog on persisted tables)."""
+    return df.unionByName(rows)
+
+
+def upsert(df: DataFrame, rows: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Keyed upsert without a transactional format: new rows win.
+
+    MERGE emulation = (old rows anti-joined on keys) ∪ new rows.  The
+    anti join broadcasts when ``rows`` is small — the common "today's
+    corrections" shape; at scale both sides shuffle once on the keys.
+    """
+    keys = list(keys)
+    survivors = df.join(rows.select(*keys).distinct(), on=keys, how="left_anti")
+    return survivors.unionByName(rows)
+
+
+# ----------------------------------------------------------- order / top-k
+def top_k(
+    df: DataFrame, order: Sequence[Column | str], k: int, desc: bool = True
+) -> DataFrame:
+    """kerf ``k take grade_down`` — Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject: per-partition heaps + driver merge, no global
+    sort.  Pass a unique tiebreak in ``order`` for determinism."""
+    cols = _cols(order)
+    if desc:
+        cols = [c.desc() for c in cols]
+    return df.orderBy(*cols).limit(k)
+
+
+# ----------------------------------------------------------- set ops
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SET union (presented.cc:475-502 unique-insert semantics)."""
+    return a.unionByName(b).distinct()
+
+
+def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def in_keys(df: DataFrame, keys_df: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Membership filter == left-semi join (SET membership, enums.h:247)."""
+    return df.join(keys_df, on=list(on), how="left_semi")
+
+
+def not_in_keys(df: DataFrame, keys_df: DataFrame, on: Sequence[str]) -> DataFrame:
+    return df.join(keys_df, on=list(on), how="left_anti")
+
+
+# ----------------------------------------------------------- dict join
+def decode_dict(
+    df: DataFrame,
+    dict_df: DataFrame,
+    key: str,
+    value_cols: Sequence[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Vectorized dictionary lookup ``m[k]`` (the ENUM intern decode,
+    presented.cc:621-624 ``indices()[keys()[rhs]]``): broadcast-join the
+    intern table.  Explicit ``broadcast`` — a dictionary is small by
+    definition; never let it pick a shuffle."""
+    cols = list(value_cols) if value_cols else [c for c in dict_df.columns if c != key]
+    return df.join(F.broadcast(dict_df.select(key, *cols)), on=key, how=how)
+
+
+# ----------------------------------------------------------- vector group-by
+def group_vectors(
+    df: DataFrame,
+    by: Sequence[str],
+    collect: dict[str, str],
+    sort_lists: bool = True,
+) -> DataFrame:
+    """Kerf grouped-``by`` with *vector* results: each group maps to the
+    per-group value vectors, not scalars (SURVEY §2.4).
+
+    ``collect`` maps output name -> source column.  Lists are sorted for
+    deterministic value semantics (kerf groups preserve appearance
+    order; a distributed engine cannot, so the engine's contract is
+    sorted vectors).  Memory note: per-group vectors materialize in the
+    agg hash map — prefer window functions when groups can be huge.
+    """
+    aggs = []
+    for out, src in collect.items():
+        c = F.collect_list(src)
+        if sort_lists:
+            c = F.array_sort(c)
+        aggs.append(c.alias(out))
+    return df.groupBy(*_cols(by)).agg(*aggs)

@@ -1,0 +1,86 @@
+"""SparkSession bootstrap for the kerf_spark engine.
+
+The reference (kevinlawler/kerf) builds its own bottom half: slab memory
+cells, columnar vectors, mmap persistence, thread pools (slab.h:5-345,
+templates.h:213-494, thread.h:10-226).  On Spark all of that dissolves
+into Tungsten + Parquet + the task scheduler; what remains for us is to
+configure the session so Catalyst/AQE behave well at scale:
+
+* AQE on (runtime re-plan, skew-join handling, partition coalescing).
+* Arrow on (any pandas UDF path is batched, never row-at-a-time).
+* zstd Parquet (kerf's ZIP_ARRAY, enums.h:256, is "transparent
+  compression" — Parquet page compression is the Spark-native analogue).
+* ``spark.sql.legacy.parquet.nanosAsLong=true``: kerf's native timestamp
+  is *nanoseconds* (STAMP_NANOSECONDS, enums.h:175).  Parquet
+  TIMESTAMP(NANOS) columns (e.g. the events fixture) surface as LongType
+  epoch-nanos — exactly the engine-wide ``ts_ns`` convention
+  (see kerf_spark.functions.temporal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that define engine semantics — applied to every session we build.
+ENGINE_CONFS: dict[str, str] = {
+    # kerf ns timestamps surface as LongType epoch-nanos (ts_ns convention)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # adaptive execution: runtime shuffle-partition coalescing + skew splits
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every Python<->JVM columnar exchange
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # kerf ZIP_ARRAY analogue: transparent on-disk compression
+    "spark.sql.parquet.compression.codec": "zstd",
+    # timestamps in fixtures are wall-clock without zone
+    "spark.sql.session.timeZone": "UTC",
+    # broadcast threshold: dims like region/nation/supplier always broadcast
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "kerf_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and submit through spark-submit — nothing here
+    assumes single-node.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    b = SparkSession.builder.appName(app_name).master(master)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine semantics confs to an externally-created session.
+
+    Only runtime-settable confs can be applied here; ``nanosAsLong`` and
+    shuffle settings are fine, static ones are skipped silently.
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
