@@ -1,0 +1,283 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data pipeline dedup at 100 TB (SURVEY.md §7 milestone 5).
+Design rules applied throughout:
+
+* never collect to the driver; candidate generation is always a
+  shuffle-on-small-key (band hash / prefix bucket), never all-pairs;
+* hash computation is JVM-side (`xxhash64` — same family as the
+  reference's fasthash/xxh, hash.h:46-54); no Python in the scan;
+* verification (true Jaccard) runs only on LSH candidates, whose count
+  is data-dependent but tiny relative to n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import ngrams, normalize_text
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(
+    df: DataFrame, on: str = "text", id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Exact dedup by content: one survivor per distinct value of ``on``.
+
+    hash-groupBy plan: map-side partial agg on (value) then final —
+    one shuffle keyed by the (dictionary-encodable) content column.
+    For very wide text, group on ``fingerprint_md5`` instead to shrink
+    shuffle rows (collision-safe at 128 bits for practical corpora).
+    """
+    keep_fn = F.min if keep == "min" else F.max
+    winners = df.groupBy(on).agg(
+        keep_fn(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+    return winners.select(id_col, on, "dup_count")
+
+
+def dedup_rows(df: DataFrame, keys: list[str]) -> DataFrame:
+    """dropDuplicates on keys — kerf SET/distinct semantics over rows."""
+    return df.dropDuplicates(keys)
+
+
+# ------------------------------------------------------------------ minhash
+def _shingle_hashes(df: DataFrame, text_col: str, n: int) -> Column:
+    """Distinct word-n-gram shingles -> 64-bit hashes (array column)."""
+    return F.array_distinct(
+        F.transform(ngrams(text_col, n), lambda g: F.xxhash64(g))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures, fully JVM-side.
+
+    Universal-hash family over one base hash: h_i(x) = xxhash64(x, i)
+    via seeding each permutation with a distinct literal — standard
+    practice (equivalent to k independent hash functions for MinHash's
+    purposes).  Per row: array_min over transform — no shuffle, no UDF.
+    """
+    sh = _shingle_hashes(df, text_col, shingle_n)
+
+    def perm(i: int):
+        # closure factory, NOT a default arg: pyspark HOF lambdas dispatch
+        # on parameter count, so `lambda h, i=i` would receive the array
+        # index as `i` instead of the captured seed
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, perm(i))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band-hash become candidate pairs.
+
+    Plan: explode to (band, band_hash) — bands× row fan-out of a tiny
+    projection — then self-join *within buckets* keyed on
+    (band, band_hash).  The shuffle key is the band hash: uniform by
+    construction, so no skew; pair explosion is bounded by bucket sizes.
+    Returns distinct (id_a < id_b) candidate pairs.
+    """
+    b = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("minhash", i * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = b.alias("a")
+    right = b.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only.
+
+    Joins shingle-hash arrays onto both pair sides (two broadcast-or-
+    shuffle hash joins on ids) and computes |∩|/|∪| with array
+    intrinsics.  Returns pairs with ``jaccard >= threshold``.
+    """
+    sh = df.select(
+        F.col(id_col), _shingle_hashes(df, text_col, shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup detection: shingle → minhash → LSH bands →
+    exact-Jaccard verify.  Returns confirmed near-dup pairs.
+    """
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
+
+
+def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop the higher id of each confirmed pair (union-find-lite: since
+    pairs carry id_a < id_b, dropping every id_b keeps exactly one doc
+    per connected component's minimum...n.b. per-edge, which
+    over-deletes only within already-duplicate clusters — the standard
+    cheap policy)."""
+    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ simhash
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word hashes, pure Column expressions.
+
+    For each bit b: sum(sign of bit b over token hashes) — positive
+    majority sets the bit.  Implemented as 64 aggregate-over-array
+    expressions; heavy-ish codegen but still columnar and shuffle-free.
+    """
+    words = F.transform(
+        F.array_distinct(F.split(normalize_text(text_col), " ")),
+        lambda w: F.xxhash64(w),
+    )
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(words, F.lit(0).cast("long"), bit_vote(b))
+        # shiftleft, not 2**b: bit 63 overflows a positive long literal
+        one = F.shiftleft(F.lit(1).cast("long"), b)
+        bits.append(F.when(vote > 0, one).otherwise(F.lit(0).cast("long")))
+    sim = bits[0]
+    for extra in bits[1:]:
+        sim = sim.bitwiseOR(extra)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs by identical high ``prefix_bits`` of simhash
+    (block key), verified by full Hamming distance.  Blocking keeps the
+    self-join keyed and bounded, same scaling argument as LSH bands."""
+    keyed = sims.withColumn("blk", F.shiftright("simhash", 64 - prefix_bits))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------------ jaccard by prefix bucket
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with *prefix blocking* (SQL-oracle-able):
+    docs sharing the first ``prefix_len`` normalized chars are
+    candidates; exact word-shingle Jaccard verifies.  This variant uses
+    string shingles (not hashes) so an ANSI-SQL oracle can reproduce it
+    bit-for-bit.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.substring(normalize_text(text_col), 1, prefix_len).alias("pfx"),
+        F.array_distinct(ngrams(text_col, shingle_n)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

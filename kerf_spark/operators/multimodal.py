@@ -1,0 +1,181 @@
+"""Multimodal columns: binary payloads + typed metadata over mapInPandas.
+
+Image/audio/video payloads ride as opaque ``BinaryType`` columns with a
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages (SURVEY.md §7 milestone 5).
+
+The decode kernels themselves are STUBBED — the container has no
+image/audio libraries — behind ``KERF_SPARK_FAKE_DECODE``:
+
+* ``fake``  (default): deterministic metadata derived from the bytes
+  (md5-seeded), so the Spark-side plumbing — schema, batching,
+  partitioning, UDF signature — is fully real and testable.
+* ``real``: raises NotImplementedError at the kernel, marking exactly
+  where PIL/ffmpeg plug in.
+
+Scale design: mapInPandas streams Arrow batches — bounded memory per
+task regardless of corpus size; payload columns are pruned unless
+requested; binary columns should be stored in their own parquet files
+(column-per-file, kerf's directory-expanded layout) so metadata scans
+never touch pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODE_MODE = os.environ.get("KERF_SPARK_FAKE_DECODE", "fake")
+
+#: metadata schema attached by decode_images
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: materialize a BinaryType payload column (UTF-8
+    bytes of ``text_col``) so the multimodal path has real bytes to
+    move.  In production the payload arrives from the source as-is."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8").cast("binary"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, str, int, int, int]:
+    """Deterministic fake image header: md5-derived dims."""
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    channels = 1 + h[2] % 4
+    fmt = ["png", "jpeg", "webp"][h[3] % 3]
+    return (len(payload), fmt, width, height, channels)
+
+
+def _real_decode(payload: bytes):
+    raise NotImplementedError(
+        "real image decode requires PIL/turbojpeg — not available in this "
+        "container; set KERF_SPARK_FAKE_DECODE=fake for the deterministic stub"
+    )
+
+
+def decode_images(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """payload -> image metadata struct, via Arrow-batched mapInPandas.
+
+    Output schema: (id, meta struct) — stable regardless of decode mode.
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("meta", IMAGE_META_SCHEMA)]
+    )
+    decode = _fake_decode if DECODE_MODE == "fake" else _real_decode
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [
+                None if b is None else decode(bytes(b)) for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "meta": [
+                        None
+                        if m is None
+                        else {
+                            "n_bytes": m[0],
+                            "format": m[1],
+                            "width": m[2],
+                            "height": m[3],
+                            "channels": m[4],
+                        }
+                        for m in metas
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", dim: int = 8
+) -> DataFrame:
+    """payload -> deterministic feature vector (fake embed stage).
+
+    Real pipelines put the vision encoder here; the stub hashes bytes
+    into a unit-norm-ish vector so downstream similarity search can be
+    exercised end-to-end.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        def feat(b):
+            if b is None:
+                return None
+            h = hashlib.md5(bytes(b)).digest() + hashlib.md5(b"x" + bytes(b)).digest()
+            return [((h[i] / 255.0) * 2 - 1) for i in range(dim)]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": [feat(b) for b in pdf[payload_col]]}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+) -> DataFrame:
+    """Video frame-sampling shape: one payload -> many (frame_idx, frame)
+    rows.  Stub emits byte-slices as 'frames'; real impl swaps in an
+    ffmpeg demux.  Demonstrates the 1->N mapInPandas fan-out contract.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    if DECODE_MODE != "fake":
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+
+    def run(batches):
+        import pandas as pd
+
+        ids, idxs, frames = [], [], []
+        for pdf in batches:
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                bb = bytes(b)
+                n_frames = max(1, len(bb) // max(every_n, 1))
+                for fi in range(min(n_frames, 16)):
+                    ids.append(i)
+                    idxs.append(fi)
+                    frames.append(bb[fi::every_n][:64])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+            ids, idxs, frames = [], [], []
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -1,0 +1,281 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH/IVF paths.
+
+ANN over an ``array<float>`` column for training-data pipelines
+(SURVEY.md §7 milestone 5).  Three tiers:
+
+1. ``cosine_topk`` — exact brute force: broadcast the (small) query
+   set against the corpus, dot products via ``F.zip_with`` +
+   ``F.aggregate`` (JVM-side, no Python), per-query top-k via window.
+   At scale: corpus-partition-parallel, queries broadcast — the right
+   baseline up to ~thousands of queries.
+2. ``lsh_topk`` — random-hyperplane LSH: deterministic signed
+   projections bucket the corpus; only same-bucket (or neighboring
+   band) pairs are scored.  Sub-linear candidate sets, tunable recall.
+3. ``ivf_topk`` — IVF-style: k-means-lite centroid assignment (seeded,
+   few iterations, driver-side centroids only) prunes the corpus to
+   ``nprobe`` partitions per query.
+
+All return (query id, neighbor id, cosine, rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------ primitives
+def dot(a, b) -> Column:
+    """Dot product of two array columns — zip_with + aggregate, codegen'd."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_c(a), lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    d = dot(a, b)
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(d / (na * nb))
+
+
+# ------------------------------------------------------------ brute force
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    ``queries`` must be broadcast-sized (the typical "probe set" shape);
+    the corpus streams partition-parallel — total work O(|corpus|·|Q|·d)
+    flops with zero shuffle until the final per-query top-k (grouped
+    window over |corpus|·|Q| candidate rows, combiner-friendly).
+    Deterministic: ties break by neighbor id.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine("__qv", "__cv").alias("cosine"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------ LSH (hyperplane)
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from a seeded LCG
+    (no numpy on executors — computed once on the driver, inlined as
+    literals into the plan)."""
+    x = (plane_idx * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+    out = []
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) & 0x7FFFFFFF
+        out.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def lsh_signature(vec, dim: int, n_planes: int = 16) -> Column:
+    """Random-hyperplane sign signature packed into a long."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        s = dot(vec, plane)
+        sig = sig.bitwiseOR(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def _band_sigs(vec, dim: int, bands: int, planes_per_band: int) -> Column:
+    """Array of (band_idx, packed-sign-bits) structs — one LSH key per
+    band, planes disjoint across bands."""
+    out = []
+    for b in range(bands):
+        sig = F.lit(0).cast("long")
+        for p in range(planes_per_band):
+            plane_idx = b * planes_per_band + p
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_idx)])
+            s = dot(vec, plane)
+            sig = sig.bitwiseOR(
+                F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        out.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return F.array(*out)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bands: int = 6,
+    planes_per_band: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k with banded OR-amplification: a corpus row is a
+    candidate if it matches the query in ANY band (recall
+    1-(1-p^r)^b for per-plane agreement p).  Plan: explode both sides to
+    (band, sig) keys — uniform join key, no skew — equi-join, dedupe
+    (query, neighbor), score candidates only, windowed top-k."""
+    sig_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(_band_sigs(F.col(vec_col), dim, bands, planes_per_band)).alias("__b"),
+    )
+    sig_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_band_sigs(F.col(vec_col), dim, bands, planes_per_band)).alias("__b"),
+    )
+    cands = (
+        sig_c.join(F.broadcast(sig_q), "__b")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------ IVF-lite
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: cluster corpus into ``n_cells`` (k-means on a
+    sample, centroids live on the driver — the only driver-side data,
+    O(n_cells·dim)), assign cells JVM-side, probe ``nprobe`` nearest
+    cells per query.
+
+    At 100 TB the cell assignment is a narrow projection; the probe
+    join fans each query out to nprobe cells — shuffle keyed by cell id.
+    """
+    import math
+
+    sample = corpus.select(vec_col).limit(n_cells * 64).collect()
+    vecs = [list(r[0]) for r in sample if r[0] is not None]
+    if not vecs:
+        raise ValueError("empty corpus")
+    dim = len(vecs[0])
+    # seeded deterministic init: spread picks
+    step = max(1, len(vecs) // n_cells)
+    cents = [vecs[(i * step + seed) % len(vecs)] for i in range(n_cells)]
+    for _ in range(iters):  # Lloyd's on the sample (driver-side, tiny)
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        cnt = [0] * n_cells
+        for v in vecs:
+            best, bd = 0, float("inf")
+            for ci, c in enumerate(cents):
+                d2 = sum((a - b) ** 2 for a, b in zip(v, c))
+                if d2 < bd:
+                    bd, best = d2, ci
+            for j in range(dim):
+                sums[best][j] += v[j]
+            cnt[best] += 1
+        cents = [
+            [s / c for s in srow] if c else cents[i]
+            for i, (srow, c) in enumerate(zip(sums, cnt))
+        ]
+
+    def cell_expr(vec) -> Column:
+        best = F.lit(0)
+        bestd = F.lit(float("inf"))
+        for ci, cvec in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(_c(vec), carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            better = d < bestd
+            best = F.when(better, F.lit(ci)).otherwise(best)
+            bestd = F.when(better, d).otherwise(bestd)
+        return best
+
+    def probe_cells_expr(vec) -> Column:
+        dists = []
+        for ci, cvec in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in cvec])
+            d = F.aggregate(
+                F.zip_with(_c(vec), carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+        arr = F.array_sort(F.array(*dists))
+        return F.transform(F.slice(arr, 1, nprobe), lambda s: s["c"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        cell_expr(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_cells_expr(F.col(vec_col))).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,179 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond the reference's own surface (SURVEY.md §7 milestone 5): language
+ID, quality scoring, token counting, fingerprinting — the operators a
+100 TB document pipeline runs before dedup/filtering.  All pure Column
+expressions (no Python in the hot path): every one of these is a
+narrow projection over a parquet scan, so at scale the plan is
+scan → codegen'd expressions, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -------------------------------------------------------------- tokens
+def word_tokens(text) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text) -> Column:
+    return F.size(word_tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text) -> Column:
+    """Cheap LLM-token estimate: split on word boundaries AND digits /
+    punctuation runs (a BPE-flavored regex), ~chars/4 floor fallback."""
+    t = F.trim(_c(text))
+    pieces = F.size(
+        F.filter(
+            F.split(t, r"(?<=\W)|(?=\W)"),
+            lambda p: F.length(F.trim(p)) > 0,
+        )
+    )
+    return F.greatest(pieces, F.floor(F.length(t) / 4)).cast("long")
+
+
+# -------------------------------------------------------------- quality
+_PUNCT = r"[.,!?;:'\"()\[\]{}]"
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+
+def char_count(text) -> Column:
+    return F.length(_c(text)).cast("long")
+
+
+def punct_count(text) -> Column:
+    t = _c(text)
+    return (F.length(t) - F.length(F.regexp_replace(t, _PUNCT, ""))).cast("long")
+
+
+def punct_ratio(text) -> Column:
+    t = _c(text)
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        punct_count(text) / F.length(t)
+    )
+
+
+def stopword_count(text, stopwords: list[str] | None = None) -> Column:
+    words = F.transform(word_tokens(text), lambda w: F.lower(w))
+    sw = F.array(*[F.lit(s) for s in (stopwords or _STOPWORDS)])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
+
+
+def stopword_ratio(text, stopwords: list[str] | None = None) -> Column:
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_count(text, stopwords) / n
+    )
+
+
+def mean_word_len(text) -> Column:
+    toks = word_tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)) / F.size(toks)
+    )
+
+
+def quality_score(text) -> Column:
+    """Composite heuristic in [0,1]: long-enough, word-shaped, not
+    punctuation soup, has stopwords (i.e. looks like prose).  The exact
+    blend is a convention, not a model — deterministic + cheap."""
+    n_chars = char_count(text)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    return (len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3).cast("double")
+
+
+# -------------------------------------------------------------- lang id
+# n-gram/stopword-lexicon heuristic: score = stopword hits per language.
+_LANG_LEX: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+}
+
+
+def lang_scores(text) -> dict[str, Column]:
+    words = F.transform(word_tokens(text), lambda w: F.lower(w))
+    out = {}
+    for lang, lex in _LANG_LEX.items():
+        arr = F.array(*[F.lit(w) for w in lex])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+def lang_id(text) -> Column:
+    """argmax language by lexicon hits; 'und' (undetermined) when no
+    lexicon matches.  Ties break by fixed language order (deterministic).
+    """
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(_LANG_LEX):  # fixed order => deterministic ties
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+# -------------------------------------------------------------- fingerprint
+def normalize_text(text) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))
+
+
+def fingerprint_md5(text) -> Column:
+    """Content fingerprint of normalized text — portable (md5 is
+    bit-identical across engines, used by the exact-dedup oracle)."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint64(text) -> Column:
+    """64-bit rolling-style fingerprint via xxhash64 of normalized text
+    (same hash family as the reference, hash.h:46-54)."""
+    return F.xxhash64(normalize_text(text))
+
+
+def ngrams(text, n: int = 3) -> Column:
+    """Word n-grams (shingles) of normalized text, as strings."""
+    words = word_tokens(normalize_text(text))
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", *[]).cast("string"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+        )
+    )
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection: attach the full stats block."""
+    return df.select(
+        "*",
+        char_count(text_col).alias("n_chars_calc"),
+        token_count(text_col).alias("n_tokens"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,136 @@
+"""Kerf-SQL front-end: ``select ... by ... from ... where ...`` strings.
+
+The reference lexes the kerf SQL dialect into SQL token groups
+(lexer.h:103-104: select/update/insert/upsert/delete, middle tokens
+from/group/where/order/limit/on/set/values/asc/desc; parser groups the
+region, parser.h:541-567) but never evaluates.  Kerf's dialect differs
+from ANSI mainly in clause order and the ``by`` keyword:
+
+    select total: sum(qty) by flag from t where price > 10 limit 5
+
+This translator turns that dialect into a Spark plan: parse clauses ->
+resolve the table -> ``spark.sql`` on a rewritten ANSI statement.  The
+Python DataFrame API remains the primary surface (SURVEY.md §3.1 —
+"the Python API *is* the parse tree"); this exists for parity with the
+reference's declared language surface.
+
+Grammar (one statement, case-insensitive keywords):
+
+    select <exprs> [by <exprs>] from <table>
+        [where <cond>] [order by <exprs> [asc|desc]] [limit <n>]
+    update <table> set <col>=<expr>[, ...] [where <cond>]
+    delete from <table> [where <cond>]
+
+Expressions pass through verbatim to Spark SQL — kerf names like
+``avg``/``count``/``first``/``last`` are valid Spark SQL already.
+``name: expr`` (kerf aliasing) rewrites to ``expr AS name``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_KW = r"(?i)\b{}\b"
+
+
+def _split_clause(q: str, kw: str) -> tuple[str, str | None]:
+    m = re.search(_KW.format(kw), q)
+    if not m:
+        return q, None
+    return q[: m.start()].strip(), q[m.end():].strip()
+
+
+def _rewrite_aliases(exprs: str) -> str:
+    """kerf ``name: expr`` -> ``expr AS name`` per comma-group (top level
+    commas only — nested calls keep theirs)."""
+    parts, depth, cur = [], 0, []
+    for ch in exprs:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = []
+    for p in parts:
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*:\s*(.+)$", p.strip())
+        out.append(f"{m.group(2)} AS {m.group(1)}" if m else p.strip())
+    return ", ".join(out)
+
+
+def translate(q: str) -> str:
+    """kerf-SQL text -> ANSI SQL text (table names kept symbolic)."""
+    q = q.strip().rstrip(";")
+    head = q.split(None, 1)[0].lower()
+
+    if head == "select":
+        body = q[len("select"):].strip()
+        body, limit = _split_clause(body, "limit")
+        body, order = _split_clause(body, "order\\s+by")
+        body, where = _split_clause(body, "where")
+        body, table = _split_clause(body, "from")
+        if table is None:
+            raise ValueError("kerf-SQL select requires a from clause")
+        body, by = _split_clause(body, "by")
+        sel = _rewrite_aliases(body) if body else "*"
+        sql = []
+        if by:
+            group = _rewrite_aliases(by)
+            # grouped select: by-columns are part of the output, kerf-style
+            sql.append(f"SELECT {group}, {sel} FROM {table.strip()}")
+        else:
+            sql.append(f"SELECT {sel} FROM {table.strip()}")
+        if where:
+            sql.append(f"WHERE {where}")
+        if by:
+            # group by the expressions themselves
+            sql.append(f"GROUP BY {_rewrite_aliases(by)}")
+        if order:
+            sql.append(f"ORDER BY {order}")
+        if limit:
+            sql.append(f"LIMIT {limit}")
+        return " ".join(sql)
+
+    if head == "update":
+        m = re.match(
+            r"(?is)^update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$", q
+        )
+        if not m:
+            raise ValueError(f"cannot parse kerf-SQL update: {q!r}")
+        table, sets, where = m.group(1), m.group(2), m.group(3)
+        assigns = [s.strip() for s in sets.split(",")]
+        cols = []
+        for a in assigns:
+            name, expr = a.split("=", 1)
+            name, expr = name.strip(), expr.strip()
+            if where:
+                cols.append(
+                    f"CASE WHEN {where} THEN {expr} ELSE {name} END AS {name}"
+                )
+            else:
+                cols.append(f"{expr} AS {name}")
+        changed = {c.rsplit(" AS ", 1)[1] for c in cols}
+        keep = f"* EXCEPT ({', '.join(sorted(changed))})"
+        return f"SELECT {keep}, {', '.join(cols)} FROM {table}"
+
+    if head == "delete":
+        m = re.match(r"(?is)^delete\s+from\s+(\w+)(?:\s+where\s+(.*))?$", q)
+        if not m:
+            raise ValueError(f"cannot parse kerf-SQL delete: {q!r}")
+        table, where = m.group(1), m.group(2)
+        if not where:
+            return f"SELECT * FROM {table} WHERE 1=0"
+        return f"SELECT * FROM {table} WHERE NOT coalesce({where}, false)"
+
+    raise ValueError(f"unsupported kerf-SQL statement: {head}")
+
+
+def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
+    """Execute a kerf-SQL string against registered temp views."""
+    return spark.sql(translate(q))

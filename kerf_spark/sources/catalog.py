@@ -1,0 +1,176 @@
+"""Workspace catalog: named persisted tables + schema-promotion appends.
+
+The reference's workspace is the Kerf Tree — a lock-protected global
+map of named values persisted via workspace save/load (cores.h:72,
+file.h:34-36, exercised test.cc:825-900).  Here: a directory of
+partitioned Parquet datasets plus a JSON manifest; save/load round-trips
+the whole namespace.
+
+Schema promotion on append mirrors kerf's transparent width promotion
+(layout.cc:726-934 promote_or_expand_via_widths; regression
+test.cc:620-635): appending data whose column types are *wider* than
+the stored schema widens the table schema (byte->short->int->long,
+float->double) instead of failing.  Narrower incoming data is upcast to
+the stored schema.  At scale the widen path rewrites only the manifest
+and casts on read (no data rewrite): old narrow files remain valid
+because Parquet scans upcast losslessly via the declared read schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# spark simpleString names (LongType -> "bigint", ByteType -> "tinyint")
+_NUM_WIDTH = {
+    "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+    "float": 10, "double": 11,
+}
+
+
+def _promote(a: str, b: str) -> str:
+    """Widest-wins type promotion over the kerf numeric ladder; mixed
+    int/float promotes to float side (kerf cross-type arithmetic,
+    verbs.cc:121-143)."""
+    if a == b:
+        return a
+    if a in _NUM_WIDTH and b in _NUM_WIDTH:
+        wa, wb = _NUM_WIDTH[a], _NUM_WIDTH[b]
+        if (wa >= 10) != (wb >= 10):  # int vs float -> double is safe
+            return "double"
+        return a if wa >= wb else b
+    if "string" in (a, b):
+        return "string"
+    raise TypeError(f"cannot promote {a} vs {b}")
+
+
+class Workspace:
+    """A named-table catalog over `root/` — the Kerf-Tree analogue."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "workspace.json")
+        self.manifest: dict = {"tables": {}}
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                self.manifest = json.load(f)
+
+    # ------------------------------------------------------------- save/load
+    def _flush(self) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)  # atomic swap, snapshot reads
+
+    def save(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+        sort_by: Sequence[str] | None = None,
+    ) -> None:
+        path = os.path.join(self.root, name)
+        out = df.sortWithinPartitions(*sort_by) if sort_by else df
+        w = out.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*list(partition_by))
+        w.parquet(path)
+        self.manifest["tables"][name] = {
+            "path": path,
+            "partition_by": list(partition_by or []),
+            "sort_by": list(sort_by or []),
+            "schema": df.schema.jsonValue(),
+        }
+        self._flush()
+
+    def load(self, name: str) -> DataFrame:
+        meta = self.manifest["tables"][name]
+        schema = T.StructType.fromJson(meta["schema"])
+        # manifest schema applied AT READ: files written before a widen
+        # surface at the promoted width via the parquet reader's type
+        # widening (INT32->INT64, FLOAT->DOUBLE) — no data rewrite
+        return self.spark.read.schema(schema).parquet(meta["path"])
+
+    def tables(self) -> list[str]:
+        return sorted(self.manifest["tables"])
+
+    def drop(self, name: str) -> None:
+        self.manifest["tables"].pop(name, None)
+        self._flush()
+
+    # ------------------------------------------------------------- append
+    def append(self, name: str, rows: DataFrame) -> None:
+        """Append with transparent schema promotion (kerf append
+        semantics).  New partitions land as new files — the folio
+        "append to last sublist" discipline (presented.h:420-425)."""
+        meta = self.manifest["tables"][name]
+        stored = T.StructType.fromJson(meta["schema"])
+        stored_types = {f.name: f.dataType.simpleString() for f in stored.fields}
+        incoming = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+        if set(stored_types) != set(incoming):
+            raise ValueError(
+                f"append schema mismatch: {sorted(stored_types)} vs {sorted(incoming)}"
+            )
+        promoted = {
+            c: _promote(stored_types[c], incoming[c]) for c in stored_types
+        }
+        rows_cast = rows.select(
+            *[F.col(c).cast(promoted[c]).alias(c) for c in stored_types]
+        )
+        rows_cast.write.mode("append").partitionBy(
+            *meta["partition_by"]
+        ).parquet(meta["path"]) if meta["partition_by"] else rows_cast.write.mode(
+            "append"
+        ).parquet(meta["path"])
+        if promoted != stored_types:  # widen: manifest-only rewrite
+            new_fields = [
+                T.StructField(
+                    f.name,
+                    _parse_type(promoted[f.name]),
+                    f.nullable,
+                )
+                for f in stored.fields
+            ]
+            meta["schema"] = T.StructType(new_fields).jsonValue()
+        self._flush()
+
+    def upsert(self, name: str, rows: DataFrame, keys: Sequence[str]) -> None:
+        """Keyed upsert via staging-dir + atomic directory swap.
+
+        Spark reads lazily, so writing over the table being read would
+        delete inputs mid-scan; instead the merge lands in a staging dir
+        and swaps in atomically — which is also the engine's snapshot
+        story (readers of the old path keep a consistent view; kerf gets
+        the same via COW, concurrency-model.md:33-51).  Partition-scoped
+        rewrite (only partitions containing touched keys) is the scale
+        path when the partition column is in ``keys``.
+        """
+        import shutil
+
+        from ..operators.relational import upsert as upsert_rows
+
+        meta = self.manifest["tables"][name]
+        merged = upsert_rows(self.load(name), rows, keys)
+        staging = meta["path"] + ".staging"
+        out = merged.sortWithinPartitions(*meta["sort_by"]) if meta["sort_by"] else merged
+        w = out.write.mode("overwrite")
+        if meta["partition_by"]:
+            w = w.partitionBy(*meta["partition_by"])
+        w.parquet(staging)
+        old = meta["path"] + ".old"
+        os.rename(meta["path"], old)
+        os.rename(staging, meta["path"])
+        shutil.rmtree(old)
+        self.manifest["tables"][name]["schema"] = merged.schema.jsonValue()
+        self._flush()
+
+
+def _parse_type(s: str) -> T.DataType:
+    return T._parse_datatype_string(s)

@@ -1,0 +1,117 @@
+"""Structured Streaming ingestion: the feed-handler surface.
+
+The reference declares the skeleton only — TRANSMITTER/EMITTER socket
+pumps (bus.h:7-251), libevent loop (main.cc:83-97), fanout remark
+(bus.h:119) — with append-optimized storage underneath.  We adopt
+Spark's model wholesale (SURVEY.md §2.10): readStream -> event-time
+transforms with watermarks -> partitioned parquet sink with
+checkpointing.  That *is* the kerf tick-ingestion design point:
+append-only, date-partitioned, snapshot-consistent readers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.temporal import span_ns
+
+
+def read_file_stream(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet", **opts
+) -> DataFrame:
+    """Tail a directory as a stream (the file-drop feed handler)."""
+    r = spark.readStream.format(fmt).schema(schema)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def read_rate_stream(spark: SparkSession, rows_per_sec: int = 1000) -> DataFrame:
+    """Synthetic tick source for tests/benchmarks."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+    )
+
+
+def with_event_time(df: DataFrame, ts_ns_col: str) -> DataFrame:
+    """Attach a µs event-time timestamp column derived from ts_ns (the
+    watermark clock must be a TimestampType)."""
+    return df.withColumn(
+        "__event_time",
+        F.timestamp_micros((F.col(ts_ns_col) / 1000).cast("long")),
+    )
+
+
+def deduped(
+    df: DataFrame, keys: Sequence[str], delay: str = "10 minutes"
+) -> DataFrame:
+    """Stateful streaming dedup bounded by watermark — exactly-once-ish
+    ingestion of an at-least-once feed."""
+    return df.withWatermark("__event_time", delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def windowed_bars(
+    df: DataFrame,
+    value_col: str,
+    width: str = "5 minutes",
+    by: Sequence[str] | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming xbar: tumbling event-time bars with late-data handling.
+
+    The streaming twin of ``temporal.xbar`` — same bucket semantics,
+    plus watermark-driven state eviction so state stays bounded on an
+    infinite feed.
+    """
+    keys = [F.window("__event_time", width).alias("bar")]
+    keys += [F.col(c) for c in (by or [])]
+    return (
+        df.withWatermark("__event_time", delay)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("total"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.first(value_col).alias("open"),
+            F.last(value_col).alias("close"),
+        )
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: Sequence[str] = ("date",),
+    trigger_secs: int | None = None,
+) -> StreamingQuery:
+    """Sink: append-only date-partitioned parquet with checkpointing —
+    the folio discipline (append new date partitions only,
+    presented.h:420-425) under exactly-once file-sink semantics."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*list(partition_by))
+        .outputMode("append")
+    )
+    if trigger_secs:
+        w = w.trigger(processingTime=f"{trigger_secs} seconds")
+    return w.start()
+
+
+def run_batches(query: StreamingQuery, n_seconds: float) -> None:
+    """Test helper: let a stream run briefly, then stop it cleanly."""
+    import time
+
+    time.sleep(n_seconds)
+    query.stop()
