@@ -1,0 +1,75 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes to completion via the noop sink (full computation,
+no driver materialization).  A warmup query amortizes JVM/codegen
+startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "running_sum_unfold",
+    "xbar_5min_bars",
+    "asof_join_latest_order",
+    "interval_join_bursts",
+    "exact_dedup_docs",
+    "minhash_dedup_pairs",
+    "cosine_topk_exact",
+    "token_count_docs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from kerf_spark.queries import QUERIES
+    from kerf_spark.session import get_spark
+
+    spark = get_spark("kerf_spark_bench")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
+    run("q1_pricing_summary")  # warmup: JVM + parquet footer caches
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = run(name)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "kerf_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

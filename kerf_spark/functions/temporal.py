@@ -52,6 +52,15 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _divfloor(c: Column, k: int) -> Column:
+    """Exact floor-division of a long column by a positive constant.
+
+    ``floor(col / k)`` routes through double division and loses ULPs for
+    epoch-ns magnitudes (~1.7e18 > 2^53); decimal division is exact.
+    """
+    return F.floor(c.cast("decimal(38,0)") / F.lit(k)).cast("long")
+
+
 # ------------------------------------------------------- conversions
 def ts_to_ns(ts: Column | str) -> Column:
     """TimestampType/NTZ -> epoch nanoseconds (µs precision * 1000)."""
@@ -60,12 +69,12 @@ def ts_to_ns(ts: Column | str) -> Column:
 
 def ns_to_ts(ns: Column | str) -> Column:
     """Epoch-ns -> TimestampNTZ (truncates to Spark's µs precision)."""
-    return F.timestamp_micros(F.floor(_c(ns) / F.lit(1000)).cast("long"))
+    return F.timestamp_micros(_divfloor(_c(ns), 1000))
 
 
 def ns_to_us(ns: Column | str) -> Column:
     """Epoch-ns -> epoch-µs long (floor-div; for µs-world interop)."""
-    return F.floor(_c(ns) / F.lit(1000)).cast("long")
+    return _divfloor(_c(ns), 1000)
 
 
 def ns_to_date(ns: Column | str) -> Column:
@@ -100,12 +109,12 @@ def second(ns: Column | str) -> Column:
 
 def millisecond(ns: Column | str) -> Column:
     """Milliseconds within the second (0-999)."""
-    return (F.floor(_c(ns) / F.lit(MS)) % F.lit(1000)).cast("int")
+    return (_divfloor(_c(ns), MS) % F.lit(1000)).cast("int")
 
 
 def microsecond(ns: Column | str) -> Column:
     """Microseconds within the second (0-999_999)."""
-    return (F.floor(_c(ns) / F.lit(US)) % F.lit(1_000_000)).cast("int")
+    return (_divfloor(_c(ns), US) % F.lit(1_000_000)).cast("int")
 
 
 def nanosecond(ns: Column | str) -> Column:

@@ -43,10 +43,40 @@ def dedup_rows(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 # ------------------------------------------------------------------ minhash
-def _shingle_hashes(df: DataFrame, text_col: str, n: int) -> Column:
-    """Distinct word-n-gram shingles -> 64-bit hashes (array column)."""
-    return F.array_distinct(
-        F.transform(ngrams(text_col, n), lambda g: F.xxhash64(g))
+def _shingle_hash_df(
+    df: DataFrame, text_col: str, id_col: str, n: int, out: str = "sh"
+) -> DataFrame:
+    """(id, distinct shingle-hash array) — STAGED through projection
+    boundaries.
+
+    Why staged: referencing a split() expression inside a transform
+    lambda re-evaluates the tokenizer per array element (no CSE across
+    lambda scopes) — quadratic per row.  Each select below materializes
+    its arrays once per row, so the next stage reads a column slot.
+    A repartition ahead of the heavy projection spreads rows across
+    cores even when the source is one small parquet file.
+    """
+    from .text import normalize_text, word_tokens
+
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    words = df.select(
+        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+    )
+    k = F.greatest(F.size("__w") - (n - 1), F.lit(1))
+    grams = words.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
+            ),
+        ).alias("__g"),
+    )
+    return grams.select(
+        F.col(id_col),
+        F.array_distinct(F.transform("__g", lambda g: F.xxhash64(g))).alias(out),
     )
 
 
@@ -64,7 +94,7 @@ def minhash_signature(
     practice (equivalent to k independent hash functions for MinHash's
     purposes).  Per row: array_min over transform — no shuffle, no UDF.
     """
-    sh = _shingle_hashes(df, text_col, shingle_n)
+    shdf = _shingle_hash_df(df, text_col, id_col, shingle_n)
 
     def perm(i: int):
         # closure factory, NOT a default arg: pyspark HOF lambdas dispatch
@@ -73,9 +103,9 @@ def minhash_signature(
         return lambda h: F.xxhash64(h, F.lit(i))
 
     sig = F.array(
-        *[F.array_min(F.transform(sh, perm(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform("sh", perm(i))) for i in range(num_hashes)]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return shdf.select(F.col(id_col), sig.alias("minhash"))
 
 
 def lsh_candidates(
@@ -139,9 +169,7 @@ def jaccard_verify(
     shuffle hash joins on ids) and computes |∩|/|∪| with array
     intrinsics.  Returns pairs with ``jaccard >= threshold``.
     """
-    sh = df.select(
-        F.col(id_col), _shingle_hashes(df, text_col, shingle_n).alias("sh")
-    )
+    sh = _shingle_hash_df(df, text_col, id_col, shingle_n)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -194,10 +222,19 @@ def simhash64(
     majority sets the bit.  Implemented as 64 aggregate-over-array
     expressions; heavy-ish codegen but still columnar and shuffle-free.
     """
-    words = F.transform(
-        F.array_distinct(F.split(normalize_text(text_col), " ")),
-        lambda w: F.xxhash64(w),
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    # stage word-hash array once per row; 64 bit-votes read the slot
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(normalize_text(text_col), " ")),
+            lambda w: F.xxhash64(w),
+        ).alias("__wh"),
     )
+    words = F.col("__wh")
+
     def bit_vote(b: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
@@ -212,7 +249,7 @@ def simhash64(
     sim = bits[0]
     for extra in bits[1:]:
         sim = sim.bitwiseOR(extra)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:

@@ -1,0 +1,1384 @@
+"""The engine's query inventory: every SURVEY.md §2 operator exercised
+as a (Spark callable, DuckDB oracle SQL) pair on the driver fixtures.
+
+Each entry returns a DataFrame whose column names and values match the
+oracle exactly (the driver sorts columns by name and hash-compares
+values at 12 significant digits).  Conventions applied throughout:
+
+* every computed column is aliased identically in Spark and SQL;
+* non-integral float aggregates are ROUND()ed identically on both
+  sides — groupBy partial aggregation and DuckDB's sequential sum walk
+  different fp addition orders, and rounding to a grid much coarser
+  than the accumulated error (~1e-5 absolute at sf0.1) makes the
+  12-digit hash stable;
+* events.ts is epoch-NANOS in Spark (nanosAsLong) but µs-truncated
+  TIMESTAMP in DuckDB — all event-time outputs go through ts_us =
+  floor(ts/1000) == epoch_us(ts);
+* deterministic total order: every top-k/rank query carries a unique
+  tiebreak column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import scalars as S
+from .functions import semantics as K
+from .functions import temporal as TM
+from .operators import asof as AS
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import relational as R
+from .operators import similarity as SIM
+from .operators import text as TX
+from .operators import windows as W
+from .plans.kerfsql import kerf_sql
+from .sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def reg(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+_US = "CAST(floor(ts / 1000) AS BIGINT)"  # spark-side events µs expr
+
+
+# =====================================================================
+# §2.1/§2.4 — scan + filter + group-agg: TPC-H-flavored core
+# =====================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                               AS sum_qty,
+           round(sum(l_extendedprice), 2)                AS sum_base_price,
+           round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                     AS avg_qty,
+           round(avg(l_extendedprice), 6)                AS avg_price,
+           round(avg(l_discount), 6)                     AS avg_disc,
+           count(*)                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3(spark, sf):
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return R.top_k(
+        joined.select("orderkey", "revenue", "orderdate"),
+        [F.col("revenue").desc(), F.col("orderkey").asc()],
+        10,
+        desc=False,
+    )
+
+
+@query(
+    "q5_local_supplier",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    # dims broadcast (decode_dict discipline); fact-fact joins shuffle on keys
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           round(sum(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal, n.n_name AS nation
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def q10(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    g = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "custkey", "name", "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"), "nation",
+        )
+    )
+    return g.orderBy(F.col("revenue").desc(), F.col("custkey").asc()).limit(20)
+
+
+# =====================================================================
+# §2.2 — projection / filter / update / delete / insert / upsert
+# =====================================================================
+
+@query(
+    "filter_project",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS line,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           l_quantity AS qty
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'N'
+    """,
+)
+def filter_project(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        F.col("l_quantity").between(10, 20) & (F.col("l_returnflag") == "N")
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("line"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@query(
+    "sql_update",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS line,
+           CASE WHEN l_quantity < 5 THEN 0.0 ELSE l_discount END AS discount
+    FROM lineitem
+    """,
+)
+def sql_update(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    updated = R.update(li, F.col("l_quantity") < 5, l_discount=F.lit(0.0))
+    return updated.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_discount").alias("discount"),
+    )
+
+
+@query(
+    "sql_delete",
+    """
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status
+    FROM orders
+    WHERE NOT coalesce(o_orderstatus = 'F', false)
+    """,
+)
+def sql_delete(spark, sf):
+    o = _t(spark, sf, "orders")
+    return R.delete(o, F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+@query(
+    "insert_append",
+    """
+    SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+    FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_totalprice * 2 FROM orders WHERE o_orderkey % 100 = 0
+    )
+    """,
+)
+def insert_append(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    extra = (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    return R.insert(o, extra).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@query(
+    "upsert_keyed",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice + 1000, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+    )
+    """,
+)
+def upsert_keyed(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    updates = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") + 1000, 2).alias("o_totalprice"),
+    )
+    merged = R.upsert(o, updates, ["o_orderkey"])
+    return merged.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+# =====================================================================
+# §2.4/§2.6/§2.7 — distinct / top-k / set ops / vector group-by
+# =====================================================================
+
+@query(
+    "distinct_flags",
+    "SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status FROM lineitem",
+)
+def distinct_flags(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))
+        .distinct()
+    )
+
+
+@query(
+    "count_distinct_parts",
+    """
+    SELECT l_returnflag AS flag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def count_distinct_parts(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "top_k_orders",
+    """
+    SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def top_k_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return R.top_k(
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice"),
+        ),
+        [F.col("o_totalprice").desc(), F.col("orderkey").asc()],
+        25,
+        desc=False,
+    ).select("orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+
+
+@query(
+    "union_distinct_keys",
+    """
+    SELECT k FROM (
+      SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+      UNION
+      SELECT DISTINCT s_suppkey AS k FROM supplier
+    )
+    """,
+)
+def union_distinct_keys(spark, sf):
+    a = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(F.col("l_suppkey").alias("k"))
+        .distinct()
+    )
+    b = _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("k")).distinct()
+    return R.union_distinct(a, b)
+
+
+@query(
+    "intersect_keys",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_keys(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey")).distinct()
+    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey")).distinct()
+    return R.intersect_rows(a, b)
+
+
+@query(
+    "except_keys",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def except_keys(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey")).distinct()
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    return R.except_rows(c, o)
+
+
+@query(
+    "group_vector_by",
+    """
+    SELECT o_orderstatus AS status,
+           array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def group_vector_by(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"))
+        .orderBy("status")
+    )
+
+
+# =====================================================================
+# §2.3 — joins
+# =====================================================================
+
+@query(
+    "join_inner",
+    """
+    SELECT o.o_orderkey AS orderkey, c.c_name AS cust,
+           round(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'P'
+    """,
+)
+def join_inner(spark, sf):
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "P")
+    c = _t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("c_name").alias("cust"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c.c_custkey AS custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey AS custkey, c_name AS name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf):
+    c = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").where(F.col("o_totalprice") > 400000)
+    return R.in_keys(
+        c.select(F.col("c_custkey"), F.col("c_name")),
+        big.select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey AS custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return R.not_in_keys(
+        c.select("c_custkey"), o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select(F.col("c_custkey").alias("custkey"))
+
+
+@query(
+    "join_cross",
+    """
+    SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross(spark, sf):
+    r = _t(spark, sf, "region")
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("r1"), F.col("b.r_name").alias("r2"))
+    )
+
+
+@query(
+    "dict_decode",
+    """
+    SELECT c.c_custkey AS custkey, n.n_name AS nation, r.r_name AS region
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def dict_decode(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    step1 = R.decode_dict(
+        c.select("c_custkey", F.col("c_nationkey").alias("n_nationkey")),
+        n, "n_nationkey", ["n_name", "n_regionkey"],
+    ).withColumnRenamed("n_regionkey", "r_regionkey")
+    step2 = R.decode_dict(step1, r, "r_regionkey", ["r_name"])
+    return step2.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+    )
+
+
+# =====================================================================
+# §2.5/§2.9 — window adverbs: unfold / mapback / moving / rank / shift
+# =====================================================================
+
+@query(
+    "running_sum_unfold",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend
+    FROM orders
+    """,
+)
+def running_sum_unfold(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(
+            W.running_sum("o_totalprice", ["o_custkey"], ["o_orderdate", "o_orderkey"]), 2
+        ).alias("run_spend"),
+    )
+
+
+@query(
+    "deltas_mapback",
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6) AS dv
+    FROM events
+    """,
+)
+def deltas_mapback(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(W.deltas("value", ["user_id"], ["ts", "event_id"]), 6).alias("dv"),
+    )
+
+
+@query(
+    "ratios_mapback",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(o_totalprice / nullif(lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 6) AS ratio
+    FROM orders
+    """,
+)
+def ratios_mapback(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(
+            W.ratios("o_totalprice", ["o_custkey"], ["o_orderdate", "o_orderkey"]), 6
+        ).alias("ratio"),
+    )
+
+
+@query(
+    "moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ms5
+    FROM events
+    """,
+)
+def moving_avg(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(W.mavg("value", 5, ["user_id"], ["ts", "event_id"]), 6).alias("ma5"),
+        F.round(W.msum("value", 5, ["user_id"], ["ts", "event_id"]), 6).alias("ms5"),
+    )
+
+
+@query(
+    "running_min_max",
+    """
+    SELECT user_id, event_id,
+           min(value) OVER w AS run_min,
+           max(value) OVER w AS run_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_min_max(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        W.running_min("value", ["user_id"], ["ts", "event_id"]).alias("run_min"),
+        W.running_max("value", ["user_id"], ["ts", "event_id"]).alias("run_max"),
+    )
+
+
+@query(
+    "grade_rank",
+    """
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey DESC) AS grade,
+           rank() OVER (PARTITION BY o_orderstatus
+                        ORDER BY round(o_totalprice, -2) DESC) AS rnk
+    FROM orders
+    """,
+)
+def grade_rank(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        W.grade(
+            ["o_totalprice", "o_orderkey"], ["o_orderstatus"], desc=True
+        ).alias("grade"),
+        W.rank_(
+            [F.round("o_totalprice", -2)], ["o_orderstatus"], desc=True
+        ).alias("rnk"),
+    )
+
+
+@query(
+    "lead_lag_shift",
+    """
+    SELECT user_id, event_id,
+           lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def lead_lag_shift(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        W.shift("event_type", 1, ["user_id"], ["ts", "event_id"]).alias("prev_type"),
+        W.shift("event_type", -1, ["user_id"], ["ts", "event_id"]).alias("next_type"),
+    )
+
+
+# =====================================================================
+# §2.4 xbar / §2.3 asof + interval joins (tick-DB surface)
+# =====================================================================
+
+@query(
+    "xbar_5min_bars",
+    """
+    SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) AS bar_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS total,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM events
+    GROUP BY bar_us, event_type
+    """,
+)
+def xbar_5min_bars(spark, sf):
+    e = _t(spark, sf, "events")
+    # ns-domain xbar, then to µs for the oracle comparison
+    bar_ns = TM.xbar(F.col("ts"), TM.span_ns(5, "m"))
+    return (
+        e.groupBy(
+            (TM.ns_to_us(bar_ns)).alias("bar_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@query(
+    "asof_join_latest_order",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts_us, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_join_latest_order(spark, sf):
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    res = AS.asof_join(e, o, on="ts", by="user_id", tiebreak="o_orderkey")
+    return res.where(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        TM.ns_to_us("ts").alias("ts_us"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@query(
+    "interval_join_bursts",
+    """
+    SELECT a.event_id AS anchor_id, count(*) AS n_before
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+     AND b.event_id <> a.event_id
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+)
+def interval_join_bursts(spark, sf):
+    e = _t(spark, sf, "events")
+    anchors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"), "user_id", "ts"
+    )
+    others = e.select("event_id", "user_id", "ts")
+    joined = AS.window_join(
+        anchors,
+        others,
+        on="ts",
+        lo_ns=-TM.span_ns(1, "h"),
+        hi_ns=0,
+        by="user_id",
+        bucket_ns=TM.span_ns(1, "h"),
+    )
+    return (
+        joined.where(F.col("event_id") != F.col("anchor_id"))
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+
+
+# =====================================================================
+# §2.8 — scalar function families
+# =====================================================================
+
+@query(
+    "string_funcs",
+    """
+    SELECT doc_id,
+           length(text) AS n,
+           upper(substr(text, 1, 12)) AS head_u,
+           lower(substr(text, 1, 12)) AS head_l,
+           trim(substr(text, 1, 20)) AS head_t,
+           CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS has_data,
+           concat(source, ':', lang) AS tag,
+           replace(substr(text, 1, 30), ' ', '_') AS snake
+    FROM documents
+    """,
+)
+def string_funcs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        S.len_("text").alias("n"),
+        S.upper(S.substr("text", 1, 12)).alias("head_u"),
+        S.lower(S.substr("text", 1, 12)).alias("head_l"),
+        S.trim_(S.substr("text", 1, 20)).alias("head_t"),
+        F.when(S.like("text", "%data%"), 1).otherwise(0).alias("has_data"),
+        F.concat(F.col("source"), F.lit(":"), F.col("lang")).alias("tag"),
+        F.translate(S.substr("text", 1, 30), " ", "_").alias("snake"),
+    )
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS line,
+           abs(l_quantity - 25)                          AS dist,
+           floor(l_extendedprice)                        AS fl,
+           ceil(l_extendedprice)                         AS ce,
+           round(sqrt(l_quantity), 9)                    AS sq,
+           round(ln(l_extendedprice), 9)                 AS lg,
+           round(pow(l_quantity, 2), 4)                  AS p2,
+           CAST(sign(l_quantity - 25) AS INT)            AS sg,
+           CAST(l_quantity AS BIGINT) % 7                AS m7
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def math_funcs(spark, sf):
+    li = _t(spark, sf, "lineitem").where(F.col("l_linenumber") <= 2)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("line"),
+        S.absolute(F.col("l_quantity") - 25).alias("dist"),
+        S.floor_("l_extendedprice").alias("fl"),
+        S.ceil_("l_extendedprice").alias("ce"),
+        F.round(S.sqrt("l_quantity"), 9).alias("sq"),
+        F.round(S.ln("l_extendedprice"), 9).alias("lg"),
+        F.round(S.power("l_quantity", F.lit(2)), 4).alias("p2"),
+        S.sign(F.col("l_quantity") - 25).alias("sg"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("m7"),
+    )
+
+
+@query(
+    "date_parts",
+    """
+    SELECT o_orderkey AS orderkey,
+           year(o_orderdate)      AS y,
+           month(o_orderdate)     AS mo,
+           day(o_orderdate)       AS d,
+           dayofweek(o_orderdate) AS dow,
+           quarter(o_orderdate)   AS q,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)  AS due,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart
+    FROM orders
+    """,
+)
+def date_parts(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("mstart"),
+    )
+
+
+@query(
+    "ns_time_parts",
+    """
+    SELECT event_id,
+           epoch_us(ts)                                   AS ts_us,
+           year(ts)                                       AS y,
+           hour(ts)                                       AS hh,
+           minute(ts)                                     AS mi,
+           CAST(date_part('second', ts) AS INT)           AS ss,
+           CAST(floor(epoch_us(ts)) % 1000000 AS INT)     AS us_part
+    FROM events
+    """,
+)
+def ns_time_parts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        TM.ns_to_us("ts").alias("ts_us"),
+        TM.year("ts").alias("y"),
+        TM.hour("ts").alias("hh"),
+        TM.minute("ts").alias("mi"),
+        TM.second("ts").alias("ss"),
+        (TM.ns_to_us("ts") % 1000000).cast("int").alias("us_part"),
+    )
+
+
+@query(
+    "cond_case_null",
+    """
+    SELECT c_custkey AS custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END AS is_null
+    FROM customer
+    """,
+)
+def cond_case_null(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bucket"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+        F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).alias("is_null"),
+    )
+
+
+@query(
+    "cast_types",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS line,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
+           CAST(l_quantity AS VARCHAR)            AS qty_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS rt_key,
+           CAST(l_linenumber AS DOUBLE)           AS line_f
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def cast_types(spark, sf):
+    li = _t(spark, sf, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("line"),
+        S.cast_(S.floor_("l_extendedprice"), "bigint").alias("price_int"),
+        F.format_number("l_quantity", 1).alias("qty_str"),
+        S.cast_(S.cast_("l_orderkey", "string"), "bigint").alias("rt_key"),
+        S.cast_("l_linenumber", "double").alias("line_f"),
+    )
+
+
+@query(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        S.json_get("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding)                          AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)  AS first_v,
+           round(CAST(embedding[64] AS DOUBLE), 6) AS last_v,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum
+    FROM embeddings
+    """,
+)
+def array_funcs(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    vsum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return em.select(
+        "vec_id",
+        S.count_("embedding").alias("dim"),
+        F.round(S.first_("embedding").cast("double"), 6).alias("first_v"),
+        F.round(S.last_("embedding").cast("double"), 6).alias("last_v"),
+        F.round(vsum, 6).alias("vsum"),
+    )
+
+
+@query(
+    "range_til",
+    """
+    SELECT range AS id, range * range AS sq, range % 5 AS m5
+    FROM range(1000)
+    """,
+)
+def range_til(spark, sf):
+    return spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        F.pmod(F.col("id"), F.lit(5)).cast("long").alias("m5"),
+    )
+
+
+@query(
+    "kerfsql_select_by",
+    """
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    WHERE l_discount > 0.02
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def kerfsql_select_by(spark, sf):
+    from .sources.io import register_views
+
+    register_views(spark, sf)
+    return kerf_sql(
+        spark,
+        "select sum_qty: round(sum(l_quantity), 2), n: count(*) "
+        "by l_returnflag from lineitem where l_discount > 0.02 "
+        "order by l_returnflag",
+    )
+
+
+# =====================================================================
+# Milestone-5 — training-data pipeline operators over documents/embeddings
+# =====================================================================
+
+@query(
+    "exact_dedup_docs",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def exact_dedup_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    keyed = d.select("doc_id", TX.fingerprint_md5("text").alias("fp"))
+    return (
+        keyed.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "dup_count", "fp")
+    )
+
+
+@query(
+    "token_count_docs",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars"),
+    )
+
+
+@query(
+    "quality_score_docs",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS n_punct,
+             CASE WHEN trim(text) = '' THEN 0 ELSE (
+               SELECT count(*) FROM unnest(string_split_regex(trim(lower(text)), '\\s+')) t(w)
+               WHERE w IN ('the','a','an','and','or','of','to','in','is','it',
+                           'that','for','on','with','as','was','at','by','be')
+             ) END AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n_chars END, 9) AS punct_ratio,
+           round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_tokens END, 9) AS stop_ratio,
+           round(
+             least(n_chars/500.0, 1.0) * 0.4
+             + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n_chars END)*5) * 0.3
+             + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE)/n_tokens END)*4.0, 1.0) * 0.3,
+           9) AS quality
+    FROM s
+    """,
+)
+def quality_score_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TX.punct_ratio("text"), 9).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 9).alias("stop_ratio"),
+        F.round(TX.quality_score("text"), 9).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        (SELECT count(*) FROM unnest(ws) t(x) WHERE x IN ('the','and','of','to','is','that','for','with'))  AS s_en,
+        (SELECT count(*) FROM unnest(ws) t(x) WHERE x IN ('el','la','de','que','los','las','una','por'))    AS s_es,
+        (SELECT count(*) FROM unnest(ws) t(x) WHERE x IN ('le','la','les','des','est','une','dans','pour')) AS s_fr,
+        (SELECT count(*) FROM unnest(ws) t(x) WHERE x IN ('der','die','das','und','ist','nicht','ein','mit')) AS s_de
+      FROM w
+    )
+    SELECT doc_id,
+      CASE
+        WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_es AND s_fr >= s_de THEN 'fr'
+        WHEN s_es > 0 AND s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        WHEN s_de > 0 THEN 'de'
+        ELSE 'und' END AS lang_pred
+    FROM scores
+    """,
+)
+def lang_id_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "fingerprint_docs",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.fingerprint_md5("text").alias("fp"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, substr(t, 1, 32) AS pfx, string_split_regex(t, '\\s+') AS ws
+      FROM norm
+    ), sh AS (
+      SELECT doc_id, pfx,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 9) AS jaccard
+    FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    pairs = DD.prefix_jaccard_pairs(d, prefix_len=32, shingle_n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+# rows-only checks (hash-family dependent; no portable SQL oracle)
+@query("minhash_dedup_pairs")
+def minhash_dedup_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return DD.minhash_dedup(d, num_hashes=32, bands=8, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+
+
+@query("simhash_near_pairs")
+def simhash_near_pairs_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    sigs = DD.simhash64(d)
+    return DD.simhash_near_pairs(sigs, max_hamming=6, prefix_bits=8).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+@query("lsh_ann_topk")
+def lsh_ann_topk(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.lsh_topk(em, q, dim=64, k=5, bands=8, planes_per_band=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@query("ivf_ann_topk")
+def ivf_ann_topk(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.ivf_topk(em, q, k=5, n_cells=8, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@query(
+    "cosine_topk_exact",
+    """
+    WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))) AS cos
+      FROM qs q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def cosine_topk_exact(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.cosine_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + ('0x' || substr(md5(text), 1, 2))::INT % 240 AS INT) AS width,
+           CAST(16 + ('0x' || substr(md5(text), 3, 2))::INT % 240 AS INT) AS height,
+           CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 4 AS INT)    AS channels
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf):
+    d = _t(spark, sf, "documents")
+    with_bin = MM.attach_binary(d)
+    meta = MM.decode_images(with_bin)
+    return meta.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+    )
+
+
+@query("multimodal_features")
+def multimodal_features(spark, sf):
+    d = _t(spark, sf, "documents")
+    feats = MM.image_features(MM.attach_binary(d), dim=8)
+    return feats.select(
+        "doc_id", F.round(F.element_at("features", 1).cast("double"), 6).alias("f0")
+    )
+
+
+@query(
+    "stream_dedup_batch",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts_us FROM ranked WHERE rn = 1
+    """,
+)
+def stream_dedup_batch(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", TM.ns_to_us("ts").alias("ts_us"))
+    )

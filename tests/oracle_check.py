@@ -1,0 +1,112 @@
+"""Driver-style oracle comparison: run every queries() entry on Spark
+and its oracle_sql() on DuckDB, compare row count, column names, and
+order-insensitive values at 12 significant digits.
+
+Usage: python tests/oracle_check.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    """Canonicalize one value the way the driver's hasher would."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == 0:
+            return "0"
+        return f"{v:.12g}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    return str(v)
+
+
+def rows_canon(cols, rows):
+    """Sort columns by name, canonicalize, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from kerf_spark.session import get_spark
+
+    spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    names = [n for n in qs if not filters or any(f in n for f in filters)]
+    passed = failed = weak = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {str(ex)[:200]}")
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"weak {name}: rows-only ({len(srows)} rows)")
+            weak += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {str(ex)[:200]}")
+            failed += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            failed += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            failed += 1
+            continue
+        a = rows_canon(scols, srows)
+        b = rows_canon(ocols, orows)
+        if a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            failed += 1
+            continue
+        print(f"ok   {name} ({len(srows)} rows)")
+        passed += 1
+    print(f"\n{passed} ok, {weak} rows-only, {failed} FAILED of {len(names)}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,137 @@
+"""Unit goldens for the scalar/temporal/semantics function layer —
+kerf-style inline asserts (the reference's test strategy, test.cc)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kerf_spark.functions import scalars as S
+from kerf_spark.functions import semantics as K
+from kerf_spark.functions import temporal as TM
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).head()[0]
+
+
+# ------------------------------------------------------------- temporal
+def test_span_literals():
+    assert TM.span_ns(1, "s") == 1_000_000_000
+    assert TM.span_ns(5, "m") == 300 * 10**9
+    assert TM.span_ns(2, "d") == 2 * 86400 * 10**9
+
+
+def test_ns_round_trip(spark):
+    # 2024-01-01T00:09:58.778549829 — sub-µs digits survive in ns domain
+    ns = 1704067798778549829
+    row = spark.range(1).select(
+        TM.year(F.lit(ns)).alias("y"),
+        TM.minute(F.lit(ns)).alias("mi"),
+        TM.second(F.lit(ns)).alias("ss"),
+        TM.millisecond(F.lit(ns)).alias("ms"),
+        TM.microsecond(F.lit(ns)).alias("us"),
+        TM.nanosecond(F.lit(ns)).alias("nsp"),
+        TM.ns_to_us(F.lit(ns)).alias("us_epoch"),
+    ).head()
+    assert (row.y, row.mi, row.ss) == (2024, 9, 58)
+    assert row.ms == 778
+    assert row.us == 778549
+    assert row.nsp == 778549829
+    assert row.us_epoch == 1704067798778549
+
+
+def test_xbar_floor(spark):
+    ns = 1704067798778549829
+    bar = one(spark, TM.xbar(F.lit(ns), TM.span_ns(5, "m")))
+    assert bar % TM.span_ns(5, "m") == 0
+    assert bar <= ns < bar + TM.span_ns(5, "m")
+
+
+def test_divfloor_exact_at_ns_magnitude(spark):
+    # double division would round 1704317316813992501/1000 upward
+    ns = 1704317316813992501
+    assert one(spark, TM.ns_to_us(F.lit(ns))) == 1704317316813992
+
+
+def test_add_months_preserves_subus(spark):
+    ns = 1704067798778549829
+    shifted = one(spark, TM.add_months_ns(F.lit(ns), 1))
+    assert shifted % 1000 == ns % 1000  # sub-µs digits carried
+    assert one(spark, TM.month(F.lit(shifted))) == 2
+
+
+# ------------------------------------------------------------- semantics
+def test_nan_is_null(spark):
+    df = spark.createDataFrame([(1.0,), (float("nan"),), (None,)], "x double")
+    got = [r[0] for r in df.select(K.nan_to_null("x")).collect()]
+    assert got[0] == 1.0 and got[1] is None and got[2] is None
+
+
+def test_match_null_safe(spark):
+    df = spark.createDataFrame([(None, None), (1.0, 1.0), (1.0, None)], "a double, b double")
+    got = [r[0] for r in df.select(K.match("a", "b")).collect()]
+    assert got == [True, True, False]
+
+
+def test_kerf_eq_nan_equals_nan(spark):
+    # test.cc:102-108 "NANs are equal in Kerf"
+    df = spark.createDataFrame([(float("nan"), float("nan"))], "a double, b double")
+    assert df.select(K.kerf_eq("a", "b")).head()[0] is True
+
+
+def test_truthiness(spark):
+    df = spark.createDataFrame(
+        [(0, "x"), (1, ""), (2, "0"), (3, "hi"), (4, None)], "id long, s string"
+    )
+    got = {r.id: r.t for r in df.select("id", K.truthy("s").alias("t")).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True, 4: False}
+
+
+def test_normalize_floats_sorts_nan_first(spark):
+    df = spark.createDataFrame([(3.0,), (float("nan"),), (1.0,)], "x double")
+    got = [r[0] for r in K.normalize_floats(df).orderBy(F.asc_nulls_first("x")).collect()]
+    assert got[0] is None and got[1:] == [1.0, 3.0]
+
+
+# ------------------------------------------------------------- scalars
+def test_divide_by_zero_is_null(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (6.0, 2.0)], "a double, b double")
+    got = [r[0] for r in df.select(S.divide("a", "b")).collect()]
+    assert got == [None, 3.0]
+
+
+def test_mod_sign_follows_divisor(spark):
+    df = spark.createDataFrame([(-7, 3)], "a int, b int")
+    assert df.select(S.mod("a", "b")).head()[0] == 2  # floored mod
+
+
+def test_take_cyclic(spark):
+    df = spark.range(1).select(F.array(F.lit(1), F.lit(2), F.lit(3)).alias("a"))
+    assert df.select(S.take_cyclic(5, "a")).head()[0] == [1, 2, 3, 1, 2]
+
+
+def test_array_verbs(spark):
+    df = spark.range(1).select(F.array(F.lit(10), F.lit(20), F.lit(30)).alias("a"))
+    row = df.select(
+        S.first_("a").alias("f"),
+        S.last_("a").alias("l"),
+        S.reverse_("a").alias("r"),
+        S.count_("a").alias("n"),
+        S.find_("a", F.lit(20)).alias("pos"),
+    ).head()
+    assert (row.f, row.l, row.n, row.pos) == (10, 30, 3, 2)
+    assert row.r == [30, 20, 10]
+
+
+def test_map_amend_lookup(spark):
+    df = spark.range(1).select(
+        F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)).alias("m")
+    )
+    amended = df.select(S.map_amend("m", "b", F.lit(9)).alias("m"))
+    assert amended.select(S.map_lookup("m", "b")).head()[0] == 9
+    assert amended.select(S.map_lookup("m", "zz")).head()[0] is None
+
+
+def test_sqrt_negative_null(spark):
+    df = spark.createDataFrame([(-4.0,), (4.0,)], "x double")
+    got = [r[0] for r in df.select(S.sqrt("x")).collect()]
+    assert got == [None, 2.0]

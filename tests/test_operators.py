@@ -1,0 +1,239 @@
+"""Operator-level tests: as-of/interval joins, window adverbs, relational
+verbs, dedup, similarity — small inline goldens on synthetic frames plus
+fixture-scale sanity on sf0.001."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kerf_spark.operators import asof as AS
+from kerf_spark.operators import dedup as DD
+from kerf_spark.operators import relational as R
+from kerf_spark.operators import similarity as SIM
+from kerf_spark.operators import text as TX
+from kerf_spark.operators import windows as W
+
+
+# ------------------------------------------------------------- asof join
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 100, 1), ("A", 205, 2), ("B", 150, 3), ("A", 50, 4)],
+        "sym string, ts long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 100, 2.0), ("A", 200, 3.0), ("B", 160, 9.0)],
+        "sym string, ts long, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_basic(trades_quotes):
+    trades, quotes = trades_quotes
+    res = AS.asof_join(trades, quotes, on="ts", by="sym")
+    got = {r.trade_id: r.bid for r in res.collect()}
+    # trade@100 sees quote@100 (<=, simultaneous visible); trade@205 sees 200;
+    # B@150 has no quote <= 150; A@50 has none
+    assert got == {1: 2.0, 2: 3.0, 3: None, 4: None}
+
+
+def test_asof_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    # tolerance 5: trade@205 still sees quote@200 (205-5 <= 200)
+    got5 = {r.trade_id: r.bid for r in AS.asof_join(
+        trades, quotes, on="ts", by="sym", tolerance_ns=5).collect()}
+    assert got5 == {1: 2.0, 2: 3.0, 3: None, 4: None}
+    # tolerance 4: quote@200 is stale for trade@205 (205-4 > 200)
+    got4 = {r.trade_id: r.bid for r in AS.asof_join(
+        trades, quotes, on="ts", by="sym", tolerance_ns=4).collect()}
+    assert got4 == {1: 2.0, 2: None, 3: None, 4: None}
+
+
+def test_asof_tie_last_wins(spark):
+    left = spark.createDataFrame([("A", 10, 1)], "sym string, ts long, id long")
+    right = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 10, 200.0)], "sym string, ts long, px double"
+    )
+    res = AS.asof_join(left, right, on="ts", by="sym", tiebreak="px")
+    assert res.head().px == 200.0
+
+
+def test_window_join_bucketed_equals_plain(spark):
+    left = spark.createDataFrame(
+        [("A", 100, 1), ("A", 500, 2)], "sym string, ts long, id long"
+    )
+    right = spark.createDataFrame(
+        [("A", 60, 10), ("A", 99, 11), ("A", 101, 12), ("A", 460, 13)],
+        "sym string, ts long, rid long",
+    )
+    plain = AS.window_join(left, right, on="ts", lo_ns=-50, hi_ns=0, by="sym")
+    bucketed = AS.window_join(
+        left, right, on="ts", lo_ns=-50, hi_ns=0, by="sym", bucket_ns=64
+    )
+    a = {(r.id, r.rid) for r in plain.collect()}
+    b = {(r.id, r.rid) for r in bucketed.collect()}
+    assert a == b == {(1, 10), (1, 11), (2, 13)}
+
+
+# ------------------------------------------------------------- windows
+def test_deltas_and_running(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 15.0), (1, 3, 12.0), (2, 1, 100.0)],
+        "g int, seq int, v double",
+    )
+    out = df.select(
+        "g", "seq",
+        W.deltas("v", ["g"], ["seq"]).alias("d"),
+        W.running_sum("v", ["g"], ["seq"]).alias("rs"),
+        W.mavg("v", 2, ["g"], ["seq"]).alias("ma"),
+    ).collect()
+    by = {(r.g, r.seq): r for r in out}
+    assert by[(1, 1)].d is None and by[(1, 2)].d == 5.0 and by[(1, 3)].d == -3.0
+    assert by[(1, 3)].rs == 37.0
+    assert by[(1, 3)].ma == pytest.approx(13.5)
+    assert by[(2, 1)].d is None
+
+
+def test_mapback_seeded(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "seq int, v double")
+    out = df.select(
+        "seq", W.mapback(lambda a, b: a - b, "v", None, ["seq"], seed=F.lit(0.0)).alias("d")
+    ).collect()
+    got = {r.seq: r.d for r in out}
+    assert got == {1: 5.0, 2: 2.0}
+
+
+def test_grade_permutation(spark):
+    df = spark.createDataFrame([(30,), (10,), (20,)], "v int")
+    got = {r.v: r.g for r in df.select("v", W.grade(["v"]).alias("g")).collect()}
+    assert got == {10: 1, 20: 2, 30: 3}
+
+
+def test_time_moving_range(spark):
+    df = spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 50, 2.0), ("A", 100, 4.0), ("A", 1000, 8.0)],
+        "sym string, ts long, v double",
+    )
+    out = df.select(
+        "ts", W.time_moving("sum", "v", 100, ["sym"], "ts").alias("s")
+    ).collect()
+    got = {r.ts: r.s for r in out}
+    # window is (t-99, t]: at t=100 -> 2+4 (excludes t=0), at t=1000 -> 8
+    assert got == {0: 1.0, 50: 3.0, 100: 6.0, 1000: 8.0}
+
+
+# ------------------------------------------------------------- relational
+def test_update_delete(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "id int, s string")
+    upd = R.update(df, F.col("id") == 2, s=F.lit("z"))
+    assert {r.id: r.s for r in upd.collect()} == {1: "a", 2: "z", 3: None}
+    # delete with NULL predicate keeps the row (ANSI semantics)
+    d = R.delete(df, F.col("s") == "a")
+    assert sorted(r.id for r in d.collect()) == [2, 3]
+
+
+def test_upsert(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    new = spark.createDataFrame([(2, "B"), (3, "c")], "id int, s string")
+    got = {r.id: r.s for r in R.upsert(base, new, ["id"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 9)], "id int, v int")
+    got = [r.id for r in R.top_k(df, [F.col("v").desc(), F.col("id").asc()], 2, desc=False).collect()]
+    assert got == [3, 1]
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(2,), (4,)], "k int")
+    assert sorted(r.k for r in R.union_distinct(a, b).collect()) == [1, 2, 3, 4]
+    assert sorted(r.k for r in R.intersect_rows(a.distinct(), b).collect()) == [2]
+    assert sorted(r.k for r in R.in_keys(a, b, ["k"]).collect()) == [2, 2]
+    assert sorted(r.k for r in R.not_in_keys(a, b, ["k"]).collect()) == [1, 3]
+
+
+# ------------------------------------------------------------- dedup/text
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    got = {r.text: (r.doc_id, r.dup_count) for r in DD.exact_dedup(df).collect()}
+    assert got == {"hello world": (1, 2), "unique": (3, 1)}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra token"), (3, "completely different words entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_dedup(df, num_hashes=16, bands=8, threshold=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_simhash_identical_zero_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    sigs = DD.simhash64(df)
+    pairs = DD.simhash_near_pairs(sigs, max_hamming=0, prefix_bits=4).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_tokens_and_quality(spark):
+    df = spark.createDataFrame([(1, "  the cat.  "), (2, "")], "id long, text string")
+    row = {r.id: r for r in df.select(
+        "id",
+        TX.token_count("text").alias("n"),
+        TX.punct_count("text").alias("p"),
+        TX.stopword_count("text").alias("sw"),
+    ).collect()}
+    assert row[1].n == 2 and row[1].p == 1 and row[1].sw == 1
+    assert row[2].n == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro de la casa que corre por los campos"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", TX.lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+# ------------------------------------------------------------- similarity
+def test_cosine_identical_vector_is_top(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [1.0, 0.01, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0)
+    top = SIM.cosine_topk(df, q, k=2).collect()
+    assert [r.neighbor_id for r in top] == [3, 1]
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], "a array<double>, b array<double>")
+    row = df.select(
+        SIM.dot("a", "b").alias("d"), SIM.l2_norm("a").alias("n"), SIM.cosine("a", "b").alias("c")
+    ).head()
+    assert row.d == 3.0 and row.n == 5.0 and row.c == pytest.approx(0.6)
+
+
+# ------------------------------------------------------------- fixture-scale
+def test_asof_fixture_scale(spark, tables):
+    from kerf_spark.functions import temporal as TM
+
+    e = tables["events"].select("event_id", "user_id", "ts")
+    o = tables["orders"].select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    res = AS.asof_join(e, o, on="ts", by="user_id", tiebreak="o_orderkey")
+    assert res.count() == e.count()
+    assert res.where(F.col("o_orderkey").isNull()).count() == 0

@@ -1,0 +1,154 @@
+"""Workspace catalog, kerf-SQL front-end, and streaming tests."""
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from kerf_spark.plans.kerfsql import translate
+from kerf_spark.sources.catalog import Workspace
+
+
+# ------------------------------------------------------------- kerf-SQL
+def test_translate_select_by():
+    sql = translate("select n: count(*) by l_returnflag from lineitem where l_discount > 0")
+    assert "GROUP BY l_returnflag" in sql
+    assert "count(*) AS n" in sql
+    assert "WHERE l_discount > 0" in sql
+
+
+def test_translate_plain_select():
+    sql = translate("select o_orderkey from orders limit 5")
+    assert sql == "SELECT o_orderkey FROM orders LIMIT 5"
+
+
+def test_translate_update():
+    sql = translate("update t set a = 1, b = a + 2 where c > 0")
+    assert "CASE WHEN c > 0 THEN 1 ELSE a END AS a" in sql
+    assert "CASE WHEN c > 0 THEN a + 2 ELSE b END AS b" in sql
+
+
+def test_translate_delete_null_safe():
+    sql = translate("delete from t where x = 1")
+    assert "NOT coalesce(x = 1, false)" in sql
+
+
+def test_translate_rejects_garbage():
+    with pytest.raises(ValueError):
+        translate("explode the database")
+    with pytest.raises(ValueError):
+        translate("select a, b")  # no from
+
+
+def test_kerfsql_execution(spark, tables):
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    tables["orders"].createOrReplaceTempView("orders")
+    df = kerf_sql(spark, "select n: count(*) by o_orderstatus from orders order by o_orderstatus")
+    got = {r.o_orderstatus: r.n for r in df.collect()}
+    assert sum(got.values()) == 1500
+
+
+# ------------------------------------------------------------- workspace
+@pytest.fixture()
+def ws_root():
+    root = tempfile.mkdtemp()
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_workspace_save_load_round_trip(spark, tables, ws_root):
+    ws = Workspace(spark, ws_root)
+    ws.save("orders", tables["orders"])
+    assert ws.load("orders").count() == 1500
+    # new Workspace object == workspace reload from manifest (test.cc:825-900)
+    ws2 = Workspace(spark, ws_root)
+    assert ws2.tables() == ["orders"]
+    assert ws2.load("orders").count() == 1500
+
+
+def test_workspace_append_promotes_width(spark, ws_root):
+    # mirrors layout.cc:726-934 promote-on-append (test.cc:620-635)
+    ws = Workspace(spark, ws_root)
+    ws.save("t", spark.range(3).select(F.col("id").cast("int").alias("v")))
+    ws.append("t", spark.range(2).select((F.col("id") + 2**40).alias("v")))
+    got = ws.load("t")
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert sorted(r.v for r in got.collect()) == [0, 1, 2, 2**40, 2**40 + 1]
+
+
+def test_workspace_append_rejects_schema_mismatch(spark, ws_root):
+    ws = Workspace(spark, ws_root)
+    ws.save("t", spark.range(1).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError):
+        ws.append("t", spark.range(1).select(F.col("id").alias("other")))
+
+
+def test_workspace_upsert_snapshot_swap(spark, tables, ws_root):
+    ws = Workspace(spark, ws_root)
+    ws.save("orders", tables["orders"])
+    updates = tables["orders"].limit(5).withColumn("o_totalprice", F.lit(0.0))
+    ws.upsert("orders", updates, ["o_orderkey"])
+    out = ws.load("orders")
+    assert out.count() == 1500
+    assert out.where(F.col("o_totalprice") == 0.0).count() == 5
+
+
+# ------------------------------------------------------------- streaming
+def test_streaming_xbar_bars(spark, tables, tmp_path):
+    """Structured Streaming path: file source -> windowed bars -> memory sink."""
+    from kerf_spark.streaming.ingest import windowed_bars, with_event_time
+
+    src = str(tmp_path / "stream_src")
+    tables["events"].limit(200).write.parquet(src)
+    schema = tables["events"].schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    bars = windowed_bars(with_event_time(stream, "ts"), "value", "5 minutes")
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("bars_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT count(*) AS n, sum(n) AS rows_total FROM bars_test").head()
+    assert got.n > 0
+    assert got.rows_total == 200
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from kerf_spark.streaming.ingest import deduped, with_event_time
+
+    src = str(tmp_path / "dup_src")
+    df = spark.createDataFrame(
+        [(1, 1704067798778549829), (1, 1704067798778549829), (2, 1704067799000000000)],
+        "event_id long, ts long",
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    dd = deduped(with_event_time(stream, "ts"), ["event_id"])
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(DISTINCT event_id) FROM dedup_test").head()[0] == 2
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_stub_plumbing(spark, tables):
+    from kerf_spark.operators import multimodal as MM
+
+    docs = tables["documents"].limit(20)
+    meta = MM.decode_images(MM.attach_binary(docs))
+    rows = meta.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.meta.n_bytes > 0
+        assert 16 <= r.meta.width < 256
+        assert r.meta.format in ("png", "jpeg", "webp")
