@@ -1382,3 +1382,550 @@ def stream_dedup_batch(spark, sf):
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", TM.ns_to_us("ts").alias("ts_us"))
     )
+
+
+# =====================================================================
+# §2.4 extras — rollup/cube, statistical aggregates
+# =====================================================================
+
+@query(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf):
+    """Hierarchical subtotals — free on Spark (SURVEY §2.4 grouping sets
+    row); kerf itself lacks them, exposed as beyond-parity surface."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "stats_agg",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 6)       AS med_qty,
+           round(var_samp(l_quantity), 6)     AS var_qty,
+           round(stddev_samp(l_quantity), 6)  AS std_qty,
+           round(median(l_discount), 6)       AS med_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_agg(spark, sf):
+    """median/var/std (kerf1 builtin aggregates, SURVEY §2.4)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.median("l_discount"), 6).alias("med_disc"),
+    )
+
+
+# =====================================================================
+# §2.2 point ops — index/gather, find, amend-one, delete-one, take
+# =====================================================================
+
+_GATHER_POS = (3, 10, 100, 1000)
+
+
+@query(
+    "index_gather",
+    f"""
+    WITH pos AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT rn AS pos, o_orderkey, o_totalprice FROM pos
+    WHERE rn IN {_GATHER_POS}
+    """,
+)
+def index_gather(spark, sf):
+    """x[iv] gather by index vector (slop.h:902-905, presented.cc:284-296)
+    — positional access over the canonical o_orderkey order via
+    row_number + semi-filter; no driver collect."""
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos").isin(*_GATHER_POS))
+        .select("pos", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "find_first",
+    """
+    SELECT min(rn) AS pos FROM (
+      SELECT o_orderpriority, row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def find_first(spark, sf):
+    """`find` — index of first match (slop.h:1188-1189): min(position)
+    where predicate, fully distributed."""
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.min("rn").alias("pos"))
+    )
+
+
+@query(
+    "amend_point",
+    """
+    SELECT n_nationkey,
+           CASE WHEN row_number() OVER (ORDER BY n_nationkey) = 5
+                THEN 'AMENDED' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def amend_point(spark, sf):
+    """amend one x[i]:v (slop.h:1161-1165, presented.cc:327-330): COW
+    point update == conditional projection at position i."""
+    n = _t(spark, sf, "nation")
+    w = Window.orderBy("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.when(F.row_number().over(w) == 5, F.lit("AMENDED"))
+        .otherwise(F.col("n_name"))
+        .alias("n_name"),
+        "n_regionkey",
+    )
+
+
+@query(
+    "delete_point",
+    """
+    SELECT n_nationkey, n_name FROM (
+      SELECT n_nationkey, n_name,
+             row_number() OVER (ORDER BY n_nationkey) AS rn
+      FROM nation
+    ) WHERE rn <> 3
+    """,
+)
+def delete_point(spark, sf):
+    """delete one element at index i (slop.h:1167-1171)."""
+    n = _t(spark, sf, "nation")
+    w = Window.orderBy("n_nationkey")
+    return (
+        n.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") != 3)
+        .select("n_nationkey", "n_name")
+    )
+
+
+@query(
+    "take_cyclic",
+    """
+    WITH idx AS (
+      SELECT r_name, row_number() OVER (ORDER BY r_regionkey) - 1 AS i
+      FROM region
+    ), n AS (SELECT count(*) AS k FROM region)
+    SELECT t.pos, idx.r_name
+    FROM generate_series(0, 11) t(pos) CROSS JOIN n
+    JOIN idx ON t.pos % n.k = idx.i
+    ORDER BY t.pos
+    """,
+)
+def take_cyclic(spark, sf):
+    """kerf cyclic `take` / reshape (presented.h:570 AFFINE/TAKE design):
+    12 take region — lazy range + pmod index join; the range never
+    materializes driver-side (spark.range is the AFFINE analogue)."""
+    r = _t(spark, sf, "region")
+    w = Window.orderBy("r_regionkey")
+    idx = r.select("r_name", (F.row_number().over(w) - 1).alias("i"))
+    k = idx.count()  # tiny dim table; count is a metadata-cheap job
+    taken = spark.range(12).select(
+        F.col("id").alias("pos"), F.pmod("id", F.lit(k)).alias("i")
+    )
+    return (
+        taken.join(F.broadcast(idx), "i")
+        .select("pos", "r_name")
+        .orderBy("pos")
+    )
+
+
+# =====================================================================
+# §2.8 extras — hash, map functions, flip/transpose, generic fold
+# =====================================================================
+
+@query(
+    "hash_funcs",
+    """
+    SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def hash_funcs(spark, sf):
+    """Representational hashing surface (hash.h:46-54, slop.h:961) via
+    portable digests; xxhash64 (same family as kerf's fasthash) is used
+    internally by the dedup operators."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS knames,
+           CAST(count(*) AS INT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def map_funcs(spark, sf):
+    """MAP keys/values surface (slop.h:1206-1207, presented.cc:339-361):
+    build a name->key map per region, then read it back via map_keys."""
+    n = _t(spark, sf, "nation")
+    m = n.groupBy("n_regionkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("n_name", "n_nationkey")))
+        ).alias("m")
+    )
+    return m.select(
+        "n_regionkey",
+        F.sort_array(F.map_keys("m")).alias("knames"),
+        F.size("m").alias("n"),
+    )
+
+
+@query(
+    "flip_transpose",
+    """
+    SELECT 'r_name' AS colname,
+           list(CAST(r_name AS VARCHAR) ORDER BY r_regionkey) AS vals
+    FROM region
+    UNION ALL
+    SELECT 'r_regionkey',
+           list(CAST(r_regionkey AS VARCHAR) ORDER BY r_regionkey)
+    FROM region
+    """,
+)
+def flip_transpose(spark, sf):
+    """kerf `flip` — FLIPPED_TRANSPOSED row-view (enums.h:260): columns
+    become rows of (name, value-vector).  Small-data adapter by design;
+    at scale a transpose is a reshape job, not a table op."""
+    r = _t(spark, sf, "region")
+    cols = ["r_name", "r_regionkey"]
+    stacked = [
+        r.select(
+            F.lit(c).alias("colname"),
+            F.struct(F.col("r_regionkey").alias("k"),
+                     F.col(c).cast("string").alias("v")).alias("kv"),
+        )
+        for c in cols
+    ]
+    u = stacked[0].unionByName(stacked[1])
+    return u.groupBy("colname").agg(
+        F.transform(F.array_sort(F.collect_list("kv")), lambda x: x.v).alias("vals")
+    )
+
+
+@query(
+    "fold_generic",
+    """
+    SELECT vec_id,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum'), 6) AS vsum
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def fold_generic(spark, sf):
+    """Generic `fold` over an array value (adverbs.h:33-71): seeded left
+    fold via the aggregate() higher-order function — runs inside
+    codegen, no UDF."""
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("vsum"),
+    )
+
+
+# =====================================================================
+# §2.11 UDF surface — mapInPandas (mapcores/UDTF), applyInPandas (UDAF)
+# =====================================================================
+
+@query(
+    "mapinpandas_scale",
+    """
+    SELECT event_id, round(value * 2 + 1, 6) AS v2 FROM events
+    """,
+)
+def mapinpandas_scale(spark, sf):
+    """mapcores / UDTF analogue (adverbs.h:210-295): Arrow-batched
+    per-partition pandas transform.  Built-ins would express this —
+    the point of the query is the mapInPandas plumbing itself (batch
+    iteration, declared schema, zero driver collect)."""
+    e = _t(spark, sf, "events").select("event_id", "value")
+
+    def batches(it):
+        for pdf in it:
+            out = pdf[["event_id"]].copy()
+            out["v2"] = (pdf["value"] * 2 + 1).round(6)
+            yield out
+
+    return e.mapInPandas(batches, schema="event_id long, v2 double")
+
+
+@query(
+    "applyinpandas_zscore",
+    """
+    WITH s AS (
+      SELECT event_id, user_id,
+             avg(value)         OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    ), z AS (SELECT e.event_id, e.user_id,
+                    CASE WHEN s.sd > 0 THEN round((e.value - s.mu) / s.sd, 6) END AS z
+             FROM events e JOIN s ON e.event_id = s.event_id)
+    SELECT event_id, user_id, z FROM z
+    """,
+)
+def applyinpandas_zscore(spark, sf):
+    """Grouped UDAF-style kernel (user lambda via adverb, SURVEY §2.11):
+    per-user zscore through applyInPandas — group state fits one Arrow
+    batch per user; shuffle is one hash partition by user_id."""
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value")
+
+    def z(pdf):
+        import numpy as np
+
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "user_id"]].copy()
+        if sd and sd > 0 and not np.isnan(sd):
+            out["z"] = ((pdf["value"] - mu) / sd).round(6)
+        else:
+            out["z"] = None
+        return out
+
+    return e.groupBy("user_id").applyInPandas(
+        z, schema="event_id long, user_id long, z double"
+    )
+
+
+# =====================================================================
+# §2.1 extras — CSV/JSON sources, workspace save/load round-trips
+# =====================================================================
+
+@query(
+    "csv_roundtrip",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def csv_roundtrip(spark, sf):
+    """CSV sink+source (kerf1 read_table_from_delimited_file, SURVEY
+    §2.1): write region as CSV, read it back with header+schema."""
+    import tempfile
+
+    r = _t(spark, sf, "region")
+    path = tempfile.mkdtemp(prefix="kerf_csv_") + "/region"
+    r.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.option("header", True)
+        .schema("r_regionkey int, r_name string")
+        .csv(path)
+    )
+
+
+@query(
+    "json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def json_roundtrip(spark, sf):
+    """JSON-lines sink+source (atlas I/O hooks, jump.h:190-191)."""
+    import tempfile
+
+    n = _t(spark, sf, "nation")
+    path = tempfile.mkdtemp(prefix="kerf_json_") + "/nation"
+    n.write.mode("overwrite").json(path)
+    return spark.read.json(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "workspace_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_custkey <= 500 GROUP BY o_orderstatus
+    """,
+)
+def workspace_roundtrip(spark, sf):
+    """Workspace save/load (the Kerf Tree, file.h:34-36, test.cc:825-900):
+    persist a named table into a Workspace catalog, reload it by name,
+    aggregate the reloaded copy."""
+    import tempfile
+
+    from .sources.catalog import Workspace
+
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_ws_"))
+    o = _t(spark, sf, "orders").where(F.col("o_custkey") <= 500)
+    ws.save("orders_small", o)
+    back = ws.load("orders_small")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# =====================================================================
+# kerf-SQL front-end: update statement through the translator
+# =====================================================================
+
+@query(
+    "kerfsql_update_agg",
+    """
+    SELECT p_brand,
+           round(avg(CASE WHEN p_size < 25 THEN p_retailprice * 1.1
+                          ELSE p_retailprice END), 4) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def kerfsql_update_agg(spark, sf):
+    """kerf `update t set c=expr where cond` (lexer.h:103-104) through
+    the kerf-SQL translator, then aggregated."""
+    _t(spark, sf, "part").createOrReplaceTempView("part")
+    updated = kerf_sql(
+        spark,
+        "update part set p_retailprice = p_retailprice * 1.1 where p_size < 25",
+    )
+    return updated.groupBy("p_brand").agg(
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price")
+    )
+
+
+# =====================================================================
+# embedding-cosine near-duplicate pairs (LLM-pipeline dedup variant)
+# =====================================================================
+
+@query(
+    "cosine_neardup_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.30
+    """,
+)
+def cosine_neardup_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF-cell
+    discipline: candidate pairs only within a block, so the self-join is
+    keyed — shuffle on label, never a full cross)."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    dot = lambda u, v: F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    staged = e.select(
+        "vec_id", "label", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    a, b = staged.alias("a"), staged.alias("b")
+    cos = F.round(
+        dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.30)
+    )
+
+
+# =====================================================================
+# §2.10 — streaming tumbling-window aggregation (event time)
+# =====================================================================
+
+@query(
+    "stream_window_counts",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_counts(spark, sf):
+    """Structured Streaming tumbling event-time windows (SURVEY §2.10):
+    readStream over the events parquet -> 1h windows + watermark ->
+    memory sink (complete mode), read back as a DataFrame.  The
+    streaming twin of xbar bucketing."""
+    from .streaming.ingest import read_file_stream, with_event_time
+
+    batch = _t(spark, sf, "events")
+    stream = read_file_stream(
+        spark, sf, batch.schema, pathGlobFilter="events.parquet"
+    )
+    windowed = (
+        with_event_time(stream, "ts")
+        .withWatermark("__event_time", "1 hour")
+        .groupBy(F.window("__event_time", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = "kerf_stream_window_counts"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(qname).select(
+        F.unix_micros(F.col("win.start")).alias("hour_us"), "event_type", "n"
+    )

@@ -1,0 +1,85 @@
+"""Query-registry integrity + smoke runs of the newest §2 surfaces.
+
+Full value-level validation lives in tests/oracle_check.py (the
+driver's semantics); here we pin the registry contract and a few
+inline goldens at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kerf_spark.queries import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# ops with no portable SQL oracle — the driver records rows-only checks
+EXPECTED_WEAK = {
+    "minhash_dedup_pairs",
+    "simhash_near_pairs",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "multimodal_features",
+}
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_weak_set_is_exactly_the_unoracled():
+    assert set(QUERIES) - set(ORACLES) == EXPECTED_WEAK
+
+
+def test_registry_covers_survey_families():
+    # one representative per SURVEY §2 family must be registered
+    for probe in [
+        "q1_pricing_summary",      # scan+filter+group-agg
+        "asof_join_latest_order",  # custom temporal join
+        "interval_join_bursts",    # range join
+        "running_sum_unfold",      # adverbs/windows
+        "xbar_5min_bars",          # temporal bucketing
+        "rollup_agg",              # grouping sets
+        "index_gather",            # point indexing
+        "take_cyclic",             # affine take
+        "mapinpandas_scale",       # UDF surface
+        "csv_roundtrip",           # sources
+        "workspace_roundtrip",     # workspace/catalog
+        "kerfsql_select_by",       # kerf-SQL front-end
+        "exact_dedup_docs",        # LLM-pipeline dedup
+        "cosine_topk_exact",       # similarity search
+        "stream_window_counts",    # structured streaming
+    ]:
+        assert probe in QUERIES, probe
+
+
+@pytest.mark.parametrize(
+    "name", ["take_cyclic", "find_first", "fold_generic", "map_funcs"]
+)
+def test_new_point_ops_smoke(spark, name):
+    df = QUERIES[name](spark, SF)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == QUERIES[name](spark, SF).columns
+
+
+def test_take_cyclic_wraps(spark):
+    rows = {
+        r["pos"]: r["r_name"]
+        for r in QUERIES["take_cyclic"](spark, SF).collect()
+    }
+    assert len(rows) == 12
+    assert rows[0] == rows[5] == rows[10]  # 5 regions -> period 5
+
+
+def test_applyinpandas_zscore_grouped_mean_zero(spark):
+    df = QUERIES["applyinpandas_zscore"](spark, SF)
+    from pyspark.sql import functions as F
+
+    stats = (
+        df.groupBy("user_id")
+        .agg(F.avg("z").alias("mu"), F.count("z").alias("n"))
+        .where(F.col("n") > 1)
+        .collect()
+    )
+    assert stats and all(abs(r["mu"]) < 1e-3 for r in stats)
