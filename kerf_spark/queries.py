@@ -1929,3 +1929,87 @@ def stream_window_counts(spark, sf):
     return spark.table(qname).select(
         F.unix_micros(F.col("win.start")).alias("hour_us"), "event_type", "n"
     )
+
+
+# =====================================================================
+# sessionization (gap-based session windows) + regex string surface
+# =====================================================================
+
+@query(
+    "session_windows",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0
+             END AS new_s
+      FROM t
+    ), sess AS (
+      SELECT user_id, event_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n,
+           min(ts_us) AS start_us, max(ts_us) AS end_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def session_windows(spark, sf):
+    """Gap-based sessionization (30-min inactivity gap): the batch twin
+    of F.session_window, built from lag + running sum so the whole thing
+    is two window passes over one (user_id) shuffle — no state store,
+    no UDF.  Session analysis is a first-class op for both tick data
+    (trading sessions) and training-data pipelines (user activity)."""
+    e = _t(spark, sf, "events")
+    us = TM.ns_to_us("ts").alias("ts_us")
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    marked = e.select("user_id", "event_id", us).withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(wo).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wo) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_s").over(ws))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+@query(
+    "regex_format_funcs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1)        AS first_word,
+           CAST(len(string_split(text, ' ')) AS INT)     AS n_tokens,
+           printf('%s#%05d', lang, doc_id)               AS tag,
+           CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS has_digit
+    FROM documents
+    """,
+)
+def regex_format_funcs(spark, sf):
+    """regex extract/match, split, printf-style format (kerf1 string
+    verbs, SURVEY §2.8)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.format_string("%s#%05d", "lang", "doc_id").alias("tag"),
+        F.when(F.col("text").rlike("[0-9]"), 1).otherwise(0).alias("has_digit"),
+    )
