@@ -2013,3 +2013,45 @@ def regex_format_funcs(spark, sf):
         F.format_string("%s#%05d", "lang", "doc_id").alias("tag"),
         F.when(F.col("text").rlike("[0-9]"), 1).otherwise(0).alias("has_digit"),
     )
+
+
+# =====================================================================
+# folio layout: date-partitioned workspace table + partition pruning
+# =====================================================================
+
+@query(
+    "folio_partition_prune",
+    """
+    SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def folio_partition_prune(spark, sf):
+    """FOLIO == Hive-partitioned Parquet (presented.h:393-433,
+    SURVEY §1.1 #9): persist events partitioned by date through the
+    Workspace, then aggregate a 3-day slice.  The date filter prunes at
+    the directory level — the scan never opens out-of-range partitions
+    (the folio per-part pruning discipline)."""
+    import tempfile
+
+    from .sources.catalog import Workspace
+
+    e = _t(spark, sf, "events").withColumn(
+        "date", TM.ns_to_date("ts")
+    )
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_folio_"))
+    ws.save("events_by_date", e, partition_by=["date"], sort_by=["ts"])
+    back = ws.load("events_by_date")
+    return (
+        back.where(
+            F.col("date").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+        )
+        .groupBy(F.col("date").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )

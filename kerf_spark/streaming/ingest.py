@@ -109,6 +109,61 @@ def write_partitioned(
     return w.start()
 
 
+def running_stats(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.10 / brief:
+    ``applyInPandasWithState`` for operators Spark's windowed aggs can't
+    express): per-key running count/sum/min/max maintained in the state
+    store across micro-batches, emitted once per batch per updated key.
+
+    This is the streaming twin of kerf's running ``unfold`` folds — the
+    accumulator lives in versioned state (RocksDB/HDFS-backed on a real
+    cluster), so a feed can run forever with O(keys) state, and a
+    restart resumes from the checkpoint.  Per batch the work is one
+    shuffle on ``keys``, then an Arrow-batched pandas kernel per group.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(keys)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    out_schema = f"{key_fields}, n long, total double, lo double, hi double"
+    state_schema = "n long, total double, lo double, hi double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, lo, hi = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            v = pdf[value_col].dropna()
+            if len(v) == 0:
+                continue
+            n += int(v.count())
+            total += float(v.sum())
+            bl, bh = float(v.min()), float(v.max())
+            lo = bl if lo is None else min(lo, bl)
+            hi = bh if hi is None else max(hi, bh)
+        state.update((n, total, lo, hi))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            [tuple(key) + (n, total, lo, hi)],
+            columns=keys + ["n", "total", "lo", "hi"],
+        )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_batches(query: StreamingQuery, n_seconds: float) -> None:
     """Test helper: let a stream run briefly, then stop it cleanly."""
     import time

@@ -1,0 +1,150 @@
+"""Plan-shape guards + property tests.
+
+Plan tests pin the *scale* properties the engine is designed around:
+filters reach the parquet scan, projections prune the read schema, dims
+broadcast, top-k never globally sorts, the as-of join shuffles exactly
+once.  These are the properties that decide 100 TB behavior; value
+correctness is covered by the oracle harness.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kerf_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------ plan shape
+def test_q1_scan_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: untouched wide columns never reach the scan
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_q3_broadcasts_dimension_side(spark):
+    plan = plan_of(QUERIES["q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_top_k_uses_take_ordered(spark):
+    plan = plan_of(QUERIES["top_k_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
+
+
+def test_asof_join_shuffles_exactly_once(spark):
+    from kerf_spark.operators.asof import asof_join
+
+    t = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0)], "sym string, ts_ns long, price double"
+    )
+    q = spark.createDataFrame(
+        [("a", 5, 0.9), ("a", 15, 1.9)], "sym string, ts_ns long, bid double"
+    )
+    plan = plan_of(asof_join(t, q, on="ts_ns", by="sym"), "simple")
+    # one hash-partitioning exchange for the window; unions are shuffle-free
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_folio_scan_prunes_partitions(spark):
+    df = QUERIES["folio_partition_prune"](spark, SF)
+    plan = plan_of(df)
+    # the date filter must be a partition filter on the scan, not a row filter
+    assert "PartitionFilters" in plan
+    assert "date#" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_aggregates_are_partial_then_final(spark):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_dedup_candidates_never_cross_join(spark):
+    plan = plan_of(QUERIES["minhash_dedup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ properties
+finite_floats = st.floats(allow_nan=False, allow_infinity=False, width=64)
+any_floats = st.one_of(st.none(), st.just(float("nan")), finite_floats)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(any_floats, min_size=1, max_size=12))
+def test_kerf_eq_reflexive_incl_nan_null(spark, xs):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.functions.semantics import kerf_eq
+
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    out = df.select(kerf_eq("v", "v").alias("eq")).collect()
+    assert all(r["eq"] is True for r in out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(any_floats, min_size=1, max_size=12))
+def test_nan_to_null_idempotent_and_total(spark, xs):
+    import math
+
+    from kerf_spark.functions.semantics import nan_to_null
+
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    one = df.select(nan_to_null("v").alias("v"))
+    two = one.select(nan_to_null("v").alias("v"))
+    a = [r["v"] for r in one.collect()]
+    b = [r["v"] for r in two.collect()]
+    assert a == b
+    assert not any(x is not None and math.isnan(x) for x in a)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=12
+    ),
+    st.sampled_from([1_000, 60_000_000_000, 300_000_000_000]),
+)
+def test_xbar_floor_bounds(spark, ns_vals, width):
+    from kerf_spark.functions.temporal import xbar
+
+    df = spark.createDataFrame([(v,) for v in ns_vals], "ts_ns long")
+    rows = df.select("ts_ns", xbar("ts_ns", width).alias("b")).collect()
+    for r in rows:
+        assert r["b"] <= r["ts_ns"] < r["b"] + width
+        assert r["b"] % width == 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.sampled_from(["tinyint", "smallint", "int", "bigint", "float", "double"]),
+    st.sampled_from(["tinyint", "smallint", "int", "bigint", "float", "double"]),
+)
+def test_type_promotion_lattice(a, b):
+    from kerf_spark.sources.catalog import _NUM_WIDTH, _promote
+
+    p = _promote(a, b)
+    assert p == _promote(b, a)                  # commutative
+    assert _promote(p, p) == p                  # idempotent
+    assert _NUM_WIDTH[p] >= max(                # never narrows
+        _NUM_WIDTH[a] % 10, _NUM_WIDTH[b] % 10
+    ) or p == "double"
+    if (a in ("float", "double")) != (b in ("float", "double")):
+        assert p == "double"                    # int x float -> double

@@ -152,3 +152,48 @@ def test_multimodal_stub_plumbing(spark, tables):
         assert r.meta.n_bytes > 0
         assert 16 <= r.meta.width < 256
         assert r.meta.format in ("png", "jpeg", "webp")
+
+
+def test_streaming_stateful_running_stats(spark, tables, tmp_path):
+    """applyInPandasWithState: state accumulates across two micro-batches
+    and the final emission equals the batch aggregate over all data."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.streaming.ingest import running_stats
+
+    ev = tables["events"].select("user_id", "value").limit(300)
+    src = str(tmp_path / "state_src")
+    ck = str(tmp_path / "state_ck")
+    # two files -> the availableNow run still processes them as one or
+    # more batches; state must survive batch boundaries either way
+    ev.limit(150).write.parquet(src)
+    ev.subtract(ev.limit(150)).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    stats = running_stats(stream, ["user_id"], "value")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per key == full-batch aggregate
+    got = spark.sql(
+        """SELECT user_id, n, total FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY n DESC) AS rn FROM state_test) WHERE rn=1"""
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("value").alias("n"), F.sum("value").alias("total")
+    )
+    diff = got.join(want, "user_id").where(
+        (got.n != want.n) | (F.abs(got.total - want.total) > 1e-6)
+    )
+    assert want.count() > 0
+    assert diff.count() == 0
