@@ -152,9 +152,12 @@ def add_months_ns(ns: Column | str, months: int | Column) -> Column:
     Calendar arithmetic happens at µs precision (Spark's add_months),
     sub-µs digits are carried through unchanged.
     """
+    m = F.lit(months) if isinstance(months, int) else months
     sub_us = _c(ns) % F.lit(1000)
-    shifted = F.add_months(ns_to_ts(ns), months)
-    return (ts_to_ns(shifted.cast("timestamp_ntz")) + sub_us).cast("long")
+    # timestamp + year-month interval keeps time-of-day (F.add_months
+    # follows date semantics and would truncate it)
+    shifted = ns_to_ts(ns) + F.make_interval(F.lit(0), m)
+    return (ts_to_ns(shifted) + sub_us).cast("long")
 
 
 def now_ns() -> Column:

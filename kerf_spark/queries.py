@@ -2055,3 +2055,81 @@ def folio_partition_prune(spark, sf):
             F.round(F.sum("value"), 4).alias("total"),
         )
     )
+
+
+# =====================================================================
+# span arithmetic, bigint/decimal, limit/offset
+# =====================================================================
+
+@query(
+    "span_arithmetic",
+    """
+    SELECT event_id,
+           epoch_us(ts + INTERVAL 90 MINUTE)  AS plus_90m_us,
+           epoch_us(ts - INTERVAL 12 SECOND)  AS minus_12s_us,
+           epoch_us(ts + INTERVAL 3 MONTH)    AS plus_3mo_us,
+           CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')
+                AS BIGINT)                    AS since_jan1_us
+    FROM events
+    """,
+)
+def span_arithmetic(spark, sf):
+    """stamp+span arithmetic per granularity (verbs.cc:145-187): fixed
+    spans are ns-long adds; month spans are calendar adds that preserve
+    sub-µs digits (add_months_ns)."""
+    e = _t(spark, sf, "events")
+    jan1_ns = 1704067200 * TM.span_ns(1, "s")
+    return e.select(
+        "event_id",
+        TM.ns_to_us(TM.add_span("ts", TM.span_ns(90, "m"))).alias("plus_90m_us"),
+        TM.ns_to_us(TM.add_span("ts", -TM.span_ns(12, "s"))).alias("minus_12s_us"),
+        TM.ns_to_us(TM.add_months_ns("ts", 3)).alias("plus_3mo_us"),
+        ((TM.ns_to_us("ts")) - F.lit(jan1_ns // 1000)).alias("since_jan1_us"),
+    )
+
+
+@query(
+    "bigint_decimal",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS DECIMAL(38,0)) * 1000000000000000000
+             + CAST(o_custkey AS DECIMAL(38,0))       AS big_id,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100, 0) AS DECIMAL(38,0))     AS cents
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def bigint_decimal(spark, sf):
+    """BIGINT_UNIT (enums.h:230) — arbitrary-precision ints as
+    DecimalType(38,0): arithmetic beyond int64 range without overflow."""
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        (
+            F.col("o_orderkey").cast("decimal(38,0)")
+            * F.lit(1_000_000_000_000_000_000).cast("decimal(38,0)")
+            + F.col("o_custkey").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("big_id"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+
+
+@query(
+    "limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 40
+    """,
+)
+def limit_offset(spark, sf):
+    """sublist / pagination: ordered limit+offset (kerf take/drop on a
+    sorted table)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
