@@ -54,7 +54,8 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        times[name] = run(name)
+        run(name)  # per-query warmup: codegen compile + file listing
+        times[name] = run(name)  # steady-state measurement
 
     total = round(sum(times.values()), 4)
     print(
