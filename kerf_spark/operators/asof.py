@@ -126,6 +126,103 @@ def asof_join(
     return out
 
 
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | str,
+    right_cols: Sequence[str] | None = None,
+    tolerance_ns: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Same semantics as :func:`asof_join`, alternate physical strategy:
+    co-grouped ``applyInPandas`` running ``pandas.merge_asof`` per key
+    group.
+
+    When to prefer which (both cost one shuffle of each side on ``by``):
+
+    * ``asof_join`` (window forward-fill) stays fully JVM-side — best
+      when right carries few columns and groups can be huge (the sort
+      spills; no group must fit in memory).
+    * ``asof_join_merge`` does a linear two-pointer merge per group in
+      Arrow batches — best when right is *wide* (forward-fill pays one
+      ``last() over window`` per carried column; the merge pays O(1))
+      and per-key data fits an executor's Arrow batch comfortably.
+
+    Requires at least one ``by`` key (the window variant also supports
+    global as-of).
+    """
+    import pandas as pd
+
+    by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        raise ValueError("asof_join_merge requires at least one `by` key")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    rtypes = dict(right.dtypes)
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"`{out_names[c]}` {rtypes[c]}" for c in right_cols]
+    )
+    lcols = list(left.columns)
+    # pandas nullable dtypes keep int/bool columns intact when unmatched
+    # left rows introduce missing values (plain int64 would float-ify)
+    _NULLABLE = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "bigint": "Int64", "boolean": "boolean",
+    }
+
+    # unique right-side names BEFORE cogroup: when left and right share
+    # lineage (e.g. both filtered from one frame), duplicate attribute
+    # ids make Catalyst mis-prune the right child's columns
+    rpre = right.toDF(*[f"__r_{c}" for c in right.columns])
+    r_on, r_keys = f"__r_{on}", [f"__r_{c}" for c in by]
+    r_carry = [f"__r_{c}" for c in right_cols]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = lcols + [out_names[c] for c in right_cols]
+
+        def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+            for c in right_cols:
+                want = _NULLABLE.get(rtypes[c])
+                if want:
+                    df[out_names[c]] = df[out_names[c]].astype(want)
+            return df
+
+        if len(lpdf) == 0:
+            # key exists only on the right: no left rows to emit
+            return pd.DataFrame(columns=out_cols)
+        if len(rpdf) == 0:
+            # key exists only on the left: null-fill carried columns
+            # (an empty cogroup side arrives without its column index)
+            merged = lpdf.copy()
+            for c in right_cols:
+                merged[out_names[c]] = None
+            return fix_types(merged)[out_cols]
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        rsel = rpdf[[r_on, *r_carry]].sort_values(
+            [r_on, *r_carry], kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rsel.rename(
+                columns={r_on: on, **{f"__r_{c}": out_names[c] for c in right_cols}}
+            ),
+            on=on,
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=tolerance_ns,
+        )
+        return fix_types(merged)[out_cols]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(rpre.groupBy(*r_keys))
+        .applyInPandas(lambda ldf, rdf: merge(ldf, rdf), schema=out_schema)
+    )
+
+
 def window_join(
     left: DataFrame,
     right: DataFrame,

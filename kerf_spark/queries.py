@@ -2309,3 +2309,43 @@ def q19(spark, sf):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
         .alias("revenue")
     )
+
+
+@query(
+    "asof_merge_latest_order",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts_us, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_merge_latest_order(spark, sf):
+    """Same as-of semantics through the alternate physical strategy:
+    cogrouped applyInPandas merge (pandas.merge_asof per key group) —
+    the wide-right-side scale path.  Same oracle as the window variant;
+    the driver proves the two strategies agree."""
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    res = AS.asof_join_merge(
+        e, o, on="ts", by="user_id", right_cols=["o_orderkey", "o_totalprice"]
+    )
+    return res.where(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        TM.ns_to_us("ts").alias("ts_us"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )

@@ -237,3 +237,70 @@ def test_asof_fixture_scale(spark, tables):
     res = AS.asof_join(e, o, on="ts", by="user_id", tiebreak="o_orderkey")
     assert res.count() == e.count()
     assert res.where(F.col("o_orderkey").isNull()).count() == 0
+
+
+# ----------------------------------------------------- asof merge variant
+def test_asof_merge_equals_window_variant(spark, tables):
+    """Both physical strategies must agree row-for-row on fixture data."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.asof import asof_join, asof_join_merge
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "value")
+    left = ev.where(F.col("event_id") % 3 == 0)
+    right = ev.where(F.col("event_id") % 3 != 0).select(
+        "user_id", "ts", F.col("value").alias("rv")
+    )
+    a = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["rv"]
+    ).select("event_id", "ts", "rv")
+    b = asof_join_merge(
+        left, right, on="ts", by="user_id", right_cols=["rv"]
+    ).select("event_id", "ts", "rv")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    assert a.count() == left.count()
+
+
+def test_asof_property_vs_pandas_oracle(spark):
+    """Randomized check against pandas.merge_asof as brute-force oracle."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    syms = ["a", "b", "c"]
+    lrows = [
+        (rng.choice(syms), rng.randrange(0, 1000), i)
+        for i in range(120)
+    ]
+    rrows = [
+        (rng.choice(syms), rng.randrange(0, 1000), float(i))
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(lrows, "sym string, ts_ns long, lid long")
+    right = spark.createDataFrame(rrows, "sym string, ts_ns long, px double")
+
+    from kerf_spark.operators.asof import asof_join
+
+    got = (
+        asof_join(left, right, on="ts_ns", by="sym", right_cols=["px"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    lp = pd.DataFrame(lrows, columns=["sym", "ts_ns", "lid"]).sort_values(
+        ["ts_ns", "lid"], kind="mergesort"
+    )
+    rp = (
+        pd.DataFrame(rrows, columns=["sym", "ts_ns", "px"])
+        .sort_values(["ts_ns", "px"], kind="mergesort")
+    )
+    want = pd.merge_asof(
+        lp, rp, on="ts_ns", by="sym", direction="backward"
+    ).sort_values("lid")
+    got_px = got["px"].tolist()
+    want_px = want["px"].tolist()
+    assert len(got_px) == len(want_px)
+    for g, w in zip(got_px, want_px):
+        assert (g is None and pd.isna(w)) or (
+            g is not None and not pd.isna(w) and abs(g - w) < 1e-12
+        ), (g, w)
