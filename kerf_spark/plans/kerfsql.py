@@ -119,6 +119,24 @@ def translate(q: str) -> str:
         keep = f"* EXCEPT ({', '.join(sorted(changed))})"
         return f"SELECT {keep}, {', '.join(cols)} FROM {table}"
 
+    if head == "insert":
+        # insert into t values (...), (...)  |  insert into t select ...
+        m = re.match(
+            r"(?is)^insert\s+into\s+(\w+)\s+(values\s+.*|select\s+.*)$", q
+        )
+        if not m:
+            raise ValueError(f"cannot parse kerf-SQL insert: {q!r}")
+        table, body = m.group(1), m.group(2).strip()
+        if body.lower().startswith("values"):
+            return f"SELECT * FROM {table} UNION ALL SELECT * FROM ({body})"
+        return f"SELECT * FROM {table} UNION ALL ({body})"
+
+    if head == "upsert":
+        raise ValueError(
+            "kerf-SQL upsert needs the table schema — execute through "
+            "kerf_sql(spark, ...), not translate()"
+        )
+
     if head == "delete":
         m = re.match(r"(?is)^delete\s+from\s+(\w+)(?:\s+where\s+(.*))?$", q)
         if not m:
@@ -132,5 +150,29 @@ def translate(q: str) -> str:
 
 
 def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
-    """Execute a kerf-SQL string against registered temp views."""
+    """Execute a kerf-SQL string against registered temp views.
+
+    ``upsert into t on keys values (...)`` (lexer.h:103 declares the
+    keyword) resolves here rather than in :func:`translate` because the
+    merge needs the target's column names from the catalog: new rows win
+    per key, old rows survive only when their key is untouched — the
+    kerf keyed-table upsert contract.
+    """
+    head = q.strip().split(None, 1)[0].lower()
+    if head == "upsert":
+        m = re.match(
+            r"(?is)^\s*upsert\s+into\s+(\w+)\s+on\s+([\w\s,]+?)\s+(values\s+.*?)\s*;?\s*$",
+            q,
+        )
+        if not m:
+            raise ValueError(f"cannot parse kerf-SQL upsert: {q!r}")
+        table, keys, body = m.group(1), m.group(2), m.group(3).strip()
+        keys = [k.strip() for k in keys.split(",")]
+        cols = spark.table(table).columns
+        new_rows = spark.sql(
+            f"SELECT * FROM ({body}) AS __kf_new({', '.join(cols)})"
+        )
+        from ..operators.relational import upsert as upsert_rows
+
+        return upsert_rows(spark.table(table), new_rows, keys)
     return spark.sql(translate(q))

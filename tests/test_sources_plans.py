@@ -197,3 +197,49 @@ def test_streaming_stateful_running_stats(spark, tables, tmp_path):
     )
     assert want.count() > 0
     assert diff.count() == 0
+
+
+# ------------------------------------------------------------- kerfsql DML
+def test_kerfsql_insert_values(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df.createOrReplaceTempView("ins_t")
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    out = kerf_sql(spark, "insert into ins_t values (3, 'c'), (4, 'd')")
+    assert out.count() == 4
+    assert {r.s for r in out.collect()} == {"a", "b", "c", "d"}
+
+
+def test_kerfsql_insert_select(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    df.createOrReplaceTempView("ins_s")
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    out = kerf_sql(
+        spark, "insert into ins_s select id + 10, upper(s) from ins_s"
+    )
+    rows = {(r.id, r.s) for r in out.collect()}
+    assert rows == {(1, "a"), (11, "A")}
+
+
+def test_kerfsql_upsert_keyed(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, s string, v double"
+    )
+    df.createOrReplaceTempView("ups_t")
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    out = kerf_sql(
+        spark, "upsert into ups_t on id values (2, 'B', 99.0), (3, 'c', 30.0)"
+    )
+    rows = {(r.id, r.s, r.v) for r in out.collect()}
+    assert rows == {(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0)}
+
+
+def test_kerfsql_upsert_via_translate_raises(spark):
+    from kerf_spark.plans.kerfsql import translate
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="upsert"):
+        translate("upsert into t on id values (1)")
