@@ -168,8 +168,19 @@ def jaccard_verify(
     Joins shingle-hash arrays onto both pair sides (two broadcast-or-
     shuffle hash joins on ids) and computes |∩|/|∪| with array
     intrinsics.  Returns pairs with ``jaccard >= threshold``.
+
+    Scale note: shingles are computed only for docs that actually appear
+    in a candidate pair (semi-join first) — after LSH banding the
+    candidate set is orders of magnitude smaller than the corpus, so the
+    expensive tokenize/shingle pass must not rerun over everything.
     """
-    sh = _shingle_hash_df(df, text_col, id_col, shingle_n)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(cand_ids, id_col, "left_semi")
+    sh = _shingle_hash_df(needed, text_col, id_col, shingle_n)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -199,6 +210,10 @@ def minhash_dedup(
     """
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     cands = lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    # verify consumes candidates twice (semi-join id set + pair join);
+    # persist the tiny id-pair set so the LSH pipeline runs once — the
+    # same stage boundary you'd checkpoint in a 100 TB run
+    cands = cands.persist()
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
 
 
