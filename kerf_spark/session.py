@@ -83,4 +83,14 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    try:
+        # right-size shuffles for the local core count (AQE coalesces
+        # down, but the 200-partition default still costs task overhead)
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            cpus if cpus and cpus.isdigit() else "32",
+        )
+    except Exception:
+        pass
     return spark
