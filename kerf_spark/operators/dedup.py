@@ -227,6 +227,63 @@ def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id")
     return df.join(losers, id_col, "left_anti")
 
 
+# ------------------------------------------------------------ components
+def dup_clusters(
+    pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster) where
+    cluster is the minimum doc id reachable through dup edges — the
+    correct grouping for "keep one doc per duplicate cluster"
+    (``dedup_survivors`` is the cheap per-edge approximation).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-node minimum; converges in O(graph diameter)
+    rounds (real dup clusters are shallow — pairwise-similar docs link
+    almost directly).  Each round is one shuffle join + one groupBy on
+    the *candidate-pair* node set, which is tiny relative to the corpus;
+    labels persist per round and unpersist after the next materializes.
+    The convergence check is an aggregate (no driver-side data).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("cluster", F.col(id_col))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # labels seen from neighbors, then min with own label
+        via_edges = (
+            edges.join(labels, edges.dst == F.col(id_col))
+            .select(F.col("src").alias(id_col), "cluster")
+        )
+        new_labels = (
+            labels.unionByName(via_edges)
+            .groupBy(id_col)
+            .agg(F.min("cluster").alias("cluster"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "old"), id_col)
+            .where(F.col("cluster") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # ------------------------------------------------------------------ simhash
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

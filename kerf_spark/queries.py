@@ -2349,3 +2349,44 @@ def asof_merge_latest_order(spark, sf):
         F.col("o_orderkey").alias("orderkey"),
         F.round("o_totalprice", 2).alias("totalprice"),
     )
+
+
+@query(
+    "dup_clusters_docs",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, substr(t, 1, 32) AS pfx, string_split_regex(t, '\\s+') AS ws
+      FROM norm
+    ), sh AS (
+      SELECT doc_id, pfx,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    """,
+)
+def dup_clusters_docs(spark, sf):
+    """Connected components over deterministic n-gram-Jaccard dup pairs:
+    (doc_id, cluster=min reachable id).  The iterative Spark label
+    propagation must agree with the oracle's recursive-CTE closure."""
+    d = _t(spark, sf, "documents")
+    pairs = DD.prefix_jaccard_pairs(d, prefix_len=32, shingle_n=3, threshold=0.5)
+    return DD.dup_clusters(pairs.select("id_a", "id_b"))

@@ -304,3 +304,19 @@ def test_asof_property_vs_pandas_oracle(spark):
         assert (g is None and pd.isna(w)) or (
             g is not None and not pd.isna(w) and abs(g - w) < 1e-12
         ), (g, w)
+
+
+def test_dup_clusters_components(spark):
+    from kerf_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (6, 5), (9, 8)], "id_a long, id_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster) for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),   # chain collapses to min id
+        (5, 5), (6, 5),
+        (8, 8), (9, 8),
+    }
