@@ -2390,3 +2390,52 @@ def dup_clusters_docs(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = DD.prefix_jaccard_pairs(d, prefix_len=32, shingle_n=3, threshold=0.5)
     return DD.dup_clusters(pairs.select("id_a", "id_b"))
+
+
+# =====================================================================
+# deterministic sampling / splits (reproducible training-data ops)
+# =====================================================================
+
+@query(
+    "hash_sample_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+    """,
+)
+def hash_sample_docs(spark, sf):
+    """~20% deterministic sample by content hash of doc_id — identical
+    membership on any engine/partitioning/rerun (vs F.rand, which is
+    partition-layout-dependent).  Pure filter: no shuffle."""
+    from .operators.sampling import hash_sample
+
+    d = _t(spark, sf, "documents")
+    return hash_sample(d, "doc_id", 20).select("doc_id", "lang")
+
+
+@query(
+    "train_val_test_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 10 THEN 'val'
+                WHEN bucket < 20 THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n
+    FROM b GROUP BY 1
+    """,
+)
+def train_val_test_split_q(spark, sf):
+    """Stable train/val/test assignment by salted key hash; counts per
+    split.  Key-hash assignment is group-leakage-safe when keyed by the
+    dedup cluster id."""
+    from .operators.sampling import train_val_test_split
+
+    d = _t(spark, sf, "documents")
+    return train_val_test_split(d, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    )

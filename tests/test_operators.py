@@ -320,3 +320,25 @@ def test_dup_clusters_components(spark):
         (5, 5), (6, 5),
         (8, 8), (9, 8),
     }
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from kerf_spark.operators.sampling import hash_sample
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, "k", 30).collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(7), "k", 30).collect())
+    assert a == b and 200 < len(a) < 400
+
+
+def test_split_partitions_are_exhaustive_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.sampling import train_val_test_split
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    s = train_val_test_split(df, "k", val_pct=10, test_pct=10)
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
