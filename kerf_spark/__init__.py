@@ -12,7 +12,18 @@ Layout:
     streaming  — Structured Streaming ingestion (feed-handler surface)
 """
 
-from .session import get_spark, configure
+from .operators.asof import asof_join, asof_join_merge, window_join
+from .plans.kerfsql import kerf_sql
+from .session import configure, get_spark
+from .sources.catalog import Workspace
 
-__all__ = ["get_spark", "configure"]
+__all__ = [
+    "get_spark",
+    "configure",
+    "asof_join",
+    "asof_join_merge",
+    "window_join",
+    "kerf_sql",
+    "Workspace",
+]
 __version__ = "0.1.0"
