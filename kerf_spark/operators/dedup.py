@@ -227,6 +227,90 @@ def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id")
     return df.join(losers, id_col, "left_anti")
 
 
+# ------------------------------------------------------- portable minhash
+def minhash_dedup_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an engine-portable hash family.
+
+    Same pipeline as :func:`minhash_dedup` but the k hash functions are
+    ``int(md5(shingle + '#' + i)[:15 hex], 16)`` (60 uniform bits) over
+    *string* shingles — computable bit-for-bit in any SQL engine, so the
+    whole shingle→minhash→banding→verify pipeline is oracle-checkable
+    (the xxhash64 variant is the faster production default).  Plan
+    shape is identical: staged projections, keyed band self-join, exact
+    Jaccard verify on candidate docs only.
+    """
+    from .text import ngrams
+
+    rows_per_band = num_hashes // bands
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    sh = df.select(
+        F.col(id_col), F.array_distinct(ngrams(text_col, shingle_n)).alias("sh")
+    )
+
+    def perm(i: int):
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 15), 16, 10
+        ).cast("long")
+
+    sig = sh.select(
+        F.col(id_col),
+        F.array(
+            *[F.array_min(F.transform("sh", perm(i))) for i in range(num_hashes)]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                               for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"c.{id_col}").alias("id_b")
+        )
+        .distinct()
+        .persist()
+    )
+    x = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    y = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        9,
+    )
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ components
 def dup_clusters(
     pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25

@@ -2439,3 +2439,50 @@ def train_val_test_split_q(spark, sf):
     return train_val_test_split(d, "doc_id").groupBy("split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "minhash_portable_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM words
+    ), sig AS (
+      SELECT doc_id, shingles,
+             list_transform(generate_series(0, 15), i ->
+               list_min(list_transform(shingles,
+                 s -> ('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+      FROM sig, generate_series(0, 3) t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 9)
+             AS jaccard
+    FROM cand JOIN sh x ON x.doc_id = cand.id_a
+              JOIN sh y ON y.doc_id = cand.id_b
+    WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.shingles, y.shingles))), 9) >= 0.5
+    """,
+)
+def minhash_portable_pairs(spark, sf):
+    """Full MinHash+LSH pipeline (shingle → 16 min-hashes → 4-band LSH →
+    exact-Jaccard verify) with the engine-portable md5 hash family — the
+    one dedup pipeline the oracle can verify end-to-end bit-for-bit."""
+    d = _t(spark, sf, "documents")
+    return DD.minhash_dedup_portable(
+        d, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
