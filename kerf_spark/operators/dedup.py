@@ -408,6 +408,44 @@ def simhash64(
     return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash with the engine-portable md5 hash family (see
+    :func:`minhash_dedup_portable` for the rationale) — same bit-vote
+    construction as :func:`simhash64`, oracle-verifiable bit-for-bit.
+    """
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    staged = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.split(normalize_text(text_col), " "),
+                lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("__wh"),
+    )
+
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(60):
+        vote = F.aggregate(F.col("__wh"), F.lit(0).cast("long"), bit_vote(b))
+        one = F.shiftleft(F.lit(1).cast("long"), b)
+        bits.append(F.when(vote > 0, one).otherwise(F.lit(0).cast("long")))
+    sim = bits[0]
+    for extra in bits[1:]:
+        sim = sim.bitwiseOR(extra)
+    return staged.select(F.col(id_col), sim.alias("simhash"))
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b

@@ -2486,3 +2486,54 @@ def minhash_portable_pairs(spark, sf):
     return DD.minhash_dedup_portable(
         d, num_hashes=16, bands=4, shingle_n=3, threshold=0.5
     )
+
+
+@query(
+    "simhash_portable_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), wh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               string_split(t, ' '),
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS hs
+      FROM norm
+    ), sim AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 59), b ->
+               CASE WHEN list_sum(list_transform(hs,
+                      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN 1::BIGINT << b ELSE 0 END))::BIGINT AS simhash
+      FROM wh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b
+      ON (a.simhash >> 52) = (b.simhash >> 52) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def simhash_portable_pairs(spark, sf):
+    """SimHash near-dup pairs with the portable md5 family (60-bit),
+    blocked on the top 8 signature bits — the SimHash pipeline the
+    oracle verifies bit-for-bit (simhash64/xxhash64 is the fast path)."""
+    d = _t(spark, sf, "documents")
+    sigs = DD.simhash_portable(d)
+    blocked = sigs.withColumn("blk", F.shiftright("simhash", 52))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            DD.hamming64(F.col("a.simhash"), F.col("b.simhash"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+    )
