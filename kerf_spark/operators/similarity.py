@@ -184,6 +184,34 @@ def lsh_topk(
 
 
 # ------------------------------------------------------------ IVF-lite
+def kmeans_centroids(
+    vecs: list[list[float]], n_cells: int, iters: int = 3, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a driver-side sample (pure
+    Python floats — reproducible anywhere, which is what lets the IVF
+    oracle re-derive the identical centroids)."""
+    dim = len(vecs[0])
+    step = max(1, len(vecs) // n_cells)
+    cents = [vecs[(i * step + seed) % len(vecs)] for i in range(n_cells)]
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        cnt = [0] * n_cells
+        for v in vecs:
+            best, bd = 0, float("inf")
+            for ci, c in enumerate(cents):
+                d2 = sum((a - b) ** 2 for a, b in zip(v, c))
+                if d2 < bd:
+                    bd, best = d2, ci
+            for j in range(dim):
+                sums[best][j] += v[j]
+            cnt[best] += 1
+        cents = [
+            [s / c for s in srow] if c else cents[i]
+            for i, (srow, c) in enumerate(zip(sums, cnt))
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,32 +231,12 @@ def ivf_topk(
     At 100 TB the cell assignment is a narrow projection; the probe
     join fans each query out to nprobe cells — shuffle keyed by cell id.
     """
-    import math
-
     sample = corpus.select(vec_col).limit(n_cells * 64).collect()
     vecs = [list(r[0]) for r in sample if r[0] is not None]
     if not vecs:
         raise ValueError("empty corpus")
     dim = len(vecs[0])
-    # seeded deterministic init: spread picks
-    step = max(1, len(vecs) // n_cells)
-    cents = [vecs[(i * step + seed) % len(vecs)] for i in range(n_cells)]
-    for _ in range(iters):  # Lloyd's on the sample (driver-side, tiny)
-        sums = [[0.0] * dim for _ in range(n_cells)]
-        cnt = [0] * n_cells
-        for v in vecs:
-            best, bd = 0, float("inf")
-            for ci, c in enumerate(cents):
-                d2 = sum((a - b) ** 2 for a, b in zip(v, c))
-                if d2 < bd:
-                    bd, best = d2, ci
-            for j in range(dim):
-                sums[best][j] += v[j]
-            cnt[best] += 1
-        cents = [
-            [s / c for s in srow] if c else cents[i]
-            for i, (srow, c) in enumerate(zip(sums, cnt))
-        ]
+    cents = kmeans_centroids(vecs, n_cells, iters, seed)
 
     def cell_expr(vec) -> Column:
         best = F.lit(0)

@@ -2537,3 +2537,156 @@ def simhash_portable_pairs(spark, sf):
         )
         .where(F.col("hamming") <= 6)
     )
+
+
+# =====================================================================
+# portable-oracle LSH ANN: hyperplane literals shared with the oracle
+# =====================================================================
+
+def _lsh_oracle_sql(dim=64, bands=8, planes_per_band=3, k=5, nq=8) -> str:
+    """Build the DuckDB oracle for lsh_ann_topk: the hyperplane literals
+    are the SAME driver-side constants the Spark plan inlines, so band
+    signatures (and therefore candidate sets) match bit-for-bit."""
+    from .operators.similarity import _hyperplane
+
+    def band_select(src: str, idc: str):
+        parts = []
+        for b in range(bands):
+            cases = []
+            for p in range(planes_per_band):
+                plane = _hyperplane(dim, b * planes_per_band + p)
+                arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+                cases.append(
+                    f"(CASE WHEN list_dot_product(emb, {arr}) > 0 "
+                    f"THEN {1 << p} ELSE 0 END)"
+                )
+            parts.append(
+                f"SELECT {idc}, emb, {b} AS b, {' + '.join(cases)} AS sig FROM {src}"
+            )
+        return " UNION ALL ".join(parts)
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb FROM e WHERE vec_id < {nq}
+    ), cband AS ({band_select('e', 'vec_id')}
+    ), qband AS ({band_select('q', 'query_id')}
+    ), cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+      FROM qband qb JOIN cband cb ON qb.b = cb.b AND qb.sig = cb.sig
+      WHERE cb.vec_id <> qb.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qe.emb, ce.emb)
+               / (sqrt(list_dot_product(qe.emb, qe.emb))
+                  * sqrt(list_dot_product(ce.emb, ce.emb))) AS cos
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("lsh_ann_topk_oracle", None)
+def lsh_ann_topk_oracle(spark, sf):
+    """LSH ANN top-k whose oracle re-derives the SAME hyperplane
+    literals the Spark plan inlines — upgrades hyperplane LSH from a
+    rows-only check to a full value match."""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.lsh_topk(em, q, dim=64, k=5, bands=8, planes_per_band=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+ORACLES["lsh_ann_topk_oracle"] = _lsh_oracle_sql()
+
+
+# =====================================================================
+# portable-oracle IVF ANN: centroids re-derived identically
+# =====================================================================
+
+def _ivf_oracle_sql(k=5, n_cells=8, nprobe=4, nq=8, sf_dir="/root/testdata/sf0.01") -> str:
+    """Build the DuckDB oracle for IVF top-k.  The centroids come from
+    the SAME deterministic driver-side k-means (`kmeans_centroids`) over
+    the SAME sample (first n_cells*64 rows in file order) the Spark
+    operator uses, so cell assignment and probe sets agree exactly.
+    Generated against sf0.01 — the scale the driver's correctness gate
+    runs at."""
+    import duckdb
+
+    from .operators.similarity import kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"LIMIT {n_cells * 64}"
+    ).fetchall()
+    con.close()
+    vecs = [list(r[0]) for r in rows if r[0] is not None]
+    cents = kmeans_centroids(vecs, n_cells, iters=3, seed=42)
+    dim = len(cents[0])
+    cents_lit = (
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    )
+    dist = (
+        f"list_transform({cents_lit}, c -> list_sum(list_transform("
+        f"generate_series(1, {dim}), j -> (emb[j] - c[j]) * (emb[j] - c[j]))))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), cd AS (
+      SELECT vec_id, emb, {dist} AS dists FROM e
+    ), cc AS (
+      SELECT vec_id, emb,
+             list_position(dists, list_min(dists)) - 1 AS cell
+      FROM cd
+    ), qp AS (
+      SELECT vec_id AS query_id, emb,
+             list_transform(
+               list_sort(list_transform(generate_series(1, {n_cells}),
+                 ci -> {{'d': dists[ci], 'c': ci - 1}}))[1:{nprobe}],
+               s -> s.c) AS probes
+      FROM cd WHERE vec_id < {nq}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+      FROM qp q JOIN cc c ON list_contains(q.probes, c.cell)
+      WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("ivf_ann_topk_oracle", None)
+def ivf_ann_topk_oracle(spark, sf):
+    """IVF ANN top-k whose oracle re-derives identical centroids —
+    upgrades IVF from a rows-only check to a full value match."""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.ivf_topk(em, q, k=5, n_cells=8, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+try:  # oracle needs duckdb + fixture read at import; degrade to rows-only
+    ORACLES["ivf_ann_topk_oracle"] = _ivf_oracle_sql()
+except Exception:
+    pass
