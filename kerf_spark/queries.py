@@ -1918,6 +1918,9 @@ def stream_window_counts(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     qname = "kerf_stream_window_counts"
+    for active in spark.streams.active:  # rerun-safe: clear a stale run
+        if active.name == qname:
+            active.stop()
     q = (
         windowed.writeStream.format("memory")
         .queryName(qname)
@@ -1925,7 +1928,7 @@ def stream_window_counts(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow always terminates
     return spark.table(qname).select(
         F.unix_micros(F.col("win.start")).alias("hour_us"), "event_type", "n"
     )
