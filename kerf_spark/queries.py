@@ -2693,3 +2693,95 @@ try:  # oracle needs duckdb + fixture read at import; degrade to rows-only
     ORACLES["ivf_ann_topk_oracle"] = _ivf_oracle_sql()
 except Exception:
     pass
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark, sf):
+    """TPC-H Q13 shape: outer join preserved through double aggregation
+    (customers with zero orders count in the c_count=0 bucket)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qlim
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qlim
+    """,
+)
+def q17(spark, sf):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    threshold) decorrelated into an aggregate join."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qlim")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(lim, F.col("pk") == li.l_partkey)
+        .where(F.col("l_quantity") < F.col("qlim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    WITH pos AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+    SELECT right(c_name, 1) AS cseg, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c CROSS JOIN pos
+    WHERE c.c_acctbal > pos.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q22(spark, sf):
+    """TPC-H Q22 shape: global scalar aggregate (broadcast one-row
+    frame) + NOT EXISTS anti-join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_pos)).where(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.expr("right(c_name, 1)").alias("cseg"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cseg")
+    )
