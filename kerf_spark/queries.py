@@ -1353,7 +1353,15 @@ def multimodal_meta(spark, sf):
     )
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           round(CAST(CAST((('0x' || substr(md5(text), 1, 2))::INT / 255.0) * 2 - 1
+                      AS FLOAT) AS DOUBLE), 6) AS f0
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf):
     d = _t(spark, sf, "documents")
     feats = MM.image_features(MM.attach_binary(d), dim=8)

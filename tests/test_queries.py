@@ -13,13 +13,13 @@ from kerf_spark.queries import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-# ops with no portable SQL oracle — the driver records rows-only checks
+# xxhash64 fast paths — no portable SQL oracle, each has an
+# oracle-matched portable sibling (minhash_portable_pairs, etc.)
 EXPECTED_WEAK = {
     "minhash_dedup_pairs",
     "simhash_near_pairs",
     "lsh_ann_topk",
     "ivf_ann_topk",
-    "multimodal_features",
 }
 
 
