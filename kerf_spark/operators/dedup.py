@@ -490,10 +490,33 @@ def prefix_jaccard_pairs(
     string shingles (not hashes) so an ANSI-SQL oracle can reproduce it
     bit-for-bit.
     """
-    sh = df.select(
+    # stage tokens through projection boundaries (same CSE trap as
+    # _shingle_hash_df: an unstaged tokenizer re-evaluates per element)
+    from .text import word_tokens
+
+    n = shingle_n
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    staged = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__t")
+    ).select(
         F.col(id_col),
-        F.substring(normalize_text(text_col), 1, prefix_len).alias("pfx"),
-        F.array_distinct(ngrams(text_col, shingle_n)).alias("sh"),
+        F.substring("__t", 1, prefix_len).alias("pfx"),
+        word_tokens(F.col("__t")).alias("__w"),
+    )
+    k = F.greatest(F.size("__w") - (n - 1), F.lit(1))
+    sh = staged.select(
+        F.col(id_col),
+        "pfx",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
+                ),
+            )
+        ).alias("sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (
