@@ -247,14 +247,29 @@ def minhash_dedup_portable(
     shape is identical: staged projections, keyed band self-join, exact
     Jaccard verify on candidate docs only.
     """
-    from .text import ngrams
+    from .text import normalize_text, word_tokens
 
     rows_per_band = num_hashes // bands
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:
         df = df.repartition(ncores)
-    sh = df.select(
-        F.col(id_col), F.array_distinct(ngrams(text_col, shingle_n)).alias("sh")
+    # staged tokens -> shingles (see _shingle_hash_df: unstaged ngrams()
+    # re-evaluates the tokenizer per shingle)
+    words = df.select(
+        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+    )
+    k = F.greatest(F.size("__w") - (shingle_n - 1), F.lit(1))
+    sh = words.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("__w"), i + j) for j in range(shingle_n)],
+                ),
+            )
+        ).alias("sh"),
     )
 
     def perm(i: int):

@@ -154,7 +154,14 @@ def fingerprint64(text) -> Column:
 
 
 def ngrams(text, n: int = 3) -> Column:
-    """Word n-grams (shingles) of normalized text, as strings."""
+    """Word n-grams (shingles) of normalized text, as strings.
+
+    PERFORMANCE: the tokenizer expression is referenced inside the
+    transform lambda and re-evaluates per shingle (no CSE across lambda
+    scopes) — fine for one-off use on short text, QUADRATIC on a hot
+    path.  For bulk shingling, stage the token array through a select
+    boundary first (see dedup._shingle_hash_df for the pattern).
+    """
     words = word_tokens(normalize_text(text))
     k = F.size(words) - (n - 1)
     return F.when(k <= 0, F.array(F.concat_ws(" ", *[]).cast("string"))).otherwise(
