@@ -27,8 +27,8 @@ def word_tokens(text) -> Column:
     )
 
 
-def token_count(text) -> Column:
-    return F.size(word_tokens(text)).cast("long")
+def token_count(text, tokens: Column | None = None) -> Column:
+    return F.size(tokens if tokens is not None else word_tokens(text)).cast("long")
 
 
 def bpe_ish_token_count(text) -> Column:
@@ -68,16 +68,26 @@ def punct_ratio(text) -> Column:
     )
 
 
-def stopword_count(text, stopwords: list[str] | None = None) -> Column:
-    words = F.transform(word_tokens(text), lambda w: F.lower(w))
+def stopword_count(
+    text, stopwords: list[str] | None = None, tokens: Column | None = None
+) -> Column:
+    """``tokens``, when given, must be an already-lowercased token array
+    staged through a select boundary (avoids re-tokenizing per scorer)."""
+    words = (
+        tokens
+        if tokens is not None
+        else F.transform(word_tokens(text), lambda w: F.lower(w))
+    )
     sw = F.array(*[F.lit(s) for s in (stopwords or _STOPWORDS)])
     return F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("long")
 
 
-def stopword_ratio(text, stopwords: list[str] | None = None) -> Column:
-    n = token_count(text)
+def stopword_ratio(
+    text, stopwords: list[str] | None = None, tokens: Column | None = None
+) -> Column:
+    n = token_count(text, tokens)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        stopword_count(text, stopwords) / n
+        stopword_count(text, stopwords, tokens) / n
     )
 
 
@@ -89,14 +99,14 @@ def mean_word_len(text) -> Column:
     )
 
 
-def quality_score(text) -> Column:
+def quality_score(text, tokens: Column | None = None) -> Column:
     """Composite heuristic in [0,1]: long-enough, word-shaped, not
     punctuation soup, has stopwords (i.e. looks like prose).  The exact
     blend is a convention, not a model — deterministic + cheap."""
     n_chars = char_count(text)
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
-    sw = stopword_ratio(text)
+    sw = stopword_ratio(text, tokens=tokens)
     sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
     return (len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3).cast("double")
 
@@ -111,8 +121,12 @@ _LANG_LEX: dict[str, list[str]] = {
 }
 
 
-def lang_scores(text) -> dict[str, Column]:
-    words = F.transform(word_tokens(text), lambda w: F.lower(w))
+def lang_scores(text, tokens: Column | None = None) -> dict[str, Column]:
+    words = (
+        tokens
+        if tokens is not None
+        else F.transform(word_tokens(text), lambda w: F.lower(w))
+    )
     out = {}
     for lang, lex in _LANG_LEX.items():
         arr = F.array(*[F.lit(w) for w in lex])
@@ -120,11 +134,11 @@ def lang_scores(text) -> dict[str, Column]:
     return out
 
 
-def lang_id(text) -> Column:
+def lang_id(text, tokens: Column | None = None) -> Column:
     """argmax language by lexicon hits; 'und' (undetermined) when no
     lexicon matches.  Ties break by fixed language order (deterministic).
     """
-    scores = lang_scores(text)
+    scores = lang_scores(text, tokens)
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in sorted(_LANG_LEX):  # fixed order => deterministic ties

@@ -1185,11 +1185,18 @@ def token_count_docs(spark, sf):
 )
 def quality_score_docs(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select(
+    # stage lowered tokens once; all scorers read the column slot
+    staged = d.select(
+        "doc_id",
+        "text",
+        F.transform(TX.word_tokens("text"), lambda w: F.lower(w)).alias("__tok"),
+    )
+    tok = F.col("__tok")
+    return staged.select(
         "doc_id",
         F.round(TX.punct_ratio("text"), 9).alias("punct_ratio"),
-        F.round(TX.stopword_ratio("text"), 9).alias("stop_ratio"),
-        F.round(TX.quality_score("text"), 9).alias("quality"),
+        F.round(TX.stopword_ratio("text", tokens=tok), 9).alias("stop_ratio"),
+        F.round(TX.quality_score("text", tokens=tok), 9).alias("quality"),
     )
 
 
@@ -1218,7 +1225,13 @@ def quality_score_docs(spark, sf):
 )
 def lang_id_docs(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+    staged = d.select(
+        "doc_id",
+        F.transform(TX.word_tokens("text"), lambda w: F.lower(w)).alias("__tok"),
+    )
+    return staged.select(
+        "doc_id", TX.lang_id(None, tokens=F.col("__tok")).alias("lang_pred")
+    )
 
 
 @query(
