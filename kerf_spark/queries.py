@@ -2910,3 +2910,104 @@ def q15(spark, sf):
             "s_suppkey", "s_name", F.round("total", 2).alias("total_revenue")
         )
     )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT yr, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type LIKE 'STAND%'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY yr ORDER BY yr
+    """,
+)
+def q8(spark, sf):
+    """TPC-H Q8 shape: 7-table star with conditional share-of-total."""
+    p = _t(spark, sf, "part").where(F.col("p_type").like("STAND%"))
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1k"), F.col("n_regionkey").alias("n1r")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1k"))
+        .join(F.broadcast(r), F.col("n1r") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2k"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(
+            F.year("o_orderdate").alias("yr"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
+    "atlas_json_struct",
+    """
+    SELECT event_type, count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def atlas_json_struct(spark, sf):
+    """ATLAS document-store surface (enums.h:262, jump.h:190-191):
+    parse the JSON props column into a typed struct (from_json), then
+    filter/aggregate over the extracted field — schemaless data queried
+    relationally."""
+    e = _t(spark, sf, "events")
+    parsed = e.withColumn(
+        "doc", F.from_json("props", "struct<k:int>")
+    )
+    return (
+        parsed.where(F.col("doc.k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("doc.k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
