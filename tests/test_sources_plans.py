@@ -243,3 +243,32 @@ def test_kerfsql_upsert_via_translate_raises(spark):
 
     with _pytest.raises(ValueError, match="upsert"):
         translate("upsert into t on id values (1)")
+
+
+def test_workspace_partitioned_append_adds_new_partition(spark, tmp_path):
+    """Folio discipline: appending rows for a NEW date lands as a new
+    partition directory; existing partition files are untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.sources.catalog import Workspace
+
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    day1 = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 11.0)],
+        "date string, id int, v double",
+    ).withColumn("date", F.to_date("date"))
+    ws.save("ticks", day1, partition_by=["date"])
+    part_dir = os.path.join(str(tmp_path / "ws"), "ticks")
+    before = sorted(d for d in os.listdir(part_dir) if d.startswith("date="))
+
+    day2 = spark.createDataFrame(
+        [("2024-01-02", 3, 12.0)], "date string, id int, v double"
+    ).withColumn("date", F.to_date("date"))
+    ws.append("ticks", day2)
+    after = sorted(d for d in os.listdir(part_dir) if d.startswith("date="))
+
+    assert before == ["date=2024-01-01"]
+    assert after == ["date=2024-01-01", "date=2024-01-02"]
+    assert ws.load("ticks").count() == 3
