@@ -148,3 +148,40 @@ def test_type_promotion_lattice(a, b):
     ) or p == "double"
     if (a in ("float", "double")) != (b in ("float", "double")):
         assert p == "double"                    # int x float -> double
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 300)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 300)),
+        min_size=1, max_size=40,
+    ),
+)
+def test_window_join_matches_bruteforce(spark, lrows, rrows):
+    """Bucketed interval join == brute-force python filter on random data."""
+    from kerf_spark.operators.asof import window_join
+
+    lo, hi = -60, 0
+    left = spark.createDataFrame(
+        [(s, t, i) for i, (s, t) in enumerate(lrows)], "sym string, ts long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(s, t, i) for i, (s, t) in enumerate(rrows)], "sym string, ts long, rid int"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in window_join(
+            left, right, on="ts", lo_ns=lo, hi_ns=hi, by="sym", bucket_ns=64
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (ls, lt) in enumerate(lrows)
+        for ri, (rs, rt) in enumerate(rrows)
+        if ls == rs and lt + lo <= rt <= lt + hi
+    }
+    assert got == want

@@ -272,3 +272,18 @@ def test_workspace_partitioned_append_adds_new_partition(spark, tmp_path):
     assert before == ["date=2024-01-01"]
     assert after == ["date=2024-01-01", "date=2024-01-02"]
     assert ws.load("ticks").count() == 3
+
+
+def test_kerfsql_join_passthrough(spark):
+    """The from-clause passes through verbatim — joins work in kerf-SQL."""
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string").createOrReplaceTempView("kj_a")
+    spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], "id long, v double").createOrReplaceTempView("kj_b")
+    out = kerf_sql(
+        spark,
+        "select total: sum(v) by s from kj_a join kj_b on kj_a.id = kj_b.id "
+        "order by s",
+    )
+    rows = [(r.s, r.total) for r in out.collect()]
+    assert rows == [("x", 30.0), ("y", 5.0)]
