@@ -1,0 +1,91 @@
+"""Runnable tour of the kerf_spark engine on the bundled fixtures.
+
+    python examples/tick_pipeline.py [sf_dir]
+
+Covers the workflow a kerf/tick-DB user runs daily: load partitioned
+data, bucket into bars, as-of join, kerf-SQL, then the training-data
+extras (dedup, similarity, sampling).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kerf_spark import Workspace, asof_join, get_spark, kerf_sql  # noqa: E402
+from kerf_spark.functions import temporal as TM  # noqa: E402
+from kerf_spark.operators import dedup as DD  # noqa: E402
+from kerf_spark.operators import sampling as SMP  # noqa: E402
+from kerf_spark.operators import similarity as SIM  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("kerf_spark_example")
+
+    events = spark.read.parquet(f"{sf}/events.parquet")  # ts: epoch-ns long
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    print("== 5-minute bars (xbar) ==")
+    bars = (
+        events.withColumn("bar", TM.xbar("ts", TM.span_ns(5, "m")))
+        .groupBy("bar", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("vol"))
+    )
+    bars.orderBy("bar").show(5)
+
+    print("== as-of join: latest order at-or-before each event ==")
+    right = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_totalprice",
+    )
+    asof_join(
+        events.select("event_id", "user_id", "ts"),
+        right,
+        on="ts",
+        by="user_id",
+        right_cols=["o_totalprice"],
+    ).show(5)
+
+    print("== kerf-SQL (by before from) ==")
+    events.createOrReplaceTempView("events")
+    kerf_sql(
+        spark,
+        "select n: count(*), avg_v: avg(value) by event_type from events "
+        "where value > 0 order by event_type",
+    ).show()
+
+    print("== workspace: save partitioned, reload by name ==")
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_example_ws_"))
+    ws.save(
+        "events_by_date",
+        events.withColumn("date", TM.ns_to_date("ts")),
+        partition_by=["date"],
+        sort_by=["ts"],
+    )
+    print("tables:", ws.tables(), "rows:", ws.load("events_by_date").count())
+
+    print("== near-dup pairs (MinHash + LSH + Jaccard verify) ==")
+    DD.minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.7).show(5)
+
+    print("== cosine top-3 neighbors for 3 query vectors ==")
+    q = emb.where(F.col("vec_id") < 3)
+    SIM.cosine_topk(emb, q, k=3).show(9)
+
+    print("== deterministic 10% sample + split counts ==")
+    print("sample rows:", SMP.hash_sample(docs, "doc_id", 10).count())
+    SMP.train_val_test_split(docs, "doc_id").groupBy("split").count().show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
