@@ -3011,3 +3011,300 @@ def atlas_json_struct(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(unit_cost) AS min_cost
+             FROM cost GROUP BY l_partkey)
+    SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name AS nation,
+           round(c.unit_cost, 6) AS unit_cost
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size < 15 AND p.p_type = 'SMALL'
+    ORDER BY unit_cost, p.p_partkey, s.s_suppkey LIMIT 100
+    """,
+)
+def q2(spark, sf):
+    """TPC-H Q2 shape: correlated min subquery (cheapest supplier per
+    part) decorrelated into an aggregate self-join-back.  No partsupp
+    fixture exists, so unit cost is derived from lineitem; the plan
+    shape — group, global-per-key min, equality join-back, dimension
+    joins — is Q2's.  min() is order-independent, so the float-equality
+    join-back is deterministic across engines (same input rows, same
+    IEEE division).  Scale: both aggregations shuffle on l_partkey and
+    reuse the partitioning; part/supplier/nation dims broadcast."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(
+        (F.col("p_size") < 15) & (F.col("p_type") == "SMALL")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("bk") == cost.l_partkey)
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), p.p_partkey == cost.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == cost.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy("unit_cost", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, yr, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE 'blue%'
+    )
+    GROUP BY nation, yr ORDER BY nation, yr DESC
+    """,
+)
+def q9(spark, sf):
+    """TPC-H Q9 shape: profit by (supplier nation, order year) over a
+    5-table join with a LIKE filter on part name.  Supply cost is
+    proxied as 10% of p_retailprice (no partsupp fixture).  Scale: the
+    selective part filter broadcasts and prunes lineitem first; orders
+    is the only shuffle join; supplier/nation broadcast."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_name").like("blue%"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "yr")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("yr").desc())
+    )
+
+
+@query(
+    "q11_important_values",
+    """
+    WITH val AS (
+      SELECT l.l_partkey, round(sum(l.l_extendedprice * l.l_quantity), 2) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT sum(value) AS total FROM val)
+    SELECT l_partkey, value
+    FROM val CROSS JOIN tot
+    WHERE value > 0.001 * total
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11(spark, sf):
+    """TPC-H Q11 shape: per-key value sum filtered against a fraction
+    of the global total (HAVING vs scalar subquery).  Values are
+    rounded BEFORE the threshold compare on both sides so partial-agg
+    float ordering can't flip row membership.  Scale: one shuffle on
+    l_partkey; the global total is a broadcast one-row frame, not a
+    driver collect."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "value"
+            )
+        )
+    )
+    tot = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value") > 0.001 * F.col("total"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#23'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16(spark, sf):
+    """TPC-H Q16 shape: count-distinct suppliers per part attribute
+    with a NOT IN exclusion subquery (anti-join; s_suppkey is
+    non-null so NOT IN == anti).  Scale: the excluded-supplier set is
+    tiny and broadcast; count(distinct) expands to a two-phase
+    aggregate Catalyst handles with partial dedup."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#23")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = _t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    """
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 50
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20(spark, sf):
+    """TPC-H Q20 shape: nested IN chain — suppliers whose shipped
+    quantity of name-matched parts in a year exceeds a threshold,
+    surfaced as a semi-join.  l_quantity is integral so the summed
+    threshold compare is exact.  Scale: part filter broadcasts into
+    the lineitem scan; the HAVING set is small and semi-joins
+    (broadcast) against supplier."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf, "part").where(F.col("p_name").like("red%"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    qualified = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+)
+def q21(spark, sf):
+    """TPC-H Q21 shape: the sole-blamed-supplier double correlation —
+    EXISTS (another supplier on the order) AND NOT EXISTS (another
+    supplier who also flagged 'R').  Decorrelated the standard way:
+    per-order distinct-supplier count (cd) and distinct-R-supplier
+    count (cdr); since l1 itself is an 'R' row, the pair of correlated
+    predicates is exactly cd >= 2 AND cdr == 1.  The DuckDB oracle
+    runs the literal EXISTS form, checking the rewrite.  Scale: one
+    shuffle on l_orderkey for the per-order counts, reused by the
+    join; no row explosion from the self-joins."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("cd"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("cdr"),
+    )
+    l1 = li.where(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, o.o_orderkey == l1.l_orderkey)
+        .join(per_order, F.col("ok") == l1.l_orderkey)
+        .where((F.col("cd") >= 2) & (F.col("cdr") == 1))
+        .join(F.broadcast(s), s.s_suppkey == l1.l_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
