@@ -3308,3 +3308,66 @@ def q21(spark, sf):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "salted_agg_hotkey",
+    """
+    SELECT event_type, round(sum(value), 6) AS sum_value, count(value) AS n,
+           round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def salted_agg_hotkey(spark, sf):
+    """Salted two-phase aggregation (operators.skew): event_type has
+    only 5 distinct values — at 100 TB each would serialize into one
+    reducer.  Phase 1 groups on (key, salt-of-row), phase 2 recombines;
+    the oracle is the plain single-phase GROUP BY, proving exact
+    equivalence."""
+    from .operators import skew as SK
+
+    e = _t(spark, sf, "events")
+    out = SK.salted_groupby_agg(
+        e,
+        ["event_type"],
+        [
+            ("value", "sum", "sum_value"),
+            ("value", "count", "n"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+            ("value", "avg", "avg_value"),
+        ],
+        buckets=32,
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 6).alias("sum_value"),
+        "n",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "salted_join_hotkey",
+    """
+    WITH dim AS (SELECT event_type, count(*) AS type_n
+                 FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, d.type_n
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    """,
+)
+def salted_join_hotkey(spark, sf):
+    """Salted replicated join (operators.skew): the 5-value event_type
+    key is maximally hot; the dim side replicates once per salt bucket
+    and stays broadcast, the fact side salts deterministically.  Oracle
+    is the plain equi-join — bit-identical output."""
+    from .operators import skew as SK
+
+    e = _t(spark, sf, "events")
+    dim = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    return SK.salted_join(e, dim, ["event_type"], buckets=8).select(
+        "event_id", "event_type", "type_n"
+    )

@@ -342,3 +342,65 @@ def test_split_partitions_are_exhaustive_and_disjoint(spark):
     assert sum(counts.values()) == 500
     assert set(counts) == {"train", "val", "test"}
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_salted_groupby_agg_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.skew import salted_groupby_agg
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 7 % 101).cast("double").alias("v"),
+    )
+    got = {
+        r.k: (r.s, r.n, r.mn, r.mx, round(r.av, 9))
+        for r in salted_groupby_agg(
+            df,
+            ["k"],
+            [("v", "sum", "s"), ("v", "count", "n"), ("v", "min", "mn"),
+             ("v", "max", "mx"), ("v", "avg", "av")],
+            buckets=16,
+        ).collect()
+    }
+    want = {
+        r.k: (r.s, r.n, r.mn, r.mx, round(r.av, 9))
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"),
+             F.avg("v").alias("av"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_inner_and_left_match_plain(spark):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.skew import salted_join
+
+    big = spark.range(1000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("rowid")
+    )
+    # dim missing key 3 -> left join must null-fill exactly once per row
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "tag"])
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.rowid, r.tag)
+            for r in salted_join(big, small, ["k"], how=how, buckets=4).collect()
+        )
+        want = sorted(
+            (r.k, r.rowid, r.tag) for r in big.join(small, ["k"], how).collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_broadcasts_replicated_side(spark):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.skew import salted_join
+
+    big = spark.range(100).select((F.col("id") % 2).alias("k"), "id")
+    small = spark.createDataFrame([(0, "x"), (1, "y")], ["k", "t"])
+    plan = salted_join(big, small, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
