@@ -87,6 +87,45 @@ def windowed_bars(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    tolerance: str = "5 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: for each left row, right rows with the
+    same keys and event time in ``[left_time - tolerance, left_time]``
+    — the streaming twin of ``operators.asof.window_join`` (the
+    trade←recent-quotes enrichment running on live feeds).
+
+    Both sides must carry ``__event_time`` (see :func:`with_event_time`)
+    and get watermarked with ``delay``; together with the closed time
+    bound this lets Spark evict right-side state older than
+    ``delay + tolerance`` — bounded state on infinite feeds, which is
+    the whole trick of stream-stream joins.  Non-key right columns are
+    suffixed ``_r`` to keep the joined schema unambiguous.
+    """
+    keys = list(on)
+    l = left.withWatermark("__event_time", delay)
+    r = right.withWatermark("__event_time", delay)
+    for c in r.columns:
+        if c not in keys:
+            r = r.withColumnRenamed(c, f"{c}_r")
+    cond = None
+    for k in keys:
+        eq = l[k] == r[k]
+        cond = eq if cond is None else (cond & eq)
+    rng = (F.col("__event_time_r") >= F.col("__event_time") - F.expr(
+        f"INTERVAL {tolerance}"
+    )) & (F.col("__event_time_r") <= F.col("__event_time"))
+    out = l.join(r, cond & rng, "inner")
+    # drop the duplicated key columns from the right side
+    for k in keys:
+        out = out.drop(r[k])
+    return out
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -287,3 +287,50 @@ def test_kerfsql_join_passthrough(spark):
     )
     rows = [(r.s, r.total) for r in out.collect()]
     assert rows == [("x", 30.0), ("y", 5.0)]
+
+
+def test_streaming_stream_stream_interval_join(spark, tables, tmp_path):
+    """Stream-stream watermarked interval join equals the static
+    interval join over the same data (availableNow drains both feeds)."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.streaming.ingest import stream_interval_join, with_event_time
+
+    ev = tables["events"].select("event_id", "user_id", "ts", "value").limit(400)
+    lsrc, rsrc = str(tmp_path / "ss_l"), str(tmp_path / "ss_r")
+    # split by parity so the two feeds interleave in event time
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(lsrc)
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(rsrc)
+
+    schema = ev.schema
+    ls = with_event_time(spark.readStream.schema(schema).parquet(lsrc), "ts")
+    rs = with_event_time(spark.readStream.schema(schema).parquet(rsrc), "ts")
+    joined = stream_interval_join(ls, rs, ["user_id"], tolerance="30 minutes")
+    q = (
+        joined.select("user_id", "event_id", "event_id_r")
+        .writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.event_id, r.event_id_r)
+        for r in spark.sql("SELECT * FROM ssjoin_test").collect()
+    )
+
+    lb = with_event_time(spark.read.parquet(lsrc), "ts")
+    rb = with_event_time(spark.read.parquet(rsrc), "ts")
+    for c in ["event_id", "ts", "value", "__event_time"]:
+        rb = rb.withColumnRenamed(c, f"{c}_r")
+    want = sorted(
+        (r.user_id, r.event_id, r.event_id_r)
+        for r in lb.join(
+            rb,
+            (lb.user_id == rb.user_id)
+            & (F.col("__event_time_r") >= F.col("__event_time") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("__event_time_r") <= F.col("__event_time")),
+        ).drop(rb.user_id).collect()
+    )
+    assert got == want and len(got) > 0
