@@ -3040,9 +3040,15 @@ def q2(spark, sf):
     fixture exists, so unit cost is derived from lineitem; the plan
     shape — group, global-per-key min, equality join-back, dimension
     joins — is Q2's.  min() is order-independent, so the float-equality
-    join-back is deterministic across engines (same input rows, same
-    IEEE division).  Scale: both aggregations shuffle on l_partkey and
-    reuse the partitioning; part/supplier/nation dims broadcast."""
+    filter is deterministic across engines (same input rows, same IEEE
+    division).  The per-part global min is a window over the grouped
+    frame rather than a second aggregate + self-join: it reuses the
+    (l_partkey, l_suppkey) hash partitioning (HashPartitioning on a
+    superset key satisfies the window's l_partkey clustering only after
+    an exchange on the subset — but one exchange beats the
+    aggregate-plus-shuffle-join's two).  Dims broadcast."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part").where(
         (F.col("p_size") < 15) & (F.col("p_type") == "SMALL")
@@ -3052,16 +3058,11 @@ def q2(spark, sf):
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
-    best = cost.groupBy(F.col("l_partkey").alias("bk")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    best = cost.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("unit_cost") == F.col("min_cost"))
     return (
-        cost.join(
-            best,
-            (F.col("bk") == cost.l_partkey)
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
-        .join(F.broadcast(p), p.p_partkey == cost.l_partkey)
+        best.join(F.broadcast(p), p.p_partkey == best.l_partkey)
         .join(F.broadcast(s), s.s_suppkey == cost.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .select(
