@@ -173,3 +173,39 @@ def shift(col, n: int, by, order) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     w = ordered_window(by, order)
     return F.lag(c, n).over(w) if n >= 0 else F.lead(c, -n).over(w)
+
+
+def ema(
+    col: Column | str,
+    n: int,
+    by: Sequence[Column | str],
+    order: Sequence[Column | str],
+    decay: float = 0.9,
+) -> Column:
+    """Windowed exponential moving average — the kerf/kdb ``ema`` tick
+    smoother, bounded to the last ``n`` rows so the kernel is a pure
+    window expression (the unbounded recurrence needs a sequential fold;
+    bounding it keeps everything inside whole-stage codegen: no UDF, no
+    Python, and the truncation error is ``decay**n``).
+
+    ``ema_t = Σ_{k<n} decay^k · x_{t-k} / Σ_{k<n} decay^k`` over rows of
+    the ``by``-partitioned ``order``-sorted frame.  One single-pass fold
+    carries ``(dot, decay^k)`` in a struct accumulator, so the window
+    expression appears exactly once in the plan (a re-used HOF operand
+    would re-run the collect_list per reference); the weight sum falls
+    out of the geometric closed form in the finish lambda.
+    """
+    assert 0.0 < decay < 1.0, "decay must be in (0, 1)"
+    c = F.col(col) if isinstance(col, str) else col
+    w = ordered_window(by, order).rowsBetween(-(n - 1), 0)
+    vals = F.reverse(F.collect_list(c).over(w))  # newest first
+    return F.aggregate(
+        vals,
+        F.struct(F.lit(0.0).alias("s"), F.lit(1.0).alias("w")),
+        lambda acc, v: F.struct(
+            (acc["s"] + v * acc["w"]).alias("s"),
+            (acc["w"] * F.lit(decay)).alias("w"),
+        ),
+        # acc.w == decay^len; Σ decay^k = (1 - decay^len) / (1 - decay)
+        lambda acc: acc["s"] * F.lit(1.0 - decay) / (F.lit(1.0) - acc["w"]),
+    )

@@ -3372,3 +3372,35 @@ def salted_join_hotkey(spark, sf):
     return SK.salted_join(e, dim, ["event_type"], buckets=8).select(
         "event_id", "event_type", "type_n"
     )
+
+
+@query(
+    "ema_smoother",
+    """
+    SELECT user_id, event_id,
+           round(
+             list_dot_product(
+               list_reverse(vals),
+               list_transform(generate_series(0, len(vals) - 1),
+                              k -> power(0.9, k))
+             ) * (1 - 0.9) / (1 - power(0.9, len(vals))), 6) AS ema8
+    FROM (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    """,
+)
+def ema_smoother(spark, sf):
+    """Windowed EMA (operators.windows.ema): the kerf/kdb tick smoother
+    as a pure JVM-side window fold — no UDF.  The oracle rebuilds the
+    same bounded dot product from a DuckDB list window."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            W.ema("value", 8, ["user_id"], ["ts", "event_id"], decay=0.9), 6
+        ).alias("ema8"),
+    )

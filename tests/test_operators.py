@@ -404,3 +404,23 @@ def test_salted_join_broadcasts_replicated_side(spark):
     small = spark.createDataFrame([(0, "x"), (1, "y")], ["k", "t"])
     plan = salted_join(big, small, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ema_golden(spark):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)], "g int, t int, v double"
+    )
+    got = {
+        r.t: round(r.e, 9)
+        for r in df.select(
+            "t", W.ema("v", 8, ["g"], ["t"], decay=0.9).alias("e")
+        ).collect()
+    }
+    # hand-computed: Σ decay^k·x_{t-k} / Σ decay^k
+    assert got[1] == 1.0
+    assert got[2] == round((2 + 0.9 * 1) / 1.9, 9)
+    assert got[3] == round((3 + 0.9 * 2 + 0.81 * 1) / 2.71, 9)
