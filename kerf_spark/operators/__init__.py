@@ -1,1 +1,1 @@
-from . import asof, windows, relational, dedup, similarity, text, multimodal, sampling  # noqa: F401
+from . import asof, windows, relational, dedup, similarity, text, multimodal, sampling, skew  # noqa: F401
