@@ -3404,3 +3404,60 @@ def ema_smoother(spark, sf):
             W.ema("value", 8, ["user_id"], ["ts", "event_id"], decay=0.9), 6
         ).alias("ema8"),
     )
+
+
+@query(
+    "pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def pivot_returnflag(spark, sf):
+    """Pivot (FLIPPED_TRANSPOSED surface, enums.h:260): long→wide
+    aggregation with an explicit value list — Catalyst rewrites it to
+    one pass of conditional aggregates (no second shuffle), which is
+    exactly the oracle's CASE form."""
+    li = _t(spark, sf, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .sum("l_quantity")
+    )
+    return wide.select(
+        "l_linestatus",
+        F.round("A", 2).alias("qty_a"),
+        F.round("N", 2).alias("qty_n"),
+        F.round("R", 2).alias("qty_r"),
+    ).orderBy("l_linestatus")
+
+
+@query(
+    "percentile_prices",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def percentile_prices(spark, sf):
+    """Exact continuous percentiles (kerf1 quantile verbs) — both
+    engines use linear interpolation so values match bit-for-bit after
+    rounding.  At 100 TB the same call sites switch to
+    `approx_percentile` (t-digest sketch, map-side combinable, no
+    per-group sort) — exact percentile is the sf0.01 oracle for it."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("l_quantity", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
