@@ -84,6 +84,26 @@ def main() -> None:
     print("sample rows:", SMP.hash_sample(docs, "doc_id", 10).count())
     SMP.train_val_test_split(docs, "doc_id").groupBy("split").count().show()
 
+    print("== EMA smoother (8-row window, decay 0.9) ==")
+    from kerf_spark.operators import windows as W
+
+    events.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(W.ema("value", 8, ["user_id"], ["ts", "event_id"]), 2).alias("ema8"),
+    ).show(5)
+
+    print("== salted two-phase agg over the 5-value hot key ==")
+    from kerf_spark.operators import skew as SK
+
+    SK.salted_groupby_agg(
+        events,
+        ["event_type"],
+        [("value", "sum", "total"), ("value", "count", "n")],
+        buckets=32,
+    ).orderBy("event_type").show()
+
     spark.stop()
 
 
