@@ -3461,3 +3461,33 @@ def percentile_prices(spark, sf):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "union_uneven_schemas",
+    """
+    SELECT event_id, user_id, value, tag
+    FROM (
+      SELECT event_id, user_id, value, NULL AS tag
+      FROM events WHERE event_type = 'click'
+      UNION ALL BY NAME
+      SELECT event_id, user_id, NULL AS value, 'err' AS tag
+      FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def union_uneven_schemas(spark, sf):
+    """Kerf's promoting append (layout.cc:726-934 at table level): union
+    of tables with mismatched columns null-fills the missing side —
+    `unionByName(allowMissingColumns=True)`, the same widening the
+    Workspace applies on append."""
+    e = _t(spark, sf, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+    b = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.lit("err").alias("tag")
+    )
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "event_id", "user_id", "value", "tag"
+    )

@@ -424,3 +424,25 @@ def test_ema_golden(spark):
     assert got[1] == 1.0
     assert got[2] == round((2 + 0.9 * 1) / 1.9, 9)
     assert got[3] == round((3 + 0.9 * 2 + 0.81 * 1) / 2.71, 9)
+
+
+def test_ema_matches_pandas_ewm(spark):
+    """Cross-validate the bounded-window EMA against pandas ewm
+    (adjust=True): identical for series shorter than the window."""
+    import pandas as pd
+
+    vals = [3.0, 1.5, -2.0, 7.25, 0.0, 4.4]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "g int, t int, v double"
+    )
+    from kerf_spark.operators import windows as W
+
+    got = {
+        r.t: r.e
+        for r in df.select(
+            "t", W.ema("v", 32, ["g"], ["t"], decay=0.9).alias("e")
+        ).collect()
+    }
+    want = pd.Series(vals).ewm(alpha=0.1, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - want[i]) < 1e-9, i
