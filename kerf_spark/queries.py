@@ -3491,3 +3491,56 @@ def union_uneven_schemas(spark, sf):
     return a.unionByName(b, allowMissingColumns=True).select(
         "event_id", "user_id", "value", "tag"
     )
+
+
+@query(
+    "stream_stream_join_batch",
+    """
+    SELECT l.user_id, l.event_id AS eid_l, r.event_id AS eid_r
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+    WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
+    """,
+)
+def stream_stream_join_batch(spark, sf):
+    """Stream-stream watermarked interval join (streaming.ingest.
+    stream_interval_join) drained with availableNow: two live feeds
+    (event-id parity split of the same source) joined on user_id within
+    a 30-minute trailing window.  Inner stream-stream joins emit on
+    match, so the full finite-stream result equals the static interval
+    join the oracle runs.  State is evicted past watermark+tolerance —
+    bounded on an infinite feed."""
+    from .streaming.ingest import (
+        read_file_stream,
+        stream_interval_join,
+        with_event_time,
+    )
+
+    batch = _t(spark, sf, "events")
+    mk = lambda parity: with_event_time(  # noqa: E731
+        read_file_stream(
+            spark, sf, batch.schema, pathGlobFilter="events.parquet"
+        ).where(F.col("event_id") % 2 == parity),
+        "ts",
+    ).select("event_id", "user_id", "__event_time")
+    joined = stream_interval_join(
+        mk(0), mk(1), ["user_id"], tolerance="30 minutes"
+    ).select(
+        "user_id",
+        F.col("event_id").alias("eid_l"),
+        F.col("event_id_r").alias("eid_r"),
+    )
+    qname = "kerf_stream_stream_join"
+    for active in spark.streams.active:  # rerun-safe: clear a stale run
+        if active.name == qname:
+            active.stop()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
