@@ -49,9 +49,13 @@ def asof_join(
     tolerance_ns: int | None = None,
     tiebreak: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right.on <= left.on`` within the same ``by`` group.
+    ``right.on <= left.on`` within the same ``by`` group — or, with
+    ``direction="forward"``, the earliest right row with
+    ``right.on >= left.on`` (ties: backward takes the *last* right row
+    at equal ``on``/tiebreak order, forward the *first*).
 
     Parameters
     ----------
@@ -91,24 +95,42 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs).withColumn(_TB, tb)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    fwd = direction == "forward"
+    # forward: left rows sort before equal-ts right rows so the
+    # (currentRow, following) frame still sees them; fill = first match
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(on).asc(),
+        F.col(_L).desc() if fwd else F.col(_L).asc(),
+        F.col(_TB).asc(),
+    )
     w = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col(on).asc(), F.col(_L).asc(), F.col(_TB).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        if fwd
+        else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill = (
+        (lambda c: F.first(c, ignorenulls=True))
+        if fwd
+        else (lambda c: F.last(c, ignorenulls=True))
     )
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col(_L),
-        F.last(F.col(_RT), ignorenulls=True).over(w).alias(_RT),
+        fill(F.col(_RT)).over(w).alias(_RT),
         *[
-            F.last(F.col(out_names[c]), ignorenulls=True).over(w).alias(out_names[c])
+            fill(F.col(out_names[c])).over(w).alias(out_names[c])
             for c in right_cols
         ],
     )
 
     out = filled.where(F.col(_L) == 1)
     if tolerance_ns is not None:
-        stale = F.col(_RT) < (F.col(on).cast("long") - F.lit(tolerance_ns))
+        if fwd:
+            stale = F.col(_RT) > (F.col(on).cast("long") + F.lit(tolerance_ns))
+        else:
+            stale = F.col(_RT) < (F.col(on).cast("long") - F.lit(tolerance_ns))
         out = out.select(
             *[F.col(c) for c in left.columns],
             *[

@@ -3544,3 +3544,50 @@ def stream_stream_join_batch(spark, sf):
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@query(
+    "asof_forward_next_purchase",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             p.event_id AS next_id, round(p.value, 6) AS next_value,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM events e
+      JOIN events p ON p.user_id = e.user_id AND p.ts >= e.ts
+                   AND p.event_type = 'purchase'
+      WHERE e.event_type = 'error'
+    )
+    SELECT event_id, user_id, ts_us, next_id, next_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_forward_next_purchase(spark, sf):
+    """Forward as-of join (asof_join direction='forward'): for each
+    error event, the earliest same-user purchase at-or-after it — the
+    reverse temporal lookup (first fill after an outage, next quote
+    after a trade).  Same one-shuffle union-tag plan as backward, with
+    a following-frame first() instead of a preceding-frame last()."""
+    e = _t(spark, sf, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("next_id"), "value"
+    )
+    res = AS.asof_join(
+        errors,
+        purchases,
+        on="ts",
+        by="user_id",
+        tiebreak="next_id",
+        direction="forward",
+    )
+    return res.where(F.col("next_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        TM.ns_to_us("ts").alias("ts_us"),
+        "next_id",
+        F.round("value", 6).alias("next_value"),
+    )
