@@ -241,6 +241,24 @@ def json_render(col):
     return F.to_json(_c(col))
 
 
+# ----------------------------------------------------------------- weighted aggs
+def wavg(w, x):
+    """Weighted average sum(w*x)/sum(w) — kerf1's `wavg` verb (the
+    classic tick-DB VWAP kernel; [kerf-lang], hook via fold `adverbs.h:33-71`).
+    Aggregate expression: use inside groupBy().agg(). A row with a null
+    weight OR value drops out of BOTH sums (kerf folds elide nulls);
+    the product w*x is null iff either side is, so it gates the
+    denominator too."""
+    w, x = _c(w), _c(x)
+    wx = w * x
+    return F.sum(wx) / F.sum(F.when(wx.isNotNull(), w))
+
+
+def wsum(w, x):
+    """Weighted sum sum(w*x) — kerf1 `wsum`."""
+    return F.sum(_c(w) * _c(x))
+
+
 # ----------------------------------------------------------------- hash / rand
 def hash64(*cols):
     """64-bit xxHash — same family as the reference's fasthash/xxh

@@ -802,6 +802,40 @@ def xbar_5min_bars(spark, sf):
 
 
 @query(
+    "vwap_bars",
+    """
+    SELECT year(l_shipdate) AS yr,
+           month(l_shipdate) AS mo,
+           l_returnflag,
+           round(sum(l_quantity), 2) AS volume,
+           round(sum(l_quantity * l_discount) / sum(l_quantity), 6) AS wavg_discount,
+           round(sum(l_extendedprice) / sum(l_quantity), 6) AS vwap
+    FROM lineitem
+    GROUP BY yr, mo, l_returnflag
+    """,
+)
+def vwap_bars(spark, sf):
+    """Monthly VWAP bars per return flag — kerf1's `wavg` verb (the
+    classic tick-DB VWAP kernel) as a grouped fold.  sum(w*x)/sum(w)
+    stays a two-accumulator hash aggregate: map-side partials combine,
+    one shuffle on the grouping key, no window or second pass."""
+    li = _t(spark, sf, "lineitem")
+    unit_price = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mo"),
+            "l_returnflag",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("volume"),
+            F.round(S.wavg("l_quantity", "l_discount"), 6).alias("wavg_discount"),
+            F.round(S.wavg("l_quantity", unit_price), 6).alias("vwap"),
+        )
+    )
+
+
+@query(
     "asof_join_latest_order",
     """
     WITH ranked AS (

@@ -135,3 +135,13 @@ def test_sqrt_negative_null(spark):
     df = spark.createDataFrame([(-4.0,), (4.0,)], "x double")
     got = [r[0] for r in df.select(S.sqrt("x")).collect()]
     assert got == [None, 2.0]
+
+
+def test_wavg_wsum(spark):
+    # wavg(w, x) = sum(w*x)/sum(w); null x rows drop out of both sums
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (3.0, 20.0), (2.0, None)], "w double, x double"
+    )
+    row = df.agg(S.wavg("w", "x").alias("a"), S.wsum("w", "x").alias("s")).head()
+    assert row["a"] == pytest.approx((1 * 10 + 3 * 20) / 4.0)
+    assert row["s"] == pytest.approx(70.0)
