@@ -168,6 +168,24 @@ def rank_(order, by=None, dense: bool = False, desc: bool = False) -> Column:
     return fn().over(ordered_window(by, cols))
 
 
+def ffill(col, by, order) -> Column:
+    """Kerf/kdb ``fills``: propagate the last non-null value forward in
+    event order — the tick-DB quote-carry verb.  ``last(ignorenulls)``
+    over an unbounded-preceding frame: one shuffle on ``by``, sort
+    within partitions, stays inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = ordered_window(by, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return F.last(c, ignorenulls=True).over(w)
+
+
+def bfill(col, by, order) -> Column:
+    """Backward fill: next non-null value at-or-after each row (the
+    reverse of ``fills``; kerf idiom ``reverse fills reverse``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = ordered_window(by, order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return F.first(c, ignorenulls=True).over(w)
+
+
 def shift(col, n: int, by, order) -> Column:
     """prev/next: n>0 looks back (prev), n<0 looks forward (next)."""
     c = F.col(col) if isinstance(col, str) else col

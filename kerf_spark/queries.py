@@ -766,6 +766,48 @@ def lead_lag_shift(spark, sf):
     )
 
 
+@query(
+    "ffill_quotes",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type IN ('click', 'view') THEN NULL
+                  ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill,
+           round(first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS v_bfill
+    FROM base
+    """,
+)
+def ffill_quotes(spark, sf):
+    """Kerf/kdb ``fills`` — forward/backward non-null propagation, the
+    quote-carry idiom (mask ~40% of values, carry the rest).  Both
+    directions share one window ordering, so the plan is a single
+    shuffle on user_id + one sort; ordering is on the µs value both
+    sides because events.ts carries sub-µs digits the oracle truncates."""
+    e = _t(spark, sf, "events")
+    v = F.when(F.col("event_type").isin("click", "view"), F.lit(None)).otherwise(
+        F.col("value")
+    )
+    base = e.select(
+        "event_id", "user_id", TM.ns_to_us(F.col("ts")).alias("ts_us"), v.alias("v")
+    )
+    order = ["ts_us", "event_id"]
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(W.ffill("v", ["user_id"], order), 6).alias("v_ffill"),
+        F.round(W.bfill("v", ["user_id"], order), 6).alias("v_bfill"),
+    )
+
+
 # =====================================================================
 # §2.4 xbar / §2.3 asof + interval joins (tick-DB surface)
 # =====================================================================

@@ -102,6 +102,19 @@ def test_mapback_seeded(spark):
     assert got == {1: 5.0, 2: 2.0}
 
 
+def test_ffill_bfill(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, 7.0), (5, None)], "seq int, v double"
+    )
+    out = df.select(
+        "seq",
+        W.ffill("v", None, ["seq"]).alias("f"),
+        W.bfill("v", None, ["seq"]).alias("b"),
+    ).collect()
+    assert {r.seq: r.f for r in out} == {1: 10.0, 2: 10.0, 3: 10.0, 4: 7.0, 5: 7.0}
+    assert {r.seq: r.b for r in out} == {1: 10.0, 2: 7.0, 3: 7.0, 4: 7.0, 5: None}
+
+
 def test_grade_permutation(spark):
     df = spark.createDataFrame([(30,), (10,), (20,)], "v int")
     got = {r.v: r.g for r in df.select("v", W.grade(["v"]).alias("g")).collect()}
