@@ -496,6 +496,29 @@ def group_vector_by(spark, sf):
     )
 
 
+@query(
+    "ungroup_vector_by",
+    """
+    WITH g AS (
+      SELECT o_orderstatus AS status, list(o_orderkey) AS ks
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, unnest(ks) AS orderkey FROM g
+    """,
+)
+def ungroup_vector_by(spark, sf):
+    """Kerf ``ungroup`` — the inverse of vector-valued ``by``: flatten
+    per-group value vectors back to rows (explode).  Row multiset must
+    round-trip exactly through group -> ungroup; element order inside
+    the intermediate arrays is irrelevant because the driver compares
+    canonically sorted rows."""
+    o = _t(spark, sf, "orders")
+    g = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.collect_list("o_orderkey").alias("ks")
+    )
+    return g.select("status", F.explode("ks").alias("orderkey"))
+
+
 # =====================================================================
 # §2.3 — joins
 # =====================================================================
