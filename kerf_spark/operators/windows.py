@@ -168,6 +168,17 @@ def rank_(order, by=None, dense: bool = False, desc: bool = False) -> Column:
     return fn().over(ordered_window(by, cols))
 
 
+def differ(col, by, order) -> Column:
+    """Kerf/kdb ``differ``: true where the value changes from the
+    previous row in event order; the first row of each group is true
+    (run-length encoding kernel — ``sum(differ)`` numbers the runs).
+    Null-safe compare so NULL->NULL is *not* a change mid-stream."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = ordered_window(by, order)
+    prev = F.lag(c, 1).over(w)
+    return (F.row_number().over(w) == 1) | ~prev.eqNullSafe(c)
+
+
 def ffill(col, by, order) -> Column:
     """Kerf/kdb ``fills``: propagate the last non-null value forward in
     event order — the tick-DB quote-carry verb.  ``last(ignorenulls)``

@@ -790,6 +790,39 @@ def lead_lag_shift(spark, sf):
 
 
 @query(
+    "differ_runs",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_t
+      FROM events
+    )
+    SELECT user_id,
+           sum(CASE WHEN prev_t IS NULL OR prev_t <> event_type
+                    THEN 1 ELSE 0 END) AS runs,
+           count(*) AS n
+    FROM t GROUP BY user_id
+    """,
+)
+def differ_runs(spark, sf):
+    """Kerf/kdb ``differ`` — change markers in event order; summing the
+    markers counts the event-type runs per user (run-length encoding).
+    lag + groupBy reuse the same user_id hash partitioning: the window
+    shuffle feeds the aggregation without a second exchange."""
+    e = _t(spark, sf, "events")
+    base = e.select(
+        "user_id", "event_id", "event_type", TM.ns_to_us(F.col("ts")).alias("ts_us")
+    )
+    chg = W.differ("event_type", ["user_id"], ["ts_us", "event_id"])
+    return (
+        base.withColumn("chg", chg.cast("int"))
+        .groupBy("user_id")
+        .agg(F.sum("chg").alias("runs"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "ffill_quotes",
     """
     WITH base AS (

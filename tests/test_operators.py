@@ -102,6 +102,16 @@ def test_mapback_seeded(spark):
     assert got == {1: 5.0, 2: 2.0}
 
 
+def test_differ(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None), (5, None), (6, "b")],
+        "seq int, v string",
+    )
+    out = {r.seq: r.d for r in df.select("seq", W.differ("v", None, ["seq"]).alias("d")).collect()}
+    # first row true; a->a false; a->b true; b->NULL true; NULL->NULL false
+    assert out == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True}
+
+
 def test_ffill_bfill(spark):
     df = spark.createDataFrame(
         [(1, 10.0), (2, None), (3, None), (4, 7.0), (5, None)], "seq int, v double"
