@@ -67,16 +67,39 @@ def kerf_eq(a: Column | str, b: Column | str) -> Column:
     return an.eqNullSafe(bn)
 
 
-def truthy(col: Column | str) -> Column:
-    """Kerf truthiness (slop.h:919-933): 0, 0.0, NaN, '', '\\0', NULL
-    are falsy; everything else truthy.  Always returns a non-null bool."""
+def truthy(col: Column | str, dtype: T.DataType | str | None = None) -> Column:
+    """Kerf truthiness (slop.h:919-933): numeric 0/NaN, char '\\0', the
+    empty string, and NULL are falsy; everything else truthy — including
+    the non-empty *string* "0" (only numeric zero is falsy).  Always
+    returns a non-null bool.
+
+    Truthiness is type-directed in the reference, so pass the column's
+    ``dtype`` (a DataType or DDL string); without it numeric semantics
+    are assumed.  Use :func:`truthy_in` to resolve the type from a frame.
+    """
     c = _c(col)
-    return F.coalesce(
-        F.when(F.isnull(c), F.lit(False)).otherwise(
-            c.cast("string").isin("0", "0.0", "", "NaN", "false") == F.lit(False)
-        ),
-        F.lit(False),
-    )
+    if isinstance(dtype, str):
+        dtype = T._parse_datatype_string(dtype)
+    if isinstance(dtype, T.BooleanType):
+        return F.coalesce(c, F.lit(False))
+    if isinstance(dtype, T.StringType):
+        return F.coalesce(
+            (F.length(c) > 0) & (c != F.lit("\0")), F.lit(False)
+        )
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return F.coalesce(F.size(c) > 0, F.lit(False))
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return F.coalesce(
+            F.when(F.isnan(c), F.lit(False)).otherwise(c != F.lit(0.0)),
+            F.lit(False),
+        )
+    # integral / decimal / unknown: numeric zero test
+    return F.coalesce(c != F.lit(0), F.lit(False))
+
+
+def truthy_in(df: DataFrame, name: str) -> Column:
+    """`truthy` with the dtype resolved from ``df``'s schema."""
+    return truthy(name, df.schema[name].dataType)
 
 
 def nullish(col: Column | str) -> Column:

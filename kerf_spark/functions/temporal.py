@@ -108,19 +108,20 @@ def second(ns: Column | str) -> Column:
 
 
 def millisecond(ns: Column | str) -> Column:
-    """Milliseconds within the second (0-999)."""
-    return (_divfloor(_c(ns), MS) % F.lit(1000)).cast("int")
+    """Milliseconds within the second (0-999; pmod keeps pre-epoch
+    stamps in-range)."""
+    return F.pmod(_divfloor(_c(ns), MS), F.lit(1000)).cast("int")
 
 
 def microsecond(ns: Column | str) -> Column:
     """Microseconds within the second (0-999_999)."""
-    return (_divfloor(_c(ns), US) % F.lit(1_000_000)).cast("int")
+    return F.pmod(_divfloor(_c(ns), US), F.lit(1_000_000)).cast("int")
 
 
 def nanosecond(ns: Column | str) -> Column:
     """Nanoseconds within the second (0-999_999_999) — sub-µs digits
     survive here even though Spark timestamps cannot hold them."""
-    return (_c(ns) % F.lit(SECOND)).cast("long")
+    return F.pmod(_c(ns), F.lit(SECOND)).cast("long")
 
 
 # ------------------------------------------------------- bucketing / arith
@@ -132,7 +133,9 @@ def xbar(ns: Column | str, width_ns: int | Column) -> Column:
     the bucket is also the partition column.
     """
     w = F.lit(width_ns) if isinstance(width_ns, int) else width_ns
-    return (_c(ns) - (_c(ns) % w)).cast("long")
+    # pmod, not %: Spark's % takes the dividend's sign, so pre-1970
+    # stamps would round toward zero (bucket start AFTER the stamp).
+    return (_c(ns) - F.pmod(_c(ns), w)).cast("long")
 
 
 def add_span(ns: Column | str, dur_ns: int | Column) -> Column:

@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.temporal import _divfloor
+
 _L = "__kf_is_left"
 _TB = "__kf_tiebreak"
 _RT = "__kf_right_ts"
@@ -285,18 +287,20 @@ def window_join(
     if bucket_ns is None:
         joined = ln.join(rn, [*key_eq, in_range], "inner")
     else:
-        b = F.lit(bucket_ns)
+        # exact integer floor for buckets: double division near a bucket
+        # boundary (epoch-ns > 2^53) can disagree between the left
+        # coverage range and the right bucket, silently dropping matches
         lb = ln.withColumn(
             "__kf_bucket",
             F.explode(
                 F.sequence(
-                    F.floor((F.col(f"{on}").cast("long") + F.lit(lo_ns)) / b),
-                    F.floor((F.col(f"{on}").cast("long") + F.lit(hi_ns)) / b),
+                    _divfloor(F.col(f"{on}").cast("long") + F.lit(lo_ns), bucket_ns),
+                    _divfloor(F.col(f"{on}").cast("long") + F.lit(hi_ns), bucket_ns),
                 )
             ),
         ).alias("l")
         rb = rn.withColumn(
-            "__kf_bucket", F.floor(F.col(on).cast("long") / b)
+            "__kf_bucket", _divfloor(F.col(on).cast("long"), bucket_ns)
         ).alias("r")
         joined = lb.join(
             rb,

@@ -42,9 +42,8 @@ def _split_clause(q: str, kw: str) -> tuple[str, str | None]:
     return q[: m.start()].strip(), q[m.end():].strip()
 
 
-def _rewrite_aliases(exprs: str) -> str:
-    """kerf ``name: expr`` -> ``expr AS name`` per comma-group (top level
-    commas only — nested calls keep theirs)."""
+def _split_top(exprs: str) -> list[str]:
+    """Split on top-level commas only — nested calls keep theirs."""
     parts, depth, cur = [], 0, []
     for ch in exprs:
         if ch == "(":
@@ -52,15 +51,33 @@ def _rewrite_aliases(exprs: str) -> str:
         elif ch == ")":
             depth -= 1
         if ch == "," and depth == 0:
-            parts.append("".join(cur))
+            parts.append("".join(cur).strip())
             cur = []
         else:
             cur.append(ch)
-    parts.append("".join(cur))
+    parts.append("".join(cur).strip())
+    return parts
+
+
+_ALIAS_RE = r"^\s*([A-Za-z_]\w*)\s*:\s*(.+)$"
+
+
+def _rewrite_aliases(exprs: str) -> str:
+    """kerf ``name: expr`` -> ``expr AS name`` per comma-group."""
     out = []
-    for p in parts:
-        m = re.match(r"^\s*([A-Za-z_]\w*)\s*:\s*(.+)$", p.strip())
-        out.append(f"{m.group(2)} AS {m.group(1)}" if m else p.strip())
+    for p in _split_top(exprs):
+        m = re.match(_ALIAS_RE, p, re.DOTALL)
+        out.append(f"{m.group(2)} AS {m.group(1)}" if m else p)
+    return ", ".join(out)
+
+
+def _strip_aliases(exprs: str) -> str:
+    """kerf ``name: expr`` -> ``expr`` — the GROUP BY form (Spark rejects
+    ``expr AS name`` inside GROUP BY; the alias lives only in SELECT)."""
+    out = []
+    for p in _split_top(exprs):
+        m = re.match(_ALIAS_RE, p, re.DOTALL)
+        out.append(m.group(2) if m else p)
     return ", ".join(out)
 
 
@@ -89,8 +106,8 @@ def translate(q: str) -> str:
         if where:
             sql.append(f"WHERE {where}")
         if by:
-            # group by the expressions themselves
-            sql.append(f"GROUP BY {_rewrite_aliases(by)}")
+            # group by the raw expressions (alias only in the SELECT list)
+            sql.append(f"GROUP BY {_strip_aliases(by)}")
         if order:
             sql.append(f"ORDER BY {order}")
         if limit:

@@ -483,15 +483,24 @@ def except_keys(spark, sf):
     "group_vector_by",
     """
     SELECT o_orderstatus AS status,
-           array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+           array_to_string(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority), ',')
+             AS priorities
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def group_vector_by(spark, sf):
+    """Vector-valued ``by`` (kerf grouped-list result).  The group vector is
+    serialized to a sorted CSV string so the driver's hasher — which cannot
+    hash array cells — sees a scalar; ``ungroup_vector_by`` exercises the
+    same list through explosion."""
     o = _t(spark, sf, "orders")
     return (
         o.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            )
+        )
         .orderBy("status")
     )
 
@@ -799,8 +808,8 @@ def lead_lag_shift(spark, sf):
       FROM events
     )
     SELECT user_id,
-           sum(CASE WHEN prev_t IS NULL OR prev_t <> event_type
-                    THEN 1 ELSE 0 END) AS runs,
+           CAST(sum(CASE WHEN prev_t IS DISTINCT FROM event_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS runs,
            count(*) AS n
     FROM t GROUP BY user_id
     """,
@@ -818,7 +827,7 @@ def differ_runs(spark, sf):
     return (
         base.withColumn("chg", chg.cast("int"))
         .groupBy("user_id")
-        .agg(F.sum("chg").alias("runs"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("chg").cast("long").alias("runs"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -1038,10 +1047,10 @@ def string_funcs(spark, sf):
     """
     SELECT l_orderkey AS orderkey, l_linenumber AS line,
            abs(l_quantity - 25)                          AS dist,
-           floor(l_extendedprice)                        AS fl,
-           ceil(l_extendedprice)                         AS ce,
-           round(sqrt(l_quantity), 9)                    AS sq,
-           round(ln(l_extendedprice), 9)                 AS lg,
+           CAST(floor(l_extendedprice) AS BIGINT)        AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT)         AS ce,
+           round(sqrt(l_quantity), 6)                    AS sq,
+           round(ln(l_extendedprice), 6)                 AS lg,
            round(pow(l_quantity, 2), 4)                  AS p2,
            CAST(sign(l_quantity - 25) AS INT)            AS sg,
            CAST(l_quantity AS BIGINT) % 7                AS m7
@@ -1054,10 +1063,10 @@ def math_funcs(spark, sf):
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("line"),
         S.absolute(F.col("l_quantity") - 25).alias("dist"),
-        S.floor_("l_extendedprice").alias("fl"),
-        S.ceil_("l_extendedprice").alias("ce"),
-        F.round(S.sqrt("l_quantity"), 9).alias("sq"),
-        F.round(S.ln("l_extendedprice"), 9).alias("lg"),
+        S.floor_("l_extendedprice").cast("long").alias("fl"),
+        S.ceil_("l_extendedprice").cast("long").alias("ce"),
+        F.round(S.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(S.ln("l_extendedprice"), 6).alias("lg"),
         F.round(S.power("l_quantity", F.lit(2)), 4).alias("p2"),
         S.sign(F.col("l_quantity") - 25).alias("sg"),
         (F.col("l_quantity").cast("bigint") % 7).alias("m7"),
@@ -3723,3 +3732,43 @@ def asof_forward_next_purchase(spark, sf):
         "next_id",
         F.round("value", 6).alias("next_value"),
     )
+
+
+# =====================================================================
+# Registry ordering for the driver sweep
+# =====================================================================
+# The round-1 driver evaluated exactly the first 50 dict entries of
+# QUERIES, so insertion order IS driver coverage order.  Rotate so that
+# entries WITHOUT a green driver row yet (everything not in the r01
+# green set, plus the three r01-red entries that were since fixed) run
+# first; the 47 already-driver-green entries go last.  Rotate this set
+# each round until every registered query has a green CORRECTNESS row.
+
+_R01_GREEN = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_revenue_forecast", "q10_returned_items", "filter_project",
+    "sql_update", "sql_delete", "insert_append", "upsert_keyed",
+    "distinct_flags", "count_distinct_parts", "top_k_orders",
+    "union_distinct_keys", "intersect_keys", "except_keys",
+    "ungroup_vector_by", "join_inner", "join_left", "join_semi",
+    "join_anti", "join_cross", "dict_decode", "running_sum_unfold",
+    "deltas_mapback", "ratios_mapback", "moving_avg", "running_min_max",
+    "grade_rank", "lead_lag_shift", "ffill_quotes", "xbar_5min_bars",
+    "vwap_bars", "asof_join_latest_order", "interval_join_bursts",
+    "string_funcs", "date_parts", "ns_time_parts", "cond_case_null",
+    "cast_types", "json_extract", "array_funcs", "range_til",
+    "kerfsql_select_by", "exact_dedup_docs", "token_count_docs",
+    "quality_score_docs",
+]
+
+
+def _reorder_registry() -> None:
+    global QUERIES, ORACLES
+    green = [k for k in _R01_GREEN if k in QUERIES]
+    front = [k for k in QUERIES if k not in set(green)]
+    ordered = front + green
+    QUERIES = {k: QUERIES[k] for k in ordered}
+    ORACLES = {k: ORACLES[k] for k in ordered if k in ORACLES}
+
+
+_reorder_registry()

@@ -26,9 +26,26 @@ TABLE_NAMES = (
 ).split()
 
 
+_READ_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table (TESTDATA.md layout)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one fixture table (TESTDATA.md layout).
+
+    The analyzed plan is memoized per (session, path): fixture tables are
+    immutable, and a registry sweep touches each one dozens of times — the
+    cache skips repeated file listing + footer schema reads without
+    changing the physical plan (no ``.cache()``: scans stay Parquet scans
+    so pushdown/pruning plan tests hold).
+    """
+    key = (id(spark), sf_dir, name)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        if len(_READ_CACHE) > 256:
+            _READ_CACHE.clear()
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _READ_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -42,9 +42,12 @@ def read_rate_stream(spark: SparkSession, rows_per_sec: int = 1000) -> DataFrame
 def with_event_time(df: DataFrame, ts_ns_col: str) -> DataFrame:
     """Attach a µs event-time timestamp column derived from ts_ns (the
     watermark clock must be a TimestampType)."""
+    # ns_to_us is an exact decimal floor-div: (ns / 1000).cast('long')
+    # rounds through double for epoch-ns magnitudes (> 2^53) and lands
+    # ~1-in-8 rows 1µs off, shifting them across window boundaries.
     return df.withColumn(
         "__event_time",
-        F.timestamp_micros((F.col(ts_ns_col) / 1000).cast("long")),
+        F.timestamp_micros(TM.ns_to_us(F.col(ts_ns_col))),
     )
 
 

@@ -46,6 +46,17 @@ def test_xbar_floor(spark):
     assert bar <= ns < bar + TM.span_ns(5, "m")
 
 
+def test_xbar_pre_epoch_floors_down(spark):
+    # Spark % takes the dividend's sign: xbar(-100, 60) must be -120
+    # (floor-to-multiple), never -60 (round toward zero)
+    assert one(spark, TM.xbar(F.lit(-100), 60)) == -120
+    assert one(spark, TM.xbar(F.lit(-120), 60)) == -120
+    # pre-epoch part extractors stay in-range
+    ns = -1_500_000_000  # 1969-12-31T23:59:58.5
+    assert one(spark, TM.millisecond(F.lit(ns))) == 500
+    assert 0 <= one(spark, TM.nanosecond(F.lit(ns))) < 10**9
+
+
 def test_divfloor_exact_at_ns_magnitude(spark):
     # double division would round 1704317316813992501/1000 upward
     ns = 1704317316813992501
@@ -79,11 +90,27 @@ def test_kerf_eq_nan_equals_nan(spark):
 
 
 def test_truthiness(spark):
+    # slop.h:919-933: only numeric 0 is falsy — the STRING "0" is truthy
     df = spark.createDataFrame(
         [(0, "x"), (1, ""), (2, "0"), (3, "hi"), (4, None)], "id long, s string"
     )
-    got = {r.id: r.t for r in df.select("id", K.truthy("s").alias("t")).collect()}
-    assert got == {0: True, 1: False, 2: False, 3: True, 4: False}
+    got = {r.id: r.t for r in df.select("id", K.truthy_in(df, "s").alias("t")).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: False}
+
+
+def test_truthiness_numeric_and_bool(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0, False), (1, float("nan"), True), (2, 2.5, None)],
+        "i long, x double, b boolean",
+    )
+    rows = df.select(
+        K.truthy_in(df, "i").alias("ti"),
+        K.truthy_in(df, "x").alias("tx"),
+        K.truthy_in(df, "b").alias("tb"),
+    ).collect()
+    assert [r.ti for r in rows] == [False, True, True]
+    assert [r.tx for r in rows] == [False, False, True]  # NaN falsy
+    assert [r.tb for r in rows] == [False, True, False]
 
 
 def test_normalize_floats_sorts_nan_first(spark):

@@ -50,6 +50,22 @@ def test_kerfsql_execution(spark, tables):
     assert sum(got.values()) == 1500
 
 
+def test_kerfsql_aliased_by_expression(spark, tables):
+    # 'by name: expr' — the alias must appear in SELECT but be stripped
+    # from GROUP BY (Spark rejects 'GROUP BY expr AS name')
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    tables["orders"].createOrReplaceTempView("orders")
+    df = kerf_sql(
+        spark,
+        "select n: count(*) by yr: year(o_orderdate) from orders order by yr",
+    )
+    rows = df.collect()
+    assert df.columns == ["yr", "n"]
+    assert sum(r.n for r in rows) == 1500
+    assert all(r.yr is not None and r.yr > 1900 for r in rows)
+
+
 # ------------------------------------------------------------- workspace
 @pytest.fixture()
 def ws_root():
