@@ -13,10 +13,66 @@ Design rules applied throughout:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import ngrams, normalize_text
+
+_LOG = logging.getLogger("kerf_spark.dedup")
+
+# Blocked self-joins are O(bucket²) per bucket: one degenerate bucket
+# (empty/boilerplate docs sharing a band hash or prefix) can go quadratic
+# at corpus scale.  Every blocked candidate generator below therefore
+# caps buckets at `max_bucket` members (the smallest ids survive, so the
+# cap is deterministic and retry/oracle-safe); capped-away rows simply
+# stop producing candidates from that bucket.  The cap is LOUD, not
+# silent: a WARNING names the operator and threshold at plan build, and
+# `hot_bucket_report` gives per-bucket drop counts for audit.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _cap_buckets(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int | None,
+    what: str,
+) -> DataFrame:
+    """Keep the ``max_bucket`` smallest ``id_col`` members per bucket.
+
+    The row_number window partitions on the same keys the subsequent
+    self-join shuffles on, so AQE reuses the exchange — the guard costs
+    an in-partition sort, never an extra shuffle.
+    """
+    if max_bucket is None:
+        return df
+    _LOG.warning(
+        "%s: bucket cap %d in effect — buckets larger than this keep only "
+        "their %d smallest ids as candidates; run "
+        "dedup.hot_bucket_report(...) to audit dropped volume",
+        what, max_bucket, max_bucket,
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__kf_rn", F.row_number().over(w))
+        .where(F.col("__kf_rn") <= max_bucket)
+        .drop("__kf_rn")
+    )
+
+
+def hot_bucket_report(
+    df: DataFrame, keys: list[str], max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """(bucket keys, n, dropped) for every bucket over the cap — the
+    audit companion to the loud cap in the blocked self-joins."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .withColumn("dropped", F.col("n") - F.lit(max_bucket))
+    )
 
 
 # ------------------------------------------------------------------ exact
@@ -113,13 +169,15 @@ def lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs sharing any band-hash become candidate pairs.
 
     Plan: explode to (band, band_hash) — bands× row fan-out of a tiny
     projection — then self-join *within buckets* keyed on
     (band, band_hash).  The shuffle key is the band hash: uniform by
-    construction, so no skew; pair explosion is bounded by bucket sizes.
+    construction, so no skew; pair explosion is bounded by bucket sizes
+    and the loud ``max_bucket`` cap (see module header).
     Returns distinct (id_a < id_b) candidate pairs.
     """
     b = sigs.select(
@@ -138,6 +196,7 @@ def lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+    b = _cap_buckets(b, ["band", "band_hash"], id_col, max_bucket, "lsh_candidates")
     left = b.alias("a")
     right = b.alias("b")
     pairs = (
@@ -236,6 +295,7 @@ def minhash_dedup_portable(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with an engine-portable hash family.
 
@@ -297,6 +357,9 @@ def minhash_dedup_portable(
             )
         ).alias("band", "key"),
     )
+    banded = _cap_buckets(
+        banded, ["band", "key"], id_col, max_bucket, "minhash_dedup_portable"
+    )
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(
@@ -328,7 +391,10 @@ def minhash_dedup_portable(
 
 # ------------------------------------------------------------ components
 def dup_clusters(
-    pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+    check_every: int = 3,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster) where
     cluster is the minimum doc id reachable through dup edges — the
@@ -339,9 +405,16 @@ def dup_clusters(
     edges and keeps the per-node minimum; converges in O(graph diameter)
     rounds (real dup clusters are shallow — pairwise-similar docs link
     almost directly).  Each round is one shuffle join + one groupBy on
-    the *candidate-pair* node set, which is tiny relative to the corpus;
-    labels persist per round and unpersist after the next materializes.
-    The convergence check is an aggregate (no driver-side data).
+    the *candidate-pair* node set, which is tiny relative to the corpus.
+
+    Scale discipline: the convergence probe is an aggregate-only action,
+    and it fires only every ``check_every`` rounds — a driver action per
+    round would re-walk lineage and serialize the loop on job latency.
+    ``localCheckpoint`` at each probe truncates the iterative lineage so
+    plan size stays O(check_every), not O(rounds) (the executor-local
+    flavor: no DFS round-trip; recompute-on-loss is acceptable for a
+    deterministic label table).  Extra rounds run between probes are
+    no-ops on converged labels (min of equals), so results are exact.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -355,9 +428,9 @@ def dup_clusters(
         edges.select(F.col("src").alias(id_col))
         .distinct()
         .withColumn("cluster", F.col(id_col))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         # labels seen from neighbors, then min with own label
         via_edges = (
             edges.join(labels, edges.dst == F.col(id_col))
@@ -367,18 +440,20 @@ def dup_clusters(
             labels.unionByName(via_edges)
             .groupBy(id_col)
             .agg(F.min("cluster").alias("cluster"))
-            .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster", "old"), id_col)
-            .where(F.col("cluster") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        if it % check_every == 0 or it == max_iter:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.join(labels.withColumnRenamed("cluster", "old"), id_col)
+                .where(F.col("cluster") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     edges.unpersist()
     return labels
 
@@ -468,12 +543,18 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
 
 
 def simhash_near_pairs(
-    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs by identical high ``prefix_bits`` of simhash
     (block key), verified by full Hamming distance.  Blocking keeps the
-    self-join keyed and bounded, same scaling argument as LSH bands."""
+    self-join keyed and bounded, same scaling argument as LSH bands;
+    degenerate blocks are capped loudly at ``max_bucket``."""
     keyed = sims.withColumn("blk", F.shiftright("simhash", 64 - prefix_bits))
+    keyed = _cap_buckets(keyed, ["blk"], id_col, max_bucket, "simhash_near_pairs")
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -498,6 +579,7 @@ def prefix_jaccard_pairs(
     prefix_len: int = 32,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """n-gram Jaccard near-dup with *prefix blocking* (SQL-oracle-able):
     docs sharing the first ``prefix_len`` normalized chars are
@@ -533,6 +615,7 @@ def prefix_jaccard_pairs(
             )
         ).alias("sh"),
     )
+    sh = _cap_buckets(sh, ["pfx"], id_col, max_bucket, "prefix_jaccard_pairs")
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(

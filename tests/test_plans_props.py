@@ -185,3 +185,36 @@ def test_window_join_matches_bruteforce(spark, lrows, rrows):
         if ls == rs and lt + lo <= rt <= lt + hi
     }
     assert got == want
+
+
+# ------------------------------------------------------- hot-bucket caps
+def test_blocked_selfjoins_cap_hot_buckets(spark):
+    """Adversarial corpus: thousands of identical docs land in ONE band /
+    block / prefix bucket.  Uncapped, each generator is O(n²) there; the
+    loud cap must bound candidate pairs at C(max_bucket, 2)."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import dedup as DD
+
+    n, cap = 3000, 40
+    bound = cap * (cap - 1) // 2
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated for every document").alias("text"),
+    )
+
+    sigs = DD.minhash_signature(docs, num_hashes=8, shingle_n=2)
+    lsh = DD.lsh_candidates(sigs, bands=2, rows_per_band=4, max_bucket=cap)
+    assert lsh.count() == bound  # identical docs: every capped pair survives
+
+    sims = DD.simhash64(docs)
+    sp = DD.simhash_near_pairs(sims, max_bucket=cap)
+    assert sp.count() == bound
+
+    pj = DD.prefix_jaccard_pairs(docs, max_bucket=cap)
+    assert pj.count() == bound
+
+    # audit companion reports exactly the overweight buckets
+    keyed = sims.withColumn("blk", F.shiftright("simhash", 48))
+    rep = DD.hot_bucket_report(keyed, ["blk"], max_bucket=cap).collect()
+    assert len(rep) == 1 and rep[0].n == n and rep[0].dropped == n - cap
