@@ -167,11 +167,13 @@ def q5(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
-    # dims broadcast (decode_dict discipline); fact-fact joins shuffle on keys
+    # fixed-size dims (nation/region) broadcast; supplier scales with SF —
+    # 100x-unsafe to pin as a broadcast build side, so Catalyst/AQE choose
+    # its strategy (BHJ at test scale, shuffle join at cluster scale)
     joined = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -3102,7 +3104,7 @@ def q8(spark, sf):
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1k"))
         .join(F.broadcast(r), F.col("n1r") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2k"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -3204,7 +3206,7 @@ def q2(spark, sf):
     ).where(F.col("unit_cost") == F.col("min_cost"))
     return (
         best.join(F.broadcast(p), p.p_partkey == best.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == cost.l_suppkey)
+        .join(s, s.s_suppkey == cost.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .select(
             "p_partkey",
@@ -3253,7 +3255,7 @@ def q9(spark, sf):
     )
     return (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .select(
@@ -3296,7 +3298,7 @@ def q11(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_3")
     val = (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -3444,7 +3446,7 @@ def q21(spark, sf):
         l1.join(o, o.o_orderkey == l1.l_orderkey)
         .join(per_order, F.col("ok") == l1.l_orderkey)
         .where((F.col("cd") >= 2) & (F.col("cdr") == 1))
-        .join(F.broadcast(s), s.s_suppkey == l1.l_suppkey)
+        .join(s, s.s_suppkey == l1.l_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
