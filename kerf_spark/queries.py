@@ -1970,6 +1970,59 @@ def workspace_roundtrip(spark, sf):
     )
 
 
+@query(
+    "narrow_width_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_custkey % 100 AS INT) AS v
+      FROM orders WHERE o_custkey <= 200
+    ),
+    all_rows AS (
+      SELECT k, v FROM base
+      UNION ALL
+      SELECT k + 10000000000, v + 1000 FROM base
+    )
+    SELECT v % 10 AS g, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(v) AS BIGINT) AS sum_v
+    FROM all_rows GROUP BY v % 10
+    """,
+)
+def narrow_width_roundtrip(spark, sf):
+    """Minimal-width write + promote-on-append round-trip (layout.cc:
+    726-934, accessor.h:17-46; regression test.cc:620-635): the catalog
+    stores the first batch at the narrowest integer widths (k: bigint
+    values fit int; v fits tinyint), the appended batch carries wider
+    values (k needs bigint, v needs int), and the read-back surfaces ALL
+    rows at the promoted widths — old narrow files upcast through the
+    manifest read schema, no data rewrite."""
+    import tempfile
+
+    from .sources.catalog import Workspace
+
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_nw_"))
+    base = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_custkey") <= 200)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_custkey") % 100).cast("int").alias("v"),
+        )
+    )
+    ws.save("t", base)  # stored narrow: k -> int, v -> tinyint
+    wide = base.select(
+        (F.col("k") + F.lit(10_000_000_000)).alias("k"),
+        (F.col("v") + 1000).cast("int").alias("v"),
+    )
+    ws.append("t", wide)  # promotes k -> bigint, v -> int
+    back = ws.load("t")
+    return back.groupBy((F.col("v") % 10).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("v").cast("long").alias("sum_v"),
+    )
+
+
 # =====================================================================
 # kerf-SQL front-end: update statement through the translator
 # =====================================================================

@@ -32,6 +32,46 @@ _NUM_WIDTH = {
     "float": 10, "double": 11,
 }
 
+_INT_RANGES = {
+    "tinyint": (-(2**7), 2**7 - 1),
+    "smallint": (-(2**15), 2**15 - 1),
+    "int": (-(2**31), 2**31 - 1),
+}
+
+
+def _minimal_int_widths(df: DataFrame) -> dict[str, str]:
+    """Narrowest integer type per integral column, from ONE aggregate pass.
+
+    The downward dimension of kerf's width discipline: the writer picks
+    the smallest width that holds the data (layout.cc:726-934 pairs this
+    with upward promote-on-append; accessor.h:17-46 reads any width
+    through one accessor).  Cost: a single columnar min/max job over the
+    integral columns — trivial next to the write it precedes, and it
+    buys narrower files, denser pages, and cheaper shuffles ever after.
+    """
+    ints = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("smallint", "int", "bigint")
+    ]
+    if not ints:
+        return {}
+    aggs = []
+    for c in ints:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).head()
+    out: dict[str, str] = {}
+    for c in ints:
+        mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+        if mn is None:
+            continue
+        for t in ("tinyint", "smallint", "int"):
+            lo, hi = _INT_RANGES[t]
+            if lo <= mn and mx <= hi:
+                out[c] = t
+                break
+    return {c: t for c, t in out.items()}
+
 
 def _promote(a: str, b: str) -> str:
     """Widest-wins type promotion over the kerf numeric ladder; mixed
@@ -75,19 +115,52 @@ class Workspace:
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
         sort_by: Sequence[str] | None = None,
+        minimize_widths: bool = True,
     ) -> None:
+        """Persist ``df`` as ``name``.
+
+        ``minimize_widths`` (default on) stores integral columns at the
+        narrowest width that holds the data — kerf's writer discipline
+        (layout.cc:726-934): first write narrow, promote on append.
+        ``sort_by`` writes rows sorted so parquet row-group min/max give
+        binary-search-grade skipping; the manifest records the sorted
+        attribute (``sorted: "global"``) plus the sort-key high-water
+        mark so :meth:`append` can keep or demote it, mirroring the
+        reference's sorted-flag maintenance (slab.h:234-235,
+        slop.h:1193).
+        """
         path = os.path.join(self.root, name)
+        if minimize_widths:
+            cur = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            narrow = {
+                c: t
+                for c, t in _minimal_int_widths(df).items()
+                if _NUM_WIDTH[t] < _NUM_WIDTH[cur[c]]
+            }
+            if narrow:
+                df = df.select(
+                    *[
+                        F.col(c).cast(narrow[c]).alias(c) if c in narrow else F.col(c)
+                        for c in df.columns
+                    ]
+                )
         out = df.sortWithinPartitions(*sort_by) if sort_by else df
         w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*list(partition_by))
         w.parquet(path)
-        self.manifest["tables"][name] = {
+        meta = {
             "path": path,
             "partition_by": list(partition_by or []),
             "sort_by": list(sort_by or []),
             "schema": df.schema.jsonValue(),
         }
+        if sort_by:
+            meta["sorted"] = "global"
+            meta["sort_key_max"] = _jsonable(
+                df.agg(F.max(sort_by[0])).head()[0]
+            )
+        self.manifest["tables"][name] = meta
         self._flush()
 
     def load(self, name: str) -> DataFrame:
@@ -109,7 +182,17 @@ class Workspace:
     def append(self, name: str, rows: DataFrame) -> None:
         """Append with transparent schema promotion (kerf append
         semantics).  New partitions land as new files — the folio
-        "append to last sublist" discipline (presented.h:420-425)."""
+        "append to last sublist" discipline (presented.h:420-425).
+
+        Sorted-attribute maintenance (slab.h:234-235: kerf checks the
+        appended head against the stored tail and clears SORTED when
+        order breaks): incoming batches are always written internally
+        sorted (row-group stats stay sharp per file), and the manifest's
+        ``sorted`` flag stays ``"global"`` only when the batch's minimum
+        sort key is at or above the stored high-water mark — otherwise it
+        demotes to ``"files"`` (each file sorted, files overlap), which
+        still supports row-group skipping but not merge reads.
+        """
         meta = self.manifest["tables"][name]
         stored = T.StructType.fromJson(meta["schema"])
         stored_types = {f.name: f.dataType.simpleString() for f in stored.fields}
@@ -124,6 +207,22 @@ class Workspace:
         rows_cast = rows.select(
             *[F.col(c).cast(promoted[c]).alias(c) for c in stored_types]
         )
+        sort_by = meta.get("sort_by") or []
+        if sort_by:
+            key = sort_by[0]
+            lo, hi = rows_cast.agg(F.min(key), F.max(key)).head()
+            lo, hi = _jsonable(lo), _jsonable(hi)  # ISO strings order like dates
+            prev_max = meta.get("sort_key_max")
+            if meta.get("sorted") == "global" and (
+                prev_max is None or (lo is not None and lo >= prev_max)
+            ):
+                if hi is not None:
+                    meta["sort_key_max"] = (
+                        hi if prev_max is None else max(hi, prev_max)
+                    )
+            else:
+                meta["sorted"] = "files"  # per-file order only; ranges overlap
+            rows_cast = rows_cast.sortWithinPartitions(*sort_by)
         rows_cast.write.mode("append").partitionBy(
             *meta["partition_by"]
         ).parquet(meta["path"]) if meta["partition_by"] else rows_cast.write.mode(
@@ -174,3 +273,12 @@ class Workspace:
 
 def _parse_type(s: str) -> T.DataType:
     return T._parse_datatype_string(s)
+
+
+def _jsonable(v):
+    """Manifest values must be JSON-serializable (timestamps -> isoformat)."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v

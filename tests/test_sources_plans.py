@@ -74,6 +74,57 @@ def ws_root():
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_workspace_minimal_width_and_promote(spark, ws_root):
+    # layout.cc:726-934 both directions: write narrow, promote on append
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame([(1, 10), (2, 120)], "k long, v long")
+    ws.save("t", df)
+    stored = {f.name: f.dataType.simpleString() for f in ws.load("t").schema.fields}
+    assert stored == {"k": "tinyint", "v": "tinyint"}
+    ws.append("t", spark.createDataFrame([(3, 70000)], "k long, v long"))
+    promoted = {f.name: f.dataType.simpleString() for f in ws.load("t").schema.fields}
+    assert promoted["v"] == "bigint"  # incoming declared long -> widened
+    got = sorted((r.k, r.v) for r in ws.load("t").collect())
+    assert got == [(1, 10), (2, 120), (3, 70000)]
+
+
+def test_workspace_sorted_flag_maintenance(spark, ws_root):
+    # slab.h:234-235: append keeps SORTED only when order is preserved
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame([(1, "a"), (5, "b")], "ts long, s string")
+    ws.save("t", df, sort_by=["ts"])
+    assert ws.manifest["tables"]["t"]["sorted"] == "global"
+    assert ws.manifest["tables"]["t"]["sort_key_max"] == 5
+    # in-order append: flag survives, high-water mark advances
+    ws.append("t", spark.createDataFrame([(7, "c"), (9, "d")], "ts long, s string"))
+    assert ws.manifest["tables"]["t"]["sorted"] == "global"
+    assert ws.manifest["tables"]["t"]["sort_key_max"] == 9
+    # out-of-order append: demoted to per-file sortedness
+    ws.append("t", spark.createDataFrame([(2, "e")], "ts long, s string"))
+    assert ws.manifest["tables"]["t"]["sorted"] == "files"
+    assert ws.load("t").count() == 5
+
+
+def test_sorted_save_pushes_rowgroup_filter(spark, tables, ws_root):
+    # sorted writes give parquet min/max stats; a range filter on the
+    # sort column must reach the scan as a pushed filter (the Spark
+    # analogue of binary search over kerf's sorted attribute)
+    ws = Workspace(spark, ws_root)
+    ws.save("orders_sorted", tables["orders"], sort_by=["o_orderdate"])
+    ws.append("orders_sorted", tables["orders"].limit(100))
+    back = ws.load("orders_sorted").where(
+        F.col("o_orderdate") >= "1995-01-01"
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
 def test_workspace_save_load_round_trip(spark, tables, ws_root):
     ws = Workspace(spark, ws_root)
     ws.save("orders", tables["orders"])
