@@ -81,6 +81,116 @@ def _strip_aliases(exprs: str) -> str:
     return ", ".join(out)
 
 
+# ----------------------------------------------------------- kerf verbs
+# The reference's language keywords (lexer.h:103-104) reach kerf-SQL text
+# as macros expanded to ANSI window/aggregate expressions BEFORE
+# spark.sql parses — everything stays JVM-side Catalyst expressions (no
+# UDF registration; a Python UDF here would put the tick hot path on the
+# slow lane).  Scalar/aggregate verbs (xbar, wavg, wsum) compose with
+# GROUP BY; ordered verbs (deltas, ratios, prev, next, mavg, msum,
+# ffill) expand to window functions whose PARTITION BY comes from the
+# statement's `by` clause and whose ORDER BY comes from its `order by`
+# clause (Spark tables are unordered, so ordered verbs REQUIRE order by
+# — kerf's implicit table order has no distributed analogue).
+_SPAN_RE = re.compile(r"^\s*'?(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)'?\s*$")
+_SPAN_NS = {
+    "ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9,
+    "m": 60 * 10**9, "h": 3600 * 10**9, "d": 86400 * 10**9,
+}
+_WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "prev", "next")
+_ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
+
+
+def _span_to_ns(tok: str) -> int:
+    m = _SPAN_RE.match(tok)
+    if m:
+        return int(float(m.group(1)) * _SPAN_NS[m.group(2)])
+    return int(tok.strip())
+
+
+def _find_call(text: str, names) -> tuple[int, int, str, list[str]] | None:
+    """First occurrence of ``name( args )`` with balanced parens ->
+    (start, end, name, top-level args)."""
+    pat = re.compile(r"\b(" + "|".join(names) + r")\s*\(", re.IGNORECASE)
+    m = pat.search(text)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(text) and depth:
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(f"unbalanced parens in kerf expression: {text!r}")
+    args = _split_top(text[m.end(): i - 1])
+    return m.start(), i, m.group(1).lower(), args
+
+
+def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
+    """Expand kerf verb macros (innermost-last, repeatedly) to ANSI SQL."""
+    while True:
+        hit = _find_call(text, _ALL_VERBS)
+        if hit is None:
+            return text
+        s, e, name, a = hit
+        if name in _WINDOW_VERBS and not order:
+            raise ValueError(
+                f"kerf verb {name}() needs an `order by` clause to define "
+                "row order (distributed tables are unordered)"
+            )
+        pb = f"PARTITION BY {part} " if part else ""
+        ob = f"ORDER BY {order}"
+        w = f"({pb}{ob})"
+        trail = (
+            f"({pb}{ob} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        if name == "xbar":
+            x, ns = a[0], _span_to_ns(a[1])
+            rep = (
+                f"(CAST({x} AS BIGINT) - pmod(CAST({x} AS BIGINT), {ns}))"
+            )
+        elif name == "wavg":
+            rep = f"(sum(({a[0]}) * ({a[1]})) / sum({a[0]}))"
+        elif name == "wsum":
+            rep = f"sum(({a[0]}) * ({a[1]}))"
+        elif name == "deltas":
+            rep = f"(({a[0]}) - lag({a[0]}) OVER {w})"
+        elif name == "ratios":
+            rep = (
+                f"(CASE WHEN lag({a[0]}) OVER {w} = 0 THEN NULL "
+                f"ELSE ({a[0]}) / lag({a[0]}) OVER {w} END)"
+            )
+        elif name == "prev":
+            rep = f"lag({a[0]}) OVER {w}"
+        elif name == "next":
+            rep = f"lead({a[0]}) OVER {w}"
+        elif name == "mavg":
+            n = int(a[0])
+            rep = (
+                f"avg({a[1]}) OVER ({pb}{ob} ROWS BETWEEN {n - 1} "
+                f"PRECEDING AND CURRENT ROW)"
+            )
+        elif name == "msum":
+            n = int(a[0])
+            rep = (
+                f"sum({a[1]}) OVER ({pb}{ob} ROWS BETWEEN {n - 1} "
+                f"PRECEDING AND CURRENT ROW)"
+            )
+        elif name == "ffill":
+            rep = f"last_value({a[0]}) IGNORE NULLS OVER {trail}"
+        else:  # pragma: no cover
+            raise AssertionError(name)
+        text = text[:s] + rep + text[e:]
+
+
+def _has_window_verb(text: str) -> bool:
+    return bool(
+        re.search(r"\b(" + "|".join(_WINDOW_VERBS) + r")\s*\(", text, re.I)
+    )
+
+
 def translate(q: str) -> str:
     """kerf-SQL text -> ANSI SQL text (table names kept symbolic)."""
     q = q.strip().rstrip(";")
@@ -96,20 +206,32 @@ def translate(q: str) -> str:
             raise ValueError("kerf-SQL select requires a from clause")
         body, by = _split_clause(body, "by")
         sel = _rewrite_aliases(body) if body else "*"
+        part = _strip_aliases(by) if by else None
+        order_x = _expand_verbs(order, part, None) if order else None
         sql = []
-        if by:
-            group = _rewrite_aliases(by)
-            # grouped select: by-columns are part of the output, kerf-style
-            sql.append(f"SELECT {group}, {sel} FROM {table.strip()}")
-        else:
+        if _has_window_verb(body or ""):
+            # ordered-verb select: `by` partitions the windows instead of
+            # grouping (the kerf `update deltas price by sym` shape); the
+            # statement projects per-row, so no GROUP BY is emitted
+            sel = _expand_verbs(sel, part, order_x)
             sql.append(f"SELECT {sel} FROM {table.strip()}")
-        if where:
-            sql.append(f"WHERE {where}")
-        if by:
-            # group by the raw expressions (alias only in the SELECT list)
-            sql.append(f"GROUP BY {_strip_aliases(by)}")
-        if order:
-            sql.append(f"ORDER BY {order}")
+            if where:
+                sql.append(f"WHERE {_expand_verbs(where, part, order_x)}")
+        else:
+            sel = _expand_verbs(sel, None, order_x)
+            if by:
+                group = _expand_verbs(_rewrite_aliases(by), None, None)
+                # grouped select: by-columns are part of the output, kerf-style
+                sql.append(f"SELECT {group}, {sel} FROM {table.strip()}")
+            else:
+                sql.append(f"SELECT {sel} FROM {table.strip()}")
+            if where:
+                sql.append(f"WHERE {_expand_verbs(where, None, None)}")
+            if by:
+                # group by the raw expressions (alias only in the SELECT list)
+                sql.append(f"GROUP BY {_expand_verbs(_strip_aliases(by), None, None)}")
+        if order_x:
+            sql.append(f"ORDER BY {order_x}")
         if limit:
             sql.append(f"LIMIT {limit}")
         return " ".join(sql)

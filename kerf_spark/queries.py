@@ -2049,6 +2049,43 @@ def kerfsql_update_agg(spark, sf):
     )
 
 
+@query(
+    "kerfsql_tick_idioms",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tu, value,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS b
+      FROM events
+    )
+    SELECT event_id, user_id, tu, b,
+           round(value - lag(value) OVER w, 6) AS d,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS m,
+           round(lag(value) OVER w, 6) AS p
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    """,
+)
+def kerfsql_tick_idioms(spark, sf):
+    """Kerf verb phrases in kerf-SQL text (lexer.h:103-104 keyword set):
+    ``xbar`` (scalar bucket), ``deltas``/``prev`` (ordered mapback) and
+    ``mavg`` (moving frame) expand to Catalyst window/aggregate
+    expressions inside the translator — the tick idioms a kerf1 user
+    types arrive on the JVM fast path, never a UDF.  ``by user_id``
+    partitions the windows; ``order by`` defines row order (µs + id
+    tiebreak, the engine's cross-engine ordering convention)."""
+    _t(spark, sf, "events").createOrReplaceTempView("events")
+    return kerf_sql(
+        spark,
+        "select event_id, user_id, tu: ts div 1000,"
+        " b: xbar(ts, 1h) div 1000,"
+        " d: round(deltas(value), 6),"
+        " m: round(mavg(5, value), 6),"
+        " p: round(prev(value), 6)"
+        " by user_id from events order by ts div 1000, event_id",
+    )
+
+
 # =====================================================================
 # embedding-cosine near-duplicate pairs (LLM-pipeline dedup variant)
 # =====================================================================

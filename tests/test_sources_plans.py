@@ -34,6 +34,28 @@ def test_translate_delete_null_safe():
     assert "NOT coalesce(x = 1, false)" in sql
 
 
+def test_translate_kerf_verbs():
+    # scalar + aggregate verbs compose with group by
+    sql = translate("select vw: wavg(q, p) by b: xbar(ts, 5m) from t")
+    assert "pmod(CAST(ts AS BIGINT), 300000000000)" in sql
+    assert "(sum((q) * (p)) / sum(q)) AS vw" in sql
+    assert "GROUP BY" in sql and "AS b," in sql
+    # ordered verbs: by partitions, order by orders, no GROUP BY
+    sql = translate("select d: deltas(px), f: ffill(px) by sym from t order by ts")
+    assert "lag(px) OVER (PARTITION BY sym ORDER BY ts)" in sql
+    assert "last_value(px) IGNORE NULLS" in sql
+    assert "GROUP BY" not in sql
+    # span literal forms
+    assert translate("select b: xbar(ts, 2h) from t") == translate(
+        "select b: xbar(ts, 7200000000000) from t"
+    )
+
+
+def test_translate_ordered_verb_requires_order():
+    with pytest.raises(ValueError, match="order by"):
+        translate("select d: deltas(px) by sym from t")
+
+
 def test_translate_rejects_garbage():
     with pytest.raises(ValueError):
         translate("explode the database")
