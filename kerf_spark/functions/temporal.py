@@ -45,6 +45,13 @@ def span_ns(n: float, unit: str) -> int:
     sub-month granularities; year/month spans are calendar-relative and
     live in ``add_months_ns``.
     """
+    if unit not in _SPAN_UNITS:
+        from ..errors import TimeError
+
+        raise TimeError(
+            f"unknown span unit {unit!r} (expected one of {sorted(_SPAN_UNITS)}; "
+            "year/month are calendar-relative -> add_months_ns)"
+        )
     return int(n * _SPAN_UNITS[unit])
 
 

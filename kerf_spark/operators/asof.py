@@ -35,6 +35,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..errors import ArgsError
 from ..functions.temporal import _divfloor
 
 _L = "__kf_is_left"
@@ -98,7 +99,7 @@ def asof_join(
     unioned = lhs.unionByName(rhs).withColumn(_TB, tb)
 
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+        raise ArgsError(f"direction must be backward/forward, got {direction!r}")
     fwd = direction == "forward"
     # forward: left rows sort before equal-ts right rows so the
     # (currentRow, following) frame still sees them; fill = first match
@@ -180,7 +181,7 @@ def asof_join_merge(
 
     by = [by] if isinstance(by, str) else list(by)
     if not by:
-        raise ValueError("asof_join_merge requires at least one `by` key")
+        raise ArgsError("asof_join_merge requires at least one `by` key")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != on]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}

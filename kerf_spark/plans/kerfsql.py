@@ -32,6 +32,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..errors import ArgsError, LexError, ParseError, ParseIncompleteError, ParseUnmatchedError
+
 _KW = r"(?i)\b{}\b"
 
 
@@ -123,7 +125,7 @@ def _find_call(text: str, names) -> tuple[int, int, str, list[str]] | None:
             depth -= 1
         i += 1
     if depth:
-        raise ValueError(f"unbalanced parens in kerf expression: {text!r}")
+        raise ParseUnmatchedError(f"unbalanced parens in kerf expression: {text!r}")
     args = _split_top(text[m.end(): i - 1])
     return m.start(), i, m.group(1).lower(), args
 
@@ -136,7 +138,7 @@ def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
             return text
         s, e, name, a = hit
         if name in _WINDOW_VERBS and not order:
-            raise ValueError(
+            raise ArgsError(
                 f"kerf verb {name}() needs an `order by` clause to define "
                 "row order (distributed tables are unordered)"
             )
@@ -203,7 +205,7 @@ def translate(q: str) -> str:
         body, where = _split_clause(body, "where")
         body, table = _split_clause(body, "from")
         if table is None:
-            raise ValueError("kerf-SQL select requires a from clause")
+            raise ParseIncompleteError("kerf-SQL select requires a from clause")
         body, by = _split_clause(body, "by")
         sel = _rewrite_aliases(body) if body else "*"
         part = _strip_aliases(by) if by else None
@@ -241,7 +243,7 @@ def translate(q: str) -> str:
             r"(?is)^update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$", q
         )
         if not m:
-            raise ValueError(f"cannot parse kerf-SQL update: {q!r}")
+            raise ParseError(f"cannot parse kerf-SQL update: {q!r}")
         table, sets, where = m.group(1), m.group(2), m.group(3)
         assigns = [s.strip() for s in sets.split(",")]
         cols = []
@@ -264,14 +266,14 @@ def translate(q: str) -> str:
             r"(?is)^insert\s+into\s+(\w+)\s+(values\s+.*|select\s+.*)$", q
         )
         if not m:
-            raise ValueError(f"cannot parse kerf-SQL insert: {q!r}")
+            raise ParseError(f"cannot parse kerf-SQL insert: {q!r}")
         table, body = m.group(1), m.group(2).strip()
         if body.lower().startswith("values"):
             return f"SELECT * FROM {table} UNION ALL SELECT * FROM ({body})"
         return f"SELECT * FROM {table} UNION ALL ({body})"
 
     if head == "upsert":
-        raise ValueError(
+        raise ArgsError(
             "kerf-SQL upsert needs the table schema — execute through "
             "kerf_sql(spark, ...), not translate()"
         )
@@ -279,13 +281,13 @@ def translate(q: str) -> str:
     if head == "delete":
         m = re.match(r"(?is)^delete\s+from\s+(\w+)(?:\s+where\s+(.*))?$", q)
         if not m:
-            raise ValueError(f"cannot parse kerf-SQL delete: {q!r}")
+            raise ParseError(f"cannot parse kerf-SQL delete: {q!r}")
         table, where = m.group(1), m.group(2)
         if not where:
             return f"SELECT * FROM {table} WHERE 1=0"
         return f"SELECT * FROM {table} WHERE NOT coalesce({where}, false)"
 
-    raise ValueError(f"unsupported kerf-SQL statement: {head}")
+    raise LexError(f"unsupported kerf-SQL statement: {head}")
 
 
 def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
@@ -304,7 +306,7 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
             q,
         )
         if not m:
-            raise ValueError(f"cannot parse kerf-SQL upsert: {q!r}")
+            raise ParseError(f"cannot parse kerf-SQL upsert: {q!r}")
         table, keys, body = m.group(1), m.group(2), m.group(3).strip()
         keys = [k.strip() for k in keys.split(",")]
         cols = spark.table(table).columns

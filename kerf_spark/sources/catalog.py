@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..errors import ColumnError, KerfTypeError
+
 # spark simpleString names (LongType -> "bigint", ByteType -> "tinyint")
 _NUM_WIDTH = {
     "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
@@ -86,7 +88,7 @@ def _promote(a: str, b: str) -> str:
         return a if wa >= wb else b
     if "string" in (a, b):
         return "string"
-    raise TypeError(f"cannot promote {a} vs {b}")
+    raise KerfTypeError(f"cannot promote {a} vs {b}")
 
 
 class Workspace:
@@ -198,7 +200,7 @@ class Workspace:
         stored_types = {f.name: f.dataType.simpleString() for f in stored.fields}
         incoming = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
         if set(stored_types) != set(incoming):
-            raise ValueError(
+            raise ColumnError(
                 f"append schema mismatch: {sorted(stored_types)} vs {sorted(incoming)}"
             )
         promoted = {

@@ -172,3 +172,41 @@ def test_wavg_wsum(spark):
     row = df.agg(S.wavg("w", "x").alias("a"), S.wsum("w", "x").alias("s")).head()
     assert row["a"] == pytest.approx((1 * 10 + 3 * 20) / 4.0)
     assert row["s"] == pytest.approx(70.0)
+
+
+# ------------------------------------------------------------- error taxonomy
+def test_error_taxonomy_kinds():
+    """jump.h:144-198: failures name the semantic contract that broke."""
+    import pytest as _pytest
+
+    from kerf_spark import errors as E
+    from kerf_spark.plans.kerfsql import translate
+
+    with _pytest.raises(E.ParseIncompleteError, match="Incomplete parse group error"):
+        translate("select a, b")  # no from clause
+    with _pytest.raises(E.LexError, match="Unknown token error"):
+        translate("explode the database")
+    with _pytest.raises(E.ArgsError, match="Argument error"):
+        translate("select d: deltas(x) from t")  # ordered verb, no order by
+    with _pytest.raises(E.TimeError, match="Time error"):
+        TM.span_ns(5, "fortnights")
+    # taxonomy refines builtins: existing except-clauses keep working
+    assert issubclass(E.ParseError, ValueError)
+    assert issubclass(E.KerfTypeError, TypeError)
+    assert issubclass(E.FileError, OSError)
+
+
+def test_error_taxonomy_catalog_and_asof(spark, tmp_path):
+    import pytest as _pytest
+
+    from kerf_spark import errors as E
+    from kerf_spark.operators.asof import asof_join
+    from kerf_spark.sources.catalog import Workspace
+
+    ws = Workspace(spark, str(tmp_path))
+    ws.save("t", spark.createDataFrame([(1,)], "a long"))
+    with _pytest.raises(E.ColumnError, match="Column error"):
+        ws.append("t", spark.createDataFrame([(1, 2)], "a long, b long"))
+    df = spark.createDataFrame([(1, 10)], "k long, ts long")
+    with _pytest.raises(E.ArgsError):
+        asof_join(df, df, on="ts", by="k", direction="sideways")
