@@ -238,3 +238,45 @@ def ema(
         # acc.w == decay^len; Σ decay^k = (1 - decay^len) / (1 - decay)
         lambda acc: acc["s"] * F.lit(1.0 - decay) / (F.lit(1.0) - acc["w"]),
     )
+
+
+def ema_exact(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str],
+    order: Sequence[str],
+    decay: float = 0.9,
+    out: str = "ema",
+) -> DataFrame:
+    """Exact *unbounded* EMA: the full recurrence over each key's entire
+    history, where :func:`ema` truncates at n rows (error ``decay**n``).
+
+    ``ema_t = Σ_{k=0..t} decay^k · x_{t-k} / Σ_{k=0..t} decay^k`` — the
+    adjusted exponential smoother (pandas ``ewm(adjust=True)``), which
+    the bounded window fold converges to as n grows.
+
+    Physical strategy: a sequential per-key recurrence cannot be a window
+    expression, so this is the documented Pandas-UDF escape hatch —
+    ``applyInPandas`` per ``by`` group over Arrow batches, one shuffle on
+    the key, vectorized ``ewm`` inside (no Python-per-row).  Each key
+    group must fit an executor Arrow batch: for tick data partition by
+    (sym, day)-grade keys, exactly how kerf shards its folio tables.
+    """
+    from pyspark.sql import types as T
+
+    if not by:
+        from ..errors import ArgsError
+
+        raise ArgsError("ema_exact requires at least one `by` key")
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+    order_cols = list(order)
+    alpha = 1.0 - decay
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out] = pdf[col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(*[F.col(c) for c in by]).applyInPandas(fn, schema)

@@ -2050,6 +2050,49 @@ def kerfsql_update_agg(spark, sf):
 
 
 @query(
+    "ema_exact",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu, value
+      FROM events WHERE user_id <= 30
+    ),
+    l AS (
+      SELECT user_id, event_id, tu,
+             list(value) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs
+      FROM t
+    )
+    SELECT user_id, event_id, tu,
+      round(
+        list_aggregate(list_transform(generate_series(1, len(vs)),
+            k -> vs[len(vs) - k + 1] * 0.9 ** (k - 1)), 'sum')
+        / ((1 - 0.9 ** len(vs)) / 0.1), 6) AS ema
+    FROM l
+    """,
+)
+def ema_exact_query(spark, sf):
+    """Exact unbounded EMA (full per-key recurrence, pandas ewm adjust
+    form) — the `ema_smoother` bounded window fold converges to this as
+    n grows; here the whole history folds via the documented
+    applyInPandas escape hatch (windows.ema_exact).  The oracle expands
+    the closed-form weighted mean per row over the window's value list."""
+    e = (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") <= 30)
+        .select(
+            "user_id",
+            "event_id",
+            TM.ns_to_us(F.col("ts")).alias("tu"),
+            "value",
+        )
+    )
+    res = W.ema_exact(e, "value", ["user_id"], ["tu", "event_id"], decay=0.9)
+    return res.select(
+        "user_id", "event_id", "tu", F.round("ema", 6).alias("ema")
+    )
+
+
+@query(
     "kerfsql_tick_idioms",
     """
     WITH t AS (
