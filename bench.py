@@ -58,17 +58,60 @@ def main() -> None:
         times[name] = min(run(name), run(name))  # steady-state, noise-trimmed
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "kerf_spark headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
+    out = {
+        "metric": "kerf_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    # ---- falsifiable scaling slope: 10x fixture, single pass ----------
+    # ratio_vs_linear = t_10x / (10 * t_1x); ~1.0 means linear scaling,
+    # >>1 flags a query whose plan degrades super-linearly with data.
+    if os.environ.get("SPARK_GRAFT_SLOPE", "1") != "0":
+        try:
+            factor = 10
+            dst = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f".bench_sf{round(sf * factor, 4):g}",
+            )
+            from kerf_spark.sources.scale import gen_scaled_fixture
+
+            t0 = time.perf_counter()
+            gen_scaled_fixture(spark, sf_dir, dst, factor)
+            gen_s = round(time.perf_counter() - t0, 1)
+
+            def run_at(name: str, d: str) -> float:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return round(time.perf_counter() - t0, 4)
+
+            run_at("q1_pricing_summary", dst)  # warm file listing
+            big: dict[str, float] = {}
+            for name in BENCH_QUERIES:
+                big[name] = run_at(name, dst)
+            ratios = {
+                n: round(big[n] / (factor * times[n]), 3)
+                for n in BENCH_QUERIES
+                if times[n] > 0
             }
-        )
-    )
+            out["slope"] = {
+                "sf": round(sf * factor, 4),
+                "factor": factor,
+                "gen_sec": gen_s,
+                "queries": big,
+                "ratio_vs_linear": ratios,
+                "superlinear": sorted(
+                    n for n, r in ratios.items() if r > 1.3
+                ),
+            }
+        except Exception as exc:  # slope is diagnostic; never fail the bench
+            out["slope_error"] = f"{type(exc).__name__}: {exc}"
+
+    print(json.dumps(out))
     spark.stop()
 
 

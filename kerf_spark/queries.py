@@ -3897,11 +3897,44 @@ _R01_GREEN = [
 ]
 
 
+# Within the unverified block, run operator-family proof first (dedup/
+# ANN pipelines, TPC-H shapes, as-of variants, workspace, streaming,
+# salted ops, this round's new entries) so a capped sweep still covers
+# the highest-information rows; scalar-function micro-queries follow.
+_PRIORITY_FIRST = [
+    "group_vector_by", "differ_runs", "math_funcs",
+    "minhash_dedup_pairs", "minhash_portable_pairs",
+    "simhash_near_pairs", "simhash_portable_pairs",
+    "ngram_jaccard_pairs", "dup_clusters_docs",
+    "lsh_ann_topk", "lsh_ann_topk_oracle",
+    "ivf_ann_topk", "ivf_ann_topk_oracle",
+    "cosine_topk_exact", "cosine_neardup_pairs",
+    "multimodal_meta", "multimodal_features",
+    "lang_id_docs", "fingerprint_docs",
+    "hash_sample_docs", "train_val_test_split",
+    "salted_agg_hotkey", "salted_join_hotkey",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_values",
+    "q12_shipmode_classes", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive",
+    "q20_potential_promotion", "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "asof_merge_latest_order", "asof_forward_next_purchase",
+    "ema_smoother", "ema_exact",
+    "kerfsql_tick_idioms", "kerfsql_update_agg",
+    "narrow_width_roundtrip", "workspace_roundtrip",
+    "stream_window_counts", "stream_dedup_batch",
+]
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     green = [k for k in _R01_GREEN if k in QUERIES]
-    front = [k for k in QUERIES if k not in set(green)]
-    ordered = front + green
+    pri = [k for k in _PRIORITY_FIRST if k in QUERIES]
+    taken = set(green) | set(pri)
+    rest = [k for k in QUERIES if k not in taken]
+    ordered = pri + rest + green
     QUERIES = {k: QUERIES[k] for k in ordered}
     ORACLES = {k: ORACLES[k] for k in ordered if k in ORACLES}
 

@@ -54,6 +54,7 @@ def get_spark(
     cluster leave it unset and submit through spark-submit — nothing here
     assumes single-node.
     """
+    local = master is None
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -62,6 +63,14 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
 
     b = SparkSession.builder.appName(app_name).master(master)
+    if local:
+        # local mode: the driver JVM hosts every executor thread, and
+        # Spark's 1g default heap can't even build a mid-size broadcast
+        # relation — size it for the box (only honored at JVM launch)
+        b = b.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in ENGINE_CONFS.items():
         b = b.config(k, v)
