@@ -1,1 +1,1 @@
-from . import kerfsql  # noqa: F401
+from . import kerf_lang, kerfsql  # noqa: F401

@@ -1,0 +1,1140 @@
+"""Kerf language front-end: scripts, lambdas, adverbs, control flow.
+
+The reference lexes and parses the full kerf language — lambdas
+``{[x,y] ...}`` (parser.h:471-486, lexer.h:85 TOKEN_GROUP_LAMBDA_ARGS),
+control flow ``def/if/do/while/for`` (lexer.h:572-581 The_Reserved),
+verb/adverb phrases (parser.h:442-507, adverbs.h:33-120 fold/unfold),
+reserved literals ``inf/nan/nil/null/true/false`` (lexer.h:101-102) and
+embedded SQL statements (lexer.h:103-104) — but its kerf2 interpreter
+is a stub that prints the parse tree and returns NIL (interpreter.h:8-24).
+Executable semantics therefore follow kerf1's published surface: C/JSON
+syntax, ``name: expr`` assignment, standard arithmetic precedence,
+space-separated vector strands, JSON array/map literals, and infix
+adverbs (``f mapdown v``, ``+ fold v``).
+
+Spark-first split — the point of this module is that *nothing* here
+puts table data on the Python slow path:
+
+* **table plane**: expressions that touch table columns are carried as
+  SQL text fragments (:class:`SqlExpr`) and land in Catalyst via
+  ``plans.kerfsql``.  A user lambda applied to a column is *traced*:
+  its body is evaluated once with the parameters bound to SQL
+  fragments, producing a pure SQL expression — a Catalyst expression,
+  never a Python UDF.  Script variables referenced inside a query are
+  inlined as literals at translate time (kerf1 queries read local
+  vars).  At 100 TB the script is driver-side control; every scan,
+  join and aggregate it issues is a plain Spark SQL plan.
+* **local plane**: scalars and small vectors (numpy) evaluate on the
+  driver, exactly like the reference's in-memory interpreter; they
+  exist to parameterize queries, not to hold data.
+
+Example::
+
+    disc: {[p, d] p * (1 - d)}          // lambda -> Catalyst expr
+    caps: 2 3 4 * 10                    // strand + vector arithmetic
+    cut: + fold caps                    // fold adverb -> 90
+    r: select rev: sum(disc(l_extendedprice, l_discount))
+       by l_returnflag from lineitem where l_quantity < cut / 3
+    r
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import (
+    ArityError,
+    ArgsError,
+    KerfTypeError,
+    LexError,
+    ParseError,
+    ParseIncompleteError,
+    ParseUnmatchedError,
+    RankError,
+    ReferenceError_,
+)
+from .kerfsql import kerf_sql
+
+# --------------------------------------------------------------- lexer
+
+_SQL_STARTS = ("select", "update", "insert", "upsert", "delete")
+_ADVERBS = ("mapdown", "mapback", "mapleft", "mapright", "fold", "unfold",
+            "mapcores", "each")  # mapcores/each alias mapdown (adverbs.h:33)
+_KEYWORDS = ("if", "else", "while", "for", "do", "def", "function",
+             "return")
+_RESERVED_LITS = {
+    "true": True, "false": False, "null": None, "nil": None,
+    "inf": math.inf, "infinity": math.inf, "nan": math.nan,
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>[ \t\r]+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
+  | (?P<str>"(?:\\.|[^"\\])*")
+  | (?P<name>[A-Za-z_]\w*)
+  | (?P<verb><=|>=|==|!=|<>|[-+*/%<>=&|!])
+  | (?P<punct>[(){}\[\],;:\n])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\", "0": "\0"}
+
+
+class Tok:
+    __slots__ = ("kind", "text", "pos")
+
+    def __init__(self, kind: str, text: str, pos: int):
+        self.kind, self.text, self.pos = kind, text, pos
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.kind}:{self.text!r}"
+
+
+def lex(src: str) -> list[Tok]:
+    """Tokenize one statement's expression text (kerf classes per
+    lexer.h:27-60: numbers, strings, names, verb symbols, adverb words,
+    separators; the dash-grab rule of parser.h:280-340 — ``-`` merges
+    into a following number literal only when nothing bindable precedes
+    — is applied so strands like ``1 -2 3`` subtract while ``f(-2)``
+    negates)."""
+    toks: list[Tok] = []
+    i, n = 0, len(src)
+    while i < n:
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise LexError(f"unlexable character {src[i]!r} at {i} in kerf source")
+        i = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        text = m.group()
+        if m.lastgroup == "num":
+            # dash-grab (parser.h:280-340): unary minus folds into the
+            # literal when the previous token can't be a left operand
+            if (
+                toks
+                and toks[-1].kind == "verb"
+                and toks[-1].text == "-"
+                and (
+                    len(toks) < 2
+                    or toks[-2].kind in ("verb", "adverb")
+                    or (toks[-2].kind == "punct" and toks[-2].text in "([{,;:\n")
+                )
+            ):
+                toks.pop()
+                toks.append(Tok("num", "-" + text, m.start() - 1))
+            else:
+                toks.append(Tok("num", text, m.start()))
+        elif m.lastgroup == "str":
+            body = text[1:-1]
+            out, j = [], 0
+            while j < len(body):
+                if body[j] == "\\" and j + 1 < len(body):
+                    out.append(_ESCAPES.get(body[j + 1], body[j + 1]))
+                    j += 2
+                else:
+                    out.append(body[j])
+                    j += 1
+            toks.append(Tok("str", "".join(out), m.start()))
+        elif m.lastgroup == "name":
+            low = text.lower()
+            if low in _ADVERBS:
+                toks.append(Tok("adverb", low, m.start()))
+            elif low in _KEYWORDS:
+                toks.append(Tok("kw", low, m.start()))
+            else:
+                toks.append(Tok("name", text, m.start()))
+        elif m.lastgroup == "verb":
+            toks.append(Tok("verb", text, m.start()))
+        elif text == "\n":
+            continue  # statement-level newlines are split before lexing
+        else:
+            toks.append(Tok("punct", text, m.start()))
+    toks.append(Tok("eof", "", n))
+    return toks
+
+
+# ----------------------------------------------------- statement split
+
+_OPENS, _CLOSES = "([{", ")]}"
+
+
+def split_statements(src: str) -> list[str]:
+    """Split a script into top-level statements on ``;`` and newlines,
+    depth-aware (braces/brackets/parens, strings, comments survive
+    intact — TOKEN_GROUP_SEPARATION in lexer.h:83)."""
+    stmts, cur, depth = [], [], 0
+    i, n = 0, len(src)
+    while i < n:
+        ch = src[i]
+        if ch == '"':
+            j = i + 1
+            while j < n and src[j] != '"':
+                j += 2 if src[j] == "\\" else 1
+            if j >= n:
+                raise ParseUnmatchedError("unterminated string in kerf source")
+            cur.append(src[i: j + 1])
+            i = j + 1
+            continue
+        if src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i)
+            if j < 0:
+                raise ParseUnmatchedError("unterminated /* comment in kerf source")
+            i = j + 2
+            continue
+        if ch in _OPENS:
+            depth += 1
+        elif ch in _CLOSES:
+            depth -= 1
+            if depth < 0:
+                raise ParseUnmatchedError(f"unmatched {ch!r} in kerf source")
+        if depth == 0 and ch in ";\n":
+            s = "".join(cur).strip()
+            if s:
+                stmts.append(s)
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if depth:
+        raise ParseIncompleteError("unclosed bracket in kerf source")
+    s = "".join(cur).strip()
+    if s:
+        stmts.append(s)
+    # re-attach `else` continuations split by a newline after `}`
+    out: list[str] = []
+    for s in stmts:
+        if out and re.match(r"(?i)^else\b", s):
+            out[-1] += " " + s
+        else:
+            out.append(s)
+    return out
+
+
+# ------------------------------------------------------------ values
+
+class SqlExpr:
+    """A table-plane expression carried as SQL text (lands in Catalyst
+    through plans.kerfsql; never a Python UDF)."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.text = text
+
+    def __repr__(self):  # pragma: no cover
+        return f"SqlExpr({self.text})"
+
+
+class KerfLambda:
+    """``{[x,y] body}`` (parser.h:471-486).  Callable on local values
+    (interpreted) or on SqlExpr args (traced to one SQL expression)."""
+
+    def __init__(self, params: list[str], body: list[str], env: "Env",
+                 name: str = "lambda"):
+        self.params, self.body, self.env, self.name = params, body, env, name
+
+    def __call__(self, interp: "Interp", args: list[Any]) -> Any:
+        if len(args) != len(self.params):
+            raise ArityError(
+                f"{self.name} takes {len(self.params)} args, got {len(args)}"
+            )
+        local = Env(parent=self.env)
+        for p, a in zip(self.params, args):
+            local.set_local(p, a)
+        ret = None
+        for stmt in self.body:
+            ret = interp.exec_stmt(stmt, local)
+            if local.returned:
+                return local.return_value
+        return ret
+
+
+class Env:
+    """Lexically scoped variable chain (lambda locals over globals)."""
+
+    def __init__(self, parent: "Env | None" = None):
+        self.vars: dict[str, Any] = {}
+        self.parent = parent
+        self.returned = False
+        self.return_value: Any = None
+
+    def get(self, name: str) -> Any:
+        e: Env | None = self
+        while e is not None:
+            if name in e.vars:
+                return e.vars[name]
+            e = e.parent
+        raise ReferenceError_(f"undefined name: {name}")
+
+    def has(self, name: str) -> bool:
+        e: Env | None = self
+        while e is not None:
+            if name in e.vars:
+                return True
+            e = e.parent
+        return False
+
+    def set_local(self, name: str, value: Any) -> None:
+        self.vars[name] = value
+
+    def assign(self, name: str, value: Any) -> None:
+        """kerf scoping: assignment binds in the innermost scope unless
+        the name already exists in an enclosing one."""
+        e: Env | None = self
+        while e is not None:
+            if name in e.vars:
+                e.vars[name] = value
+                return
+            e = e.parent
+        self.vars[name] = value
+
+
+def _truthy(v: Any) -> bool:
+    """Local-plane kerf truthiness (slop.h:919-933): numeric 0/NaN,
+    NULL, empty string/vector are falsy."""
+    if v is None:
+        return False
+    if isinstance(v, np.generic):  # numpy scalar (np.bool_ is not bool)
+        v = v.item()
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return not (v == 0 or (isinstance(v, float) and math.isnan(v)))
+    if isinstance(v, str):
+        return len(v) > 0 and v != "\0"
+    if isinstance(v, np.ndarray):
+        return v.size > 0
+    if isinstance(v, (list, dict)):
+        return len(v) > 0
+    if isinstance(v, SqlExpr):
+        raise KerfTypeError(
+            "table-plane expression in a driver-side conditional; use "
+            "ifelse(cond, a, b) inside lambdas applied to columns"
+        )
+    return True
+
+
+def _sql_lit(v: Any) -> str:
+    """Render a local value as a SQL literal (for tracing lambdas and
+    inlining script variables into queries)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(float(v))
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, np.ndarray):
+        return "(" + ", ".join(_sql_lit(x) for x in v.tolist()) + ")"
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_sql_lit(x) for x in v) + ")"
+    raise KerfTypeError(f"cannot inline {type(v).__name__} into SQL")
+
+
+# ------------------------------------------------------------- verbs
+
+def _np(v):
+    return np.asarray(v) if isinstance(v, (list, tuple)) else v
+
+
+def _conform(a, b):
+    aa, ba = isinstance(a, np.ndarray), isinstance(b, np.ndarray)
+    if aa and ba and a.shape != b.shape:
+        raise RankError(
+            f"length mismatch: {a.shape[0]} vs {b.shape[0]}"
+        )
+
+
+_BIN_SQL = {
+    "+": "+", "-": "-", "*": "*", "/": "/", "%": "%",
+    "<": "<", "<=": "<=", ">": ">", ">=": ">=",
+    "=": "=", "==": "=", "!=": "<>", "<>": "<>",
+    "&": "AND", "|": "OR",
+}
+
+
+def _bin(op: str, a: Any, b: Any) -> Any:
+    """Dyadic verb dispatch: SqlExpr operand -> SQL text; else numpy/
+    scalar arithmetic with kerf verbs (`/` true division, `%` mod)."""
+    if isinstance(a, SqlExpr) or isinstance(b, SqlExpr):
+        at = a.text if isinstance(a, SqlExpr) else _sql_lit(a)
+        bt = b.text if isinstance(b, SqlExpr) else _sql_lit(b)
+        return SqlExpr(f"({at} {_BIN_SQL[op]} {bt})")
+    a, b = _np(a), _np(b)
+    _conform(a, b)
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b  # kerf divide is true division
+    if op == "%":
+        return np.mod(a, b) if isinstance(a, np.ndarray) or isinstance(b, np.ndarray) else a % b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    if op in ("=", "=="):
+        return a == b
+    if op in ("!=", "<>"):
+        return a != b
+    if op == "&":
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            return np.logical_and(a, b)
+        return _truthy(a) and _truthy(b)
+    if op == "|":
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            return np.logical_or(a, b)
+        return _truthy(a) or _truthy(b)
+    raise KerfTypeError(f"unknown verb {op}")  # pragma: no cover
+
+
+def _unary(op: str, a: Any) -> Any:
+    if isinstance(a, SqlExpr):
+        return SqlExpr(f"(-{a.text})" if op == "-" else f"(NOT {a.text})")
+    if op == "-":
+        return -_np(a)
+    v = _np(a)
+    if isinstance(v, np.ndarray):
+        return np.logical_not(v)
+    return not _truthy(v)
+
+
+# builtin verbs: name -> (local impl, sql rendering or None)
+def _loc_count(x):
+    if isinstance(x, DataFrame):
+        return x.count()
+    return len(x) if hasattr(x, "__len__") else 1
+
+
+_BUILTINS: dict[str, tuple[Any, str | None]] = {
+    "abs": (lambda x: np.abs(_np(x)), "abs({0})"),
+    "floor": (lambda x: np.floor(_np(x)), "floor({0})"),
+    "ceil": (lambda x: np.ceil(_np(x)), "ceiling({0})"),
+    "sqrt": (lambda x: np.sqrt(_np(x)), "sqrt({0})"),
+    "exp": (lambda x: np.exp(_np(x)), "exp({0})"),
+    "ln": (lambda x: np.log(_np(x)), "ln({0})"),
+    "log": (lambda x: np.log(_np(x)), "ln({0})"),
+    "round": (lambda x, n=0: np.round(_np(x), int(n)), "round({0}, {1})"),
+    "pow": (lambda x, y: np.power(_np(x), _np(y)), "power({0}, {1})"),
+    "sum": (lambda x: np.sum(_np(x)), "sum({0})"),
+    "avg": (lambda x: np.mean(_np(x)), "avg({0})"),
+    "mean": (lambda x: np.mean(_np(x)), "avg({0})"),
+    "min": (lambda x: np.min(_np(x)), "min({0})"),
+    "max": (lambda x: np.max(_np(x)), "max({0})"),
+    "count": (_loc_count, "count({0})"),
+    "len": (_loc_count, "length({0})"),
+    "first": (lambda x: _np(x)[0], "first({0})"),
+    "last": (lambda x: _np(x)[-1], "last({0})"),
+    "reverse": (lambda x: _np(x)[::-1], "reverse({0})"),
+    "distinct": (lambda x: np.unique(_np(x)), None),
+    "unique": (lambda x: np.unique(_np(x)), None),
+    "asc": (lambda x: np.sort(_np(x)), None),
+    "desc": (lambda x: np.sort(_np(x))[::-1], None),
+    "til": (lambda n: np.arange(int(n)), None),
+    "range": (lambda n: np.arange(int(n)), None),
+    "take": (lambda n, x: np.resize(_np(x), int(n)), None),  # cyclic take
+    "drop": (lambda n, x: _np(x)[int(n):] if n >= 0 else _np(x)[: int(n)], None),
+    "where": (lambda b: np.nonzero(_np(b))[0], None),
+    "deltas": (lambda x: np.concatenate(([_np(x)[0]], np.diff(_np(x)))), None),
+    "lower": (lambda s: s.lower(), "lower({0})"),
+    "upper": (lambda s: s.upper(), "upper({0})"),
+    "trim": (lambda s: s.strip(), "trim({0})"),
+    "ifelse": (lambda c, a, b: a if _truthy(c) else b,
+               "(CASE WHEN {0} THEN {1} ELSE {2} END)"),
+}
+
+
+# ------------------------------------------------------------- parser
+
+class _ExprParser:
+    """Pratt parser over the token list for a single expression."""
+
+    def __init__(self, src: str, toks: list[Tok], interp: "Interp", env: Env):
+        self.src = src
+        self.toks, self.i = toks, 0
+        self.interp, self.env = interp, env
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise ParseError(
+                f"expected {text or kind}, got {t.text!r} in kerf expression"
+            )
+        return t
+
+    # precedence climbing: | < & < (=,!=) < (<,<=,>,>=) < (+,-) < (*,/,%)
+    _LEVELS = [("|",), ("&",), ("=", "==", "!=", "<>"),
+               ("<", "<=", ">", ">="), ("+", "-"), ("*", "/", "%")]
+
+    def parse(self) -> Any:
+        v = self._level(0)
+        return v
+
+    def _level(self, lv: int) -> Any:
+        if lv == len(self._LEVELS):
+            return self._unary()
+        left = self._level(lv + 1)
+        while (
+            self.peek().kind == "verb"
+            and self.peek().text in self._LEVELS[lv]
+            # a verb followed by an adverb is a verb *reference* operand
+            # (`x + - mapback v` stays (x + ((-) mapback v)))
+            and self.toks[self.i + 1].kind != "adverb"
+        ):
+            op = self.next().text
+            right = self._level(lv + 1)
+            left = _bin(op, left, right)
+        return left
+
+    def _unary(self) -> Any:
+        t = self.peek()
+        if t.kind == "verb" and t.text in ("-", "!"):
+            if self.toks[self.i + 1].kind == "adverb":
+                return self._postfix(self._primary())
+            self.next()
+            return _unary(t.text, self._unary())
+        return self._postfix(self._primary())
+
+    def _postfix(self, v: Any) -> Any:
+        while True:
+            t = self.peek()
+            if t.kind == "punct" and t.text == "(" and not isinstance(v, DataFrame):
+                if not self._callable(v):
+                    raise KerfTypeError(
+                        f"value of type {type(v).__name__} is not callable"
+                    )
+                self.next()
+                args = self._args(")")
+                v = self.interp.call(v, args)
+            elif t.kind == "punct" and t.text == "[":
+                self.next()
+                args = self._args("]")
+                if self._callable(v):
+                    v = self.interp.call(v, args)  # f[x,y] call form
+                else:
+                    v = self.interp.index(v, args)
+            elif t.kind == "adverb":
+                adv = self.next().text
+                operand = self._unary()
+                v = self.interp.adverb(adv, v, operand)
+            else:
+                return v
+
+    @staticmethod
+    def _callable(v: Any) -> bool:
+        return isinstance(v, (KerfLambda, _Builtin, _VerbRef))
+
+    def _args(self, close: str) -> list[Any]:
+        args: list[Any] = []
+        if self.peek().kind == "punct" and self.peek().text == close:
+            self.next()
+            return args
+        while True:
+            args.append(self._level(0))
+            t = self.next()
+            if t.kind == "punct" and t.text == close:
+                return args
+            if not (t.kind == "punct" and t.text == ","):
+                raise ParseUnmatchedError(
+                    f"expected ',' or {close!r}, got {t.text!r}"
+                )
+
+    def _primary(self) -> Any:
+        t = self.next()
+        if t.kind == "num":
+            v = self._number(t.text)
+            # strand: consecutive number literals form a vector
+            if self.peek().kind == "num":
+                vals = [v]
+                while self.peek().kind == "num":
+                    vals.append(self._number(self.next().text))
+                return np.array(vals)
+            return v
+        if t.kind == "str":
+            return t.text
+        if t.kind == "name":
+            low = t.text.lower()
+            if low in _RESERVED_LITS:
+                return _RESERVED_LITS[low]
+            if self.env.has(t.text):
+                return self.env.get(t.text)
+            if low in _BUILTINS:
+                return _Builtin(low)
+            raise ReferenceError_(f"undefined name: {t.text}")
+        if t.kind == "verb":
+            # prefix verb reference: `+ fold v`, `- mapback v`, `+(1,2)`
+            nxt = self.peek()
+            if nxt.kind == "adverb" or (
+                nxt.kind == "punct" and nxt.text in "(["
+            ):
+                return _VerbRef(t.text)
+            raise ParseError(
+                f"verb {t.text!r} needs an adverb or argument list here"
+            )
+        if t.kind == "punct" and t.text == "(":
+            v = self._level(0)
+            self.expect("punct", ")")
+            return v
+        if t.kind == "punct" and t.text == "[":
+            items = self._args("]")
+            if items and all(isinstance(x, (int, float, np.integer, np.floating))
+                             and not isinstance(x, bool) for x in items):
+                return np.array(items)
+            return items
+        if t.kind == "punct" and t.text == "{":
+            return self._brace(t.pos)
+        if t.kind == "adverb" and t.text in ("mapleft", "mapright"):
+            return _Builtin(t.text)  # call form: mapleft(f, xs, y)
+        raise ParseError(f"unexpected token {t.text!r} in kerf expression")
+
+    @staticmethod
+    def _number(s: str):
+        return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
+
+    def _brace(self, open_pos: int) -> Any:
+        """`{` already consumed: lambda `{[x] ...}` or JSON map
+        `{k: v, ...}` (kerf is a JSON superset; the brace group is
+        TOKEN_GROUP_CURLY_BRACE, lexer.h:80).  The body is captured as a
+        raw source span so lambda statements re-parse per call."""
+        end = _match_delim(self.src, open_pos, "{", "}")
+        body = self.src[open_pos + 1: end]
+        # advance the token cursor past everything inside the braces
+        while self.toks[self.i].kind != "eof" and self.toks[self.i].pos <= end:
+            self.i += 1
+        stripped = body.lstrip()
+        if stripped.startswith("["):
+            boff = open_pos + 1 + (len(body) - len(stripped))
+            bend = _match_delim(self.src, boff, "[", "]")
+            params = [
+                p.strip()
+                for p in self.src[boff + 1: bend].split(",")
+                if p.strip()
+            ]
+            for p in params:
+                if not re.fullmatch(r"[A-Za-z_]\w*", p):
+                    raise ParseError(f"bad lambda parameter {p!r}")
+            rest = self.src[bend + 1: end]
+            return KerfLambda(params, split_statements(rest), self.env)
+        # JSON map literal: `key: expr` pairs, keys are names or strings
+        out: dict[str, Any] = {}
+        if not stripped:
+            return out
+        for item in _depth_split(body, ","):
+            m = re.match(r'\s*(?:([A-Za-z_]\w*)|"((?:\\.|[^"\\])*)")\s*:(.*)$',
+                         item, re.DOTALL)
+            if not m:
+                raise ParseError(f"bad map entry {item.strip()!r}")
+            key = m.group(1) if m.group(1) is not None else m.group(2)
+            out[key] = self.interp.eval_expr(m.group(3), self.env)
+        return out
+
+
+class _Builtin:
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+class _VerbRef:
+    __slots__ = ("op",)
+
+    def __init__(self, op: str):
+        self.op = op
+
+
+def _match_delim(src: str, open_i: int, op: str, cl: str) -> int:
+    """Index of the delimiter matching ``src[open_i]``, skipping strings
+    and comments."""
+    depth, i, n = 0, open_i, len(src)
+    while i < n:
+        ch = src[i]
+        if ch == '"':
+            j = i + 1
+            while j < n and src[j] != '"':
+                j += 2 if src[j] == "\\" else 1
+            i = j + 1
+            continue
+        if src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if src.startswith("/*", i):
+            j = src.find("*/", i)
+            if j < 0:
+                raise ParseUnmatchedError("unterminated /* comment")
+            i = j + 2
+            continue
+        if ch == op:
+            depth += 1
+        elif ch == cl:
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ParseIncompleteError(f"unmatched {op!r} in kerf source")
+
+
+# -------------------------------------------------------- interpreter
+
+_NAME_RE = re.compile(r"\b([A-Za-z_]\w*)\b")
+
+
+def _string_mask(sql: str) -> list[bool]:
+    """True at positions inside single-quoted SQL string literals."""
+    mask = [False] * len(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            for k in range(i, min(j + 1, n)):
+                mask[k] = True
+            i = j + 1
+        else:
+            i += 1
+    return mask
+_SQL_KEYWORDS = frozenset(
+    "select update insert upsert delete from where group by order limit "
+    "asc desc on set values into and or not as in like between case when "
+    "then else end is null distinct having join left right inner outer "
+    "true false".split()
+)
+
+
+class Interp:
+    """Statement executor.  One instance per script run."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ---- adverbs (adverbs.h:33-120; kerf1 words) ----
+    def adverb(self, adv: str, f: Any, operand: Any) -> Any:
+        call = lambda *a: self.call(f, list(a))  # noqa: E731
+        if adv in ("mapdown", "each", "mapcores"):
+            v = _np(operand)
+            if not isinstance(v, np.ndarray) and not isinstance(v, list):
+                return call(v)
+            return np.array([call(x) for x in v])
+        if adv == "fold":
+            v = _np(operand)
+            if len(v) == 0:
+                raise ArgsError("fold over empty vector")
+            acc = v[0]
+            for x in v[1:]:
+                acc = call(acc, x)
+            return acc
+        if adv == "unfold":
+            v = _np(operand)
+            out, acc = [], None
+            for k, x in enumerate(v):
+                acc = x if k == 0 else call(acc, x)
+                out.append(acc)
+            return np.array(out)
+        if adv == "mapback":
+            v = _np(operand)
+            out = [v[0]] if len(v) else []
+            for k in range(1, len(v)):
+                out.append(call(v[k], v[k - 1]))
+            return np.array(out)
+        if adv in ("mapleft", "mapright"):
+            raise ArgsError(
+                f"{adv} needs both operands: use {adv}(f, xs, y)"
+            )
+        raise ParseError(f"unknown adverb {adv}")  # pragma: no cover
+
+    # ---- calls ----
+    def call(self, f: Any, args: list[Any]) -> Any:
+        if isinstance(f, KerfLambda):
+            return f(self, args)
+        if isinstance(f, _VerbRef):
+            if len(args) == 1:
+                return _unary(f.op, args[0])
+            if len(args) == 2:
+                return _bin(f.op, args[0], args[1])
+            raise ArityError(f"verb {f.op} takes 1 or 2 args")
+        if isinstance(f, _Builtin):
+            name = f.name
+            if name in ("mapleft", "mapright"):
+                # each with one bound arg (adverbs.h:44-46): mapleft
+                # varies the left operand, mapright the right
+                if len(args) != 3:
+                    raise ArityError(f"{name}(f, xs, y) takes 3 args")
+                g, a, b = args
+                if name == "mapleft":
+                    return np.array([self.call(g, [x, b]) for x in _np(a)])
+                return np.array([self.call(g, [a, y]) for y in _np(b)])
+            local, sqlfmt = _BUILTINS[name]
+            if any(isinstance(a, SqlExpr) for a in args):
+                if sqlfmt is None:
+                    raise KerfTypeError(
+                        f"{name} has no table-plane rendering"
+                    )
+                if name == "round" and len(args) == 1:
+                    args = args + [0]
+                texts = [
+                    a.text if isinstance(a, SqlExpr) else _sql_lit(a)
+                    for a in args
+                ]
+                return SqlExpr(sqlfmt.format(*texts))
+            return local(*args)
+        raise KerfTypeError(f"value of type {type(f).__name__} is not callable")
+
+    # ---- indexing ----
+    def index(self, v: Any, idx: list[Any]) -> Any:
+        if len(idx) != 1:
+            raise RankError("kerf indexing takes one subscript")
+        i = idx[0]
+        if isinstance(v, dict):
+            return v[i]
+        if isinstance(v, np.ndarray):
+            if isinstance(i, np.ndarray):
+                return v[i.astype(np.int64)]
+            return v[int(i)].item() if np.isscalar(v[int(i)]) else v[int(i)]
+        if isinstance(v, (list, str)):
+            if isinstance(i, np.ndarray):
+                return [v[int(k)] for k in i]
+            return v[int(i)]
+        raise KerfTypeError(f"cannot index {type(v).__name__}")
+
+    # ---- table statements ----
+    def _expand_lambdas(self, sql: str, env: Env) -> str:
+        """Trace user-lambda calls inside a SQL statement to pure SQL
+        expressions (repeatedly, so lambdas may call lambdas)."""
+        for _ in range(32):
+            mask = _string_mask(sql)
+            m = None
+            for cand in _NAME_RE.finditer(sql):
+                name = cand.group(1)
+                if mask[cand.start()]:
+                    continue
+                if env.has(name) and isinstance(env.get(name), KerfLambda):
+                    after = sql[cand.end():].lstrip()
+                    if after.startswith("("):
+                        m = cand
+                        break
+            if m is None:
+                return sql
+            fn: KerfLambda = env.get(m.group(1))
+            open_i = sql.index("(", m.end())
+            depth, j = 1, open_i + 1
+            while j < len(sql) and depth:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ParseUnmatchedError(f"unbalanced call of {m.group(1)}")
+            raw_args = _split_sql_args(sql[open_i + 1: j - 1])
+            traced = fn(self, [SqlExpr(f"({a.strip()})") for a in raw_args])
+            text = traced.text if isinstance(traced, SqlExpr) else _sql_lit(traced)
+            sql = sql[: m.start()] + text + sql[j:]
+        raise ParseError("lambda expansion did not terminate")
+
+    def _inline_vars(self, sql: str, env: Env) -> str:
+        """Inline script variables referenced by a query as literals
+        (kerf1 queries read local variables).  Env bindings shadow
+        column names — the user chose the names.  DataFrame-valued
+        variables stay symbolic (they are registered temp views)."""
+        out, last = [], 0
+        mask = _string_mask(sql)
+        for m in _NAME_RE.finditer(sql):
+            name = m.group(1)
+            if mask[m.start()]:
+                continue
+            if name.lower() in _SQL_KEYWORDS or not env.has(name):
+                continue
+            v = env.get(name)
+            if isinstance(v, (DataFrame, KerfLambda)):
+                continue
+            out.append(sql[last: m.start()])
+            out.append(_sql_lit(v))
+            last = m.end()
+        out.append(sql[last:])
+        return "".join(out)
+
+    def run_sql(self, stmt: str, env: Env) -> DataFrame:
+        stmt = self._expand_lambdas(stmt, env)
+        stmt = self._inline_vars(stmt, env)
+        return kerf_sql(self.spark, stmt)
+
+    # ---- statements ----
+    def eval_expr(self, src: str, env: Env) -> Any:
+        p = _ExprParser(src, lex(src), self, env)
+        v = p.parse()
+        if p.peek().kind != "eof":
+            raise ParseError(
+                f"trailing tokens after expression: {p.peek().text!r}"
+            )
+        return v
+
+    def exec_stmt(self, stmt: str, env: Env) -> Any:
+        s = stmt.strip()
+        if not s:
+            return None
+        head = re.match(r"[A-Za-z_]\w*", s)
+        kw = head.group(0).lower() if head else ""
+
+        if kw in _SQL_STARTS:
+            return self.run_sql(s, env)
+
+        if kw == "return":
+            v = self.eval_expr(s[len("return"):].strip() or "null", env)
+            env.returned = True
+            env.return_value = v
+            return v
+
+        if kw in ("def", "function"):
+            m = re.match(r"(?is)^(?:def|function)\s+([A-Za-z_]\w*)\s*"
+                         r"[\(\[](.*?)[\)\]]\s*\{(.*)\}\s*$", s)
+            if not m:
+                raise ParseError(f"cannot parse function definition: {s!r}")
+            name, params, body = m.groups()
+            ps = [p.strip() for p in params.split(",") if p.strip()]
+            env.assign(name, KerfLambda(ps, split_statements(body), env, name))
+            return None
+
+        if kw == "if":
+            return self._exec_if(s, env)
+        if kw == "while":
+            cond, body, rest = _head_block(s, "while")
+            if rest:
+                raise ParseError(f"trailing text after while block: {rest!r}")
+            guard = 0
+            while _truthy(self.eval_expr(cond, env)):
+                self._exec_block(body, env)
+                if env.returned:
+                    return env.return_value
+                guard += 1
+                if guard > 1_000_000:
+                    raise ArgsError("while loop exceeded 1e6 iterations")
+            return None
+        if kw == "do":
+            m = re.match(r"(?is)^do\s*\{(.*)\}\s*while\s*\((.*)\)\s*$", s)
+            if not m:
+                raise ParseError(f"cannot parse do-while: {s!r}")
+            body, cond = m.groups()
+            while True:
+                self._exec_block(body, env)
+                if env.returned:
+                    return env.return_value
+                if not _truthy(self.eval_expr(cond, env)):
+                    return None
+        if kw == "for":
+            parts, body, rest = _head_block(s, "for")
+            if rest:
+                raise ParseError(f"trailing text after for block: {rest!r}")
+            init, cond, step = (p.strip() for p in _split_semis(parts))
+            if init:
+                self.exec_stmt(init, env)
+            while (not cond) or _truthy(self.eval_expr(cond, env)):
+                self._exec_block(body, env)
+                if env.returned:
+                    return env.return_value
+                if step:
+                    self.exec_stmt(step, env)
+            return None
+
+        # assignment: `name: expr` / compound `name +: expr`
+        m = re.match(r"^([A-Za-z_]\w*)\s*([-+*/%]?):(?!=)\s*(.+)$", s, re.DOTALL)
+        if m and m.group(1).lower() not in _SQL_KEYWORDS:
+            name, op, rhs = m.groups()
+            rhead = re.match(r"[A-Za-z_]\w*", rhs.strip())
+            if rhead and rhead.group(0).lower() in _SQL_STARTS:
+                v = self.run_sql(rhs.strip(), env)
+            else:
+                v = self.eval_expr(rhs, env)
+            if op:
+                v = _bin(op, env.get(name), v)
+            env.assign(name, v)
+            if isinstance(v, DataFrame):
+                v.createOrReplaceTempView(name)
+            return v
+
+        # indexed amend `name[i]: expr`
+        m = re.match(r"^([A-Za-z_]\w*)\s*\[(.+?)\]\s*:(?!=)\s*(.+)$", s, re.DOTALL)
+        if m:
+            name, isrc, rhs = m.groups()
+            tgt = env.get(name)
+            i = self.eval_expr(isrc, env)
+            v = self.eval_expr(rhs, env)
+            if isinstance(tgt, dict):
+                tgt[i] = v
+            elif isinstance(tgt, np.ndarray):
+                tgt[int(i)] = v
+            elif isinstance(tgt, list):
+                tgt[int(i)] = v
+            else:
+                raise KerfTypeError(f"cannot amend {type(tgt).__name__}")
+            return v
+
+        return self.eval_expr(s, env)
+
+    def _exec_if(self, s: str, env: Env) -> Any:
+        cond, body, rest = _head_block(s, "if")
+        if _truthy(self.eval_expr(cond, env)):
+            self._exec_block(body, env)
+            return env.return_value if env.returned else None
+        rest = rest.strip()
+        if rest.lower().startswith("else"):
+            rest = rest[4:].strip()
+            if rest.lower().startswith("if"):
+                return self._exec_if(rest, env)
+            m = re.match(r"(?s)^\{(.*)\}\s*$", rest)
+            if not m:
+                raise ParseError(f"cannot parse else block: {rest!r}")
+            self._exec_block(m.group(1), env)
+            return env.return_value if env.returned else None
+        if rest:
+            raise ParseError(f"trailing text after if block: {rest!r}")
+        return None
+
+    def _exec_block(self, body: str, env: Env) -> None:
+        for st in split_statements(body):
+            self.exec_stmt(st, env)
+            if env.returned:
+                return
+
+
+def _split_semis(parts: str) -> list[str]:
+    out = _depth_split(parts, ";")
+    if len(out) != 3:
+        raise ParseError("for(init; cond; step) needs three clauses")
+    return out
+
+
+def _depth_split(text: str, sep: str) -> list[str]:
+    out, cur, depth = [], [], 0
+    for ch in text:
+        if ch in _OPENS:
+            depth += 1
+        elif ch in _CLOSES:
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def _split_sql_args(text: str) -> list[str]:
+    return [a for a in _depth_split(text, ",")]
+
+
+def _head_block(s: str, kw: str) -> tuple[str, str, str]:
+    """Parse ``kw ( head ) { body } rest`` with balanced delimiters."""
+    i = len(kw)
+    while i < len(s) and s[i].isspace():
+        i += 1
+    if i >= len(s) or s[i] != "(":
+        raise ParseError(f"{kw} needs a parenthesized head")
+    depth, j = 1, i + 1
+    while j < len(s) and depth:
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise ParseUnmatchedError(f"unbalanced parens in {kw} head")
+    head = s[i + 1: j - 1]
+    k = j
+    while k < len(s) and s[k].isspace():
+        k += 1
+    if k >= len(s) or s[k] != "{":
+        raise ParseError(f"{kw} needs a braced body")
+    depth, m = 1, k + 1
+    while m < len(s) and depth:
+        if s[m] == "{":
+            depth += 1
+        elif s[m] == "}":
+            depth -= 1
+        m += 1
+    if depth:
+        raise ParseUnmatchedError(f"unbalanced braces in {kw} body")
+    return head, s[k + 1: m - 1], s[m:]
+
+
+# --------------------------------------------------------------- API
+
+def run(
+    spark: SparkSession,
+    source: str,
+    tables: dict[str, DataFrame] | None = None,
+    env: dict[str, Any] | None = None,
+) -> Any:
+    """Execute a kerf script; returns the last statement's value.
+
+    ``tables`` are registered as temp views for the script's SQL
+    statements; ``env`` seeds script variables.
+    """
+    interp = Interp(spark)
+    root = Env()
+    for name, value in (env or {}).items():
+        root.set_local(name, value)
+    for name, df in (tables or {}).items():
+        df.createOrReplaceTempView(name)
+        root.set_local(name, df)
+    ret = None
+    for stmt in split_statements(source):
+        ret = interp.exec_stmt(stmt, root)
+    return ret
+
+
+def run_df(
+    spark: SparkSession,
+    source: str,
+    tables: dict[str, DataFrame] | None = None,
+    env: dict[str, Any] | None = None,
+) -> DataFrame:
+    """`run` that requires the script to end in a table result."""
+    v = run(spark, source, tables=tables, env=env)
+    if not isinstance(v, DataFrame):
+        raise KerfTypeError(
+            f"script result is {type(v).__name__}, not a table"
+        )
+    return v

@@ -2130,6 +2130,99 @@ def kerfsql_tick_idioms(spark, sf):
 
 
 # =====================================================================
+# kerf language scripts (plans/kerf_lang.py): lambdas, adverbs, control
+# flow — the reference's full language surface (parser.h:471-486
+# lambdas, lexer.h:572-581 control keywords, adverbs.h:33-120)
+# =====================================================================
+
+@query(
+    "kerf_lang_pipeline",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+           count(*) AS n
+    FROM lineitem WHERE l_quantity < 30
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def kerf_lang_pipeline(spark, sf):
+    """A kerf script whose lambda is *traced* into the select: the body
+    evaluates once with parameters bound to SQL fragments, so the user's
+    ``disc`` function reaches Catalyst as a plain expression (zero
+    Python in the row path).  ``+ fold`` computes the filter constant
+    driver-side — wrong adverb semantics would flip the row set and
+    fail the oracle."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "disc: {[p, d] p * (1 - d)}\n"
+        "caps: 2 3 4 * 10\n"
+        "cut: + fold caps\n"
+        "select rev: round(sum(disc(l_extendedprice, l_discount)), 2),"
+        " n: count(*) by l_returnflag from lineitem"
+        " where l_quantity < cut / 3 order by l_returnflag",
+        tables={"lineitem": _t(spark, sf, "lineitem")},
+    )
+
+
+@query(
+    "kerf_lang_script",
+    """
+    SELECT count(*) AS nord, 55 AS sconst
+    FROM orders WHERE o_totalprice > 55 * 2000
+    """,
+)
+def kerf_lang_script(spark, sf):
+    """Control flow + adverbs parameterizing a query: ``mapdown`` a
+    lambda over ``til(6)``, ``fold`` it down (55), accumulate through a
+    ``for`` loop, then inline the scalar into the SQL statement the way
+    kerf1 queries read local variables (lexer.h:572-581 keywords;
+    interpreter semantics per kerf1's published manual)."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "sq: {[x] x * x}\n"
+        "v: sq mapdown til(6)\n"
+        "s: 0\n"
+        "for(i: 0; i < count(v); i +: 1) { s +: v[i] }\n"
+        "chk: + fold v\n"
+        "if (s != chk) { s: 0 - 1 }\n"
+        "select nord: count(*), sconst: s from orders"
+        " where o_totalprice > s * 2000",
+        tables={"orders": _t(spark, sf, "orders")},
+    )
+
+
+@query(
+    "kerf_lang_chain",
+    """
+    WITH r1 AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS tot
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*) AS n, round(avg(tot), 2) AS avgtot
+    FROM r1 WHERE tot > 500000
+    """,
+)
+def kerf_lang_chain(spark, sf):
+    """Multi-statement script: each ``name: select ...`` registers its
+    result as a temp view, so later statements query it — the kerf
+    workspace idiom (a script composes intermediate tables) expressed
+    as chained Catalyst plans in one session."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "r1: select tot: round(sum(o_totalprice), 2) by o_custkey from orders\n"
+        "select n: count(*), avgtot: round(avg(tot), 2) from r1"
+        " where tot > 500000",
+        tables={"orders": _t(spark, sf, "orders")},
+    )
+
+
+# =====================================================================
 # embedding-cosine near-duplicate pairs (LLM-pipeline dedup variant)
 # =====================================================================
 
@@ -3923,6 +4016,7 @@ _PRIORITY_FIRST = [
     "asof_merge_latest_order", "asof_forward_next_purchase",
     "ema_smoother", "ema_exact",
     "kerfsql_tick_idioms", "kerfsql_update_agg",
+    "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
     "narrow_width_roundtrip", "workspace_roundtrip",
     "stream_window_counts", "stream_dedup_batch",
 ]

@@ -1,0 +1,252 @@
+"""Unit tests for the kerf language front-end (plans/kerf_lang.py).
+
+Local-plane semantics run without Spark; table-plane tracing is checked
+at the SQL-text level (the oracle queries kerf_lang_* cover the full
+Spark round-trip).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from kerf_spark.errors import (
+    ArityError,
+    KerfTypeError,
+    ParseError,
+    RankError,
+    ReferenceError_,
+)
+from kerf_spark.plans import kerf_lang as KL
+
+
+class _FakeSpark:
+    pass
+
+
+def run(src, env=None):
+    interp = KL.Interp(_FakeSpark())
+    root = KL.Env()
+    for k, v in (env or {}).items():
+        root.set_local(k, v)
+    ret = None
+    for st in KL.split_statements(src):
+        ret = interp.exec_stmt(st, root)
+    return ret
+
+
+# ---------------------------------------------------------- expressions
+
+def test_arithmetic_precedence():
+    assert run("1 + 2 * 3") == 7
+    assert run("(1 + 2) * 3") == 9
+    assert run("10 / 4") == 2.5  # kerf divide is true division
+    assert run("7 % 3") == 1
+
+
+def test_comparison_and_logic():
+    assert run("3 < 4") is np.True_ or run("3 < 4") is True
+    assert bool(run("1 < 2 & 3 < 2")) is False
+    assert bool(run("1 < 2 | 3 < 2")) is True
+    assert bool(run("2 = 2")) is True
+    assert bool(run("2 != 2")) is False
+
+
+def test_strand_vector_literals():
+    np.testing.assert_array_equal(run("2 3 4 * 10"), [20, 30, 40])
+    # dash-grab (parser.h:280-340): minus after a number is subtraction
+    assert run("1 -2") == -1
+    np.testing.assert_array_equal(run("[5, 1, 4]"), [5, 1, 4])
+
+
+def test_reserved_literals():
+    assert run("null") is None
+    assert run("true") is True
+    assert math.isinf(run("inf"))
+    assert math.isnan(run("nan"))
+
+
+def test_json_map_literal():
+    m = run('{alpha: 1, "beta": 2 + 3}')
+    assert m == {"alpha": 1, "beta": 5}
+    assert run('m: {a: 1}; m["a"]') == 1
+
+
+def test_string_escapes():
+    assert run(r'"a\tb"') == "a\tb"
+    assert run('upper("abc")') == "ABC"
+
+
+# ---------------------------------------------------------- lambdas
+
+def test_lambda_call_both_forms():
+    assert run("f: {[x,y] x + y}; f(3, 4)") == 7
+    assert run("f: {[x,y] x + y}; f[3, 4]") == 7
+
+
+def test_lambda_arity_checked():
+    with pytest.raises(ArityError):
+        run("f: {[x,y] x + y}; f(3)")
+
+
+def test_lambda_return_short_circuits():
+    assert run("g: {[x] return x + 1; 99}; g(5)") == 6
+
+
+def test_lambda_closure_reads_globals():
+    assert run("k: 10; f: {[x] x * k}; f(3)") == 30
+
+
+def test_lambda_local_scope_isolated():
+    assert run("a: 1; f: {[x] a: x; a}; f(5)") == 5
+    # kerf assignment rebinds the enclosing name when it exists
+    assert run("a: 1; f: {[x] a: x; a}; f(5); a") == 5
+
+
+def test_sql_plane_trace():
+    out = run(
+        "sq: {[x] x * x}; sq",
+    )
+    interp = KL.Interp(_FakeSpark())
+    traced = out(interp, [KL.SqlExpr("(c)")])
+    assert traced.text == "((c) * (c))"
+
+
+def test_sql_plane_builtin_and_ifelse():
+    f = run("f: {[a] ifelse(a > 0, ln(a), 0 - 1)}; f")
+    interp = KL.Interp(_FakeSpark())
+    t = f(interp, [KL.SqlExpr("x")]).text
+    assert "CASE WHEN (x > 0) THEN ln(x) ELSE" in t
+
+
+# ---------------------------------------------------------- adverbs
+
+def test_mapdown_fold_unfold_mapback():
+    np.testing.assert_array_equal(
+        run("sq: {[x] x*x}; sq mapdown til(4)"), [0, 1, 4, 9]
+    )
+    assert run("+ fold 1 2 3 4") == 10
+    np.testing.assert_array_equal(run("+ unfold 1 2 3 4"), [1, 3, 6, 10])
+    np.testing.assert_array_equal(run("- mapback 1 3 6 10"), [1, 2, 3, 4])
+
+
+def test_mapleft_mapright_call_forms():
+    np.testing.assert_array_equal(
+        run("mapleft({[a,b] a*b}, 1 2 3, 10)"), [10, 20, 30]
+    )
+    np.testing.assert_array_equal(
+        run("mapright({[a,b] a-b}, 10, 1 2 3)"), [9, 8, 7]
+    )
+
+
+def test_verb_reference_in_adverb_phrase():
+    assert run("* fold 1 2 3 4") == 24
+
+
+# ---------------------------------------------------------- builtins
+
+def test_vector_builtins():
+    np.testing.assert_array_equal(run("reverse(1 2 3)"), [3, 2, 1])
+    np.testing.assert_array_equal(run("asc([3, 1, 2])"), [1, 2, 3])
+    np.testing.assert_array_equal(run("take(5, 1 2 3)"), [1, 2, 3, 1, 2])
+    np.testing.assert_array_equal(run("drop(1, 1 2 3)"), [2, 3])
+    np.testing.assert_array_equal(run("where(0 1 0 1)"), [1, 3])
+    np.testing.assert_array_equal(run("deltas(1 3 6 10)"), [1, 2, 3, 4])
+    assert run("sum(til(10))") == 45
+    assert run("count([4, 5, 6])") == 3
+
+
+def test_length_mismatch_raises():
+    with pytest.raises(RankError):
+        run("1 2 3 + 1 2")
+
+
+def test_undefined_name_raises():
+    with pytest.raises(ReferenceError_):
+        run("nosuchname + 1")
+
+
+def test_not_callable_raises():
+    with pytest.raises(KerfTypeError):
+        run("x: 5; x(3)")
+
+
+# ---------------------------------------------------------- control flow
+
+def test_if_else_chain():
+    src = "x: 5; if (x > 10) { y: 1 } else if (x > 3) { y: 2 } else { y: 3 }; y"
+    assert run(src) == 2
+
+
+def test_while_and_compound_assign():
+    assert run("n: 0; while (n < 5) { n +: 2 }; n") == 6
+
+
+def test_for_loop():
+    assert run("t: 0; for(i:0; i<4; i+:1) { t +: i }; t") == 6
+
+
+def test_do_while():
+    assert run("n: 9; do { n +: 1 } while (n < 5); n") == 10
+
+
+def test_def_function_statement():
+    assert run("def f(x, y) { return x * y }; f(6, 7)") == 42
+    assert run("function g(x) { x + 1 }; g(1)") == 2
+
+
+def test_indexed_amend():
+    np.testing.assert_array_equal(
+        run("v: 1 2 3; v[1]: 99; v"), [1, 99, 3]
+    )
+
+
+def test_truthiness_in_conditionals():
+    assert run('if ("") { r: 1 } else { r: 2 }; r') == 2
+    assert run("if (0.0) { r: 1 } else { r: 2 }; r") == 2
+    assert run('if ("x") { r: 1 } else { r: 2 }; r') == 1
+
+
+# ---------------------------------------------------------- statements
+
+def test_split_statements_depth_aware():
+    stmts = KL.split_statements("a: 1\nf: {[x]\n x + 1\n}\nf(a)")
+    assert len(stmts) == 3
+
+
+def test_comments_stripped():
+    assert run("// nothing\n1 + 1 /* mid */ + 1") == 3
+
+
+def test_parse_errors_are_typed():
+    with pytest.raises(ParseError):
+        run("if x > 1 { }")
+    with pytest.raises(ParseError):
+        run("1 + + ")
+
+
+# ---------------------------------------------------------- sql helpers
+
+def test_inline_vars_respects_strings_and_keywords():
+    interp = KL.Interp(_FakeSpark())
+    env = KL.Env()
+    env.set_local("cut", 30)
+    sql = interp._inline_vars(
+        "select n: count(*) from t where a < cut and b like 'cut%'", env
+    )
+    assert "a < 30" in sql
+    assert "'cut%'" in sql
+
+
+def test_expand_lambdas_traces_to_sql():
+    interp = KL.Interp(_FakeSpark())
+    env = KL.Env()
+    env.set_local(
+        "disc", KL.KerfLambda(["p", "d"], ["p * (1 - d)"], env, "disc")
+    )
+    sql = interp._expand_lambdas(
+        "select s: sum(disc(px, dc)) from t", env
+    )
+    assert sql == "select s: sum(((px) * (1 - (dc)))) from t"
