@@ -181,7 +181,8 @@ def take_cyclic(n: int, a):
 
 
 def in_(x, a):
-    return F.array_contains(_c(a), x) if not isinstance(x, Column) else F.array_contains(_c(a), x)
+    """Kerf ``in``: membership of x in vector a."""
+    return F.array_contains(_c(a), x)
 
 
 def find_(a, x):

@@ -134,3 +134,27 @@ def group_vectors(
             c = F.array_sort(c)
         aggs.append(c.alias(out))
     return df.groupBy(*_cols(by)).agg(*aggs)
+
+
+def transpose_vectors(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """General transpose of a list-of-vectors column — the reference's
+    FLIPPED_TRANSPOSED object (enums.h:260): row-major vectors become
+    position-major vectors, ordered by the row id.
+
+    Distributed reshape, not a driver op: ``posexplode`` fans each
+    vector into (id, pos, val) triples, then one shuffle keyed on
+    ``pos`` regroups — position keys are uniform (every row contributes
+    to every position), so the exchange is perfectly balanced at any
+    scale.  Output: (pos, vals array sorted by ``id_col``).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__t_id"),
+        F.posexplode(vec_col).alias("pos", "__t_val"),
+    )
+    sorted_vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("__t_id", "__t_val"))),
+        lambda s: s["__t_val"],
+    )
+    return ex.groupBy("pos").agg(sorted_vals.alias("vals"))

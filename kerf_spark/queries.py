@@ -1819,6 +1819,41 @@ def flip_transpose(spark, sf):
 
 
 @query(
+    "flip_matrix",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16
+    ), gs AS (SELECT unnest(generate_series(0, 63)) AS pos)
+    SELECT gs.pos AS pos,
+           string_agg(
+             CAST(CAST(floor(CAST(e.embedding[gs.pos + 1] AS DOUBLE)
+                             * 1000000) AS BIGINT) AS VARCHAR),
+             ',' ORDER BY e.vec_id) AS vals
+    FROM e, gs
+    GROUP BY gs.pos
+    """,
+)
+def flip_matrix(spark, sf):
+    """General FLIPPED_TRANSPOSED (enums.h:260): transpose a
+    list-of-vectors column position-major via `transpose_vectors` —
+    posexplode + one perfectly-uniform shuffle on the position key.
+    Values land on an integer 1e-6 grid, CSV-serialized (array cells
+    are opaque to the driver's hasher)."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 16)
+    t = R.transpose_vectors(e, "vec_id", "embedding")
+    return t.select(
+        "pos",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "vals",
+                lambda v: F.floor(v.cast("double") * 1000000).cast("long").cast("string"),
+            ),
+        ).alias("vals"),
+    )
+
+
+@query(
     "fold_generic",
     """
     SELECT vec_id,
@@ -4017,6 +4052,7 @@ _PRIORITY_FIRST = [
     "ema_smoother", "ema_exact",
     "kerfsql_tick_idioms", "kerfsql_update_agg",
     "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
+    "flip_matrix",
     "narrow_width_roundtrip", "workspace_roundtrip",
     "stream_window_counts", "stream_dedup_batch",
 ]
