@@ -76,6 +76,10 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>[ \t\r]+)
   | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<dt>\d{4}[.-]\d{2}[.-]\d{2}T\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?)
+  | (?P<date>\d{4}[.-]\d{2}[.-]\d{2})
+  | (?P<time>\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)
+  | (?P<span>\d+(?:\.\d+)?(?:ns|us|ms|[smhd])(?![A-Za-z0-9_]))
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:\\.|[^"\\])*")
   | (?P<name>[A-Za-z_]\w*)
@@ -84,6 +88,40 @@ _TOKEN_RE = re.compile(
     """,
     re.VERBOSE | re.DOTALL,
 )
+
+_SPAN_NS = {
+    "ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9,
+    "m": 60 * 10**9, "h": 3600 * 10**9, "d": 86400 * 10**9,
+}
+
+
+def _temporal_ns(kind: str, text: str) -> int:
+    """Temporal literal -> int64 nanoseconds, the engine-wide stamp
+    representation (reference STAMP/SPAN are ns; lexer.h:43-48 lexes
+    ABS_DATE/ABS_TIME/ABS_DATETIME/REL_DATETIME token kinds).  Dates
+    accept both kerf dots (2024.01.15) and dashes (2024-01-15,
+    lexer.h DATES_ALLOW_DASHED)."""
+    import datetime as _dt
+
+    if kind == "span":
+        m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|us|ms|[smhd])", text)
+        assert m
+        return int(float(m.group(1)) * _SPAN_NS[m.group(2)])
+    if kind == "time":
+        parts = text.split(":")
+        sec = float(parts[2]) if len(parts) > 2 else 0.0
+        return int(
+            (int(parts[0]) * 3600 + int(parts[1]) * 60) * 10**9
+            + round(sec * 10**9)
+        )
+    norm = text.replace(".", "-", 2)
+    if kind == "date":
+        d = _dt.datetime.strptime(norm, "%Y-%m-%d")
+        return int(d.replace(tzinfo=_dt.timezone.utc).timestamp()) * 10**9
+    day, clock = norm.split("T")
+    d = _dt.datetime.strptime(day, "%Y-%m-%d")
+    base = int(d.replace(tzinfo=_dt.timezone.utc).timestamp()) * 10**9
+    return base + _temporal_ns("time", clock)
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\", "0": "\0"}
 
@@ -115,7 +153,9 @@ def lex(src: str) -> list[Tok]:
         if m.lastgroup in ("ws", "comment"):
             continue
         text = m.group()
-        if m.lastgroup == "num":
+        if m.lastgroup in ("dt", "date", "time", "span"):
+            toks.append(Tok("num", str(_temporal_ns(m.lastgroup, text)), m.start()))
+        elif m.lastgroup == "num":
             # dash-grab (parser.h:280-340): unary minus folds into the
             # literal when the previous token can't be a left operand
             if (

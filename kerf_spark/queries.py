@@ -2257,6 +2257,36 @@ def kerf_lang_chain(spark, sf):
     )
 
 
+@query(
+    "kerf_lang_temporal",
+    """
+    SELECT count(*) AS n,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+    FROM events
+    WHERE epoch_ns(ts) >= 1704585600000000000
+      AND epoch_ns(ts) <  1704844800000000000
+    """,
+)
+def kerf_lang_temporal(spark, sf):
+    """Temporal literals in kerf scripts (lexer.h:43-48 lexes
+    ABS_DATE/ABS_TIME/ABS_DATETIME/REL_DATETIME): dates and spans
+    evaluate to int64 nanoseconds — the reference's STAMP/SPAN unit and
+    this engine's events.ts convention — so stamp arithmetic
+    (`t0 + 3d`) composes with vars inlined into the query's pushed-down
+    range predicate."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "t0: 2024-01-07\n"
+        "t1: t0 + 3d\n"
+        "select n: count(*), lo: min(ts div 1000), hi: max(ts div 1000)"
+        " from events where ts >= t0 and ts < t1",
+        tables={"events": _t(spark, sf, "events")},
+    )
+
+
 # =====================================================================
 # embedding-cosine near-duplicate pairs (LLM-pipeline dedup variant)
 # =====================================================================
@@ -4052,7 +4082,7 @@ _PRIORITY_FIRST = [
     "ema_smoother", "ema_exact",
     "kerfsql_tick_idioms", "kerfsql_update_agg",
     "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
-    "flip_matrix",
+    "kerf_lang_temporal", "flip_matrix",
     "narrow_width_roundtrip", "workspace_roundtrip",
     "stream_window_counts", "stream_dedup_batch",
 ]

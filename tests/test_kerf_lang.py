@@ -61,6 +61,17 @@ def test_strand_vector_literals():
     np.testing.assert_array_equal(run("[5, 1, 4]"), [5, 1, 4])
 
 
+def test_temporal_literals_are_ns_stamps():
+    day = 86_400 * 10**9
+    assert run("2024-01-15") == 1_705_276_800 * 10**9
+    assert run("2024.01.15 + 1d") == 1_705_276_800 * 10**9 + day
+    assert run("2024-01-07T12:30:00 - 2024-01-07") == 45_000 * 10**9
+    assert run("10:00:00 + 30m") == 37_800 * 10**9
+    assert run("1.5h") == 5_400 * 10**9
+    assert bool(run("2h > 90m")) is True
+    assert run("500ms + 500us + 500ns") == 500_500_500
+
+
 def test_reserved_literals():
     assert run("null") is None
     assert run("true") is True
