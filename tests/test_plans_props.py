@@ -71,6 +71,50 @@ def test_folio_scan_prunes_partitions(spark):
     assert "date#" in plan.split("PartitionFilters", 1)[1][:400]
 
 
+def test_transpose_shuffles_once_on_uniform_position_key(spark):
+    from kerf_spark.operators.relational import transpose_vectors
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(transpose_vectors(df, "vec_id", "embedding"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kerf_lang_lambda_stays_jvm_side(spark):
+    """A traced lambda lands in Catalyst as a plain expression: the
+    plan must contain no Python evaluation operator."""
+    from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.sources.io import read_table
+
+    df = KL.run_df(
+        spark,
+        "disc: {[p, d] p * (1 - d)}\n"
+        "select s: sum(disc(l_extendedprice, l_discount)) from lineitem",
+        tables={"lineitem": read_table(spark, SF, "lineitem")},
+    )
+    plan = plan_of(df)
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    assert "partial_sum" in plan  # still a map-side-combined aggregate
+
+
+def test_kerf_lang_inlined_stamp_pushes_down(spark):
+    """A script variable inlined into a range predicate must reach the
+    parquet scan as a pushed filter."""
+    from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.sources.io import read_table
+
+    df = KL.run_df(
+        spark,
+        "t0: 2024-01-07\n"
+        "select n: count(*) from events where ts >= t0",
+        tables={"events": read_table(spark, SF, "events")},
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+
+
 def test_aggregates_are_partial_then_final(spark):
     plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF))
     assert "partial_sum" in plan  # map-side combine before the shuffle
