@@ -82,6 +82,7 @@ _TOKEN_RE = re.compile(
   | (?P<span>\d+(?:\.\d+)?(?:ns|us|ms|[smhd])(?![A-Za-z0-9_]))
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:\\.|[^"\\])*")
+  | (?P<sym>`[A-Za-z_]\w*|`"(?:\\.|[^"\\])*")
   | (?P<name>[A-Za-z_]\w*)
   | (?P<verb><=|>=|==|!=|<>|[-+*/%<>=&|!])
   | (?P<punct>[(){}\[\],;:\n])
@@ -153,7 +154,14 @@ def lex(src: str) -> list[Tok]:
         if m.lastgroup in ("ws", "comment"):
             continue
         text = m.group()
-        if m.lastgroup in ("dt", "date", "time", "span"):
+        if m.lastgroup == "sym":
+            # backtick symbol (TOKENS_BACKTICK, lexer.h:338-341) —
+            # interned strings in the reference; plain strings here
+            body = text[1:]
+            if body.startswith('"'):
+                body = body[1:-1]
+            toks.append(Tok("str", body, m.start()))
+        elif m.lastgroup in ("dt", "date", "time", "span"):
             toks.append(Tok("num", str(_temporal_ns(m.lastgroup, text)), m.start()))
         elif m.lastgroup == "num":
             # dash-grab (parser.h:280-340): unary minus folds into the

@@ -90,6 +90,12 @@ def test_string_escapes():
     assert run('upper("abc")') == "ABC"
 
 
+def test_backtick_symbols():
+    assert run("`ibm") == "ibm"
+    assert run('`"two words"') == "two words"
+    assert bool(run('`aapl = "aapl"')) is True
+
+
 # ---------------------------------------------------------- lambdas
 
 def test_lambda_call_both_forms():
@@ -249,6 +255,37 @@ def test_inline_vars_respects_strings_and_keywords():
     )
     assert "a < 30" in sql
     assert "'cut%'" in sql
+
+
+def test_property_arithmetic_matches_python():
+    """Random integer arithmetic ASTs evaluate like Python (true
+    division; C-like precedence)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atoms = st.integers(min_value=-50, max_value=50)
+
+    def render(depth):
+        if depth == 0:
+            return atoms.map(lambda v: (f"({v})" if v < 0 else str(v), v))
+        sub = render(depth - 1)
+        ops = st.sampled_from([("+", lambda a, b: a + b),
+                               ("-", lambda a, b: a - b),
+                               ("*", lambda a, b: a * b)])
+        return st.tuples(sub, ops, sub).map(
+            lambda t: (
+                f"({t[0][0]}) {t[1][0]} ({t[2][0]})",
+                t[1][1](t[0][1], t[2][1]),
+            )
+        ) | sub.map(lambda s: (f"({s[0]})", s[1]))
+
+    @settings(max_examples=60, deadline=None)
+    @given(render(3))
+    def check(case):
+        src, expected = case
+        assert run(src) == expected
+
+    check()
 
 
 def test_expand_lambdas_traces_to_sql():
