@@ -63,6 +63,19 @@ def main() -> None:
         "where value > 0 order by event_type",
     ).show()
 
+    print("== kerf language script (lambda traced to Catalyst) ==")
+    from kerf_spark.plans.kerf_lang import run_df
+
+    run_df(
+        spark,
+        "clip: {[x, lo, hi] ifelse(x < lo, lo, ifelse(x > hi, hi, x))}\n"
+        "t0: 2024-01-07; t1: t0 + 7d\n"
+        "select n: count(*), m: round(avg(clip(value, 0, 100)), 3)"
+        " by event_type from events where ts >= t0 and ts < t1"
+        " order by event_type",
+        tables={"events": events},
+    ).show()
+
     print("== workspace: save partitioned, reload by name ==")
     ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_example_ws_"))
     ws.save(
