@@ -2006,6 +2006,45 @@ def workspace_roundtrip(spark, sf):
 
 
 @query(
+    "bucketed_join_colocated",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_colocated(spark, sf):
+    """Co-located bucketed join: both sides persisted hash-bucketed on
+    the join key (`Workspace.save_bucketed`), so the fact-fact join runs
+    with zero exchanges — the pre-shuffled folio layout
+    (presented.cc:435) as Spark's bucketed-table contract.  Plan shape
+    pinned in tests/test_sources_plans.py."""
+    import tempfile
+
+    from .sources.catalog import Workspace
+
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_ws_bkt_"))
+    ws.save_bucketed(
+        "orders_bkt", _t(spark, sf, "orders"), ["o_custkey"],
+        num_buckets=8, sort_by=["o_custkey"],
+    )
+    ws.save_bucketed(
+        "cust_bkt", _t(spark, sf, "customer"), ["c_custkey"],
+        num_buckets=8, sort_by=["c_custkey"],
+    )
+    o, c = ws.load("orders_bkt"), ws.load("cust_bkt")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
     "narrow_width_roundtrip",
     """
     WITH base AS (
@@ -4083,7 +4122,7 @@ _PRIORITY_FIRST = [
     "kerfsql_tick_idioms", "kerfsql_update_agg",
     "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
     "kerf_lang_temporal", "flip_matrix",
-    "narrow_width_roundtrip", "workspace_roundtrip",
+    "bucketed_join_colocated", "narrow_width_roundtrip", "workspace_roundtrip",
     "stream_window_counts", "stream_dedup_batch",
 ]
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,11 +168,84 @@ class Workspace:
 
     def load(self, name: str) -> DataFrame:
         meta = self.manifest["tables"][name]
+        if meta.get("bucket_by"):
+            return self._load_bucketed(name, meta)
         schema = T.StructType.fromJson(meta["schema"])
         # manifest schema applied AT READ: files written before a widen
         # surface at the promoted width via the parquet reader's type
         # widening (INT32->INT64, FLOAT->DOUBLE) — no data rewrite
         return self.spark.read.schema(schema).parquet(meta["path"])
+
+    # ------------------------------------------------------- bucketed save
+    def save_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_by: Sequence[str],
+        num_buckets: int = 32,
+        sort_by: Sequence[str] | None = None,
+    ) -> None:
+        """Persist ``name`` hash-bucketed on ``bucket_by``.
+
+        The 100 TB join discipline: two tables bucketed on the same key
+        with the same bucket count join with ZERO exchanges — each task
+        reads matching bucket files from both sides.  This is the
+        pre-shuffled layout the reference gets from folio partitioning
+        by key (presented.cc:435 P_O_P layout); on Spark it is the
+        bucketed-table contract (``spark.sql.sources.bucketing``).
+        ``sort_by`` additionally sorts within each bucket file, which
+        upgrades the join to a merge join without a sort step.
+
+        Bucket metadata lives in the session catalog; the manifest
+        records the spec and :meth:`load` re-registers the table
+        definition in a fresh session, so bucketed layout survives
+        restarts (files + manifest are the durable truth).
+        """
+        bucket_by = list(bucket_by)
+        path = os.path.join(self.root, name)
+        tbl = self._catalog_name(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(num_buckets, *bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*list(sort_by))
+        w.saveAsTable(tbl)
+        self.manifest["tables"][name] = {
+            "path": path,
+            "partition_by": [],
+            "sort_by": list(sort_by or []),
+            "bucket_by": bucket_by,
+            "num_buckets": num_buckets,
+            "schema": df.schema.jsonValue(),
+        }
+        self._flush()
+
+    def _catalog_name(self, name: str) -> str:
+        return f"kerf_ws_{re.sub(r'[^A-Za-z0-9_]', '_', name)}"
+
+    def _load_bucketed(self, name: str, meta: dict) -> DataFrame:
+        tbl = self._catalog_name(name)
+        if not self.spark.catalog.tableExists(tbl):
+            schema = T.StructType.fromJson(meta["schema"])
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            sort_clause = (
+                f"SORTED BY ({', '.join(meta['sort_by'])}) "
+                if meta.get("sort_by")
+                else ""
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({', '.join(meta['bucket_by'])}) "
+                f"{sort_clause}INTO {meta['num_buckets']} BUCKETS "
+                f"LOCATION '{meta['path']}'"
+            )
+        return self.spark.table(tbl)
 
     def tables(self) -> list[str]:
         return sorted(self.manifest["tables"])

@@ -167,6 +167,57 @@ def test_workspace_append_promotes_width(spark, ws_root):
     assert sorted(r.v for r in got.collect()) == [0, 1, 2, 2**40, 2**40 + 1]
 
 
+def test_bucketed_tables_join_without_exchange(spark, tables, ws_root):
+    """Co-located join contract: both sides bucketed on the join key
+    with equal bucket counts -> SortMergeJoin with ZERO exchanges (the
+    pre-shuffled layout a 100 TB fact-fact join needs)."""
+    import io
+    from contextlib import redirect_stdout
+
+    ws = Workspace(spark, ws_root)
+    ws.save_bucketed(
+        "orders_b", tables["orders"], ["o_custkey"], num_buckets=4,
+        sort_by=["o_custkey"],
+    )
+    ws.save_bucketed(
+        "cust_b", tables["customer"], ["c_custkey"], num_buckets=4,
+        sort_by=["c_custkey"],
+    )
+    o, c = ws.load("orders_b"), ws.load("cust_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(c, o.o_custkey == c.c_custkey).groupBy(
+            "c_mktsegment"
+        ).count()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # the only exchange is the post-join aggregation's, never the join's
+        join_part = plan.split("SortMergeJoin")[0]
+        assert "Exchange hashpartitioning" not in join_part
+        assert j.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_table_reregisters_from_manifest(spark, tables, ws_root):
+    """A fresh session (simulated by dropping the catalog entry) must
+    recover the bucketed layout from the manifest alone."""
+    ws = Workspace(spark, ws_root)
+    ws.save_bucketed("ev_b", tables["events"], ["user_id"], num_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS kerf_ws_ev_b")
+    ws2 = Workspace(spark, ws_root)
+    df = ws2.load("ev_b")
+    assert df.count() == tables["events"].count()
+    # the re-registered table still carries the bucket spec
+    desc = spark.sql("DESCRIBE TABLE EXTENDED kerf_ws_ev_b").collect()
+    text = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "user_id" in text and "4" in text
+
+
 def test_workspace_append_rejects_schema_mismatch(spark, ws_root):
     ws = Workspace(spark, ws_root)
     ws.save("t", spark.range(1).select(F.col("id").alias("v")))
