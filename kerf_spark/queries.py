@@ -2167,6 +2167,65 @@ def ema_exact_query(spark, sf):
 
 
 @query(
+    "stream_ema",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu, value
+      FROM events WHERE user_id <= 30
+    ),
+    l AS (
+      SELECT user_id, event_id, tu,
+             list(value) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs
+      FROM t
+    )
+    SELECT user_id, event_id, tu,
+      round(
+        list_aggregate(list_transform(generate_series(1, len(vs)),
+            k -> vs[len(vs) - k + 1] * 0.9 ** (k - 1)), 'sum')
+        / ((1 - 0.9 ** len(vs)) / 0.1), 6) AS ema
+    FROM l
+    """,
+)
+def stream_ema_query(spark, sf):
+    """Streaming per-key EMA (`streaming.ingest.streaming_ema`): the
+    ema_exact recurrence carried in O(1)-per-key state store across
+    micro-batches (applyInPandasWithState).  On this finite fixture the
+    stream drains in one availableNow batch and must equal the batch
+    operator's oracle exactly; cross-batch state continuity is pinned by
+    tests/test_integration.py with a two-file sequential feed."""
+    from .streaming.ingest import read_file_stream, streaming_ema
+
+    batch = _t(spark, sf, "events")
+    stream = read_file_stream(
+        spark, sf, batch.schema, pathGlobFilter="events.parquet"
+    ).where(F.col("user_id") <= 30).select(
+        "user_id",
+        "event_id",
+        TM.ns_to_us(F.col("ts")).alias("tu"),
+        "value",
+    )
+    out = streaming_ema(
+        stream, ["user_id"], "value", ["tu", "event_id"], decay=0.9
+    )
+    qname = "kerf_stream_ema"
+    for active in spark.streams.active:  # rerun-safe: clear a stale run
+        if active.name == qname:
+            active.stop()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id", "event_id", "tu", F.round("ema", 6).alias("ema")
+    )
+
+
+@query(
     "kerfsql_tick_idioms",
     """
     WITH t AS (
@@ -4123,7 +4182,7 @@ _PRIORITY_FIRST = [
     "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
     "kerf_lang_temporal", "flip_matrix",
     "bucketed_join_colocated", "narrow_width_roundtrip", "workspace_roundtrip",
-    "stream_window_counts", "stream_dedup_batch",
+    "stream_window_counts", "stream_dedup_batch", "stream_ema",
 ]
 
 

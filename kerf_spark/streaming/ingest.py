@@ -207,6 +207,84 @@ def running_stats(
     )
 
 
+def streaming_ema(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+    decay: float = 0.9,
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.ema_exact``: the adjusted
+    EMA recurrence per key, carried across micro-batches in the state
+    store.
+
+    State is O(1) per key — the closed-form pair (num, den) with
+    ``num_t = x_t + decay·num_{t-1}``, ``den_t = 1 + decay·den_{t-1}``
+    and ``ema_t = num_t / den_t`` (identical to pandas
+    ``ewm(adjust=True)``, so finite-stream output matches the batch
+    operator bit-for-bit).  Every input row is emitted with its EMA.
+
+    Rows are folded in ``order_cols`` order *within* each batch; cross-
+    batch order is arrival order — the feed-handler contract (kerf's
+    ticker plant appends in time order; an out-of-order replay belongs
+    in the batch operator).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys, order_cols = list(keys), list(order_cols)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_fields = ", ".join(f"{k} {fields[k]}" for k in keys)
+    order_fields = ", ".join(f"{c} {fields[c]}" for c in order_cols)
+    out_schema = (
+        f"{key_fields}, {order_fields}, {value_col} double, ema double"
+    )
+
+    if not 0.0 < decay < 1.0:
+        from ..errors import ArgsError
+
+        raise ArgsError("streaming_ema needs 0 < decay < 1")
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        num, den = state.get if state.exists else (0.0, 0.0)
+        outs = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            x = pdf[value_col].astype(float).to_numpy()
+            n = len(x)
+            # batch-local adjusted EMA, vectorized (pandas ewm), then
+            # the carried state folds in through the closed form:
+            #   num_t = num_b_t + decay^(t+1) · num_prev
+            #   den_t = den_b_t + decay^(t+1) · den_prev
+            # decay^(t+1) underflowing to 0 for long batches is the
+            # mathematically correct limit, so no stability guard needed
+            dp = decay ** np.arange(1, n + 1)
+            den_b = (1.0 - dp) / (1.0 - decay)
+            m = pd.Series(x).ewm(alpha=1.0 - decay, adjust=True).mean().to_numpy()
+            num_t = m * den_b + dp * num
+            den_t = den_b + dp * den
+            out = pdf[keys + order_cols].copy()
+            out[value_col] = x
+            out["ema"] = num_t / den_t
+            outs.append(out)
+            num, den = float(num_t[-1]), float(den_t[-1])
+        state.update((num, den))
+        if outs:
+            yield pd.concat(outs)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="num double, den double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_batches(query: StreamingQuery, n_seconds: float) -> None:
     """Test helper: let a stream run briefly, then stop it cleanly."""
     import time

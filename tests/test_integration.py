@@ -77,3 +77,55 @@ def test_tick_pipeline_end_to_end(spark, tables, tmp_path):
     rows = out.collect()
     assert 0 < len(rows) <= 5
     assert set(out.columns) == {"user_id", "n", "hi"}
+
+
+def test_streaming_ema_matches_batch_across_microbatches(spark, tables, tmp_path):
+    """Two files fed as *sequential* micro-batches must produce exactly
+    the batch ema_exact over the union — proving the per-key (num, den)
+    state carries correctly across batch boundaries."""
+    import pandas as pd
+
+    from kerf_spark.operators.windows import ema_exact
+    from kerf_spark.streaming.ingest import streaming_ema
+
+    ev = (
+        tables["events"]
+        .where(F.col("user_id") < 8)
+        .select("user_id", "ts", "value")
+    )
+    # time-split halves: per key, file 1 strictly precedes file 2
+    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    src = str(tmp_path / "ema_feed")
+    ev.where(F.col("ts") <= cut).coalesce(1).write.parquet(src)
+    ev.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    out = streaming_ema(stream, ["user_id"], "value", ["ts"], decay=0.9)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ema_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.table("ema_stream")
+        .orderBy("user_id", "ts")
+        .toPandas()[["user_id", "ts", "ema"]]
+    )
+    want = (
+        ema_exact(ev, "value", by=["user_id"], order=["ts"], decay=0.9)
+        .orderBy("user_id", "ts")
+        .toPandas()[["user_id", "ts", "ema"]]
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_exact=False, rtol=1e-9,
+    )
