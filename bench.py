@@ -114,6 +114,38 @@ def main() -> None:
         except Exception as exc:  # slope is diagnostic; never fail the bench
             out["slope_error"] = f"{type(exc).__name__}: {exc}"
 
+    # ---- BASELINE.md anchor: the reference's one concrete number -----
+    # test.cc:385 — pairwise sum of two 1M-int vectors, ~100 ms stock
+    # single-thread (~10 ms projected hand-optimized).  Same op here,
+    # input pre-materialized in memory (the reference sums resident
+    # vectors), timing the sum job only; plus 100× the size to show the
+    # throughput headroom a single JVM already has.
+    try:
+        from pyspark.sql import functions as F
+
+        def pairwise(n: int) -> float:
+            t = spark.range(n).select(
+                (F.col("id") % 1000).cast("long").alias("a"),
+                ((F.col("id") * 7) % 1000).cast("long").alias("b"),
+            ).persist()
+            t.count()  # materialize the vectors
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                t.agg(F.sum(F.col("a") + F.col("b"))).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            t.unpersist()
+            return round(best, 4)
+
+        out["micro"] = {
+            "pairwise_sum_1m_ints_sec": pairwise(1_000_000),
+            "pairwise_sum_100m_ints_sec": pairwise(100_000_000),
+            "reference": "test.cc:385 ~0.1s stock single-thread at 1M",
+        }
+    except Exception as exc:
+        out["micro_error"] = f"{type(exc).__name__}: {exc}"
+
     print(json.dumps(out))
     spark.stop()
 
