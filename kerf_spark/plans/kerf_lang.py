@@ -685,6 +685,20 @@ class _ExprParser:
         while self.toks[self.i].kind != "eof" and self.toks[self.i].pos <= end:
             self.i += 1
         stripped = body.lstrip()
+        if stripped.startswith("{"):
+            # table literal {{col: 1 2 3, ...}} (kerf1's JSON-superset
+            # table syntax; TABLE enums.h:261) -> a driver-built
+            # DataFrame, usable as a temp view by later statements
+            inner_open = open_pos + 1 + (len(body) - len(stripped))
+            inner_end = _match_delim(self.src, inner_open, "{", "}")
+            if self.src[inner_end + 1: end].strip():
+                raise ParseError("trailing text inside table literal")
+            cols = self.interp.eval_expr(
+                self.src[inner_open: inner_end + 1], self.env
+            )
+            if not isinstance(cols, dict):
+                raise KerfTypeError("table literal needs column: vector pairs")
+            return self.interp.make_table(cols)
         if stripped.startswith("["):
             boff = open_pos + 1 + (len(body) - len(stripped))
             bend = _match_delim(self.src, boff, "[", "]")
@@ -868,6 +882,30 @@ class Interp:
                 return SqlExpr(sqlfmt.format(*texts))
             return local(*args)
         raise KerfTypeError(f"value of type {type(f).__name__} is not callable")
+
+    # ---- table literal ----
+    def make_table(self, cols: dict[str, Any]) -> DataFrame:
+        """{{col: vector, ...}} -> DataFrame; scalar values broadcast to
+        the table length (kerf conformability)."""
+        import pandas as pd
+
+        if not cols:
+            raise ArgsError("empty table literal")
+        n = max(
+            (len(v) for v in cols.values() if isinstance(v, (np.ndarray, list))),
+            default=1,
+        )
+        data = {}
+        for k, v in cols.items():
+            if isinstance(v, (np.ndarray, list)):
+                if len(v) != n:
+                    raise RankError(
+                        f"table column {k} length {len(v)} != {n}"
+                    )
+                data[k] = np.asarray(v)
+            else:
+                data[k] = np.repeat(np.asarray(v), n)
+        return self.spark.createDataFrame(pd.DataFrame(data))
 
     # ---- indexing ----
     def index(self, v: Any, idx: list[Any]) -> Any:

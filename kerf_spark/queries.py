@@ -2356,6 +2356,35 @@ def kerf_lang_chain(spark, sf):
 
 
 @query(
+    "kerf_lang_table_literal",
+    """
+    WITH seg(segname, tier) AS (VALUES
+      ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 3),
+      ('HOUSEHOLD', 1), ('MACHINERY', 2))
+    SELECT tier, count(*) AS n
+    FROM customer JOIN seg ON c_mktsegment = segname
+    GROUP BY tier ORDER BY tier
+    """,
+)
+def kerf_lang_table_literal(spark, sf):
+    """kerf1 table literal ``{{col: vector, ...}}`` (the JSON-superset
+    TABLE syntax, enums.h:261): a driver-built dim registered as a view
+    and joined to a fixture fact — Catalyst broadcasts the literal side,
+    the 100 TB shape for hand-written dimension tables."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        'seg: {{segname: ["AUTOMOBILE","BUILDING","FURNITURE",'
+        '"HOUSEHOLD","MACHINERY"], tier: 1 2 3 1 2}}\n'
+        "select n: count(*) by tier"
+        " from customer join seg on c_mktsegment = segname"
+        " order by tier",
+        tables={"customer": _t(spark, sf, "customer")},
+    )
+
+
+@query(
     "kerf_lang_temporal",
     """
     SELECT count(*) AS n,
@@ -4180,7 +4209,7 @@ _PRIORITY_FIRST = [
     "ema_smoother", "ema_exact",
     "kerfsql_tick_idioms", "kerfsql_update_agg",
     "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
-    "kerf_lang_temporal", "flip_matrix",
+    "kerf_lang_temporal", "kerf_lang_table_literal", "flip_matrix",
     "bucketed_join_colocated", "narrow_width_roundtrip", "workspace_roundtrip",
     "stream_window_counts", "stream_dedup_batch", "stream_ema",
 ]

@@ -257,6 +257,26 @@ def test_inline_vars_respects_strings_and_keywords():
     assert "'cut%'" in sql
 
 
+def test_table_literal_builds_dataframe(spark):
+    df = KL.run_df(
+        spark,
+        't: {{sym: ["a","b","c"], px: 1.5 2.5 3.5, lot: 100}}\n'
+        "select n: count(*), s: round(sum(px), 2) from t where lot = 100",
+    )
+    row = df.collect()[0]
+    assert (row.n, row.s) == (3, 7.5)
+
+
+def test_table_literal_scalar_broadcast_and_ragged_error(spark):
+    interp = KL.Interp(spark)
+    out = interp.make_table({"a": __import__("numpy").arange(3), "b": 7})
+    assert [r.b for r in out.collect()] == [7, 7, 7]
+    with pytest.raises(RankError):
+        interp.make_table(
+            {"a": __import__("numpy").arange(3), "b": __import__("numpy").arange(2)}
+        )
+
+
 def test_property_arithmetic_matches_python():
     """Random integer arithmetic ASTs evaluate like Python (true
     division; C-like precedence)."""
