@@ -516,6 +516,14 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "trim": (lambda s: s.strip(), "trim({0})"),
     "ifelse": (lambda c, a, b: a if _truthy(c) else b,
                "(CASE WHEN {0} THEN {1} ELSE {2} END)"),
+    # tick verbs, same floored-bucket semantics as functions/temporal.xbar
+    # (pmod keeps pre-epoch stamps correct; np.mod floors identically)
+    "xbar": (lambda x, w: _np(x) - np.mod(_np(x), w),
+             "(CAST({0} AS BIGINT) - pmod(CAST({0} AS BIGINT), {1}))"),
+    "wavg": (lambda w, x: float(np.sum(_np(w) * _np(x)) / np.sum(_np(w))),
+             "(sum(({0}) * ({1})) / sum({0}))"),
+    "wsum": (lambda w, x: float(np.sum(_np(w) * _np(x))),
+             "sum(({0}) * ({1}))"),
 }
 
 

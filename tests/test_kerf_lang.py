@@ -175,6 +175,19 @@ def test_vector_builtins():
     assert run("count([4, 5, 6])") == 3
 
 
+def test_tick_verb_builtins():
+    np.testing.assert_array_equal(
+        run("xbar(7 12 25, 10)"), [0, 10, 20]
+    )
+    assert run("xbar(0 - 100, 60)") == -120  # floored, not toward zero
+    assert run("wavg(1 1 2, 10 20 30)") == 22.5
+    assert run("wsum(2 3, 10 10)") == 50.0
+    interp = KL.Interp(_FakeSpark())
+    env = KL.Env()
+    f = KL.KerfLambda(["t"], ["xbar(t, 3600)"], env, "b")
+    assert "pmod" in f(interp, [KL.SqlExpr("ts")]).text
+
+
 def test_length_mismatch_raises():
     with pytest.raises(RankError):
         run("1 2 3 + 1 2")
@@ -306,6 +319,16 @@ def test_property_arithmetic_matches_python():
         assert run(src) == expected
 
     check()
+
+
+def test_inline_vector_var_becomes_in_list():
+    interp = KL.Interp(_FakeSpark())
+    env = KL.Env()
+    env.set_local("modes", np.array(["AIR", "RAIL"], dtype=object))
+    sql = interp._inline_vars(
+        "select n: count(*) from t where l_shipmode in modes", env
+    )
+    assert "in ('AIR', 'RAIL')" in sql
 
 
 def test_expand_lambdas_traces_to_sql():

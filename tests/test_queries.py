@@ -49,6 +49,10 @@ def test_registry_covers_survey_families():
         "exact_dedup_docs",        # LLM-pipeline dedup
         "cosine_topk_exact",       # similarity search
         "stream_window_counts",    # structured streaming
+        "stream_ema",              # custom stateful streaming
+        "kerf_lang_pipeline",      # kerf language front-end
+        "flip_matrix",             # general transpose
+        "bucketed_join_colocated", # bucketed co-located join
     ]:
         assert probe in QUERIES, probe
 
