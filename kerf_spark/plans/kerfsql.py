@@ -18,6 +18,8 @@ Grammar (one statement, case-insensitive keywords):
 
     select <exprs> [by <exprs>] from <table>
         [where <cond>] [order by <exprs> [asc|desc]] [limit <n>]
+    -- <table> passes through verbatim, so ANSI join text works:
+    --   select n: count(*) by tier from customer join seg on m = s
     update <table> set <col>=<expr>[, ...] [where <cond>]
     delete from <table> [where <cond>]
 
