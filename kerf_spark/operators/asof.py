@@ -317,3 +317,58 @@ def window_join(
         *[F.col(f"l.{c}").alias(c) for c in left.columns],
         *[F.col(f"r.{c}").alias(renames[c]) for c in right.columns if c not in by],
     )
+
+
+def resample(
+    df: DataFrame,
+    on: str,
+    step: int,
+    by: Sequence[str] | str | None = None,
+    val_cols: Sequence[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Regular-grid resample with as-of fill (the kerf/kdb "align ticks
+    to bars and carry the last observation" idiom; the grid twin of
+    xbar bucketing, SURVEY.md §2.4/§2.5 — stamp-bucket lattice
+    enums.h:167-175).
+
+    Per ``by`` group, emits one row for every ``step``-aligned grid
+    point between the group's min and max ``on`` (a long — epoch-ns/µs
+    or any integer axis), each carrying the latest observation at or
+    before that point (``val_cols``, forward-filled by :func:`asof_join`).
+
+    Scale strategy: the grid is built from a per-group (min, max)
+    aggregate — one partial-aggregated shuffle over the keys, then a
+    narrow ``sequence``+``explode`` that never materializes more than
+    span/step rows per group; the fill reuses the single-shuffle
+    union-tag as-of join, so the whole op is two key-partitioned
+    exchanges regardless of input size.  Grid density is the caller's
+    dial: step must be sized so span/step per group stays sane (a 1s
+    grid over a year is 31M rows per key — intended, but loud in the
+    row count, never a hidden blowup).
+
+    ``tiebreak``: with multiple source rows at one grid-aligned ``on``
+    value the fill is still deterministic via asof_join's tiebreak
+    ordering (last wins); pre-aggregate to one row per (by, on) when
+    the source needs an explicit reduction first.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    aligned = lambda c: c - F.pmod(c, F.lit(step))  # noqa: E731 — pmod:
+    # true floor for negative (pre-1970) stamps too, not trunc-to-zero
+    grid = (
+        df.groupBy(*by)
+        .agg(F.min(on).alias("__kf_mn"), F.max(on).alias("__kf_mx"))
+        .select(
+            *by,
+            F.explode(
+                F.sequence(
+                    aligned(F.col("__kf_mn").cast("long")),
+                    aligned(F.col("__kf_mx").cast("long")),
+                    F.lit(step).cast("long"),
+                )
+            ).alias(on),
+        )
+    )
+    return asof_join(
+        grid, df, on=on, by=by, right_cols=val_cols, tiebreak=tiebreak
+    )

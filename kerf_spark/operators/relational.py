@@ -158,3 +158,57 @@ def transpose_vectors(
         lambda s: s["__t_val"],
     )
     return ex.groupBy("pos").agg(sorted_vals.alias("vals"))
+
+
+def top_k_by_group(
+    df: DataFrame,
+    by: Sequence[str] | str,
+    order: Sequence[Column | str],
+    k: int,
+    desc: bool = True,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k (kerf ``k take grade_down`` inside each ``by``
+    group — the "best 3 per symbol" tick idiom).
+
+    One shuffle on the group keys, a per-partition sort, and a rank
+    filter: no global sort and no per-group limit collection, so it
+    scales with the number of groups, not with k x groups on the
+    driver (contrast :func:`top_k`, whose TakeOrderedAndProject merges
+    on the driver — right for global top-k, wrong per-group).  Pass a
+    unique tiebreak in ``order`` for determinism.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    cols = _cols(order)
+    if desc:
+        cols = [c.desc() for c in cols]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(*cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def melt(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str = "measure",
+    value_name: str = "val",
+) -> DataFrame:
+    """Unpivot wide measure columns into (measure, value) rows — the
+    inverse of the pivot surface and the relational face of kerf's
+    flip/transpose family (FLIPPED enums.h:259; SURVEY §2.4 pivot row).
+
+    Uses the native ``unpivot`` (Expand physical node): each input row
+    fans out JVM-side to one row per measure with zero shuffle — the
+    plan is scan -> Expand -> project however wide the melt is.
+    """
+    return df.unpivot(
+        [F.col(c) for c in ids],
+        [F.col(c) for c in values],
+        var_name,
+        value_name,
+    )

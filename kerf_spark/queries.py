@@ -4155,6 +4155,284 @@ def asof_forward_next_purchase(spark, sf):
 
 
 # =====================================================================
+# round-2 widening: melt/unpivot, per-group top-k, arg-extremes,
+# bivariate + higher-moment aggregates, histogram binning
+# =====================================================================
+
+@query(
+    "unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+           l_extendedprice AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_melt(spark, sf):
+    """Wide->long unpivot (relational.melt): the inverse of the pivot
+    surface.  Plan is scan -> Expand -> project, zero shuffle — each
+    row fans to one output row per measure JVM-side."""
+    li = _t(spark, sf, "lineitem")
+    return R.melt(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="val",
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC
+                               ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf):
+    """Per-group top-k (relational.top_k_by_group): one shuffle on the
+    group key + rank filter — no global sort, scales with #groups
+    (contrast global top_k's TakeOrderedAndProject driver merge)."""
+    o = _t(spark, sf, "orders")
+    return R.top_k_by_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        by="o_orderpriority",
+        order=["o_totalprice", "o_orderkey"],
+        k=3,
+    ).withColumn("rn", F.col("rn").cast("long"))
+
+
+@query(
+    "argminmax_agg",
+    """
+    SELECT o_orderpriority,
+           max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000
+                              + o_orderkey) AS best_order,
+           min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000
+                              + o_orderkey) AS worst_order,
+           round(max(o_totalprice), 2) AS best_price,
+           round(min(o_totalprice), 2) AS worst_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def argminmax_agg(spark, sf):
+    """arg-extreme aggregates (kerf ``t[*|/ grade price]`` idiom —
+    which row attains the group max/min).  max_by/min_by are single-pass
+    partial-aggregable, no window, no self-join; the ordering key packs
+    (price-cents, orderkey) into one BIGINT so ties are deterministic
+    on both engines."""
+    o = _t(spark, sf, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("best_order"),
+        F.min_by("o_orderkey", key).alias("worst_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        F.round(F.min("o_totalprice"), 2).alias("worst_price"),
+    )
+
+
+@query(
+    "corr_regr_agg",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6)      AS covs_qty_disc,
+           round(covar_pop(l_quantity, l_discount), 6)       AS covp_qty_disc,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept_price_qty,
+           round(regr_r2(l_extendedprice, l_quantity), 6)    AS r2_price_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_regr_agg(spark, sf):
+    """Bivariate statistics (corr/covar/linear-regression family): all
+    single-pass partial-aggregable sums under the hood — one shuffle,
+    map-side combine, same plan shape as any grouped fold."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covs_qty_disc"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qty_disc"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("icept_price_qty"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2_price_qty"),
+    )
+
+
+@query(
+    "skew_kurt_moments",
+    """
+    WITH e AS (
+      SELECT l_linestatus,
+             avg(l_discount)                             AS e1,
+             avg(l_discount*l_discount)                  AS e2,
+             avg(l_discount*l_discount*l_discount)       AS e3,
+             avg(l_discount*l_discount*l_discount*l_discount) AS e4,
+             count(*) AS n
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n,
+           round(e2 - e1*e1, 9) AS m2,
+           round((e3 - 3*e1*e2 + 2*e1*e1*e1)
+                 / pow(e2 - e1*e1, 1.5), 6) AS skew,
+           round((e4 - 4*e1*e3 + 6*e1*e1*e2 - 3*e1*e1*e1*e1)
+                 / pow(e2 - e1*e1, 2) - 3, 6) AS kurt
+    FROM e
+    """,
+)
+def skew_kurt_moments(spark, sf):
+    """Population skewness/excess-kurtosis via raw-moment algebra.
+    Built-in skewness()/kurtosis() differ across engines (DuckDB
+    bias-corrects, Spark doesn't), so the query states the estimator
+    explicitly — E[x^k] raw moments (one partial-aggregable pass)
+    combined to central moments in the projection.  Same shape the
+    reference gets from fold-composed verbs (adverbs.h:33-71)."""
+    li = _t(spark, sf, "lineitem")
+    x = F.col("l_discount")
+    e = li.groupBy("l_linestatus").agg(
+        F.avg(x).alias("e1"),
+        F.avg(x * x).alias("e2"),
+        F.avg(x * x * x).alias("e3"),
+        F.avg(x * x * x * x).alias("e4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    e1, e2, e3, e4 = F.col("e1"), F.col("e2"), F.col("e3"), F.col("e4")
+    m2 = e2 - e1 * e1
+    m3 = e3 - 3 * e1 * e2 + 2 * e1 * e1 * e1
+    m4 = e4 - 4 * e1 * e3 + 6 * e1 * e1 * e2 - 3 * e1 * e1 * e1 * e1
+    return e.select(
+        "l_linestatus",
+        "n",
+        F.round(m2, 9).alias("m2"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew"),
+        F.round(m4 / F.pow(m2, F.lit(2)) - 3, 6).alias("kurt"),
+    )
+
+
+@query(
+    "histogram_bins",
+    """
+    SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_val,
+           min(value) AS min_val, max(value) AS max_val
+    FROM events GROUP BY 1
+    """,
+)
+def histogram_bins(spark, sf):
+    """Fixed-width histogram binning (kerf xbar over a value axis
+    instead of time): bucket id is pure arithmetic, so the whole
+    histogram is one partial-aggregated shuffle on a 10-value key —
+    the canonical distributed-histogram plan."""
+    e = _t(spark, sf, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_val"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
+# =====================================================================
+# round-2 widening: grid resample (as-of fill) + time-weighted average
+# =====================================================================
+
+@query(
+    "resample_1h_ffill",
+    """
+    WITH pre AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, max_by(value, event_id) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx FROM pre GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn - mn % 3600000000,
+                                    mx - mx % 3600000000,
+                                    3600000000)) AS ts_us
+      FROM bounds
+    )
+    SELECT g.user_id, g.ts_us, p.v
+    FROM grid g ASOF LEFT JOIN pre p
+      ON g.user_id = p.user_id AND g.ts_us >= p.ts_us
+    """,
+)
+def resample_1h_ffill(spark, sf):
+    """Regular-grid resample with as-of forward fill (operators.asof.
+    resample): per user, one row per hour between first and last event
+    carrying the latest observation at or before the grid point — the
+    kdb "align ticks to bars, carry last" idiom.  Two key-partitioned
+    exchanges total (bounds agg + as-of fill) at any scale; grid rows
+    are generated distributed via sequence+explode, never on the
+    driver.  Source is pre-reduced to one row per (user, µs) with
+    max_by so the fill is tie-free on both engines."""
+    e = _t(spark, sf, "events")
+    pre = (
+        e.select(
+            "user_id",
+            TM.ns_to_us("ts").alias("ts_us"),
+            "value",
+            "event_id",
+        )
+        .groupBy("user_id", "ts_us")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    return AS.resample(
+        pre, on="ts_us", step=3_600_000_000, by="user_id", val_cols=["v"]
+    )
+
+
+@query(
+    "twap_by_user",
+    """
+    WITH t AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * (next_us - ts_us)) / sum(next_us - ts_us), 6)
+             AS twap,
+           count(*) AS n_intervals
+    FROM t WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def twap_by_user(spark, sf):
+    """Time-weighted average (TWAP): each observation weighted by its
+    holding interval (lead(ts) - ts).  One window pass + one group-agg
+    over the same user_id partitioning — the exchange is reused
+    (window partitionBy == groupBy key), so it's a single shuffle."""
+    e = _t(spark, sf, "events")
+    us = TM.ns_to_us("ts").alias("ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = e.select("user_id", "value", us, "event_id").withColumn(
+        "next_us", F.lead("ts_us").over(w)
+    )
+    dt = F.col("next_us") - F.col("ts_us")
+    return (
+        t.where(F.col("next_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+# =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
 # The round-1 driver evaluated exactly the first 50 dict entries of
@@ -4212,6 +4490,9 @@ _PRIORITY_FIRST = [
     "kerf_lang_temporal", "kerf_lang_table_literal", "flip_matrix",
     "bucketed_join_colocated", "narrow_width_roundtrip", "workspace_roundtrip",
     "stream_window_counts", "stream_dedup_batch", "stream_ema",
+    "unpivot_melt", "topk_per_group", "argminmax_agg", "corr_regr_agg",
+    "skew_kurt_moments", "histogram_bins", "resample_1h_ffill",
+    "twap_by_user",
 ]
 
 

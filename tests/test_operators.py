@@ -469,3 +469,50 @@ def test_ema_matches_pandas_ewm(spark):
     want = pd.Series(vals).ewm(alpha=0.1, adjust=True).mean()
     for i in range(len(vals)):
         assert abs(got[i] - want[i]) < 1e-9, i
+
+
+# ------------------------------------------------- resample / melt / topk
+def test_resample_grid_and_fill(spark):
+    src = spark.createDataFrame(
+        [("A", 103, 1.0), ("A", 127, 2.0), ("A", 155, 3.0), ("B", 205, 9.0)],
+        "sym string, ts long, v double",
+    )
+    res = AS.resample(src, on="ts", step=10, by="sym", val_cols=["v"])
+    got = {(r.sym, r.ts): r.v for r in res.collect()}
+    # A spans 103..155 -> grid 100..150; 100 precedes the first obs (null)
+    assert got == {
+        ("A", 100): None, ("A", 110): 1.0, ("A", 120): 1.0,
+        ("A", 130): 2.0, ("A", 140): 2.0, ("A", 150): 2.0,
+        ("B", 200): None,
+    }
+
+
+def test_resample_negative_stamps_floor(spark):
+    # pre-epoch axis: pmod alignment floors toward -inf, not toward zero
+    src = spark.createDataFrame(
+        [("A", -25, 1.0), ("A", 5, 2.0)], "sym string, ts long, v double"
+    )
+    res = AS.resample(src, on="ts", step=10, by="sym", val_cols=["v"])
+    ts = sorted(r.ts for r in res.collect())
+    assert ts == [-30, -20, -10, 0]
+
+
+def test_melt_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0), (2, 4.0, 5.0)], "id long, a double, b double"
+    )
+    long = R.melt(df, ["id"], ["a", "b"])
+    assert long.columns == ["id", "measure", "val"]
+    got = {(r.id, r.measure): r.val for r in long.collect()}
+    assert got == {(1, "a"): 2.0, (1, "b"): 3.0, (2, "a"): 4.0, (2, "b"): 5.0}
+
+
+def test_top_k_by_group_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 10.0), ("x", 2, 10.0), ("x", 3, 5.0), ("y", 4, 1.0)],
+        "g string, id long, v double",
+    )
+    res = R.top_k_by_group(df, by="g", order=["v", "id"], k=2)
+    got = {(r.g, r.rn): r.id for r in res.collect()}
+    # desc on (v, id): tie at v=10 broken by id desc -> id=2 first
+    assert got == {("x", 1): 2, ("x", 2): 1, ("y", 1): 4}

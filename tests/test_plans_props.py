@@ -262,3 +262,27 @@ def test_blocked_selfjoins_cap_hot_buckets(spark):
     keyed = sims.withColumn("blk", F.shiftright("simhash", 48))
     rep = DD.hot_bucket_report(keyed, ["blk"], max_bucket=cap).collect()
     assert len(rep) == 1 and rep[0].n == n and rep[0].dropped == n - cap
+
+
+def test_melt_expands_without_shuffle(spark):
+    plan = plan_of(QUERIES["unpivot_melt"](spark, SF), "simple")
+    assert "Expand" in plan
+    assert "Exchange" not in plan  # wide->long is a pure fan-out
+
+
+def test_resample_is_two_exchanges(spark):
+    # bounds agg + as-of fill; grid explode adds no shuffle of its own
+    plan = plan_of(QUERIES["resample_1h_ffill"](spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3  # pre-agg + bounds + fill
+
+
+def test_twap_reuses_window_exchange(spark):
+    # window partitionBy(user_id) then groupBy(user_id): one exchange
+    plan = plan_of(QUERIES["twap_by_user"](spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_topk_per_group_no_global_sort(spark):
+    plan = plan_of(QUERIES["topk_per_group"](spark, SF), "simple")
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert plan.count("Exchange hashpartitioning") == 1
