@@ -4432,6 +4432,62 @@ def twap_by_user(spark, sf):
     )
 
 
+@query(
+    "stream_static_enrich",
+    """
+    WITH prof AS (
+      SELECT user_id, avg(value) AS base FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(sum(e.value), 2) AS sum_above
+    FROM events e JOIN prof p USING (user_id)
+    WHERE round(e.value, 6) > round(p.base, 6)
+    GROUP BY e.event_type
+    """,
+)
+def stream_static_enrich(spark, sf):
+    """Stream-static enrichment join (SURVEY §2.10): live events stream
+    joined per micro-batch against a broadcast static profile (per-user
+    historical average from the batch store), keeping above-baseline
+    events and aggregating by type.
+
+    The canonical feed-handler shape — bus.h:119's fanout enriching
+    ticks with reference data.  The static side broadcasts once; the
+    stream side never shuffles for the join, so per-batch latency is
+    O(batch), independent of history size.  Float compares are rounded
+    on both sides so engine fp-order differences can't flip a boundary
+    row."""
+    from .streaming.ingest import read_file_stream
+
+    batch = _t(spark, sf, "events")
+    profile = batch.groupBy("user_id").agg(F.avg("value").alias("base"))
+    stream = read_file_stream(
+        spark, sf, batch.schema, pathGlobFilter="events.parquet"
+    )
+    enriched = (
+        stream.join(F.broadcast(profile), "user_id")
+        .where(F.round("value", 6) > F.round("base", 6))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_above"),
+        )
+    )
+    qname = "kerf_stream_static_enrich"
+    for active in spark.streams.active:  # rerun-safe: clear a stale run
+        if active.name == qname:
+            active.stop()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
@@ -4492,7 +4548,7 @@ _PRIORITY_FIRST = [
     "stream_window_counts", "stream_dedup_batch", "stream_ema",
     "unpivot_melt", "topk_per_group", "argminmax_agg", "corr_regr_agg",
     "skew_kurt_moments", "histogram_bins", "resample_1h_ffill",
-    "twap_by_user",
+    "twap_by_user", "stream_static_enrich",
 ]
 
 
