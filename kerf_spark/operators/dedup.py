@@ -633,3 +633,50 @@ def prefix_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------------------------ edit distance by prefix bucket
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 32,
+    cmp_len: int = 200,
+    max_dist: int = 30,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Edit-distance near-dup with prefix blocking: docs sharing the
+    first ``prefix_len`` normalized chars are candidates; Levenshtein
+    over the first ``cmp_len`` chars verifies (unit costs — the ANSI
+    definition both Spark and standard SQL engines implement).
+
+    Same scale shape as the other blocked self-joins: candidates come
+    only from shared-prefix buckets (hot buckets capped loudly via
+    ``max_bucket``), and the O(cmp_len²) distance kernel runs JVM-side
+    on candidates only — never all pairs, never in Python.
+    """
+    from .text import normalize_text
+
+    staged = df.select(
+        F.col(id_col),
+        F.substring(normalize_text(text_col), 1, cmp_len).alias("__t"),
+    ).select(
+        F.col(id_col),
+        F.substring("__t", 1, prefix_len).alias("pfx"),
+        F.col("__t"),
+    )
+    staged = _cap_buckets(staged, ["pfx"], id_col, max_bucket, "levenshtein_pairs")
+    a, b = staged.alias("a"), staged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein("a.__t", "b.__t").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

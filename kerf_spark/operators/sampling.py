@@ -67,3 +67,34 @@ def train_val_test_split(
         .when(b < val_pct + test_pct, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    frac: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact-count stratified sample: ceil(frac * n) rows from every
+    stratum, chosen by content-hash order — deterministic across
+    engines, partitionings, and reruns (contrast ``df.sampleBy``, whose
+    per-row Bernoulli draw gives only an *expected* fraction and is
+    layout-dependent).
+
+    One shuffle on the stratum key; within each stratum rows are ranked
+    by md5(id) (a uniform permutation independent of data order), so
+    the kept set is an unbiased fixed-size sample per stratum — the
+    shape training-data pipelines need for per-source quotas.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata).orderBy(
+        F.md5(_c(id_col).cast("string")), _c(id_col)
+    )
+    cnt = Window.partitionBy(strata)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(cnt))
+        .where(F.col("__rn") <= F.ceil(F.lit(frac) * F.col("__cnt")).cast("long"))
+        .drop("__rn", "__cnt")
+    )

@@ -198,3 +198,56 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint_md5(text_col).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 3,
+) -> "DataFrame":
+    """Per-document top-k TF-IDF terms — the standard relevance scorer
+    a training-data pipeline uses for keyword extraction / quality
+    filtering over a corpus.
+
+    Shape: tokenize (staged through a projection boundary — the HOF
+    re-evaluation trap), explode to (doc, term), one shuffle for term
+    frequency, one partial-aggregated shuffle for document frequency,
+    broadcast the corpus size scalar, rank per doc.  No UDFs; idf =
+    ln(N/df) stated explicitly so any engine reproduces it.  Scores are
+    rounded BEFORE ranking so fp noise can't reorder the top-k across
+    engines (term asc breaks rounded ties).
+    """
+    toks = (
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+        .select(F.col(id_col), F.explode(F.split("__t", "[^a-z]+")).alias("term"))
+        .where((F.col("term") != "") & (F.length("term") >= min_len))
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("dfreq")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("dfreq").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )

@@ -4489,6 +4489,218 @@ def stream_static_enrich(spark, sf):
 
 
 # =====================================================================
+# round-2 widening: corpus analytics (tf-idf, edit-distance dedup,
+# stratified sampling) + event analytics (funnel, cohort retention)
+# =====================================================================
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> '' AND length(t) >= 3
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1
+    ), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.dfreq AS DOUBLE)),
+                   6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rn FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf):
+    """Per-doc top-3 TF-IDF keywords (operators.text.tfidf_top_terms):
+    explode -> two partial-aggregated shuffles (tf, df) -> broadcast
+    N -> per-doc rank.  Rounded-before-rank so fp noise can't reorder
+    the top-k across engines."""
+    d = _t(spark, sf, "documents")
+    return TX.tfidf_top_terms(d, k=3, min_len=3).select(
+        "doc_id", "term", "tfidf", "rn"
+    )
+
+
+@query(
+    "levenshtein_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                    1, 200) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM norm a JOIN norm b
+      ON substr(a.t, 1, 32) = substr(b.t, 1, 32) AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= 30
+    """,
+)
+def levenshtein_pairs_q(spark, sf):
+    """Edit-distance near-dup with prefix blocking (dedup.
+    levenshtein_pairs): candidates only from shared-prefix buckets
+    (capped), the O(len²) kernel JVM-side on candidates only."""
+    d = _t(spark, sf, "documents")
+    return DD.levenshtein_pairs(
+        d, prefix_len=32, cmp_len=200, max_dist=30
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                               ) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE rn <= CAST(ceil(0.2 * cnt) AS BIGINT)
+    """,
+)
+def stratified_sample_docs(spark, sf):
+    """Exact-count per-stratum sampling (sampling.stratified_sample):
+    ceil(20%) of every source, chosen by content-hash order — same
+    rows on any engine / partitioning / rerun, unlike Bernoulli
+    sampleBy."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(d, strata="source", frac=0.2, id_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "approx_distinct_tolerance",
+    """
+    SELECT count(DISTINCT l_orderkey) AS exact_cnt, true AS within_5pct
+    FROM lineitem
+    """,
+)
+def approx_distinct_tolerance(spark, sf):
+    """The approx-distinct scale path (HLL++), gated against the exact
+    count: at 100 TB count-distinct is a sketch, not a shuffle of every
+    key — this row proves the sketch lands within its advertised 5%
+    bound on the fixtures (Spark's HLL is deterministic for fixed
+    input, so the boolean is stable)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("exact_cnt"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.05)
+                - F.countDistinct("l_orderkey")
+            )
+            <= 0.05 * F.countDistinct("l_orderkey")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS tc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def funnel_conversion(spark, sf):
+    """Ordered-funnel analysis (view -> later click -> later purchase):
+    per-stage first-occurrence joins, each a key-partitioned agg +
+    broadcast-sized join back — the standard sequential-pattern shape
+    for event/clickstream tables.  Timestamps compare at µs on both
+    engines (events.ts is ns in Spark, µs in the oracle)."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_type", TM.ns_to_us("ts").alias("us")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tv"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             min(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_us
+      FROM events
+    )
+    SELECT CAST(floor(first_us / 86400000000) AS BIGINT) AS cohort_day,
+           CAST(floor(us / 86400000000) AS BIGINT)
+             - CAST(floor(first_us / 86400000000) AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS active_users
+    FROM t GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf):
+    """Cohort retention triangle: users grouped by first-seen day,
+    activity counted per day offset.  First-seen comes from a window
+    min over the user partition (no self-join), then one group-agg —
+    two exchanges total, both on uniform keys."""
+    e = _t(spark, sf, "events")
+    day = F.lit(86_400_000_000)
+    t = e.select(
+        "user_id",
+        TM.ns_to_us("ts").alias("us"),
+    ).withColumn("first_us", F.min("us").over(Window.partitionBy("user_id")))
+    cohort = F.floor(F.col("first_us") / day).cast("long")
+    offset = (F.floor(F.col("us") / day).cast("long") - cohort).alias("day_offset")
+    return t.groupBy(cohort.alias("cohort_day"), offset).agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+# =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
 # The round-1 driver evaluated exactly the first 50 dict entries of
@@ -4549,6 +4761,8 @@ _PRIORITY_FIRST = [
     "unpivot_melt", "topk_per_group", "argminmax_agg", "corr_regr_agg",
     "skew_kurt_moments", "histogram_bins", "resample_1h_ffill",
     "twap_by_user", "stream_static_enrich",
+    "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
+    "approx_distinct_tolerance", "funnel_conversion", "cohort_retention",
 ]
 
 

@@ -516,3 +516,43 @@ def test_top_k_by_group_rank_and_ties(spark):
     got = {(r.g, r.rn): r.id for r in res.collect()}
     # desc on (v, id): tie at v=10 broken by id desc -> id=2 first
     assert got == {("x", 1): 2, ("x", 2): 1, ("y", 1): 4}
+
+
+# -------------------------------------------- tfidf / levenshtein / strata
+def test_tfidf_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana date")],
+        "doc_id long, text string",
+    )
+    res = TX.tfidf_top_terms(docs, k=1, min_len=3)
+    got = {r.doc_id: r.term for r in res.collect()}
+    # banana appears everywhere (idf=0); the distinctive term wins per doc
+    assert got == {1: "apple", 2: "cherry", 3: "date"}
+
+
+def test_levenshtein_pairs_blocked(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy cat today"),
+            (3, "completely different text that shares no prefix at all"),
+        ],
+        "doc_id long, text string",
+    )
+    res = DD.levenshtein_pairs(docs, prefix_len=16, cmp_len=100, max_dist=5)
+    rows = res.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert rows[0].dist == 3  # dog -> cat
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from kerf_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(30)], "id long, s string"
+    )
+    res = stratified_sample(df, strata="s", frac=0.3, id_col="id")
+    by_s = {r.s: r.n for r in res.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert by_s == {"a": 3, "b": 6}  # ceil(0.3*10), ceil(0.3*20)
+    again = stratified_sample(df.repartition(7), strata="s", frac=0.3, id_col="id")
+    assert sorted(r.id for r in res.collect()) == sorted(r.id for r in again.collect())
