@@ -120,9 +120,13 @@ def lsh_signature(vec, dim: int, n_planes: int = 16) -> Column:
     return sig
 
 
-def _band_sigs(vec, dim: int, bands: int, planes_per_band: int) -> Column:
+def _band_sigs(
+    vec, dim: int, bands: int, planes_per_band: int, round_proj: int | None = None
+) -> Column:
     """Array of (band_idx, packed-sign-bits) structs — one LSH key per
-    band, planes disjoint across bands."""
+    band, planes disjoint across bands.  ``round_proj`` rounds each
+    projection before taking its sign so a cross-engine ULP wobble near
+    zero can't flip a bucket bit (the round-before-compare convention)."""
     out = []
     for b in range(bands):
         sig = F.lit(0).cast("long")
@@ -130,6 +134,8 @@ def _band_sigs(vec, dim: int, bands: int, planes_per_band: int) -> Column:
             plane_idx = b * planes_per_band + p
             plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_idx)])
             s = dot(vec, plane)
+            if round_proj is not None:
+                s = F.round(s, round_proj)
             sig = sig.bitwiseOR(
                 F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
                     F.lit(0).cast("long")
@@ -137,6 +143,68 @@ def _band_sigs(vec, dim: int, bands: int, planes_per_band: int) -> Column:
             )
         out.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
     return F.array(*out)
+
+
+def lsh_near_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.30,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS over the whole corpus, blocked by
+    random-hyperplane LSH — the unsupervised sibling of the label-blocked
+    variant: no metadata needed, candidates are pairs agreeing on ANY
+    band's sign signature (recall 1-(1-p^r)^b), verified by exact cosine.
+
+    Scale shape (the all-pairs similarity-search discipline, cf. Bayardo
+    et al. WWW'07 blocking): the corpus explodes to narrow (id, band,
+    sig) keys — embeddings are NOT carried through the explode — the
+    self-join runs on uniform band-hash keys with a loud hot-bucket cap,
+    and vectors rejoin by id only for the deduped candidate set.  Never
+    all pairs; precision 1.0 by construction (exact verify), recall
+    tunable via bands×planes.  Projections round at 6dp before the sign
+    so buckets are engine-portable.
+    """
+    from .dedup import _cap_buckets
+
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sigs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            _band_sigs(emb, dim, bands, planes_per_band, round_proj=6)
+        ).alias("__b"),
+    ).select("id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
+    sigs = _cap_buckets(sigs, ["band", "sig"], "id", max_bucket, "lsh_near_pairs")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("__vid"), emb.alias("__v"))
+    scored = (
+        cand.join(vecs, cand.id_a == vecs.__vid)
+        .withColumnRenamed("__v", "__va")
+        .drop("__vid")
+        .join(vecs, cand.id_b == vecs.__vid)
+        .withColumnRenamed("__v", "__vb")
+        .drop("__vid")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine("__va", "__vb"), 6).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def lsh_topk(

@@ -4700,6 +4700,67 @@ def cohort_retention(spark, sf):
     )
 
 
+def _lsh_neardup_oracle_sql(
+    dim: int = 64, bands: int = 4, ppb: int = 8, threshold: float = 0.30
+) -> str:
+    """Generate the DuckDB twin of ``similarity.lsh_near_pairs``: the
+    SAME deterministic LCG hyperplanes (similarity._hyperplane) inlined
+    as literals, the same round-at-6dp-before-sign bucketing, the same
+    cosine verify — so even the LSH *blocking* is value-matched across
+    engines, not just the verified pairs."""
+    from .operators.similarity import _hyperplane
+
+    band_selects = []
+    for b in range(bands):
+        terms = []
+        for p in range(ppb):
+            plane = _hyperplane(dim, b * ppb + p)
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN round(list_dot_product(emb, {lit}), 6) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        sig = "\n         + ".join(terms)
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, CAST({sig} AS BIGINT) AS sig FROM e"
+        )
+    sigs_sql = "\n      UNION ALL\n      ".join(band_selects)
+    cos = (
+        "round(list_dot_product(ea.emb, eb.emb)"
+        " / (sqrt(list_dot_product(ea.emb, ea.emb))"
+        " * sqrt(list_dot_product(eb.emb, eb.emb))), 6)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), sigs AS (
+      {sigs_sql}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cosine
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query("lsh_neardup_pairs", _lsh_neardup_oracle_sql())
+def lsh_neardup_pairs(spark, sf):
+    """Unsupervised embedding near-dup pairs (similarity.lsh_near_pairs):
+    random-hyperplane band blocking — no label/metadata needed — with
+    exact-cosine verify on candidates only.  The oracle re-derives the
+    identical hyperplanes and buckets in SQL, so blocking AND verify are
+    both cross-engine value-matched (stronger than the rows-only check
+    the probe-set LSH gets)."""
+    e = _t(spark, sf, "embeddings")
+    return SIM.lsh_near_pairs(
+        e, dim=64, threshold=0.30, bands=4, planes_per_band=8
+    )
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
@@ -4763,6 +4824,7 @@ _PRIORITY_FIRST = [
     "twap_by_user", "stream_static_enrich",
     "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
     "approx_distinct_tolerance", "funnel_conversion", "cohort_retention",
+    "lsh_neardup_pairs",
 ]
 
 

@@ -556,3 +556,17 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert by_s == {"a": 3, "b": 6}  # ceil(0.3*10), ceil(0.3*20)
     again = stratified_sample(df.repartition(7), strata="s", frac=0.3, id_col="id")
     assert sorted(r.id for r in res.collect()) == sorted(r.id for r in again.collect())
+
+
+def test_lsh_near_pairs_finds_identical_and_blocks(spark):
+    base = [0.5] * 8
+    shifted = [0.5] * 7 + [0.52]          # near-dup of base
+    opposite = [(-0.5) ** (i + 1) for i in range(8)]  # alternating, far from base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, opposite)],
+        "vec_id long, embedding array<float>",
+    )
+    res = SIM.lsh_near_pairs(df, dim=8, threshold=0.9, bands=2, planes_per_band=4)
+    rows = res.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert rows[0].cosine > 0.99
