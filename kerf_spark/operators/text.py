@@ -200,6 +200,69 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A —
+    public): per document, the fraction of words taken by the single
+    most frequent word (``top_word_frac``), the duplicate-word fraction
+    (``dup_word_frac`` = 1 - distinct/total), and the most-frequent
+    2-gram's share (``top_bigram_frac``, NULL when the doc has < 2
+    words).  High values mark boilerplate / degenerate text a
+    training-data pipeline drops.
+
+    Scale shape: explode-then-aggregate (linear in corpus size, three
+    shuffles all keyed by doc — co-partitioned, AQE-coalesced) rather
+    than the per-row HOF mode-count, which is O(len²) per document and
+    melts on long docs.  Ratios round at 9dp so engines agree."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    words = toks.select(id_col, F.explode("__toks").alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    wagg = wc.groupBy(id_col).agg(
+        F.max("c").alias("__topc"),
+        F.sum("c").alias("__tot"),
+        F.count(F.lit(1)).alias("__dw"),
+    )
+    empty = F.expr("CAST(array() AS array<string>)")
+    bigrams = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__toks") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__toks"), i),
+                        F.element_at(F.col("__toks"), i + 1),
+                    ),
+                ),
+            ).otherwise(empty)
+        ).alias("b"),
+    )
+    bc = bigrams.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    bagg = bc.groupBy(id_col).agg(
+        F.max("c").alias("__topbc"), F.sum("c").alias("__btot")
+    )
+    return wagg.join(bagg, id_col, "left").select(
+        id_col,
+        F.round(F.col("__topc").cast("double") / F.col("__tot"), 9).alias(
+            "top_word_frac"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("__dw").cast("double") / F.col("__tot"), 9
+        ).alias("dup_word_frac"),
+        F.round(F.col("__topbc").cast("double") / F.col("__btot"), 9).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def tfidf_top_terms(
     df,
     text_col: str = "text",

@@ -4700,6 +4700,120 @@ def cohort_retention(spark, sf):
     )
 
 
+@query(
+    "repetition_signals_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, t AS w FROM d, unnest(toks) u(t)
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+    ), wagg AS (
+      SELECT doc_id, max(c) AS topc, sum(c) AS tot, count(*) AS dw
+      FROM wc GROUP BY 1
+    ), bg AS (
+      SELECT d.doc_id, toks[i] || ' ' || toks[i+1] AS b
+      FROM d, unnest(generate_series(1, len(toks)-1)) g(i)
+      WHERE len(toks) > 1
+    ), bc AS (
+      SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+    ), bagg AS (
+      SELECT doc_id, max(c) AS topbc, sum(c) AS btot FROM bc GROUP BY 1
+    )
+    SELECT wa.doc_id,
+           round(CAST(topc AS DOUBLE) / tot, 9) AS top_word_frac,
+           round(1.0 - CAST(dw AS DOUBLE) / tot, 9) AS dup_word_frac,
+           round(CAST(topbc AS DOUBLE) / btot, 9) AS top_bigram_frac
+    FROM wagg wa LEFT JOIN bagg ba ON wa.doc_id = ba.doc_id
+    """,
+)
+def repetition_signals_docs(spark, sf):
+    """Gopher-style repetition filters (operators.text.
+    repetition_signals): top-word share, duplicate-word fraction,
+    top-bigram share per doc — explode-then-aggregate (linear, doc-keyed
+    shuffles), never the O(len²) per-row HOF mode count."""
+    d = _t(spark, sf, "documents")
+    return TX.repetition_signals(d)
+
+
+@query(
+    "corpus_curation_pipeline",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS n_punct,
+             CASE WHEN trim(text) = '' THEN 0 ELSE (
+               SELECT count(*) FROM unnest(string_split_regex(trim(lower(text)), '\\s+')) t(w)
+               WHERE w IN ('the','a','an','and','or','of','to','in','is','it',
+                           'that','for','on','with','as','was','at','by','be')
+             ) END AS n_stop,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, fp,
+             round(
+               least(n_chars/500.0, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+                                           ELSE CAST(n_punct AS DOUBLE)/n_chars END)*5) * 0.3
+               + least((CASE WHEN n_tokens = 0 THEN 0.0
+                             ELSE CAST(n_stop AS DOUBLE)/n_tokens END)*4.0, 1.0) * 0.3,
+             9) AS quality
+      FROM s
+    ), kept AS (
+      SELECT doc_id, source, quality, fp FROM q WHERE quality >= 0.55
+    ), dedup AS (
+      SELECT doc_id, source, quality FROM (
+        SELECT doc_id, source, quality,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dn
+        FROM kept
+      ) WHERE dn = 1
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                               ) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM dedup
+    )
+    SELECT doc_id, source, quality FROM ranked
+    WHERE rn <= CAST(ceil(0.5 * cnt) AS BIGINT)
+    """,
+)
+def corpus_curation_pipeline(spark, sf):
+    """The end-to-end training-data curation flow in ONE lineage:
+    quality-score -> threshold filter -> exact dedup (keep lowest id per
+    content fingerprint) -> 50% per-source stratified sample.  Each
+    stage is the already-oracled operator (text.quality_score,
+    text.fingerprint_md5, sampling.stratified_sample); the composite
+    proves they compose without materialization between stages — filters
+    reach the scan, three doc/fp/source-keyed shuffles total, no
+    collect anywhere."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(TX.quality_score("text"), 9).alias("quality"),
+        TX.fingerprint_md5("text").alias("fp"),
+    )
+    kept = scored.where(F.col("quality") >= 0.55)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ded = (
+        kept.withColumn("dn", F.row_number().over(w))
+        .where(F.col("dn") == 1)
+        .drop("dn", "fp")
+    )
+    return stratified_sample(ded, strata="source", frac=0.5, id_col="doc_id").select(
+        "doc_id", "source", "quality"
+    )
+
+
 def _lsh_neardup_oracle_sql(
     dim: int = 64, bands: int = 4, ppb: int = 8, threshold: float = 0.30
 ) -> str:
@@ -4824,7 +4938,7 @@ _PRIORITY_FIRST = [
     "twap_by_user", "stream_static_enrich",
     "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
     "approx_distinct_tolerance", "funnel_conversion", "cohort_retention",
-    "lsh_neardup_pairs",
+    "lsh_neardup_pairs", "repetition_signals_docs", "corpus_curation_pipeline",
 ]
 
 

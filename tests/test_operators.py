@@ -570,3 +570,21 @@ def test_lsh_near_pairs_finds_identical_and_blocks(spark):
     rows = res.collect()
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
     assert rows[0].cosine > 0.99
+
+
+def test_repetition_signals_flags_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                # one word repeated
+            (2, "all words here are fully distinct"),  # no repetition
+            (3, "one"),                                # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.repetition_signals(df).collect()}
+    assert got[1].top_word_frac == 1.0
+    assert got[1].dup_word_frac == 0.75
+    assert got[1].top_bigram_frac == 1.0
+    assert got[2].dup_word_frac == 0.0
+    assert got[2].top_word_frac == round(1 / 6, 9)
+    assert got[3].top_bigram_frac is None
