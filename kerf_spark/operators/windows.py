@@ -280,3 +280,49 @@ def ema_exact(
         return pdf
 
     return df.groupBy(*[F.col(c) for c in by]).applyInPandas(fn, schema)
+
+
+def weighted_median(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    by: Sequence[str],
+    tiebreak: Sequence[str] = (),
+    out: str = "wmedian",
+) -> DataFrame:
+    """Per-group weighted median: the smallest ``value`` whose cumulative
+    ``weight`` reaches half the group total — the tick-analytics median
+    (median price weighted by size) kerf expresses as a fold over the
+    sorted column.
+
+    Physical strategy: one shuffle on ``by``; a running-sum window and
+    the group-total window REUSE that exchange (same partition keys), so
+    the whole aggregate costs a single exchange + in-partition sort.
+    ``tiebreak`` columns make the cumulative order total, hence the
+    result deterministic across engines and partitionings.  Weights that
+    are integral (counts, lot sizes) sum exactly in doubles, so the
+    half-total comparison is engine-portable with no rounding step.
+    """
+    keys = list(by)
+    cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v"), *[F.col(t) for t in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*keys)
+    staged = df.select(
+        *keys,
+        F.col(value).alias("__v"),
+        F.col(weight).cast("double").alias("__w"),
+        *[F.col(t) for t in tiebreak],
+    ).select(
+        *keys,
+        "__v",
+        F.sum("__w").over(cum).alias("__cumw"),
+        F.sum("__w").over(tot).alias("__tot"),
+    )
+    return (
+        staged.where(F.col("__cumw") * 2 >= F.col("__tot"))
+        .groupBy(*keys)
+        .agg(F.min("__v").alias(out))
+    )

@@ -4814,6 +4814,37 @@ def corpus_curation_pipeline(spark, sf):
     )
 
 
+@query(
+    "weighted_median_price",
+    """
+    WITH t AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT flag, min(v) AS wmedian FROM t WHERE cumw * 2 >= tot GROUP BY flag
+    """,
+)
+def weighted_median_price(spark, sf):
+    """Quantity-weighted median price per return flag (windows.
+    weighted_median): smallest price whose cumulative quantity reaches
+    half the group total.  One exchange — the running-sum and
+    group-total windows share the partition key.  TPC-H quantities are
+    integral, so the double sums are exact and the half-total crossing
+    is engine-portable without rounding."""
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_returnflag", "flag")
+    return W.weighted_median(
+        li,
+        value="l_extendedprice",
+        weight="l_quantity",
+        by=["flag"],
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
 def _lsh_neardup_oracle_sql(
     dim: int = 64, bands: int = 4, ppb: int = 8, threshold: float = 0.30
 ) -> str:
@@ -4939,6 +4970,7 @@ _PRIORITY_FIRST = [
     "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
     "approx_distinct_tolerance", "funnel_conversion", "cohort_retention",
     "lsh_neardup_pairs", "repetition_signals_docs", "corpus_curation_pipeline",
+    "weighted_median_price",
 ]
 
 

@@ -588,3 +588,17 @@ def test_repetition_signals_flags_degenerate_text(spark):
     assert got[2].dup_word_frac == 0.0
     assert got[2].top_word_frac == round(1 / 6, 9)
     assert got[3].top_bigram_frac is None
+
+
+def test_weighted_median_crosses_half_total(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0, 1), ("g", 2.0, 1.0, 2), ("g", 3.0, 10.0, 3),
+         ("h", 5.0, 1.0, 4), ("h", 7.0, 1.0, 5)],
+        "k string, v double, wt double, id long",
+    )
+    got = {r.k: r.wmedian for r in W.weighted_median(
+        df, value="v", weight="wt", by=["k"], tiebreak=["id"]
+    ).collect()}
+    # g: total 12, cum at v=3 reaches 12 >= 6 first -> 3
+    # h: total 2, cum at v=5 is 1, 1*2 >= 2 -> 5 (lower of the even split)
+    assert got == {"g": 3.0, "h": 5.0}

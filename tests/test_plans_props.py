@@ -286,3 +286,29 @@ def test_topk_per_group_no_global_sort(spark):
     plan = plan_of(QUERIES["topk_per_group"](spark, SF), "simple")
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_median_single_exchange(spark):
+    # running-sum + group-total windows + final groupBy all share the
+    # by-key partitioning: one exchange end to end
+    plan = plan_of(QUERIES["weighted_median_price"](spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_curation_pipeline_filter_reaches_scan(spark):
+    # the composite must not materialize between stages; the only scan
+    # is documents.parquet and shuffles stay doc/fp/source-keyed
+    plan = plan_of(QUERIES["corpus_curation_pipeline"](spark, SF), "simple")
+    assert plan.lower().count("filescan") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_lsh_near_pairs_joins_on_band_keys(spark):
+    # blocking self-join must be an equi-join on (band, sig) — never a
+    # cartesian/broadcast-nested-loop over the corpus
+    from kerf_spark.operators import similarity as SIM2
+    from kerf_spark.sources.io import read_table
+
+    e = read_table(spark, SF, "embeddings")
+    plan = plan_of(SIM2.lsh_near_pairs(e, dim=64, bands=2, planes_per_band=4), "simple")
+    assert "CartesianProduct" not in plan
