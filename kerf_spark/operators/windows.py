@@ -124,6 +124,44 @@ def msum(col, n, by, order) -> Column:
     return moving("sum", col, n, by, order)
 
 
+def mdev(col, n, by, order) -> Column:
+    """n-row trailing sample stddev (kerf mdev), computed from moving
+    sums — ``sqrt((Σx² - (Σx)²/m) / (m-1))`` with m the actual frame
+    size (< n at partition edges; NULL when m == 1).  The sum-form is
+    engine-portable: identical inputs give identical sums, where a
+    streaming Welford accumulation would expose implementation order.
+    Clamped at 0 so fp cancellation can't drive sqrt negative."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = ordered_window(by, order).rowsBetween(-(n - 1), 0)
+    m = F.count(c).over(w).cast("double")
+    sx = F.sum(c).over(w)
+    sxx = F.sum(c * c).over(w)
+    var = (sxx - (sx * sx) / m) / (m - F.lit(1.0))
+    return F.when(m > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+
+
+def mcorr(x, y, n, by, order) -> Column:
+    """n-row trailing Pearson correlation of two columns (rolling
+    corr/beta — the pairs-trading window stat).  Sum-form:
+    ``(mΣxy - ΣxΣy) / sqrt((mΣx² - (Σx)²)(mΣy² - (Σy)²))``; NULL when
+    either side's frame variance rounds to zero at 9dp (constant
+    series — also shields the cross-engine fp boundary where a
+    mathematically-zero variance lands ±1e-18)."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    w = ordered_window(by, order).rowsBetween(-(n - 1), 0)
+    m = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum(cx).over(w), F.sum(cy).over(w)
+    sxx = F.sum(cx * cx).over(w)
+    syy = F.sum(cy * cy).over(w)
+    sxy = F.sum(cx * cy).over(w)
+    cov = m * sxy - sx * sy
+    vx = F.greatest(m * sxx - sx * sx, F.lit(0.0))
+    vy = F.greatest(m * syy - sy * sy, F.lit(0.0))
+    denom = F.sqrt(vx * vy)
+    return F.when(F.round(denom, 9) != 0, cov / denom)
+
+
 def time_moving(
     agg: str,
     col: Column | str,

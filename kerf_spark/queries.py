@@ -4845,6 +4845,59 @@ def weighted_median_price(spark, sf):
     )
 
 
+@query(
+    "rolling_window_stats",
+    """
+    WITH t AS (
+      SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+             count(*) OVER w AS m,
+             sum(l_quantity) OVER w AS sx,
+             sum(l_quantity * l_quantity) OVER w AS sxx,
+             sum(l_discount) OVER w AS sy,
+             sum(l_discount * l_discount) OVER w AS syy,
+             sum(l_quantity * l_discount) OVER w AS sxy
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag, l_orderkey, l_linenumber,
+           round(CASE WHEN m > 1
+                      THEN sqrt(greatest((sxx - sx*sx/m) / (m-1), 0.0)) END,
+                 6) AS mdev_qty,
+           round(CASE WHEN round(sqrt(greatest(m*sxx - sx*sx, 0.0)
+                                      * greatest(m*syy - sy*sy, 0.0)), 9) <> 0
+                      THEN (m*sxy - sx*sy)
+                           / sqrt(greatest(m*sxx - sx*sx, 0.0)
+                                  * greatest(m*syy - sy*sy, 0.0)) END,
+                 6) AS mcorr_qty_disc
+    FROM t
+    """,
+)
+def rolling_window_stats(spark, sf):
+    """Rolling 20-row stddev (kerf mdev) and rolling Pearson correlation
+    (pairs-trading mcorr) per return-flag series (windows.mdev/mcorr).
+    Sum-form window stats — one exchange for all five moving sums (same
+    frame, same key) — not streaming Welford, so any engine reproduces
+    the arithmetic; constant-window fp boundaries are guarded on both
+    sides (variance clamp + 9dp-zero denominator test)."""
+    # (orderkey, linenumber) is NOT unique in the fixtures: the measure
+    # columns join the ordering so tied rows are interchangeable and the
+    # moving frames deterministic on any engine
+    by = ["l_returnflag"]
+    order = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(W.mdev("l_quantity", 20, by, order), 6).alias("mdev_qty"),
+        F.round(
+            W.mcorr("l_quantity", "l_discount", 20, by, order), 6
+        ).alias("mcorr_qty_disc"),
+    )
+
+
 def _lsh_neardup_oracle_sql(
     dim: int = 64, bands: int = 4, ppb: int = 8, threshold: float = 0.30
 ) -> str:
@@ -4970,7 +5023,7 @@ _PRIORITY_FIRST = [
     "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
     "approx_distinct_tolerance", "funnel_conversion", "cohort_retention",
     "lsh_neardup_pairs", "repetition_signals_docs", "corpus_curation_pipeline",
-    "weighted_median_price",
+    "weighted_median_price", "rolling_window_stats",
 ]
 
 

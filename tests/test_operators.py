@@ -602,3 +602,30 @@ def test_weighted_median_crosses_half_total(spark):
     # g: total 12, cum at v=3 reaches 12 >= 6 first -> 3
     # h: total 2, cum at v=5 is 1, 1*2 >= 2 -> 5 (lower of the even split)
     assert got == {"g": 3.0, "h": 5.0}
+
+
+def test_mdev_mcorr_match_numpy(spark):
+    import numpy as np
+
+    xs = [1.0, 4.0, 2.0, 8.0, 5.0, 7.0]
+    ys = [2.0, 3.0, 1.0, 9.0, 4.0, 8.0]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        "i long, x double, y double",
+    )
+    res = df.select(
+        "i",
+        W.mdev("x", 3, None, ["i"]).alias("sd"),
+        W.mcorr("x", "y", 3, None, ["i"]).alias("r"),
+    ).collect()
+    got = {r.i: (r.sd, r.r) for r in res}
+    assert got[0][0] is None  # single-row frame: stddev undefined
+    for i in range(2, 6):
+        wx, wy = np.array(xs[i - 2 : i + 1]), np.array(ys[i - 2 : i + 1])
+        assert abs(got[i][0] - wx.std(ddof=1)) < 1e-9
+        assert abs(got[i][1] - np.corrcoef(wx, wy)[0, 1]) < 1e-9
+    const = spark.createDataFrame(
+        [(i, 5.0, float(i)) for i in range(4)], "i long, x double, y double"
+    )
+    rows = const.select(W.mcorr("x", "y", 3, None, ["i"]).alias("r")).collect()
+    assert all(r.r is None for r in rows)  # constant series: no correlation
