@@ -1,0 +1,226 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark-contamination detection, segment-level (CCNet-style) dedup,
+PII / regex scrubbing, and vocabulary statistics.
+
+These extend the reference's text surface (SURVEY.md §7 milestone 5 —
+the reference itself stops at strings.cc string verbs) with the
+pre-training curation steps a 100 TB document pipeline runs between
+ingest and dedup.  Scale notes per operator:
+
+* everything tokenizes via staged projections (the HOF re-evaluation
+  trap documented at dedup._shingle_hash_df applies identically here);
+* contamination joins the corpus against a *broadcast* benchmark
+  n-gram set — the benchmark side is eval suites (MMLU/GSM8K-sized,
+  ~1e6 grams), always broadcastable, so the corpus side never
+  shuffles for the join, only for its per-doc re-aggregation;
+* segment dedup is one wide shuffle on the segment hash — the same
+  cost profile as exact dedup, which is the floor for any
+  first-occurrence-wins rule;
+* PII scrubbing is a pure projection: scan → codegen'd regexes, zero
+  shuffles, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text, word_tokens
+
+
+def _staged_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, word array) with the tokenizer materialized once per row."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    return df.select(
+        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+    )
+
+
+def word_ngram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out: str = "gram",
+    distinct: bool = True,
+) -> DataFrame:
+    """Explode each document into its word ``n``-grams as (id, gram)
+    rows.  Documents shorter than ``n`` words contribute nothing (the
+    oracle convention; matches DuckDB's empty range).  Indices are
+    bounded by construction so ``element_at`` never reads past the
+    array under ANSI mode."""
+    words = _staged_words(df, text_col, id_col).filter(F.size("__w") >= n)
+    grams = words.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
+            ),
+        ).alias("__g"),
+    )
+    arr = F.array_distinct(F.col("__g")) if distinct else F.col("__g")
+    return grams.select(F.col(id_col), F.explode(arr).alias(out))
+
+
+# ---------------------------------------------------------- contamination
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    fraction of its distinct word ``n``-grams that appear anywhere in
+    the ``benchmark`` set (the standard decontamination signal for
+    pre-training corpora; docs above a threshold get dropped before
+    training).
+
+    Plan shape: benchmark grams are deduplicated then **broadcast** —
+    eval suites are tiny next to a 100 TB corpus, so the probe join is
+    a map-side BroadcastHashJoin; the only shuffle is the per-doc
+    count re-aggregation.  Returns
+    ``(id, n_grams, n_hit, contamination)`` with the ratio rounded for
+    cross-engine hash stability.
+    """
+    grams = word_ngram_rows(corpus, text_col, id_col, n=n, out="gram")
+    bench = (
+        word_ngram_rows(benchmark, text_col, id_col, n=n, out="gram")
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = grams.join(F.broadcast(bench), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6),
+        )
+    )
+
+
+# ---------------------------------------------------------- segment dedup
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+) -> DataFrame:
+    """CCNet-style segment-level dedup: cut every document into
+    fixed-width word segments, keep only the corpus-wide *first*
+    occurrence of each distinct segment (first = lowest (doc id,
+    segment position)), and report per document how much survived plus
+    an md5 fingerprint of the reassembled kept text.
+
+    The first-occurrence rule is a ``row_number`` over a window
+    partitioned by the segment value — one wide shuffle on the segment
+    hash, the same cost class as exact dedup (dedup.py:79) and the
+    floor for any global first-wins semantics.  Re-assembly sorts the
+    kept segments back into document order inside the per-doc
+    aggregation (no second shuffle: doc id is the grouping key).
+    """
+    words = _staged_words(df, text_col, id_col).filter(F.size("__w") >= 1)
+    nseg = F.expr(f"(size(__w) + {seg_words - 1}) div {seg_words}")
+    segs = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda j: F.concat_ws(
+                    " ", F.slice(F.col("__w"), j * seg_words + 1, seg_words)
+                ),
+            )
+        ).alias("seg_no", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "seg_no")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("seg_no"), F.col("seg"))
+    )
+    agg = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_segs"),
+        F.sort_array(F.collect_list(kept_struct)).alias("__kept"),
+    )
+    kept_text = F.concat_ws(
+        " ", F.transform("__kept", lambda s: s["seg"])
+    )
+    return agg.select(
+        id_col,
+        "n_segs",
+        "kept_segs",
+        F.when(F.col("kept_segs") > 0, F.md5(kept_text)).alias("kept_fp"),
+    )
+
+
+# ---------------------------------------------------------- PII scrubbing
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGIT_RUN = r"[0-9]+"
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    keyword_pattern: str = r"\b(data|table|spark)\b",
+) -> DataFrame:
+    """Regex PII scan + redaction over a document table: per-row match
+    counts for emails / digit runs / a keyword class, and an md5
+    fingerprint of the redacted text (emails → ``<EMAIL>``, digits →
+    ``#``).  Patterns stay in the portable intersection of Java regex
+    and RE2 so a SQL oracle reproduces them bit-for-bit.
+
+    Pure Column projection — scan → codegen'd regex, zero shuffles; at
+    100 TB this pipelines with the parquet scan and prunes to the text
+    column only."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_DIGIT_RUN, "#"
+    )
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_DIGIT_RUN), F.lit(0)))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.size(F.regexp_extract_all(t, F.lit(keyword_pattern), F.lit(0)))
+        .cast("long")
+        .alias("n_keyword_hits"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------- vocab stats
+def vocab_zipf(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary head: term → frequency → Zipf rank for the
+    ``top`` most frequent terms.
+
+    Scale shape: one hash-agg shuffle for the term counts (map-side
+    partials first), then ``orderBy().limit(top)`` — Catalyst compiles
+    that to TakeOrderedAndProject, so no global sort materializes even
+    with a billion-term vocabulary.  The rank window runs *after* the
+    top-k cut, over ``top`` rows on one partition — bounded by
+    construction, not by data."""
+    words = _staged_words(df, text_col, df.columns[0]).select(
+        F.explode("__w").alias("term")
+    )
+    freq = words.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    head = freq.orderBy(F.desc("freq"), F.asc("term")).limit(top)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return head.select(
+        "term", "freq", F.row_number().over(w).cast("long").alias("rank")
+    )

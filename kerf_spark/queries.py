@@ -29,6 +29,7 @@ from .functions import scalars as S
 from .functions import semantics as K
 from .functions import temporal as TM
 from .operators import asof as AS
+from .operators import curation as CU
 from .operators import dedup as DD
 from .operators import multimodal as MM
 from .operators import relational as R
@@ -4960,6 +4961,195 @@ def lsh_neardup_pairs(spark, sf):
 
 
 # =====================================================================
+# Corpus curation: contamination, segment dedup, PII scrub, vocab
+# =====================================================================
+
+@query(
+    "contamination_check_docs",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+      FROM words WHERE len(w) >= 3
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      FROM pos
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 16),
+    corpus AS (SELECT * FROM grams WHERE doc_id >= 16)
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS contamination
+    FROM corpus c LEFT JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def contamination_check_docs(spark, sf):
+    """Benchmark-decontamination signal: fraction of each corpus doc's
+    distinct word 3-grams that appear in a held-out benchmark set
+    (docs 0-15 stand in for the eval suite).  Benchmark grams are
+    broadcast — the corpus side joins map-side, one shuffle total (the
+    per-doc re-agg).  The standard pre-training filter the reference's
+    text verbs (strings.cc) stop short of."""
+    d = _t(spark, sf, "documents")
+    out = CU.contamination_overlap(
+        d.filter(F.col("doc_id") >= 16),
+        d.filter(F.col("doc_id") < 16),
+        n=3,
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "segment_dedup_docs",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(range(0, (len(w) + 2) // 3)) AS i
+      FROM words WHERE len(w) >= 1
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_no, array_to_string(w[i*3+1:i*3+3], ' ') AS seg
+      FROM idx
+    ),
+    ranked AS (
+      SELECT doc_id, seg_no, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+           CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+                THEN md5(string_agg(seg, ' ' ORDER BY seg_no)
+                         FILTER (WHERE rn = 1))
+           END AS kept_fp
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def segment_dedup_docs(spark, sf):
+    """CCNet-style segment-level dedup: 3-word segments, corpus-wide
+    first-occurrence-wins, md5 of each doc's surviving text.  One wide
+    shuffle on the segment value (row_number window) — the same cost
+    class as exact dedup; re-assembly rides the per-doc agg."""
+    d = _t(spark, sf, "documents")
+    return CU.segment_dedup(d, seg_words=3).orderBy("doc_id")
+
+
+@query(
+    "pii_scrub_docs",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '\\b(data|table|spark)\\b'))
+             AS BIGINT) AS n_keyword_hits,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]+', '#', 'g')) AS redacted_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pii_scrub_docs(spark, sf):
+    """Regex PII scan + redaction fingerprint — patterns held to the
+    Java-regex ∩ RE2 portable subset so the oracle reproduces both the
+    counts and the redacted text bit-for-bit.  Pure projection: zero
+    shuffles at any scale."""
+    d = _t(spark, sf, "documents")
+    return (
+        CU.pii_scrub(d)
+        .select("doc_id", "n_emails", "n_digit_runs", "n_keyword_hits",
+                "redacted_fp")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "vocab_zipf_stats",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS freq FROM words GROUP BY term),
+    top AS (SELECT term, freq FROM freq ORDER BY freq DESC, term LIMIT 50)
+    SELECT term, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+             AS zipf_rank
+    FROM top ORDER BY zipf_rank
+    """,
+)
+def vocab_zipf_stats(spark, sf):
+    """Vocabulary head with Zipf ranks: hash-agg term counts (map-side
+    partials), TakeOrderedAndProject top-50 (no global sort), then the
+    rank window over the bounded 50-row head only."""
+    d = _t(spark, sf, "documents")
+    return (
+        CU.vocab_zipf(d, top=50)
+        .withColumnRenamed("rank", "zipf_rank")
+        .orderBy("zipf_rank")
+    )
+
+
+@query(
+    "winsorized_stats",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(avg(greatest(q.p05, least(q.p95, e.value))), 6) AS wins_mean,
+           round(stddev_samp(greatest(q.p05, least(q.p95, e.value))), 6)
+             AS wins_std
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def winsorized_stats(spark, sf):
+    """Robust (winsorized) mean/std per event type: clip at the group's
+    p05/p95, then aggregate.  Two shuffles — the percentile agg and the
+    final agg; the per-group clip bounds join back as a broadcast (the
+    group-dim side is tiny at any corpus scale)."""
+    e = _t(spark, sf, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = e.join(F.broadcast(q), "event_type").withColumn(
+        "__wv", F.greatest("p05", F.least("p95", F.col("value")))
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__wv"), 6).alias("wins_mean"),
+            F.round(F.stddev_samp("__wv"), 6).alias("wins_std"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
 # The round-1 driver evaluated exactly the first 50 dict entries of
@@ -5024,6 +5214,8 @@ _PRIORITY_FIRST = [
     "approx_distinct_tolerance", "funnel_conversion", "cohort_retention",
     "lsh_neardup_pairs", "repetition_signals_docs", "corpus_curation_pipeline",
     "weighted_median_price", "rolling_window_stats",
+    "contamination_check_docs", "segment_dedup_docs", "pii_scrub_docs",
+    "vocab_zipf_stats", "winsorized_stats",
 ]
 
 

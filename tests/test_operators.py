@@ -629,3 +629,74 @@ def test_mdev_mcorr_match_numpy(spark):
     )
     rows = const.select(W.mcorr("x", "y", 3, None, ["i"]).alias("r")).collect()
     assert all(r.r is None for r in rows)  # constant series: no correlation
+
+
+# ------------------------------------------------------------- curation
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # benchmark doc
+            (20, "alpha beta gamma epsilon"),       # shares gram "alpha beta gamma"
+            (21, "zeta eta theta iota kappa"),      # disjoint from benchmark
+            (22, "alpha beta gamma delta"),         # fully contained in benchmark
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_overlap_ratio(spark):
+    from kerf_spark.operators import curation as CU
+
+    d = _docs_df(spark)
+    out = CU.contamination_overlap(
+        d.filter(F.col("doc_id") >= 16), d.filter(F.col("doc_id") < 16), n=3
+    )
+    got = {r.doc_id: (r.n_grams, r.n_hit, r.contamination) for r in out.collect()}
+    # doc 20: grams {abg, bge} -> 1 of 2 in bench {abg, bgd}
+    assert got[20] == (2, 1, 0.5)
+    assert got[21] == (3, 0, 0.0)
+    assert got[22] == (2, 2, 1.0)
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from kerf_spark.operators import curation as CU
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # segs: "a b c", "d e f" -> both kept
+            (2, "a b c x y z"),        # "a b c" dropped (doc 1 owns it)
+            (3, "d e f"),              # fully duplicate -> nothing kept
+        ],
+        "doc_id long, text string",
+    )
+    out = CU.segment_dedup(d, seg_words=3)
+    got = {r.doc_id: (r.n_segs, r.kept_segs, r.kept_fp) for r in out.collect()}
+    assert got[1][:2] == (2, 2)
+    assert got[2][:2] == (2, 1)
+    assert got[3][:2] == (1, 0)
+    assert got[3][2] is None  # all segments deduped away -> null fingerprint
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from kerf_spark.operators import curation as CU
+
+    d = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or call 555 1234 about the data")],
+        "doc_id long, text string",
+    )
+    r = CU.pii_scrub(d).collect()[0]
+    assert (r.n_emails, r.n_digit_runs, r.n_keyword_hits) == (1, 2, 1)
+    import hashlib
+
+    expected = "mail me at <EMAIL> or call # # about the data"
+    assert r.redacted_fp == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_vocab_zipf_ranks_by_frequency(spark):
+    from kerf_spark.operators import curation as CU
+
+    d = spark.createDataFrame(
+        [(1, "x x x y y z")], "doc_id long, text string"
+    )
+    rows = CU.vocab_zipf(d, top=2).collect()
+    assert [(r.term, r.freq, r.rank) for r in rows] == [("x", 3, 1), ("y", 2, 2)]
