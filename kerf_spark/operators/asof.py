@@ -372,3 +372,77 @@ def resample(
     return asof_join(
         grid, df, on=on, by=by, right_cols=val_cols, tiebreak=tiebreak
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    on: str,
+    step: int,
+    by: Sequence[str] | str | None,
+    val_col: str,
+    out: str = "interp",
+) -> DataFrame:
+    """Regular-grid resample with *linear interpolation* between the
+    surrounding observations — the smooth twin of :func:`resample`'s
+    carry-last fill (kerf/kdb tick-alignment family, SURVEY.md §2.5).
+
+    Per ``by`` group and ``step``-aligned grid point ``t``: find the
+    latest observation at-or-before ``t`` and the earliest at-or-after,
+    and emit ``pv + (nv - pv) * (t - pt) / (nt - pt)`` (the value
+    itself when the grid point lands on a tick; NULL outside the
+    observed span).  Multiple observations at one ``on`` value are
+    pre-averaged so the interpolant is tiebreak-free and
+    engine-portable.
+
+    Scale shape: one partial-agg shuffle to collapse duplicate stamps,
+    the grid build from per-group (min, max), then TWO chained
+    union-tag as-of passes (backward, then forward over the backward
+    result) — every exchange hash-partitions on the same ``by`` keys,
+    so AQE reuses the partitioning and the whole plan stays
+    key-parallel regardless of input size.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    src = df.groupBy(*by, on).agg(F.avg(val_col).alias(val_col))
+    aligned = lambda c: c - F.pmod(c, F.lit(step))  # noqa: E731
+    grid = (
+        src.groupBy(*by)
+        .agg(F.min(on).alias("__kf_mn"), F.max(on).alias("__kf_mx"))
+        .select(
+            *by,
+            F.explode(
+                F.sequence(
+                    aligned(F.col("__kf_mn").cast("long")),
+                    aligned(F.col("__kf_mx").cast("long")),
+                    F.lit(step).cast("long"),
+                )
+            ).alias(on),
+        )
+    )
+    prev = src.select(
+        *by,
+        F.col(on),
+        F.col(val_col).alias("__kf_pv"),
+        F.col(on).cast("long").alias("__kf_pt"),
+    )
+    nxt = src.select(
+        *by,
+        F.col(on),
+        F.col(val_col).alias("__kf_nv"),
+        F.col(on).cast("long").alias("__kf_nt"),
+    )
+    back = asof_join(grid, prev, on=on, by=by, right_cols=["__kf_pv", "__kf_pt"])
+    both = asof_join(
+        back, nxt, on=on, by=by, right_cols=["__kf_nv", "__kf_nt"],
+        direction="forward",
+    )
+    t = F.col(on).cast("double")
+    pv, pt = F.col("__kf_pv"), F.col("__kf_pt")
+    nv, nt = F.col("__kf_nv"), F.col("__kf_nt")
+    interp = (
+        F.when(pt.isNull() | nt.isNull(), F.lit(None).cast("double"))
+        .when(nt == pt, pv)
+        .otherwise(
+            pv + (nv - pv) * ((t - pt.cast("double")) / (nt.cast("double") - pt.cast("double")))
+        )
+    )
+    return both.select(*by, F.col(on), interp.alias(out))

@@ -5150,6 +5150,236 @@ def winsorized_stats(spark, sf):
 
 
 # =====================================================================
+# Tick idioms: OHLC bars, linear interpolation; equi-depth buckets;
+# embedding cluster assignment
+# =====================================================================
+
+@query(
+    "ohlc_bars",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             epoch_us(ts) - epoch_us(ts) % 900000000 AS bar_us,
+             row_number() OVER (
+               PARTITION BY event_type, epoch_us(ts) - epoch_us(ts) % 900000000
+               ORDER BY epoch_us(ts), event_id) AS ra,
+             row_number() OVER (
+               PARTITION BY event_type, epoch_us(ts) - epoch_us(ts) % 900000000
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT event_type, bar_us,
+           round(max(CASE WHEN ra = 1 THEN value END), 6) AS o,
+           round(max(value), 6) AS h,
+           round(min(value), 6) AS l,
+           round(max(CASE WHEN rd = 1 THEN value END), 6) AS c,
+           count(*) AS n
+    FROM b GROUP BY event_type, bar_us ORDER BY event_type, bar_us
+    """,
+)
+def ohlc_bars(spark, sf):
+    """The canonical tick-store bar query (kerf/kdb `select open:first
+    price, high:max price, ... by xbar(...)` idiom): 15-minute OHLC
+    bars per event type.  open/close are deterministic via (µs stamp,
+    event_id) tiebreak — ordering runs in the µs domain on both
+    engines because DuckDB truncates the parquet ns timestamps.  Both
+    row_number windows share one partitioning, so the plan is a single
+    exchange with two in-partition sorts, then the hash agg."""
+    e = _t(spark, sf, "events")
+    bar = TM.ns_to_us(TM.xbar(F.col("ts"), TM.span_ns(15, "m")))
+    ts_us = TM.ns_to_us(F.col("ts"))
+    d = e.select(
+        "event_type", "value", "event_id",
+        bar.alias("bar_us"), ts_us.alias("__tus"),
+    )
+    wp = Window.partitionBy("event_type", "bar_us")
+    d = d.withColumn(
+        "ra", F.row_number().over(wp.orderBy("__tus", "event_id"))
+    ).withColumn(
+        "rd",
+        F.row_number().over(wp.orderBy(F.desc("__tus"), F.desc("event_id"))),
+    )
+    return (
+        d.groupBy("event_type", "bar_us")
+        .agg(
+            F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 6).alias("o"),
+            F.round(F.max("value"), 6).alias("h"),
+            F.round(F.min("value"), 6).alias("l"),
+            F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "bar_us")
+    )
+
+
+@query(
+    "interp_resample",
+    """
+    WITH src AS (
+      SELECT event_type, epoch_us(ts) AS t_us, avg(value) AS v
+      FROM events GROUP BY event_type, epoch_us(ts)
+    ),
+    span AS (
+      SELECT event_type, min(t_us) AS mn, max(t_us) AS mx
+      FROM src GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(range(mn - mn % 21600000000,
+                          mx - mx % 21600000000 + 21600000000,
+                          21600000000)) AS t_us
+      FROM span
+    ),
+    back AS (
+      SELECT g.event_type, g.t_us, s.t_us AS pt, s.v AS pv
+      FROM grid g ASOF LEFT JOIN src s
+        ON g.event_type = s.event_type AND g.t_us >= s.t_us
+    ),
+    fwd AS (
+      SELECT b.event_type, b.t_us, b.pt, b.pv, s.t_us AS nt, s.v AS nv
+      FROM back b ASOF LEFT JOIN src s
+        ON b.event_type = s.event_type AND b.t_us <= s.t_us
+    )
+    SELECT event_type, t_us,
+           round(CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) *
+                           ((CAST(t_us AS DOUBLE) - CAST(pt AS DOUBLE))
+                            / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)))
+                 END, 6) AS interp
+    FROM fwd ORDER BY event_type, t_us
+    """,
+)
+def interp_resample(spark, sf):
+    """Linear interpolation onto a 6-hour grid per event type — the
+    smooth counterpart of `resample_1h_ffill` (resample carries last,
+    this blends the two surrounding ticks).  The oracle uses DuckDB's
+    native ASOF JOIN both directions, proving the engine's chained
+    union-tag as-of passes reproduce real as-of semantics."""
+    e = _t(spark, sf, "events")
+    d = e.select(
+        "event_type",
+        TM.ns_to_us(F.col("ts")).alias("t_us"),
+        F.col("value"),
+    )
+    out = AS.resample_interp(
+        d, on="t_us", step=21_600_000_000, by="event_type", val_col="value",
+        out="interp",
+    )
+    return out.select(
+        "event_type", "t_us", F.round("interp", 6).alias("interp")
+    ).orderBy("event_type", "t_us")
+
+
+@query(
+    "ntile_buckets",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ntile(8) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi,
+           round(avg(l_extendedprice), 6) AS mean
+    FROM r GROUP BY l_returnflag, bucket ORDER BY l_returnflag, bucket
+    """,
+)
+def ntile_buckets(spark, sf):
+    """Equi-depth (quantile) bucketing via ntile, per return flag, with
+    a unique (price, orderkey, linenumber) sort so tie placement is
+    identical across engines.  SCALE NOTE: ntile is a per-group global
+    sort — correct at per-key cardinalities, while the 100 TB
+    equi-depth path is `approx_percentile` cut points + arithmetic
+    bucketing (see `histogram_bins` for the value-axis variant)."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag", "l_extendedprice",
+            F.ntile(8).over(w).cast("long").alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+        )
+        .orderBy("l_returnflag", "bucket")
+    )
+
+
+@query(
+    "kmeans_assign_embeddings",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+             )) AS d2
+      FROM embeddings e CROSS JOIN c
+    ),
+    best AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    )
+    SELECT cid AS cluster_id, count(*) AS n, round(avg(d2), 6) AS avg_d2
+    FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_assign_embeddings(spark, sf):
+    """One deterministic Lloyd assignment step: the 8 lowest-id vectors
+    act as centroids, every embedding joins its nearest by squared L2.
+    This is the distributed half of k-means — the centroid update that
+    IVF's `kmeans_centroids` runs driver-side (similarity.py:186) is
+    exactly this assignment plus a per-cluster mean.  Plan: centroids
+    broadcast (8 rows — at any corpus scale the centroid set is
+    k×dim, driver-bounded), distance fan-out is ×k map-side, then one
+    min-by-struct shuffle per vector and a tiny per-cluster agg — no
+    window, no global sort."""
+    e = _t(spark, sf, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("cid")).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"))
+        .select(F.col("s.cid").alias("cid"), F.col("s.d2").alias("d2"))
+    )
+    return (
+        best.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("d2"), 6).alias("avg_d2"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
 # The round-1 driver evaluated exactly the first 50 dict entries of
@@ -5216,6 +5446,8 @@ _PRIORITY_FIRST = [
     "weighted_median_price", "rolling_window_stats",
     "contamination_check_docs", "segment_dedup_docs", "pii_scrub_docs",
     "vocab_zipf_stats", "winsorized_stats",
+    "ohlc_bars", "interp_resample", "ntile_buckets",
+    "kmeans_assign_embeddings",
 ]
 
 

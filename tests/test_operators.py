@@ -700,3 +700,30 @@ def test_vocab_zipf_ranks_by_frequency(spark):
     )
     rows = CU.vocab_zipf(d, top=2).collect()
     assert [(r.term, r.freq, r.rank) for r in rows] == [("x", 3, 1), ("y", 2, 2)]
+
+
+def test_resample_interp_linear_blend(spark):
+    # ticks at t=0 (v=10) and t=100 (v=30); grid step 25
+    df = spark.createDataFrame(
+        [("A", 0, 10.0), ("A", 100, 30.0), ("B", 50, 5.0)],
+        "sym string, t long, v double",
+    )
+    out = AS.resample_interp(df, on="t", step=25, by="sym", val_col="v")
+    got = {(r.sym, r.t): r.interp for r in out.collect()}
+    assert got[("A", 0)] == 10.0        # on-tick -> exact value
+    assert got[("A", 25)] == 15.0       # quarter of the way
+    assert got[("A", 50)] == 20.0
+    assert got[("A", 75)] == 25.0
+    assert got[("A", 100)] == 30.0
+    assert got[("B", 50)] == 5.0        # single tick: nt == pt -> value
+
+
+def test_resample_interp_averages_duplicate_stamps(spark):
+    # two observations at the same stamp pre-average to 20 before blending
+    df = spark.createDataFrame(
+        [("A", 0, 10.0), ("A", 0, 30.0), ("A", 10, 40.0)],
+        "sym string, t long, v double",
+    )
+    out = AS.resample_interp(df, on="t", step=5, by="sym", val_col="v")
+    got = {r.t: r.interp for r in out.collect()}
+    assert got[0] == 20.0 and got[5] == 30.0 and got[10] == 40.0
