@@ -5379,6 +5379,137 @@ def kmeans_assign_embeddings(spark, sf):
     )
 
 
+@query(
+    "moving_median",
+    """
+    SELECT event_id,
+           round(median(value) OVER (
+             PARTITION BY event_type
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mmed
+    FROM events ORDER BY event_id
+    """,
+)
+def moving_median(spark, sf):
+    """Moving 5-row median per event type (the robust tick smoother
+    kerf's moving-agg family implies but never ships): sort the frame's
+    values and interpolate the middle — identical to DuckDB's windowed
+    `median` including the even-count average on the first rows of each
+    partition.  Frame-bounded collect_list stays JVM-side; cost is
+    O(w log w) per row at w=5 — the scale dial is the frame width, and
+    the exchange is the one key partition like every other window op."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(TM.ns_to_us(F.col("ts")), "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    d = e.select("event_id", arr.alias("arr0"))
+    n = F.size("arr0")
+    lo = F.element_at("arr0", ((n + 1) / F.lit(2)).cast("int"))
+    hi = F.element_at("arr0", (n / F.lit(2) + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+    return d.select(
+        "event_id", F.round(med, 6).alias("mmed")
+    ).orderBy("event_id")
+
+
+@query(
+    "spearman_rank_corr",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+                 / 2.0 AS rq,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                  - 1) / 2.0 AS rp
+      FROM lineitem
+    )
+    SELECT l_returnflag, round(corr(rq, rp), 6) AS spearman
+    FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def spearman_rank_corr(spark, sf):
+    """Spearman rank correlation of quantity vs price per return flag,
+    with proper mean-rank tie handling (min-rank + (ties-1)/2).  Rank
+    windows and the tie-count windows share the flag partitioning —
+    one exchange, a few in-partition sorts — then Pearson corr on the
+    ranks via the built-in single-pass partial agg."""
+    li = _t(spark, sf, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cq = Window.partitionBy("l_returnflag", "l_quantity")
+    cp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    d = li.select(
+        "l_returnflag",
+        (F.rank().over(wq) + (F.count(F.lit(1)).over(cq) - 1) / 2.0).alias("rq"),
+        (F.rank().over(wp) + (F.count(F.lit(1)).over(cp) - 1) / 2.0).alias("rp"),
+    )
+    return (
+        d.groupBy("l_returnflag")
+        .agg(F.round(F.corr("rq", "rp"), 6).alias("spearman"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "asof_tolerance_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS t_us, avg(value) AS click_v
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT p.event_id, p.user_id, p.t_us, p.value,
+             c.t_us AS ct, c.click_v AS cv
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.t_us >= c.t_us
+    )
+    SELECT event_id, user_id, t_us, round(value, 6) AS value,
+           CASE WHEN ct IS NOT NULL AND t_us - ct <= 86400000000
+                THEN round(cv, 6) END AS click_v,
+           CASE WHEN ct IS NOT NULL AND t_us - ct <= 86400000000
+                THEN ct END AS click_t
+    FROM j ORDER BY event_id
+    """,
+)
+def asof_tolerance_join(spark, sf):
+    """Window-limited as-of (kerf's tolerance asof): each purchase gets
+    the user's latest click, but only if it happened within the last
+    24 h — older matches null out.  Exercises asof_join's tolerance
+    path against DuckDB's native ASOF JOIN + explicit staleness mask.
+    Duplicate click stamps pre-average so the match is tiebreak-free."""
+    e = _t(spark, sf, "events")
+    tus = TM.ns_to_us(F.col("ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", tus.alias("t_us"), "value"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", tus.alias("t_us"))
+        .agg(F.avg("value").alias("click_v"))
+        .select("user_id", "t_us", "click_v", F.col("t_us").alias("click_t"))
+    )
+    j = AS.asof_join(
+        p, c, on="t_us", by="user_id",
+        right_cols=["click_v", "click_t"],
+        tolerance_ns=86_400_000_000,  # 24h in the µs on-domain
+    )
+    return j.select(
+        "event_id", "user_id", "t_us",
+        F.round("value", 6).alias("value"),
+        F.round("click_v", 6).alias("click_v"),
+        "click_t",
+    ).orderBy("event_id")
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
@@ -5448,6 +5579,7 @@ _PRIORITY_FIRST = [
     "vocab_zipf_stats", "winsorized_stats",
     "ohlc_bars", "interp_resample", "ntile_buckets",
     "kmeans_assign_embeddings",
+    "moving_median", "spearman_rank_corr", "asof_tolerance_join",
 ]
 
 

@@ -312,3 +312,47 @@ def test_lsh_near_pairs_joins_on_band_keys(spark):
     e = read_table(spark, SF, "embeddings")
     plan = plan_of(SIM2.lsh_near_pairs(e, dim=64, bands=2, planes_per_band=4), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    plan = plan_of(QUERIES["contamination_check_docs"](spark, SF), "simple")
+    # benchmark n-gram set must be the broadcast build side, never shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    plan = plan_of(QUERIES["pii_scrub_docs"](spark, SF), "simple")
+    # scan -> regex projection -> output sort; no hash/aggregate exchange
+    assert "Exchange hashpartitioning" not in plan
+    # reads only the two referenced columns
+    fplan = plan_of(QUERIES["pii_scrub_docs"](spark, SF))
+    assert "lang" not in fplan and "source" not in fplan
+
+
+def test_vocab_zipf_head_is_take_ordered(spark):
+    plan = plan_of(QUERIES["vocab_zipf_stats"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assign_no_window_no_sort_merge(spark):
+    plan = plan_of(QUERIES["kmeans_assign_embeddings"](spark, SF), "simple")
+    # centroids broadcast; per-vector argmin is a hash agg, not a window
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_windows_share_one_exchange(spark):
+    plan = plan_of(QUERIES["ohlc_bars"](spark, SF), "simple")
+    # both row_number orderings + the bar agg ride a single (type, bar)
+    # hash partitioning; only the deterministic output sort adds a range
+    # exchange
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_segment_dedup_single_wide_shuffle(spark):
+    plan = plan_of(QUERIES["segment_dedup_docs"](spark, SF), "simple")
+    # one exchange for the first-occurrence window on the segment value,
+    # one for the per-doc regroup - the exact-dedup cost class
+    assert plan.count("Exchange hashpartitioning") <= 2
