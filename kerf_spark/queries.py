@@ -5510,6 +5510,161 @@ def asof_tolerance_join(spark, sf):
     ).orderBy("event_id")
 
 
+@query(
+    "stream_session_windows",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts)) AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0
+             END AS new_s
+      FROM t
+    ), sess AS (
+      SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts_us) AS s_us,
+           max(ts_us) + 1800000000 AS e_us, count(*) AS n
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, s_us
+    """,
+)
+def stream_session_windows(spark, sf):
+    """Streaming-NATIVE session windows (SURVEY §2.10): readStream →
+    `F.session_window` with a 30-min gap per user → memory sink.  The
+    oracle is the batch islands construction (new session when the gap
+    is ≥ the timeout; window end = last event + gap, matching Spark's
+    exclusive session end).  The batch `session_windows` query proves
+    the islands shape; this row proves the *streaming state store*
+    merges sessions to the identical result."""
+    from .streaming.ingest import read_file_stream, with_event_time
+
+    batch = _t(spark, sf, "events")
+    stream = read_file_stream(
+        spark, sf, batch.schema, pathGlobFilter="events.parquet"
+    )
+    sess = (
+        with_event_time(stream, "ts")
+        .withWatermark("__event_time", "1 hour")
+        .groupBy(
+            F.session_window("__event_time", "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = "kerf_stream_session_windows"
+    for active in spark.streams.active:  # rerun-safe: clear a stale run
+        if active.name == qname:
+            active.stop()
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("s_us"),
+            F.unix_micros(F.col("sw.end")).alias("e_us"),
+            "n",
+        )
+        .orderBy("user_id", "s_us")
+    )
+
+
+@query(
+    "chi_square_independence",
+    """
+    WITH o AS (
+      SELECT event_type,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS hi,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT n,
+             sum(n) OVER (PARTITION BY event_type) AS rn,
+             sum(n) OVER (PARTITION BY hi) AS cn,
+             sum(n) OVER () AS t
+      FROM o
+    )
+    SELECT round(sum((n - rn*cn/t) * (n - rn*cn/t) / (rn*cn/t)), 6) AS chi2,
+           CAST(count(*) AS BIGINT) AS cells
+    FROM w
+    """,
+)
+def chi_square_independence(spark, sf):
+    """Pearson chi-square independence statistic over the (event type ×
+    value-band) contingency table — the drift/association test a data
+    pipeline runs between corpus snapshots.  The global windows run on
+    the CONTINGENCY CELLS (|types|×2 rows), not the input: the raw
+    scan collapses through one hash agg first, so the single-partition
+    window is bounded by category cardinality at any data scale."""
+    e = _t(spark, sf, "events")
+    o = (
+        e.select(
+            "event_type",
+            F.when(F.col("value") > 100, 1).otherwise(0).alias("hi"),
+        )
+        .groupBy("event_type", "hi")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = o.select(
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("rn"),
+        F.sum("n").over(Window.partitionBy("hi")).alias("cn"),
+        F.sum("n").over(
+            Window.partitionBy()
+        ).alias("t"),
+    )
+    ex = F.col("rn") * F.col("cn") / F.col("t")
+    return w.agg(
+        F.round(
+            F.sum((F.col("n") - ex) * (F.col("n") - ex) / ex), 6
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("cells"),
+    )
+
+
+@query(
+    "approx_quantile_tolerance",
+    """
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           true AS within_band
+    FROM lineitem
+    """,
+)
+def approx_quantile_tolerance(spark, sf):
+    """The approx-percentile scale path gated against exact: at 100 TB
+    percentiles come from the positional sketch (map-side combinable,
+    no per-group sort), and this row proves the sketch's p50 lands
+    inside the exact [p49, p51] band at accuracy=100 (rank error
+    ≤ 1%).  Spark's sketch is deterministic for fixed input, so the
+    boolean is stable."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            "exact_p50"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(100))
+        .between(
+            F.percentile("l_extendedprice", F.lit(0.49)),
+            F.percentile("l_extendedprice", F.lit(0.51)),
+        )
+        .alias("within_band"),
+    )
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
@@ -5580,6 +5735,8 @@ _PRIORITY_FIRST = [
     "ohlc_bars", "interp_resample", "ntile_buckets",
     "kmeans_assign_embeddings",
     "moving_median", "spearman_rank_corr", "asof_tolerance_join",
+    "stream_session_windows", "chi_square_independence",
+    "approx_quantile_tolerance",
 ]
 
 

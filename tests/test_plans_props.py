@@ -356,3 +356,61 @@ def test_segment_dedup_single_wide_shuffle(spark):
     # one exchange for the first-occurrence window on the segment value,
     # one for the per-doc regroup - the exact-dedup cost class
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.floats(-100, 100)),
+        min_size=1, max_size=20, unique_by=lambda tv: tv[0],
+    ),
+    st.integers(5, 50),
+)
+def test_resample_interp_matches_numpy(spark, ticks, step):
+    """Grid linear interpolation == numpy.interp inside the observed span."""
+    import numpy as np
+
+    from kerf_spark.operators.asof import resample_interp
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in ticks], "sym string, t long, v double"
+    )
+    out = resample_interp(df, on="t", step=step, by="sym", val_col="v")
+    got = {r.t: r.interp for r in out.collect()}
+    ts = sorted(t for t, _ in ticks)
+    xs = np.array(ts, dtype=float)
+    ys = np.array([dict(ticks)[t] for t in ts], dtype=float)
+    for t, iv in got.items():
+        if t < ts[0] or t > ts[-1]:
+            assert iv is None  # outside the observed span
+        else:
+            assert iv is not None
+            assert abs(iv - float(np.interp(t, xs, ys))) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=30),
+    st.integers(2, 7),
+)
+def test_moving_median_matches_numpy(spark, vals, width):
+    """Frame-sorted middle interpolation == numpy median per window."""
+    import numpy as np
+
+    from pyspark.sql import Window as Wn
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    )
+    w = Wn.orderBy("i").rowsBetween(-(width - 1), 0)
+    arr = FF.array_sort(FF.collect_list("v").over(w))
+    d = df.select("i", arr.alias("a"))
+    n = FF.size("a")
+    lo = FF.element_at("a", ((n + 1) / FF.lit(2)).cast("int"))
+    hi = FF.element_at("a", (n / FF.lit(2) + 1).cast("int"))
+    med = FF.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+    got = {r.i: r.m for r in d.select("i", med.alias("m")).collect()}
+    for i in range(len(vals)):
+        frame = vals[max(0, i - width + 1): i + 1]
+        assert abs(got[i] - float(np.median(frame))) < 1e-6
