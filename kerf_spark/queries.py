@@ -5665,6 +5665,64 @@ def approx_quantile_tolerance(spark, sf):
     )
 
 
+@query(
+    "multimodal_framesample",
+    """
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS L,
+             unnest(range(0, least(greatest(length(text) // 10, 1), 16)))
+               AS fi
+      FROM documents
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           md5(array_to_string(
+             list_transform(range(0, least((L - fi + 9) // 10, 64)),
+                            j -> substr(text, CAST(fi + j*10 + 1 AS INT), 1)),
+             '')) AS frame_md5
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_framesample(spark, sf):
+    """Video frame-sampling plumbing: one binary payload fans out to
+    ≤16 (frame_idx, frame) rows through Arrow-batched `mapInPandas`
+    (the 1→N contract a real ffmpeg demux would use; the stub emits
+    deterministic byte-stride slices so the oracle can rebuild each
+    frame character-by-character in SQL and match md5s bit-for-bit).
+    Scale shape: map-only fan-out, no shuffle; payload column pruned
+    at the scan."""
+    d = _t(spark, sf, "documents")
+    frames = MM.frame_sample(MM.attach_binary(d), every_n=10)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "rank_percentiles",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS pr,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cd
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def rank_percentiles(spark, sf):
+    """percent_rank / cume_dist per priority class (kerf grade-up as a
+    normalized quantile position).  Tie groups share values in both
+    engines — the functions depend on order VALUES, not row sequence,
+    so no tiebreak column is needed.  One exchange on the partition
+    key, like every ordered-analytics op here."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
@@ -5737,6 +5795,7 @@ _PRIORITY_FIRST = [
     "moving_median", "spearman_rank_corr", "asof_tolerance_join",
     "stream_session_windows", "chi_square_independence",
     "approx_quantile_tolerance",
+    "multimodal_framesample", "rank_percentiles",
 ]
 
 
