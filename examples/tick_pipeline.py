@@ -28,10 +28,12 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("kerf_spark_example")
 
-    events = spark.read.parquet(f"{sf}/events.parquet")  # ts: epoch-ns long
-    orders = spark.read.parquet(f"{sf}/orders.parquet")
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    from kerf_spark.sources.io import read_table
+
+    events = read_table(spark, sf, "events")  # ts: epoch-ns long (normalized)
+    orders = read_table(spark, sf, "orders")
+    docs = read_table(spark, sf, "documents")
+    emb = read_table(spark, sf, "embeddings")
 
     print("== 5-minute bars (xbar) ==")
     bars = (

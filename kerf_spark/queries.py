@@ -2195,12 +2195,10 @@ def stream_ema_query(spark, sf):
     stream drains in one availableNow batch and must equal the batch
     operator's oracle exactly; cross-batch state continuity is pinned by
     tests/test_integration.py with a two-file sequential feed."""
-    from .streaming.ingest import read_file_stream, streaming_ema
+    from .streaming.ingest import stream_table, streaming_ema
 
     batch = _t(spark, sf, "events")
-    stream = read_file_stream(
-        spark, sf, batch.schema, pathGlobFilter="events.parquet"
-    ).where(F.col("user_id") <= 30).select(
+    stream = stream_table(spark, sf, "events").where(F.col("user_id") <= 30).select(
         "user_id",
         "event_id",
         TM.ns_to_us(F.col("ts")).alias("tu"),
@@ -2488,12 +2486,10 @@ def stream_window_counts(spark, sf):
     readStream over the events parquet -> 1h windows + watermark ->
     memory sink (complete mode), read back as a DataFrame.  The
     streaming twin of xbar bucketing."""
-    from .streaming.ingest import read_file_stream, with_event_time
+    from .streaming.ingest import stream_table, with_event_time
 
     batch = _t(spark, sf, "events")
-    stream = read_file_stream(
-        spark, sf, batch.schema, pathGlobFilter="events.parquet"
-    )
+    stream = stream_table(spark, sf, "events")
     windowed = (
         with_event_time(stream, "ts")
         .withWatermark("__event_time", "1 hour")
@@ -4074,16 +4070,14 @@ def stream_stream_join_batch(spark, sf):
     join the oracle runs.  State is evicted past watermark+tolerance —
     bounded on an infinite feed."""
     from .streaming.ingest import (
-        read_file_stream,
         stream_interval_join,
+        stream_table,
         with_event_time,
     )
 
     batch = _t(spark, sf, "events")
     mk = lambda parity: with_event_time(  # noqa: E731
-        read_file_stream(
-            spark, sf, batch.schema, pathGlobFilter="events.parquet"
-        ).where(F.col("event_id") % 2 == parity),
+        stream_table(spark, sf, "events").where(F.col("event_id") % 2 == parity),
         "ts",
     ).select("event_id", "user_id", "__event_time")
     joined = stream_interval_join(
@@ -4458,13 +4452,11 @@ def stream_static_enrich(spark, sf):
     O(batch), independent of history size.  Float compares are rounded
     on both sides so engine fp-order differences can't flip a boundary
     row."""
-    from .streaming.ingest import read_file_stream
+    from .streaming.ingest import stream_table
 
     batch = _t(spark, sf, "events")
     profile = batch.groupBy("user_id").agg(F.avg("value").alias("base"))
-    stream = read_file_stream(
-        spark, sf, batch.schema, pathGlobFilter="events.parquet"
-    )
+    stream = stream_table(spark, sf, "events")
     enriched = (
         stream.join(F.broadcast(profile), "user_id")
         .where(F.round("value", 6) > F.round("base", 6))
@@ -5543,12 +5535,10 @@ def stream_session_windows(spark, sf):
     exclusive session end).  The batch `session_windows` query proves
     the islands shape; this row proves the *streaming state store*
     merges sessions to the identical result."""
-    from .streaming.ingest import read_file_stream, with_event_time
+    from .streaming.ingest import stream_table, with_event_time
 
     batch = _t(spark, sf, "events")
-    stream = read_file_stream(
-        spark, sf, batch.schema, pathGlobFilter="events.parquet"
-    )
+    stream = stream_table(spark, sf, "events")
     sess = (
         with_event_time(stream, "ts")
         .withWatermark("__event_time", "1 hour")

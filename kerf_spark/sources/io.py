@@ -19,6 +19,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLE_NAMES = (
     "region nation customer supplier part orders lineitem events "
@@ -26,11 +28,48 @@ TABLE_NAMES = (
 ).split()
 
 
-_READ_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: Engine convention (functions.temporal docstring): a column named
+#: ``ts`` is epoch-NANOSECOND LongType everywhere past the read edge.
+TS_NS_COLS = ("ts",)
+
+
+def normalize_ts_ns(df: DataFrame, cols: Sequence[str] = TS_NS_COLS) -> DataFrame:
+    """Promote timestamp-physical ``ts`` columns to epoch-ns LongType.
+
+    The reference transparently re-widths storage on every append
+    (layout.cc:726-934, accessor.h:17-46): a STAMP column is always
+    nanos to the engine no matter the on-disk width.  The Spark
+    analogue lives here at the read edge: a fixture written as parquet
+    TIMESTAMP(NANOS) already surfaces as LongType epoch-ns (via
+    ``nanosAsLong``, session.py); one written as TIMESTAMP(MICROS)
+    surfaces as TIMESTAMP_NTZ and is converted —
+    ``unix_micros(ts AS TIMESTAMP) * 1000`` — exact integer µs→ns, and
+    the NTZ→TIMESTAMP cast is lossless under the engine's fixed
+    ``spark.sql.session.timeZone=UTC``.  Works on batch and streaming
+    DataFrames alike (pure projection, no shuffle).
+    """
+    for c in cols:
+        field = next((f for f in df.schema.fields if f.name == c), None)
+        if field is None or isinstance(field.dataType, LongType):
+            continue
+        if isinstance(field.dataType, (TimestampType, TimestampNTZType)):
+            df = df.withColumn(
+                c,
+                (F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000)).cast(
+                    "long"
+                ),
+            )
+    return df
+
+
+# value holds (session, df): the DataFrame pins its session so the
+# id(spark) in the key can never alias a collected-and-recreated session
+# while the entry is alive (VERDICT r02 "what's wrong" #5).
+_READ_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table (TESTDATA.md layout).
+    """Load one fixture table (TESTDATA.md layout), ts_ns-normalized.
 
     The analyzed plan is memoized per (session, path): fixture tables are
     immutable, and a registry sweep touches each one dozens of times — the
@@ -39,13 +78,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so pushdown/pruning plan tests hold).
     """
     key = (id(spark), sf_dir, name)
-    df = _READ_CACHE.get(key)
-    if df is None:
-        if len(_READ_CACHE) > 256:
-            _READ_CACHE.clear()
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _READ_CACHE[key] = df
+    hit = _READ_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    if len(_READ_CACHE) > 256:
+        _READ_CACHE.clear()
+    df = normalize_ts_ns(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    _READ_CACHE[key] = (spark, df)
     return df
+
+
+def read_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Physical-schema read (no ts normalization) — for the streaming
+    path, where ``readStream.schema(...)`` must match the file exactly;
+    callers then apply :func:`normalize_ts_ns` to the stream."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -31,6 +31,24 @@ def read_file_stream(
     return r.load(path)
 
 
+def stream_table(
+    spark: SparkSession, sf_dir: str, name: str = "events", **opts
+) -> DataFrame:
+    """Tail one fixture table as a stream, ts_ns-normalized.
+
+    ``readStream.schema(...)`` must match the file's *physical* schema,
+    so the raw schema is probed first (one footer read), then the same
+    read-edge promotion as the batch path (``sources.io.normalize_ts_ns``)
+    runs on the stream — a ``ts`` column is epoch-ns LongType to every
+    operator downstream regardless of the fixture's on-disk width.
+    """
+    from ..sources.io import normalize_ts_ns, read_table_raw
+
+    raw = read_table_raw(spark, sf_dir, name)
+    opts.setdefault("pathGlobFilter", f"{name}.parquet")
+    return normalize_ts_ns(read_file_stream(spark, sf_dir, raw.schema, **opts))
+
+
 def read_rate_stream(spark: SparkSession, rows_per_sec: int = 1000) -> DataFrame:
     """Synthetic tick source for tests/benchmarks."""
     return (

@@ -99,17 +99,35 @@ def test_kerf_lang_lambda_stays_jvm_side(spark):
     assert "partial_sum" in plan  # still a map-side-combined aggregate
 
 
-def test_kerf_lang_inlined_stamp_pushes_down(spark):
+def test_kerf_lang_inlined_stamp_pushes_down(spark, tmp_path):
     """A script variable inlined into a range predicate must reach the
-    parquet scan as a pushed filter."""
+    parquet scan as a pushed filter — on the engine's NATIVE storage.
+
+    The fixture's events file may be µs-physical (TIMESTAMP(MICROS)):
+    there the read edge promotes ts to epoch-ns long via a projection
+    (sources.io.normalize_ts_ns), and no pure-cast chain exists that
+    Catalyst's UnwrapCastInBinaryComparison could invert, so row-group
+    range skipping on the raw column is structurally unavailable (date
+    partition pruning still applies — test_folio_scan_prunes_partitions).
+    The reference resolves exactly this by re-widthing ON APPEND
+    (layout.cc:726-934): once data lands in native storage, it is
+    native-width.  Same here: after one Workspace.save, ts is physical
+    INT64 ns and the same script's predicate pushes fully.
+    """
     from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.sources.catalog import Workspace
     from kerf_spark.sources.io import read_table
+
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    ws.save("events", read_table(spark, SF, "events"))
+    native = ws.load("events")
+    assert dict(native.dtypes)["ts"] == "bigint"  # native width on disk
 
     df = KL.run_df(
         spark,
         "t0: 2024-01-07\n"
         "select n: count(*) from events where ts >= t0",
-        tables={"events": read_table(spark, SF, "events")},
+        tables={"events": native},
     )
     plan = plan_of(df)
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
