@@ -1627,14 +1627,22 @@ _GATHER_POS = (3, 10, 100, 1000)
     """,
 )
 def index_gather(spark, sf):
-    """x[iv] gather by index vector (slop.h:902-905, presented.cc:284-296)
-    — positional access over the canonical o_orderkey order via
-    row_number + semi-filter; no driver collect."""
+    """x[iv] gather by index vector (slop.h:902-905, presented.cc:284-296).
+
+    Cut-then-number: ``orderBy(key).limit(max(iv))`` plans as
+    TakeOrderedAndProject (per-partition top-k, one bounded gather — no
+    global sort), and only the bounded slice gets row-numbered.  Cost is
+    O(max requested ordinal), not O(table): the r02-verdict scale fix.
+    """
     o = _t(spark, sf, "orders")
+    sliced = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(max(_GATHER_POS))
+    )
     w = Window.orderBy("o_orderkey")
     return (
-        o.select("o_orderkey", "o_totalprice")
-        .withColumn("pos", F.row_number().over(w))
+        sliced.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos").isin(*_GATHER_POS))
         .select("pos", "o_orderkey", "o_totalprice")
     )
@@ -1650,14 +1658,26 @@ def index_gather(spark, sf):
     """,
 )
 def find_first(spark, sf):
-    """`find` — index of first match (slop.h:1188-1189): min(position)
-    where predicate, fully distributed."""
+    """`find` — index of first match (slop.h:1188-1189), windowless.
+
+    position(first match) == count of keys ≤ min(matching key) when the
+    order key is unique — two distributed aggregates and one broadcast
+    of a single row; nothing ever sorts or row-numbers the full table.
+    """
     o = _t(spark, sf, "orders")
-    w = Window.orderBy("o_orderkey")
+    first_key = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .agg(F.min("o_orderkey").alias("__k"))
+    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("o_orderpriority") == "1-URGENT")
-        .agg(F.min("rn").alias("pos"))
+        o.crossJoin(F.broadcast(first_key))
+        .where(F.col("o_orderkey") <= F.col("__k"))
+        .agg(
+            F.when(F.count(F.lit(1)) > 0, F.count(F.lit(1)))
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("pos")
+        )
     )
 
 
@@ -1673,12 +1693,22 @@ def find_first(spark, sf):
 )
 def amend_point(spark, sf):
     """amend one x[i]:v (slop.h:1161-1165, presented.cc:327-330): COW
-    point update == conditional projection at position i."""
+    point update == conditional projection at position i.
+
+    The key at ordinal i resolves via ``orderBy(key).limit(i)`` (a
+    TakeOrderedAndProject gather of i rows) + max; the amend itself is a
+    broadcast of that one row into a zero-shuffle projection.
+    """
     n = _t(spark, sf, "nation")
-    w = Window.orderBy("n_nationkey")
-    return n.select(
+    kth = (
+        n.select("n_nationkey")
+        .orderBy("n_nationkey")
+        .limit(5)
+        .agg(F.max("n_nationkey").alias("__k"))
+    )
+    return n.crossJoin(F.broadcast(kth)).select(
         "n_nationkey",
-        F.when(F.row_number().over(w) == 5, F.lit("AMENDED"))
+        F.when(F.col("n_nationkey") == F.col("__k"), F.lit("AMENDED"))
         .otherwise(F.col("n_name"))
         .alias("n_name"),
         "n_regionkey",
@@ -1696,12 +1726,19 @@ def amend_point(spark, sf):
     """,
 )
 def delete_point(spark, sf):
-    """delete one element at index i (slop.h:1167-1171)."""
+    """delete one element at index i (slop.h:1167-1171): resolve the key
+    at ordinal i with a bounded TakeOrderedAndProject gather, then a
+    broadcast anti-filter — no full-table window."""
     n = _t(spark, sf, "nation")
-    w = Window.orderBy("n_nationkey")
+    kth = (
+        n.select("n_nationkey")
+        .orderBy("n_nationkey")
+        .limit(3)
+        .agg(F.max("n_nationkey").alias("__k"))
+    )
     return (
-        n.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") != 3)
+        n.crossJoin(F.broadcast(kth))
+        .where(F.col("n_nationkey") != F.col("__k"))
         .select("n_nationkey", "n_name")
     )
 
@@ -2759,10 +2796,10 @@ def q4(spark, sf):
     "q12_shipmode_classes",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -2770,7 +2807,12 @@ def q4(spark, sf):
     """,
 )
 def q12(spark, sf):
-    """TPC-H Q12 shape: conditional (filtered) aggregation."""
+    """TPC-H Q12 shape: conditional (filtered) aggregation.
+
+    Both counts are pinned to BIGINT in both engines (DuckDB sums an
+    INT into HUGEINT; Spark into LongType) so the driver's value hash
+    sees one integer width — the r01 ``differ_runs`` precedent.
+    """
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -2781,8 +2823,8 @@ def q12(spark, sf):
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )
@@ -5716,14 +5758,18 @@ def rank_percentiles(spark, sf):
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
-# The round-1 driver evaluated exactly the first 50 dict entries of
-# QUERIES, so insertion order IS driver coverage order.  Rotate so that
-# entries WITHOUT a green driver row yet (everything not in the r01
-# green set, plus the three r01-red entries that were since fixed) run
-# first; the 47 already-driver-green entries go last.  Rotate this set
-# each round until every registered query has a green CORRECTNESS row.
+# The driver evaluates exactly the first 50 dict entries of QUERIES per
+# round, so insertion order IS driver coverage order.  Each round the
+# window holds: entries that must be (re-)proven this round, then the
+# highest-information never-checked entries.  Entries with a green
+# driver row already (r01 ∪ r02) park at the back; the never-checked
+# leftovers sit in positions 51+ ready for the r04 window.
 
-_R01_GREEN = [
+#: Cumulative names with a green (or by-design rows-only) driver row.
+#: The five r01 rows falsified by the µs fixture change are NOT here —
+#: they re-prove in the r03 window below.
+_DRIVER_GREEN = [
+    # r01 (minus the five stale-green ts rows and vwap_bars, re-proving)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",
     "sql_update", "sql_delete", "insert_append", "upsert_keyed",
@@ -5732,70 +5778,63 @@ _R01_GREEN = [
     "ungroup_vector_by", "join_inner", "join_left", "join_semi",
     "join_anti", "join_cross", "dict_decode", "running_sum_unfold",
     "deltas_mapback", "ratios_mapback", "moving_avg", "running_min_max",
-    "grade_rank", "lead_lag_shift", "ffill_quotes", "xbar_5min_bars",
-    "vwap_bars", "asof_join_latest_order", "interval_join_bursts",
-    "string_funcs", "date_parts", "ns_time_parts", "cond_case_null",
-    "cast_types", "json_extract", "array_funcs", "range_til",
-    "kerfsql_select_by", "exact_dedup_docs", "token_count_docs",
-    "quality_score_docs",
+    "grade_rank", "lead_lag_shift", "string_funcs", "date_parts",
+    "cond_case_null", "cast_types", "json_extract", "array_funcs",
+    "range_til", "kerfsql_select_by", "exact_dedup_docs",
+    "token_count_docs", "quality_score_docs",
+    # r02 green (hash_match) + by-design rows-only fast paths
+    "group_vector_by", "math_funcs", "minhash_dedup_pairs",
+    "minhash_portable_pairs", "simhash_near_pairs",
+    "simhash_portable_pairs", "ngram_jaccard_pairs", "dup_clusters_docs",
+    "lsh_ann_topk", "lsh_ann_topk_oracle", "ivf_ann_topk",
+    "ivf_ann_topk_oracle", "cosine_topk_exact", "cosine_neardup_pairs",
+    "multimodal_meta", "multimodal_features", "lang_id_docs",
+    "fingerprint_docs", "hash_sample_docs", "train_val_test_split",
+    "salted_agg_hotkey", "salted_join_hotkey", "q2_min_cost_supplier",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_values",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive", "q20_potential_promotion", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "ema_smoother", "kerfsql_update_agg",
+    "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
 ]
 
-
-# Within the unverified block, run operator-family proof first (dedup/
-# ANN pipelines, TPC-H shapes, as-of variants, workspace, streaming,
-# salted ops, this round's new entries) so a capped sweep still covers
-# the highest-information rows; scalar-function micro-queries follow.
-_PRIORITY_FIRST = [
-    "group_vector_by", "differ_runs", "math_funcs",
-    "minhash_dedup_pairs", "minhash_portable_pairs",
-    "simhash_near_pairs", "simhash_portable_pairs",
-    "ngram_jaccard_pairs", "dup_clusters_docs",
-    "lsh_ann_topk", "lsh_ann_topk_oracle",
-    "ivf_ann_topk", "ivf_ann_topk_oracle",
-    "cosine_topk_exact", "cosine_neardup_pairs",
-    "multimodal_meta", "multimodal_features",
-    "lang_id_docs", "fingerprint_docs",
-    "hash_sample_docs", "train_val_test_split",
-    "salted_agg_hotkey", "salted_join_hotkey",
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_values",
-    "q12_shipmode_classes", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive",
-    "q20_potential_promotion", "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "asof_merge_latest_order", "asof_forward_next_purchase",
-    "ema_smoother", "ema_exact",
-    "kerfsql_tick_idioms", "kerfsql_update_agg",
-    "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
-    "kerf_lang_temporal", "kerf_lang_table_literal", "flip_matrix",
-    "bucketed_join_colocated", "narrow_width_roundtrip", "workspace_roundtrip",
+#: Round-3 driver window (exactly the first 50 entries).
+_R03_WINDOW = [
+    # (a) re-prove: r01-green rows falsified by the µs fixture + vwap
+    "ffill_quotes", "xbar_5min_bars", "vwap_bars",
+    "asof_join_latest_order", "interval_join_bursts", "ns_time_parts",
+    # (b) r02-red rows fixed by the read-edge ts promotion + hardened q12
+    "differ_runs", "asof_merge_latest_order", "asof_forward_next_purchase",
+    "ema_exact", "kerfsql_tick_idioms", "kerf_lang_temporal",
+    "q12_shipmode_classes",
+    # (c) highest-information never-checked entries
     "stream_window_counts", "stream_dedup_batch", "stream_ema",
-    "unpivot_melt", "topk_per_group", "argminmax_agg", "corr_regr_agg",
-    "skew_kurt_moments", "histogram_bins", "resample_1h_ffill",
-    "twap_by_user", "stream_static_enrich",
-    "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
-    "approx_distinct_tolerance", "funnel_conversion", "cohort_retention",
-    "lsh_neardup_pairs", "repetition_signals_docs", "corpus_curation_pipeline",
-    "weighted_median_price", "rolling_window_stats",
-    "contamination_check_docs", "segment_dedup_docs", "pii_scrub_docs",
-    "vocab_zipf_stats", "winsorized_stats",
-    "ohlc_bars", "interp_resample", "ntile_buckets",
-    "kmeans_assign_embeddings",
-    "moving_median", "spearman_rank_corr", "asof_tolerance_join",
-    "stream_session_windows", "chi_square_independence",
-    "approx_quantile_tolerance",
-    "multimodal_framesample", "rank_percentiles",
+    "stream_session_windows", "stream_static_enrich",
+    "stream_stream_join_batch", "session_windows",
+    "folio_partition_prune", "span_arithmetic",
+    "workspace_roundtrip", "bucketed_join_colocated",
+    "narrow_width_roundtrip", "csv_roundtrip", "json_roundtrip",
+    "index_gather", "find_first", "amend_point", "delete_point",
+    "rollup_agg", "cube_agg", "stats_agg",
+    "resample_1h_ffill", "twap_by_user", "ohlc_bars", "interp_resample",
+    "moving_median", "asof_tolerance_join",
+    "funnel_conversion", "cohort_retention",
+    "topk_per_group", "unpivot_melt", "pivot_returnflag",
+    "percentile_prices", "weighted_median_price",
+    "mapinpandas_scale", "applyinpandas_zscore", "kerf_lang_table_literal",
 ]
 
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    green = [k for k in _R01_GREEN if k in QUERIES]
-    pri = [k for k in _PRIORITY_FIRST if k in QUERIES]
-    taken = set(green) | set(pri)
-    rest = [k for k in QUERIES if k not in taken]
-    ordered = pri + rest + green
+    window = [k for k in _R03_WINDOW if k in QUERIES]
+    taken = set(window)
+    green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
+    taken |= set(green)
+    rest = [k for k in QUERIES if k not in taken]  # r04 candidates, 51+
+    ordered = window + rest + green
     QUERIES = {k: QUERIES[k] for k in ordered}
     ORACLES = {k: ORACLES[k] for k in ordered if k in ORACLES}
 

@@ -49,6 +49,21 @@ def test_top_k_uses_take_ordered(spark):
     assert "GlobalSort" not in plan
 
 
+def test_positional_family_cuts_before_numbering(spark):
+    """index_gather/amend_point/delete_point must bound the ordered
+    slice with TakeOrderedAndProject before any row numbering, and
+    find_first must be windowless — no query in the positional family
+    may globally sort or window the full table (r02 verdict fix)."""
+    for name in ("index_gather", "amend_point", "delete_point"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        # any Sort left is inside the bounded slice, never global
+        assert "Sort [" not in plan.split("TakeOrderedAndProject")[0], name
+    plan = plan_of(QUERIES["find_first"](spark, SF))
+    assert "Window" not in plan
+    assert "Sort [" not in plan
+
+
 def test_asof_join_shuffles_exactly_once(spark):
     from kerf_spark.operators.asof import asof_join
 
