@@ -37,8 +37,17 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     # timestamps in fixtures are wall-clock without zone
     "spark.sql.session.timeZone": "UTC",
-    # broadcast threshold: dims like region/nation/supplier always broadcast
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Broadcast discipline: the STATIC threshold stays at Spark's
+    # conservative default — it is applied to pre-filter size
+    # *estimates*, and a generous value lets a filtered FACT table
+    # masquerade as a dim (observed: q3 broadcasting 3M filtered
+    # lineitem rows at sf1 — a single-threaded build locally, an OOM at
+    # cluster scale).  The ADAPTIVE threshold is the generous one: AQE
+    # applies it to the TRUE post-shuffle sizes at runtime, which is
+    # exactly when a 64 MB broadcast decision is safe.  Fixed-size dims
+    # (region/nation) are pinned with F.broadcast() at the query sites.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 
