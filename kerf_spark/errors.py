@@ -110,6 +110,10 @@ class ReferenceError_(KerfError, NameError):
     kind = "Reference error"  # ERROR_REFERENCE / ERROR_VARIABLE
 
 
+class DepthError(KerfError, RecursionError):
+    kind = "Depth limit exceeded error"  # ERROR_DEPTH (jump.h:147)
+
+
 # ---------------------------------------------------------------- parse
 class ParseError(KerfError, ValueError):
     kind = "Unknown parse group error"  # ERROR_PARSE_UNKNOWN

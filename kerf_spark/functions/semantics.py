@@ -51,6 +51,66 @@ def normalize_floats(df: DataFrame) -> DataFrame:
     return df.select(*exprs)
 
 
+#: kerf.h:211-229 — in-band int sentinels of kerf-style producers.
+INT_NULL = -(2**63)          # IN: INT64_MIN is the int null
+INT_INF = 2**63 - 1          # II: INT64_MAX is the int infinity
+INT_CLAMP_MAX = INT_INF - 1  # clamp-on-append ceiling (kerf.h:37-38)
+
+
+def int_sentinels_to_null(
+    col: Column | str, clamp_inf: bool = True
+) -> Column:
+    """Decode kerf int sentinels on one column: IN (INT64_MIN) → NULL;
+    II (INT64_MAX) → clamp to INT64_MAX-1 (kerf's clamp-on-append,
+    kerf.h:37-38) or NULL when ``clamp_inf=False``."""
+    c = _c(col)
+    inf_val = F.lit(INT_CLAMP_MAX) if clamp_inf else F.lit(None)
+    return (
+        F.when(c == F.lit(INT_NULL), F.lit(None))
+        .when(c == F.lit(INT_INF), inf_val)
+        .otherwise(c)
+    )
+
+
+def normalize_int_sentinels(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    clamp_inf: bool = True,
+    flag: bool = False,
+) -> DataFrame:
+    """Ingest-edge adapter for data arriving from kerf-style producers
+    (SURVEY §1.2: "NULL + optional flag column, or clamp").
+
+    The int twin of :func:`normalize_floats`: IN=INT64_MIN decodes to
+    Spark NULL (so int-null == float-null cross-type, test.cc:81-109),
+    II=INT64_MAX clamps (default, mirroring kerf's clamp-on-append) or
+    nulls out.  With ``flag=True`` every affected column ``c`` gains a
+    ``c__was_inf`` boolean so the ∞ marker survives the decode losslessly.
+    Zero-shuffle projection; apply optionally at ingest — fixture data
+    never contains sentinels, so this is NOT in the default read path.
+    """
+    targets = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.LongType)
+        and (cols is None or f.name in cols)
+    ]
+    exprs = []
+    for f in df.schema.fields:
+        if f.name in targets:
+            exprs.append(
+                int_sentinels_to_null(f.name, clamp_inf).alias(f.name)
+            )
+        else:
+            exprs.append(F.col(f.name))
+    if flag:
+        for name in targets:
+            exprs.append(
+                (F.col(name) == F.lit(INT_INF)).alias(f"{name}__was_inf")
+            )
+    return df.select(*exprs)
+
+
 def match(a: Column | str, b: Column | str) -> Column:
     """Kerf ``match``: structural equality where null==null (and, after
     normalize_floats, NaN==NaN).  grade.cc:45-118 / slop.h:963-975."""

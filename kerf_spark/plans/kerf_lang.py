@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..errors import (
     ArityError,
     ArgsError,
+    DepthError,
     KerfTypeError,
     LexError,
     ParseError,
@@ -288,7 +289,19 @@ class SqlExpr:
 
 class KerfLambda:
     """``{[x,y] body}`` (parser.h:471-486).  Callable on local values
-    (interpreted) or on SqlExpr args (traced to one SQL expression)."""
+    (interpreted) or on SqlExpr args (traced to one SQL expression).
+
+    ``self`` inside the body refers to the lambda itself
+    (lexer.h:572-573 reserves it) — anonymous recursion.  Evaluation is
+    driver-side and bounded at :data:`MAX_CALL_DEPTH` (the reference's
+    ERROR_DEPTH, jump.h:147); a recursive lambda applied to a traced
+    SqlExpr column would expand without bound and dies at the same
+    guard with a typed DepthError.
+    """
+
+    #: interpreter-wide call depth budget (reference stack guard analogue)
+    MAX_CALL_DEPTH = 500
+    _depth = 0
 
     def __init__(self, params: list[str], body: list[str], env: "Env",
                  name: str = "lambda"):
@@ -299,15 +312,32 @@ class KerfLambda:
             raise ArityError(
                 f"{self.name} takes {len(self.params)} args, got {len(args)}"
             )
+        if KerfLambda._depth >= KerfLambda.MAX_CALL_DEPTH:
+            raise DepthError(
+                f"{self.name}: call depth exceeds {KerfLambda.MAX_CALL_DEPTH}"
+            )
+        if KerfLambda._depth == 0:
+            # one kerf call ≈ tens of Python frames; size the Python
+            # stack so OUR DepthError fires first, never RecursionError
+            import sys
+
+            sys.setrecursionlimit(
+                max(sys.getrecursionlimit(), KerfLambda.MAX_CALL_DEPTH * 60)
+            )
         local = Env(parent=self.env)
+        local.set_local("self", self)
         for p, a in zip(self.params, args):
             local.set_local(p, a)
-        ret = None
-        for stmt in self.body:
-            ret = interp.exec_stmt(stmt, local)
-            if local.returned:
-                return local.return_value
-        return ret
+        KerfLambda._depth += 1
+        try:
+            ret = None
+            for stmt in self.body:
+                ret = interp.exec_stmt(stmt, local)
+                if local.returned:
+                    return local.return_value
+            return ret
+        finally:
+            KerfLambda._depth -= 1
 
 
 class Env:

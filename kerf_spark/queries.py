@@ -2365,6 +2365,35 @@ def kerf_lang_script(spark, sf):
 
 
 @query(
+    "kerf_lang_recursion",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(720 AS BIGINT) AS fact6
+    FROM orders
+    WHERE o_totalprice > 720 * 500
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def kerf_lang_recursion(spark, sf):
+    """``self``-recursion in a lambda (lexer.h:572-573 reserves
+    ``self``): an anonymous factorial evaluated driver-side (bounded by
+    the interpreter's ERROR_DEPTH guard, jump.h:147) parameterizes the
+    filter of a distributed query — the kerf pattern of local recursive
+    compute feeding a table scan."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "fact: {[n] if (n < 2) { return 1 }; return n * self(n - 1)}\n"
+        "k: fact(6)\n"
+        "select o_orderpriority, n: count(*), fact6: k from orders"
+        " where o_totalprice > k * 500"
+        " group by o_orderpriority order by o_orderpriority",
+        tables={"orders": _t(spark, sf, "orders")},
+    )
+
+
+@query(
     "kerf_lang_chain",
     """
     WITH r1 AS (
@@ -5823,7 +5852,7 @@ _R03_WINDOW = [
     "funnel_conversion", "cohort_retention",
     "topk_per_group", "unpivot_melt", "pivot_returnflag",
     "percentile_prices", "weighted_median_price",
-    "mapinpandas_scale", "applyinpandas_zscore", "kerf_lang_table_literal",
+    "mapinpandas_scale", "kerf_lang_recursion", "kerf_lang_table_literal",
 ]
 
 

@@ -3,6 +3,8 @@ kerf-style inline asserts (the reference's test strategy, test.cc)."""
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from kerf_spark.functions import scalars as S
 from kerf_spark.functions import semantics as K
@@ -117,6 +119,60 @@ def test_normalize_floats_sorts_nan_first(spark):
     df = spark.createDataFrame([(3.0,), (float("nan"),), (1.0,)], "x double")
     got = [r[0] for r in K.normalize_floats(df).orderBy(F.asc_nulls_first("x")).collect()]
     assert got[0] is None and got[1:] == [1.0, 3.0]
+
+
+def test_int_sentinels_decode_and_clamp(spark):
+    # kerf.h:211-229: IN=INT64_MIN is int-null, II=INT64_MAX is int-inf
+    df = spark.createDataFrame(
+        [(0, K.INT_NULL), (1, K.INT_INF), (2, 7), (3, -5)], "id long, v long"
+    )
+    got = {r.id: r.v for r in K.normalize_int_sentinels(df).collect()}
+    assert got[0] is None                 # IN -> NULL
+    assert got[1] == K.INT_CLAMP_MAX      # II clamps (kerf.h:37-38)
+    assert got[2] == 7 and got[3] == -5   # ordinary values untouched
+    got2 = {
+        r.id: r.v
+        for r in K.normalize_int_sentinels(df, clamp_inf=False).collect()
+    }
+    assert got2[1] is None                # II -> NULL when not clamping
+
+
+def test_int_sentinels_flag_column(spark):
+    df = spark.createDataFrame([(0, K.INT_INF), (1, 7)], "id long, v long")
+    rows = {
+        r.id: (r.v, r.v__was_inf)
+        for r in K.normalize_int_sentinels(df, cols=["v"], flag=True).collect()
+    }
+    assert rows[0] == (K.INT_CLAMP_MAX, True)
+    assert rows[1] == (7, False)
+
+
+def test_int_null_matches_float_null(spark):
+    # test.cc:81-109: int-null == float-null after edge normalization
+    df = spark.createDataFrame(
+        [(K.INT_NULL, float("nan"))], "i long, x double"
+    )
+    out = K.normalize_floats(K.normalize_int_sentinels(df))
+    assert out.select(K.match("i", "x").cast("boolean")).head()[0] is True
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=20))
+@settings(max_examples=20, deadline=None)
+def test_int_sentinel_roundtrip_preserves_ordinary_values(xs):
+    # pure-python mirror of the column expression: ordinary values are
+    # untouched, sentinels never survive the decode
+    def decode(v):
+        if v == K.INT_NULL:
+            return None
+        if v == K.INT_INF:
+            return K.INT_CLAMP_MAX
+        return v
+
+    for v in xs:
+        d = decode(v)
+        assert d is None or (K.INT_NULL < d <= K.INT_CLAMP_MAX)
+        if v not in (K.INT_NULL, K.INT_INF):
+            assert d == v
 
 
 # ------------------------------------------------------------- scalars

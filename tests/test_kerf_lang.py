@@ -112,6 +112,27 @@ def test_lambda_return_short_circuits():
     assert run("g: {[x] return x + 1; 99}; g(5)") == 6
 
 
+def test_lambda_self_recursion():
+    # lexer.h:572-573: `self` refers to the enclosing lambda
+    assert run("f: {[n] if (n < 2) { return 1 }; return n * self(n - 1)}; f(6)") == 720
+    assert run("fib: {[n] if (n < 2) { return n }; return self(n-1) + self(n-2)}; fib(10)") == 55
+
+
+def test_lambda_self_depth_guard():
+    # unbounded recursion dies at the interpreter's ERROR_DEPTH guard
+    # (jump.h:147) as a typed DepthError, never a raw RecursionError
+    from kerf_spark.errors import DepthError
+
+    with pytest.raises(DepthError):
+        run("f: {[n] self(n + 1)}; f(0)")
+
+
+def test_def_function_self_and_named_recursion_agree():
+    assert run(
+        "def f(n) { if (n < 2) { return 1 }; return n * f(n - 1) }; f(5)"
+    ) == run("g: {[n] if (n < 2) { return 1 }; return n * self(n - 1)}; g(5)")
+
+
 def test_lambda_closure_reads_globals():
     assert run("k: 10; f: {[x] x * k}; f(3)") == 30
 
