@@ -4,14 +4,20 @@ Image/audio/video payloads ride as opaque ``BinaryType`` columns with a
 metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages (SURVEY.md §7 milestone 5).
 
-The decode kernels themselves are STUBBED — the container has no
-image/audio libraries — behind ``KERF_SPARK_FAKE_DECODE``:
+Decode modes, selected by ``KERF_SPARK_FAKE_DECODE``:
 
-* ``fake``  (default): deterministic metadata derived from the bytes
-  (md5-seeded), so the Spark-side plumbing — schema, batching,
-  partitioning, UDF signature — is fully real and testable.
-* ``real``: raises NotImplementedError at the kernel, marking exactly
-  where PIL/ffmpeg plug in.
+* ``fake`` (default): deterministic metadata derived from the bytes
+  (md5-seeded) — used with fixture payloads that are NOT images (the
+  documents table carries text bytes), so the Spark-side plumbing —
+  schema, batching, partitioning, UDF signature — is testable on any
+  payload.
+* ``real``: the dependency-free codec in ``operators.imagecodec`` —
+  true header parsing for PNG/JPEG/GIF/BMP/PPM and full pixel decode
+  for 8-bit PNG (zlib + all five scanline filters), no image library
+  required.  Only JPEG *pixel* decode (DCT entropy coding) remains
+  behind a typed MissingFeatureError.  The ``multimodal_real_decode``
+  query proves an encode→decode bytes roundtrip against a closed-form
+  oracle.
 
 Scale design: mapInPandas streams Arrow batches — bounded memory per
 task regardless of corpus size; payload columns are pruned unless
@@ -61,11 +67,12 @@ def _fake_decode(payload: bytes) -> tuple[int, str, int, int, int]:
     return (len(payload), fmt, width, height, channels)
 
 
-def _real_decode(payload: bytes):
-    raise NotImplementedError(
-        "real image decode requires PIL/turbojpeg — not available in this "
-        "container; set KERF_SPARK_FAKE_DECODE=fake for the deterministic stub"
-    )
+def _real_decode(payload: bytes) -> tuple[int, str, int, int, int]:
+    """Real header decode via the dependency-free codec."""
+    from .imagecodec import sniff_header
+
+    fmt, w, h, c = sniff_header(payload)
+    return (len(payload), fmt, w, h, c)
 
 
 def decode_images(
@@ -106,6 +113,62 @@ def decode_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def png_roundtrip_check(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-decode proof: deterministic PNG encode→decode per id.
+
+    For each id the kernel synthesizes an image with closed-form
+    dims/pixels (width ``1+id%48``, height ``1+(id*7)%32``, channels
+    ``[1,3,4][id%3]``, row ``y`` filled with ``(id+y)%256``), writes a
+    real PNG (``imagecodec.encode_png``: zlib, CRC32), then decodes it
+    back with the real parser (``imagecodec.decode_png``: inflate +
+    unfilter) and emits the decoded metadata and pixel checksum.  Every
+    output value is independently computable in plain SQL, which is
+    what makes a binary codec oracle-checkable.
+
+    Arrow-batched mapInPandas; payload bytes never leave the task.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from .imagecodec import decode_pixels, encode_png, sniff_header
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 48, 1 + (i * 7) % 32
+                c = (1, 3, 4)[i % 3]
+                arr = np.empty((h, w, c), dtype=np.uint8)
+                for y in range(h):
+                    arr[y, :, :] = (i + y) % 256
+                payload = encode_png(arr)
+                fmt, dw, dh, dc = sniff_header(payload)
+                dec = decode_pixels(payload)
+                if dec.shape != (h, w, c) or not np.array_equal(dec, arr):
+                    raise ValueError(f"png roundtrip mismatch for id={i}")
+                rows.append((i, fmt, dw, dh, dc, int(dec.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "width", "height", "channels", "checksum"
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
 
 
 def image_features(

@@ -1511,6 +1511,33 @@ def multimodal_meta(spark, sf):
 
 
 @query(
+    "multimodal_real_decode",
+    """
+    SELECT doc_id,
+           'png' AS format,
+           CAST(1 + doc_id % 48 AS INT) AS width,
+           CAST(1 + (doc_id * 7) % 32 AS INT) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                AS INT) AS channels,
+           CAST(list_sum(list_transform(range(0, 1 + (doc_id * 7) % 32),
+                y -> (1 + doc_id % 48)
+                     * (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+                     * ((doc_id + y) % 256))) AS BIGINT) AS checksum
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def multimodal_real_decode(spark, sf):
+    """REAL image decode (no stub): per doc a true PNG is written
+    (zlib/CRC32) and decoded back (inflate + unfilter) inside an
+    Arrow-batched kernel; decoded dims + pixel checksum must equal the
+    oracle's closed-form arithmetic.  See operators/imagecodec.py —
+    dependency-free codec, proving the multimodal path end-to-end
+    without any image library."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+    return MM.png_roundtrip_check(d, "doc_id")
+
+
+@query(
     "multimodal_features",
     """
     SELECT doc_id,
@@ -5850,7 +5877,7 @@ _R03_WINDOW = [
     "resample_1h_ffill", "twap_by_user", "ohlc_bars", "interp_resample",
     "moving_median", "asof_tolerance_join",
     "funnel_conversion", "cohort_retention",
-    "topk_per_group", "unpivot_melt", "pivot_returnflag",
+    "topk_per_group", "multimodal_real_decode", "pivot_returnflag",
     "percentile_prices", "weighted_median_price",
     "mapinpandas_scale", "kerf_lang_recursion", "kerf_lang_table_literal",
 ]

@@ -1,0 +1,162 @@
+"""Unit tests for the dependency-free image codec (operators/imagecodec).
+
+Pure-python tests — no SparkSession — covering the PNG roundtrip, all
+five PNG scanline filters (hand-forward-filtered in the test, since the
+encoder only emits filter 0), and header sniffing for every supported
+container format.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kerf_spark.errors import FormatStringError, MissingFeatureError
+from kerf_spark.operators import imagecodec as IC
+
+
+# --------------------------------------------------------------- roundtrip
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_channel_counts(channels):
+    rng = np.random.default_rng(42 + channels)
+    arr = rng.integers(0, 256, size=(13, 7, channels), dtype=np.uint8)
+    payload = IC.encode_png(arr)
+    fmt, w, h, c = IC.sniff_header(payload)
+    assert (fmt, w, h, c) == ("png", 7, 13, channels)
+    np.testing.assert_array_equal(IC.decode_png(payload), arr)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_png_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(IC.decode_png(IC.encode_png(arr)), arr)
+
+
+# ------------------------------------------------- scanline filter decode
+def _forward_filter(arr: np.ndarray, ftype: int) -> bytes:
+    """Apply a PNG forward filter so the decoder's reverse is tested
+    against an independent implementation (PNG spec §9)."""
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(int)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=int)
+    for y in range(h):
+        row = flat[y]
+        filt = np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = row[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (row[x] - pred) % 256
+        out.append(ftype)
+        out.extend(int(v) for v in filt)
+        prev = row
+    return bytes(out)
+
+
+def _png_with_raw(raw: bytes, w: int, h: int, color: int) -> bytes:
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_every_filter_type(ftype):
+    rng = np.random.default_rng(7 + ftype)
+    arr = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    raw = _forward_filter(arr, ftype)
+    payload = _png_with_raw(raw, 5, 6, color=2)
+    np.testing.assert_array_equal(IC.decode_png(payload), arr)
+
+
+# ----------------------------------------------------------- header sniff
+def test_jpeg_header_sof_scan():
+    # minimal JPEG skeleton: SOI, APP0 (skipped), SOF0 with dims, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(
+        ">HH", 480, 640
+    ) + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])[:4]
+    payload = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert IC.sniff_header(payload) == ("jpeg", 640, 480, 3)
+
+
+def test_gif_and_bmp_and_ppm_headers():
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert IC.sniff_header(gif) == ("gif", 320, 200, 3)
+
+    bmp = bytearray(b"BM" + b"\x00" * 60)
+    struct.pack_into("<ii", bmp, 18, 64, 32)
+    struct.pack_into("<H", bmp, 28, 24)
+    assert IC.sniff_header(bytes(bmp)) == ("bmp", 64, 32, 3)
+
+    ppm = b"P6\n# comment\n4 2\n255\n" + bytes(range(24))
+    assert IC.sniff_header(ppm) == ("ppm", 4, 2, 3)
+    np.testing.assert_array_equal(
+        IC.decode_pixels(ppm).ravel(), np.arange(24, dtype=np.uint8)
+    )
+
+
+def test_bmp_pixel_decode_bottom_up_bgr():
+    # 2x2 24-bit BMP, bottom-up rows, BGR order, rows padded to 4 bytes
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3
+    pix = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]], dtype=np.uint8
+    )  # RGB, top-down
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pix[y][:, ::-1].tobytes()  # BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    struct.pack_into("<I", header, 10, 54)
+    struct.pack_into("<ii", header, 18, w, h)
+    struct.pack_into("<H", header, 28, 24)
+    np.testing.assert_array_equal(IC.decode_pixels(bytes(header) + rows), pix)
+
+
+def test_unrecognized_and_unsupported_are_typed():
+    with pytest.raises(FormatStringError):
+        IC.sniff_header(b"not an image at all")
+    # jpeg pixel decode is declared out of scope, typed accordingly
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(
+        ">HH", 2, 2
+    ) + bytes([3, 1, 0x11, 0])
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    with pytest.raises(MissingFeatureError):
+        IC.decode_pixels(jpeg)
