@@ -150,6 +150,50 @@ def lang_id(text, tokens: Column | None = None) -> Column:
 
 
 # -------------------------------------------------------------- fingerprint
+#: Unicode script ranges for :func:`script_counts` — regex character
+#: classes shared verbatim with the DuckDB oracle (both engines use
+#: standard \\u escapes, so the counts are bit-identical).
+SCRIPT_RANGES = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "cjk": r"[一-鿿぀-ヿ가-힯]",
+    "arabic": r"[؀-ۿ]",
+    "greek": r"[Ͱ-Ͽ]",
+}
+
+
+def script_counts(text) -> dict[str, Column]:
+    """Per-script character counts (language-agnostic script ID —
+    the pre-filter real corpus pipelines run before model-based
+    language ID).  count = len(text) - len(text with script removed):
+    pure JVM regexp projections, zero shuffle."""
+    t = _c(text)
+    return {
+        name: (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+        for name, pat in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(text) -> Column:
+    """argmax over :func:`script_counts` with a deterministic tie order
+    (the SCRIPT_RANGES insertion order); 'none' when no script char."""
+    counts = script_counts(text)
+    pairs = F.array(
+        *[
+            F.struct(c.alias("n"), F.lit(name).alias("s"))
+            for name, c in counts.items()
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).cast("long").alias("n"), F.lit("none").alias("s")),
+        lambda acc, x: F.when(x["n"] > acc["n"], x).otherwise(acc),
+    )
+    return F.when(best["n"] > 0, best["s"]).otherwise(F.lit("none"))
+
+
 def normalize_text(text) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     return F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))

@@ -5812,6 +5812,157 @@ def rank_percentiles(spark, sf):
 
 
 # =====================================================================
+# Training-corpus assembly (beyond-reference: sequence packing, mixture
+# rebalance, script ID, epoch shuffle) — operators/packing.py, text.py
+# =====================================================================
+
+@query(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 8))::BIGINT
+               % 16 AS shard
+      FROM documents
+    ), p AS (
+      SELECT shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS pre
+      FROM t
+    )
+    SELECT CAST(shard * 1099511627776 + pre // 1000 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY 1
+    """,
+)
+def sequence_packing(spark, sf):
+    """Training-sequence packing (contiguous fill, 1000-token budget,
+    16 hash shards): the window scan runs per shard — embarrassingly
+    parallel, one shuffle — never globally.  operators/packing.py."""
+    from .operators.packing import sequence_pack
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", TX.token_count("text").alias("n_tokens")
+    )
+    packed = sequence_pack(d, "doc_id", "n_tokens", budget=1000, shards=16)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+@query(
+    "corpus_mixture_rebalance",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    probs AS (
+      SELECT lang,
+             least(1.0, CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+                                  WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2
+                        END * total / n) AS keep_p
+      FROM counts CROSS JOIN tot
+      WHERE CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+                      WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 END IS NOT NULL
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN probs p ON d.lang = p.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8))::BIGINT
+            % 10000 < p.keep_p * 10000
+    GROUP BY d.lang
+    """,
+)
+def corpus_mixture_rebalance(spark, sf):
+    """Mixture rebalancing toward a target language distribution:
+    over-represented groups hash-thin deterministically, the rest pass
+    whole, absent keys drop.  One tiny per-key aggregate broadcast back
+    into a map-side filter — no second shuffle, no sampling state."""
+    from .operators.packing import rebalance_mixture
+
+    d = _t(spark, sf, "documents")
+    kept = rebalance_mixture(
+        d, "lang", "doc_id",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "fr": 0.2},
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+
+
+@query(
+    "script_detect_docs",
+    """
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g'))
+                AS BIGINT) AS latin,
+           CAST(length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ가-힯]', '', 'g'))
+                AS BIGINT) AS cjk,
+           CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+                AS BIGINT) AS cyrillic,
+           CASE
+             WHEN length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')) = 0
+              AND length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ가-힯]', '', 'g')) = 0
+             THEN 'none'
+             WHEN length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ가-힯]', '', 'g'))
+                > length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g'))
+             THEN 'cjk' ELSE 'latin' END AS script
+    FROM documents
+    """,
+)
+def script_detect_docs(spark, sf):
+    """Unicode script profiling (the pre-filter before model-based
+    language ID in corpus pipelines): per-script char counts as pure
+    JVM regexp projections, zero shuffle.  The fixture has only
+    latin/CJK text, so dominant-script reduces to that pair — the
+    operator itself scores 5 scripts (text.SCRIPT_RANGES)."""
+    from .operators.text import script_counts
+
+    d = _t(spark, sf, "documents")
+    sc = script_counts(F.col("text"))
+    lat, cjk = sc["latin"], sc["cjk"]
+    return d.select(
+        "doc_id",
+        lat.alias("latin"),
+        cjk.alias("cjk"),
+        sc["cyrillic"].alias("cyrillic"),
+        F.when((lat == 0) & (cjk == 0), "none")
+        .when(cjk > lat, "cjk")
+        .otherwise("latin")
+        .alias("script"),
+    )
+
+
+@query(
+    "corpus_shuffle_order",
+    """
+    SELECT doc_id, CAST(position AS BIGINT) AS position FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR))) AS position
+      FROM documents
+    ) WHERE position <= 100
+    """,
+)
+def corpus_shuffle_order(spark, sf):
+    """Deterministic epoch shuffle: training order = md5(seed || id),
+    reproducible on any engine/partitioning.  Only the requested prefix
+    materializes (TakeOrderedAndProject) before numbering — the
+    positional-family discipline, never a global sort."""
+    from .operators.packing import shuffle_order
+
+    d = _t(spark, sf, "documents")
+    return shuffle_order(d, "doc_id", "epoch0", 100).select(
+        "doc_id", F.col("position").cast("long").alias("position")
+    )
+
+
+# =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
 # The driver evaluates exactly the first 50 dict entries of QUERIES per

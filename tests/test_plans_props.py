@@ -86,6 +86,24 @@ def test_folio_scan_prunes_partitions(spark):
     assert "date#" in plan.split("PartitionFilters", 1)[1][:400]
 
 
+def test_corpus_assembly_plan_shapes(spark):
+    """sequence_packing windows per shard (exactly one exchange for the
+    window+agg chain reuses it), script_detect is a pure projection
+    (zero exchanges), shuffle_order bounds with TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["script_detect_docs"](spark, SF), "simple")
+    assert "Exchange" not in plan
+
+    plan = plan_of(QUERIES["corpus_shuffle_order"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+    plan = plan_of(QUERIES["sequence_packing"](spark, SF), "simple")
+    # one hash exchange on the shard key for the window; the pack_id
+    # aggregate on top may add its own — but never a global (single
+    # partition) exchange
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_transpose_shuffles_once_on_uniform_position_key(spark):
     from kerf_spark.operators.relational import transpose_vectors
 
