@@ -1538,6 +1538,27 @@ def multimodal_real_decode(spark, sf):
 
 
 @query(
+    "multimodal_audio_decode",
+    """
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, 100 + doc_id % 400),
+                j -> (doc_id * 31 + j * 7) % 4096 - 2048)) AS BIGINT) AS amp_sum
+    FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def multimodal_audio_decode(spark, sf):
+    """REAL audio decode (no stub): per doc a true RIFF/WAVE 16-bit PCM
+    payload is written and parsed back inside an Arrow-batched kernel
+    (operators/audiocodec.py — struct+numpy only); decoded header and
+    sample sum must equal the oracle's closed-form arithmetic."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 3)
+    return MM.wav_roundtrip_check(d, "doc_id")
+
+
+@query(
     "multimodal_features",
     """
     SELECT doc_id,

@@ -149,6 +149,39 @@ def test_bmp_pixel_decode_bottom_up_bgr():
     np.testing.assert_array_equal(IC.decode_pixels(bytes(header) + rows), pix)
 
 
+# ------------------------------------------------------------ WAV codec
+def test_wav_roundtrip_mono_and_stereo():
+    from kerf_spark.operators import audiocodec as AC
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-(2**15), 2**15, size=257, dtype=np.int16)
+    payload = AC.encode_wav(mono, 16000)
+    assert AC.sniff_wav(payload) == (16000, 1, 16, 257)
+    sr, dec = AC.decode_wav(payload)
+    assert sr == 16000
+    np.testing.assert_array_equal(dec[:, 0], mono)
+
+    stereo = rng.integers(-(2**15), 2**15, size=(64, 2), dtype=np.int16)
+    payload = AC.encode_wav(stereo, 44100)
+    assert AC.sniff_wav(payload) == (44100, 2, 16, 64)
+    np.testing.assert_array_equal(AC.decode_wav(payload)[1], stereo)
+
+
+def test_wav_rejects_compressed_and_garbage():
+    import struct as _s
+
+    from kerf_spark.operators import audiocodec as AC
+
+    with pytest.raises(FormatStringError):
+        AC.sniff_wav(b"II*\x00 definitely not wav" + b"\x00" * 40)
+    # format tag 85 (MP3-in-WAV) is declared out of scope, typed
+    fmt = _s.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt + b"data" + _s.pack("<I", 0)
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(MissingFeatureError):
+        AC.sniff_wav(payload)
+
+
 def test_unrecognized_and_unsupported_are_typed():
     with pytest.raises(FormatStringError):
         IC.sniff_header(b"not an image at all")
