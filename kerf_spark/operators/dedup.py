@@ -287,25 +287,19 @@ def dedup_survivors(df: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id")
 
 
 # ------------------------------------------------------- portable minhash
-def minhash_dedup_portable(
+def portable_band_keys(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs with an engine-portable hash family.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared portable LSH stage: (banded (id, band, key), shingles).
 
-    Same pipeline as :func:`minhash_dedup` but the k hash functions are
-    ``int(md5(shingle + '#' + i)[:15 hex], 16)`` (60 uniform bits) over
-    *string* shingles — computable bit-for-bit in any SQL engine, so the
-    whole shingle→minhash→banding→verify pipeline is oracle-checkable
-    (the xxhash64 variant is the faster production default).  Plan
-    shape is identical: staged projections, keyed band self-join, exact
-    Jaccard verify on candidate docs only.
+    Used by :func:`minhash_dedup_portable` and by the hot-bucket audit
+    query — the band keys are md5-family so any SQL engine re-derives
+    them bit-for-bit.
     """
     from .text import normalize_text, word_tokens
 
@@ -356,6 +350,32 @@ def minhash_dedup_portable(
                 ]
             )
         ).alias("band", "key"),
+    )
+    return banded, sh
+
+
+def minhash_dedup_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an engine-portable hash family.
+
+    Same pipeline as :func:`minhash_dedup` but the k hash functions are
+    ``int(md5(shingle + '#' + i)[:15 hex], 16)`` (60 uniform bits) over
+    *string* shingles — computable bit-for-bit in any SQL engine, so the
+    whole shingle→minhash→banding→verify pipeline is oracle-checkable
+    (the xxhash64 variant is the faster production default).  Plan
+    shape is identical: staged projections, keyed band self-join, exact
+    Jaccard verify on candidate docs only.
+    """
+    banded, sh = portable_band_keys(
+        df, text_col, id_col, num_hashes, bands, shingle_n
     )
     banded = _cap_buckets(
         banded, ["band", "key"], id_col, max_bucket, "minhash_dedup_portable"

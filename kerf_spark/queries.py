@@ -3190,6 +3190,54 @@ def minhash_portable_pairs(spark, sf):
 
 
 @query(
+    "lsh_hot_bucket_report",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM words
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15), i ->
+               list_min(list_transform(shingles,
+                 s -> ('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+      FROM sig, generate_series(0, 3) t(b)
+    )
+    SELECT CAST(b AS INT) AS band, key,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - 2 AS BIGINT) AS dropped
+    FROM bands GROUP BY b, key HAVING count(*) > 2
+    """,
+)
+def lsh_hot_bucket_report(spark, sf):
+    """Skew OBSERVABILITY as a proven row: the audit companion to the
+    loud hot-bucket cap in every blocked self-join (dedup._cap_buckets).
+    Reports each LSH band bucket over the cap with its dropped-candidate
+    volume — at 100 TB this is the query an operator runs when the cap
+    warning fires.  Cap forced to 2 here so the fixture's real dup
+    clusters surface."""
+    d = _t(spark, sf, "documents")
+    banded, _ = DD.portable_band_keys(d, num_hashes=16, bands=4, shingle_n=3)
+    return DD.hot_bucket_report(
+        banded.withColumnRenamed("band", "__b"), ["__b", "key"], max_bucket=2
+    ).select(
+        F.col("__b").cast("int").alias("band"),
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("dropped").cast("long").alias("dropped"),
+    )
+
+
+@query(
     "simhash_portable_pairs",
     """
     WITH norm AS (
