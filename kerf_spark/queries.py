@@ -6031,6 +6031,63 @@ def corpus_shuffle_order(spark, sf):
     )
 
 
+@query(
+    "stream_static_asof",
+    """
+    WITH latest AS (
+      SELECT o_custkey AS user_id, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT e.event_id, e.user_id,
+           l.o_orderkey AS orderkey,
+           round(l.o_totalprice, 2) AS totalprice
+    FROM events e LEFT JOIN latest l
+      ON e.user_id = l.user_id AND l.rn = 1
+    """,
+)
+def stream_static_asof(spark, sf):
+    """Streaming as-of enrichment against a static reference: every
+    live event picks up the latest order at-or-before its timestamp via
+    a broadcast per-user sorted interval index — zero shuffle and zero
+    state on the stream side (streaming/ingest.py static_asof_enrich).
+    The fixture's orders all precede the events era, so at-or-before
+    reduces to latest-per-user — which is what makes the oracle exact.
+    """
+    from .streaming.ingest import static_asof_enrich, stream_table
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (
+            F.unix_micros(F.to_timestamp("o_orderdate")) * F.lit(1000)
+        ).cast("long").alias("ts"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    stream = stream_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    enriched = static_asof_enrich(
+        stream, o, on="ts", by="user_id", value_cols=["orderkey", "totalprice"]
+    ).select(
+        "event_id", "user_id", "orderkey", F.round("totalprice", 2).alias("totalprice")
+    )
+    qname = "kerf_stream_static_asof"
+    for active in spark.streams.active:
+        if active.name == qname:
+            active.stop()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================

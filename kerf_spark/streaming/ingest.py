@@ -148,6 +148,47 @@ def stream_interval_join(
     return out
 
 
+def static_asof_enrich(
+    stream: DataFrame,
+    static: DataFrame,
+    on: str,
+    by: Sequence[str] | str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Streaming as-of against a static reference table: each stream row
+    gets the latest static row with ``static.on <= stream.on`` in its
+    ``by`` group — live ticks enriched with reference data (the
+    streaming twin of ``operators.asof.asof_join``).
+
+    Plan: the static side compacts to ONE sorted struct-array per key
+    (struct field order ``(on, *value_cols)`` makes array_max the
+    argmax-by-(on, tiebreak...)), broadcast-joined onto the stream; the
+    lookup is a JVM-side ``array_max(filter(...))`` — ZERO shuffle and
+    zero state on the stream side, which is what makes it legal in a
+    streaming plan (stream-static joins allow no stream-side
+    re-aggregation).  Right-sized for dim-scale references (the compact
+    index must broadcast); a fact-sized right side belongs in the batch
+    as-of after ingest.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    idx = static.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(on), *[F.col(c) for c in value_cols]))
+        ).alias("__idx")
+    )
+    joined = stream.join(F.broadcast(idx), by, "left")
+    best = F.array_max(
+        F.filter(F.col("__idx"), lambda x: x[on] <= F.col(f"__stream_{on}"))
+    )
+    # stream.on shadows static.on inside the struct lambda; alias it
+    joined = joined.withColumn(f"__stream_{on}", F.col(on))
+    joined = joined.withColumn("__best", best).drop(f"__stream_{on}", "__idx")
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(c, F.col("__best")[c])
+    return out.drop("__best")
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

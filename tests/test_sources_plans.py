@@ -339,6 +339,43 @@ def test_streaming_stateful_running_stats(spark, tables, tmp_path):
     assert diff.count() == 0
 
 
+def test_static_asof_enrich_respects_at_or_before(spark, tmp_path):
+    """The broadcast interval index must pick the LATEST static row at
+    or before each stream timestamp — later static rows excluded, exact
+    ties visible, no-match keys null (fixture-era data can't exercise
+    the boundary, so this pins it synthetically)."""
+    from kerf_spark.streaming.ingest import static_asof_enrich
+
+    static = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 30, 3.0), ("b", 50, 9.0)],
+        "sym string, ts long, px double",
+    )
+    src = str(tmp_path / "sa_src")
+    spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 20), (3, "a", 25), (4, "b", 49), (5, "c", 99)],
+        "event_id long, sym string, ts long",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, sym string, ts long").parquet(src)
+
+    out = static_asof_enrich(stream, static, on="ts", by="sym", value_cols=["px"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sa_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.event_id: r.px for r in spark.table("sa_test").collect()}
+    assert got == {
+        1: None,   # before any static row
+        2: 2.0,    # exact tie: at-or-before includes it
+        3: 2.0,    # 30 is later -> excluded
+        4: None,   # b's only row is at 50 > 49
+        5: None,   # unknown key -> left join null
+    }
+
+
 def test_streaming_session_state_evicted_by_watermark(spark, tables, tmp_path):
     """The 100 TB streaming claim, evidenced: session-window state is
     EVICTED as the watermark advances, so state stays O(open sessions)
