@@ -319,6 +319,71 @@ def window_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start: str,
+    end: str,
+    bucket_ns: int,
+    by: Sequence[str] | str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval×interval overlap join: pairs where
+    ``l.start <= r.end AND r.start <= l.end`` (+ equal ``by`` keys).
+
+    The interval-interval generalization of :func:`window_join`
+    (point-in-window): both sides explode to the span-sized buckets
+    they cover, the overlap test becomes an equi-join on (by, bucket)
+    plus the exact residual predicate, and duplicate hits from spanning
+    multiple buckets collapse with distinct.  Choose ``bucket_ns``
+    near the typical interval length: fan-out stays at 2-3 buckets per
+    row and no pair is ever compared outside a shared bucket — the
+    standard distributed overlap-join (no nested loop, no cross).
+
+    Adds ``overlap`` — the overlap length ``min(ends) - max(starts)``.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+
+    def bucketed(df: DataFrame, alias: str) -> DataFrame:
+        return df.withColumn(
+            "__kf_bucket",
+            F.explode(
+                F.sequence(
+                    _divfloor(F.col(start).cast("long"), bucket_ns),
+                    _divfloor(F.col(end).cast("long"), bucket_ns),
+                )
+            ),
+        ).alias(alias)
+
+    lb, rb = bucketed(left, "l"), bucketed(right, "r")
+    overlap_ok = (F.col(f"l.{start}") <= F.col(f"r.{end}")) & (
+        F.col(f"r.{start}") <= F.col(f"l.{end}")
+    )
+    renames = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in by
+    }
+    joined = lb.join(
+        rb,
+        [
+            F.col("l.__kf_bucket") == F.col("r.__kf_bucket"),
+            *[F.col(f"l.{c}") == F.col(f"r.{c}") for c in by],
+            overlap_ok,
+        ],
+        "inner",
+    )
+    out = joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"r.{c}").alias(renames[c]) for c in right.columns if c not in by],
+    ).distinct()
+    return out.withColumn(
+        "overlap",
+        F.least(F.col(end), F.col(renames[end]))
+        - F.greatest(F.col(start), F.col(renames[start])),
+    )
+
+
 def resample(
     df: DataFrame,
     on: str,

@@ -6088,6 +6088,57 @@ def stream_static_asof(spark, sf):
     return spark.table(qname)
 
 
+@query(
+    "interval_overlap_pairs",
+    """
+    WITH iv AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS s,
+             epoch_ns(ts) + CAST(round(value * 10000000000, 0) AS BIGINT) AS e
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap
+    FROM iv a JOIN iv b
+      ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def interval_overlap_pairs(spark, sf):
+    """Interval×interval overlap join (concurrency analysis: which
+    'view' intervals were live simultaneously).  Bucketed equi-join on
+    minute buckets + exact residual — never a nested-loop/cross, the
+    distributed overlap-join discipline (operators/asof.py
+    interval_overlap_join).  Oracle is DuckDB's exact inequality join.
+    """
+    from .operators.asof import interval_overlap_join
+
+    iv = (
+        _t(spark, sf, "events")
+        .where(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            F.col("ts").alias("s"),
+            (
+                F.col("ts")
+                + F.round(F.col("value") * 1e10, 0).cast("long")
+            ).alias("e"),
+        )
+    )
+    a = iv
+    b = iv.withColumnRenamed("event_id", "eid")
+    pairs = interval_overlap_join(
+        a, b.select(F.col("eid"), "s", "e"), "s", "e",
+        bucket_ns=3600 * 10**9,
+    )
+    return (
+        pairs.where(F.col("event_id") < F.col("eid"))
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("eid").alias("id_b"),
+            F.col("overlap").cast("long").alias("overlap"),
+        )
+    )
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================

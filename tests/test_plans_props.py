@@ -177,6 +177,14 @@ def test_dedup_candidates_never_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_interval_overlap_join_is_bucketed_equi(spark):
+    """The interval×interval overlap join must plan as an equi-join on
+    (bucket) with a residual filter — never a nested loop."""
+    plan = plan_of(QUERIES["interval_overlap_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # ------------------------------------------------------------ properties
 finite_floats = st.floats(allow_nan=False, allow_infinity=False, width=64)
 any_floats = st.one_of(st.none(), st.just(float("nan")), finite_floats)
