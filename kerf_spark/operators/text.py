@@ -230,6 +230,45 @@ def ngrams(text, n: int = 3) -> Column:
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the context-window primitive of training and retrieval pipelines.
+
+    Chunk starts form the lattice ``0, size-overlap, 2(size-overlap)…``
+    up to the last in-bounds offset; each chunk is
+    ``substr(text, start+1, size)``.  Pure ``sequence``+``posexplode``
+    projection: 1→N fan-out with zero shuffle, bounded by
+    ``len/size`` chunks per row, streaming-safe.
+
+    Emits (id, chunk_idx, off, chunk) — offsets are 0-based so callers
+    can map spans back into the source document.
+    """
+    if overlap >= size:
+        from ..errors import ArgsError
+
+        raise ArgsError("chunk_text: overlap must be < size")
+    step = size - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(_c(text_col)) - 1, F.lit(0)), F.lit(step)
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "off"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "off",
+        F.col("__t").substr(F.col("off") + 1, F.lit(size)).alias("chunk"),
+    )
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection: attach the full stats block."""
     return df.select(

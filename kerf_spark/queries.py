@@ -6139,6 +6139,74 @@ def interval_overlap_pairs(spark, sf):
     )
 
 
+@query(
+    "chunk_documents",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(length(text) - 1, 0) + 1, 192)) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i // 192 AS INT) AS chunk_idx,
+           CAST(i AS INT) AS off,
+           md5(substr(text, i + 1, 256)) AS chunk_hash,
+           CAST(length(substr(text, i + 1, 256)) AS BIGINT) AS chunk_len
+    FROM s
+    """,
+)
+def chunk_documents(spark, sf):
+    """Fixed-size overlapping chunking (256 chars, 64 overlap) — the
+    context-window primitive for training/retrieval.  sequence +
+    posexplode projection: 1→N fan-out, zero shuffle, streaming-safe
+    (operators/text.py chunk_text).  The oracle hashes each chunk so
+    the comparison covers content exactly without bulk text transfer."""
+    from .operators.text import chunk_text
+
+    d = _t(spark, sf, "documents")
+    ch = chunk_text(d, "text", "doc_id", size=256, overlap=64)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("off").cast("int").alias("off"),
+        F.md5("chunk").alias("chunk_hash"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+    )
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT user_id, n, round(n * 1.0 / total, 9) AS share
+    FROM (SELECT user_id, n,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS rn FROM c)
+         CROSS JOIN t
+    WHERE rn <= 10
+    """,
+)
+def key_skew_profile(spark, sf):
+    """Heavy-hitter report for a join/group key: top-10 hottest keys
+    with corpus share — what an operator runs before choosing salting
+    or AQE skew hints (operators/skew.py).  One partial-agg shuffle on
+    the key, then TakeOrderedAndProject over the (small) per-key counts
+    and a broadcast scalar total: never a global sort of raw rows."""
+    e = _t(spark, sf, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("__total"))
+    return (
+        counts.orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id", "n",
+            F.round(F.col("n") / F.col("__total"), 9).alias("share"),
+        )
+    )
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
