@@ -727,3 +727,49 @@ def test_resample_interp_averages_duplicate_stamps(spark):
     out = AS.resample_interp(df, on="t", step=5, by="sym", val_col="v")
     got = {r.t: r.interp for r in out.collect()}
     assert got[0] == 20.0 and got[5] == 30.0 and got[10] == 40.0
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Randomized check: bucketed overlap join == brute-force O(n²)
+    pairs, across bucket widths smaller/larger than interval lengths."""
+    import random
+
+    rng = random.Random(11)
+    ivs = []
+    for i in range(40):
+        s = rng.randrange(0, 500)
+        ivs.append((i, s, s + rng.randrange(0, 80)))
+    left = spark.createDataFrame(ivs, "lid long, s long, e long")
+    right = spark.createDataFrame(
+        [(i + 100, s, e) for i, s, e in ivs], "rid long, s long, e long"
+    )
+    want = sorted(
+        (a[0], b[0] + 100, min(a[2], b[2]) - max(a[1], b[1]))
+        for a in ivs
+        for b in ivs
+        if a[1] <= b[2] and b[1] <= a[2]
+    )
+    for bucket in (16, 64, 1000):
+        out = AS.interval_overlap_join(left, right, "s", "e", bucket_ns=bucket)
+        got = sorted((r.lid, r.rid, r.overlap) for r in out.collect())
+        assert got == want, f"bucket={bucket}"
+
+
+def test_chunk_text_edges(spark):
+    from kerf_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_text(df, "text", "doc_id", size=4, overlap=1)
+    got = {(r.doc_id, r.chunk_idx): (r.off, r.chunk) for r in out.collect()}
+    # doc 1: starts 0,3,6,9 — overlapping by 1, last chunk short
+    assert got[(1, 0)] == (0, "abcd")
+    assert got[(1, 1)] == (3, "defg")
+    assert got[(1, 2)] == (6, "ghij")
+    assert got[(1, 3)] == (9, "j")
+    # short doc: single chunk; empty doc: single empty chunk
+    assert got[(2, 0)] == (0, "xy")
+    assert got[(3, 0)] == (0, "")
+    assert len(got) == 6
