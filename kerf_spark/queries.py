@@ -6207,6 +6207,61 @@ def key_skew_profile(spark, sf):
     )
 
 
+@query(
+    "asof_bucketed_colocated",
+    """
+    WITH o AS (
+      SELECT o_custkey AS user_id,
+             epoch_ns(CAST(o_orderdate AS TIMESTAMP)) AS ts,
+             o_orderkey, o_totalprice
+      FROM orders
+    ), ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.ts DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN o
+        ON e.user_id = o.user_id AND o.ts <= epoch_ns(e.ts)
+    )
+    SELECT event_id, user_id, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_bucketed_colocated(spark, sf):
+    """ZERO-SHUFFLE as-of join: both sides persisted hash-bucketed on
+    the by-key (`Workspace.save_bucketed`), then the cogrouped
+    merge_asof strategy — the bucketed scan satisfies the cogroup's
+    required distribution, so the whole as-of runs with no exchange at
+    all (pinned by plan test).  At 100 TB this is the difference
+    between an as-of that re-shuffles the tick store on every query and
+    one that streams matching bucket files pairwise."""
+    import tempfile
+
+    from .operators.asof import asof_join_merge
+    from .sources.catalog import Workspace
+
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_ws_asof_"))
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        (
+            F.unix_micros(F.to_timestamp("o_orderdate")) * F.lit(1000)
+        ).cast("long").alias("ts"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    ws.save_bucketed("ev_bkt", ev, ["user_id"], num_buckets=8)
+    ws.save_bucketed("ord_bkt", orders, ["user_id"], num_buckets=8)
+    out = asof_join_merge(
+        ws.load("ev_bkt"), ws.load("ord_bkt"),
+        on="ts", by="user_id", right_cols=["orderkey", "totalprice"],
+    )
+    return out.where(F.col("orderkey").isNotNull()).select(
+        "event_id", "user_id", "orderkey",
+        F.round("totalprice", 2).alias("totalprice"),
+    )
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================

@@ -78,6 +78,15 @@ def test_asof_join_shuffles_exactly_once(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_bucketed_asof_runs_with_zero_exchanges(spark):
+    """The zero-shuffle as-of: both sides bucketed on the by-key, the
+    cogrouped merge strategy inherits the bucketed scan's distribution,
+    and the executed plan contains NO Exchange of any kind."""
+    df = QUERIES["asof_bucketed_colocated"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+
+
 def test_folio_scan_prunes_partitions(spark):
     df = QUERIES["folio_partition_prune"](spark, SF)
     plan = plan_of(df)
