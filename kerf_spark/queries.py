@@ -2646,9 +2646,12 @@ def stream_window_counts(spark, sf):
              END AS new_s
       FROM t
     ), sess AS (
+      -- CAST: DuckDB promotes window sum() over ints to HUGEINT
+      -- (decimal128(38,0)); Spark returns bigint.  The driver hasher is
+      -- type-sensitive, so pin the oracle to BIGINT (r3 hash-red fix).
       SELECT user_id, event_id, ts_us,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n,
@@ -6269,12 +6272,11 @@ def asof_bucketed_colocated(spark, sf):
 # round, so insertion order IS driver coverage order.  Each round the
 # window holds: entries that must be (re-)proven this round, then the
 # highest-information never-checked entries.  Entries with a green
-# driver row already (r01 ∪ r02) park at the back; the never-checked
-# leftovers sit in positions 51+ ready for the r04 window.
+# driver row already park at the back.  Round 4 closes the book: the
+# 48 never-driver-checked entries + session_windows (r3 hash-red,
+# oracle-type artifact fixed above) = 49 ≤ 50 all fit one window.
 
 #: Cumulative names with a green (or by-design rows-only) driver row.
-#: The five r01 rows falsified by the µs fixture change are NOT here —
-#: they re-prove in the r03 window below.
 _DRIVER_GREEN = [
     # r01 (minus the five stale-green ts rows and vwap_bars, re-proving)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
@@ -6305,21 +6307,17 @@ _DRIVER_GREEN = [
     "q19_disjunctive", "q20_potential_promotion", "q21_waiting_supplier",
     "q22_global_sales_opportunity", "ema_smoother", "kerfsql_update_agg",
     "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
-]
-
-#: Round-3 driver window (exactly the first 50 entries).
-_R03_WINDOW = [
-    # (a) re-prove: r01-green rows falsified by the µs fixture + vwap
+    # r03 green (all of _R03_WINDOW except session_windows, which
+    # hash-red on a DuckDB-HUGEINT oracle type artifact and re-proves
+    # in the r04 window with the CAST fix)
     "ffill_quotes", "xbar_5min_bars", "vwap_bars",
     "asof_join_latest_order", "interval_join_bursts", "ns_time_parts",
-    # (b) r02-red rows fixed by the read-edge ts promotion + hardened q12
     "differ_runs", "asof_merge_latest_order", "asof_forward_next_purchase",
     "ema_exact", "kerfsql_tick_idioms", "kerf_lang_temporal",
     "q12_shipmode_classes",
-    # (c) highest-information never-checked entries
     "stream_window_counts", "stream_dedup_batch", "stream_ema",
     "stream_session_windows", "stream_static_enrich",
-    "stream_stream_join_batch", "session_windows",
+    "stream_stream_join_batch",
     "folio_partition_prune", "span_arithmetic",
     "workspace_roundtrip", "bucketed_join_colocated",
     "narrow_width_roundtrip", "csv_roundtrip", "json_roundtrip",
@@ -6333,14 +6331,40 @@ _R03_WINDOW = [
     "mapinpandas_scale", "kerf_lang_recursion", "kerf_lang_table_literal",
 ]
 
+#: Round-4 driver window: session_windows (re-prove with BIGINT-cast
+#: oracle) + every entry that has never had a driver row.  After this
+#: round every registry entry has a driver verdict.
+_R04_WINDOW = [
+    "session_windows",
+    # never-driver-checked (positions 51+ in rounds 1-3), in registry order
+    "multimodal_audio_decode", "take_cyclic", "hash_funcs", "map_funcs",
+    "flip_transpose", "flip_matrix", "fold_generic",
+    "applyinpandas_zscore", "regex_format_funcs", "bigint_decimal",
+    "limit_offset", "lsh_hot_bucket_report", "atlas_json_struct",
+    "union_uneven_schemas", "unpivot_melt", "argminmax_agg",
+    "corr_regr_agg", "skew_kurt_moments", "histogram_bins",
+    "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
+    "approx_distinct_tolerance", "repetition_signals_docs",
+    "corpus_curation_pipeline", "rolling_window_stats",
+    "lsh_neardup_pairs", "contamination_check_docs", "segment_dedup_docs",
+    "pii_scrub_docs", "vocab_zipf_stats", "winsorized_stats",
+    "ntile_buckets", "kmeans_assign_embeddings", "spearman_rank_corr",
+    "chi_square_independence", "approx_quantile_tolerance",
+    "multimodal_framesample", "rank_percentiles", "sequence_packing",
+    "corpus_mixture_rebalance", "script_detect_docs",
+    "corpus_shuffle_order", "stream_static_asof",
+    "interval_overlap_pairs", "chunk_documents", "key_skew_profile",
+    "asof_bucketed_colocated",
+]
+
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R03_WINDOW if k in QUERIES]
+    window = [k for k in _R04_WINDOW if k in QUERIES]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)
-    rest = [k for k in QUERIES if k not in taken]  # r04 candidates, 51+
+    rest = [k for k in QUERIES if k not in taken]  # r05 candidates, 51+
     ordered = window + rest + green
     QUERIES = {k: QUERIES[k] for k in ordered}
     ORACLES = {k: ORACLES[k] for k in ordered if k in ORACLES}
