@@ -22,14 +22,16 @@ from .text import ngrams, normalize_text
 
 _LOG = logging.getLogger("kerf_spark.dedup")
 
-# Blocked self-joins are O(bucket²) per bucket: one degenerate bucket
-# (empty/boilerplate docs sharing a band hash or prefix) can go quadratic
-# at corpus scale.  Every blocked candidate generator below therefore
-# caps buckets at `max_bucket` members (the smallest ids survive, so the
-# cap is deterministic and retry/oracle-safe); capped-away rows simply
-# stop producing candidates from that bucket.  The cap is LOUD, not
-# silent: a WARNING names the operator and threshold at plan build, and
-# `hot_bucket_report` gives per-bucket drop counts for audit.
+# In-bucket candidate generation is O(bucket²) per bucket: one
+# degenerate bucket (empty/boilerplate docs sharing a band hash or
+# prefix) can go quadratic at corpus scale.  Every blocked candidate
+# generator below therefore caps buckets at `max_bucket` members (the
+# smallest ids survive, so the cap is deterministic and retry/oracle-
+# safe); capped-away rows simply stop producing candidates from that
+# bucket.  The cap also bounds the per-bucket arrays `_bucket_pairs`
+# collects, so the join-free pair explosion is memory-safe.  The cap is
+# LOUD, not silent: a WARNING names the operator and threshold at plan
+# build, and `hot_bucket_report` gives per-bucket drop counts for audit.
 DEFAULT_MAX_BUCKET = 10_000
 
 
@@ -42,9 +44,13 @@ def _cap_buckets(
 ) -> DataFrame:
     """Keep the ``max_bucket`` smallest ``id_col`` members per bucket.
 
-    The row_number window partitions on the same keys the subsequent
-    self-join shuffles on, so AQE reuses the exchange — the guard costs
-    an in-partition sort, never an extra shuffle.
+    The row_number window partitions on the same keys the downstream
+    consumer needs — the in-bucket pair aggregation of
+    :func:`_bucket_pairs` (HashAggregate over the window's partitioning,
+    plan-pinned as zero extra Exchanges in
+    tests/test_plans_props.py::test_lsh_candidates_joinfree) or a
+    blocked self-join — so the guard
+    costs an in-partition sort, never an extra shuffle.
     """
     if max_bucket is None:
         return df
@@ -59,6 +65,49 @@ def _cap_buckets(
         df.withColumn("__kf_rn", F.row_number().over(w))
         .where(F.col("__kf_rn") <= max_bucket)
         .drop("__kf_rn")
+    )
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int | None,
+    what: str,
+) -> DataFrame:
+    """All (id_a < id_b) pairs within each bucket, WITHOUT a self-join.
+
+    Plan: cap (window over the bucket keys — the only shuffle), then
+    ``groupBy(keys).collect_list(id)`` which reuses the window's
+    partitioning (HashAggregate directly over the window output, no new
+    Exchange), then pair explosion from the per-bucket array via two
+    pipelined Generates.  vs the naive blocked self-join this computes
+    the upstream pipeline (tokenize → minhash → band) ONCE instead of
+    once per join side, and needs no join at all.
+
+    Memory bound: the cap runs before the collect, so a bucket array is
+    ≤ ``max_bucket`` ids (~80 KB at the 10k default); pair output
+    streams row-at-a-time through the Generates — the per-bucket pair
+    set is never materialized as one array.
+    """
+    capped = _cap_buckets(df, keys, id_col, max_bucket, what)
+    buckets = capped.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
+    )
+    return (
+        buckets.select(
+            F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "__ids",
+                    F.col("__i") + 2,
+                    F.size("__ids") - F.col("__i") - 1,
+                )
+            ).alias("id_b"),
+        )
     )
 
 
@@ -174,10 +223,11 @@ def lsh_candidates(
     """LSH banding: docs sharing any band-hash become candidate pairs.
 
     Plan: explode to (band, band_hash) — bands× row fan-out of a tiny
-    projection — then self-join *within buckets* keyed on
-    (band, band_hash).  The shuffle key is the band hash: uniform by
-    construction, so no skew; pair explosion is bounded by bucket sizes
-    and the loud ``max_bucket`` cap (see module header).
+    projection — then in-bucket pair explosion via :func:`_bucket_pairs`
+    (ONE shuffle keyed on the band hash, no self-join, signatures
+    computed once).  The shuffle key is uniform by construction, so no
+    skew; pair explosion is bounded by bucket sizes and the loud
+    ``max_bucket`` cap (see module header).
     Returns distinct (id_a < id_b) candidate pairs.
     """
     b = sigs.select(
@@ -196,22 +246,9 @@ def lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
-    b = _cap_buckets(b, ["band", "band_hash"], id_col, max_bucket, "lsh_candidates")
-    left = b.alias("a")
-    right = b.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    return pairs
+    return _bucket_pairs(
+        b, ["band", "band_hash"], id_col, max_bucket, "lsh_candidates"
+    ).distinct()
 
 
 def jaccard_verify(
@@ -377,19 +414,9 @@ def minhash_dedup_portable(
     banded, sh = portable_band_keys(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    banded = _cap_buckets(
-        banded, ["band", "key"], id_col, max_bucket, "minhash_dedup_portable"
-    )
-    a, c = banded.alias("a"), banded.alias("c")
     cand = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.key") == F.col("c.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"c.{id_col}").alias("id_b")
+        _bucket_pairs(
+            banded, ["band", "key"], id_col, max_bucket, "minhash_dedup_portable"
         )
         .distinct()
         .persist()
@@ -571,21 +598,38 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Candidate pairs by identical high ``prefix_bits`` of simhash
     (block key), verified by full Hamming distance.  Blocking keeps the
-    self-join keyed and bounded, same scaling argument as LSH bands;
-    degenerate blocks are capped loudly at ``max_bucket``."""
+    candidate set keyed and bounded, same scaling argument as LSH bands;
+    degenerate blocks are capped loudly at ``max_bucket``.
+
+    Same join-free shape as :func:`_bucket_pairs`, carrying the simhash
+    as pair payload: cap → collect (id, simhash) structs per block
+    (shuffle-partitioning reused, ≤ ``max_bucket`` structs per array) →
+    pipelined pair explosion → Hamming filter.  One shuffle, no join,
+    the simhash computation runs once.
+    """
     keyed = sims.withColumn("blk", F.shiftright("simhash", 64 - prefix_bits))
     keyed = _cap_buckets(keyed, ["blk"], id_col, max_bucket, "simhash_near_pairs")
-    a, b = keyed.alias("a"), keyed.alias("b")
+    buckets = keyed.groupBy("blk").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
+        ).alias("__m")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(F.posexplode("__m").alias("__i", "__a"), F.col("__m"))
+        .select(
+            "__a",
+            F.explode(
+                F.slice(
+                    "__m", F.col("__i") + 2, F.size("__m") - F.col("__i") - 1
+                )
+            ).alias("__b"),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            F.col(f"__a.{id_col}").alias("id_a"),
+            F.col(f"__b.{id_col}").alias("id_b"),
+            hamming64(F.col("__a.simhash"), F.col("__b.simhash")).alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= max_hamming)
     )

@@ -205,6 +205,94 @@ def test_simhash_identical_zero_distance(spark):
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_minhash_fast_path_matches_portable_twin_and_bruteforce(spark):
+    """The xxhash64 fast path is driver-checked rows-only (the hash
+    family is not SQL-portable).  Tie it to the oracle-matched md5 twin:
+    with full-recall banding both pipelines must converge to the same
+    final verified pair set, which in turn must equal the brute-force
+    all-pairs exact-Jaccard ground truth — so the fast path inherits the
+    twin's oracle and the twin inherits a brute-force proof."""
+    from kerf_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    thr = 0.5
+    fast = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_dedup(
+            docs, num_hashes=16, bands=8, threshold=thr
+        ).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_dedup_portable(
+            docs, num_hashes=16, bands=8, threshold=thr
+        ).collect()
+    }
+    # ground truth: ALL-pairs exact Jaccard over the same word 3-shingles
+    # (test-only quadratic — 500 docs — never a production path)
+    sh = DD._shingle_hash_df(docs, "text", "doc_id", 3)
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("j"),
+        )
+        .where(F.col("j") >= thr)
+        .collect()
+    }
+    assert fast == truth
+    assert portable == truth
+
+
+def test_simhash64_matches_python_bitvote(spark):
+    """Independent recomputation of the 64-bit SimHash: take the token
+    hashes from Spark (the xxhash64 primitive itself), rebuild the
+    bit-vote construction in plain Python, and compare.  Verifies the
+    64 aggregate-expression votes + shiftleft bit assembly, including
+    the sign bit (bit 63)."""
+    from kerf_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha alpha beta"),
+            (3, "The  QUICK brown   fox"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(F.split(normalize_text("text"), " "))
+        ).alias("w"),
+    ).select("doc_id", F.xxhash64("w").alias("h"), "w")
+    hashes: dict[int, list[int]] = {}
+    for r in tok.collect():
+        hashes.setdefault(r.doc_id, [])
+        if r.w is not None:
+            hashes[r.doc_id].append(r.h)
+
+    def py_simhash(hs: list[int]) -> int:
+        out = 0
+        for b in range(64):
+            # python's >> on negative ints is arithmetic shift — same
+            # two's-complement semantics as Spark's shiftright
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                out |= 1 << b
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    got = {r.doc_id: r.simhash for r in DD.simhash64(docs).collect()}
+    assert got == {d: py_simhash(hs) for d, hs in hashes.items()}
+
+
 def test_tokens_and_quality(spark):
     df = spark.createDataFrame([(1, "  the cat.  "), (2, "")], "id long, text string")
     row = {r.id: r for r in df.select(

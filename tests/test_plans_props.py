@@ -332,6 +332,39 @@ def test_blocked_selfjoins_cap_hot_buckets(spark):
     assert len(rep) == 1 and rep[0].n == n and rep[0].dropped == n - cap
 
 
+def test_lsh_candidates_joinfree(spark):
+    """r3→r4 restructure: LSH candidate pairs come from in-bucket array
+    explosion, not a banded self-join.  Pin the whole scale story: no
+    Join operator at all (the upstream minhash pipeline is computed
+    once, not once per join side), exactly two hash Exchanges (band
+    shuffle + the distinct), and the bucket-cap window feeds the
+    collect_list aggregate with no Exchange in between."""
+    from kerf_spark.operators import dedup as DD
+    from kerf_spark.sources.io import read_table
+
+    docs = read_table(spark, SF, "documents")
+    sigs = DD.minhash_signature(docs, num_hashes=8, shingle_n=2)
+    plan = plan_of(DD.lsh_candidates(sigs, bands=2, rows_per_band=4), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 1  # the cap; its exchange is the band shuffle
+
+
+def test_simhash_pairs_joinfree(spark):
+    """Same join-free shape for simhash blocking, with the simhash value
+    carried as pair payload through the bucket arrays."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import dedup as DD
+
+    sims = spark.range(64).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7).alias("simhash")
+    )
+    plan = plan_of(DD.simhash_near_pairs(sims, prefix_bits=8), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # block shuffle only
+
+
 def test_melt_expands_without_shuffle(spark):
     plan = plan_of(QUERIES["unpivot_melt"](spark, SF), "simple")
     assert "Expand" in plan
