@@ -319,6 +319,103 @@ def window_join(
     )
 
 
+def window_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lo_ns: int,
+    hi_ns: int,
+    by: Sequence[str] | str | None = None,
+    out: str = "n_in_window",
+) -> DataFrame:
+    """For each left row, COUNT right rows with ``r.on`` in
+    ``[l.on+lo, l.on+hi]`` per ``by`` group — the aggregate twin of
+    :func:`window_join` that never materializes the matched pairs.
+
+    Rank-difference plan: each left row emits two probe rows (one at
+    the window's lower edge ordered *before* right rows at equal time,
+    one at the upper edge ordered *after*), unioned with the right rows
+    carrying weight 1.  One shuffle on ``by``, one in-partition sort, a
+    running sum of weights, then the per-left-row difference of the two
+    probe counts (signs +1/-1, summed per left row).
+
+    Why this shape at 100 TB: :func:`window_join` + groupBy computes the
+    same answer but its intermediate row count is the number of MATCHES
+    — a hot anchor with a million right rows in its window explodes a
+    million joined rows just to count them.  Here rows through the
+    shuffle are |left|·2 + |right| regardless of window density, there
+    is no join, and both closed bounds are exact (probe ordering, not a
+    residual filter).  Same cost profile as the union-tag as-of join.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    kf_lid, kf_ts, kf_kind, kf_sign, kf_w = (
+        "__kf_lid", "__kf_ts", "__kf_kind", "__kf_sign", "__kf_w"
+    )
+    # one scan of left: both probes explode from the same row, so the
+    # synthetic id (unique, layout-dependent — internal only) is
+    # consistent across the pair by construction
+    probes = (
+        left.withColumn(kf_lid, F.monotonically_increasing_id())
+        .select(
+            *left.columns,
+            kf_lid,
+            F.explode(
+                F.array(
+                    # kind 0 sorts before right rows (kind 1): its running
+                    # count excludes rows AT the closed lower bound
+                    F.struct(
+                        (F.col(on).cast("long") + F.lit(lo_ns)).alias(kf_ts),
+                        F.lit(0).alias(kf_kind),
+                        F.lit(-1).alias(kf_sign),
+                    ),
+                    # kind 2 sorts after right rows: count includes the
+                    # closed upper bound
+                    F.struct(
+                        (F.col(on).cast("long") + F.lit(hi_ns)).alias(kf_ts),
+                        F.lit(2).alias(kf_kind),
+                        F.lit(1).alias(kf_sign),
+                    ),
+                )
+            ).alias("__kf_p"),
+        )
+        .select(
+            *left.columns, kf_lid,
+            F.col(f"__kf_p.{kf_ts}").alias(kf_ts),
+            F.col(f"__kf_p.{kf_kind}").alias(kf_kind),
+            F.col(f"__kf_p.{kf_sign}").alias(kf_sign),
+            F.lit(0).cast("long").alias(kf_w),
+        )
+    )
+    ltypes = dict(left.dtypes)
+    rhs = right.select(
+        *[
+            F.col(c).cast(ltypes[c]).alias(c) if c in by
+            else F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+        ],
+        F.lit(None).cast("long").alias(kf_lid),
+        F.col(on).cast("long").alias(kf_ts),
+        F.lit(1).alias(kf_kind),
+        F.lit(0).alias(kf_sign),
+        F.lit(1).cast("long").alias(kf_w),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col(kf_ts).asc(), F.col(kf_kind).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = (
+        probes.unionByName(rhs)
+        .withColumn("__kf_cnt", F.sum(kf_w).over(w))
+        .where(F.col(kf_kind) != 1)
+    )
+    return (
+        counted.groupBy(kf_lid, *[F.col(c) for c in left.columns])
+        .agg(F.sum(F.col(kf_sign) * F.col("__kf_cnt")).alias(out))
+        .drop(kf_lid)
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -335,25 +432,32 @@ def interval_overlap_join(
     (point-in-window): both sides explode to the span-sized buckets
     they cover, the overlap test becomes an equi-join on (by, bucket)
     plus the exact residual predicate, and duplicate hits from spanning
-    multiple buckets collapse with distinct.  Choose ``bucket_ns``
-    near the typical interval length: fan-out stays at 2-3 buckets per
-    row and no pair is ever compared outside a shared bucket — the
-    standard distributed overlap-join (no nested loop, no cross).
+    multiple buckets collapse by synthetic per-row id — NOT full-row
+    distinct, so two genuinely identical input rows still yield two
+    output pairs (bag semantics, matching SQL join behavior).  Choose
+    ``bucket_ns`` near the typical interval length: fan-out stays at
+    2-3 buckets per row and no pair is ever compared outside a shared
+    bucket — the standard distributed overlap-join (no nested loop, no
+    cross).
 
     Adds ``overlap`` — the overlap length ``min(ends) - max(starts)``.
     """
     by = [by] if isinstance(by, str) else list(by or [])
 
     def bucketed(df: DataFrame, alias: str) -> DataFrame:
-        return df.withColumn(
-            "__kf_bucket",
-            F.explode(
-                F.sequence(
-                    _divfloor(F.col(start).cast("long"), bucket_ns),
-                    _divfloor(F.col(end).cast("long"), bucket_ns),
-                )
-            ),
-        ).alias(alias)
+        return (
+            df.withColumn(f"__kf_{alias}id", F.monotonically_increasing_id())
+            .withColumn(
+                "__kf_bucket",
+                F.explode(
+                    F.sequence(
+                        _divfloor(F.col(start).cast("long"), bucket_ns),
+                        _divfloor(F.col(end).cast("long"), bucket_ns),
+                    )
+                ),
+            )
+            .alias(alias)
+        )
 
     lb, rb = bucketed(left, "l"), bucketed(right, "r")
     overlap_ok = (F.col(f"l.{start}") <= F.col(f"r.{end}")) & (
@@ -373,10 +477,20 @@ def interval_overlap_join(
         ],
         "inner",
     )
-    out = joined.select(
-        *[F.col(f"l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"r.{c}").alias(renames[c]) for c in right.columns if c not in by],
-    ).distinct()
+    out = (
+        joined.select(
+            F.col("l.__kf_lid"),
+            F.col("r.__kf_rid"),
+            *[F.col(f"l.{c}").alias(c) for c in left.columns],
+            *[
+                F.col(f"r.{c}").alias(renames[c])
+                for c in right.columns
+                if c not in by
+            ],
+        )
+        .dropDuplicates(["__kf_lid", "__kf_rid"])
+        .drop("__kf_lid", "__kf_rid")
+    )
     return out.withColumn(
         "overlap",
         F.least(F.col(end), F.col(renames[end]))

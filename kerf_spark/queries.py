@@ -992,24 +992,30 @@ def asof_join_latest_order(spark, sf):
     """,
 )
 def interval_join_bursts(spark, sf):
+    """Count-only interval query → rank-difference window_count, not a
+    pair-materializing join: the anchor row itself is always inside its
+    own closed window, so the self-exclusion is `- 1`, and the oracle's
+    INNER JOIN semantics (anchors with zero other events vanish) is the
+    `>= 1` filter."""
     e = _t(spark, sf, "events")
     anchors = e.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("anchor_id"), "user_id", "ts"
     )
-    others = e.select("event_id", "user_id", "ts")
-    joined = AS.window_join(
+    others = e.select("user_id", "ts")
+    counted = AS.window_count(
         anchors,
         others,
         on="ts",
         lo_ns=-TM.span_ns(1, "h"),
         hi_ns=0,
         by="user_id",
-        bucket_ns=TM.span_ns(1, "h"),
+        out="__n_raw",
     )
     return (
-        joined.where(F.col("event_id") != F.col("anchor_id"))
-        .groupBy("anchor_id")
-        .agg(F.count(F.lit(1)).alias("n_before"))
+        counted.select(
+            "anchor_id", (F.col("__n_raw") - 1).alias("n_before")
+        )
+        .where(F.col("n_before") >= 1)
     )
 
 

@@ -299,6 +299,58 @@ def test_window_join_matches_bruteforce(spark, lrows, rrows):
     assert got == want
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 300)),
+        min_size=1, max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 300)),
+        min_size=0, max_size=40,
+    ),
+)
+def test_window_count_matches_bruteforce(spark, lrows, rrows):
+    """Rank-difference window_count == brute-force count, closed bounds,
+    duplicate timestamps and duplicate left rows included."""
+    from kerf_spark.operators.asof import window_count
+
+    lo, hi = -60, 10
+    left = spark.createDataFrame(
+        [(s, t, i) for i, (s, t) in enumerate(lrows)], "sym string, ts long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(s, t) for s, t in rrows], "sym string, ts long"
+    )
+    got = {
+        r.lid: r.n
+        for r in window_count(
+            left, right, on="ts", lo_ns=lo, hi_ns=hi, by="sym", out="n"
+        ).collect()
+    }
+    want = {
+        li: sum(
+            1 for rs, rt in rrows if rs == ls and lt + lo <= rt <= lt + hi
+        )
+        for li, (ls, lt) in enumerate(lrows)
+    }
+    assert got == want
+
+
+def test_interval_overlap_join_keeps_duplicate_rows(spark):
+    """Two identical left rows matching one right row must yield two
+    output pairs (bag semantics) — the r3 full-row distinct collapsed
+    them (ADVICE r4)."""
+    from kerf_spark.operators.asof import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(0, 10), (0, 10), (50, 60)], "s long, e long"
+    )
+    right = spark.createDataFrame([(5, 100)], "s long, e long")
+    got = interval_overlap_join(left, right, "s", "e", bucket_ns=64).collect()
+    assert len(got) == 3
+
+
 # ------------------------------------------------------- hot-bucket caps
 def test_blocked_selfjoins_cap_hot_buckets(spark):
     """Adversarial corpus: thousands of identical docs land in ONE band /
