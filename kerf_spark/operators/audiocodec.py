@@ -33,11 +33,21 @@ def sniff_wav(payload: bytes) -> tuple[int, int, int, int]:
         cid = b[pos : pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         if cid == b"fmt ":
-            fmt, ch, sr = struct.unpack("<HHI", b[pos + 8 : pos + 16])
-            bits = struct.unpack("<H", b[pos + 22 : pos + 24])[0]
+            # typed-error contract: truncated or degenerate fmt chunks
+            # (channels=0, bits=0) must raise FormatStringError, never a
+            # bare struct.error / ZeroDivisionError
+            try:
+                fmt, ch, sr = struct.unpack("<HHI", b[pos + 8 : pos + 16])
+                bits = struct.unpack("<H", b[pos + 22 : pos + 24])[0]
+            except struct.error as exc:
+                raise FormatStringError(f"wav: truncated fmt chunk: {exc}")
             if fmt != 1:
                 raise MissingFeatureError(
                     f"wav: compression format {fmt} needs an external codec"
+                )
+            if ch <= 0 or bits < 8:
+                raise FormatStringError(
+                    f"wav: malformed fmt chunk (channels={ch}, bits={bits})"
                 )
         elif cid == b"data":
             n_data = size

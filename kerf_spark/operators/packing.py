@@ -39,9 +39,14 @@ def sequence_pack(
     """Assign each document to a training-sequence pack.
 
     Contiguous-fill packing: docs are sharded by a content hash of the
-    id, ordered by id within the shard, and a running token total opens
-    a new pack every time it crosses ``budget`` (a doc longer than the
-    budget gets a pack of its own — the standard overflow rule).
+    id, ordered by id within the shard, and a doc is assigned to pack
+    ``floor(preceding_tokens / budget)`` — i.e. pack boundaries fall at
+    multiples of ``budget`` in the running token stream.  This is
+    *crossing-based* assignment, not capacity enforcement: a doc that
+    straddles a boundary joins the pack its predecessors opened, so a
+    pack's total can exceed ``budget`` (downstream sequence assembly
+    truncates or wraps); an over-budget doc occupies one or more whole
+    boundary intervals, pushing the next doc into a fresh pack.
 
     Adds columns ``shard``, ``pack_id`` (globally unique:
     ``shard * 2^40 + local pack``), and ``pack_pos``.

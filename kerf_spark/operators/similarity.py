@@ -299,7 +299,21 @@ def ivf_topk(
     At 100 TB the cell assignment is a narrow projection; the probe
     join fans each query out to nprobe cells — shuffle keyed by cell id.
     """
-    sample = corpus.select(vec_col).limit(n_cells * 64).collect()
+    # content-hash-ordered sample, not bare limit(): limit without an
+    # order is partition-layout-dependent, which would make centroids
+    # (and ANN results) vary across layouts of identical data.  The
+    # hash order is a deterministic pseudo-random shuffle that any SQL
+    # engine reproduces bit-for-bit (md5 over the id's decimal string —
+    # same family as the portable dedup twins), and orderBy+limit plans
+    # as bounded TakeOrdered — still O(n_cells·64) driver data.
+    sample = (
+        corpus.orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        .select(vec_col)
+        .limit(n_cells * 64)
+        .collect()
+    )
     vecs = [list(r[0]) for r in sample if r[0] is not None]
     if not vecs:
         raise ValueError("empty corpus")

@@ -302,12 +302,15 @@ class KerfLambda:
     #: interpreter-wide call depth budget (reference stack guard analogue)
     MAX_CALL_DEPTH = 500
     _depth = 0
+    _saved_limit: int | None = None
 
     def __init__(self, params: list[str], body: list[str], env: "Env",
                  name: str = "lambda"):
         self.params, self.body, self.env, self.name = params, body, env, name
 
     def __call__(self, interp: "Interp", args: list[Any]) -> Any:
+        import sys
+
         if len(args) != len(self.params):
             raise ArityError(
                 f"{self.name} takes {len(self.params)} args, got {len(args)}"
@@ -318,11 +321,13 @@ class KerfLambda:
             )
         if KerfLambda._depth == 0:
             # one kerf call ≈ tens of Python frames; size the Python
-            # stack so OUR DepthError fires first, never RecursionError
-            import sys
-
+            # stack so OUR DepthError fires first, never RecursionError.
+            # Scoped, not process-wide: the outermost call saves the
+            # limit and its finally restores it, so the bump never leaks
+            # to other driver code (single-threaded interpreter).
+            KerfLambda._saved_limit = sys.getrecursionlimit()
             sys.setrecursionlimit(
-                max(sys.getrecursionlimit(), KerfLambda.MAX_CALL_DEPTH * 60)
+                max(KerfLambda._saved_limit, KerfLambda.MAX_CALL_DEPTH * 60)
             )
         local = Env(parent=self.env)
         local.set_local("self", self)
@@ -338,6 +343,9 @@ class KerfLambda:
             return ret
         finally:
             KerfLambda._depth -= 1
+            if KerfLambda._depth == 0 and KerfLambda._saved_limit is not None:
+                sys.setrecursionlimit(KerfLambda._saved_limit)
+                KerfLambda._saved_limit = None
 
 
 class Env:

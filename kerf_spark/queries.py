@@ -3375,7 +3375,8 @@ ORACLES["lsh_ann_topk_oracle"] = _lsh_oracle_sql()
 def _ivf_oracle_sql(k=5, n_cells=8, nprobe=4, nq=8, sf_dir="/root/testdata/sf0.01") -> str:
     """Build the DuckDB oracle for IVF top-k.  The centroids come from
     the SAME deterministic driver-side k-means (`kmeans_centroids`) over
-    the SAME sample (first n_cells*64 rows in file order) the Spark
+    the SAME sample (md5-of-id ordered — the engine-portable hash
+    shuffle ivf_topk uses, layout-invariant on both sides) the Spark
     operator uses, so cell assignment and probe sets agree exactly.
     Generated against sf0.01 — the scale the driver's correctness gate
     runs at."""
@@ -3386,6 +3387,7 @@ def _ivf_oracle_sql(k=5, n_cells=8, nprobe=4, nq=8, sf_dir="/root/testdata/sf0.0
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
         f"LIMIT {n_cells * 64}"
     ).fetchall()
     con.close()

@@ -182,6 +182,33 @@ def test_wav_rejects_compressed_and_garbage():
         AC.sniff_wav(payload)
 
 
+def test_wav_malformed_fmt_raises_typed():
+    """channels=0 / truncated fmt chunks hit the typed-error contract
+    (FormatStringError), never ZeroDivisionError or struct.error
+    (ADVICE r4)."""
+    import struct as _s
+
+    from kerf_spark.operators import audiocodec as AC
+
+    # degenerate: PCM with 0 channels
+    fmt = _s.pack("<HHIIHH", 1, 0, 16000, 0, 0, 16)
+    body = (
+        b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    )
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(FormatStringError):
+        AC.sniff_wav(payload)
+
+    # truncated: fmt chunk header present, body cut off mid-buffer
+    body = b"WAVE" + b"JUNK" + _s.pack("<I", 16) + b"\x00" * 16
+    body += b"fmt " + _s.pack("<I", 16) + b"\x00" * 2  # 2 of 16 bytes
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+    assert len(payload) >= 44
+    with pytest.raises(FormatStringError):
+        AC.sniff_wav(payload)
+
+
 def test_unrecognized_and_unsupported_are_typed():
     with pytest.raises(FormatStringError):
         IC.sniff_header(b"not an image at all")

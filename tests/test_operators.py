@@ -327,6 +327,24 @@ def test_cosine_identical_vector_is_top(spark):
     assert [r.neighbor_id for r in top] == [3, 1]
 
 
+def test_ivf_results_partition_invariant(spark):
+    """Centroid seeding samples by content-hash order, so the same data
+    in a different partition layout must give identical ANN results
+    (r3 verdict: bare limit() was layout-dependent)."""
+    from kerf_spark.sources.io import read_table
+
+    em = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = em.where(F.col("vec_id") < 4)
+
+    def run(corpus):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in SIM.ivf_topk(corpus, q, k=3, n_cells=4, nprobe=2).collect()
+        )
+
+    assert run(em) == run(em.repartition(13))
+
+
 def test_dot_and_norm(spark):
     df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], "a array<double>, b array<double>")
     row = df.select(
