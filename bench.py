@@ -27,6 +27,11 @@ BENCH_QUERIES = [
     "interval_join_bursts",
     "exact_dedup_docs",
     "minhash_dedup_pairs",
+    # portable-hash dedup + IVF ANN carry measured slopes too, so the
+    # 100 TB claims for the LLM-pipeline path are falsifiable like the
+    # relational suite's (r3 verdict item 9)
+    "minhash_portable_pairs",
+    "ivf_ann_topk",
     "cosine_topk_exact",
     "token_count_docs",
 ]

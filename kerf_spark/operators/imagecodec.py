@@ -11,9 +11,10 @@ for JPEG/GIF/BMP/PPM is pure header parsing.  This module implements:
 * :func:`encode_png` — minimal writer (filter 0, zlib, CRC32) used by
   the bytes-roundtrip oracle.
 
-JPEG *pixel* decode (DCT entropy coding) is the one part that genuinely
-needs a library and stays out of scope; ``decode_pixels`` raises a
-typed MissingFeatureError for it.
+JPEG *pixel* decode lives in the sibling ``jpegcodec`` module (baseline
+DCT + Huffman, stdlib + numpy); ``decode_pixels`` dispatches to it.
+Progressive/arithmetic/12-bit JPEG stay behind typed
+MissingFeatureErrors there.
 
 This is a per-row kernel by design — it runs inside Arrow-batched
 ``mapInPandas`` (operators.multimodal), where Spark hands it bounded
@@ -198,6 +199,10 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     fmt = sniff_header(b)[0]
     if fmt == "png":
         return decode_png(b)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(b)
     if fmt == "ppm":
         w, h, maxval, off = _ppm_fields(b)
         c = 3 if b[:2] == b"P6" else 1

@@ -219,6 +219,68 @@ def wav_roundtrip_check(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=out_schema)
 
 
+def jpeg_roundtrip_check(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL lossy-codec decode proof: deterministic JPEG encode→decode
+    per id, exact by construction.
+
+    JPEG is lossy in general, but an image whose 8x8 blocks are each
+    constant has only DC energy: with the unit quant table the DC
+    coefficient is an exact integer and all AC coefficients are exactly
+    zero, so baseline encode→decode reproduces the pixels bit-for-bit
+    (see jpegcodec module docstring).  Per id the kernel builds such an
+    image (width ``8*(1+id%6)``, height ``8*(1+(id*3)%4)``, grayscale;
+    block (by, bx) filled with ``(id + by*31 + bx*7) % 256``), encodes a
+    real baseline JFIF stream (DCT, Annex-K Huffman tables, byte
+    stuffing), decodes it back through the full parser (segment walk,
+    canonical Huffman, dequant + IDCT), asserts exact equality, and
+    emits dims + pixel checksum — every value closed-form in plain SQL.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from .imagecodec import decode_pixels, sniff_header
+        from .jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                bw, bh = 1 + i % 6, 1 + (i * 3) % 4
+                by, bx = np.meshgrid(
+                    np.arange(bh), np.arange(bw), indexing="ij"
+                )
+                blocks = (i + by * 31 + bx * 7) % 256
+                arr = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+                payload = encode_jpeg(arr)
+                fmt, dw, dh, dc = sniff_header(payload)
+                dec = decode_pixels(payload)
+                if dec.shape != (bh * 8, bw * 8, 1) or not np.array_equal(
+                    dec[:, :, 0], arr
+                ):
+                    raise ValueError(f"jpeg roundtrip mismatch for id={i}")
+                rows.append((i, fmt, dw, dh, dc, int(dec.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "width", "height", "channels", "checksum"
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 def image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", dim: int = 8
 ) -> DataFrame:

@@ -149,6 +149,68 @@ def test_bmp_pixel_decode_bottom_up_bgr():
     np.testing.assert_array_equal(IC.decode_pixels(bytes(header) + rows), pix)
 
 
+# ----------------------------------------------------------- JPEG codec
+def test_jpeg_constant_blocks_exact():
+    """DC-only images with a unit quant table round-trip bit-for-bit —
+    the property the closed-form oracle relies on."""
+    from kerf_spark.operators import jpegcodec as JC
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (16, 24), (32, 48)]:
+        blocks = rng.integers(0, 256, size=(h // 8, w // 8))
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        dec = JC.decode_jpeg(JC.encode_jpeg(img))
+        assert dec.shape == (h, w, 1)
+        np.testing.assert_array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_gray_near_lossless_and_edge_pad():
+    from kerf_spark.operators import jpegcodec as JC
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40)).astype(np.uint8)
+    dec = JC.decode_jpeg(JC.encode_jpeg(img))[:, :, 0]
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    # non-multiple-of-8 dims exercise the MCU edge-padding path
+    img = np.full((13, 21), 77, np.uint8)
+    np.testing.assert_array_equal(
+        JC.decode_jpeg(JC.encode_jpeg(img))[:, :, 0], img
+    )
+
+
+def test_jpeg_rgb_and_subsampled():
+    from kerf_spark.operators import jpegcodec as JC
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    dec = JC.decode_jpeg(JC.encode_jpeg(img))
+    assert dec.shape == (17, 23, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    # 4:2:0: smooth gradient, decoder must upsample chroma back
+    base = np.linspace(0, 255, 32 * 48).reshape(32, 48)
+    img = np.stack([base, base[::-1], base], -1).astype(np.uint8)
+    dec = JC.decode_jpeg(JC.encode_jpeg(img, subsample=True))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() <= 8
+
+
+def test_jpeg_dispatch_and_typed_edges():
+    from kerf_spark.operators import imagecodec as IC
+    from kerf_spark.operators import jpegcodec as JC
+
+    payload = JC.encode_jpeg(np.zeros((16, 8), np.uint8))
+    assert IC.sniff_header(payload) == ("jpeg", 8, 16, 1)
+    assert IC.decode_pixels(payload).shape == (16, 8, 1)  # dispatches
+    with pytest.raises(FormatStringError):
+        JC.decode_jpeg(b"\x00\x01not a jpeg" + b"\x00" * 40)
+    # progressive SOF2 is a typed capability edge
+    prog = bytearray(payload)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(MissingFeatureError):
+        JC.decode_jpeg(bytes(prog))
+
+
 # ------------------------------------------------------------ WAV codec
 def test_wav_roundtrip_mono_and_stereo():
     from kerf_spark.operators import audiocodec as AC
@@ -212,11 +274,16 @@ def test_wav_malformed_fmt_raises_typed():
 def test_unrecognized_and_unsupported_are_typed():
     with pytest.raises(FormatStringError):
         IC.sniff_header(b"not an image at all")
-    # jpeg pixel decode is declared out of scope, typed accordingly
+    # baseline jpeg now decodes (jpegcodec); a stream that declares a
+    # frame but carries no scan stays a typed format error, and gif
+    # remains a metadata-only format
     app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
     sof0 = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(
         ">HH", 2, 2
     ) + bytes([3, 1, 0x11, 0])
     jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    with pytest.raises(FormatStringError):
+        IC.decode_pixels(jpeg)  # no SOS / no huffman tables
+    gif = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00" * 20
     with pytest.raises(MissingFeatureError):
-        IC.decode_pixels(jpeg)
+        IC.decode_pixels(gif)
