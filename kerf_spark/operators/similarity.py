@@ -126,23 +126,44 @@ def _band_sigs(
     """Array of (band_idx, packed-sign-bits) structs — one LSH key per
     band, planes disjoint across bands.  ``round_proj`` rounds each
     projection before taking its sign so a cross-engine ULP wobble near
-    zero can't flip a bucket bit (the round-before-compare convention)."""
-    out = []
-    for b in range(bands):
-        sig = F.lit(0).cast("long")
-        for p in range(planes_per_band):
-            plane_idx = b * planes_per_band + p
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_idx)])
+    zero can't flip a bucket bit (the round-before-compare convention).
+
+    The hyperplane matrix enters the plan as ONE nested-array literal
+    and the signatures come from HOFs over it (zip_with over bands,
+    zip_with planes×bit-masks inside) — building a per-plane literal
+    array was a py4j storm at plan-build time (seconds per call), and
+    each projection is now evaluated exactly once per row."""
+    mat = [
+        [
+            [float(v) for v in _hyperplane(dim, b * planes_per_band + p)]
+            for p in range(planes_per_band)
+        ]
+        for b in range(bands)
+    ]
+    masks = F.lit([1 << p for p in range(planes_per_band)]).cast(
+        "array<bigint>"
+    )
+
+    def band_sig(planes: Column) -> Column:
+        def bit(plane: Column, mask: Column) -> Column:
             s = dot(vec, plane)
             if round_proj is not None:
                 s = F.round(s, round_proj)
-            sig = sig.bitwiseOR(
-                F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        out.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    return F.array(*out)
+            return F.when(s > 0, mask).otherwise(F.lit(0).cast("long"))
+
+        return F.aggregate(
+            F.zip_with(planes, masks, bit),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc.bitwiseOR(v),
+        )
+
+    return F.zip_with(
+        F.lit(mat),
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda planes, b: F.struct(
+            b.alias("band"), band_sig(planes).alias("sig")
+        ),
+    )
 
 
 def lsh_near_pairs(
@@ -255,29 +276,33 @@ def lsh_topk(
 def kmeans_centroids(
     vecs: list[list[float]], n_cells: int, iters: int = 3, seed: int = 42
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means on a driver-side sample (pure
-    Python floats — reproducible anywhere, which is what lets the IVF
-    oracle re-derive the identical centroids)."""
-    dim = len(vecs[0])
-    step = max(1, len(vecs) // n_cells)
-    cents = [vecs[(i * step + seed) % len(vecs)] for i in range(n_cells)]
+    """Deterministic Lloyd's k-means on a driver-side sample.
+
+    Vectorized numpy (fixed reduction order → bit-reproducible across
+    runs and platforms, which is what lets the IVF oracle re-derive the
+    identical centroids).  The assignment uses the expanded-norm trick
+    (‖a‖² − 2a·c + ‖c‖²) so memory stays O(n·k), never O(n·k·dim); a
+    pure-Python triple loop here cost seconds per ivf_topk call and
+    dominated the ANN bench."""
+    import numpy as np
+
+    a = np.asarray(vecs, dtype=np.float64)
+    n = len(a)
+    step = max(1, n // n_cells)
+    cents = a[[(i * step + seed) % n for i in range(n_cells)]].copy()
     for _ in range(iters):
-        sums = [[0.0] * dim for _ in range(n_cells)]
-        cnt = [0] * n_cells
-        for v in vecs:
-            best, bd = 0, float("inf")
-            for ci, c in enumerate(cents):
-                d2 = sum((a - b) ** 2 for a, b in zip(v, c))
-                if d2 < bd:
-                    bd, best = d2, ci
-            for j in range(dim):
-                sums[best][j] += v[j]
-            cnt[best] += 1
-        cents = [
-            [s / c for s in srow] if c else cents[i]
-            for i, (srow, c) in enumerate(zip(sums, cnt))
-        ]
-    return cents
+        d2 = (
+            (a * a).sum(axis=1)[:, None]
+            - 2.0 * (a @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        best = d2.argmin(axis=1)  # ties -> first index, as before
+        sums = np.zeros_like(cents)
+        np.add.at(sums, best, a)
+        cnt = np.bincount(best, minlength=n_cells).astype(np.float64)
+        nonempty = cnt > 0
+        cents[nonempty] = sums[nonempty] / cnt[nonempty, None]
+    return [[float(x) for x in c] for c in cents]
 
 
 def ivf_topk(
@@ -320,44 +345,55 @@ def ivf_topk(
     dim = len(vecs[0])
     cents = kmeans_centroids(vecs, n_cells, iters, seed)
 
-    def cell_expr(vec) -> Column:
-        best = F.lit(0)
-        bestd = F.lit(float("inf"))
-        for ci, cvec in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in cvec])
-            d = F.aggregate(
-                F.zip_with(_c(vec), carr, lambda x, y: (x - y) * (x - y)),
+    # ONE nested-array centroid literal (not per-cell expression trees:
+    # building 8×64 literals per distance expression was a py4j storm at
+    # plan-build time, and the old chained-when argmin duplicated each
+    # aggregate subtree exponentially).  All cell distances come from a
+    # single transform over the literal, STAGED through a projection
+    # boundary so each row evaluates the n_cells aggregates exactly once.
+    cents_lit = F.lit([[float(x) for x in cvec] for cvec in cents])
+
+    def d2s_expr(vec) -> Column:
+        return F.transform(
+            cents_lit,
+            lambda cv: F.aggregate(
+                F.zip_with(_c(vec), cv, lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0).cast("double"),
                 lambda acc, v: acc + v,
-            )
-            better = d < bestd
-            best = F.when(better, F.lit(ci)).otherwise(best)
-            bestd = F.when(better, d).otherwise(bestd)
-        return best
+            ),
+        )
 
-    def probe_cells_expr(vec) -> Column:
-        dists = []
-        for ci, cvec in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in cvec])
-            d = F.aggregate(
-                F.zip_with(_c(vec), carr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            )
-            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-        arr = F.array_sort(F.array(*dists))
-        return F.transform(F.slice(arr, 1, nprobe), lambda s: s["c"])
-
+    # argmin with first-index tie-break, matching the oracle's
+    # list_position(dists, list_min(dists)) - 1
+    cell_of = (
+        F.array_position(F.col("__d2s"), F.array_min("__d2s")) - 1
+    ).cast("int")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        cell_expr(F.col(vec_col)).alias("cell"),
+        d2s_expr(F.col(vec_col)).alias("__d2s"),
+    ).select("neighbor_id", "__cv", cell_of.alias("cell"))
+
+    probe_idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    probes = F.transform(
+        F.slice(
+            F.array_sort(
+                F.zip_with(
+                    F.col("__d2s"),
+                    probe_idx,
+                    lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["c"],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(probe_cells_expr(F.col(vec_col))).alias("cell"),
-    )
+        d2s_expr(F.col(vec_col)).alias("__d2s"),
+    ).select("query_id", "__qv", F.explode(probes).alias("cell"))
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
     ).where(F.col("query_id") != F.col("neighbor_id"))
