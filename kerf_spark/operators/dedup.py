@@ -197,7 +197,12 @@ def minhash_signature(
     Universal-hash family over one base hash: h_i(x) = xxhash64(x, i)
     via seeding each permutation with a distinct literal — standard
     practice (equivalent to k independent hash functions for MinHash's
-    purposes).  Per row: array_min over transform — no shuffle, no UDF.
+    purposes).  Per row: array_min over transform, k passes over the
+    shingle array.  Measured note: the single-fold running-minimum
+    shape (see minhash_dedup_portable) is SLOWER here — xxhash64 is so
+    cheap that the fold's per-shingle accumulator-array allocation
+    dominates, while k cheap rescans don't; for the md5 family the
+    opposite holds.  No shuffle, no UDF either way.
     """
     shdf = _shingle_hash_df(df, text_col, id_col, shingle_n)
 
@@ -363,15 +368,25 @@ def portable_band_keys(
         ).alias("sh"),
     )
 
-    def perm(i: int):
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 15), 16, 10
-        ).cast("long")
-
+    # single fold pass, as in minhash_signature: running-minimum array
+    # accumulator against the portable "#i" suffix family
+    sufs = F.lit([f"#{i}" for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
     sig = sh.select(
         F.col(id_col),
-        F.array(
-            *[F.array_min(F.transform("sh", perm(i))) for i in range(num_hashes)]
+        F.aggregate(
+            F.col("sh"),
+            init,
+            lambda acc, s: F.zip_with(
+                acc,
+                sufs,
+                lambda a, suf: F.least(
+                    a,
+                    F.conv(
+                        F.substring(F.md5(F.concat(s, suf)), 1, 15), 16, 10
+                    ).cast("long"),
+                ),
+            ),
         ).alias("sig"),
     )
     banded = sig.select(
@@ -506,19 +521,53 @@ def dup_clusters(
 
 
 # ------------------------------------------------------------------ simhash
+def _simhash_expr(words: Column, nbits: int) -> Column:
+    """Single-pass SimHash: ONE fold over the word-hash array
+    accumulates all ``nbits`` bit-votes as an array (zip_with against a
+    bit-mask literal), then one zip_with folds votes back into the
+    packed signature.  The previous shape — one aggregate expression
+    per bit — rescanned the array ``nbits`` times per row.
+
+    Masks are two's-complement longs (bit 63's mask is the negative
+    min-long), so ``h & mask != 0`` tests the bit and ``OR mask`` sets
+    it for the sign bit too.
+    """
+    masks = F.lit(
+        [(1 << b) if b < 63 else -(2**63) for b in range(nbits)]
+    ).cast("array<bigint>")
+    votes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash over word hashes, pure Column expressions.
 
     For each bit b: sum(sign of bit b over token hashes) — positive
-    majority sets the bit.  Implemented as 64 aggregate-over-array
-    expressions; heavy-ish codegen but still columnar and shuffle-free.
+    majority sets the bit.  One fold pass per row (see
+    :func:`_simhash_expr`); columnar and shuffle-free.
     """
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:
         df = df.repartition(ncores)
-    # stage word-hash array once per row; 64 bit-votes read the slot
     staged = df.select(
         F.col(id_col),
         F.transform(
@@ -526,23 +575,9 @@ def simhash64(
             lambda w: F.xxhash64(w),
         ).alias("__wh"),
     )
-    words = F.col("__wh")
-
-    def bit_vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
-    for b in range(64):
-        vote = F.aggregate(words, F.lit(0).cast("long"), bit_vote(b))
-        # shiftleft, not 2**b: bit 63 overflows a positive long literal
-        one = F.shiftleft(F.lit(1).cast("long"), b)
-        bits.append(F.when(vote > 0, one).otherwise(F.lit(0).cast("long")))
-    sim = bits[0]
-    for extra in bits[1:]:
-        sim = sim.bitwiseOR(extra)
-    return staged.select(F.col(id_col), sim.alias("simhash"))
+    return staged.select(
+        F.col(id_col), _simhash_expr(F.col("__wh"), 64).alias("simhash")
+    )
 
 
 def simhash_portable(
@@ -566,21 +601,9 @@ def simhash_portable(
             )
         ).alias("__wh"),
     )
-
-    def bit_vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
-    for b in range(60):
-        vote = F.aggregate(F.col("__wh"), F.lit(0).cast("long"), bit_vote(b))
-        one = F.shiftleft(F.lit(1).cast("long"), b)
-        bits.append(F.when(vote > 0, one).otherwise(F.lit(0).cast("long")))
-    sim = bits[0]
-    for extra in bits[1:]:
-        sim = sim.bitwiseOR(extra)
-    return staged.select(F.col(id_col), sim.alias("simhash"))
+    return staged.select(
+        F.col(id_col), _simhash_expr(F.col("__wh"), 60).alias("simhash")
+    )
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:
