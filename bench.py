@@ -106,6 +106,14 @@ def main() -> None:
                 for n in BENCH_QUERIES
                 if times[n] > 0
             }
+            # flag only REPRODUCIBLE superlinearity: transient JVM
+            # degradation (code-cache pressure, GC storms) can make one
+            # measurement window 5-10x slow; genuinely superlinear
+            # plans stay slow on retry, noise does not
+            for n, r in list(ratios.items()):
+                if r > 1.3:
+                    big[n] = min(big[n], run_at(n, dst), run_at(n, dst))
+                    ratios[n] = round(big[n] / (factor * times[n]), 3)
             out["slope"] = {
                 "sf": round(sf * factor, 4),
                 "factor": factor,
@@ -134,8 +142,10 @@ def main() -> None:
                 ((F.col("id") * 7) % 1000).cast("long").alias("b"),
             ).persist()
             t.count()  # materialize the vectors
+            # min-of-5: this box shares a host; external load can blow
+            # a 0.1s measurement up 5x for seconds at a time
             best = None
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 t.agg(F.sum(F.col("a") + F.col("b"))).collect()
                 dt = time.perf_counter() - t0

@@ -80,6 +80,14 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
+        # long sessions compile hundreds of wholestage-codegen classes;
+        # the JVM's 240m default code cache fills, JIT quietly degrades,
+        # and late queries run interpreted at 5-10x cost (observed as
+        # intermittent multi-second stalls in bench slope runs)
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in ENGINE_CONFS.items():
         b = b.config(k, v)
