@@ -417,6 +417,23 @@ def test_simhash_pairs_joinfree(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # block shuffle only
 
 
+def test_ivf_topk_scale_shape(spark):
+    """IVF ANN plan: corpus cell assignment is a pure projection (no
+    Exchange before the probe join), the probe join broadcasts the tiny
+    query fan-out, and the only hash shuffle is the per-query top-k
+    window."""
+    from kerf_spark.operators import similarity as SIM
+    from kerf_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    em = read_table(spark, SF, "embeddings")
+    q = em.where(F.col("vec_id") < 4)
+    plan = plan_of(SIM.ivf_topk(em, q, k=3, n_cells=4, nprobe=2), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # top-k window only
+
+
 def test_melt_expands_without_shuffle(spark):
     plan = plan_of(QUERIES["unpivot_melt"](spark, SF), "simple")
     assert "Expand" in plan
