@@ -74,39 +74,53 @@ def _bucket_pairs(
     id_col: str,
     max_bucket: int | None,
     what: str,
+    payload: tuple[str, ...] = (),
 ) -> DataFrame:
     """All (id_a < id_b) pairs within each bucket, WITHOUT a self-join.
 
     Plan: cap (window over the bucket keys — the only shuffle), then
-    ``groupBy(keys).collect_list(id)`` which reuses the window's
+    ``groupBy(keys).collect_list(...)`` which reuses the window's
     partitioning (HashAggregate directly over the window output, no new
     Exchange), then pair explosion from the per-bucket array via two
     pipelined Generates.  vs the naive blocked self-join this computes
     the upstream pipeline (tokenize → minhash → band) ONCE instead of
     once per join side, and needs no join at all.
 
+    Without ``payload``, emits bare ``(id_a, id_b)`` columns (the
+    cheapest shape).  With ``payload`` column names, each bucket
+    collects ``(id, *payload)`` structs — ordered by id, since the id
+    is the leading struct field — and the output rows carry the full
+    pair as ``__a``/``__b`` structs for the caller to project (e.g. the
+    simhash value for a Hamming check).
+
     Memory bound: the cap runs before the collect, so a bucket array is
-    ≤ ``max_bucket`` ids (~80 KB at the 10k default); pair output
-    streams row-at-a-time through the Generates — the per-bucket pair
-    set is never materialized as one array.
+    ≤ ``max_bucket`` entries (~80 KB at the 10k default for bare ids);
+    pair output streams row-at-a-time through the Generates — the
+    per-bucket pair set is never materialized as one array.
     """
     capped = _cap_buckets(df, keys, id_col, max_bucket, what)
+    elem = (
+        F.col(id_col)
+        if not payload
+        else F.struct(F.col(id_col), *[F.col(p) for p in payload])
+    )
+    a_name, b_name = ("id_a", "id_b") if not payload else ("__a", "__b")
     buckets = capped.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(id_col)).alias("__ids")
+        F.sort_array(F.collect_list(elem)).alias("__m")
     )
     return (
         buckets.select(
-            F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+            F.posexplode("__m").alias("__i", a_name), F.col("__m")
         )
         .select(
-            "id_a",
+            a_name,
             F.explode(
                 F.slice(
-                    "__ids",
+                    "__m",
                     F.col("__i") + 2,
-                    F.size("__ids") - F.col("__i") - 1,
+                    F.size("__m") - F.col("__i") - 1,
                 )
-            ).alias("id_b"),
+            ).alias(b_name),
         )
     )
 
@@ -423,8 +437,9 @@ def minhash_dedup_portable(
     *string* shingles — computable bit-for-bit in any SQL engine, so the
     whole shingle→minhash→banding→verify pipeline is oracle-checkable
     (the xxhash64 variant is the faster production default).  Plan
-    shape is identical: staged projections, keyed band self-join, exact
-    Jaccard verify on candidate docs only.
+    shape is identical: staged projections, join-free in-bucket pair
+    explosion (:func:`_bucket_pairs`), exact Jaccard verify on candidate
+    docs only.
     """
     banded, sh = portable_band_keys(
         df, text_col, id_col, num_hashes, bands, shingle_n
@@ -531,6 +546,12 @@ def _simhash_expr(words: Column, nbits: int) -> Column:
     Masks are two's-complement longs (bit 63's mask is the negative
     min-long), so ``h & mask != 0`` tests the bit and ``OR mask`` sets
     it for the sign bit too.
+
+    NULL text (hence a NULL word-hash array) yields simhash 0, matching
+    the per-bit-aggregate shape this fold replaced: ``aggregate`` over
+    NULL propagates NULL, so the whole expression coalesces at the end
+    — without it, NULL-text duplicates would silently vanish from
+    near-dup detection (hamming NULL fails every filter).
     """
     masks = F.lit(
         [(1 << b) if b < 63 else -(2**63) for b in range(nbits)]
@@ -545,7 +566,7 @@ def _simhash_expr(words: Column, nbits: int) -> Column:
             + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
-    return F.aggregate(
+    packed = F.aggregate(
         F.zip_with(
             votes,
             masks,
@@ -554,6 +575,7 @@ def _simhash_expr(words: Column, nbits: int) -> Column:
         F.lit(0).cast("long"),
         lambda acc, b: acc.bitwiseOR(b),
     )
+    return F.coalesce(packed, F.lit(0).cast("long"))
 
 
 def simhash64(
@@ -624,30 +646,19 @@ def simhash_near_pairs(
     candidate set keyed and bounded, same scaling argument as LSH bands;
     degenerate blocks are capped loudly at ``max_bucket``.
 
-    Same join-free shape as :func:`_bucket_pairs`, carrying the simhash
-    as pair payload: cap → collect (id, simhash) structs per block
+    Join-free via :func:`_bucket_pairs` with the simhash carried as
+    pair payload: cap → collect (id, simhash) structs per block
     (shuffle-partitioning reused, ≤ ``max_bucket`` structs per array) →
     pipelined pair explosion → Hamming filter.  One shuffle, no join,
     the simhash computation runs once.
     """
     keyed = sims.withColumn("blk", F.shiftright("simhash", 64 - prefix_bits))
-    keyed = _cap_buckets(keyed, ["blk"], id_col, max_bucket, "simhash_near_pairs")
-    buckets = keyed.groupBy("blk").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
-        ).alias("__m")
+    pairs = _bucket_pairs(
+        keyed, ["blk"], id_col, max_bucket, "simhash_near_pairs",
+        payload=("simhash",),
     )
     return (
-        buckets.select(F.posexplode("__m").alias("__i", "__a"), F.col("__m"))
-        .select(
-            "__a",
-            F.explode(
-                F.slice(
-                    "__m", F.col("__i") + 2, F.size("__m") - F.col("__i") - 1
-                )
-            ).alias("__b"),
-        )
-        .select(
+        pairs.select(
             F.col(f"__a.{id_col}").alias("id_a"),
             F.col(f"__b.{id_col}").alias("id_b"),
             hamming64(F.col("__a.simhash"), F.col("__b.simhash")).alias(

@@ -388,6 +388,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise FormatStringError("jpeg: expected marker")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — external encoders emit them
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break

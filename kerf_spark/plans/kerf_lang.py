@@ -319,22 +319,27 @@ class KerfLambda:
             raise DepthError(
                 f"{self.name}: call depth exceeds {KerfLambda.MAX_CALL_DEPTH}"
             )
-        if KerfLambda._depth == 0:
-            # one kerf call ≈ tens of Python frames; size the Python
-            # stack so OUR DepthError fires first, never RecursionError.
-            # Scoped, not process-wide: the outermost call saves the
-            # limit and its finally restores it, so the bump never leaks
-            # to other driver code (single-threaded interpreter).
-            KerfLambda._saved_limit = sys.getrecursionlimit()
-            sys.setrecursionlimit(
-                max(KerfLambda._saved_limit, KerfLambda.MAX_CALL_DEPTH * 60)
-            )
-        local = Env(parent=self.env)
-        local.set_local("self", self)
-        for p, a in zip(self.params, args):
-            local.set_local(p, a)
         KerfLambda._depth += 1
         try:
+            if KerfLambda._depth == 1:
+                # one kerf call ≈ tens of Python frames; size the Python
+                # stack so OUR DepthError fires first, never
+                # RecursionError.  Scoped, not process-wide: the
+                # outermost call saves the limit INSIDE the try (so any
+                # exception path reaches the restoring finally) and the
+                # bump never leaks to other driver code (single-threaded
+                # interpreter).
+                KerfLambda._saved_limit = sys.getrecursionlimit()
+                sys.setrecursionlimit(
+                    max(
+                        KerfLambda._saved_limit,
+                        KerfLambda.MAX_CALL_DEPTH * 60,
+                    )
+                )
+            local = Env(parent=self.env)
+            local.set_local("self", self)
+            for p, a in zip(self.params, args):
+                local.set_local(p, a)
             ret = None
             for stmt in self.body:
                 ret = interp.exec_stmt(stmt, local)

@@ -194,6 +194,20 @@ def test_jpeg_rgb_and_subsampled():
     assert np.abs(dec.astype(int) - img.astype(int)).mean() <= 8
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; external encoders emit them (review r4)."""
+    from kerf_spark.operators import jpegcodec as JC
+
+    img = np.full((8, 8), 42, np.uint8)
+    payload = JC.encode_jpeg(img)
+    # inject fill bytes before the DQT marker
+    i = payload.find(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    dec = JC.decode_jpeg(padded)
+    np.testing.assert_array_equal(dec[:, :, 0], img)
+
+
 def test_jpeg_dispatch_and_typed_edges():
     from kerf_spark.operators import imagecodec as IC
     from kerf_spark.operators import jpegcodec as JC

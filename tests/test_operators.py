@@ -205,6 +205,24 @@ def test_simhash_identical_zero_distance(spark):
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_null_text_pairs_as_zero(spark):
+    """NULL-text docs hash to 0 (not NULL) so null duplicates still
+    surface as hamming-0 pairs — the single-pass fold must not let the
+    NULL word array propagate and silently drop them (review r4)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in DD.simhash64(df).collect()}
+    assert sigs[1] == 0 and sigs[2] == 0 and sigs[3] is not None
+    pairs = DD.simhash_near_pairs(
+        DD.simhash64(df), max_hamming=0, prefix_bits=4
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} >= {(1, 2)}
+    psigs = {r.doc_id: r.simhash for r in DD.simhash_portable(df).collect()}
+    assert psigs[1] == 0 and psigs[2] == 0
+
+
 def test_minhash_fast_path_matches_portable_twin_and_bruteforce(spark):
     """The xxhash64 fast path is driver-checked rows-only (the hash
     family is not SQL-portable).  Tie it to the oracle-matched md5 twin:
