@@ -1573,6 +1573,36 @@ def multimodal_jpeg_decode(spark, sf):
 
 
 @query(
+    "multimodal_video_decode",
+    """
+    SELECT doc_id,
+           'mjpg' AS codec,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(2 + doc_id % 4 AS INT) AS n_frames,
+           CAST((2 + doc_id % 4 + 1) // 2 AS INT) AS sampled,
+           CAST(64 * list_sum(flatten(list_transform(
+                range(0, CAST(2 + doc_id % 4 AS BIGINT), 2),
+                f -> list_transform(range(0, 2),
+                     bx -> (doc_id + f * 17 + bx * 7) % 256))))
+                AS BIGINT) AS checksum
+    FROM documents WHERE doc_id % 10 = 9
+    """,
+)
+def multimodal_video_decode(spark, sf):
+    """REAL video decode (no ffmpeg): per doc a true MJPEG-AVI is
+    written (RIFF hdrl/strl/movi + per-frame baseline JPEGs) and every
+    2nd frame decoded back through the full container→JPEG path inside
+    an Arrow-batched kernel; constant-block frames make the lossy
+    codec chain exact, so header fields + sampled-frame checksum equal
+    the oracle's closed-form arithmetic.  See operators/videocodec.py —
+    upgrades the r3 'video needs ffmpeg' stub to a real MJPEG path;
+    inter-frame codecs stay behind the typed MissingFeatureError."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 9)
+    return MM.mjpeg_roundtrip_check(d, "doc_id", stride=2)
+
+
+@query(
     "multimodal_audio_decode",
     """
     SELECT doc_id,

@@ -225,6 +225,39 @@ def test_jpeg_dispatch_and_typed_edges():
         JC.decode_jpeg(bytes(prog))
 
 
+# ------------------------------------------------------- MJPEG-AVI codec
+def test_avi_mjpeg_roundtrip_and_stride():
+    from kerf_spark.operators import jpegcodec as JC
+    from kerf_spark.operators import videocodec as VC
+
+    frames_px, jpegs = [], []
+    for f in range(5):
+        blocks = np.array([[(f * 17 + bx * 7) % 256 for bx in range(2)]])
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        frames_px.append(img)
+        jpegs.append(JC.encode_jpeg(img))
+    avi = VC.encode_avi_mjpeg(jpegs, 16, 8, fps=10)
+    assert VC.sniff_avi(avi) == (16, 8, 5, 10, "MJPG")
+    assert VC.extract_frames(avi) == jpegs  # byte-exact container walk
+    dec = VC.decode_frames(avi, stride=2)
+    assert len(dec) == 3
+    for d, want in zip(dec, frames_px[::2]):
+        np.testing.assert_array_equal(d[:, :, 0], want)
+
+
+def test_avi_typed_edges():
+    from kerf_spark.operators import jpegcodec as JC
+    from kerf_spark.operators import videocodec as VC
+
+    with pytest.raises(FormatStringError):
+        VC.sniff_avi(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 40)
+    img = np.zeros((8, 8), np.uint8)
+    avi = VC.encode_avi_mjpeg([JC.encode_jpeg(img)], 8, 8)
+    # a non-MJPG fourcc is a typed capability edge, not a crash
+    with pytest.raises(MissingFeatureError):
+        VC.decode_frames(avi.replace(b"vidsMJPG", b"vidsH264"))
+
+
 # ------------------------------------------------------------ WAV codec
 def test_wav_roundtrip_mono_and_stereo():
     from kerf_spark.operators import audiocodec as AC
