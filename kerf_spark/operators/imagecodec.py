@@ -193,6 +193,180 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# ------------------------------------------------------------------ GIF
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable-width codes, clear/end codes, 4096-entry
+    dictionary cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = prev = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = -1
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev < 0:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(table[prev] + [entry[0]])
+            else:  # the KwKwK case
+                entry = table[prev] + [table[prev][0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = code
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run: tuple[int, ...] = ()
+    for v in indices:
+        cand = run + (v,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:  # table full: reset
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = (v,)
+    if run:
+        emit(table[run])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Full pixel decode of a GIF87a/89a first frame -> (h, w, 3) uint8
+    via LZW + palette lookup; interlaced row order handled."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise FormatStringError("not a gif")
+    w, h = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            iw, ih = struct.unpack("<HH", b[pos + 5 : pos + 9])
+            iflags = b[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise FormatStringError("gif: no color table")
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos]:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), mcs)
+            if len(idx) < iw * ih:
+                raise FormatStringError("gif: truncated LZW data")
+            grid = np.array(idx[: iw * ih], np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: pass order 8/8, 8/4+4, 4/2, 2/1
+                rows = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                de = np.empty_like(grid)
+                de[rows] = grid
+                grid = de
+            return pal[np.clip(grid, 0, len(pal) - 1)]
+        elif block == 0x3B:
+            break
+        else:
+            raise FormatStringError(f"gif: unknown block 0x{block:02x}")
+    raise FormatStringError("gif: no image descriptor")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a writer: one frame, global color table, real LZW."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(pal)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    table = np.zeros((size, 3), np.uint8)
+    table[:n] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    mcs = max(2, bits)
+    out.append(mcs)
+    lzw = _lzw_encode(idx.flatten().tolist(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_pixels(payload: bytes) -> np.ndarray:
     """Pixel decode for the formats with dependency-free codecs."""
     b = bytes(payload)
@@ -203,6 +377,8 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(b)
+    if fmt == "gif":
+        return decode_gif(b)
     if fmt == "ppm":
         w, h, maxval, off = _ppm_fields(b)
         c = 3 if b[:2] == b"P6" else 1

@@ -281,6 +281,61 @@ def jpeg_roundtrip_check(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, schema=out_schema)
 
 
+def gif_roundtrip_check(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF decode proof: deterministic palette image encode→decode
+    per id, exact end-to-end (GIF is lossless — real LZW both ways).
+
+    Per id: width ``1+id%40``, height ``1+(id*5)%24``, index grid
+    ``(id + y*13 + x) % 256``, palette entry v = ``(v, v*3%256,
+    v*7%256)``.  The kernel writes a real GIF89a (global color table +
+    LZW sub-blocks), decodes it back (variable-width LZW, palette
+    lookup), asserts exact equality, and emits dims + RGB checksum —
+    closed-form in plain SQL.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from .imagecodec import decode_pixels, encode_gif, sniff_header
+
+        pal = np.stack(
+            [
+                np.arange(256),
+                (np.arange(256) * 3) % 256,
+                (np.arange(256) * 7) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 40, 1 + (i * 5) % 24
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                idx = ((i + y * 13 + x) % 256).astype(np.uint8)
+                payload = encode_gif(idx, pal)
+                fmt, dw, dh, _ = sniff_header(payload)
+                dec = decode_pixels(payload)
+                if dec.shape != (h, w, 3) or not np.array_equal(dec, pal[idx]):
+                    raise ValueError(f"gif roundtrip mismatch for id={i}")
+                rows.append((i, fmt, dw, dh, int(dec.sum())))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "format", "width", "height", "checksum"]
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
 def mjpeg_roundtrip_check(
     df: DataFrame, id_col: str = "doc_id", stride: int = 2
 ) -> DataFrame:

@@ -1573,6 +1573,34 @@ def multimodal_jpeg_decode(spark, sf):
 
 
 @query(
+    "multimodal_gif_decode",
+    """
+    SELECT doc_id,
+           'gif' AS format,
+           CAST(1 + doc_id % 40 AS INT) AS width,
+           CAST(1 + (doc_id * 5) % 24 AS INT) AS height,
+           CAST(list_sum(flatten(list_transform(
+                range(0, 1 + (doc_id * 5) % 24),
+                y -> list_transform(range(0, 1 + doc_id % 40),
+                     x -> (doc_id + y * 13 + x) % 256
+                        + ((doc_id + y * 13 + x) % 256 * 3) % 256
+                        + ((doc_id + y * 13 + x) % 256 * 7) % 256))))
+                AS BIGINT) AS checksum
+    FROM documents WHERE doc_id % 10 = 1
+    """,
+)
+def multimodal_gif_decode(spark, sf):
+    """REAL GIF decode (no stub): per doc a true GIF89a is written
+    (global color table + variable-width LZW) and decoded back (LZW +
+    palette lookup) inside an Arrow-batched kernel; GIF is lossless so
+    the roundtrip is exact and dims + RGB checksum equal the oracle's
+    closed-form arithmetic.  Completes the image-format matrix
+    (PNG/JPEG/GIF/BMP/PPM all pixel-decode; operators/imagecodec.py)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 1)
+    return MM.gif_roundtrip_check(d, "doc_id")
+
+
+@query(
     "multimodal_video_decode",
     """
     SELECT doc_id,

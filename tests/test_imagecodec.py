@@ -331,6 +331,24 @@ def test_unrecognized_and_unsupported_are_typed():
     jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     with pytest.raises(FormatStringError):
         IC.decode_pixels(jpeg)  # no SOS / no huffman tables
+    # gif now really decodes; a headerless one stays a typed error
     gif = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00" * 20
-    with pytest.raises(MissingFeatureError):
+    with pytest.raises(FormatStringError):
         IC.decode_pixels(gif)
+
+
+def test_gif_lzw_roundtrip_exact():
+    """GIF is lossless: real LZW encode→decode must reproduce palette
+    images bit-for-bit, across table-growth and table-reset paths."""
+    rng = np.random.default_rng(5)
+    for h, w, n in [(1, 1, 2), (7, 13, 16), (24, 40, 256)]:
+        pal = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, size=(h, w)).astype(np.uint8)
+        dec = IC.decode_gif(IC.encode_gif(idx, pal))
+        np.testing.assert_array_equal(dec, pal[idx])
+    # structured gradient overflows the 4096-entry dict: reset path
+    idx = (np.arange(200 * 120).reshape(200, 120) % 251).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    dec = IC.decode_gif(IC.encode_gif(idx, pal))
+    np.testing.assert_array_equal(dec, pal[idx])
+    assert IC.sniff_header(IC.encode_gif(idx, pal))[0] == "gif"
