@@ -733,6 +733,77 @@ def prefix_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------ substring dedup
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Exact substring (token-window) dedup signal — the "repeated long
+    span" statistic behind exact-substring training-data dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): per doc, how many of its ``window``-token spans (sampled
+    every ``stride`` tokens) also occur verbatim in at least one other
+    doc.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac) for every doc with
+    at least ``window`` tokens.  Span identity is md5 of the
+    space-joined token window — engine-portable, so the whole statistic
+    is SQL-oracle-checkable.
+
+    Scale shape: three key-partitioned exchanges and NO pair explosion
+    anywhere — (hash, id) pre-aggregation collapses within-doc repeats,
+    a count-over-hash window marks cross-doc spans (a ubiquitous
+    boilerplate span costs |docs containing it| rows, never |docs|²),
+    and a final per-doc aggregation. The shuffle key is an md5 hash:
+    uniform by construction.
+    """
+    from .text import normalize_text, word_tokens
+
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    staged = df.select(
+        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+    ).where(F.size("__w") >= window)
+    k = (F.size("__w") - window) / stride  # floor via int cast below
+    wins = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), k.cast("int")),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("__w", i * stride + 1, window))
+                ),
+            )
+        ).alias("__h"),
+    )
+    per_doc_h = wins.groupBy("__h", id_col).agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    marked = per_doc_h.withColumn("__nd", n_docs)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum("__occ").alias("n_windows"),
+            F.sum(F.when(F.col("__nd") >= 2, F.col("__occ")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 9
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ edit distance by prefix bucket
 def levenshtein_pairs(
     df: DataFrame,

@@ -1428,6 +1428,43 @@ def ngram_jaccard_pairs(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
+@query(
+    "substring_dedup_spans",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, (len(ws) - 20) // 10 + 1),
+               i -> md5(array_to_string(ws[(i-1)*10 + 1 : (i-1)*10 + 20], ' '))
+             )) AS h
+      FROM words WHERE len(ws) >= 20
+    ), hd AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h
+    )
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 9) AS dup_frac
+    FROM wins w JOIN hd USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def substring_dedup_spans(spark, sf):
+    """Exact substring dedup signal (Lee et al. 2021): fraction of each
+    doc's 20-token spans (stride 10) that occur verbatim elsewhere in
+    the corpus.  md5 span identity -> fully SQL-oracle-checkable; no
+    pair explosion at any scale (see dedup.substring_dup_spans)."""
+    d = _t(spark, sf, "documents")
+    return DD.substring_dup_spans(d, window=20, stride=10)
+
+
 # rows-only checks (hash-family dependent; no portable SQL oracle)
 @query("minhash_dedup_pairs")
 def minhash_dedup_pairs(spark, sf):

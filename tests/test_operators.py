@@ -268,6 +268,28 @@ def test_minhash_fast_path_matches_portable_twin_and_bruteforce(spark):
     assert portable == truth
 
 
+def test_substring_dup_spans_planted(spark):
+    """Two docs sharing one verbatim 20-token span (at stride-aligned
+    positions) are both flagged; an unrelated doc reports zero dups."""
+    shared = " ".join(f"tok{j}" for j in range(20))
+    a = shared + " " + " ".join(f"atail{j}" for j in range(10))
+    b = shared + " " + " ".join(f"btail{j}" for j in range(10))
+    c = " ".join(f"other{j}" for j in range(30))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in DD.substring_dup_spans(df, window=20, stride=10).collect()
+    }
+    # 30 tokens -> windows at offsets 0 and 10: doc 1/2 share offset 0
+    assert got[1] == (2, 1) and got[2] == (2, 1) and got[3] == (2, 0)
+    # short doc (< window tokens) contributes nothing
+    short = spark.createDataFrame([(9, "just a few tokens")],
+                                  "doc_id long, text string")
+    assert DD.substring_dup_spans(short).count() == 0
+
+
 def test_simhash64_matches_python_bitvote(spark):
     """Independent recomputation of the 64-bit SimHash: take the token
     hashes from Spark (the xxhash64 primitive itself), rebuild the
