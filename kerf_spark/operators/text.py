@@ -397,3 +397,65 @@ def tfidf_top_terms(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= k)
     )
+
+
+# ------------------------------------------------------- bigram LM score
+def bigram_lm_score(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """Perplexity-style quality score from a corpus-trained bigram LM —
+    the model-free core of CCNet-style LM filtering: documents whose
+    token transitions are unusual *for this corpus* score high
+    perplexity and low average log-probability.
+
+    The LM is the corpus itself: ``p(w2|w1) = n(w1,w2) / n(w1·)`` (MLE
+    over bigram starts — a proper conditional, no smoothing needed
+    because every scored bigram was observed at least once in
+    training).  Emits per doc: ``n_bigrams``, ``avg_logprob`` (natural
+    log, rounded 9dp), ``ppl = exp(-avg_logprob)`` (rounded 6dp).
+    Docs with fewer than two tokens are excluded (no bigrams).
+
+    Scale shape: two count aggregations with map-side partial combine
+    (Zipf-hot head words are collapsed before the shuffle), then two
+    equi-joins of the bigram stream against the count tables — AQE
+    broadcasts them when the vocabulary fits and skew-splits otherwise
+    — and a final per-doc aggregation.  Everything stays JVM-side, and
+    the statistic is engine-portable (plain counts + ln/exp), so the
+    whole pipeline is SQL-oracle-checkable.
+    """
+    spark_df = df
+    ncores = spark_df.sparkSession.sparkContext.defaultParallelism
+    if spark_df.rdd.getNumPartitions() < ncores:
+        spark_df = spark_df.repartition(ncores)
+    staged = spark_df.select(
+        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+    ).where(F.size("__w") >= 2)
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - 1),
+                lambda i: F.struct(
+                    F.element_at("__w", i).alias("w1"),
+                    F.element_at("__w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__n1"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            id_col,
+            F.log(F.col("__n2").cast("double") / F.col("__n1")).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp"), 9).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("__lp")), 6).alias("ppl"),
+    )

@@ -1429,6 +1429,47 @@ def ngram_jaccard_pairs(spark, sf):
 
 
 @query(
+    "bigram_lm_quality",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), pairs AS (
+      SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> {'a': ws[i], 'b': ws[i+1]}
+               )) AS bg
+        FROM words WHERE len(ws) >= 2
+      )
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM pairs GROUP BY w1
+    ), scored AS (
+      SELECT p.doc_id, ln(CAST(n2 AS DOUBLE) / n1) AS lp
+      FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 9) AS avg_logprob,
+           round(exp(-avg(lp)), 6) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark, sf):
+    """Corpus-trained bigram-LM quality score (CCNet-style perplexity
+    filtering, model-free): p(w2|w1) from corpus bigram counts, per-doc
+    average log-prob and perplexity.  See text.bigram_lm_score — two
+    partial-agg count shuffles + AQE-managed count joins, JVM-side."""
+    d = _t(spark, sf, "documents")
+    return TX.bigram_lm_score(d)
+
+
+@query(
     "substring_dedup_spans",
     """
     WITH norm AS (

@@ -268,6 +268,17 @@ def test_minhash_fast_path_matches_portable_twin_and_bruteforce(spark):
     assert portable == truth
 
 
+def test_bigram_lm_score_known_probs(spark):
+    """Hand-computable corpus: 'x' continues to 'y' or 'z' with equal
+    probability, so both docs score p=1/2 per bigram -> ppl 2.0; a
+    single-token doc has no bigrams and is excluded."""
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "lonely")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.ppl) for r in TX.bigram_lm_score(df).collect()}
+    assert got == {1: (1, 2.0), 2: (1, 2.0)}
+
+
 def test_substring_dup_spans_planted(spark):
     """Two docs sharing one verbatim 20-token span (at stride-aligned
     positions) are both flagged; an unrelated doc reports zero dups."""
