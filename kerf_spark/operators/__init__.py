@@ -1,17 +1,16 @@
+# NOTE: codec modules (imagecodec/jpegcodec/audiocodec/videocodec) are
+# deliberately NOT eagerly imported: they import numpy at module top and
+# run inside executor-side mapInPandas kernels — keeping them lazy keeps
+# driver imports light and numpy out of purely-relational use.  Import
+# them explicitly: `from kerf_spark.operators import jpegcodec`.
 from . import (  # noqa: F401
     asof,
-    audiocodec,
-    curation,
     dedup,
-    imagecodec,
-    jpegcodec,
     multimodal,
-    packing,
     relational,
     sampling,
     similarity,
     skew,
     text,
-    videocodec,
     windows,
 )

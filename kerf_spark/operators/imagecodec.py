@@ -223,12 +223,19 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
                 continue
             if code == end:
                 return out
+            # typed-error contract: corrupt streams must raise, not
+            # IndexError / silent garbage.  A fresh code may reference
+            # at most the next table slot (the KwKwK case).
+            if code > len(table) or (prev < 0 and code >= len(table)):
+                raise FormatStringError(
+                    f"gif: LZW code {code} out of range"
+                )
             if prev < 0:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
                 table.append(table[prev] + [entry[0]])
-            else:  # the KwKwK case
+            else:  # the KwKwK case (code == len(table))
                 entry = table[prev] + [table[prev][0]]
                 table.append(entry)
             out.extend(entry)
@@ -304,7 +311,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += 1 + b[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
-            iw, ih = struct.unpack("<HH", b[pos + 5 : pos + 9])
+            left, top, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
             iflags = b[pos + 9]
             pos += 10
             pal = gct
@@ -334,7 +341,19 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 de = np.empty_like(grid)
                 de[rows] = grid
                 grid = de
-            return pal[np.clip(grid, 0, len(pal) - 1)]
+            frame = pal[np.clip(grid, 0, len(pal) - 1)]
+            if (left, top, iw, ih) == (0, 0, w, h):
+                return frame
+            # optimized GIFs place a sub-frame on the logical screen:
+            # honor the descriptor offsets, background-fill the rest
+            if left + iw > w or top + ih > h:
+                raise FormatStringError("gif: frame exceeds logical screen")
+            bg = b[11]
+            canvas = np.broadcast_to(
+                pal[min(bg, len(pal) - 1)], (h, w, 3)
+            ).copy()
+            canvas[top : top + ih, left : left + iw] = frame
+            return canvas
         elif block == 0x3B:
             break
         else:
@@ -348,6 +367,10 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     pal = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
     n = len(pal)
+    if not 1 <= n <= 256:
+        raise FormatStringError(f"gif: palette must have 1..256 entries, got {n}")
+    if idx.size and int(idx.max()) >= n:
+        raise FormatStringError("gif: index out of palette range")
     bits = max(1, (n - 1).bit_length())
     size = 1 << bits
     table = np.zeros((size, 3), np.uint8)

@@ -47,7 +47,7 @@ def encode_avi_mjpeg(
         1_000_000 // fps,  # usec per frame
         maxbuf * fps,      # max bytes/sec
         0,                 # padding granularity
-        0x10,              # AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish
+        0,                 # flags: no AVIF_HASINDEX — we write no idx1
         len(frames), 0, 1, maxbuf, width, height, 0, 0, 0, 0,
     )
     strh = (

@@ -352,3 +352,34 @@ def test_gif_lzw_roundtrip_exact():
     dec = IC.decode_gif(IC.encode_gif(idx, pal))
     np.testing.assert_array_equal(dec, pal[idx])
     assert IC.sniff_header(IC.encode_gif(idx, pal))[0] == "gif"
+
+
+def test_gif_robustness_edges():
+    """Corrupt LZW codes, oversized palettes, and offset sub-frames all
+    hit typed/spec behavior, never IndexError or silent garbage
+    (review r4)."""
+    rng = np.random.default_rng(6)
+    # out-of-range first code: typed, not IndexError
+    with pytest.raises(FormatStringError):
+        IC._lzw_decode(bytes([4 | (7 << 3)]), 2)
+    # palette > 256 / index out of range: typed at encode time
+    with pytest.raises(FormatStringError):
+        IC.encode_gif(np.zeros((2, 2), np.uint8),
+                      rng.integers(0, 256, (300, 3)).astype(np.uint8))
+    with pytest.raises(FormatStringError):
+        IC.encode_gif(np.full((2, 2), 5, np.uint8),
+                      np.zeros((2, 3), np.uint8))
+    # optimized GIF: sub-frame honors descriptor offsets on the screen
+    pal = np.array([[9, 9, 9], [200, 10, 30]], np.uint8)
+    sub = IC.encode_gif(np.ones((2, 3), np.uint8), pal)
+    # rewrite: logical screen 6x5, frame 3x2 at (left=2, top=1), bg=0
+    body = bytearray(sub)
+    import struct as _s
+    _s.pack_into("<HH", body, 6, 6, 5)          # logical screen w,h
+    i = bytes(body).find(b"\x2c")
+    _s.pack_into("<HHHH", body, i + 1, 2, 1, 3, 2)  # left, top, w, h
+    dec = IC.decode_gif(bytes(body))
+    assert dec.shape == (5, 6, 3)
+    want = np.broadcast_to(pal[0], (5, 6, 3)).copy()
+    want[1:3, 2:5] = pal[1]
+    np.testing.assert_array_equal(dec, want)
