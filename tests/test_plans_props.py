@@ -351,6 +351,48 @@ def test_interval_overlap_join_keeps_duplicate_rows(spark):
     assert len(got) == 3
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=30).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+def test_substring_spans_match_bruteforce(spark, texts):
+    """Operator output == plain-Python recomputation over a tiny-vocab
+    corpus where window collisions are common (window=4, stride=2)."""
+    from kerf_spark.operators.dedup import substring_dup_spans
+
+    window, stride = 4, 2
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in substring_dup_spans(
+            df, window=window, stride=stride
+        ).collect()
+    }
+    wins: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if len(ws) >= window:
+            k = (len(ws) - window) // stride + 1
+            wins[i] = [
+                " ".join(ws[j * stride : j * stride + window])
+                for j in range(k)
+            ]
+    docs_of = {}
+    for i, hs in wins.items():
+        for h in set(hs):
+            docs_of.setdefault(h, set()).add(i)
+    want = {
+        i: (len(hs), sum(1 for h in hs if len(docs_of[h]) >= 2))
+        for i, hs in wins.items()
+    }
+    assert got == want
+
+
 # ------------------------------------------------------- hot-bucket caps
 def test_blocked_selfjoins_cap_hot_buckets(spark):
     """Adversarial corpus: thousands of identical docs land in ONE band /
