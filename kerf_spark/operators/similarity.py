@@ -305,6 +305,37 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in cents]
 
 
+def fit_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic centroid fit shared by IVF ANN and SemDeDup.
+
+    Content-hash-ordered sample, not bare ``limit()``: limit without an
+    order is partition-layout-dependent, which would make centroids
+    (and everything keyed on them) vary across layouts of identical
+    data.  The hash order is a deterministic pseudo-random shuffle that
+    any SQL engine reproduces bit-for-bit (md5 over the id's decimal
+    string — same family as the portable dedup twins), and
+    orderBy+limit plans as bounded TakeOrdered — still O(n_cells·64)
+    driver data, the ONLY driver-side materialization on this path.
+    """
+    sample = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .select(vec_col)
+        .limit(n_cells * 64)
+        .collect()
+    )
+    vecs = [list(r[0]) for r in sample if r[0] is not None]
+    if not vecs:
+        raise ValueError("empty corpus")
+    return kmeans_centroids(vecs, n_cells, iters, seed)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -324,26 +355,7 @@ def ivf_topk(
     At 100 TB the cell assignment is a narrow projection; the probe
     join fans each query out to nprobe cells — shuffle keyed by cell id.
     """
-    # content-hash-ordered sample, not bare limit(): limit without an
-    # order is partition-layout-dependent, which would make centroids
-    # (and ANN results) vary across layouts of identical data.  The
-    # hash order is a deterministic pseudo-random shuffle that any SQL
-    # engine reproduces bit-for-bit (md5 over the id's decimal string —
-    # same family as the portable dedup twins), and orderBy+limit plans
-    # as bounded TakeOrdered — still O(n_cells·64) driver data.
-    sample = (
-        corpus.orderBy(
-            F.md5(F.col(id_col).cast("string")), F.col(id_col)
-        )
-        .select(vec_col)
-        .limit(n_cells * 64)
-        .collect()
-    )
-    vecs = [list(r[0]) for r in sample if r[0] is not None]
-    if not vecs:
-        raise ValueError("empty corpus")
-    dim = len(vecs[0])
-    cents = kmeans_centroids(vecs, n_cells, iters, seed)
+    cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
 
     # ONE nested-array centroid literal (not per-cell expression trees:
     # building 8×64 literals per distance expression was a py4j storm at
@@ -405,3 +417,110 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------ SemDeDup
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.85,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv
+    2303.09540): k-means cells bound the candidate space — only
+    same-cell embedding pairs are scored, and pairs with cosine ≥
+    ``threshold`` are semantic duplicates.  Returns
+    ``(id_a, id_b, cell, cos)`` with ``id_a < id_b``.
+
+    Unlike ``lsh_near_pairs`` (random hyperplanes, recall < 1 within a
+    band budget) the cell blocking here is the published SemDeDup
+    recipe: every duplicate pair that lands in one cluster is found
+    exactly.  At 100 TB: centroids are the only driver-side data
+    (O(n_cells·dim)); cell assignment is a narrow projection; the
+    self-join shuffles keyed on cell id — never a full cross join.
+    Per-cell work is quadratic in cell population, so ``n_cells``
+    scales with corpus size (the paper uses ~0.1% of |corpus|) to keep
+    cells bounded; key-skew on hot cells is handled by AQE skew-join.
+    """
+    cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
+    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    # stage 1: cast to double once; stage 2: all-cell distances from ONE
+    # transform over the centroid literal (projection boundary so the
+    # aggregate evaluates once per row); stage 3: argmin cell with
+    # first-index tie-break — matches the oracle's
+    # list_position(dists, list_min(dists)) - 1.
+    staged = (
+        corpus.select(
+            F.col(id_col),
+            F.transform(_c(vec_col), lambda x: x.cast("double")).alias(
+                "__emb"
+            ),
+        )
+        .select(
+            id_col,
+            "__emb",
+            F.transform(
+                cents_lit,
+                lambda cv: F.aggregate(
+                    F.zip_with(
+                        F.col("__emb"), cv, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ),
+            ).alias("__d2s"),
+            l2_norm("__emb").alias("__nrm"),
+        )
+        .select(
+            id_col,
+            "__emb",
+            "__nrm",
+            (F.array_position(F.col("__d2s"), F.array_min("__d2s")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    a, b = staged.alias("a"), staged.alias("b")
+    cos = F.round(
+        dot(F.col("a.__emb"), F.col("b.__emb"))
+        / (F.col("a.__nrm") * F.col("b.__nrm")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.85,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The pruned corpus SemDeDup exists to produce: drop every row
+    that semantically duplicates a smaller id (deterministic keep-min
+    policy — a row survives iff no duplicate partner precedes it).
+    One anti-join against the pair set; same scale story as
+    :func:`semantic_dedup_pairs`."""
+    pairs = semantic_dedup_pairs(
+        corpus, n_cells, threshold, iters, vec_col, id_col, seed
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(losers, id_col, "left_anti")

@@ -3617,6 +3617,90 @@ except Exception:
     pass
 
 
+# =====================================================================
+# SemDeDup: semantic dedup via learned k-means cells (Abbas et al. 2023)
+# =====================================================================
+
+def _semantic_cells_ctes(n_cells=8, sf_dir="/root/testdata/sf0.01") -> str:
+    """Shared oracle CTEs: re-derive the operator's centroids with the
+    SAME deterministic sample + k-means (`kmeans_centroids`) the Spark
+    side uses, then assign cells with the same argmin/first-tie rule."""
+    import duckdb
+
+    from .operators.similarity import kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+        f"LIMIT {n_cells * 64}"
+    ).fetchall()
+    con.close()
+    vecs = [list(r[0]) for r in rows if r[0] is not None]
+    cents = kmeans_centroids(vecs, n_cells, iters=3, seed=42)
+    dim = len(cents[0])
+    cents_lit = (
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents) + "]"
+    )
+    dist = (
+        f"list_transform({cents_lit}, c -> list_sum(list_transform("
+        f"generate_series(1, {dim}), j -> (emb[j] - c[j]) * (emb[j] - c[j]))))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), cd AS (
+      SELECT vec_id, emb, {dist} AS dists FROM e
+    ), cc AS (
+      SELECT vec_id, emb,
+             list_position(dists, list_min(dists)) - 1 AS cell
+      FROM cd
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+             round(list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+      FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.30
+    )"""
+
+
+@query("semantic_dedup_pairs", None)
+def semantic_dedup_pairs_q(spark, sf):
+    """SemDeDup pairs: k-means cells (learned, not a metadata label)
+    bound the candidate space; within-cell cosine ≥ 0.30 ⇒ semantic
+    duplicate.  Oracle re-derives identical centroids, so this is a
+    full value match despite the clustering step."""
+    em = _t(spark, sf, "embeddings")
+    return SIM.semantic_dedup_pairs(em, n_cells=8, threshold=0.30)
+
+
+@query("semantic_dedup_survivors", None)
+def semantic_dedup_survivors_q(spark, sf):
+    """The corpus SemDeDup keeps: drop every row that semantically
+    duplicates a smaller id (deterministic keep-min policy)."""
+    em = _t(spark, sf, "embeddings")
+    return SIM.semantic_dedup_survivors(em, n_cells=8, threshold=0.30).select(
+        "vec_id", "label"
+    )
+
+
+try:  # oracle needs duckdb + fixture read at import; degrade to rows-only
+    _sem_ctes = _semantic_cells_ctes()
+    ORACLES["semantic_dedup_pairs"] = (
+        _sem_ctes + "\n    SELECT id_a, id_b, cell, cos FROM pairs"
+    )
+    ORACLES["semantic_dedup_survivors"] = _sem_ctes + """
+    SELECT e0.vec_id, e0.label FROM embeddings e0
+    WHERE e0.vec_id NOT IN (SELECT id_b FROM pairs)
+    """
+except Exception:
+    pass
+
+
 @query(
     "q13_customer_distribution",
     """

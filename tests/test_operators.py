@@ -930,3 +930,41 @@ def test_chunk_text_edges(spark):
     assert got[(2, 0)] == (0, "xy")
     assert got[(3, 0)] == (0, "")
     assert len(got) == 6
+
+
+def test_semantic_dedup_pairs_and_survivors(spark):
+    """SemDeDup invariants: (a) identical partition layouts of the same
+    data give identical pair sets (deterministic centroids); (b) exact
+    duplicates always land in one cell and pair at cos=1; (c) survivors
+    = corpus minus every id that duplicates a smaller id."""
+    from kerf_spark.sources.io import read_table
+
+    em = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # plant an exact duplicate of vec 0 under a fresh id
+    dup = em.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = em.unionByName(dup)
+
+    def pairs(df):
+        return sorted(
+            (r.id_a, r.id_b, r.cos)
+            for r in SIM.semantic_dedup_pairs(
+                df, n_cells=4, threshold=0.30
+            ).collect()
+        )
+
+    p1 = pairs(corpus)
+    assert p1 == pairs(corpus.repartition(13))
+    assert any(a == 0 and b == 100000 and c == 1.0 for a, b, c in p1)
+
+    surv = set(
+        r.vec_id
+        for r in SIM.semantic_dedup_survivors(
+            corpus, n_cells=4, threshold=0.30
+        ).collect()
+    )
+    losers = {b for _, b, _ in p1}
+    total = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert surv == total - losers
+    assert 100000 not in surv and 0 in surv
