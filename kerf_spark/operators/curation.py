@@ -224,3 +224,138 @@ def vocab_zipf(
     return head.select(
         "term", "freq", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------- DSIR
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 512,
+    n: int = 2,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv 2302.03169):
+    score each raw document by how much more likely its hashed
+    bag-of-n-grams is under a *target* (high-quality) corpus model than
+    under the raw-corpus model.
+
+    Both models are add-1-smoothed categorical distributions over
+    ``buckets`` hashed n-gram buckets:
+    ``p(b) = (count(b) + 1) / (total + buckets)``; a document's log
+    importance weight is the sum over its n-gram occurrences of
+    ``ln p_target(bucket) − ln p_raw(bucket)``.  The bucket hash is
+    the engine-portable md5 family, so a SQL oracle reproduces the
+    weights bit-for-bit (rounded 6dp against cross-engine fp
+    addition-order drift).
+
+    Emits per raw doc: ``n_grams``, ``log_ratio``.  Docs shorter than
+    ``n`` words have no features and are excluded (no evidence either
+    way — resampling keeps them apart from the scored stream).
+
+    Scale shape: two hash-agg count shuffles over at most ``buckets``
+    distinct keys (map-side partials collapse the Zipf head before the
+    exchange), the two count tables are ≤ ``buckets`` rows — always
+    broadcast — and the per-doc re-aggregation is the only data-sized
+    shuffle.  Driver holds nothing.
+    """
+    from .sampling import hash_bucket
+
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        words = _staged_words(df, text_col, id_col).filter(
+            F.size("__w") >= n
+        )
+        grams = words.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("__w"), i + j) for j in range(n)],
+                    ),
+                )
+            ).alias("gram"),
+        )
+        return grams.select(
+            F.col(id_col), hash_bucket("gram", buckets, salt).alias("bucket")
+        )
+
+    rawb = gram_buckets(raw)
+    tgtb = gram_buckets(target)
+    raw_counts = rawb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt_counts = tgtb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tgt"))
+    # totals as 1-row broadcast frames (the scalar-aggregate pattern)
+    raw_total = raw_counts.agg(F.sum("n_raw").alias("total_raw"))
+    tgt_total = tgt_counts.agg(F.sum("n_tgt").alias("total_tgt"))
+    lr = (
+        raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total_tgt") + buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("n_raw"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total_raw") + buckets)
+                )
+            ).alias("__lr"),
+        )
+    )
+    return (
+        rawb.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("__lr"), 6).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 512,
+    n: int = 2,
+    salt: str = "dsir",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The resampling half of DSIR: draw ``k`` documents without
+    replacement, with probability ∝ importance weight, via the Gumbel
+    top-k trick — ``score = log_ratio / temperature + Gumbel(md5(id))``
+    and take the k largest.  The Gumbel noise is derived from the
+    engine-portable md5 hash of the id (32 uniform bits → (0,1) →
+    −ln(−ln u)), so the "random" draw is deterministic, layout-
+    invariant, and SQL-reproducible.  Plans as TakeOrderedAndProject:
+    no global sort materializes at any corpus size."""
+    w = dsir_weights(raw, target, text_col, id_col, buckets, n, salt)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # (h+1)/(2^32+1) ∈ (0,1): never 0 or 1
+    gumbel = -F.log(-F.log(u))
+    scored = w.select(
+        id_col,
+        "n_grams",
+        "log_ratio",
+        F.round(
+            F.col("log_ratio") / F.lit(float(temperature)) + gumbel, 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -459,3 +459,60 @@ def bigram_lm_score(
         F.round(F.avg("__lp"), 9).alias("avg_logprob"),
         F.round(F.exp(-F.avg("__lp")), 6).alias("ppl"),
     )
+
+
+def quality_classifier_score(
+    text,
+    tokens: Column | None = None,
+    weights: dict[str, float] | None = None,
+) -> dict[str, Column]:
+    """Logistic-regression quality classifier over prose-shape features
+    — the embedded-linear-model inference pattern used by
+    fastText-style pretraining filters (score each doc against a
+    "looks like reference prose" model).  The model runs entirely as
+    Column math: features → dot product with the weight vector →
+    sigmoid, all inside whole-stage codegen, zero Python per row.
+
+    The default weights are fixed illustrative constants (a real
+    deployment distills them from a trained classifier and ships them
+    the same way — as plan literals, broadcast-free).  Returns the
+    feature columns plus ``score`` ∈ (0,1); threshold downstream.
+    """
+    w = {
+        "bias": -1.0,
+        "len": 2.2,
+        "stop": 3.0,
+        "punct": -4.0,
+        "wordlen": 0.8,
+        "alpha": 1.5,
+    }
+    if weights:
+        w.update(weights)
+    toks = tokens if tokens is not None else F.transform(
+        word_tokens(text), lambda t: F.lower(t)
+    )
+    n_tokens = F.size(toks)
+    f_len = F.least(char_count(text) / F.lit(500.0), F.lit(1.0))
+    f_stop = stopword_ratio(text, tokens=toks)
+    f_punct = punct_ratio(text)
+    f_wordlen = F.least(mean_word_len(text) / F.lit(8.0), F.lit(1.0))
+    f_alpha = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+        / n_tokens.cast("double")
+    )
+    z = (
+        F.lit(w["bias"])
+        + f_len * w["len"]
+        + f_stop * w["stop"]
+        + f_punct * w["punct"]
+        + f_wordlen * w["wordlen"]
+        + f_alpha * w["alpha"]
+    )
+    return {
+        "f_len": f_len,
+        "f_stop": f_stop,
+        "f_punct": f_punct,
+        "f_wordlen": f_wordlen,
+        "f_alpha": f_alpha,
+        "score": F.lit(1.0) / (F.lit(1.0) + F.exp(-z)),
+    }

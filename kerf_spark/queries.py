@@ -1351,6 +1351,67 @@ def quality_score_docs(spark, sf):
 
 
 @query(
+    "quality_classifier_docs",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks,
+             length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS n_punct
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             least(n_chars / 500.0, 1.0) AS f_len,
+             CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST((
+               SELECT count(*) FROM unnest(toks) t(w)
+               WHERE w IN ('the','a','an','and','or','of','to','in','is','it',
+                           'that','for','on','with','as','was','at','by','be')
+             ) AS DOUBLE) / len(toks) END AS f_stop,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE CAST(n_punct AS DOUBLE) / n_chars END AS f_punct,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE least(list_sum(list_transform(toks, w -> length(w)))
+                             / CAST(len(toks) AS DOUBLE) / 8.0, 1.0)
+             END AS f_wordlen,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                         w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+                       / len(toks)
+             END AS f_alpha
+      FROM s
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.0 + f_len*2.2 + f_stop*3.0
+                                    + f_punct*(-4.0) + f_wordlen*0.8
+                                    + f_alpha*1.5))), 9) AS clf_score,
+           (1.0 / (1.0 + exp(-(-1.0 + f_len*2.2 + f_stop*3.0
+                               + f_punct*(-4.0) + f_wordlen*0.8
+                               + f_alpha*1.5))) >= 0.5) AS keep
+    FROM f
+    """,
+)
+def quality_classifier_docs(spark, sf):
+    """Logistic quality classifier (fastText-filter pattern): fixed
+    linear-model weights applied as pure Column math — features, dot
+    product, sigmoid all inside whole-stage codegen.  Complements the
+    heuristic quality_score with the embedded-model-inference shape a
+    distilled production classifier ships as."""
+    d = _t(spark, sf, "documents")
+    staged = d.select(
+        "doc_id",
+        "text",
+        F.transform(TX.word_tokens("text"), lambda w: F.lower(w)).alias("__tok"),
+    )
+    cols = TX.quality_classifier_score("text", tokens=F.col("__tok"))
+    return staged.select(
+        "doc_id",
+        F.round(cols["score"], 9).alias("clf_score"),
+        (cols["score"] >= 0.5).alias("keep"),
+    )
+
+
+@query(
     "lang_id_docs",
     """
     WITH w AS (
@@ -1467,6 +1528,85 @@ def bigram_lm_quality(spark, sf):
     partial-agg count shuffles + AQE-managed count joins, JVM-side."""
     d = _t(spark, sf, "documents")
     return TX.bigram_lm_score(d)
+
+
+# shared DuckDB CTEs for the DSIR pair: hashed-bigram buckets over the
+# raw corpus and the designated target slice, add-1-smoothed bucket
+# log-ratios (the md5 bucket family matches sampling.hash_bucket)
+_DSIR_CTES = """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS gram
+      FROM words WHERE len(ws) >= 2
+    ), gb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram || 'dsir'), 1, 8))::BIGINT % 512 AS bucket
+      FROM grams
+    ), tgt_ids AS (
+      SELECT doc_id FROM documents WHERE source IN ('src1', 'src7', 'src18')
+    ), rc AS (
+      SELECT bucket, count(*) AS n_raw FROM gb GROUP BY bucket
+    ), tc AS (
+      SELECT bucket, count(*) AS n_tgt
+      FROM gb JOIN tgt_ids USING (doc_id) GROUP BY bucket
+    ), rt AS (SELECT sum(n_raw) AS NR FROM rc
+    ), tt AS (SELECT sum(n_tgt) AS NT FROM tc
+    ), lr AS (
+      SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+             ln(CAST(coalesce(n_tgt, 0) + 1 AS DOUBLE) / (NT + 512))
+             - ln(CAST(coalesce(n_raw, 0) + 1 AS DOUBLE) / (NR + 512)) AS lrv
+      FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+      CROSS JOIN rt CROSS JOIN tt
+    ), weights AS (
+      SELECT doc_id, count(*) AS n_grams, round(sum(lrv), 6) AS log_ratio
+      FROM gb JOIN lr USING (bucket) GROUP BY doc_id
+    )"""
+
+
+def _dsir_target(d):
+    return d.where(F.col("source").isin("src1", "src7", "src18"))
+
+
+@query(
+    "dsir_weights_docs",
+    _DSIR_CTES + "\n    SELECT doc_id, n_grams, log_ratio FROM weights",
+)
+def dsir_weights_docs(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): log-likelihood ratio
+    of each document's hashed bigram bag under a target-slice model vs
+    the raw-corpus model.  Count tables are ≤512 rows (broadcast);
+    the only data-sized shuffle is the per-doc re-aggregation."""
+    d = _t(spark, sf, "documents")
+    return CU.dsir_weights(d, _dsir_target(d))
+
+
+@query(
+    "dsir_select_docs",
+    _DSIR_CTES + """
+    , scored AS (
+      SELECT doc_id, n_grams, log_ratio,
+             round(log_ratio
+                   + (-ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                   || 'dsir'), 1, 8))::BIGINT
+                               + 1.0) / 4294967297.0))), 6) AS score
+      FROM weights
+    )
+    SELECT doc_id, n_grams, log_ratio, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_select_docs(spark, sf):
+    """The resampling half of DSIR: Gumbel top-k draw (deterministic
+    md5-derived noise) of 50 docs with probability ∝ importance weight.
+    Plans as TakeOrderedAndProject — no global sort at any scale."""
+    d = _t(spark, sf, "documents")
+    return CU.dsir_select(d, _dsir_target(d), k=50)
 
 
 @query(

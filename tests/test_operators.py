@@ -968,3 +968,51 @@ def test_semantic_dedup_pairs_and_survivors(spark):
     total = {r.vec_id for r in corpus.select("vec_id").collect()}
     assert surv == total - losers
     assert 100000 not in surv and 0 in surv
+
+
+def test_dsir_weights_direction_and_select(spark):
+    """DSIR sanity: (a) raw==target ⇒ every weight exactly 0 (identical
+    counts cancel); (b) a doc written in target vocabulary outscores a
+    doc written in raw-only vocabulary; (c) the Gumbel top-k draw is
+    deterministic and returns exactly k rows."""
+    from kerf_spark.operators import curation as CU
+
+    rows = [
+        (1, "alpha beta gamma alpha beta gamma alpha beta"),
+        (2, "delta epsilon zeta delta epsilon zeta delta epsilon"),
+        (3, "alpha beta gamma beta alpha gamma beta alpha"),
+        (4, "delta epsilon zeta epsilon delta zeta epsilon delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    zero = CU.dsir_weights(df, df, buckets=64).collect()
+    assert zero and all(r.log_ratio == 0.0 for r in zero)
+
+    target = df.where(F.col("doc_id").isin(1, 3))  # alpha/beta/gamma world
+    w = {r.doc_id: r.log_ratio for r in CU.dsir_weights(df, target, buckets=64).collect()}
+    assert w[1] > 0 > w[2] and w[3] > 0 > w[4]
+
+    sel = CU.dsir_select(df, target, k=2).collect()
+    assert len(sel) == 2
+    sel2 = CU.dsir_select(df.repartition(7), target, k=2).collect()
+    assert sorted(r.doc_id for r in sel) == sorted(r.doc_id for r in sel2)
+
+
+def test_quality_classifier_orders_prose_over_soup(spark):
+    """The logistic scorer must rank stopword-rich prose above
+    punctuation soup, and handle empty text without nulls."""
+    from kerf_spark.operators import text as TX
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy to be in the sun"),
+        (2, "!!! ??? ;;; ::: ,,, ... ((( ))) [[[ ]]] {{{ }}}"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = TX.quality_classifier_score("text")
+    got = {
+        r.doc_id: r.score
+        for r in df.select("doc_id", cols["score"].alias("score")).collect()
+    }
+    assert got[1] > got[2]
+    assert all(v is not None and 0.0 < v < 1.0 for v in got.values())
