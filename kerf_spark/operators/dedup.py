@@ -861,3 +861,99 @@ def levenshtein_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+# ------------------------------------------------- incremental dedup
+def incremental_neardup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup detection of a NEW batch against an EXISTING index —
+    the continuous-ingestion shape: dedupe today's crawl against the
+    historical corpus without ever re-pairing the history with itself.
+
+    Same engine-portable band-key family as
+    :func:`minhash_dedup_portable`, but the candidate stage is an
+    equi-join of batch band keys against index band keys — never a
+    self-join and never index×index, so work scales with
+    |batch| × collision-rate, not |index|².  At 100 TB the index's
+    band keys are computed once and STORED (bucketed by (band, key)
+    via ``Workspace.save``), so the marginal cost of each increment is
+    one band-key build over the batch plus one bucketed join; index
+    hot buckets are capped loudly (``_cap_buckets`` discipline) and
+    exact-Jaccard verification touches index shingles only for docs
+    that actually appear in a candidate pair (semi-join first).
+
+    Returns verified ``(batch_id, index_id, jaccard)`` pairs.
+    """
+    bb, bsh = portable_band_keys(
+        batch, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    ib, ish = portable_band_keys(
+        index, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    ib = _cap_buckets(ib, ["band", "key"], id_col, max_bucket, "incremental_neardup")
+    cand = (
+        bb.withColumnRenamed(id_col, "batch_id")
+        .join(ib.withColumnRenamed(id_col, "index_id"), ["band", "key"])
+        .select("batch_id", "index_id")
+        .distinct()
+        .persist()
+    )
+    ish_needed = ish.join(
+        cand.select(F.col("index_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    x = bsh.withColumnRenamed(id_col, "batch_id").withColumnRenamed("sh", "sh_a")
+    y = ish_needed.withColumnRenamed(id_col, "index_id").withColumnRenamed(
+        "sh", "sh_b"
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        9,
+    )
+    return (
+        cand.join(x, "batch_id")
+        .join(y, "index_id")
+        .select("batch_id", "index_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The rows an incremental ingest actually admits: batch docs that
+    are neither exact duplicates (normalized-content fingerprint
+    anti-join) nor verified near-duplicates of the index.  Two
+    anti-joins over the batch — the index is only touched through its
+    (stored, bucketed) fingerprint and band-key tables."""
+    from .text import fingerprint_md5
+
+    fp_batch = batch.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
+    fp_index = index.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+    exact_new = fp_batch.join(fp_index, "__fp", "left_anti").select(id_col)
+    near = incremental_neardup(
+        batch, index, text_col, id_col, num_hashes, bands, shingle_n, threshold
+    )
+    near_ids = near.select(F.col("batch_id").alias(id_col)).distinct()
+    return (
+        batch.join(exact_new, id_col, "left_semi")
+        .join(near_ids, id_col, "left_anti")
+    )

@@ -3503,6 +3503,82 @@ def minhash_portable_pairs(spark, sf):
     )
 
 
+# shared CTEs for the incremental (batch-vs-index) dedup pair: portable
+# band keys over both sides, batch = doc_id >= 400, index = doc_id < 400
+_INCR_CTES = """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM words
+    ), sig AS (
+      SELECT doc_id, shingles,
+             list_transform(generate_series(0, 15), i ->
+               list_min(list_transform(shingles,
+                 s -> ('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+      FROM sig, generate_series(0, 3) t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS index_id
+      FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key
+      WHERE a.doc_id >= 400 AND c.doc_id < 400
+    ), verified AS (
+      SELECT cand.batch_id, cand.index_id,
+             round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))), 9)
+               AS jaccard
+      FROM cand JOIN sh x ON x.doc_id = cand.batch_id
+                JOIN sh y ON y.doc_id = cand.index_id
+      WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.shingles, y.shingles))), 9)
+            >= 0.5
+    )"""
+
+
+@query(
+    "incremental_neardup_pairs",
+    _INCR_CTES + "\n    SELECT batch_id, index_id, jaccard FROM verified",
+)
+def incremental_neardup_pairs(spark, sf):
+    """Continuous-ingestion dedup: near-dup pairs of a NEW batch
+    (doc_id ≥ 400) against the EXISTING index (doc_id < 400) — band-key
+    equi-join across corpora, never a self-join, work ∝ |batch| ×
+    collision-rate rather than |index|²."""
+    d = _t(spark, sf, "documents")
+    batch = d.where(F.col("doc_id") >= 400)
+    index = d.where(F.col("doc_id") < 400)
+    return DD.incremental_neardup(batch, index, threshold=0.5)
+
+
+@query(
+    "incremental_new_docs",
+    _INCR_CTES + """
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id >= 400
+      AND md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) NOT IN (
+        SELECT md5(lower(trim(regexp_replace(i.text, '\\s+', ' ', 'g'))))
+        FROM documents i WHERE i.doc_id < 400)
+      AND d.doc_id NOT IN (SELECT batch_id FROM verified)
+    """,
+)
+def incremental_new_docs_q(spark, sf):
+    """What the incremental ingest admits: batch docs that are neither
+    exact (fingerprint anti-join) nor near duplicates of the index."""
+    d = _t(spark, sf, "documents")
+    batch = d.where(F.col("doc_id") >= 400)
+    index = d.where(F.col("doc_id") < 400)
+    return DD.incremental_new_docs(batch, index, threshold=0.5).select(
+        "doc_id", "lang"
+    )
+
+
 @query(
     "lsh_hot_bucket_report",
     """

@@ -1016,3 +1016,30 @@ def test_quality_classifier_orders_prose_over_soup(spark):
     }
     assert got[1] > got[2]
     assert all(v is not None and 0.0 < v < 1.0 for v in got.values())
+
+
+def test_incremental_dedup_batch_vs_index(spark):
+    """Batch-vs-index dedup: exact copies and near-copies of index docs
+    are rejected, genuinely new docs are admitted, and index×index
+    pairs are never emitted."""
+    idx_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "pack my box with five dozen liquor jugs for the long trip north"),
+        (3, "how vexingly quick daft zebras jump over the fence in the morning"),
+    ]
+    batch_rows = [
+        (101, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+        (102, "pack my box with five dozen liquor jugs for the long trip south"),     # near dup of 2
+        (103, "completely unrelated fresh content about spark query planning at scale"),
+    ]
+    idx = spark.createDataFrame(idx_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    pairs = DD.incremental_neardup(batch, idx, threshold=0.5).collect()
+    got = {(r.batch_id, r.index_id) for r in pairs}
+    assert (101, 1) in got and (102, 2) in got
+    assert all(b >= 100 and i < 100 for b, i in got)  # strictly cross-corpus
+    assert all(r.jaccard == 1.0 for r in pairs if r.batch_id == 101)
+
+    admitted = {r.doc_id for r in DD.incremental_new_docs(batch, idx, threshold=0.5).collect()}
+    assert admitted == {103}
