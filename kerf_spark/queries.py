@@ -3407,6 +3407,73 @@ def dup_clusters_docs(spark, sf):
     return DD.dup_clusters(pairs.select("id_a", "id_b"))
 
 
+@query(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, substr(t, 1, 32) AS pfx, string_split_regex(t, '\\s+') AS ws
+      FROM norm
+    ), sh AS (
+      SELECT doc_id, pfx,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
+    ), clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    ), keyed AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'split'),
+                                     1, 8))::BIGINT % 100 < 10 THEN 'val'
+                WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || 'split'),
+                                     1, 8))::BIGINT % 100 < 20 THEN 'test'
+                ELSE 'train' END AS split
+    FROM keyed
+    """,
+)
+def leakage_safe_split(spark, sf):
+    """Group-leakage-safe train/val/test assignment: split keyed by the
+    near-dup CLUSTER id, not the doc id, so no near-duplicate pair can
+    straddle train and eval — the contamination mode a doc-keyed split
+    cannot prevent.  Composition of dup_clusters (iterative min-label
+    propagation over verified pairs) + the stable salted-hash split."""
+    from .operators.sampling import train_val_test_split
+
+    d = _t(spark, sf, "documents")
+    pairs = DD.prefix_jaccard_pairs(d, prefix_len=32, shingle_n=3, threshold=0.5)
+    clusters = DD.dup_clusters(pairs.select("id_a", "id_b"))
+    keyed = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return train_val_test_split(keyed, "cluster").select(
+        "doc_id", "cluster", "split"
+    )
+
+
 # =====================================================================
 # deterministic sampling / splits (reproducible training-data ops)
 # =====================================================================

@@ -1043,3 +1043,17 @@ def test_incremental_dedup_batch_vs_index(spark):
 
     admitted = {r.doc_id for r in DD.incremental_new_docs(batch, idx, threshold=0.5).collect()}
     assert admitted == {103}
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    """No verified near-dup pair may straddle splits: both members key
+    by the same cluster id, hence land in the same split."""
+    from kerf_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    split = {r.doc_id: r.split for r in QUERIES["leakage_safe_split"](spark, sf).collect()}
+    d = spark.read.parquet(sf + "/documents.parquet")
+    pairs = DD.prefix_jaccard_pairs(d, prefix_len=32, shingle_n=3, threshold=0.5).collect()
+    assert pairs, "fixture should contain at least one near-dup pair"
+    for r in pairs:
+        assert split[r.id_a] == split[r.id_b]

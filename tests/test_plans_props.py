@@ -626,3 +626,27 @@ def test_moving_median_matches_numpy(spark, vals, width):
     for i in range(len(vals)):
         frame = vals[max(0, i - width + 1): i + 1]
         assert abs(got[i] - float(np.median(frame))) < 1e-6
+
+
+def test_semantic_dedup_plan_is_keyed_equi_join(spark):
+    """SemDeDup's within-cell pair search must plan as an equi-join on
+    the cell id (shuffle keyed, AQE-skew-splittable) — never a nested
+    loop or cartesian product, at any corpus size."""
+    plan = plan_of(QUERIES["semantic_dedup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_plan_is_keyed_equi_join(spark):
+    """Batch-vs-index candidate generation must be an equi-join on
+    (band, key) — the stored-index join shape — with no nested loop."""
+    plan = plan_of(QUERIES["incremental_neardup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_select_plans_as_take_ordered(spark):
+    """The Gumbel top-k draw must compile to TakeOrderedAndProject —
+    no global sort materializes for the k-row selection."""
+    plan = plan_of(QUERIES["dsir_select_docs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
