@@ -263,21 +263,9 @@ def dsir_weights(
     from .sampling import hash_bucket
 
     def gram_buckets(df: DataFrame) -> DataFrame:
-        words = _staged_words(df, text_col, id_col).filter(
-            F.size("__w") >= n
-        )
-        grams = words.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__w") - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[F.element_at(F.col("__w"), i + j) for j in range(n)],
-                    ),
-                )
-            ).alias("gram"),
-        )
+        # shared n-gram builder (same staging + short-doc exclusion as
+        # every other gram consumer); multiplicity preserved
+        grams = word_ngram_rows(df, text_col, id_col, n=n, distinct=False)
         return grams.select(
             F.col(id_col), hash_bucket("gram", buckets, salt).alias("bucket")
         )

@@ -543,6 +543,19 @@ def dup_clusters(
                 break
         else:
             labels = new_labels
+    else:
+        # ran out of rounds with the final probe still reporting change:
+        # the labels are PARTIAL.  Returning them silently would let a
+        # chain-shaped cluster (diameter > max_iter) split across
+        # downstream consumers that assume one label per component —
+        # e.g. leakage_safe_split's no-straddle guarantee.  Fail loud.
+        edges.unpersist()
+        raise ValueError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds (a dup-chain longer than max_iter exists); "
+            f"raise max_iter — rounds are cheap joins over the candidate "
+            f"node set, and partial labels are silently wrong"
+        )
     edges.unpersist()
     return labels
 
@@ -874,6 +887,8 @@ def incremental_neardup(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    index_bands: DataFrame | None = None,
+    index_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup detection of a NEW batch against an EXISTING index —
     the continuous-ingestion shape: dedupe today's crawl against the
@@ -883,23 +898,32 @@ def incremental_neardup(
     :func:`minhash_dedup_portable`, but the candidate stage is an
     equi-join of batch band keys against index band keys — never a
     self-join and never index×index, so work scales with
-    |batch| × collision-rate, not |index|².  At 100 TB the index's
-    band keys are computed once and STORED (bucketed by (band, key)
-    via ``Workspace.save``), so the marginal cost of each increment is
-    one band-key build over the batch plus one bucketed join; index
-    hot buckets are capped loudly (``_cap_buckets`` discipline) and
-    exact-Jaccard verification touches index shingles only for docs
-    that actually appear in a candidate pair (semi-join first).
+    |batch| × collision-rate, not |index|².  At 100 TB pass
+    ``index_bands``/``index_shingles`` — the stored tables from a
+    one-time ``portable_band_keys(index)`` run, saved bucketed by
+    (band, key) via ``Workspace.save`` — so each increment pays one
+    band-key build over the BATCH plus one bucketed join, never a
+    re-hash of the history (without them, ``index`` is re-banded per
+    call, which is only acceptable at exploratory scale).  Hot buckets
+    are capped loudly on BOTH sides (``_cap_buckets`` discipline — a
+    boilerplate-heavy batch would otherwise multiply uncapped against
+    capped index buckets) and exact-Jaccard verification touches index
+    shingles only for docs that actually appear in a candidate pair
+    (semi-join first).
 
     Returns verified ``(batch_id, index_id, jaccard)`` pairs.
     """
     bb, bsh = portable_band_keys(
         batch, text_col, id_col, num_hashes, bands, shingle_n
     )
-    ib, ish = portable_band_keys(
-        index, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    if index_bands is not None and index_shingles is not None:
+        ib, ish = index_bands, index_shingles
+    else:
+        ib, ish = portable_band_keys(
+            index, text_col, id_col, num_hashes, bands, shingle_n
+        )
     ib = _cap_buckets(ib, ["band", "key"], id_col, max_bucket, "incremental_neardup")
+    bb = _cap_buckets(bb, ["band", "key"], id_col, max_bucket, "incremental_neardup")
     cand = (
         bb.withColumnRenamed(id_col, "batch_id")
         .join(ib.withColumnRenamed(id_col, "index_id"), ["band", "key"])
@@ -938,19 +962,31 @@ def incremental_new_docs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    index_bands: DataFrame | None = None,
+    index_shingles: DataFrame | None = None,
+    index_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """The rows an incremental ingest actually admits: batch docs that
     are neither exact duplicates (normalized-content fingerprint
     anti-join) nor verified near-duplicates of the index.  Two
-    anti-joins over the batch — the index is only touched through its
-    (stored, bucketed) fingerprint and band-key tables."""
+    anti-joins over the batch.  At production scale pass the stored
+    index tables (``index_bands``/``index_shingles`` from
+    ``portable_band_keys``, ``index_fingerprints`` as a one-column
+    fingerprint frame) so the history is only touched through its
+    precomputed, bucketed artifacts."""
     from .text import fingerprint_md5
 
     fp_batch = batch.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
-    fp_index = index.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+    if index_fingerprints is not None:
+        fp_index = index_fingerprints.select(
+            F.col(index_fingerprints.columns[0]).alias("__fp")
+        ).distinct()
+    else:
+        fp_index = index.select(fingerprint_md5(text_col).alias("__fp")).distinct()
     exact_new = fp_batch.join(fp_index, "__fp", "left_anti").select(id_col)
     near = incremental_neardup(
-        batch, index, text_col, id_col, num_hashes, bands, shingle_n, threshold
+        batch, index, text_col, id_col, num_hashes, bands, shingle_n,
+        threshold, DEFAULT_MAX_BUCKET, index_bands, index_shingles,
     )
     near_ids = near.select(F.col("batch_id").alias(id_col)).distinct()
     return (

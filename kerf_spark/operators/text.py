@@ -495,7 +495,15 @@ def quality_classifier_score(
     f_len = F.least(char_count(text) / F.lit(500.0), F.lit(1.0))
     f_stop = stopword_ratio(text, tokens=toks)
     f_punct = punct_ratio(text)
-    f_wordlen = F.least(mean_word_len(text) / F.lit(8.0), F.lit(1.0))
+    # mean word length from the staged tokens (lengths are
+    # case-invariant) — mean_word_len(text) would re-run the tokenizer
+    mean_wl = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / n_tokens
+    )
+    f_wordlen = F.least(mean_wl / F.lit(8.0), F.lit(1.0))
     f_alpha = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
         / n_tokens.cast("double")

@@ -3523,9 +3523,12 @@ def train_val_test_split_q(spark, sf):
     )
 
 
-@query(
-    "minhash_portable_pairs",
-    """
+# ONE definition of the portable-minhash band-key chain (normalize →
+# 3-shingles → 16 md5 '#i' min-hashes → 4-band keys).  Every oracle
+# that speaks "portable band keys" (pairs, hot-bucket audit,
+# incremental dedup) appends to this — a hash-family or shingle-
+# convention change edits exactly one string.
+_PORTABLE_BANDS_CTES = """
     WITH norm AS (
       SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
       FROM documents
@@ -3545,7 +3548,13 @@ def train_val_test_split_q(spark, sf):
     ), bands AS (
       SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
       FROM sig, generate_series(0, 3) t(b)
-    ), cand AS (
+    )"""
+
+
+@query(
+    "minhash_portable_pairs",
+    _PORTABLE_BANDS_CTES + """
+    , cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       FROM bands a JOIN bands c
         ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
@@ -3570,29 +3579,10 @@ def minhash_portable_pairs(spark, sf):
     )
 
 
-# shared CTEs for the incremental (batch-vs-index) dedup pair: portable
-# band keys over both sides, batch = doc_id >= 400, index = doc_id < 400
-_INCR_CTES = """
-    WITH norm AS (
-      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents
-    ), words AS (
-      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
-    ), sh AS (
-      SELECT doc_id, list_distinct(list_transform(
-               generate_series(1, greatest(len(ws) - 2, 1)),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
-      FROM words
-    ), sig AS (
-      SELECT doc_id, shingles,
-             list_transform(generate_series(0, 15), i ->
-               list_min(list_transform(shingles,
-                 s -> ('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT))) AS sig
-      FROM sh
-    ), bands AS (
-      SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
-      FROM sig, generate_series(0, 3) t(b)
-    ), cand AS (
+# shared CTEs for the incremental (batch-vs-index) dedup pair: the
+# portable band-key chain + batch = doc_id >= 400, index = doc_id < 400
+_INCR_CTES = _PORTABLE_BANDS_CTES + """
+    , cand AS (
       SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS index_id
       FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key
       WHERE a.doc_id >= 400 AND c.doc_id < 400
@@ -3648,27 +3638,7 @@ def incremental_new_docs_q(spark, sf):
 
 @query(
     "lsh_hot_bucket_report",
-    """
-    WITH norm AS (
-      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-      FROM documents
-    ), words AS (
-      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
-    ), sh AS (
-      SELECT doc_id, list_distinct(list_transform(
-               generate_series(1, greatest(len(ws) - 2, 1)),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
-      FROM words
-    ), sig AS (
-      SELECT doc_id,
-             list_transform(generate_series(0, 15), i ->
-               list_min(list_transform(shingles,
-                 s -> ('0x' || substr(md5(s || '#' || i), 1, 15))::BIGINT))) AS sig
-      FROM sh
-    ), bands AS (
-      SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
-      FROM sig, generate_series(0, 3) t(b)
-    )
+    _PORTABLE_BANDS_CTES + """
     SELECT CAST(b AS INT) AS band, key,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(*) - 2 AS BIGINT) AS dropped

@@ -1057,3 +1057,16 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     assert pairs, "fixture should contain at least one near-dup pair"
     for r in pairs:
         assert split[r.id_a] == split[r.id_b]
+
+
+def test_dup_clusters_raises_when_unconverged(spark):
+    """Partial labels are silently wrong (split-straddle hazard), so a
+    chain longer than max_iter must raise, not return."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        DD.dup_clusters(chain, max_iter=2, check_every=2)
+    # and a convergent call still works
+    ok = DD.dup_clusters(chain, max_iter=25, check_every=3).collect()
+    assert {r.cluster for r in ok} == {0}
