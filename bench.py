@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "cosine_topk_exact",
     "token_count_docs",
+    # round-4 additions: continuous-ingestion dedup (cross-corpus band
+    # join) carries a measured slope like the self-join dedup path
+    "incremental_neardup_pairs",
 ]
 
 

@@ -524,3 +524,111 @@ def semantic_dedup_survivors(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------- storage transforms
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× storage shrink an
+    embedding lake applies before ANN serving.  Per row: scale =
+    max(|x|), q_i = round(x_i / scale · 127) ∈ [−127, 127], all Column
+    math (one pass for the scale, one for the codes).  Emits the scale
+    and the quantized array; :func:`dequantize_expr` reconstructs.
+    Zero vectors quantize to all-zero codes with scale 0."""
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    staged = df.select(
+        F.col(id_col),
+        emb.alias("__emb"),
+    ).select(
+        id_col,
+        "__emb",
+        F.array_max(F.transform("__emb", F.abs)).alias("scale"),
+    )
+    codes = F.when(F.col("scale") == 0, F.transform("__emb", lambda x: F.lit(0))).otherwise(
+        F.transform(
+            "__emb",
+            lambda x: F.round(x / F.col("scale") * 127).cast("int"),
+        )
+    )
+    return staged.select(
+        id_col,
+        F.col("scale"),
+        codes.cast("array<int>").alias("codes"),
+    )
+
+
+def dequantize_expr(codes, scale) -> Column:
+    """Inverse of :func:`quantize_embeddings`: x̂_i = code_i · scale/127."""
+    return F.transform(_c(codes), lambda q: q * _c(scale) / F.lit(127.0))
+
+
+def pca_components(
+    vecs: list[list[float]], k: int, iters: int = 30
+) -> list[list[float]]:
+    """Deterministic top-``k`` principal components by power iteration
+    with Gram-Schmidt deflation, on a driver-side sample (fixed numpy
+    reduction order → bit-reproducible, the property that lets a SQL
+    oracle re-derive identical components — same discipline as
+    :func:`kmeans_centroids`).  Sign convention: each component's
+    largest-|coordinate| entry is made positive, so the basis is unique.
+    """
+    import numpy as np
+
+    a = np.asarray(vecs, dtype=np.float64)
+    a = a - a.mean(axis=0)
+    cov = (a.T @ a) / max(len(a) - 1, 1)
+    comps: list[list[float]] = []
+    for c in range(k):
+        v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+        for _ in range(iters):
+            v = cov @ v
+            for u in comps:
+                v = v - np.dot(v, u) * np.asarray(u)
+            n = np.linalg.norm(v)
+            if n == 0:
+                break
+            v = v / n
+        pivot = int(np.abs(v).argmax())
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def pca_project(
+    corpus: DataFrame,
+    k: int = 4,
+    n_sample: int = 512,
+    iters: int = 30,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto the corpus's top-``k`` principal
+    components — dimensionality reduction for cheap pre-filtering /
+    visualization.  The fit runs on the deterministic md5-ordered
+    driver sample (O(n_sample·dim), the only driver-side data — the
+    learned-transform-as-plan-literal discipline shared with IVF and
+    SemDeDup); the projection is a narrow JVM-side map over the corpus:
+    no shuffle at all.  Emits ``pc0..pc{k-1}``."""
+    sample = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .select(vec_col)
+        .limit(n_sample)
+        .collect()
+    )
+    vecs = [list(r[0]) for r in sample if r[0] is not None]
+    if not vecs:
+        raise ValueError("empty corpus")
+    comps = pca_components(vecs, k, iters)
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    staged = corpus.select(F.col(id_col), emb.alias("__emb"))
+    return staged.select(
+        id_col,
+        *[
+            F.round(dot(F.col("__emb"), F.lit(comps[c])), 6).alias(f"pc{c}")
+            for c in range(k)
+        ],
+    )

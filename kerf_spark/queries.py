@@ -3955,6 +3955,79 @@ except Exception:
 
 
 @query(
+    "quantize_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS scale
+      FROM e
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+                ELSE list_transform(emb,
+                       x -> CAST(round(x / scale * 127) AS INT))
+           END AS codes
+    FROM s
+    """,
+)
+def quantize_embeddings_q(spark, sf):
+    """Per-vector symmetric int8 quantization (the 4× embedding-lake
+    shrink before ANN serving) — scale + code array, all Column math,
+    zero shuffle; oracle checks every code byte."""
+    em = _t(spark, sf, "embeddings")
+    return SIM.quantize_embeddings(em)
+
+
+def _pca_oracle_sql(k=4, n_sample=512, sf_dir="/root/testdata/sf0.01") -> str:
+    """Re-derive the identical principal components from the identical
+    md5-ordered sample (the learned-transform-as-literal discipline —
+    same as the IVF/SemDeDup centroid oracles)."""
+    import duckdb
+
+    from .operators.similarity import pca_components
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_sample}"
+    ).fetchall()
+    con.close()
+    vecs = [list(r[0]) for r in rows if r[0] is not None]
+    comps = pca_components(vecs, k, iters=30)
+    proj = ", ".join(
+        "round(list_dot_product(emb, ["
+        + ", ".join(repr(x) for x in comps[c])
+        + f"]), 6) AS pc{c}"
+        for c in range(k)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT vec_id, {proj} FROM e
+    """
+
+
+@query("pca_project_embeddings", None)
+def pca_project_embeddings(spark, sf):
+    """Top-4 PCA projection: power-iteration fit on the deterministic
+    driver sample, components applied as plan literals — a pure
+    narrow map over the corpus, no shuffle."""
+    em = _t(spark, sf, "embeddings")
+    return SIM.pca_project(em, k=4)
+
+
+try:
+    ORACLES["pca_project_embeddings"] = _pca_oracle_sql()
+except Exception:
+    pass
+
+
+@query(
     "q13_customer_distribution",
     """
     SELECT c_count, count(*) AS custdist FROM (

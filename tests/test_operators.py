@@ -1070,3 +1070,43 @@ def test_dup_clusters_raises_when_unconverged(spark):
     # and a convergent call still works
     ok = DD.dup_clusters(chain, max_iter=25, check_every=3).collect()
     assert {r.cluster for r in ok} == {0}
+
+
+def test_quantize_roundtrip_and_pca_invariance(spark):
+    """int8 quantization reconstructs within scale/254 per coordinate
+    (half a code step); PCA projection is partition-layout-invariant
+    and orthonormal-ish (components from the deterministic sample)."""
+    from kerf_spark.sources.io import read_table
+
+    em = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = SIM.quantize_embeddings(em)
+    joined = (
+        em.select("vec_id", "embedding")
+        .join(q, "vec_id")
+        .select(
+            "vec_id",
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    SIM.dequantize_expr("codes", F.col("scale")),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("max_err"),
+            F.col("scale"),
+        )
+    )
+    bad = joined.where(F.col("max_err") > F.col("scale") / 254.0 + 1e-12).count()
+    assert bad == 0
+
+    p1 = sorted(map(tuple, SIM.pca_project(em, k=3).collect()))
+    p2 = sorted(map(tuple, SIM.pca_project(em.repartition(11), k=3).collect()))
+    assert p1 == p2
+
+    comps = SIM.pca_components(
+        [[1.0, 0.0], [0.0, 2.0], [-1.0, 0.0], [0.0, -2.0]], k=2
+    )
+    import math
+    assert abs(sum(x * x for x in comps[0]) - 1.0) < 1e-9
+    assert abs(sum(a * b for a, b in zip(comps[0], comps[1]))) < 1e-6
+    # dominant variance axis is y (variance 2^2 spread)
+    assert abs(comps[0][1]) > abs(comps[0][0])
