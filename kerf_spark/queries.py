@@ -3637,6 +3637,55 @@ def incremental_new_docs_q(spark, sf):
 
 
 @query(
+    "stream_incremental_dedup",
+    _INCR_CTES + """
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id >= 400
+      AND md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) NOT IN (
+        SELECT md5(lower(trim(regexp_replace(i.text, '\\s+', ' ', 'g'))))
+        FROM documents i WHERE i.doc_id < 400)
+      AND d.doc_id NOT IN (SELECT batch_id FROM verified)
+    """,
+)
+def stream_incremental_dedup(spark, sf):
+    """The STREAMING twin of incremental_new_docs — the shape a live
+    ingest runs: documents arrive as a stream, each micro-batch is
+    deduped against the static index through its precomputed band-key /
+    shingle / fingerprint tables (built once outside the stream, the
+    stored-index discipline) via ``foreachBatch``, and admitted rows
+    append to a parquet sink.  Same oracle as the batch twin: streaming
+    must admit exactly the docs the batch pipeline admits."""
+    import tempfile
+
+    from .operators.text import fingerprint_md5
+    from .streaming.ingest import stream_table
+
+    d = _t(spark, sf, "documents")
+    index = d.where(F.col("doc_id") < 400)
+    # one-time stored-index artifacts (static, reused by every batch)
+    ib, ish = DD.portable_band_keys(index)
+    ifp = index.select(fingerprint_md5("text").alias("fp"))
+    out_dir = tempfile.mkdtemp(prefix="kerf_stream_incr_")
+
+    def admit(bdf, _epoch):
+        batch = bdf.where(F.col("doc_id") >= 400)
+        DD.incremental_new_docs(
+            batch, index, threshold=0.5,
+            index_bands=ib, index_shingles=ish, index_fingerprints=ifp,
+        ).select("doc_id", "lang").write.mode("append").parquet(out_dir)
+
+    stream = stream_table(spark, sf, "documents")
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+@query(
     "lsh_hot_bucket_report",
     _PORTABLE_BANDS_CTES + """
     SELECT CAST(b AS INT) AS band, key,
