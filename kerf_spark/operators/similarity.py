@@ -28,6 +28,34 @@ def _c(col):
     return F.col(col) if isinstance(col, str) else col
 
 
+def array_lit(nested, element_type: str = "double") -> Column:
+    """Literal (possibly nested) numeric array via ONE ``F.expr`` call.
+
+    ``F.lit(list)`` builds one py4j literal round-trip per element — an
+    8×64 centroid matrix costs ~512 driver↔JVM calls (~0.3 s of pure
+    plan-construction latency), and the LSH hyperplane tensor ~2000.
+    Rendering the whole literal as a SQL expression string makes it a
+    single call parsed JVM-side.  ``repr(float)`` is the shortest
+    round-tripping decimal, and the outer CAST pins every element to
+    ``element_type``, so values are bit-identical to the F.lit path.
+    """
+    depth = 0
+    probe = nested
+    while isinstance(probe, (list, tuple)):
+        depth += 1
+        probe = probe[0]
+
+    def fmt(v):
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(fmt(x) for x in v) + ")"
+        return repr(float(v)) if element_type == "double" else repr(int(v))
+
+    sql_type = element_type
+    for _ in range(depth):
+        sql_type = f"array<{sql_type}>"
+    return F.expr(f"CAST({fmt(nested)} AS {sql_type})")
+
+
 # ------------------------------------------------------------ primitives
 def dot(a, b) -> Column:
     """Dot product of two array columns — zip_with + aggregate, codegen'd."""
@@ -158,7 +186,7 @@ def _band_sigs(
         )
 
     return F.zip_with(
-        F.lit(mat),
+        array_lit(mat),
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda planes, b: F.struct(
             b.alias("band"), band_sig(planes).alias("sig")
@@ -363,7 +391,7 @@ def ivf_topk(
     # aggregate subtree exponentially).  All cell distances come from a
     # single transform over the literal, STAGED through a projection
     # boundary so each row evaluates the n_cells aggregates exactly once.
-    cents_lit = F.lit([[float(x) for x in cvec] for cvec in cents])
+    cents_lit = array_lit([[float(x) for x in cvec] for cvec in cents])
 
     def d2s_expr(vec) -> Column:
         return F.transform(
@@ -446,7 +474,7 @@ def semantic_dedup_pairs(
     cells bounded; key-skew on hot cells is handled by AQE skew-join.
     """
     cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
-    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    cents_lit = array_lit([[float(x) for x in c] for c in cents])
     # stage 1: cast to double once; stage 2: all-cell distances from ONE
     # transform over the centroid literal (projection boundary so the
     # aggregate evaluates once per row); stage 3: argmin cell with
@@ -628,7 +656,7 @@ def pca_project(
     return staged.select(
         id_col,
         *[
-            F.round(dot(F.col("__emb"), F.lit(comps[c])), 6).alias(f"pc{c}")
+            F.round(dot(F.col("__emb"), array_lit(comps[c])), 6).alias(f"pc{c}")
             for c in range(k)
         ],
     )
