@@ -524,3 +524,131 @@ def quality_classifier_score(
         "f_alpha": f_alpha,
         "score": F.lit(1.0) / (F.lit(1.0) + F.exp(-z)),
     }
+
+
+# ---------------------------------------------------------------- BPE
+def word_freq_table(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """(word, freq) over the corpus — the Zipf-collapsed vocabulary
+    table every tokenizer-induction step runs on.  ONE corpus-sized
+    shuffle (map-side partial counts first); everything downstream is
+    vocab-sized."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.explode(word_tokens(normalize_text(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _char_tokens(word) -> Column:
+    """Word → character-token array (split('') yields chars plus empty
+    fragments at the edges — filtered)."""
+    return F.filter(F.split(_c(word), ""), lambda t: F.length(t) > 0)
+
+
+def _apply_merge(tokens: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right, non-overlapping BPE merge of the pair
+    (left, right) — the fold appends, or fuses with the accumulator's
+    tail when it equals ``left`` and the next token is ``right``.  On
+    'aaa' with merge (a,a) this yields [aa, a], the standard BPE
+    convention.  Pure Column fold, no UDF."""
+    fused = F.lit(left + right)
+    return F.aggregate(
+        tokens,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (t == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_pair_counts(
+    df: "DataFrame",  # noqa: F821
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+) -> "DataFrame":  # noqa: F821
+    """Frequency of adjacent character pairs across the vocabulary,
+    weighted by word frequency — iteration 0 of BPE training, fully
+    SQL-oracle-checkable.  Deterministic order: count desc, then pair."""
+    wf = word_freq_table(df, text_col, id_col)
+    toks = wf.select("word", "freq", _char_tokens("word").alias("__t"))
+    pairs = toks.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, F.size("__t") - 1),
+                F.slice("__t", 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+            )
+        ).alias("__p"),
+    ).select("freq", F.col("__p.left").alias("left"), F.col("__p.right").alias("right"))
+    counts = pairs.groupBy("left", "right").agg(F.sum("freq").alias("pair_count"))
+    return counts.orderBy(
+        F.desc("pair_count"), F.asc("left"), F.asc("right")
+    ).limit(top)
+
+
+def bpe_learn(
+    df: "DataFrame",  # noqa: F821
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """Learn ``n_merges`` BPE merges from the corpus — tokenizer
+    induction as a Spark job.
+
+    Scale shape: the corpus collapses to the (word, freq) vocabulary in
+    ONE data-sized shuffle; every merge iteration then runs on the
+    vocab table only — one vocab-sized pair-count aggregation, a 1-row
+    TakeOrdered collect (the argmax pair, the only driver data), and a
+    shuffle-free fold projection applying the merge.  ``localCheckpoint``
+    per step truncates the iterative lineage (the dup_clusters
+    discipline), so plan size stays O(1) across steps.  Ties break
+    (count desc, left asc, right asc) — deterministic on any layout.
+
+    Returns (step, left, right, pair_count) — the ordered merge table
+    a downstream tokenizer ships as its artifact.
+    """
+    spark = df.sparkSession
+    wf = word_freq_table(df, text_col, id_col)
+    cur = wf.select(
+        "word", "freq", _char_tokens("word").alias("toks")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        best = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("toks", 1, F.size("toks") - 1),
+                        F.slice("toks", 2, F.size("toks") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("__p"),
+            )
+            .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0].l, best[0].r, int(best[0].c)
+        merges.append((step, left, right, cnt))
+        cur = cur.select(
+            "word", "freq", _apply_merge(F.col("toks"), left, right).alias("toks")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    )

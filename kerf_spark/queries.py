@@ -1610,6 +1610,115 @@ def dsir_select_docs(spark, sf):
 
 
 @query(
+    "bpe_pair_counts",
+    """
+    WITH norm AS (
+      SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents WHERE trim(text) <> ''
+    ), wf AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest(string_split(t, ' ')) AS w FROM norm)
+      GROUP BY w
+    ), toks AS (
+      SELECT word, freq, string_split(word, '') AS ts FROM wf
+    ), pairs AS (
+      SELECT freq, p['l'] AS lft, p['r'] AS rgt
+      FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> {'l': ts[i], 'r': ts[i+1]})) AS p
+        FROM toks
+      )
+    ), counts AS (
+      SELECT lft AS left, rgt AS right, sum(freq) AS pair_count
+      FROM pairs GROUP BY lft, rgt
+    )
+    SELECT * FROM counts
+    ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 20
+    """,
+)
+def bpe_pair_counts_q(spark, sf):
+    """Iteration 0 of BPE tokenizer induction: adjacent character-pair
+    frequencies weighted by word frequency — fully SQL-oracle-checked.
+    One corpus-sized shuffle to the vocab table, vocab-sized after."""
+    d = _t(spark, sf, "documents")
+    return TX.bpe_pair_counts(d, top=20)
+
+
+def _bpe_merges_oracle_sql(n_merges=8, sf_dir="/root/testdata/sf0.01") -> str:
+    """Oracle for the iterative BPE trainer: an INDEPENDENT pure-Python
+    word-freq BPE (classic algorithm) runs on the duckdb-read fixture
+    and the expected merge table embeds as a VALUES literal — the same
+    re-derive-outside-Spark discipline as the centroid oracles."""
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') WHERE trim(text) <> ''"
+    ).fetchall()
+    con.close()
+    freqs: collections.Counter = collections.Counter()
+    for (norm,) in rows:
+        if norm:
+            freqs.update(norm.split(" "))
+    vocab = {w: list(w) for w in freqs}
+    merges = []
+    for step in range(n_merges):
+        counts: collections.Counter = collections.Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += freqs[w]
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, cnt))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({s}, {q(l)}, {q(r)}, {c})" for s, l, r, c in merges
+    )
+    return (
+        "SELECT CAST(step AS INT) AS step, \"left\", \"right\", "
+        "CAST(pair_count AS BIGINT) AS pair_count "
+        f'FROM (VALUES {vals}) t(step, "left", "right", pair_count)'
+    )
+
+
+@query("bpe_merges_learned", None)
+def bpe_merges_learned(spark, sf):
+    """Tokenizer induction as a Spark job: 8 BPE merges learned from
+    the corpus.  Corpus-sized work happens once (the word-freq
+    collapse); each merge step is a vocab-sized aggregation + a 1-row
+    argmax collect + a shuffle-free fold projection.  Oracle = an
+    independent pure-Python BPE on the same fixture."""
+    d = _t(spark, sf, "documents")
+    return TX.bpe_learn(d, n_merges=8)
+
+
+try:
+    ORACLES["bpe_merges_learned"] = _bpe_merges_oracle_sql()
+except Exception:
+    pass
+
+
+@query(
     "substring_dedup_spans",
     """
     WITH norm AS (

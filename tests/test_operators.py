@@ -1110,3 +1110,66 @@ def test_quantize_roundtrip_and_pca_invariance(spark):
     assert abs(sum(a * b for a, b in zip(comps[0], comps[1]))) < 1e-6
     # dominant variance axis is y (variance 2^2 spread)
     assert abs(comps[0][1]) > abs(comps[0][0])
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE trainer (the classic word-freq algorithm) used
+    as the independent oracle for the Spark implementation."""
+    import collections
+    import re
+
+    freqs = collections.Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t).strip().lower()
+        if norm:
+            freqs.update(norm.split(" "))
+    vocab = {w: list(w) for w in freqs}
+    merges = []
+    for step in range(n_merges):
+        counts = collections.Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += freqs[w]
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, cnt))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_reference(spark):
+    """The Spark BPE trainer must agree step-for-step with a classic
+    pure-Python word-freq BPE on a corpus with repeats, overlaps
+    ('aaa'), and ties."""
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaa aaab aa aaa",
+        "the the the banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in TX.bpe_learn(df, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == _bpe_reference(texts, 6)
+
+    # greedy non-overlap on 'aaa': first merge (a,a) leaves [aa, a]
+    one = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    m = TX.bpe_learn(one, n_merges=2).orderBy("step").collect()
+    assert (m[0].left, m[0].right) == ("a", "a") and m[0].pair_count == 2
+    assert (m[1].left, m[1].right) == ("aa", "a")
