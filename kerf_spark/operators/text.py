@@ -652,3 +652,56 @@ def bpe_learn(
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    df: "DataFrame",  # noqa: F821
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":  # noqa: F821
+    """Tokenize with a learned BPE merge table: each word splits to
+    characters, then the merges apply IN LEARNED ORDER (the BPE
+    contract), each as one greedy left-to-right fold — the whole
+    encoder is a chain of ``len(merges)`` Column aggregates inside a
+    single projection: corpus-parallel, shuffle-free, no UDF.
+
+    Emits (id, tokens, n_tokens) where ``tokens`` concatenates the
+    per-word token sequences in word order.
+    """
+    words = df.select(
+        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+    )
+    per_word = F.transform(F.col("__w"), lambda w: _encode_word(w, merges))
+    return words.select(
+        F.col(id_col),
+        F.flatten(per_word).alias("tokens"),
+    ).select(
+        id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _encode_word(word: Column, merges: list[tuple[str, str]]) -> Column:
+    toks = F.filter(F.split(word, ""), lambda t: F.length(t) > 0)
+
+    def fold_fn(left: str, right: str):
+        # closure factory, NOT default args: pyspark HOF lambdas
+        # dispatch on parameter count (see minhash_signature note)
+        def fn(acc, t):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (t == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(t)))
+
+        return fn
+
+    for left, right in merges:
+        toks = F.aggregate(
+            toks, F.array().cast("array<string>"), fold_fn(left, right)
+        )
+    return toks

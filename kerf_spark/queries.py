@@ -1718,6 +1718,97 @@ except Exception:
     pass
 
 
+def _bpe_reference_state(n_merges=8, sf_dir="/root/testdata/sf0.01"):
+    """(merges, {doc_id: tokens}) from the independent Python BPE."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    import collections
+
+    freqs: collections.Counter = collections.Counter()
+    for _, norm in rows:
+        if norm:
+            freqs.update(norm.split(" "))
+    vocab = {w: list(w) for w in freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: collections.Counter = collections.Counter()
+        for w, toks in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += freqs[w]
+        if not counts:
+            break
+        (left, right), _c2 = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    enc = {}
+    for doc_id, norm in rows:
+        toks: list[str] = []
+        for w in (norm.split(" ") if norm else []):
+            toks.extend(vocab.get(w) or list(w))
+        enc[doc_id] = toks
+    return merges, enc
+
+
+def _bpe_encode_oracle_sql(n_merges=8, sf_dir="/root/testdata/sf0.01") -> str:
+    import hashlib
+
+    _, enc = _bpe_reference_state(n_merges, sf_dir)
+    vals = ", ".join(
+        f"({d}, {len(t)}, '"
+        + hashlib.md5("\x01".join(t).encode()).hexdigest()
+        + "')"
+        for d, t in sorted(enc.items())
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, tok_fp "
+        f"FROM (VALUES {vals}) t(doc_id, n_tokens, tok_fp)"
+    )
+
+
+@query("bpe_encode_docs", None)
+def bpe_encode_docs(spark, sf):
+    """The full tokenizer loop ON SPARK: learn 8 merges from the corpus
+    (bpe_learn), then encode every document with them — a chain of
+    greedy fold merges inside one shuffle-free projection.  Oracle: an
+    independent Python BPE learns+encodes the same fixture; compare
+    token count and an md5 digest of the token stream per doc."""
+    d = _t(spark, sf, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in TX.bpe_learn(d, n_merges=8).orderBy("step").collect()
+    ]
+    enc = TX.bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws("\x01", "tokens")).alias("tok_fp"),
+    )
+
+
+try:
+    ORACLES["bpe_encode_docs"] = _bpe_encode_oracle_sql()
+except Exception:
+    pass
+
+
 @query(
     "substring_dedup_spans",
     """

@@ -1173,3 +1173,40 @@ def test_bpe_learn_matches_reference(spark):
     m = TX.bpe_learn(one, n_merges=2).orderBy("step").collect()
     assert (m[0].left, m[0].right) == ("a", "a") and m[0].pair_count == 2
     assert (m[1].left, m[1].right) == ("aa", "a")
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Encoding with a learned merge table must agree with the Python
+    reference applied word-by-word in merge order."""
+    texts = ["low lower lowest", "new newest", "aaa banana"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (m[1], m[2]) for m in _bpe_reference(texts, 4)
+    ]
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in TX.bpe_encode(df, merges).collect()
+    }
+
+    def ref_encode(t):
+        out = []
+        for w in t.strip().lower().split():
+            toks = list(w)
+            for left, right in merges:
+                nxt, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                        nxt.append(left + right)
+                        i += 2
+                    else:
+                        nxt.append(toks[i])
+                        i += 1
+                toks = nxt
+            out.extend(toks)
+        return out
+
+    for i, t in enumerate(texts):
+        want = ref_encode(t)
+        assert got[i] == (want, len(want)), (i, got[i], want)
