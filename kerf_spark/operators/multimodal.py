@@ -487,3 +487,47 @@ def frame_sample(
             ids, idxs, frames = [], [], []
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_feature_check(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio DSP proof: the :func:`wav_roundtrip_check` waveform is
+    re-synthesized, round-tripped through the real RIFF/WAVE codec, and
+    summarized with the standard first-pass audio features a pipeline
+    extracts before filtering — RMS energy, zero-crossing count, peak
+    amplitude.  The closed-form sample law keeps every feature
+    independently computable in plain SQL."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from .audiocodec import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                sr = 8000 * (1 + i % 3)
+                n = 100 + i % 400
+                j = np.arange(n, dtype=np.int64)
+                samples = ((i * 31 + j * 7) % 4096 - 2048).astype(np.int16)
+                _, dec = decode_wav(encode_wav(samples, sr))
+                s = dec[:, 0].astype(np.float64)
+                rms = float(np.sqrt(np.mean(s * s)))
+                zc = int(np.sum(s[:-1] * s[1:] < 0))
+                rows.append((i, n, round(rms, 6), zc, int(np.abs(s).max())))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "rms", "zero_crossings", "peak"],
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=out_schema)

@@ -2070,6 +2070,34 @@ def multimodal_audio_decode(spark, sf):
 
 
 @query(
+    "multimodal_audio_features",
+    """
+    WITH s AS (
+      SELECT doc_id, 100 + doc_id % 400 AS n,
+             list_transform(range(0, 100 + doc_id % 400),
+                            j -> (doc_id * 31 + j * 7) % 4096 - 2048) AS smp
+      FROM documents WHERE doc_id % 10 = 7
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           round(sqrt(list_sum(list_transform(smp,
+                 x -> CAST(x * x AS DOUBLE))) / n), 6) AS rms,
+           CAST(len(list_filter(generate_series(1, n - 1),
+                 j -> smp[j] * smp[j + 1] < 0)) AS BIGINT) AS zero_crossings,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+    FROM s
+    """,
+)
+def multimodal_audio_features(spark, sf):
+    """REAL audio DSP: decoded PCM (true RIFF/WAVE round trip) reduced
+    to the first-pass features an audio pipeline filters on — RMS
+    energy, zero-crossing count, peak.  The closed-form sample law
+    keeps every feature independently computable in plain SQL (the sums
+    stay < 2^53, so any summation order gives the exact integer)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 10 == 7)
+    return MM.audio_feature_check(d, "doc_id")
+
+
+@query(
     "multimodal_features",
     """
     SELECT doc_id,
