@@ -1210,3 +1210,34 @@ def test_bpe_encode_matches_reference(spark):
     for i, t in enumerate(texts):
         want = ref_encode(t)
         assert got[i] == (want, len(want)), (i, got[i], want)
+
+
+def test_incremental_dedup_from_stored_index(spark, tmp_path):
+    """The stored-index path end to end: band keys + shingles +
+    fingerprints persisted once via Workspace (band keys bucketed on
+    the join key), then an increment deduped against the STORED tables
+    must match the recompute-everything path exactly."""
+    from kerf_spark.sources.catalog import Workspace
+    from kerf_spark.sources.io import read_table
+    from kerf_spark.operators.text import fingerprint_md5
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = d.where(F.col("doc_id") >= 400)
+    index = d.where(F.col("doc_id") < 400)
+
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    ib, ish = DD.portable_band_keys(index)
+    ws.save_bucketed("index_bands", ib, bucket_by=["band", "key"], num_buckets=8)
+    ws.save("index_shingles", ish)
+    ws.save("index_fp", index.select(fingerprint_md5("text").alias("fp")))
+
+    stored = DD.incremental_new_docs(
+        batch, index,
+        index_bands=ws.load("index_bands"),
+        index_shingles=ws.load("index_shingles"),
+        index_fingerprints=ws.load("index_fp"),
+    )
+    recomputed = DD.incremental_new_docs(batch, index)
+    got = sorted(r.doc_id for r in stored.collect())
+    want = sorted(r.doc_id for r in recomputed.collect())
+    assert got == want and 0 < len(got) <= batch.count()
