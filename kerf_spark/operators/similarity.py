@@ -39,16 +39,32 @@ def array_lit(nested, element_type: str = "double") -> Column:
     round-tripping decimal, and the outer CAST pins every element to
     ``element_type``, so values are bit-identical to the F.lit path.
     """
+    import math
+
     depth = 0
     probe = nested
     while isinstance(probe, (list, tuple)):
         depth += 1
+        if not probe:
+            raise ValueError(
+                "array_lit: empty (sub)array — element depth is inferred "
+                "from the first element, so empties are ambiguous; build "
+                "them with F.array().cast(...) instead"
+            )
         probe = probe[0]
 
     def fmt(v):
         if isinstance(v, (list, tuple)):
             return "array(" + ",".join(fmt(x) for x in v) + ")"
-        return repr(float(v)) if element_type == "double" else repr(int(v))
+        if element_type == "double":
+            f = float(v)
+            if not math.isfinite(f):
+                raise ValueError(
+                    f"array_lit: non-finite element {f!r} has no SQL "
+                    "literal spelling"
+                )
+            return repr(f)
+        return repr(int(v))
 
     sql_type = element_type
     for _ in range(depth):

@@ -530,14 +530,11 @@ def quality_classifier_score(
 def word_freq_table(
     df: "DataFrame",  # noqa: F821
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> "DataFrame":  # noqa: F821
     """(word, freq) over the corpus — the Zipf-collapsed vocabulary
     table every tokenizer-induction step runs on.  ONE corpus-sized
     shuffle (map-side partial counts first); everything downstream is
     vocab-sized."""
-    from pyspark.sql import functions as F
-
     return (
         df.select(F.explode(word_tokens(normalize_text(text_col))).alias("word"))
         .groupBy("word")
@@ -573,13 +570,12 @@ def _apply_merge(tokens: Column, left: str, right: str) -> Column:
 def bpe_pair_counts(
     df: "DataFrame",  # noqa: F821
     text_col: str = "text",
-    id_col: str = "doc_id",
     top: int = 20,
 ) -> "DataFrame":  # noqa: F821
     """Frequency of adjacent character pairs across the vocabulary,
     weighted by word frequency — iteration 0 of BPE training, fully
     SQL-oracle-checkable.  Deterministic order: count desc, then pair."""
-    wf = word_freq_table(df, text_col, id_col)
+    wf = word_freq_table(df, text_col)
     toks = wf.select("word", "freq", _char_tokens("word").alias("__t"))
     pairs = toks.select(
         "freq",
@@ -601,7 +597,6 @@ def bpe_learn(
     df: "DataFrame",  # noqa: F821
     n_merges: int = 8,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> "DataFrame":  # noqa: F821
     """Learn ``n_merges`` BPE merges from the corpus — tokenizer
     induction as a Spark job.
@@ -619,7 +614,7 @@ def bpe_learn(
     a downstream tokenizer ships as its artifact.
     """
     spark = df.sparkSession
-    wf = word_freq_table(df, text_col, id_col)
+    wf = word_freq_table(df, text_col)
     cur = wf.select(
         "word", "freq", _char_tokens("word").alias("toks")
     ).localCheckpoint(eager=True)
@@ -670,7 +665,13 @@ def bpe_encode(
     per-word token sequences in word order.
     """
     words = df.select(
-        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+        F.col(id_col),
+        # NULL text encodes to the empty token stream (the oracle's
+        # convention) — word_tokens propagates NULL otherwise
+        F.coalesce(
+            word_tokens(normalize_text(text_col)),
+            F.array().cast("array<string>"),
+        ).alias("__w"),
     )
     per_word = F.transform(F.col("__w"), lambda w: _encode_word(w, merges))
     return words.select(
@@ -682,26 +683,10 @@ def bpe_encode(
 
 
 def _encode_word(word: Column, merges: list[tuple[str, str]]) -> Column:
-    toks = F.filter(F.split(word, ""), lambda t: F.length(t) > 0)
-
-    def fold_fn(left: str, right: str):
-        # closure factory, NOT default args: pyspark HOF lambdas
-        # dispatch on parameter count (see minhash_signature note)
-        def fn(acc, t):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (t == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(left + right)),
-                ),
-            ).otherwise(F.concat(acc, F.array(t)))
-
-        return fn
-
+    """Chars, then the learned merges in order — one shared fold
+    implementation (:func:`_apply_merge`), so the subtle non-overlap
+    semantics live in exactly one place."""
+    toks = _char_tokens(word)
     for left, right in merges:
-        toks = F.aggregate(
-            toks, F.array().cast("array<string>"), fold_fn(left, right)
-        )
+        toks = _apply_merge(toks, left, right)
     return toks

@@ -1645,27 +1645,26 @@ def bpe_pair_counts_q(spark, sf):
     return TX.bpe_pair_counts(d, top=20)
 
 
-def _bpe_merges_oracle_sql(n_merges=8, sf_dir="/root/testdata/sf0.01") -> str:
-    """Oracle for the iterative BPE trainer: an INDEPENDENT pure-Python
-    word-freq BPE (classic algorithm) runs on the duckdb-read fixture
-    and the expected merge table embeds as a VALUES literal — the same
-    re-derive-outside-Spark discipline as the centroid oracles."""
-    import collections
-
+def _bpe_reference_state(n_merges=8, sf_dir="/root/testdata/sf0.01"):
+    """(merges [(step, left, right, count)], {doc_id: tokens}) from the
+    ONE independent Python BPE — both BPE oracles derive from this, so
+    the tie-break/merge convention lives in a single implementation."""
     import duckdb
 
     con = duckdb.connect()
     rows = con.execute(
-        "SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
-        f"FROM read_parquet('{sf_dir}/documents.parquet') WHERE trim(text) <> ''"
+        "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     con.close()
+    import collections
+
     freqs: collections.Counter = collections.Counter()
-    for (norm,) in rows:
+    for _, norm in rows:
         if norm:
             freqs.update(norm.split(" "))
     vocab = {w: list(w) for w in freqs}
-    merges = []
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
         counts: collections.Counter = collections.Counter()
         for w, toks in vocab.items():
@@ -1687,12 +1686,27 @@ def _bpe_merges_oracle_sql(n_merges=8, sf_dir="/root/testdata/sf0.01") -> str:
                     out.append(toks[i])
                     i += 1
             vocab[w] = out
+    enc = {}
+    for doc_id, norm in rows:
+        toks: list[str] = []
+        for w in (norm.split(" ") if norm else []):
+            toks.extend(vocab.get(w) or list(w))
+        enc[doc_id] = toks
+    return merges, enc
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+
+def _bpe_merges_oracle_sql(n_merges=8, sf_dir="/root/testdata/sf0.01") -> str:
+    """Oracle for the iterative BPE trainer: the independent Python BPE
+    (:func:`_bpe_reference_state`) runs on the duckdb-read fixture and
+    the expected merge table embeds as a VALUES literal — the same
+    re-derive-outside-Spark discipline as the centroid oracles."""
+    merges, _ = _bpe_reference_state(n_merges, sf_dir)
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
 
     vals = ", ".join(
-        f"({s}, {q(l)}, {q(r)}, {c})" for s, l, r, c in merges
+        f"({step}, {q(l)}, {q(r)}, {c})" for step, l, r, c in merges
     )
     return (
         "SELECT CAST(step AS INT) AS step, \"left\", \"right\", "
@@ -1716,54 +1730,6 @@ try:
     ORACLES["bpe_merges_learned"] = _bpe_merges_oracle_sql()
 except Exception:
     pass
-
-
-def _bpe_reference_state(n_merges=8, sf_dir="/root/testdata/sf0.01"):
-    """(merges, {doc_id: tokens}) from the independent Python BPE."""
-    import duckdb
-
-    con = duckdb.connect()
-    rows = con.execute(
-        "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) "
-        f"FROM read_parquet('{sf_dir}/documents.parquet')"
-    ).fetchall()
-    con.close()
-    import collections
-
-    freqs: collections.Counter = collections.Counter()
-    for _, norm in rows:
-        if norm:
-            freqs.update(norm.split(" "))
-    vocab = {w: list(w) for w in freqs}
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        counts: collections.Counter = collections.Counter()
-        for w, toks in vocab.items():
-            for a, b in zip(toks, toks[1:]):
-                counts[(a, b)] += freqs[w]
-        if not counts:
-            break
-        (left, right), _c2 = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merges.append((left, right))
-        for w, toks in vocab.items():
-            out, i = [], 0
-            while i < len(toks):
-                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(toks[i])
-                    i += 1
-            vocab[w] = out
-    enc = {}
-    for doc_id, norm in rows:
-        toks: list[str] = []
-        for w in (norm.split(" ") if norm else []):
-            toks.extend(vocab.get(w) or list(w))
-        enc[doc_id] = toks
-    return merges, enc
 
 
 def _bpe_encode_oracle_sql(n_merges=8, sf_dir="/root/testdata/sf0.01") -> str:
@@ -3842,17 +3808,19 @@ def incremental_neardup_pairs(spark, sf):
     return DD.incremental_neardup(batch, index, threshold=0.5)
 
 
-@query(
-    "incremental_new_docs",
-    _INCR_CTES + """
+# the admitted-rows SELECT both the batch and streaming twins share —
+# one definition, per the oracle single-source discipline
+_INCR_ADMIT_SQL = _INCR_CTES + """
     SELECT d.doc_id, d.lang FROM documents d
     WHERE d.doc_id >= 400
       AND md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) NOT IN (
         SELECT md5(lower(trim(regexp_replace(i.text, '\\s+', ' ', 'g'))))
         FROM documents i WHERE i.doc_id < 400)
       AND d.doc_id NOT IN (SELECT batch_id FROM verified)
-    """,
-)
+    """
+
+
+@query("incremental_new_docs", _INCR_ADMIT_SQL)
 def incremental_new_docs_q(spark, sf):
     """What the incremental ingest admits: batch docs that are neither
     exact (fingerprint anti-join) nor near duplicates of the index."""
@@ -3864,17 +3832,7 @@ def incremental_new_docs_q(spark, sf):
     )
 
 
-@query(
-    "stream_incremental_dedup",
-    _INCR_CTES + """
-    SELECT d.doc_id, d.lang FROM documents d
-    WHERE d.doc_id >= 400
-      AND md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) NOT IN (
-        SELECT md5(lower(trim(regexp_replace(i.text, '\\s+', ' ', 'g'))))
-        FROM documents i WHERE i.doc_id < 400)
-      AND d.doc_id NOT IN (SELECT batch_id FROM verified)
-    """,
-)
+@query("stream_incremental_dedup", _INCR_ADMIT_SQL)
 def stream_incremental_dedup(spark, sf):
     """The STREAMING twin of incremental_new_docs — the shape a live
     ingest runs: documents arrive as a stream, each micro-batch is
@@ -3890,9 +3848,13 @@ def stream_incremental_dedup(spark, sf):
 
     d = _t(spark, sf, "documents")
     index = d.where(F.col("doc_id") < 400)
-    # one-time stored-index artifacts (static, reused by every batch)
+    # one-time stored-index artifacts — persist()ed so each micro-batch
+    # reads cached blocks instead of re-banding the whole history (in
+    # production these come from Workspace-stored bucketed tables; see
+    # test_incremental_dedup_from_stored_index)
     ib, ish = DD.portable_band_keys(index)
-    ifp = index.select(fingerprint_md5("text").alias("fp"))
+    ib, ish = ib.persist(), ish.persist()
+    ifp = index.select(fingerprint_md5("text").alias("fp")).persist()
     out_dir = tempfile.mkdtemp(prefix="kerf_stream_incr_")
 
     def admit(bdf, _epoch):
@@ -3910,6 +3872,8 @@ def stream_incremental_dedup(spark, sf):
         .start()
     )
     q.awaitTermination()
+    for frame in (ib, ish, ifp):
+        frame.unpersist()
     return spark.read.parquet(out_dir)
 
 
