@@ -650,3 +650,60 @@ def test_dsir_select_plans_as_take_ordered(spark):
     no global sort materializes for the k-row selection."""
     plan = plan_of(QUERIES["dsir_select_docs"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "c"])
+    ),
+)
+def test_apply_merge_matches_python_fold(spark, toks, pair):
+    """The Column-fold BPE merge must equal the classic left-to-right
+    non-overlapping Python merge on arbitrary token sequences."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.text import _apply_merge
+
+    left, right = pair
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(_apply_merge(F.col("toks"), left, right).alias("m")).head().m
+    assert list(got) == out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    mat=st.lists(
+        st.lists(
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=64,
+                min_value=-1e6, max_value=1e6,
+            ),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=3,
+    )
+)
+def test_array_lit_matches_f_lit(spark, mat):
+    """array_lit's single-expr literal must be value-identical to the
+    per-element F.lit path for arbitrary finite nested floats."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.similarity import array_lit
+
+    # ragged rows are fine for this comparison: both paths build the
+    # same nested array values
+    df = spark.range(1)
+    a = df.select(array_lit(mat).alias("v")).head().v
+    b = df.select(F.lit([[float(x) for x in row] for row in mat]).alias("v")).head().v
+    assert a == b
