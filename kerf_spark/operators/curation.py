@@ -347,3 +347,104 @@ def dsir_select(
         ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# ----------------------------------------------------------- bloom set
+def bloom_positions(
+    key, m_bits: int = 65536, k: int = 4, salt: str = "bloom"
+):
+    """Array of ``k`` bit positions in [0, m_bits) for ``key``.
+
+    Engine-portable hash family: position j is the top 60 bits of
+    md5(key + '#salt' + j) mod m_bits — any SQL engine re-derives the
+    identical positions, so Bloom membership (false positives included)
+    is deterministic and oracle-checkable, never layout-dependent.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(k) - 1)),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat(kc, F.lit("#" + salt), j.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(m_bits)),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Aggregate a Bloom filter over ``df[key_col]`` as 64-bit words:
+    (``__w`` word index, ``__mask`` bit-or of member bits).
+
+    SCALE: the filter is m_bits/64 rows regardless of input size —
+    65536 bits is 1024 rows, 1 MB-scale even at m_bits = 2^33 — so the
+    build is one shuffle on the word index with map-side partial
+    bit-or, and the result broadcasts to any probe.  This is the
+    100 TB contamination-check shape: the benchmark side compresses to
+    a constant-size bitset instead of a join-able row set.
+    """
+    pos = df.select(
+        F.explode(bloom_positions(key_col, m_bits, k, salt)).alias("__p")
+    )
+    return (
+        pos.withColumn("__w", F.floor(F.col("__p") / F.lit(64)).cast("long"))
+        .withColumn(
+            "__bit",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__bit").alias("__mask"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    id_cols: list,
+    m_bits: int = 65536,
+    k: int = 4,
+    salt: str = "bloom",
+    out: str = "maybe_member",
+) -> DataFrame:
+    """Probe a ``bloom_build`` filter: one row per distinct ``id_cols``
+    with ``out`` = 1 iff every one of the key's k bits is set.
+
+    The probe explodes k positions per row, broadcast-joins the tiny
+    word table, and re-aggregates per id — corpus-side work is k map
+    rows per document and one keyed shuffle; the filter never
+    shuffles.  False positives are an explicit, deterministic property
+    of (m_bits, k, member count) — pair with an exact semi-join column
+    when the query needs to report the FP rate itself.
+    """
+    pos = df.select(
+        *id_cols,
+        F.explode(bloom_positions(key_col, m_bits, k, salt)).alias("__p"),
+    )
+    hits = (
+        pos.withColumn("__w", F.floor(F.col("__p") / F.lit(64)).cast("long"))
+        .withColumn(
+            "__bit",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))"),
+        )
+        .join(F.broadcast(words), "__w", "left")
+        .withColumn(
+            "__hit",
+            F.when(
+                F.col("__mask").isNotNull()
+                & (F.col("__mask").bitwiseAND(F.col("__bit")) != 0),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return hits.groupBy(*id_cols).agg(F.min("__hit").alias(out))

@@ -98,3 +98,39 @@ def stratified_sample(
         .where(F.col("__rn") <= F.ceil(F.lit(frac) * F.col("__cnt")).cast("long"))
         .drop("__rn", "__cnt")
     )
+
+
+def rendezvous_shard(
+    key: Column | str, n_shards: int = 8, salt: str = "rdv"
+) -> Column:
+    """Highest-random-weight (rendezvous) shard assignment in
+    [0, n_shards): every row scores each shard with the portable md5
+    family and takes the argmax.
+
+    Unlike ``hash % n``, rendezvous hashing is *monotone*: adding a
+    shard moves only ~1/(n+1) of the keys (those whose new shard wins),
+    never reshuffling the survivors — the property a 100 TB pipeline
+    needs to grow a sharded sink without rewriting every partition.
+    Pure projection, no shuffle; ties (probability ~2^-60) break to the
+    higher shard id, identically in any engine that compares (score,
+    shard) pairs lexicographically.
+    """
+    kc = _c(key).cast("string")
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+        lambda j: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(kc, F.lit("#" + salt), j.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("score"),
+            j.cast("long").alias("shard"),
+        ),
+    )
+    return F.array_max(scored)["shard"]

@@ -10,7 +10,7 @@ scan → codegen'd expressions, no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -388,8 +388,6 @@ def tfidf_top_terms(
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
@@ -690,3 +688,39 @@ def _encode_word(word: Column, merges: list[tuple[str, str]]) -> Column:
     for left, right in merges:
         toks = _apply_merge(toks, left, right)
     return toks
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings_cap: int = 8,
+) -> DataFrame:
+    """Build an inverted index: one row per term with its document
+    frequency and the first ``postings_cap`` doc ids (sorted) as the
+    posting-list head.
+
+    SCALE: the naive collect_list-then-slice holds a hot term's ENTIRE
+    posting list in one aggregation buffer — 'the' at 100 TB is
+    billions of ids in one state blob.  Instead the cap is enforced
+    BEFORE aggregation with a per-term row_number window, so no
+    aggregation state ever exceeds ``postings_cap`` ids; the window
+    and the groupBy share the term-hash partitioning, so the second
+    stage reuses the first's exchange.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_tokens(normalize_text(text_col)))
+        ).alias("term"),
+    )
+    w = Window.partitionBy("term").orderBy("__id")
+    ranked = toks.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__rn") <= postings_cap, F.col("__id"))
+            )
+        ).alias("postings"),
+    )

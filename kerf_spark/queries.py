@@ -7090,6 +7090,290 @@ def asof_bucketed_colocated(spark, sf):
 
 
 # =====================================================================
+# Bloom membership, inverted index, rendezvous sharding, robust stats
+# =====================================================================
+
+@query(
+    "bloom_contamination_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT fp FROM keyed WHERE doc_id % 97 = 0),
+    pos AS (
+      SELECT ('0x' || substr(md5(fp || '#bloom' || CAST(j AS VARCHAR)),
+                             1, 15))::BIGINT % 65536 AS p
+      FROM bench, range(4) t(j)
+    ),
+    words AS (
+      SELECT p // 64 AS w,
+             bit_or(CASE WHEN p % 64 = 63
+                         THEN -9223372036854775807 - 1
+                         ELSE (1::BIGINT) << CAST(p % 64 AS INTEGER)
+                    END) AS mask
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT k.doc_id, k.source, k.fp,
+             ('0x' || substr(md5(k.fp || '#bloom' || CAST(j AS VARCHAR)),
+                             1, 15))::BIGINT % 65536 AS p
+      FROM keyed k, range(4) t(j)
+    ),
+    hits AS (
+      SELECT p2.doc_id, p2.source, p2.fp,
+             min(CASE WHEN w.mask IS NOT NULL
+                       AND (w.mask
+                            & (CASE WHEN p2.p % 64 = 63
+                                    THEN -9223372036854775807 - 1
+                                    ELSE (1::BIGINT)
+                                         << CAST(p2.p % 64 AS INTEGER)
+                               END))
+                          <> 0
+                      THEN 1 ELSE 0 END) AS maybe_member
+      FROM probe p2 LEFT JOIN words w ON w.w = p2.p // 64
+      GROUP BY 1, 2, 3
+    )
+    SELECT h.source,
+           count(*) AS n_docs,
+           CAST(sum(h.maybe_member) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true
+    FROM hits h LEFT JOIN bench b ON b.fp = h.fp
+    GROUP BY h.source ORDER BY h.source
+    """,
+)
+def bloom_contamination_docs(spark, sf):
+    """Benchmark-contamination at filter scale: the held-out set (every
+    97th doc's content fingerprint) compresses to a 65536-bit Bloom
+    filter (1024 bigint words), the corpus probes it, and the report
+    compares Bloom hits against exact membership per source — false
+    positives are a deterministic property of the portable md5 hash
+    family, so the oracle reproduces them bit-for-bit.  SCALE: this is
+    the shape that beats `contamination_check_docs`'s broadcast n-gram
+    *row set* when the benchmark is huge — the filter is constant-size
+    (m_bits/64 rows) no matter how many members, the corpus side is a
+    projection + k-row explode + one keyed shuffle, and the exact
+    semi-join is only needed where the report itself wants FP counts."""
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id", "source", TX.fingerprint_md5("text").alias("fp")
+    )
+    bench = keyed.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    words = CU.bloom_build(bench, "fp", m_bits=65536, k=4)
+    probed = CU.bloom_probe(
+        keyed, "fp", words, ["doc_id", "source", "fp"], m_bits=65536, k=4
+    )
+    flagged = probed.join(
+        F.broadcast(bench.withColumn("__true", F.lit(1))), "fp", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("maybe_member").cast("long").alias("n_flagged"),
+            F.sum(
+                F.when(F.col("__true").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_true"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "inverted_index_terms",
+    """
+    WITH tok0 AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+               ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    toks AS (SELECT DISTINCT doc_id, term FROM tok0),
+    r AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM toks
+    )
+    SELECT term, count(*) AS df,
+           list_sort(list(doc_id) FILTER (WHERE rn <= 8)) AS postings
+    FROM r GROUP BY term
+    HAVING count(*) >= 40
+    ORDER BY df DESC, term LIMIT 25
+    """,
+)
+def inverted_index_terms(spark, sf):
+    """Inverted-index build (term -> document frequency + posting-list
+    head), top-25 terms by df.  SCALE: the posting cap is enforced
+    BEFORE aggregation by a per-term row_number, so no aggregation
+    buffer ever holds more than ``postings_cap`` ids — the naive
+    collect-then-slice would buffer a stopword's entire corpus-wide
+    posting list in one state blob at 100 TB.  The window and the
+    groupBy share the term partitioning (one exchange, reused), and
+    the final top-25 plans as TakeOrderedAndProject."""
+    d = _t(spark, sf, "documents")
+    idx = TX.inverted_index(d, "text", "doc_id", postings_cap=8)
+    return (
+        idx.filter(F.col("df") >= 40)
+        .orderBy(F.desc("df"), "term")
+        .limit(25)
+        .select("term", "df", "postings")
+    )
+
+
+@query(
+    "rendezvous_shard_assign",
+    """
+    WITH s AS (
+      SELECT doc_id, j,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#rdv'
+                                 || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               AS score
+      FROM documents, range(8) t(j)
+    ),
+    best AS (
+      SELECT doc_id, j AS shard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, j DESC) AS rn
+      FROM s
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           min(doc_id) AS lo, max(doc_id) AS hi
+    FROM best WHERE rn = 1 GROUP BY shard ORDER BY shard
+    """,
+)
+def rendezvous_shard_assign(spark, sf):
+    """Highest-random-weight (rendezvous) sharding of the corpus into 8
+    shards, reported as per-shard counts + id ranges.  Unlike hash%n,
+    growing the shard count moves only ~1/(n+1) of keys — the property
+    a sharded 100 TB sink needs to scale without a full rewrite.  The
+    assignment is a pure projection (an 8-element score array and an
+    array_max, zero shuffles); only the tiny per-shard report
+    aggregates."""
+    from .operators.sampling import rendezvous_shard
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id", rendezvous_shard("doc_id", n_shards=8).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "autocorr_lag_events",
+    """
+    WITH l AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_pairs,
+           round(corr(value, prev), 6) AS autocorr
+    FROM l WHERE prev IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def autocorr_lag_events(spark, sf):
+    """Lag-1 autocorrelation of the value series per event type: one
+    lag window (partitioned by type, event_id tiebreak for a total
+    order) feeding a corr aggregate.  corr is scale-normalized, so the
+    map-side partial-moment accumulation and DuckDB's sequential walk
+    agree to far better than the 6-digit grid.  One shuffle for the
+    window; the agg reuses its partitioning."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr(_US), "event_id"
+    )
+    lagged = e.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("value", "prev"), 6).alias("autocorr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "robust_zscore_events",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, min(med) AS med, quantile_cont(ad, 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, count(*) AS n,
+           round(min(s.med), 6) AS med, round(min(s.mad), 6) AS mad,
+           CAST(sum(CASE WHEN 0.6745 * abs(d.value - s.med)
+                              > 3.5 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def robust_zscore_events(spark, sf):
+    """Robust (median/MAD) outlier screen per event type — the
+    modified-z rule |0.6745*(x-med)| > 3.5*MAD, counted per group.
+    Exact interpolated medians on both engines (Spark `percentile` ==
+    DuckDB `quantile_cont`).  Two percentile shuffles + one count agg;
+    the group-dim med/MAD tables are tiny at any scale and join back
+    as broadcasts, so the events side never shuffles for the joins.
+    The comparison is multiplied out (no division) so MAD = 0 groups
+    degrade to 'nothing flagged' instead of dividing by zero."""
+    e = _t(spark, sf, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    withmed = e.join(F.broadcast(med), "event_type")
+    mads = withmed.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.percentile(
+            F.abs(F.col("value") - F.col("med")), F.lit(0.5)
+        ).alias("mad"),
+    )
+    scored = e.join(F.broadcast(mads), "event_type")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3.5) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
 # The driver evaluates exactly the first 50 dict entries of QUERIES per

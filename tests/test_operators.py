@@ -1241,3 +1241,103 @@ def test_incremental_dedup_from_stored_index(spark, tmp_path):
     got = sorted(r.doc_id for r in stored.collect())
     want = sorted(r.doc_id for r in recomputed.collect())
     assert got == want and 0 < len(got) <= batch.count()
+
+
+# ------------------------------------------------- bloom / index / shard
+def test_bloom_no_false_negatives_and_layout_invariant(spark):
+    keys = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "k string"
+    )
+    from kerf_spark.operators.curation import bloom_build, bloom_probe
+
+    words = bloom_build(keys, "k", m_bits=1 << 14, k=4)
+    # every true member must probe positive (Bloom guarantees no FNs)
+    flagged = bloom_probe(keys, "k", words, ["k"], m_bits=1 << 14, k=4)
+    assert flagged.filter(F.col("maybe_member") == 0).count() == 0
+    # probing is layout-invariant: repartitioned input, same verdicts
+    probe = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(500)], "k string"
+    )
+    a = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(
+            probe, "k", words, ["k"], m_bits=1 << 14, k=4
+        ).collect()
+    }
+    b = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(
+            probe.repartition(13), "k", words, ["k"], m_bits=1 << 14, k=4
+        ).collect()
+    }
+    assert a == b
+    # 16384 bits / 200 members / 4 hashes -> FP rate well under 5%
+    assert sum(a.values()) <= 25
+
+
+def test_bloom_bit63_is_reachable_and_roundtrips(spark):
+    """Keys whose positions land on bit 63 of a word must still verify
+    (the sign-bit word is the DuckDB-oracle edge case)."""
+    from kerf_spark.operators.curation import bloom_build, bloom_probe
+
+    # tiny filter (64 bits = 1 word) so every bit incl. 63 gets hit
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], "k string"
+    )
+    words = bloom_build(keys, "k", m_bits=64, k=2)
+    masks = [r["__mask"] for r in words.collect()]
+    assert any(m < 0 for m in masks), "bit 63 never set — edge untested"
+    flagged = bloom_probe(keys, "k", words, ["k"], m_bits=64, k=2)
+    assert flagged.filter(F.col("maybe_member") == 0).count() == 0
+
+
+def test_inverted_index_df_exact_and_postings_capped(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "beta gamma"),
+            (3, "beta  beta alpha"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {
+        r["term"]: (r["df"], r["postings"])
+        for r in TX.inverted_index(
+            docs, "text", "doc_id", postings_cap=2
+        ).collect()
+    }
+    assert idx["alpha"] == (2, [1, 3])
+    assert idx["beta"] == (3, [1, 2])  # df counts all 3, postings cap 2
+    assert idx["gamma"] == (1, [2])
+    assert set(idx) == {"alpha", "beta", "gamma"}  # blank doc contributes 0
+
+
+def test_rendezvous_shards_balanced_and_monotone(spark):
+    from kerf_spark.operators.sampling import rendezvous_shard
+
+    keys = spark.createDataFrame(
+        [(i,) for i in range(600)], "doc_id long"
+    )
+    a4 = {
+        r["doc_id"]: r["shard"]
+        for r in keys.select(
+            "doc_id", rendezvous_shard("doc_id", 4).alias("shard")
+        ).collect()
+    }
+    a5 = {
+        r["doc_id"]: r["shard"]
+        for r in keys.select(
+            "doc_id", rendezvous_shard("doc_id", 5).alias("shard")
+        ).collect()
+    }
+    # monotone: growing 4 -> 5 only ever moves keys TO the new shard
+    moved = {k for k in a4 if a4[k] != a5[k]}
+    assert moved and all(a5[k] == 4 for k in moved)
+    # and roughly 1/5 of keys move (binomial around 120 of 600)
+    assert 60 <= len(moved) <= 180
+    # every shard owns a reasonable share
+    from collections import Counter
+
+    c = Counter(a5.values())
+    assert set(c) == {0, 1, 2, 3, 4} and min(c.values()) >= 60

@@ -707,3 +707,47 @@ def test_array_lit_matches_f_lit(spark, mat):
     a = df.select(array_lit(mat).alias("v")).head().v
     b = df.select(F.lit([[float(x) for x in row] for row in mat]).alias("v")).head().v
     assert a == b
+
+
+def test_rendezvous_shard_is_pure_projection(spark):
+    """Shard assignment must not shuffle: the score array + array_max
+    is a projection, so the only Exchange in the report query is the
+    per-shard aggregation itself."""
+    from kerf_spark.operators.sampling import rendezvous_shard
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    assigned = df.select(
+        "doc_id", rendezvous_shard("doc_id", 8).alias("shard")
+    )
+    plan = plan_of(assigned, "simple")
+    assert "Exchange" not in plan
+
+
+def test_inverted_index_single_term_exchange(spark):
+    """The posting-cap window and the df groupBy both key on term —
+    one hash Exchange, reused by the aggregation."""
+    from kerf_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(inverted_index(docs, "text", "doc_id", 4), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_probe_broadcasts_filter_words(spark):
+    """The word table joins as a broadcast (it is m_bits/64 rows at any
+    member count); the corpus side pays exactly one keyed shuffle for
+    the per-id re-aggregation, plus the build's own word aggregation."""
+    from kerf_spark.operators.curation import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)], "k string"
+    )
+    words = bloom_build(keys, "k", m_bits=1 << 12, k=4)
+    probed = bloom_probe(keys, "k", words, ["k"], m_bits=1 << 12, k=4)
+    plan = plan_of(probed, "simple")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # two hash exchanges total: the build's word groupBy + probe re-agg
+    assert plan.count("Exchange hashpartitioning") == 2
