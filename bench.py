@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     # round-4 additions: continuous-ingestion dedup (cross-corpus band
     # join) carries a measured slope like the self-join dedup path
     "incremental_neardup_pairs",
+    # constant-size-filter contamination: the probe side must scale
+    # linearly in the corpus while the filter stays 1024 words
+    "bloom_contamination_docs",
 ]
 
 
