@@ -98,8 +98,14 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs).withColumn(_TB, tb)
 
+    if direction == "nearest":
+        return _asof_nearest(
+            unioned, left, on, by, right_cols, out_names, tolerance_ns
+        )
     if direction not in ("backward", "forward"):
-        raise ArgsError(f"direction must be backward/forward, got {direction!r}")
+        raise ArgsError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     fwd = direction == "forward"
     # forward: left rows sort before equal-ts right rows so the
     # (currentRow, following) frame still sees them; fill = first match
@@ -149,6 +155,83 @@ def asof_join(
             *[F.col(out_names[c]) for c in right_cols],
         )
     return out
+
+
+_RTF = "__kf_right_ts_fwd"
+
+
+def _asof_nearest(
+    unioned: DataFrame,
+    left: DataFrame,
+    on: str,
+    by: list,
+    right_cols: Sequence[str],
+    out_names: dict,
+    tolerance_ns: int | None,
+) -> DataFrame:
+    """``direction="nearest"``: the right row with the smallest
+    |right.on - left.on|; ties (equidistant before/after, or an exact
+    equal-``on`` match) prefer the backward row, pandas-style.
+
+    ONE union, ONE exchange, ONE sort: the backward fill (last over
+    unboundedPreceding..current) and the forward fill (first over
+    current..unboundedFollowing) are two frames over the SAME
+    partitioning and ordering, so Catalyst plans a single Exchange +
+    Sort feeding both Window frames (plan-asserted).  Equal-``on``
+    right rows sort before left rows and are therefore seen only by
+    the backward frame — harmless, because an equal match has distance
+    0 and backward wins ties anyway.
+    """
+    w0 = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(on).asc(), F.col(_L).asc(), F.col(_TB).asc()
+    )
+    wb = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    bname = {c: "__kf_b_" + out_names[c] for c in right_cols}
+    fname = {c: "__kf_f_" + out_names[c] for c in right_cols}
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col(_L),
+        F.last(F.col(_RT), ignorenulls=True).over(wb).alias(_RT),
+        F.first(F.col(_RT), ignorenulls=True).over(wf).alias(_RTF),
+        *[
+            F.last(F.col(out_names[c]), ignorenulls=True)
+            .over(wb)
+            .alias(bname[c])
+            for c in right_cols
+        ],
+        *[
+            F.first(F.col(out_names[c]), ignorenulls=True)
+            .over(wf)
+            .alias(fname[c])
+            for c in right_cols
+        ],
+    ).where(F.col(_L) == 1)
+
+    on_l = F.col(on).cast("long")
+    bdist = on_l - F.col(_RT)
+    fdist = F.col(_RTF) - on_l
+    use_b = F.col(_RT).isNotNull() & (
+        F.col(_RTF).isNull() | (bdist <= fdist)
+    )
+    dist = F.when(use_b, bdist).otherwise(fdist)
+    keep = (
+        dist.isNotNull()
+        if tolerance_ns is None
+        else dist.isNotNull() & (dist <= F.lit(tolerance_ns))
+    )
+    return filled.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(
+                keep,
+                F.when(use_b, F.col(bname[c])).otherwise(F.col(fname[c])),
+            )
+            .otherwise(F.lit(None))
+            .alias(out_names[c])
+            for c in right_cols
+        ],
+    )
 
 
 def asof_join_merge(

@@ -7089,6 +7089,206 @@ def asof_bucketed_colocated(spark, sf):
     )
 
 
+@query(
+    "pagerank_supplier_nations",
+    """
+    WITH e0 AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, w FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM e0
+    ),
+    outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+    trans AS (
+      SELECT e.src, e.dst, e.w / o.wout AS p
+      FROM edges e JOIN outw o ON o.src = e.src
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    r1 AS (
+      SELECT nd.node,
+             0.15 / nn.n + 0.85 * coalesce(sum(r.rank * t.p), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN trans t ON t.dst = nd.node
+      LEFT JOIN r0 r ON r.node = t.src
+      CROSS JOIN nn
+      GROUP BY nd.node, nn.n
+    ),
+    r2 AS (
+      SELECT nd.node,
+             0.15 / nn.n + 0.85 * coalesce(sum(r.rank * t.p), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN trans t ON t.dst = nd.node
+      LEFT JOIN r1 r ON r.node = t.src
+      CROSS JOIN nn
+      GROUP BY nd.node, nn.n
+    ),
+    r3 AS (
+      SELECT nd.node,
+             0.15 / nn.n + 0.85 * coalesce(sum(r.rank * t.p), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN trans t ON t.dst = nd.node
+      LEFT JOIN r2 r ON r.node = t.src
+      CROSS JOIN nn
+      GROUP BY nd.node, nn.n
+    )
+    SELECT s.s_nationkey AS nationkey,
+           count(*) AS n_suppliers,
+           round(sum(r3.rank * nn.n), 6) AS rank_mass
+    FROM r3
+    JOIN supplier s ON r3.node = 's' || CAST(s.s_suppkey AS VARCHAR)
+    CROSS JOIN nn
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)
+def pagerank_supplier_nations(spark, sf):
+    """Three synchronous PageRank iterations (d=0.85) over the
+    customer<->supplier bipartite trade graph (edge weight = lineitem
+    count, both directions so no node is a sink), reported as per-
+    nation supplier rank mass normalized to mean 1.  Deterministic —
+    fixed iteration count, no convergence test — so DuckDB replays the
+    identical three rounds as unrolled CTEs.  Per iteration the plan
+    is 2 keyed shuffles (ranks->edges on src, mass per dst) against a
+    persisted transition table; the rank vector never touches the
+    driver.  SCALE: |V|+|E| shuffle rows per iteration, the same
+    profile as `dup_clusters`' label propagation."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    ranks = pagerank(edges, weight="w", iters=3, damping=0.85)
+    supp = _t(spark, sf, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+            "node"
+        ),
+        "s_nationkey",
+    )
+    n_df = (
+        edges.select("src")
+        .unionByName(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return (
+        ranks.join(supp, "node")
+        .crossJoin(F.broadcast(n_df))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("rank") * F.col("n")), 6).alias(
+                "rank_mass"
+            ),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS rev
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_agg(spark, sf):
+    """Non-hierarchical GROUPING SETS — two independent group-bys in
+    one pass (the case rollup/cube can't express: status totals AND
+    priority totals, no combined cell).  Spark expands the sets with a
+    single Expand + one aggregation shuffle, not two scans."""
+    o = _t(spark, sf, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+
+
+@query(
+    "asof_nearest_join",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             p.event_id AS near_id, round(p.value, 6) AS near_value,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+                        CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END,
+                        CASE WHEN p.ts <= e.ts THEN -p.event_id
+                             ELSE p.event_id END
+             ) AS rn
+      FROM events e
+      JOIN events p ON p.user_id = e.user_id AND p.event_type = 'purchase'
+                   AND abs(epoch_us(p.ts) - epoch_us(e.ts))
+                       <= 21600000000
+      WHERE e.event_type = 'error'
+    )
+    SELECT event_id, user_id, ts_us, near_id, near_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_nearest_join(spark, sf):
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest' semantics): each error event takes the
+    same-user purchase with the smallest |Δt| within a 6-hour
+    tolerance; equidistant candidates prefer the backward row.  ONE
+    union-tag pass — the backward last() and forward first() fills are
+    two frames over the same partitioning and ordering, so the plan is
+    a single Exchange + Sort + Window node (plan-asserted), not two
+    as-of passes."""
+    e = _t(spark, sf, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("near_id"), "value"
+    )
+    res = AS.asof_join(
+        errors,
+        purchases,
+        on="ts",
+        by="user_id",
+        tiebreak="near_id",
+        direction="nearest",
+        tolerance_ns=21_600_000_000_000,
+    )
+    return res.where(F.col("near_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        TM.ns_to_us("ts").alias("ts_us"),
+        "near_id",
+        F.round("value", 6).alias("near_value"),
+    )
+
+
 # =====================================================================
 # Bloom membership, inverted index, rendezvous sharding, robust stats
 # =====================================================================

@@ -1341,3 +1341,73 @@ def test_rendezvous_shards_balanced_and_monotone(spark):
 
     c = Counter(a5.values())
     assert set(c) == {0, 1, 2, 3, 4} and min(c.values()) >= 60
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' must replicate pandas merge_asof nearest
+    semantics (incl. tolerance and backward tie preference) on a grid
+    of key/ts layouts."""
+    import pandas as pd
+
+    lrows = [
+        ("A", 100, 1), ("A", 205, 2), ("B", 150, 3), ("A", 50, 4),
+        ("A", 300, 5), ("C", 7, 6), ("B", 165, 7), ("A", 195, 8),
+    ]
+    rrows = [
+        ("A", 90, 1.0), ("A", 100, 2.0), ("A", 200, 3.0),
+        ("A", 290, 4.0), ("B", 160, 9.0), ("B", 170, 8.0),
+    ]
+    t = spark.createDataFrame(lrows, "sym string, ts long, tid long")
+    q = spark.createDataFrame(rrows, "sym string, ts long, bid double")
+    pt = pd.DataFrame(lrows, columns=["sym", "ts", "tid"]).sort_values("ts")
+    pq = pd.DataFrame(rrows, columns=["sym", "ts", "bid"]).sort_values("ts")
+    from kerf_spark.operators.asof import asof_join
+
+    for tol in (None, 10, 60):
+        out = asof_join(
+            t, q, on="ts", by="sym", direction="nearest", tolerance_ns=tol
+        )
+        got = {(r["sym"], r["ts"]): r["bid"] for r in out.collect()}
+        m = pd.merge_asof(
+            pt, pq, on="ts", by="sym", direction="nearest", tolerance=tol
+        )
+        exp = {
+            (r.sym, r.ts): (None if pd.isna(r.bid) else r.bid)
+            for r in m.itertuples()
+        }
+        assert got == exp, f"tolerance={tol}"
+
+
+def test_asof_nearest_equidistant_prefers_backward(spark):
+    t = spark.createDataFrame([("A", 100, 1)], "sym string, ts long, tid long")
+    q = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 110, 2.0)], "sym string, ts long, bid double"
+    )
+    from kerf_spark.operators.asof import asof_join
+
+    [row] = asof_join(t, q, on="ts", by="sym", direction="nearest").collect()
+    assert row["bid"] == 1.0  # dist 10 both ways -> backward wins
+
+
+# ---------------------------------------------------------------- graph
+def test_pagerank_cycle_is_uniform_and_conserves_mass(spark):
+    from kerf_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(cyc, iters=4).collect()}
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-12  # symmetric graph stays uniform
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_sink_redistributes_dangling_mass(spark):
+    from kerf_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    # closed form, one iteration: dangling mass 0.5 spreads uniformly
+    assert abs(got["a"] - (0.15 / 2 + 0.85 * 0.25)) < 1e-12
+    assert abs(got["b"] - (0.15 / 2 + 0.85 * (0.5 + 0.25))) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12

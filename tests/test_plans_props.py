@@ -751,3 +751,23 @@ def test_bloom_probe_broadcasts_filter_words(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     # two hash exchanges total: the build's word groupBy + probe re-agg
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_asof_nearest_single_window_pass(spark):
+    """nearest = backward last() + forward first() as two frames over
+    ONE partitioning+ordering: exactly one Exchange, one Sort, one
+    Window node — not two chained as-of plans."""
+    from kerf_spark.operators.asof import asof_join
+
+    t = spark.createDataFrame(
+        [("a", 10, 1.0)], "sym string, ts long, price double"
+    )
+    q = spark.createDataFrame(
+        [("a", 5, 0.9)], "sym string, ts long, bid double"
+    )
+    plan = plan_of(
+        asof_join(t, q, on="ts", by="sym", direction="nearest"), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Window") == 1
+    assert plan.count("+- Sort") == 1
