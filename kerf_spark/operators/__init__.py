@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     relational,
     sampling,
     similarity,
+    sketches,
     skew,
     text,
     windows,

@@ -7090,6 +7090,139 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "cms_heavy_hitters",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+               ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cells AS (
+      SELECT j AS d,
+             ('0x' || substr(md5(term || '#cms' || CAST(j AS VARCHAR)),
+                             1, 15))::BIGINT % 1024 AS b
+      FROM words, range(4) t(j)
+    ),
+    sketch AS (SELECT d, b, count(*) AS n FROM cells GROUP BY 1, 2),
+    exact AS (
+      SELECT term, count(*) AS n_exact FROM words GROUP BY 1
+      ORDER BY n_exact DESC, term LIMIT 15
+    ),
+    probe AS (
+      SELECT e.term, e.n_exact, j AS d,
+             ('0x' || substr(md5(e.term || '#cms'
+                                 || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS b
+      FROM exact e, range(4) t(j)
+    )
+    SELECT p.term, p.n_exact, min(coalesce(s.n, 0)) AS n_cms
+    FROM probe p LEFT JOIN sketch s ON s.d = p.d AND s.b = p.b
+    GROUP BY p.term, p.n_exact
+    ORDER BY p.n_exact DESC, p.term
+    """,
+)
+def cms_heavy_hitters(spark, sf):
+    """Count-min sketch frequency estimation: the corpus token stream
+    compresses to a 4x1024-cell sketch, and the 15 exact heavy hitters
+    are point-queried against it — n_cms >= n_exact always (one-sided
+    error), and the overestimate itself is deterministic in the
+    portable md5 family, so the oracle reproduces it exactly.  SCALE:
+    the sketch build shuffles into a CONSTANT 4096-cell key space with
+    map-side combine no matter the corpus size; the probe broadcasts
+    the sketch.  This is the frequency companion to the Bloom
+    membership filter and the HLL cardinality summary."""
+    from .operators import sketches as SKCH
+
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        F.explode(TX.word_tokens(TX.normalize_text("text"))).alias("term")
+    )
+    sketch = SKCH.cms_build(words, "term", depth=4, width=1024)
+    exact = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(15)
+    )
+    est = SKCH.cms_estimate(exact, "term", sketch, depth=4, width=1024)
+    return (
+        exact.join(est, exact.term == est.__k)
+        .select("term", "n_exact", F.col("est").alias("n_cms"))
+        .orderBy(F.desc("n_exact"), "term")
+    )
+
+
+@query(
+    "hll_distinct_users",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                             1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv >> 52 AS idx,
+             CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                  ELSE 53 - (CAST(floor(log2(CAST(hv % 4503599627370496
+                                                  AS DOUBLE))) AS BIGINT)
+                             + 1)
+             END AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS present,
+             sum(power(2.0, -rho)) AS spresent
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                       / (spresent + (256 - present)) <= 640.0
+                       AND (256 - present) > 0
+                  THEN 256 * ln(256.0 / (256 - present))
+                  ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                       / (spresent + (256 - present)) END AS est
+      FROM agg
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT ex.event_type, ex.n_exact, round(est.est, 4) AS n_hll
+    FROM ex JOIN est USING (event_type) ORDER BY ex.event_type
+    """,
+)
+def hll_distinct_users(spark, sf):
+    """Portable HyperLogLog (m=256) distinct-user estimate per event
+    type, reported beside the exact count.  The register table is at
+    most 256 rows per group at ANY cardinality — the mergeable
+    distinct-count summary a 100 TB pipeline keeps per partition/day
+    and ORs together, where exact countDistinct would shuffle every
+    key.  The estimator (including its small-range linear-counting
+    branch and its characteristic bias) is pure md5 + IEEE arithmetic,
+    reproduced exactly by the oracle.  Register index via shiftright,
+    not division — the 60-bit hash exceeds double's exact range."""
+    from .operators import sketches as SKCH
+
+    e = _t(spark, sf, "events")
+    regs = SKCH.hll_registers(e, "user_id", ["event_type"])
+    est = SKCH.hll_estimate(regs, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type", "n_exact", F.round("est", 4).alias("n_hll")
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "pagerank_supplier_nations",
     """
     WITH e0 AS (

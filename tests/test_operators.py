@@ -1411,3 +1411,59 @@ def test_pagerank_sink_redistributes_dangling_mass(spark):
     assert abs(got["a"] - (0.15 / 2 + 0.85 * 0.25)) < 1e-12
     assert abs(got["b"] - (0.15 / 2 + 0.85 * (0.5 + 0.25))) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+# -------------------------------------------------------------- sketches
+def test_cms_overestimates_and_merges_by_cell_sum(spark):
+    from kerf_spark.operators import sketches as SK
+
+    rows = [("a",)] * 40 + [("b",)] * 15 + [(f"x{i}",) for i in range(300)]
+    words = spark.createDataFrame(rows, "term string")
+    whole = SK.cms_build(words, "term")
+    ests = {
+        r["__k"]: r["est"]
+        for r in SK.cms_estimate(words.distinct(), "term", whole).collect()
+    }
+    assert ests["a"] >= 40 and ests["b"] >= 15  # one-sided error
+    # mergeability: sketch(half1) + sketch(half2) == sketch(whole)
+    h1 = SK.cms_build(spark.createDataFrame(rows[:100], "term string"), "term")
+    h2 = SK.cms_build(spark.createDataFrame(rows[100:], "term string"), "term")
+    merged = {
+        (r["__d"], r["__b"]): r["__n"]
+        for r in h1.unionByName(h2)
+        .groupBy("__d", "__b")
+        .agg(F.sum("__n").alias("__n"))
+        .collect()
+    }
+    assert merged == {
+        (r["__d"], r["__b"]): r["__n"] for r in whole.collect()
+    }
+
+
+def test_hll_registers_bounded_and_merge_by_max(spark):
+    from kerf_spark.operators import sketches as SK
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    whole = SK.hll_registers(df, "k")
+    assert whole.count() <= 256  # constant-size summary
+    est = SK.hll_estimate(whole).collect()[0]["est"]
+    assert abs(est - 1000) / 1000 < 0.15  # ~1.04/sqrt(256) typical
+    # mergeability: register-wise max of two halves == whole
+    h1 = SK.hll_registers(df.filter(F.col("k").cast("long") < 500), "k")
+    h2 = SK.hll_registers(df.filter(F.col("k").cast("long") >= 500), "k")
+    merged = {
+        r["__idx"]: r["__rho"]
+        for r in h1.unionByName(h2)
+        .groupBy("__idx")
+        .agg(F.max("__rho").alias("__rho"))
+        .collect()
+    }
+    assert merged == {r["__idx"]: r["__rho"] for r in whole.collect()}
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from kerf_spark.operators import sketches as SK
+
+    df = spark.range(25).select(F.col("id").cast("string").alias("k"))
+    est = SK.hll_estimate(SK.hll_registers(df, "k")).collect()[0]["est"]
+    assert abs(est - 25) < 5
