@@ -7223,6 +7223,84 @@ def hll_distinct_users(spark, sf):
 
 
 @query(
+    "stream_hll_users",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                             1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv >> 52 AS idx,
+             CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                  ELSE 53 - (CAST(floor(log2(CAST(hv % 4503599627370496
+                                                  AS DOUBLE))) AS BIGINT)
+                             + 1)
+             END AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS present,
+             sum(power(2.0, -rho)) AS spresent
+      FROM regs GROUP BY 1
+    )
+    SELECT event_type,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                           / (spresent + (256 - present)) <= 640.0
+                           AND (256 - present) > 0
+                      THEN 256 * ln(256.0 / (256 - present))
+                      ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                           / (spresent + (256 - present)) END,
+                 4) AS n_hll
+    FROM agg ORDER BY event_type
+    """,
+)
+def stream_hll_users(spark, sf):
+    """Streaming distinct-count maintenance: each micro-batch of the
+    event stream reduces to its own 256-register HLL table (appended
+    to the state sink), and the final estimate merges all batch tables
+    by register-max — the exact algebra a 100 TB pipeline uses to keep
+    per-day/per-partition cardinality summaries that OR together
+    without ever re-shuffling raw keys.  Register-max merging is
+    order- and batching-insensitive, so the stream result equals the
+    batch twin bit-for-bit (same oracle as `hll_distinct_users`),
+    regardless of how the source splits into micro-batches
+    (maxFilesPerTrigger=1 forces at least one real merge)."""
+    import tempfile
+
+    from .operators import sketches as SKCH
+    from .streaming.ingest import stream_table
+
+    out_dir = tempfile.mkdtemp(prefix="kerf_stream_hll_")
+
+    def fold_batch(bdf, _epoch):
+        SKCH.hll_registers(bdf, "user_id", ["event_type"]).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = stream_table(spark, sf, "events", maxFilesPerTrigger=1)
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "__idx")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    return (
+        SKCH.hll_estimate(merged, ["event_type"])
+        .select("event_type", F.round("est", 4).alias("n_hll"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "pagerank_supplier_nations",
     """
     WITH e0 AS (
