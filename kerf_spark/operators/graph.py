@@ -15,11 +15,14 @@ Scale design (per iteration):
   the small side and never collects to the driver;
 * dangling mass (sinks) is a 1-row aggregate broadcast back — the
   textbook uniform redistribution;
-* the rank frame is persisted each iteration because two consumers
-  (the dangling aggregate and the contribution join) would otherwise
-  recompute the whole lineage twice per iteration — exponential in the
-  iteration count.  For deep iteration counts pass
-  ``checkpoint_every`` to also truncate lineage.
+* the rank frame is persisted each iteration ONLY when dangling
+  handling is on — there the two consumers (the sink aggregate and the
+  contribution join) would otherwise recompute the whole lineage twice
+  per iteration, exponential in the iteration count.  With
+  ``handle_dangling=False`` ranks has a single consumer and the
+  iterations chain as one lazy plan (no materialization barriers).
+  For deep iteration counts pass ``checkpoint_every`` to truncate
+  lineage.
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int | None = None,
+    handle_dangling: bool = True,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Weighted PageRank after ``iters`` synchronous iterations.
 
@@ -44,11 +49,28 @@ def pagerank(
     is a pure function of the edge multiset — no sampling, no
     convergence heuristics — so a SQL oracle can replay the exact
     iteration count.
+
+    ``handle_dangling=False`` skips the per-iteration sink aggregate
+    (a join + 1-row agg + broadcast, three extra stages each round).
+    Pass it when the graph provably has no sinks — e.g. any
+    symmetrized/bidirectional edge list — where the dangling mass is
+    identically zero.
+
+    ``symmetric=True`` additionally asserts every node has in-edges
+    (true for any bidirectional edge list): the per-iteration left
+    join against the node universe is then redundant — the mass
+    aggregation itself already produces one row per node — removing
+    one shuffle join per iteration.
     """
     w = (F.col(weight) if weight else F.lit(1.0)).cast("double")
+    # hash-partition the edge list on src ONCE: the out-weight groupBy,
+    # the normalization join, and every iteration's rank->edge join all
+    # key on src, so they inherit this partitioning instead of
+    # re-exchanging the (large) edge side each round — only the small
+    # rank vector moves per iteration
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    )
+    ).repartition("src")
     outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
     trans = (
         e.join(outw, "src")
@@ -74,10 +96,11 @@ def pagerank(
     )
     d = float(damping)
     for i in range(int(iters)):
-        ranks = ranks.persist()
-        dmass = sinks.join(ranks, "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
-        )
+        if handle_dangling:
+            # two consumers (sink aggregate + contribution join) —
+            # without the persist each iteration would recompute the
+            # whole rank lineage twice, exponential in iters
+            ranks = ranks.persist()
         contribs = (
             ranks.withColumnRenamed("node", "src")
             .join(trans, "src")
@@ -85,21 +108,28 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(n_df))
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - d)) / F.col("n")
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("mass"), F.lit(0.0))
-                        + F.col("dmass") / F.col("n")
-                    )
-                ).alias("rank"),
+        if symmetric:
+            nxt = contribs.crossJoin(F.broadcast(n_df))
+        else:
+            nxt = nodes.join(contribs, "node", "left").crossJoin(
+                F.broadcast(n_df)
             )
+        if handle_dangling:
+            dmass = sinks.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+            )
+            nxt = nxt.crossJoin(F.broadcast(dmass))
+            spread = (
+                F.coalesce(F.col("mass"), F.lit(0.0))
+                + F.col("dmass") / F.col("n")
+            )
+        else:
+            spread = F.coalesce(F.col("mass"), F.lit(0.0))
+        ranks = nxt.select(
+            "node",
+            (F.lit(1.0 - d) / F.col("n") + F.lit(d) * spread).alias(
+                "rank"
+            ),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)

@@ -7304,8 +7304,8 @@ def stream_hll_users(spark, sf):
     "pagerank_supplier_nations",
     """
     WITH e0 AS (
-      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-             's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+      SELECT 2 * o.o_custkey AS src,
+             2 * l.l_suppkey + 1 AS dst,
              CAST(count(*) AS DOUBLE) AS w
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       GROUP BY 1, 2
@@ -7354,7 +7354,7 @@ def stream_hll_users(spark, sf):
            count(*) AS n_suppliers,
            round(sum(r3.rank * nn.n), 6) AS rank_mass
     FROM r3
-    JOIN supplier s ON r3.node = 's' || CAST(s.s_suppkey AS VARCHAR)
+    JOIN supplier s ON r3.node = 2 * s.s_suppkey + 1
     CROSS JOIN nn
     GROUP BY s.s_nationkey ORDER BY s.s_nationkey
     """,
@@ -7374,15 +7374,13 @@ def pagerank_supplier_nations(spark, sf):
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # integer node encoding (2*cust / 2*supp+1): long join keys, half
+    # the shuffle bytes and no string hashing in the per-iteration joins
     e0 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
@@ -7390,13 +7388,15 @@ def pagerank_supplier_nations(spark, sf):
         e0.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
-    )
-    ranks = pagerank(edges, weight="w", iters=3, damping=0.85)
+    ).persist()  # five consumers (trans/outw/nodes + the report's n) —
+    # without this the lineitem-orders join re-executes per consumer
+    ranks = pagerank(
+        edges, weight="w", iters=3, damping=0.85,
+        handle_dangling=False, symmetric=True,
+    )  # bidirectional edge list: no sinks (dangling mass = 0) and every
+    # node has in-edges (the node-universe join is redundant)
     supp = _t(spark, sf, "supplier").select(
-        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
-            "node"
-        ),
-        "s_nationkey",
+        (F.col("s_suppkey") * 2 + 1).alias("node"), "s_nationkey"
     )
     n_df = (
         edges.select("src")
