@@ -62,21 +62,30 @@ def cms_build(
     depth: int = 4,
     width: int = 1024,
     salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of the ``key_col`` multiset: one row per
     occupied cell, columns (``__d`` row, ``__b`` bucket, ``__n``
     count).  At most depth*width rows at ANY input size; the build is
-    one keyed shuffle with map-side partial counting."""
+    one keyed shuffle with map-side partial counting.
+
+    ``weight_col`` builds the identical sketch from pre-aggregated
+    (key, count) rows — hash each distinct key once and sum the counts
+    into its cells.  When the caller already has per-key totals (e.g.
+    alongside an exact heavy-hitter pass), this turns the build from a
+    token-stream-sized explode into a vocabulary-sized one."""
     cells = df.select(
-        F.explode(_cms_cells(key_col, depth, width, salt)).alias("__cell")
+        (F.col(weight_col) if weight_col else F.lit(1)).alias("__w"),
+        F.explode(_cms_cells(key_col, depth, width, salt)).alias("__cell"),
     )
     return (
         cells.select(
             F.col("__cell.__d").alias("__d"),
             F.col("__cell.__b").alias("__b"),
+            "__w",
         )
         .groupBy("__d", "__b")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum("__w").cast("long").alias("__n"))
     )
 
 

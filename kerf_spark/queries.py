@@ -7138,13 +7138,16 @@ def cms_heavy_hitters(spark, sf):
     words = d.select(
         F.explode(TX.word_tokens(TX.normalize_text("text"))).alias("term")
     )
-    sketch = SKCH.cms_build(words, "term", depth=4, width=1024)
-    exact = (
-        words.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), "term")
-        .limit(15)
+    # one tokenize + one shuffle: per-term totals feed BOTH the exact
+    # top-15 and the sketch (weighted build over the vocabulary, not a
+    # second pass over the token stream)
+    counts = words.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    ).persist()
+    sketch = SKCH.cms_build(
+        counts, "term", depth=4, width=1024, weight_col="n_exact"
     )
+    exact = counts.orderBy(F.desc("n_exact"), "term").limit(15)
     est = SKCH.cms_estimate(exact, "term", sketch, depth=4, width=1024)
     return (
         exact.join(est, exact.term == est.__k)
