@@ -40,7 +40,7 @@ from ..functions.temporal import _divfloor
 
 _L = "__kf_is_left"
 _TB = "__kf_tiebreak"
-_RT = "__kf_right_ts"
+_RV = "__kf_right_val"  # struct(__on, carried right cols) — filled atomically
 
 
 def asof_join(
@@ -79,24 +79,36 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
 
-    lhs = left.select(
-        *[F.col(c) for c in left.columns],
-        F.lit(1).alias(_L),
-        F.lit(None).cast("long").alias(_RT),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c]) for c in right_cols],
+    # the right payload travels as ONE nullable struct (timestamp +
+    # carried columns), so the window fill picks a whole right ROW
+    # atomically — filling each column independently with ignorenulls
+    # would let a NULL in a carried column fall through to an older
+    # (possibly tolerance-violating) row's value, diverging from the
+    # row semantics of merge_asof and of the SQL oracles
+    tb_src = (
+        F.col(tiebreak)
+        if tiebreak
+        else F.struct(*[F.col(c) for c in right_cols])
     )
     rhs = right.select(
         *[F.col(c) if c in by or c == on else F.lit(None).cast(t).alias(c)
           for c, t in left.dtypes],
         F.lit(0).alias(_L),
-        F.col(on).cast("long").alias(_RT),
-        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.struct(
+            F.col(on).cast("long").alias("__on"),
+            *[F.col(c).alias(out_names[c]) for c in right_cols],
+        ).alias(_RV),
+        tb_src.alias(_TB),
     )
-
-    tb = F.col(out_names[tiebreak]) if tiebreak else F.struct(
-        *[F.col(out_names[c]) for c in right_cols]
+    rv_type = rhs.schema[_RV].dataType
+    tb_type = rhs.schema[_TB].dataType
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias(_L),
+        F.lit(None).cast(rv_type).alias(_RV),
+        F.lit(None).cast(tb_type).alias(_TB),
     )
-    unioned = lhs.unionByName(rhs).withColumn(_TB, tb)
+    unioned = lhs.unionByName(rhs)
 
     if direction == "nearest":
         return _asof_nearest(
@@ -120,44 +132,39 @@ def asof_join(
         else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fill = (
-        (lambda c: F.first(c, ignorenulls=True))
+        F.first(F.col(_RV), ignorenulls=True)
         if fwd
-        else (lambda c: F.last(c, ignorenulls=True))
+        else F.last(F.col(_RV), ignorenulls=True)
     )
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col(_L),
-        fill(F.col(_RT)).over(w).alias(_RT),
+        fill.over(w).alias(_RV),
+    )
+
+    out = filled.where(F.col(_L) == 1)
+    rt = F.col(_RV)["__on"]
+    if tolerance_ns is not None:
+        if fwd:
+            stale = rt > (F.col(on).cast("long") + F.lit(tolerance_ns))
+        else:
+            stale = rt < (F.col(on).cast("long") - F.lit(tolerance_ns))
+        keep = F.col(_RV).isNotNull() & ~stale
+    else:
+        keep = F.col(_RV).isNotNull()
+    return out.select(
+        *[F.col(c) for c in left.columns],
         *[
-            fill(F.col(out_names[c])).over(w).alias(out_names[c])
+            F.when(keep, F.col(_RV)[out_names[c]])
+            .otherwise(F.lit(None))
+            .alias(out_names[c])
             for c in right_cols
         ],
     )
 
-    out = filled.where(F.col(_L) == 1)
-    if tolerance_ns is not None:
-        if fwd:
-            stale = F.col(_RT) > (F.col(on).cast("long") + F.lit(tolerance_ns))
-        else:
-            stale = F.col(_RT) < (F.col(on).cast("long") - F.lit(tolerance_ns))
-        out = out.select(
-            *[F.col(c) for c in left.columns],
-            *[
-                F.when(stale | F.col(_RT).isNull(), F.lit(None))
-                .otherwise(F.col(out_names[c]))
-                .alias(out_names[c])
-                for c in right_cols
-            ],
-        )
-    else:
-        out = out.select(
-            *[F.col(c) for c in left.columns],
-            *[F.col(out_names[c]) for c in right_cols],
-        )
-    return out
 
-
-_RTF = "__kf_right_ts_fwd"
+_RVB = "__kf_rv_bwd"
+_RVF = "__kf_rv_fwd"
 
 
 def _asof_nearest(
@@ -187,46 +194,30 @@ def _asof_nearest(
     )
     wb = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    bname = {c: "__kf_b_" + out_names[c] for c in right_cols}
-    fname = {c: "__kf_f_" + out_names[c] for c in right_cols}
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col(_L),
-        F.last(F.col(_RT), ignorenulls=True).over(wb).alias(_RT),
-        F.first(F.col(_RT), ignorenulls=True).over(wf).alias(_RTF),
-        *[
-            F.last(F.col(out_names[c]), ignorenulls=True)
-            .over(wb)
-            .alias(bname[c])
-            for c in right_cols
-        ],
-        *[
-            F.first(F.col(out_names[c]), ignorenulls=True)
-            .over(wf)
-            .alias(fname[c])
-            for c in right_cols
-        ],
+        F.last(F.col(_RV), ignorenulls=True).over(wb).alias(_RVB),
+        F.first(F.col(_RV), ignorenulls=True).over(wf).alias(_RVF),
     ).where(F.col(_L) == 1)
 
     on_l = F.col(on).cast("long")
-    bdist = on_l - F.col(_RT)
-    fdist = F.col(_RTF) - on_l
-    use_b = F.col(_RT).isNotNull() & (
-        F.col(_RTF).isNull() | (bdist <= fdist)
-    )
+    rtb = F.col(_RVB)["__on"]
+    rtf = F.col(_RVF)["__on"]
+    bdist = on_l - rtb
+    fdist = rtf - on_l
+    use_b = rtb.isNotNull() & (rtf.isNull() | (bdist <= fdist))
     dist = F.when(use_b, bdist).otherwise(fdist)
     keep = (
         dist.isNotNull()
         if tolerance_ns is None
         else dist.isNotNull() & (dist <= F.lit(tolerance_ns))
     )
+    chosen = F.when(use_b, F.col(_RVB)).otherwise(F.col(_RVF))
     return filled.select(
         *[F.col(c) for c in left.columns],
         *[
-            F.when(
-                keep,
-                F.when(use_b, F.col(bname[c])).otherwise(F.col(fname[c])),
-            )
+            F.when(keep, chosen[out_names[c]])
             .otherwise(F.lit(None))
             .alias(out_names[c])
             for c in right_cols

@@ -56,11 +56,14 @@ def pagerank(
     symmetrized/bidirectional edge list — where the dangling mass is
     identically zero.
 
-    ``symmetric=True`` additionally asserts every node has in-edges
-    (true for any bidirectional edge list): the per-iteration left
-    join against the node universe is then redundant — the mass
-    aggregation itself already produces one row per node — removing
-    one shuffle join per iteration.
+    ``symmetric=True`` additionally ASSUMES (caller-guaranteed, not
+    checked — a check would cost the very join it removes) that every
+    node has in-edges, true for any bidirectional edge list: the
+    per-iteration left join against the node universe is then
+    redundant — the mass aggregation itself already produces one row
+    per node — removing one shuffle join per iteration.  Violating the
+    assumption silently drops in-edge-less nodes from the result and
+    their mass from the total.
     """
     w = (F.col(weight) if weight else F.lit(1.0)).cast("double")
     # hash-partition the edge list on src ONCE: the out-weight groupBy,
@@ -84,11 +87,17 @@ def pagerank(
         .withColumnRenamed("src", "node")
         .persist()
     )
-    sinks = nodes.join(
-        trans.select("src").distinct().withColumnRenamed("src", "node"),
-        "node",
-        "left_anti",
-    ).persist()
+    cached = [trans, nodes]
+    sinks = None
+    if handle_dangling:
+        sinks = nodes.join(
+            trans.select("src").distinct().withColumnRenamed(
+                "src", "node"
+            ),
+            "node",
+            "left_anti",
+        ).persist()
+        cached.append(sinks)
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -101,6 +110,7 @@ def pagerank(
             # without the persist each iteration would recompute the
             # whole rank lineage twice, exponential in iters
             ranks = ranks.persist()
+            cached.append(ranks)
         contribs = (
             ranks.withColumnRenamed("node", "src")
             .join(trans, "src")
@@ -133,4 +143,12 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    # materialize the result (|V| rows, lineage truncated), then free
+    # every intermediate cache — CacheManager entries live until
+    # explicit unpersist, and the intermediates are function-local so
+    # no caller could ever release them (same discipline as
+    # dedup.dup_clusters)
+    out = ranks.localCheckpoint(eager=True)
+    for frame in cached:
+        frame.unpersist()
+    return out

@@ -131,8 +131,11 @@ def hll_registers(
     52 pattern bits; ``__rho`` is the leading-zero rank (1..53) of the
     pattern, maxed per register.  At most m rows per group no matter
     the input cardinality — the constant-size distinct-count summary.
-    log2 of an exactly-representable positive long is exact in double,
-    so the rank is engine-portable.
+    The rank comes from integer bit arithmetic (``length(bin(x))``),
+    NOT ``floor(log2(x))``: both engines' float log2 mis-round just
+    below powers of two (e.g. Spark gives floor(log2(2^48-1)) = 48,
+    DuckDB 47), which would flip a register and break the bit-for-bit
+    oracle claim.
     """
     if m != 256:
         raise ValueError("m=256 (8 index bits) is the portable layout")
@@ -140,7 +143,7 @@ def hll_registers(
     h = _h60(_c(key_col).cast("string"), "#" + salt)
     rest = h % F.lit(1 << 52)
     rho = F.when(rest == 0, F.lit(53)).otherwise(
-        F.lit(53) - (F.floor(F.log2(rest.cast("double"))) + F.lit(1))
+        F.lit(53) - F.length(F.bin(rest))
     )
     keyed = df.select(
         *group_cols,

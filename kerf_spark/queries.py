@@ -7141,9 +7141,12 @@ def cms_heavy_hitters(spark, sf):
     # one tokenize + one shuffle: per-term totals feed BOTH the exact
     # top-15 and the sketch (weighted build over the vocabulary, not a
     # second pass over the token stream)
+    # localCheckpoint, not persist: blocks are freed by the context
+    # cleaner when the frame goes out of scope — a persist() here would
+    # sit in the CacheManager for the rest of the session
     counts = words.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_exact")
-    ).persist()
+    ).localCheckpoint()
     sketch = SKCH.cms_build(
         counts, "term", depth=4, width=1024, weight_col="n_exact"
     )
@@ -7168,9 +7171,7 @@ def cms_heavy_hitters(spark, sf):
     r AS (
       SELECT event_type, hv >> 52 AS idx,
              CASE WHEN hv % 4503599627370496 = 0 THEN 53
-                  ELSE 53 - (CAST(floor(log2(CAST(hv % 4503599627370496
-                                                  AS DOUBLE))) AS BIGINT)
-                             + 1)
+                  ELSE 53 - length(bin(hv % 4503599627370496))
              END AS rho
       FROM h
     ),
@@ -7237,9 +7238,7 @@ def hll_distinct_users(spark, sf):
     r AS (
       SELECT event_type, hv >> 52 AS idx,
              CASE WHEN hv % 4503599627370496 = 0 THEN 53
-                  ELSE 53 - (CAST(floor(log2(CAST(hv % 4503599627370496
-                                                  AS DOUBLE))) AS BIGINT)
-                             + 1)
+                  ELSE 53 - length(bin(hv % 4503599627370496))
              END AS rho
       FROM h
     ),
@@ -7391,8 +7390,9 @@ def pagerank_supplier_nations(spark, sf):
         e0.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
-    ).persist()  # five consumers (trans/outw/nodes + the report's n) —
-    # without this the lineitem-orders join re-executes per consumer
+    ).localCheckpoint()  # five consumers (trans/outw/nodes + the
+    # report's n) would each re-run the lineitem-orders join; checkpoint
+    # blocks are context-cleaned on GC, unlike a session-lifetime persist
     ranks = pagerank(
         edges, weight="w", iters=3, damping=0.85,
         handle_dangling=False, symmetric=True,

@@ -1467,3 +1467,45 @@ def test_hll_small_range_uses_linear_counting(spark):
     df = spark.range(25).select(F.col("id").cast("string").alias("k"))
     est = SK.hll_estimate(SK.hll_registers(df, "k")).collect()[0]["est"]
     assert abs(est - 25) < 5
+
+
+def test_asof_fills_pick_whole_rows_not_columns(spark):
+    """A NULL in the nearest right row's carried column must surface as
+    NULL — not fall through to an older (tolerance-violating) row's
+    value.  Pins the row-atomic struct fill for all three directions."""
+    from kerf_spark.operators.asof import asof_join
+
+    t = spark.createDataFrame([("A", 100, 1)], "sym string, ts long, tid long")
+    q = spark.createDataFrame(
+        [("A", 10, 5.0), ("A", 90, None)], "sym string, ts long, bid double"
+    )
+    for kw in (
+        dict(direction="nearest", tolerance_ns=20),
+        dict(direction="backward", tolerance_ns=20),
+        dict(direction="backward"),
+    ):
+        [r] = asof_join(t, q, on="ts", by="sym", **kw).collect()
+        assert r["bid"] is None, kw
+    # forward: nearest-after row (ts=110) carries NULL, older ts=190 has
+    # a value — must stay NULL
+    q2 = spark.createDataFrame(
+        [("A", 110, None), ("A", 190, 7.0)], "sym string, ts long, bid double"
+    )
+    [r] = asof_join(
+        t, q2, on="ts", by="sym", direction="forward", tolerance_ns=50
+    ).collect()
+    assert r["bid"] is None
+
+
+def test_pagerank_releases_its_caches(spark):
+    from kerf_spark.operators.graph import pagerank
+
+    spark.catalog.clearCache()
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    got = pagerank(e, iters=2)
+    assert abs(sum(r["rank"] for r in got.collect()) - 1.0) < 1e-9
+    # all intermediates unpersisted: nothing left in the cache manager
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
