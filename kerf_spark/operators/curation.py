@@ -448,3 +448,85 @@ def bloom_probe(
         )
     )
     return hits.groupBy(*id_cols).agg(F.min("__hit").alias(out))
+
+
+def bloom_member_col(
+    key,
+    words: list,
+    m_bits: int = 65536,
+    k: int = 4,
+    salt: str = "bloom",
+):
+    """Pure-projection Bloom membership test: ``words`` is the filter
+    as a Python list of m_bits/64 longs (dense, index = word number),
+    embedded as an ARRAY LITERAL so the check runs map-side with ZERO
+    shuffle and no join — the shape of a runtime filter applied before
+    an expensive join's exchange.
+
+    The list is driver-side but CONSTANT-size (m_bits/64 entries —
+    16 K longs for a 1 Mbit filter — independent of member count), the
+    same bounded-collect discipline as IVF's centroid literals.  Same
+    md5 position family as `bloom_build`/`bloom_probe`, so a filter
+    built distributed can be densified (`bloom_words_list`) and probed
+    as a projection.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    arr = F.lit(words)
+    out = None
+    for j in range(int(k)):
+        p = F.conv(
+            F.substring(
+                F.md5(F.concat(kc, F.lit("#" + salt), F.lit(str(j)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long") % F.lit(int(m_bits))
+        word = F.element_at(arr, F.floor(p / F.lit(64)).cast("int") + 1)
+        b = p % F.lit(64)
+        # shiftleft's Python wrapper only takes a literal shift; build
+        # the mask arithmetically (2^b exact as double for b <= 62,
+        # sign bit special-cased like the SQL oracles)
+        mask = F.when(b == 63, F.lit(-9223372036854775808)).otherwise(
+            F.pow(F.lit(2.0), b.cast("double")).cast("long")
+        )
+        hit = word.bitwiseAND(mask) != 0
+        out = hit if out is None else (out & hit)
+    return out
+
+
+def bloom_words_list(words: "DataFrame", m_bits: int = 65536) -> list:
+    """Densify a `bloom_build` frame into the m_bits/64-long list that
+    `bloom_member_col` embeds (missing words -> 0).  The collect is
+    bounded by the filter geometry, never by the member count."""
+    got = {int(r["__w"]): int(r["__mask"]) for r in words.collect()}
+    return [got.get(i, 0) for i in range(int(m_bits) // 64)]
+
+
+def bloom_semi_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: str = "bsj",
+) -> "DataFrame":
+    """EXACT left-semi join with a Bloom prefilter: right keys compress
+    to a constant-size filter, the left side drops ~(1-fp) of its
+    non-matching rows MAP-SIDE (pure projection, before any exchange),
+    and a real semi-join confirms the survivors — false positives never
+    reach the output.
+
+    This is the manual form of Spark's runtime row-level filtering,
+    with the filter geometry under caller control: at 100 TB the win is
+    shuffle volume — only left rows that (probably) match ever move.
+    """
+    rkeys = right.select(F.col(on).cast("string").alias("__k"))
+    words = bloom_words_list(
+        bloom_build(rkeys, "__k", m_bits, k, salt), m_bits
+    )
+    pre = left.where(
+        bloom_member_col(F.col(on).cast("string"), words, m_bits, k, salt)
+    )
+    return pre.join(right.select(on).distinct(), on, "left_semi")

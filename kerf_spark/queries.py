@@ -7090,6 +7090,41 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "bloom_semi_join_lineitems",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def bloom_semi_join_lineitems(spark, sf):
+    """Semi-join through a Bloom prefilter: the selective order-key set
+    compresses to a constant-size filter that drops non-matching
+    lineitems MAP-SIDE (pure projection, before any exchange), then a
+    real semi-join removes the false positives — the result is EXACT,
+    which is why the oracle is the plain IN-subquery.  At 100 TB this
+    is the runtime-filter discipline: shuffle volume is proportional
+    to the (probable) matches, not the fact table."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_totalprice") > 400000
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    matched = CU.bloom_semi_join(li, o, "l_orderkey")
+    return (
+        matched.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "cms_heavy_hitters",
     """
     WITH words AS (

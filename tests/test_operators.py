@@ -1509,3 +1509,20 @@ def test_pagerank_releases_its_caches(spark):
     # all intermediates unpersisted: nothing left in the cache manager
     jcm = spark._jsparkSession.sharedState().cacheManager()
     assert jcm.isEmpty()
+
+
+def test_bloom_semi_join_exact_vs_plain_semi(spark):
+    from kerf_spark.operators.curation import bloom_semi_join
+
+    left = spark.range(20000).select(
+        (F.col("id") % 9000).alias("key"), F.col("id").alias("v")
+    )
+    right = spark.range(400).select((F.col("id") * 17).alias("key"))
+    got = sorted(
+        r["v"] for r in bloom_semi_join(left, right, "key").collect()
+    )
+    exp = sorted(
+        r["v"]
+        for r in left.join(right.distinct(), "key", "left_semi").collect()
+    )
+    assert got == exp and len(got) > 0

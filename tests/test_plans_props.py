@@ -771,3 +771,15 @@ def test_asof_nearest_single_window_pass(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("+- Window") == 1
     assert plan.count("+- Sort") == 1
+
+
+def test_bloom_semi_join_prefilters_map_side(spark):
+    """The Bloom membership test is an array-literal projection applied
+    as a Filter BEFORE the join — no extra shuffle, no lookup join."""
+    from kerf_spark.operators.curation import bloom_semi_join
+
+    left = spark.createDataFrame([(i, i) for i in range(50)], "key long, v long")
+    right = spark.createDataFrame([(3,), (7,)], "key long")
+    plan = plan_of(bloom_semi_join(left, right, "key"), "simple")
+    assert "element_at" in plan          # the embedded filter words
+    assert plan.count("Join") == 1       # only the confirming semi-join
