@@ -20,6 +20,9 @@ Grammar (one statement, case-insensitive keywords):
         [where <cond>] [order by <exprs> [asc|desc]] [limit <n>]
     -- <table> passes through verbatim, so ANSI join text works:
     --   select n: count(*) by tier from customer join seg on m = s
+    -- plus the kerf/kdb as-of join (LAST on-column = temporal key),
+    -- resolved through operators.asof.asof_join:
+    --   select ... from trades asof join quotes on sym, ts
     update <table> set <col>=<expr>[, ...] [where <cond>]
     delete from <table> [where <cond>]
 
@@ -302,6 +305,29 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
     kerf keyed-table upsert contract.
     """
     head = q.strip().split(None, 1)[0].lower()
+    m = re.search(
+        r"(?is)\bfrom\s+(\w+)\s+asof\s+join\s+(\w+)\s+on\s+"
+        r"([\w\s,]+?)(?=\s+(?:where|order|limit)\b|\s*;?\s*$)",
+        q,
+    )
+    if m and head == "select":
+        # kerf/kdb aj convention: the LAST on-column is the ordering
+        # (temporal) key, the rest are equi keys.  The as-of resolves
+        # through operators.asof.asof_join (union-tag single-shuffle
+        # plan — Spark SQL itself has no ASOF JOIN), and the rest of
+        # the statement runs against the joined view.
+        from ..operators.asof import asof_join
+
+        lt, rt, onlist = m.group(1), m.group(2), m.group(3)
+        keys = [k.strip() for k in onlist.split(",") if k.strip()]
+        if len(keys) < 1:
+            raise ParseError("asof join needs at least an ordering column")
+        joined = asof_join(
+            spark.table(lt), spark.table(rt), on=keys[-1], by=keys[:-1]
+        )
+        view = f"__kf_asof_{abs(hash((lt, rt, tuple(keys)))) % 10**8}"
+        joined.createOrReplaceTempView(view)
+        q = q[: m.start()] + f"from {view}" + q[m.end():]
     if head == "upsert":
         m = re.match(
             r"(?is)^\s*upsert\s+into\s+(\w+)\s+on\s+([\w\s,]+?)\s+(values\s+.*?)\s*;?\s*$",

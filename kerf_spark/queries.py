@@ -7090,6 +7090,48 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "kerfsql_asof_join",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC,
+                                         o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts_us, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def kerfsql_asof_join(spark, sf):
+    """The as-of join spoken in kerf-SQL: ``from ev asof join ord on
+    user_id, ts`` — the kdb/kerf aj convention where the LAST on-column
+    is the temporal key.  The translator routes the join through
+    operators.asof.asof_join (Spark SQL has no ASOF JOIN), then the
+    surrounding select/where text runs against the joined view, so the
+    language surface and the DataFrame surface share one plan shape."""
+    _t(spark, sf, "events").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("ev_aj")
+    _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    ).createOrReplaceTempView("ord_aj")
+    return kerf_sql(
+        spark,
+        "select event_id, user_id, ts_us: ts div 1000,"
+        " orderkey: o_orderkey, totalprice: round(o_totalprice, 2)"
+        " from ev_aj asof join ord_aj on user_id, ts"
+        " where o_orderkey is not null",
+    )
+
+
+@query(
     "bloom_semi_join_lineitems",
     """
     SELECT l_returnflag, count(*) AS n,

@@ -585,3 +585,36 @@ def test_streaming_stream_stream_interval_join(spark, tables, tmp_path):
         ).drop(rb.user_id).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_kerfsql_asof_join_routes_through_asof_operator(spark):
+    """`from t asof join q on sym, ts` — last on-column is the temporal
+    key, equi keys before it; result matches the DataFrame-level
+    asof_join."""
+    from kerf_spark.operators.asof import asof_join
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    trades = spark.createDataFrame(
+        [("A", 100, 1), ("A", 205, 2), ("B", 150, 3), ("A", 50, 4)],
+        "sym string, ts long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 200, 3.0), ("B", 160, 9.0)],
+        "sym string, ts long, bid double",
+    )
+    trades.createOrReplaceTempView("kq_trades")
+    quotes.createOrReplaceTempView("kq_quotes")
+    got = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in kerf_sql(
+            spark,
+            "select sym, ts, bid from kq_trades asof join kq_quotes"
+            " on sym, ts",
+        ).collect()
+    }
+    exp = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in asof_join(trades, quotes, on="ts", by="sym").collect()
+    }
+    assert got == exp
+    assert got[("A", 205)] == 3.0 and got[("A", 50)] is None
