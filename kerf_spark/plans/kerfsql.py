@@ -98,13 +98,16 @@ def _strip_aliases(exprs: str) -> str:
 # ffill) expand to window functions whose PARTITION BY comes from the
 # statement's `by` clause and whose ORDER BY comes from its `order by`
 # clause (Spark tables are unordered, so ordered verbs REQUIRE order by
-# — kerf's implicit table order has no distributed analogue).
+# — kerf's implicit table order has no distributed analogue).  Running
+# verbs (sums/maxs/mins) use the unbounded-preceding trail; moving
+# verbs (mavg/msum/mmax/mmin/mdev/mcount) an n-row frame.
 _SPAN_RE = re.compile(r"^\s*'?(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)'?\s*$")
 _SPAN_NS = {
     "ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9,
     "m": 60 * 10**9, "h": 3600 * 10**9, "d": 86400 * 10**9,
 }
-_WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "prev", "next")
+_WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "prev", "next",
+                 "sums", "maxs", "mins", "mmax", "mmin", "mdev", "mcount")
 _ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
 
 
@@ -187,6 +190,20 @@ def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
             )
         elif name == "ffill":
             rep = f"last_value({a[0]}) IGNORE NULLS OVER {trail}"
+        elif name == "sums":
+            rep = f"sum({a[0]}) OVER {trail}"
+        elif name == "maxs":
+            rep = f"max({a[0]}) OVER {trail}"
+        elif name == "mins":
+            rep = f"min({a[0]}) OVER {trail}"
+        elif name in ("mmax", "mmin", "mdev", "mcount"):
+            n = int(a[0])
+            fn = {"mmax": "max", "mmin": "min", "mdev": "stddev_samp",
+                  "mcount": "count"}[name]
+            rep = (
+                f"{fn}({a[1]}) OVER ({pb}{ob} ROWS BETWEEN {n - 1} "
+                f"PRECEDING AND CURRENT ROW)"
+            )
         else:  # pragma: no cover
             raise AssertionError(name)
         text = text[:s] + rep + text[e:]

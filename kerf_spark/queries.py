@@ -7090,6 +7090,64 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "kerfsql_running_verbs",
+    """
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id, value,
+             sum(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS s,
+             max(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS mx,
+             min(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS mn,
+             max(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 4 PRECEDING
+                              AND CURRENT ROW) AS m5,
+             stddev_samp(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 9 PRECEDING
+                              AND CURRENT ROW) AS sd,
+             count(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 9 PRECEDING
+                              AND CURRENT ROW) AS c10
+      FROM events
+    )
+    SELECT user_id, tu, event_id,
+           round(s, 6) AS s, round(mx, 6) AS mx, round(mn, 6) AS mn,
+           round(m5, 6) AS m5, round(coalesce(sd, 0), 6) AS sd, c10
+    FROM w
+    """,
+)
+def kerfsql_running_verbs(spark, sf):
+    """The rest of the kdb/kerf running and moving verb family spoken
+    in kerf-SQL: ``sums/maxs/mins`` (unbounded-preceding trail) and
+    ``mmax/mdev/mcount`` (n-row frames) — all expanding to Catalyst
+    window expressions before spark.sql parses, one shuffle for the
+    whole verb set since every window shares the same partitioning and
+    ordering."""
+    _t(spark, sf, "events").createOrReplaceTempView("events_rv")
+    return kerf_sql(
+        spark,
+        "select user_id, tu: ts div 1000, event_id,"
+        " s: round(sums(value), 6),"
+        " mx: round(maxs(value), 6),"
+        " mn: round(mins(value), 6),"
+        " m5: round(mmax(5, value), 6),"
+        " sd: round(coalesce(mdev(10, value), 0), 6),"
+        " c10: mcount(10, value)"
+        " by user_id from events_rv order by ts div 1000, event_id",
+    )
+
+
+@query(
     "kerfsql_asof_join",
     """
     WITH ranked AS (

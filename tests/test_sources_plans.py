@@ -618,3 +618,16 @@ def test_kerfsql_asof_join_routes_through_asof_operator(spark):
     }
     assert got == exp
     assert got[("A", 205)] == 3.0 and got[("A", 50)] is None
+
+
+def test_kerfsql_running_and_moving_verbs_translate():
+    from kerf_spark.plans.kerfsql import translate
+
+    sql = translate(
+        "select s: sums(v), m: mmax(5, v), d: mdev(10, v), c: mcount(3, v)"
+        " by g from t order by ts"
+    )
+    assert "sum(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" in sql
+    assert "max(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)" in sql
+    assert "stddev_samp(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)" in sql
+    assert "count(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)" in sql
