@@ -288,3 +288,34 @@ def cast_(x, to: str):
     """Explicit cast (I_cast/F_cast, presented.h:39-41).  double->int
     truncates toward zero like kerf (Spark semantics match)."""
     return _c(x).cast(to)
+
+
+# --------------------------------------------------------------- zorder
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints truncated
+    to ``bits`` bits each -> a single 2*bits-bit clustering key.
+
+    Sorting a table by this key before writing co-locates rows that
+    are close in BOTH dimensions, so Parquet row-group min/max stats
+    prune scans filtered on EITHER column — the multi-dimensional
+    extension of the Workspace's sorted-write data skipping.  Pure
+    integer arithmetic (shift/mask composed as exact power-of-two
+    multiplies), identically evaluable in any SQL engine — no UDF, no
+    floats.
+    """
+    if not 1 <= int(bits) <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    xb = _c(x).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    yb = _c(y).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    out = F.lit(0).cast("long")
+    for j in range(int(bits)):
+        # (v >> j & 1) << k  ==  (v div 2^j mod 2) * 2^k — stays in
+        # long arithmetic; 2*bits <= 62 so no sign-bit hazard
+        xbit = (xb / F.lit(1 << j)).cast("long") % 2
+        ybit = (yb / F.lit(1 << j)).cast("long") % 2
+        out = (
+            out
+            + xbit * F.lit(1 << (2 * j))
+            + ybit * F.lit(1 << (2 * j + 1))
+        )
+    return out

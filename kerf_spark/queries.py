@@ -7090,6 +7090,46 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "zorder_locality",
+    """WITH b AS (
+      SELECT user_id AS ub, CAST(floor(value) AS BIGINT) AS vb FROM events
+    ),
+    z AS (SELECT ub, vb, (((ub // 1) % 2) * 1 + ((vb // 1) % 2) * 2 + ((ub // 2) % 2) * 4 + ((vb // 2) % 2) * 8 + ((ub // 4) % 2) * 16 + ((vb // 4) % 2) * 32 + ((ub // 8) % 2) * 64 + ((vb // 8) % 2) * 128 + ((ub // 16) % 2) * 256 + ((vb // 16) % 2) * 512 + ((ub // 32) % 2) * 1024 + ((vb // 32) % 2) * 2048 + ((ub // 64) % 2) * 4096 + ((vb // 64) % 2) * 8192 + ((ub // 128) % 2) * 16384 + ((vb // 128) % 2) * 32768 + ((ub // 256) % 2) * 65536 + ((vb // 256) % 2) * 131072 + ((ub // 512) % 2) * 262144 + ((vb // 512) % 2) * 524288 + ((ub // 1024) % 2) * 1048576 + ((vb // 1024) % 2) * 2097152 + ((ub // 2048) % 2) * 4194304 + ((vb // 2048) % 2) * 8388608 + ((ub // 4096) % 2) * 16777216 + ((vb // 4096) % 2) * 33554432 + ((ub // 8192) % 2) * 67108864 + ((vb // 8192) % 2) * 134217728 + ((ub // 16384) % 2) * 268435456 + ((vb // 16384) % 2) * 536870912 + ((ub // 32768) % 2) * 1073741824 + ((vb // 32768) % 2) * 2147483648) AS zk FROM b)
+    SELECT zk // 16777216 AS zbucket, count(*) AS n,
+           min(ub) AS lo_u, max(ub) AS hi_u,
+           min(vb) AS lo_v, max(vb) AS hi_v
+    FROM z GROUP BY 1 ORDER BY 1""",
+)
+def zorder_locality(spark, sf):
+    """Morton (Z-order) clustering key over (user_id, floor(value)):
+    rows grouped by the key's top bits are bounded in BOTH dimensions
+    simultaneously — the per-bucket min/max ranges this query reports
+    are exactly the Parquet row-group stats a zordered write would
+    carry, i.e. the data-skipping evidence for multi-dimensional
+    pruning.  The interleave is pure long arithmetic (power-of-two
+    multiplies), fully JVM-side and engine-portable."""
+    e = _t(spark, sf, "events")
+    b = e.select(
+        F.col("user_id").alias("ub"),
+        F.floor("value").cast("long").alias("vb"),
+    )
+    z = b.select(
+        "ub", "vb", S.zorder_key("ub", "vb", bits=16).alias("zk")
+    )
+    return (
+        z.groupBy((F.col("zk") / F.lit(1 << 24)).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ub").alias("lo_u"),
+            F.max("ub").alias("hi_u"),
+            F.min("vb").alias("lo_v"),
+            F.max("vb").alias("hi_v"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+@query(
     "kerfsql_running_verbs",
     """
     WITH w AS (

@@ -266,3 +266,26 @@ def test_error_taxonomy_catalog_and_asof(spark, tmp_path):
     df = spark.createDataFrame([(1, 10)], "k long, ts long")
     with _pytest.raises(E.ArgsError):
         asof_join(df, df, on="ts", by="k", direction="sideways")
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from kerf_spark.functions.scalars import zorder_key
+    import pyspark.sql.functions as F
+
+    def morton(x, y, bits=16):
+        out = 0
+        for j in range(bits):
+            out |= ((x >> j) & 1) << (2 * j)
+            out |= ((y >> j) & 1) << (2 * j + 1)
+        return out
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton(x, y), (x, y)
+    # locality: one-step neighbors differ only in low key bits
+    assert morton(2, 3) // 16 == morton(3, 3) // 16
