@@ -7090,6 +7090,145 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "hll_overlap_event_types",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                             1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv >> 52 AS idx,
+             CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                  ELSE 53 - length(bin(hv % 4503599627370496))
+             END AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, idx, max(rho) AS rho FROM r GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    ureg AS (
+      SELECT p.ta, p.tb, g.idx, max(g.rho) AS rho
+      FROM pairs p JOIN regs g
+        ON g.event_type = p.ta OR g.event_type = p.tb
+      GROUP BY 1, 2, 3
+    ),
+    est1 AS (
+      SELECT event_type, count(*) AS present,
+             sum(power(2.0, -rho)) AS spresent
+      FROM regs GROUP BY 1
+    ),
+    e1 AS (
+      SELECT event_type,
+             CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                       / (spresent + (256 - present)) <= 640.0
+                       AND (256 - present) > 0
+                  THEN 256 * ln(256.0 / (256 - present))
+                  ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                       / (spresent + (256 - present)) END AS est
+      FROM est1
+    ),
+    estu AS (
+      SELECT ta, tb, count(*) AS present,
+             sum(power(2.0, -rho)) AS spresent
+      FROM ureg GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT ta, tb,
+             CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                       / (spresent + (256 - present)) <= 640.0
+                       AND (256 - present) > 0
+                  THEN 256 * ln(256.0 / (256 - present))
+                  ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                       / (spresent + (256 - present)) END AS est_u
+      FROM estu
+    ),
+    ex AS (
+      SELECT p.ta, p.tb, count(*) AS n_exact
+      FROM pairs p
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) ua
+        ON ua.event_type = p.ta
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) ub
+        ON ub.event_type = p.tb AND ub.user_id = ua.user_id
+      GROUP BY 1, 2
+    )
+    SELECT eu.ta, eu.tb, ex.n_exact,
+           round(ea.est + eb.est - eu.est_u, 4) AS n_hll
+    FROM eu
+    JOIN e1 ea ON ea.event_type = eu.ta
+    JOIN e1 eb ON eb.event_type = eu.tb
+    JOIN ex ON ex.ta = eu.ta AND ex.tb = eu.tb
+    ORDER BY eu.ta, eu.tb
+    """,
+)
+def hll_overlap_event_types(spark, sf):
+    """HLL set algebra: the distinct-user OVERLAP between every pair of
+    event types estimated by inclusion-exclusion — |A∩B| ≈ E(A) + E(B)
+    − E(A∪B), where the union sketch is just the register-wise max of
+    the two register tables (the merge that makes HLL a distributive
+    summary).  No key-level set intersection ever computes: the pair
+    fan-out works on 256-row register tables, so the cost is
+    |pairs|×m, independent of user cardinality.  Exact counts sit
+    alongside for the error to be visible and oracle-checked."""
+    from .operators import sketches as SKCH
+
+    e = _t(spark, sf, "events")
+    regs = SKCH.hll_registers(e, "user_id", ["event_type"]).localCheckpoint()
+    types = e.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    ureg = (
+        pairs.join(
+            regs,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "__idx")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    e1 = SKCH.hll_estimate(regs, ["event_type"])
+    eu = SKCH.hll_estimate(ureg, ["ta", "tb"], out="est_u")
+    du = e.select("event_type", "user_id").distinct()
+    ex = (
+        pairs.join(
+            du.select(F.col("event_type").alias("ta"), "user_id"), "ta"
+        )
+        .join(
+            du.select(F.col("event_type").alias("tb"), F.col("user_id")),
+            ["tb", "user_id"],
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    ea = e1.select(F.col("event_type").alias("ta"), F.col("est").alias("ea"))
+    eb = e1.select(F.col("event_type").alias("tb"), F.col("est").alias("eb"))
+    return (
+        eu.join(ea, "ta")
+        .join(eb, "tb")
+        .join(ex, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            "n_exact",
+            F.round(
+                F.col("ea") + F.col("eb") - F.col("est_u"), 4
+            ).alias("n_hll"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+@query(
     "zorder_locality",
     """WITH b AS (
       SELECT user_id AS ub, CAST(floor(value) AS BIGINT) AS vb FROM events
