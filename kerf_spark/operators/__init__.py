@@ -14,5 +14,6 @@ from . import (  # noqa: F401
     sketches,
     skew,
     text,
+    validate,
     windows,
 )

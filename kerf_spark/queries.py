@@ -7090,6 +7090,89 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "validate_events_audit",
+    """
+    WITH base AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null,
+             CAST(sum(CASE WHEN value IS NULL OR value < 0
+                             OR value > 1000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_range,
+             CAST(sum(CASE WHEN event_type IN
+                             ('click','view','purchase','signup','error')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_enum,
+             CAST(sum(CASE WHEN props IS NOT NULL
+                            AND regexp_matches(props, '^\\{.*\\}$')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_json
+      FROM events
+    )
+    SELECT r.rule, base.n AS n_rows, r.v AS n_violations,
+           round(CAST(r.v AS DOUBLE) / base.n, 6) AS violation_rate
+    FROM base, LATERAL (VALUES
+      ('not_null(value)', v_null),
+      ('in_range(value,0,1000)', v_range),
+      ('in_set(event_type)', v_enum),
+      ('matches(props)', v_json)
+    ) AS r(rule, v)
+    ORDER BY r.rule
+    """,
+)
+def validate_events_audit(spark, sf):
+    """Declarative data-quality audit: four rules (null / range / enum
+    / regex) evaluated in ONE scan — each rule is a conditional count
+    inside a single 1-row aggregation (zero shuffles beyond the final
+    combine), then unpivoted into the per-rule report.  The shape an
+    ingest gate runs on every batch before merging at 100 TB: audit
+    cost is one pass regardless of rule count."""
+    from .operators import validate as V
+
+    e = _t(spark, sf, "events")
+    report = V.audit(
+        e,
+        [
+            V.not_null("value"),
+            V.in_range("value", 0, 1000),
+            V.in_set(
+                "event_type",
+                ["click", "view", "purchase", "signup", "error"],
+            ),
+            V.matches("props", r"^\{.*\}$"),
+        ],
+    )
+    return report.select(
+        "rule", "n_rows", "n_violations", "violation_rate"
+    ).orderBy("rule")
+
+
+@query(
+    "validate_referential_orphans",
+    """
+    SELECT o_custkey AS custkey, count(*) AS n_orphan_orders
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def validate_referential_orphans(spark, sf):
+    """Referential-integrity audit: orders whose customer key has no
+    parent row — a left-anti join that broadcasts the parent key set
+    when it is dimension-sized.  (TPC-H generators keep this empty by
+    construction; an empty report IS the expected pass state, and the
+    rows_match check proves both engines agree on emptiness.)"""
+    from .operators import validate as V
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        V.orphans(o, c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+        .orderBy("custkey")
+    )
+
+
+@query(
     "hll_overlap_event_types",
     """
     WITH h AS (

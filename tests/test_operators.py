@@ -1526,3 +1526,52 @@ def test_bloom_semi_join_exact_vs_plain_semi(spark):
         for r in left.join(right.distinct(), "key", "left_semi").collect()
     )
     assert got == exp and len(got) > 0
+
+
+# -------------------------------------------------------------- validate
+def test_validate_audit_single_pass_and_counts(spark):
+    from kerf_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, None, "b"), (3, -1.0, "zz"), (4, 2.0, "a")],
+        "id long, v double, tag string",
+    )
+    rep = {
+        r["rule"]: (r["n_violations"], r["violation_rate"])
+        for r in V.audit(
+            df,
+            [
+                V.not_null("v"),
+                V.in_range("v", 0, 10),
+                V.in_set("tag", ["a", "b"]),
+                V.custom("id_even", F.col("id") % 2 == 0),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(v)"] == (1, 0.25)
+    assert rep["in_range(v,0,10)"] == (2, 0.5)  # null counts as violating
+    assert rep["in_set(tag)"] == (1, 0.25)
+    assert rep["id_even"] == (2, 0.5)
+    # single pass: the audit plan contains exactly one aggregate pair
+    # (partial+final) and no shuffle join
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        V.audit(df, [V.not_null("v"), V.in_set("tag", ["a"])]).explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Scan") == 1 and "Join" not in plan
+
+
+def test_validate_duplicates_and_orphans(spark):
+    from kerf_spark.operators import validate as V
+
+    child = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z"), (2, "w")], "k long, p string"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    dups = {(r["k"], r["n"]) for r in V.duplicate_keys(child, "k").collect()}
+    assert dups == {(2, 2)}
+    orph = [r["k"] for r in V.orphans(child, parent, "k").collect()]
+    assert orph == [9]
