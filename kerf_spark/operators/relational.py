@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -211,4 +211,44 @@ def melt(
         [F.col(c) for c in values],
         var_name,
         value_name,
+    )
+
+
+def scd2_history(
+    log: DataFrame,
+    key: Sequence[str] | str,
+    ts: str,
+    attrs: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log:
+    one row per (key, attribute-state) interval with ``valid_from`` =
+    the first timestamp the state was observed and ``valid_to`` = the
+    timestamp it changed (NULL = still current).
+
+    Consecutive log rows with identical ``attrs`` collapse (no spurious
+    versions); the whole build is ONE keyed shuffle — a lag() for
+    change detection and a lead() over the surviving change rows,
+    both windows sharing the key partitioning.  Point-in-time lookup is
+    then a filter: ``valid_from <= t AND (valid_to IS NULL OR t <
+    valid_to)``.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    attrs = list(attrs)
+    order = [F.col(ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*key).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    changed = log.withColumn(
+        "__prev", F.lag(state).over(w)
+    ).where(
+        F.col("__prev").isNull() | (F.col("__prev") != state)
+    )
+    w2 = Window.partitionBy(*key).orderBy(*order)
+    return changed.select(
+        *key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
     )

@@ -7090,6 +7090,54 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "scd2_user_state_history",
+    """
+    WITH log AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS state
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, tu, event_id, state,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS prev
+      FROM log
+    ),
+    keep AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> state)
+    SELECT user_id, state, tu AS valid_from_us,
+           lead(tu) OVER (PARTITION BY user_id
+                          ORDER BY tu, event_id) AS valid_to_us
+    FROM keep
+    """,
+)
+def scd2_user_state_history(spark, sf):
+    """Type-2 SCD history built from a change log: each user's
+    quantized value-state becomes (state, valid_from, valid_to)
+    intervals — consecutive identical states collapse, the open
+    version carries NULL valid_to, and the whole build is one keyed
+    shuffle (lag change-detection + lead interval-close share the key
+    partitioning).  Point-in-time dimension lookup is then a pure
+    filter on the interval columns — the warehouse versioning
+    discipline at any scale."""
+    e = _t(spark, sf, "events")
+    log = e.select(
+        "user_id",
+        TM.ns_to_us("ts").alias("tu"),
+        "event_id",
+        F.floor(F.col("value") / 100).cast("long").alias("state"),
+    )
+    hist = R.scd2_history(
+        log, key="user_id", ts="tu", attrs=["state"], tiebreak="event_id"
+    )
+    return hist.select(
+        "user_id",
+        "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
+@query(
     "validate_events_audit",
     """
     WITH base AS (

@@ -1575,3 +1575,33 @@ def test_validate_duplicates_and_orphans(spark):
     assert dups == {(2, 2)}
     orph = [r["k"] for r in V.orphans(child, parent, "k").collect()]
     assert orph == [9]
+
+
+def test_scd2_history_collapses_and_closes_versions(spark):
+    from kerf_spark.operators.relational import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "a"),
+            (2, 15, "x"),
+        ],
+        "k long, ts long, attr string",
+    )
+    rows = {
+        (r["k"], r["attr"], r["valid_from"]): r["valid_to"]
+        for r in scd2_history(log, "k", "ts", ["attr"]).collect()
+    }
+    # consecutive duplicate at ts=20 collapsed; versions chain correctly
+    assert rows == {
+        (1, "a", 10): 30,
+        (1, "b", 30): 40,
+        (1, "a", 40): None,   # open version
+        (2, "x", 15): None,
+    }
+    # point-in-time: state at t=35 is 'b' for key 1
+    hist = scd2_history(log, "k", "ts", ["attr"])
+    pit = hist.where(
+        (F.col("valid_from") <= 35)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 35))
+    )
+    assert {(r["k"], r["attr"]) for r in pit.collect()} == {(1, "b"), (2, "x")}
