@@ -7090,6 +7090,126 @@ def asof_bucketed_colocated(spark, sf):
 
 
 @query(
+    "stream_windowed_hll",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_b,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'),
+                             1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hour_b, hv >> 52 AS idx,
+             CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                  ELSE 53 - length(bin(hv % 4503599627370496))
+             END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, hour_b, idx, max(rho) AS rho
+      FROM r GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT event_type, hour_b, count(*) AS present,
+             sum(power(2.0, -rho)) AS spresent
+      FROM regs GROUP BY 1, 2
+    )
+    SELECT event_type, hour_b,
+           round(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536
+                           / (spresent + (256 - present)) <= 640.0
+                           AND (256 - present) > 0
+                      THEN 256 * ln(256.0 / (256 - present))
+                      ELSE (0.7213 / (1 + 1.079 / 256)) * 65536
+                           / (spresent + (256 - present)) END,
+                 4) AS n_hll
+    FROM agg ORDER BY event_type, hour_b
+    """,
+)
+def stream_windowed_hll(spark, sf):
+    """Windowed streaming cardinality: per (event type, hour) HLL
+    registers maintained across micro-batches — the per-time-bucket
+    distinct-count dashboard a 100 TB stream feeds without ever
+    shuffling raw user ids into a window.  Register-max merging is
+    batching-insensitive, so the stream result equals the batch
+    computation bit-for-bit; state per window is capped at m=256 rows
+    no matter the traffic."""
+    import tempfile
+
+    from .operators import sketches as SKCH
+    from .streaming.ingest import stream_table
+
+    out_dir = tempfile.mkdtemp(prefix="kerf_stream_whll_")
+
+    def fold_batch(bdf, _epoch):
+        # integer div, not floor(double /): ns-scale longs exceed
+        # double's exact range, so float division can misbucket an
+        # event sitting exactly on an hour edge
+        hour = F.expr("ts div 3600000000000").alias("hour_b")
+        SKCH.hll_registers(
+            bdf.withColumn("hour_b", hour), "user_id",
+            ["event_type", "hour_b"],
+        ).write.mode("append").parquet(out_dir)
+
+    stream = stream_table(spark, sf, "events", maxFilesPerTrigger=1)
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "hour_b", "__idx")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    return (
+        SKCH.hll_estimate(merged, ["event_type", "hour_b"])
+        .select(
+            "event_type", "hour_b", F.round("est", 4).alias("n_hll")
+        )
+        .orderBy("event_type", "hour_b")
+    )
+
+
+@query(
+    "percentile_disc_cont",
+    """
+    SELECT l_returnflag,
+           round(quantile_disc(l_extendedprice, 0.25), 2) AS p25_disc,
+           round(quantile_disc(l_extendedprice, 0.90), 2) AS p90_disc,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_cont,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90_cont
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def percentile_disc_cont(spark, sf):
+    """Both ANSI percentile flavors per group: percentile_disc picks an
+    actual data value (DuckDB quantile_disc), percentile_cont
+    interpolates (quantile_cont) — the discrete/continuous pair a SQL
+    user expects, via Spark's WITHIN GROUP syntax.  Exact sort-based
+    aggregates; the approx_percentile family remains the documented
+    100 TB path (`approx_quantile_tolerance`)."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("li_pct")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_disc(0.25) WITHIN GROUP
+                     (ORDER BY l_extendedprice), 2) AS p25_disc,
+               round(percentile_disc(0.90) WITHIN GROUP
+                     (ORDER BY l_extendedprice), 2) AS p90_disc,
+               round(percentile_cont(0.25) WITHIN GROUP
+                     (ORDER BY l_extendedprice), 6) AS p25_cont,
+               round(percentile_cont(0.90) WITHIN GROUP
+                     (ORDER BY l_extendedprice), 6) AS p90_cont
+        FROM li_pct GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
     "scd2_user_state_history",
     """
     WITH log AS (
