@@ -58,7 +58,9 @@ def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
 
-_US = "CAST(floor(ts / 1000) AS BIGINT)"  # spark-side events µs expr
+# (no float-path µs helper: ns longs exceed double's exact integer
+# range, so floor(ts/1000) misbuckets ~1.6%% of fixture rows — always
+# use temporal.ns_to_us / `ts div 1000`, both exact integer floor-div)
 
 
 # =====================================================================
@@ -8272,7 +8274,7 @@ def autocorr_lag_events(spark, sf):
     window; the agg reuses its partitioning."""
     e = _t(spark, sf, "events")
     w = Window.partitionBy("event_type").orderBy(
-        F.expr(_US), "event_id"
+        TM.ns_to_us("ts"), "event_id"
     )
     lagged = e.select(
         "event_type",
