@@ -13,7 +13,8 @@ values at 12 significant digits).  Conventions applied throughout:
   12-digit hash stable;
 * events.ts is epoch-NANOS in Spark (nanosAsLong) but µs-truncated
   TIMESTAMP in DuckDB — all event-time outputs go through ts_us =
-  floor(ts/1000) == epoch_us(ts);
+  `ts div 1000` (integer floor-div) == epoch_us(ts) — never
+  floor(ts/1000.0), which divides as double and misbuckets;
 * deterministic total order: every top-k/rank query carries a unique
   tiebreak column.
 """
