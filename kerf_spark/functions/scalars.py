@@ -309,10 +309,11 @@ def zorder_key(x, y, bits: int = 16):
     yb = _c(y).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     out = F.lit(0).cast("long")
     for j in range(int(bits)):
-        # (v >> j & 1) << k  ==  (v div 2^j mod 2) * 2^k — stays in
-        # long arithmetic; 2*bits <= 62 so no sign-bit hazard
-        xbit = (xb / F.lit(1 << j)).cast("long") % 2
-        ybit = (yb / F.lit(1 << j)).cast("long") % 2
+        # literal shift amounts, so shiftright applies directly — true
+        # integer arithmetic end to end; 2*bits <= 62 keeps the
+        # accumulator clear of the sign bit
+        xbit = F.shiftright(xb, j).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(yb, j).bitwiseAND(F.lit(1))
         out = (
             out
             + xbit * F.lit(1 << (2 * j))

@@ -470,19 +470,14 @@ def bloom_member_col(
     built distributed can be densified (`bloom_words_list`) and probed
     as a projection.
     """
-    kc = F.col(key) if isinstance(key, str) else key
     arr = F.lit(words)
+    # the ONE hash-family definition (bloom_positions) supplies the bit
+    # positions — a drifting reimplementation here would break
+    # bloom_semi_join's exactness as silent false negatives
+    pos = bloom_positions(key, m_bits, k, salt)
     out = None
     for j in range(int(k)):
-        p = F.conv(
-            F.substring(
-                F.md5(F.concat(kc, F.lit("#" + salt), F.lit(str(j)))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long") % F.lit(int(m_bits))
+        p = F.element_at(pos, j + 1)
         word = F.element_at(arr, F.floor(p / F.lit(64)).cast("int") + 1)
         b = p % F.lit(64)
         # shiftleft's Python wrapper only takes a literal shift; build
@@ -522,11 +517,22 @@ def bloom_semi_join(
     with the filter geometry under caller control: at 100 TB the win is
     shuffle volume — only left rows that (probably) match ever move.
     """
-    rkeys = right.select(F.col(on).cast("string").alias("__k"))
+    # one computation of the right lineage: the distinct key set is
+    # checkpointed, feeds the filter build (eager collect) AND the
+    # confirming semi-join — an expensive right-side plan would
+    # otherwise execute twice
+    rk = right.select(on).distinct().localCheckpoint()
     words = bloom_words_list(
-        bloom_build(rkeys, "__k", m_bits, k, salt), m_bits
+        bloom_build(
+            rk.select(F.col(on).cast("string").alias("__k")),
+            "__k",
+            m_bits,
+            k,
+            salt,
+        ),
+        m_bits,
     )
     pre = left.where(
         bloom_member_col(F.col(on).cast("string"), words, m_bits, k, salt)
     )
-    return pre.join(right.select(on).distinct(), on, "left_semi")
+    return pre.join(rk, on, "left_semi")

@@ -245,10 +245,9 @@ def scd2_history(
     ).where(
         F.col("__prev").isNull() | (F.col("__prev") != state)
     )
-    w2 = Window.partitionBy(*key).orderBy(*order)
     return changed.select(
         *key,
         *attrs,
         F.col(ts).alias("valid_from"),
-        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w).alias("valid_to"),
     )

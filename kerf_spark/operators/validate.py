@@ -34,11 +34,12 @@ def in_range(col, lo, hi) -> tuple[str, Column]:
 
 
 def in_set(col, values) -> tuple[str, Column]:
-    return f"in_set({col})", _c(col).isin(list(values))
+    vals = list(values)
+    return f"in_set({col},{len(vals)} values)", _c(col).isin(vals)
 
 
 def matches(col, pattern: str) -> tuple[str, Column]:
-    return f"matches({col})", _c(col).rlike(pattern)
+    return f"matches({col},{pattern})", _c(col).rlike(pattern)
 
 
 def custom(name: str, predicate: Column) -> tuple[str, Column]:
@@ -54,14 +55,17 @@ def audit(df: DataFrame, rules) -> DataFrame:
     conditional count inside one aggregation, so adding a rule costs a
     column expression, not a pass over the data.
     """
+    # internal agg aliases are positional (__r0, __r1, ...): display
+    # names carry arbitrary text (regex patterns, duplicate columns)
+    # that would collide or mis-parse as column references
     aggs = [F.count(F.lit(1)).alias("__n")]
     names = []
-    for name, pred in rules:
+    for i, (name, pred) in enumerate(rules):
         names.append(name)
         aggs.append(
             F.sum(F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0))
             .cast("long")
-            .alias(name)
+            .alias(f"__r{i}")
         )
     row = df.agg(*aggs)
     stacked = row.select(
@@ -71,9 +75,9 @@ def audit(df: DataFrame, rules) -> DataFrame:
                     F.struct(
                         F.lit(name).alias("rule"),
                         F.col("__n").alias("n_rows"),
-                        F.col(name).alias("n_violations"),
+                        F.col(f"__r{i}").alias("n_violations"),
                     )
-                    for name in names
+                    for i, name in enumerate(names)
                 ]
             )
         ).alias("r")

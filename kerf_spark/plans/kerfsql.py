@@ -111,6 +111,17 @@ _WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "prev", "next",
 _ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
 
 
+def _int_arg(verb: str, tok: str) -> int:
+    """Moving-verb window sizes must be integer literals — a column or
+    expression here would silently emit invalid frame SQL."""
+    if not re.fullmatch(r"\s*\d+\s*", tok):
+        raise ArgsError(
+            f"kerf verb {verb}() needs an integer-literal window size, "
+            f"got {tok!r}"
+        )
+    return int(tok)
+
+
 def _span_to_ns(tok: str) -> int:
     m = _SPAN_RE.match(tok)
     if m:
@@ -177,13 +188,13 @@ def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
         elif name == "next":
             rep = f"lead({a[0]}) OVER {w}"
         elif name == "mavg":
-            n = int(a[0])
+            n = _int_arg(name, a[0])
             rep = (
                 f"avg({a[1]}) OVER ({pb}{ob} ROWS BETWEEN {n - 1} "
                 f"PRECEDING AND CURRENT ROW)"
             )
         elif name == "msum":
-            n = int(a[0])
+            n = _int_arg(name, a[0])
             rep = (
                 f"sum({a[1]}) OVER ({pb}{ob} ROWS BETWEEN {n - 1} "
                 f"PRECEDING AND CURRENT ROW)"
@@ -197,8 +208,9 @@ def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
         elif name == "mins":
             rep = f"min({a[0]}) OVER {trail}"
         elif name in ("mmax", "mmin", "mdev", "mcount"):
-            n = int(a[0])
-            fn = {"mmax": "max", "mmin": "min", "mdev": "stddev_samp",
+            n = _int_arg(name, a[0])
+            # kdb/q mdev is POPULATION deviation (divisor n), not sample
+            fn = {"mmax": "max", "mmin": "min", "mdev": "stddev_pop",
                   "mcount": "count"}[name]
             rep = (
                 f"{fn}({a[1]}) OVER ({pb}{ob} ROWS BETWEEN {n - 1} "
@@ -219,6 +231,11 @@ def translate(q: str) -> str:
     """kerf-SQL text -> ANSI SQL text (table names kept symbolic)."""
     q = q.strip().rstrip(";")
     head = q.split(None, 1)[0].lower()
+    if re.search(r"(?i)\basof\s+join\b", q):
+        raise ParseError(
+            "asof join needs catalog access to resolve its tables — "
+            "execute through kerf_sql(spark, ...), not translate()"
+        )
 
     if head == "select":
         body = q[len("select"):].strip()
@@ -342,9 +359,22 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
         joined = asof_join(
             spark.table(lt), spark.table(rt), on=keys[-1], by=keys[:-1]
         )
-        view = f"__kf_asof_{abs(hash((lt, rt, tuple(keys)))) % 10**8}"
+        # deterministic name (md5, not seed-randomized hash()); the
+        # view exists only while spark.sql resolves the plan, then
+        # drops — no catalog residue per invocation
+        import hashlib
+
+        tag = hashlib.md5(
+            "|".join([lt, rt, *keys]).encode()
+        ).hexdigest()[:12]
+        view = f"__kf_asof_{tag}"
         joined.createOrReplaceTempView(view)
-        q = q[: m.start()] + f"from {view}" + q[m.end():]
+        try:
+            return spark.sql(
+                translate(q[: m.start()] + f"from {view}" + q[m.end():])
+            )
+        finally:
+            spark.catalog.dropTempView(view)
     if head == "upsert":
         m = re.match(
             r"(?is)^\s*upsert\s+into\s+(\w+)\s+on\s+([\w\s,]+?)\s+(values\s+.*?)\s*;?\s*$",

@@ -7283,8 +7283,8 @@ def scd2_user_state_history(spark, sf):
     FROM base, LATERAL (VALUES
       ('not_null(value)', v_null),
       ('in_range(value,0,1000)', v_range),
-      ('in_set(event_type)', v_enum),
-      ('matches(props)', v_json)
+      ('in_set(event_type,5 values)', v_enum),
+      ('matches(props,^\{.*\}$)', v_json)
     ) AS r(rule, v)
     ORDER BY r.rule
     """,
@@ -7488,15 +7488,16 @@ def hll_overlap_event_types(spark, sf):
       SELECT user_id AS ub, CAST(floor(value) AS BIGINT) AS vb FROM events
     ),
     z AS (SELECT ub, vb, (((ub // 1) % 2) * 1 + ((vb // 1) % 2) * 2 + ((ub // 2) % 2) * 4 + ((vb // 2) % 2) * 8 + ((ub // 4) % 2) * 16 + ((vb // 4) % 2) * 32 + ((ub // 8) % 2) * 64 + ((vb // 8) % 2) * 128 + ((ub // 16) % 2) * 256 + ((vb // 16) % 2) * 512 + ((ub // 32) % 2) * 1024 + ((vb // 32) % 2) * 2048 + ((ub // 64) % 2) * 4096 + ((vb // 64) % 2) * 8192 + ((ub // 128) % 2) * 16384 + ((vb // 128) % 2) * 32768 + ((ub // 256) % 2) * 65536 + ((vb // 256) % 2) * 131072 + ((ub // 512) % 2) * 262144 + ((vb // 512) % 2) * 524288 + ((ub // 1024) % 2) * 1048576 + ((vb // 1024) % 2) * 2097152 + ((ub // 2048) % 2) * 4194304 + ((vb // 2048) % 2) * 8388608 + ((ub // 4096) % 2) * 16777216 + ((vb // 4096) % 2) * 33554432 + ((ub // 8192) % 2) * 67108864 + ((vb // 8192) % 2) * 134217728 + ((ub // 16384) % 2) * 268435456 + ((vb // 16384) % 2) * 536870912 + ((ub // 32768) % 2) * 1073741824 + ((vb // 32768) % 2) * 2147483648) AS zk FROM b)
-    SELECT zk // 16777216 AS zbucket, count(*) AS n,
+    SELECT zk // 16384 AS zbucket, count(*) AS n,
            min(ub) AS lo_u, max(ub) AS hi_u,
            min(vb) AS lo_v, max(vb) AS hi_v
     FROM z GROUP BY 1 ORDER BY 1""",
 )
 def zorder_locality(spark, sf):
     """Morton (Z-order) clustering key over (user_id, floor(value)):
-    rows grouped by the key's top bits are bounded in BOTH dimensions
-    simultaneously — the per-bucket min/max ranges this query reports
+    rows grouped by the key's upper bits (here zk div 2^14 — sized to
+    the fixture's 11-bit/10-bit domains so the report has ~dozens of
+    buckets) are bounded in BOTH dimensions simultaneously — the per-bucket min/max ranges this query reports
     are exactly the Parquet row-group stats a zordered write would
     carry, i.e. the data-skipping evidence for multi-dimensional
     pruning.  The interleave is pure long arithmetic (power-of-two
@@ -7510,7 +7511,7 @@ def zorder_locality(spark, sf):
         "ub", "vb", S.zorder_key("ub", "vb", bits=16).alias("zk")
     )
     return (
-        z.groupBy((F.col("zk") / F.lit(1 << 24)).cast("long").alias("zbucket"))
+        z.groupBy(F.expr("zk div 16384").alias("zbucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("ub").alias("lo_u"),
@@ -7543,7 +7544,7 @@ def zorder_locality(spark, sf):
                               ORDER BY epoch_us(ts), event_id
                               ROWS BETWEEN 4 PRECEDING
                               AND CURRENT ROW) AS m5,
-             stddev_samp(value) OVER (PARTITION BY user_id
+             stddev_pop(value) OVER (PARTITION BY user_id
                               ORDER BY epoch_us(ts), event_id
                               ROWS BETWEEN 9 PRECEDING
                               AND CURRENT ROW) AS sd,

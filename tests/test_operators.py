@@ -1550,7 +1550,7 @@ def test_validate_audit_single_pass_and_counts(spark):
     }
     assert rep["not_null(v)"] == (1, 0.25)
     assert rep["in_range(v,0,10)"] == (2, 0.5)  # null counts as violating
-    assert rep["in_set(tag)"] == (1, 0.25)
+    assert rep["in_set(tag,2 values)"] == (1, 0.25)
     assert rep["id_even"] == (2, 0.5)
     # single pass: the audit plan contains exactly one aggregate pair
     # (partial+final) and no shuffle join
@@ -1559,7 +1559,16 @@ def test_validate_audit_single_pass_and_counts(spark):
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        V.audit(df, [V.not_null("v"), V.in_set("tag", ["a"])]).explain("simple")
+        V.audit(
+            df,
+            [
+                V.not_null("v"),
+                V.in_set("tag", ["a"]),
+                # two same-kind rules on one column must not collide
+                V.matches("tag", "^a"),
+                V.matches("tag", "b$"),
+            ],
+        ).explain("simple")
     plan = buf.getvalue()
     assert plan.count("Scan") == 1 and "Join" not in plan
 

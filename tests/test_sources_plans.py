@@ -629,5 +629,20 @@ def test_kerfsql_running_and_moving_verbs_translate():
     )
     assert "sum(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" in sql
     assert "max(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)" in sql
-    assert "stddev_samp(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)" in sql
+    assert "stddev_pop(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)" in sql
     assert "count(v) OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)" in sql
+
+
+def test_kerfsql_error_taxonomy_for_new_paths():
+    import pytest
+
+    from kerf_spark.errors import ArgsError, ParseError
+    from kerf_spark.plans.kerfsql import translate
+
+    # asof text at translate() level: loud ParseError, not a Spark
+    # parse error downstream
+    with pytest.raises(ParseError, match="asof join"):
+        translate("select a from t asof join q on sym, ts")
+    # non-literal moving-window size: ArgsError, not bare ValueError
+    with pytest.raises(ArgsError, match="integer-literal"):
+        translate("select m: mmax(w, v) by g from t order by ts")
