@@ -7441,12 +7441,16 @@ def hll_overlap_event_types(spark, sf):
             F.col("ta") < F.col("tb"),
         )
     )
+    # two equi-joins, not one OR-join: an OR condition can't hash and
+    # would plan as a nested loop over |pairs| x |regs|
+    ra = pairs.join(
+        regs.withColumnRenamed("event_type", "ta"), "ta"
+    ).select("ta", "tb", "__idx", "__rho")
+    rb = pairs.join(
+        regs.withColumnRenamed("event_type", "tb"), "tb"
+    ).select("ta", "tb", "__idx", "__rho")
     ureg = (
-        pairs.join(
-            regs,
-            (F.col("event_type") == F.col("ta"))
-            | (F.col("event_type") == F.col("tb")),
-        )
+        ra.unionByName(rb)
         .groupBy("ta", "tb", "__idx")
         .agg(F.max("__rho").alias("__rho"))
     )
