@@ -251,3 +251,34 @@ def scd2_history(
         F.col(ts).alias("valid_from"),
         F.lead(ts).over(w).alias("valid_to"),
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    key: Sequence[str] | str,
+    ts: str,
+    attrs: Sequence[str],
+) -> DataFrame:
+    """Merge a new changelog batch into an existing SCD2 ``history``
+    (as produced by :func:`scd2_history`): keys touched by the batch
+    are rebuilt from their recorded versions plus the new rows; keys
+    the batch never mentions pass through untouched (anti-join, no
+    window work).  Incremental discipline: per-batch cost scales with
+    the touched keys' history, not the full dimension — and because
+    each touched key fully rebuilds, late/out-of-order batch rows land
+    in the right interval instead of corrupting the open version.
+
+    Result invariant (unit-tested): scd2_apply(scd2_history(log1),
+    log2) == scd2_history(log1 ∪ log2).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    attrs = list(attrs)
+    touched = batch.select(*key).distinct()
+    untouched = history.join(touched, key, "left_anti")
+    hist_log = history.join(touched, key, "left_semi").select(
+        *key, *attrs, F.col("valid_from").alias(ts)
+    )
+    merged_log = hist_log.unionByName(batch.select(*key, *attrs, ts))
+    rebuilt = scd2_history(merged_log, key, ts, attrs)
+    return untouched.unionByName(rebuilt)

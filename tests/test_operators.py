@@ -1614,3 +1614,33 @@ def test_scd2_history_collapses_and_closes_versions(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > 35))
     )
     assert {(r["k"], r["attr"]) for r in pit.collect()} == {(1, "b"), (2, "x")}
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    from kerf_spark.operators.relational import scd2_apply, scd2_history
+
+    log1 = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 15, "x"), (3, 5, "q")],
+        "k long, ts long, attr string",
+    )
+    # batch touches key 1 (incl. an OUT-OF-ORDER row at ts=20) and a
+    # brand-new key 4; keys 2 and 3 must pass through untouched
+    log2 = spark.createDataFrame(
+        [(1, 20, "c"), (1, 50, "d"), (4, 7, "n")],
+        "k long, ts long, attr string",
+    )
+    got = {
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply(
+            scd2_history(log1, "k", "ts", ["attr"]),
+            log2, "k", "ts", ["attr"],
+        ).collect()
+    }
+    want = {
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(
+            log1.unionByName(log2), "k", "ts", ["attr"]
+        ).collect()
+    }
+    assert got == want
+    assert (1, "c", 20, 30) in got  # out-of-order row landed mid-history
