@@ -7261,6 +7261,66 @@ def scd2_user_state_history(spark, sf):
 
 
 @query(
+    "scd2_apply_batch",
+    """
+    WITH log AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS state
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, tu, event_id, state,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS prev
+      FROM log
+    ),
+    keep AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> state)
+    SELECT user_id, state, tu AS valid_from_us,
+           lead(tu) OVER (PARTITION BY user_id
+                          ORDER BY tu, event_id) AS valid_to_us
+    FROM keep
+    """,
+)
+def scd2_apply_batch(spark, sf):
+    """The INCREMENTAL SCD2 path proven against the full rebuild: the
+    first ~70%% of the changelog (by timestamp) builds the stored
+    history, the remaining rows arrive as a batch through scd2_apply —
+    and the oracle is the full-log rebuild, so the driver check IS the
+    incremental==batch equivalence at fixture scale.  Only batch-
+    touched keys do window work; untouched keys anti-join through.
+    (The apply path rebuilds touched keys without a tiebreak column,
+    so the changelog is pre-collapsed to microsecond-unique change
+    rows — same convention a stored history table carries.)"""
+    e = _t(spark, sf, "events")
+    log = e.select(
+        "user_id",
+        TM.ns_to_us("ts").alias("tu"),
+        "event_id",
+        F.floor(F.col("value") / 100).cast("long").alias("state"),
+    )
+    # pre-collapse to change rows (tiebreak applied ONCE, here) so the
+    # apply path's rebuild needs no tiebreak column
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    changes = (
+        log.withColumn("__prev", F.lag("state").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("state")))
+        .select("user_id", "tu", "state")
+    )
+    cut = 1704931200000000  # 2024-01-11 00:00 UTC, ~70% of the fixture
+    hist0 = R.scd2_history(
+        changes.where(F.col("tu") < cut), "user_id", "tu", ["state"]
+    )
+    batch = changes.where(F.col("tu") >= cut)
+    merged = R.scd2_apply(hist0, batch, "user_id", "tu", ["state"])
+    return merged.select(
+        "user_id",
+        "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
+@query(
     "validate_events_audit",
     """
     WITH base AS (
