@@ -20,9 +20,10 @@ Grammar (one statement, case-insensitive keywords):
         [where <cond>] [order by <exprs> [asc|desc]] [limit <n>]
     -- <table> passes through verbatim, so ANSI join text works:
     --   select n: count(*) by tier from customer join seg on m = s
-    -- plus the kerf/kdb as-of join (LAST on-column = temporal key),
-    -- resolved through operators.asof.asof_join:
+    -- plus the kerf/kdb as-of and window joins (LAST on-column =
+    -- temporal key), resolved through operators.asof:
     --   select ... from trades asof join quotes on sym, ts
+    --   select ... from t window join q on sym, ts within -1h 0s
     update <table> set <col>=<expr>[, ...] [where <cond>]
     delete from <table> [where <cond>]
 
@@ -231,10 +232,11 @@ def translate(q: str) -> str:
     """kerf-SQL text -> ANSI SQL text (table names kept symbolic)."""
     q = q.strip().rstrip(";")
     head = q.split(None, 1)[0].lower()
-    if re.search(r"(?i)\basof\s+join\b", q):
+    if re.search(r"(?i)\b(asof|window)\s+join\b", q):
         raise ParseError(
-            "asof join needs catalog access to resolve its tables — "
-            "execute through kerf_sql(spark, ...), not translate()"
+            "asof/window join needs catalog access to resolve its "
+            "tables — execute through kerf_sql(spark, ...), not "
+            "translate()"
         )
 
     if head == "select":
@@ -368,6 +370,54 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
             "|".join([lt, rt, *keys]).encode()
         ).hexdigest()[:12]
         view = f"__kf_asof_{tag}"
+        joined.createOrReplaceTempView(view)
+        try:
+            return spark.sql(
+                translate(q[: m.start()] + f"from {view}" + q[m.end():])
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+    m = re.search(
+        r"(?is)\bfrom\s+(\w+)\s+window\s+join\s+(\w+)\s+on\s+"
+        r"([\w\s,]+?)\s+within\s+(-?\S+)\s+(-?\S+)"
+        r"(?=\s+(?:where|order|limit)\b|\s*;?\s*$)",
+        q,
+    )
+    if m and head == "select":
+        # kerf window join (wj): all right rows within [lo, hi] of each
+        # left row's time, per equi keys — spans accept kerf span
+        # literals ('1h', '30s') with an optional sign.  Resolves
+        # through operators.asof.window_join on its bucketed path
+        # (equi-join on span buckets + residual, never a nested loop).
+        from ..operators.asof import window_join
+
+        def _signed(tok: str) -> int:
+            tok = tok.strip()
+            return (
+                -_span_to_ns(tok[1:]) if tok.startswith("-")
+                else _span_to_ns(tok)
+            )
+
+        lt, rt, onlist = m.group(1), m.group(2), m.group(3)
+        lo, hi = _signed(m.group(4)), _signed(m.group(5))
+        if hi < lo:
+            raise ArgsError(f"window join bounds out of order: {lo} > {hi}")
+        keys = [k.strip() for k in onlist.split(",") if k.strip()]
+        joined = window_join(
+            spark.table(lt),
+            spark.table(rt),
+            on=keys[-1],
+            lo_ns=lo,
+            hi_ns=hi,
+            by=keys[:-1],
+            bucket_ns=max(hi - lo, 1),
+        )
+        import hashlib
+
+        tag = hashlib.md5(
+            "|".join([lt, rt, str(lo), str(hi), *keys]).encode()
+        ).hexdigest()[:12]
+        view = f"__kf_wj_{tag}"
         joined.createOrReplaceTempView(view)
         try:
             return spark.sql(

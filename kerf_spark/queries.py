@@ -7646,6 +7646,42 @@ def kerfsql_running_verbs(spark, sf):
 
 
 @query(
+    "kerfsql_window_join",
+    """
+    SELECT a.event_id, count(*) AS n
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
+     AND b.event_id <> a.event_id
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+)
+def kerfsql_window_join(spark, sf):
+    """kerf's window join (wj) spoken in kerf-SQL: ``from err window
+    join ev on user_id, ts within -1h 0s`` — every right row within
+    the span of each left row, per equi key.  Resolves through
+    window_join's bucketed path (span-bucket equi-join + residual,
+    never a nested loop), then the grouped select counts matches per
+    anchor — the same result interval_join_bursts computes with the
+    rank-difference plan, proven against the identical oracle."""
+    e = _t(spark, sf, "events")
+    e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("ev_err_wj")
+    e.select("user_id", "ts", "event_id").createOrReplaceTempView(
+        "ev_all_wj"
+    )
+    return kerf_sql(
+        spark,
+        "select n: count(*) by event_id"
+        " from ev_err_wj window join ev_all_wj on user_id, ts"
+        " within -1h 0s"
+        " where event_id_r != event_id",
+    )
+
+
+@query(
     "kerfsql_asof_join",
     """
     WITH ranked AS (

@@ -646,3 +646,39 @@ def test_kerfsql_error_taxonomy_for_new_paths():
     # non-literal moving-window size: ArgsError, not bare ValueError
     with pytest.raises(ArgsError, match="integer-literal"):
         translate("select m: mmax(w, v) by g from t order by ts")
+
+
+def test_kerfsql_window_join_matches_operator(spark):
+    from kerf_spark.operators.asof import window_join
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    left = spark.createDataFrame(
+        [("A", 100, 1), ("A", 250, 2), ("B", 50, 3)],
+        "sym string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("A", 60, 10), ("A", 90, 11), ("A", 240, 12), ("B", 49, 13)],
+        "sym string, ts long, rid long",
+    )
+    left.createOrReplaceTempView("wj_l")
+    right.createOrReplaceTempView("wj_r")
+    got = {
+        (r["lid"], r["rid"])
+        for r in kerf_sql(
+            spark,
+            "select lid, rid from wj_l window join wj_r on sym, ts"
+            " within -50ns 0ns",
+        ).collect()
+    }
+    exp = {
+        (r["lid"], r["rid"])
+        for r in window_join(
+            left, right, on="ts", lo_ns=-50, hi_ns=0, by="sym",
+            bucket_ns=50,
+        ).collect()
+    }
+    assert got == exp == {(1, 10), (1, 11), (2, 12), (3, 13)}
+    # catalog hygiene: the temp view dropped after resolution
+    assert not [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("__kf_wj")
+    ]
