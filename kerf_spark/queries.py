@@ -7321,6 +7321,116 @@ def scd2_apply_batch(spark, sf):
 
 
 @query(
+    "stream_scd2_history",
+    """
+    WITH log AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS state
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, tu, event_id, state,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id) AS prev
+      FROM log
+    ),
+    keep AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> state)
+    SELECT user_id, state, tu AS valid_from_us,
+           lead(tu) OVER (PARTITION BY user_id
+                          ORDER BY tu, event_id) AS valid_to_us
+    FROM keep
+    """,
+)
+def stream_scd2_history(spark, sf):
+    """STREAMING dimension versioning: the event changelog arrives in
+    micro-batches (the fixture re-chunked into three files,
+    maxFilesPerTrigger=1) and each batch folds into the running SCD2
+    history via scd2_apply — which rebuilds only batch-touched keys
+    and is insensitive to batch ORDER, so whatever order the file
+    source delivers, the final history equals the batch rebuild
+    bit-for-bit (same oracle as scd2_user_state_history).  History
+    state is eagerly checkpointed per batch: bounded lineage, no
+    recompute chain across batches."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .streaming.ingest import read_file_stream
+
+    e = _t(spark, sf, "events")
+    log = e.select(
+        "user_id",
+        TM.ns_to_us("ts").alias("tu"),
+        "event_id",
+        F.floor(F.col("value") / 100).cast("long").alias("state"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    changes = (
+        log.withColumn("__prev", F.lag("state").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("state")))
+        .select("user_id", "tu", "state")
+    )
+    src_dir = tempfile.mkdtemp(prefix="kerf_scd2_src_")
+    # three chunks by time range — three genuine micro-batches
+    for i, (lo, hi) in enumerate(
+        [(0, 1704844800000000), (1704844800000000, 1705017600000000),
+         (1705017600000000, 1 << 62)]
+    ):
+        changes.where(
+            (F.col("tu") >= lo) & (F.col("tu") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/part{i}")
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("state", LongType()),
+            StructField("valid_from", LongType()),
+            StructField("valid_to", LongType()),
+        ]
+    )
+    hold = {"hist": spark.createDataFrame([], schema)}
+
+    def fold_batch(bdf, _epoch):
+        if bdf.isEmpty():
+            return
+        hold["hist"] = R.scd2_apply(
+            hold["hist"], bdf, "user_id", "tu", ["state"]
+        ).localCheckpoint()
+
+    chunk_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("tu", LongType()),
+            StructField("state", LongType()),
+        ]
+    )
+    stream = read_file_stream(
+        spark,
+        src_dir + "/part*",
+        chunk_schema,
+        maxFilesPerTrigger=1,
+    )
+    ckpt = tempfile.mkdtemp(prefix="kerf_scd2_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hold["hist"].select(
+        "user_id",
+        "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
+@query(
     "validate_events_audit",
     """
     WITH base AS (
