@@ -783,3 +783,62 @@ def test_bloom_semi_join_prefilters_map_side(spark):
     plan = plan_of(bloom_semi_join(left, right, "key"), "simple")
     assert "element_at" in plan          # the embedded filter words
     assert plan.count("Join") == 1       # only the confirming semi-join
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6),
+             min_size=1, max_size=20),
+    st.lists(st.text(alphabet="hijklmn", min_size=1, max_size=6),
+             min_size=1, max_size=20),
+)
+def test_bloom_union_is_wordwise_or(spark, ka, kb):
+    """bloom(A ∪ B) == word-wise OR of bloom(A), bloom(B) — the merge
+    law that lets per-partition filters combine without raw keys."""
+    from kerf_spark.operators.curation import bloom_build
+
+    m = 1 << 10
+    fa = spark.createDataFrame([(k,) for k in ka], "k string")
+    fb = spark.createDataFrame([(k,) for k in kb], "k string")
+    fab = fa.unionByName(fb)
+
+    def words(df):
+        return {
+            r["__w"]: r["__mask"]
+            for r in bloom_build(df, "k", m_bits=m, k=3).collect()
+        }
+
+    wa, wb, wab = words(fa), words(fb), words(fab)
+    merged = {
+        w: wa.get(w, 0) | wb.get(w, 0) for w in set(wa) | set(wb)
+    }
+    assert merged == wab
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6),
+             min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=39),
+)
+def test_hll_merge_invariant_over_any_split(spark, keys, cut):
+    """Register-max merge of ANY two-way split equals the whole-input
+    registers — the distributivity HLL summaries rely on."""
+    from kerf_spark.operators.sketches import hll_registers
+
+    cut = min(cut, len(keys))
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    d1 = spark.createDataFrame([(str(k),) for k in keys[:cut]], "k string")
+    d2 = spark.createDataFrame([(str(k),) for k in keys[cut:]], "k string")
+
+    def regs(frame):
+        return {
+            r["__idx"]: r["__rho"]
+            for r in hll_registers(frame, "k").collect()
+        }
+
+    whole, r1, r2 = regs(df), regs(d1), (regs(d2) if keys[cut:] else {})
+    merged = {
+        i: max(r1.get(i, 0), r2.get(i, 0)) for i in set(r1) | set(r2)
+    }
+    assert merged == whole
