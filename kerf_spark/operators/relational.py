@@ -265,12 +265,20 @@ def scd2_apply(
     are rebuilt from their recorded versions plus the new rows; keys
     the batch never mentions pass through untouched (anti-join, no
     window work).  Incremental discipline: per-batch cost scales with
-    the touched keys' history, not the full dimension — and because
-    each touched key fully rebuilds, late/out-of-order batch rows land
-    in the right interval instead of corrupting the open version.
+    the touched keys' history, not the full dimension.
 
-    Result invariant (unit-tested): scd2_apply(scd2_history(log1),
-    log2) == scd2_history(log1 ∪ log2).
+    CONTRACT — the history is the system of record, so the rebuild
+    sees one row per recorded VERSION, not the raw assertion log.
+    The exact invariant (unit-tested) is against the collapsed
+    changelog: scd2_apply(scd2_history(C1), C2) ==
+    scd2_history(C1 ∪ C2) whenever no C2 row lands strictly inside a
+    same-state run of C1's RAW source — always true when C1 was
+    already collapse-free (each row a genuine change) or when batches
+    arrive in time order.  A batch row that interleaves a collapsed
+    run cannot resurrect the run's later re-assertion (that evidence
+    was never recorded); pipelines needing full out-of-order fidelity
+    keep the raw changelog (bronze) and rebuild touched keys from it —
+    see the stream_scd2_history query for that pattern.
     """
     key = [key] if isinstance(key, str) else list(key)
     attrs = list(attrs)

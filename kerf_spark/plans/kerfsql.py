@@ -340,10 +340,40 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
     per key, old rows survive only when their key is untouched — the
     kerf keyed-table upsert contract.
     """
-    head = q.strip().split(None, 1)[0].lower()
+    q = q.strip().rstrip(";")
+    head = q.split(None, 1)[0].lower()
+
+    def _resolve_via_view(joined, prefix, tag_parts, span):
+        # deterministic name (md5, not seed-randomized hash()); the
+        # view exists only while spark.sql resolves the plan, then
+        # drops — no catalog residue per invocation
+        import hashlib
+
+        tag = hashlib.md5("|".join(tag_parts).encode()).hexdigest()[:12]
+        view = f"__kf_{prefix}_{tag}"
+        joined.createOrReplaceTempView(view)
+        try:
+            return spark.sql(
+                translate(q[: span[0]] + f"from {view}" + q[span[1]:])
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+
+    def _signed_span(tok: str) -> int:
+        tok = tok.strip()
+        neg = tok.startswith("-")
+        try:
+            ns = _span_to_ns(tok[1:] if neg else tok)
+        except ValueError:
+            raise ArgsError(
+                f"window join span must be an integer or span literal "
+                f"('1h', '30s', '250ms'), got {tok!r}"
+            ) from None
+        return -ns if neg else ns
+
     m = re.search(
         r"(?is)\bfrom\s+(\w+)\s+asof\s+join\s+(\w+)\s+on\s+"
-        r"([\w\s,]+?)(?=\s+(?:where|order|limit)\b|\s*;?\s*$)",
+        r"([\w\s,]+?)(?=\s+(?:where|order|limit)\b|\s*$)",
         q,
     )
     if m and head == "select":
@@ -361,26 +391,12 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
         joined = asof_join(
             spark.table(lt), spark.table(rt), on=keys[-1], by=keys[:-1]
         )
-        # deterministic name (md5, not seed-randomized hash()); the
-        # view exists only while spark.sql resolves the plan, then
-        # drops — no catalog residue per invocation
-        import hashlib
+        return _resolve_via_view(joined, "asof", [lt, rt, *keys], m.span())
 
-        tag = hashlib.md5(
-            "|".join([lt, rt, *keys]).encode()
-        ).hexdigest()[:12]
-        view = f"__kf_asof_{tag}"
-        joined.createOrReplaceTempView(view)
-        try:
-            return spark.sql(
-                translate(q[: m.start()] + f"from {view}" + q[m.end():])
-            )
-        finally:
-            spark.catalog.dropTempView(view)
     m = re.search(
         r"(?is)\bfrom\s+(\w+)\s+window\s+join\s+(\w+)\s+on\s+"
-        r"([\w\s,]+?)\s+within\s+(-?\S+)\s+(-?\S+)"
-        r"(?=\s+(?:where|order|limit)\b|\s*;?\s*$)",
+        r"([\w\s,]+?)\s+within\s+(-?\S+)\s+(-?[^\s;]+)"
+        r"(?=\s+(?:where|order|limit)\b|\s*$)",
         q,
     )
     if m and head == "select":
@@ -391,15 +407,8 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
         # (equi-join on span buckets + residual, never a nested loop).
         from ..operators.asof import window_join
 
-        def _signed(tok: str) -> int:
-            tok = tok.strip()
-            return (
-                -_span_to_ns(tok[1:]) if tok.startswith("-")
-                else _span_to_ns(tok)
-            )
-
         lt, rt, onlist = m.group(1), m.group(2), m.group(3)
-        lo, hi = _signed(m.group(4)), _signed(m.group(5))
+        lo, hi = _signed_span(m.group(4)), _signed_span(m.group(5))
         if hi < lo:
             raise ArgsError(f"window join bounds out of order: {lo} > {hi}")
         keys = [k.strip() for k in onlist.split(",") if k.strip()]
@@ -412,19 +421,20 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
             by=keys[:-1],
             bucket_ns=max(hi - lo, 1),
         )
-        import hashlib
+        return _resolve_via_view(
+            joined, "wj", [lt, rt, str(lo), str(hi), *keys], m.span()
+        )
 
-        tag = hashlib.md5(
-            "|".join([lt, rt, str(lo), str(hi), *keys]).encode()
-        ).hexdigest()[:12]
-        view = f"__kf_wj_{tag}"
-        joined.createOrReplaceTempView(view)
-        try:
-            return spark.sql(
-                translate(q[: m.start()] + f"from {view}" + q[m.end():])
-            )
-        finally:
-            spark.catalog.dropTempView(view)
+    if re.search(r"(?i)\b(asof|window)\s+join\b", q) and head == "select":
+        # the text names a temporal join but didn't parse — say what
+        # the statement needs instead of bouncing the user between
+        # translate() and kerf_sql()
+        raise ParseError(
+            "malformed asof/window join: expected "
+            "'from <t> asof join <q> on <keys..., tscol>' or "
+            "'from <t> window join <q> on <keys..., tscol> "
+            "within <lo> <hi>' (signed span literals)"
+        )
     if head == "upsert":
         m = re.match(
             r"(?is)^\s*upsert\s+into\s+(\w+)\s+on\s+([\w\s,]+?)\s+(values\s+.*?)\s*;?\s*$",

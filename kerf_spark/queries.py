@@ -7284,13 +7284,15 @@ def scd2_user_state_history(spark, sf):
 def scd2_apply_batch(spark, sf):
     """The INCREMENTAL SCD2 path proven against the full rebuild: the
     first ~70%% of the changelog (by timestamp) builds the stored
-    history, the remaining rows arrive as a batch through scd2_apply —
-    and the oracle is the full-log rebuild, so the driver check IS the
-    incremental==batch equivalence at fixture scale.  Only batch-
-    touched keys do window work; untouched keys anti-join through.
-    (The apply path rebuilds touched keys without a tiebreak column,
-    so the changelog is pre-collapsed to microsecond-unique change
-    rows — same convention a stored history table carries.)"""
+    history, the remaining rows arrive as a TIME-ORDERED batch through
+    scd2_apply — exactly the regime where apply's collapsed-changelog
+    contract coincides with the full rebuild (no batch row can
+    interleave a historical run) — and the oracle is the full-log
+    rebuild.  Only batch-touched keys do window work; untouched keys
+    anti-join through.  (The apply path rebuilds without a tiebreak
+    column; the pre-collapsed change rows are fixture-verified
+    microsecond-unique per user at every SF — a production changelog
+    would carry a sequence column.)"""
     e = _t(spark, sf, "events")
     log = e.select(
         "user_id",
@@ -7342,15 +7344,18 @@ def scd2_apply_batch(spark, sf):
     """,
 )
 def stream_scd2_history(spark, sf):
-    """STREAMING dimension versioning: the event changelog arrives in
-    micro-batches (the fixture re-chunked into three files,
-    maxFilesPerTrigger=1) and each batch folds into the running SCD2
-    history via scd2_apply — which rebuilds only batch-touched keys
-    and is insensitive to batch ORDER, so whatever order the file
-    source delivers, the final history equals the batch rebuild
-    bit-for-bit (same oracle as scd2_user_state_history).  History
-    state is eagerly checkpointed per batch: bounded lineage, no
-    recompute chain across batches."""
+    """STREAMING dimension versioning, bronze-changelog discipline:
+    the change rows arrive in micro-batches (the fixture re-chunked
+    into three files, maxFilesPerTrigger=1); the retained changelog is
+    the state of record, and each batch rebuilds ONLY the touched
+    keys' history from that log (untouched keys anti-join through).
+    Rebuilding from the raw retained log — not from collapsed
+    versions — is what makes the fold truly order-insensitive: any
+    file delivery order yields the full-rebuild history bit-for-bit
+    (same oracle as scd2_user_state_history; scd2_apply's docstring
+    spells out why version-only state cannot promise this).  Both
+    state frames are eagerly checkpointed per batch: bounded lineage,
+    no recompute chain."""
     import tempfile
 
     from pyspark.sql.types import (
@@ -7373,7 +7378,7 @@ def stream_scd2_history(spark, sf):
         log.withColumn("__prev", F.lag("state").over(w))
         .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("state")))
         .select("user_id", "tu", "state")
-    )
+    ).localCheckpoint()  # one window pass, not one per chunk write
     src_dir = tempfile.mkdtemp(prefix="kerf_scd2_src_")
     # three chunks by time range — three genuine micro-batches
     for i, (lo, hi) in enumerate(
@@ -7392,14 +7397,27 @@ def stream_scd2_history(spark, sf):
             StructField("valid_to", LongType()),
         ]
     )
-    hold = {"hist": spark.createDataFrame([], schema)}
+    chunk_fields = "user_id LONG, tu LONG, state LONG"
+    hold = {
+        "hist": spark.createDataFrame([], schema),
+        "log": spark.createDataFrame([], chunk_fields),
+    }
 
     def fold_batch(bdf, _epoch):
         if bdf.isEmpty():
             return
-        hold["hist"] = R.scd2_apply(
-            hold["hist"], bdf, "user_id", "tu", ["state"]
-        ).localCheckpoint()
+        # bronze append, then rebuild touched keys from the FULL
+        # retained log — the raw rows, not the collapsed versions
+        hold["log"] = hold["log"].unionByName(bdf).localCheckpoint()
+        touched = bdf.select("user_id").distinct()
+        untouched = hold["hist"].join(touched, "user_id", "left_anti")
+        rebuilt = R.scd2_history(
+            hold["log"].join(touched, "user_id", "left_semi"),
+            "user_id",
+            "tu",
+            ["state"],
+        )
+        hold["hist"] = untouched.unionByName(rebuilt).localCheckpoint()
 
     chunk_schema = StructType(
         [

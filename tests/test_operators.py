@@ -1644,3 +1644,46 @@ def test_scd2_apply_equals_full_rebuild(spark):
     }
     assert got == want
     assert (1, "c", 20, 30) in got  # out-of-order row landed mid-history
+
+
+def test_scd2_apply_collapsed_contract_and_bronze_pattern(spark):
+    """The documented limitation: a batch row interleaving a collapsed
+    same-state run yields collapsed-changelog semantics (the later
+    re-assertion was never recorded); rebuilding from the retained RAW
+    log restores full fidelity."""
+    from kerf_spark.operators.relational import scd2_apply, scd2_history
+
+    raw1 = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "a")], "k long, ts long, attr string"
+    )
+    late = spark.createDataFrame(
+        [(1, 15, "b")], "k long, ts long, attr string"
+    )
+    inc = {
+        (r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply(
+            scd2_history(raw1, "k", "ts", ["attr"]),
+            late, "k", "ts", ["attr"],
+        ).collect()
+    }
+    # collapsed-changelog semantics: a@20 was never recorded, b stays open
+    assert inc == {("a", 10, 15), ("b", 15, None)}
+    # == the documented invariant target: collapsed C1 (just a@10) ∪ C2
+    c1c2 = {
+        (r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(
+            spark.createDataFrame(
+                [(1, 10, "a"), (1, 15, "b")], "k long, ts long, attr string"
+            ),
+            "k", "ts", ["attr"],
+        ).collect()
+    }
+    assert inc == c1c2
+    # bronze pattern: rebuild from the retained raw log -> full fidelity
+    full = {
+        (r["attr"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(
+            raw1.unionByName(late), "k", "ts", ["attr"]
+        ).collect()
+    }
+    assert full == {("a", 10, 15), ("b", 15, 20), ("a", 20, None)}

@@ -641,7 +641,7 @@ def test_kerfsql_error_taxonomy_for_new_paths():
 
     # asof text at translate() level: loud ParseError, not a Spark
     # parse error downstream
-    with pytest.raises(ParseError, match="asof join"):
+    with pytest.raises(ParseError, match="asof/window join"):
         translate("select a from t asof join q on sym, ts")
     # non-literal moving-window size: ArgsError, not bare ValueError
     with pytest.raises(ArgsError, match="integer-literal"):
@@ -682,3 +682,38 @@ def test_kerfsql_window_join_matches_operator(spark):
     assert not [
         t.name for t in spark.catalog.listTables() if t.name.startswith("__kf_wj")
     ]
+
+
+def test_kerfsql_temporal_join_parse_edges(spark):
+    import pytest
+
+    from kerf_spark.errors import ArgsError, ParseError
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    spark.createDataFrame(
+        [("A", 1, 1)], "sym string, ts long, lid long"
+    ).createOrReplaceTempView("pe_l")
+    spark.createDataFrame(
+        [("A", 1, 1.0)], "sym string, ts long, bid double"
+    ).createOrReplaceTempView("pe_r")
+    # trailing semicolon accepted (the span token must not swallow it)
+    assert (
+        kerf_sql(
+            spark,
+            "select lid, bid from pe_l window join pe_r on sym, ts"
+            " within -5ns 0ns;",
+        ).count()
+        == 1
+    )
+    # malformed span -> ArgsError, not bare ValueError
+    with pytest.raises(ArgsError, match="span"):
+        kerf_sql(
+            spark,
+            "select lid from pe_l window join pe_r on sym, ts"
+            " within -1x 0s",
+        )
+    # missing within clause -> targeted ParseError, not circular advice
+    with pytest.raises(ParseError, match="malformed asof/window join"):
+        kerf_sql(
+            spark, "select lid from pe_l window join pe_r on sym, ts"
+        )
