@@ -1687,3 +1687,47 @@ def test_scd2_apply_collapsed_contract_and_bronze_pattern(spark):
         ).collect()
     }
     assert full == {("a", 10, 15), ("b", 15, 20), ("a", 20, None)}
+
+
+def test_bronze_log_scd2_fold_is_order_insensitive(spark):
+    """The stream_scd2_history fold (bronze changelog + touched-key
+    rebuild from the RAW log) must yield the full-rebuild history for
+    ANY batch delivery order — including one that interleaves a
+    collapsed run, the case version-only state gets wrong."""
+    from kerf_spark.operators.relational import scd2_history
+
+    batches = [
+        [(1, 10, "a"), (2, 5, "x")],
+        [(1, 15, "b")],          # interleaves between 1's a@10 and a@20
+        [(1, 20, "a"), (3, 7, "q")],
+    ]
+    schema = "user_id long, tu long, state string"
+
+    def fold(order):
+        log = spark.createDataFrame([], schema)
+        hist = scd2_history(log, "user_id", "tu", ["state"])
+        for i in order:
+            bdf = spark.createDataFrame(batches[i], schema)
+            log = log.unionByName(bdf).localCheckpoint()
+            touched = bdf.select("user_id").distinct()
+            untouched = hist.join(touched, "user_id", "left_anti")
+            rebuilt = scd2_history(
+                log.join(touched, "user_id", "left_semi"),
+                "user_id", "tu", ["state"],
+            )
+            hist = untouched.unionByName(rebuilt).localCheckpoint()
+        return {
+            (r["user_id"], r["state"], r["valid_from"], r["valid_to"])
+            for r in hist.collect()
+        }
+
+    full = {
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"])
+        for r in scd2_history(
+            spark.createDataFrame(sum(batches, []), schema),
+            "user_id", "tu", ["state"],
+        ).collect()
+    }
+    assert (1, "a", 20, None) in full  # the re-assertion survives
+    for order in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
+        assert fold(order) == full, order
