@@ -119,6 +119,8 @@ class Workspace:
         partition_by: Sequence[str] | None = None,
         sort_by: Sequence[str] | None = None,
         minimize_widths: bool = True,
+        zorder_by: Sequence[str] | None = None,
+        zorder_partitions: int | None = None,
     ) -> None:
         """Persist ``df`` as ``name``.
 
@@ -131,7 +133,17 @@ class Workspace:
         mark so :meth:`append` can keep or demote it, mirroring the
         reference's sorted-flag maintenance (slab.h:234-235,
         slop.h:1193).
+
+        ``zorder_by=(colA, colB)`` clusters rows by the Morton
+        interleave of the two columns before writing (range-partition
+        on the z-key, sort within partitions, key dropped from the
+        data): every row group's min/max stats are then bounded in
+        BOTH dimensions, so scans filtered on EITHER column skip — the
+        multi-dimensional extension of ``sort_by``'s 1-D skipping.
+        Mutually exclusive with ``sort_by``.
         """
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         path = os.path.join(self.root, name)
         if minimize_widths:
             cur = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -147,7 +159,25 @@ class Workspace:
                         for c in df.columns
                     ]
                 )
-        out = df.sortWithinPartitions(*sort_by) if sort_by else df
+        if zorder_by:
+            if len(zorder_by) != 2:
+                raise ValueError("zorder_by takes exactly two columns")
+            from ..functions.scalars import zorder_key
+
+            zk = zorder_key(zorder_by[0], zorder_by[1])
+            zdf = df.withColumn("__kf_z", zk)
+            # explicit file count when given — AQE happily coalesces a
+            # small table into one file, which erases the tiling
+            ranged = (
+                zdf.repartitionByRange(int(zorder_partitions), "__kf_z")
+                if zorder_partitions
+                else zdf.repartitionByRange("__kf_z")
+            )
+            out = ranged.sortWithinPartitions("__kf_z").drop("__kf_z")
+        elif sort_by:
+            out = df.sortWithinPartitions(*sort_by)
+        else:
+            out = df
         w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*list(partition_by))
@@ -156,6 +186,7 @@ class Workspace:
             "path": path,
             "partition_by": list(partition_by or []),
             "sort_by": list(sort_by or []),
+            "zorder_by": list(zorder_by or []),
             "schema": df.schema.jsonValue(),
         }
         if sort_by:
