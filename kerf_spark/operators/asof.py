@@ -233,10 +233,13 @@ def asof_join_merge(
     right_cols: Sequence[str] | None = None,
     tolerance_ns: int | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Same semantics as :func:`asof_join`, alternate physical strategy:
-    co-grouped ``applyInPandas`` running ``pandas.merge_asof`` per key
-    group.
+    """Same semantics as :func:`asof_join` (all three directions),
+    alternate physical strategy: co-grouped ``applyInPandas`` running
+    ``pandas.merge_asof`` per key group — whose tie conventions
+    (backward last / forward first / nearest prefers backward) match
+    the window variant's by construction.
 
     When to prefer which (both cost one shuffle of each side on ``by``):
 
@@ -256,6 +259,10 @@ def asof_join_merge(
     by = [by] if isinstance(by, str) else list(by)
     if not by:
         raise ArgsError("asof_join_merge requires at least one `by` key")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ArgsError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != on]
     out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
@@ -309,7 +316,7 @@ def asof_join_merge(
                 columns={r_on: on, **{f"__r_{c}": out_names[c] for c in right_cols}}
             ),
             on=on,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
             tolerance=tolerance_ns,
         )

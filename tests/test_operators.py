@@ -1731,3 +1731,37 @@ def test_bronze_log_scd2_fold_is_order_insensitive(spark):
     assert (1, "a", 20, None) in full  # the re-assertion survives
     for order in ([0, 1, 2], [2, 1, 0], [1, 2, 0]):
         assert fold(order) == full, order
+
+
+def test_asof_strategies_agree_all_directions(spark):
+    """Window forward-fill and cogrouped merge_asof must agree row for
+    row in every direction, with and without tolerance."""
+    from kerf_spark.operators.asof import asof_join, asof_join_merge
+
+    t = spark.createDataFrame(
+        [("A", 100, 1), ("A", 205, 2), ("B", 150, 3), ("A", 50, 4),
+         ("A", 300, 5), ("C", 7, 6)],
+        "sym string, ts long, tid long",
+    )
+    q = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 100, 2.0), ("A", 200, 3.0),
+         ("A", 290, 4.0), ("B", 160, 9.0)],
+        "sym string, ts long, bid double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 15):
+            a = {
+                (r["sym"], r["ts"]): r["bid"]
+                for r in asof_join(
+                    t, q, on="ts", by="sym",
+                    direction=direction, tolerance_ns=tol,
+                ).collect()
+            }
+            b = {
+                (r["sym"], r["ts"]): r["bid"]
+                for r in asof_join_merge(
+                    t, q, on="ts", by="sym",
+                    direction=direction, tolerance_ns=tol,
+                ).collect()
+            }
+            assert a == b, (direction, tol)
