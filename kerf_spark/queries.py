@@ -8679,6 +8679,13 @@ _R04_WINDOW = [
 ]
 
 
+#: Round-5 window candidates (computed 2026-08-14): every entry that has
+#: never had a driver row — the 19 round-4-early additions plus the 24
+#: bloom/sketch/graph/scd2/validate/kerfsql-join entries added late in
+#: round 4.  43 <= 50, so ONE r5 rotation closes the book again: set
+#: _R05_WINDOW to this list (all pass the local oracle sweep), move
+#: _R04_WINDOW's names into _DRIVER_GREEN once CORRECTNESS_r04 lands
+#: green, and rename the window constant below.
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
     window = [k for k in _R04_WINDOW if k in QUERIES]
