@@ -144,6 +144,10 @@ class Workspace:
         """
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
+        if zorder_partitions is not None and not zorder_by:
+            raise ValueError("zorder_partitions requires zorder_by")
+        if zorder_partitions is not None and int(zorder_partitions) <= 0:
+            raise ValueError("zorder_partitions must be positive")
         path = os.path.join(self.root, name)
         if minimize_widths:
             cur = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -162,18 +166,24 @@ class Workspace:
         if zorder_by:
             if len(zorder_by) != 2:
                 raise ValueError("zorder_by takes exactly two columns")
-            from ..functions.scalars import zorder_key
-
-            zk = zorder_key(zorder_by[0], zorder_by[1])
-            zdf = df.withColumn("__kf_z", zk)
-            # explicit file count when given — AQE happily coalesces a
-            # small table into one file, which erases the tiling
-            ranged = (
-                zdf.repartitionByRange(int(zorder_partitions), "__kf_z")
-                if zorder_partitions
-                else zdf.repartitionByRange("__kf_z")
-            )
-            out = ranged.sortWithinPartitions("__kf_z").drop("__kf_z")
+            # the interleave masks to 16 bits per column: out-of-range
+            # values would ALIAS under the mask (epoch-ns wraps every
+            # ~65 µs) and silently destroy the clustering guarantee —
+            # validate loudly; callers quantize first (xbar buckets,
+            # ntile ranks, value // step)
+            a, b = zorder_by
+            lo_a, hi_a, lo_b, hi_b = df.agg(
+                F.min(a), F.max(a), F.min(b), F.max(b)
+            ).head()
+            for col, lo, hi in ((a, lo_a, hi_a), (b, lo_b, hi_b)):
+                if lo is not None and (lo < 0 or hi > 65535):
+                    raise ValueError(
+                        f"zorder_by column {col!r} has values in "
+                        f"[{lo}, {hi}] outside the 16-bit interleave "
+                        "domain [0, 65535] — quantize first (xbar "
+                        "bucket, rank, or value // step)"
+                    )
+            out = _zcluster(df, zorder_by, zorder_partitions)
         elif sort_by:
             out = df.sortWithinPartitions(*sort_by)
         else:
@@ -187,6 +197,7 @@ class Workspace:
             "partition_by": list(partition_by or []),
             "sort_by": list(sort_by or []),
             "zorder_by": list(zorder_by or []),
+            "zorder": "global" if zorder_by else None,
             "schema": df.schema.jsonValue(),
         }
         if sort_by:
@@ -314,6 +325,14 @@ class Workspace:
         rows_cast = rows.select(
             *[F.col(c).cast(promoted[c]).alias(c) for c in stored_types]
         )
+        zorder_by = meta.get("zorder_by") or []
+        if zorder_by:
+            # appended files get per-file z clustering (row-group stats
+            # stay two-dimensional inside each new file), but files now
+            # overlap in z-range: demote the manifest claim the same
+            # way sorted 'global' demotes to 'files'
+            rows_cast = _zcluster(rows_cast, zorder_by, None, within_only=True)
+            meta["zorder"] = "files"
         sort_by = meta.get("sort_by") or []
         if sort_by:
             key = sort_by[0]
@@ -365,7 +384,15 @@ class Workspace:
         meta = self.manifest["tables"][name]
         merged = upsert_rows(self.load(name), rows, keys)
         staging = meta["path"] + ".staging"
-        out = merged.sortWithinPartitions(*meta["sort_by"]) if meta["sort_by"] else merged
+        if meta.get("zorder_by"):
+            # the staging rewrite re-clusters the WHOLE table, so the
+            # zorder claim returns to 'global'
+            out = _zcluster(merged, meta["zorder_by"], None)
+            meta["zorder"] = "global"
+        elif meta["sort_by"]:
+            out = merged.sortWithinPartitions(*meta["sort_by"])
+        else:
+            out = merged
         w = out.write.mode("overwrite")
         if meta["partition_by"]:
             w = w.partitionBy(*meta["partition_by"])
@@ -376,6 +403,25 @@ class Workspace:
         shutil.rmtree(old)
         self.manifest["tables"][name]["schema"] = merged.schema.jsonValue()
         self._flush()
+
+
+def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
+    """Cluster rows by the Morton key of two columns; the key never
+    reaches the files.  ``within_only`` skips the range repartition —
+    the append path, where each new file is internally clustered but
+    the file set is not globally range-split."""
+    from ..functions.scalars import zorder_key
+
+    zdf = df.withColumn("__kf_z", zorder_key(zorder_by[0], zorder_by[1]))
+    if not within_only:
+        # explicit file count when given — AQE happily coalesces a
+        # small table into one file, which erases the tiling
+        zdf = (
+            zdf.repartitionByRange(int(zorder_partitions), "__kf_z")
+            if zorder_partitions
+            else zdf.repartitionByRange("__kf_z")
+        )
+    return zdf.sortWithinPartitions("__kf_z").drop("__kf_z")
 
 
 def _parse_type(s: str) -> T.DataType:

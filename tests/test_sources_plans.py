@@ -765,9 +765,30 @@ def test_workspace_zorder_write_bounds_both_dims(spark, tmp_path):
     # the domain, and the average group is a genuine small tile)
     worst = max(su * sv for su, sv in spans)
     mean = sum(su * sv for su, sv in spans) / len(spans)
-    assert worst <= (256 * 256) // 2, spans[:5]
+    # worst bound leaves slack above the theoretically reachable
+    # 256x128 center-straddle so sampling skew can't flake the test;
+    # the mean is the discriminating assertion
+    assert worst <= (256 * 256) * 3 // 4, spans[:5]
     assert mean <= (256 * 256) // 6, spans[:5]
     # and the manifest records the clustering
     assert ws.manifest["tables"]["grid"]["zorder_by"] == ["u", "v"]
+    assert ws.manifest["tables"]["grid"]["zorder"] == "global"
     # round-trip intact
     assert ws.load("grid").count() == 256 * 256
+    # append demotes the claim to per-file clustering
+    ws.append(
+        "grid",
+        spark.range(64).select(
+            (F.col("id") % 8).alias("u"), (F.col("id") / 8).cast("long").alias("v")
+        ),
+    )
+    assert ws.manifest["tables"]["grid"]["zorder"] == "files"
+    assert ws.load("grid").count() == 256 * 256 + 64
+    # out-of-range values refuse loudly instead of aliasing silently
+    import pytest
+
+    bad = spark.range(3).select(
+        (F.col("id") + 70000).alias("u"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="16-bit interleave"):
+        ws.save("bad", bad, zorder_by=("u", "v"))
