@@ -567,7 +567,51 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
              "(sum(({0}) * ({1})) / sum({0}))"),
     "wsum": (lambda w, x: float(np.sum(_np(w) * _np(x))),
              "sum(({0}) * ({1}))"),
+    # table verbs (kerf/kdb aj and wj): DataFrame-plane only — the
+    # script holds tables as first-class values, so `aj(t, q, "sym",
+    # "ts")` routes straight to operators.asof (last key = time key)
+    "aj": (lambda *a: _aj(*a), None),
+    "wj": (lambda *a: _wj(*a), None),
 }
+
+
+def _table_verb_args(verb: str, args, n_tables: int = 2):
+    from pyspark.sql import DataFrame as _DF
+
+    if len(args) < n_tables + 1:
+        raise ArityError(
+            f"{verb} takes (left, right, key..., timecol) — got "
+            f"{len(args)} args"
+        )
+    for t in args[:n_tables]:
+        if not isinstance(t, _DF):
+            raise KerfTypeError(
+                f"{verb} operand is {type(t).__name__}, not a table"
+            )
+    keys = [str(k) for k in args[n_tables:]]
+    return list(args[:n_tables]), keys
+
+
+def _aj(*args):
+    from ..operators.asof import asof_join
+
+    (left, right), keys = _table_verb_args("aj", args)
+    return asof_join(left, right, on=keys[-1], by=keys[:-1])
+
+
+def _wj(*args):
+    from ..operators.asof import window_join
+
+    if len(args) < 5:
+        raise ArityError("wj takes (left, right, lo_ns, hi_ns, key..., timecol)")
+    left, right, lo, hi = args[0], args[1], int(args[2]), int(args[3])
+    (left, right), keys = _table_verb_args("wj", (left, right, *args[4:]))
+    if hi < lo:
+        raise ArgsError(f"wj bounds out of order: {lo} > {hi}")
+    return window_join(
+        left, right, on=keys[-1], lo_ns=lo, hi_ns=hi, by=keys[:-1],
+        bucket_ns=max(hi - lo, 1),
+    )
 
 
 # ------------------------------------------------------------- parser

@@ -7774,6 +7774,54 @@ def kerfsql_running_verbs(spark, sf):
 
 
 @query(
+    "kerf_lang_asof_verb",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC,
+                                         o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts_us, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def kerf_lang_asof_verb(spark, sf):
+    """The as-of join as a kerf SCRIPT verb: ``aj(ev, ord, "user_id",
+    "ts")`` — tables are first-class script values, so the kdb aj
+    vocabulary composes with lambdas and SQL statements in one script.
+    Third proof path over the same oracle: the DataFrame API
+    (asof_join_latest_order), the kerf-SQL text (kerfsql_asof_join),
+    and the script verb all produce the identical single-shuffle
+    union-tag plan."""
+    from .plans.kerf_lang import run_df
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    ordv = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = run_df(
+        spark,
+        'aj(ev, ord, "user_id", "ts")',
+        tables={"ev": ev, "ord": ordv},
+    )
+    return joined.where(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        TM.ns_to_us("ts").alias("ts_us"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@query(
     "kerfsql_window_join",
     """
     SELECT a.event_id, count(*) AS n

@@ -362,3 +362,35 @@ def test_expand_lambdas_traces_to_sql():
         "select s: sum(disc(px, dc)) from t", env
     )
     assert sql == "select s: sum(((px) * (1 - (dc)))) from t"
+
+
+def test_table_verbs_aj_wj(spark):
+    from kerf_spark.errors import ArityError, KerfTypeError
+    from kerf_spark.plans.kerf_lang import run_df, run
+
+    import pytest
+
+    trades = spark.createDataFrame(
+        [("A", 100, 1), ("A", 205, 2), ("B", 150, 3)],
+        "sym string, ts long, tid long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 200, 3.0), ("B", 160, 9.0)],
+        "sym string, ts long, bid double",
+    )
+    t = {"t": trades, "q": quotes}
+    out = run_df(spark, 'aj(t, q, "sym", "ts")', tables=t)
+    got = {r["tid"]: r["bid"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 3.0, 3: None}
+    # wj: interval matches per key (script composes with assignment)
+    out2 = run_df(
+        spark, 'r: wj(t, q, 0 - 60, 0, "sym", "ts")\nr', tables=t
+    )
+    assert {(r["tid"], r["bid"]) for r in out2.collect()} == {
+        (1, 1.0), (2, 3.0)
+    }
+    # error taxonomy
+    with pytest.raises(ArityError):
+        run(spark, 'aj(t, q)', tables=t)
+    with pytest.raises(KerfTypeError):
+        run(spark, 'aj(1, 2, "sym", "ts")', tables=t)
