@@ -7923,7 +7923,11 @@ def bloom_semi_join_lineitems(spark, sf):
     o = _t(spark, sf, "orders").where(
         F.col("o_totalprice") > 400000
     ).select(F.col("o_orderkey").alias("l_orderkey"))
-    matched = CU.bloom_semi_join(li, o, "l_orderkey")
+    # min_right_keys=0 forces the filter path — this query IS the
+    # oracle check of the Bloom machinery; production calls leave the
+    # regime guard on and get the plain broadcast semi-join whenever
+    # the right side is small enough to broadcast anyway
+    matched = CU.bloom_semi_join(li, o, "l_orderkey", min_right_keys=0)
     return (
         matched.groupBy("l_returnflag")
         .agg(
@@ -8362,8 +8366,8 @@ def asof_nearest_join(spark, sf):
     ),
     bench AS (SELECT DISTINCT fp FROM keyed WHERE doc_id % 97 = 0),
     pos AS (
-      SELECT ('0x' || substr(md5(fp || '#bloom' || CAST(j AS VARCHAR)),
-                             1, 15))::BIGINT % 65536 AS p
+      SELECT ('0x' || substr(md5(fp || '#bloom'),
+                             1 + j * 5, 5))::BIGINT % 65536 AS p
       FROM bench, range(4) t(j)
     ),
     words AS (
@@ -8376,8 +8380,8 @@ def asof_nearest_join(spark, sf):
     ),
     probe AS (
       SELECT k.doc_id, k.source, k.fp,
-             ('0x' || substr(md5(k.fp || '#bloom' || CAST(j AS VARCHAR)),
-                             1, 15))::BIGINT % 65536 AS p
+             ('0x' || substr(md5(k.fp || '#bloom'),
+                             1 + j * 5, 5))::BIGINT % 65536 AS p
       FROM keyed k, range(4) t(j)
     ),
     hits AS (

@@ -63,7 +63,11 @@ def get_spark(
     cluster leave it unset and submit through spark-submit — nothing here
     assumes single-node.
     """
-    local = master is None
+    # local-mode hardening must key on the RESOLVED master, not on
+    # whether the caller spelled it out: an explicit master="local[32]"
+    # previously skipped the heap/code-cache sizing and ran the whole
+    # 32-thread JVM on Spark's 1g default — instant OOM at 10x scale
+    local = master is None or str(master).startswith("local")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -1519,13 +1519,25 @@ def test_bloom_semi_join_exact_vs_plain_semi(spark):
     )
     right = spark.range(400).select((F.col("id") * 17).alias("key"))
     got = sorted(
-        r["v"] for r in bloom_semi_join(left, right, "key").collect()
+        r["v"]
+        for r in bloom_semi_join(
+            left, right, "key", min_right_keys=0
+        ).collect()
     )
     exp = sorted(
         r["v"]
         for r in left.join(right.distinct(), "key", "left_semi").collect()
     )
     assert got == exp and len(got) > 0
+    # regime guard: below the threshold the plan is the plain semi-join
+    # (no embedded filter words)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bloom_semi_join(left, right, "key").explain("simple")
+    assert "element_at" not in buf.getvalue()
 
 
 # -------------------------------------------------------------- validate

@@ -780,7 +780,9 @@ def test_bloom_semi_join_prefilters_map_side(spark):
 
     left = spark.createDataFrame([(i, i) for i in range(50)], "key long, v long")
     right = spark.createDataFrame([(3,), (7,)], "key long")
-    plan = plan_of(bloom_semi_join(left, right, "key"), "simple")
+    plan = plan_of(
+        bloom_semi_join(left, right, "key", min_right_keys=0), "simple"
+    )
     assert "element_at" in plan          # the embedded filter words
     assert plan.count("Join") == 1       # only the confirming semi-join
 
