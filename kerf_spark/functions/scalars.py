@@ -291,7 +291,28 @@ def cast_(x, to: str):
 
 
 # --------------------------------------------------------------- zorder
-def zorder_key(x, y, bits: int = 16):
+def zorder_guard(col, bits: int = 16):
+    """Checked identity: returns ``col`` unchanged, raising if any
+    value leaves [0, 2^bits).  Wrap the OUTPUT columns of a z-ordered
+    write with this — an output projection cannot be optimized away,
+    unlike a sort key (Spark eliminates local sorts over <=1-row
+    partitions, and the guard would vanish with them)."""
+    if not 1 <= int(bits) <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    hi = (1 << bits) - 1
+    c = _c(col).cast("long")
+    return F.when(
+        (c < 0) | (c > hi),
+        F.raise_error(
+            F.concat(
+                F.lit(f"zorder: value out of the {bits}-bit domain [0, {hi}]: "),
+                c.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(c)
+
+
+def zorder_key(x, y, bits: int = 16, checked: bool = False):
     """Morton (Z-order) interleave of two non-negative ints truncated
     to ``bits`` bits each -> a single 2*bits-bit clustering key.
 
@@ -305,8 +326,19 @@ def zorder_key(x, y, bits: int = 16):
     """
     if not 1 <= int(bits) <= 31:
         raise ValueError("bits must be in [1, 31]")
-    xb = _c(x).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    yb = _c(y).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    hi = (1 << bits) - 1
+
+    def _masked(col):
+        if checked:
+            # NOTE: a checked key is only enforced where the key itself
+            # is evaluated — if the key feeds a sort that the optimizer
+            # can drop (<=1-row partitions), the check drops with it.
+            # Write paths guard the OUTPUT columns via `zorder_guard`.
+            return zorder_guard(col, bits)
+        return _c(col).cast("long").bitwiseAND(F.lit(hi))
+
+    xb = _masked(x)
+    yb = _masked(y)
     out = F.lit(0).cast("long")
     for j in range(int(bits)):
         # literal shift amounts, so shiftright applies directly — true

@@ -350,31 +350,51 @@ def dsir_select(
 
 
 # ----------------------------------------------------------- bloom set
+def _bloom_geometry(m_bits: int, k: int) -> int:
+    """Validate the (m_bits, k) layout and return the hex-digit width
+    of each position slice.  The single md5 digest (32 hex chars)
+    splits into k disjoint slices of ``min(32 // k, 15)`` digits; the
+    power-of-two ``m_bits`` takes the slice's LOW bits, so positions
+    are exactly uniform.  One shared definition — the build, the
+    row-probe, and the projection-probe must agree bit-for-bit or
+    membership silently produces false negatives."""
+    k = int(k)
+    m_bits = int(m_bits)
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in [1, 8]")
+    w = min(32 // k, 15)
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 64")
+    if m_bits > 1 << min(4 * w, 27):
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the {4 * w}-bit slice "
+            f"(k={k}) / 2^27 ceiling"
+        )
+    return w
+
+
 def bloom_positions(
     key, m_bits: int = 65536, k: int = 4, salt: str = "bloom"
 ):
     """Array of ``k`` bit positions in [0, m_bits) for ``key``.
 
-    Engine-portable hash family from ONE md5 per key: position j is
-    hex digits [5j+1, 5j+5] of md5(key + '#salt') — 20 uniform bits —
-    mod m_bits.  One hash instead of k is the difference between 6M
-    and 24M md5 evaluations per fact-table probe at sf1; any SQL
-    engine re-derives the identical positions, so Bloom membership
-    (false positives included) stays deterministic and
-    oracle-checkable.  The single-digest layout caps k at 6 and
-    m_bits at 2^20.
+    Engine-portable hash family from ONE md5 per key: position j is a
+    disjoint slice of md5(key + '#salt') hex digits (width from
+    `_bloom_geometry` — 8 digits at the default k=4, so m_bits scales
+    to 2^27) mod m_bits.  One hash instead of k is the difference
+    between 6M and 24M md5 evaluations per fact-table probe at sf1;
+    any SQL engine re-derives the identical positions, so Bloom
+    membership (false positives included) stays deterministic and
+    oracle-checkable.
     """
-    if not 1 <= int(k) <= 6:
-        raise ValueError("k must be in [1, 6] (5 hex digits per hash)")
-    if not 64 <= int(m_bits) <= 1 << 20:
-        raise ValueError("m_bits must be in [64, 2^20] (20-bit slices)")
+    w = _bloom_geometry(m_bits, k)
     kc = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(kc, F.lit("#" + salt)))
     return F.transform(
         F.sequence(F.lit(0), F.lit(int(k) - 1)),
         lambda j: F.conv(
             h.substr(
-                (j * F.lit(5) + F.lit(1)).cast("int"), F.lit(5)
+                (j * F.lit(w) + F.lit(1)).cast("int"), F.lit(w)
             ),
             16,
             10,
@@ -394,7 +414,7 @@ def bloom_build(
     (``__w`` word index, ``__mask`` bit-or of member bits).
 
     SCALE: the filter is m_bits/64 rows regardless of input size —
-    65536 bits is 1024 rows, 1 MB-scale even at m_bits = 2^33 — so the
+    65536 bits is 1024 rows, 16 MB of words at the 2^27 ceiling — so the
     build is one shuffle on the word index with map-side partial
     bit-or, and the result broadcasts to any probe.  This is the
     100 TB contamination-check shape: the benchmark side compresses to
@@ -485,11 +505,12 @@ def bloom_member_col(
     # (measured 12.8s vs 2.8s codegen'd at sf1).  Unrolling keeps
     # codegen; repeated md5 collapses via subexpression elimination,
     # and big literals enter generated code as references, not source.
+    w = _bloom_geometry(m_bits, k)
     kc = (F.col(key) if isinstance(key, str) else key)
     h = F.md5(F.concat(kc, F.lit("#" + salt)))
     out = None
     for j in range(int(k)):
-        p = F.conv(F.substring(h, 1 + 5 * j, 5), 16, 10).cast(
+        p = F.conv(F.substring(h, 1 + w * j, w), 16, 10).cast(
             "long"
         ) % F.lit(int(m_bits))
         word = F.element_at(arr, F.floor(p / F.lit(64)).cast("int") + 1)
@@ -517,7 +538,7 @@ def bloom_semi_join(
     left: "DataFrame",
     right: "DataFrame",
     on: str,
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k: int = 4,
     salt: str = "bsj",
     min_right_keys: int = 1_000_000,
@@ -537,14 +558,29 @@ def bloom_semi_join(
     between shuffling the matching slice and shuffling the whole fact
     table.  Pass ``min_right_keys=0`` to force the filter path (demos,
     oracle checks).
+
+    FILTER SIZING: ``m_bits=None`` (default) sizes the filter from the
+    actual key count — the next power of two >= 10 bits/key, clamped
+    to [2^20, 2^26] (the ceiling bounds the embedded word literal at
+    8 MB).  At 10 bits/key with k=4 the false-positive rate is ~1.2%;
+    past ~6.7M keys the clamp degrades the fp rate gracefully and the
+    caller can see it coming from the geometry.
     """
     # one computation of the right lineage: the distinct key set is
     # checkpointed, feeds the filter build (eager collect) AND the
     # confirming semi-join — an expensive right-side plan would
     # otherwise execute twice
     rk = right.select(on).distinct().localCheckpoint()
-    if rk.count() < int(min_right_keys):
-        return left.join(rk, on, "left_semi")
+    n = None
+    if min_right_keys:
+        n = rk.count()
+        if n < int(min_right_keys):
+            return left.join(rk, on, "left_semi")
+    if m_bits is None:
+        n = rk.count() if n is None else n
+        m_bits = 1 << 20
+        while m_bits < 10 * n and m_bits < 1 << 26:
+            m_bits *= 2
     words = bloom_words_list(
         bloom_build(
             rk.select(F.col(on).cast("string").alias("__k")),

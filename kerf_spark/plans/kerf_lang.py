@@ -604,7 +604,13 @@ def _wj(*args):
 
     if len(args) < 5:
         raise ArityError("wj takes (left, right, lo_ns, hi_ns, key..., timecol)")
-    left, right, lo, hi = args[0], args[1], int(args[2]), int(args[3])
+    try:
+        lo, hi = int(args[2]), int(args[3])
+    except (TypeError, ValueError):
+        raise KerfTypeError(
+            f"wj bounds must be integers, got {args[2]!r}, {args[3]!r}"
+        ) from None
+    left, right = args[0], args[1]
     (left, right), keys = _table_verb_args("wj", (left, right, *args[4:]))
     if hi < lo:
         raise ArgsError(f"wj bounds out of order: {lo} > {hi}")

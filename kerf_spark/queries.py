@@ -8367,7 +8367,7 @@ def asof_nearest_join(spark, sf):
     bench AS (SELECT DISTINCT fp FROM keyed WHERE doc_id % 97 = 0),
     pos AS (
       SELECT ('0x' || substr(md5(fp || '#bloom'),
-                             1 + j * 5, 5))::BIGINT % 65536 AS p
+                             1 + j * 8, 8))::BIGINT % 65536 AS p
       FROM bench, range(4) t(j)
     ),
     words AS (
@@ -8381,7 +8381,7 @@ def asof_nearest_join(spark, sf):
     probe AS (
       SELECT k.doc_id, k.source, k.fp,
              ('0x' || substr(md5(k.fp || '#bloom'),
-                             1 + j * 5, 5))::BIGINT % 65536 AS p
+                             1 + j * 8, 8))::BIGINT % 65536 AS p
       FROM keyed k, range(4) t(j)
     ),
     hits AS (

@@ -166,23 +166,12 @@ class Workspace:
         if zorder_by:
             if len(zorder_by) != 2:
                 raise ValueError("zorder_by takes exactly two columns")
-            # the interleave masks to 16 bits per column: out-of-range
-            # values would ALIAS under the mask (epoch-ns wraps every
-            # ~65 µs) and silently destroy the clustering guarantee —
-            # validate loudly; callers quantize first (xbar buckets,
-            # ntile ranks, value // step)
-            a, b = zorder_by
-            lo_a, hi_a, lo_b, hi_b = df.agg(
-                F.min(a), F.max(a), F.min(b), F.max(b)
-            ).head()
-            for col, lo, hi in ((a, lo_a, hi_a), (b, lo_b, hi_b)):
-                if lo is not None and (lo < 0 or hi > 65535):
-                    raise ValueError(
-                        f"zorder_by column {col!r} has values in "
-                        f"[{lo}, {hi}] outside the 16-bit interleave "
-                        "domain [0, 65535] — quantize first (xbar "
-                        "bucket, rank, or value // step)"
-                    )
+            # range enforcement lives INSIDE the z-key expression
+            # (zorder_key checked=True): out-of-range values raise
+            # during the write's own pass — no second scan over the
+            # input lineage, and append/upsert inherit the same check
+            # through _zcluster.  Callers quantize first (xbar
+            # buckets, ntile ranks, value // step).
             out = _zcluster(df, zorder_by, zorder_partitions)
         elif sort_by:
             out = df.sortWithinPartitions(*sort_by)
@@ -198,6 +187,9 @@ class Workspace:
             "sort_by": list(sort_by or []),
             "zorder_by": list(zorder_by or []),
             "zorder": "global" if zorder_by else None,
+            "zorder_partitions": int(zorder_partitions)
+            if zorder_partitions
+            else None,
             "schema": df.schema.jsonValue(),
         }
         if sort_by:
@@ -385,9 +377,13 @@ class Workspace:
         merged = upsert_rows(self.load(name), rows, keys)
         staging = meta["path"] + ".staging"
         if meta.get("zorder_by"):
-            # the staging rewrite re-clusters the WHOLE table, so the
-            # zorder claim returns to 'global'
-            out = _zcluster(merged, meta["zorder_by"], None)
+            # the staging rewrite re-clusters the WHOLE table (at the
+            # file count the original save pinned, so AQE cannot
+            # coalesce the tiling away), and the claim returns to
+            # 'global'
+            out = _zcluster(
+                merged, meta["zorder_by"], meta.get("zorder_partitions")
+            )
             meta["zorder"] = "global"
         elif meta["sort_by"]:
             out = merged.sortWithinPartitions(*meta["sort_by"])
@@ -412,7 +408,18 @@ def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
     the file set is not globally range-split."""
     from ..functions.scalars import zorder_key
 
-    zdf = df.withColumn("__kf_z", zorder_key(zorder_by[0], zorder_by[1]))
+    from ..functions.scalars import zorder_guard
+
+    # range enforcement rides the OUTPUT columns (a write always
+    # materializes them; a checked sort key can be optimized away
+    # together with its sort on tiny partitions)
+    a, b = zorder_by
+    types = dict(df.dtypes)
+    # cast back so the guard never widens the written column type
+    df = df.withColumn(a, zorder_guard(a).cast(types[a])).withColumn(
+        b, zorder_guard(b).cast(types[b])
+    )
+    zdf = df.withColumn("__kf_z", zorder_key(a, b))
     if not within_only:
         # explicit file count when given — AQE happily coalesces a
         # small table into one file, which erases the tiling

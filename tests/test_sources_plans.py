@@ -784,11 +784,16 @@ def test_workspace_zorder_write_bounds_both_dims(spark, tmp_path):
     )
     assert ws.manifest["tables"]["grid"]["zorder"] == "files"
     assert ws.load("grid").count() == 256 * 256 + 64
-    # out-of-range values refuse loudly instead of aliasing silently
+    # out-of-range values refuse loudly instead of aliasing silently —
+    # enforcement is IN the write pass (raise_error in the z-key), so
+    # it surfaces as a Spark runtime error during the write job and
+    # covers append/upsert too
     import pytest
 
     bad = spark.range(3).select(
         (F.col("id") + 70000).alias("u"), F.col("id").alias("v")
     )
-    with pytest.raises(ValueError, match="16-bit interleave"):
+    with pytest.raises(Exception, match="16-bit domain"):
         ws.save("bad", bad, zorder_by=("u", "v"))
+    with pytest.raises(Exception, match="16-bit domain"):
+        ws.append("grid", bad)
