@@ -706,3 +706,47 @@ def resample_interp(
         )
     )
     return both.select(*by, F.col(on), interp.alias(out))
+
+
+def merge_intervals(
+    df: DataFrame,
+    start: str,
+    end: str,
+    by: Sequence[str] | str | None = None,
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals per key: the classic
+    gaps-and-islands merge.  Returns one row per merged island with
+    ``start`` = min start and ``end`` = running-max end.
+
+    ONE keyed shuffle: a running max of ``end`` over the start order
+    marks island breaks (a new island begins where a start exceeds
+    every previous end), a running sum of the breaks numbers the
+    islands, and a groupBy on (key, island) — all three sharing the
+    same partitioning — emits the merged spans.  The coverage measure
+    of a union of intervals falls out as sum(end - start) over the
+    result, with double-counted overlaps already removed.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(start).asc(), F.col(end).asc()
+    )
+    prev_max = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.withColumn(
+        "__kf_new",
+        F.when(
+            prev_max.isNull() | (F.col(start) > prev_max), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "__kf_island",
+        F.sum("__kf_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(*by, "__kf_island")
+        .agg(F.min(start).alias(start), F.max(end).alias(end))
+        .drop("__kf_island")
+    )

@@ -7774,6 +7774,67 @@ def kerfsql_running_verbs(spark, sf):
 
 
 @query(
+    "merge_event_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id
+                                        ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, min(s) AS s, max(e) AS e
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, count(*) AS n_islands,
+           sum(e - s) AS coverage_us, max(e - s) AS max_span_us
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def merge_event_intervals(spark, sf):
+    """Interval-union coverage per user: each event opens a 5-minute
+    presence interval, overlapping-or-touching intervals coalesce into
+    islands (gaps-and-islands merge, one keyed shuffle — running max
+    marks breaks, running sum numbers islands, groupBy emits spans),
+    and the union's measure falls out as sum(end-start) with overlap
+    double-counting already removed — the 'active time' metric naive
+    per-event summation overstates."""
+    e = _t(spark, sf, "events")
+    iv = e.select(
+        "user_id",
+        TM.ns_to_us("ts").alias("s"),
+        (TM.ns_to_us("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    merged = AS.merge_intervals(iv, "s", "e", by="user_id")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("e") - F.col("s")).alias("coverage_us"),
+            F.max(F.col("e") - F.col("s")).alias("max_span_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "kerf_lang_asof_verb",
     """
     WITH ranked AS (

@@ -1777,3 +1777,27 @@ def test_asof_strategies_agree_all_directions(spark):
                 ).collect()
             }
             assert a == b, (direction, tol)
+
+
+def test_merge_intervals_islands_and_touching(spark):
+    from kerf_spark.operators.asof import merge_intervals
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 4, 9), ("a", 9, 12), ("a", 20, 25),
+         ("b", 1, 2), ("b", 2, 3), ("b", 5, 6)],
+        "k string, s long, e long",
+    )
+    got = sorted(
+        (r["k"], r["s"], r["e"])
+        for r in merge_intervals(df, "s", "e", "k").collect()
+    )
+    # overlap merges, TOUCHING (end==next start) merges, gaps split
+    assert got == [("a", 1, 12), ("a", 20, 25), ("b", 1, 3), ("b", 5, 6)]
+    # contained and duplicate intervals collapse too
+    df2 = spark.createDataFrame(
+        [("x", 0, 10), ("x", 2, 3), ("x", 0, 10)], "k string, s long, e long"
+    )
+    assert [
+        (r["s"], r["e"])
+        for r in merge_intervals(df2, "s", "e", "k").collect()
+    ] == [(0, 10)]
