@@ -750,3 +750,30 @@ def merge_intervals(
         .agg(F.min(start).alias(start), F.max(end).alias(end))
         .drop("__kf_island")
     )
+
+
+def interval_gaps(
+    df: DataFrame,
+    start: str,
+    end: str,
+    by: Sequence[str] | str | None = None,
+) -> DataFrame:
+    """The complement of :func:`merge_intervals`: the gaps BETWEEN a
+    key's merged islands — (key..., gap_start, gap_end), one row per
+    downtime window.  Composes as merge + one lead() over the same key
+    partitioning (the merge's final groupBy already hash-partitioned
+    on the key, so the window reuses that exchange)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    merged = merge_intervals(df, start, end, by)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(start).asc()
+    )
+    nxt = F.lead(start).over(w)
+    return (
+        merged.select(
+            *by,
+            F.col(end).alias("gap_start"),
+            nxt.alias("gap_end"),
+        )
+        .where(F.col("gap_end").isNotNull())
+    )

@@ -107,7 +107,8 @@ _SPAN_NS = {
     "ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9,
     "m": 60 * 10**9, "h": 3600 * 10**9, "d": 86400 * 10**9,
 }
-_WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "prev", "next",
+_WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "fills",
+                 "prev", "next",
                  "sums", "maxs", "mins", "mmax", "mmin", "mdev", "mcount")
 _ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
 
@@ -200,7 +201,7 @@ def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
                 f"sum({a[1]}) OVER ({pb}{ob} ROWS BETWEEN {n - 1} "
                 f"PRECEDING AND CURRENT ROW)"
             )
-        elif name == "ffill":
+        elif name in ("ffill", "fills"):  # fills = the kdb spelling
             rep = f"last_value({a[0]}) IGNORE NULLS OVER {trail}"
         elif name == "sums":
             rep = f"sum({a[0]}) OVER {trail}"

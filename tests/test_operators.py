@@ -1801,3 +1801,18 @@ def test_merge_intervals_islands_and_touching(spark):
         (r["s"], r["e"])
         for r in merge_intervals(df2, "s", "e", "k").collect()
     ] == [(0, 10)]
+
+
+def test_interval_gaps_complement(spark):
+    from kerf_spark.operators.asof import interval_gaps
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 4, 9), ("a", 20, 25), ("a", 30, 31),
+         ("b", 1, 2)],
+        "k string, s long, e long",
+    )
+    got = sorted(
+        (r["k"], r["gap_start"], r["gap_end"])
+        for r in interval_gaps(df, "s", "e", "k").collect()
+    )
+    assert got == [("a", 9, 20), ("a", 25, 30)]  # b: no gaps, no rows

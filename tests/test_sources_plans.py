@@ -797,3 +797,11 @@ def test_workspace_zorder_write_bounds_both_dims(spark, tmp_path):
         ws.save("bad", bad, zorder_by=("u", "v"))
     with pytest.raises(Exception, match="16-bit domain"):
         ws.append("grid", bad)
+
+
+def test_kerfsql_fills_is_ffill_alias():
+    from kerf_spark.plans.kerfsql import translate
+
+    a = translate("select f: fills(v) by g from t order by ts")
+    b = translate("select f: ffill(v) by g from t order by ts")
+    assert a == b and "IGNORE NULLS" in a
