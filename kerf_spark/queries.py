@@ -7774,6 +7774,76 @@ def kerfsql_running_verbs(spark, sf):
 
 
 @query(
+    "event_gap_analysis",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id
+                                        ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, min(s) AS s, max(e) AS e
+      FROM isl GROUP BY user_id, island
+    ),
+    gaps AS (
+      SELECT user_id, e AS gap_start,
+             lead(s) OVER (PARTITION BY user_id ORDER BY s) AS gap_end
+      FROM merged
+    )
+    SELECT user_id, count(*) AS n_gaps,
+           max(gap_end - gap_start) AS longest_gap_us,
+           CAST(sum(gap_end - gap_start) AS BIGINT) AS idle_us
+    FROM gaps WHERE gap_end IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def event_gap_analysis(spark, sf):
+    """Downtime analysis — the complement of merge_event_intervals:
+    per user, the gaps BETWEEN merged 5-minute presence islands (count,
+    longest outage, total idle time).  interval_gaps composes the
+    merge with one lead() over the same key partitioning, so the whole
+    report is still a single keyed shuffle chain."""
+    e = _t(spark, sf, "events")
+    iv = e.select(
+        "user_id",
+        TM.ns_to_us("ts").alias("s"),
+        (TM.ns_to_us("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    gaps = AS.interval_gaps(iv, "s", "e", by="user_id")
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max(F.col("gap_end") - F.col("gap_start")).alias(
+                "longest_gap_us"
+            ),
+            F.sum(F.col("gap_end") - F.col("gap_start"))
+            .cast("long")
+            .alias("idle_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "merge_event_intervals",
     """
     WITH iv AS (
