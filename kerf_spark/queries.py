@@ -2359,14 +2359,16 @@ def hash_funcs(spark, sf):
     "map_funcs",
     """
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS knames,
+           string_agg(n_name, ',' ORDER BY n_name) AS knames,
            CAST(count(*) AS INT) AS n
     FROM nation GROUP BY n_regionkey
     """,
 )
 def map_funcs(spark, sf):
     """MAP keys/values surface (slop.h:1206-1207, presented.cc:339-361):
-    build a name->key map per region, then read it back via map_keys."""
+    build a name->key map per region, then read it back via map_keys.
+    Keys are CSV-serialized — array cells are opaque to the driver's
+    hasher (same discipline as flip_matrix)."""
     n = _t(spark, sf, "nation")
     m = n.groupBy("n_regionkey").agg(
         F.map_from_entries(
@@ -2375,7 +2377,7 @@ def map_funcs(spark, sf):
     )
     return m.select(
         "n_regionkey",
-        F.sort_array(F.map_keys("m")).alias("knames"),
+        F.concat_ws(",", F.sort_array(F.map_keys("m"))).alias("knames"),
         F.size("m").alias("n"),
     )
 
@@ -2384,18 +2386,19 @@ def map_funcs(spark, sf):
     "flip_transpose",
     """
     SELECT 'r_name' AS colname,
-           list(CAST(r_name AS VARCHAR) ORDER BY r_regionkey) AS vals
+           string_agg(CAST(r_name AS VARCHAR), ',' ORDER BY r_regionkey) AS vals
     FROM region
     UNION ALL
     SELECT 'r_regionkey',
-           list(CAST(r_regionkey AS VARCHAR) ORDER BY r_regionkey)
+           string_agg(CAST(r_regionkey AS VARCHAR), ',' ORDER BY r_regionkey)
     FROM region
     """,
 )
 def flip_transpose(spark, sf):
     """kerf `flip` — FLIPPED_TRANSPOSED row-view (enums.h:260): columns
     become rows of (name, value-vector).  Small-data adapter by design;
-    at scale a transpose is a reshape job, not a table op."""
+    at scale a transpose is a reshape job, not a table op.  Vectors are
+    CSV-serialized for the driver's hasher (flip_matrix discipline)."""
     r = _t(spark, sf, "region")
     cols = ["r_name", "r_regionkey"]
     stacked = [
@@ -2408,7 +2411,10 @@ def flip_transpose(spark, sf):
     ]
     u = stacked[0].unionByName(stacked[1])
     return u.groupBy("colname").agg(
-        F.transform(F.array_sort(F.collect_list("kv")), lambda x: x.v).alias("vals")
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort(F.collect_list("kv")), lambda x: x.v),
+        ).alias("vals")
     )
 
 
@@ -3299,16 +3305,19 @@ def span_arithmetic(spark, sf):
     "bigint_decimal",
     """
     SELECT o_orderkey,
-           CAST(o_orderkey AS DECIMAL(38,0)) * 1000000000000000000
-             + CAST(o_custkey AS DECIMAL(38,0))       AS big_id,
-           CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
-                      * 100, 0) AS DECIMAL(38,0))     AS cents
+           CAST(CAST(o_orderkey AS DECIMAL(38,0)) * 1000000000000000000
+             + CAST(o_custkey AS DECIMAL(38,0)) AS VARCHAR)  AS big_id,
+           CAST(CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                      * 100, 0) AS DECIMAL(38,0)) AS VARCHAR) AS cents
     FROM orders WHERE o_orderkey <= 2000
     """,
 )
 def bigint_decimal(spark, sf):
     """BIGINT_UNIT (enums.h:230) — arbitrary-precision ints as
-    DecimalType(38,0): arithmetic beyond int64 range without overflow."""
+    DecimalType(38,0): arithmetic beyond int64 range without overflow.
+    Outputs are digit strings: DuckDB's pandas bridge renders
+    DECIMAL(38,0) as float64 (precision-lossy at 1e21), so both sides
+    serialize to VARCHAR for the driver's exact hash compare."""
     o = _t(spark, sf, "orders").where(F.col("o_orderkey") <= 2000)
     return o.select(
         "o_orderkey",
@@ -3316,9 +3325,10 @@ def bigint_decimal(spark, sf):
             F.col("o_orderkey").cast("decimal(38,0)")
             * F.lit(1_000_000_000_000_000_000).cast("decimal(38,0)")
             + F.col("o_custkey").cast("decimal(38,0)")
-        ).cast("decimal(38,0)").alias("big_id"),
+        ).cast("decimal(38,0)").cast("string").alias("big_id"),
         F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("cents"),
     )
 
@@ -4210,19 +4220,29 @@ except Exception:
       FROM e
     )
     SELECT vec_id, scale,
-           CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
-                ELSE list_transform(emb,
-                       x -> CAST(round(x / scale * 127) AS INT))
-           END AS codes
+           array_to_string(
+             CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+                  ELSE list_transform(emb,
+                         x -> CAST(round(x / scale * 127) AS INT))
+             END, ',') AS codes
     FROM s
     """,
 )
 def quantize_embeddings_q(spark, sf):
     """Per-vector symmetric int8 quantization (the 4× embedding-lake
     shrink before ANN serving) — scale + code array, all Column math,
-    zero shuffle; oracle checks every code byte."""
+    zero shuffle; oracle checks every code byte.  The code array is
+    CSV-serialized (flip_matrix discipline: array cells are opaque to
+    the driver's hasher)."""
     em = _t(spark, sf, "embeddings")
-    return SIM.quantize_embeddings(em)
+    q = SIM.quantize_embeddings(em)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform("codes", lambda x: x.cast("string"))
+        ).alias("codes"),
+    )
 
 
 def _pca_oracle_sql(k=4, n_sample=512, sf_dir="/root/testdata/sf0.01") -> str:
@@ -5854,13 +5874,13 @@ def weighted_median_price(spark, sf):
     SELECT flag, l_orderkey, l_linenumber,
            round(CASE WHEN m > 1
                       THEN sqrt(greatest((sxx - sx*sx/m) / (m-1), 0.0)) END,
-                 6) AS mdev_qty,
+                 6) + 0.0 AS mdev_qty,
            round(CASE WHEN round(sqrt(greatest(m*sxx - sx*sx, 0.0)
                                       * greatest(m*syy - sy*sy, 0.0)), 9) <> 0
                       THEN (m*sxy - sx*sy)
                            / sqrt(greatest(m*sxx - sx*sx, 0.0)
                                   * greatest(m*syy - sy*sy, 0.0)) END,
-                 6) AS mcorr_qty_disc
+                 6) + 0.0 AS mcorr_qty_disc
     FROM t
     """,
 )
@@ -5870,7 +5890,9 @@ def rolling_window_stats(spark, sf):
     Sum-form window stats — one exchange for all five moving sums (same
     frame, same key) — not streaming Welford, so any engine reproduces
     the arithmetic; constant-window fp boundaries are guarded on both
-    sides (variance clamp + 9dp-zero denominator test)."""
+    sides (variance clamp + 9dp-zero denominator test).  `+ 0.0` after
+    every round() canonicalizes IEEE -0.0 to +0.0 on both engines (DuckDB
+    keeps the sign of a rounded tiny negative; Spark doesn't)."""
     # (orderkey, linenumber) is NOT unique in the fixtures: the measure
     # columns join the ordering so tied rows are interchangeable and the
     # moving frames deterministic on any engine
@@ -5881,9 +5903,12 @@ def rolling_window_stats(spark, sf):
         F.col("l_returnflag").alias("flag"),
         "l_orderkey",
         "l_linenumber",
-        F.round(W.mdev("l_quantity", 20, by, order), 6).alias("mdev_qty"),
-        F.round(
-            W.mcorr("l_quantity", "l_discount", 20, by, order), 6
+        (F.round(W.mdev("l_quantity", 20, by, order), 6) + F.lit(0.0)).alias(
+            "mdev_qty"
+        ),
+        (
+            F.round(W.mcorr("l_quantity", "l_discount", 20, by, order), 6)
+            + F.lit(0.0)
         ).alias("mcorr_qty_disc"),
     )
 
@@ -8592,7 +8617,8 @@ def bloom_contamination_docs(spark, sf):
       FROM toks
     )
     SELECT term, count(*) AS df,
-           list_sort(list(doc_id) FILTER (WHERE rn <= 8)) AS postings
+           array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 8)),
+                           ',') AS postings
     FROM r GROUP BY term
     HAVING count(*) >= 40
     ORDER BY df DESC, term LIMIT 25
@@ -8613,7 +8639,14 @@ def inverted_index_terms(spark, sf):
         idx.filter(F.col("df") >= 40)
         .orderBy(F.desc("df"), "term")
         .limit(25)
-        .select("term", "df", "postings")
+        .select(
+            "term",
+            "df",
+            # CSV-serialized: array cells are opaque to the driver's hasher
+            F.concat_ws(
+                ",", F.transform("postings", lambda x: x.cast("string"))
+            ).alias("postings"),
+        )
     )
 
 

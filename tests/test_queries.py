@@ -87,3 +87,29 @@ def test_applyinpandas_zscore_grouped_mean_zero(spark):
         .collect()
     )
     assert stats and all(abs(r["mu"]) < 1e-3 for r in stats)
+
+
+def test_no_driver_hostile_output_types(spark):
+    """Every registry query's output schema must be hashable by the
+    driver's pandas-based canonicalizer: no ArrayType/MapType/StructType
+    (pandas.sort_values raises ``unhashable type: numpy.ndarray``), no
+    DecimalType (DuckDB's pandas bridge renders DECIMAL as lossy
+    float64), no BinaryType.  Serialize such cells (concat_ws /
+    string_agg / VARCHAR cast) before returning — the flip_matrix
+    discipline.  Guards the whole r4 red-row class (VERDICT r4 §wrong).
+    """
+    from pyspark.sql import types as T
+
+    hostile = (T.ArrayType, T.MapType, T.DecimalType, T.StructType,
+               T.BinaryType)
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, hostile)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-hostile output columns: {offenders}"
