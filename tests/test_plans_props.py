@@ -181,7 +181,10 @@ def test_aggregates_are_partial_then_final(spark):
 
 
 def test_dedup_candidates_never_cross_join(spark):
-    plan = plan_of(QUERIES["minhash_dedup_pairs"](spark, SF))
+    # xxhash64 fast path — bench-only callable, no registry entry
+    from kerf_spark.queries import minhash_dedup_pairs
+
+    plan = plan_of(minhash_dedup_pairs(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -13,22 +13,14 @@ from kerf_spark.queries import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-# xxhash64 fast paths — no portable SQL oracle, each has an
-# oracle-matched portable sibling (minhash_portable_pairs, etc.)
-EXPECTED_WEAK = {
-    "minhash_dedup_pairs",
-    "simhash_near_pairs",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-}
-
-
 def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
-def test_weak_set_is_exactly_the_unoracled():
-    assert set(QUERIES) - set(ORACLES) == EXPECTED_WEAK
+def test_every_query_has_an_oracle():
+    # the xxhash64 fast paths (irreproducible hash family) are bench-only
+    # callables, NOT registry entries — so the registry is 100% oracled
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_registry_covers_survey_families():
