@@ -292,21 +292,27 @@ def cast_(x, to: str):
 
 # --------------------------------------------------------------- zorder
 def zorder_guard(col, bits: int = 16):
-    """Checked identity: returns ``col`` unchanged, raising if any
-    value leaves [0, 2^bits).  Wrap the OUTPUT columns of a z-ordered
-    write with this — an output projection cannot be optimized away,
-    unlike a sort key (Spark eliminates local sorts over <=1-row
-    partitions, and the guard would vanish with them)."""
+    """Checked identity: returns ``col`` as a long, raising if any
+    value leaves [0, 2^bits) OR is non-integral (3.7 must refuse
+    loudly, not alias to 3 in the written table).  Wrap the OUTPUT
+    columns of a z-ordered write with this — an output projection
+    cannot be optimized away, unlike a sort key (Spark eliminates
+    local sorts over <=1-row partitions, and the guard would vanish
+    with them)."""
     if not 1 <= int(bits) <= 31:
         raise ValueError("bits must be in [1, 31]")
     hi = (1 << bits) - 1
-    c = _c(col).cast("long")
+    raw = _c(col)
+    c = raw.cast("long")
     return F.when(
-        (c < 0) | (c > hi),
+        (c < 0) | (c > hi) | (raw.cast("double") != c.cast("double")),
         F.raise_error(
             F.concat(
-                F.lit(f"zorder: value out of the {bits}-bit domain [0, {hi}]: "),
-                c.cast("string"),
+                F.lit(
+                    f"zorder: value not an integer in the {bits}-bit "
+                    f"domain [0, {hi}]: "
+                ),
+                raw.cast("string"),
             )
         ).cast("long"),
     ).otherwise(c)

@@ -498,7 +498,8 @@ def bloom_member_col(
     as a projection.
     """
     arr = F.lit(words)
-    # SAME hash family as bloom_positions (one md5, 5-hex slices) but
+    # SAME hash family as bloom_positions (one md5 per key, k slices of
+    # min(32//k, 15) hex digits each — 8 digits at the default k=4) but
     # UNROLLED into plain expressions: higher-order functions
     # (forall/transform) never enter whole-stage codegen, so a
     # HOF-based check runs the entire fact-table scan interpreted

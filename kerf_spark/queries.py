@@ -7494,7 +7494,7 @@ def stream_scd2_history(spark, sf):
       ('not_null(value)', v_null),
       ('in_range(value,0,1000)', v_range),
       ('in_set(event_type,5 values)', v_enum),
-      ('matches(props,^\{.*\}$)', v_json)
+      ('matches(props,^\\{.*\\}$)', v_json)
     ) AS r(rule, v)
     ORDER BY r.rule
     """,

@@ -798,6 +798,16 @@ def test_workspace_zorder_write_bounds_both_dims(spark, tmp_path):
     with pytest.raises(Exception, match="16-bit domain"):
         ws.append("grid", bad)
 
+    # non-integral values must refuse loudly too: the long-cast in the
+    # guard would otherwise silently TRUNCATE 3.7 -> 3 in the persisted
+    # table (r4 ADVICE, catalog.py _zcluster)
+    frac = spark.range(3).select(
+        (F.col("id") + F.lit(0.7)).alias("u"),
+        F.col("id").cast("double").alias("v"),
+    )
+    with pytest.raises(Exception, match="not an integer"):
+        ws.save("badfrac", frac, zorder_by=("u", "v"))
+
 
 def test_kerfsql_fills_is_ffill_alias():
     from kerf_spark.plans.kerfsql import translate
