@@ -21,6 +21,8 @@ values at 12 significant digits).  Conventions applied throughout:
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -46,6 +48,9 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+_LOG = logging.getLogger(__name__)
+
+
 def query(name: str, oracle: str | None = None):
     def reg(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -53,6 +58,20 @@ def query(name: str, oracle: str | None = None):
             ORACLES[name] = oracle
         return fn
     return reg
+
+
+def _attach_oracle(name: str, builder: Callable[[], str]) -> None:
+    """Attach a computed oracle (one that needs duckdb / a fixture read
+    at import time).  On failure the query degrades to the driver's
+    rows-only check — loudly, so a silently-degraded oracle is visible
+    in driver logs instead of masquerading as a strong pass."""
+    try:
+        ORACLES[name] = builder()
+    except Exception as exc:
+        _LOG.warning(
+            "oracle degraded to rows-only for %s: %s: %s",
+            name, type(exc).__name__, exc,
+        )
 
 
 def _t(spark, sf_dir, name):
@@ -1729,10 +1748,7 @@ def bpe_merges_learned(spark, sf):
     return TX.bpe_learn(d, n_merges=8)
 
 
-try:
-    ORACLES["bpe_merges_learned"] = _bpe_merges_oracle_sql()
-except Exception:
-    pass
+_attach_oracle("bpe_merges_learned", _bpe_merges_oracle_sql)
 
 
 def _bpe_encode_oracle_sql(n_merges=8, sf_dir="/root/testdata/sf0.01") -> str:
@@ -1772,10 +1788,7 @@ def bpe_encode_docs(spark, sf):
     )
 
 
-try:
-    ORACLES["bpe_encode_docs"] = _bpe_encode_oracle_sql()
-except Exception:
-    pass
+_attach_oracle("bpe_encode_docs", _bpe_encode_oracle_sql)
 
 
 @query(
@@ -4115,10 +4128,8 @@ def ivf_ann_topk_oracle(spark, sf):
     )
 
 
-try:  # oracle needs duckdb + fixture read at import; degrade to rows-only
-    ORACLES["ivf_ann_topk_oracle"] = _ivf_oracle_sql()
-except Exception:
-    pass
+# oracle needs duckdb + a fixture read at import time
+_attach_oracle("ivf_ann_topk_oracle", _ivf_oracle_sql)
 
 
 # =====================================================================
@@ -4192,17 +4203,19 @@ def semantic_dedup_survivors_q(spark, sf):
     )
 
 
-try:  # oracle needs duckdb + fixture read at import; degrade to rows-only
-    _sem_ctes = _semantic_cells_ctes()
-    ORACLES["semantic_dedup_pairs"] = (
-        _sem_ctes + "\n    SELECT id_a, id_b, cell, cos FROM pairs"
-    )
-    ORACLES["semantic_dedup_survivors"] = _sem_ctes + """
+# oracle needs duckdb + a fixture read at import time
+_attach_oracle(
+    "semantic_dedup_pairs",
+    lambda: _semantic_cells_ctes()
+    + "\n    SELECT id_a, id_b, cell, cos FROM pairs",
+)
+_attach_oracle(
+    "semantic_dedup_survivors",
+    lambda: _semantic_cells_ctes() + """
     SELECT e0.vec_id, e0.label FROM embeddings e0
     WHERE e0.vec_id NOT IN (SELECT id_b FROM pairs)
-    """
-except Exception:
-    pass
+    """,
+)
 
 
 @query(
@@ -4282,10 +4295,7 @@ def pca_project_embeddings(spark, sf):
     return SIM.pca_project(em, k=4)
 
 
-try:
-    ORACLES["pca_project_embeddings"] = _pca_oracle_sql()
-except Exception:
-    pass
+_attach_oracle("pca_project_embeddings", _pca_oracle_sql)
 
 
 @query(

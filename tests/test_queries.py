@@ -105,3 +105,23 @@ def test_no_driver_hostile_output_types(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"driver-hostile output columns: {offenders}"
+
+
+def test_degraded_oracle_logs_a_warning(caplog):
+    """A computed oracle that fails to build must WARN with the query
+    name (visible in driver logs), not silently degrade to rows-only
+    (r4 verdict item 6)."""
+    import logging
+
+    from kerf_spark import queries as Q
+
+    def boom() -> str:
+        raise RuntimeError("fixture missing")
+
+    with caplog.at_level(logging.WARNING, logger="kerf_spark.queries"):
+        Q._attach_oracle("__degradation_probe__", boom)
+    assert "__degradation_probe__" not in Q.ORACLES
+    assert any(
+        "__degradation_probe__" in r.message and "fixture missing" in r.message
+        for r in caplog.records
+    )
