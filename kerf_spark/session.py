@@ -48,6 +48,13 @@ ENGINE_CONFS: dict[str, str] = {
     # (region/nation) are pinned with F.broadcast() at the query sites.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # BIGINT_UNIT boundary (enums.h:230, SURVEY §1.2): kerf's
+    # arbitrary-precision integer maps to DecimalType(38,0).  Pinned ANSI
+    # mode (Spark 4's default, but a cluster's spark-defaults may flip
+    # it) makes arithmetic past 38 digits raise a typed
+    # SparkArithmeticException (NUMERIC_VALUE_OUT_OF_RANGE) instead of
+    # silently returning NULL — overflow ERRORS rather than promotes.
+    "spark.sql.ansi.enabled": "true",
 }
 
 

@@ -289,3 +289,26 @@ def test_zorder_key_matches_python_interleave(spark):
         assert got[(x, y)] == morton(x, y), (x, y)
     # locality: one-step neighbors differ only in low key bits
     assert morton(2, 3) // 16 == morton(3, 3) // 16
+
+
+def test_bigint_decimal38_overflow_raises_not_null(spark):
+    """The BIGINT_UNIT boundary (enums.h:230, SURVEY §1.2): DecimalType
+    (38,0) arithmetic past 38 digits must raise a typed
+    SparkArithmeticException — never silently NULL (ANSI mode is pinned
+    in ENGINE_CONFS; this pins the pin)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    big = F.lit("9" * 38).cast("decimal(38,0)")
+    # in-range arithmetic is exact at full width
+    ok = spark.range(1).select(
+        (big - F.lit(1).cast("decimal(38,0)")).cast("string").alias("v")
+    ).collect()
+    assert ok[0]["v"] == "9" * 37 + "8"
+    # one digit past the boundary errors, loudly and typed
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        spark.range(1).select(
+            (big * F.lit(10).cast("decimal(38,0)")).alias("x")
+        ).collect()
