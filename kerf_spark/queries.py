@@ -2115,6 +2115,47 @@ def stream_dedup_batch(spark, sf):
     )
 
 
+@query(
+    "stream_socket_ingest",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_socket_ingest(spark, sf):
+    """Batch twin of the socket feed handler (reference bus.h:7-251
+    TRANSMITTER; streaming.ingest.read_socket_stream): every event row
+    is serialized to the JSON wire line the socket would carry, decoded
+    back through the SAME shared parser (parse_feed_lines), and
+    aggregated.  The oracle aggregates the table directly, so a green
+    row proves the wire encode→decode chain is lossless — ids sum
+    exactly, doubles survive the JSON round-trip.  The live-socket path
+    itself is proven by tests/test_integration.py (a real loopback TCP
+    server feeding readStream)."""
+    from kerf_spark.streaming.ingest import parse_feed_lines
+
+    e = _t(spark, sf, "events")
+    wire = e.select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value")
+        ).alias("value")
+    )
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double"
+    parsed = parse_feed_lines(wire, schema, fmt="json")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
 # =====================================================================
 # §2.4 extras — rollup/cube, statistical aggregates
 # =====================================================================

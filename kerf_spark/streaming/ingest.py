@@ -58,6 +58,68 @@ def read_rate_stream(spark: SparkSession, rows_per_sec: int = 1000) -> DataFrame
     )
 
 
+def parse_feed_lines(
+    lines: DataFrame,
+    schema,
+    fmt: str = "json",
+    options: dict | None = None,
+) -> DataFrame:
+    """Decode a line-oriented feed (one record per ``value`` string) into
+    typed columns — the wire-format half of the feed handler, shared by
+    the socket source, file tailing of raw logs, and any future Kafka
+    wiring (all of them surface the same single-string-column shape).
+
+    ``schema`` is a StructType or DDL string; ``fmt`` is ``json`` or
+    ``csv``.  Malformed lines land as all-null records (PERMISSIVE), so
+    one bad tick never kills the feed; filter on a non-null key column
+    downstream to drop them.  A ``ts`` long column is epoch-ns by the
+    engine-wide convention and passes through untouched.
+    """
+    c = F.col("value").cast("string")
+    if fmt == "json":
+        rec = F.from_json(c, schema, options or {})  # StructType or DDL
+    elif fmt == "csv":
+        if hasattr(schema, "fields"):  # StructType -> DDL for from_csv
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+            )
+        rec = F.from_csv(c, schema, options or {})
+    else:
+        raise ValueError(f"parse_feed_lines: unknown fmt {fmt!r}")
+    return lines.select(rec.alias("__rec")).select("__rec.*")
+
+
+def read_socket_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    schema=None,
+    fmt: str = "json",
+    options: dict | None = None,
+) -> DataFrame:
+    """Socket feed handler — the reference's TRANSMITTER/EMITTER socket
+    pump (bus.h:7-251) and libevent accept loop (main.cc:83-97),
+    re-expressed as Spark's socket source feeding the shared line
+    decoder.  With ``schema=None`` the raw ``value`` lines stream
+    through undecoded.
+
+    The socket source is the dev/tick-replay transport (single
+    receiver, no replay on failure — same durability class as the
+    reference's in-process bus).  A durable production feed swaps in a
+    replayable source (Kafka/file) ahead of the SAME parse → watermark →
+    dedup → partitioned-sink chain; nothing downstream changes.
+    """
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", int(port))
+        .load()
+    )
+    if schema is None:
+        return lines
+    return parse_feed_lines(lines, schema, fmt, options)
+
+
 def with_event_time(df: DataFrame, ts_ns_col: str) -> DataFrame:
     """Attach a µs event-time timestamp column derived from ts_ns (the
     watermark clock must be a TimestampType)."""

@@ -129,3 +129,63 @@ def test_streaming_ema_matches_batch_across_microbatches(spark, tables, tmp_path
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_exact=False, rtol=1e-9,
     )
+
+
+def test_socket_feed_handler_end_to_end(spark, tmp_path):
+    """The reference's TRANSMITTER socket pump (bus.h:7-251) on Spark: a
+    real loopback TCP server emits JSON tick lines; readStream's socket
+    source feeds the shared wire parser; rows land typed and complete."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from kerf_spark.streaming.ingest import read_socket_stream
+
+    ticks = [
+        {"event_id": i, "ts": 1_700_000_000_000_000_000 + i * 1_000_000,
+         "user_id": i % 3, "event_type": "tick", "value": i * 1.5}
+        for i in range(20)
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def pump():
+        conn, _ = srv.accept()
+        with conn:
+            payload = "".join(json.dumps(t) + "\n" for t in ticks)
+            conn.sendall(payload.encode())
+            stop.wait(30)  # hold the connection open while Spark drains
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    try:
+        schema = ("event_id bigint, ts bigint, user_id bigint, "
+                  "event_type string, value double")
+        feed = read_socket_stream(spark, "127.0.0.1", port, schema=schema)
+        got: list = []
+        q = (
+            feed.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .start()
+        )
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and len(got) < len(ticks):
+            q.processAllAvailable()
+            time.sleep(0.2)
+        q.stop()
+    finally:
+        stop.set()
+        srv.close()
+
+    assert len(got) == len(ticks)
+    by_id = {r["event_id"]: r for r in got}
+    assert by_id[7]["value"] == 10.5
+    assert by_id[7]["ts"] == ticks[7]["ts"]
+    assert all(r["event_type"] == "tick" for r in got)
