@@ -23,6 +23,10 @@ BENCH_QUERIES = [
     "q6_revenue_forecast",
     "running_sum_unfold",
     "xbar_5min_bars",
+    # §2.5 moving-window family carries a measured slope like the joins
+    # and dedup paths (r4 verdict item 8): five moving sums sharing one
+    # exchange + frame
+    "rolling_window_stats",
     "asof_join_latest_order",
     "interval_join_bursts",
     "exact_dedup_docs",

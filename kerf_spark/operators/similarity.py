@@ -349,6 +349,27 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in cents]
 
 
+#: Memo for driver-side sample fits (IVF centroids / PCA components),
+#: keyed by the input plan's semantic hash + fit params.  The fit IS
+#: the index-build artifact — at 100 TB centroids/components are
+#: persisted once and reused across queries; this in-process memo is
+#: the local analogue (a re-read of the same path reuses the fit; any
+#: plan change — different filter, different layout — refits).  Staleness
+#: contract: mutate the data under an unchanged path and plan, and the
+#: cached fit survives until process restart — same as any ANN index.
+_FIT_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _fit_memo(corpus: DataFrame, tag: str, params: tuple, build):
+    try:
+        key = (tag, corpus.semanticHash(), params)
+    except Exception:
+        return build()
+    if key not in _FIT_CACHE:
+        _FIT_CACHE[key] = build()
+    return _FIT_CACHE[key]
+
+
 def fit_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -368,16 +389,21 @@ def fit_centroids(
     orderBy+limit plans as bounded TakeOrdered — still O(n_cells·64)
     driver data, the ONLY driver-side materialization on this path.
     """
-    sample = (
-        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .select(vec_col)
-        .limit(n_cells * 64)
-        .collect()
+    def build() -> list[list[float]]:
+        sample = (
+            corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .select(vec_col)
+            .limit(n_cells * 64)
+            .collect()
+        )
+        vecs = [list(r[0]) for r in sample if r[0] is not None]
+        if not vecs:
+            raise ValueError("empty corpus")
+        return kmeans_centroids(vecs, n_cells, iters, seed)
+
+    return _fit_memo(
+        corpus, "ivf", (n_cells, iters, vec_col, id_col, seed), build
     )
-    vecs = [list(r[0]) for r in sample if r[0] is not None]
-    if not vecs:
-        raise ValueError("empty corpus")
-    return kmeans_centroids(vecs, n_cells, iters, seed)
 
 
 def ivf_topk(
@@ -657,16 +683,21 @@ def pca_project(
     learned-transform-as-plan-literal discipline shared with IVF and
     SemDeDup); the projection is a narrow JVM-side map over the corpus:
     no shuffle at all.  Emits ``pc0..pc{k-1}``."""
-    sample = (
-        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .select(vec_col)
-        .limit(n_sample)
-        .collect()
+    def build() -> list[list[float]]:
+        sample = (
+            corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .select(vec_col)
+            .limit(n_sample)
+            .collect()
+        )
+        vecs = [list(r[0]) for r in sample if r[0] is not None]
+        if not vecs:
+            raise ValueError("empty corpus")
+        return pca_components(vecs, k, iters)
+
+    comps = _fit_memo(
+        corpus, "pca", (k, n_sample, iters, vec_col, id_col), build
     )
-    vecs = [list(r[0]) for r in sample if r[0] is not None]
-    if not vecs:
-        raise ValueError("empty corpus")
-    comps = pca_components(vecs, k, iters)
     emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
     staged = corpus.select(F.col(id_col), emb.alias("__emb"))
     return staged.select(

@@ -1816,3 +1816,23 @@ def test_interval_gaps_complement(spark):
         for r in interval_gaps(df, "s", "e", "k").collect()
     )
     assert got == [("a", 9, 20), ("a", 25, 30)]  # b: no gaps, no rows
+
+
+def test_fit_memo_reuses_and_discriminates(spark):
+    """The IVF/PCA sample fit is an index-build artifact: same plan +
+    params reuse the cached fit (no second Spark job), different params
+    or a different plan refit."""
+    from kerf_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    SIM._FIT_CACHE.clear()
+    a = SIM.fit_centroids(df, n_cells=4)
+    b = SIM.fit_centroids(df, n_cells=4)
+    assert a is b  # memo hit — not merely equal, the same object
+    c = SIM.fit_centroids(df, n_cells=2)
+    assert c is not a and len(c) == 2
+    d = SIM.fit_centroids(df.filter("vec_id < 32"), n_cells=4)
+    assert d is not a  # different plan -> different fit
