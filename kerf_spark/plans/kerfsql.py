@@ -112,6 +112,41 @@ _WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "fills",
                  "sums", "maxs", "mins", "mmax", "mmin", "mdev", "mcount")
 _ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
 
+# fby — the kdb tick idiom `agg(x) fby key` in a where clause: compare
+# each row against its GROUP's aggregate without collapsing the rows
+# (`where price > avg(price) fby sym`).  ANSI forbids window functions
+# in WHERE, so each fby becomes a window column on an inlined subquery
+# and the predicate references the alias; `* EXCEPT` keeps the helper
+# columns out of the output.  One exchange per distinct fby key set —
+# the same shuffle the equivalent self-join-with-agg would take, minus
+# the join.
+_FBY_RE = re.compile(
+    r"(?is)\b(\w+)\s*\(([^()]*)\)\s+fby\s+(\((?:[^()]*)\)|\w+)"
+)
+
+
+def _expand_fby(where: str, table: str) -> tuple[str, str, list[str]]:
+    """Rewrite every ``agg(x) fby k`` in ``where``; returns the new
+    predicate, the (possibly inlined-subquery) table, and the helper
+    aliases to strip from the output."""
+    wincols: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        agg, expr, key = m.group(1), m.group(2).strip(), m.group(3).strip()
+        if key.startswith("("):
+            key = key[1:-1]
+        alias = f"__fby{len(wincols)}"
+        wincols.append(
+            f"{agg}({expr}) OVER (PARTITION BY {key}) AS {alias}"
+        )
+        return alias
+
+    new_where = _FBY_RE.sub(sub, where)
+    if not wincols:
+        return where, table, []
+    inner = f"(SELECT *, {', '.join(wincols)} FROM {table})"
+    return new_where, inner, [c.rsplit(" AS ", 1)[1] for c in wincols]
+
 
 def _int_arg(verb: str, tok: str) -> int:
     """Moving-verb window sizes must be integer literals — a column or
@@ -252,13 +287,18 @@ def translate(q: str) -> str:
         sel = _rewrite_aliases(body) if body else "*"
         part = _strip_aliases(by) if by else None
         order_x = _expand_verbs(order, part, None) if order else None
+        table_x = table.strip()
+        if where and re.search(r"(?i)\bfby\b", where):
+            where, table_x, fby_helpers = _expand_fby(where, table_x)
+            if fby_helpers and sel == "*":
+                sel = f"* EXCEPT ({', '.join(fby_helpers)})"
         sql = []
         if _has_window_verb(body or ""):
             # ordered-verb select: `by` partitions the windows instead of
             # grouping (the kerf `update deltas price by sym` shape); the
             # statement projects per-row, so no GROUP BY is emitted
             sel = _expand_verbs(sel, part, order_x)
-            sql.append(f"SELECT {sel} FROM {table.strip()}")
+            sql.append(f"SELECT {sel} FROM {table_x}")
             if where:
                 sql.append(f"WHERE {_expand_verbs(where, part, order_x)}")
         else:
@@ -266,9 +306,9 @@ def translate(q: str) -> str:
             if by:
                 group = _expand_verbs(_rewrite_aliases(by), None, None)
                 # grouped select: by-columns are part of the output, kerf-style
-                sql.append(f"SELECT {group}, {sel} FROM {table.strip()}")
+                sql.append(f"SELECT {group}, {sel} FROM {table_x}")
             else:
-                sql.append(f"SELECT {sel} FROM {table.strip()}")
+                sql.append(f"SELECT {sel} FROM {table_x}")
             if where:
                 sql.append(f"WHERE {_expand_verbs(where, None, None)}")
             if by:

@@ -7847,6 +7847,37 @@ def kerfsql_running_verbs(spark, sf):
 
 
 @query(
+    "kerfsql_fby_filter",
+    """
+    SELECT user_id, event_type, event_id, round(value, 6) AS value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS ua,
+             max(value) OVER (PARTITION BY event_type) AS tm
+      FROM events
+    )
+    WHERE value > ua AND value < 0.9 * tm
+    """,
+)
+def kerfsql_fby_filter(spark, sf):
+    """The kdb ``fby`` tick idiom in kerf-SQL: filter rows against
+    their GROUP's aggregate without collapsing the group (`price >
+    avg(price) fby sym`).  Each fby expands to a window column on an
+    inlined subquery (ANSI bars window functions from WHERE); two
+    different fby keys here prove the multi-key path.  One exchange
+    per distinct key set — the self-join-with-agg a user would
+    otherwise write costs the same shuffle plus a join."""
+    _t(spark, sf, "events").createOrReplaceTempView("events_fby")
+    return kerf_sql(
+        spark,
+        "select user_id, event_type, event_id, value: round(value, 6)"
+        " from events_fby"
+        " where value > avg(value) fby user_id"
+        " and value < 0.9 * max(value) fby event_type",
+    )
+
+
+@query(
     "event_gap_analysis",
     """
     WITH iv AS (

@@ -815,3 +815,19 @@ def test_kerfsql_fills_is_ffill_alias():
     a = translate("select f: fills(v) by g from t order by ts")
     b = translate("select f: ffill(v) by g from t order by ts")
     assert a == b and "IGNORE NULLS" in a
+
+
+def test_kerfsql_fby_translations():
+    from kerf_spark.plans.kerfsql import translate
+
+    star = translate("select from t where v > avg(v) fby g")
+    assert "avg(v) OVER (PARTITION BY g) AS __fby0" in star
+    assert star.startswith("SELECT * EXCEPT (__fby0)")  # helper never leaks
+    multi = translate(
+        "select a, b from t where v > avg(v) fby (g, h) and v < 9"
+    )
+    assert "PARTITION BY g, h" in multi and multi.endswith("and v < 9")
+    grouped = translate(
+        "select n: count(*) by g from t where v > sum(v) fby h"
+    )
+    assert "GROUP BY g" in grouped and "sum(v) OVER (PARTITION BY h)" in grouped
