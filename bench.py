@@ -146,6 +146,46 @@ def main() -> None:
         except Exception as exc:  # slope is diagnostic; never fail the bench
             out["slope_error"] = f"{type(exc).__name__}: {exc}"
 
+    # ---- streaming machinery throughput ------------------------------
+    # The reference's feed handler is declared-only (bus.h TRANSMITTER),
+    # so there is no baseline number — this records OUR number so the
+    # streaming path carries a measured, falsifiable throughput like the
+    # batch suite: full events fixture through readStream (availableNow)
+    # -> watermark -> tumbling window agg -> noop-equivalent foreachBatch.
+    try:
+        import tempfile
+
+        from kerf_spark.streaming.ingest import (
+            stream_table, windowed_bars, with_event_time,
+        )
+
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        with tempfile.TemporaryDirectory() as ckpt:
+            feed = with_event_time(
+                stream_table(spark, sf_dir, "events", maxFilesPerTrigger=1),
+                "ts",
+            )
+            bars = windowed_bars(feed, "value", "5 minutes", by=["event_type"])
+            t0 = time.perf_counter()
+            q = (
+                bars.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(lambda df, _id: df.write.format("noop")
+                              .mode("overwrite").save())
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+        out["streaming"] = {
+            "events_rows": n_events,
+            "window_agg_wall_sec": round(dt, 4),
+            "rows_per_sec": round(n_events / dt, 1),
+            "reference": "bus.h:7-251 TRANSMITTER declared-only; no baseline",
+        }
+    except Exception as exc:
+        out["streaming_error"] = f"{type(exc).__name__}: {exc}"
+
     # ---- BASELINE.md anchor: the reference's one concrete number -----
     # test.cc:385 — pairwise sum of two 1M-int vectors, ~100 ms stock
     # single-thread (~10 ms projected hand-optimized).  Same op here,
