@@ -71,6 +71,74 @@ def running_max(col, by, order) -> Column:
     return running("max", col, by, order)
 
 
+# ----------------------------------------------- distributed global scan
+def global_scan(
+    df,
+    value_col: str,
+    order: Sequence[str],
+    agg: str = "sum",
+    bucket: Column | str | None = None,
+    out_col: str = "run",
+):
+    """Kerf ``unfold`` over the WHOLE table order (``sums(t.col)`` with
+    no by-key) — the shape ``running(by=None, ...)`` cannot survive at
+    scale: an empty PARTITION BY funnels every row through ONE task.
+
+    Two-phase prefix scan (Blelloch) with a CONTENT-DERIVED bucket key:
+
+    1. ``bucket`` (default: the leading order column) splits the table
+       into order-aligned groups — every row with the same bucket value
+       sorts contiguously in the global order.  Being a pure projection
+       of the row, the split is identical on every execution and every
+       engine; a sampled range partitioning would not be (sampled
+       boundaries drift between executions, and an early prototype here
+       mis-ranked rows whenever one plan branch re-sampled).
+    2. Local running aggregate per bucket (window PARTITION BY bucket —
+       many balanced keys, never one).
+    3. Per-bucket totals prefix-combined EXCLUSIVELY in-plan and
+       broadcast-joined back.  The prefix window is a single task over
+       one row PER DISTINCT BUCKET — bounded by bucket cardinality
+       (dates, hours, id-prefixes: thousands-to-millions of tiny rows),
+       not by the data.  Zero driver-side data.
+
+    ``agg`` ∈ {sum, min, max, count}: the associative scans whose
+    cross-partition combine is closed-form.  ``order`` must be a total
+    order (add a unique tiebreaker).  BUCKET CHOICE: pick one with
+    enough distinct values to spread the data (a date for daily data, a
+    ``div``-bucketed id for monotone ids); the bucket MUST be a prefix
+    of the order — it is, by construction, when left at the default.
+    SKEW: one hot bucket value concentrates its rows in one task —
+    coarsen or refine the bucket expression accordingly.
+    """
+    if agg not in ("sum", "min", "max", "count"):
+        raise ValueError(f"global_scan: no closed-form combine for {agg!r}")
+    b = bucket if bucket is not None else order[0]
+    b = F.col(b) if isinstance(b, str) else b
+    bucketed = df.withColumn("__g", b)
+    w = Window.partitionBy("__g").orderBy(
+        *[F.col(c) for c in order]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col(value_col)
+    local = (F.count(v) if agg == "count" else getattr(F, agg)(v)).over(w)
+    scanned = bucketed.withColumn("__local", local)
+
+    tot = F.count(v) if agg == "count" else getattr(F, agg)(v)
+    totals = bucketed.groupBy("__g").agg(tot.alias("__t"))
+    pw = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    pre = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[agg]
+    off_df = totals.select("__g", pre(F.col("__t")).over(pw).alias("__off"))
+    joined = scanned.join(F.broadcast(off_df), "__g", "left")
+    loc = F.col("__local")
+    off = F.col("__off")
+    if agg in ("sum", "count"):
+        combined = F.when(off.isNull(), loc).otherwise(loc + off)
+    elif agg == "min":
+        combined = F.when(off.isNull(), loc).otherwise(F.least(loc, off))
+    else:
+        combined = F.when(off.isNull(), loc).otherwise(F.greatest(loc, off))
+    return joined.withColumn(out_col, combined).drop("__g", "__local", "__off")
+
+
 # ------------------------------------------------------------ mapback
 def mapback(
     f,

@@ -698,6 +698,46 @@ def running_sum_unfold(spark, sf):
 
 
 @query(
+    "global_running_sum",
+    """
+    SELECT o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run,
+           CAST(count(*) OVER (
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rn
+    FROM orders
+    """,
+)
+def global_running_sum(spark, sf):
+    """Kerf ``unfold`` over WHOLE-TABLE order — ``sums(t.col)`` with no
+    by-key (adverbs.h:33-71 fold/unfold).  SCALE: the naive empty
+    PARTITION BY funnels 100 TB through one task; this is the two-phase
+    Blelloch prefix scan instead (windows.global_scan): range
+    repartition on the order key, per-partition local scan, exclusive
+    prefix of the per-partition totals broadcast back — the only
+    driver-side data is num_partitions total rows.  The oracle is the
+    single-node global window, proving the distributed scan equals the
+    sequential one."""
+    o = _t(spark, sf, "orders")
+    s = W.global_scan(
+        o, "o_totalprice", ["o_orderdate", "o_orderkey"], agg="sum",
+        out_col="run",
+    )
+    s = W.global_scan(
+        s, "o_totalprice", ["o_orderdate", "o_orderkey"], agg="count",
+        out_col="rn",
+    )
+    return s.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("run", 2).alias("run"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+@query(
     "deltas_mapback",
     """
     SELECT user_id, event_id,

@@ -1836,3 +1836,46 @@ def test_fit_memo_reuses_and_discriminates(spark):
     assert c is not a and len(c) == 2
     d = SIM.fit_centroids(df.filter("vec_id < 32"), n_cells=4)
     assert d is not a  # different plan -> different fit
+
+
+def test_global_scan_matches_single_partition_window(spark):
+    """Distributed whole-table prefix scan == the single-task global
+    window, for all four closed-form aggs, with ties in the leading
+    order column and a custom coarser bucket expression."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import global_scan
+
+    df = spark.createDataFrame(
+        [(i, i % 13, float((i * 7919) % 101) - 50.0) for i in range(400)],
+        "rid long, g long, v double",
+    ).repartition(7)
+    order = ["g", "rid"]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for agg, ref in [
+        ("sum", F.sum), ("min", F.min), ("max", F.max), ("count", F.count)
+    ]:
+        got = {
+            r["rid"]: r["run"]
+            for r in global_scan(df, "v", order, agg=agg).collect()
+        }
+        want = {
+            r["rid"]: r["w"]
+            for r in df.select("rid", ref("v").over(w).alias("w")).collect()
+        }
+        assert got == want, agg
+    # custom bucket: coarser than the leading column but order-aligned
+    got = {
+        r["rid"]: r["run"]
+        for r in global_scan(
+            df, "v", order, agg="sum", bucket=(F.col("g") - F.col("g") % 4)
+        ).collect()
+    }
+    want = {
+        r["rid"]: r["w"]
+        for r in df.select("rid", F.sum("v").over(w).alias("w")).collect()
+    }
+    assert got == want
