@@ -139,6 +139,16 @@ def global_scan(
     return joined.withColumn(out_col, combined).drop("__g", "__local", "__off")
 
 
+def global_rank(df, order: Sequence[str], bucket=None, out_col: str = "rn"):
+    """Whole-table 1-based rank in ``order`` (kerf grade over the full
+    table) — the count specialization of :func:`global_scan`, sharing
+    its scale shape.  ``order`` must be a total order."""
+    tagged = df.withColumn("__one", F.lit(1))
+    return global_scan(
+        tagged, "__one", order, agg="count", bucket=bucket, out_col=out_col
+    ).drop("__one")
+
+
 # ------------------------------------------------------------ mapback
 def mapback(
     f,

@@ -1879,3 +1879,19 @@ def test_global_scan_matches_single_partition_window(spark):
         for r in df.select("rid", F.sum("v").over(w).alias("w")).collect()
     }
     assert got == want
+
+
+def test_global_rank_is_dense_total_order(spark):
+    from kerf_spark.operators.windows import global_rank
+
+    df = spark.createDataFrame(
+        [(i, (i * 31) % 10) for i in range(100)], "rid long, g long"
+    ).repartition(5)
+    got = {r["rid"]: r["rn"] for r in global_rank(df, ["g", "rid"]).collect()}
+    want = {
+        rid: i + 1
+        for i, (g, rid) in enumerate(
+            sorted(((v * 31) % 10, v) for v in range(100))
+        )
+    }
+    assert got == want
