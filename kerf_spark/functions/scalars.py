@@ -358,3 +358,37 @@ def zorder_key(x, y, bits: int = 16, checked: bool = False):
             + ybit * F.lit(1 << (2 * j + 1))
         )
     return out
+
+
+def zorder_key_n(cols, bits: int = 16, checked: bool = False):
+    """N-column Morton interleave: bit ``j`` of column ``i`` lands at
+    position ``j*k + i`` of a single ``k*bits``-bit clustering key
+    (``k = len(cols)``; ``k*bits`` must stay <= 62).  The k-dimensional
+    generalization of :func:`zorder_key` — same pure power-of-two long
+    arithmetic, same engine portability, same row-group-stat pruning
+    story for scans filtered on ANY of the k columns.  Earlier columns
+    get the lower interleave positions (ties sort by the later ones
+    last), matching the 2-column layout.
+    """
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key_n needs at least 2 columns")
+    if not 1 <= int(bits) <= 31 or k * int(bits) > 62:
+        raise ValueError(
+            f"need 1 <= bits and len(cols)*bits <= 62, got {k}*{bits}"
+        )
+    hi = (1 << bits) - 1
+
+    def _masked(col):
+        if checked:
+            return zorder_guard(col, bits)
+        return _c(col).cast("long").bitwiseAND(F.lit(hi))
+
+    masked = [_masked(c) for c in cols]
+    out = F.lit(0).cast("long")
+    for j in range(int(bits)):
+        for i, mc in enumerate(masked):
+            bit = F.shiftright(mc, j).bitwiseAND(F.lit(1))
+            out = out + bit * F.lit(1 << (j * k + i))
+    return out

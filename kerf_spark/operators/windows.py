@@ -218,6 +218,70 @@ def mdev(col, n, by, order) -> Column:
     return F.when(m > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
 
 
+def chunked_moving(
+    df: DataFrame,
+    aggs: dict[str, tuple[str, Column | str]],
+    n: int,
+    by: Sequence[str],
+    order: Sequence[str],
+    chunk: Column | str,
+) -> DataFrame:
+    """Trailing ``n``-row moving aggregates over LOW-CARDINALITY series
+    keys, distributed — the hot-key fix for moving windows.
+
+    ``moving()`` partitions by the series key alone; with 3 return
+    flags over 100 TB that is 3 tasks, each sorting a third of the
+    table, no matter the cluster.  Here each series splits into
+    order-aligned chunks (``chunk`` must be a monotone function of the
+    leading order columns — ``l_orderkey div 4096``, a date, an hour),
+    and the last ``n-1`` rows of every chunk are REPLICATED into the
+    next chunk as borrowed context, so a window partitioned by
+    (series, chunk) sees every row's full trailing frame:
+
+        parallelism = series x chunks, replication = (n-1)/chunk_rows.
+
+    PRECONDITION: every non-final chunk holds >= n-1 rows, or a frame
+    would need rows from two chunks back (borrowed context only spans
+    one boundary).  Size chunks orders of magnitude above ``n``.
+
+    ``aggs`` maps output column -> (agg fn name, value column); each is
+    computed over ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``.  All
+    windows share one (series, chunk) partitioning: one exchange.
+    """
+    ckey = F.col(chunk) if isinstance(chunk, str) else chunk
+    d = df.withColumn("__chunk", ckey)
+    # successor chunk per series (chunk values may be sparse): a tiny
+    # distinct table, window over one row per (series, chunk)
+    sw = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__chunk")
+    succ = (
+        d.select(*by, "__chunk").distinct()
+        .withColumn("__next", F.lead("__chunk").over(sw))
+        .where(F.col("__next").isNotNull())
+    )
+    # donors: last n-1 rows of each chunk, retagged into the successor
+    dw = Window.partitionBy(*([F.col(c) for c in by] + [F.col("__chunk")])).orderBy(
+        *[F.col(c).desc() for c in order]
+    )
+    donors = (
+        d.withColumn("__rev", F.row_number().over(dw))
+        .where(F.col("__rev") <= n - 1)
+        .drop("__rev")
+        .join(succ, [*by, "__chunk"], "inner")  # AQE broadcasts when small
+        .withColumn("__chunk", F.col("__next"))
+        .drop("__next")
+        .withColumn("__borrowed", F.lit(1))
+    )
+    both = d.withColumn("__borrowed", F.lit(0)).unionByName(donors)
+    w = Window.partitionBy(
+        *([F.col(c) for c in by] + [F.col("__chunk")])
+    ).orderBy(*[F.col(c) for c in order]).rowsBetween(-(n - 1), 0)
+    out = both
+    for name, (fn, col) in aggs.items():
+        c = F.col(col) if isinstance(col, str) else col
+        out = out.withColumn(name, getattr(F, fn)(c).over(w))
+    return out.where(F.col("__borrowed") == 0).drop("__borrowed", "__chunk")
+
+
 def mcorr(x, y, n, by, order) -> Column:
     """n-row trailing Pearson correlation of two columns (rolling
     corr/beta — the pairs-trading window stat).  Sum-form:

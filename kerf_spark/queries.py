@@ -5974,30 +5974,55 @@ def weighted_median_price(spark, sf):
 )
 def rolling_window_stats(spark, sf):
     """Rolling 20-row stddev (kerf mdev) and rolling Pearson correlation
-    (pairs-trading mcorr) per return-flag series (windows.mdev/mcorr).
-    Sum-form window stats — one exchange for all five moving sums (same
-    frame, same key) — not streaming Welford, so any engine reproduces
-    the arithmetic; constant-window fp boundaries are guarded on both
-    sides (variance clamp + 9dp-zero denominator test).  `+ 0.0` after
-    every round() canonicalizes IEEE -0.0 to +0.0 on both engines (DuckDB
-    keeps the sign of a rounded tiny negative; Spark doesn't)."""
+    (pairs-trading mcorr) per return-flag series.  SCALE: l_returnflag
+    has THREE distinct values — a window partitioned by it alone is 3
+    tasks forever, so the five moving sums run through
+    windows.chunked_moving (order-aligned l_orderkey chunks with the
+    last 19 rows of each replicated into the next — parallelism becomes
+    flags x chunks, replication 19/chunk_rows).  Sum-form stats — not
+    streaming Welford, so any engine reproduces the arithmetic;
+    constant-window fp boundaries are guarded on both sides (variance
+    clamp + 9dp-zero denominator test).  `+ 0.0` after every round()
+    canonicalizes IEEE -0.0 to +0.0 on both engines (DuckDB keeps the
+    sign of a rounded tiny negative; Spark doesn't)."""
     # (orderkey, linenumber) is NOT unique in the fixtures: the measure
     # columns join the ordering so tied rows are interchangeable and the
     # moving frames deterministic on any engine
     by = ["l_returnflag"]
     order = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
     li = _t(spark, sf, "lineitem")
-    return li.select(
+    q, dsc = F.col("l_quantity"), F.col("l_discount")
+    rolled = W.chunked_moving(
+        li,
+        {
+            "__m": ("count", F.lit(1)),
+            "__sx": ("sum", q),
+            "__sxx": ("sum", q * q),
+            "__sy": ("sum", dsc),
+            "__syy": ("sum", dsc * dsc),
+            "__sxy": ("sum", q * dsc),
+        },
+        n=20,
+        by=by,
+        order=order,
+        chunk=(F.col("l_orderkey") - F.col("l_orderkey") % 2048),
+    )
+    m = F.col("__m").cast("double")
+    sx, sxx = F.col("__sx"), F.col("__sxx")
+    sy, syy, sxy = F.col("__sy"), F.col("__syy"), F.col("__sxy")
+    var = (sxx - sx * sx / m) / (m - F.lit(1.0))
+    mdev = F.when(m > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    denom = F.sqrt(
+        F.greatest(m * sxx - sx * sx, F.lit(0.0))
+        * F.greatest(m * syy - sy * sy, F.lit(0.0))
+    )
+    mcorr = F.when(F.round(denom, 9) != 0, (m * sxy - sx * sy) / denom)
+    return rolled.select(
         F.col("l_returnflag").alias("flag"),
         "l_orderkey",
         "l_linenumber",
-        (F.round(W.mdev("l_quantity", 20, by, order), 6) + F.lit(0.0)).alias(
-            "mdev_qty"
-        ),
-        (
-            F.round(W.mcorr("l_quantity", "l_discount", 20, by, order), 6)
-            + F.lit(0.0)
-        ).alias("mcorr_qty_disc"),
+        (F.round(mdev, 6) + F.lit(0.0)).alias("mdev_qty"),
+        (F.round(mcorr, 6) + F.lit(0.0)).alias("mcorr_qty_disc"),
     )
 
 

@@ -134,12 +134,13 @@ class Workspace:
         reference's sorted-flag maintenance (slab.h:234-235,
         slop.h:1193).
 
-        ``zorder_by=(colA, colB)`` clusters rows by the Morton
-        interleave of the two columns before writing (range-partition
-        on the z-key, sort within partitions, key dropped from the
-        data): every row group's min/max stats are then bounded in
-        BOTH dimensions, so scans filtered on EITHER column skip — the
+        ``zorder_by=(colA, colB, ...)`` clusters rows by the Morton
+        interleave of 2+ columns before writing (range-partition on the
+        z-key, sort within partitions, key dropped from the data):
+        every row group's min/max stats are then bounded in ALL listed
+        dimensions, so scans filtered on ANY of them skip — the
         multi-dimensional extension of ``sort_by``'s 1-D skipping.
+        2 columns interleave at 16 bits each; k>2 at floor(62/k) bits.
         Mutually exclusive with ``sort_by``.
         """
         if sort_by and zorder_by:
@@ -164,8 +165,8 @@ class Workspace:
                     ]
                 )
         if zorder_by:
-            if len(zorder_by) != 2:
-                raise ValueError("zorder_by takes exactly two columns")
+            if len(zorder_by) < 2:
+                raise ValueError("zorder_by takes at least two columns")
             # range enforcement lives INSIDE the z-key expression
             # (zorder_key checked=True): out-of-range values raise
             # during the write's own pass — no second scan over the
@@ -406,20 +407,25 @@ def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
     reaches the files.  ``within_only`` skips the range repartition —
     the append path, where each new file is internally clustered but
     the file set is not globally range-split."""
-    from ..functions.scalars import zorder_key
-
-    from ..functions.scalars import zorder_guard
+    from ..functions.scalars import zorder_guard, zorder_key, zorder_key_n
 
     # range enforcement rides the OUTPUT columns (a write always
     # materializes them; a checked sort key can be optimized away
     # together with its sort on tiny partitions)
-    a, b = zorder_by
+    cols = list(zorder_by)
+    # guard bits MUST match the key's interleave width, or a value
+    # passing a wider guard would silently alias in the masked key
+    bits = min(16, 62 // len(cols))
     types = dict(df.dtypes)
     # cast back so the guard never widens the written column type
-    df = df.withColumn(a, zorder_guard(a).cast(types[a])).withColumn(
-        b, zorder_guard(b).cast(types[b])
+    for c in cols:
+        df = df.withColumn(c, zorder_guard(c, bits).cast(types[c]))
+    key = (
+        zorder_key(cols[0], cols[1], bits)
+        if len(cols) == 2
+        else zorder_key_n(cols, bits)
     )
-    zdf = df.withColumn("__kf_z", zorder_key(a, b))
+    zdf = df.withColumn("__kf_z", key)
     if not within_only:
         # explicit file count when given — AQE happily coalesces a
         # small table into one file, which erases the tiling

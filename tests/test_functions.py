@@ -312,3 +312,57 @@ def test_bigint_decimal38_overflow_raises_not_null(spark):
         spark.range(1).select(
             (big * F.lit(10).cast("decimal(38,0)")).alias("x")
         ).collect()
+
+
+def test_zorder_key_n_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.functions.scalars import zorder_key, zorder_key_n
+
+    def morton_n(vals, bits):
+        k, out = len(vals), 0
+        for j in range(bits):
+            for i, v in enumerate(vals):
+                out |= ((v >> j) & 1) << (j * k + i)
+        return out
+
+    rows = [(1, 2, 3), (0, 0, 0), (1023, 7, 511), (255, 255, 255)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = {
+        (r["x"], r["y"], r["z"]): r["m"]
+        for r in df.select(
+            "x", "y", "z",
+            zorder_key_n(["x", "y", "z"], bits=10).alias("m"),
+        ).collect()
+    }
+    for v in rows:
+        assert got[v] == morton_n(list(v), 10), v
+    # k=2 degenerates to the classic 2-column key
+    two = df.select(
+        (zorder_key_n(["x", "y"], bits=12)
+         == zorder_key("x", "y", bits=12)).alias("eq")
+    ).collect()
+    assert all(r["eq"] for r in two)
+    import pytest
+
+    with pytest.raises(ValueError, match="62"):
+        zorder_key_n(["x", "y", "z", "x"], bits=16)  # 64 > 62
+
+
+def test_workspace_zorder_three_columns_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.sources.catalog import Workspace
+
+    ws = Workspace(spark, str(tmp_path))
+    df = spark.range(512).select(
+        (F.col("id") % 8).alias("a"),
+        ((F.col("id") / 8).cast("long") % 8).alias("b"),
+        (F.col("id") / 64).cast("long").alias("c"),
+        F.col("id").alias("v"),
+    )
+    ws.save("g3", df, zorder_by=("a", "b", "c"), zorder_partitions=8)
+    back = ws.load("g3")
+    assert back.count() == 512
+    assert sorted(r.v for r in back.collect()) == list(range(512))
+    assert ws.manifest["tables"]["g3"]["zorder_by"] == ["a", "b", "c"]

@@ -1895,3 +1895,42 @@ def test_global_rank_is_dense_total_order(spark):
         )
     }
     assert got == want
+
+
+def test_chunked_moving_equals_plain_moving_window(spark):
+    """Borrowed-tail chunked moving aggregates == the single-partition
+    per-key window, including across chunk boundaries and at series
+    starts (truncated frames)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import chunked_moving
+
+    df = spark.createDataFrame(
+        [(i % 2, i, float((i * 37) % 19)) for i in range(300)],
+        "k long, pos long, v double",
+    ).repartition(6)
+    n = 7
+    got = chunked_moving(
+        df,
+        {"ms": ("sum", "v"), "mc": ("count", "v"), "mx": ("max", "v")},
+        n=n,
+        by=["k"],
+        order=["pos"],
+        chunk=(F.col("pos") - F.col("pos") % 25),
+    )
+    w = Window.partitionBy("k").orderBy("pos").rowsBetween(-(n - 1), 0)
+    ref = df.select(
+        "k", "pos",
+        F.sum("v").over(w).alias("rs"),
+        F.count("v").over(w).alias("rc"),
+        F.max("v").over(w).alias("rx"),
+    )
+    j = got.join(ref, ["k", "pos"])
+    bad = j.filter(
+        (F.col("ms") != F.col("rs"))
+        | (F.col("mc") != F.col("rc"))
+        | (F.col("mx") != F.col("rx"))
+    )
+    assert got.count() == 300
+    assert bad.count() == 0
