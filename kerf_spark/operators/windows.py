@@ -79,6 +79,7 @@ def global_scan(
     agg: str = "sum",
     bucket: Column | str | None = None,
     out_col: str = "run",
+    by: Sequence[str] | None = None,
 ):
     """Kerf ``unfold`` over the WHOLE table order (``sums(t.col)`` with
     no by-key) — the shape ``running(by=None, ...)`` cannot survive at
@@ -103,7 +104,10 @@ def global_scan(
 
     ``agg`` ∈ {sum, min, max, count}: the associative scans whose
     cross-partition combine is closed-form.  ``order`` must be a total
-    order (add a unique tiebreaker).  BUCKET CHOICE: pick one with
+    order (add a unique tiebreaker).  ``by`` scopes the scan to groups
+    while keeping the bucketed shape — the scale path when the group
+    key itself has too FEW distinct values to parallelize a plain
+    windowed scan (per-flag cumulative sums over 100 TB).  BUCKET CHOICE: pick one with
     enough distinct values to spread the data (a date for daily data, a
     ``div``-bucketed id for monotone ids); the bucket MUST be a prefix
     of the order — it is, by construction, when left at the default.
@@ -112,10 +116,12 @@ def global_scan(
     """
     if agg not in ("sum", "min", "max", "count"):
         raise ValueError(f"global_scan: no closed-form combine for {agg!r}")
+    by = list(by or [])
     b = bucket if bucket is not None else order[0]
     b = F.col(b) if isinstance(b, str) else b
     bucketed = df.withColumn("__g", b)
-    w = Window.partitionBy("__g").orderBy(
+    part = [F.col(c) for c in by] + [F.col("__g")]
+    w = Window.partitionBy(*part).orderBy(
         *[F.col(c) for c in order]
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v = F.col(value_col)
@@ -123,11 +129,15 @@ def global_scan(
     scanned = bucketed.withColumn("__local", local)
 
     tot = F.count(v) if agg == "count" else getattr(F, agg)(v)
-    totals = bucketed.groupBy("__g").agg(tot.alias("__t"))
-    pw = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    totals = bucketed.groupBy(*by, "__g").agg(tot.alias("__t"))
+    pw = (
+        Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
+    ).orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
     pre = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[agg]
-    off_df = totals.select("__g", pre(F.col("__t")).over(pw).alias("__off"))
-    joined = scanned.join(F.broadcast(off_df), "__g", "left")
+    off_df = totals.select(
+        *by, "__g", pre(F.col("__t")).over(pw).alias("__off")
+    )
+    joined = scanned.join(F.broadcast(off_df), [*by, "__g"], "left")
     loc = F.col("__local")
     off = F.col("__off")
     if agg in ("sum", "count"):
@@ -139,13 +149,20 @@ def global_scan(
     return joined.withColumn(out_col, combined).drop("__g", "__local", "__off")
 
 
-def global_rank(df, order: Sequence[str], bucket=None, out_col: str = "rn"):
-    """Whole-table 1-based rank in ``order`` (kerf grade over the full
-    table) — the count specialization of :func:`global_scan`, sharing
-    its scale shape.  ``order`` must be a total order."""
+def global_rank(
+    df, order: Sequence[str], bucket=None, out_col: str = "rn",
+    by: Sequence[str] | None = None,
+):
+    """Whole-table (or per-``by``-group) 1-based rank in ``order`` (kerf
+    grade) — the count specialization of :func:`global_scan`, sharing
+    its scale shape.  ``order`` must be a total order.  ``by`` makes it
+    the scale path for ranking WITHIN a low-cardinality group (3 return
+    flags over 100 TB rank at flags x buckets parallelism instead of a
+    3-task window)."""
     tagged = df.withColumn("__one", F.lit(1))
     return global_scan(
-        tagged, "__one", order, agg="count", bucket=bucket, out_col=out_col
+        tagged, "__one", order, agg="count", bucket=bucket,
+        out_col=out_col, by=by,
     ).drop("__one")
 
 

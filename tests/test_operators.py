@@ -1934,3 +1934,23 @@ def test_chunked_moving_equals_plain_moving_window(spark):
     )
     assert got.count() == 300
     assert bad.count() == 0
+
+
+def test_global_rank_grouped_matches_per_key_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import global_rank
+
+    df = spark.createDataFrame(
+        [(i % 3, (i * 17) % 50, i) for i in range(240)],
+        "flag long, price long, rid long",
+    ).repartition(5)
+    got = global_rank(
+        df, ["price", "rid"], by=["flag"],
+        bucket=(F.col("price") - F.col("price") % 10),
+    )
+    w = Window.partitionBy("flag").orderBy("price", "rid")
+    ref = df.select("flag", "rid", F.row_number().over(w).alias("rn_ref"))
+    bad = got.join(ref, ["flag", "rid"]).filter("rn <> rn_ref")
+    assert bad.count() == 0
