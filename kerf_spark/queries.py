@@ -6422,7 +6422,9 @@ def ntile_buckets(spark, sf):
     identical across engines.  SCALE NOTE: ntile is a per-group global
     sort — correct at per-key cardinalities, while the 100 TB
     equi-depth path is `approx_percentile` cut points + arithmetic
-    bucketing (see `histogram_bins` for the value-axis variant)."""
+    bucketing (see `histogram_bins` for the value-axis variant), or
+    exact ranks via windows.global_rank(by=...) (bucketed two-phase
+    scan, groups x buckets parallelism)."""
     li = _t(spark, sf, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
