@@ -707,3 +707,137 @@ def pca_project(
             for c in range(k)
         ],
     )
+
+
+# ---------------------------------------------------------------- PQ ANN
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantizer codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public paper): split
+    ``dim`` into ``m`` subspaces of ``dim//m`` dims and k-means each on
+    the deterministic md5-ordered driver sample (memoized via
+    :func:`_fit_memo`; bounded O(sample·dim), the learned-transform-as-
+    plan-literal discipline shared with IVF/PCA).  Returns
+    ``codebooks[m][k][dim//m]``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+
+    def build() -> list[list[list[float]]]:
+        sample = (
+            corpus.orderBy(F.md5(_c(id_col).cast("string")), _c(id_col))
+            .select(vec_col)
+            .limit(max(k * 64, 512))
+            .collect()
+        )
+        vecs = [[float(x) for x in r[0]] for r in sample if r[0] is not None]
+        if not vecs:
+            raise ValueError("empty corpus")
+        return [
+            kmeans_centroids(
+                [v[j * sub:(j + 1) * sub] for v in vecs], k, iters, seed + j
+            )
+            for j in range(m)
+        ]
+
+    return _fit_memo(
+        corpus, "pq", (m, k, iters, dim, vec_col, id_col, seed), build
+    )
+
+
+def _pq_sub_d2s(emb: Column, j: int, sub: int, book_lit: Column) -> Column:
+    """Squared distances of subvector ``j`` to each of its k codewords —
+    elementwise (x-y)^2 fold, the exact arithmetic the DuckDB oracle
+    writes, so argmin/ADC agree bit-for-bit across engines."""
+    sl = F.slice(emb, j * sub + 1, sub)
+    return F.transform(
+        book_lit,
+        lambda cw: F.aggregate(
+            F.zip_with(sl, cw, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes (nearest codeword per
+    subspace, first-index tie-break) — the 8-byte-per-vector compressed
+    corpus a PQ index scans.  Pure Column math over codebook literals:
+    a narrow projection, zero shuffle at any scale."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    staged = corpus.select(_c(id_col).alias(id_col), emb.alias("__emb"))
+    codes = []
+    for j in range(m):
+        d2s = _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(codebooks[j]))
+        codes.append(
+            (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        )
+    return staged.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries stay exact, the
+    corpus is scanned as codes — distance(q, x) ≈ Σ_j LUT_j[code_j(x)]
+    where LUT_j holds q's squared distances to subspace j's codewords.
+
+    SCALE: the corpus side is the encoded table (m ints per row — the
+    4-32x shrink that makes a 100 TB embedding lake scannable); LUTs
+    are m·k doubles per query computed as Column math on the broadcast
+    query set (cosine_topk's broadcast-sized-queries precondition
+    applies); the ADC scan is a narrow map over codes, then one grouped
+    top-k.  No exact re-rank here — compose with cosine_topk over the
+    survivors when recall demands it."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    qs = queries.select(
+        _c(id_col).alias("query_id"), emb.alias("__emb")
+    )
+    luts = [
+        _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(codebooks[j])).alias(
+            f"__lut{j}"
+        )
+        for j in range(m)
+    ]
+    q = qs.select("query_id", *luts)
+    joined = enc.crossJoin(F.broadcast(q))
+    dist = F.element_at(F.col("__lut0"), F.col("codes")[0] + 1)
+    for j in range(1, m):
+        dist = dist + F.element_at(
+            F.col(f"__lut{j}"), F.col("codes")[j] + 1
+        )
+    scored = joined.where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", dist.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

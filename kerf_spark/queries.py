@@ -4214,6 +4214,138 @@ _attach_oracle("ivf_ann_topk_oracle", _ivf_oracle_sql)
 
 
 # =====================================================================
+# PQ ANN: product-quantization codes + asymmetric-distance top-k
+# =====================================================================
+
+def _pq_fit_for_oracle(sf_dir: str, m=8, kcw=16, sub=8):
+    """Re-derive the operator's codebooks from the SAME md5-ordered
+    sample via DuckDB (the learned-transform-as-literal discipline the
+    IVF/SemDeDup/PCA oracles use)."""
+    import duckdb
+
+    from .operators.similarity import kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+        f"LIMIT {max(kcw * 64, 512)}"
+    ).fetchall()
+    con.close()
+    vecs = [[float(x) for x in r[0]] for r in rows if r[0] is not None]
+    return [
+        kmeans_centroids(
+            [v[j * sub:(j + 1) * sub] for v in vecs], kcw, iters=3,
+            seed=42 + j,
+        )
+        for j in range(m)
+    ]
+
+
+def _pq_oracle_parts(sf_dir="/root/testdata/sf0.01", m=8, kcw=16, sub=8):
+    """(codes CTE sql, lut select exprs) shared by both PQ oracles."""
+    books = _pq_fit_for_oracle(sf_dir, m, kcw, sub)
+
+    def book_lit(j):
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in cw) + "]" for cw in books[j]
+            )
+            + "]"
+        )
+
+    def dists(j):
+        off = j * sub
+        return (
+            f"list_transform({book_lit(j)}, c -> list_sum(list_transform("
+            f"generate_series(1, {sub}), t -> (emb[{off} + t] - c[t])"
+            f" * (emb[{off} + t] - c[t]))))"
+        )
+
+    dist_cols = ",\n             ".join(
+        f"{dists(j)} AS d{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) - 1 AS c{j}" for j in range(m)
+    )
+    ctes = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), dd AS (
+      SELECT vec_id, emb,
+             {dist_cols}
+      FROM e
+    ), enc AS (
+      SELECT vec_id, emb, {code_cols} FROM dd
+    )"""
+    return ctes
+
+
+def _pq_encode_oracle_sql(sf_dir="/root/testdata/sf0.01", m=8) -> str:
+    ctes = _pq_oracle_parts(sf_dir)
+    csv = " || ',' || ".join(f"CAST(c{j} AS VARCHAR)" for j in range(m))
+    return ctes + f"""
+    SELECT vec_id, {csv} AS codes FROM enc
+    """
+
+
+def _pq_topk_oracle_sql(sf_dir="/root/testdata/sf0.01", m=8, k=5, nq=8) -> str:
+    ctes = _pq_oracle_parts(sf_dir)
+    adc = " + ".join(f"q.d{j}[x.c{j} + 1]" for j in range(m))
+    return ctes + f""", scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, {adc} AS adc
+      FROM enc x JOIN dd q ON q.vec_id < {nq} AND x.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("pq_encode_codes", None)
+def pq_encode_codes(spark, sf):
+    """Product-quantization corpus encode (Jégou et al. 2011): each
+    64-dim vector becomes 8 codes of 4 bits' worth of codebook (k=16) —
+    the 32x shrink that makes a 100 TB embedding lake scannable.
+    Codebooks are the deterministic md5-ordered sample fit inlined as
+    plan literals; encoding is a narrow zero-shuffle projection; the
+    oracle re-derives identical codebooks and argmins every code.
+    Codes CSV-serialized (driver-hasher discipline)."""
+    em = _t(spark, sf, "embeddings")
+    books = SIM.pq_fit(em, m=8, k=16)
+    enc = SIM.pq_encode(em, books)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda x: x.cast("string"))
+        ).alias("codes"),
+    )
+
+
+@query("pq_ann_topk", None)
+def pq_ann_topk(spark, sf):
+    """PQ asymmetric-distance (ADC) top-k: exact query vs coded corpus,
+    distance = sum of per-subspace LUT lookups.  The corpus side scans
+    codes only (narrow map + one grouped top-k); LUTs are Column math
+    over the broadcast query set.  Oracle re-derives codebooks, codes,
+    LUTs and ranks with identical arithmetic."""
+    em = _t(spark, sf, "embeddings")
+    books = SIM.pq_fit(em, m=8, k=16)
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.pq_topk(em, q, books, k=5)
+
+
+_attach_oracle("pq_encode_codes", _pq_encode_oracle_sql)
+_attach_oracle("pq_ann_topk", _pq_topk_oracle_sql)
+
+
+# =====================================================================
 # SemDeDup: semantic dedup via learned k-means cells (Abbas et al. 2023)
 # =====================================================================
 

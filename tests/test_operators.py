@@ -1954,3 +1954,58 @@ def test_global_rank_grouped_matches_per_key_window(spark):
     ref = df.select("flag", "rid", F.row_number().over(w).alias("rn_ref"))
     bad = got.join(ref, ["flag", "rid"]).filter("rn <> rn_ref")
     assert bad.count() == 0
+
+
+def test_pq_encode_and_adc_match_python_reference(spark):
+    """PQ codes and ADC ranking equal an independent pure-Python
+    implementation on a small synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import similarity as SIM
+
+    dim, m, kcw = 8, 4, 4
+    rows = [
+        (i, [float(((i * 31 + d * 17) % 23) - 11) for d in range(dim)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    SIM._FIT_CACHE.clear()
+    books = SIM.pq_fit(df, m=m, k=kcw, dim=dim)
+    sub = dim // m
+
+    def py_codes(v):
+        out = []
+        for j in range(m):
+            sl = v[j * sub:(j + 1) * sub]
+            d2 = [
+                sum((a - b) * (a - b) for a, b in zip(sl, cw))
+                for cw in books[j]
+            ]
+            out.append(d2.index(min(d2)))
+        return out
+
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in SIM.pq_encode(df, books).collect()
+    }
+    assert got == {i: py_codes(v) for i, v in rows}
+
+    def py_adc(q, codes):
+        tot = 0.0
+        for j in range(m):
+            sl = q[j * sub:(j + 1) * sub]
+            cw = books[j][codes[j]]
+            tot += sum((a - b) * (a - b) for a, b in zip(sl, cw))
+        return tot
+
+    qs = df.filter("vec_id < 3")
+    got_topk = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in SIM.pq_topk(df, qs, books, k=4).collect()
+    }
+    for qid, qv in rows[:3]:
+        ref = sorted(
+            ((py_adc(qv, py_codes(v)), i) for i, v in rows if i != qid)
+        )[:4]
+        for rank, (_, nid) in enumerate(ref, start=1):
+            assert got_topk[(qid, rank)] == nid, (qid, rank)
