@@ -401,6 +401,81 @@ class Workspace:
         self.manifest["tables"][name]["schema"] = merged.schema.jsonValue()
         self._flush()
 
+    def compact(self, name: str, target_file_mb: int = 128) -> dict:
+        """Rewrite ``name`` into ~``target_file_mb``-sized files — the
+        small-files maintenance op an append-heavy tick store needs
+        (each streaming micro-batch / folio append lands another file;
+        a year of 1-minute batches is half a million tiny footers, and
+        scan time goes to file-open overhead instead of IO).
+
+        File count = ceil(current bytes / target); the rewrite goes
+        through the same staging-dir + atomic-swap discipline as
+        :meth:`upsert`, so readers keep a consistent snapshot.  Layout
+        claims are RESTORED, not just preserved: a table whose sorted
+        attribute was demoted to ``"files"`` by out-of-order appends is
+        globally re-sorted (range partition on the sort key) and comes
+        back ``sorted: "global"``; a z-ordered table is re-clustered
+        and returns to ``zorder: "global"``.  Partitioned (folio)
+        tables compact to one file per partition directory via a
+        partition-column repartition.  Returns a small stats dict
+        (files/bytes before and after).
+        """
+        import shutil
+
+        meta = self.manifest["tables"][name]
+        if meta.get("bucket_by"):
+            raise ValueError(
+                "compact: bucketed tables are file-per-bucket by "
+                "construction — rewrite via save_bucketed instead"
+            )
+
+        def _stats(p: str) -> tuple[int, int]:
+            files = bytes_ = 0
+            for d, _, fs in os.walk(p):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        files += 1
+                        bytes_ += os.path.getsize(os.path.join(d, f))
+            return files, bytes_
+
+        files_before, bytes_before = _stats(meta["path"])
+        n = max(1, -(-bytes_before // (int(target_file_mb) << 20)))
+        df = self.load(name)
+        if meta.get("zorder_by"):
+            out = _zcluster(df, meta["zorder_by"], n)
+            meta["zorder"] = "global"
+            meta["zorder_partitions"] = int(n)
+        elif meta.get("sort_by"):
+            key = [F.col(c) for c in meta["sort_by"]]
+            out = df.repartitionByRange(int(n), *key).sortWithinPartitions(
+                *meta["sort_by"]
+            )
+            meta["sorted"] = "global"  # restore a demoted claim
+            meta["sort_key_max"] = _jsonable(
+                df.agg(F.max(meta["sort_by"][0])).head()[0]
+            )
+        elif meta.get("partition_by"):
+            out = df.repartition(*[F.col(c) for c in meta["partition_by"]])
+        else:
+            out = df.repartition(int(n))
+        staging = meta["path"] + ".staging"
+        w = out.write.mode("overwrite")
+        if meta.get("partition_by"):
+            w = w.partitionBy(*meta["partition_by"])
+        w.parquet(staging)
+        old = meta["path"] + ".old"
+        os.rename(meta["path"], old)
+        os.rename(staging, meta["path"])
+        shutil.rmtree(old)
+        self._flush()
+        files_after, bytes_after = _stats(meta["path"])
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes_before": bytes_before,
+            "bytes_after": bytes_after,
+        }
+
 
 def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
     """Cluster rows by the Morton key of two columns; the key never
