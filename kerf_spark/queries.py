@@ -2697,6 +2697,51 @@ def workspace_roundtrip(spark, sf):
 
 
 @query(
+    "compact_roundtrip",
+    """
+    WITH s AS (
+      SELECT * FROM orders WHERE o_custkey <= 300
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS lo,
+           CAST(max(o_orderkey) AS BIGINT) AS hi
+    FROM (SELECT * FROM s UNION ALL SELECT * FROM s)
+    GROUP BY o_orderstatus
+    """,
+)
+def compact_roundtrip(spark, sf):
+    """Small-files compaction (Workspace.compact): save sorted, append
+    out-of-order (sorted claim demotes to 'files', file count grows),
+    compact (claim restored to 'global', files merged), aggregate the
+    compacted table — proving the rewrite is content-lossless under the
+    driver's oracle.  The guards raise if compaction failed to merge
+    files or restore the claim, so a green row certifies the
+    maintenance op, not just the aggregate."""
+    import tempfile
+
+    from .sources.catalog import Workspace
+
+    ws = Workspace(spark, tempfile.mkdtemp(prefix="kerf_cmp_"))
+    o = _t(spark, sf, "orders").where(F.col("o_custkey") <= 300)
+    ws.save("t", o.orderBy("o_orderkey"), sort_by=["o_orderkey"])
+    ws.append("t", o)  # unordered append: demotes sorted -> 'files'
+    if ws.manifest["tables"]["t"]["sorted"] != "files":
+        raise AssertionError("append should demote the sorted claim")
+    stats = ws.compact("t")
+    if stats["files_after"] >= stats["files_before"]:
+        raise AssertionError(f"compact did not merge files: {stats}")
+    if ws.manifest["tables"]["t"]["sorted"] != "global":
+        raise AssertionError("compact should restore sorted: global")
+    return ws.load("t").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderkey").cast("long").alias("lo"),
+        F.max("o_orderkey").cast("long").alias("hi"),
+    )
+
+
+@query(
     "bucketed_join_colocated",
     """
     SELECT c_mktsegment, count(*) AS n,
