@@ -4390,6 +4390,80 @@ _attach_oracle("pq_encode_codes", _pq_encode_oracle_sql)
 _attach_oracle("pq_ann_topk", _pq_topk_oracle_sql)
 
 
+def _pq_rerank_oracle_sql(
+    sf_dir="/root/testdata/sf0.01", m=8, cand=25, k=5, nq=8
+) -> str:
+    ctes = _pq_oracle_parts(sf_dir)
+    adc = " + ".join(f"q.d{j}[x.c{j} + 1]" for j in range(m))
+    cos = (
+        "round(list_dot_product(q.emb, x.emb)"
+        " / (sqrt(list_dot_product(q.emb, q.emb))"
+        " * sqrt(list_dot_product(x.emb, x.emb))), 6)"
+    )
+    return ctes + f""", scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             {adc} AS adc, {cos} AS cos
+      FROM enc x JOIN dd q ON q.vec_id < {nq} AND x.vec_id <> q.vec_id
+    ), cands AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS crank
+      FROM scored
+    ), reranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cands WHERE crank <= {cand}
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+    FROM reranked WHERE rank <= {k}
+    """
+
+
+@query("pq_rerank_topk", None)
+def pq_rerank_topk(spark, sf):
+    """Two-stage ANN serving (the production pattern): PQ ADC prunes
+    the corpus to 25 candidates per query scanning CODES ONLY, then an
+    exact cosine re-rank touches raw vectors for just those 25 —
+    100 TB of embeddings is scanned compressed, and the exact pass is
+    bounded by candidates x queries.  Composes pq_topk with the exact
+    scorer; oracle replays both stages with identical arithmetic."""
+    em = _t(spark, sf, "embeddings")
+    books = SIM.pq_fit(em, m=8, k=16)
+    q = em.where(F.col("vec_id") < 8)
+    cands = SIM.pq_topk(em, q, books, k=25).select("query_id", "neighbor_id")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = em.select("vec_id", emb.alias("__v"))
+    scored = (
+        cands.join(vecs.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .withColumnRenamed("__v", "__nv")
+        .join(
+            F.broadcast(vecs.withColumnRenamed("vec_id", "query_id")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                SIM.dot("__v", "__nv")
+                / (SIM.l2_norm("__v") * SIM.l2_norm("__nv")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_attach_oracle("pq_rerank_topk", _pq_rerank_oracle_sql)
+
+
 # =====================================================================
 # SemDeDup: semantic dedup via learned k-means cells (Abbas et al. 2023)
 # =====================================================================
