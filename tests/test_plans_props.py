@@ -847,3 +847,34 @@ def test_hll_merge_invariant_over_any_split(spark, keys, cut):
         i: max(r1.get(i, 0), r2.get(i, 0)) for i in set(r1) | set(r2)
     }
     assert merged == whole
+
+
+def test_lint_plan_detects_each_antipattern(spark):
+    """The linter itself: one positive and one negative probe per tag."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.plans.lint import lint_plan
+
+    df = spark.range(64).select("id", (F.col("id") % 4).alias("g"))
+    # global (unpartitioned, ordered) window
+    assert "global-window" in lint_plan(
+        df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    # partitioned window — both ordered and unordered forms are clean
+    assert lint_plan(
+        df.withColumn("rn", F.row_number().over(
+            Window.partitionBy("g").orderBy("id")))
+    ) == []
+    assert lint_plan(
+        df.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    ) == []
+    # cartesian product / nested loop
+    other = spark.range(8).select(F.col("id").alias("j"))
+    tags = lint_plan(df.crossJoin(other))
+    assert "cartesian-product" in tags or "nested-loop-join" in tags
+    # row-at-a-time Python UDF
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    assert "python-row-udf" in lint_plan(df.select(slow("id").alias("y")))

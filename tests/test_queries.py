@@ -125,3 +125,55 @@ def test_degraded_oracle_logs_a_warning(caplog):
         "__degradation_probe__" in r.message and "fixture missing" in r.message
         for r in caplog.records
     )
+
+
+# Plan-lint allowlist: every entry is a BOUNDED-BY-CONSTRUCTION use of
+# a shape that is an anti-pattern on data-sized inputs.  Adding a query
+# that trips a tag NOT allowed here fails the lint test — fix the plan
+# (windows.global_scan / chunked_moving / a keyed join) or argue the
+# bound here with a reason.
+PLAN_LINT_ALLOW = {
+    # broadcast of a tiny side with no equi-key (1-row aggregates, an
+    # 8-vector probe set, a 5-row dim): BroadcastNestedLoopJoin IS the
+    # right plan when one side is bounded
+    "nested-loop-join": {
+        "amend_point", "delete_point", "find_first", "index_gather",
+        "join_cross", "cosine_topk_exact", "pq_ann_topk",
+        "pq_rerank_topk", "kmeans_assign_embeddings",
+        "dsir_weights_docs", "dsir_select_docs", "corpus_mixture_rebalance",
+        "funnel_conversion", "hll_overlap_event_types", "key_skew_profile",
+        "pagerank_supplier_nations", "q11_important_values",
+        "q22_global_sales_opportunity", "tfidf_top_terms",
+    },
+    # global windows over provably bounded inputs: a TakeOrdered prefix,
+    # a per-bucket totals table, a vocabulary, a contingency table, a
+    # 12-row demo
+    "global-window": {
+        "global_running_sum",      # totals-prefix: one row per bucket
+        "index_gather",            # row_number over a bounded TakeOrdered
+        "corpus_shuffle_order",    # numbering a 100-row prefix
+        "take_cyclic",             # 12-row affine demo
+        "vocab_zipf_stats",        # rank over the distinct vocabulary
+        "chi_square_independence", # contingency-cell table
+    },
+    "python-row-udf": set(),
+    "cartesian-product": set(),
+}
+
+
+def test_registry_plans_carry_no_unapproved_antipatterns(spark):
+    """Lint EVERY registry query's plan (plans.lint): cartesian
+    products, nested loops, row-at-a-time Python UDFs, and global
+    (unpartitioned) windows must be absent or explicitly allowlisted
+    with a boundedness argument.  This is the systemic guard for the
+    class of bug fixed in round 5 (rolling_window_stats windowing a
+    cardinality-3 key)."""
+    from kerf_spark.plans.lint import lint_plan
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        tags = lint_plan(fn(spark, SF))
+        bad = [t for t in tags if name not in PLAN_LINT_ALLOW.get(t, set())]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unapproved plan anti-patterns: {offenders}"
