@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     # relational suite's (r3 verdict item 9)
     "minhash_portable_pairs",
     "ivf_ann_topk",
+    # PQ ADC: the codes-only compressed scan must scale like the raw
+    # scans it replaces (round-5 addition)
+    "pq_ann_topk",
     "cosine_topk_exact",
     "token_count_docs",
     # round-4 additions: continuous-ingestion dedup (cross-corpus band
