@@ -394,3 +394,24 @@ def test_table_verbs_aj_wj(spark):
         run(spark, 'aj(t, q)', tables=t)
     with pytest.raises(KerfTypeError):
         run(spark, 'aj(1, 2, "sym", "ts")', tables=t)
+
+
+def test_script_select_speaks_fby(spark):
+    """The kdb fby idiom flows through scripts too (select routes via
+    plans.kerfsql): each group keeps exactly its above-group-mean rows."""
+    from kerf_spark.plans.kerf_lang import run_df
+
+    t = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(30)], "g long, v double"
+    )
+    rows = run_df(
+        spark, "select g, v from t where v > avg(v) fby g", tables={"t": t}
+    ).collect()
+    # per group g: values g, g+3, ..., g+27 — mean g+13.5, 5 rows above
+    assert len(rows) == 15
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r.v)
+    for g, vs in by_g.items():
+        assert sorted(vs) == [float(g + 15), float(g + 18), float(g + 21),
+                              float(g + 24), float(g + 27)]
