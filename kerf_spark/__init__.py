@@ -13,6 +13,7 @@ Layout:
 """
 
 from .operators.asof import asof_join, asof_join_merge, window_join
+from .operators.windows import chunked_moving, global_rank, global_scan
 from .plans.kerfsql import kerf_sql
 from .session import configure, get_spark
 from .sources.catalog import Workspace
@@ -25,5 +26,8 @@ __all__ = [
     "window_join",
     "kerf_sql",
     "Workspace",
+    "global_scan",
+    "global_rank",
+    "chunked_moving",
 ]
 __version__ = "0.1.0"

@@ -5,9 +5,11 @@
 # them explicitly: `from kerf_spark.operators import jpegcodec`.
 from . import (  # noqa: F401
     asof,
+    curation,
     dedup,
     graph,
     multimodal,
+    packing,
     relational,
     sampling,
     similarity,
