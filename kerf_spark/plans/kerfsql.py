@@ -127,7 +127,7 @@ _ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
 # the same shuffle the equivalent self-join-with-agg would take, minus
 # the join.
 _FBY_RE = re.compile(
-    r"(?is)\b(\w+)\s*\(([^()]*)\)\s+fby\s+(\((?:[^()]*)\)|\w+)"
+    r"(?is)\b(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s+fby\s+(\((?:[^()]*)\)|\w+)"
 )
 
 

@@ -892,3 +892,10 @@ def test_compact_partitioned_folio_one_file_per_partition(spark, tmp_path):
     stats = ws.compact("f")
     assert stats["files_after"] <= 3  # one per partition dir
     assert ws.load("f").count() == 200
+
+
+def test_kerfsql_fby_nested_call():
+    from kerf_spark.plans.kerfsql import translate
+
+    sql = translate("select a from t where v > avg(abs(v - 3)) fby g")
+    assert "avg(abs(v - 3)) OVER (PARTITION BY g)" in sql
