@@ -141,11 +141,16 @@ def global_scan(
     loc = F.col("__local")
     off = F.col("__off")
     if agg in ("sum", "count"):
-        combined = F.when(off.isNull(), loc).otherwise(loc + off)
+        # null-safe add: a bucket whose prefix is all-null has loc NULL
+        # but must still surface the prior buckets' offset (a plain
+        # global window would); NULL + off would erase it
+        combined = F.when(off.isNull(), loc).otherwise(
+            F.when(loc.isNull(), off).otherwise(loc + off)
+        )
     elif agg == "min":
-        combined = F.when(off.isNull(), loc).otherwise(F.least(loc, off))
+        combined = F.least(loc, off)  # least/greatest skip NULLs
     else:
-        combined = F.when(off.isNull(), loc).otherwise(F.greatest(loc, off))
+        combined = F.greatest(loc, off)
     return joined.withColumn(out_col, combined).drop("__g", "__local", "__off")
 
 

@@ -2009,3 +2009,36 @@ def test_pq_encode_and_adc_match_python_reference(spark):
         )[:4]
         for rank, (_, nid) in enumerate(ref, start=1):
             assert got_topk[(qid, rank)] == nid, (qid, rank)
+
+
+def test_global_scan_null_values_match_plain_window(spark):
+    """A bucket whose leading rows are all-NULL must still carry the
+    prior buckets' running aggregate forward (the null-safe combine)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import global_scan
+
+    rows = [
+        (0, 1.0), (1, 2.0),            # bucket 0
+        (10, None), (11, None),        # bucket 1: all null
+        (12, 4.0),
+        (20, None), (21, 8.0),         # bucket 2: null-leading
+    ]
+    df = spark.createDataFrame(rows, "pos long, v double").repartition(3)
+    w = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for agg, ref in [("sum", F.sum), ("min", F.min), ("max", F.max)]:
+        got = {
+            r["pos"]: r["run"]
+            for r in global_scan(
+                df, "v", ["pos"], agg=agg,
+                bucket=(F.col("pos") - F.col("pos") % 10),
+            ).collect()
+        }
+        want = {
+            r["pos"]: r["w"]
+            for r in df.select("pos", ref("v").over(w).alias("w")).collect()
+        }
+        assert got == want, agg
