@@ -993,3 +993,39 @@ def incremental_new_docs(
         batch.join(exact_new, id_col, "left_semi")
         .join(near_ids, id_col, "left_anti")
     )
+
+
+def cluster_best_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup survivorship: keep the HIGHEST-``quality_col``
+    document from each duplicate cluster (ties -> smallest id), not the
+    arbitrary min-id.  Real pipelines keep the longest / best-scored
+    near-duplicate — min-id throws away the better copy half the time.
+
+    ``clusters`` is :func:`dup_clusters` output (id, cluster); documents
+    absent from it are singletons and survive unconditionally (left
+    join, cluster defaults to own id).  One keyed join + one max_by
+    aggregate over the corpus — no window, no sort, scales like exact
+    dedup.  Returns (cluster, keep_id, quality, cluster_size).
+    """
+    lab = clusters.select(
+        F.col(id_col).alias("__id"), F.col("cluster").alias("__cl")
+    )
+    tagged = df.select(
+        F.col(id_col).alias("__id"), F.col(quality_col).alias("__q")
+    ).join(lab, "__id", "left").select(
+        "__id", "__q", F.coalesce("__cl", F.col("__id")).alias("cluster")
+    )
+    return tagged.groupBy("cluster").agg(
+        F.max_by(
+            F.col("__id"), F.struct(F.col("__q"), (-F.col("__id")).alias("n"))
+        ).alias("keep_id"),
+        F.max(
+            F.struct(F.col("__q"), (-F.col("__id")).alias("n"))
+        ).getField("__q").alias("quality"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

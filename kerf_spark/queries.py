@@ -3751,6 +3751,66 @@ def dup_clusters_docs(spark, sf):
 
 
 @query(
+    "dup_cluster_best_docs",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, substr(t, 1, 32) AS pfx, string_split_regex(t, '\\s+') AS ws
+      FROM norm
+    ), sh AS (
+      SELECT doc_id, pfx,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    ), prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.id
+    ), labels AS (
+      SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+    ), tagged AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(l.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ), best AS (
+      SELECT cluster, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS cluster_size
+      FROM tagged
+    )
+    SELECT cluster, doc_id AS keep_id, n_chars AS quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM best WHERE rn = 1
+    """,
+)
+def dup_cluster_best_docs(spark, sf):
+    """Quality-aware dedup survivorship (dedup.cluster_best_survivors):
+    keep the LONGEST document per duplicate cluster instead of the
+    arbitrary min-id — the policy real pipelines want (the better copy
+    survives).  Singletons pass through via the left join; one keyed
+    join + one max_by aggregate, no window over the corpus."""
+    d = _t(spark, sf, "documents")
+    pairs = DD.prefix_jaccard_pairs(d, prefix_len=32, shingle_n=3, threshold=0.5)
+    clusters = DD.dup_clusters(pairs.select("id_a", "id_b"))
+    return DD.cluster_best_survivors(d, clusters, "n_chars").select(
+        "cluster", "keep_id", F.col("quality").cast("long"), "cluster_size"
+    )
+
+
+@query(
     "leakage_safe_split",
     """
     WITH RECURSIVE norm AS (

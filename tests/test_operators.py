@@ -2042,3 +2042,21 @@ def test_global_scan_null_values_match_plain_window(spark):
             for r in df.select("pos", ref("v").over(w).alias("w")).collect()
         }
         assert got == want, agg
+
+
+def test_cluster_best_survivors_policy(spark):
+    from kerf_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)],  # 9 is a singleton
+        "doc_id long, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster long"
+    )
+    got = {
+        r["cluster"]: (r["keep_id"], r["quality"], r["cluster_size"])
+        for r in DD.cluster_best_survivors(docs, clusters, "n_chars").collect()
+    }
+    assert got[1] == (2, 50, 3)  # best quality; tie (2 vs 3) -> smaller id
+    assert got[9] == (9, 7, 1)   # singleton survives as its own cluster
