@@ -2060,3 +2060,31 @@ def test_cluster_best_survivors_policy(spark):
     }
     assert got[1] == (2, 50, 3)  # best quality; tie (2 vs 3) -> smaller id
     assert got[9] == (9, 7, 1)   # singleton survives as its own cluster
+
+
+def test_chunked_moving_with_nulls_matches_plain_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import chunked_moving
+
+    rows = [
+        (i, None if i % 5 == 0 else float(i % 11)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "pos long, v double").repartition(4)
+    got = chunked_moving(
+        df.withColumn("k", F.lit(1)),
+        {"ms": ("sum", "v"), "mc": ("count", "v")},
+        n=9,
+        by=["k"],
+        order=["pos"],
+        chunk=(F.col("pos") - F.col("pos") % 20),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("pos").rowsBetween(-8, 0)
+    ref = df.select(
+        "pos", F.sum("v").over(w).alias("rs"), F.count("v").over(w).alias("rc")
+    )
+    bad = got.join(ref, "pos").filter(
+        (~F.col("ms").eqNullSafe(F.col("rs"))) | (F.col("mc") != F.col("rc"))
+    )
+    assert bad.count() == 0
