@@ -105,9 +105,10 @@ def _strip_aliases(exprs: str) -> str:
 # SCALE NOTE: an ordered verb with NO `by` clause emits a window with no
 # PARTITION BY — semantically the kerf whole-table scan, physically a
 # single task.  Fine for a final small frame; for a 100 TB table use
-# operators.windows.global_scan (distributed two-phase prefix scan) —
-# SQL text cannot express its bucketed plan, so the DataFrame API is
-# the scale path for global scans.
+# operators.windows.global_scan (distributed two-phase prefix scan) for
+# running verbs, or windows.chunked_moving (borrowed-tail chunking) for
+# moving-frame verbs — SQL text cannot express their bucketed plans, so
+# the DataFrame API is the scale path for global/low-cardinality scans.
 _SPAN_RE = re.compile(r"^\s*'?(\d+(?:\.\d+)?)\s*(ns|us|ms|s|m|h|d)'?\s*$")
 _SPAN_NS = {
     "ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9,

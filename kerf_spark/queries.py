@@ -9350,6 +9350,14 @@ _DRIVER_GREEN = [
 #: round-4-late additions).  After this round every registry entry has
 #: a green driver verdict or is out of the registry (xxhash64 bench-only
 #: fast paths).
+#:
+#: ROUND-6 NOTE: once CORRECTNESS_r05 lands green, move this window's
+#: names into _DRIVER_GREEN and build _R06_WINDOW from the 8 round-5
+#: additions sitting at positions 50+ (global_running_sum,
+#: stream_socket_ingest, pq_encode_codes, pq_ann_topk, pq_rerank_topk,
+#: kerfsql_fby_filter, compact_roundtrip, dup_cluster_best_docs) plus
+#: any new work — all pass the local oracle sweep
+#: (tests/oracle_check.py, 233/233 on 2026-08-14).
 _R05_WINDOW = [
     # r04 red, fixed: CSV-serialized arrays / VARCHAR decimals / -0.0
     "map_funcs", "flip_transpose", "bigint_decimal",
