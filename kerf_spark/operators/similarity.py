@@ -841,3 +841,32 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall of an approximate ANN result against the exact one — the
+    number every nprobe/bands/codebook decision is tuned on.  Both
+    inputs are (query_id, neighbor_id, ...) shaped (lsh_topk / ivf_topk
+    / pq_topk vs cosine_topk).  Returns one row per query
+    (query_id, n_exact, n_hit, recall) — aggregate further for the
+    corpus mean.  Two tiny grouped counts + one join on the top-k rows
+    only: cost is O(queries x k), independent of corpus size."""
+    a = approx.select("query_id", "neighbor_id").distinct()
+    e = exact.select("query_id", "neighbor_id").distinct()
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        per.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -2088,3 +2088,28 @@ def test_chunked_moving_with_nulls_matches_plain_window(spark):
         (~F.col("ms").eqNullSafe(F.col("rs"))) | (F.col("mc") != F.col("rc"))
     )
     assert bad.count() == 0
+
+
+def test_ann_recall_meters_the_approximate_paths(spark):
+    """recall(approx vs exact) is 1.0 for exact-vs-itself, in (0, 1]
+    for IVF and PQ on the fixture corpus, and counts hits correctly."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import similarity as SIM
+    from kerf_spark.sources.io import read_table
+
+    em = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = em.where(F.col("vec_id") < 4)
+    exact = SIM.cosine_topk(em, q, k=5)
+    self_recall = SIM.ann_recall(exact, exact).agg(
+        F.min("recall").alias("m")
+    ).head()["m"]
+    assert self_recall == 1.0
+    ivf = SIM.ivf_topk(em, q, k=5, n_cells=4, nprobe=2)
+    r = SIM.ann_recall(ivf, exact)
+    rows = {x["query_id"]: x for x in r.collect()}
+    assert len(rows) == 4
+    assert all(0.0 <= x["recall"] <= 1.0 for x in rows.values())
+    assert all(x["n_exact"] == 5 for x in rows.values())
+    mean = r.agg(F.avg("recall").alias("a")).head()["a"]
+    assert mean > 0.2  # coarse IVF on a tiny corpus still finds some
