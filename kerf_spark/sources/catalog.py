@@ -289,6 +289,41 @@ class Workspace:
         self.manifest["tables"].pop(name, None)
         self._flush()
 
+    def drop_partitions(self, name: str, values: Sequence) -> int:
+        """Retention for folio (partitioned) tables: remove whole
+        partition directories for the given first-partition-column
+        values — the "expire old dates" maintenance a tick store runs
+        nightly.  O(partitions dropped) directory removals, zero data
+        rewrite, readers of other partitions unaffected (partition
+        dirs are independent files).  Returns the number of partition
+        directories removed.
+
+        Each victim is renamed aside before removal, so a reader that
+        already listed the directory keeps its files until its scan
+        ends (same snapshot discipline as upsert's swap, per
+        partition).  Values are matched against the partition
+        directory encoding (`col=value`).
+        """
+        import shutil
+
+        meta = self.manifest["tables"][name]
+        if not meta.get("partition_by"):
+            raise ValueError(
+                f"drop_partitions: table {name!r} is not partitioned — "
+                "use drop() or a filtered rewrite"
+            )
+        col = meta["partition_by"][0]
+        wanted = {f"{col}={_jsonable(v)}" for v in values}
+        dropped = 0
+        for entry in sorted(os.listdir(meta["path"])):
+            if entry in wanted:
+                full = os.path.join(meta["path"], entry)
+                tomb = full + ".dropping"
+                os.rename(full, tomb)
+                shutil.rmtree(tomb)
+                dropped += 1
+        return dropped
+
     # ------------------------------------------------------------- append
     def append(self, name: str, rows: DataFrame) -> None:
         """Append with transparent schema promotion (kerf append

@@ -899,3 +899,27 @@ def test_kerfsql_fby_nested_call():
 
     sql = translate("select a from t where v > avg(abs(v - 3)) fby g")
     assert "avg(abs(v - 3)) OVER (PARTITION BY g)" in sql
+
+
+def test_drop_partitions_expires_folio_dates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.sources.catalog import Workspace
+
+    ws = Workspace(spark, str(tmp_path))
+    df = spark.range(90).select(
+        (F.col("id") % 3).alias("d"), F.col("id").alias("v")
+    )
+    ws.save("f", df, partition_by=["d"])
+    assert ws.load("f").count() == 90
+    n = ws.drop_partitions("f", [0, 2])
+    assert n == 2
+    left = ws.load("f")
+    assert left.count() == 30
+    assert [r.d for r in left.select("d").distinct().collect()] == [1]
+    # non-partitioned tables refuse
+    ws.save("plain", spark.range(3))
+    import pytest
+
+    with pytest.raises(ValueError, match="not partitioned"):
+        ws.drop_partitions("plain", [1])
