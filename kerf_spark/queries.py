@@ -6002,16 +6002,18 @@ def stratified_sample_docs(spark, sf):
 )
 def approx_distinct_tolerance(spark, sf):
     """The approx-distinct scale path (HLL++), gated against the exact
-    count: at 100 TB count-distinct is a sketch, not a shuffle of every
-    key — this row proves the sketch lands within its advertised 5%
-    bound on the fixtures (Spark's HLL is deterministic for fixed
-    input, so the boolean is stable)."""
+    count.  At 100 TB count-distinct is a sketch, not a shuffle of
+    every key.  The gate is rsd=0.01 against a 5% bound — a ~5-sigma
+    assertion (rsd is a STANDARD DEVIATION, not a hard bound: the old
+    rsd=0.05 vs 5% gate was 1-sigma and legitimately flipped false at
+    sf0.001), so the boolean holds at every fixture scale while still
+    exercising the sketch path."""
     li = _t(spark, sf, "lineitem")
     return li.agg(
         F.countDistinct("l_orderkey").alias("exact_cnt"),
         (
             F.abs(
-                F.approx_count_distinct("l_orderkey", 0.05)
+                F.approx_count_distinct("l_orderkey", 0.01)
                 - F.countDistinct("l_orderkey")
             )
             <= 0.05 * F.countDistinct("l_orderkey")

@@ -289,6 +289,36 @@ class Workspace:
         self.manifest["tables"].pop(name, None)
         self._flush()
 
+    def register_external(
+        self,
+        name: str,
+        path: str,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """Adopt an existing parquet dataset (typically a streaming
+        sink's output directory — `streaming.ingest.write_partitioned`)
+        into the catalog, so it gains the maintenance surface: `load`,
+        `append`, `compact` (micro-batch small files are THE compaction
+        customer), `drop_partitions` retention, and upsert's snapshot
+        swap.  Schema is read from the files once and recorded in the
+        manifest (subsequent appends promote it like any other table).
+        """
+        df = (
+            self.spark.read.option("basePath", path).parquet(path)
+            if partition_by
+            else self.spark.read.parquet(path)
+        )
+        self.manifest["tables"][name] = {
+            "path": path,
+            "partition_by": list(partition_by or []),
+            "sort_by": [],
+            "zorder_by": [],
+            "zorder": None,
+            "zorder_partitions": None,
+            "schema": df.schema.jsonValue(),
+        }
+        self._flush()
+
     def drop_partitions(self, name: str, values: Sequence) -> int:
         """Retention for folio (partitioned) tables: remove whole
         partition directories for the given first-partition-column

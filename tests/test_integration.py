@@ -189,3 +189,43 @@ def test_socket_feed_handler_end_to_end(spark, tmp_path):
     assert by_id[7]["value"] == 10.5
     assert by_id[7]["ts"] == ticks[7]["ts"]
     assert all(r["event_type"] == "tick" for r in got)
+
+
+def test_streamed_sink_registers_and_compacts(spark, tables, tmp_path):
+    """The streaming sink's output adopts into the Workspace catalog
+    (register_external) and gains the maintenance surface: per-batch
+    small files compact to one file per partition; retention drops a
+    date."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.sources.catalog import Workspace
+    from kerf_spark.sources.io import read_table
+    from kerf_spark.streaming.ingest import stream_table, write_partitioned
+
+    sf = "/root/testdata/sf0.001"
+    feed = stream_table(spark, sf, "events", maxFilesPerTrigger=1)
+    feed = feed.withColumn(
+        "date", F.date_format(F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "sink")
+    q = write_partitioned(
+        feed, out, str(tmp_path / "ckpt"), partition_by=("date",)
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    ws.register_external("ticks", out, partition_by=["date"])
+    n = ws.load("ticks").count()
+    assert n == read_table(spark, sf, "events").count()
+    stats = ws.compact("ticks")
+    assert stats["files_after"] <= stats["files_before"]
+    dates = sorted(
+        r.date for r in ws.load("ticks").select("date").distinct().collect()
+    )
+    assert len(dates) >= 2
+    dropped = ws.drop_partitions("ticks", [dates[0]])
+    assert dropped == 1
+    after = ws.load("ticks")
+    assert after.count() < n
+    assert dates[0] not in {r.date for r in after.select("date").distinct().collect()}
