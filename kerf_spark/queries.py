@@ -9260,6 +9260,55 @@ def robust_zscore_events(spark, sf):
 
 
 # =====================================================================
+# Scale-refittable oracles
+# =====================================================================
+# The learned-transform oracles (IVF/PQ/PCA/SemDeDup centroids, BPE
+# merges) inline fits derived from THE DRIVER'S GATE SCALE (sf0.01) at
+# import time.  At any other fixture scale the Spark side refits on its
+# input while those literals don't — by design for the driver, but it
+# made a full sf0.001 sweep show 9 spurious mismatches.  refit_oracles
+# rebuilds exactly that family against a requested fixture dir, so the
+# registry is oracle-checkable at EVERY scale (tests/oracle_check.py
+# calls it for non-default dirs).
+
+def refit_oracles(sf_dir: str) -> None:
+    """Re-derive the learned-literal oracles against ``sf_dir``."""
+    _attach_oracle(
+        "bpe_merges_learned", lambda: _bpe_merges_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "bpe_encode_docs", lambda: _bpe_encode_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "ivf_ann_topk_oracle", lambda: _ivf_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "pq_encode_codes", lambda: _pq_encode_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "pq_ann_topk", lambda: _pq_topk_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "pq_rerank_topk", lambda: _pq_rerank_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "semantic_dedup_pairs",
+        lambda: _semantic_cells_ctes(sf_dir=sf_dir)
+        + "\n    SELECT id_a, id_b, cell, cos FROM pairs",
+    )
+    _attach_oracle(
+        "semantic_dedup_survivors",
+        lambda: _semantic_cells_ctes(sf_dir=sf_dir) + """
+    SELECT e0.vec_id, e0.label FROM embeddings e0
+    WHERE e0.vec_id NOT IN (SELECT id_b FROM pairs)
+    """,
+    )
+    _attach_oracle(
+        "pca_project_embeddings", lambda: _pca_oracle_sql(sf_dir=sf_dir)
+    )
+
+
+# =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
 # The driver evaluates exactly the first 50 dict entries of QUERIES per

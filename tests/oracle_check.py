@@ -62,6 +62,14 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    if sf_dir.rstrip("/") != "/root/testdata/sf0.01":
+        # learned-literal oracles (IVF/PQ/PCA/SemDeDup/BPE fits) are
+        # built against the driver's gate scale at import; re-derive
+        # them for this fixture so every scale is fully checkable
+        from kerf_spark.queries import refit_oracles
+
+        refit_oracles(sf_dir)
+
     qs, oracles = E.queries(), E.oracle_sql()
     names = [n for n in qs if not filters or any(f in n for f in filters)]
     passed = failed = weak = 0
