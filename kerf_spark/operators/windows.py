@@ -154,6 +154,35 @@ def global_scan(
     return joined.withColumn(out_col, combined).drop("__g", "__local", "__off")
 
 
+def volume_bars(
+    df,
+    vol_col: str,
+    threshold: float,
+    order: Sequence[str],
+    by: Sequence[str] | None = None,
+    bucket: Column | str | None = None,
+    out_col: str = "bar_id",
+):
+    """Assign volume-bar ids: bar ``k`` holds the rows where the
+    running ``vol_col`` total (in event order, per ``by`` series) is in
+    ``(k*threshold, (k+1)*threshold]`` — the event-driven bar family
+    quant pipelines prefer over time bars (uniform information per
+    bar; time bars oversample quiet periods).  Built on
+    :func:`global_scan`, so the cumulative sum is the distributed
+    two-phase scan, never a single-task window; NULL volumes count 0.
+    Aggregate OHLC/VWAP per (series, bar_id) downstream.
+    """
+    d = df.withColumn("__vol", F.coalesce(F.col(vol_col), F.lit(0.0)))
+    s = global_scan(
+        d, "__vol", order, agg="sum", bucket=bucket, out_col="__cum",
+        by=by,
+    )
+    bar = F.ceil(F.col("__cum") / F.lit(float(threshold))) - 1
+    return s.withColumn(
+        out_col, F.greatest(bar, F.lit(0)).cast("long")
+    ).drop("__vol", "__cum")
+
+
 def global_rank(
     df, order: Sequence[str], bucket=None, out_col: str = "rn",
     by: Sequence[str] | None = None,

@@ -2156,6 +2156,60 @@ def stream_dedup_batch(spark, sf):
 
 
 @query(
+    "volume_bars_events",
+    """
+    WITH c AS (
+      SELECT event_type, event_id, epoch_us(ts) AS tu, value,
+             sum(coalesce(value, 0)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    ), b AS (
+      SELECT event_type, event_id, tu, value,
+             greatest(CAST(ceil(round(cum, 6) / 5000.0) AS BIGINT) - 1, 0)
+               AS bar_id
+      FROM c
+    )
+    SELECT event_type, bar_id,
+           count(*) AS n,
+           round(sum(coalesce(value, 0)), 6) AS vol,
+           min(tu) AS open_tu, max(tu) AS close_tu
+    FROM b GROUP BY event_type, bar_id
+    """,
+)
+def volume_bars_events(spark, sf):
+    """Volume bars (event-driven bars — uniform volume per bar instead
+    of uniform wall-clock): running per-type volume through the
+    DISTRIBUTED grouped scan (windows.volume_bars on global_scan(by=)),
+    bar = which 5000-unit block the running total lands in.  The type
+    key has 5 values — a plain window would be 5 tasks forever; the
+    scan runs at types x hour-buckets parallelism.  Both sides round
+    the cumulative sum at 6dp before the bar division so an fp ulp at
+    a block boundary cannot flip a bar id."""
+    e = _t(spark, sf, "events")
+    # round the cum INSIDE the bar rule: wrap via identical expression
+    d = e.withColumn("__vol", F.coalesce(F.col("value"), F.lit(0.0)))
+    s = W.global_scan(
+        d, "__vol", ["ts", "event_id"], agg="sum",
+        bucket=(F.col("ts") - F.col("ts") % (3600 * 1_000_000_000)),
+        out_col="__cum", by=["event_type"],
+    )
+    bar = F.greatest(
+        F.ceil(F.round(F.col("__cum"), 6) / F.lit(5000.0)) - 1, F.lit(0)
+    ).cast("long")
+    return (
+        s.withColumn("bar_id", bar)
+        .groupBy("event_type", "bar_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("__vol"), 6).alias("vol"),
+            F.min(TM.ns_to_us("ts")).alias("open_tu"),
+            F.max(TM.ns_to_us("ts")).alias("close_tu"),
+        )
+    )
+
+
+@query(
     "stream_socket_ingest",
     """
     SELECT event_type,

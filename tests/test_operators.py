@@ -2113,3 +2113,20 @@ def test_ann_recall_meters_the_approximate_paths(spark):
     assert all(x["n_exact"] == 5 for x in rows.values())
     mean = r.agg(F.avg("recall").alias("a")).head()["a"]
     assert mean > 0.2  # coarse IVF on a tiny corpus still finds some
+
+
+def test_volume_bars_blocks_are_threshold_sized(spark):
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import volume_bars
+
+    df = spark.createDataFrame(
+        [(1, i, 10.0) for i in range(30)], "k long, pos long, vol double"
+    ).repartition(3)
+    out = volume_bars(
+        df, "vol", threshold=100.0, order=["pos"], by=["k"],
+        bucket=(F.col("pos") - F.col("pos") % 7),
+    )
+    got = {r["pos"]: r["bar_id"] for r in out.collect()}
+    # 30 rows x 10 vol at threshold 100 -> bars of exactly 10 rows
+    assert got == {p: p // 10 for p in range(30)}
