@@ -177,3 +177,24 @@ def test_registry_plans_carry_no_unapproved_antipatterns(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"unapproved plan anti-patterns: {offenders}"
+
+
+def test_driver_window_is_the_first_fifty():
+    """The driver evaluates exactly the first 50 registry entries per
+    round; the rotation window must BE that prefix, every name must
+    resolve, and never-checked new work must sit immediately after it
+    (before the parked greens) so the next rotation reaches it."""
+    from kerf_spark.queries import _DRIVER_GREEN, _R05_WINDOW
+
+    window = [k for k in _R05_WINDOW if k in QUERIES]
+    assert len(window) == 50
+    assert list(QUERIES)[:50] == window
+    green = set(_DRIVER_GREEN)
+    rest = list(QUERIES)[50:]
+    # all parked greens come AFTER every never-checked candidate
+    seen_green = False
+    for k in rest:
+        if k in green:
+            seen_green = True
+        else:
+            assert not seen_green, f"{k} is parked behind greens"
