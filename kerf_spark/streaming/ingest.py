@@ -406,6 +406,72 @@ def streaming_ema(
     )
 
 
+def streaming_volume_bars(
+    df: DataFrame,
+    keys: Sequence[str],
+    vol_col: str,
+    threshold: float,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.volume_bars``: assign each
+    tick its volume-bar id from a running per-key volume total carried
+    across micro-batches in the state store (O(1) state: one double per
+    key).  bar = which ``threshold``-sized block the running total
+    lands in — identical to the batch rule (ceil(cum/threshold) - 1,
+    floored at 0), so finite-stream output equals the batch operator
+    for in-order feeds regardless of batching.
+
+    Rows fold in ``order_cols`` order within each batch; cross-batch
+    order is arrival order — the feed-handler contract shared with
+    :func:`streaming_ema`.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys, order_cols = list(keys), list(order_cols)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_fields = ", ".join(f"{k} {fields[k]}" for k in keys)
+    order_fields = ", ".join(f"{c} {fields[c]}" for c in order_cols)
+    out_schema = (
+        f"{key_fields}, {order_fields}, {vol_col} double, bar_id bigint"
+    )
+    thr = float(threshold)
+    if not thr > 0:
+        from ..errors import ArgsError
+
+        raise ArgsError("streaming_volume_bars needs threshold > 0")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (cum,) = state.get if state.exists else (0.0,)
+        outs = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            v = pdf[vol_col].astype(float).fillna(0.0).to_numpy()
+            run = v.cumsum() + cum
+            bars = [max(math.ceil(round(c, 6) / thr) - 1, 0) for c in run]
+            out = pdf[keys + order_cols].copy()
+            out[vol_col] = v
+            out["bar_id"] = pd.array(bars, dtype="int64")
+            outs.append(out)
+            cum = float(run[-1])
+        state.update((cum,))
+        if outs:
+            yield pd.concat(outs)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="cum double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_batches(query: StreamingQuery, n_seconds: float) -> None:
     """Test helper: let a stream run briefly, then stop it cleanly."""
     import time

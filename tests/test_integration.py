@@ -229,3 +229,53 @@ def test_streamed_sink_registers_and_compacts(spark, tables, tmp_path):
     after = ws.load("ticks")
     assert after.count() < n
     assert dates[0] not in {r.date for r in after.select("date").distinct().collect()}
+
+
+def test_streaming_volume_bars_match_batch_across_microbatches(
+    spark, tables, tmp_path
+):
+    """Sequential micro-batches must assign the identical volume-bar
+    ids as the batch operator over the union — the per-key running
+    total carries across batch boundaries."""
+    from kerf_spark.operators.windows import volume_bars
+    from kerf_spark.streaming.ingest import streaming_volume_bars
+
+    ev = (
+        tables["events"]
+        .where(F.col("user_id") < 6)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    cut = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    src = str(tmp_path / "vb_feed")
+    ev.where(F.col("ts") <= cut).coalesce(1).write.parquet(src)
+    ev.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_volume_bars(
+        stream, ["user_id"], "value", 2000.0, ["ts", "event_id"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vb_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["event_id"]): r["bar_id"]
+        for r in spark.table("vb_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["bar_id"]
+        for r in volume_bars(
+            ev, "value", 2000.0, ["ts", "event_id"], by=["user_id"]
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
