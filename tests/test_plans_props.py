@@ -878,3 +878,46 @@ def test_lint_plan_detects_each_antipattern(spark):
 
     slow = F.udf(lambda x: x + 1, LongType())
     assert "python-row-udf" in lint_plan(df.select(slow("id").alias("y")))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),     # order key (ties!)
+            st.one_of(st.none(), st.integers(-50, 50)), # value incl. nulls
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from(["sum", "min", "max", "count"]),
+    st.integers(min_value=1, max_value=9),              # bucket width
+)
+def test_global_scan_property_equals_sequential(spark, rows, agg, width):
+    """Property: for ANY data (duplicate order keys, NULLs, any bucket
+    width) the distributed scan equals the sequential global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import global_scan
+
+    data = [(i, k, None if v is None else float(v))
+            for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k long, v double").repartition(3)
+    order = ["k", "rid"]
+    got = {
+        r["rid"]: r["run"]
+        for r in global_scan(
+            df, "v", order, agg=agg,
+            bucket=(F.col("k") - F.col("k") % width),
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref_fn = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[agg]
+    want = {
+        r["rid"]: r["w"]
+        for r in df.select("rid", ref_fn("v").over(w).alias("w")).collect()
+    }
+    assert got == want
