@@ -2210,6 +2210,65 @@ def volume_bars_events(spark, sf):
 
 
 @query(
+    "tick_rule_flow",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu, value,
+             value - lag(value) OVER w AS delta
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, tu, value,
+             coalesce(last_value(CASE WHEN delta > 0 THEN 1
+                                      WHEN delta < 0 THEN -1 END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY tu, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      1) AS sgn
+      FROM d
+    )
+    SELECT user_id, event_id, tu, CAST(sgn AS BIGINT) AS sgn,
+           round(sum(sgn * coalesce(value, 0)) OVER (
+             PARTITION BY user_id ORDER BY tu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS flow
+    FROM s
+    """,
+)
+def tick_rule_flow(spark, sf):
+    """The tick test + signed order flow (classic microstructure): each
+    tick's sign is +1/-1 by price change, zero/first deltas inherit the
+    last nonzero sign (default +1); ``flow`` is the running signed
+    volume — the order-flow-imbalance series.  Composition of the
+    engine's own verbs: mapback delta, forward-fill of the nonzero
+    sign, running sum — all in ONE window partitioning (user series),
+    one exchange for the whole chain."""
+    e = _t(spark, sf, "events")
+    by, order = ["user_id"], ["ts", "event_id"]
+    delta = W.deltas("value", by, order)
+    raw_sign = F.when(delta > 0, 1).when(delta < 0, -1)
+    d = e.select(
+        "user_id", "event_id", TM.ns_to_us("ts").alias("tu"), "ts", "value",
+        raw_sign.alias("__s"),
+    )
+    sgn = F.coalesce(W.ffill("__s", by, ["tu", "event_id"]), F.lit(1))
+    s = d.select(
+        "user_id", "event_id", "tu", "value", sgn.alias("sgn")
+    )
+    flow = F.round(
+        W.running_sum(
+            F.col("sgn") * F.coalesce(F.col("value"), F.lit(0.0)),
+            by,
+            ["tu", "event_id"],
+        ),
+        6,
+    )
+    return s.select(
+        "user_id", "event_id", "tu",
+        F.col("sgn").cast("long").alias("sgn"),
+        flow.alias("flow"),
+    )
+
+
+@query(
     "stream_socket_ingest",
     """
     SELECT event_type,
