@@ -1008,9 +1008,11 @@ def cluster_best_survivors(
 
     ``clusters`` is :func:`dup_clusters` output (id, cluster); documents
     absent from it are singletons and survive unconditionally (left
-    join, cluster defaults to own id).  One keyed join + one max_by
-    aggregate over the corpus — no window, no sort, scales like exact
-    dedup.  Returns (cluster, keep_id, quality, cluster_size).
+    join, cluster defaults to own id).  Two keyed aggregates + one
+    same-key join over the corpus — no window, no sort, scales like
+    exact dedup; the tie-break is ``min(id)`` computed directly, so any
+    orderable id type works (a negated-id struct trick would break on
+    string ids).  Returns (cluster, keep_id, quality, cluster_size).
     """
     lab = clusters.select(
         F.col(id_col).alias("__id"), F.col("cluster").alias("__cl")
@@ -1020,12 +1022,14 @@ def cluster_best_survivors(
     ).join(lab, "__id", "left").select(
         "__id", "__q", F.coalesce("__cl", F.col("__id")).alias("cluster")
     )
-    return tagged.groupBy("cluster").agg(
-        F.max_by(
-            F.col("__id"), F.struct(F.col("__q"), (-F.col("__id")).alias("n"))
-        ).alias("keep_id"),
-        F.max(
-            F.struct(F.col("__q"), (-F.col("__id")).alias("n"))
-        ).getField("__q").alias("quality"),
+    best = tagged.groupBy("cluster").agg(
+        F.max("__q").alias("quality"),
         F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        tagged.join(best, "cluster")
+        .where(F.col("__q").eqNullSafe(F.col("quality")))
+        .groupBy("cluster", "quality", "cluster_size")
+        .agg(F.min("__id").alias("keep_id"))
+        .select("cluster", "keep_id", "quality", "cluster_size")
     )

@@ -72,6 +72,90 @@ def running_max(col, by, order) -> Column:
 
 
 # ----------------------------------------------- distributed global scan
+def global_scan_multi(
+    df,
+    aggs: dict,
+    order: Sequence[str],
+    bucket: Column | str | None = None,
+    by: Sequence[str] | None = None,
+):
+    """Several whole-table running aggregates in ONE two-phase scan —
+    see :func:`global_scan` for the algorithm.  ``aggs`` maps output
+    column -> (agg fn in {sum,min,max,count}, value column); every agg
+    shares the single bucketed window partitioning, the single totals
+    aggregate, and the single broadcast join."""
+    for name, (agg, _) in aggs.items():
+        if agg not in ("sum", "min", "max", "count"):
+            raise ValueError(
+                f"global_scan: no closed-form combine for {agg!r} ({name})"
+            )
+    by = list(by or [])
+    b = bucket if bucket is not None else order[0]
+    b = F.col(b) if isinstance(b, str) else b
+    bucketed = df.withColumn("__g", b)
+    part = [F.col(c) for c in by] + [F.col("__g")]
+    w = Window.partitionBy(*part).orderBy(
+        *[F.col(c) for c in order]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _agg_expr(agg, col):
+        c = F.col(col) if isinstance(col, str) else col
+        return F.count(c) if agg == "count" else getattr(F, agg)(c)
+
+    scanned = bucketed
+    for name, (agg, col) in aggs.items():
+        scanned = scanned.withColumn(
+            f"__loc_{name}", _agg_expr(agg, col).over(w)
+        )
+
+    totals = bucketed.groupBy(*by, "__g").agg(
+        *[
+            _agg_expr(agg, col).alias(f"__t_{name}")
+            for name, (agg, col) in aggs.items()
+        ]
+    )
+    pw = (
+        Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
+    ).orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    pre = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    off_df = totals.select(
+        *by,
+        "__g",
+        *[
+            pre[agg](F.col(f"__t_{name}")).over(pw).alias(f"__off_{name}")
+            for name, (agg, _) in aggs.items()
+        ],
+    )
+    # NULL-SAFE join keys: the window/groupBy treat a NULL by-key or
+    # NULL bucket as one ordinary group, so the offset join must match
+    # it too — a plain equi-join drops NULL keys and silently resets
+    # the running totals at every bucket boundary of that group
+    cond = F.lit(True)
+    for c in [*by, "__g"]:
+        cond = cond & scanned[c].eqNullSafe(off_df[c])
+    joined = scanned.join(F.broadcast(off_df), cond, "left").drop(
+        *[off_df[c] for c in [*by, "__g"]]
+    )
+    out = joined
+    for name, (agg, _) in aggs.items():
+        loc = F.col(f"__loc_{name}")
+        off = F.col(f"__off_{name}")
+        if agg in ("sum", "count"):
+            # null-safe add: a bucket whose prefix is all-null has loc
+            # NULL but must still surface the prior buckets' offset
+            combined = F.when(off.isNull(), loc).otherwise(
+                F.when(loc.isNull(), off).otherwise(loc + off)
+            )
+        elif agg == "min":
+            combined = F.least(loc, off)  # least/greatest skip NULLs
+        else:
+            combined = F.greatest(loc, off)
+        out = out.withColumn(name, combined).drop(
+            f"__loc_{name}", f"__off_{name}"
+        )
+    return out.drop("__g")
+
+
 def global_scan(
     df,
     value_col: str,
@@ -97,61 +181,28 @@ def global_scan(
     2. Local running aggregate per bucket (window PARTITION BY bucket —
        many balanced keys, never one).
     3. Per-bucket totals prefix-combined EXCLUSIVELY in-plan and
-       broadcast-joined back.  The prefix window is a single task over
-       one row PER DISTINCT BUCKET — bounded by bucket cardinality
-       (dates, hours, id-prefixes: thousands-to-millions of tiny rows),
-       not by the data.  Zero driver-side data.
+       broadcast-joined back (NULL-SAFE on the bucket/by keys).  The
+       prefix window is a single task over one row PER DISTINCT BUCKET
+       — bounded by bucket cardinality, not by the data.  Zero
+       driver-side data.
 
     ``agg`` ∈ {sum, min, max, count}: the associative scans whose
-    cross-partition combine is closed-form.  ``order`` must be a total
-    order (add a unique tiebreaker).  ``by`` scopes the scan to groups
-    while keeping the bucketed shape — the scale path when the group
-    key itself has too FEW distinct values to parallelize a plain
-    windowed scan (per-flag cumulative sums over 100 TB).  BUCKET CHOICE: pick one with
-    enough distinct values to spread the data (a date for daily data, a
-    ``div``-bucketed id for monotone ids); the bucket MUST be a prefix
-    of the order — it is, by construction, when left at the default.
-    SKEW: one hot bucket value concentrates its rows in one task —
-    coarsen or refine the bucket expression accordingly.
+    cross-partition combine is closed-form.  NOTE ``count`` counts
+    NON-NULL values of ``value_col`` (SQL count(col)); scan a literal
+    column for row counts (:func:`global_rank`).  ``order`` must be a
+    total order (add a unique tiebreaker).  ``by`` scopes the scan to
+    groups while keeping the bucketed shape — the scale path when the
+    group key itself has too FEW distinct values to parallelize a plain
+    windowed scan.  Several aggregates in one pass:
+    :func:`global_scan_multi`.  BUCKET CHOICE: pick one with enough
+    distinct values to spread the data; the bucket MUST be a monotone
+    function of the order prefix — it is, by construction, at the
+    default.  SKEW: one hot bucket value concentrates its rows in one
+    task — coarsen or refine the bucket expression accordingly.
     """
-    if agg not in ("sum", "min", "max", "count"):
-        raise ValueError(f"global_scan: no closed-form combine for {agg!r}")
-    by = list(by or [])
-    b = bucket if bucket is not None else order[0]
-    b = F.col(b) if isinstance(b, str) else b
-    bucketed = df.withColumn("__g", b)
-    part = [F.col(c) for c in by] + [F.col("__g")]
-    w = Window.partitionBy(*part).orderBy(
-        *[F.col(c) for c in order]
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    v = F.col(value_col)
-    local = (F.count(v) if agg == "count" else getattr(F, agg)(v)).over(w)
-    scanned = bucketed.withColumn("__local", local)
-
-    tot = F.count(v) if agg == "count" else getattr(F, agg)(v)
-    totals = bucketed.groupBy(*by, "__g").agg(tot.alias("__t"))
-    pw = (
-        Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
-    ).orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
-    pre = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[agg]
-    off_df = totals.select(
-        *by, "__g", pre(F.col("__t")).over(pw).alias("__off")
+    return global_scan_multi(
+        df, {out_col: (agg, value_col)}, order, bucket=bucket, by=by
     )
-    joined = scanned.join(F.broadcast(off_df), [*by, "__g"], "left")
-    loc = F.col("__local")
-    off = F.col("__off")
-    if agg in ("sum", "count"):
-        # null-safe add: a bucket whose prefix is all-null has loc NULL
-        # but must still surface the prior buckets' offset (a plain
-        # global window would); NULL + off would erase it
-        combined = F.when(off.isNull(), loc).otherwise(
-            F.when(loc.isNull(), off).otherwise(loc + off)
-        )
-    elif agg == "min":
-        combined = F.least(loc, off)  # least/greatest skip NULLs
-    else:
-        combined = F.greatest(loc, off)
-    return joined.withColumn(out_col, combined).drop("__g", "__local", "__off")
 
 
 def volume_bars(
@@ -170,14 +221,18 @@ def volume_bars(
     bar; time bars oversample quiet periods).  Built on
     :func:`global_scan`, so the cumulative sum is the distributed
     two-phase scan, never a single-task window; NULL volumes count 0.
-    Aggregate OHLC/VWAP per (series, bar_id) downstream.
+    Aggregate OHLC/VWAP per (series, bar_id) downstream.  The running
+    total is rounded at 6dp before the bar division on EVERY
+    implementation of this rule (here, the streaming twin, the SQL
+    oracles), so an fp ulp at a block boundary cannot flip a bar id
+    between engines or between batch and streaming.
     """
     d = df.withColumn("__vol", F.coalesce(F.col(vol_col), F.lit(0.0)))
     s = global_scan(
         d, "__vol", order, agg="sum", bucket=bucket, out_col="__cum",
         by=by,
     )
-    bar = F.ceil(F.col("__cum") / F.lit(float(threshold))) - 1
+    bar = F.ceil(F.round(F.col("__cum"), 6) / F.lit(float(threshold))) - 1
     return s.withColumn(
         out_col, F.greatest(bar, F.lit(0)).cast("long")
     ).drop("__vol", "__cum")

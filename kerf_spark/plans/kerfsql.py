@@ -127,32 +127,71 @@ _ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
 # columns out of the output.  One exchange per distinct fby key set —
 # the same shuffle the equivalent self-join-with-agg would take, minus
 # the join.
-_FBY_RE = re.compile(
-    r"(?is)\b(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s+fby\s+(\((?:[^()]*)\)|\w+)"
-)
+_FBY_TOKEN = re.compile(r"(?i)\bfby\b")
 
 
 def _expand_fby(where: str, table: str) -> tuple[str, str, list[str]]:
-    """Rewrite every ``agg(x) fby k`` in ``where``; returns the new
+    """Rewrite every ``agg(...) fby k`` in ``where``; returns the new
     predicate, the (possibly inlined-subquery) table, and the helper
-    aliases to strip from the output."""
+    aliases to strip from the output.  A balanced-paren scan (not a
+    regex) extracts the aggregate call, so arbitrarily nested argument
+    expressions (``avg(abs(round(x, 2))) fby sym``) rewrite correctly."""
     wincols: list[str] = []
-
-    def sub(m: re.Match) -> str:
-        agg, expr, key = m.group(1), m.group(2).strip(), m.group(3).strip()
-        if key.startswith("("):
-            key = key[1:-1]
+    out = where
+    while True:
+        m = _FBY_TOKEN.search(out)
+        if m is None:
+            break
+        # RIGHT of fby: the partition key — a word or a (col, col) list
+        rest = out[m.end():]
+        pad = len(rest) - len(rest.lstrip())
+        rest = rest.lstrip()
+        if rest.startswith("("):
+            depth, i = 1, 1
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise ParseUnmatchedError(f"fby: unbalanced key parens: {where!r}")
+            key = rest[1:i - 1].strip()
+            key_end = m.end() + pad + i
+        else:
+            km = re.match(r"\w+", rest)
+            if km is None:
+                raise ParseError(f"fby needs a partition key: {where!r}")
+            key = km.group(0)
+            key_end = m.end() + pad + km.end()
+        # LEFT of fby: the balanced aggregate call it attaches to
+        left = out[:m.start()].rstrip()
+        if not left.endswith(")"):
+            raise ParseError(
+                f"fby must follow an aggregate call `agg(...)`: {where!r}"
+            )
+        depth, j = 0, len(left) - 1
+        while j >= 0:
+            if left[j] == ")":
+                depth += 1
+            elif left[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        nm = re.search(r"(\w+)\s*$", left[:j])
+        if depth or nm is None:
+            raise ParseError(
+                f"fby must follow an aggregate call `agg(...)`: {where!r}"
+            )
+        call = left[nm.start(1):]
         alias = f"__fby{len(wincols)}"
-        wincols.append(
-            f"{agg}({expr}) OVER (PARTITION BY {key}) AS {alias}"
-        )
-        return alias
-
-    new_where = _FBY_RE.sub(sub, where)
+        wincols.append(f"{call} OVER (PARTITION BY {key}) AS {alias}")
+        out = out[:nm.start(1)] + alias + out[key_end:]
     if not wincols:
         return where, table, []
     inner = f"(SELECT *, {', '.join(wincols)} FROM {table})"
-    return new_where, inner, [c.rsplit(" AS ", 1)[1] for c in wincols]
+    return out, inner, [c.rsplit(" AS ", 1)[1] for c in wincols]
 
 
 def _int_arg(verb: str, tok: str) -> int:

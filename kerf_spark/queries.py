@@ -68,6 +68,10 @@ def _attach_oracle(name: str, builder: Callable[[], str]) -> None:
     try:
         ORACLES[name] = builder()
     except Exception as exc:
+        # drop any previously-attached oracle too: refit_oracles would
+        # otherwise leave a WRONG-SCALE oracle in place on failure and
+        # report a spurious mismatch instead of the rows-only check
+        ORACLES.pop(name, None)
         _LOG.warning(
             "oracle degraded to rows-only for %s: %s: %s",
             name, type(exc).__name__, exc,
@@ -720,15 +724,16 @@ def global_running_sum(spark, sf):
     prefix of the per-partition totals broadcast back — the only
     driver-side data is num_partitions total rows.  The oracle is the
     single-node global window, proving the distributed scan equals the
-    sequential one."""
-    o = _t(spark, sf, "orders")
-    s = W.global_scan(
-        o, "o_totalprice", ["o_orderdate", "o_orderkey"], agg="sum",
-        out_col="run",
-    )
-    s = W.global_scan(
-        s, "o_totalprice", ["o_orderdate", "o_orderkey"], agg="count",
-        out_col="rn",
+    sequential one.  Both aggregates share ONE scan
+    (global_scan_multi: one window partitioning, one totals aggregate,
+    one broadcast join); the row count scans a literal-1 column so it
+    is count(*) row semantics — count over o_totalprice would skip
+    NULLs and drift from the oracle on any fixture that has them."""
+    o = _t(spark, sf, "orders").withColumn("__one", F.lit(1))
+    s = W.global_scan_multi(
+        o,
+        {"run": ("sum", "o_totalprice"), "rn": ("count", "__one")},
+        ["o_orderdate", "o_orderkey"],
     )
     return s.select(
         F.col("o_orderkey").alias("orderkey"),
@@ -2187,19 +2192,12 @@ def volume_bars_events(spark, sf):
     the cumulative sum at 6dp before the bar division so an fp ulp at
     a block boundary cannot flip a bar id."""
     e = _t(spark, sf, "events")
-    # round the cum INSIDE the bar rule: wrap via identical expression
-    d = e.withColumn("__vol", F.coalesce(F.col("value"), F.lit(0.0)))
-    s = W.global_scan(
-        d, "__vol", ["ts", "event_id"], agg="sum",
+    s = W.volume_bars(
+        e, "value", 5000.0, ["ts", "event_id"], by=["event_type"],
         bucket=(F.col("ts") - F.col("ts") % (3600 * 1_000_000_000)),
-        out_col="__cum", by=["event_type"],
-    )
-    bar = F.greatest(
-        F.ceil(F.round(F.col("__cum"), 6) / F.lit(5000.0)) - 1, F.lit(0)
-    ).cast("long")
+    ).withColumn("__vol", F.coalesce(F.col("value"), F.lit(0.0)))
     return (
-        s.withColumn("bar_id", bar)
-        .groupBy("event_type", "bar_id")
+        s.groupBy("event_type", "bar_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("__vol"), 6).alias("vol"),

@@ -140,7 +140,8 @@ class Workspace:
         every row group's min/max stats are then bounded in ALL listed
         dimensions, so scans filtered on ANY of them skip — the
         multi-dimensional extension of ``sort_by``'s 1-D skipping.
-        2 columns interleave at 16 bits each; k>2 at floor(62/k) bits.
+        Columns interleave at min(16, floor(62/k)) bits each (16 for
+        k<=3, 15 at k=4, ...) — the guard bits match the key's width.
         Mutually exclusive with ``sort_by``.
         """
         if sort_by and zorder_by:
@@ -343,10 +344,26 @@ class Workspace:
                 "use drop() or a filtered rewrite"
             )
         col = meta["partition_by"][0]
-        wanted = {f"{col}={_jsonable(v)}" for v in values}
+
+        def _norm(v) -> str:
+            # Spark's partition-dir spelling: booleans lowercase,
+            # dates/timestamps isoformat
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(_jsonable(v))
+
+        wanted = {_norm(v) for v in values}
+        prefix = f"{col}="
         dropped = 0
         for entry in sorted(os.listdir(meta["path"])):
-            if entry in wanted:
+            if not entry.startswith(prefix):
+                continue
+            # DECODE the directory's value (Spark %XX-escapes special
+            # chars in partition dirs) rather than trying to replicate
+            # its escaper — comparison happens on the decoded value
+            from urllib.parse import unquote
+
+            if unquote(entry[len(prefix):]) in wanted:
                 full = os.path.join(meta["path"], entry)
                 tomb = full + ".dropping"
                 os.rename(full, tomb)

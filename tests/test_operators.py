@@ -2130,3 +2130,49 @@ def test_volume_bars_blocks_are_threshold_sized(spark):
     got = {r["pos"]: r["bar_id"] for r in out.collect()}
     # 30 rows x 10 vol at threshold 100 -> bars of exactly 10 rows
     assert got == {p: p // 10 for p in range(30)}
+
+
+def test_global_scan_null_group_keys_carry_offsets(spark):
+    """NULL by-keys and NULL bucket values are ordinary groups to the
+    window/groupBy; the offset join must match them too (null-safe
+    join), or their running totals silently reset at bucket edges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import global_scan
+
+    rows = [(i, None if i % 2 else "a", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "pos long, k string, v double")
+    got = {
+        (r["k"], r["pos"]): r["run"]
+        for r in global_scan(
+            df, "v", ["pos"], agg="sum", by=["k"],
+            bucket=(F.col("pos") - F.col("pos") % 10),
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r["k"], r["pos"]): r["w"]
+        for r in df.select("k", "pos", F.sum("v").over(w).alias("w")).collect()
+    }
+    assert got == want
+
+
+def test_cluster_best_survivors_string_ids(spark):
+    from kerf_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 50), ("c", 50), ("z", 7)],
+        "doc_id string, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "doc_id string, cluster string"
+    )
+    got = {
+        r["cluster"]: (r["keep_id"], r["quality"], r["cluster_size"])
+        for r in DD.cluster_best_survivors(docs, clusters, "n_chars").collect()
+    }
+    assert got["a"] == ("b", 50, 3)  # best quality, tie -> min string id
+    assert got["z"] == ("z", 7, 1)

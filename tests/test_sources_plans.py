@@ -923,3 +923,29 @@ def test_drop_partitions_expires_folio_dates(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not partitioned"):
         ws.drop_partitions("plain", [1])
+
+
+def test_drop_partitions_boolean_encoding(spark, tmp_path):
+    """Spark writes boolean partition dirs as flag=true/false — the
+    retention match must speak that encoding, not Python's repr."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.sources.catalog import Workspace
+
+    ws = Workspace(spark, str(tmp_path))
+    df = spark.range(20).select(
+        (F.col("id") % 2 == 0).alias("flag"), F.col("id").alias("v")
+    )
+    ws.save("b", df, partition_by=["flag"])
+    assert ws.drop_partitions("b", [True]) == 1
+    left = ws.load("b")
+    assert left.count() == 10 and not any(r.flag for r in left.collect())
+
+
+def test_kerfsql_fby_deeply_nested_argument():
+    from kerf_spark.plans.kerfsql import translate
+
+    sql = translate(
+        "select a from t where v > avg(abs(round(x, 2))) fby sym"
+    )
+    assert "avg(abs(round(x, 2))) OVER (PARTITION BY sym)" in sql
