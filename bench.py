@@ -69,7 +69,13 @@ def main() -> None:
         "ivf_ann_topk": Q.ivf_ann_topk,
     }
 
-    spark = get_spark("kerf_spark_bench")
+    # no console progress bar: its \r-fragments interleave with stdout
+    # and can hide the final JSON line mid-line in a redirected log (the
+    # BENCH_r04/r05 `parsed:null` failure — r5 verdict item 7)
+    spark = get_spark(
+        "kerf_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -223,7 +229,23 @@ def main() -> None:
     except Exception as exc:
         out["micro_error"] = f"{type(exc).__name__}: {exc}"
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # belt and braces for the driver's last-line JSON grab: break any
+    # pending \r fragment first, flush, AND persist to a file so the
+    # result survives even a mangled stdout capture
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_LOCAL.json",
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -20,6 +20,8 @@ All return (query id, neighbor id, cosine, rank).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,6 +100,34 @@ def cosine(a, b) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(d / (na * nb))
 
 
+def two_phase_topk(scored: DataFrame, order_by, k: int) -> DataFrame:
+    """Distributed per-query top-k without a corpus-sized window task.
+
+    A bare ``Window.partitionBy("query_id")`` + ``row_number`` has no
+    partial aggregation: every scored row for a query funnels through
+    ONE task, so at 100 TB the ADC/cosine scan collapses to |Q| tasks
+    each sorting |corpus| rows.  Instead: (1) rank within
+    ``(query_id, input-partition)`` keeping k survivors per slice —
+    the shuffle key has |Q|·|partitions| cardinality so parallelism is
+    preserved and no task sorts more than one partition's candidates;
+    (2) re-rank the |partitions|·k survivors per query — a bounded
+    window.  The union of per-slice top-k always contains the global
+    top-k, and ``order_by`` is a total order (ties broken by
+    neighbor_id), so the result is independent of partition layout.
+    """
+    order_by = list(order_by)
+    local_w = Window.partitionBy("query_id", "__slice").orderBy(*order_by)
+    final_w = Window.partitionBy("query_id").orderBy(*order_by)
+    return (
+        scored.withColumn("__slice", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(local_w))
+        .where(F.col("__lr") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .where(F.col("rank") <= k)
+        .drop("__slice", "__lr")
+    )
+
+
 # ------------------------------------------------------------ brute force
 def cosine_topk(
     corpus: DataFrame,
@@ -127,13 +157,9 @@ def cosine_topk(
         "neighbor_id",
         cosine("__qv", "__cv").alias("cosine"),
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
+    return two_phase_topk(scored, order, k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
@@ -306,13 +332,9 @@ def lsh_topk(
     scored = cands.select(
         "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
+    return two_phase_topk(scored, order, k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
@@ -357,7 +379,18 @@ def kmeans_centroids(
 #: plan change — different filter, different layout — refits).  Staleness
 #: contract: mutate the data under an unchanged path and plan, and the
 #: cached fit survives until process restart — same as any ANN index.
-_FIT_CACHE: dict[tuple, list[list[float]]] = {}
+_FIT_CACHE: OrderedDict[tuple, list[list[float]]] = OrderedDict()
+
+#: LRU bound so a long-lived session fitting many distinct plans can't
+#: grow the memo without limit (each entry is O(n_cells·dim) floats).
+_FIT_CACHE_MAX = 64
+
+
+def clear_fit_cache() -> None:
+    """Drop every memoized fit.  Call after mutating data under an
+    unchanged path/plan (the documented staleness case — same contract
+    as rebuilding any ANN index)."""
+    _FIT_CACHE.clear()
 
 
 def _fit_memo(corpus: DataFrame, tag: str, params: tuple, build):
@@ -365,9 +398,14 @@ def _fit_memo(corpus: DataFrame, tag: str, params: tuple, build):
         key = (tag, corpus.semanticHash(), params)
     except Exception:
         return build()
-    if key not in _FIT_CACHE:
-        _FIT_CACHE[key] = build()
-    return _FIT_CACHE[key]
+    if key in _FIT_CACHE:
+        _FIT_CACHE.move_to_end(key)
+        return _FIT_CACHE[key]
+    val = build()
+    _FIT_CACHE[key] = val
+    while len(_FIT_CACHE) > _FIT_CACHE_MAX:
+        _FIT_CACHE.popitem(last=False)
+    return val
 
 
 def fit_centroids(
@@ -479,13 +517,9 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
+    return two_phase_topk(scored, order, k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
@@ -835,11 +869,9 @@ def pq_topk(
     scored = joined.where(
         F.col("neighbor_id") != F.col("query_id")
     ).select("query_id", "neighbor_id", dist.alias("adc"))
-    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    order = [F.col("adc").asc(), F.col("neighbor_id").asc()]
+    return two_phase_topk(scored, order, k).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
 

@@ -331,6 +331,7 @@ def chunked_moving(
     by: Sequence[str],
     order: Sequence[str],
     chunk: Column | str,
+    validate: bool = True,
 ) -> DataFrame:
     """Trailing ``n``-row moving aggregates over LOW-CARDINALITY series
     keys, distributed — the hot-key fix for moving windows.
@@ -349,6 +350,13 @@ def chunked_moving(
     PRECONDITION: every non-final chunk holds >= n-1 rows, or a frame
     would need rows from two chunks back (borrowed context only spans
     one boundary).  Size chunks orders of magnitude above ``n``.
+    ``validate=True`` (default) ENFORCES this: one extra count
+    aggregate over the same (series, chunk) groups — bounded output,
+    ``limit(1)`` driver check — raises ``ValueError`` naming the first
+    violating chunk instead of silently truncating frames.  Pass
+    ``validate=False`` only when the chunking is known-safe by
+    construction (e.g. a fixed divisor orders of magnitude above n on
+    a dense key).
 
     ``aggs`` maps output column -> (agg fn name, value column); each is
     computed over ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``.  All
@@ -359,6 +367,40 @@ def chunked_moving(
     # successor chunk per series (chunk values may be sparse): a tiny
     # distinct table, window over one row per (series, chunk)
     sw = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__chunk")
+    if validate:
+        # enforce the >= n-1 precondition: an interior chunk (has both
+        # a predecessor and a successor) with fewer than n-1 rows means
+        # some frame in the successor needs rows from two chunks back,
+        # which the single-boundary borrow cannot supply.  A first
+        # chunk may be short (frames truncate at series start — still
+        # correct).  Cost: one partial-agg count keyed exactly like the
+        # main window + a limit(1) driver check over the tiny
+        # (series, chunk) table.
+        counts = (
+            d.groupBy(*by, "__chunk")
+            .agg(F.count(F.lit(1)).alias("__rows"))
+            .withColumn("__has_next", F.lead("__chunk").over(sw).isNotNull())
+            .withColumn("__has_prev", F.lag("__chunk").over(sw).isNotNull())
+        )
+        bad = (
+            counts.where(
+                F.col("__has_next")
+                & F.col("__has_prev")
+                & (F.col("__rows") < n - 1)
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            key = {c: r[c] for c in by}
+            raise ValueError(
+                f"chunked_moving: interior chunk {r['__chunk']!r} of "
+                f"series {key} holds {r['__rows']} rows < n-1={n - 1}; "
+                "its successor's trailing frames would silently "
+                "truncate.  Use coarser chunks (or validate=False if "
+                "the chunking is safe by construction)."
+            )
     succ = (
         d.select(*by, "__chunk").distinct()
         .withColumn("__next", F.lead("__chunk").over(sw))

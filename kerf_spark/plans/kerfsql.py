@@ -130,6 +130,36 @@ _ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
 _FBY_TOKEN = re.compile(r"(?i)\bfby\b")
 
 
+def _mask_quoted(s: str) -> str:
+    """Same-length copy of ``s`` with the CONTENTS of single-quoted
+    literals blanked to spaces (quotes kept, ``''`` escapes stay
+    inside the literal), so token scans can never match inside a
+    string — ``where note = 'x fby y'`` must not trip the fby
+    rewriter.  Positions are preserved, so a match against the mask
+    indexes directly into the original."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    inq = False
+    while i < n:
+        ch = s[i]
+        if inq:
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    out.append("  ")
+                    i += 2
+                    continue
+                inq = False
+                out.append("'")
+            else:
+                out.append(" ")
+        else:
+            out.append(ch)
+            if ch == "'":
+                inq = True
+        i += 1
+    return "".join(out)
+
+
 def _expand_fby(where: str, table: str) -> tuple[str, str, list[str]]:
     """Rewrite every ``agg(...) fby k`` in ``where``; returns the new
     predicate, the (possibly inlined-subquery) table, and the helper
@@ -139,7 +169,9 @@ def _expand_fby(where: str, table: str) -> tuple[str, str, list[str]]:
     wincols: list[str] = []
     out = where
     while True:
-        m = _FBY_TOKEN.search(out)
+        # scan the quote-masked text so 'x fby y' in a string literal
+        # is never treated as the operator (mask preserves positions)
+        m = _FBY_TOKEN.search(_mask_quoted(out))
         if m is None:
             break
         # RIGHT of fby: the partition key — a word or a (col, col) list

@@ -1697,7 +1697,8 @@ def dsir_select_docs(spark, sf):
         FROM toks
       )
     ), counts AS (
-      SELECT lft AS left, rgt AS right, sum(freq) AS pair_count
+      SELECT lft AS left, rgt AS right,
+             CAST(sum(freq) AS BIGINT) AS pair_count
       FROM pairs GROUP BY lft, rgt
     )
     SELECT * FROM counts
@@ -8469,7 +8470,8 @@ def event_gap_analysis(spark, sf):
       FROM isl GROUP BY user_id, island
     )
     SELECT user_id, count(*) AS n_islands,
-           sum(e - s) AS coverage_us, max(e - s) AS max_span_us
+           CAST(sum(e - s) AS BIGINT) AS coverage_us,
+           max(e - s) AS max_span_us
     FROM merged GROUP BY user_id ORDER BY user_id
     """,
 )

@@ -329,11 +329,16 @@ class Workspace:
         dirs are independent files).  Returns the number of partition
         directories removed.
 
-        Each victim is renamed aside before removal, so a reader that
-        already listed the directory keeps its files until its scan
-        ends (same snapshot discipline as upsert's swap, per
-        partition).  Values are matched against the partition
-        directory encoding (`col=value`).
+        Consistency contract: removal is atomic per partition (the dir
+        is renamed to a tombstone first, so no reader ever sees a
+        half-deleted directory), and a reader that already has the
+        files OPEN keeps them until close (POSIX unlink semantics).  A
+        reader that listed the partition but has not yet opened its
+        files WILL fail, exactly as with a plain delete — path-based
+        listings get no snapshot protection here (that is upsert's
+        keep-old-dir swap discipline, which retention deliberately
+        trades away to actually free space).  Values are matched
+        against the partition directory encoding (`col=value`).
         """
         import shutil
 

@@ -1,6 +1,22 @@
 """Driver-style oracle comparison: run every queries() entry on Spark
-and its oracle_sql() on DuckDB, compare row count, column names, and
-order-insensitive values at 12 significant digits.
+and its oracle_sql() on DuckDB, compare row count, column names,
+pandas dtypes, and order-insensitive values BITWISE.
+
+STRICT BY DESIGN (r5 verdict item 2): the previous 12-significant-digit
+canon with ``-0.0 -> "0"`` folding said "ok" for queries the driver's
+pandas hasher rejects.  This sweep must fail whenever the driver would:
+
+* float cells compare by their IEEE-754 bit pattern (``-0.0`` differs
+  from ``+0.0``; any last-ulp engine divergence fails here exactly as
+  it fails at the driver);
+* every cell is kind-tagged (``i:`` / ``f:`` / ...), so an
+  integer-vs-float representation drift is a value mismatch;
+* each oracle additionally runs as ``LIMIT 0`` through duckdb's
+  ``.df()`` and its pandas dtypes are checked against the Spark schema
+  (the DuckDB-HUGEINT artifact: an un-cast ``sum(BIGINT)`` lands as
+  float64 and hash-mismatches Spark's int64 even when bitwise
+  value-identical — r3 session_windows, r5 bpe_pair_counts and
+  merge_event_intervals).
 
 Usage: python tests/oracle_check.py [sf_dir] [name_filter ...]
 """
@@ -9,6 +25,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import struct
 import sys
 
 sys.path.insert(0, ".")
@@ -20,15 +37,17 @@ TABLES = (
 
 
 def canon(v):
-    """Canonicalize one value the way the driver's hasher would."""
+    """Canonicalize one value, kind-tagged and float-bitwise."""
     if v is None:
         return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
-        if v == 0:
-            return "0"
-        return f"{v:.12g}"
+        return "f:" + struct.pack(">d", v).hex()
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, dt.datetime):
         return f"ts:{v.isoformat()}"
     if isinstance(v, dt.date):
@@ -44,6 +63,30 @@ def rows_canon(cols, rows):
     """Sort columns by name, canonicalize, sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def dtype_drift(con, sql: str, schema) -> list[str]:
+    """Oracle-vs-Spark numeric-kind drift via a LIMIT-0 ``.df()``."""
+    from pyspark.sql import types as T
+
+    kind = {}
+    for f in schema.fields:
+        if isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            kind[f.name] = "i"
+        elif isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            kind[f.name] = "f"
+    odf = con.execute(f"SELECT * FROM ({sql}) __t LIMIT 0").df()
+    bad = []
+    for col, d in odf.dtypes.items():
+        want = kind.get(col)
+        if want == "i" and d.kind == "f":
+            bad.append(f"{col}: spark integral vs oracle {d}")
+        elif want == "f" and d.kind in "iu":
+            bad.append(f"{col}: spark fractional vs oracle {d}")
+    return bad
 
 
 def main():
@@ -100,6 +143,11 @@ def main():
             continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            failed += 1
+            continue
+        drift = dtype_drift(con, oracles[name], sdf.schema)
+        if drift:
+            print(f"FAIL {name}: oracle dtype drift: {drift}")
             failed += 1
             continue
         a = rows_canon(scols, srows)

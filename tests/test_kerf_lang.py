@@ -415,3 +415,27 @@ def test_script_select_speaks_fby(spark):
     for g, vs in by_g.items():
         assert sorted(vs) == [float(g + 15), float(g + 18), float(g + 21),
                               float(g + 24), float(g + 27)]
+
+
+def test_fby_token_inside_string_literal_is_not_an_operator(spark):
+    """`fby` appearing inside a quoted literal must survive as data —
+    the rewriter scans a quote-masked view of the predicate (ADVICE
+    r5: kerfsql.py _expand_fby mangled `where note = 'x fby y'`)."""
+    from kerf_spark.plans.kerf_lang import run_df
+
+    t = spark.createDataFrame(
+        [("x fby y", 1.0), ("plain", 2.0), ("x fby y", 3.0)],
+        "note string, v double",
+    )
+    rows = run_df(
+        spark, "select note, v from t where note = 'x fby y'", tables={"t": t}
+    ).collect()
+    assert sorted(r.v for r in rows) == [1.0, 3.0]
+    # ...and a REAL fby in the same predicate still rewrites: the
+    # literal is masked, the operator is not
+    rows2 = run_df(
+        spark,
+        "select note, v from t where v > avg(v) fby note and note = 'x fby y'",
+        tables={"t": t},
+    ).collect()
+    assert [(r.note, r.v) for r in rows2] == [("x fby y", 3.0)]

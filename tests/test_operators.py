@@ -2176,3 +2176,72 @@ def test_cluster_best_survivors_string_ids(spark):
     }
     assert got["a"] == ("b", 50, 3)  # best quality, tie -> min string id
     assert got["z"] == ("z", 7, 1)
+
+
+def test_chunked_moving_validate_raises_on_short_interior_chunk(spark):
+    """An interior (series, chunk) group with < n-1 rows would silently
+    truncate its successor's trailing frames; validate=True (default)
+    must refuse instead (ADVICE r5)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import chunked_moving
+
+    # chunk 0: rows 0-9; chunk 1: ONE row (pos 10); chunk 2: rows 20-29
+    # — chunk 1 is interior and holds 1 < n-1 = 6 rows
+    df = spark.createDataFrame(
+        [(0, p, 1.0) for p in [*range(10), 10, *range(20, 30)]],
+        "k long, pos long, v double",
+    )
+    kw = dict(
+        aggs={"ms": ("sum", "v")},
+        n=7,
+        by=["k"],
+        order=["pos"],
+        chunk=(F.col("pos") - F.col("pos") % 10),
+    )
+    with pytest.raises(ValueError, match="interior chunk"):
+        chunked_moving(df, **kw)
+    # short FIRST chunk is legal (frames truncate at series start)
+    df2 = spark.createDataFrame(
+        [(0, p, 1.0) for p in [5, *range(10, 30)]],
+        "k long, pos long, v double",
+    )
+    assert chunked_moving(df2, **kw).count() == 21
+    # validate=False keeps the old behavior for known-safe chunkings
+    assert chunked_moving(df, **kw, validate=False).count() == 21
+
+
+def test_two_phase_topk_bounded_windows_and_layout_invariance(spark):
+    """cosine_topk's ranking must be two bounded windows — local rank
+    within (query_id, input slice), then a final rank over the
+    |slices|*k survivors — never one corpus-sized partition per query
+    (the r5 verdict's one genuine 100x-scale flaw).  The result must
+    not depend on the partition layout."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 13) % 11) for j in range(4)])
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        rows[:3], "vec_id long, embedding array<float>"
+    )
+    got = cosine_topk(corpus.repartition(13), queries, k=5)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    # the local phase partitions by (query_id, __slice) — a window
+    # partitioned by query_id ALONE over the scored corpus is the
+    # scale bug this guards against
+    assert "__slice" in plan, plan
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, cosine_topk(corpus.coalesce(1), queries, k=5).collect()))
+    assert a == b
+    per_q = {}
+    for q, n, c, r in a:
+        per_q.setdefault(q, []).append(r)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

@@ -107,6 +107,64 @@ def test_no_driver_hostile_output_types(spark):
     assert not offenders, f"driver-hostile output columns: {offenders}"
 
 
+def test_oracle_pandas_dtypes_match_spark_schema(spark):
+    """Registry-wide gate for the DuckDB-HUGEINT artifact (r3
+    session_windows, r5 bpe_pair_counts + merge_event_intervals — the
+    SAME bug three rounds running): an un-cast ``sum(BIGINT)`` in an
+    oracle returns HUGEINT, which duckdb's ``.df()`` renders as
+    float64, and the driver's pandas hasher then mismatches Spark's
+    int64 even when every value is bitwise identical.  Run every
+    oracle as ``LIMIT 0`` through ``.df()`` and assert numeric KIND
+    agreement (integer vs float) with the Spark schema, both
+    directions.  The fix is always ``CAST(... AS BIGINT)`` (or
+    ``.cast('long')`` Spark-side).
+    """
+    import duckdb
+
+    from pyspark.sql import types as T
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    fractional = (T.FloatType, T.DoubleType)
+    offenders = {}
+    for name, fn in QUERIES.items():
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        spark_kind = {}
+        for f in fn(spark, SF).schema.fields:
+            if isinstance(f.dataType, integral):
+                spark_kind[f.name] = "i"
+            elif isinstance(f.dataType, fractional):
+                spark_kind[f.name] = "f"
+        try:
+            odf = con.execute(f"SELECT * FROM ({sql}) __t LIMIT 0").df()
+        except Exception as ex:  # oracle must at least type-check
+            offenders[name] = [f"oracle error: {str(ex)[:120]}"]
+            continue
+        bad = []
+        for col, dt in odf.dtypes.items():
+            want = spark_kind.get(col)
+            if want == "i" and dt.kind == "f":
+                bad.append(f"{col}: spark integral, oracle {dt}")
+            elif want == "f" and dt.kind in "iu":
+                bad.append(f"{col}: spark fractional, oracle {dt}")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle dtype drift (CAST the oracle, or .cast the Spark "
+        f"column): {offenders}"
+    )
+
+
 def test_degraded_oracle_logs_a_warning(caplog):
     """A computed oracle that fails to build must WARN with the query
     name (visible in driver logs), not silently degrade to rows-only
