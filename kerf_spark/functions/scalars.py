@@ -392,3 +392,28 @@ def zorder_key_n(cols, bits: int = 16, checked: bool = False):
             bit = F.shiftright(mc, j).bitwiseAND(F.lit(1))
             out = out + bit * F.lit(1 << (j * k + i))
     return out
+
+
+def rand_det(seed, *keys) -> Column:
+    """Deterministic uniform draw in (0, 1): the reproducible twin of
+    kerf's seeded RNG stream (rng.h:7-46 — per-thread PCG64 giving the
+    same stream for the same seed).  Spark's ``F.rand(seed)`` seeds
+    per-PARTITION, so the value a row sees depends on the partition
+    layout — repartition the input and every draw changes.  The
+    engine's deterministic rand is therefore counter-based: a draw is
+    a pure function of (seed, key columns), identical on any layout
+    and any engine.
+
+    ``u = (int(md5(seed || '#' || keys)[:8], 16) + 1) / (2^32 + 1)``
+    — 32 uniform bits from the engine-portable md5 family (the same
+    construction DSIR's Gumbel noise uses), strictly inside (0, 1) so
+    ``log(u)`` / inverse-CDF transforms never hit the endpoints.  SQL
+    twin: ``(('0x' || substr(md5(...), 1, 8))::BIGINT + 1) /
+    4294967297.0``."""
+    key = F.concat_ws(
+        "#", F.lit(str(seed)), *[_c(k).cast("string") for k in keys]
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)

@@ -1,0 +1,216 @@
+"""ATLAS document-store surface: schemaless JSON documents as columns.
+
+The reference's ATLAS type (enums.h:262, error hook jump.h:190) is a
+schemaless document collection living inside a column: documents carry
+arbitrary nested fields, queries amend/update individual fields without
+a declared schema, and appends tolerate schema drift (the table-level
+promote-on-append discipline of layout.cc:726-934, applied at the
+document level).
+
+Spark-first design: a document is its JSON TEXT (one string column —
+the same physical shape the events fixture's ``props`` uses), and the
+schemaless operations are pure Column expressions over a
+``map<string,string>`` decomposition:
+
+* ``from_json(doc, "map<string,string>")`` keeps every field's RAW
+  JSON fragment as its value — numbers stay ``69``, strings lose their
+  quotes, nested objects/arrays keep their full JSON text.  No schema
+  is declared anywhere; unknown fields flow through untouched.
+* Setting/dropping a field rebuilds the entry list (filter + append)
+  and re-serializes with a fragment-aware writer (JSON literals pass
+  through raw; anything else is quoted/escaped), so field TYPES
+  survive a round-trip — the bug ``to_json(map<string,string>)`` has
+  (it quotes every value).
+* Nested paths recurse the same set/drop through the enclosing
+  fragments — fixed depth at plan time, still zero-shuffle column
+  math.
+
+Everything here is a narrow projection: at 100 TB these ops run at
+scan speed with no exchange, and Catalyst prunes them like any other
+expression.  Reads use the built-ins (``get_json_object`` /
+``variant_get``) — only the WRITE path needs this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+#: A raw JSON literal: string / number / true / false / null / object
+#: / array.  Anything else that comes back from the map decomposition
+#: was a JSON string (its quotes were stripped by the parse) and must
+#: be re-quoted.  CANONICALIZATION CAVEAT: the text-fragment
+#: representation cannot distinguish the JSON string "123" from the
+#: number 123 after a parse (both decompose to the text ``123``), so a
+#: round-trip canonicalizes literal-shaped strings to their literal
+#: type — kerf-style weak typing at the document boundary.
+_JSON_LITERAL_RE = (
+    r'^("(\\.|[^"\\])*"'
+    r"|-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?"
+    r"|true|false|null|\{.*\}|\[.*\])$"
+)
+
+
+def _quote(v: Column) -> Column:
+    """JSON-escape and quote a plain string fragment."""
+    esc = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit('"'), F.lit('\\"'))
+    esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+    esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def _frag(v: Column) -> Column:
+    """Serialize one field value back into a JSON fragment."""
+    return (
+        F.when(v.isNull(), F.lit("null"))
+        .when(v.rlike(_JSON_LITERAL_RE), v)
+        .otherwise(_quote(v))
+    )
+
+
+def doc_entries(doc: Column | str) -> Column:
+    """Schemaless decomposition: array<struct<key,value>> of the
+    document's top-level fields, values as raw JSON fragments."""
+    return F.map_entries(F.from_json(_c(doc), "map<string,string>"))
+
+
+def doc_keys(doc: Column | str) -> Column:
+    """Top-level field names, document order."""
+    return F.transform(doc_entries(doc), lambda e: e["key"])
+
+
+def doc_serialize(entries: Column) -> Column:
+    """Entries array -> canonical JSON object text (no whitespace,
+    document order preserved)."""
+    parts = F.transform(
+        entries,
+        lambda e: F.concat(_quote(e["key"]), F.lit(":"), _frag(e["value"])),
+    )
+    return F.concat(F.lit("{"), F.array_join(parts, ","), F.lit("}"))
+
+
+def _set_top(doc: Column, key: str, frag: Column) -> Column:
+    """Set/overwrite one top-level field: filter the old entry out,
+    append the new one (RFC 7386 merge-patch puts new keys last)."""
+    kept = F.filter(doc_entries(doc), lambda e: e["key"] != F.lit(key))
+    entry = F.struct(F.lit(key).alias("key"), frag.alias("value"))
+    return doc_serialize(F.concat(kept, F.array(entry)))
+
+
+def _drop_top(doc: Column, key: str) -> Column:
+    kept = F.filter(doc_entries(doc), lambda e: e["key"] != F.lit(key))
+    return doc_serialize(kept)
+
+
+def doc_set(doc: Column | str, path: str | list[str], frag: Column | str) -> Column:
+    """Amend one field of a schemaless JSON document — ``path`` may be
+    nested (``["cust", "tier"]``); missing intermediate objects are
+    created, sibling fields survive untouched.  ``frag`` is the new
+    value as a JSON fragment Column (``F.lit('"pro"')``, a number cast
+    to string, a whole object's text) or a plain string treated as a
+    literal fragment.
+
+    The nested case recurses through the enclosing fragment: extract
+    the sub-document (or ``{}`` when absent/not an object), set within
+    it, splice the rebuilt text back — all Column expressions with the
+    recursion unrolled at plan-build time."""
+    d = _c(doc)
+    if isinstance(frag, str):
+        frag = F.lit(frag)
+    parts = [path] if isinstance(path, str) else list(path)
+    if not parts:
+        raise ValueError("doc_set: empty path")
+    head, rest = parts[0], parts[1:]
+    if not rest:
+        return _set_top(d, head, frag)
+    sub = F.get_json_object(d, f"$.{head}")
+    sub_obj = F.when(
+        sub.isNotNull() & sub.rlike(r"^\{.*\}$"), sub
+    ).otherwise(F.lit("{}"))
+    rebuilt = doc_set(sub_obj, rest, frag)
+    return _set_top(d, head, rebuilt)
+
+
+def doc_drop(doc: Column | str, path: str | list[str]) -> Column:
+    """Delete one (possibly nested) field; a missing path is a no-op,
+    siblings survive."""
+    d = _c(doc)
+    parts = [path] if isinstance(path, str) else list(path)
+    if not parts:
+        raise ValueError("doc_drop: empty path")
+    head, rest = parts[0], parts[1:]
+    if not rest:
+        return _drop_top(d, head)
+    sub = F.get_json_object(d, f"$.{head}")
+    is_obj = sub.isNotNull() & sub.rlike(r"^\{.*\}$")
+    rebuilt = doc_drop(F.when(is_obj, sub).otherwise(F.lit("{}")), rest)
+    # only splice back when the intermediate existed as an object —
+    # dropping inside a missing subtree must not create it
+    return F.when(is_obj, _set_top(d, head, rebuilt)).otherwise(d)
+
+
+# ------------------------------------------------------- schema profile
+#: Fragment-text type inference, shared with the SQL oracle (both
+#: engines regex the same fragment text, so the profile is
+#: engine-portable by construction).
+_TYPE_INT = r"^-?(0|[1-9][0-9]*)$"
+_TYPE_DOUBLE = r"^-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+_TYPE_BOOL = r"^(true|false)$"
+
+
+def frag_type(v: Column) -> Column:
+    """Type tag of one JSON fragment: bigint / double / boolean /
+    object / array / null / varchar."""
+    return (
+        F.when(v.isNull() | (v == "null"), F.lit("null"))
+        .when(v.rlike(_TYPE_INT), F.lit("bigint"))
+        .when(v.rlike(_TYPE_DOUBLE), F.lit("double"))
+        .when(v.rlike(_TYPE_BOOL), F.lit("boolean"))
+        .when(v.rlike(r"^\{.*\}$"), F.lit("object"))
+        .when(v.rlike(r"^\[.*\]$"), F.lit("array"))
+        .otherwise(F.lit("varchar"))
+    )
+
+
+def schema_profile(df: DataFrame, doc_col: str) -> DataFrame:
+    """Document-level promote-on-append: per top-level key, how many
+    docs carry it and the PROMOTED type across them — the lattice
+    ``bigint < double < varchar`` (layout.cc:726-934 applies this when
+    appending tables; ATLAS applies it when a feed adds or retypes a
+    field).  boolean/object/array/null promote to varchar when mixed
+    with anything else; null never demotes a typed field.
+
+    One explode + one keyed partial-agg shuffle on (key) — the profile
+    is vocabulary-sized, never corpus-sized."""
+    e = df.select(F.explode(doc_entries(doc_col)).alias("e")).select(
+        F.col("e.key").alias("key"), frag_type(F.col("e.value")).alias("t")
+    )
+    kinds = e.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("t") == "null", 1).otherwise(0)).alias("n_null"),
+        F.collect_set("t").alias("__ts"),
+    )
+    nonnull = F.array_remove(F.col("__ts"), "null")
+    promoted = (
+        F.when(F.size(nonnull) == 0, F.lit("null"))
+        .when(F.size(nonnull) == 1, F.element_at(nonnull, 1))
+        .when(
+            F.size(F.array_except(nonnull, F.array(F.lit("bigint"), F.lit("double"))))
+            == 0,
+            F.lit("double"),
+        )
+        .otherwise(F.lit("varchar"))
+    )
+    return kinds.select(
+        "key",
+        "n_docs",
+        F.col("n_null").cast("long").alias("n_null"),
+        promoted.alias("promoted_type"),
+    )

@@ -32,6 +32,7 @@ from .functions import scalars as S
 from .functions import semantics as K
 from .functions import temporal as TM
 from .operators import asof as AS
+from .operators import atlas as AT
 from .operators import curation as CU
 from .operators import dedup as DD
 from .operators import multimodal as MM
@@ -4563,7 +4564,7 @@ _attach_oracle("pq_ann_topk", _pq_topk_oracle_sql)
 
 
 def _pq_rerank_oracle_sql(
-    sf_dir="/root/testdata/sf0.01", m=8, cand=25, k=5, nq=8
+    sf_dir="/root/testdata/sf0.01", m=8, cand=100, k=5, nq=8
 ) -> str:
     ctes = _pq_oracle_parts(sf_dir)
     adc = " + ".join(f"q.d{j}[x.c{j} + 1]" for j in range(m))
@@ -4595,15 +4596,15 @@ def _pq_rerank_oracle_sql(
 @query("pq_rerank_topk", None)
 def pq_rerank_topk(spark, sf):
     """Two-stage ANN serving (the production pattern): PQ ADC prunes
-    the corpus to 25 candidates per query scanning CODES ONLY, then an
-    exact cosine re-rank touches raw vectors for just those 25 —
+    the corpus to 100 candidates per query scanning CODES ONLY, then an
+    exact cosine re-rank touches raw vectors for just those 100 —
     100 TB of embeddings is scanned compressed, and the exact pass is
     bounded by candidates x queries.  Composes pq_topk with the exact
     scorer; oracle replays both stages with identical arithmetic."""
     em = _t(spark, sf, "embeddings")
     books = SIM.pq_fit(em, m=8, k=16)
     q = em.where(F.col("vec_id") < 8)
-    cands = SIM.pq_topk(em, q, books, k=25).select("query_id", "neighbor_id")
+    cands = SIM.pq_topk(em, q, books, k=100).select("query_id", "neighbor_id")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vecs = em.select("vec_id", emb.alias("__v"))
     scored = (
@@ -9384,6 +9385,684 @@ def robust_zscore_events(spark, sf):
 # registry is oracle-checkable at EVERY scale (tests/oracle_check.py
 # calls it for non-default dirs).
 
+# =====================================================================
+# ATLAS document-store surface: schemaless nested amend / drift append
+# (round 6 — enums.h:262, jump.h:190; promote-on-append mirrors
+# layout.cc:726-934 at the document level)
+# =====================================================================
+
+@query(
+    "atlas_nested_update",
+    """
+    WITH up AS (
+      SELECT event_id,
+             json_merge_patch(
+               json_merge_patch(props, json_object('meta', json_object(
+                 'tier', CASE WHEN value > 0.5 THEN 'pro' ELSE 'basic' END,
+                 'score', round(value, 3)))),
+               json_object(
+                 'k', CAST(json_extract_string(props, '$.k') AS BIGINT) + 1)
+             ) AS doc
+      FROM events)
+    SELECT event_id,
+           CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k2,
+           json_extract_string(doc, '$.meta.tier') AS tier,
+           CAST(json_extract_string(doc, '$.meta.score') AS DOUBLE) AS score,
+           CAST(len(json_keys(doc)) AS BIGINT) AS n_keys
+    FROM up ORDER BY event_id
+    """,
+)
+def atlas_nested_update(spark, sf):
+    """ATLAS schemaless amend (enums.h:262): set fields INSIDE a JSON
+    document column — a nested object path that doesn't exist yet
+    (meta.tier, meta.score) and an in-place overwrite of an existing
+    top-level field (k := k+1) — without declaring a schema anywhere,
+    siblings preserved.  operators.atlas rebuilds the document as pure
+    Column math over the map<string,string> decomposition: a narrow
+    zero-shuffle projection that runs at scan speed at any scale.  The
+    oracle replays the same amends with DuckDB's json_merge_patch
+    (RFC 7386 merge semantics — nested objects merge, not replace);
+    both engines then EXTRACT the fields, so the comparison is over
+    values, never over JSON text formatting."""
+    e = _t(spark, sf, "events")
+    tier = F.when(F.col("value") > 0.5, F.lit('"pro"')).otherwise(
+        F.lit('"basic"')
+    )
+    doc = AT.doc_set("props", ["meta", "tier"], tier)
+    doc = AT.doc_set(doc, ["meta", "score"], F.round("value", 3).cast("string"))
+    doc = AT.doc_set(
+        doc,
+        "k",
+        (F.get_json_object(F.col("props"), "$.k").cast("long") + 1).cast(
+            "string"
+        ),
+    )
+    staged = e.select("event_id", doc.alias("doc"))
+    return staged.select(
+        "event_id",
+        F.get_json_object("doc", "$.k").cast("long").alias("k2"),
+        F.get_json_object("doc", "$.meta.tier").alias("tier"),
+        F.get_json_object("doc", "$.meta.score").cast("double").alias("score"),
+        F.size(AT.doc_keys("doc")).cast("long").alias("n_keys"),
+    ).orderBy("event_id")
+
+
+@query(
+    "atlas_drift_append",
+    """
+    WITH a AS (
+      SELECT event_id, props AS doc FROM events WHERE event_id % 2 = 0
+    ), b AS (
+      SELECT event_id,
+             json_merge_patch(props, json_object('v', round(value, 3))) AS doc
+      FROM events WHERE event_id % 2 = 1
+    ), un AS (
+      SELECT * FROM a UNION ALL SELECT * FROM b
+    )
+    SELECT array_to_string(list_sort(json_keys(doc)), ',') AS sig,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(json_extract_string(doc, '$.k')) AS BIGINT) AS n_k,
+           round(avg(CAST(json_extract_string(doc, '$.v') AS DOUBLE)), 6)
+             AS avg_v
+    FROM un GROUP BY sig ORDER BY sig
+    """,
+)
+def atlas_drift_append(spark, sf):
+    """ATLAS schema-drift append: one feed batch carries {k}, the next
+    {k, v} — the first thing a tick-DB user hits when a feed adds a
+    field.  The append is a plain union of document columns (no schema
+    reconciliation step exists or is needed — drift lives INSIDE the
+    document), and the read side stays total: extraction of a missing
+    field is NULL, per-signature profiling shows exactly which shapes
+    arrived.  Document-level promote-on-append, mirroring what
+    layout.cc:726-934 does for table columns."""
+    e = _t(spark, sf, "events")
+    a = e.where(F.col("event_id") % 2 == 0).select(
+        "event_id", F.col("props").alias("doc")
+    )
+    b = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        AT.doc_set("props", "v", F.round("value", 3).cast("string")).alias(
+            "doc"
+        ),
+    )
+    un = a.unionByName(b)
+    return (
+        un.select(
+            F.array_join(F.array_sort(AT.doc_keys("doc")), ",").alias("sig"),
+            F.get_json_object("doc", "$.k").alias("k"),
+            F.get_json_object("doc", "$.v").cast("double").alias("v"),
+        )
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("k").alias("n_k"),
+            F.round(F.avg("v"), 6).alias("avg_v"),
+        )
+        .orderBy("sig")
+    )
+
+
+@query(
+    "atlas_schema_profile",
+    """
+    WITH docs AS (
+      SELECT CASE WHEN user_id % 3 = 0
+                  THEN json_merge_patch(props,
+                         json_object('k', 'u' || CAST(user_id AS VARCHAR)))
+                  ELSE props END AS d0,
+             event_id, user_id, value
+      FROM events
+    ), d1 AS (
+      SELECT CASE WHEN event_id % 5 = 0
+                  THEN json_merge_patch(d0, json_object('v', round(value, 3)))
+                  ELSE d0 END AS d1, event_id FROM docs
+    ), built AS (
+      -- json_merge_patch(d, '{"z": null}') would DELETE z (RFC 7386:
+      -- null means remove), so the explicit-null field is spliced in
+      -- textually; d1 is never the empty object (k is always present)
+      SELECT CASE WHEN event_id % 7 = 0
+                  THEN substr(d1, 1, length(d1) - 1) || ',"z":null}'
+                  ELSE d1 END AS doc FROM d1
+    ), kv AS (
+      SELECT k AS key, CAST(json_extract(doc, '$.' || k) AS VARCHAR) AS frag
+      FROM built, unnest(json_keys(doc)) AS u(k)
+    ), typed AS (
+      SELECT key, CASE
+        WHEN frag IS NULL OR frag = 'null' THEN 'null'
+        WHEN regexp_full_match(frag, '-?(0|[1-9][0-9]*)') THEN 'bigint'
+        WHEN regexp_full_match(frag,
+             '-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?') THEN 'double'
+        WHEN frag IN ('true', 'false') THEN 'boolean'
+        WHEN frag LIKE '{%' THEN 'object'
+        WHEN frag LIKE '[%' THEN 'array'
+        ELSE 'varchar' END AS t
+      FROM kv
+    )
+    SELECT key, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN t = 'null' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CASE WHEN len(list_filter(list_distinct(list(t)),
+                                     x -> x <> 'null')) = 0 THEN 'null'
+                WHEN len(list_filter(list_distinct(list(t)),
+                                     x -> x <> 'null')) = 1
+                  THEN list_filter(list_distinct(list(t)),
+                                   x -> x <> 'null')[1]
+                WHEN len(list_filter(list_distinct(list(t)),
+                         x -> x NOT IN ('bigint', 'double', 'null'))) = 0
+                  THEN 'double'
+                ELSE 'varchar' END AS promoted_type
+    FROM typed GROUP BY key ORDER BY key
+    """,
+)
+def atlas_schema_profile(spark, sf):
+    """ATLAS schema inference under drift: a feed that retypes k from
+    number to string for some users, adds v (double) to every 5th doc,
+    and an explicit null z to every 7th.  ``atlas.schema_profile``
+    reports, per key, how many documents carry it and the PROMOTED
+    type across them — bigint<double<varchar lattice, null never
+    demotes — the document-level promote-on-append of layout.cc.
+    One explode + one key-partitioned partial agg; the profile is
+    vocabulary-sized at any corpus size.  Both engines infer types
+    from the raw fragment TEXT with the same grammar, so the profile
+    is engine-portable by construction."""
+    e = _t(spark, sf, "events")
+    d0 = F.when(
+        F.col("user_id") % 3 == 0,
+        AT.doc_set(
+            "props",
+            "k",
+            F.concat(F.lit('"u'), F.col("user_id").cast("string"), F.lit('"')),
+        ),
+    ).otherwise(F.col("props"))
+    d1 = F.when(
+        F.col("event_id") % 5 == 0,
+        AT.doc_set(d0, "v", F.round("value", 3).cast("string")),
+    ).otherwise(d0)
+    d2 = F.when(
+        F.col("event_id") % 7 == 0, AT.doc_set(d1, "z", F.lit("null"))
+    ).otherwise(d1)
+    built = e.select(d2.alias("doc"))
+    return AT.schema_profile(built, "doc").orderBy("key")
+
+
+# =====================================================================
+# Deterministic RNG twin + weighted sampling (round 6 — rng.h:7-46)
+# =====================================================================
+
+@query(
+    "rand_det_uniform",
+    """
+    WITH u AS (
+      SELECT event_id,
+             (('0x' || substr(md5('42#' || CAST(event_id AS VARCHAR)),
+                              1, 8))::BIGINT + 1) / 4294967297.0 AS u
+      FROM events)
+    SELECT event_id, round(u, 6) AS u,
+           CAST(floor(u * 10) AS BIGINT) AS bucket
+    FROM u ORDER BY event_id
+    """,
+)
+def rand_det_uniform(spark, sf):
+    """Reproducible uniform stream (rng.h:7-46: kerf's seeded PCG64
+    gives the same stream for the same seed).  ``F.rand(seed)`` seeds
+    per-partition — repartition the input and every draw changes — so
+    the engine's deterministic rand is counter-based md5: a pure
+    projection of (seed, key), identical on any layout and any engine,
+    bit-reproducible here against the SQL twin.  Zero shuffle."""
+    e = _t(spark, sf, "events").select("event_id")
+    u = S.rand_det(42, "event_id")
+    return e.select(
+        "event_id",
+        F.round(u, 6).alias("u"),
+        F.floor(u * 10).cast("long").alias("bucket"),
+    ).orderBy("event_id")
+
+
+@query(
+    "weighted_sample_docs",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             ln((('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT + 1) / 4294967297.0)
+             / n_chars AS es_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, round(es_key, 9) AS es_key
+    FROM s ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark, sf):
+    """Deterministic weighted sampling WITHOUT replacement, probability
+    proportional to document length: the Efraimidis-Vassilvitskii 2006
+    A-Res keys — take the k largest u^(1/w), computed in log space as
+    ln(u)/w — with u from the md5 counter stream, so the 'random'
+    sample is layout-invariant and SQL-reproducible (the same
+    discipline as DSIR's Gumbel top-k).  Plans as TakeOrderedAndProject:
+    no global sort materializes at any corpus size."""
+    d = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
+    u = S.rand_det(7, "doc_id")
+    score = F.ln(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", F.round(score, 9).alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# =====================================================================
+# Tick-analytics family over integer-cents accumulation (round 6):
+# running P&L peaks, band/oscillator indicators.  All per-user windows
+# (the series key scales with data); every accumulation is exact int64
+# so the fp result is a single deterministic division/sqrt at the end
+# — no cross-engine association drift at any frame size.
+# =====================================================================
+
+def _cents(col="value"):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+@query(
+    "drawdown_events",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cum AS (
+      SELECT user_id, event_id,
+             sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_c
+      FROM c),
+    peaks AS (
+      SELECT user_id, event_id, cum_c,
+             max(cum_c) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak_c
+      FROM cum)
+    SELECT user_id, event_id,
+           round(cum_c / 100.0, 2) AS cum_value,
+           round((peak_c - cum_c) / 100.0, 2) AS drawdown
+    FROM peaks ORDER BY user_id, event_id
+    """,
+)
+def drawdown_events(spark, sf):
+    """Running peak and drawdown of each user's cumulative value — the
+    max-drawdown building block every P&L monitor runs.  Accumulates
+    integer cents (exact at any length; the double sum would expose
+    engine association order), running max over the running sum, one
+    exchange keyed on user_id (a key whose cardinality grows with the
+    data — not the low-cardinality trap)."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = e.select(
+        "user_id", "event_id", F.sum(_cents()).over(w).alias("cum_c")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cum.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("cum_c") / 100.0, 2).alias("cum_value"),
+        F.round(
+            (F.max("cum_c").over(wp) - F.col("cum_c")) / 100.0, 2
+        ).alias("drawdown"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "bollinger_bands_events",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    f AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS m,
+             sum(cents) OVER w AS s,
+             sum(cents * cents) OVER w AS ss,
+             cents
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, CAST(m AS BIGINT) AS m,
+           round(s / (100.0 * m), 6) AS mid,
+           round(CASE WHEN m > 1 THEN
+             s / (100.0 * m) + 2 * sqrt(greatest(
+               (ss - CAST(s AS DOUBLE) * s / m) / (m - 1), 0.0)) / 100.0
+           END, 6) AS upper,
+           round(CASE WHEN m > 1 THEN
+             s / (100.0 * m) - 2 * sqrt(greatest(
+               (ss - CAST(s AS DOUBLE) * s / m) / (m - 1), 0.0)) / 100.0
+           END, 6) AS lower
+    FROM f ORDER BY user_id, event_id
+    """,
+)
+def bollinger_bands_events(spark, sf):
+    """20-tick Bollinger bands per user: moving mean ± 2 sample
+    stddevs.  Sum-form over exact integer cents (Σx, Σx² are int64 —
+    no engine association drift), the variance clamp guards fp
+    cancellation, frames shorter than 2 emit NULL bands.  One
+    user-keyed exchange shared by all three window sums."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    c = _cents()
+    staged = e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.sum(c).over(w).alias("s"),
+        F.sum(c * c).over(w).alias("ss"),
+    )
+    m = F.col("m").cast("double")
+    s, ss = F.col("s"), F.col("ss")
+    mid = s / (100.0 * m)
+    sd = F.sqrt(
+        F.greatest((ss - s.cast("double") * s / m) / (m - 1), F.lit(0.0))
+    )
+    band = F.when(F.col("m") > 1, sd / 100.0)
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.col("m").cast("long").alias("m"),
+        F.round(mid, 6).alias("mid"),
+        F.round(mid + 2 * band, 6).alias("upper"),
+        F.round(mid - 2 * band, 6).alias("lower"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "realized_vol_events",
+    """
+    WITH c AS (
+      SELECT user_id, ts,
+             epoch_us(ts) // 3600000000 AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events),
+    d AS (
+      SELECT user_id, hr,
+             cents - lag(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dc
+      FROM c)
+    SELECT user_id, hr,
+           CAST(count(dc) AS BIGINT) AS n_ticks,
+           round(sqrt(CAST(sum(dc * dc) AS DOUBLE)) / 100.0, 6) AS vol
+    FROM d GROUP BY user_id, hr
+    HAVING count(dc) > 0
+    ORDER BY user_id, hr
+    """,
+)
+def realized_vol_events(spark, sf):
+    """Realized volatility per (user, hour): sqrt of the sum of squared
+    tick-to-tick changes — the model-free vol estimator.  Diffs in
+    exact integer cents (lag over the user series), squares summed as
+    int64, a single sqrt at the end; the per-user lag and the
+    (user, hour) aggregation share the user-keyed exchange."""
+    e = _t(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = _cents()
+    d = e.select(
+        "user_id",
+        # exact integer hour bucket (decimal floor-div, not fp: µs
+        # magnitudes would lose ULPs through a double divide)
+        TM._divfloor(TM.ns_to_us("ts"), 3600000000).alias("hr"),
+        (c - F.lag(c).over(wu)).alias("dc"),
+    )
+    return (
+        d.groupBy("user_id", "hr")
+        .agg(
+            F.count("dc").alias("n_ticks"),
+            F.round(
+                F.sqrt(F.sum(F.col("dc") * F.col("dc")).cast("double"))
+                / 100.0,
+                6,
+            ).alias("vol"),
+        )
+        .where(F.col("n_ticks") > 0)
+        .orderBy("user_id", "hr")
+    )
+
+
+@query(
+    "rsi_events",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (
+      SELECT user_id, event_id, ts,
+             cents - lag(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dc
+      FROM c),
+    g AS (
+      SELECT user_id, event_id,
+             sum(CASE WHEN dc > 0 THEN dc ELSE 0 END) OVER w AS sg,
+             sum(CASE WHEN dc < 0 THEN -dc ELSE 0 END) OVER w AS sl,
+             count(dc) OVER w AS nd
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           round(CASE WHEN nd >= 14 AND sg + sl > 0
+                      THEN 100.0 * sg / (sg + sl) END, 6) AS rsi
+    FROM g ORDER BY user_id, event_id
+    """,
+)
+def rsi_events(spark, sf):
+    """14-tick RSI per user (simple-average form): separate the ups
+    from the downs, RSI = 100·gains/(gains+losses) over the trailing
+    frame — NULL until the frame holds 14 diffs or when the frame is
+    flat.  Gains/losses accumulate as exact int64 cents; the single
+    division at the end is the only fp op, so both engines agree
+    bitwise.  One user-keyed exchange shared by lag + three sums."""
+    e = _t(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = _cents()
+    d = e.select(
+        "user_id", "event_id", "ts", (c - F.lag(c).over(wu)).alias("dc")
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    dc = F.col("dc")
+    g = d.select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(dc > 0, dc).otherwise(F.lit(0))).over(wf).alias("sg"),
+        F.sum(F.when(dc < 0, -dc).otherwise(F.lit(0))).over(wf).alias("sl"),
+        F.count("dc").over(wf).alias("nd"),
+    )
+    sg, sl = F.col("sg"), F.col("sl")
+    return g.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.when(
+                (F.col("nd") >= 14) & (sg + sl > 0),
+                100.0 * sg / (sg + sl),
+            ),
+            6,
+        ).alias("rsi"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "stochastic_events",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, cents,
+             min(cents) OVER w AS lo, max(cents) OVER w AS hi,
+             count(*) OVER w AS m
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, CAST(m AS BIGINT) AS m,
+           round(CASE WHEN hi > lo
+                      THEN 100.0 * (cents - lo) / (hi - lo) END, 6)
+             AS pct_k
+    FROM f ORDER BY user_id, event_id
+    """,
+)
+def stochastic_events(spark, sf):
+    """14-tick stochastic oscillator %K per user: where the latest
+    value sits inside the trailing frame's [min, max] range, scaled to
+    0-100 — NULL on flat frames rather than dividing by zero.  min/max
+    are association-free, the one division is the only fp op.  Shares
+    the per-user window exchange shape of the RSI/Bollinger family."""
+    e = _t(spark, sf, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    c = _cents()
+    staged = e.select(
+        "user_id",
+        "event_id",
+        c.alias("cents"),
+        F.min(c).over(wf).alias("lo"),
+        F.max(c).over(wf).alias("hi"),
+        F.count(F.lit(1)).over(wf).alias("m"),
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        F.col("m").cast("long").alias("m"),
+        F.round(
+            F.when(
+                F.col("hi") > F.col("lo"),
+                100.0
+                * (F.col("cents") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+            ),
+            6,
+        ).alias("pct_k"),
+    ).orderBy("user_id", "event_id")
+
+
+# =====================================================================
+# ANN recall meter (round 6): the number every nprobe/bands/codebook
+# decision is tuned on, as a driver-proven oracle row
+# =====================================================================
+
+_EXACT_TOPK_SQL = """
+    WITH qs AS (SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))) AS cos
+      FROM qs q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Compose the recall oracle from the exact-top-k SQL and the two
+    learned-literal approximate oracles (re-derived for ``sf_dir`` so
+    refit keeps the whole row verifiable at every fixture scale)."""
+    ivf = _ivf_oracle_sql(sf_dir=sf_dir)
+    pq = _pq_topk_oracle_sql(sf_dir=sf_dir)
+    pqr = _pq_rerank_oracle_sql(sf_dir=sf_dir)
+
+    def recall_block(method: str, cte: str) -> str:
+        return f"""
+      SELECT '{method}' AS method, e.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+             round(count(a.neighbor_id) * 1.0 / count(*), 6) AS recall
+      FROM exact e LEFT JOIN {cte} a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id"""
+
+    return (
+        f"WITH exact AS ({_EXACT_TOPK_SQL}),\n"
+        f" ivf AS ({ivf}),\n pq AS ({pq}),\n pq_rerank AS ({pqr})\n"
+        + recall_block("ivf", "ivf")
+        + "\n      UNION ALL\n"
+        + recall_block("pq", "pq")
+        + "\n      UNION ALL\n"
+        + recall_block("pq_rerank", "pq_rerank")
+        + "\n      ORDER BY method, query_id"
+    )
+
+
+@query("ann_recall_meter")  # computed oracle attached below
+def ann_recall_meter(spark, sf):
+    """Recall@5 of the approximate ANN paths against the exact cosine
+    top-k, per query and method — the one number that justifies running
+    an approximate index at all (the reference's own discipline:
+    adverbs.h:215 'measure, don't guess').  Three tiers: IVF (nprobe
+    pruning), raw PQ ADC (8-byte codes — recall is LOW by design, the
+    price of 32x compression with no refinement), and PQ+exact-rerank
+    (the production serving pattern — ADC prunes to 25, exact cosine
+    re-ranks; recall recovers).  A driver-proven row, so degrading
+    nprobe/codebooks/banding shows up as a red instead of a silent
+    recall drop.  Cost is O(queries·k) joins over the top-k outputs
+    only — corpus-size-independent."""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    exact = SIM.cosine_topk(em, q, k=5)
+    ivf = SIM.ivf_topk(em, q, k=5, n_cells=8, nprobe=4)
+    books = SIM.pq_fit(em, m=8, k=16)
+    pq = SIM.pq_topk(em, q, books, k=5)
+    pqr = pq_rerank_topk(spark, sf)
+
+    def meter(approx, method):
+        r = SIM.ann_recall(approx, exact)
+        return r.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") * 1.0 / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
+
+    return (
+        meter(ivf, "ivf")
+        .unionByName(meter(pq, "pq"))
+        .unionByName(meter(pqr, "pq_rerank"))
+        .orderBy("method", "query_id")
+    )
+
+
+_attach_oracle("ann_recall_meter", _recall_oracle_sql)
+
+
 def refit_oracles(sf_dir: str) -> None:
     """Re-derive the learned-literal oracles against ``sf_dir``."""
     _attach_oracle(
@@ -9418,6 +10097,9 @@ def refit_oracles(sf_dir: str) -> None:
     )
     _attach_oracle(
         "pca_project_embeddings", lambda: _pca_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "ann_recall_meter", lambda: _recall_oracle_sql(sf_dir=sf_dir)
     )
 
 
@@ -9506,30 +10188,14 @@ _DRIVER_GREEN = [
     "corpus_shuffle_order", "stream_static_asof",
     "interval_overlap_pairs", "chunk_documents", "key_skew_profile",
     "asof_bucketed_colocated", "multimodal_jpeg_decode",
-]
-
-#: Round-5 driver window (exactly 50 = the driver's per-round budget):
-#: the four r04 representation-bug reds re-proving with serialized
-#: outputs, then every entry that has never had a driver row (the
-#: round-4-late additions).  After this round every registry entry has
-#: a green driver verdict or is out of the registry (xxhash64 bench-only
-#: fast paths).
-#:
-#: ROUND-6 NOTE: once CORRECTNESS_r05 lands green, move this window's
-#: names into _DRIVER_GREEN and build _R06_WINDOW from the 8 round-5
-#: additions sitting at positions 50+ (global_running_sum,
-#: stream_socket_ingest, pq_encode_codes, pq_ann_topk, pq_rerank_topk,
-#: kerfsql_fby_filter, compact_roundtrip, dup_cluster_best_docs) plus
-#: any new work — all pass the local oracle sweep
-#: (tests/oracle_check.py, 233/233 on 2026-08-14).
-_R05_WINDOW = [
-    # r04 red, fixed: CSV-serialized arrays / VARCHAR decimals / -0.0
+    # r05 green (all of _R05_WINDOW except bpe_pair_counts and
+    # merge_event_intervals, the two HUGEINT-oracle-dtype reds that
+    # re-prove in the r06 window with CAST fixes)
     "map_funcs", "flip_transpose", "bigint_decimal",
     "rolling_window_stats",
-    # never driver-checked, in registry order
     "quality_classifier_docs", "bigram_lm_quality",
     "dsir_weights_docs", "dsir_select_docs",
-    "bpe_pair_counts", "bpe_merges_learned", "bpe_encode_docs",
+    "bpe_merges_learned", "bpe_encode_docs",
     "substring_dedup_spans",
     "multimodal_gif_decode", "multimodal_video_decode",
     "multimodal_audio_features",
@@ -9545,7 +10211,7 @@ _R05_WINDOW = [
     "hll_overlap_event_types",
     "zorder_locality",
     "kerfsql_running_verbs",
-    "event_gap_analysis", "merge_event_intervals",
+    "event_gap_analysis",
     "kerf_lang_asof_verb", "kerfsql_window_join", "kerfsql_asof_join",
     "bloom_semi_join_lineitems", "cms_heavy_hitters",
     "hll_distinct_users", "stream_hll_users",
@@ -9556,10 +10222,52 @@ _R05_WINDOW = [
     "robust_zscore_events",
 ]
 
+#: Round-6 driver window (exactly 50 = the driver's per-round budget):
+#: the two r05 oracle-dtype reds re-proving with CAST fixes, the ten
+#: round-5 additions that have never had a driver row, the eleven
+#: round-6 additions (ATLAS surface, deterministic rand, weighted
+#: sampling, the tick-indicator family, the ANN recall meter), then
+#: re-proves of every query whose PLAN changed this round (the
+#: two-phase top-k rewrite, chunked_moving validation) and a
+#: representative spread of parked greens under the stricter bitwise
+#: sweep.
+_R06_WINDOW = [
+    # r05 red: DuckDB HUGEINT -> float64 oracle dtype artifact, fixed
+    # with CAST(sum(...) AS BIGINT); both bitwise value-correct in r5
+    "bpe_pair_counts", "merge_event_intervals",
+    # never driver-checked (round-5 additions, registry order)
+    "global_running_sum", "volume_bars_events", "tick_rule_flow",
+    "stream_socket_ingest", "compact_roundtrip", "dup_cluster_best_docs",
+    "pq_encode_codes", "pq_ann_topk", "pq_rerank_topk",
+    "kerfsql_fby_filter",
+    # round-6 additions
+    "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
+    "rand_det_uniform", "weighted_sample_docs",
+    "drawdown_events", "bollinger_bands_events", "realized_vol_events",
+    "rsi_events", "stochastic_events",
+    "ann_recall_meter",
+    # plan changed this round (two-phase top-k; chunked_moving
+    # validation; fby quote masking) — re-prove at the driver
+    "cosine_topk_exact", "ivf_ann_topk_oracle", "lsh_ann_topk_oracle",
+    "rolling_window_stats", "kerfsql_tick_idioms",
+    # representative parked greens re-proving under the strict sweep
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_revenue_forecast",
+    "asof_join_latest_order", "interval_join_bursts",
+    "exact_dedup_docs", "minhash_portable_pairs",
+    "token_count_docs", "bloom_contamination_docs",
+    "incremental_neardup_pairs",
+    "xbar_5min_bars", "running_sum_unfold", "session_windows",
+    "stream_window_counts", "atlas_json_struct",
+    "map_funcs", "bigint_decimal",
+    "workspace_roundtrip", "folio_partition_prune",
+    "kerf_lang_pipeline", "kerfsql_select_by",
+]
+
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R05_WINDOW if k in QUERIES]
+    window = [k for k in _R06_WINDOW if k in QUERIES]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)

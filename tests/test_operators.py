@@ -2245,3 +2245,70 @@ def test_two_phase_topk_bounded_windows_and_layout_invariance(spark):
     for q, n, c, r in a:
         per_q.setdefault(q, []).append(r)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_atlas_doc_set_preserves_siblings_and_types(spark):
+    """Schemaless amend must keep untouched fields' TYPES through the
+    round-trip (numbers stay numbers, strings stay quoted) and create
+    missing intermediate objects."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import atlas as A
+
+    df = spark.createDataFrame(
+        [('{"k": 69, "s": "pro", "nest": {"b": 1}, "f": 1.5, "t": true}',)],
+        "doc string",
+    )
+    got = df.select(
+        A.doc_set("doc", ["nest", "tier"], F.lit('"gold"')).alias("a"),
+        A.doc_set("doc", ["made", "up", "deep"], F.lit("7")).alias("b"),
+        A.doc_drop("doc", ["nest", "b"]).alias("c"),
+        A.doc_drop("doc", ["missing", "x"]).alias("d"),
+    ).collect()[0]
+    assert got.a == (
+        '{"k":69,"s":"pro","f":1.5,"t":true,'
+        '"nest":{"b":1,"tier":"gold"}}'
+    )
+    assert '"made":{"up":{"deep":7}}' in got.b
+    assert got.c == '{"k":69,"s":"pro","f":1.5,"t":true,"nest":{}}'
+    # dropping inside a missing subtree must not create the subtree
+    assert got.d == '{"k": 69, "s": "pro", "nest": {"b": 1}, "f": 1.5, "t": true}'
+
+
+def test_atlas_schema_profile_promotion_lattice(spark):
+    from kerf_spark.operators import atlas as A
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": 1, "c": true}',),
+         ('{"a": 1.5, "b": "x", "c": null}',)],
+        "doc string",
+    )
+    got = {
+        r["key"]: (r["n_docs"], r["n_null"], r["promoted_type"])
+        for r in A.schema_profile(df, "doc").collect()
+    }
+    assert got["a"] == (2, 0, "double")    # bigint + double -> double
+    assert got["b"] == (2, 0, "varchar")   # bigint + varchar -> varchar
+    assert got["c"] == (2, 1, "boolean")   # null never demotes
+
+
+def test_ann_recall_meets_threshold(spark):
+    """The approximate paths must hold their stated mean recall@5
+    against the exact scan on the fixture embeddings (r5 verdict item
+    5: the one number that justifies the approximate paths;
+    deterministic given the layout-invariant fits).  Raw PQ ADC is
+    DELIBERATELY low-recall (8-byte codes, no refinement — the
+    32x-compression tradeoff the docstring states); the serving
+    answer is pq_rerank."""
+    from kerf_spark.queries import QUERIES
+
+    rows = QUERIES["ann_recall_meter"](spark, "/root/testdata/sf0.001").collect()
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r["method"], []).append(r["recall"])
+    floors = {"ivf": 0.7, "pq": 0.15, "pq_rerank": 0.7}
+    assert set(by_method) == set(floors)
+    for method, floor in floors.items():
+        recalls = by_method[method]
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floor, f"{method} mean recall {mean} < {floor}: {recalls}"

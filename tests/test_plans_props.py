@@ -465,8 +465,10 @@ def test_simhash_pairs_joinfree(spark):
 def test_ivf_topk_scale_shape(spark):
     """IVF ANN plan: corpus cell assignment is a pure projection (no
     Exchange before the probe join), the probe join broadcasts the tiny
-    query fan-out, and the only hash shuffle is the per-query top-k
-    window."""
+    query fan-out, and the only hash shuffles are the TWO bounded
+    top-k windows — the r6 two-phase rank (local per (query, slice)
+    keeping k, then the survivors per query), never a single
+    corpus-sized partition per query."""
     from kerf_spark.operators import similarity as SIM
     from kerf_spark.sources.io import read_table
     from pyspark.sql import functions as F
@@ -476,7 +478,8 @@ def test_ivf_topk_scale_shape(spark):
     plan = plan_of(SIM.ivf_topk(em, q, k=3, n_cells=4, nprobe=2), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1  # top-k window only
+    assert plan.count("Exchange hashpartitioning") == 2  # local + final rank
+    assert "__slice" in plan  # the local phase's slice key is present
 
 
 def test_melt_expands_without_shuffle(spark):

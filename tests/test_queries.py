@@ -202,6 +202,8 @@ PLAN_LINT_ALLOW = {
         "funnel_conversion", "hll_overlap_event_types", "key_skew_profile",
         "pagerank_supplier_nations", "q11_important_values",
         "q22_global_sales_opportunity", "tfidf_top_terms",
+        "ann_recall_meter",  # composes cosine_topk + pq_topk (8-query
+                             # broadcast probe sets, bounded)
     },
     # global windows over provably bounded inputs: a TakeOrdered prefix,
     # a per-bucket totals table, a vocabulary, a contingency table, a
@@ -242,9 +244,9 @@ def test_driver_window_is_the_first_fifty():
     round; the rotation window must BE that prefix, every name must
     resolve, and never-checked new work must sit immediately after it
     (before the parked greens) so the next rotation reaches it."""
-    from kerf_spark.queries import _DRIVER_GREEN, _R05_WINDOW
+    from kerf_spark.queries import _DRIVER_GREEN, _R06_WINDOW
 
-    window = [k for k in _R05_WINDOW if k in QUERIES]
+    window = [k for k in _R06_WINDOW if k in QUERIES]
     assert len(window) == 50
     assert list(QUERIES)[:50] == window
     green = set(_DRIVER_GREEN)
