@@ -114,6 +114,14 @@ def two_phase_topk(scored: DataFrame, order_by, k: int) -> DataFrame:
     window.  The union of per-slice top-k always contains the global
     top-k, and ``order_by`` is a total order (ties broken by
     neighbor_id), so the result is independent of partition layout.
+
+    Why windows and not a map-side ``collect_list``+``slice`` partial
+    aggregate (which would shuffle only k survivors per slice): the
+    list aggregate buffers EVERY group element in executor memory
+    before truncating — per-task memory of slice_rows·|Q| structs,
+    an OOM where the window's sort spills to disk.  Measured at
+    sf0.1 the two are within noise (0.57 vs 0.59 s); the spill-safe
+    shape wins.
     """
     order_by = list(order_by)
     local_w = Window.partitionBy("query_id", "__slice").orderBy(*order_by)

@@ -610,6 +610,61 @@ def ema_exact(
     return df.groupBy(*[F.col(c) for c in by]).applyInPandas(fn, schema)
 
 
+def macd(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str],
+    order: Sequence[str],
+    fast_decay: float = 0.85,
+    slow_decay: float = 0.925,
+    signal_decay: float = 0.8,
+) -> DataFrame:
+    """MACD indicator family: fast EMA − slow EMA, a signal EMA of
+    that difference, and their histogram — the classic trend gauge,
+    expressed with kerf-style explicit decays (alpha = 1 − decay;
+    the common span-12/26/9 parameterization is decay ≈ 0.846/0.926/
+    0.8).  All three smoothers are the adjusted unbounded recurrence
+    of :func:`ema_exact`, so the same physical strategy applies: ONE
+    ``applyInPandas`` kernel per key group (one shuffle on the key,
+    vectorized ``ewm`` inside — the signal EMA chains on the macd
+    series, which no window expression can do), and the same fit-an-
+    executor-batch precondition: partition by (sym, day)-grade keys.
+    Appends ``macd``, ``signal``, ``hist`` columns."""
+    from pyspark.sql import types as T
+
+    if not by:
+        from ..errors import ArgsError
+
+        raise ArgsError("macd requires at least one `by` key")
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("macd", T.DoubleType()),
+            T.StructField("signal", T.DoubleType()),
+            T.StructField("hist", T.DoubleType()),
+        ]
+    )
+    order_cols = list(order)
+    a_fast, a_slow, a_sig = (
+        1.0 - fast_decay,
+        1.0 - slow_decay,
+        1.0 - signal_decay,
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        fast = pdf[col].ewm(alpha=a_fast, adjust=True).mean()
+        slow = pdf[col].ewm(alpha=a_slow, adjust=True).mean()
+        line = fast - slow
+        sig = line.ewm(alpha=a_sig, adjust=True).mean()
+        pdf["macd"] = line
+        pdf["signal"] = sig
+        pdf["hist"] = line - sig
+        return pdf
+
+    return df.groupBy(*[F.col(c) for c in by]).applyInPandas(fn, schema)
+
+
 def weighted_median(
     df: DataFrame,
     value: str,
