@@ -179,6 +179,59 @@ def frag_type(v: Column) -> Column:
     )
 
 
+def _promoted(types_array: Column) -> Column:
+    """Promotion over a set of type tags: the lattice
+    ``bigint < double < varchar``; boolean/object/array promote to
+    varchar when mixed with anything else; null never demotes."""
+    nonnull = F.array_remove(types_array, "null")
+    return (
+        F.when(F.size(nonnull) == 0, F.lit("null"))
+        .when(F.size(nonnull) == 1, F.element_at(nonnull, 1))
+        .when(
+            F.size(
+                F.array_except(
+                    nonnull, F.array(F.lit("bigint"), F.lit("double"))
+                )
+            )
+            == 0,
+            F.lit("double"),
+        )
+        .otherwise(F.lit("varchar"))
+    )
+
+
+def schema_profile_partial(df: DataFrame, doc_col: str) -> DataFrame:
+    """Mergeable per-key profile state: (key, n_docs, n_null, types
+    set).  Counts add and type sets union across partials, so the
+    profile accumulates across appends / stream micro-batches exactly
+    like any partial aggregate — the streaming twin writes one partial
+    per micro-batch and :func:`merge_schema_profiles` folds them."""
+    e = df.select(F.explode(doc_entries(doc_col)).alias("e")).select(
+        F.col("e.key").alias("key"), frag_type(F.col("e.value")).alias("t")
+    )
+    return e.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("t") == "null", 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.collect_set("t").alias("types"),
+    )
+
+
+def merge_schema_profiles(parts: DataFrame) -> DataFrame:
+    """Fold partial profiles into the final (key, n_docs, n_null,
+    promoted_type) profile — counts sum, type sets union, promotion
+    applied once over the union."""
+    merged = parts.groupBy("key").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_null").cast("long").alias("n_null"),
+        F.array_distinct(F.flatten(F.collect_list("types"))).alias("__ts"),
+    )
+    return merged.select(
+        "key", "n_docs", "n_null", _promoted(F.col("__ts")).alias("promoted_type")
+    )
+
+
 def schema_profile(df: DataFrame, doc_col: str) -> DataFrame:
     """Document-level promote-on-append: per top-level key, how many
     docs carry it and the PROMOTED type across them — the lattice
@@ -188,29 +241,6 @@ def schema_profile(df: DataFrame, doc_col: str) -> DataFrame:
     with anything else; null never demotes a typed field.
 
     One explode + one keyed partial-agg shuffle on (key) — the profile
-    is vocabulary-sized, never corpus-sized."""
-    e = df.select(F.explode(doc_entries(doc_col)).alias("e")).select(
-        F.col("e.key").alias("key"), frag_type(F.col("e.value")).alias("t")
-    )
-    kinds = e.groupBy("key").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col("t") == "null", 1).otherwise(0)).alias("n_null"),
-        F.collect_set("t").alias("__ts"),
-    )
-    nonnull = F.array_remove(F.col("__ts"), "null")
-    promoted = (
-        F.when(F.size(nonnull) == 0, F.lit("null"))
-        .when(F.size(nonnull) == 1, F.element_at(nonnull, 1))
-        .when(
-            F.size(F.array_except(nonnull, F.array(F.lit("bigint"), F.lit("double"))))
-            == 0,
-            F.lit("double"),
-        )
-        .otherwise(F.lit("varchar"))
-    )
-    return kinds.select(
-        "key",
-        "n_docs",
-        F.col("n_null").cast("long").alias("n_null"),
-        promoted.alias("promoted_type"),
-    )
+    is vocabulary-sized, never corpus-sized.  Built on the mergeable
+    partial/merge pair so the batch and streaming paths cannot drift."""
+    return merge_schema_profiles(schema_profile_partial(df, doc_col))

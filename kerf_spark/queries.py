@@ -9510,9 +9510,31 @@ def atlas_drift_append(spark, sf):
     )
 
 
-@query(
-    "atlas_schema_profile",
-    """
+def _atlas_drift_docs(e):
+    """The shared drifting-feed fixture: retype k to string for every
+    3rd user, add v (double) to every 5th doc, an explicit null z to
+    every 7th — one definition for the batch and streaming twins."""
+    d0 = F.when(
+        F.col("user_id") % 3 == 0,
+        AT.doc_set(
+            "props",
+            "k",
+            F.concat(F.lit('"u'), F.col("user_id").cast("string"), F.lit('"')),
+        ),
+    ).otherwise(F.col("props"))
+    d1 = F.when(
+        F.col("event_id") % 5 == 0,
+        AT.doc_set(d0, "v", F.round("value", 3).cast("string")),
+    ).otherwise(d0)
+    d2 = F.when(
+        F.col("event_id") % 7 == 0, AT.doc_set(d1, "z", F.lit("null"))
+    ).otherwise(d1)
+    return e.select(d2.alias("doc"))
+
+
+#: Shared by the batch and streaming schema-profile twins (oracle
+#: single-source discipline).
+_ATLAS_PROFILE_SQL = """
     WITH docs AS (
       SELECT CASE WHEN user_id % 3 = 0
                   THEN json_merge_patch(props,
@@ -9560,8 +9582,10 @@ def atlas_drift_append(spark, sf):
                   THEN 'double'
                 ELSE 'varchar' END AS promoted_type
     FROM typed GROUP BY key ORDER BY key
-    """,
-)
+    """
+
+
+@query("atlas_schema_profile", _ATLAS_PROFILE_SQL)
 def atlas_schema_profile(spark, sf):
     """ATLAS schema inference under drift: a feed that retypes k from
     number to string for some users, adds v (double) to every 5th doc,
@@ -9574,23 +9598,41 @@ def atlas_schema_profile(spark, sf):
     from the raw fragment TEXT with the same grammar, so the profile
     is engine-portable by construction."""
     e = _t(spark, sf, "events")
-    d0 = F.when(
-        F.col("user_id") % 3 == 0,
-        AT.doc_set(
-            "props",
-            "k",
-            F.concat(F.lit('"u'), F.col("user_id").cast("string"), F.lit('"')),
-        ),
-    ).otherwise(F.col("props"))
-    d1 = F.when(
-        F.col("event_id") % 5 == 0,
-        AT.doc_set(d0, "v", F.round("value", 3).cast("string")),
-    ).otherwise(d0)
-    d2 = F.when(
-        F.col("event_id") % 7 == 0, AT.doc_set(d1, "z", F.lit("null"))
-    ).otherwise(d1)
-    built = e.select(d2.alias("doc"))
-    return AT.schema_profile(built, "doc").orderBy("key")
+    return AT.schema_profile(_atlas_drift_docs(e), "doc").orderBy("key")
+
+
+@query("stream_atlas_profile", _ATLAS_PROFILE_SQL)
+def stream_atlas_profile(spark, sf):
+    """The STREAMING twin of atlas_schema_profile — schema drift
+    discovered as the feed arrives: events stream in micro-batches,
+    each batch contributes a MERGEABLE partial profile (counts add,
+    type sets union — atlas.schema_profile_partial) appended to a
+    parquet state sink via foreachBatch, and the final profile folds
+    the partials (merge_schema_profiles).  Same oracle as the batch
+    twin: the accumulated profile must equal the all-at-once one for
+    ANY micro-batch split — the associativity the mergeable-state
+    design guarantees."""
+    import tempfile
+
+    from .streaming.ingest import stream_table
+
+    out_dir = tempfile.mkdtemp(prefix="kerf_stream_atlas_")
+
+    def profile(bdf, _epoch):
+        AT.schema_profile_partial(
+            _atlas_drift_docs(bdf), "doc"
+        ).write.mode("append").parquet(out_dir)
+
+    stream = stream_table(spark, sf, "events")
+    q = (
+        stream.writeStream.foreachBatch(profile)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = spark.read.parquet(out_dir)
+    return AT.merge_schema_profiles(parts).orderBy("key")
 
 
 # =====================================================================
@@ -10319,6 +10361,7 @@ _R06_WINDOW = [
     "kerfsql_fby_filter",
     # round-6 additions
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
+    "stream_atlas_profile",
     "rand_det_uniform", "weighted_sample_docs",
     "drawdown_events", "bollinger_bands_events", "realized_vol_events",
     "rsi_events", "stochastic_events", "macd_events",
@@ -10332,7 +10375,7 @@ _R06_WINDOW = [
     "q6_revenue_forecast",
     "asof_join_latest_order", "interval_join_bursts",
     "exact_dedup_docs", "minhash_portable_pairs",
-    "token_count_docs", "bloom_contamination_docs",
+    "bloom_contamination_docs",
     "incremental_neardup_pairs",
     "xbar_5min_bars", "running_sum_unfold", "session_windows",
     "stream_window_counts", "atlas_json_struct",
