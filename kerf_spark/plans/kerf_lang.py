@@ -572,7 +572,33 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     # "ts")` routes straight to operators.asof (last key = time key)
     "aj": (lambda *a: _aj(*a), None),
     "wj": (lambda *a: _wj(*a), None),
+    # deterministic rand twin (rng.h:7-46): counter-based md5 uniform,
+    # identical on any layout / engine / plane — kerf's reproducible
+    # seeded stream has no layout-stable Spark twin, so the language
+    # exposes the counter construction (functions.scalars.rand_det)
+    "rand_det": (lambda s, x: _loc_rand_det(s, x),
+                 "((cast(conv(substring(md5(concat_ws('#', "
+                 "cast({0} as string), cast({1} as string))), 1, 8), "
+                 "16, 10) as double) + 1.0) / 4294967297.0)"),
 }
+
+
+def _loc_rand_det(seed, x):
+    """Local-plane twin of scalars.rand_det: md5-counter uniform in
+    (0,1) per element, matching the Column/SQL planes bit-for-bit for
+    integer keys (local values render via str(int), the same text
+    Spark's cast-to-string produces)."""
+    import hashlib
+
+    def one(v):
+        key = f"{int(seed)}#{int(v)}".encode()
+        h = hashlib.md5(key).hexdigest()
+        return (int(h[:8], 16) + 1) / 4294967297.0
+
+    arr = _np(x)
+    if np.ndim(arr) == 0:
+        return one(arr)
+    return np.array([one(v) for v in arr])
 
 
 def _table_verb_args(verb: str, args, n_tables: int = 2):

@@ -117,7 +117,7 @@ _SPAN_NS = {
 _WINDOW_VERBS = ("deltas", "ratios", "mavg", "msum", "ffill", "fills",
                  "prev", "next",
                  "sums", "maxs", "mins", "mmax", "mmin", "mdev", "mcount")
-_ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum")
+_ALL_VERBS = _WINDOW_VERBS + ("xbar", "wavg", "wsum", "rand_det")
 
 # fby — the kdb tick idiom `agg(x) fby key` in a where clause: compare
 # each row against its GROUP's aggregate without collapsing the rows
@@ -286,6 +286,14 @@ def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
             x, ns = a[0], _span_to_ns(a[1])
             rep = (
                 f"(CAST({x} AS BIGINT) - pmod(CAST({x} AS BIGINT), {ns}))"
+            )
+        elif name == "rand_det":
+            # deterministic md5-counter uniform (functions.scalars
+            # .rand_det): layout-invariant where SQL rand() is not
+            rep = (
+                "((cast(conv(substring(md5(concat_ws('#', "
+                f"cast({a[0]} as string), cast({a[1]} as string))), "
+                "1, 8), 16, 10) as double) + 1.0) / 4294967297.0)"
             )
         elif name == "wavg":
             rep = f"(sum(({a[0]}) * ({a[1]})) / sum({a[0]}))"

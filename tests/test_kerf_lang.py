@@ -439,3 +439,30 @@ def test_fby_token_inside_string_literal_is_not_an_operator(spark):
         tables={"t": t},
     ).collect()
     assert [(r.note, r.v) for r in rows2] == [("x fby y", 3.0)]
+
+
+def test_rand_det_three_planes_agree(spark):
+    """The deterministic rand twin gives the SAME draw for the same
+    (seed, key) in the local plane, the SQL/column plane, and the
+    functions.scalars Column API — the reproducible-stream contract
+    of the reference's seeded RNG (rng.h:7-46), which layout-seeded
+    F.rand cannot give."""
+    from kerf_spark.functions.scalars import rand_det
+    from kerf_spark.plans.kerf_lang import run, run_df
+    from pyspark.sql import functions as F
+
+    # local plane: vector draw over til
+    local = run(spark, "rand_det(42, til(5))")
+    # column plane through a select
+    t = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    sql_plane = [
+        r.u for r in run_df(
+            spark, "select k, rand_det(42, k) as u from t", tables={"t": t}
+        ).orderBy("k").collect()
+    ]
+    api = [
+        r.u for r in t.select("k", rand_det(42, "k").alias("u"))
+        .orderBy("k").collect()
+    ]
+    assert list(local) == sql_plane == api
+    assert all(0.0 < u < 1.0 for u in api)

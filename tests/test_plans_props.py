@@ -924,3 +924,60 @@ def test_global_scan_property_equals_sequential(spark, rows, agg, width):
         for r in df.select("rid", ref_fn("v").over(w).alias("w")).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- ATLAS round-trip
+_akey = st.text(alphabet="abcdefghij", min_size=1, max_size=4)
+_astr = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=12,
+)
+_aval = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+    st.none(),
+    _astr,
+)
+_adoc = st.dictionaries(_akey, _aval, min_size=0, max_size=5)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_adoc, min_size=1, max_size=6))
+def test_atlas_set_drop_roundtrip_props(spark, docs):
+    """doc_set of a fresh key must (a) make the new field extractable,
+    (b) leave every pre-existing field's EXTRACTED value byte-identical
+    (extraction strips string quotes, so the documented literal-shaped-
+    string canonicalization is invisible at this level), and (c) keep
+    the document parseable; doc_drop must then remove exactly that key.
+    Runs over arbitrary generated documents incl. quotes/backslashes in
+    string values."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import atlas as A
+
+    rows = [(json.dumps(d),) for d in docs]
+    df = spark.createDataFrame(rows, "doc string")
+    upd = A.doc_set("doc", "NEW", F.lit("42"))
+    dropped = A.doc_drop(upd, "NEW")
+    keys = sorted({k for d in docs for k in d})
+    sel = [
+        F.get_json_object("doc", f"$.{k}").alias(f"b_{k}") for k in keys
+    ] + [
+        F.get_json_object(upd, f"$.{k}").alias(f"a_{k}") for k in keys
+    ] + [
+        F.get_json_object(upd, "$.NEW").alias("new_set"),
+        F.get_json_object(dropped, "$.NEW").alias("new_dropped"),
+        F.from_json(upd, "map<string,string>").isNotNull().alias("valid"),
+        F.size(A.doc_keys(dropped)).alias("n_after_drop"),
+    ]
+    out = df.select(*sel).collect()
+    for d, r in zip(docs, out):
+        assert r["new_set"] == "42"
+        assert r["new_dropped"] is None
+        assert r["valid"]
+        assert r["n_after_drop"] == len(d)
+        for k in keys:
+            assert r[f"a_{k}"] == r[f"b_{k}"], (k, d)
