@@ -409,10 +409,17 @@ def rand_det(seed, *keys) -> Column:
     construction DSIR's Gumbel noise uses), strictly inside (0, 1) so
     ``log(u)`` / inverse-CDF transforms never hit the endpoints.  SQL
     twin: ``(('0x' || substr(md5(...), 1, 8))::BIGINT + 1) /
-    4294967297.0``."""
-    key = F.concat_ws(
-        "#", F.lit(str(seed)), *[_c(k).cast("string") for k in keys]
-    )
+    4294967297.0``.
+
+    NULL keys draw NULL (``concat`` propagates, matching the SQL
+    twin's ``||``) — ``concat_ws`` would silently SKIP the null,
+    colliding ('a', NULL, 'b') with ('a', 'b') and handing a NULL key
+    a real draw the SQL twin denies."""
+    parts: list[Column] = [F.lit(str(seed))]
+    for k in keys:
+        parts.append(F.lit("#"))
+        parts.append(_c(k).cast("string"))
+    key = F.concat(*parts)
     return (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
         + F.lit(1.0)

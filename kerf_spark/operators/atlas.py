@@ -33,27 +33,14 @@ expression.  Reads use the built-ins (``get_json_object`` /
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
-
-
-#: A raw JSON literal: string / number / true / false / null / object
-#: / array.  Anything else that comes back from the map decomposition
-#: was a JSON string (its quotes were stripped by the parse) and must
-#: be re-quoted.  CANONICALIZATION CAVEAT: the text-fragment
-#: representation cannot distinguish the JSON string "123" from the
-#: number 123 after a parse (both decompose to the text ``123``), so a
-#: round-trip canonicalizes literal-shaped strings to their literal
-#: type — kerf-style weak typing at the document boundary.
-_JSON_LITERAL_RE = (
-    r'^("(\\.|[^"\\])*"'
-    r"|-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?"
-    r"|true|false|null|\{.*\}|\[.*\])$"
-)
 
 
 def _quote(v: Column) -> Column:
@@ -67,12 +54,48 @@ def _quote(v: Column) -> Column:
 
 
 def _frag(v: Column) -> Column:
-    """Serialize one field value back into a JSON fragment."""
+    """Serialize one field value back into a JSON fragment.
+
+    A value passes through RAW only when a real JSON parser accepts it
+    (``try_parse_json`` — a shape regex like ``\\{.*\\}`` would wave
+    through any brace-wrapped STRING such as ``{hello}`` and corrupt
+    the whole document) and it carries no leading/trailing whitespace
+    (``123\\n`` parses as a number with trailing whitespace, but the
+    value was a string and must stay one).  Everything else is
+    quoted/escaped.  CANONICALIZATION CAVEAT: the text-fragment
+    representation cannot distinguish the JSON string "123" from the
+    number 123 after a parse (both decompose to the text ``123``), so
+    a round-trip canonicalizes literal-shaped strings to their literal
+    type — kerf-style weak typing at the document boundary."""
+    is_literal = (
+        F.try_parse_json(v).isNotNull()
+        & ~v.rlike(r"\A\s")
+        & ~v.rlike(r"\s\z")
+    )
     return (
         F.when(v.isNull(), F.lit("null"))
-        .when(v.rlike(_JSON_LITERAL_RE), v)
+        .when(is_literal, v)
         .otherwise(_quote(v))
     )
+
+
+#: Characters with JSONPath meaning: a nested path component containing
+#: them would make ``get_json_object`` navigate somewhere else entirely
+#: (``"a.b"`` would look up key a then b).  TOP-level set/drop filters
+#: map entries by exact key and accepts any key; only the nested
+#: navigation is restricted.
+_PATH_UNSAFE = re.compile(r"[.\[\]*'\"$]")
+
+
+def _check_path_component(key: str) -> None:
+    if _PATH_UNSAFE.search(key):
+        raise ValueError(
+            f"doc path component {key!r} contains JSONPath "
+            "metacharacters (. [ ] * ' \" $) — nested navigation would "
+            "target the wrong field.  Restructure the path, or operate "
+            "on the extracted sub-document with top-level ops (which "
+            "accept any key)."
+        )
 
 
 def doc_entries(doc: Column | str) -> Column:
@@ -130,6 +153,7 @@ def doc_set(doc: Column | str, path: str | list[str], frag: Column | str) -> Col
     head, rest = parts[0], parts[1:]
     if not rest:
         return _set_top(d, head, frag)
+    _check_path_component(head)
     sub = F.get_json_object(d, f"$.{head}")
     sub_obj = F.when(
         sub.isNotNull() & sub.rlike(r"^\{.*\}$"), sub
@@ -148,6 +172,7 @@ def doc_drop(doc: Column | str, path: str | list[str]) -> Column:
     head, rest = parts[0], parts[1:]
     if not rest:
         return _drop_top(d, head)
+    _check_path_component(head)
     sub = F.get_json_object(d, f"$.{head}")
     is_obj = sub.isNotNull() & sub.rlike(r"^\{.*\}$")
     rebuilt = doc_drop(F.when(is_obj, sub).otherwise(F.lit("{}")), rest)

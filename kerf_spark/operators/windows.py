@@ -629,7 +629,13 @@ def macd(
     vectorized ``ewm`` inside — the signal EMA chains on the macd
     series, which no window expression can do), and the same fit-an-
     executor-batch precondition: partition by (sym, day)-grade keys.
-    Appends ``macd``, ``signal``, ``hist`` columns."""
+    Appends ``macd``, ``signal``, ``hist`` columns.
+
+    NULL handling follows pandas ``ewm(adjust=True)`` (``ignore_na=
+    False``): a NaN contributes no value but its POSITION still decays
+    earlier observations.  Filter nulls first when cross-engine
+    reproducibility matters — closed-form oracles count list positions
+    in the denominator and diverge from pandas on null inputs."""
     from pyspark.sql import types as T
 
     if not by:

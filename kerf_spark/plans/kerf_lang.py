@@ -232,6 +232,23 @@ def split_statements(src: str) -> list[str]:
             cur.append(src[i: j + 1])
             i = j + 1
             continue
+        if ch == "'":
+            # single-quoted SQL literal inside an embedded select
+            # statement ('' escapes) — parens/; /newlines inside it
+            # must not count as structure
+            j = i + 1
+            while j < n:
+                if src[j] == "'":
+                    if j + 1 < n and src[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                raise ParseUnmatchedError("unterminated string in kerf source")
+            cur.append(src[i: j + 1])
+            i = j + 1
+            continue
         if src.startswith("//", i):
             j = src.find("\n", i)
             i = n if j < 0 else j

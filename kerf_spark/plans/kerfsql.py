@@ -169,54 +169,61 @@ def _expand_fby(where: str, table: str) -> tuple[str, str, list[str]]:
     wincols: list[str] = []
     out = where
     while True:
-        # scan the quote-masked text so 'x fby y' in a string literal
-        # is never treated as the operator (mask preserves positions)
-        m = _FBY_TOKEN.search(_mask_quoted(out))
+        # ALL scanning — the token search, the right-key scan, and the
+        # left balanced-paren scan — runs on the quote-masked text, so
+        # neither an 'x fby y' literal nor a ')' / '(' inside a string
+        # argument (`sum(case when note = ')' then 1 end) fby sym`)
+        # can derail the structure.  The mask preserves positions, so
+        # every extracted slice comes from the ORIGINAL text.
+        masked = _mask_quoted(out)
+        m = _FBY_TOKEN.search(masked)
         if m is None:
             break
         # RIGHT of fby: the partition key — a word or a (col, col) list
-        rest = out[m.end():]
-        pad = len(rest) - len(rest.lstrip())
-        rest = rest.lstrip()
-        if rest.startswith("("):
+        mrest = masked[m.end():]
+        pad = len(mrest) - len(mrest.lstrip())
+        mrest = mrest.lstrip()
+        if mrest.startswith("("):
             depth, i = 1, 1
-            while i < len(rest) and depth:
-                if rest[i] == "(":
+            while i < len(mrest) and depth:
+                if mrest[i] == "(":
                     depth += 1
-                elif rest[i] == ")":
+                elif mrest[i] == ")":
                     depth -= 1
                 i += 1
             if depth:
                 raise ParseUnmatchedError(f"fby: unbalanced key parens: {where!r}")
-            key = rest[1:i - 1].strip()
+            key = out[m.end() + pad + 1:m.end() + pad + i - 1].strip()
             key_end = m.end() + pad + i
         else:
-            km = re.match(r"\w+", rest)
+            km = re.match(r"\w+", mrest)
             if km is None:
                 raise ParseError(f"fby needs a partition key: {where!r}")
-            key = km.group(0)
+            key = out[m.end() + pad:m.end() + pad + km.end()]
             key_end = m.end() + pad + km.end()
         # LEFT of fby: the balanced aggregate call it attaches to
-        left = out[:m.start()].rstrip()
-        if not left.endswith(")"):
+        # (masked whitespace only ever sits BETWEEN kept quote chars,
+        # so rstrip lengths agree between masked and original)
+        mleft = masked[:m.start()].rstrip()
+        if not mleft.endswith(")"):
             raise ParseError(
                 f"fby must follow an aggregate call `agg(...)`: {where!r}"
             )
-        depth, j = 0, len(left) - 1
+        depth, j = 0, len(mleft) - 1
         while j >= 0:
-            if left[j] == ")":
+            if mleft[j] == ")":
                 depth += 1
-            elif left[j] == "(":
+            elif mleft[j] == "(":
                 depth -= 1
                 if depth == 0:
                     break
             j -= 1
-        nm = re.search(r"(\w+)\s*$", left[:j])
+        nm = re.search(r"(\w+)\s*$", mleft[:j])
         if depth or nm is None:
             raise ParseError(
                 f"fby must follow an aggregate call `agg(...)`: {where!r}"
             )
-        call = left[nm.start(1):]
+        call = out[nm.start(1):len(mleft)]
         alias = f"__fby{len(wincols)}"
         wincols.append(f"{call} OVER (PARTITION BY {key}) AS {alias}")
         out = out[:nm.start(1)] + alias + out[key_end:]

@@ -1908,9 +1908,10 @@ def ivf_ann_topk(spark, sf):
     )
 
 
-@query(
-    "cosine_topk_exact",
-    """
+#: The exact-cosine top-5 oracle — ONE definition shared by the
+#: cosine_topk_exact row and the ann_recall_meter composition (a fix
+#: here, e.g. a zero-norm guard, must reach both).
+_EXACT_TOPK_SQL = """
     WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -1928,8 +1929,10 @@ def ivf_ann_topk(spark, sf):
       FROM scored
     )
     SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("cosine_topk_exact", _EXACT_TOPK_SQL)
 def cosine_topk_exact(spark, sf):
     em = _t(spark, sf, "embeddings")
     q = em.where(F.col("vec_id") < 8)
@@ -9719,14 +9722,14 @@ def _cents(col="value"):
              CAST(round(value * 100) AS BIGINT) AS cents
       FROM events),
     cum AS (
-      SELECT user_id, event_id,
+      SELECT user_id, event_id, ts,
              sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS cum_c
       FROM c),
     peaks AS (
       SELECT user_id, event_id, cum_c,
-             max(cum_c) OVER (PARTITION BY user_id ORDER BY event_id
+             max(cum_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS peak_c
       FROM cum)
@@ -9750,11 +9753,17 @@ def drawdown_events(spark, sf):
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = e.select(
-        "user_id", "event_id", F.sum(_cents()).over(w).alias("cum_c")
+        "user_id", "event_id", "ts",
+        F.sum(_cents()).over(w).alias("cum_c"),
     )
+    # the peak window MUST replay the accumulation order (ts, then
+    # event_id): ordering it by event_id alone would take the max over
+    # a different prefix set wherever per-user event_id order diverges
+    # from ts order, and the result would no longer be the trailing
+    # peak-to-trough
     wp = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return cum.select(
@@ -10015,7 +10024,7 @@ def stochastic_events(spark, sf):
     """
     WITH t AS (
       SELECT user_id, event_id, epoch_us(ts) AS tu, value
-      FROM events WHERE user_id <= 30
+      FROM events WHERE user_id <= 30 AND value IS NOT NULL
     ),
     l AS (
       SELECT user_id, event_id, tu,
@@ -10061,7 +10070,11 @@ def macd_events(spark, sf):
     in a second windowed CTE."""
     e = (
         _t(spark, sf, "events")
+        # null guard: the closed-form oracle's denominator counts list
+        # positions while pandas ewm weights non-NaN rows only — the
+        # two agree exactly when no nulls reach the smoother
         .where(F.col("user_id") <= 30)
+        .where(F.col("value").isNotNull())
         .select(
             "user_id", "event_id", TM.ns_to_us(F.col("ts")).alias("tu"),
             "value",
@@ -10084,29 +10097,6 @@ def macd_events(spark, sf):
 # ANN recall meter (round 6): the number every nprobe/bands/codebook
 # decision is tuned on, as a driver-proven oracle row
 # =====================================================================
-
-_EXACT_TOPK_SQL = """
-    WITH qs AS (SELECT vec_id AS query_id, embedding
-                FROM embeddings WHERE vec_id < 8),
-    scored AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
-                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
-             / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
-                                      list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
-                * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))) AS cos
-      FROM qs q, embeddings e
-      WHERE e.vec_id <> q.query_id
-    ), ranked AS (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
-"""
-
 
 def _recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Compose the recall oracle from the exact-top-k SQL and the two
@@ -10146,7 +10136,7 @@ def ann_recall_meter(spark, sf):
     adverbs.h:215 'measure, don't guess').  Three tiers: IVF (nprobe
     pruning), raw PQ ADC (8-byte codes — recall is LOW by design, the
     price of 32x compression with no refinement), and PQ+exact-rerank
-    (the production serving pattern — ADC prunes to 25, exact cosine
+    (the production serving pattern — ADC prunes to 100, exact cosine
     re-ranks; recall recovers).  A driver-proven row, so degrading
     nprobe/codebooks/banding shows up as a red instead of a silent
     recall drop.  Cost is O(queries·k) joins over the top-k outputs
@@ -10160,15 +10150,13 @@ def ann_recall_meter(spark, sf):
     pqr = pq_rerank_topk(spark, sf)
 
     def meter(approx, method):
-        r = SIM.ann_recall(approx, exact)
-        return r.select(
+        # ann_recall already emits the rounded recall column
+        return SIM.ann_recall(approx, exact).select(
             F.lit(method).alias("method"),
             "query_id",
             "n_exact",
             "n_hit",
-            F.round(F.col("n_hit") * 1.0 / F.col("n_exact"), 6).alias(
-                "recall"
-            ),
+            "recall",
         )
 
     return (

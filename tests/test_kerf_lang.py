@@ -466,3 +466,22 @@ def test_rand_det_three_planes_agree(spark):
     ]
     assert list(local) == sql_plane == api
     assert all(0.0 < u < 1.0 for u in api)
+
+
+def test_fby_parens_inside_string_arguments(spark):
+    """Review regression: parens and quotes inside the aggregate's own
+    string arguments must not derail the balanced-paren extraction —
+    the structural scans run on the quote-masked text."""
+    from kerf_spark.plans.kerf_lang import run_df
+
+    t = spark.createDataFrame(
+        [(")", 1.0), ("x", 2.0), (")", 3.0), ("x", 4.0)],
+        "note string, v double",
+    )
+    rows = run_df(
+        spark,
+        "select note, v from t where "
+        "sum(case when note = ')' then 1 else 0 end) fby note > 0",
+        tables={"t": t},
+    ).collect()
+    assert sorted((r.note, r.v) for r in rows) == [(")", 1.0), (")", 3.0)]

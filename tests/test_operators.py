@@ -2312,3 +2312,45 @@ def test_ann_recall_meets_threshold(spark):
         recalls = by_method[method]
         mean = sum(recalls) / len(recalls)
         assert mean >= floor, f"{method} mean recall {mean} < {floor}: {recalls}"
+
+
+def test_atlas_frag_brace_string_and_null_key_rand(spark):
+    """Review regressions: (1) a brace/bracket-wrapped STRING value
+    must be re-quoted, not passed through as a 'JSON literal' (a shape
+    regex corrupted the whole document); (2) a literal-with-trailing-
+    newline string stays a string; (3) rand_det draws NULL for a NULL
+    key instead of silently skipping it."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.functions.scalars import rand_det
+    from kerf_spark.operators import atlas as A
+
+    doc = json.dumps({"s": "{hello}", "b": "[a] b [c]", "n": "123\n", "k": 1})
+    df = spark.createDataFrame([(doc,)], "doc string")
+    upd = A.doc_set("doc", "NEW", F.lit("7"))
+    r = df.select(
+        F.from_json(upd, "map<string,string>").isNotNull().alias("valid"),
+        F.get_json_object(upd, "$.s").alias("s"),
+        F.get_json_object(upd, "$.b").alias("b"),
+        F.get_json_object(upd, "$.n").alias("n"),
+        F.get_json_object(upd, "$.k").alias("k"),
+        F.get_json_object(upd, "$.NEW").alias("new"),
+    ).collect()[0]
+    assert r["valid"], "document corrupted by serializer"
+    assert r["s"] == "{hello}"
+    assert r["b"] == "[a] b [c]"
+    assert r["n"] == "123\n"
+    assert r["k"] == "1"
+    assert r["new"] == "7"
+    # nested navigation refuses JSONPath metacharacters in the path
+    import pytest
+
+    with pytest.raises(ValueError, match="metacharacters"):
+        A.doc_set("doc", ["a.b", "t"], F.lit("1"))
+    # rand_det: NULL key -> NULL draw (concat propagates, like the SQL twin)
+    t = spark.createDataFrame([(1,), (None,)], "k long")
+    got = {r2["k"]: r2["u"] for r2 in t.select(
+        "k", rand_det(42, "k").alias("u")).collect()}
+    assert got[1] is not None and got[None] is None
