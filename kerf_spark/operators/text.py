@@ -724,3 +724,59 @@ def inverted_index(
             )
         ).alias("postings"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams whose FIRST corpus occurrence (minimum doc
+    id) is this document — the corpus-diversity lens a curation
+    pipeline uses to find documents that only restate earlier content
+    (novelty ~0) vs genuinely new material (novelty ~1).  Documents
+    with fewer than ``n`` words carry no grams and are omitted.
+
+    SCALE: tokens are staged through a select boundary (the
+    ``ngrams()`` quadratic-lambda trap), then one gram-keyed partial
+    aggregate (min doc id — the aggregation state is vocabulary-sized,
+    never corpus-sized), one gram-keyed equi-join that reuses the same
+    key, and one doc-keyed count.  First-occurrence is defined by doc
+    id order, so the metric is deterministic on any layout.
+    """
+    staged = df.select(
+        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__ws")
+    ).where(F.size("__ws") >= n)
+    k = F.size(F.col("__ws")) - (n - 1)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__ws"), i + j) for j in range(n)]
+            ),
+        )
+    )
+    g = staged.select(F.col(id_col), F.explode(grams).alias("gram"))
+    first = g.groupBy("gram").agg(F.min(id_col).alias("__first"))
+    return (
+        g.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -9638,6 +9638,44 @@ def stream_atlas_profile(spark, sf):
     return AT.merge_schema_profiles(parts).orderBy("key")
 
 
+@query(
+    "ngram_novelty_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM words WHERE len(ws) >= 3
+    ), g AS (
+      SELECT doc_id, unnest(shingles) AS gram FROM sh
+    ), fo AS (
+      SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM g JOIN fo USING (gram)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def ngram_novelty_docs(spark, sf):
+    """Corpus-diversity curation metric (text.ngram_novelty): per doc,
+    the fraction of its distinct 3-grams first seen (by doc id) in
+    that document — restated content scores ~0, new material ~1.
+    Vocabulary-sized aggregation state; first-occurrence by id order
+    makes it layout-deterministic."""
+    d = _t(spark, sf, "documents")
+    return TX.ngram_novelty(d, "text", "doc_id", n=3).orderBy("doc_id")
+
+
 # =====================================================================
 # Deterministic RNG twin + weighted sampling (round 6 — rng.h:7-46)
 # =====================================================================
@@ -10353,6 +10391,7 @@ _R06_WINDOW = [
     "rand_det_uniform", "weighted_sample_docs",
     "drawdown_events", "bollinger_bands_events", "realized_vol_events",
     "rsi_events", "stochastic_events", "macd_events",
+    "ngram_novelty_docs",
     "ann_recall_meter",
     # plan changed this round (two-phase top-k; chunked_moving
     # validation; fby quote masking) — re-prove at the driver
@@ -10365,7 +10404,7 @@ _R06_WINDOW = [
     "exact_dedup_docs", "minhash_portable_pairs",
     "bloom_contamination_docs",
     "incremental_neardup_pairs",
-    "xbar_5min_bars", "running_sum_unfold", "session_windows",
+    "xbar_5min_bars", "session_windows",
     "stream_window_counts", "atlas_json_struct",
     "map_funcs", "bigint_decimal",
     "workspace_roundtrip", "folio_partition_prune",
