@@ -385,8 +385,12 @@ def kmeans_centroids(
 #: persisted once and reused across queries; this in-process memo is
 #: the local analogue (a re-read of the same path reuses the fit; any
 #: plan change — different filter, different layout — refits).  Staleness
-#: contract: mutate the data under an unchanged path and plan, and the
-#: cached fit survives until process restart — same as any ANN index.
+#: contract: the key folds in a file-listing freshness signal
+#: (_input_freshness: sizes+mtimes for locally-resolvable paths), so
+#: rewriting the data under an unchanged path refits; only a mutation
+#: invisible to the listing (e.g. an object store that hides mtimes)
+#: survives until clear_fit_cache() / process restart — same as any
+#: ANN index.
 _FIT_CACHE: OrderedDict[tuple, list[list[float]]] = OrderedDict()
 
 #: LRU bound so a long-lived session fitting many distinct plans can't
@@ -401,9 +405,37 @@ def clear_fit_cache() -> None:
     _FIT_CACHE.clear()
 
 
+def _input_freshness(corpus: DataFrame) -> tuple:
+    """Cheap data-freshness signal folded into the memo key: the sorted
+    input file list plus (size, mtime) for locally-resolvable paths.
+    Catches the mutate-under-unchanged-path staleness the plain
+    semantic-hash key cannot see.  Bounded: listings over 1024 files
+    collapse to a count+hash (a 100 TB table's listing should not live
+    in a cache key), and any failure degrades to () — the documented
+    semantic-hash-only contract."""
+    import hashlib
+    import os
+
+    try:
+        files = sorted(corpus.inputFiles())
+    except Exception:
+        return ()
+    stats = []
+    for f in files[:1024]:
+        p = f[7:] if f.startswith("file:///") else f
+        p = "/" + p.lstrip("/") if not p.startswith("/") else p
+        try:
+            st = os.stat(p)
+            stats.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            stats.append((f, -1, -1))
+    h = hashlib.md5(repr(stats).encode()).hexdigest()
+    return (len(files), h)
+
+
 def _fit_memo(corpus: DataFrame, tag: str, params: tuple, build):
     try:
-        key = (tag, corpus.semanticHash(), params)
+        key = (tag, corpus.semanticHash(), params, _input_freshness(corpus))
     except Exception:
         return build()
     if key in _FIT_CACHE:

@@ -2354,3 +2354,31 @@ def test_atlas_frag_brace_string_and_null_key_rand(spark):
     got = {r2["k"]: r2["u"] for r2 in t.select(
         "k", rand_det(42, "k").alias("u")).collect()}
     assert got[1] is not None and got[None] is None
+
+
+def test_fit_memo_refits_when_data_rewritten_under_same_path(spark, tmp_path):
+    """The fit memo must fold a data-freshness signal into its key:
+    rewriting the parquet under an unchanged path (same plan, same
+    semantic hash) has to produce a REFIT, not a stale cached fit
+    (ADVICE r5: staleness was documented; now it's handled for any
+    locally-resolvable listing)."""
+    import time
+
+    from kerf_spark.operators import similarity as SIM
+
+    p = str(tmp_path / "vecs")
+    rows1 = [(i, [float(i + j) for j in range(4)]) for i in range(64)]
+    spark.createDataFrame(
+        rows1, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df1 = spark.read.parquet(p)
+    c1 = SIM.fit_centroids(df1, n_cells=2, iters=1)
+    # rewrite DIFFERENT data under the same path (mtime tick ensured)
+    time.sleep(0.01)
+    rows2 = [(i, [float(1000 - i * 3 + j) for j in range(4)]) for i in range(64)]
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df2 = spark.read.parquet(p)
+    c2 = SIM.fit_centroids(df2, n_cells=2, iters=1)
+    assert c1 != c2, "stale fit served after the data changed under the path"
