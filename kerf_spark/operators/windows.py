@@ -376,17 +376,31 @@ def chunked_moving(
         # correct).  Cost: one partial-agg count keyed exactly like the
         # main window + a limit(1) driver check over the tiny
         # (series, chunk) table.
+        lead_ord = F.col(order[0])
         counts = (
             d.groupBy(*by, "__chunk")
-            .agg(F.count(F.lit(1)).alias("__rows"))
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.min(lead_ord).alias("__omin"),
+                F.max(lead_ord).alias("__omax"),
+            )
             .withColumn("__has_next", F.lead("__chunk").over(sw).isNotNull())
             .withColumn("__has_prev", F.lag("__chunk").over(sw).isNotNull())
+            .withColumn("__prev_omax", F.lag("__omax").over(sw))
         )
         bad = (
             counts.where(
-                F.col("__has_next")
-                & F.col("__has_prev")
-                & (F.col("__rows") < n - 1)
+                (
+                    F.col("__has_next")
+                    & F.col("__has_prev")
+                    & (F.col("__rows") < n - 1)
+                )
+                # chunk must be MONOTONE in the leading order column:
+                # overlapping order ranges across consecutive chunks
+                # mean frames mix rows from the wrong side of a chunk
+                # boundary (e.g. chunking on orderkey while ordering
+                # by date) — silently wrong on every boundary
+                | (F.col("__prev_omax") > F.col("__omin"))
             )
             .limit(1)
             .collect()
@@ -394,6 +408,16 @@ def chunked_moving(
         if bad:
             r = bad[0]
             key = {c: r[c] for c in by}
+            if r["__prev_omax"] is not None and r["__prev_omax"] > r["__omin"]:
+                raise ValueError(
+                    f"chunked_moving: chunk {r['__chunk']!r} of series "
+                    f"{key} starts at {order[0]}={r['__omin']!r} but the "
+                    f"previous chunk runs to {r['__prev_omax']!r} — the "
+                    "chunk expression is not monotone in the leading "
+                    "order column, so borrowed tails land on the wrong "
+                    "rows.  Chunk on a function of the order columns "
+                    "themselves."
+                )
             raise ValueError(
                 f"chunked_moving: interior chunk {r['__chunk']!r} of "
                 f"series {key} holds {r['__rows']} rows < n-1={n - 1}; "

@@ -9639,6 +9639,51 @@ def stream_atlas_profile(spark, sf):
 
 
 @query(
+    "global_moving_avg",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    f AS (
+      SELECT o_orderkey,
+             count(*) OVER w AS m, sum(cents) OVER w AS s
+      FROM c
+      WINDOW w AS (ORDER BY o_orderkey
+                   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+    SELECT o_orderkey AS orderkey, CAST(m AS BIGINT) AS m,
+           round(s / (100.0 * m), 6) AS mavg50
+    FROM f ORDER BY orderkey
+    """,
+)
+def global_moving_avg(spark, sf):
+    """Whole-table trailing 50-row moving average with NO series key —
+    the §2.5 shape that is a single task forever as a plain window.
+    windows.chunked_moving with by=[] distributes it: order-aligned
+    orderkey chunks with 49-row borrowed tails, parallelism = chunks,
+    and BOTH preconditions ENFORCED at run time (validate=True: the
+    interior-chunk >= n-1 size check AND the chunk-monotone-in-order
+    check this query's own first draft tripped — it chunked on
+    orderkey while ordering by date).  Exact integer-cents sums; one
+    fp division per row."""
+    o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rolled = W.chunked_moving(
+        o,
+        {"m": ("count", F.lit(1)), "s": ("sum", cents)},
+        n=50,
+        by=[],
+        order=["o_orderkey"],
+        chunk=(F.col("o_orderkey") - F.col("o_orderkey") % 4096),
+    )
+    return rolled.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("m").cast("long").alias("m"),
+        F.round(F.col("s") / (100.0 * F.col("m")), 6).alias("mavg50"),
+    ).orderBy("orderkey")
+
+
+@query(
     "ngram_novelty_docs",
     """
     WITH norm AS (
@@ -10391,7 +10436,7 @@ _R06_WINDOW = [
     "rand_det_uniform", "weighted_sample_docs",
     "drawdown_events", "bollinger_bands_events", "realized_vol_events",
     "rsi_events", "stochastic_events", "macd_events",
-    "ngram_novelty_docs",
+    "ngram_novelty_docs", "global_moving_avg",
     "ann_recall_meter",
     # plan changed this round (two-phase top-k; chunked_moving
     # validation; fby quote masking) — re-prove at the driver
@@ -10401,7 +10446,7 @@ _R06_WINDOW = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast",
     "asof_join_latest_order", "interval_join_bursts",
-    "exact_dedup_docs", "minhash_portable_pairs",
+    "minhash_portable_pairs",
     "bloom_contamination_docs",
     "incremental_neardup_pairs",
     "xbar_5min_bars", "session_windows",

@@ -2382,3 +2382,28 @@ def test_fit_memo_refits_when_data_rewritten_under_same_path(spark, tmp_path):
     df2 = spark.read.parquet(p)
     c2 = SIM.fit_centroids(df2, n_cells=2, iters=1)
     assert c1 != c2, "stale fit served after the data changed under the path"
+
+
+def test_chunked_moving_validate_catches_nonmonotone_chunk(spark):
+    """A chunk expression that is not monotone in the leading order
+    column (chunking on one key while ordering by another) silently
+    corrupts every boundary frame; validate=True must refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.windows import chunked_moving
+
+    # order by `d`, but chunk on `k` which is anti-correlated with d
+    df = spark.createDataFrame(
+        [(i, 100 - i, float(i)) for i in range(100)],
+        "d long, k long, v double",
+    )
+    with pytest.raises(ValueError, match="not monotone"):
+        chunked_moving(
+            df,
+            {"ms": ("sum", "v")},
+            n=5,
+            by=[],
+            order=["d"],
+            chunk=(F.col("k") - F.col("k") % 20),
+        )

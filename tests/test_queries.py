@@ -210,6 +210,11 @@ PLAN_LINT_ALLOW = {
     # 12-row demo
     "global-window": {
         "global_running_sum",      # totals-prefix: one row per bucket
+        "global_moving_avg",       # chunked_moving helper windows over
+                                   # the one-row-per-chunk successor
+                                   # table (by=[] -> empty partition
+                                   # spec); the DATA windows partition
+                                   # by chunk
         "index_gather",            # row_number over a bounded TakeOrdered
         "corpus_shuffle_order",    # numbering a 100-row prefix
         "take_cyclic",             # 12-row affine demo
