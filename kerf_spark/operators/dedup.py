@@ -758,6 +758,76 @@ def prefix_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(A->B) = |A∩B| / |A|.
+
+    Jaccard misses the contained-document case — a paragraph pasted
+    into a much longer page scores |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0 even
+    though A is entirely inside B.  Containment scores it ~1 in the
+    A->B direction.  Returns both directions plus their max; pairs
+    with max containment >= ``threshold`` are containment duplicates.
+    Same prefix blocking, staging, and hot-bucket caps as
+    :func:`prefix_jaccard_pairs` (string shingles — SQL-oracle-able
+    bit-for-bit); the blocking means only pairs sharing a normalized
+    prefix are candidates — the right recall profile for the
+    boilerplate-prefix duplication it targets.
+    """
+    from .text import word_tokens
+
+    n = shingle_n
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < ncores:
+        df = df.repartition(ncores)
+    staged = df.select(
+        F.col(id_col), normalize_text(text_col).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.substring("__t", 1, prefix_len).alias("pfx"),
+        word_tokens(F.col("__t")).alias("__w"),
+    )
+    k = F.greatest(F.size("__w") - (n - 1), F.lit(1))
+    sh = staged.select(
+        F.col(id_col),
+        "pfx",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
+                ),
+            )
+        ).alias("sh"),
+    )
+    sh = _cap_buckets(sh, ["pfx"], id_col, max_bucket, "containment_pairs")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    c_ab = inter / F.size("a.sh")
+    c_ba = inter / F.size("b.sh")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(c_ab, 9).alias("c_ab"),
+            F.round(c_ba, 9).alias("c_ba"),
+            F.round(F.greatest(c_ab, c_ba), 9).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ------------------------------------------------------ substring dedup
 def substring_dup_spans(
     df: DataFrame,

@@ -9639,6 +9639,50 @@ def stream_atlas_profile(spark, sf):
 
 
 @query(
+    "containment_pairs_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, substr(t, 1, 32) AS pfx, string_split_regex(t, '\\s+') AS ws
+      FROM norm
+    ), sh AS (
+      SELECT doc_id, pfx,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    ), scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(a.shingles), 9) AS c_ab,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(b.shingles), 9) AS c_ba,
+             round(greatest(
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(a.shingles),
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(b.shingles)), 9) AS containment
+      FROM sh a JOIN sh b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM scored WHERE containment >= 0.8
+    """,
+)
+def containment_pairs_docs(spark, sf):
+    """Asymmetric containment near-dup (dedup.containment_pairs): a
+    short document pasted inside a long one scores ~0 Jaccard but ~1
+    containment in the short->long direction — the sub-document
+    duplication lens Jaccard structurally misses.  Prefix-blocked,
+    hot-bucket-capped, string shingles for a bit-exact SQL oracle."""
+    d = _t(spark, sf, "documents")
+    return DD.containment_pairs(
+        d, prefix_len=32, shingle_n=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "global_moving_avg",
     """
     WITH c AS (
@@ -10436,7 +10480,7 @@ _R06_WINDOW = [
     "rand_det_uniform", "weighted_sample_docs",
     "drawdown_events", "bollinger_bands_events", "realized_vol_events",
     "rsi_events", "stochastic_events", "macd_events",
-    "ngram_novelty_docs", "global_moving_avg",
+    "ngram_novelty_docs", "global_moving_avg", "containment_pairs_docs",
     "ann_recall_meter",
     # plan changed this round (two-phase top-k; chunked_moving
     # validation; fby quote masking) — re-prove at the driver
@@ -10450,7 +10494,7 @@ _R06_WINDOW = [
     "bloom_contamination_docs",
     "incremental_neardup_pairs",
     "xbar_5min_bars", "session_windows",
-    "stream_window_counts", "atlas_json_struct",
+    "stream_window_counts",
     "map_funcs", "bigint_decimal",
     "workspace_roundtrip", "folio_partition_prune",
     "kerf_lang_pipeline",
