@@ -181,6 +181,28 @@ def doc_drop(doc: Column | str, path: str | list[str]) -> Column:
     return F.when(is_obj, _set_top(d, head, rebuilt)).otherwise(d)
 
 
+def doc_rename(doc: Column | str, old: str, new: str) -> Column:
+    """Rename a top-level field IN PLACE (document order preserved —
+    unlike drop+set, which would move the field to the end).  A missing
+    ``old`` is a no-op; an existing ``new`` is replaced by the renamed
+    field (last-wins, the kerf map-amend convention)."""
+    d = _c(doc)
+    entries = F.filter(
+        doc_entries(d), lambda e: e["key"] != F.lit(new)
+    )
+    renamed = F.transform(
+        entries,
+        lambda e: F.struct(
+            F.when(e["key"] == F.lit(old), F.lit(new))
+            .otherwise(e["key"])
+            .alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    has_old = F.exists(doc_entries(d), lambda e: e["key"] == F.lit(old))
+    return F.when(has_old, doc_serialize(renamed)).otherwise(d)
+
+
 # ------------------------------------------------------- schema profile
 #: Fragment-text type inference, shared with the SQL oracle (both
 #: engines regex the same fragment text, so the profile is

@@ -2407,3 +2407,23 @@ def test_chunked_moving_validate_catches_nonmonotone_chunk(spark):
             order=["d"],
             chunk=(F.col("k") - F.col("k") % 20),
         )
+
+
+def test_atlas_doc_rename_in_place(spark):
+    """Rename keeps document position (unlike drop+set), is a no-op on
+    a missing key, and last-wins over an existing target key."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import atlas as A
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x", "c": true}',)], "doc string"
+    )
+    got = df.select(
+        A.doc_rename("doc", "b", "bb").alias("r1"),
+        A.doc_rename("doc", "zz", "b2").alias("r2"),
+        A.doc_rename("doc", "a", "c").alias("r3"),
+    ).collect()[0]
+    assert got.r1 == '{"a":1,"bb":"x","c":true}'       # in place
+    assert got.r2 == '{"a": 1, "b": "x", "c": true}'   # no-op, untouched
+    assert got.r3 == '{"c":1,"b":"x"}'                 # last-wins over c
