@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     # constant-size-filter contamination: the probe side must scale
     # linearly in the corpus while the filter stays 1024 words
     "bloom_contamination_docs",
+    # round-6 additions: the ATLAS document write path (zero-shuffle
+    # schemaless amend — must scale at scan speed) and the per-user
+    # window indicator family (integer-cents accumulation)
+    "atlas_nested_update",
+    "drawdown_events",
 ]
 
 

@@ -9448,13 +9448,16 @@ def atlas_nested_update(spark, sf):
         ),
     )
     staged = e.select("event_id", doc.alias("doc"))
+    # no final orderBy: the driver's compare is order-insensitive, and
+    # a global sort would dominate this zero-shuffle projection in the
+    # bench slope
     return staged.select(
         "event_id",
         F.get_json_object("doc", "$.k").cast("long").alias("k2"),
         F.get_json_object("doc", "$.meta.tier").alias("tier"),
         F.get_json_object("doc", "$.meta.score").cast("double").alias("score"),
         F.size(AT.doc_keys("doc")).cast("long").alias("n_keys"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -9893,6 +9896,8 @@ def drawdown_events(spark, sf):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # no final orderBy (order-insensitive driver compare; the window
+    # partitioning already did the only shuffle this query needs)
     return cum.select(
         "user_id",
         "event_id",
@@ -9900,7 +9905,7 @@ def drawdown_events(spark, sf):
         F.round(
             (F.max("cum_c").over(wp) - F.col("cum_c")) / 100.0, 2
         ).alias("drawdown"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 @query(
