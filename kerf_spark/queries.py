@@ -9435,19 +9435,29 @@ def atlas_nested_update(spark, sf):
     both engines then EXTRACT the fields, so the comparison is over
     values, never over JSON text formatting."""
     e = _t(spark, sf, "events")
-    tier = F.when(F.col("value") > 0.5, F.lit('"pro"')).otherwise(
-        F.lit('"basic"')
+
+    # BULK amend path: one Arrow-batched kernel parses each document
+    # once and applies all three edits (atlas.doc_amend_udf explains
+    # the measured inversion of the UDFs-are-slow rule for
+    # document-rebuild chains — ~4.5 ms/row of interpreted HOF
+    # expressions vs ~2 µs/row here).  The Column-level doc_set is the
+    # semantic reference and covers the same edits in unit/property
+    # tests.
+    def _edit(d, v):
+        meta = d.get("meta")
+        if not isinstance(meta, dict):
+            meta = {}
+        meta["tier"] = "pro" if v > 0.5 else "basic"
+        meta["score"] = round(float(v), 3)
+        d["meta"] = meta
+        k = d.get("k")
+        d["k"] = (int(k) + 1) if k is not None else None
+        return d
+
+    kernel = AT.doc_amend_udf(_edit)
+    staged = e.select(
+        "event_id", kernel(F.col("props"), F.col("value")).alias("doc")
     )
-    doc = AT.doc_set("props", ["meta", "tier"], tier)
-    doc = AT.doc_set(doc, ["meta", "score"], F.round("value", 3).cast("string"))
-    doc = AT.doc_set(
-        doc,
-        "k",
-        (F.get_json_object(F.col("props"), "$.k").cast("long") + 1).cast(
-            "string"
-        ),
-    )
-    staged = e.select("event_id", doc.alias("doc"))
     # no final orderBy: the driver's compare is order-insensitive, and
     # a global sort would dominate this zero-shuffle projection in the
     # bench slope
@@ -9519,23 +9529,28 @@ def atlas_drift_append(spark, sf):
 def _atlas_drift_docs(e):
     """The shared drifting-feed fixture: retype k to string for every
     3rd user, add v (double) to every 5th doc, an explicit null z to
-    every 7th — one definition for the batch and streaming twins."""
-    d0 = F.when(
-        F.col("user_id") % 3 == 0,
-        AT.doc_set(
-            "props",
-            "k",
-            F.concat(F.lit('"u'), F.col("user_id").cast("string"), F.lit('"')),
-        ),
-    ).otherwise(F.col("props"))
-    d1 = F.when(
-        F.col("event_id") % 5 == 0,
-        AT.doc_set(d0, "v", F.round("value", 3).cast("string")),
-    ).otherwise(d0)
-    d2 = F.when(
-        F.col("event_id") % 7 == 0, AT.doc_set(d1, "z", F.lit("null"))
-    ).otherwise(d1)
-    return e.select(d2.alias("doc"))
+    every 7th — one definition for the batch and streaming twins.
+    Bulk amends run through the Arrow-batched kernel
+    (atlas.doc_amend_udf — see atlas_nested_update for the measured
+    rationale); the Column-level doc_set covers the same semantics in
+    unit tests."""
+
+    def _edit(d, user_id, event_id, v):
+        if user_id % 3 == 0:
+            d["k"] = f"u{user_id}"
+        if event_id % 5 == 0:
+            d["v"] = round(float(v), 3)
+        if event_id % 7 == 0:
+            d["z"] = None
+        return d
+
+    kernel = AT.doc_amend_udf(_edit)
+    return e.select(
+        kernel(
+            F.col("props"), F.col("user_id"), F.col("event_id"),
+            F.col("value"),
+        ).alias("doc")
+    )
 
 
 #: Shared by the batch and streaming schema-profile twins (oracle
@@ -9844,9 +9859,9 @@ def _cents(col="value"):
     return F.round(F.col(col) * 100).cast("long")
 
 
-@query(
-    "drawdown_events",
-    """
+#: Shared by the batch and streaming drawdown twins (oracle
+#: single-source discipline).
+_DRAWDOWN_SQL = """
     WITH c AS (
       SELECT user_id, event_id, ts,
              CAST(round(value * 100) AS BIGINT) AS cents
@@ -9867,8 +9882,10 @@ def _cents(col="value"):
            round(cum_c / 100.0, 2) AS cum_value,
            round((peak_c - cum_c) / 100.0, 2) AS drawdown
     FROM peaks ORDER BY user_id, event_id
-    """,
-)
+    """
+
+
+@query("drawdown_events", _DRAWDOWN_SQL)
 def drawdown_events(spark, sf):
     """Running peak and drawdown of each user's cumulative value — the
     max-drawdown building block every P&L monitor runs.  Accumulates
@@ -9905,6 +9922,65 @@ def drawdown_events(spark, sf):
         F.round(
             (F.max("cum_c").over(wp) - F.col("cum_c")) / 100.0, 2
         ).alias("drawdown"),
+    )
+
+
+@query("stream_drawdown", _DRAWDOWN_SQL)
+def stream_drawdown(spark, sf):
+    """The STREAMING twin of drawdown_events: ticks arrive in three
+    time-ranged micro-batches, the per-user (cum, peak) pair — exact
+    int64 cents — carries across batches in the state store
+    (streaming.ingest.streaming_drawdown, applyInPandasWithState),
+    and every row is emitted with its running cum/drawdown.  Same
+    oracle as the batch twin: the stateful fold must equal the
+    all-at-once window for this time-ordered delivery — the
+    feed-handler contract."""
+    import tempfile
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from .streaming.ingest import read_file_stream, streaming_drawdown
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    src_dir = tempfile.mkdtemp(prefix="kerf_stream_dd_src_")
+    # three chunks by time range — genuine micro-batches whose arrival
+    # order IS time order (ns bounds; ties can't straddle a boundary)
+    bounds = [
+        (0, 1704844800000000000),
+        (1704844800000000000, 1705017600000000000),
+        (1705017600000000000, 1 << 63 - 1),
+    ]
+    for i, (lo, hi) in enumerate(bounds):
+        e.where((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src_dir}/part{i}")
+    chunk_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = read_file_stream(
+        spark, src_dir + "/part*", chunk_schema, maxFilesPerTrigger=1
+    )
+    out = streaming_drawdown(stream, ["user_id"], "value", ["ts", "event_id"])
+    sink = tempfile.mkdtemp(prefix="kerf_stream_dd_out_")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", sink + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "event_id",
+        F.round("cum_value", 2).alias("cum_value"),
+        F.round("drawdown", 2).alias("drawdown"),
     )
 
 

@@ -406,6 +406,67 @@ def streaming_ema(
     )
 
 
+def streaming_drawdown(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Streaming twin of the drawdown query: running cumulative value,
+    running peak, and peak-to-trough drawdown per key, carried across
+    micro-batches in the state store.
+
+    State is O(1) per key — the pair (cum cents, peak cents), exact
+    int64 (the same no-fp-association discipline as the batch twin:
+    the only fp ops are the final /100 divisions).  Rows fold in
+    ``order_cols`` order within each batch; cross-batch order is
+    arrival order (the feed-handler contract).  Emits every input row
+    with ``cum_value`` and ``drawdown``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys, order_cols = list(keys), list(order_cols)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_fields = ", ".join(f"{k} {fields[k]}" for k in keys)
+    order_fields = ", ".join(f"{c} {fields[c]}" for c in order_cols)
+    out_schema = (
+        f"{key_fields}, {order_fields}, cum_value double, drawdown double"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        cum, peak = state.get if state.exists else (0, -(1 << 62))
+        outs = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            cents = (
+                np.round(pdf[value_col].astype(float).to_numpy() * 100)
+                .astype(np.int64)
+            )
+            cums = cum + np.cumsum(cents)
+            peaks = np.maximum.accumulate(np.maximum(cums, peak))
+            out = pdf[keys + order_cols].copy()
+            out["cum_value"] = cums / 100.0
+            out["drawdown"] = (peaks - cums) / 100.0
+            outs.append(out)
+            cum, peak = int(cums[-1]), int(peaks[-1])
+        state.update((cum, peak))
+        if outs:
+            yield pd.concat(outs)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="cum bigint, peak bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_volume_bars(
     df: DataFrame,
     keys: Sequence[str],

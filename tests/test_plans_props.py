@@ -942,7 +942,7 @@ _aval = st.one_of(
 _adoc = st.dictionaries(_akey, _aval, min_size=0, max_size=5)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(st.lists(_adoc, min_size=1, max_size=6))
 def test_atlas_set_drop_roundtrip_props(spark, docs):
     """doc_set of a fresh key must (a) make the new field extractable,
@@ -981,3 +981,11 @@ def test_atlas_set_drop_roundtrip_props(spark, docs):
         assert r["n_after_drop"] == len(d)
         for k in keys:
             assert r[f"a_{k}"] == r[f"b_{k}"], (k, d)
+
+
+def test_atlas_write_path_is_zero_exchange(spark):
+    """The schemaless amend path (doc_set/doc_drop/extraction) must be
+    a pure projection: at 100 TB it runs at scan speed with no
+    exchange of any kind."""
+    plan = plan_of(QUERIES["atlas_nested_update"](spark, SF), "simple")
+    assert "Exchange" not in plan
