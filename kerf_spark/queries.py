@@ -10559,7 +10559,8 @@ _R06_WINDOW = [
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile",
     "rand_det_uniform", "weighted_sample_docs",
-    "drawdown_events", "bollinger_bands_events", "realized_vol_events",
+    "drawdown_events", "stream_drawdown",
+    "bollinger_bands_events", "realized_vol_events",
     "rsi_events", "stochastic_events", "macd_events",
     "ngram_novelty_docs", "global_moving_avg", "containment_pairs_docs",
     "ann_recall_meter",
@@ -10573,7 +10574,6 @@ _R06_WINDOW = [
     "asof_join_latest_order", "interval_join_bursts",
     "minhash_portable_pairs",
     "bloom_contamination_docs",
-    "incremental_neardup_pairs",
     "xbar_5min_bars", "session_windows",
     "stream_window_counts",
     "map_funcs", "bigint_decimal",
