@@ -915,6 +915,157 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codewords: int = 16,
+    cand: int = 50,
+    dim: int = 64,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The composed production ANN index (FAISS's IVF-PQ architecture,
+    Jégou et al. 2011 §V): IVF cells prune WHICH rows are scanned,
+    PQ codes shrink WHAT is scanned, exact cosine re-ranks the
+    survivors.
+
+    Three stages, each scale-bounded:
+
+    1. corpus projection computes cell id + m PQ codes per row (all
+       from plan-literal centroids/codebooks — zero shuffle);
+    2. each query probes its ``nprobe`` nearest cells; the cell
+       equi-join (broadcast query fan-out) restricts the ADC scan to
+       probed cells, and the codes-only ADC keeps the scanned bytes at
+       m per row; per-query ``cand`` survivors come out of the
+       two-phase top-k (no corpus-sized window task);
+    3. the exact re-rank touches raw vectors for cand·|Q| rows only.
+
+    At 100 TB: the encoded table is the stored index (write it once
+    with Workspace, partitioned by cell); queries then read only their
+    probed partitions — partition pruning IS the nprobe.  Shares the
+    memoized, layout-invariant fits with ivf_topk/pq_topk."""
+    cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
+    books = pq_fit(
+        corpus, m, n_codewords, iters, dim, vec_col, id_col, seed
+    )
+    sub = dim // m
+    cents_lit = array_lit([[float(x) for x in c] for c in cents])
+
+    def d2s_expr(vec) -> Column:
+        return F.transform(
+            cents_lit,
+            lambda cv: F.aggregate(
+                F.zip_with(_c(vec), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+
+    def argmin(arr: Column) -> Column:
+        return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+    # stage 1: cell + codes over the corpus — the distance ARRAYS are
+    # staged through a projection boundary so each row evaluates the
+    # HOF aggregates exactly once (the ivf_topk discipline)
+    s0 = corpus.select(_c(id_col).alias("neighbor_id"), emb.alias("__emb"))
+    s1 = s0.select(
+        "neighbor_id",
+        d2s_expr(F.col("__emb")).alias("__d2s"),
+        *[
+            _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(books[j])).alias(
+                f"__pqd{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    staged = s1.select(
+        "neighbor_id",
+        argmin(F.col("__d2s")).alias("cell"),
+        *[argmin(F.col(f"__pqd{j}")).alias(f"__code{j}") for j in range(m)],
+    )
+    # stage 2: query probes + LUTs (LUTs ARE the staged sub-distance
+    # arrays — no argmin on the query side)
+    probe_idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    qs = queries.select(_c(id_col).alias("query_id"), emb.alias("__emb"))
+    qd = qs.select(
+        "query_id",
+        d2s_expr(F.col("__emb")).alias("__d2s"),
+        *[
+            _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(books[j])).alias(
+                f"__lut{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    probes = F.transform(
+        F.slice(
+            F.array_sort(
+                F.zip_with(
+                    F.col("__d2s"),
+                    probe_idx,
+                    lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["c"],
+    )
+    q = qd.select(
+        "query_id",
+        F.explode(probes).alias("cell"),
+        *[F.col(f"__lut{j}") for j in range(m)],
+    )
+    joined = staged.join(F.broadcast(q), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.element_at(F.col("__lut0"), F.col("__code0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}") + 1)
+    scored = joined.select("query_id", "neighbor_id", adc.alias("adc"))
+    cands = two_phase_topk(
+        scored, [F.col("adc").asc(), F.col("neighbor_id").asc()], cand
+    ).select("query_id", "neighbor_id")
+    # stage 3: exact re-rank over cand·|Q| rows only
+    vecs = corpus.select(_c(id_col).alias("vec_id"), emb.alias("__v"))
+    rescored = (
+        cands.join(
+            vecs.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .withColumnRenamed("__v", "__nv")
+        .join(
+            F.broadcast(vecs.withColumnRenamed("vec_id", "query_id")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("__v", "__nv") / (l2_norm("__v") * l2_norm("__nv")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall of an approximate ANN result against the exact one — the
     number every nprobe/bands/codebook decision is tuned on.  Both

@@ -10301,6 +10301,113 @@ def macd_events(spark, sf):
     )
 
 
+def _ivfpq_oracle_sql(
+    sf_dir="/root/testdata/sf0.01",
+    k=5,
+    n_cells=8,
+    nprobe=4,
+    m=8,
+    kcw=16,
+    cand=50,
+    nq=8,
+) -> str:
+    """Oracle for the composed IVF-PQ index: the PQ code CTEs come from
+    the shared ``_pq_oracle_parts`` builder, the IVF centroids from the
+    same deterministic driver k-means both engines fit, and the three
+    stages (probe-pruned ADC scan -> cand survivors -> exact re-rank)
+    replay the operator's arithmetic expression-for-expression."""
+    import duckdb
+
+    from .operators.similarity import kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+        f"LIMIT {n_cells * 64}"
+    ).fetchall()
+    con.close()
+    vecs = [list(r[0]) for r in rows if r[0] is not None]
+    cents = kmeans_centroids(vecs, n_cells, iters=3, seed=42)
+    dim = len(cents[0])
+    cents_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    cell_dist = (
+        f"list_transform({cents_lit}, c -> list_sum(list_transform("
+        f"generate_series(1, {dim}), j -> (emb[j] - c[j]) * (emb[j] - c[j]))))"
+    )
+    adc = " + ".join(f"q.d{j}[x.c{j} + 1]" for j in range(m))
+    luts = ", ".join(f"dd.d{j}" for j in range(m))
+    return _pq_oracle_parts(sf_dir, m, kcw, dim // m) + f""", cd AS (
+      SELECT vec_id, {cell_dist} AS dists FROM e
+    ), cc AS (
+      SELECT vec_id, list_position(dists, list_min(dists)) - 1 AS cell
+      FROM cd
+    ), qp AS (
+      SELECT cd.vec_id AS query_id,
+             list_transform(
+               list_sort(list_transform(generate_series(1, {n_cells}),
+                 ci -> {{'d': dists[ci], 'c': ci - 1}}))[1:{nprobe}],
+               s -> s.c) AS probes,
+             {luts}
+      FROM cd JOIN dd ON dd.vec_id = cd.vec_id
+      WHERE cd.vec_id < {nq}
+    ), scored AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id, {adc} AS adc
+      FROM qp q
+      JOIN cc ON list_contains(q.probes, cc.cell)
+      JOIN enc x ON x.vec_id = cc.vec_id
+      WHERE x.vec_id <> q.query_id
+    ), cands AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS crank
+      FROM scored
+    ), rr AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.emb, ne.emb)
+                   / (sqrt(list_dot_product(qe.emb, qe.emb))
+                      * sqrt(list_dot_product(ne.emb, ne.emb))), 6) AS cos
+      FROM cands c
+      JOIN e qe ON qe.vec_id = c.query_id
+      JOIN e ne ON ne.vec_id = c.neighbor_id
+      WHERE c.crank <= {cand}
+    ), final AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rr
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+    FROM final WHERE rank <= {k}
+    """
+
+
+@query("ivfpq_ann_topk")  # computed oracle attached below
+def ivfpq_ann_topk(spark, sf):
+    """The composed production ANN index (similarity.ivfpq_topk —
+    FAISS's IVF-PQ architecture): IVF cells prune WHICH rows the scan
+    touches (nprobe cells per query), PQ codes shrink WHAT it reads
+    (m bytes per row), and an exact cosine re-rank over the cand
+    survivors restores accuracy.  At 100 TB the encoded table is the
+    stored index, partitioned by cell — partition pruning IS the
+    nprobe.  The oracle replays all three stages with identical
+    arithmetic over the same deterministic fits."""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.ivfpq_topk(
+        em, q, k=5, n_cells=8, nprobe=4, m=8, n_codewords=16, cand=50
+    )
+
+
+_attach_oracle("ivfpq_ann_topk", _ivfpq_oracle_sql)
+
+
 # =====================================================================
 # ANN recall meter (round 6): the number every nprobe/bands/codebook
 # decision is tuned on, as a driver-proven oracle row
@@ -10313,6 +10420,7 @@ def _recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     ivf = _ivf_oracle_sql(sf_dir=sf_dir)
     pq = _pq_topk_oracle_sql(sf_dir=sf_dir)
     pqr = _pq_rerank_oracle_sql(sf_dir=sf_dir)
+    ivfpq = _ivfpq_oracle_sql(sf_dir=sf_dir)
 
     def recall_block(method: str, cte: str) -> str:
         return f"""
@@ -10326,8 +10434,11 @@ def _recall_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
     return (
         f"WITH exact AS ({_EXACT_TOPK_SQL}),\n"
-        f" ivf AS ({ivf}),\n pq AS ({pq}),\n pq_rerank AS ({pqr})\n"
+        f" ivf AS ({ivf}),\n pq AS ({pq}),\n pq_rerank AS ({pqr}),\n"
+        f" ivfpq AS ({ivfpq})\n"
         + recall_block("ivf", "ivf")
+        + "\n      UNION ALL\n"
+        + recall_block("ivfpq", "ivfpq")
         + "\n      UNION ALL\n"
         + recall_block("pq", "pq")
         + "\n      UNION ALL\n"
@@ -10356,6 +10467,9 @@ def ann_recall_meter(spark, sf):
     books = SIM.pq_fit(em, m=8, k=16)
     pq = SIM.pq_topk(em, q, books, k=5)
     pqr = pq_rerank_topk(spark, sf)
+    ivfpq = SIM.ivfpq_topk(
+        em, q, k=5, n_cells=8, nprobe=4, m=8, n_codewords=16, cand=50
+    )
 
     def meter(approx, method):
         # ann_recall already emits the rounded recall column
@@ -10369,6 +10483,7 @@ def ann_recall_meter(spark, sf):
 
     return (
         meter(ivf, "ivf")
+        .unionByName(meter(ivfpq, "ivfpq"))
         .unionByName(meter(pq, "pq"))
         .unionByName(meter(pqr, "pq_rerank"))
         .orderBy("method", "query_id")
@@ -10415,6 +10530,9 @@ def refit_oracles(sf_dir: str) -> None:
     )
     _attach_oracle(
         "ann_recall_meter", lambda: _recall_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "ivfpq_ann_topk", lambda: _ivfpq_oracle_sql(sf_dir=sf_dir)
     )
 
 
@@ -10563,7 +10681,7 @@ _R06_WINDOW = [
     "bollinger_bands_events", "realized_vol_events",
     "rsi_events", "stochastic_events", "macd_events",
     "ngram_novelty_docs", "global_moving_avg", "containment_pairs_docs",
-    "ann_recall_meter",
+    "ivfpq_ann_topk", "ann_recall_meter",
     # plan changed this round (two-phase top-k; chunked_moving
     # validation; fby quote masking) — re-prove at the driver
     "cosine_topk_exact", "ivf_ann_topk_oracle", "lsh_ann_topk_oracle",
@@ -10575,7 +10693,6 @@ _R06_WINDOW = [
     "minhash_portable_pairs",
     "bloom_contamination_docs",
     "xbar_5min_bars", "session_windows",
-    "stream_window_counts",
     "map_funcs", "bigint_decimal",
     "workspace_roundtrip", "folio_partition_prune",
     "kerf_lang_pipeline",

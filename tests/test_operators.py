@@ -2306,7 +2306,10 @@ def test_ann_recall_meets_threshold(spark):
     by_method = {}
     for r in rows:
         by_method.setdefault(r["method"], []).append(r["recall"])
-    floors = {"ivf": 0.7, "pq": 0.15, "pq_rerank": 0.7}
+    # ivfpq compounds the IVF pruning loss with ADC ranking loss —
+    # its ceiling is the IVF probe recall; the exact rerank only
+    # recovers within probed cells
+    floors = {"ivf": 0.7, "pq": 0.15, "pq_rerank": 0.7, "ivfpq": 0.5}
     assert set(by_method) == set(floors)
     for method, floor in floors.items():
         recalls = by_method[method]
