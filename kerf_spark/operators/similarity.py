@@ -1034,22 +1034,21 @@ def ivfpq_topk(
     cands = two_phase_topk(
         scored, [F.col("adc").asc(), F.col("neighbor_id").asc()], cand
     ).select("query_id", "neighbor_id")
-    # stage 3: exact re-rank over cand·|Q| rows only
-    vecs = corpus.select(_c(id_col).alias("vec_id"), emb.alias("__v"))
+    # stage 3: exact re-rank over cand·|Q| rows only.  Neighbor vectors
+    # come from the corpus (shuffle join on the cand·|Q| survivors);
+    # query vectors come from the QUERIES frame itself — a probe set
+    # whose ids are not corpus ids still reranks against its own
+    # vectors, and only the broadcast-sized query table is broadcast
+    # (never the corpus vector table).
+    nvecs = corpus.select(_c(id_col).alias("neighbor_id"), emb.alias("__nv"))
     rescored = (
-        cands.join(
-            vecs.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
-        )
-        .withColumnRenamed("__v", "__nv")
-        .join(
-            F.broadcast(vecs.withColumnRenamed("vec_id", "query_id")),
-            "query_id",
-        )
+        cands.join(nvecs, "neighbor_id")
+        .join(F.broadcast(qs.withColumnRenamed("__emb", "__qv")), "query_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                dot("__v", "__nv") / (l2_norm("__v") * l2_norm("__nv")), 6
+                dot("__qv", "__nv") / (l2_norm("__qv") * l2_norm("__nv")), 6
             ).alias("cos"),
         )
     )
