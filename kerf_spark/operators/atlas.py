@@ -180,10 +180,6 @@ def _set_top_dm(d: Column, m: Column, key: str, frag: Column) -> Column:
     )
 
 
-def _set_top(doc: Column, key: str, frag: Column) -> Column:
-    return _set_top_dm(doc, _parse(doc), key, frag)
-
-
 def _drop_top(doc: Column, key: str) -> Column:
     kept = F.filter(doc_entries(doc), lambda e: e["key"] != F.lit(key))
     return doc_serialize(kept)
@@ -255,6 +251,10 @@ def doc_rename(doc: Column | str, old: str, new: str) -> Column:
     ``old`` is a no-op; an existing ``new`` is replaced by the renamed
     field (last-wins, the kerf map-amend convention)."""
     d = _c(doc)
+    if old == new:
+        # rename-to-self is a no-op — without this the key != new
+        # pre-filter would drop the field before the rename saw it
+        return d
     m = _parse(d)
     entries = F.filter(
         F.map_entries(m), lambda e: e["key"] != F.lit(new)
@@ -270,6 +270,23 @@ def doc_rename(doc: Column | str, old: str, new: str) -> Column:
     )
     has_old = F.map_contains_key(m, F.lit(old))
     return F.when(has_old, doc_serialize(renamed)).otherwise(d)
+
+
+def round_half_up(v: float, digits: int = 0) -> float:
+    """Python twin of ``F.round`` for use INSIDE doc-amend kernels:
+    half-away-from-zero over the double's shortest decimal repr —
+    exactly Spark's ``BigDecimal.valueOf(double).setScale(d, HALF_UP)``
+    and the convention DuckDB oracles see on dyadic ties.  Python's
+    builtin ``round`` is half-to-EVEN (round(0.0625, 3) = 0.062 where
+    F.round and the oracle give 0.063) — never use it in a kernel
+    whose output an oracle extracts."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    d = decimal.Decimal(repr(float(v))).quantize(
+        q, rounding=decimal.ROUND_HALF_UP
+    )
+    return float(d)
 
 
 def doc_amend_udf(edit):

@@ -695,23 +695,23 @@ def simhash_near_pairs(
 
 
 # ------------------------------------------------------------------ jaccard by prefix bucket
-def prefix_jaccard_pairs(
+def _prefix_shingled(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    prefix_len: int = 32,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    text_col: str,
+    id_col: str,
+    prefix_len: int,
+    shingle_n: int,
+    max_bucket: int | None,
+    opname: str,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup with *prefix blocking* (SQL-oracle-able):
-    docs sharing the first ``prefix_len`` normalized chars are
-    candidates; exact word-shingle Jaccard verifies.  This variant uses
-    string shingles (not hashes) so an ANSI-SQL oracle can reproduce it
-    bit-for-bit.
-    """
-    # stage tokens through projection boundaries (same CSE trap as
-    # _shingle_hash_df: an unstaged tokenizer re-evaluates per element)
+    """Shared staging for the prefix-blocked shingle family
+    (:func:`prefix_jaccard_pairs`, :func:`containment_pairs`):
+    normalize, cut the blocking prefix, tokenize, build distinct
+    word-``shingle_n``-grams as STRINGS (not hashes — an ANSI-SQL
+    oracle reproduces them bit-for-bit), and cap hot prefix buckets.
+    Returns (id_col, pfx, sh).  Tokens are staged through projection
+    boundaries (same CSE trap as _shingle_hash_df: an unstaged
+    tokenizer re-evaluates per element)."""
     from .text import word_tokens
 
     n = shingle_n
@@ -738,14 +738,41 @@ def prefix_jaccard_pairs(
             )
         ).alias("sh"),
     )
-    sh = _cap_buckets(sh, ["pfx"], id_col, max_bucket, "prefix_jaccard_pairs")
+    return _cap_buckets(sh, ["pfx"], id_col, max_bucket, opname)
+
+
+def _prefix_block_join(sh: DataFrame, id_col: str):
+    """Self-join the staged shingle frame on the blocking prefix with
+    the canonical id_a < id_b dedup of the pair space."""
     a, b = sh.alias("a"), sh.alias("b")
+    return a.join(
+        b,
+        (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with *prefix blocking* (SQL-oracle-able):
+    docs sharing the first ``prefix_len`` normalized chars are
+    candidates; exact word-shingle Jaccard verifies.  This variant uses
+    string shingles (not hashes) so an ANSI-SQL oracle can reproduce it
+    bit-for-bit.
+    """
+    sh = _prefix_shingled(
+        df, text_col, id_col, prefix_len, shingle_n, max_bucket,
+        "prefix_jaccard_pairs",
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.pfx") == F.col("b.pfx"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _prefix_block_join(sh, id_col)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -780,43 +807,15 @@ def containment_pairs(
     prefix are candidates — the right recall profile for the
     boilerplate-prefix duplication it targets.
     """
-    from .text import word_tokens
-
-    n = shingle_n
-    ncores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < ncores:
-        df = df.repartition(ncores)
-    staged = df.select(
-        F.col(id_col), normalize_text(text_col).alias("__t")
-    ).select(
-        F.col(id_col),
-        F.substring("__t", 1, prefix_len).alias("pfx"),
-        word_tokens(F.col("__t")).alias("__w"),
+    sh = _prefix_shingled(
+        df, text_col, id_col, prefix_len, shingle_n, max_bucket,
+        "containment_pairs",
     )
-    k = F.greatest(F.size("__w") - (n - 1), F.lit(1))
-    sh = staged.select(
-        F.col(id_col),
-        "pfx",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
-                ),
-            )
-        ).alias("sh"),
-    )
-    sh = _cap_buckets(sh, ["pfx"], id_col, max_bucket, "containment_pairs")
-    a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     c_ab = inter / F.size("a.sh")
     c_ba = inter / F.size("b.sh")
     return (
-        a.join(
-            b,
-            (F.col("a.pfx") == F.col("b.pfx"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        _prefix_block_join(sh, id_col)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

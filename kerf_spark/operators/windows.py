@@ -399,8 +399,13 @@ def chunked_moving(
                 # overlapping order ranges across consecutive chunks
                 # mean frames mix rows from the wrong side of a chunk
                 # boundary (e.g. chunking on orderkey while ordering
-                # by date) — silently wrong on every boundary
-                | (F.col("__prev_omax") > F.col("__omin"))
+                # by date) — silently wrong on every boundary.  >= not
+                # >: a boundary TIE means the same order value sits in
+                # two chunks, so the tiebreak columns decide global
+                # order and can cross the boundary — a true monotone
+                # function of order[0] never produces cross-chunk
+                # equality, so this rejects only impure chunkings
+                | (F.col("__prev_omax") >= F.col("__omin"))
             )
             .limit(1)
             .collect()
@@ -408,7 +413,7 @@ def chunked_moving(
         if bad:
             r = bad[0]
             key = {c: r[c] for c in by}
-            if r["__prev_omax"] is not None and r["__prev_omax"] > r["__omin"]:
+            if r["__prev_omax"] is not None and r["__prev_omax"] >= r["__omin"]:
                 raise ValueError(
                     f"chunked_moving: chunk {r['__chunk']!r} of series "
                     f"{key} starts at {order[0]}={r['__omin']!r} but the "

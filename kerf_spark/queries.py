@@ -9448,7 +9448,10 @@ def atlas_nested_update(spark, sf):
         if not isinstance(meta, dict):
             meta = {}
         meta["tier"] = "pro" if v > 0.5 else "basic"
-        meta["score"] = round(float(v), 3)
+        # AT.round_half_up, not builtin round: the oracle's round() is
+        # half-away-from-zero, Python's is half-to-even (latent red on
+        # any dyadic-tie value)
+        meta["score"] = AT.round_half_up(float(v), 3)
         d["meta"] = meta
         k = d.get("k")
         d["k"] = (int(k) + 1) if k is not None else None
@@ -9539,7 +9542,7 @@ def _atlas_drift_docs(e):
         if user_id % 3 == 0:
             d["k"] = f"u{user_id}"
         if event_id % 5 == 0:
-            d["v"] = round(float(v), 3)
+            d["v"] = AT.round_half_up(float(v), 3)
         if event_id % 7 == 0:
             d["z"] = None
         return d
@@ -9948,7 +9951,7 @@ def stream_drawdown(spark, sf):
     bounds = [
         (0, 1704844800000000000),
         (1704844800000000000, 1705017600000000000),
-        (1705017600000000000, 1 << 63 - 1),
+        (1705017600000000000, (1 << 63) - 1),
     ]
     for i, (lo, hi) in enumerate(bounds):
         e.where((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(

@@ -422,10 +422,21 @@ def streaming_drawdown(
     ``order_cols`` order within each batch; cross-batch order is
     arrival order (the feed-handler contract).  Emits every input row
     with ``cum_value`` and ``drawdown``.
+
+    Cents are computed JVM-side with the batch twin's own expression
+    (``F.round(value*100)``, HALF_UP) before the stateful fold — the
+    Python kernel only ever cumsum's exact int64, so no second
+    rounding convention (numpy's is half-to-EVEN) can diverge from
+    the shared oracle.  A NULL value contributes 0 to the running
+    sum — the batch window-sum's null-skip semantics — instead of
+    poisoning the carried state.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     keys, order_cols = list(keys), list(order_cols)
+    df = df.withColumn(
+        "__cents", F.round(F.col(value_col) * 100).cast("long")
+    )
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     key_fields = ", ".join(f"{k} {fields[k]}" for k in keys)
     order_fields = ", ".join(f"{c} {fields[c]}" for c in order_cols)
@@ -443,9 +454,12 @@ def streaming_drawdown(
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(order_cols, kind="mergesort")
+            # int64-with-nulls arrives as float64/NaN through Arrow;
+            # cents are < 2^53 so the float round-trip is exact
             cents = (
-                np.round(pdf[value_col].astype(float).to_numpy() * 100)
-                .astype(np.int64)
+                np.nan_to_num(
+                    pdf["__cents"].to_numpy(dtype=float), nan=0.0
+                ).astype(np.int64)
             )
             cums = cum + np.cumsum(cents)
             peaks = np.maximum.accumulate(np.maximum(cums, peak))
