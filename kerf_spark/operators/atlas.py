@@ -272,6 +272,53 @@ def doc_rename(doc: Column | str, old: str, new: str) -> Column:
     return F.when(has_old, doc_serialize(renamed)).otherwise(d)
 
 
+#: Comparison verbs doc_find accepts — plain Column operators, so every
+#: predicate stays a Catalyst expression (codegen'd, pushdown-eligible).
+_FIND_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def doc_find(df: DataFrame, doc_col: str, preds) -> DataFrame:
+    """Collection find over schemaless documents — the ATLAS query
+    surface (enums.h:262's document tables are SELECTed like columns;
+    here the schema lives inside the document, the predicate reaches
+    in).  ``preds`` is a list of ``(path, cast_type, op, value)``:
+    dotted nested path, an optional Spark cast type for typed
+    comparison (``None`` compares extracted text), an operator from
+    ``= != < <= > >=``, and the literal.  All predicates AND together.
+
+    A missing field extracts as NULL and fails every comparison —
+    total over schema drift (a feed that hasn't added the field yet
+    simply doesn't match), no declared schema anywhere.
+
+    Scale shape: pure filter over a scan — conjunctive predicates on
+    extracted fields, zero shuffle, evaluated inside the scan's
+    projection.  JSON parsing is the only cost; for a find-heavy
+    workload, extract hot fields once into real columns (the
+    document-store "computed index" move) and let parquet stats prune.
+    """
+    cond = F.lit(True)
+    for path, typ, op, value in preds:
+        if op not in _FIND_OPS:
+            raise ValueError(
+                f"doc_find: unknown op {op!r} (use one of "
+                f"{sorted(_FIND_OPS)})"
+            )
+        for part in path.split("."):
+            _check_path_component(part)
+        col = F.get_json_object(_c(doc_col), "$." + path)
+        if typ is not None:
+            col = col.cast(typ)
+        cond = cond & _FIND_OPS[op](col, F.lit(value))
+    return df.where(cond)
+
+
 def round_half_up(v: float, digits: int = 0) -> float:
     """Python twin of ``F.round`` for use INSIDE doc-amend kernels:
     half-away-from-zero over the double's shortest decimal repr —

@@ -171,6 +171,52 @@ def cosine_topk(
     )
 
 
+def cosine_radius(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """RADIUS similarity search: every corpus neighbor with cosine >=
+    ``threshold`` per query — the "all sufficiently similar" question
+    (contamination sweeps, semantic retrieval cutoffs) that top-k
+    answers wrongly when the true neighbor count varies per query.
+
+    Scale shape: strictly better than top-k — broadcast queries,
+    score, filter.  NO window, NO shuffle, NO ranking anywhere: the
+    predicate is evaluated inside the scan projection, so the operator
+    runs at corpus scan speed and parallelism is the corpus's own
+    partitioning at any scale.  The cosine is rounded to 6 digits
+    BEFORE the threshold compare (round-before-compare: a cross-engine
+    ULP wobble at the boundary can't flip membership).  For corpora
+    where even the scan is too slow, compose with IVF cells exactly as
+    :func:`semantic_dedup` bounds its candidates — radius inside
+    probed cells only.
+
+    Returns (query_id, neighbor_id, cosine) with cosine rounded to 6.
+    """
+    qid = query_id_col or id_col
+    # cast to double BEFORE the fold — the cosine VALUE is part of this
+    # operator's contract (unlike top-k, where only ranks matter), and
+    # a float-precision dot product diverges from the oracle's
+    # double-precision one at the 6th digit
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(qid).alias("query_id"), emb.alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), emb.alias("__cv"))
+    return (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ LSH (hyperplane)
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane from a seeded LCG

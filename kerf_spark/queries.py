@@ -1940,6 +1940,44 @@ def cosine_topk_exact(spark, sf):
 
 
 @query(
+    "radius_neighbors_embeddings",
+    """
+    WITH qs AS (SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(
+               list_dot_product(
+                 list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+               / (sqrt(list_dot_product(
+                     list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(e.embedding, x -> CAST(x AS DOUBLE))))),
+               6) AS cosine
+      FROM qs q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.25
+    """,
+)
+def radius_neighbors_embeddings(spark, sf):
+    """RADIUS similarity search (similarity.cosine_radius): every
+    neighbor with cosine >= 0.25 per probe vector — the variable-count
+    "all sufficiently similar" question top-k answers wrongly.  Scale
+    shape: broadcast queries + filtered scan, NO window/shuffle/rank
+    anywhere — strictly cheaper than the top-k family at any corpus
+    size.  Cosine rounded to 6 before the threshold compare on BOTH
+    engines (round-before-compare: boundary ULP wobble can't flip
+    membership)."""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 8)
+    return SIM.cosine_radius(em, q, threshold=0.25)
+
+
+@query(
     "multimodal_meta",
     """
     SELECT doc_id,
@@ -9657,6 +9695,57 @@ def stream_atlas_profile(spark, sf):
     q.awaitTermination()
     parts = spark.read.parquet(out_dir)
     return AT.merge_schema_profiles(parts).orderBy("key")
+
+
+@query(
+    "atlas_collection_find",
+    """
+    WITH up AS (
+      SELECT event_id,
+             json_merge_patch(props, json_object('meta', json_object(
+               'band', CASE WHEN value > 0.66 THEN 'hi'
+                            WHEN value > 0.33 THEN 'mid'
+                            ELSE 'lo' END))) AS doc
+      FROM events)
+    SELECT event_id,
+           CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k,
+           json_extract_string(doc, '$.meta.band') AS band
+    FROM up
+    WHERE json_extract_string(doc, '$.meta.band') = 'hi'
+      AND CAST(json_extract_string(doc, '$.k') AS BIGINT) % 7 = 0
+    ORDER BY event_id
+    """,
+)
+def atlas_collection_find(spark, sf):
+    """ATLAS collection FIND (the query half of the document store —
+    enums.h:262 documents are selected like rows): enrich each event's
+    schemaless props with a nested meta.band field (the Column-level
+    doc_set — the semantic reference path, here under oracle for the
+    nested-create case), then find documents by predicates that reach
+    INSIDE the document: typed comparison on k (bigint cast of an
+    extracted field) AND equality on the nested band.  atlas.doc_find
+    keeps every predicate a Catalyst expression: the whole query is a
+    zero-shuffle filtered scan; a doc missing either field extracts
+    NULL and simply doesn't match (total over schema drift)."""
+    e = _t(spark, sf, "events")
+    band = (
+        F.when(F.col("value") > 0.66, F.lit('"hi"'))
+        .when(F.col("value") > 0.33, F.lit('"mid"'))
+        .otherwise(F.lit('"lo"'))
+    )
+    enriched = e.select(
+        "event_id", AT.doc_set("props", ["meta", "band"], band).alias("doc")
+    )
+    found = AT.doc_find(
+        enriched,
+        "doc",
+        [("meta.band", None, "=", "hi")],
+    ).where(F.get_json_object("doc", "$.k").cast("long") % 7 == 0)
+    return found.select(
+        "event_id",
+        F.get_json_object("doc", "$.k").cast("long").alias("k"),
+        F.get_json_object("doc", "$.meta.band").alias("band"),
+    )
 
 
 @query(

@@ -2430,3 +2430,87 @@ def test_atlas_doc_rename_in_place(spark):
     assert got.r1 == '{"a":1,"bb":"x","c":true}'       # in place
     assert got.r2 == '{"a": 1, "b": "x", "c": true}'   # no-op, untouched
     assert got.r3 == '{"c":1,"b":"x"}'                 # last-wins over c
+
+
+def test_atlas_doc_rename_to_self_is_noop(spark):
+    """Review regression: rename-to-self must not delete the field (the
+    key != new pre-filter used to drop it before the rename saw it)."""
+    from kerf_spark.operators import atlas as A
+
+    df = spark.createDataFrame([('{"a": 1, "b": "x"}',)], "doc string")
+    got = df.select(A.doc_rename("doc", "b", "b").alias("r")).collect()[0]
+    assert got.r == '{"a": 1, "b": "x"}'
+
+
+def test_atlas_doc_find_predicates(spark):
+    """doc_find: typed + text predicates AND together; a missing field
+    extracts NULL and never matches; unknown ops raise."""
+    import pytest
+
+    from kerf_spark.operators import atlas as A
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 14, "meta": {"band": "hi"}}'),
+            (2, '{"k": 14, "meta": {"band": "lo"}}'),
+            (3, '{"k": 3, "meta": {"band": "hi"}}'),
+            (4, '{"meta": {"band": "hi"}}'),          # k missing
+            (5, '{"k": 21}'),                          # band missing
+        ],
+        "id long, doc string",
+    )
+    got = A.doc_find(
+        df, "doc",
+        [("meta.band", None, "=", "hi"), ("k", "long", ">=", 10)],
+    )
+    assert [r["id"] for r in got.select("id").orderBy("id").collect()] == [1]
+    with pytest.raises(ValueError, match="unknown op"):
+        A.doc_find(df, "doc", [("k", "long", "~", 1)])
+
+
+def test_round_half_up_matches_engines():
+    """atlas.round_half_up is half-AWAY (F.round / oracle round), not
+    Python's half-to-even."""
+    from kerf_spark.operators.atlas import round_half_up
+
+    assert round_half_up(0.0625, 3) == 0.063      # builtin round: 0.062
+    assert round_half_up(-0.0625, 3) == -0.063    # away from zero
+    assert round_half_up(12.5) == 13.0            # builtin round: 12
+    assert round_half_up(0.7372, 3) == 0.737      # non-tie unchanged
+
+
+def test_cosine_radius_matches_bruteforce(spark):
+    """cosine_radius against a python brute force: membership at the
+    rounded threshold boundary and the rounded cosine values agree."""
+    import math
+
+    from kerf_spark.operators import similarity as S
+
+    rows = [
+        (i, [((i * 7 + j * 13) % 11) / 10.0 - 0.5 for j in range(8)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.5
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in S.cosine_radius(
+            df, df.where(F.col("vec_id") < 3), thr
+        ).collect()
+    }
+    want = {}
+    for qid, qv in rows[:3]:
+        for nid, nv in rows:
+            if nid == qid:
+                continue
+            d = sum(x * y for x, y in zip(qv, nv))
+            nq = math.sqrt(sum(x * x for x in qv))
+            nn = math.sqrt(sum(x * x for x in nv))
+            if nq == 0 or nn == 0:
+                continue
+            c = round(d / (nq * nn), 6)
+            if c >= thr:
+                want[(qid, nid)] = c
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9

@@ -204,6 +204,8 @@ PLAN_LINT_ALLOW = {
         "q22_global_sales_opportunity", "tfidf_top_terms",
         "ann_recall_meter",  # composes cosine_topk + pq_topk (8-query
                              # broadcast probe sets, bounded)
+        "radius_neighbors_embeddings",  # same 8-query broadcast probe
+                             # fan-out as cosine_topk, minus the window
     },
     # global windows over provably bounded inputs: a TakeOrdered prefix,
     # a per-bucket totals table, a vocabulary, a contingency table, a
