@@ -10774,6 +10774,8 @@ _R06_WINDOW = [
     "rsi_events", "stochastic_events", "macd_events",
     "ngram_novelty_docs", "global_moving_avg", "containment_pairs_docs",
     "ivfpq_ann_topk", "ann_recall_meter",
+    # round-6 late additions (radius search, collection find)
+    "radius_neighbors_embeddings", "atlas_collection_find",
     # plan changed this round (two-phase top-k; chunked_moving
     # validation; fby quote masking) — re-prove at the driver
     "cosine_topk_exact", "ivf_ann_topk_oracle", "lsh_ann_topk_oracle",
@@ -10786,8 +10788,7 @@ _R06_WINDOW = [
     "bloom_contamination_docs",
     "xbar_5min_bars", "session_windows",
     "map_funcs", "bigint_decimal",
-    "workspace_roundtrip", "folio_partition_prune",
-    "kerf_lang_pipeline",
+    "workspace_roundtrip",
 ]
 
 
