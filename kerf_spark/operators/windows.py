@@ -455,7 +455,12 @@ def chunked_moving(
     out = both
     for name, (fn, col) in aggs.items():
         c = F.col(col) if isinstance(col, str) else col
-        out = out.withColumn(name, getattr(F, fn)(c).over(w))
+        # fn is either a pyspark.sql.functions aggregate name, or a
+        # callable (col, window) -> Column for frame folds the builtin
+        # aggregates can't express (e.g. ewma_over) — both share the
+        # one (series, chunk) exchange
+        expr = fn(c, w) if callable(fn) else getattr(F, fn)(c).over(w)
+        out = out.withColumn(name, expr)
     return out.where(F.col("__borrowed") == 0).drop("__borrowed", "__chunk")
 
 
@@ -479,6 +484,72 @@ def mcorr(x, y, n, by, order) -> Column:
     vy = F.greatest(m * syy - sy * sy, F.lit(0.0))
     denom = F.sqrt(vx * vy)
     return F.when(F.round(denom, 9) != 0, cov / denom)
+
+
+def ewma_over(alpha: float):
+    """Frame-fold factory for a trailing exponentially-weighted moving
+    average — the one moving stat the sum-form family can't express
+    (every row's weight differs, so there is no pair of running sums to
+    difference).  Returns a ``(col, window) -> Column`` callable usable
+    directly or as a ``chunked_moving`` agg value (the low-cardinality
+    distributed path shares its single (series, chunk) exchange).
+
+    This is the JVM-side twin of ``ema_exact`` (the applyInPandas
+    full-history kernel used by ``macd``): the fold stays inside
+    Catalyst — no Python in the hot path, no Arrow round-trip — at the
+    price of a bounded n-row lookback instead of unbounded history.
+
+    Semantics: the unadjusted recursion ``y = (1-alpha)*y + alpha*x``
+    folded left over the window frame, seeded ``y = x`` at the frame's
+    first row.  With a ``ROWS BETWEEN n-1 PRECEDING`` frame this is the
+    n-row *re-seeded* EWMA; since weights decay geometrically, choosing
+    ``n >> 1/alpha`` (e.g. ``n = ceil(36/alpha)``, where the oldest
+    row's weight underflows double noise) makes it numerically
+    indistinguishable from kerf/kdb's full-history ``ema`` — which is
+    inherently sequential and has no truncation-free distributed form.
+
+    Determinism: ``F.aggregate`` is a left fold, so the fp op sequence
+    is fixed by the frame order — bit-identical to DuckDB's
+    ``list_reduce`` over the same list (both seed with the first
+    element: the null-init WHEN branch here resolves to ``x`` exactly).
+    NULL inputs are skipped (``collect_list`` drops them), kerf's
+    out-of-band-null discipline; a NULL-keeping engine's ``list()``
+    needs a ``list_filter`` to match.
+    """
+    decay, gain = F.lit(1.0 - alpha), F.lit(alpha)
+
+    def _fold(c: Column, w) -> Column:
+        frame = F.collect_list(c.cast("double")).over(w)
+        return F.aggregate(
+            frame,
+            F.lit(None).cast("double"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                acc * decay + gain * x
+            ),
+        )
+
+    return _fold
+
+
+def ewma(
+    col: Column | str,
+    alpha: float,
+    n: int,
+    by: Sequence[Column | str] | None,
+    order: Sequence[Column | str],
+) -> Column:
+    """Trailing n-row EWMA column (see ewma_over for semantics).
+
+    SCALE: the frame materializes n doubles per row inside the window
+    sort — bounded amplification, no extra exchange.  Partition ``by``
+    a key whose cardinality grows with the data (ticker, user); for a
+    LOW-cardinality series key, route the same fold through
+    ``chunked_moving(aggs={"y": (ewma_over(a), col)}, ...)`` so
+    parallelism is series x chunks rather than one task per series.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = ordered_window(by, order).rowsBetween(-(n - 1), 0)
+    return ewma_over(alpha)(c, w)
 
 
 def time_moving(

@@ -10393,6 +10393,46 @@ def macd_events(spark, sf):
     )
 
 
+@query(
+    "ewma_user_value",
+    """
+    SELECT user_id, event_id,
+           round(list_reduce(l, (acc, x) -> acc * 0.7 + 0.3 * x), 6) + 0.0
+             AS ewma_value
+    FROM (
+        SELECT user_id, event_id,
+               list(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS l
+        FROM events) t
+    """,
+)
+def ewma_user_value(spark, sf):
+    """Trailing 40-row EWMA of event value per user — windows.ewma, the
+    declarative JVM-side smoother (kerf/kdb `ema`; the full-history
+    adjusted variant is ema_exact under macd_events).  The unadjusted
+    recursion y = 0.7*y + 0.3*x is a left fold (F.aggregate) over the
+    window frame's collect_list — one window exchange, no Python, and
+    bit-identical to DuckDB's list_reduce because both seed with the
+    frame's first element and apply the identical fp op sequence in
+    the identical order (fold direction IS the determinism contract;
+    0.7 parses to the same double as Python's 1.0-0.3 on both
+    engines).  SCALE: user_id cardinality grows with the data (150 at
+    sf0.01 -> 1500 at sf0.1), so the window partitioning holds; a
+    low-cardinality series would route the same ewma_over fold through
+    chunked_moving's (series, chunk) borrowed-tail exchange."""
+    e = _t(spark, sf, "events")
+    y = W.ewma(
+        "value", alpha=0.3, n=40, by=["user_id"], order=["ts", "event_id"]
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.round(y, 6) + F.lit(0.0)).alias("ewma_value"),
+    )
+
+
 def _ivfpq_oracle_sql(
     sf_dir="/root/testdata/sf0.01",
     k=5,
