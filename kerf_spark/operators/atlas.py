@@ -46,18 +46,21 @@ def _c(col: Column | str) -> Column:
 
 
 def _quote(v: Column) -> Column:
-    """JSON-escape and quote a plain string fragment.  The five
-    escape passes only run for values that actually contain an
-    escapable character — the common path is a single concat."""
-    esc = F.replace(v, F.lit("\\"), F.lit("\\\\"))
-    esc = F.replace(esc, F.lit('"'), F.lit('\\"'))
-    esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
-    esc = F.replace(esc, F.lit("\t"), F.lit("\\t"))
-    esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
-    needs = v.rlike('[\\\\"\n\t\r]')
-    return F.when(
+    """JSON-escape and quote a plain string fragment.  Values without
+    any escapable character (the common path) take a single concat;
+    everything else routes through ``to_json`` of a one-field struct —
+    Jackson escapes the FULL control range (U+0000–U+001F, not just the
+    shorthand five), so strict parsers downstream never reject the
+    fragment — and the quoted string is sliced back out of the
+    ``{"v":…}`` wrapper (5-char prefix, 1-char suffix)."""
+    js = F.to_json(F.struct(v.alias("v")))
+    quoted = js.substr(F.lit(6), F.length(js) - F.lit(6))
+    needs = v.rlike('[\\x00-\\x1f"\\\\]')
+    # NULL stays NULL (to_json drops null fields, so the slice of
+    # "{}" would otherwise manufacture an empty string)
+    return F.when(v.isNull(), F.lit(None).cast("string")).when(
         ~needs, F.concat(F.lit('"'), v, F.lit('"'))
-    ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    ).otherwise(quoted)
 
 
 def _frag(v: Column) -> Column:

@@ -100,7 +100,41 @@ def cosine(a, b) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(d / (na * nb))
 
 
-def two_phase_topk(scored: DataFrame, order_by, k: int) -> DataFrame:
+#: Above this many candidate rows PER QUERY, per-query top-k must use
+#: the two-phase rank (no single task may sort a corpus-sized
+#: candidate list).  Below it, a single window partitioned by query_id
+#: is bounded by construction (each task sorts at most this many
+#: narrow rows — seconds of work, spilling if needed) and saves the
+#: second exchange + window that cost the r6 bench +32% on
+#: cosine_topk_exact / +19% on pq_ann_topk at sf0.1.
+_SINGLE_WINDOW_MAX_ROWS = 4_000_000
+
+_rows_memo: dict = {}
+
+
+def _corpus_rows(corpus: DataFrame) -> int | None:
+    """Memoized corpus row count used to pick the top-k ranking shape.
+    Keyed like :func:`_fit_memo` (semantic hash + input freshness) so
+    the one count job per distinct corpus amortizes across the top-k
+    family; any keying failure returns None, which callers treat as
+    "unknown → assume large" (the scale-safe default)."""
+    try:
+        key = (corpus.semanticHash(), _input_freshness(corpus))
+    except Exception:
+        return None
+    if key not in _rows_memo:
+        if len(_rows_memo) > 256:
+            _rows_memo.clear()
+        _rows_memo[key] = corpus.count()
+    return _rows_memo[key]
+
+
+def two_phase_topk(
+    scored: DataFrame,
+    order_by,
+    k: int,
+    per_query_rows: int | None = None,
+) -> DataFrame:
     """Distributed per-query top-k without a corpus-sized window task.
 
     A bare ``Window.partitionBy("query_id")`` + ``row_number`` has no
@@ -115,17 +149,33 @@ def two_phase_topk(scored: DataFrame, order_by, k: int) -> DataFrame:
     top-k, and ``order_by`` is a total order (ties broken by
     neighbor_id), so the result is independent of partition layout.
 
+    The second window is NOT free: the r6 rewrite cost +32% on
+    cosine_topk_exact (0.64→0.85 s) and +19% on pq_ann_topk
+    (1.47→1.75 s) at sf0.1 — real constant, right trade at scale.  So
+    when the caller can BOUND the per-query candidate count
+    (``per_query_rows``, typically the memoized corpus row count) and
+    it is at most :data:`_SINGLE_WINDOW_MAX_ROWS`, the single
+    query-partitioned window is bounded by construction and wins; the
+    two-phase shape remains the default whenever the bound is unknown
+    or large.  Both shapes produce identical rows (total order).
+
     Why windows and not a map-side ``collect_list``+``slice`` partial
     aggregate (which would shuffle only k survivors per slice): the
     list aggregate buffers EVERY group element in executor memory
     before truncating — per-task memory of slice_rows·|Q| structs,
-    an OOM where the window's sort spills to disk.  Measured at
-    sf0.1 the two are within noise (0.57 vs 0.59 s); the spill-safe
-    shape wins.
+    an OOM where the window's sort spills to disk.
     """
     order_by = list(order_by)
-    local_w = Window.partitionBy("query_id", "__slice").orderBy(*order_by)
     final_w = Window.partitionBy("query_id").orderBy(*order_by)
+    if (
+        per_query_rows is not None
+        and per_query_rows <= _SINGLE_WINDOW_MAX_ROWS
+    ):
+        return (
+            scored.withColumn("rank", F.row_number().over(final_w))
+            .where(F.col("rank") <= k)
+        )
+    local_w = Window.partitionBy("query_id", "__slice").orderBy(*order_by)
     return (
         scored.withColumn("__slice", F.spark_partition_id())
         .withColumn("__lr", F.row_number().over(local_w))
@@ -166,9 +216,9 @@ def cosine_topk(
         cosine("__qv", "__cv").alias("cosine"),
     ).where(F.col("query_id") != F.col("neighbor_id"))
     order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
-    return two_phase_topk(scored, order, k).select(
-        "query_id", "neighbor_id", "cosine", "rank"
-    )
+    return two_phase_topk(
+        scored, order, k, per_query_rows=_corpus_rows(corpus)
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def cosine_radius(
@@ -387,9 +437,9 @@ def lsh_topk(
         "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
     )
     order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
-    return two_phase_topk(scored, order, k).select(
-        "query_id", "neighbor_id", "cosine", "rank"
-    )
+    return two_phase_topk(
+        scored, order, k, per_query_rows=_corpus_rows(corpus)
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # ------------------------------------------------------------ IVF-lite
@@ -466,10 +516,19 @@ def _input_freshness(corpus: DataFrame) -> tuple:
         files = sorted(corpus.inputFiles())
     except Exception:
         return ()
+    from urllib.parse import unquote, urlparse
+
     stats = []
     for f in files[:1024]:
-        p = f[7:] if f.startswith("file:///") else f
-        p = "/" + p.lstrip("/") if not p.startswith("/") else p
+        # Spark emits both file:///p and file:/p URI forms — urlparse
+        # normalizes either to /p (and any non-file scheme keeps its
+        # (-1,-1) stat sentinel, which is correct: remote stores are
+        # covered by the name component of the key only)
+        parsed = urlparse(f)
+        if parsed.scheme in ("file", ""):
+            p = unquote(parsed.path) or f
+        else:
+            p = f
         try:
             st = os.stat(p)
             stats.append((f, st.st_size, st.st_mtime_ns))
@@ -604,9 +663,9 @@ def ivf_topk(
         "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
     ).where(F.col("query_id") != F.col("neighbor_id"))
     order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
-    return two_phase_topk(scored, order, k).select(
-        "query_id", "neighbor_id", "cosine", "rank"
-    )
+    return two_phase_topk(
+        scored, order, k, per_query_rows=_corpus_rows(corpus)
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # ------------------------------------------------------------ SemDeDup
@@ -956,7 +1015,9 @@ def pq_topk(
         F.col("neighbor_id") != F.col("query_id")
     ).select("query_id", "neighbor_id", dist.alias("adc"))
     order = [F.col("adc").asc(), F.col("neighbor_id").asc()]
-    return two_phase_topk(scored, order, k).select(
+    return two_phase_topk(
+        scored, order, k, per_query_rows=_corpus_rows(corpus)
+    ).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
@@ -1078,7 +1139,10 @@ def ivfpq_topk(
         adc = adc + F.element_at(F.col(f"__lut{j}"), F.col(f"__code{j}") + 1)
     scored = joined.select("query_id", "neighbor_id", adc.alias("adc"))
     cands = two_phase_topk(
-        scored, [F.col("adc").asc(), F.col("neighbor_id").asc()], cand
+        scored,
+        [F.col("adc").asc(), F.col("neighbor_id").asc()],
+        cand,
+        per_query_rows=_corpus_rows(corpus),
     ).select("query_id", "neighbor_id")
     # stage 3: exact re-rank over cand·|Q| rows only.  Neighbor vectors
     # come from the corpus (shuffle join on the cand·|Q| survivors);
@@ -1093,9 +1157,11 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot("__qv", "__nv") / (l2_norm("__qv") * l2_norm("__nv")), 6
-            ).alias("cos"),
+            # shared guarded helper: a zero-norm vector yields NULL
+            # (ordered last), matching cosine_topk/ivf_topk/radius —
+            # the bare division is NULL-on-zero only under non-ANSI
+            # Spark and diverges from the DuckDB oracle's inf/NaN
+            F.round(cosine("__qv", "__nv"), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

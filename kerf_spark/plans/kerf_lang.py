@@ -593,10 +593,12 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     # identical on any layout / engine / plane — kerf's reproducible
     # seeded stream has no layout-stable Spark twin, so the language
     # exposes the counter construction (functions.scalars.rand_det)
+    # concat (not concat_ws) so a NULL key draws NULL in every plane,
+    # matching scalars.rand_det's documented contract
     "rand_det": (lambda s, x: _loc_rand_det(s, x),
-                 "((cast(conv(substring(md5(concat_ws('#', "
-                 "cast({0} as string), cast({1} as string))), 1, 8), "
-                 "16, 10) as double) + 1.0) / 4294967297.0)"),
+                 "((cast(conv(substring(md5(concat("
+                 "cast({0} as string), '#', cast({1} as string))), "
+                 "1, 8), 16, 10) as double) + 1.0) / 4294967297.0)"),
 }
 
 

@@ -296,10 +296,14 @@ def _expand_verbs(text: str, part: str | None, order: str | None) -> str:
             )
         elif name == "rand_det":
             # deterministic md5-counter uniform (functions.scalars
-            # .rand_det): layout-invariant where SQL rand() is not
+            # .rand_det): layout-invariant where SQL rand() is not.
+            # concat (not concat_ws): a NULL key must draw NULL in
+            # every plane — concat_ws silently skips NULLs, handing a
+            # NULL key a real draw from md5(seed || '#')
             rep = (
-                "((cast(conv(substring(md5(concat_ws('#', "
-                f"cast({a[0]} as string), cast({a[1]} as string))), "
+                "((cast(conv(substring(md5(concat("
+                f"cast({a[0]} as string), '#', "
+                f"cast({a[1]} as string))), "
                 "1, 8), 16, 10) as double) + 1.0) / 4294967297.0)"
             )
         elif name == "wavg":

@@ -468,6 +468,36 @@ def test_rand_det_three_planes_agree(spark):
     assert all(0.0 < u < 1.0 for u in api)
 
 
+def test_rand_det_null_key_draws_null_in_every_plane(spark):
+    """ADVICE r6: the SQL-plane expansions used concat_ws, which
+    silently skips NULL arguments — a NULL key got a real draw from
+    md5(seed#) while the Column plane (concat, null-propagating)
+    returned NULL.  All front-ends must agree: NULL key -> NULL."""
+    from kerf_spark.functions.scalars import rand_det
+    from kerf_spark.plans.kerf_lang import run_df
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    t = spark.createDataFrame([(1,), (None,)], "k long")
+    api = {r.k: r.u for r in t.select(
+        "k", rand_det(42, "k").alias("u")).collect()}
+    lang = {r.k: r.u for r in run_df(
+        spark, "select k, rand_det(42, k) as u from t", tables={"t": t}
+    ).collect()}
+    t.createOrReplaceTempView("__rdnull_t")
+    try:
+        ksql = {r.k: r.u for r in kerf_sql(
+            spark,
+            "select k, rand_det(42, k) as u from __rdnull_t order by k",
+        ).collect()}
+    finally:
+        spark.catalog.dropTempView("__rdnull_t")
+    for plane, got in [("column", api), ("kerf_lang", lang),
+                       ("kerfsql", ksql)]:
+        assert got[None] is None, plane
+        assert got[1] is not None and 0.0 < got[1] < 1.0, plane
+    assert api[1] == lang[1] == ksql[1]
+
+
 def test_fby_parens_inside_string_arguments(spark):
     """Review regression: parens and quotes inside the aggregate's own
     string arguments must not derail the balanced-paren extraction —

@@ -2212,14 +2212,19 @@ def test_chunked_moving_validate_raises_on_short_interior_chunk(spark):
     assert chunked_moving(df, **kw, validate=False).count() == 21
 
 
-def test_two_phase_topk_bounded_windows_and_layout_invariance(spark):
-    """cosine_topk's ranking must be two bounded windows — local rank
-    within (query_id, input slice), then a final rank over the
-    |slices|*k survivors — never one corpus-sized partition per query
-    (the r5 verdict's one genuine 100x-scale flaw).  The result must
-    not depend on the partition layout."""
+def test_two_phase_topk_bounded_windows_and_layout_invariance(
+    spark, monkeypatch
+):
+    """On the scale path (forced via the threshold) cosine_topk's
+    ranking must be two bounded windows — local rank within
+    (query_id, input slice), then a final rank over the |slices|*k
+    survivors — never one corpus-sized partition per query (the r5
+    verdict's one genuine 100x-scale flaw).  The result must not
+    depend on the partition layout, and must equal the small-corpus
+    single-window shape row-for-row (same total order)."""
     from pyspark.sql import functions as F
 
+    from kerf_spark.operators import similarity as SIM
     from kerf_spark.operators.similarity import cosine_topk
 
     rows = [
@@ -2232,6 +2237,11 @@ def test_two_phase_topk_bounded_windows_and_layout_invariance(spark):
     queries = spark.createDataFrame(
         rows[:3], "vec_id long, embedding array<float>"
     )
+    # small path first (createDataFrame corpora have no inputFiles, but
+    # the count memo still resolves): one window, no __slice
+    small = cosine_topk(corpus.repartition(13), queries, k=5)
+    small_rows = sorted(map(tuple, small.collect()))
+    monkeypatch.setattr(SIM, "_SINGLE_WINDOW_MAX_ROWS", -1)
     got = cosine_topk(corpus.repartition(13), queries, k=5)
     plan = got._jdf.queryExecution().optimizedPlan().toString()
     # the local phase partitions by (query_id, __slice) — a window
@@ -2241,6 +2251,7 @@ def test_two_phase_topk_bounded_windows_and_layout_invariance(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, cosine_topk(corpus.coalesce(1), queries, k=5).collect()))
     assert a == b
+    assert a == small_rows  # shape choice is invisible in the rows
     per_q = {}
     for q, n, c, r in a:
         per_q.setdefault(q, []).append(r)

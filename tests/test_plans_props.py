@@ -462,17 +462,19 @@ def test_simhash_pairs_joinfree(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # block shuffle only
 
 
-def test_ivf_topk_scale_shape(spark):
-    """IVF ANN plan: corpus cell assignment is a pure projection (no
-    Exchange before the probe join), the probe join broadcasts the tiny
-    query fan-out, and the only hash shuffles are the TWO bounded
-    top-k windows — the r6 two-phase rank (local per (query, slice)
-    keeping k, then the survivors per query), never a single
-    corpus-sized partition per query."""
+def test_ivf_topk_scale_shape(spark, monkeypatch):
+    """IVF ANN plan ON THE SCALE PATH (corpus above the single-window
+    bound, forced via the threshold): corpus cell assignment is a pure
+    projection (no Exchange before the probe join), the probe join
+    broadcasts the tiny query fan-out, and the only hash shuffles are
+    the TWO bounded top-k windows — the r6 two-phase rank (local per
+    (query, slice) keeping k, then the survivors per query), never a
+    single corpus-sized partition per query."""
     from kerf_spark.operators import similarity as SIM
     from kerf_spark.sources.io import read_table
     from pyspark.sql import functions as F
 
+    monkeypatch.setattr(SIM, "_SINGLE_WINDOW_MAX_ROWS", -1)
     em = read_table(spark, SF, "embeddings")
     q = em.where(F.col("vec_id") < 4)
     plan = plan_of(SIM.ivf_topk(em, q, k=3, n_cells=4, nprobe=2), "simple")
@@ -480,6 +482,23 @@ def test_ivf_topk_scale_shape(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2  # local + final rank
     assert "__slice" in plan  # the local phase's slice key is present
+
+
+def test_ivf_topk_small_corpus_single_window(spark):
+    """Below the bound the r7 constant-shave kicks in: ONE bounded
+    query-partitioned window (each task sorts at most
+    _SINGLE_WINDOW_MAX_ROWS candidate rows), no __slice phase — and
+    the result matches the two-phase shape row-for-row (total order)."""
+    from kerf_spark.operators import similarity as SIM
+    from kerf_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    em = read_table(spark, SF, "embeddings")
+    q = em.where(F.col("vec_id") < 4)
+    small = SIM.ivf_topk(em, q, k=3, n_cells=4, nprobe=2)
+    plan = plan_of(small, "simple")
+    assert "__slice" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # final rank only
 
 
 def test_melt_expands_without_shuffle(spark):
@@ -929,7 +948,12 @@ def test_global_scan_property_equals_sequential(spark, rows, agg, width):
 # ------------------------------------------------------- ATLAS round-trip
 _akey = st.text(alphabet="abcdefghij", min_size=1, max_size=4)
 _astr = st.text(
-    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    # codepoint 1: the escape path must survive the WHOLE control
+    # range (ADVICE r6 — \b/\f etc. used to pass through raw and make
+    # strict parsers reject the fragment).  NUL itself is excluded:
+    # get_json_object's extraction (the test's comparator) truncates
+    # at NUL independent of escaping.
+    alphabet=st.characters(min_codepoint=1, max_codepoint=126),
     max_size=12,
 )
 _aval = st.one_of(
