@@ -13,6 +13,8 @@ Everything is a JVM Column expression; no Python UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -424,3 +426,51 @@ def rand_det(seed, *keys) -> Column:
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
         + F.lit(1.0)
     ) / F.lit(4294967297.0)
+
+
+def rand_pcg(seed: int, key) -> Column:
+    """Bit-exact PCG64 stream parity with the reference's RNG
+    (rng.h:18 — per-thread pcg64, same stream for the same seed).
+
+    ``rand_pcg(seed, k)`` is draw number ``k`` of numpy's
+    ``Generator(PCG64(seed)).random()`` stream — the reference's
+    "reproducible seeded stream" contract made layout-invariant the
+    same way :func:`rand_det` is: the draw is a pure function of
+    (seed, key), not of partition layout or row order.  Each Arrow
+    batch advances ONE PCG64 instance by the (mod 2^128) delta
+    between consecutive keys — ``advance`` is O(log delta) by LCG
+    jump-ahead, so arbitrary key order costs log time, no per-row
+    object churn, and executors never share RNG state.
+
+    NULL keys draw NULL (the :func:`rand_det` contract).  This is the
+    one deliberately-Python scalar in the module: PCG64's 128-bit LCG
+    + XSL-RR output has no Catalyst expression, so the twin runs as a
+    vectorized pandas_udf (Arrow-batched, never row-at-a-time);
+    prefer :func:`rand_det` when cross-engine SQL reproducibility
+    matters more than reference-bitstream parity.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    seed = int(seed)
+
+    @pandas_udf("double")
+    def _pcg(keys: pd.Series) -> pd.Series:
+        import numpy as np
+        from numpy.random import PCG64, Generator
+
+        bg = PCG64(seed)
+        gen = Generator(bg)
+        pos = 0
+        out = np.full(len(keys), np.nan, dtype="float64")
+        vals = keys.to_numpy()
+        for i in range(len(vals)):
+            v = vals[i]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            k = int(v)
+            bg.advance((k - pos) % (1 << 128))
+            out[i] = gen.random()
+            pos = k + 1
+        return pd.Series(out)
+
+    return nan_to_null(_pcg(_c(key).cast("long")))

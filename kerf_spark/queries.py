@@ -9939,6 +9939,62 @@ def weighted_sample_docs(spark, sf):
     )
 
 
+def _rand_pcg_oracle_sql(
+    sf_dir="/root/testdata/sf0.01", seed=42, max_id=2048
+) -> str:
+    """Independent driver-side recomputation of the PCG64 stream (the
+    bpe_merges_learned oracle pattern): draw number k of numpy's
+    ``Generator(PCG64(seed)).random()`` stream for each event_id in the
+    fixture, emitted as a VALUES literal; the SQL rounds the same
+    doubles the Spark plan rounds."""
+    import duckdb
+    from numpy.random import PCG64, Generator
+
+    con = duckdb.connect()
+    ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT event_id FROM read_parquet('{sf_dir}/events.parquet')"
+            f" WHERE event_id < {max_id} ORDER BY event_id"
+        ).fetchall()
+    ]
+    con.close()
+    if not ids:
+        raise ValueError(f"no event_id < {max_id} in {sf_dir}")
+    stream = Generator(PCG64(seed)).random(max(ids) + 1)
+    # ::DOUBLE per literal: DuckDB infers DECIMAL for bare decimal
+    # literals in VALUES, which the driver's hasher sees as a non-float
+    rows = ",".join(f"({i},{stream[i]!r}::DOUBLE)" for i in ids)
+    return f"""
+    WITH u(event_id, u) AS (VALUES {rows})
+    SELECT event_id, round(u, 6) AS u,
+           CAST(floor(u * 10) AS BIGINT) AS bucket
+    FROM u ORDER BY event_id
+    """
+
+
+@query("rand_pcg_uniform")
+def rand_pcg_uniform(spark, sf):
+    """Reference-bitstream RNG parity (rng.h:18 — kerf seeds a pcg64
+    and replays the same stream for the same seed).  ``rand_pcg(seed,
+    k)`` is draw k of the PCG64(seed) stream, computed layout-invariant
+    by counter (LCG jump-ahead per Arrow batch, scalars.rand_pcg) — so
+    unlike F.rand the draw survives repartitioning, and unlike
+    rand_det the BITS equal the reference RNG family's.  Bounded key
+    range keeps the recomputed-oracle VALUES literal small; the plan
+    itself is a pure projection at any scale."""
+    e = _t(spark, sf, "events").where(F.col("event_id") < 2048)
+    u = S.rand_pcg(42, "event_id")
+    return e.select(
+        "event_id",
+        F.round(u, 6).alias("u"),
+        F.floor(u * 10).cast("long").alias("bucket"),
+    ).orderBy("event_id")
+
+
+_attach_oracle("rand_pcg_uniform", _rand_pcg_oracle_sql)
+
+
 # =====================================================================
 # Tick-analytics family over integer-cents accumulation (round 6):
 # running P&L peaks, band/oscillator indicators.  All per-user windows
@@ -10627,6 +10683,9 @@ _attach_oracle("ann_recall_meter", _recall_oracle_sql)
 
 def refit_oracles(sf_dir: str) -> None:
     """Re-derive the learned-literal oracles against ``sf_dir``."""
+    _attach_oracle(
+        "rand_pcg_uniform", lambda: _rand_pcg_oracle_sql(sf_dir=sf_dir)
+    )
     _attach_oracle(
         "bpe_merges_learned", lambda: _bpe_merges_oracle_sql(sf_dir=sf_dir)
     )

@@ -2370,6 +2370,36 @@ def test_atlas_frag_brace_string_and_null_key_rand(spark):
     assert got[1] is not None and got[None] is None
 
 
+def test_rand_pcg_golden_stream_and_layout_invariance(spark):
+    """rand_pcg(seed, k) must be draw k of numpy's
+    Generator(PCG64(seed)).random() stream BITWISE (the reference's
+    reproducible-stream contract, rng.h:18) on any partition layout,
+    in any key order, with NULL keys drawing NULL.  First three
+    PCG64(42) draws pinned as literals so a numpy behavior change
+    (or a broken advance-delta) fails loudly rather than silently
+    agreeing with itself."""
+    from numpy.random import PCG64, Generator
+
+    from kerf_spark.functions.scalars import rand_pcg
+
+    golden = [
+        0.7739560485559633,
+        0.4388784397520523,
+        0.8585979199113825,
+    ]
+    want = Generator(PCG64(42)).random(64)
+    assert [want[0], want[1], want[2]] == golden
+    # shuffled keys over a skewed layout: the advance-delta walk must
+    # handle backward jumps (negative delta mod 2^128)
+    keys = [(k,) for k in [63, 0, 17, 5, 62, 1, None, 33, 2]]
+    t = spark.createDataFrame(keys, "k long").repartition(4)
+    got = {r.k: r.u for r in t.select(
+        "k", rand_pcg(42, "k").alias("u")).collect()}
+    assert got[None] is None
+    for k in [63, 0, 17, 5, 62, 1, 33, 2]:
+        assert got[k] == want[k], k
+
+
 def test_fit_memo_refits_when_data_rewritten_under_same_path(spark, tmp_path):
     """The fit memo must fold a data-freshness signal into its key:
     rewriting the parquet under an unchanged path (same plan, same
