@@ -154,3 +154,64 @@ class CappedAppendError(KerfError, ValueError):
 
 class MissingFeatureError(KerfError, NotImplementedError):
     kind = "Missing feature error"  # ERROR_MISSING
+
+
+# ----------------------------------------------------- first-class value
+class KerfErrorValue:
+    """An error as a first-class VALUE, not a raised exception — the
+    reference stores errors in slabs a script can hold and inspect
+    (presented.h:386-389 ``A_ERROR { is_error() }``, slop.h:535-546),
+    with the kind string drawn from the jump.h:144-198 catalogue.
+    Produced by kerf_lang's protected-eval form ``try(...)``; scripts
+    inspect it with ``is_error(e)`` / ``e["kind"]`` / ``e["message"]``.
+    """
+
+    __slots__ = ("kind", "message")
+
+    def __init__(self, kind: str, message: str = ""):
+        self.kind = kind
+        self.message = message
+
+    def __getitem__(self, key: str):
+        if key in ("kind", "message"):
+            return getattr(self, key)
+        raise KerfIndexError(f"error value has no field {key!r}")
+
+    def __repr__(self) -> str:  # SHOW_ERROR_MESSAGES rendering
+        return (
+            f"error: {self.kind}: {self.message}"
+            if self.message
+            else f"error: {self.kind}"
+        )
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, KerfErrorValue)
+            and (self.kind, self.message) == (other.kind, other.message)
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.kind, self.message))
+
+    @classmethod
+    def from_exception(cls, exc: BaseException) -> "KerfErrorValue":
+        """Map a raised exception into the taxonomy: KerfError carries
+        its own kind; Spark analysis failures map to the closest table
+        kinds (unresolved column -> Column error, missing view ->
+        Table error); anything else is the reference's catch-all
+        ERROR_SUBERROR ("Inherited error") with the Python class name
+        preserved in the message."""
+        if isinstance(exc, KerfError):
+            return cls(exc.kind, exc.detail or "")
+        msg = str(exc)
+        if type(exc).__name__ == "AnalysisException":
+            if "UNRESOLVED_COLUMN" in msg or "cannot resolve" in msg:
+                return cls("Column error", msg)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+                return cls("Table error", msg)
+            return cls("Inherited error", msg)
+        if isinstance(exc, ZeroDivisionError):
+            return cls("Argument error", msg or "division by zero")
+        if isinstance(exc, RecursionError):
+            return cls("Depth limit exceeded error", msg)
+        return cls("Inherited error", f"{type(exc).__name__}: {msg}")

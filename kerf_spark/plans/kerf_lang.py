@@ -51,6 +51,7 @@ from ..errors import (
     ArityError,
     ArgsError,
     DepthError,
+    KerfErrorValue,
     KerfTypeError,
     LexError,
     ParseError,
@@ -542,6 +543,9 @@ def _loc_count(x):
 
 
 _BUILTINS: dict[str, tuple[Any, str | None]] = {
+    # first-class error introspection (presented.h:386-389 A_ERROR
+    # is_error()); the error VALUE itself comes from the try(...) form
+    "is_error": (lambda x: int(isinstance(x, KerfErrorValue)), None),
     "abs": (lambda x: np.abs(_np(x)), "abs({0})"),
     "floor": (lambda x: np.floor(_np(x)), "floor({0})"),
     "ceil": (lambda x: np.ceil(_np(x)), "ceiling({0})"),
@@ -785,6 +789,13 @@ class _ExprParser:
             low = t.text.lower()
             if low in _RESERVED_LITS:
                 return _RESERVED_LITS[low]
+            if (
+                low == "try"
+                and not self.env.has(t.text)
+                and self.peek().kind == "punct"
+                and self.peek().text == "("
+            ):
+                return self._try_form()
             if self.env.has(t.text):
                 return self.env.get(t.text)
             if low in _BUILTINS:
@@ -815,6 +826,28 @@ class _ExprParser:
         if t.kind == "adverb" and t.text in ("mapleft", "mapright"):
             return _Builtin(t.text)  # call form: mapleft(f, xs, y)
         raise ParseError(f"unexpected token {t.text!r} in kerf expression")
+
+    def _try_form(self) -> Any:
+        """Protected eval (jump.h:144-198 taxonomy as VALUES): evaluate
+        the parenthesized expression — or SQL statement — and on any
+        failure yield a first-class :class:`KerfErrorValue` instead of
+        unwinding, mirroring the reference's error slabs
+        (presented.h:386-389).  The span is captured as raw source so
+        an inner parse error is caught too, and a protected SQL
+        statement's ANALYSIS failures (missing column/view) surface as
+        values while unprotected statements still raise."""
+        open_t = self.expect("punct", "(")
+        end = _match_delim(self.src, open_t.pos, "(", ")")
+        inner = self.src[open_t.pos + 1: end]
+        while self.toks[self.i].kind != "eof" and self.toks[self.i].pos <= end:
+            self.i += 1
+        head = re.match(r"\s*([A-Za-z_]\w*)", inner)
+        try:
+            if head and head.group(1).lower() in _SQL_STARTS:
+                return self.interp.run_sql(inner.strip(), self.env)
+            return self.interp.eval_expr(inner, self.env)
+        except Exception as exc:
+            return KerfErrorValue.from_exception(exc)
 
     @staticmethod
     def _number(s: str):
@@ -1058,6 +1091,8 @@ class Interp:
         if len(idx) != 1:
             raise RankError("kerf indexing takes one subscript")
         i = idx[0]
+        if isinstance(v, KerfErrorValue):
+            return v[i]  # "kind" / "message" fields of an error slab
         if isinstance(v, dict):
             return v[i]
         if isinstance(v, np.ndarray):

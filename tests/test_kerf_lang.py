@@ -515,3 +515,51 @@ def test_fby_parens_inside_string_arguments(spark):
         tables={"t": t},
     ).collect()
     assert sorted((r.note, r.v) for r in rows) == [(")", 1.0), (")", 3.0)]
+
+
+def test_try_protected_eval_yields_error_values(spark):
+    """Errors as first-class VALUES (presented.h:386-389 A_ERROR,
+    jump.h:144-198 kinds): try(...) captures any failure as an
+    inspectable value — protected selection of a missing column gives
+    a Column error value, a protected undefined name a Reference
+    error value — while the UNPROTECTED forms still raise."""
+    import pytest
+
+    from kerf_spark.errors import KerfErrorValue, ReferenceError_
+    from kerf_spark.plans.kerf_lang import run
+
+    t = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    # protected SQL: missing column -> Column error value
+    got = run(
+        spark,
+        'e: try(select nope / 2 as x from t); [is_error(e), e["kind"]]',
+        tables={"t": t},
+    )
+    assert list(got) == [1, "Column error"]
+    # protected expression: undefined name -> Reference error value
+    got = run(spark, 'e: try(1 + no_such); [is_error(e), e["kind"]]')
+    assert list(got) == [1, "Reference error"]
+    # message field carries the detail
+    ev = run(spark, "try(1 + no_such)")
+    assert isinstance(ev, KerfErrorValue) and "no_such" in ev["message"]
+    # a non-error passes through untouched and is_error says so
+    assert list(run(spark, "e: try(2 + 3); [is_error(e), e]")) == [0, 5]
+    # unprotected forms still raise (the taxonomy exception path)
+    with pytest.raises(ReferenceError_):
+        run(spark, "1 + no_such")
+    with pytest.raises(Exception):
+        run(spark, "select nope from t", tables={"t": t})
+
+
+def test_try_is_shadowable_and_error_value_indexing_guards(spark):
+    """`try` is only a special form when unbound — a user variable
+    named try keeps working; unknown error-value fields raise the
+    taxonomy's Index error."""
+    import pytest
+
+    from kerf_spark.errors import KerfIndexError
+    from kerf_spark.plans.kerf_lang import run
+
+    assert run(spark, "try: 7; try + 1") == 8
+    with pytest.raises(KerfIndexError):
+        run(spark, 'e: try(1 + no_such); e["nope"]')
