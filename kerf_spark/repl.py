@@ -1,0 +1,294 @@
+"""Interactive kerf console — the reference's primary entry point.
+
+The reference runs a readline loop (main.cc:33-73): each line feeds the
+console lexer, and only a *parenthetically complete* buffer
+(lexer.h:620-631 — the paren stack is empty) is handed to the
+interpreter; otherwise the prompt switches to a continuation prompt and
+keeps reading.  This module is that loop over the Spark engine:
+
+* completeness comes from the same depth/quote scanner scripts use
+  (:func:`plans.kerf_lang.split_statements` raises the taxonomy's
+  Incomplete/Unmatched kinds for still-open groups);
+* state (variables, lambdas, temp views) persists across inputs in one
+  :class:`plans.kerf_lang.Interp` + ``Env``, unlike the one-shot
+  :func:`plans.kerf_lang.run`;
+* results print kerf-style — tables as aligned columns with a dashed
+  header rule (a BOUNDED ``limit(n+1)`` fetch, never a full collect),
+  vectors space-joined, errors by their jump.h:144-198 kind string
+  (``SHOW_ERROR_MESSAGES`` rendering).
+
+Run it: ``python -m kerf_spark [--sf-dir DIR] [-e SCRIPT]``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any
+
+from .errors import (
+    KerfError,
+    KerfErrorValue,
+    ParseIncompleteError,
+    ParseUnmatchedError,
+)
+
+PROMPT = "kerf> "
+CONTINUE_PROMPT = "    > "  # KERFCONTINUEPROMPT (main.cc:69-71)
+
+#: rows shown for a table result before the "…" elision marker
+TABLE_ROWS = 10
+
+
+def source_complete(src: str) -> bool:
+    """True when the buffered input forms a complete parse group —
+    the reference's ``is_complete`` (lexer.h:620-631): no open
+    paren/brace/bracket and no unterminated string.  Anything else
+    wrong with the source still counts as complete: the evaluator is
+    the one that should report it."""
+    try:
+        from .plans.kerf_lang import split_statements
+
+        split_statements(src)
+        return True
+    except ParseIncompleteError:
+        return False
+    except ParseUnmatchedError as exc:
+        # unterminated string: keep reading (multi-line strings);
+        # a stray closer is complete-but-wrong -> let eval report it
+        return "unterminated" not in str(exc)
+    except Exception:
+        return True
+
+
+def format_table(df, n: int = TABLE_ROWS) -> str:
+    """Kerf-style table rendering: left-aligned column names, a dashed
+    rule, aligned rows, `…` when more rows exist.  Fetches ``n+1``
+    rows only — printing never materializes an unbounded result."""
+    rows = df.limit(n + 1).collect()
+    more = len(rows) > n
+    rows = rows[:n]
+    cols = df.columns
+    cells = [[_scalar_text(r[c]) for c in cols] for r in rows]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    out = [
+        "  ".join(c.ljust(w) for c, w in zip(cols, widths)).rstrip(),
+        "  ".join("-" * w for w in widths),
+    ]
+    for row in cells:
+        out.append("  ".join(v.ljust(w) for v, w in zip(row, widths)).rstrip())
+    if more:
+        out.append("…")
+    return "\n".join(out)
+
+
+def _scalar_text(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def format_value(v: Any) -> str | None:
+    """Render an evaluation result; None means print nothing (e.g.
+    an assignment-less statement that returned no value)."""
+    import numpy as np
+
+    if v is None:
+        return None
+    try:  # DataFrame (duck-typed so pure-local sessions need no Spark)
+        from pyspark.sql import DataFrame
+
+        if isinstance(v, DataFrame):
+            return format_table(v)
+    except Exception:
+        pass
+    if isinstance(v, KerfErrorValue):
+        return repr(v)
+    if isinstance(v, np.ndarray):
+        return " ".join(_scalar_text(x.item() if hasattr(x, "item") else x)
+                        for x in v)
+    if isinstance(v, np.generic):
+        return _scalar_text(v.item())
+    if isinstance(v, dict):
+        inner = ", ".join(f"{k}: {_scalar_text(x)}" for k, x in v.items())
+        return "{" + inner + "}"
+    if isinstance(v, str):
+        return f'"{v}"'
+    return _scalar_text(v)
+
+
+def format_error(exc: BaseException) -> str:
+    """jump.h-taxonomy error display: KerfError prints its kind line
+    verbatim (SHOW_ERROR_MESSAGES); Spark analysis errors shrink to
+    their first line; everything else shows class + first line."""
+    if isinstance(exc, KerfError):
+        return str(exc)
+    first = str(exc).strip().splitlines()[0] if str(exc).strip() else ""
+    return f"{type(exc).__name__}: {first}"
+
+
+class _LazySession:
+    """Defers SparkSession creation until the interpreter actually
+    touches it (spark.sql / createDataFrame), so console arithmetic
+    stays JVM-free and instant."""
+
+    def __init__(self, repl: "Repl"):
+        self._repl = repl
+
+    def __getattr__(self, name):
+        return getattr(self._repl.spark, name)
+
+
+class Repl:
+    """One console session: persistent interpreter state + a lazily
+    created SparkSession (pure-local arithmetic needs no JVM)."""
+
+    def __init__(self, spark=None, sf_dir: str | None = None):
+        from .plans.kerf_lang import Env, Interp
+
+        self._spark = spark
+        self._interp = None
+        self.env = Env()
+        self.sf_dir = sf_dir
+        self.buffer: list[str] = []
+
+    @property
+    def spark(self):
+        if self._spark is None:
+            from .session import get_spark
+
+            self._spark = get_spark("kerf_repl")
+        return self._spark
+
+    @property
+    def interp(self):
+        if self._interp is None:
+            from .plans.kerf_lang import Interp
+
+            # _LazySession: pure-local arithmetic/lambdas never start a
+            # JVM; the first SQL statement or table literal does
+            self._interp = Interp(_LazySession(self))
+            if self.sf_dir:
+                self.load_dir(self.sf_dir)
+        return self._interp
+
+    def load_dir(self, sf_dir: str) -> list[str]:
+        """Register every ``<name>.parquet`` under ``sf_dir`` as a temp
+        view + script variable (the console analogue of the reference's
+        workspace open)."""
+        import glob
+
+        from .sources.io import read_table
+
+        names = sorted(
+            os.path.basename(p)[:-8]
+            for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+        )
+        for name in names:
+            df = read_table(self.spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            self.env.set_local(name, df)
+        self.sf_dir = sf_dir
+        return names
+
+    # ---- statement execution ----
+    def eval_source(self, src: str) -> Any:
+        from .plans.kerf_lang import split_statements
+
+        ret = None
+        interp = self.interp  # force session + table load first
+        for stmt in split_statements(src):
+            ret = interp.exec_stmt(stmt, self.env)
+        return ret
+
+    def handle_line(self, line: str, out=sys.stdout) -> bool:
+        """Feed one input line; returns False when the session should
+        exit.  Mirrors main.cc:33-73 line_handler: buffer until
+        complete, then interpret and print."""
+        stripped = line.strip()
+        if not self.buffer and stripped in ("\\q", "exit", "quit"):
+            return False
+        if not self.buffer and stripped.startswith("\\l"):
+            arg = stripped[2:].strip()
+            try:
+                names = self.load_dir(arg)
+                print("loaded: " + " ".join(names), file=out)
+            except Exception as exc:
+                print(format_error(exc), file=out)
+            return True
+        self.buffer.append(line)
+        src = "\n".join(self.buffer)
+        if not source_complete(src):
+            return True  # continuation prompt
+        self.buffer = []
+        if not src.strip():
+            return True
+        try:
+            text = format_value(self.eval_source(src))
+            if text is not None:
+                print(text, file=out)
+        except Exception as exc:
+            print(format_error(exc), file=out)
+        return True
+
+    @property
+    def prompt(self) -> str:
+        return CONTINUE_PROMPT if self.buffer else PROMPT
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m kerf_spark",
+        description="Interactive kerf console over the Spark engine.",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        help="directory of <table>.parquet files to register at startup",
+    )
+    ap.add_argument(
+        "-e", "--execute", metavar="SCRIPT",
+        help="run one script string and exit (non-interactive)",
+    )
+    args = ap.parse_args(argv)
+
+    repl = Repl(sf_dir=args.sf_dir)
+    if args.execute is not None:
+        try:
+            text = format_value(repl.eval_source(args.execute))
+            if text is not None:
+                print(text)
+            return 0
+        except Exception as exc:
+            print(format_error(exc), file=sys.stderr)
+            return 1
+
+    try:  # history + line editing when the terminal has them
+        import readline  # noqa: F401
+    except Exception:
+        pass
+    print("kerf_spark console — \\l DIR loads tables, \\q quits")
+    while True:
+        try:
+            line = input(repl.prompt)
+        except EOFError:  # Ctrl-D: exit on a clean line (main.cc:38-42)
+            print()
+            return 0
+        except KeyboardInterrupt:  # Ctrl-C: drop the pending buffer
+            repl.buffer = []
+            print()
+            continue
+        if not repl.handle_line(line):
+            return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -1,0 +1,169 @@
+"""Console tests: the readline-loop semantics of main.cc:33-73 —
+multi-line completeness buffering (lexer.h:620-631), kerf-style table
+printing, and jump.h-taxonomy error display — plus one real pty-driven
+session end-to-end."""
+
+from __future__ import annotations
+
+import io
+import os
+import select
+import subprocess
+import sys
+import time
+
+import pytest
+
+from kerf_spark.repl import (
+    Repl,
+    format_error,
+    format_table,
+    format_value,
+    source_complete,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- completeness scanner
+def test_source_complete_tracks_groups_and_strings():
+    assert source_complete("1 + 2")
+    assert not source_complete("f: {[x]")
+    assert not source_complete("f: {[x] x +")  # still inside the brace
+    assert source_complete("f: {[x] x + 1}")
+    assert not source_complete("g: (1 +")
+    assert not source_complete('s: "abc')  # unterminated string: keep reading
+    assert source_complete('s: "abc"')
+    # complete-but-wrong input is COMPLETE: the evaluator reports it
+    assert source_complete("1 + )")
+
+
+# ------------------------------------------------- value rendering
+def test_format_value_kerf_shapes():
+    import numpy as np
+
+    from kerf_spark.errors import KerfErrorValue
+
+    assert format_value(None) is None
+    assert format_value(7) == "7"
+    assert format_value("hi") == '"hi"'
+    assert format_value(np.array([1, 2, 3])) == "1 2 3"
+    assert format_value({"a": 1}) == "{a: 1}"
+    assert format_value(True) == "true"
+    ev = KerfErrorValue("Type error", "boom")
+    assert format_value(ev) == "error: Type error: boom"
+
+
+def test_format_table_is_bounded_and_aligned(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(25)], "k long, s string"
+    ).orderBy("k")
+    text = format_table(df, n=3)
+    lines = text.splitlines()
+    assert lines[0].split() == ["k", "s"]
+    assert set(lines[1]) <= {"-", " "}
+    assert lines[2].split() == ["0", "s0"]
+    assert lines[-1] == "…"  # elision marker, never a full collect
+    assert len(lines) == 6  # header + rule + 3 rows + marker
+
+
+def test_format_error_taxonomy_rendering():
+    from kerf_spark.errors import KerfTypeError
+
+    assert format_error(KerfTypeError("bad")) == "Type error: bad"
+    assert format_error(ValueError("x\ny")) == "ValueError: x"
+
+
+# ------------------------------------------------- session semantics
+def test_repl_state_persists_and_buffers_multiline(spark):
+    r = Repl(spark=spark)
+    out = io.StringIO()
+    assert r.handle_line("a: 40", out)
+    assert r.handle_line("g: {[x]", out)
+    assert r.prompt.strip() == ">"  # continuation prompt while open
+    assert r.handle_line("  x + a", out)
+    assert r.handle_line("}", out)
+    assert r.handle_line("g(2)", out)
+    assert out.getvalue().strip().splitlines()[-1] == "42"
+    # taxonomy error display, session keeps going
+    r.handle_line("1 + nope", out)
+    assert "Reference error" in out.getvalue()
+    assert r.handle_line("a", out)
+    assert out.getvalue().strip().splitlines()[-1] == "40"
+    # exit commands
+    assert not r.handle_line("\\q", out)
+
+
+def test_repl_sql_and_table_print(spark):
+    r = Repl(spark=spark)
+    r.load_dir(SF)
+    out = io.StringIO()
+    r.handle_line("select count(*) as n from region", out)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0].split() == ["n"]
+    assert lines[2].split() == ["5"]
+
+
+# ------------------------------------------------- real pty session
+def test_pty_interactive_session():
+    """Drive ``python -m kerf_spark`` through a genuine pty: multi-line
+    lambda entry, a SQL statement over loaded tables, and an error line
+    rendered by kind — the r6 verdict's definition of done."""
+    import pty
+
+    master, slave = pty.openpty()
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "8")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "kerf_spark", "--sf-dir", SF],
+        stdin=slave, stdout=slave, stderr=slave,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, close_fds=True,
+    )
+    os.close(slave)
+    buf = b""
+
+    def read_until(marker: bytes, timeout: float = 120.0) -> bytes:
+        nonlocal buf
+        deadline = time.monotonic() + timeout
+        while marker not in buf:
+            left = deadline - time.monotonic()
+            assert left > 0, f"timeout waiting for {marker!r}; got {buf!r}"
+            r, _, _ = select.select([master], [], [], min(left, 1.0))
+            if r:
+                try:
+                    chunk = os.read(master, 4096)
+                except OSError:
+                    chunk = b""
+                assert chunk, f"console died; output so far: {buf!r}"
+                buf += chunk
+        return buf
+
+    def send(line: str):
+        os.write(master, line.encode() + b"\r")
+
+    try:
+        read_until(b"kerf> ")
+        # multi-line lambda: continuation prompt, then call it
+        send("add41: {[x]")
+        read_until(b"    > ")
+        send("  x + 41}")
+        read_until(b"kerf> ")
+        send("add41(1)")
+        read_until(b"42")
+        # SQL over the tables loaded via --sf-dir (starts the JVM)
+        send("select count(*) as n from region")
+        read_until(b"n\r\n-", timeout=150)
+        read_until(b"5")
+        # error display by taxonomy kind; session survives
+        send("1 + nope")
+        read_until(b"Reference error: undefined name: nope")
+        send("2 + 2")
+        read_until(b"4")
+        send("\\q")
+        proc.wait(timeout=30)
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(master)
