@@ -2350,6 +2350,85 @@ def stream_socket_ingest(spark, sf):
     )
 
 
+@query(
+    "stream_fanout_sinks",
+    """
+    WITH agg AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum,
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS v_sum
+      FROM events GROUP BY event_type)
+    SELECT s.sink, a.event_type, a.n, a.id_sum, a.v_sum
+    FROM (VALUES ('by_type'), ('epoch_log')) AS s(sink)
+    CROSS JOIN agg a
+    ORDER BY s.sink, a.event_type
+    """,
+)
+def stream_fanout_sinks(spark, sf):
+    """Feed-handler FANOUT (bus.h:119: "highly useful if we're
+    re-broadcasting … (feed handler)"): one checkpointed stream of the
+    events fixture drives TWO parquet sinks through a single
+    foreachBatch — an epoch-directory tick log and an event_type-
+    partitioned layout — each micro-batch materialized once and
+    written to both (streaming.ingest.fanout + parquet_epoch_sink;
+    epoch-overwrite makes every sink idempotent under crash-replay,
+    proven by tests/test_integration.py across a real restart).  Both
+    sinks are read back and aggregated; the oracle aggregates the
+    table directly × both sink labels, so a green row proves NEITHER
+    sink dropped or duplicated a record.  Sums over value accumulate
+    integer cents (association-order-immune)."""
+    import tempfile
+
+    from .streaming.ingest import (
+        fanout, parquet_epoch_sink, read_file_stream,
+    )
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="kerf_fanout_")
+    for i in range(2):  # two source files -> two genuine epochs
+        e.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/src/part{i}")
+    feed = read_file_stream(
+        spark, f"{root}/src/part*", e.schema, maxFilesPerTrigger=1
+    )
+    q = fanout(
+        feed,
+        f"{root}/ckpt",
+        parquet_epoch_sink(f"{root}/epoch_log"),
+        parquet_epoch_sink(f"{root}/by_type", partition_by=["event_type"]),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    def agg(path: str, label: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").cast("long").alias("id_sum"),
+                F.round(
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ) / 100.0,
+                    2,
+                ).alias("v_sum"),
+            )
+            .select(F.lit(label).alias("sink"), "*")
+        )
+
+    return (
+        agg(f"{root}/by_type", "by_type")
+        .unionByName(agg(f"{root}/epoch_log", "epoch_log"))
+        .orderBy("sink", "event_type")
+    )
+
+
 # =====================================================================
 # §2.4 extras — rollup/cube, statistical aggregates
 # =====================================================================

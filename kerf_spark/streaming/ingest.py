@@ -553,3 +553,94 @@ def run_batches(query: StreamingQuery, n_seconds: float) -> None:
 
     time.sleep(n_seconds)
     query.stop()
+
+
+# ------------------------------------------------------------- fanout
+def parquet_epoch_sink(path: str, partition_by: Sequence[str] = ()):
+    """Fanout sink: each micro-batch lands under ``path/epoch=<id>/``
+    with overwrite semantics.  Idempotence is the whole design: after
+    a crash/restart Spark REPLAYS the last uncommitted epoch into
+    foreachBatch, and overwriting the same epoch directory absorbs the
+    replay — exactly-once per sink with zero sink-side dedup state.
+    Readers ``spark.read.parquet(path)`` see every epoch as a
+    partition (the epoch column also records arrival batch — kerf's
+    append-only tick-log discipline, presented.h:420-425)."""
+    import os as _os
+
+    partition_by = list(partition_by)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        w = batch.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(_os.path.join(path, f"epoch={int(epoch_id)}"))
+
+    return sink
+
+
+def socket_rebroadcast_sink(host: str, port: int):
+    """Re-broadcast sink — bus.h:119: fanout is "highly useful if
+    we're re-broadcasting to several machines on a network (feed
+    handler)".  Each micro-batch is serialized to the JSON wire format
+    ``parse_feed_lines`` decodes and written to ``host:port`` from the
+    EXECUTORS (``foreachPartition`` — one connection per partition,
+    no driver-side collect, so re-broadcast scales with the feed's own
+    parallelism).  Delivery is at-least-once on epoch replay; pair
+    with a keyed dedup downstream (streaming.deduped) when the
+    receiver needs exactly-once."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        def send(lines) -> None:
+            import socket
+
+            conn = socket.create_connection((host, port))
+            try:
+                for line in lines:
+                    conn.sendall(line.encode() + b"\n")
+            finally:
+                conn.close()
+
+        batch.toJSON().foreachPartition(send)
+
+    return sink
+
+
+def fanout(
+    feed: DataFrame,
+    checkpoint: str,
+    *sinks,
+    available_now: bool = False,
+    trigger_secs: int | None = None,
+) -> StreamingQuery:
+    """One feed → N sinks (bus.h:119) under ONE checkpointed stream.
+
+    ``foreachBatch`` persists each micro-batch once, then runs every
+    sink against the SAME materialized batch with the same epoch id —
+    the source is read once per epoch no matter how many sinks hang
+    off it (the reference's fanout motivation: don't re-pull a feed
+    that may not fit in memory, bus.h:115-119).  Restart semantics:
+    the replayed epoch reaches every sink again; idempotent sinks
+    (:func:`parquet_epoch_sink`) absorb it, at-least-once sinks
+    (:func:`socket_rebroadcast_sink`) document it.  A sink failure
+    fails the epoch BEFORE the checkpoint commits, so no sink can
+    silently miss an epoch the others got."""
+    sinks = list(sinks)
+    if not sinks:
+        raise ValueError("fanout needs at least one sink")
+
+    def route(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            for s in sinks:
+                s(batch, epoch_id)
+        finally:
+            batch.unpersist()
+
+    w = feed.writeStream.foreachBatch(route).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_secs:
+        w = w.trigger(processingTime=f"{trigger_secs} seconds")
+    return w.start()

@@ -279,3 +279,140 @@ def test_streaming_volume_bars_match_batch_across_microbatches(
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_fanout_two_sinks_exactly_once_across_restart(spark, tmp_path):
+    """Feed fanout (bus.h:119): ONE checkpointed stream drives two
+    parquet sinks through foreachBatch.  Across a stop + restart with
+    more data, BOTH sinks hold every source record exactly once — and
+    a deliberately replayed epoch (the crash-recovery delivery) leaves
+    the sinks unchanged, proving the epoch-directory overwrite is the
+    idempotence mechanism, not luck."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.streaming.ingest import (
+        fanout, parquet_epoch_sink, read_file_stream,
+    )
+
+    src = tmp_path / "src"
+    a_dir, b_dir = str(tmp_path / "sink_a"), str(tmp_path / "sink_b")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, f"t{i % 3}", float(i)) for i in range(40)]
+    base = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    for part in range(2):  # first run: two files -> two epochs
+        base.where(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{part}"))
+
+    sink_a = parquet_epoch_sink(a_dir)
+    sink_b = parquet_epoch_sink(b_dir, partition_by=["event_type"])
+
+    def run_once():
+        feed = read_file_stream(
+            spark, str(src / "part*"), base.schema, maxFilesPerTrigger=1
+        )
+        q = fanout(feed, ckpt, sink_a, sink_b, available_now=True)
+        q.awaitTermination()
+
+    run_once()
+    # restart with two MORE files on the same checkpoint
+    for part in range(2, 4):
+        base.where(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{part}"))
+    run_once()
+
+    def ids(path):
+        return sorted(
+            r.event_id for r in spark.read.parquet(path).collect()
+        )
+
+    want = sorted(r[0] for r in rows)
+    assert ids(a_dir) == want  # every record exactly once, no dupes
+    assert ids(b_dir) == want
+    # sink B really is partitioned by event_type inside each epoch
+    assert any(
+        p.name.startswith("event_type=")
+        for epoch in (tmp_path / "sink_b").iterdir() if epoch.is_dir()
+        for p in epoch.iterdir()
+    )
+    # crash-recovery delivery: replay an old epoch verbatim -> no change
+    replay = spark.read.parquet(str(src / "part0"))
+    sink_a(replay, 0)
+    sink_b(replay, 0)
+    assert ids(a_dir) == want
+    assert ids(b_dir) == want
+
+
+def test_fanout_socket_rebroadcast(spark, tmp_path):
+    """The re-broadcast arm of bus.h:119: one stream fans to a parquet
+    sink AND a live loopback TCP receiver; the receiver gets every
+    record as a JSON wire line (executor-side connections, no driver
+    collect in the sink)."""
+    import json
+    import socket
+    import threading
+
+    from kerf_spark.streaming.ingest import (
+        fanout, parquet_epoch_sink, read_file_stream,
+        socket_rebroadcast_sink,
+    )
+
+    rows = [(i, float(i) * 2.0) for i in range(30)]
+    base = spark.createDataFrame(rows, "event_id long, value double")
+    src = tmp_path / "src"
+    base.coalesce(1).write.parquet(str(src / "part0"))
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    got: list[dict] = []
+    done = threading.Event()
+
+    def receiver():
+        while not done.is_set():
+            try:
+                srv.settimeout(0.5)
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:  # server closed during teardown
+                return
+            with conn:
+                data = b""
+                while True:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    data += chunk
+            for line in data.decode().splitlines():
+                if line.strip():
+                    got.append(json.loads(line))
+
+    t = threading.Thread(target=receiver, daemon=True)
+    t.start()
+    try:
+        feed = read_file_stream(spark, str(src / "part*"), base.schema)
+        q = fanout(
+            feed,
+            str(tmp_path / "ckpt"),
+            parquet_epoch_sink(str(tmp_path / "sink_a")),
+            socket_rebroadcast_sink("127.0.0.1", port),
+            available_now=True,
+        )
+        q.awaitTermination()
+        deadline = threading.Event()
+        for _ in range(100):
+            if len(got) >= len(rows):
+                break
+            deadline.wait(0.1)
+    finally:
+        done.set()
+        srv.close()
+
+    assert sorted(r["event_id"] for r in got) == [r[0] for r in rows]
+    assert {r["event_id"]: r["value"] for r in got}[7] == 14.0
+    pq = spark.read.parquet(str(tmp_path / "sink_a"))
+    assert pq.count() == len(rows)
