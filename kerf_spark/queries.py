@@ -8678,6 +8678,37 @@ def kerf_lang_asof_verb(spark, sf):
 
 
 @query(
+    "kerf_lang_protected_eval",
+    """
+    SELECT event_type, count(*) AS n,
+           'Column error' AS err_kind,
+           CAST(1 AS BIGINT) AS was_error
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def kerf_lang_protected_eval(spark, sf):
+    """Errors as first-class values driving control flow
+    (presented.h:386-389 A_ERROR; jump.h:144-198 kinds): the script
+    PROTECTS a select of a missing column with ``try(...)``, inspects
+    the captured error value's kind/is_error, and falls back to the
+    correct query — stamping what it caught into the result columns so
+    the oracle can verify the taxonomy mapping (unresolved column ->
+    'Column error'), not just that execution survived."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "bad: try(select no_such_column from events)\n"
+        "k: bad[\"kind\"]\n"
+        "ok: is_error(bad)\n"
+        "select event_type, n: count(*), err_kind: k,"
+        " was_error: cast(ok as bigint)"
+        " from events group by event_type order by event_type",
+        tables={"events": _t(spark, sf, "events")},
+    )
+
+
+@query(
     "kerfsql_window_join",
     """
     SELECT a.event_id, count(*) AS n
@@ -10923,27 +10954,12 @@ _DRIVER_GREEN = [
     "bloom_contamination_docs", "inverted_index_terms",
     "rendezvous_shard_assign", "autocorr_lag_events",
     "robust_zscore_events",
-]
-
-#: Round-6 driver window (exactly 50 = the driver's per-round budget):
-#: the two r05 oracle-dtype reds re-proving with CAST fixes, the ten
-#: round-5 additions that have never had a driver row, the eleven
-#: round-6 additions (ATLAS surface, deterministic rand, weighted
-#: sampling, the tick-indicator family, the ANN recall meter), then
-#: re-proves of every query whose PLAN changed this round (the
-#: two-phase top-k rewrite, chunked_moving validation) and a
-#: representative spread of parked greens under the stricter bitwise
-#: sweep.
-_R06_WINDOW = [
-    # r05 red: DuckDB HUGEINT -> float64 oracle dtype artifact, fixed
-    # with CAST(sum(...) AS BIGINT); both bitwise value-correct in r5
+    # r06 green (all of _R06_WINDOW — 50/50, the first perfect round)
     "bpe_pair_counts", "merge_event_intervals",
-    # never driver-checked (round-5 additions, registry order)
     "global_running_sum", "volume_bars_events", "tick_rule_flow",
     "stream_socket_ingest", "compact_roundtrip", "dup_cluster_best_docs",
     "pq_encode_codes", "pq_ann_topk", "pq_rerank_topk",
     "kerfsql_fby_filter",
-    # round-6 additions
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile",
     "rand_det_uniform", "weighted_sample_docs",
@@ -10952,27 +10968,51 @@ _R06_WINDOW = [
     "rsi_events", "stochastic_events", "macd_events",
     "ngram_novelty_docs", "global_moving_avg", "containment_pairs_docs",
     "ivfpq_ann_topk", "ann_recall_meter",
-    # round-6 late additions (radius search, collection find)
     "radius_neighbors_embeddings", "atlas_collection_find",
-    # plan changed this round (two-phase top-k; chunked_moving
-    # validation; fby quote masking) — re-prove at the driver
+]
+
+#: Round-7 driver window (exactly 50 = the driver's per-round budget):
+#: ewma_user_value first (the ONLY registry entry never driver-checked
+#: — parked at position 51 all of r6), the three round-7 additions
+#: (PCG64 stream-parity RNG, feed fanout, protected eval), re-proves
+#: of every query whose PLAN changed this round (the small-corpus
+#: single-window top-k fallback + ivfpq zero-norm guard + freshness
+#: key fix touch the whole top-k family; the _quote control-range fix
+#: touches the ATLAS write path), and a spread of parked greens.
+_R07_WINDOW = [
+    # never driver-checked (late r6 addition, queued at position 51)
+    "ewma_user_value",
+    # round-7 additions
+    "rand_pcg_uniform", "stream_fanout_sinks", "kerf_lang_protected_eval",
+    # plan changed this round: top-k family (two_phase_topk fallback,
+    # ivfpq guarded cosine re-rank, _input_freshness URI fix)
     "cosine_topk_exact", "ivf_ann_topk_oracle", "lsh_ann_topk_oracle",
-    "rolling_window_stats", "kerfsql_tick_idioms",
+    "pq_ann_topk", "pq_rerank_topk", "ivfpq_ann_topk",
+    "ann_recall_meter", "radius_neighbors_embeddings",
+    # plan changed: ATLAS write path (_quote full control-range escape)
+    "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
+    "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
     # representative parked greens re-proving under the strict sweep
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_revenue_forecast",
-    "asof_join_latest_order", "interval_join_bursts",
-    "minhash_portable_pairs",
-    "bloom_contamination_docs",
-    "xbar_5min_bars", "session_windows",
-    "map_funcs", "bigint_decimal",
-    "workspace_roundtrip",
+    # (TPC-H relational core not re-proven since r2)
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q12_shipmode_classes",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive", "q20_potential_promotion", "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # window/ordered analytics + temporal spread
+    "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
+    "differ_runs", "stats_agg", "percentile_prices", "topk_per_group",
+    "ema_exact", "ohlc_bars",
+    # composition + packing spread
+    "funnel_conversion", "cohort_retention", "sequence_packing",
+    "union_uneven_schemas", "hash_funcs", "exact_dedup_docs",
 ]
 
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R06_WINDOW if k in QUERIES]
+    window = [k for k in _R07_WINDOW if k in QUERIES]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)
