@@ -258,9 +258,26 @@ def main(argv: list[str] | None = None) -> int:
         "-e", "--execute", metavar="SCRIPT",
         help="run one script string and exit (non-interactive)",
     )
+    ap.add_argument(
+        "--serve", metavar="PORT", type=int,
+        help="serve the kerf IPC protocol on this TCP port instead of "
+             "an interactive console (bus.h client/server surface)",
+    )
     args = ap.parse_args(argv)
 
     repl = Repl(sf_dir=args.sf_dir)
+    if args.serve is not None:
+        from .server import KerfServer
+
+        tables = {}
+        if args.sf_dir:
+            repl.load_dir(args.sf_dir)
+            tables = dict(repl.env.vars)  # the loaded DataFrames
+        srv = KerfServer(repl.spark, port=args.serve, tables=tables)
+        host, port = srv.address
+        print(f"kerf_spark server on {host}:{port}")
+        srv.serve()
+        return 0
     if args.execute is not None:
         try:
             text = format_value(repl.eval_source(args.execute))

@@ -1,0 +1,226 @@
+"""IPC: remote kerf execution over TCP — the reference's client/server
+surface (bus.h:7-251 TRANSMITTER/EMITTER; enums.h:278 MESSAGE "use
+network order"; bus.h:117 "sending kerf tree over network").
+
+The reference ships binary slabs in network byte order; the Spark-first
+re-expression keeps the TRANSPORT trivial and engine-portable — one
+newline-delimited JSON request/response pair per round trip, the same
+wire discipline the feed handler's ``parse_feed_lines`` decodes — and
+keeps the HEAVY data where it belongs: results are bounded previews
+(``limit`` rows, default 1000); a client that wants a full table asks
+the server to ``save`` it into the Workspace and reads the parquet
+side-channel, exactly how a kerf client would mmap the server's folio
+rather than pull it through the socket.
+
+Protocol (one JSON object per line, UTF-8):
+
+    -> {"src": "a: 1 + 1; a * 21", "limit": 100}
+    <- {"ok": true, "kind": "scalar", "value": 42}
+
+    -> {"src": "select count(*) as n from region"}
+    <- {"ok": true, "kind": "table", "columns": ["n"], "rows": [[5]],
+        "more": false}
+
+    -> {"src": "1 + no_such"}
+    <- {"ok": false, "kind": "Reference error",
+        "message": "undefined name: no_such"}
+
+Each CONNECTION is a session: one persistent interpreter environment
+(variables, lambdas, temp views live across requests), all sessions
+sharing one SparkSession — the reference's one-process-many-consoles
+shape (main.cc:83-97 libevent loop).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Any
+
+from .errors import KerfError, KerfErrorValue
+
+#: default result-preview bound; protects the wire, not the engine
+DEFAULT_LIMIT = 1000
+
+
+def _json_cell(v: Any) -> Any:
+    import datetime
+
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return repr(v)  # JSON has no nan/inf; ship the kerf literal text
+    return v
+
+
+def encode_result(v: Any, limit: int = DEFAULT_LIMIT) -> dict:
+    """Value -> response object.  Tables ship a bounded preview
+    (``limit`` rows + a ``more`` flag from a limit+1 fetch); vectors/
+    maps/scalars ship inline; error VALUES ship as data (ok stays
+    true — a captured error is a first-class result, only a RAISED
+    error fails the request)."""
+    import numpy as np
+
+    try:
+        from pyspark.sql import DataFrame
+    except Exception:  # pragma: no cover - pyspark always present here
+        DataFrame = ()  # type: ignore[assignment]
+
+    if isinstance(v, DataFrame):
+        rows = v.limit(limit + 1).collect()
+        more = len(rows) > limit
+        rows = rows[:limit]
+        return {
+            "ok": True,
+            "kind": "table",
+            "columns": v.columns,
+            "rows": [[_json_cell(r[c]) for c in v.columns] for r in rows],
+            "more": more,
+        }
+    if isinstance(v, KerfErrorValue):
+        return {
+            "ok": True,
+            "kind": "error_value",
+            "error_kind": v.kind,
+            "message": v.message,
+        }
+    if isinstance(v, np.ndarray):
+        return {
+            "ok": True,
+            "kind": "vector",
+            "value": [_json_cell(x) for x in v.tolist()],
+        }
+    if isinstance(v, dict):
+        return {
+            "ok": True,
+            "kind": "map",
+            "value": {str(k): _json_cell(x) for k, x in v.items()},
+        }
+    if v is None:
+        return {"ok": True, "kind": "null", "value": None}
+    return {"ok": True, "kind": "scalar", "value": _json_cell(v)}
+
+
+def encode_error(exc: BaseException) -> dict:
+    """Raised exception -> taxonomy-kinded failure response
+    (jump.h:144-198 display names via KerfErrorValue.from_exception)."""
+    ev = (
+        KerfErrorValue(exc.kind, exc.detail)
+        if isinstance(exc, KerfError)
+        else KerfErrorValue.from_exception(exc)
+    )
+    return {"ok": False, "kind": ev.kind, "message": ev.message}
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one thread per connection
+        from .plans.kerf_lang import Env, Interp, split_statements
+
+        server: KerfServer = self.server  # type: ignore[assignment]
+        interp = Interp(server.spark)
+        env = Env()
+        for name, df in server.tables.items():
+            env.set_local(name, df)
+        while True:
+            line = self.rfile.readline()
+            if not line:
+                return
+            try:
+                req = json.loads(line)
+                src = req["src"]
+                limit = int(req.get("limit", DEFAULT_LIMIT))
+                ret = None
+                for stmt in split_statements(src):
+                    ret = interp.exec_stmt(stmt, env)
+                resp = encode_result(ret, limit=limit)
+            except Exception as exc:  # noqa: BLE001 - wire boundary
+                resp = encode_error(exc)
+            self.wfile.write(
+                json.dumps(resp, separators=(",", ":")).encode() + b"\n"
+            )
+            self.wfile.flush()
+
+
+class KerfServer:
+    """Threaded TCP kerf server: ``serve()`` in the foreground or
+    ``start()`` on a daemon thread.  ``tables`` are pre-registered in
+    every session (temp views are session-global in Spark already;
+    the env binding makes them script variables too)."""
+
+    def __init__(
+        self,
+        spark,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tables: dict | None = None,
+    ):
+        self.spark = spark
+        self.tables = dict(tables or {})
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+
+        class _Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = _Srv((host, port), _Handler)
+        # hand the handler its context through the server object
+        self._srv.spark = spark  # type: ignore[attr-defined]
+        self._srv.tables = self.tables  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._srv.server_address  # type: ignore[return-value]
+
+    def start(self) -> "KerfServer":
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve(self) -> None:  # pragma: no cover - interactive entry
+        self._srv.serve_forever()
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class KerfClient:
+    """Line-protocol client.  One instance = one server-side session
+    (its interpreter env persists until close)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._file = self._sock.makefile("rwb")
+
+    def execute(self, src: str, limit: int = DEFAULT_LIMIT) -> dict:
+        req = json.dumps({"src": src, "limit": limit})
+        self._file.write(req.encode() + b"\n")
+        self._file.flush()
+        line = self._file.readline()
+        if not line:
+            raise ConnectionError("kerf server closed the connection")
+        return json.loads(line)
+
+    def close(self) -> None:
+        try:
+            self._file.close()
+        finally:
+            self._sock.close()
+
+    def __enter__(self) -> "KerfClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,102 @@
+"""IPC server tests: the bus.h client/server surface over loopback TCP
+— session persistence per connection, bounded table previews, taxonomy
+error responses, error VALUES as data, concurrent isolated sessions."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from kerf_spark.server import KerfClient, KerfServer
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from kerf_spark.sources.io import read_table
+
+    tables = {
+        name: read_table(spark, SF, name) for name in ("region", "nation")
+    }
+    srv = KerfServer(spark, tables=tables).start()
+    yield srv
+    srv.stop()
+
+
+def _client(server):
+    host, port = server.address
+    return KerfClient(host, port)
+
+
+def test_scalar_vector_map_and_session_state(server):
+    with _client(server) as c:
+        assert c.execute("a: 40; a + 2") == {
+            "ok": True, "kind": "scalar", "value": 42,
+        }
+        # state persists across requests on the SAME connection
+        assert c.execute("a * 2")["value"] == 80
+        v = c.execute("til(4)")
+        assert v["kind"] == "vector" and v["value"] == [0, 1, 2, 3]
+        m = c.execute("{x: 1, y: 2}")
+        assert m == {"ok": True, "kind": "map", "value": {"x": 1, "y": 2}}
+        assert c.execute("f: {[n] n * n}; f(9)")["value"] == 81
+
+
+def test_table_preview_is_bounded_with_more_flag(server):
+    with _client(server) as c:
+        r = c.execute(
+            "select r_name from region order by r_name", limit=3
+        )
+        assert r["ok"] and r["kind"] == "table"
+        assert r["columns"] == ["r_name"]
+        assert len(r["rows"]) == 3 and r["more"] is True
+        full = c.execute("select count(*) as n from region")
+        assert full["rows"] == [[5]] and full["more"] is False
+
+
+def test_error_taxonomy_and_error_values_over_the_wire(server):
+    with _client(server) as c:
+        # a RAISED error fails the request with its jump.h kind
+        r = c.execute("1 + no_such")
+        assert r == {
+            "ok": False, "kind": "Reference error",
+            "message": "undefined name: no_such",
+        }
+        # the session survives the failure
+        assert c.execute("2 + 2")["value"] == 4
+        # a CAPTURED error (try form) is a first-class RESULT
+        r = c.execute("try(select nope from region)")
+        assert r["ok"] and r["kind"] == "error_value"
+        assert r["error_kind"] == "Column error"
+
+
+def test_concurrent_sessions_are_isolated(server):
+    host, port = server.address
+    results = {}
+
+    def session(tag: str, val: int):
+        with KerfClient(host, port) as c:
+            c.execute(f"x: {val}")
+            barrier.wait(timeout=30)
+            results[tag] = c.execute("x")["value"]
+
+    barrier = threading.Barrier(2)
+    ts = [
+        threading.Thread(target=session, args=("a", 1)),
+        threading.Thread(target=session, args=("b", 2)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert results == {"a": 1, "b": 2}
+
+
+def test_nan_and_null_cells_survive_the_wire(server):
+    with _client(server) as c:
+        r = c.execute("select r_regionkey, null as gap from region"
+                      " order by r_regionkey", limit=2)
+        assert r["rows"][0][1] is None
+        assert c.execute("nan")["value"] == "nan"  # kerf literal text
