@@ -242,6 +242,24 @@ class Repl:
     def prompt(self) -> str:
         return CONTINUE_PROMPT if self.buffer else PROMPT
 
+    def completions(self, prefix: str) -> list[str]:
+        """Tab-completion candidates: session variables (tables,
+        lambdas, scalars), then builtins/keywords — the reference's
+        rl_completion surface (main.cc:35).  Sorted, deduped."""
+        from .plans.kerf_lang import _BUILTINS, _KEYWORDS, _RESERVED_LITS
+
+        names: set[str] = set()
+        env = self.env
+        while env is not None:
+            names.update(env.vars)
+            env = env.parent
+        names.update(_BUILTINS)
+        names.update(_KEYWORDS)
+        names.update(_RESERVED_LITS)
+        names.update(("try", "select", "update", "insert", "upsert",
+                      "delete", "from", "group", "order", "where", "by"))
+        return sorted(n for n in names if n.startswith(prefix))
+
 
 def main(argv: list[str] | None = None) -> int:
     import argparse
@@ -288,8 +306,16 @@ def main(argv: list[str] | None = None) -> int:
             print(format_error(exc), file=sys.stderr)
             return 1
 
-    try:  # history + line editing when the terminal has them
-        import readline  # noqa: F401
+    try:  # history + line editing + completion when the terminal has them
+        import readline
+
+        def _complete(text: str, state: int):
+            cands = repl.completions(text)
+            return cands[state] if state < len(cands) else None
+
+        readline.set_completer(_complete)
+        readline.set_completer_delims(" \t\n`~!@#$%^&*()-=+[{]}\\|;:'\",<>/?")
+        readline.parse_and_bind("tab: complete")
     except Exception:
         pass
     print("kerf_spark console — \\l DIR loads tables, \\q quits")

@@ -167,3 +167,14 @@ def test_pty_interactive_session():
         if proc.poll() is None:
             proc.kill()
         os.close(master)
+
+
+def test_completions_cover_env_builtins_keywords(spark):
+    r = Repl(spark=spark)
+    out = io.StringIO()
+    r.handle_line("quarterly_total: 5", out)
+    assert r.completions("quarterly") == ["quarterly_total"]
+    assert "try" in r.completions("tr")
+    assert "count" in r.completions("cou")
+    assert "select" in r.completions("sel")
+    assert r.completions("zzz_nothing") == []
