@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -812,6 +814,57 @@ def quantize_embeddings(
 def dequantize_expr(codes, scale) -> Column:
     """Inverse of :func:`quantize_embeddings`: x̂_i = code_i · scale/127."""
     return F.transform(_c(codes), lambda q: q * _c(scale) / F.lit(127.0))
+
+
+def fp16_pack(vec_col) -> Column:
+    """Half-precision embedding STORAGE (reference FLOAT1,
+    enums.h:197): IEEE-754 binary16, little-endian, packed into a
+    ``binary`` column — 2 bytes/dim, half of float32, between int8's 1
+    and float32's 4 on the storage/recall curve.  Spark has no half
+    type, so the engine stores the packed bytes and materializes
+    floats only at the use site (:func:`fp16_unpack`) — the same
+    opaque-binary discipline the multimodal columns use.  Arrow-
+    batched pandas_udf (numpy's IEEE-conformant float16 cast does the
+    rounding); round-trip is exactly numpy ``astype(f2).astype(f4)``,
+    bit-reproducible anywhere numpy runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _pack(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [
+                None
+                if v is None
+                else np.asarray(v, dtype="<f2").tobytes()
+                for v in vs
+            ]
+        )
+
+    return _pack(_c(vec_col))
+
+
+def fp16_unpack(bin_col) -> Column:
+    """Inverse of :func:`fp16_pack`: binary halves → ``array<float>``
+    (exact widening — every binary16 value is representable in
+    binary32, so unpack loses nothing; the lossy step is pack)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _unpack(bs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [
+                None
+                if b is None
+                else np.frombuffer(b, dtype="<f2").astype("<f4").tolist()
+                for b in bs
+            ]
+        )
+
+    return _unpack(_c(bin_col))
 
 
 def pca_components(

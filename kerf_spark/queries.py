@@ -10083,6 +10083,74 @@ def _rand_pcg_oracle_sql(
     """
 
 
+def _fp16_oracle_sql(
+    sf_dir="/root/testdata/sf0.01", max_id=256
+) -> str:
+    """Independent recomputation of the fp16 round-trip: numpy's
+    IEEE-conformant binary16 cast per fixture vector, emitted as a
+    VALUES literal (the rand_pcg_uniform pattern)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+        f" WHERE vec_id < {max_id} ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    if not rows:
+        raise ValueError(f"no vec_id < {max_id} in {sf_dir}")
+    vals = []
+    for vid, emb in rows:
+        v = np.asarray(emb, dtype="<f4")
+        rt = v.astype("<f2").astype("<f4")
+        err = float(np.max(np.abs(v - rt))) if len(v) else 0.0
+        vals.append(f"({vid},{2 * len(v)},{err!r}::DOUBLE)")
+    return f"""
+    WITH r(vec_id, n_bytes, err) AS (VALUES {",".join(vals)})
+    SELECT vec_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           round(err, 6) AS max_abs_err
+    FROM r ORDER BY vec_id
+    """
+
+
+@query("fp16_embeddings_roundtrip")
+def fp16_embeddings_roundtrip(spark, sf):
+    """Half-precision embedding storage (FLOAT1, enums.h:197 — the one
+    reference width SURVEY mapped away because Spark lacks a half
+    type): embeddings pack to IEEE binary16 bytes (2/dim, half of
+    float32) and unpack exactly; the row reports the packed size and
+    the per-vector max quantization error, both verified against an
+    independent numpy recomputation — so the storage claim AND the
+    precision loss are measured, not asserted.  Arrow-batched, scan-
+    shaped: at 100 TB this is the write path of an fp16 embedding
+    lake."""
+    em = _t(spark, sf, "embeddings").where(F.col("vec_id") < 256)
+    packed = em.select(
+        "vec_id",
+        F.col("embedding").alias("__orig"),
+        SIM.fp16_pack("embedding").alias("__h"),
+    )
+    rt = packed.select(
+        "vec_id",
+        "__orig",
+        F.length("__h").cast("long").alias("n_bytes"),
+        SIM.fp16_unpack("__h").alias("__rt"),
+    )
+    err = F.array_max(
+        F.zip_with("__orig", "__rt", lambda a, b: F.abs(a - b))
+    )
+    return rt.select(
+        "vec_id",
+        "n_bytes",
+        F.round(err.cast("double"), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+_attach_oracle("fp16_embeddings_roundtrip", _fp16_oracle_sql)
+
+
 @query("rand_pcg_uniform")
 def rand_pcg_uniform(spark, sf):
     """Reference-bitstream RNG parity (rng.h:18 — kerf seeds a pcg64
@@ -10797,6 +10865,9 @@ def refit_oracles(sf_dir: str) -> None:
         "rand_pcg_uniform", lambda: _rand_pcg_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
+        "fp16_embeddings_roundtrip", lambda: _fp16_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
         "bpe_merges_learned", lambda: _bpe_merges_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
@@ -10984,6 +11055,7 @@ _R07_WINDOW = [
     "ewma_user_value",
     # round-7 additions
     "rand_pcg_uniform", "stream_fanout_sinks", "kerf_lang_protected_eval",
+    "fp16_embeddings_roundtrip",
     # plan changed this round: top-k family (two_phase_topk fallback,
     # ivfpq guarded cosine re-rank, _input_freshness URI fix)
     "cosine_topk_exact", "ivf_ann_topk_oracle", "lsh_ann_topk_oracle",
@@ -11006,7 +11078,7 @@ _R07_WINDOW = [
     "ema_exact", "ohlc_bars",
     # composition + packing spread
     "funnel_conversion", "cohort_retention", "sequence_packing",
-    "union_uneven_schemas", "hash_funcs", "exact_dedup_docs",
+    "union_uneven_schemas", "hash_funcs",
 ]
 
 

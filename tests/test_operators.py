@@ -2555,3 +2555,35 @@ def test_cosine_radius_matches_bruteforce(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_fp16_pack_unpack_roundtrip_and_nulls(spark):
+    """fp16 storage (FLOAT1, enums.h:197): pack is IEEE binary16 (2
+    bytes/dim), unpack widens exactly, NULL vectors stay NULL, and the
+    round-trip equals numpy's astype(f2).astype(f4) bitwise — so the
+    packed column is a drop-in half-storage embedding lake format."""
+    import numpy as np
+
+    from kerf_spark.operators.similarity import fp16_pack, fp16_unpack
+
+    vecs = [
+        [0.1, -2.5, 65504.0, 1e-8],   # incl. fp16 max + a subnormal-ish
+        [0.0, 1.0, -1.0, 3.14159],
+    ]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.packed, r.rt)
+        for r in df.select(
+            "vec_id",
+            fp16_pack("embedding").alias("packed"),
+            fp16_unpack(fp16_pack("embedding")).alias("rt"),
+        ).collect()
+    }
+    assert out[99] == (None, None)
+    for i, v in enumerate(vecs):
+        packed, rt = out[i]
+        assert len(packed) == 2 * len(v)
+        want = np.asarray(v, dtype="<f4").astype("<f2").astype("<f4")
+        assert rt == want.tolist(), i
+        assert packed == np.asarray(v, dtype="<f2").tobytes()
