@@ -84,6 +84,7 @@ _TOKEN_RE = re.compile(
   | (?P<span>\d+(?:\.\d+)?(?:ns|us|ms|[smhd])(?![A-Za-z0-9_]))
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:\\.|[^"\\])*")
+  | (?P<sqlstr>'(?:''|[^'])*')
   | (?P<sym>`[A-Za-z_]\w*|`"(?:\\.|[^"\\])*")
   | (?P<name>[A-Za-z_]\w*)
   | (?P<verb><=|>=|==|!=|<>|[-+*/%<>=&|!])
@@ -182,6 +183,12 @@ def lex(src: str) -> list[Tok]:
                 toks.append(Tok("num", "-" + text, m.start() - 1))
             else:
                 toks.append(Tok("num", text, m.start()))
+        elif m.lastgroup == "sqlstr":
+            # single-quoted SQL literal: legal only inside an embedded
+            # SQL span (try(select … 'x') captures raw source, but the
+            # surrounding statement still has to LEX).  The parser
+            # rejects it anywhere an expression is expected.
+            toks.append(Tok("sqlstr", text, m.start()))
         elif m.lastgroup == "str":
             body = text[1:-1]
             out, j = [], 0
@@ -929,6 +936,19 @@ def _match_delim(src: str, open_i: int, op: str, cl: str) -> int:
             j = i + 1
             while j < n and src[j] != '"':
                 j += 2 if src[j] == "\\" else 1
+            i = j + 1
+            continue
+        if ch == "'":
+            # single-quoted SQL literal ('' escapes): a ')' inside one
+            # must not close the protected-eval span
+            j = i + 1
+            while j < n:
+                if src[j] == "'":
+                    if j + 1 < n and src[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
             i = j + 1
             continue
         if src.startswith("//", i):

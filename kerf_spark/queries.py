@@ -10074,7 +10074,9 @@ def _rand_pcg_oracle_sql(
     stream = Generator(PCG64(seed)).random(max(ids) + 1)
     # ::DOUBLE per literal: DuckDB infers DECIMAL for bare decimal
     # literals in VALUES, which the driver's hasher sees as a non-float
-    rows = ",".join(f"({i},{stream[i]!r}::DOUBLE)" for i in ids)
+    # float() first: numpy>=2 reprs scalars as np.float64(…) (NEP 51),
+    # which would corrupt the VALUES literal
+    rows = ",".join(f"({i},{float(stream[i])!r}::DOUBLE)" for i in ids)
     return f"""
     WITH u(event_id, u) AS (VALUES {rows})
     SELECT event_id, round(u, 6) AS u,

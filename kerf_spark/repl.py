@@ -325,12 +325,22 @@ def main(argv: list[str] | None = None) -> int:
         except EOFError:  # Ctrl-D: exit on a clean line (main.cc:38-42)
             print()
             return 0
-        except KeyboardInterrupt:  # Ctrl-C: drop the pending buffer
+        except KeyboardInterrupt:  # Ctrl-C at the prompt: drop buffer
             repl.buffer = []
             print()
             continue
-        if not repl.handle_line(line):
-            return 0
+        try:
+            if not repl.handle_line(line):
+                return 0
+        except KeyboardInterrupt:
+            # Ctrl-C MID-EVALUATION (a long collect): cancel the
+            # statement, keep the session — handle_line's own guard
+            # only catches Exception, and losing all state to an
+            # interrupt would be worse than the reference's behavior
+            # (ERROR_CTRL_C is a caught error kind, jump.h:148)
+            repl.buffer = []
+            print("\nCaught interrupt signal")
+            continue
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -47,6 +47,7 @@ DEFAULT_LIMIT = 1000
 
 def _json_cell(v: Any) -> Any:
     import datetime
+    import decimal
 
     import numpy as np
 
@@ -56,8 +57,16 @@ def _json_cell(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # exact digits; the client re-parses as it likes
     if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
         return repr(v)  # JSON has no nan/inf; ship the kerf literal text
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_cell(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # pyspark Row (struct cell)
+        return {k: _json_cell(x) for k, x in v.asDict().items()}
     return v
 
 
@@ -124,11 +133,24 @@ class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one thread per connection
         from .plans.kerf_lang import Env, Interp, split_statements
 
-        server: KerfServer = self.server  # type: ignore[assignment]
-        interp = Interp(server.spark)
+        server = self.server  # _Srv carrying spark + tables
+        # ISOLATED session per connection: newSession() shares the
+        # SparkContext/cached data but has its OWN temp-view catalog,
+        # so one client's `region: select …` cannot clobber another's
+        # view of the base tables.  Base tables reach each session
+        # through global-temp views registered once by KerfServer.
+        session = server.spark.newSession()
+        interp = Interp(session)
         env = Env()
-        for name, df in server.tables.items():
-            env.set_local(name, df)
+        gdb = server.spark.conf.get(
+            "spark.sql.globalTempDatabase", "global_temp"
+        )
+        for name in server.tables:
+            session.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS "
+                f"SELECT * FROM {gdb}.`__kerf_srv_{name}`"
+            )
+            env.set_local(name, session.table(name))
         while True:
             line = self.rfile.readline()
             if not line:
@@ -140,12 +162,17 @@ class _Handler(socketserver.StreamRequestHandler):
                 ret = None
                 for stmt in split_statements(src):
                     ret = interp.exec_stmt(stmt, env)
-                resp = encode_result(ret, limit=limit)
+                # serialize INSIDE the boundary: a cell json can't
+                # carry must answer with a kinded error, not a dead
+                # connection
+                payload = json.dumps(
+                    encode_result(ret, limit=limit), separators=(",", ":")
+                )
             except Exception as exc:  # noqa: BLE001 - wire boundary
-                resp = encode_error(exc)
-            self.wfile.write(
-                json.dumps(resp, separators=(",", ":")).encode() + b"\n"
-            )
+                payload = json.dumps(
+                    encode_error(exc), separators=(",", ":")
+                )
+            self.wfile.write(payload.encode() + b"\n")
             self.wfile.flush()
 
 
@@ -165,7 +192,9 @@ class KerfServer:
         self.spark = spark
         self.tables = dict(tables or {})
         for name, df in self.tables.items():
-            df.createOrReplaceTempView(name)
+            # global-temp: the one cross-session namespace, so every
+            # per-connection session can derive its own LOCAL view
+            df.createOrReplaceGlobalTempView(f"__kerf_srv_{name}")
 
         class _Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

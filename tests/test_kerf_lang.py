@@ -563,3 +563,33 @@ def test_try_is_shadowable_and_error_value_indexing_guards(spark):
     assert run(spark, "try: 7; try + 1") == 8
     with pytest.raises(KerfIndexError):
         run(spark, 'e: try(1 + no_such); e["nope"]')
+
+
+def test_try_protects_sql_with_quoted_literals(spark):
+    """Review regression (r7): the protected form must accept the most
+    common SQL shape — a WHERE clause with a single-quoted string
+    literal (the kerf lexer now carries '…' spans as sqlstr tokens
+    instead of failing to lex), including parens/colons INSIDE the
+    literal, which must not derail the try-span capture."""
+    import pytest
+
+    from kerf_spark.plans.kerf_lang import run
+
+    t = spark.createDataFrame([(1, "x:y"), (2, "z")], "n long, note string")
+    ok = run(
+        spark,
+        "r: try(select n from t where note = 'z'); r",
+        tables={"t": t},
+    )
+    assert [r.n for r in ok.collect()] == [2]
+    # paren + colon inside the literal; no match -> empty table, NOT
+    # an error and NOT a span-capture failure
+    v = run(
+        spark,
+        "e: try(select n from t where note = ':x)'); is_error(e)",
+        tables={"t": t},
+    )
+    assert v == 0
+    # a bare SQL string literal is still not a kerf expression
+    with pytest.raises(Exception):
+        run(spark, "x: 'abc'")

@@ -100,3 +100,31 @@ def test_nan_and_null_cells_survive_the_wire(server):
                       " order by r_regionkey", limit=2)
         assert r["rows"][0][1] is None
         assert c.execute("nan")["value"] == "nan"  # kerf literal text
+
+
+def test_decimal_and_struct_cells_get_a_response_not_a_dead_socket(server):
+    """Review regression (r7): serialization happens INSIDE the wire
+    boundary — a Decimal cell must come back as exact digit text, not
+    kill the handler thread and drop the connection/session."""
+    with _client(server) as c:
+        r = c.execute("select cast(1.5 as decimal(3,1)) as d from region"
+                      " limit 1")
+        assert r["ok"] and r["rows"] == [["1.5"]]
+        # the session survived
+        assert c.execute("1 + 1")["value"] == 2
+
+
+def test_temp_view_assignment_does_not_leak_across_connections(server):
+    """Review regression (r7): per-connection spark.newSession() — a
+    client that shadows a base table name with its own DataFrame
+    assignment must not change what other connections read."""
+    host, port = server.address
+    with KerfClient(host, port) as a, KerfClient(host, port) as b:
+        a.execute("region: select r_regionkey from region"
+                  " where r_regionkey = 0")
+        assert a.execute("select count(*) as n from region")["rows"] == [[1]]
+        # b's view of the base table is untouched
+        assert b.execute("select count(*) as n from region")["rows"] == [[5]]
+    # and a FRESH connection still sees the base table
+    with KerfClient(host, port) as c:
+        assert c.execute("select count(*) as n from region")["rows"] == [[5]]
