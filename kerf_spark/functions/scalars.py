@@ -463,14 +463,44 @@ def rand_pcg(seed: int, key) -> Column:
         pos = 0
         out = np.full(len(keys), np.nan, dtype="float64")
         vals = keys.to_numpy()
-        for i in range(len(vals)):
-            v = vals[i]
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                continue
-            k = int(v)
-            bg.advance((k - pos) % (1 << 128))
-            out[i] = gen.random()
-            pos = k + 1
+        valid = np.array(
+            [
+                not (
+                    v is None or (isinstance(v, float) and np.isnan(v))
+                )
+                for v in vals
+            ],
+            dtype=bool,
+        )
+        idx = np.nonzero(valid)[0]
+        if len(idx) == 0:
+            return pd.Series(out)
+        ks = np.array([int(vals[i]) for i in idx], dtype=object)
+        # run-compressed replay: sort keys, then draw each maximal run
+        # of consecutive counters as ONE block Generator.random(n) —
+        # the dense case (key = row id) costs one advance + one
+        # vectorized draw per partition slice instead of a Python
+        # round-trip per row; duplicates copy the first draw (same
+        # counter, same draw, no state motion)
+        order = np.argsort(np.array([int(k) for k in ks], dtype="int64"),
+                           kind="stable")
+        t = 0
+        while t < len(order):
+            k0 = int(ks[order[t]])
+            run = [order[t]]
+            t += 1
+            while t < len(order) and int(ks[order[t]]) == k0 + len(run):
+                run.append(order[t])
+                t += 1
+            bg.advance((k0 - pos) % (1 << 128))
+            block = gen.random(len(run))
+            pos = k0 + len(run)
+            for off, oi in enumerate(run):
+                out[idx[oi]] = block[off]
+            # duplicates of the LAST key in the run
+            while t < len(order) and int(ks[order[t]]) == k0 + len(run) - 1:
+                out[idx[order[t]]] = block[-1]
+                t += 1
         return pd.Series(out)
 
     return nan_to_null(_pcg(_c(key).cast("long")))
