@@ -67,6 +67,8 @@ def _json_cell(v: Any) -> Any:
         return {str(k): _json_cell(x) for k, x in v.items()}
     if hasattr(v, "asDict"):  # pyspark Row (struct cell)
         return {k: _json_cell(x) for k, x in v.asDict().items()}
+    if not isinstance(v, (int, float, str, bool, type(None))):
+        return str(v)  # lambdas etc.: text beats a serialization fault
     return v
 
 
