@@ -475,21 +475,22 @@ def rand_pcg(seed: int, key) -> Column:
         idx = np.nonzero(valid)[0]
         if len(idx) == 0:
             return pd.Series(out)
-        ks = np.array([int(vals[i]) for i in idx], dtype=object)
+        ks = np.fromiter(
+            (int(vals[i]) for i in idx), dtype="int64", count=len(idx)
+        )
         # run-compressed replay: sort keys, then draw each maximal run
         # of consecutive counters as ONE block Generator.random(n) —
         # the dense case (key = row id) costs one advance + one
         # vectorized draw per partition slice instead of a Python
         # round-trip per row; duplicates copy the first draw (same
         # counter, same draw, no state motion)
-        order = np.argsort(np.array([int(k) for k in ks], dtype="int64"),
-                           kind="stable")
+        order = np.argsort(ks, kind="stable")
         t = 0
         while t < len(order):
             k0 = int(ks[order[t]])
             run = [order[t]]
             t += 1
-            while t < len(order) and int(ks[order[t]]) == k0 + len(run):
+            while t < len(order) and ks[order[t]] == k0 + len(run):
                 run.append(order[t])
                 t += 1
             bg.advance((k0 - pos) % (1 << 128))
@@ -498,7 +499,7 @@ def rand_pcg(seed: int, key) -> Column:
             for off, oi in enumerate(run):
                 out[idx[oi]] = block[off]
             # duplicates of the LAST key in the run
-            while t < len(order) and int(ks[order[t]]) == k0 + len(run) - 1:
+            while t < len(order) and ks[order[t]] == k0 + len(run) - 1:
                 out[idx[order[t]]] = block[-1]
                 t += 1
         return pd.Series(out)

@@ -84,7 +84,7 @@ _TOKEN_RE = re.compile(
   | (?P<span>\d+(?:\.\d+)?(?:ns|us|ms|[smhd])(?![A-Za-z0-9_]))
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:\\.|[^"\\])*")
-  | (?P<sqlstr>'(?:''|[^'])*')
+  | (?P<sqlstr>'(?:''|\\.|[^'\\])*')
   | (?P<sym>`[A-Za-z_]\w*|`"(?:\\.|[^"\\])*")
   | (?P<name>[A-Za-z_]\w*)
   | (?P<verb><=|>=|==|!=|<>|[-+*/%<>=&|!])
@@ -242,10 +242,14 @@ def split_statements(src: str) -> list[str]:
             continue
         if ch == "'":
             # single-quoted SQL literal inside an embedded select
-            # statement ('' escapes) — parens/; /newlines inside it
+            # statement ('' doubling AND Spark's default backslash
+            # escapes, e.g. 'don\\'t') — parens/; /newlines inside it
             # must not count as structure
             j = i + 1
             while j < n:
+                if src[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
                 if src[j] == "'":
                     if j + 1 < n and src[j + 1] == "'":
                         j += 2
@@ -939,10 +943,14 @@ def _match_delim(src: str, open_i: int, op: str, cl: str) -> int:
             i = j + 1
             continue
         if ch == "'":
-            # single-quoted SQL literal ('' escapes): a ')' inside one
-            # must not close the protected-eval span
+            # single-quoted SQL literal ('' doubling AND Spark's
+            # default backslash escapes): a ')' inside one must not
+            # close the protected-eval span
             j = i + 1
             while j < n:
+                if src[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
                 if src[j] == "'":
                     if j + 1 < n and src[j + 1] == "'":
                         j += 2

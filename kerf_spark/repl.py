@@ -333,12 +333,23 @@ def main(argv: list[str] | None = None) -> int:
             if not repl.handle_line(line):
                 return 0
         except KeyboardInterrupt:
-            # Ctrl-C MID-EVALUATION (a long collect): cancel the
-            # statement, keep the session — handle_line's own guard
-            # only catches Exception, and losing all state to an
-            # interrupt would be worse than the reference's behavior
-            # (ERROR_CTRL_C is a caught error kind, jump.h:148)
+            # Ctrl-C MID-EVALUATION (a long collect): keep the session
+            # — handle_line's own guard only catches Exception, and
+            # losing all state to an interrupt would be worse than the
+            # reference's behavior (ERROR_CTRL_C is a caught error
+            # kind, jump.h:148).  Best-effort: also cancel the JVM-side
+            # jobs the statement launched, so the cluster stops burning
+            # (touch only an ALREADY-CREATED session — never start a
+            # JVM to cancel nothing).  A py4j read interrupted mid-
+            # response can still desynchronize the gateway; that risk
+            # is inherent to interrupting py4j and is why the cancel
+            # comes first.
             repl.buffer = []
+            try:
+                if repl._spark is not None:
+                    repl._spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
             print("\nCaught interrupt signal")
             continue
 

@@ -61,12 +61,14 @@ def _json_cell(v: Any) -> Any:
         return str(v)  # exact digits; the client re-parses as it likes
     if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
         return repr(v)  # JSON has no nan/inf; ship the kerf literal text
+    if hasattr(v, "asDict"):  # pyspark Row (struct cell) — MUST come
+        # before the tuple branch: Row subclasses tuple, and shipping
+        # it positionally would drop the field names
+        return {k: _json_cell(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_json_cell(x) for x in v]
     if isinstance(v, dict):
         return {str(k): _json_cell(x) for k, x in v.items()}
-    if hasattr(v, "asDict"):  # pyspark Row (struct cell)
-        return {k: _json_cell(x) for k, x in v.asDict().items()}
     if not isinstance(v, (int, float, str, bool, type(None))):
         return str(v)  # lambdas etc.: text beats a serialization fault
     return v
@@ -150,7 +152,8 @@ class _Handler(socketserver.StreamRequestHandler):
         for name in server.tables:
             session.sql(
                 f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS "
-                f"SELECT * FROM {gdb}.`__kerf_srv_{name}`"
+                f"SELECT * FROM {gdb}."
+                f"`__kerf_srv_{server.view_token}_{name}`"
             )
             env.set_local(name, session.table(name))
         while True:
@@ -180,9 +183,12 @@ class _Handler(socketserver.StreamRequestHandler):
 
 class KerfServer:
     """Threaded TCP kerf server: ``serve()`` in the foreground or
-    ``start()`` on a daemon thread.  ``tables`` are pre-registered in
-    every session (temp views are session-global in Spark already;
-    the env binding makes them script variables too)."""
+    ``start()`` on a daemon thread.  Each CONNECTION gets an isolated
+    ``spark.newSession()`` (own temp-view catalog, shared context and
+    caches); ``tables`` reach every connection through server-unique
+    global-temp views from which each session derives a LOCAL view —
+    so clients may freely shadow table names without touching each
+    other, and two servers on one SparkSession cannot cross-wire."""
 
     def __init__(
         self,
@@ -191,12 +197,19 @@ class KerfServer:
         port: int = 0,
         tables: dict | None = None,
     ):
+        import uuid
+
         self.spark = spark
         self.tables = dict(tables or {})
+        # server-unique namespace token: a second KerfServer with the
+        # same table name on this SparkSession must not overwrite ours
+        self.view_token = uuid.uuid4().hex[:8]
         for name, df in self.tables.items():
             # global-temp: the one cross-session namespace, so every
             # per-connection session can derive its own LOCAL view
-            df.createOrReplaceGlobalTempView(f"__kerf_srv_{name}")
+            df.createOrReplaceGlobalTempView(
+                f"__kerf_srv_{self.view_token}_{name}"
+            )
 
         class _Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -206,6 +219,7 @@ class KerfServer:
         # hand the handler its context through the server object
         self._srv.spark = spark  # type: ignore[attr-defined]
         self._srv.tables = self.tables  # type: ignore[attr-defined]
+        self._srv.view_token = self.view_token  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property
@@ -225,6 +239,15 @@ class KerfServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+        # drop this server's global-temp views: they would otherwise
+        # shadow the namespace for the SparkSession's whole lifetime
+        for name in self.tables:
+            try:
+                self.spark.catalog.dropGlobalTempView(
+                    f"__kerf_srv_{self.view_token}_{name}"
+                )
+            except Exception:
+                pass
 
 
 class KerfClient:

@@ -593,3 +593,26 @@ def test_try_protects_sql_with_quoted_literals(spark):
     # a bare SQL string literal is still not a kerf expression
     with pytest.raises(Exception):
         run(spark, "x: 'abc'")
+
+
+def test_sql_literals_with_backslash_escaped_quotes(spark):
+    """Review regression (r7, 2nd pass): Spark's default string parser
+    accepts backslash-escaped quotes ('don\\'t'); the kerf statement
+    splitter / lexer / span matcher must scan them, protected or not."""
+    from kerf_spark.plans.kerf_lang import run
+
+    t = spark.createDataFrame(
+        [(1, "don't"), (2, "plain")], "n long, note string"
+    )
+    got = run(
+        spark,
+        "r: try(select n from t where note = 'don\\'t'); r",
+        tables={"t": t},
+    )
+    assert [r.n for r in got.collect()] == [1]
+    got2 = run(
+        spark,
+        "select n from t where note = 'don\\'t'",
+        tables={"t": t},
+    )
+    assert [r.n for r in got2.collect()] == [1]

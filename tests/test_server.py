@@ -128,3 +128,41 @@ def test_temp_view_assignment_does_not_leak_across_connections(server):
     # and a FRESH connection still sees the base table
     with KerfClient(host, port) as c:
         assert c.execute("select count(*) as n from region")["rows"] == [[5]]
+
+
+def test_struct_cells_keep_field_names(server):
+    """Review regression (r7, 2nd pass): Row subclasses tuple, so the
+    struct branch must run before the sequence branch — field names
+    must reach the client."""
+    with _client(server) as c:
+        r = c.execute(
+            "select named_struct('a', 1, 'b', 2) as s from region limit 1"
+        )
+        assert r["rows"] == [[{"a": 1, "b": 2}]]
+
+
+def test_two_servers_same_table_name_do_not_cross_wire(spark):
+    """Review regression (r7, 2nd pass): each server namespaces its
+    global-temp views, so a second server registering the same table
+    name serves ITS data, the first keeps serving its own, and stop()
+    drops the views instead of leaking them."""
+    a_df = spark.createDataFrame([(1,)], "x long")
+    b_df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    a = KerfServer(spark, tables={"t": a_df}).start()
+    b = KerfServer(spark, tables={"t": b_df}).start()
+    try:
+        with KerfClient(*a.address) as ca:
+            assert ca.execute("select count(*) as n from t")["rows"] == [[1]]
+        with KerfClient(*b.address) as cb:
+            assert cb.execute("select count(*) as n from t")["rows"] == [[3]]
+    finally:
+        a.stop()
+        b.stop()
+    # stop() dropped THESE servers' namespaced views (other live
+    # servers — e.g. the module fixture's — keep their own)
+    leftovers = [
+        v.name for v in spark.catalog.listTables("global_temp")
+        if v.name.startswith(f"__kerf_srv_{a.view_token}_")
+        or v.name.startswith(f"__kerf_srv_{b.view_token}_")
+    ]
+    assert leftovers == []
