@@ -1013,3 +1013,14 @@ def test_atlas_write_path_is_zero_exchange(spark):
     exchange of any kind."""
     plan = plan_of(QUERIES["atlas_nested_update"](spark, SF), "simple")
     assert "Exchange" not in plan
+
+
+def test_fp16_roundtrip_is_scan_shaped(spark):
+    """fp16 pack/unpack must be a pure projection (Arrow-batched eval,
+    no Exchange): at 100 TB the half-precision write path runs at scan
+    speed with the corpus's own parallelism."""
+    plan = plan_of(QUERIES["fp16_embeddings_roundtrip"](spark, SF), "simple")
+    # the only operators are scan -> filter -> arrow eval -> project
+    # (orderBy is presentation; no hash shuffle anywhere)
+    assert "ArrowEvalPython" in plan
+    assert "Exchange hashpartitioning" not in plan
