@@ -127,6 +127,13 @@ class ParseIncompleteError(ParseError):
     kind = "Incomplete parse group error"  # ERROR_PARSE_INCOMPLETE
 
 
+class LexIncompleteError(ParseIncompleteError):
+    kind = "Incomplete token error"  # ERROR_LEX_INCOMPLETE: an open
+    # string/comment still reading — "give me more input", which is
+    # how the console's completeness check discriminates it from a
+    # stray-closer mismatch (type-based, never message matching)
+
+
 class ParseUnmatchedError(ParseError):
     kind = "Unmatched parse group error"  # ERROR_PARSE_UNMATCH
 

@@ -463,16 +463,7 @@ def rand_pcg(seed: int, key) -> Column:
         pos = 0
         out = np.full(len(keys), np.nan, dtype="float64")
         vals = keys.to_numpy()
-        valid = np.array(
-            [
-                not (
-                    v is None or (isinstance(v, float) and np.isnan(v))
-                )
-                for v in vals
-            ],
-            dtype=bool,
-        )
-        idx = np.nonzero(valid)[0]
+        idx = np.nonzero(keys.notna().to_numpy())[0]
         if len(idx) == 0:
             return pd.Series(out)
         ks = np.fromiter(

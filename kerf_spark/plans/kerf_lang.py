@@ -54,6 +54,7 @@ from ..errors import (
     KerfErrorValue,
     KerfTypeError,
     LexError,
+    LexIncompleteError,
     ParseError,
     ParseIncompleteError,
     ParseUnmatchedError,
@@ -236,7 +237,7 @@ def split_statements(src: str) -> list[str]:
             while j < n and src[j] != '"':
                 j += 2 if src[j] == "\\" else 1
             if j >= n:
-                raise ParseUnmatchedError("unterminated string in kerf source")
+                raise LexIncompleteError("unterminated string in kerf source")
             cur.append(src[i: j + 1])
             i = j + 1
             continue
@@ -257,7 +258,7 @@ def split_statements(src: str) -> list[str]:
                     break
                 j += 1
             if j >= n:
-                raise ParseUnmatchedError("unterminated string in kerf source")
+                raise LexIncompleteError("unterminated string in kerf source")
             cur.append(src[i: j + 1])
             i = j + 1
             continue
@@ -268,7 +269,7 @@ def split_statements(src: str) -> list[str]:
         if src.startswith("/*", i):
             j = src.find("*/", i)
             if j < 0:
-                raise ParseUnmatchedError("unterminated /* comment in kerf source")
+                raise LexIncompleteError("unterminated /* comment in kerf source")
             i = j + 2
             continue
         if ch in _OPENS:
@@ -966,7 +967,7 @@ def _match_delim(src: str, open_i: int, op: str, cl: str) -> int:
         if src.startswith("/*", i):
             j = src.find("*/", i)
             if j < 0:
-                raise ParseUnmatchedError("unterminated /* comment")
+                raise LexIncompleteError("unterminated /* comment")
             i = j + 2
             continue
         if ch == op:

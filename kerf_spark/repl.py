@@ -30,7 +30,6 @@ from .errors import (
     KerfError,
     KerfErrorValue,
     ParseIncompleteError,
-    ParseUnmatchedError,
 )
 
 PROMPT = "kerf> "
@@ -52,11 +51,10 @@ def source_complete(src: str) -> bool:
         split_statements(src)
         return True
     except ParseIncompleteError:
+        # open group OR open string/comment (LexIncompleteError is a
+        # subclass): keep reading.  A stray closer raises the
+        # Unmatched kind — complete-but-wrong, eval reports it.
         return False
-    except ParseUnmatchedError as exc:
-        # unterminated string: keep reading (multi-line strings);
-        # a stray closer is complete-but-wrong -> let eval report it
-        return "unterminated" not in str(exc)
     except Exception:
         return True
 
@@ -151,7 +149,7 @@ class Repl:
     created SparkSession (pure-local arithmetic needs no JVM)."""
 
     def __init__(self, spark=None, sf_dir: str | None = None):
-        from .plans.kerf_lang import Env, Interp
+        from .plans.kerf_lang import Env
 
         self._spark = spark
         self._interp = None
@@ -246,7 +244,9 @@ class Repl:
         """Tab-completion candidates: session variables (tables,
         lambdas, scalars), then builtins/keywords — the reference's
         rl_completion surface (main.cc:35).  Sorted, deduped."""
-        from .plans.kerf_lang import _BUILTINS, _KEYWORDS, _RESERVED_LITS
+        from .plans.kerf_lang import (
+            _BUILTINS, _KEYWORDS, _RESERVED_LITS, _SQL_STARTS,
+        )
 
         names: set[str] = set()
         env = self.env
@@ -256,8 +256,8 @@ class Repl:
         names.update(_BUILTINS)
         names.update(_KEYWORDS)
         names.update(_RESERVED_LITS)
-        names.update(("try", "select", "update", "insert", "upsert",
-                      "delete", "from", "group", "order", "where", "by"))
+        names.update(_SQL_STARTS)
+        names.update(("try", "from", "group", "order", "where", "by"))
         return sorted(n for n in names if n.startswith(prefix))
 
 

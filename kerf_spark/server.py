@@ -39,7 +39,7 @@ import socketserver
 import threading
 from typing import Any
 
-from .errors import KerfError, KerfErrorValue
+from .errors import KerfErrorValue
 
 #: default result-preview bound; protects the wire, not the engine
 DEFAULT_LIMIT = 1000
@@ -124,12 +124,9 @@ def encode_result(v: Any, limit: int = DEFAULT_LIMIT) -> dict:
 
 def encode_error(exc: BaseException) -> dict:
     """Raised exception -> taxonomy-kinded failure response
-    (jump.h:144-198 display names via KerfErrorValue.from_exception)."""
-    ev = (
-        KerfErrorValue(exc.kind, exc.detail)
-        if isinstance(exc, KerfError)
-        else KerfErrorValue.from_exception(exc)
-    )
+    (jump.h:144-198 display names via KerfErrorValue.from_exception,
+    which already special-cases KerfError kinds)."""
+    ev = KerfErrorValue.from_exception(exc)
     return {"ok": False, "kind": ev.kind, "message": ev.message}
 
 
