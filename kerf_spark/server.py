@@ -44,6 +44,11 @@ from .errors import KerfErrorValue
 #: default result-preview bound; protects the wire, not the engine
 DEFAULT_LIMIT = 1000
 
+#: hard ceiling on a client-requested preview — a single request can
+#: never turn into an unbounded driver collect; full tables go through
+#: the Workspace parquet side-channel, as the module doc prescribes
+MAX_LIMIT = 100_000
+
 
 def _json_cell(v: Any) -> Any:
     import datetime
@@ -160,7 +165,9 @@ class _Handler(socketserver.StreamRequestHandler):
             try:
                 req = json.loads(line)
                 src = req["src"]
-                limit = int(req.get("limit", DEFAULT_LIMIT))
+                limit = max(
+                    1, min(int(req.get("limit", DEFAULT_LIMIT)), MAX_LIMIT)
+                )
                 ret = None
                 for stmt in split_statements(src):
                     ret = interp.exec_stmt(stmt, env)
