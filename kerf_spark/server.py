@@ -25,6 +25,11 @@ Protocol (one JSON object per line, UTF-8):
     <- {"ok": false, "kind": "Reference error",
         "message": "undefined name: no_such"}
 
+    -> {"src": "select * from region", "save": "/data/out"}
+    <- {"ok": true, "kind": "saved", "path": "/data/out",
+        "columns": ["r_regionkey", ...]}   # full table via parquet,
+                                           # rows never on the socket
+
 Each CONNECTION is a session: one persistent interpreter environment
 (variables, lambdas, temp views live across requests), all sessions
 sharing one SparkSession — the reference's one-process-many-consoles
@@ -92,6 +97,8 @@ def encode_result(v: Any, limit: int = DEFAULT_LIMIT) -> dict:
     except Exception:  # pragma: no cover - pyspark always present here
         DataFrame = ()  # type: ignore[assignment]
 
+    if isinstance(v, _Saved):
+        return dict(v)  # side-channel ack, already response-shaped
     if isinstance(v, DataFrame):
         rows = v.limit(limit + 1).collect()
         more = len(rows) > limit
@@ -125,6 +132,30 @@ def encode_result(v: Any, limit: int = DEFAULT_LIMIT) -> dict:
     if v is None:
         return {"ok": True, "kind": "null", "value": None}
     return {"ok": True, "kind": "scalar", "value": _json_cell(v)}
+
+
+class _Saved(dict):
+    """Marker: a save-side-channel acknowledgement, pre-encoded."""
+
+
+def _save_result(v: Any, path: str) -> "_Saved":
+    """The full-table side channel the module doc prescribes: instead
+    of a bounded preview, write the request's table result to parquet
+    at ``path`` (executor-parallel — the rows never transit the socket
+    or the driver) and acknowledge with the path.  Non-table results
+    refuse: the inline planes already carry them whole."""
+    from pyspark.sql import DataFrame
+
+    from .errors import KerfTypeError
+
+    if not isinstance(v, DataFrame):
+        raise KerfTypeError(
+            f"save needs a table result, got {type(v).__name__}"
+        )
+    v.write.mode("overwrite").parquet(path)
+    return _Saved(
+        {"ok": True, "kind": "saved", "path": path, "columns": v.columns}
+    )
 
 
 def encode_error(exc: BaseException) -> dict:
@@ -171,6 +202,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 ret = None
                 for stmt in split_statements(src):
                     ret = interp.exec_stmt(stmt, env)
+                save = req.get("save")
+                if save is not None:
+                    ret = _save_result(ret, str(save))
                 # serialize INSIDE the boundary: a cell json can't
                 # carry must answer with a kinded error, not a dead
                 # connection
@@ -262,8 +296,16 @@ class KerfClient:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._file = self._sock.makefile("rwb")
 
-    def execute(self, src: str, limit: int = DEFAULT_LIMIT) -> dict:
-        req = json.dumps({"src": src, "limit": limit})
+    def execute(
+        self,
+        src: str,
+        limit: int = DEFAULT_LIMIT,
+        save: str | None = None,
+    ) -> dict:
+        req_obj: dict = {"src": src, "limit": limit}
+        if save is not None:
+            req_obj["save"] = save
+        req = json.dumps(req_obj)
         self._file.write(req.encode() + b"\n")
         self._file.flush()
         line = self._file.readline()

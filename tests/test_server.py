@@ -166,3 +166,21 @@ def test_two_servers_same_table_name_do_not_cross_wire(spark):
         or v.name.startswith(f"__kerf_srv_{b.view_token}_")
     ]
     assert leftovers == []
+
+
+def test_save_side_channel_writes_full_table(server, spark, tmp_path):
+    """The full-table side channel the module doc prescribes: a
+    request with save=<path> writes the table result to parquet
+    (executor-parallel, rows never transit the socket) and answers
+    with an ack; a non-table result refuses with a Type error."""
+    dst = str(tmp_path / "nations")
+    with _client(server) as c:
+        r = c.execute("select n_nationkey, n_name from nation", save=dst)
+        assert r["ok"] and r["kind"] == "saved" and r["path"] == dst
+        assert r["columns"] == ["n_nationkey", "n_name"]
+        bad = c.execute("1 + 1", save=str(tmp_path / "nope"))
+        assert not bad["ok"] and bad["kind"] == "Type error"
+    got = spark.read.parquet(dst)
+    assert got.count() == 25 and set(got.columns) == {
+        "n_nationkey", "n_name"
+    }
