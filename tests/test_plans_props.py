@@ -1024,3 +1024,42 @@ def test_fp16_roundtrip_is_scan_shaped(spark):
     # (orderBy is presentation; no hash shuffle anywhere)
     assert "ArrowEvalPython" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_split_statements_survives_hostile_string_literals(payloads):
+    """Property: semicolons/newlines/parens/quotes INSIDE double-quoted
+    kerf strings and single-quoted SQL literals never split a
+    statement — one assignment per payload in, exactly that many
+    statements out, each still carrying its (escaped) literal."""
+    from kerf_spark.plans.kerf_lang import split_statements
+
+    def kerf_quote(s: str) -> str:
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    def sql_quote(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    stmts = []
+    for i, p in enumerate(payloads):
+        if i % 2 == 0:
+            stmts.append(f"v{i}: {kerf_quote(p + ';)(}{')}")
+        else:
+            stmts.append(
+                f"t{i}: select n from t where note = "
+                f"{sql_quote(p + ';)(}{')}"
+            )
+    out = split_statements(";".join(stmts))
+    assert len(out) == len(stmts)
+    for i, s in enumerate(out):
+        assert s.startswith(("v", "t")) and s.split(":")[0] == f"{'v' if i % 2 == 0 else 't'}{i}"
