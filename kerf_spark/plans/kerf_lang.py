@@ -854,12 +854,23 @@ class _ExprParser:
         while self.toks[self.i].kind != "eof" and self.toks[self.i].pos <= end:
             self.i += 1
         head = re.match(r"\s*([A-Za-z_]\w*)", inner)
+        # pyspark's Python-side SQLQueryContextLogger dumps a multi-KB
+        # ERROR blob for every analysis failure even when caught — for
+        # a PROTECTED eval the failure is the expected result, so the
+        # blob is pure noise; quiet it for the span of the evaluation
+        import logging
+
+        qlog = logging.getLogger("SQLQueryContextLogger")
+        prev = qlog.level
+        qlog.setLevel(logging.CRITICAL)
         try:
             if head and head.group(1).lower() in _SQL_STARTS:
                 return self.interp.run_sql(inner.strip(), self.env)
             return self.interp.eval_expr(inner, self.env)
         except Exception as exc:
             return KerfErrorValue.from_exception(exc)
+        finally:
+            qlog.setLevel(prev)
 
     @staticmethod
     def _number(s: str):

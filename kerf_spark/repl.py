@@ -160,9 +160,17 @@ class Repl:
     @property
     def spark(self):
         if self._spark is None:
+            import logging
+
             from .session import get_spark
 
             self._spark = get_spark("kerf_repl")
+            # console error display is the one-line taxonomy kind;
+            # pyspark's multi-KB structured ERROR blob per analysis
+            # failure would bury every typo under a page of JSON
+            logging.getLogger("SQLQueryContextLogger").setLevel(
+                logging.CRITICAL
+            )
         return self._spark
 
     @property

@@ -235,8 +235,15 @@ class KerfServer:
         port: int = 0,
         tables: dict | None = None,
     ):
+        import logging
         import uuid
 
+        # failures answer on the wire with their taxonomy kind; the
+        # Python-side structured ERROR blob per analysis failure is
+        # noise in a server log serving interactive clients
+        logging.getLogger("SQLQueryContextLogger").setLevel(
+            logging.CRITICAL
+        )
         self.spark = spark
         self.tables = dict(tables or {})
         # server-unique namespace token: a second KerfServer with the
