@@ -1,0 +1,254 @@
+"""Persistent ANN indexes: build once on disk, query many times.
+
+The reference keeps derived artifacts next to the data (the workspace /
+Kerf-Tree write discipline, file.cc + layout.cc:726-934), and every
+production vector system persists its index for the same reason — at
+100 TB the IVF/PQ build is a batch job you run once, not a per-query
+cost.  The in-process ``_fit_memo`` (similarity.py) already amortizes
+centroid/codebook fits within a session; this module makes the whole
+index artifact durable and cross-process:
+
+* **IVF index** = the corpus rewritten as parquet PARTITIONED BY its
+  cell assignment (hive layout ``cell=N/``) + centroids in a JSON
+  sidecar.  A probe of ``nprobe`` cells becomes a ``cell IN (...)``
+  filter on the partition column, so pruning happens at the STORAGE
+  layer (``PartitionFilters`` in the scan — plan-asserted in tests):
+  an ``n_cells``-way index reads ~``nprobe/n_cells`` of the bytes.
+  This is the Spark-native shape of FAISS's inverted lists.
+* **PQ index** = the encoded codes table (``m`` small ints per row) +
+  codebooks in the sidecar.  The encode pass — the expensive per-row
+  argmin over codebook literals — runs once at build; queries scan
+  only the narrow codes (``similarity.adc_topk``).
+
+Results are bitwise-identical to the unindexed operators: fits use the
+same deterministic recipes (``fit_centroids`` / ``pq_fit`` are
+md5-sample-ordered and seeded), parquet round-trips floats and ints
+exactly, JSON sidecars round-trip doubles via ``repr`` (shortest
+form re-reads to the same bits), and scoring/ranking reuse the exact
+same Column expressions (``cell_d2s`` / ``probe_cells`` /
+``adc_topk`` / ``two_phase_topk``).  The driver-oracle rows for the
+indexed paths therefore share the unindexed rows' DuckDB SQL.
+
+Staleness: the sidecar records the source's file-listing freshness
+signal (``similarity._input_freshness``: sorted file list + sizes +
+mtimes); :func:`is_stale` compares against the live source so callers
+rebuild when the data moved under the path — the same contract as the
+in-process memo, made durable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _c,
+    _input_freshness,
+    adc_topk,
+    argmin_cell,
+    array_lit,
+    cell_d2s,
+    cosine,
+    fit_centroids,
+    pq_encode,
+    pq_fit,
+    probe_cells,
+    two_phase_topk,
+)
+
+_META = "ann_index.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    # atomic swap: readers see the old complete sidecar or the new one
+    os.replace(tmp, os.path.join(path, _META))
+
+
+def index_meta(path: str) -> dict:
+    """The index sidecar (kind, params, fits, row count, freshness)."""
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def is_stale(path: str, corpus: DataFrame) -> bool:
+    """True when no index exists at ``path`` or its recorded source
+    freshness no longer matches ``corpus`` — rebuild then.  A corpus
+    whose freshness signal is unavailable (non-file store) compares
+    as the empty signal, i.e. an existing index is trusted: the
+    documented degrade, same as the in-process memo."""
+    try:
+        meta = index_meta(path)
+    except (OSError, ValueError):
+        return True
+    return meta.get("freshness") != list(_input_freshness(corpus))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Build the IVF index: fit centroids (same deterministic recipe as
+    ``ivf_topk``), assign every vector's cell JVM-side, and rewrite the
+    corpus as parquet partitioned by ``cell``.  One full scan + one
+    write — the 100 TB batch-build shape (cell count bounds the file
+    fan-out; rows within a cell stay together for the probe scan)."""
+    cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
+    cents_lit = array_lit([[float(x) for x in c] for c in cents])
+    assigned = corpus.select(
+        _c(id_col).alias(id_col),
+        _c(vec_col).alias(vec_col),
+        cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
+    ).select(id_col, vec_col, argmin_cell("__d2s").alias("cell"))
+    cpath = os.path.join(path, "corpus")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(cpath)
+    spark = corpus.sparkSession
+    # parquet count() is footer metadata only — no data scan
+    n_rows = spark.read.parquet(cpath).count()
+    meta = {
+        "kind": "ivf",
+        "n_cells": n_cells,
+        "iters": iters,
+        "seed": seed,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": [[float(x) for x in c] for c in cents],
+        "rows": n_rows,
+        "freshness": list(_input_freshness(corpus)),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the persisted index: per-query probe cells come
+    from the sidecar centroids (same ``probe_cells`` expression as the
+    unindexed operator), and the corpus scan filters ``cell IN (union
+    of probed cells)`` — a PARTITION-PRUNED read (``PartitionFilters``
+    in the plan), so only the probed directories' bytes move.
+
+    The union-of-probes collect is driver-bounded at ``n_cells`` ints
+    (queries are broadcast-small by the cosine_topk precondition).
+    Rows are bitwise-equal to ``ivf_topk`` with the same params: the
+    pre-filter only removes cells no query probes, which the join on
+    ``cell`` would drop anyway."""
+    meta = index_meta(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"not an IVF index at {path}: {meta.get('kind')}")
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    cents = meta["centroids"]
+    cents_lit = array_lit(cents)
+    q = queries.select(
+        _c(id_col).alias("query_id"),
+        _c(vec_col).alias("__qv"),
+        cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+    )
+    probed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
+    c = (
+        spark.read.parquet(os.path.join(path, "corpus"))
+        .where(F.col("cell").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "cell",
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .select(
+            "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
+    return two_phase_topk(
+        scored, order, k, per_query_rows=meta.get("rows")
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Build the PQ index: fit codebooks (same deterministic recipe as
+    ``pq_topk``), encode every vector once, persist the codes table —
+    the 4-32x-smaller artifact queries scan instead of the embedding
+    lake.  One full scan + one narrow write."""
+    books = pq_fit(corpus, m, k, iters, dim, vec_col, id_col, seed)
+    enc = pq_encode(corpus, books, vec_col, id_col).select(
+        _c(id_col).alias("neighbor_id"), "codes"
+    )
+    cpath = os.path.join(path, "codes")
+    enc.write.mode("overwrite").parquet(cpath)
+    spark = corpus.sparkSession
+    n_rows = spark.read.parquet(cpath).count()
+    meta = {
+        "kind": "pq",
+        "m": m,
+        "k": k,
+        "iters": iters,
+        "dim": dim,
+        "seed": seed,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "codebooks": books,
+        "rows": n_rows,
+        "freshness": list(_input_freshness(corpus)),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def pq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k over the persisted codes table — ``similarity.
+    adc_topk`` with the encode pass already paid at build time.  The
+    scan is the narrow codes parquet; LUTs are Column math over the
+    broadcast query set.  Rows are bitwise-equal to ``pq_topk`` with
+    the same params (same codebooks, same codes, same arithmetic)."""
+    meta = index_meta(path)
+    if meta.get("kind") != "pq":
+        raise ValueError(f"not a PQ index at {path}: {meta.get('kind')}")
+    enc = spark.read.parquet(os.path.join(path, "codes"))
+    return adc_topk(
+        enc,
+        queries,
+        meta["codebooks"],
+        k,
+        per_query_rows=meta.get("rows"),
+        vec_col=meta["vec_col"],
+        id_col=meta["id_col"],
+    )

@@ -591,6 +591,53 @@ def fit_centroids(
     )
 
 
+def cell_d2s(vec, cents_lit: Column) -> Column:
+    """Squared L2 distances of ``vec`` to EVERY centroid in the nested
+    literal — one transform over the literal (not per-cell expression
+    trees: building 8×64 literals per distance expression was a py4j
+    storm at plan-build time, and the old chained-when argmin
+    duplicated each aggregate subtree exponentially).  Callers stage
+    the result through a projection boundary so each row evaluates the
+    n_cells aggregates exactly once.  Shared by :func:`ivf_topk` and
+    the persisted-index build (annindex) so assignments are
+    bit-identical by construction."""
+    return F.transform(
+        cents_lit,
+        lambda cv: F.aggregate(
+            F.zip_with(_c(vec), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def argmin_cell(d2s) -> Column:
+    """Argmin with first-index tie-break, matching the oracle's
+    ``list_position(dists, list_min(dists)) - 1``."""
+    return (F.array_position(_c(d2s), F.array_min(_c(d2s))) - 1).cast("int")
+
+
+def probe_cells(d2s, n_cells: int, nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids by the ``d2s`` distance vector —
+    sort (distance, cell) structs, slice, project cell ids.  Ties break
+    toward the lower cell id (struct order), engine-portable."""
+    probe_idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+    return F.transform(
+        F.slice(
+            F.array_sort(
+                F.zip_with(
+                    _c(d2s),
+                    probe_idx,
+                    lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["c"],
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -609,58 +656,27 @@ def ivf_topk(
 
     At 100 TB the cell assignment is a narrow projection; the probe
     join fans each query out to nprobe cells — shuffle keyed by cell id.
+    (For the build-once / query-many shape — cell-partitioned parquet
+    whose probe is a partition-pruned scan — see operators.annindex.)
     """
     cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
-
-    # ONE nested-array centroid literal (not per-cell expression trees:
-    # building 8×64 literals per distance expression was a py4j storm at
-    # plan-build time, and the old chained-when argmin duplicated each
-    # aggregate subtree exponentially).  All cell distances come from a
-    # single transform over the literal, STAGED through a projection
-    # boundary so each row evaluates the n_cells aggregates exactly once.
     cents_lit = array_lit([[float(x) for x in cvec] for cvec in cents])
 
-    def d2s_expr(vec) -> Column:
-        return F.transform(
-            cents_lit,
-            lambda cv: F.aggregate(
-                F.zip_with(_c(vec), cv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            ),
-        )
-
-    # argmin with first-index tie-break, matching the oracle's
-    # list_position(dists, list_min(dists)) - 1
-    cell_of = (
-        F.array_position(F.col("__d2s"), F.array_min("__d2s")) - 1
-    ).cast("int")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        d2s_expr(F.col(vec_col)).alias("__d2s"),
-    ).select("neighbor_id", "__cv", cell_of.alias("cell"))
+        cell_d2s(F.col(vec_col), cents_lit).alias("__d2s"),
+    ).select("neighbor_id", "__cv", argmin_cell("__d2s").alias("cell"))
 
-    probe_idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    probes = F.transform(
-        F.slice(
-            F.array_sort(
-                F.zip_with(
-                    F.col("__d2s"),
-                    probe_idx,
-                    lambda d, i: F.struct(d.alias("d"), i.alias("c")),
-                )
-            ),
-            1,
-            nprobe,
-        ),
-        lambda s: s["c"],
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        d2s_expr(F.col(vec_col)).alias("__d2s"),
-    ).select("query_id", "__qv", F.explode(probes).alias("cell"))
+        cell_d2s(F.col(vec_col), cents_lit).alias("__d2s"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+    )
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
     ).where(F.col("query_id") != F.col("neighbor_id"))
@@ -1042,11 +1058,36 @@ def pq_topk(
     applies); the ADC scan is a narrow map over codes, then one grouped
     top-k.  No exact re-rank here — compose with cosine_topk over the
     survivors when recall demands it."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
+    return adc_topk(
+        enc,
+        queries,
+        codebooks,
+        k,
+        per_query_rows=_corpus_rows(corpus),
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
+def adc_topk(
+    enc: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    per_query_rows: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over an ALREADY-ENCODED corpus ``enc`` of
+    ``(neighbor_id, codes)`` — the scoring half of :func:`pq_topk`,
+    split out so a persisted codes table (operators.annindex) scans
+    without re-running the encode pass.  Identical arithmetic and
+    ranking to ``pq_topk`` by construction."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
     emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
     qs = queries.select(
         _c(id_col).alias("query_id"), emb.alias("__emb")
@@ -1069,7 +1110,7 @@ def pq_topk(
     ).select("query_id", "neighbor_id", dist.alias("adc"))
     order = [F.col("adc").asc(), F.col("neighbor_id").asc()]
     return two_phase_topk(
-        scored, order, k, per_query_rows=_corpus_rows(corpus)
+        scored, order, k, per_query_rows=per_query_rows
     ).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .functions import scalars as S
 from .functions import semantics as K
 from .functions import temporal as TM
+from .operators import annindex as AI
 from .operators import asof as AS
 from .operators import atlas as AT
 from .operators import curation as CU
@@ -4681,6 +4682,65 @@ def pq_ann_topk(spark, sf):
 
 _attach_oracle("pq_encode_codes", _pq_encode_oracle_sql)
 _attach_oracle("pq_ann_topk", _pq_topk_oracle_sql)
+
+
+# ---------------------------------------------------------------------
+# Persisted ANN indexes (operators.annindex): build once, query many
+# ---------------------------------------------------------------------
+
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic per-fixture index location under the system temp
+    dir (never inside the read-only testdata).  Staleness against the
+    live source is checked by annindex.is_stale, so a rebuilt fixture
+    under the same path re-indexes."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"kerf_spark_annindex_{kind}_{h}"
+    )
+
+
+@query("ivf_indexed_topk", None)
+def ivf_indexed_topk(spark, sf):
+    """IVF ANN over the PERSISTED index (operators.annindex): the
+    corpus lives as parquet partitioned by cell + a centroid sidecar,
+    so the probe is a PARTITION-PRUNED scan — nprobe/n_cells of the
+    bytes move, enforced at the storage layer, the FAISS-inverted-list
+    shape done Spark-native.  Build runs once (here: on first use or
+    when the fixture's freshness signal moved); results are bitwise
+    equal to ivf_ann_topk_oracle, so the oracle is the same
+    re-derived-centroid SQL."""
+    em = _t(spark, sf, "embeddings")
+    path = _ann_index_dir(sf, "ivf")
+    if AI.is_stale(path, em):
+        AI.build_ivf_index(em, path, n_cells=8)
+    q = em.where(F.col("vec_id") < 8)
+    return AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@query("pq_indexed_topk", None)
+def pq_indexed_topk(spark, sf):
+    """PQ ADC top-k over the PERSISTED codes table (operators.
+    annindex): the per-row encode argmin runs once at build; queries
+    scan m small ints per vector — the 4-32x-shrunk artifact is now a
+    durable table, not a per-query recompute.  Results are bitwise
+    equal to pq_ann_topk, so the oracle is the same re-derived-codebook
+    SQL."""
+    em = _t(spark, sf, "embeddings")
+    path = _ann_index_dir(sf, "pq")
+    if AI.is_stale(path, em):
+        AI.build_pq_index(em, path, m=8, k=16)
+    q = em.where(F.col("vec_id") < 8)
+    return AI.pq_topk_indexed(spark, path, q, k=5)
+
+
+_attach_oracle("ivf_indexed_topk", _ivf_oracle_sql)
+_attach_oracle("pq_indexed_topk", _pq_topk_oracle_sql)
 
 
 def _pq_rerank_oracle_sql(
@@ -10879,6 +10939,12 @@ def refit_oracles(sf_dir: str) -> None:
         "ivf_ann_topk_oracle", lambda: _ivf_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
+        "ivf_indexed_topk", lambda: _ivf_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "pq_indexed_topk", lambda: _pq_topk_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
         "pq_encode_codes", lambda: _pq_encode_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
@@ -11063,6 +11129,10 @@ _R07_WINDOW = [
     "cosine_topk_exact", "ivf_ann_topk_oracle", "lsh_ann_topk_oracle",
     "pq_ann_topk", "pq_rerank_topk", "ivfpq_ann_topk",
     "ann_recall_meter", "radius_neighbors_embeddings",
+    # round-7 late additions: persisted ANN indexes (build-once/query-
+    # many; partition-pruned IVF probe, durable PQ codes) — displace
+    # two r4-green re-proves (hash_funcs, union_uneven_schemas)
+    "ivf_indexed_topk", "pq_indexed_topk",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11080,7 +11150,6 @@ _R07_WINDOW = [
     "ema_exact", "ohlc_bars",
     # composition + packing spread
     "funnel_conversion", "cohort_retention", "sequence_packing",
-    "union_uneven_schemas", "hash_funcs",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Persisted ANN indexes (operators.annindex): build-once/query-many.
+
+Contracts proven here:
+- indexed results are BITWISE-equal to the unindexed operators
+  (same fits, same arithmetic, same total order);
+- the IVF probe is a partition-pruned scan (PartitionFilters on cell);
+- the sidecar's freshness signal makes a source rewrite detectable
+  (is_stale), and an untouched source reuses the index as-is.
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kerf_spark.operators import annindex as AI
+from kerf_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_ivf_indexed_matches_unindexed_bitwise(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    meta = AI.build_ivf_index(emb, path, n_cells=8)
+    assert meta["rows"] == emb.count()
+    q = emb.where(F.col("vec_id") < 8)
+    got = AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4)
+    want = SIM.ivf_topk(emb, q, k=5, n_cells=8, nprobe=4)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    # float cells compare by equality of the exact doubles — both paths
+    # run the identical Column expressions over bit-identical inputs
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    # hive layout on disk: one directory per cell
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(path, "corpus"))
+        if d.startswith("cell=")
+    ]
+    assert len(dirs) > 1
+    q = emb.where(F.col("vec_id") < 2)
+    plan = AI.ivf_topk_indexed(spark, path, q, k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    # the probe filter must reach the scan as a partition filter, not a
+    # post-scan Filter: that IS the index (only probed dirs' bytes move)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "cell" in seg[: seg.index("]")]
+
+
+def test_pq_indexed_matches_unindexed_bitwise(spark, emb, tmp_path):
+    path = str(tmp_path / "pq")
+    meta = AI.build_pq_index(emb, path, m=8, k=16)
+    assert meta["rows"] == emb.count()
+    q = emb.where(F.col("vec_id") < 8)
+    got = AI.pq_topk_indexed(spark, path, q, k=5)
+    books = SIM.pq_fit(emb, m=8, k=16)
+    want = SIM.pq_topk(emb, q, books, k=5)
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stale_detection_and_reuse(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    assert AI.is_stale(path, emb)  # no index yet
+    AI.build_ivf_index(emb, path, n_cells=8)
+    assert not AI.is_stale(path, emb)  # untouched source: reuse
+
+    # rewrite the source under a DIFFERENT path -> different file
+    # listing -> stale (the mutate-under-unchanged-path analogue the
+    # freshness signal exists for)
+    moved = str(tmp_path / "src")
+    emb.write.parquet(moved)
+    assert AI.is_stale(path, spark.read.parquet(moved))
+
+
+def test_meta_roundtrips_fit_doubles_exactly(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    cents = SIM.fit_centroids(emb, n_cells=8, iters=3)
+    got = AI.index_meta(path)["centroids"]
+    # json round-trip must preserve every double bit-for-bit (repr is
+    # shortest-roundtrip); the sidecar IS the fit, not an approximation
+    assert got == [[float(x) for x in c] for c in cents]
+
+
+def test_wrong_kind_raises(spark, emb, tmp_path):
+    path = str(tmp_path / "pq")
+    AI.build_pq_index(emb, path, m=8, k=16)
+    q = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        AI.ivf_topk_indexed(spark, path, q)

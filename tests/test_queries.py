@@ -197,6 +197,8 @@ PLAN_LINT_ALLOW = {
     "nested-loop-join": {
         "amend_point", "delete_point", "find_first", "index_gather",
         "join_cross", "cosine_topk_exact", "pq_ann_topk",
+        "pq_indexed_topk",  # same 8-query broadcast LUT frame as
+                            # pq_ann_topk, scanning the persisted codes
         "pq_rerank_topk", "kmeans_assign_embeddings",
         "dsir_weights_docs", "dsir_select_docs", "corpus_mixture_rebalance",
         "funnel_conversion", "hll_overlap_event_types", "key_skew_profile",
