@@ -44,9 +44,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from .similarity import (
     _c,
     _input_freshness,
+    _pq_sub_d2s,
     adc_topk,
     argmin_cell,
     array_lit,
@@ -224,6 +227,238 @@ def build_pq_index(
         "rows": n_rows,
         "freshness": list(_input_freshness(corpus)),
     }
+    _write_meta(path, meta)
+    return meta
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codewords: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Build the composed IVF-PQ index (FAISS's IVFPQ architecture,
+    Jégou et al. 2011 §V, done as a table layout): ONE parquet table
+    partitioned by coarse cell whose rows carry ``(id, raw vector,
+    m PQ codes)``.  Partition pruning is the nprobe; column pruning
+    keeps the ADC scan at the codes only (parquet never reads the
+    vector pages for it); the exact re-rank reads vector pages for the
+    probed cells only.  Fits use the same deterministic recipes as
+    ``ivfpq_topk``, so the indexed query is bitwise-equal to the
+    unindexed operator and shares its DuckDB oracle."""
+    cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
+    books = pq_fit(corpus, m, n_codewords, iters, dim, vec_col, id_col, seed)
+    cents_lit = array_lit([[float(x) for x in c] for c in cents])
+    assigned = _ivfpq_assign(
+        corpus, cents_lit, books, dim // m, vec_col, id_col
+    )
+    cpath = os.path.join(path, "corpus")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(cpath)
+    spark = corpus.sparkSession
+    n_rows = spark.read.parquet(cpath).count()
+    meta = {
+        "kind": "ivfpq",
+        "n_cells": n_cells,
+        "m": m,
+        "n_codewords": n_codewords,
+        "iters": iters,
+        "dim": dim,
+        "seed": seed,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": [[float(x) for x in c] for c in cents],
+        "codebooks": books,
+        "rows": n_rows,
+        "freshness": list(_input_freshness(corpus)),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def _ivfpq_assign(
+    rows: DataFrame,
+    cents_lit,
+    books: list[list[list[float]]],
+    sub: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, vector, codes, cell) for every input row — the build/append
+    projection.  Distance arrays are staged through a projection
+    boundary so each row evaluates the HOF aggregates exactly once (the
+    ivf_topk discipline); arithmetic is the exact ``ivfpq_topk`` stage-1
+    expressions, so stored assignments match the unindexed operator
+    bit-for-bit."""
+    m = len(books)
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    s1 = rows.select(
+        _c(id_col).alias(id_col),
+        _c(vec_col).alias(vec_col),
+        cell_d2s(emb, cents_lit).alias("__d2s"),
+        *[
+            _pq_sub_d2s(emb, j, sub, array_lit(books[j])).alias(f"__pqd{j}")
+            for j in range(m)
+        ],
+    )
+    return s1.select(
+        id_col,
+        vec_col,
+        F.array(
+            *[argmin_cell(f"__pqd{j}") for j in range(m)]
+        ).alias("codes"),
+        argmin_cell("__d2s").alias("cell"),
+    )
+
+
+def ivfpq_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    cand: int = 50,
+) -> DataFrame:
+    """IVF-PQ top-k over the persisted index: probe cells from sidecar
+    centroids -> PARTITION-PRUNED scan of the probed cells -> ADC over
+    the codes column only (parquet column pruning keeps vector pages
+    unread) -> cand survivors via two-phase top-k -> exact cosine
+    re-rank reading vector pages from the same pruned scan.  Rows are
+    bitwise-equal to ``similarity.ivfpq_topk`` with the same params:
+    identical fits (same deterministic recipes), identical stage
+    arithmetic (shared Column builders), and the cell pre-filter only
+    removes rows the probe equi-join would drop anyway."""
+    meta = index_meta(path)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(
+            f"not an IVF-PQ index at {path}: {meta.get('kind')}"
+        )
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    cents, books = meta["centroids"], meta["codebooks"]
+    m, sub = meta["m"], meta["dim"] // meta["m"]
+    cents_lit = array_lit(cents)
+    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+
+    qs = queries.select(_c(id_col).alias("query_id"), emb.alias("__emb"))
+    qd = qs.select(
+        "query_id",
+        cell_d2s(F.col("__emb"), cents_lit).alias("__d2s"),
+        *[
+            _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(books[j])).alias(
+                f"__lut{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    q = qd.select(
+        "query_id",
+        F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+        *[F.col(f"__lut{j}") for j in range(m)],
+    )
+    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+
+    stored = spark.read.parquet(os.path.join(path, "corpus")).where(
+        F.col("cell").isin(probed)
+    )
+    staged = stored.select(
+        F.col(id_col).alias("neighbor_id"), "codes", "cell"
+    )
+    joined = staged.join(F.broadcast(q), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.element_at(F.col("__lut0"), F.element_at(F.col("codes"), 1) + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(
+            F.col(f"__lut{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+    scored = joined.select("query_id", "neighbor_id", adc.alias("adc"))
+    cands = two_phase_topk(
+        scored,
+        [F.col("adc").asc(), F.col("neighbor_id").asc()],
+        cand,
+        per_query_rows=meta.get("rows"),
+    ).select("query_id", "neighbor_id")
+    # exact re-rank: neighbor vectors come from the SAME pruned scan
+    # (every candidate lives in a probed cell), so vector pages are
+    # read for probed partitions only — never the whole lake
+    nvecs = stored.select(
+        F.col(id_col).alias("neighbor_id"), emb.alias("__nv")
+    )
+    rescored = (
+        cands.join(nvecs, "neighbor_id")
+        .join(F.broadcast(qs.withColumnRenamed("__emb", "__qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__nv"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def append_to_index(path: str, rows: DataFrame) -> dict:
+    """Incrementally add ``rows`` to an existing index — FAISS ``add``
+    semantics: the quantizers (centroids/codebooks) stay FROZEN at
+    build time, new vectors are assigned with the sidecar's fits and
+    appended into the stored layout (new parquet files inside the
+    cell=N directories for ivf/ivfpq, new files in the codes table for
+    pq).  No rebuild, no reshuffle of existing data — the 100 TB
+    index-maintenance shape (a rebuild is a deliberate batch job;
+    drift is visible as ``rows`` vs ``appends`` in the sidecar).
+
+    ``is_stale`` keeps comparing against the ORIGINAL build source
+    only; each append is recorded in ``meta['appends']`` with its own
+    freshness signal so the full lineage is auditable."""
+    meta = index_meta(path)
+    kind = meta.get("kind")
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    spark = rows.sparkSession
+    if kind == "ivf":
+        cents_lit = array_lit(meta["centroids"])
+        assigned = rows.select(
+            _c(id_col).alias(id_col),
+            _c(vec_col).alias(vec_col),
+            cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
+        ).select(id_col, vec_col, argmin_cell("__d2s").alias("cell"))
+        cpath = os.path.join(path, "corpus")
+        assigned.write.mode("append").partitionBy("cell").parquet(cpath)
+    elif kind == "ivfpq":
+        cents_lit = array_lit(meta["centroids"])
+        assigned = _ivfpq_assign(
+            rows, cents_lit, meta["codebooks"],
+            meta["dim"] // meta["m"], vec_col, id_col,
+        )
+        cpath = os.path.join(path, "corpus")
+        assigned.write.mode("append").partitionBy("cell").parquet(cpath)
+    elif kind == "pq":
+        enc = pq_encode(rows, meta["codebooks"], vec_col, id_col).select(
+            _c(id_col).alias("neighbor_id"), "codes"
+        )
+        cpath = os.path.join(path, "codes")
+        enc.write.mode("append").parquet(cpath)
+    else:
+        raise ValueError(f"unknown index kind at {path}: {kind}")
+    n_rows = spark.read.parquet(cpath).count()
+    appended = n_rows - meta["rows"]
+    meta["appends"] = meta.get("appends", []) + [
+        {"rows": appended, "freshness": list(_input_freshness(rows))}
+    ]
+    meta["rows"] = n_rows
     _write_meta(path, meta)
     return meta
 

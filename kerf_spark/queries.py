@@ -4474,21 +4474,30 @@ ORACLES["lsh_ann_topk_oracle"] = _lsh_oracle_sql()
 # portable-oracle IVF ANN: centroids re-derived identically
 # =====================================================================
 
-def _ivf_oracle_sql(k=5, n_cells=8, nprobe=4, nq=8, sf_dir="/root/testdata/sf0.01") -> str:
+def _ivf_oracle_sql(
+    k=5, n_cells=8, nprobe=4, nq=8, sf_dir="/root/testdata/sf0.01",
+    build_where="",
+) -> str:
     """Build the DuckDB oracle for IVF top-k.  The centroids come from
     the SAME deterministic driver-side k-means (`kmeans_centroids`) over
     the SAME sample (md5-of-id ordered — the engine-portable hash
     shuffle ivf_topk uses, layout-invariant on both sides) the Spark
     operator uses, so cell assignment and probe sets agree exactly.
     Generated against sf0.01 — the scale the driver's correctness gate
-    runs at."""
+    runs at.
+
+    ``build_where`` restricts the centroid-FIT corpus only (the
+    append-path oracle: quantizer frozen on the build half, assignments
+    over everything — annindex.append_to_index semantics)."""
     import duckdb
 
     from .operators.similarity import kmeans_centroids
 
+    bw = f"WHERE {build_where} " if build_where else ""
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"{bw}"
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
         f"LIMIT {n_cells * 64}"
     ).fetchall()
@@ -4739,8 +4748,55 @@ def pq_indexed_topk(spark, sf):
     return AI.pq_topk_indexed(spark, path, q, k=5)
 
 
+@query("ivf_append_topk", None)
+def ivf_append_topk(spark, sf):
+    """Incremental index maintenance end-to-end (annindex.
+    append_to_index — FAISS ``add`` semantics): build the IVF index on
+    the EVEN half of the corpus, append the odd half with the coarse
+    quantizer FROZEN at build, then answer top-k over the combined
+    index.  The oracle fits centroids on the even half only and assigns
+    everything with them — exactly what the frozen-quantizer append
+    must produce, so any refit/reshuffle bug is a value mismatch."""
+    em = _t(spark, sf, "embeddings")
+    even = em.where(F.col("vec_id") % 2 == 0)
+    odd = em.where(F.col("vec_id") % 2 == 1)
+    path = _ann_index_dir(sf, "ivfapp")
+    need = AI.is_stale(path, even)
+    if not need:
+        # a build that died before its append leaves a fresh-but-half
+        # index; the appends record is the completion marker
+        need = not AI.index_meta(path).get("appends")
+    if need:
+        AI.build_ivf_index(even, path, n_cells=8)
+        AI.append_to_index(path, odd)
+    q = em.where(F.col("vec_id") < 8)
+    return AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@query("ivfpq_indexed_topk", None)
+def ivfpq_indexed_topk(spark, sf):
+    """The composed IVF-PQ index PERSISTED (annindex.build_ivfpq_index):
+    one cell-partitioned parquet table carrying raw vectors + PQ codes.
+    Partition pruning is the nprobe, parquet column pruning keeps the
+    ADC scan at the codes, and the exact re-rank reads vector pages
+    from the probed cells only.  Bitwise-equal to ivfpq_ann_topk, so
+    the oracle is the same three-stage replay SQL."""
+    em = _t(spark, sf, "embeddings")
+    path = _ann_index_dir(sf, "ivfpq")
+    if AI.is_stale(path, em):
+        AI.build_ivfpq_index(em, path, n_cells=8, m=8, n_codewords=16)
+    q = em.where(F.col("vec_id") < 8)
+    return AI.ivfpq_topk_indexed(spark, path, q, k=5, nprobe=4, cand=50)
+
+
 _attach_oracle("ivf_indexed_topk", _ivf_oracle_sql)
 _attach_oracle("pq_indexed_topk", _pq_topk_oracle_sql)
+_attach_oracle(
+    "ivf_append_topk",
+    lambda: _ivf_oracle_sql(build_where="vec_id % 2 = 0"),
+)
 
 
 def _pq_rerank_oracle_sql(
@@ -10834,6 +10890,9 @@ def ivfpq_ann_topk(spark, sf):
 
 
 _attach_oracle("ivfpq_ann_topk", _ivfpq_oracle_sql)
+# the persisted-index twin is bitwise-equal by construction (annindex
+# shares fits + stage expressions), so it shares the replay oracle
+_attach_oracle("ivfpq_indexed_topk", _ivfpq_oracle_sql)
 
 
 # =====================================================================
@@ -10943,6 +11002,13 @@ def refit_oracles(sf_dir: str) -> None:
     )
     _attach_oracle(
         "pq_indexed_topk", lambda: _pq_topk_oracle_sql(sf_dir=sf_dir)
+    )
+    _attach_oracle(
+        "ivf_append_topk",
+        lambda: _ivf_oracle_sql(sf_dir=sf_dir, build_where="vec_id % 2 = 0"),
+    )
+    _attach_oracle(
+        "ivfpq_indexed_topk", lambda: _ivfpq_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
         "pq_encode_codes", lambda: _pq_encode_oracle_sql(sf_dir=sf_dir)
@@ -11133,6 +11199,10 @@ _R07_WINDOW = [
     # many; partition-pruned IVF probe, durable PQ codes) — displace
     # two r4-green re-proves (hash_funcs, union_uneven_schemas)
     "ivf_indexed_topk", "pq_indexed_topk",
+    # + the composed persisted index and frozen-quantizer append proof
+    # (displace two more r4 parked greens: cohort_retention,
+    # sequence_packing)
+    "ivfpq_indexed_topk", "ivf_append_topk",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11148,8 +11218,8 @@ _R07_WINDOW = [
     "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
     "differ_runs", "stats_agg", "percentile_prices", "topk_per_group",
     "ema_exact", "ohlc_bars",
-    # composition + packing spread
-    "funnel_conversion", "cohort_retention", "sequence_packing",
+    # composition spread
+    "funnel_conversion",
 ]
 
 

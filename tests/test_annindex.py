@@ -97,6 +97,77 @@ def test_meta_roundtrips_fit_doubles_exactly(spark, emb, tmp_path):
     assert got == [[float(x) for x in c] for c in cents]
 
 
+def test_ivfpq_indexed_matches_unindexed_bitwise(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    meta = AI.build_ivfpq_index(emb, path, n_cells=8, m=8, n_codewords=16)
+    assert meta["rows"] == emb.count()
+    q = emb.where(F.col("vec_id") < 8)
+    got = AI.ivfpq_topk_indexed(spark, path, q, k=5, nprobe=4, cand=50)
+    want = SIM.ivfpq_topk(
+        emb, q, k=5, n_cells=8, nprobe=4, m=8, n_codewords=16, cand=50
+    )
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_ivfpq_probe_scan_is_partition_pruned(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    AI.build_ivfpq_index(emb, path, n_cells=8)
+    q = emb.where(F.col("vec_id") < 2)
+    plan = (
+        AI.ivfpq_topk_indexed(spark, path, q, k=3, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "cell" in seg[: seg.index("]")]
+
+
+def test_append_freezes_quantizer_and_extends_index(spark, emb, tmp_path):
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(even, path, n_cells=8)
+    before = AI.index_meta(path)
+    meta = AI.append_to_index(path, odd)
+    # FAISS-add semantics: coarse quantizer frozen at build
+    assert meta["centroids"] == before["centroids"]
+    assert meta["rows"] == emb.count()
+    assert len(meta["appends"]) == 1
+    assert meta["appends"][0]["rows"] == odd.count()
+    # every stored (id, cell) equals a frozen-centroid assignment of
+    # the FULL corpus — appended rows went through the same expressions
+    cents_lit = SIM.array_lit(before["centroids"])
+    expect = emb.select(
+        "vec_id",
+        SIM.cell_d2s(F.col("embedding"), cents_lit).alias("__d"),
+    ).select("vec_id", SIM.argmin_cell("__d").alias("cell"))
+    stored = spark.read.parquet(path + "/corpus").select("vec_id", "cell")
+    assert _rows(stored, ["vec_id", "cell"]) == _rows(expect, ["vec_id", "cell"])
+    # and the appended index answers queries over BOTH halves
+    q = emb.where(F.col("vec_id") < 4)
+    res = AI.ivf_topk_indexed(spark, path, q, k=3, nprobe=8)
+    assert res.count() == 4 * 3
+    ids = {r["neighbor_id"] for r in res.collect()}
+    assert any(i % 2 == 1 for i in ids) or odd.count() == 0
+
+
+def test_append_pq_codes_match_frozen_codebooks(spark, emb, tmp_path):
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pq")
+    AI.build_pq_index(even, path, m=8, k=16)
+    meta = AI.append_to_index(path, odd)
+    assert meta["rows"] == emb.count()
+    stored = spark.read.parquet(path + "/codes")
+    expect = SIM.pq_encode(emb, meta["codebooks"]).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    s = [(r["neighbor_id"], tuple(r["codes"])) for r in stored.collect()]
+    e = [(r["neighbor_id"], tuple(r["codes"])) for r in expect.collect()]
+    assert sorted(s) == sorted(e)
+
+
 def test_wrong_kind_raises(spark, emb, tmp_path):
     path = str(tmp_path / "pq")
     AI.build_pq_index(emb, path, m=8, k=16)
