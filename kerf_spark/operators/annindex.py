@@ -19,6 +19,15 @@ index artifact durable and cross-process:
   codebooks in the sidecar.  The encode pass — the expensive per-row
   argmin over codebook literals — runs once at build; queries scan
   only the narrow codes (``similarity.adc_topk``).
+* **IVF-PQ index** = the composed layout: ONE cell-partitioned table
+  carrying raw vectors + codes; partition pruning is the nprobe,
+  column pruning keeps the ADC scan at the codes.
+* **Maintenance** = FAISS-``add`` semantics with frozen quantizers:
+  batch appends land inside the stored layout (:func:`append_to_index`);
+  streaming micro-batches land in a DELTA tree ``stream/epoch=N/`` via
+  an idempotent foreachBatch sink (:func:`index_stream_sink`); queries
+  read base ∪ delta with pruning intact; :func:`compact_index` folds
+  deltas back into the base — the LSM base+delta+compaction shape.
 
 Results are bitwise-identical to the unindexed operators: fits use the
 same deterministic recipes (``fit_centroids`` / ``pq_fit`` are
@@ -169,14 +178,11 @@ def ivf_topk_indexed(
     probed = sorted(
         r["cell"] for r in q.select("cell").distinct().collect()
     )
-    c = (
-        spark.read.parquet(os.path.join(path, "corpus"))
-        .where(F.col("cell").isin(probed))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            "cell",
-        )
+    stored, live_rows = _stored(spark, path, meta)
+    c = stored.where(F.col("cell").isin(probed)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "cell",
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -187,7 +193,7 @@ def ivf_topk_indexed(
     )
     order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
     return two_phase_topk(
-        scored, order, k, per_query_rows=meta.get("rows")
+        scored, order, k, per_query_rows=live_rows
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
@@ -362,9 +368,8 @@ def ivfpq_topk_indexed(
     )
     probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
 
-    stored = spark.read.parquet(os.path.join(path, "corpus")).where(
-        F.col("cell").isin(probed)
-    )
+    live, live_rows = _stored(spark, path, meta)
+    stored = live.where(F.col("cell").isin(probed))
     staged = stored.select(
         F.col(id_col).alias("neighbor_id"), "codes", "cell"
     )
@@ -381,7 +386,7 @@ def ivfpq_topk_indexed(
         scored,
         [F.col("adc").asc(), F.col("neighbor_id").asc()],
         cand,
-        per_query_rows=meta.get("rows"),
+        per_query_rows=live_rows,
     ).select("query_id", "neighbor_id")
     # exact re-rank: neighbor vectors come from the SAME pruned scan
     # (every candidate lives in a probed cell), so vector pages are
@@ -411,6 +416,40 @@ def ivfpq_topk_indexed(
     )
 
 
+def _assign_rows(meta: dict, rows: DataFrame) -> tuple[DataFrame, list]:
+    """Assign ``rows`` into ``meta``'s index layout with the sidecar's
+    FROZEN fits: ``(assigned_df, partition_cols)``.  Shared by the
+    batch append and the streaming sink so both write byte-identical
+    layouts."""
+    kind = meta.get("kind")
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    if kind == "ivf":
+        cents_lit = array_lit(meta["centroids"])
+        assigned = rows.select(
+            _c(id_col).alias(id_col),
+            _c(vec_col).alias(vec_col),
+            cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
+        ).select(id_col, vec_col, argmin_cell("__d2s").alias("cell"))
+        return assigned, ["cell"]
+    if kind == "ivfpq":
+        cents_lit = array_lit(meta["centroids"])
+        assigned = _ivfpq_assign(
+            rows, cents_lit, meta["codebooks"],
+            meta["dim"] // meta["m"], vec_col, id_col,
+        )
+        return assigned, ["cell"]
+    if kind == "pq":
+        enc = pq_encode(rows, meta["codebooks"], vec_col, id_col).select(
+            _c(id_col).alias("neighbor_id"), "codes"
+        )
+        return enc, []
+    raise ValueError(f"unknown index kind: {kind}")
+
+
+def _base_dir(meta: dict) -> str:
+    return "codes" if meta.get("kind") == "pq" else "corpus"
+
+
 def append_to_index(path: str, rows: DataFrame) -> dict:
     """Incrementally add ``rows`` to an existing index — FAISS ``add``
     semantics: the quantizers (centroids/codebooks) stay FROZEN at
@@ -425,40 +464,90 @@ def append_to_index(path: str, rows: DataFrame) -> dict:
     only; each append is recorded in ``meta['appends']`` with its own
     freshness signal so the full lineage is auditable."""
     meta = index_meta(path)
-    kind = meta.get("kind")
-    vec_col, id_col = meta["vec_col"], meta["id_col"]
-    spark = rows.sparkSession
-    if kind == "ivf":
-        cents_lit = array_lit(meta["centroids"])
-        assigned = rows.select(
-            _c(id_col).alias(id_col),
-            _c(vec_col).alias(vec_col),
-            cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
-        ).select(id_col, vec_col, argmin_cell("__d2s").alias("cell"))
-        cpath = os.path.join(path, "corpus")
-        assigned.write.mode("append").partitionBy("cell").parquet(cpath)
-    elif kind == "ivfpq":
-        cents_lit = array_lit(meta["centroids"])
-        assigned = _ivfpq_assign(
-            rows, cents_lit, meta["codebooks"],
-            meta["dim"] // meta["m"], vec_col, id_col,
-        )
-        cpath = os.path.join(path, "corpus")
-        assigned.write.mode("append").partitionBy("cell").parquet(cpath)
-    elif kind == "pq":
-        enc = pq_encode(rows, meta["codebooks"], vec_col, id_col).select(
-            _c(id_col).alias("neighbor_id"), "codes"
-        )
-        cpath = os.path.join(path, "codes")
-        enc.write.mode("append").parquet(cpath)
-    else:
-        raise ValueError(f"unknown index kind at {path}: {kind}")
-    n_rows = spark.read.parquet(cpath).count()
+    assigned, pcols = _assign_rows(meta, rows)
+    cpath = os.path.join(path, _base_dir(meta))
+    w = assigned.write.mode("append")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(cpath)
+    n_rows = rows.sparkSession.read.parquet(cpath).count()
     appended = n_rows - meta["rows"]
     meta["appends"] = meta.get("appends", []) + [
         {"rows": appended, "freshness": list(_input_freshness(rows))}
     ]
     meta["rows"] = n_rows
+    _write_meta(path, meta)
+    return meta
+
+
+def index_stream_sink(path: str):
+    """Streaming index maintenance: a fanout-compatible foreachBatch
+    sink that assigns each micro-batch with the sidecar's FROZEN fits
+    and lands it in the index's DELTA tree ``stream/epoch=<id>/`` —
+    the LSM shape (base + deltas, folded by :func:`compact_index`).
+    Epoch-directory overwrite makes crash-replay idempotent, the
+    ``parquet_epoch_sink`` discipline: a replayed epoch rewrites its
+    own directory, so exactly-once per epoch with zero sink-side
+    state.  The sidecar is NOT touched per epoch (lock-free under
+    concurrent readers); the delta tree is self-describing and its
+    row count is footer metadata at query time."""
+    meta = index_meta(path)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        assigned, pcols = _assign_rows(meta, batch)
+        w = assigned.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(os.path.join(path, "stream", f"epoch={int(epoch_id)}"))
+
+    return sink
+
+
+def _stored(
+    spark: SparkSession, path: str, meta: dict
+) -> tuple[DataFrame, int | None]:
+    """The live index contents: base tree ∪ delta tree (if any), plus
+    the live row count (sidecar base rows + delta footer count).  The
+    union preserves partition pruning — ``cell`` is a partition column
+    in BOTH trees, so a probe filter prunes each scan independently."""
+    base = spark.read.parquet(os.path.join(path, _base_dir(meta)))
+    spath = os.path.join(path, "stream")
+    if not os.path.isdir(spath):
+        return base, meta.get("rows")
+    delta = spark.read.parquet(spath).drop("epoch")
+    n = meta.get("rows")
+    live = (n + delta.count()) if n is not None else None
+    return base.unionByName(delta.select(*base.columns)), live
+
+
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Fold the streaming delta tree into the base — the LSM
+    compaction: read base ∪ deltas, rewrite the base layout into a
+    staging directory, atomically swap it in (the catalog's
+    snapshot-swap discipline), drop the delta tree, and record the
+    compaction in the sidecar.  Queries before/after return identical
+    rows; after, the probe scan is one pruned tree again."""
+    import shutil
+
+    meta = index_meta(path)
+    spath = os.path.join(path, "stream")
+    if not os.path.isdir(spath):
+        return meta
+    bpath = os.path.join(path, _base_dir(meta))
+    merged, _ = _stored(spark, path, meta)
+    tmp = bpath + ".compacting"
+    w = merged.write.mode("overwrite")
+    if meta.get("kind") != "pq":
+        w = w.partitionBy("cell")
+    w.parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    old = bpath + ".old"
+    os.rename(bpath, old)
+    os.rename(tmp, bpath)
+    shutil.rmtree(old)
+    shutil.rmtree(spath)
+    meta["rows"] = n_rows
+    meta["compactions"] = meta.get("compactions", 0) + 1
     _write_meta(path, meta)
     return meta
 
@@ -477,13 +566,13 @@ def pq_topk_indexed(
     meta = index_meta(path)
     if meta.get("kind") != "pq":
         raise ValueError(f"not a PQ index at {path}: {meta.get('kind')}")
-    enc = spark.read.parquet(os.path.join(path, "codes"))
+    enc, live_rows = _stored(spark, path, meta)
     return adc_topk(
         enc,
         queries,
         meta["codebooks"],
         k,
-        per_query_rows=meta.get("rows"),
+        per_query_rows=live_rows,
         vec_col=meta["vec_col"],
         id_col=meta["id_col"],
     )

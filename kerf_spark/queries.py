@@ -4775,6 +4775,55 @@ def ivf_append_topk(spark, sf):
     )
 
 
+@query("ivf_stream_append_topk", None)
+def ivf_stream_append_topk(spark, sf):
+    """STREAMING index maintenance end-to-end (annindex.
+    index_stream_sink + compact_index): build the IVF index on the
+    even half, feed the odd half through a real checkpointed
+    availableNow stream whose foreachBatch sink assigns each
+    micro-batch with the FROZEN quantizer into the delta tree, fold
+    the deltas with a compaction, and answer top-k over the result.
+    The oracle fits centroids on the even half and assigns everything
+    with them — identical to the batch-append row, so a green row
+    proves the streaming path drops/duplicates nothing and assigns
+    identically (epoch-overwrite idempotence included: the unit suite
+    replays an epoch)."""
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import fanout, read_file_stream
+
+    em = _t(spark, sf, "embeddings")
+    even = em.where(F.col("vec_id") % 2 == 0)
+    odd = em.where(F.col("vec_id") % 2 == 1)
+    path = _ann_index_dir(sf, "ivfstream")
+    full = em.count()  # parquet footer metadata only
+    stale = AI.is_stale(path, even)
+    if stale:
+        shutil.rmtree(path, ignore_errors=True)
+        AI.build_ivf_index(even, path, n_cells=8)
+    if stale or AI.index_meta(path)["rows"] < full:
+        root = tempfile.mkdtemp(prefix="kerf_ivfstream_")
+        for i in range(2):  # two source files -> two genuine epochs
+            odd.where((F.col("vec_id") % 4) == (2 * i + 1)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{root}/src/part{i}")
+        feed = read_file_stream(
+            spark, f"{root}/src/part*", odd.schema, maxFilesPerTrigger=1
+        )
+        q = fanout(
+            feed, f"{root}/ckpt", AI.index_stream_sink(path),
+            available_now=True,
+        )
+        q.awaitTermination()
+        AI.compact_index(spark, path)
+        shutil.rmtree(root, ignore_errors=True)
+    qs = em.where(F.col("vec_id") < 8)
+    return AI.ivf_topk_indexed(spark, path, qs, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 @query("ivfpq_indexed_topk", None)
 def ivfpq_indexed_topk(spark, sf):
     """The composed IVF-PQ index PERSISTED (annindex.build_ivfpq_index):
@@ -4795,6 +4844,12 @@ _attach_oracle("ivf_indexed_topk", _ivf_oracle_sql)
 _attach_oracle("pq_indexed_topk", _pq_topk_oracle_sql)
 _attach_oracle(
     "ivf_append_topk",
+    lambda: _ivf_oracle_sql(build_where="vec_id % 2 = 0"),
+)
+# the streaming-append row must produce the exact same table as the
+# batch-append row (same frozen even-half quantizer over everything)
+_attach_oracle(
+    "ivf_stream_append_topk",
     lambda: _ivf_oracle_sql(build_where="vec_id % 2 = 0"),
 )
 
@@ -11008,6 +11063,10 @@ def refit_oracles(sf_dir: str) -> None:
         lambda: _ivf_oracle_sql(sf_dir=sf_dir, build_where="vec_id % 2 = 0"),
     )
     _attach_oracle(
+        "ivf_stream_append_topk",
+        lambda: _ivf_oracle_sql(sf_dir=sf_dir, build_where="vec_id % 2 = 0"),
+    )
+    _attach_oracle(
         "ivfpq_indexed_topk", lambda: _ivfpq_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
@@ -11199,10 +11258,11 @@ _R07_WINDOW = [
     # many; partition-pruned IVF probe, durable PQ codes) — displace
     # two r4-green re-proves (hash_funcs, union_uneven_schemas)
     "ivf_indexed_topk", "pq_indexed_topk",
-    # + the composed persisted index and frozen-quantizer append proof
-    # (displace two more r4 parked greens: cohort_retention,
-    # sequence_packing)
-    "ivfpq_indexed_topk", "ivf_append_topk",
+    # + the composed persisted index, the frozen-quantizer append
+    # proof, and the streaming-delta + compaction proof (displace r4
+    # parked greens: cohort_retention, sequence_packing,
+    # funnel_conversion)
+    "ivfpq_indexed_topk", "ivf_append_topk", "ivf_stream_append_topk",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11218,8 +11278,6 @@ _R07_WINDOW = [
     "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
     "differ_runs", "stats_agg", "percentile_prices", "topk_per_group",
     "ema_exact", "ohlc_bars",
-    # composition spread
-    "funnel_conversion",
 ]
 
 

@@ -168,6 +168,70 @@ def test_append_pq_codes_match_frozen_codebooks(spark, emb, tmp_path):
     assert sorted(s) == sorted(e)
 
 
+def test_stream_sink_delta_reads_and_replay_idempotence(spark, emb, tmp_path):
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(even, path, n_cells=8)
+    sink = AI.index_stream_sink(path)
+    sink(odd, 0)
+    sink(odd, 0)  # crash-replay of the same epoch must be absorbed
+    q = emb.where(F.col("vec_id") < 8)
+    got = AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4)
+    # the delta path must answer exactly like the batch-append path
+    bpath = str(tmp_path / "ivf_batch")
+    AI.build_ivf_index(even, bpath, n_cells=8)
+    AI.append_to_index(bpath, odd)
+    want = AI.ivf_topk_indexed(spark, bpath, q, k=5, nprobe=4)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_compaction_folds_delta_and_preserves_results(spark, emb, tmp_path):
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(even, path, n_cells=8)
+    AI.index_stream_sink(path)(odd, 3)
+    q = emb.where(F.col("vec_id") < 8)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    before = _rows(AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4), cols)
+    meta = AI.compact_index(spark, path)
+    assert meta["rows"] == emb.count()
+    assert meta["compactions"] == 1
+    assert not os.path.isdir(os.path.join(path, "stream"))
+    after = _rows(AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4), cols)
+    assert before == after
+    # compacted base is one pruned tree again
+    plan = (
+        AI.ivf_topk_indexed(spark, path, q, k=3, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    # idempotent when nothing to fold
+    assert AI.compact_index(spark, path)["compactions"] == 1
+
+
+def test_pq_delta_path(spark, emb, tmp_path):
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pq")
+    AI.build_pq_index(even, path, m=8, k=16)
+    AI.index_stream_sink(path)(odd, 0)
+    q = emb.where(F.col("vec_id") < 8)
+    got = AI.pq_topk_indexed(spark, path, q, k=5)
+    bpath = str(tmp_path / "pq_batch")
+    AI.build_pq_index(even, bpath, m=8, k=16)
+    AI.append_to_index(bpath, odd)
+    want = AI.pq_topk_indexed(spark, bpath, q, k=5)
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert _rows(got, cols) == _rows(want, cols)
+    AI.compact_index(spark, path)
+    assert _rows(AI.pq_topk_indexed(spark, path, q, k=5), cols) == _rows(
+        want, cols
+    )
+
+
 def test_wrong_kind_raises(spark, emb, tmp_path):
     path = str(tmp_path / "pq")
     AI.build_pq_index(emb, path, m=8, k=16)
