@@ -1,0 +1,256 @@
+"""Persisted inverted text index + BM25 ranked retrieval.
+
+The retrieval half of a training-data pipeline (dedup finds copies;
+retrieval finds RELEVANT documents — contamination probes, targeted
+curation, eval-set mining).  The reference's write discipline applies
+(derived artifacts live next to the data as tables, layout.cc:726-934);
+the index layout is the classic inverted file realized as Spark-native
+storage, the ``annindex`` philosophy applied to text:
+
+* **postings** = ``(term, doc_id, tf)`` parquet PARTITIONED BY a
+  portable md5 term-bucket (``tb``) and sorted by term within
+  partitions.  A query for K terms prunes to ≤K bucket directories at
+  the STORAGE layer (``PartitionFilters`` in the scan), and the
+  within-partition term sort keeps parquet row-group min/max skipping
+  effective inside each bucket — two pruning levels, zero shuffle at
+  query time beyond the per-doc score aggregation.
+* **doclens** = ``(doc_id, dl)`` — qualifying-token counts, the BM25
+  length normalizer.
+* **sidecar** records ``n_docs`` and ``sum_dl`` as EXACT integers
+  (avgdl is derived as one double division in the scoring expression,
+  so both engines compute the identical value), the tokenizer params,
+  and the build source's freshness signal.
+
+Tokenization is the repo's portable convention (``text.tfidf_top_terms``):
+``split(lower(text), '[^a-z]+')``, empty and short tokens dropped — an
+expression any SQL engine reproduces verbatim, which is what makes the
+BM25 oracle a full value match rather than a rows-only check.
+
+Scoring: Robertson/Lucene BM25,
+``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+``tfn = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+Per-document summation over matched terms accumulates INTEGER
+MICRO-UNITS (``cast(round(contrib*1e6) as bigint)``) so the only fp
+ops are per-term and one final division — association-order-immune
+(the tick-indicator discipline), bit-identical across engines and
+partition layouts.
+
+At 100 TB: the postings build is one tokenize + one (term, doc)
+aggregation — the exact shape of the word-count canon, partial
+map-side combine does the heavy lifting; query cost is bounded by the
+probed buckets' bytes, never the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import _input_freshness
+
+_META = "text_index.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, _META))
+
+
+def index_meta(path: str) -> dict:
+    with open(os.path.join(path, _META)) as fh:
+        return json.load(fh)
+
+
+def is_stale(path: str, docs: DataFrame) -> bool:
+    """True when no index exists at ``path`` or its recorded source
+    freshness no longer matches ``docs`` (the annindex contract)."""
+    try:
+        meta = index_meta(path)
+    except (OSError, ValueError):
+        return True
+    return meta.get("freshness") != list(_input_freshness(docs))
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the bucket expression — md5 family, so any
+    engine (and plain Python) lands each term in the same directory."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(term, n_buckets: int):
+    c = F.col(term) if isinstance(term, str) else term
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str, min_len: int):
+    """(doc_id, term) qualifying tokens — the portable tokenizer the
+    oracle replays: split(lower(text), '[^a-z]+'), len >= min_len."""
+    return (
+        docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(F.split("__t", "[^a-z]+")).alias("term"),
+        )
+        .where((F.col("term") != "") & (F.length("term") >= min_len))
+    )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 3,
+    n_buckets: int = 32,
+) -> dict:
+    """Build the inverted index: tokenize, aggregate ``(term, doc)``
+    frequencies (one shuffle with map-side combine — word-count shape),
+    land postings partitioned by term bucket and term-sorted within
+    partitions, plus the doc-length table and the stats sidecar."""
+    toks = _tokens(docs, text_col, id_col, min_len)
+    postings = (
+        toks.groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _term_bucket_col("term", n_buckets))
+    )
+    ppath = os.path.join(path, "postings")
+    (
+        postings.repartition("tb")
+        .sortWithinPartitions("term", id_col)
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(ppath)
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dpath = os.path.join(path, "doclens")
+    dl.write.mode("overwrite").parquet(dpath)
+    spark = docs.sparkSession
+    stats = (
+        spark.read.parquet(dpath)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    meta = {
+        "kind": "text",
+        "text_col": text_col,
+        "id_col": id_col,
+        "min_len": min_len,
+        "n_buckets": n_buckets,
+        "n_docs": int(stats["n"]),
+        "sum_dl": int(stats["s"]),
+        "freshness": list(_input_freshness(docs)),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def _pruned_postings(
+    spark: SparkSession, path: str, meta: dict, terms: list[str]
+) -> DataFrame:
+    """Postings for ``terms`` — bucket partition pruning (≤ |terms|
+    directories' bytes move) then the exact term filter (row-group
+    min/max skipping inside each bucket via the build-time sort)."""
+    buckets = sorted(
+        {term_bucket_py(t, meta["n_buckets"]) for t in terms}
+    )
+    return (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("tb").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+    )
+
+
+def keyword_search(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    mode: str = "and",
+) -> DataFrame:
+    """Boolean retrieval over the pruned postings: ``and`` keeps docs
+    matching EVERY query term, ``or`` any.  Returns
+    ``(doc_id, matched)`` — matched distinct query terms."""
+    meta = index_meta(path)
+    terms = sorted(set(terms))
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    hits = (
+        _pruned_postings(spark, path, meta, terms)
+        .groupBy(meta["id_col"])
+        .agg(F.countDistinct("term").cast("long").alias("matched"))
+    )
+    if mode == "and":
+        hits = hits.where(F.col("matched") == len(terms))
+    return hits
+
+
+def bm25_topk(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over the persisted index: probe the ≤|terms| pruned
+    buckets, derive per-term df from the pruned slice (exact — the
+    slice holds every posting for the term), score each (doc, term)
+    contribution, and sum per doc in integer micro-units (association-
+    order-immune).  Final rank is a TakeOrdered prefix + row_number
+    over ≤k rows — bounded, never a corpus-sized window."""
+    meta = index_meta(path)
+    id_col = meta["id_col"]
+    terms = sorted(set(terms))
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    post = _pruned_postings(spark, path, meta, terms)
+    dfreq = post.groupBy("term").agg(
+        F.countDistinct(id_col).alias("dfreq")
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclens"))
+    # ONE double division of the sidecar's exact integers, performed at
+    # plan-build time so the oracle interpolates the identical literal
+    avgdl = F.lit(float(sum_dl) / float(n_docs))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("dfreq") + 0.5)
+        / (F.col("dfreq") + 0.5)
+    )
+    tfn = (F.col("tf") * (1.0 + k1)) / (
+        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / avgdl)
+    )
+    contrib = (idf * tfn * 1000000.0).cast("double")
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            F.round(contrib).cast("long").alias("__c"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.sum("__c") / F.lit(1000000.0)).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("matched"),
+        )
+        .select(
+            id_col, F.round(F.col("__s"), 6).alias("score"), "matched"
+        )
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )

@@ -40,6 +40,7 @@ from .operators import multimodal as MM
 from .operators import relational as R
 from .operators import similarity as SIM
 from .operators import text as TX
+from .operators import textindex as TI
 from .operators import windows as W
 from .plans.kerfsql import kerf_sql
 from .sources.io import read_table
@@ -6306,6 +6307,109 @@ def stream_static_enrich(spark, sf):
 # stratified sampling) + event analytics (funnel, cohort retention)
 # =====================================================================
 
+# ---------------------------------------------------------------------
+# Persisted inverted text index (operators.textindex): boolean
+# retrieval + BM25 over bucket-pruned postings
+# ---------------------------------------------------------------------
+
+_BM25_TERMS = ["merge", "stream", "vector"]
+
+
+def _text_index_path(spark, sf):
+    docs = _t(spark, sf, "documents")
+    path = _ann_index_dir(sf, "text")
+    if TI.is_stale(path, docs):
+        TI.build_text_index(docs, path, n_buckets=32)
+    return path
+
+
+@query(
+    "text_index_search",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t AS term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> '' AND length(t) >= 3
+        AND t IN ('merge', 'stream', 'vector')
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS matched
+    FROM toks GROUP BY doc_id HAVING count(*) = 3
+    """,
+)
+def text_index_search(spark, sf):
+    """Boolean AND retrieval over the PERSISTED inverted index
+    (operators.textindex): postings live as parquet partitioned by a
+    portable md5 term-bucket and term-sorted within partitions, so a
+    3-term query reads ≤3 bucket directories (PartitionFilters,
+    plan-asserted) with row-group skipping inside each.  The oracle
+    tokenizes the corpus directly with the same split — a green row
+    proves the index layout drops/duplicates no posting."""
+    path = _text_index_path(spark, sf)
+    return TI.keyword_search(spark, path, _BM25_TERMS, "and")
+
+
+@query(
+    "bm25_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> '' AND length(t) >= 3
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('merge', 'stream', 'vector')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM post GROUP BY term
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.dfreq + 0.5)
+                        / (f.dfreq + 0.5))
+               * ((p.tf * 2.2) / (p.tf + 1.2 *
+                   (1.0 - 0.75 + 0.75 * d.dl /
+                    (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+               * 1000000.0
+             ) AS BIGINT) AS c
+      FROM post p
+      JOIN dfreq f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id,
+             round(sum(c) / 1000000.0, 6) AS score,
+             CAST(count(*) AS BIGINT) AS matched
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score, matched,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+      FROM agg
+    )
+    SELECT doc_id, score, matched, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def bm25_topk_docs(spark, sf):
+    """BM25 ranked retrieval over the persisted inverted index
+    (operators.textindex.bm25_topk; Robertson/Lucene idf).  Per-doc
+    summation accumulates integer micro-units so the only fp ops are
+    per-term and one final division — association-order-immune, which
+    is what lets the oracle replay the FULL scoring pipeline (idf, tf
+    normalization, length normalization) value-for-value.  The final
+    rank is a TakeOrdered prefix + row_number over ≤k rows — never a
+    corpus-sized window."""
+    path = _text_index_path(spark, sf)
+    return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
 @query(
     "tfidf_top_terms",
     """
@@ -11263,6 +11367,9 @@ _R07_WINDOW = [
     # parked greens: cohort_retention, sequence_packing,
     # funnel_conversion)
     "ivfpq_indexed_topk", "ivf_append_topk", "ivf_stream_append_topk",
+    # + the persisted inverted text index (boolean + BM25 retrieval;
+    # displace r5-green re-proves ema_exact, ohlc_bars)
+    "text_index_search", "bm25_topk_docs",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11277,7 +11384,6 @@ _R07_WINDOW = [
     # window/ordered analytics + temporal spread
     "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
     "differ_runs", "stats_agg", "percentile_prices", "topk_per_group",
-    "ema_exact", "ohlc_bars",
 ]
 
 

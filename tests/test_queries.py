@@ -224,6 +224,8 @@ PLAN_LINT_ALLOW = {
         "take_cyclic",             # 12-row affine demo
         "vocab_zipf_stats",        # rank over the distinct vocabulary
         "chi_square_independence", # contingency-cell table
+        "bm25_topk_docs",          # row_number over a k-row TakeOrdered
+                                   # prefix (orderBy+limit(10) upstream)
     },
     "python-row-udf": set(),
     "cartesian-product": set(),

@@ -1,0 +1,149 @@
+"""Persisted inverted text index (operators.textindex).
+
+Contracts proven here:
+- boolean retrieval over the index equals a brute-force tokenize scan;
+- BM25 scores match an independent plain-Python computation exactly
+  (same integer-micro-unit accumulation);
+- the probe scan is partition-pruned on the term bucket;
+- driver-side bucket twin agrees with the Spark bucket expression.
+"""
+
+import math
+import os
+import re
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kerf_spark.operators import textindex as TI
+
+SF_DIR = "/root/testdata/sf0.001"
+TERMS = ["merge", "stream", "vector"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ti") / "idx")
+    TI.build_text_index(docs, path, n_buckets=32)
+    return path
+
+
+def _py_tokens(text, min_len=3):
+    return [
+        t for t in re.split(r"[^a-z]+", text.lower())
+        if len(t) >= min_len
+    ]
+
+
+def test_bucket_twin_matches_spark(spark):
+    terms = ["merge", "stream", "vector", "a" * 40, "zq"]
+    rows = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).select("term", TI._term_bucket_col("term", 32).alias("tb")).collect()
+    for r in rows:
+        assert r["tb"] == TI.term_bucket_py(r["term"], 32), r["term"]
+
+
+def test_and_or_search_match_bruteforce(spark, docs, index):
+    pdf = docs.select("doc_id", "text").toPandas()
+    want_and, want_or = set(), set()
+    for _, row in pdf.iterrows():
+        present = set(_py_tokens(row["text"])) & set(TERMS)
+        if present:
+            want_or.add(row["doc_id"])
+        if len(present) == len(TERMS):
+            want_and.add(row["doc_id"])
+    got_and = {
+        r["doc_id"]
+        for r in TI.keyword_search(spark, index, TERMS, "and").collect()
+    }
+    got_or = {
+        r["doc_id"]
+        for r in TI.keyword_search(spark, index, TERMS, "or").collect()
+    }
+    assert got_and == want_and
+    assert got_or == want_or
+    assert want_and  # fixture sanity: the query is non-trivial
+
+
+def test_bm25_matches_independent_python(spark, docs, index):
+    k1, b, k = 1.2, 0.75, 10
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = {r["doc_id"]: _py_tokens(r["text"]) for _, r in pdf.iterrows()}
+    dls = {d: len(ts) for d, ts in toks.items() if ts}
+    n_docs, sum_dl = len(dls), sum(dls.values())
+    avgdl = float(sum_dl) / float(n_docs)
+    dfreq = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in TERMS
+    }
+    scores = {}
+    for d, ts in toks.items():
+        cnt = Counter(ts)
+        acc = 0
+        matched = 0
+        for t in sorted(set(TERMS)):
+            tf = cnt.get(t, 0)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(
+                1.0 + (float(n_docs) - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            )
+            tfn = (tf * (1.0 + k1)) / (
+                tf + k1 * (1.0 - b + b * dls[d] / avgdl)
+            )
+            acc += int(
+                # Python round() is banker's; replicate HALF_UP on the
+                # positive contribs the engines use
+                math.floor(idf * tfn * 1000000.0 + 0.5)
+            )
+        if matched:
+            scores[d] = (round(acc / 1000000.0, 6), matched)
+    want = sorted(
+        ((s, -d) for d, (s, _) in scores.items()), reverse=True
+    )[:k]
+    want = [(-negd, s) for s, negd in want]
+    got = TI.bm25_topk(spark, index, TERMS, k=k, k1=k1, b=b).collect()
+    got_pairs = [(r["doc_id"], r["score"]) for r in got]
+    assert got_pairs == want
+    for r in got:
+        assert r["matched"] == scores[r["doc_id"]][1]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_probe_scan_is_partition_pruned(spark, docs, index):
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(index, "postings"))
+        if d.startswith("tb=")
+    ]
+    assert len(dirs) > 1
+    plan = (
+        TI.bm25_topk(spark, index, TERMS, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "tb" in seg[: seg.index("]")]
+
+
+def test_stale_detection_and_reuse(spark, docs, tmp_path):
+    path = str(tmp_path / "idx")
+    assert TI.is_stale(path, docs)
+    TI.build_text_index(docs, path)
+    assert not TI.is_stale(path, docs)
+    moved = str(tmp_path / "src")
+    docs.write.parquet(moved)
+    assert TI.is_stale(path, spark.read.parquet(moved))
+
+
+def test_bad_mode_raises(spark, docs, index):
+    with pytest.raises(ValueError, match="mode"):
+        TI.keyword_search(spark, index, TERMS, "xor")
