@@ -112,11 +112,38 @@ def build_text_index(
     id_col: str = "doc_id",
     min_len: int = 3,
     n_buckets: int = 32,
+    positions: bool = True,
 ) -> dict:
     """Build the inverted index: tokenize, aggregate ``(term, doc)``
     frequencies (one shuffle with map-side combine — word-count shape),
     land postings partitioned by term bucket and term-sorted within
-    partitions, plus the doc-length table and the stats sidecar."""
+    partitions, plus the doc-length table and the stats sidecar.
+
+    With ``positions`` (default), also land a POSITIONAL postings table
+    ``(term, doc_id, positions)`` over ALL non-empty tokens (no
+    ``min_len`` — phrase adjacency needs the short words too), same
+    bucket partitioning: the phrase-query index.  Positions are
+    0-based offsets in the token stream, sorted, unique per
+    ``(doc, term)``."""
+    if positions:
+        raw = docs.select(
+            F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+        ).select(
+            F.col(id_col),
+            F.posexplode(F.split("__t", "[^a-z]+")).alias("pos", "term"),
+        ).where(F.col("term") != "")
+        pos_post = (
+            raw.groupBy("term", id_col)
+            .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+            .withColumn("tb", _term_bucket_col("term", n_buckets))
+        )
+        (
+            pos_post.repartition("tb")
+            .sortWithinPartitions("term", id_col)
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(path, "positions"))
+        )
     toks = _tokens(docs, text_col, id_col, min_len)
     postings = (
         toks.groupBy("term", id_col)
@@ -149,6 +176,7 @@ def build_text_index(
         "id_col": id_col,
         "min_len": min_len,
         "n_buckets": n_buckets,
+        "has_positions": bool(positions),
         "n_docs": int(stats["n"]),
         "sum_dl": int(stats["s"]),
         "freshness": list(_input_freshness(docs)),
@@ -194,6 +222,48 @@ def keyword_search(
     if mode == "and":
         hits = hits.where(F.col("matched") == len(terms))
     return hits
+
+
+def phrase_search(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+) -> DataFrame:
+    """Exact phrase retrieval over the positional postings: for the
+    phrase ``t0 t1 … tn`` the match set is the chained positional
+    intersection ``((pos(t0)+1) ∩ pos(t1)) + 1) ∩ pos(t2) …`` — the
+    classic positional-index algorithm, expressed as array Column ops
+    (``transform`` + ``array_intersect``) over the ≤|terms|
+    bucket-pruned partitions.  Returns ``(doc_id, hits)`` — hits =
+    phrase occurrence count (overlapping occurrences counted, start
+    positions are distinct by construction).  The n−1 joins on doc_id
+    touch only the pruned term rows, never the corpus."""
+    if not terms:
+        raise ValueError("empty phrase")
+    meta = index_meta(path)
+    if not meta.get("has_positions"):
+        raise ValueError(f"index at {path} was built without positions")
+    id_col = meta["id_col"]
+    buckets = sorted(
+        {term_bucket_py(t, meta["n_buckets"]) for t in terms}
+    )
+    pos = spark.read.parquet(os.path.join(path, "positions")).where(
+        F.col("tb").isin(buckets)
+    )
+    cur = None
+    for i, t in enumerate(terms):
+        p = pos.where(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"__p{i}")
+        )
+        cur = p if cur is None else cur.join(p, id_col)
+    s = F.col("__p0")
+    for i in range(1, len(terms)):
+        s = F.array_intersect(
+            F.transform(s, lambda x: x + 1), F.col(f"__p{i}")
+        )
+    return cur.select(
+        F.col(id_col), F.size(s).cast("long").alias("hits")
+    ).where(F.col("hits") > 0)
 
 
 def bm25_topk(

@@ -6318,7 +6318,9 @@ _BM25_TERMS = ["merge", "stream", "vector"]
 def _text_index_path(spark, sf):
     docs = _t(spark, sf, "documents")
     path = _ann_index_dir(sf, "text")
-    if TI.is_stale(path, docs):
+    if TI.is_stale(path, docs) or not TI.index_meta(path).get(
+        "has_positions"
+    ):
         TI.build_text_index(docs, path, n_buckets=32)
     return path
 
@@ -6408,6 +6410,45 @@ def bm25_topk_docs(spark, sf):
     corpus-sized window."""
     path = _text_index_path(spark, sf)
     return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
+@query(
+    "phrase_search_docs",
+    """
+    WITH pt AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               string_split_regex(lower(text), '[^a-z]+'),
+               (t, i) -> {'term': t, 'pos': i - 1})) AS u
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM pt
+      WHERE u.term <> ''
+    ), post AS (
+      SELECT doc_id, term, list_sort(list(pos)) AS positions
+      FROM toks GROUP BY doc_id, term
+    ), a AS (
+      SELECT doc_id, positions AS pa FROM post WHERE term = 'fast'
+    ), b AS (
+      SELECT doc_id, positions AS pb FROM post WHERE term = 'table'
+    )
+    SELECT a.doc_id,
+           CAST(len(list_intersect(
+             list_transform(pa, p -> p + 1), pb)) AS BIGINT) AS hits
+    FROM a JOIN b USING (doc_id)
+    WHERE len(list_intersect(list_transform(pa, p -> p + 1), pb)) > 0
+    """,
+)
+def phrase_search_docs(spark, sf):
+    """Exact phrase retrieval ("fast table") over the PERSISTED
+    positional index (operators.textindex.phrase_search): the classic
+    positional-intersection algorithm — ``(pos(t0)+1) ∩ pos(t1)`` —
+    as array Column ops over bucket-pruned postings.  The oracle
+    replays positional tokenization (DuckDB indexed lambda) and the
+    same chained intersection, so a green row proves stored positions
+    are exact, not just term membership."""
+    path = _text_index_path(spark, sf)
+    return TI.phrase_search(spark, path, ["fast", "table"])
 
 
 @query(
@@ -11367,9 +11408,10 @@ _R07_WINDOW = [
     # parked greens: cohort_retention, sequence_packing,
     # funnel_conversion)
     "ivfpq_indexed_topk", "ivf_append_topk", "ivf_stream_append_topk",
-    # + the persisted inverted text index (boolean + BM25 retrieval;
-    # displace r5-green re-proves ema_exact, ohlc_bars)
-    "text_index_search", "bm25_topk_docs",
+    # + the persisted inverted text index (boolean + BM25 + positional
+    # phrase retrieval; displace r3/r5-green re-proves ema_exact,
+    # ohlc_bars, topk_per_group)
+    "text_index_search", "bm25_topk_docs", "phrase_search_docs",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11383,7 +11425,7 @@ _R07_WINDOW = [
     "q22_global_sales_opportunity",
     # window/ordered analytics + temporal spread
     "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
-    "differ_runs", "stats_agg", "percentile_prices", "topk_per_group",
+    "differ_runs", "stats_agg", "percentile_prices",
 ]
 
 

@@ -134,6 +134,41 @@ def test_probe_scan_is_partition_pruned(spark, docs, index):
     assert "tb" in seg[: seg.index("]")]
 
 
+def _py_phrase_hits(text, terms):
+    raw = re.split(r"[^a-z]+", text.lower())
+    n = len(terms)
+    return sum(
+        1 for i in range(len(raw) - n + 1) if raw[i:i + n] == terms
+    )
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [["fast", "table"], ["big", "table", "scan"], ["table", "table"]],
+)
+def test_phrase_search_matches_bruteforce(spark, docs, index, phrase):
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = {
+        r["doc_id"]: _py_phrase_hits(r["text"], phrase)
+        for _, r in pdf.iterrows()
+    }
+    want = {d: h for d, h in want.items() if h > 0}
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in TI.phrase_search(spark, index, phrase).collect()
+    }
+    assert got == want
+
+
+def test_phrase_search_positionless_index_raises(spark, docs, tmp_path):
+    path = str(tmp_path / "nopos")
+    TI.build_text_index(docs, path, positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        TI.phrase_search(spark, path, ["fast", "table"])
+    with pytest.raises(ValueError, match="phrase"):
+        TI.phrase_search(spark, str(tmp_path / "nopos"), [])
+
+
 def test_stale_detection_and_reuse(spark, docs, tmp_path):
     path = str(tmp_path / "idx")
     assert TI.is_stale(path, docs)
