@@ -105,6 +105,49 @@ def _tokens(docs: DataFrame, text_col: str, id_col: str, min_len: int):
     )
 
 
+def _derive_tables(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int,
+    n_buckets: int,
+    positions: bool,
+) -> dict:
+    """Every index table derived from ``docs`` —
+    ``{name: (df, partition_cols)}`` — shared by build, batch append,
+    and the streaming sink so all three write byte-identical layouts.
+    Frames are repartitioned by bucket and term-sorted within
+    partitions (the row-group-skipping discipline)."""
+    out = {}
+    toks = _tokens(docs, text_col, id_col, min_len)
+    postings = (
+        toks.groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _term_bucket_col("term", n_buckets))
+        .repartition("tb")
+        .sortWithinPartitions("term", id_col)
+    )
+    out["postings"] = (postings, ["tb"])
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    out["doclens"] = (dl, [])
+    if positions:
+        raw = docs.select(
+            F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+        ).select(
+            F.col(id_col),
+            F.posexplode(F.split("__t", "[^a-z]+")).alias("pos", "term"),
+        ).where(F.col("term") != "")
+        pos_post = (
+            raw.groupBy("term", id_col)
+            .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+            .withColumn("tb", _term_bucket_col("term", n_buckets))
+            .repartition("tb")
+            .sortWithinPartitions("term", id_col)
+        )
+        out["positions"] = (pos_post, ["tb"])
+    return out
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
@@ -125,45 +168,17 @@ def build_text_index(
     bucket partitioning: the phrase-query index.  Positions are
     0-based offsets in the token stream, sorted, unique per
     ``(doc, term)``."""
-    if positions:
-        raw = docs.select(
-            F.col(id_col), F.lower(F.col(text_col)).alias("__t")
-        ).select(
-            F.col(id_col),
-            F.posexplode(F.split("__t", "[^a-z]+")).alias("pos", "term"),
-        ).where(F.col("term") != "")
-        pos_post = (
-            raw.groupBy("term", id_col)
-            .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
-            .withColumn("tb", _term_bucket_col("term", n_buckets))
-        )
-        (
-            pos_post.repartition("tb")
-            .sortWithinPartitions("term", id_col)
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(os.path.join(path, "positions"))
-        )
-    toks = _tokens(docs, text_col, id_col, min_len)
-    postings = (
-        toks.groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("tb", _term_bucket_col("term", n_buckets))
+    tables = _derive_tables(
+        docs, text_col, id_col, min_len, n_buckets, positions
     )
-    ppath = os.path.join(path, "postings")
-    (
-        postings.repartition("tb")
-        .sortWithinPartitions("term", id_col)
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(ppath)
-    )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    dpath = os.path.join(path, "doclens")
-    dl.write.mode("overwrite").parquet(dpath)
+    for name, (df, pcols) in tables.items():
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(os.path.join(path, name))
     spark = docs.sparkSession
     stats = (
-        spark.read.parquet(dpath)
+        spark.read.parquet(os.path.join(path, "doclens"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("dl").cast("long").alias("s"),
@@ -185,6 +200,58 @@ def build_text_index(
     return meta
 
 
+def _index_table(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
+    """One index table, base tree ∪ streaming delta tree (if any).
+    ``tb`` is a partition column in both trees, so bucket pruning
+    reaches each scan independently (the annindex._stored shape)."""
+    base = spark.read.parquet(os.path.join(path, name))
+    spath = os.path.join(path, "stream")
+    if not os.path.isdir(spath):
+        return base
+    epochs = [
+        os.path.join(spath, e, name)
+        for e in sorted(os.listdir(spath))
+        if e.startswith("epoch=")
+        and os.path.isdir(os.path.join(spath, e, name))
+    ]
+    if not epochs:
+        return base
+    delta = spark.read.parquet(*epochs)
+    return base.unionByName(delta.select(*base.columns))
+
+
+def _live_stats(
+    spark: SparkSession, path: str, meta: dict
+) -> tuple[int, int]:
+    """(n_docs, sum_dl) including any streaming delta — the sidecar's
+    exact integers plus one tiny aggregation over the delta doclens
+    (appends are new documents by contract, so plain addition is
+    exact)."""
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    spath = os.path.join(path, "stream")
+    if os.path.isdir(spath):
+        delta_dirs = [
+            os.path.join(spath, e, "doclens")
+            for e in os.listdir(spath)
+            if e.startswith("epoch=")
+            and os.path.isdir(os.path.join(spath, e, "doclens"))
+        ]
+        if delta_dirs:
+            row = (
+                spark.read.parquet(*delta_dirs)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+                )
+                .collect()[0]
+            )
+            n_docs += int(row["n"])
+            sum_dl += int(row["s"])
+    return n_docs, sum_dl
+
+
 def _pruned_postings(
     spark: SparkSession, path: str, meta: dict, terms: list[str]
 ) -> DataFrame:
@@ -195,7 +262,7 @@ def _pruned_postings(
         {term_bucket_py(t, meta["n_buckets"]) for t in terms}
     )
     return (
-        spark.read.parquet(os.path.join(path, "postings"))
+        _index_table(spark, path, "postings")
         .where(F.col("tb").isin(buckets))
         .where(F.col("term").isin(list(terms)))
     )
@@ -247,7 +314,7 @@ def phrase_search(
     buckets = sorted(
         {term_bucket_py(t, meta["n_buckets"]) for t in terms}
     )
-    pos = spark.read.parquet(os.path.join(path, "positions")).where(
+    pos = _index_table(spark, path, "positions").where(
         F.col("tb").isin(buckets)
     )
     cur = None
@@ -283,12 +350,12 @@ def bm25_topk(
     meta = index_meta(path)
     id_col = meta["id_col"]
     terms = sorted(set(terms))
-    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    n_docs, sum_dl = _live_stats(spark, path, meta)
     post = _pruned_postings(spark, path, meta, terms)
     dfreq = post.groupBy("term").agg(
         F.countDistinct(id_col).alias("dfreq")
     )
-    dl = spark.read.parquet(os.path.join(path, "doclens"))
+    dl = _index_table(spark, path, "doclens")
     # ONE double division of the sidecar's exact integers, performed at
     # plan-build time so the oracle interpolates the identical literal
     avgdl = F.lit(float(sum_dl) / float(n_docs))
@@ -324,3 +391,123 @@ def bm25_topk(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     )
+
+
+def append_to_text_index(path: str, docs: DataFrame) -> dict:
+    """Incrementally add NEW documents to an existing index — the
+    tick-log append discipline: postings/doclens/positions rows for
+    new doc ids are disjoint from the stored ones, so plain parquet
+    appends inside the same layout ARE the merge (no learned fits to
+    freeze — unlike the ANN indexes, an appended text index equals a
+    full rebuild EXACTLY, which is what its oracle row proves).  The
+    sidecar's exact-integer stats advance by the appended doclens'
+    count/sum; lineage is recorded per append.
+
+    Contract: ``docs`` are new documents (re-appending an existing
+    doc id would double its postings — the corpus is append-only,
+    the reference's tick-log model)."""
+    meta = index_meta(path)
+    tables = _derive_tables(
+        docs,
+        meta["text_col"],
+        meta["id_col"],
+        meta["min_len"],
+        meta["n_buckets"],
+        meta.get("has_positions", False),
+    )
+    for name, (df, pcols) in tables.items():
+        w = df.write.mode("append")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(os.path.join(path, name))
+    spark = docs.sparkSession
+    row = (
+        tables["doclens"][0]
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    meta["n_docs"] += int(row["n"])
+    meta["sum_dl"] += int(row["s"])
+    meta["appends"] = meta.get("appends", []) + [
+        {
+            "docs": int(row["n"]),
+            "freshness": list(_input_freshness(docs)),
+        }
+    ]
+    _write_meta(path, meta)
+    return meta
+
+
+def text_index_stream_sink(path: str):
+    """Streaming text-index maintenance: a fanout-compatible
+    foreachBatch sink that derives postings/doclens/positions for each
+    micro-batch of new documents and lands them under the DELTA tree
+    ``stream/epoch=<id>/<table>/`` — epoch-directory overwrite absorbs
+    crash replay (the parquet_epoch_sink discipline).  The sidecar is
+    untouched per epoch (lock-free); query-time stats add one tiny
+    aggregation over the delta doclens.  Fold with
+    :func:`compact_text_index`."""
+    meta = index_meta(path)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        tables = _derive_tables(
+            batch,
+            meta["text_col"],
+            meta["id_col"],
+            meta["min_len"],
+            meta["n_buckets"],
+            meta.get("has_positions", False),
+        )
+        edir = os.path.join(path, "stream", f"epoch={int(epoch_id)}")
+        for name, (df, pcols) in tables.items():
+            w = df.write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(os.path.join(edir, name))
+
+    return sink
+
+
+def compact_text_index(spark: SparkSession, path: str) -> dict:
+    """Fold the streaming delta tree into the base tables (staging dir
+    + atomic swap per table, the catalog discipline), refresh the
+    sidecar's exact stats from the compacted doclens, drop the delta
+    tree.  Queries before/after return identical rows."""
+    import shutil
+
+    meta = index_meta(path)
+    spath = os.path.join(path, "stream")
+    if not os.path.isdir(spath):
+        return meta
+    names = ["postings", "doclens"] + (
+        ["positions"] if meta.get("has_positions") else []
+    )
+    for name in names:
+        merged = _index_table(spark, path, name)
+        bpath = os.path.join(path, name)
+        tmp = bpath + ".compacting"
+        w = merged.write.mode("overwrite")
+        if name != "doclens":
+            w = w.partitionBy("tb")
+        w.parquet(tmp)
+        old = bpath + ".old"
+        os.rename(bpath, old)
+        os.rename(tmp, bpath)
+        shutil.rmtree(old)
+    shutil.rmtree(spath)
+    stats = (
+        spark.read.parquet(os.path.join(path, "doclens"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    meta["n_docs"] = int(stats["n"])
+    meta["sum_dl"] = int(stats["s"])
+    meta["compactions"] = meta.get("compactions", 0) + 1
+    _write_meta(path, meta)
+    return meta

@@ -6412,6 +6412,30 @@ def bm25_topk_docs(spark, sf):
     return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
 
 
+@query("bm25_append_topk", None)
+def bm25_append_topk(spark, sf):
+    """Incremental text-index maintenance end-to-end
+    (textindex.append_to_text_index): build the index on the EVEN
+    half of the corpus, append the odd half (tick-log discipline —
+    new-doc postings are disjoint, plain parquet appends ARE the
+    merge, sidecar stats advance exactly), then BM25 over the result.
+    Unlike the ANN appends there are no learned fits to freeze, so the
+    appended index must equal a full rebuild EXACTLY — the oracle is
+    the full-corpus BM25 replay, and any drop/duplicate/stale-stat bug
+    is a value mismatch."""
+    docs = _t(spark, sf, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    path = _ann_index_dir(sf, "textapp")
+    need = TI.is_stale(path, even)
+    if not need:
+        need = not TI.index_meta(path).get("appends")
+    if need:
+        TI.build_text_index(even, path, n_buckets=32)
+        TI.append_to_text_index(path, odd)
+    return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
 @query(
     "phrase_search_docs",
     """
@@ -6449,6 +6473,10 @@ def phrase_search_docs(spark, sf):
     are exact, not just term membership."""
     path = _text_index_path(spark, sf)
     return TI.phrase_search(spark, path, ["fast", "table"])
+
+
+# the appended index must equal a full rebuild exactly — same oracle
+_attach_oracle("bm25_append_topk", lambda: ORACLES["bm25_topk_docs"])
 
 
 @query(
@@ -11412,6 +11440,7 @@ _R07_WINDOW = [
     # phrase retrieval; displace r3/r5-green re-proves ema_exact,
     # ohlc_bars, topk_per_group)
     "text_index_search", "bm25_topk_docs", "phrase_search_docs",
+    "bm25_append_topk",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11425,7 +11454,7 @@ _R07_WINDOW = [
     "q22_global_sales_opportunity",
     # window/ordered analytics + temporal spread
     "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
-    "differ_runs", "stats_agg", "percentile_prices",
+    "differ_runs", "stats_agg",
 ]
 
 

@@ -226,6 +226,8 @@ PLAN_LINT_ALLOW = {
         "chi_square_independence", # contingency-cell table
         "bm25_topk_docs",          # row_number over a k-row TakeOrdered
                                    # prefix (orderBy+limit(10) upstream)
+        "bm25_append_topk",        # same bounded shape over the
+                                   # appended index
     },
     "python-row-udf": set(),
     "cartesian-product": set(),

@@ -179,6 +179,59 @@ def test_stale_detection_and_reuse(spark, docs, tmp_path):
     assert TI.is_stale(path, spark.read.parquet(moved))
 
 
+def _all_results(spark, path):
+    """Every retrieval surface over one index, as sorted row tuples."""
+    bm = TI.bm25_topk(spark, path, TERMS, k=10).collect()
+    kw = TI.keyword_search(spark, path, TERMS, "and").collect()
+    ph = TI.phrase_search(spark, path, ["fast", "table"]).collect()
+    return (
+        sorted((r["doc_id"], r["score"], r["matched"], r["rank"]) for r in bm),
+        sorted((r["doc_id"], r["matched"]) for r in kw),
+        sorted((r["doc_id"], r["hits"]) for r in ph),
+    )
+
+
+def test_append_equals_full_rebuild(spark, docs, tmp_path):
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    full_path = str(tmp_path / "full")
+    TI.build_text_index(docs, full_path)
+    app_path = str(tmp_path / "app")
+    TI.build_text_index(even, app_path)
+    meta = TI.append_to_text_index(app_path, odd)
+    # no learned fits -> appended index equals the full rebuild EXACTLY
+    fmeta = TI.index_meta(full_path)
+    assert (meta["n_docs"], meta["sum_dl"]) == (
+        fmeta["n_docs"], fmeta["sum_dl"],
+    )
+    assert meta["appends"][0]["docs"] == odd.count()
+    assert _all_results(spark, app_path) == _all_results(spark, full_path)
+
+
+def test_stream_sink_and_compaction_equal_full(spark, docs, tmp_path):
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    full_path = str(tmp_path / "full")
+    TI.build_text_index(docs, full_path)
+    want = _all_results(spark, full_path)
+    sp = str(tmp_path / "stream")
+    TI.build_text_index(even, sp)
+    sink = TI.text_index_stream_sink(sp)
+    sink(odd, 5)
+    sink(odd, 5)  # crash-replay absorbed by epoch-dir overwrite
+    assert _all_results(spark, sp) == want  # delta path, live stats
+    meta = TI.compact_text_index(spark, sp)
+    assert meta["compactions"] == 1
+    assert not os.path.isdir(os.path.join(sp, "stream"))
+    assert (meta["n_docs"], meta["sum_dl"]) == (
+        TI.index_meta(full_path)["n_docs"],
+        TI.index_meta(full_path)["sum_dl"],
+    )
+    assert _all_results(spark, sp) == want  # compacted path
+    # idempotent when nothing to fold
+    assert TI.compact_text_index(spark, sp)["compactions"] == 1
+
+
 def test_bad_mode_raises(spark, docs, index):
     with pytest.raises(ValueError, match="mode"):
         TI.keyword_search(spark, index, TERMS, "xor")
