@@ -181,3 +181,70 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*group_cols, est.alias(out))
+
+
+# ----------------------------------------------------- histogram quantiles
+def hist_build(
+    df: DataFrame,
+    col,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    by: tuple = (),
+) -> DataFrame:
+    """The FOURTH mergeable constant-size summary: quantiles.  A
+    fixed-boundary equi-width histogram over ``[lo, hi)`` — ``n_bins``
+    integer counts per group, mergeable by plain cnt-sum (map-side
+    combine collapses any input to the constant cell count, the
+    CMS/HLL shape).  Out-of-range values clamp into the edge bins
+    (document your range); nulls are dropped.  Unlike t-digest/GK the
+    boundaries carry no data dependence, so the sketch — and every
+    quantile read off it — is a deterministic function of the input
+    multiset that a SQL oracle reproduces bit-for-bit."""
+    w = (float(hi) - float(lo)) / n_bins
+    b = F.least(
+        F.greatest(F.floor((_c(col) - lo) / w), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.where(_c(col).isNotNull())
+        .groupBy(*by, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantile(
+    hist: DataFrame,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    by: tuple = (),
+    out: str = "quantile",
+) -> DataFrame:
+    """Quantile ``q`` from a :func:`hist_build` sketch: rank
+    ``r = max(1, ceil(q*N))`` per group, locate the unique bin with
+    ``cum − cnt < r ≤ cum`` (a window cumsum over the CONSTANT n_bins
+    rows per group — never data-sized), linear interpolation inside
+    it.  Estimate error is bounded by the bin width; the arithmetic
+    shape (one int/int division, one multiply-add) is written
+    identically in the oracle so estimates match bit-for-bit."""
+    from pyspark.sql import Window
+
+    w = (float(hi) - float(lo)) / n_bins
+    gw = Window.partitionBy(*[_c(c) for c in by]).orderBy("bin")
+    h = hist.withColumn("cum", F.sum("cnt").over(gw))
+    tot = hist.groupBy(*by).agg(F.sum("cnt").cast("long").alias("__n"))
+    if by:
+        h = h.join(tot, list(by))
+    else:
+        h = h.crossJoin(F.broadcast(tot))
+    r = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("__n")))
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("bin")
+        + (r - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    picked = F.when(
+        (F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r), est
+    )
+    return h.groupBy(*by).agg(F.max(picked).alias(out))

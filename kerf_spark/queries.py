@@ -9307,6 +9307,70 @@ def hll_distinct_users(spark, sf):
 
 
 @query(
+    "hist_quantile_events",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(least(greatest(floor((value - 0.0) / 1.953125), 0),
+                        255) AS INT) AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ), r AS (
+      SELECT *,
+             greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) AS r50,
+             greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) AS r95
+      FROM c
+    )
+    SELECT event_type,
+           round(max(CASE WHEN cum >= r50 AND cum - cnt < r50
+             THEN 0.0 + 1.953125 * (bin + (r50 - (cum - cnt)) / cnt)
+             END), 6) AS p50,
+           round(max(CASE WHEN cum >= r95 AND cum - cnt < r95
+             THEN 0.0 + 1.953125 * (bin + (r95 - (cum - cnt)) / cnt)
+             END), 6) AS p95
+    FROM r GROUP BY event_type
+    """,
+)
+def hist_quantile_events(spark, sf):
+    """Per-type p50/p95 from the FOURTH mergeable constant-size
+    summary (sketches.hist_build/hist_quantile): a 256-bin fixed-
+    boundary histogram over value ∈ [0, 500) — integer counts,
+    mergeable by plain sum (map-side combine collapses any input to
+    256 cells/group), quantiles read by rank location + linear
+    interpolation inside the bin.  Fixed boundaries make the whole
+    sketch (and its bin-width-bounded error) a deterministic function
+    of the input multiset, reproduced bit-for-bit by the oracle —
+    unlike t-digest/GK, whose data-dependent centroids no SQL engine
+    replays.  The cumsum window runs over the CONSTANT 256 rows per
+    group, never the data."""
+    from .operators import sketches as SKCH
+
+    e = _t(spark, sf, "events")
+    h = SKCH.hist_build(e, "value", 0.0, 500.0, 256, by=("event_type",))
+    p50 = SKCH.hist_quantile(
+        h, 0.5, 0.0, 500.0, 256, by=("event_type",), out="__p50"
+    )
+    p95 = SKCH.hist_quantile(
+        h, 0.95, 0.0, 500.0, 256, by=("event_type",), out="__p95"
+    )
+    return (
+        p50.join(p95, "event_type")
+        .select(
+            "event_type",
+            F.round("__p50", 6).alias("p50"),
+            F.round("__p95", 6).alias("p95"),
+        )
+    )
+
+
+@query(
     "stream_hll_users",
     """
     WITH h AS (
@@ -11441,6 +11505,9 @@ _R07_WINDOW = [
     # ohlc_bars, topk_per_group)
     "text_index_search", "bm25_topk_docs", "phrase_search_docs",
     "bm25_append_topk",
+    # + the fourth mergeable sketch: histogram quantiles (displaces
+    # r3-green re-prove stats_agg)
+    "hist_quantile_events",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11454,7 +11521,7 @@ _R07_WINDOW = [
     "q22_global_sales_opportunity",
     # window/ordered analytics + temporal spread
     "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
-    "differ_runs", "stats_agg",
+    "differ_runs",
 ]
 
 

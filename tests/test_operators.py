@@ -2587,3 +2587,55 @@ def test_fp16_pack_unpack_roundtrip_and_nulls(spark):
         want = np.asarray(v, dtype="<f4").astype("<f2").astype("<f4")
         assert rt == want.tolist(), i
         assert packed == np.asarray(v, dtype="<f2").tobytes()
+
+
+def test_hist_sketch_quantiles_bounded_error_and_merge(spark):
+    """The histogram sketch's two contracts: quantile estimates land
+    within one bin width of the exact quantile, and sketches merge by
+    plain cnt-sum (build(a ∪ b) == merge(build(a), build(b)))."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import sketches as SK
+
+    lo, hi, nb = 0.0, 100.0, 50
+    width = (hi - lo) / nb
+    vals_a = [float(x) for x in range(0, 80)]
+    vals_b = [float(x) for x in range(40, 100)] + [250.0, -10.0]  # clamped
+    a = spark.createDataFrame([(v,) for v in vals_a], "value double")
+    b = spark.createDataFrame([(v,) for v in vals_b], "value double")
+    u = a.unionByName(b)
+
+    ha = SK.hist_build(a, "value", lo, hi, nb)
+    hb = SK.hist_build(b, "value", lo, hi, nb)
+    hu = SK.hist_build(u, "value", lo, hi, nb)
+    merged = (
+        ha.unionByName(hb).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, hu.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    import statistics
+
+    allv = sorted(max(lo, min(v, hi - 1e-9)) for v in vals_a + vals_b)
+    for q in (0.1, 0.5, 0.9):
+        est = SK.hist_quantile(hu, q, lo, hi, nb).collect()[0]["quantile"]
+        exact = allv[max(0, -1 + max(1, int(-(-q * len(allv) // 1))))]
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+
+def test_hist_sketch_grouped_constant_size(spark):
+    from kerf_spark.operators import sketches as SK
+
+    rows = [("a", float(i % 7)) for i in range(1000)] + [
+        ("b", float(i % 13)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    h = SK.hist_build(df, "value", 0.0, 16.0, 16, by=("g",))
+    # constant cell count per group no matter the input rows
+    assert h.count() <= 2 * 16
+    p50 = SK.hist_quantile(h, 0.5, 0.0, 16.0, 16, by=("g",), out="p50")
+    got = {r["g"]: r["p50"] for r in p50.collect()}
+    assert set(got) == {"a", "b"}
+    assert 2.0 <= got["a"] <= 4.0   # median of uniform 0..6 ≈ 3
+    assert 5.0 <= got["b"] <= 7.0   # median of uniform 0..12 ≈ 6
