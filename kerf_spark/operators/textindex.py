@@ -218,8 +218,17 @@ def _index_table(
     ]
     if not epochs:
         return base
-    delta = spark.read.parquet(*epochs)
-    return base.unionByName(delta.select(*base.columns))
+    # one read PER epoch root, then union: each root is its own
+    # partitioned tree (tb=N subdirs), and Spark refuses a multi-root
+    # read over conflicting partition bases — the per-root partition
+    # discovery keeps tb a partition column in every branch, so bucket
+    # pruning still reaches each scan
+    out = base
+    for e in epochs:
+        out = out.unionByName(
+            spark.read.parquet(e).select(*base.columns)
+        )
+    return out
 
 
 def _live_stats(

@@ -217,8 +217,14 @@ def test_stream_sink_and_compaction_equal_full(spark, docs, tmp_path):
     sp = str(tmp_path / "stream")
     TI.build_text_index(even, sp)
     sink = TI.text_index_stream_sink(sp)
-    sink(odd, 5)
-    sink(odd, 5)  # crash-replay absorbed by epoch-dir overwrite
+    # TWO distinct epochs (multi-root delta read is its own code path —
+    # Spark refuses one multi-root read over partitioned trees) plus a
+    # crash-replay of each, absorbed by epoch-dir overwrite
+    odd_a = odd.where(F.col("doc_id") % 4 == 1)
+    odd_b = odd.where(F.col("doc_id") % 4 == 3)
+    sink(odd_a, 5)
+    sink(odd_a, 5)
+    sink(odd_b, 6)
     assert _all_results(spark, sp) == want  # delta path, live stats
     meta = TI.compact_text_index(spark, sp)
     assert meta["compactions"] == 1
