@@ -46,6 +46,22 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
+
+_TERM_RE = re.compile(r"^[a-z]+$")
+
+
+def _check_terms(terms) -> list[str]:
+    """The tokenizer only ever produces ``[a-z]+`` tokens, so any other
+    query term CANNOT match — fail loudly instead of returning silent
+    empties (a user passing 'Merge' or 'naïve' wants to know)."""
+    bad = [t for t in terms if not _TERM_RE.match(t or "")]
+    if bad:
+        raise ValueError(
+            f"query terms must match [a-z]+ (the index tokenizer's "
+            f"alphabet): {bad!r}"
+        )
+    return list(terms)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -287,7 +303,7 @@ def keyword_search(
     matching EVERY query term, ``or`` any.  Returns
     ``(doc_id, matched)`` — matched distinct query terms."""
     meta = index_meta(path)
-    terms = sorted(set(terms))
+    terms = sorted(set(_check_terms(terms)))
     if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
     hits = (
@@ -316,6 +332,7 @@ def phrase_search(
     touch only the pruned term rows, never the corpus."""
     if not terms:
         raise ValueError("empty phrase")
+    terms = _check_terms(terms)
     meta = index_meta(path)
     if not meta.get("has_positions"):
         raise ValueError(f"index at {path} was built without positions")
@@ -358,7 +375,7 @@ def bm25_topk(
     over ≤k rows — bounded, never a corpus-sized window."""
     meta = index_meta(path)
     id_col = meta["id_col"]
-    terms = sorted(set(terms))
+    terms = sorted(set(_check_terms(terms)))
     n_docs, sum_dl = _live_stats(spark, path, meta)
     post = _pruned_postings(spark, path, meta, terms)
     dfreq = post.groupBy("term").agg(

@@ -241,3 +241,16 @@ def test_stream_sink_and_compaction_equal_full(spark, docs, tmp_path):
 def test_bad_mode_raises(spark, docs, index):
     with pytest.raises(ValueError, match="mode"):
         TI.keyword_search(spark, index, TERMS, "xor")
+
+
+def test_non_alphabet_terms_fail_loudly(spark, docs, index):
+    """The tokenizer's alphabet is [a-z]+ — any other query term can
+    never match, so the API refuses it instead of returning silent
+    empties."""
+    for bad in (["Merge"], ["naïve"], ["fast", ""], ["a b"], [None]):
+        with pytest.raises(ValueError, match="a-z"):
+            TI.keyword_search(spark, index, TERMS + bad)
+        with pytest.raises(ValueError, match="a-z"):
+            TI.bm25_topk(spark, index, TERMS + bad)
+        with pytest.raises(ValueError, match="a-z"):
+            TI.phrase_search(spark, index, ["fast"] + bad)
