@@ -229,6 +229,48 @@ class Repl:
             except Exception as exc:
                 print(format_error(exc), file=out)
             return True
+        if not self.buffer and stripped.startswith("\\e"):
+            # \e <stmt> — show the Catalyst plan the statement compiles
+            # to, the console's window into pushdown/pruning/codegen
+            try:
+                v = self.eval_source(stripped[2:].strip())
+                from pyspark.sql import DataFrame
+
+                if isinstance(v, DataFrame):
+                    print(
+                        v._sc._jvm.PythonSQLUtils.explainString(
+                            v._jdf.queryExecution(), "formatted"
+                        ).rstrip(),
+                        file=out,
+                    )
+                else:
+                    print(
+                        "not a table expression (nothing to explain)",
+                        file=out,
+                    )
+            except Exception as exc:
+                print(format_error(exc), file=out)
+            return True
+        if not self.buffer and stripped.startswith("\\t"):
+            # \t <stmt> — evaluate, FORCE execution (tables run to
+            # completion via the noop sink), print wall time
+            import time as _time
+
+            try:
+                t0 = _time.perf_counter()
+                v = self.eval_source(stripped[2:].strip())
+                from pyspark.sql import DataFrame
+
+                if isinstance(v, DataFrame):
+                    v.write.format("noop").mode("overwrite").save()
+                dt = _time.perf_counter() - t0
+                text = format_value(v)
+                if text is not None:
+                    print(text, file=out)
+                print(f"elapsed: {dt:.4f}s", file=out)
+            except Exception as exc:
+                print(format_error(exc), file=out)
+            return True
         self.buffer.append(line)
         src = "\n".join(self.buffer)
         if not source_complete(src):
@@ -326,7 +368,10 @@ def main(argv: list[str] | None = None) -> int:
         readline.parse_and_bind("tab: complete")
     except Exception:
         pass
-    print("kerf_spark console — \\l DIR loads tables, \\q quits")
+    print(
+        "kerf_spark console — \\l DIR loads tables, \\e STMT explains, "
+        "\\t STMT times, \\q quits"
+    )
     while True:
         try:
             line = input(repl.prompt)

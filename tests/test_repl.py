@@ -104,6 +104,33 @@ def test_repl_sql_and_table_print(spark):
     assert lines[2].split() == ["5"]
 
 
+def test_repl_explain_and_time_metacommands(spark):
+    r = Repl(spark=spark)
+    r.load_dir(SF)
+    out = io.StringIO()
+    r.handle_line("\\e select count(*) as n from region", out)
+    plan = out.getvalue()
+    # the formatted Catalyst plan, not a table print
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+    out = io.StringIO()
+    r.handle_line("\\e 1 + 1", out)
+    assert "nothing to explain" in out.getvalue()
+
+    out = io.StringIO()
+    r.handle_line("\\t select count(*) as n from region", out)
+    text = out.getvalue()
+    assert "elapsed:" in text and text.strip().endswith("s")
+    assert "n" in text.splitlines()[0].split()
+
+    out = io.StringIO()
+    r.handle_line("\\t 2 + 3", out)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0] == "5"
+    assert lines[1].startswith("elapsed:")
+
+
 # ------------------------------------------------- real pty session
 def test_pty_interactive_session():
     """Drive ``python -m kerf_spark`` through a genuine pty: multi-line
