@@ -290,6 +290,52 @@ class Workspace:
         self.manifest["tables"].pop(name, None)
         self._flush()
 
+    # ------------------------------------------------------------- indexes
+    def register_index(self, name: str, path: str) -> dict:
+        """Adopt a persisted index (operators.annindex — ivf/pq/ivfpq —
+        or operators.textindex) into the workspace, the reference's
+        derived-artifacts-live-next-to-the-data discipline: the
+        manifest records the path plus the sidecar's kind/params so
+        :meth:`indexes` lists it and :meth:`index_path` resolves it
+        for the query-side operators.  The sidecar stays the source of
+        truth (rebuilds/appends/compactions mutate it freely); the
+        manifest holds only the pointer and the adopted-at snapshot."""
+        meta = None
+        for sidecar in ("ann_index.json", "text_index.json"):
+            p = os.path.join(path, sidecar)
+            if os.path.exists(p):
+                with open(p) as fh:
+                    meta = json.load(fh)
+                break
+        if meta is None:
+            raise ValueError(f"no index sidecar found under {path}")
+        entry = {
+            "path": path,
+            "kind": meta.get("kind"),
+            "rows": meta.get("rows", meta.get("n_docs")),
+        }
+        self.manifest.setdefault("indexes", {})[name] = entry
+        self._flush()
+        return entry
+
+    def indexes(self) -> list[str]:
+        return sorted(self.manifest.get("indexes", {}))
+
+    def index_path(self, name: str) -> str:
+        try:
+            return self.manifest["indexes"][name]["path"]
+        except KeyError:
+            raise KeyError(f"no index named {name!r} in this workspace")
+
+    def drop_index(self, name: str, delete: bool = False) -> None:
+        """Forget (and with ``delete`` remove from disk) an index."""
+        entry = self.manifest.get("indexes", {}).pop(name, None)
+        self._flush()
+        if delete and entry is not None:
+            import shutil
+
+            shutil.rmtree(entry["path"], ignore_errors=True)
+
     def register_external(
         self,
         name: str,

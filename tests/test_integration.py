@@ -416,3 +416,55 @@ def test_fanout_socket_rebroadcast(spark, tmp_path):
     assert {r["event_id"]: r["value"] for r in got}[7] == 14.0
     pq = spark.read.parquet(str(tmp_path / "sink_a"))
     assert pq.count() == len(rows)
+
+
+def test_workspace_index_registration(spark, tmp_path):
+    """Persisted indexes are first-class workspace citizens: register
+    records the sidecar's kind, indexes()/index_path() resolve them,
+    queries run through the resolved path, drop_index forgets (and
+    optionally deletes)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import annindex as AI
+    from kerf_spark.operators import textindex as TI
+    from kerf_spark.sources.catalog import Workspace
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ws = Workspace(spark, str(tmp_path / "ws"))
+
+    ivf = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, ivf, n_cells=8)
+    ti = str(tmp_path / "ti")
+    TI.build_text_index(docs, ti)
+
+    assert ws.register_index("emb_ivf", ivf)["kind"] == "ivf"
+    assert ws.register_index("docs_text", ti)["kind"] == "text"
+    assert ws.indexes() == ["docs_text", "emb_ivf"]
+
+    # queries run through the resolved path
+    q = emb.where(F.col("vec_id") < 2)
+    got = AI.ivf_topk_indexed(spark, ws.index_path("emb_ivf"), q, k=3)
+    assert got.count() == 6
+    assert (
+        TI.keyword_search(
+            spark, ws.index_path("docs_text"), ["merge"], "or"
+        ).count()
+        > 0
+    )
+
+    # manifest survives a reopen
+    ws2 = Workspace(spark, str(tmp_path / "ws"))
+    assert ws2.indexes() == ["docs_text", "emb_ivf"]
+
+    with pytest.raises(ValueError, match="sidecar"):
+        ws2.register_index("nope", str(tmp_path))
+    ws2.drop_index("emb_ivf", delete=True)
+    assert ws2.indexes() == ["docs_text"]
+    import os as _os
+
+    assert not _os.path.isdir(ivf)
+    with pytest.raises(KeyError, match="emb_ivf"):
+        ws2.index_path("emb_ivf")
