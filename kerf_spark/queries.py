@@ -4789,6 +4789,7 @@ def ivf_stream_append_topk(spark, sf):
     proves the streaming path drops/duplicates nothing and assigns
     identically (epoch-overwrite idempotence included: the unit suite
     replays an epoch)."""
+    import os
     import shutil
     import tempfile
 
@@ -4799,7 +4800,11 @@ def ivf_stream_append_topk(spark, sf):
     odd = em.where(F.col("vec_id") % 2 == 1)
     path = _ann_index_dir(sf, "ivfstream")
     full = em.count()  # parquet footer metadata only
-    stale = AI.is_stale(path, even)
+    # a crash inside compact_index's rename window can leave a fresh
+    # sidecar with no base tree — treat that as stale, not fatal
+    stale = AI.is_stale(path, even) or not os.path.isdir(
+        os.path.join(path, "corpus")
+    )
     if stale:
         shutil.rmtree(path, ignore_errors=True)
         AI.build_ivf_index(even, path, n_cells=8)

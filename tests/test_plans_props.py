@@ -1063,3 +1063,67 @@ def test_split_statements_survives_hostile_string_literals(payloads):
     assert len(out) == len(stmts)
     for i, s in enumerate(out):
         assert s.startswith(("v", "t")) and s.split(":")[0] == f"{'v' if i % 2 == 0 else 't'}{i}"
+
+
+# --------------------------------------------------- histogram sketch props
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-50.0, max_value=150.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_hist_sketch_props(spark, vals, q):
+    """Two invariants for ANY input multiset and quantile: the sketch
+    merges by cnt-sum (build(a∪b) == merge over any split), and the
+    estimate lands within one bin width of an exact clamped quantile."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import sketches as SK
+
+    lo, hi, nb = 0.0, 100.0, 25
+    width = (hi - lo) / nb
+    cut = len(vals) // 2
+    a = spark.createDataFrame([(v,) for v in vals[:cut]] or [(None,)],
+                              "value double")
+    b = spark.createDataFrame([(v,) for v in vals[cut:]] or [(None,)],
+                              "value double")
+    u = spark.createDataFrame([(v,) for v in vals], "value double")
+    hu = SK.hist_build(u, "value", lo, hi, nb)
+    merged = (
+        SK.hist_build(a, "value", lo, hi, nb)
+        .unionByName(SK.hist_build(b, "value", lo, hi, nb))
+        .groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, hu.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    est = SK.hist_quantile(hu, q, lo, hi, nb).collect()[0]["quantile"]
+    clamped = sorted(min(max(v, lo), hi) for v in vals)
+    r = max(1, -(-q * len(clamped) // 1))  # ceil
+    exact = clamped[int(r) - 1]
+    assert est - width - 1e-9 <= exact <= est + width + 1e-9, (
+        q, est, exact,
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_textindex_tokenizer_python_twin(spark, text):
+    """The engine-side tokenizer (split(lower, '[^a-z]+')) and the
+    plain-Python twin the unit oracles use must agree on ANY input —
+    including non-ASCII, where Java and Python lowercasing could
+    diverge; [^a-z] never matches what either produces differently
+    for ASCII, and disagreement here would silently skew BM25 stats."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        F.split(F.lower(F.col("text")), "[^a-z]+").alias("t")
+    ).collect()[0]["t"]
+    want = _re.split(r"[^a-z]+", text.lower())
+    assert got == want, (text,)
