@@ -98,6 +98,8 @@ def is_stale(path: str, corpus: DataFrame) -> bool:
         meta = index_meta(path)
     except (OSError, ValueError):
         return True
+    if meta.get("folding"):  # interrupted compaction: rebuild
+        return True
     return meta.get("freshness") != list(_input_freshness(corpus))
 
 
@@ -163,6 +165,7 @@ def ivf_topk_indexed(
     meta = index_meta(path)
     if meta.get("kind") != "ivf":
         raise ValueError(f"not an IVF index at {path}: {meta.get('kind')}")
+    _check_not_folding(meta, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     cents = meta["centroids"]
     cents_lit = array_lit(cents)
@@ -344,6 +347,7 @@ def ivfpq_topk_indexed(
         raise ValueError(
             f"not an IVF-PQ index at {path}: {meta.get('kind')}"
         )
+    _check_not_folding(meta, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     cents, books = meta["centroids"], meta["codebooks"]
     m, sub = meta["m"], meta["dim"] // meta["m"]
@@ -464,6 +468,7 @@ def append_to_index(path: str, rows: DataFrame) -> dict:
     only; each append is recorded in ``meta['appends']`` with its own
     freshness signal so the full lineage is auditable."""
     meta = index_meta(path)
+    _check_not_folding(meta, path)
     assigned, pcols = _assign_rows(meta, rows)
     cpath = os.path.join(path, _base_dir(meta))
     w = assigned.write.mode("append")
@@ -492,6 +497,7 @@ def index_stream_sink(path: str):
     concurrent readers); the delta tree is self-describing and its
     row count is footer metadata at query time."""
     meta = index_meta(path)
+    _check_not_folding(meta, path)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         assigned, pcols = _assign_rows(meta, batch)
@@ -520,16 +526,37 @@ def _stored(
     return base.unionByName(delta.select(*base.columns)), live
 
 
+def _check_not_folding(meta: dict, path: str) -> None:
+    """An interrupted compaction (crash inside its swap window) leaves
+    the ``folding`` intent marker set — base and delta trees may then
+    OVERLAP, so any read could double-count.  Refuse loudly; the
+    recovery is a rebuild (``is_stale`` reports True while the marker
+    is set, so staleness-guarded callers rebuild automatically)."""
+    if meta.get("folding"):
+        raise RuntimeError(
+            f"index at {path} has an interrupted compaction — rebuild "
+            f"it (is_stale() returns True while this marker is set)"
+        )
+
+
 def compact_index(spark: SparkSession, path: str) -> dict:
     """Fold the streaming delta tree into the base — the LSM
     compaction: read base ∪ deltas, rewrite the base layout into a
-    staging directory, atomically swap it in (the catalog's
-    snapshot-swap discipline), drop the delta tree, and record the
+    staging directory, swap it in, drop the delta tree, and record the
     compaction in the sidecar.  Queries before/after return identical
-    rows; after, the probe scan is one pruned tree again."""
+    rows; after, the probe scan is one pruned tree again.
+
+    Crash discipline: the heavy work (the folded rewrite) happens
+    BEFORE a ``folding`` intent marker is committed to the sidecar;
+    the marker brackets only the tight metadata window (two renames +
+    two tree removals).  A crash inside that window leaves the marker
+    set, every reader refuses (base/delta could overlap = silent
+    double-count), and ``is_stale`` reports True so guarded callers
+    rebuild — fail-loud, never fail-wrong."""
     import shutil
 
     meta = index_meta(path)
+    _check_not_folding(meta, path)
     spath = os.path.join(path, "stream")
     if not os.path.isdir(spath):
         return meta
@@ -541,14 +568,17 @@ def compact_index(spark: SparkSession, path: str) -> dict:
         w = w.partitionBy("cell")
     w.parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()
+    meta["folding"] = True
+    _write_meta(path, meta)  # intent marker: metadata window begins
     old = bpath + ".old"
     os.rename(bpath, old)
     os.rename(tmp, bpath)
-    shutil.rmtree(old)
     shutil.rmtree(spath)
+    shutil.rmtree(old)
+    meta.pop("folding", None)
     meta["rows"] = n_rows
     meta["compactions"] = meta.get("compactions", 0) + 1
-    _write_meta(path, meta)
+    _write_meta(path, meta)  # commit: marker cleared last
     return meta
 
 
@@ -566,6 +596,7 @@ def pq_topk_indexed(
     meta = index_meta(path)
     if meta.get("kind") != "pq":
         raise ValueError(f"not a PQ index at {path}: {meta.get('kind')}")
+    _check_not_folding(meta, path)
     enc, live_rows = _stored(spark, path, meta)
     return adc_topk(
         enc,

@@ -91,7 +91,23 @@ def is_stale(path: str, docs: DataFrame) -> bool:
         meta = index_meta(path)
     except (OSError, ValueError):
         return True
+    if meta.get("folding"):  # interrupted compaction: rebuild
+        return True
     return meta.get("freshness") != list(_input_freshness(docs))
+
+
+def _check_not_folding(meta: dict, path: str) -> None:
+    """An interrupted compaction (crash inside its swap window) leaves
+    the ``folding`` intent marker set — tables may be partially
+    swapped, so reads could double-count or skew BM25 stats.  Refuse
+    loudly; ``is_stale`` reports True while the marker is set, so
+    staleness-guarded callers rebuild automatically."""
+    if meta.get("folding"):
+        raise RuntimeError(
+            f"text index at {path} has an interrupted compaction — "
+            f"rebuild it (is_stale() returns True while this marker "
+            f"is set)"
+        )
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -303,6 +319,7 @@ def keyword_search(
     matching EVERY query term, ``or`` any.  Returns
     ``(doc_id, matched)`` — matched distinct query terms."""
     meta = index_meta(path)
+    _check_not_folding(meta, path)
     terms = sorted(set(_check_terms(terms)))
     if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
@@ -334,6 +351,7 @@ def phrase_search(
         raise ValueError("empty phrase")
     terms = _check_terms(terms)
     meta = index_meta(path)
+    _check_not_folding(meta, path)
     if not meta.get("has_positions"):
         raise ValueError(f"index at {path} was built without positions")
     id_col = meta["id_col"]
@@ -374,6 +392,7 @@ def bm25_topk(
     order-immune).  Final rank is a TakeOrdered prefix + row_number
     over ≤k rows — bounded, never a corpus-sized window."""
     meta = index_meta(path)
+    _check_not_folding(meta, path)
     id_col = meta["id_col"]
     terms = sorted(set(_check_terms(terms)))
     n_docs, sum_dl = _live_stats(spark, path, meta)
@@ -433,6 +452,7 @@ def append_to_text_index(path: str, docs: DataFrame) -> dict:
     doc id would double its postings — the corpus is append-only,
     the reference's tick-log model)."""
     meta = index_meta(path)
+    _check_not_folding(meta, path)
     tables = _derive_tables(
         docs,
         meta["text_col"],
@@ -477,6 +497,7 @@ def text_index_stream_sink(path: str):
     aggregation over the delta doclens.  Fold with
     :func:`compact_text_index`."""
     meta = index_meta(path)
+    _check_not_folding(meta, path)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         tables = _derive_tables(
@@ -498,32 +519,44 @@ def text_index_stream_sink(path: str):
 
 
 def compact_text_index(spark: SparkSession, path: str) -> dict:
-    """Fold the streaming delta tree into the base tables (staging dir
-    + atomic swap per table, the catalog discipline), refresh the
+    """Fold the streaming delta tree into the base tables, refresh the
     sidecar's exact stats from the compacted doclens, drop the delta
-    tree.  Queries before/after return identical rows."""
+    tree.  Queries before/after return identical rows.
+
+    Crash discipline (shared with annindex.compact_index): every
+    folded table is fully written to a staging dir BEFORE the
+    ``folding`` intent marker is committed; the marker brackets only
+    the tight metadata window (renames + tree removals).  A crash
+    inside it leaves the marker set — readers refuse (a partially
+    swapped index could double-count or skew stats) and ``is_stale``
+    reports True so guarded callers rebuild — fail-loud, never
+    fail-wrong."""
     import shutil
 
     meta = index_meta(path)
+    _check_not_folding(meta, path)
     spath = os.path.join(path, "stream")
     if not os.path.isdir(spath):
         return meta
     names = ["postings", "doclens"] + (
         ["positions"] if meta.get("has_positions") else []
     )
-    for name in names:
+    for name in names:  # heavy phase: all staging dirs written first
         merged = _index_table(spark, path, name)
-        bpath = os.path.join(path, name)
-        tmp = bpath + ".compacting"
         w = merged.write.mode("overwrite")
         if name != "doclens":
             w = w.partitionBy("tb")
-        w.parquet(tmp)
-        old = bpath + ".old"
-        os.rename(bpath, old)
-        os.rename(tmp, bpath)
-        shutil.rmtree(old)
+        w.parquet(os.path.join(path, name) + ".compacting")
+    meta["folding"] = True
+    _write_meta(path, meta)  # intent marker: metadata window begins
+    for name in names:
+        bpath = os.path.join(path, name)
+        os.rename(bpath, bpath + ".old")
+        os.rename(bpath + ".compacting", bpath)
     shutil.rmtree(spath)
+    for name in names:
+        shutil.rmtree(os.path.join(path, name) + ".old")
+    meta.pop("folding", None)
     stats = (
         spark.read.parquet(os.path.join(path, "doclens"))
         .agg(

@@ -238,3 +238,26 @@ def test_wrong_kind_raises(spark, emb, tmp_path):
     q = emb.where(F.col("vec_id") < 2)
     with pytest.raises(ValueError, match="not an IVF index"):
         AI.ivf_topk_indexed(spark, path, q)
+
+
+def test_interrupted_compaction_fails_loud_and_reads_stale(spark, emb, tmp_path):
+    """A crash inside compact's metadata window leaves the folding
+    marker set: every surface refuses (base/delta could overlap), and
+    is_stale reports True so guarded callers rebuild."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    meta = AI.index_meta(path)
+    meta["folding"] = True
+    AI._write_meta(path, meta)
+    q = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        AI.ivf_topk_indexed(spark, path, q, k=3)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        AI.append_to_index(path, q)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        AI.compact_index(spark, path)
+    assert AI.is_stale(path, emb)
+    # rebuild clears the marker: everything works again
+    AI.build_ivf_index(emb, path, n_cells=8)
+    assert not AI.is_stale(path, emb)
+    assert AI.ivf_topk_indexed(spark, path, q, k=3).count() == 6

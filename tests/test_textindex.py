@@ -254,3 +254,21 @@ def test_non_alphabet_terms_fail_loudly(spark, docs, index):
             TI.bm25_topk(spark, index, TERMS + bad)
         with pytest.raises(ValueError, match="a-z"):
             TI.phrase_search(spark, index, ["fast"] + bad)
+
+
+def test_interrupted_compaction_fails_loud_and_reads_stale(spark, docs, tmp_path):
+    path = str(tmp_path / "idx")
+    TI.build_text_index(docs, path)
+    meta = TI.index_meta(path)
+    meta["folding"] = True
+    TI._write_meta(path, meta)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        TI.keyword_search(spark, path, TERMS)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        TI.bm25_topk(spark, path, TERMS)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        TI.phrase_search(spark, path, ["fast", "table"])
+    assert TI.is_stale(path, docs)
+    TI.build_text_index(docs, path)  # rebuild clears the marker
+    assert not TI.is_stale(path, docs)
+    assert TI.keyword_search(spark, path, TERMS).count() > 0
