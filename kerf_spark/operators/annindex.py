@@ -72,6 +72,10 @@ from .similarity import (
 )
 
 _META = "ann_index.json"
+# bump when the on-disk layout or assignment expressions change: a
+# sidecar with a different format is_stale, so persisted indexes built
+# by older code rebuild instead of being misread
+FORMAT = 1
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -99,6 +103,8 @@ def is_stale(path: str, corpus: DataFrame) -> bool:
     except (OSError, ValueError):
         return True
     if meta.get("folding"):  # interrupted compaction: rebuild
+        return True
+    if meta.get("format") != FORMAT:  # layout from another code version
         return True
     return meta.get("freshness") != list(_input_freshness(corpus))
 
@@ -130,6 +136,7 @@ def build_ivf_index(
     # parquet count() is footer metadata only — no data scan
     n_rows = spark.read.parquet(cpath).count()
     meta = {
+        "format": FORMAT,
         "kind": "ivf",
         "n_cells": n_cells,
         "iters": iters,
@@ -224,6 +231,7 @@ def build_pq_index(
     spark = corpus.sparkSession
     n_rows = spark.read.parquet(cpath).count()
     meta = {
+        "format": FORMAT,
         "kind": "pq",
         "m": m,
         "k": k,
@@ -272,6 +280,7 @@ def build_ivfpq_index(
     spark = corpus.sparkSession
     n_rows = spark.read.parquet(cpath).count()
     meta = {
+        "format": FORMAT,
         "kind": "ivfpq",
         "n_cells": n_cells,
         "m": m,

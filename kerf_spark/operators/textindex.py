@@ -69,6 +69,9 @@ from pyspark.sql import functions as F
 from .similarity import _input_freshness
 
 _META = "text_index.json"
+# bump when the on-disk layout or tokenizer expressions change (the
+# annindex.FORMAT contract): older-code indexes rebuild, never misread
+FORMAT = 1
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -92,6 +95,8 @@ def is_stale(path: str, docs: DataFrame) -> bool:
     except (OSError, ValueError):
         return True
     if meta.get("folding"):  # interrupted compaction: rebuild
+        return True
+    if meta.get("format") != FORMAT:  # layout from another code version
         return True
     return meta.get("freshness") != list(_input_freshness(docs))
 
@@ -218,6 +223,7 @@ def build_text_index(
         .collect()[0]
     )
     meta = {
+        "format": FORMAT,
         "kind": "text",
         "text_col": text_col,
         "id_col": id_col,
