@@ -168,6 +168,26 @@ def test_append_pq_codes_match_frozen_codebooks(spark, emb, tmp_path):
     assert sorted(s) == sorted(e)
 
 
+def test_ivfpq_stream_delta_equals_batch_append(spark, emb, tmp_path):
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq")
+    AI.build_ivfpq_index(even, path, n_cells=8)
+    AI.index_stream_sink(path)(odd, 0)
+    q = emb.where(F.col("vec_id") < 8)
+    got = AI.ivfpq_topk_indexed(spark, path, q, k=5, nprobe=4)
+    bpath = str(tmp_path / "ivfpq_batch")
+    AI.build_ivfpq_index(even, bpath, n_cells=8)
+    AI.append_to_index(bpath, odd)
+    want = AI.ivfpq_topk_indexed(spark, bpath, q, k=5, nprobe=4)
+    cols = ["query_id", "neighbor_id", "cos", "rank"]
+    assert _rows(got, cols) == _rows(want, cols)
+    AI.compact_index(spark, path)
+    assert _rows(
+        AI.ivfpq_topk_indexed(spark, path, q, k=5, nprobe=4), cols
+    ) == _rows(want, cols)
+
+
 def test_stream_sink_delta_reads_and_replay_idempotence(spark, emb, tmp_path):
     even = emb.where(F.col("vec_id") % 2 == 0)
     odd = emb.where(F.col("vec_id") % 2 == 1)
