@@ -1560,6 +1560,46 @@ def ngram_jaccard_pairs(spark, sf):
 
 
 @query(
+    "ppjoin_exact_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                 9) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def ppjoin_exact_pairs(spark, sf):
+    """EXACT set-similarity join (dedup.ppjoin_pairs — the PPJoin/
+    AllPairs prefix-filtering principle): zero false negatives by
+    theorem, unlike the LSH/char-prefix heuristics.  The oracle is the
+    brute-force DEFINITION over every pair — a green row proves the
+    rarity-ordered prefix filter and the length filter lose nothing,
+    while the Spark plan only ever joins on each document's rarest
+    shingles."""
+    d = _t(spark, sf, "documents")
+    pairs = DD.ppjoin_pairs(d, shingle_n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+@query(
     "bigram_lm_quality",
     """
     WITH norm AS (
@@ -11513,6 +11553,9 @@ _R07_WINDOW = [
     # + the fourth mergeable sketch: histogram quantiles (displaces
     # r3-green re-prove stats_agg)
     "hist_quantile_events",
+    # + exact prefix-filtered set-similarity join (displaces r3-green
+    # re-prove differ_runs)
+    "ppjoin_exact_pairs",
     # plan changed: ATLAS write path (_quote full control-range escape)
     "atlas_nested_update", "atlas_drift_append", "atlas_schema_profile",
     "stream_atlas_profile", "atlas_collection_find", "atlas_json_struct",
@@ -11526,7 +11569,6 @@ _R07_WINDOW = [
     "q22_global_sales_opportunity",
     # window/ordered analytics + temporal spread
     "moving_avg", "grade_rank", "lead_lag_shift", "ffill_quotes",
-    "differ_runs",
 ]
 
 

@@ -2639,3 +2639,53 @@ def test_hist_sketch_grouped_constant_size(spark):
     assert set(got) == {"a", "b"}
     assert 2.0 <= got["a"] <= 4.0   # median of uniform 0..6 ≈ 3
     assert 5.0 <= got["b"] <= 7.0   # median of uniform 0..12 ≈ 6
+
+
+def test_ppjoin_exact_beats_char_prefix_blocking(spark):
+    """ppjoin_pairs has zero false negatives by the prefix-filtering
+    theorem; the char-prefix heuristic misses near-dups whose first
+    chars differ.  Engineer exactly that case and check both claims,
+    plus brute-force equality."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import dedup as DD
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "zzz " + body),           # same body, wildly different
+        (1, "aaa " + body),           # leading characters
+        (2, body + " extra tail words here"),
+        (3, "unrelated totally different words nothing shared at all"),
+        (4, "aaa " + body),           # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tau = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ppjoin_pairs(df, threshold=tau).collect()
+    }
+
+    def shingles(t):
+        ws = t.lower().split()
+        return {
+            " ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))
+        } if len(ws) >= 3 else {" ".join(ws)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in combinations([(i, t) for i, t in rows], 2):
+        sa, sb = shingles(ta), shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= tau:
+            want[(min(ia, ib), max(ia, ib))] = j
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert abs(got[k_] - v) < 1e-12
+    # the engineered miss: 0 and 1 share the body but no 32-char prefix
+    assert (0, 1) in got
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in DD.prefix_jaccard_pairs(df, threshold=tau).collect()
+    }
+    assert (0, 1) not in blocked  # the heuristic really does miss it
