@@ -1131,11 +1131,20 @@ def ppjoin_pairs(
 
     Scale shape: one shuffle for shingle document-frequencies, one for
     the per-doc sort, an equi-join keyed on RARE-by-construction
-    shingles (the rarest shingle of each doc anchors its candidates —
-    hot buckets are structurally unlikely, and ``max_bucket`` caps them
-    loudly anyway), then exact verification on candidate pairs only.
-    The DuckDB oracle is the brute-force DEFINITION over all pairs, so
-    a green row proves the pruning loses nothing.
+    shingles, then exact verification on candidate pairs only.  The
+    DuckDB oracle is the brute-force DEFINITION over all pairs, so a
+    green row proves the pruning loses nothing.
+
+    Honest caveat: the pruning power IS the corpus's shingle rarity.
+    On natural text (Zipf tails) each document's rarest shingles are
+    near-unique and candidates stay near-linear; on a LOW-ENTROPY
+    corpus (tiny vocabulary — the synthetic fixture is adversarial
+    here) even the rarest shingles have df growing linearly with the
+    corpus, so candidates grow superlinearly: measured 3.3% of the
+    pair space at sf0.1.  ``max_bucket`` caps hot prefix shingles
+    loudly when that happens; for corpora like that, the MinHash-LSH
+    paths (recall-bounded, density-immune) are the right tool and this
+    operator is the exactness escape hatch.
     """
     from .text import normalize_text, word_tokens
 
@@ -1158,6 +1167,12 @@ def ppjoin_pairs(
             )
         ).alias("sh"),
     )
+    # persist the shingle stage: it feeds FOUR consumers (df counts,
+    # rarity ordering, and both verify sides), and explode over the
+    # raw expression collapses the staged projections — re-tokenizing
+    # per element (measured 25 s vs 0.4 s at sf0.1).  The same stage
+    # boundary you'd checkpoint in a 100 TB run.
+    sh = sh.persist()
     ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc shingles sorted by (global df asc, shingle asc): struct
@@ -1180,7 +1195,9 @@ def ppjoin_pairs(
     ).select(
         F.col(id_col), "__sz", F.explode("__p").alias("s")
     )
-    pref = _cap_buckets(pref, ["s"], id_col, max_bucket, "ppjoin_pairs")
+    pref = _cap_buckets(
+        pref, ["s"], id_col, max_bucket, "ppjoin_pairs"
+    ).persist()  # self-joined: run the prefix pipeline once
     a, b = pref.alias("a"), pref.alias("b")
     cands = (
         a.join(
