@@ -9416,6 +9416,62 @@ def hist_quantile_events(spark, sf):
 
 
 @query(
+    "hist_quantile_merged",
+    """
+    WITH h AS (
+      SELECT CAST(least(greatest(floor((value - 0.0) / 1.953125), 0),
+                        255) AS INT) AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ), c AS (
+      SELECT bin, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM h
+    ), r AS (
+      SELECT *,
+             greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) AS r50,
+             greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) AS r95
+      FROM c
+    )
+    SELECT round(max(CASE WHEN cum >= r50 AND cum - cnt < r50
+             THEN 0.0 + 1.953125 * (bin + (r50 - (cum - cnt)) / cnt)
+             END), 6) AS p50,
+           round(max(CASE WHEN cum >= r95 AND cum - cnt < r95
+             THEN 0.0 + 1.953125 * (bin + (r95 - (cum - cnt)) / cnt)
+             END), 6) AS p95
+    FROM r
+    """,
+)
+def hist_quantile_merged(spark, sf):
+    """Sketch MERGEABILITY driver-proven: two histogram sketches built
+    over disjoint halves of events (split by event_id parity — the
+    per-partition/per-day shards a 100 TB pipeline keeps) merge by
+    plain cnt-sum into the global sketch, and the quantiles read off
+    the merge equal the direct-build oracle exactly.  This is the
+    property that makes the sketch map-side-combine friendly."""
+    from .operators import sketches as SKCH
+
+    e = _t(spark, sf, "events")
+    ha = SKCH.hist_build(
+        e.where(F.col("event_id") % 2 == 0), "value", 0.0, 500.0, 256
+    )
+    hb = SKCH.hist_build(
+        e.where(F.col("event_id") % 2 == 1), "value", 0.0, 500.0, 256
+    )
+    merged = (
+        ha.unionByName(hb).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    p50 = SKCH.hist_quantile(merged, 0.5, 0.0, 500.0, 256, out="__p50")
+    p95 = SKCH.hist_quantile(merged, 0.95, 0.0, 500.0, 256, out="__p95")
+    return p50.crossJoin(F.broadcast(p95)).select(
+        F.round("__p50", 6).alias("p50"),
+        F.round("__p95", 6).alias("p95"),
+    )
+
+
+@query(
     "stream_hll_users",
     """
     WITH h AS (

@@ -208,6 +208,7 @@ PLAN_LINT_ALLOW = {
                              # broadcast probe sets, bounded)
         "radius_neighbors_embeddings",  # same 8-query broadcast probe
                              # fan-out as cosine_topk, minus the window
+        "hist_quantile_merged",  # two 1-row quantile frames joined
     },
     # global windows over provably bounded inputs: a TakeOrdered prefix,
     # a per-bucket totals table, a vocabulary, a contingency table, a
@@ -228,6 +229,8 @@ PLAN_LINT_ALLOW = {
                                    # prefix (orderBy+limit(10) upstream)
         "bm25_append_topk",        # same bounded shape over the
                                    # appended index
+        "hist_quantile_merged",    # cumsum window over the CONSTANT
+                                   # <=256 sketch bins (no group key)
     },
     "python-row-udf": set(),
     "cartesian-product": set(),
