@@ -6397,6 +6397,29 @@ def text_index_search(spark, sf):
 
 
 @query(
+    "text_index_search_any",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t AS term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> '' AND length(t) >= 3
+        AND t IN ('merge', 'stream', 'vector')
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS matched
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_index_search_any(spark, sf):
+    """Boolean OR retrieval over the persisted inverted index — the
+    other half of keyword_search's surface (AND is driver-proven by
+    text_index_search).  matched counts the distinct query terms each
+    document contains."""
+    path = _text_index_path(spark, sf)
+    return TI.keyword_search(spark, path, _BM25_TERMS, "or")
+
+
+@query(
     "bm25_topk_docs",
     """
     WITH toks AS (
