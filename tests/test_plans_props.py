@@ -1127,3 +1127,47 @@ def test_textindex_tokenizer_python_twin(spark, text):
     ).collect()[0]["t"]
     want = _re.split(r"[^a-z]+", text.lower())
     assert got == want, (text,)
+
+
+# --------------------------------------------------- persisted-index props
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4.0, max_value=4.0,
+                      allow_nan=False, allow_infinity=False,
+                      width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=12, max_size=40,
+    )
+)
+def test_ivf_indexed_equals_unindexed_on_random_corpora(
+    spark, tmp_path_factory, vecs
+):
+    """For ANY small random corpus, the persisted IVF index answers
+    bitwise-identically to the in-process operator — the build/store/
+    reload cycle (parquet floats, JSON sidecar doubles, partition
+    layout) must never perturb a single bit."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import annindex as AI
+    from kerf_spark.operators import similarity as SIM
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path_factory.mktemp("prop") / "ivf")
+    AI.build_ivf_index(df, path, n_cells=4)
+    q = df.where(F.col("vec_id") < 3)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    got = [
+        tuple(r)
+        for r in AI.ivf_topk_indexed(spark, path, q, k=3, nprobe=2)
+        .select(*cols).orderBy(*cols).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in SIM.ivf_topk(df, q, k=3, n_cells=4, nprobe=2)
+        .select(*cols).orderBy(*cols).collect()
+    ]
+    assert got == want
