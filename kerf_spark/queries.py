@@ -1982,6 +1982,81 @@ def cosine_topk_exact(spark, sf):
 
 
 @query(
+    "knn_label_vote",
+    """
+    WITH qs AS (SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 16),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nl,
+             list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))) AS cos
+      FROM qs q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT query_id, nl, count(*) AS n
+      FROM ranked WHERE rank <= 5 GROUP BY query_id, nl
+    ), pred AS (
+      SELECT query_id, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n DESC, nl ASC) AS r
+      FROM votes
+    )
+    SELECT p.query_id,
+           CAST(t.label AS BIGINT) AS true_label,
+           CAST(p.nl AS BIGINT) AS pred_label
+    FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+    WHERE p.r = 1
+    """,
+)
+def knn_label_vote(spark, sf):
+    """k-NN classification by majority vote — the standard eval of an
+    embedding space's usefulness, composed entirely from shipped
+    operators: exact cosine top-5 per probe (similarity.cosine_topk),
+    neighbor labels joined in, majority vote (count desc, label asc
+    tiebreak — portable).  The vote window spans ≤ |label classes|
+    rows per query.  The oracle replays scoring, ranking, and voting,
+    so a green row proves the whole composition value-for-value.
+    (The fixture's embeddings are synthetic-random, so the measured
+    accuracy is chance-level — the row proves the PIPELINE, not the
+    fixture's learnability.)"""
+    em = _t(spark, sf, "embeddings")
+    q = em.where(F.col("vec_id") < 16)
+    nn = SIM.cosine_topk(em, q, k=5).select("query_id", "neighbor_id")
+    labels = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__n").desc(), F.col("__nl").asc()
+    )
+    pred = votes.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") == 1
+    )
+    truth = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("__nl").cast("long").alias("pred_label"),
+    )
+
+
+@query(
     "radius_neighbors_embeddings",
     """
     WITH qs AS (SELECT vec_id AS query_id, embedding

@@ -209,6 +209,9 @@ PLAN_LINT_ALLOW = {
         "radius_neighbors_embeddings",  # same 8-query broadcast probe
                              # fan-out as cosine_topk, minus the window
         "hist_quantile_merged",  # two 1-row quantile frames joined
+        "knn_label_vote",        # the 16-query broadcast probe frame
+                                 # of cosine_topk (same as
+                                 # cosine_topk_exact)
     },
     # global windows over provably bounded inputs: a TakeOrdered prefix,
     # a per-bucket totals table, a vocabulary, a contingency table, a
