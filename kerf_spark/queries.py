@@ -1600,6 +1600,96 @@ def ppjoin_exact_pairs(spark, sf):
 
 
 @query(
+    "ppjoin_survivors",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    ), losers AS (
+      SELECT DISTINCT b.doc_id AS loser
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    LEFT JOIN losers l ON l.loser = d.doc_id
+    WHERE l.loser IS NULL
+    """,
+)
+def ppjoin_survivors(spark, sf):
+    """EXACT dedup end-to-end: ppjoin_pairs (provably-complete near-dup
+    pairs) composed with dedup_survivors (drop the higher id of every
+    confirmed pair).  Because the pair stage has zero false negatives,
+    the surviving corpus is exactly the brute-force-defined one — the
+    strongest survivorship guarantee in the dedup family."""
+    d = _t(spark, sf, "documents")
+    pairs = DD.ppjoin_pairs(d, shingle_n=3, threshold=0.5)
+    return DD.dedup_survivors(d, pairs).select("doc_id", "lang")
+
+
+@query("bm25_stream_append_topk", None)
+def bm25_stream_append_topk(spark, sf):
+    """STREAMING text-index maintenance end-to-end (textindex.
+    text_index_stream_sink + compact_text_index — the mirror of
+    ivf_stream_append_topk for the retrieval family): build on the
+    even half of the corpus, feed the odd half through a checkpointed
+    availableNow stream whose sink derives postings/doclens/positions
+    per micro-batch into the delta tree, compact, answer BM25.  With
+    no learned fits the result must equal the full-corpus build
+    EXACTLY, so the oracle is the same full BM25 replay — any
+    drop/duplicate/stat-skew in the streaming path is a value
+    mismatch."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import fanout, read_file_stream
+
+    docs = _t(spark, sf, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    path = _ann_index_dir(sf, "textstream")
+    stale = TI.is_stale(path, even) or not os.path.isdir(
+        os.path.join(path, "postings")
+    )
+    if stale:
+        shutil.rmtree(path, ignore_errors=True)
+        TI.build_text_index(even, path, n_buckets=32)
+    # the compaction record is the completion marker: a run that died
+    # between streaming and compacting re-streams (epoch overwrite
+    # absorbs the replay) and compacts; a crash inside compaction sets
+    # the folding marker, which is_stale reports -> full rebuild
+    if stale or not TI.index_meta(path).get("compactions"):
+        root = tempfile.mkdtemp(prefix="kerf_textstream_")
+        for i in range(2):  # two source files -> two genuine epochs
+            odd.where((F.col("doc_id") % 4) == (2 * i + 1)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{root}/src/part{i}")
+        q = fanout(
+            read_file_stream(
+                spark, f"{root}/src/part*", odd.schema,
+                maxFilesPerTrigger=1,
+            ),
+            f"{root}/ckpt",
+            TI.text_index_stream_sink(path),
+            available_now=True,
+        )
+        q.awaitTermination()
+        TI.compact_text_index(spark, path)
+        shutil.rmtree(root, ignore_errors=True)
+    return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
+@query(
     "bigram_lm_quality",
     """
     WITH norm AS (
@@ -6618,8 +6708,10 @@ def phrase_search_docs(spark, sf):
     return TI.phrase_search(spark, path, ["fast", "table"])
 
 
-# the appended index must equal a full rebuild exactly — same oracle
+# the appended/streamed index must equal a full rebuild exactly (no
+# learned fits) — both share the full-corpus BM25 replay oracle
 _attach_oracle("bm25_append_topk", lambda: ORACLES["bm25_topk_docs"])
+_attach_oracle("bm25_stream_append_topk", lambda: ORACLES["bm25_topk_docs"])
 
 
 @query(

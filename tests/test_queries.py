@@ -232,6 +232,8 @@ PLAN_LINT_ALLOW = {
                                    # prefix (orderBy+limit(10) upstream)
         "bm25_append_topk",        # same bounded shape over the
                                    # appended index
+        "bm25_stream_append_topk", # same bounded shape over the
+                                   # streamed+compacted index
         "hist_quantile_merged",    # cumsum window over the CONSTANT
                                    # <=256 sketch bins (no group key)
     },
