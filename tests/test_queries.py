@@ -45,6 +45,12 @@ def test_registry_covers_survey_families():
         "kerf_lang_pipeline",      # kerf language front-end
         "flip_matrix",             # general transpose
         "bucketed_join_colocated", # bucketed co-located join
+        "ivfpq_indexed_topk",      # persisted ANN index
+        "ivf_stream_append_topk",  # streaming index maintenance
+        "bm25_topk_docs",          # inverted-index retrieval
+        "phrase_search_docs",      # positional phrase retrieval
+        "hist_quantile_events",    # mergeable quantile sketch
+        "ppjoin_exact_pairs",      # exact set-similarity join
     ]:
         assert probe in QUERIES, probe
 
