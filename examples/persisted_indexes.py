@@ -68,6 +68,21 @@ def main() -> None:
         F.col("hits").desc(), "doc_id"
     ).show(5)
 
+    # ---- text-index lifecycle: stream new docs in, compact ----------
+    ti2 = os.path.join(root, "text_half")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    TI.build_text_index(even, ti2)
+    TI.text_index_stream_sink(ti2)(odd, 0)  # a micro-batch lands
+    n_delta = TI.bm25_topk(spark, ti2, terms, k=3).count()
+    meta = TI.compact_text_index(spark, ti2)
+    n_comp = TI.bm25_topk(spark, ti2, terms, k=3).count()
+    print(
+        f"text lifecycle: delta-query rows={n_delta}, compacted "
+        f"rows={n_comp}, docs={meta['n_docs']}, "
+        f"compactions={meta['compactions']}"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -208,17 +208,22 @@ def build_text_index(
     tables = _derive_tables(
         docs, text_col, id_col, min_len, n_buckets, positions
     )
+    schemas = {}
     for name, (df, pcols) in tables.items():
         w = df.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(os.path.join(path, name))
+        schemas[name] = df.schema.json()
     spark = docs.sparkSession
     stats = (
-        spark.read.parquet(os.path.join(path, "doclens"))
+        _read(spark, os.path.join(path, "doclens"),
+              {"schemas": schemas}, "doclens")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("dl").cast("long").alias("s"),
+            # coalesce: a corpus with ZERO qualifying tokens (all-empty
+            # or all-short docs) has an empty doclens -> sum is NULL
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
         )
         .collect()[0]
     )
@@ -232,19 +237,36 @@ def build_text_index(
         "has_positions": bool(positions),
         "n_docs": int(stats["n"]),
         "sum_dl": int(stats["s"]),
+        "schemas": schemas,
         "freshness": list(_input_freshness(docs)),
     }
     _write_meta(path, meta)
     return meta
 
 
+def _read(spark: SparkSession, p: str, meta: dict | None, name: str):
+    """Read one tree of index table ``name`` with the sidecar-recorded
+    schema when available: an EMPTY table (a corpus or micro-batch
+    with zero qualifying tokens) writes no parquet files, and a
+    schema-less read of it fails with UNABLE_TO_INFER_SCHEMA — the
+    recorded schema makes empty trees first-class.  Pre-schema
+    sidecars fall back to inference (non-empty by construction)."""
+    sch = (meta or {}).get("schemas", {}).get(name)
+    r = spark.read
+    if sch:
+        from pyspark.sql.types import StructType
+
+        r = r.schema(StructType.fromJson(json.loads(sch)))
+    return r.parquet(p)
+
+
 def _index_table(
-    spark: SparkSession, path: str, name: str
+    spark: SparkSession, path: str, name: str, meta: dict | None = None
 ) -> DataFrame:
     """One index table, base tree ∪ streaming delta tree (if any).
     ``tb`` is a partition column in both trees, so bucket pruning
     reaches each scan independently (the annindex._stored shape)."""
-    base = spark.read.parquet(os.path.join(path, name))
+    base = _read(spark, os.path.join(path, name), meta, name)
     spath = os.path.join(path, "stream")
     if not os.path.isdir(spath):
         return base
@@ -264,7 +286,7 @@ def _index_table(
     out = base
     for e in epochs:
         out = out.unionByName(
-            spark.read.parquet(e).select(*base.columns)
+            _read(spark, e, meta, name).select(*base.columns)
         )
     return out
 
@@ -286,8 +308,11 @@ def _live_stats(
             and os.path.isdir(os.path.join(spath, e, "doclens"))
         ]
         if delta_dirs:
+            d0 = _read(spark, delta_dirs[0], meta, "doclens")
+            for p_ in delta_dirs[1:]:
+                d0 = d0.unionByName(_read(spark, p_, meta, "doclens"))
             row = (
-                spark.read.parquet(*delta_dirs)
+                d0
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
@@ -309,7 +334,7 @@ def _pruned_postings(
         {term_bucket_py(t, meta["n_buckets"]) for t in terms}
     )
     return (
-        _index_table(spark, path, "postings")
+        _index_table(spark, path, "postings", meta)
         .where(F.col("tb").isin(buckets))
         .where(F.col("term").isin(list(terms)))
     )
@@ -364,7 +389,7 @@ def phrase_search(
     buckets = sorted(
         {term_bucket_py(t, meta["n_buckets"]) for t in terms}
     )
-    pos = _index_table(spark, path, "positions").where(
+    pos = _index_table(spark, path, "positions", meta).where(
         F.col("tb").isin(buckets)
     )
     cur = None
@@ -406,10 +431,12 @@ def bm25_topk(
     dfreq = post.groupBy("term").agg(
         F.countDistinct(id_col).alias("dfreq")
     )
-    dl = _index_table(spark, path, "doclens")
+    dl = _index_table(spark, path, "doclens", meta)
     # ONE double division of the sidecar's exact integers, performed at
-    # plan-build time so the oracle interpolates the identical literal
-    avgdl = F.lit(float(sum_dl) / float(n_docs))
+    # plan-build time so the oracle interpolates the identical literal.
+    # An empty index (zero qualifying tokens anywhere) has no postings,
+    # so the result is empty regardless — any placeholder avgdl works.
+    avgdl = F.lit(float(sum_dl) / float(n_docs) if n_docs else 1.0)
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("dfreq") + 0.5)
@@ -548,7 +575,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
         ["positions"] if meta.get("has_positions") else []
     )
     for name in names:  # heavy phase: all staging dirs written first
-        merged = _index_table(spark, path, name)
+        merged = _index_table(spark, path, name, meta)
         w = merged.write.mode("overwrite")
         if name != "doclens":
             w = w.partitionBy("tb")

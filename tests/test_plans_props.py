@@ -1171,3 +1171,48 @@ def test_ivf_indexed_equals_unindexed_on_random_corpora(
         .select(*cols).orderBy(*cols).collect()
     ]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps".split()),
+            min_size=0, max_size=14,
+        ).map(" ".join),
+        min_size=2, max_size=12,
+    ),
+    st.lists(
+        st.sampled_from("alpha beta gamma delta eps".split()),
+        min_size=1, max_size=3,
+    ),
+)
+def test_phrase_search_equals_python_on_random_docs(
+    spark, tmp_path_factory, texts, phrase
+):
+    """Positional phrase retrieval over ANY random corpus and phrase
+    equals a plain-Python sliding-window scan — repeated words,
+    overlapping occurrences, empty docs, repeated phrase terms all
+    included by construction."""
+    import re as _re
+
+    from kerf_spark.operators import textindex as TI
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("php") / "idx")
+    TI.build_text_index(df, path, n_buckets=8)
+    got = {
+        (r["doc_id"], r["hits"])
+        for r in TI.phrase_search(spark, path, phrase).collect()
+    }
+    want = set()
+    n = len(phrase)
+    for i, t in rows:
+        raw = _re.split(r"[^a-z]+", t.lower())
+        h = sum(
+            1 for j in range(len(raw) - n + 1) if raw[j:j + n] == phrase
+        )
+        if h > 0:
+            want.add((i, h))
+    assert got == want, (texts, phrase)

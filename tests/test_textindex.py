@@ -272,3 +272,23 @@ def test_interrupted_compaction_fails_loud_and_reads_stale(spark, docs, tmp_path
     TI.build_text_index(docs, path)  # rebuild clears the marker
     assert not TI.is_stale(path, docs)
     assert TI.keyword_search(spark, path, TERMS).count() > 0
+
+
+def test_empty_corpus_index_is_first_class(spark, tmp_path):
+    """A corpus with ZERO qualifying tokens (empty/short docs) must
+    build, persist, and answer empty — not crash on NULL stats or
+    schema-less empty parquet trees (both found by hypothesis)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "empty")
+    meta = TI.build_text_index(df, path)
+    assert (meta["n_docs"], meta["sum_dl"]) == (0, 0)
+    assert TI.keyword_search(spark, path, TERMS).count() == 0
+    assert TI.bm25_topk(spark, path, TERMS).count() == 0
+    assert TI.phrase_search(spark, path, ["fast", "table"]).count() == 0
+    # an empty micro-batch delta is equally first-class
+    TI.text_index_stream_sink(path)(df.where(F.col("doc_id") < 0), 0)
+    assert TI.bm25_topk(spark, path, TERMS).count() == 0
+    TI.compact_text_index(spark, path)
+    assert TI.keyword_search(spark, path, TERMS, "or").count() == 0
