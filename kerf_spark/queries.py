@@ -11761,6 +11761,14 @@ _DRIVER_GREEN = [
     "ngram_novelty_docs", "global_moving_avg", "containment_pairs_docs",
     "ivfpq_ann_topk", "ann_recall_meter",
     "radius_neighbors_embeddings", "atlas_collection_find",
+    # r07 green (all of _R07_WINDOW — 50/50; these are the first-time
+    # greens, the rest of that window were re-proves already listed)
+    "ewma_user_value", "rand_pcg_uniform", "stream_fanout_sinks",
+    "kerf_lang_protected_eval", "fp16_embeddings_roundtrip",
+    "ivf_indexed_topk", "pq_indexed_topk", "ivfpq_indexed_topk",
+    "ivf_append_topk", "ivf_stream_append_topk",
+    "text_index_search", "bm25_topk_docs", "phrase_search_docs",
+    "bm25_append_topk", "hist_quantile_events", "ppjoin_exact_pairs",
 ]
 
 #: Round-7 driver window (exactly 50 = the driver's per-round budget):
@@ -11818,9 +11826,43 @@ _R07_WINDOW = [
 ]
 
 
+#: Round-8 driver window (exactly 50): the five round-7 additions that
+#: were queued at positions 51+ (never driver-checked — rotation debt,
+#: VERDICT r7 "Next round" #1) go FIRST, followed by the new round-8
+#: rows as they land, then backfill with the longest-unchecked parked
+#: greens (the r1-era relational core hasn't been re-proven since r1/r2).
+_R08_WINDOW = [
+    # never driver-checked (queued behind the r7 window)
+    "ppjoin_survivors", "bm25_stream_append_topk", "knn_label_vote",
+    "text_index_search_any", "hist_quantile_merged",
+    # round-8 additions
+    "workspace_tree_roundtrip", "ivf_delete_topk", "bm25_delete_topk",
+    "kerf_lang_verb_breadth", "near_search_docs", "ppjoin_capped_audit",
+    # longest-unchecked parked greens: r1-era relational + scalar core
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_revenue_forecast", "q10_returned_items", "filter_project",
+    "sql_update", "sql_delete", "insert_append", "upsert_keyed",
+    "distinct_flags", "count_distinct_parts", "top_k_orders",
+    "union_distinct_keys", "intersect_keys", "except_keys",
+    "ungroup_vector_by", "join_inner", "join_left", "join_semi",
+    "join_anti", "join_cross", "dict_decode", "running_sum_unfold",
+    "deltas_mapback", "ratios_mapback", "running_min_max",
+    "string_funcs", "date_parts", "cond_case_null", "cast_types",
+    "json_extract", "array_funcs", "range_til", "kerfsql_select_by",
+    "exact_dedup_docs", "token_count_docs", "quality_score_docs",
+    "group_vector_by", "math_funcs", "minhash_portable_pairs",
+    "simhash_portable_pairs", "ngram_jaccard_pairs", "dup_clusters_docs",
+    "cosine_neardup_pairs",
+]
+# The list deliberately overshoots 50: planned round-8 rows sit before
+# the green backfill, and _reorder_registry truncates to the driver's
+# 50-entry budget — as new rows land they displace tail greens (which
+# simply return to parked-green status).
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R07_WINDOW if k in QUERIES]
+    window = [k for k in _R08_WINDOW if k in QUERIES][:50]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)
