@@ -1105,47 +1105,19 @@ def cluster_best_survivors(
 
 
 # --------------------------------------------------------- ppjoin (exact)
-def ppjoin_pairs(
+def _ppjoin_prefix(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
-) -> DataFrame:
-    """EXACT set-similarity self-join via prefix filtering (the
-    PPJoin/AllPairs family — Xiao et al. 2008, Bayardo et al. 2007,
-    public papers): every pair with word-shingle Jaccard ≥ τ is
-    returned, with ZERO false negatives by theorem — unlike the LSH
-    and char-prefix-blocked near-dup paths, which trade recall for
-    speed heuristically.
-
-    The pruning: order each document's distinct shingles by GLOBAL
-    rarity (document frequency asc, shingle asc — ties portable), keep
-    only the first ``p = |s| − ceil(τ·|s|) + 1`` as its *prefix*.  Two
-    sets with ``J ≥ τ`` must overlap in ≥ ``τ/(1+τ)·(|a|+|b|)``
-    elements, which forces at least one shared PREFIX element — so an
-    equi-join on prefix shingles finds every qualifying pair.  A length
-    filter (``min ≥ τ·max``, also implied by ``J ≥ τ``) prunes further
-    before the exact verify.
-
-    Scale shape: one shuffle for shingle document-frequencies, one for
-    the per-doc sort, an equi-join keyed on RARE-by-construction
-    shingles, then exact verification on candidate pairs only.  The
-    DuckDB oracle is the brute-force DEFINITION over all pairs, so a
-    green row proves the pruning loses nothing.
-
-    Honest caveat: the pruning power IS the corpus's shingle rarity.
-    On natural text (Zipf tails) each document's rarest shingles are
-    near-unique and candidates stay near-linear; on a LOW-ENTROPY
-    corpus (tiny vocabulary — the synthetic fixture is adversarial
-    here) even the rarest shingles have df growing linearly with the
-    corpus, so candidates grow superlinearly: measured 3.3% of the
-    pair space at sf0.1.  ``max_bucket`` caps hot prefix shingles
-    loudly when that happens; for corpora like that, the MinHash-LSH
-    paths (recall-bounded, density-immune) are the right tool and this
-    operator is the exactness escape hatch.
-    """
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PPJoin prefix stage: ``(sh, pref)`` where ``sh`` is the
+    persisted per-doc distinct word-shingle arrays and ``pref`` is the
+    exploded rarity-ordered prefix rows ``(id, __sz, s)`` — each
+    document's ``p = |s| − ceil(τ·|s|) + 1`` globally-rarest shingles
+    (document frequency asc, shingle asc: a portable total order, since
+    shingles are distinct within a doc)."""
     from .text import normalize_text, word_tokens
 
     n = shingle_n
@@ -1195,6 +1167,73 @@ def ppjoin_pairs(
     ).select(
         F.col(id_col), "__sz", F.explode("__p").alias("s")
     )
+    return sh, pref
+
+
+def ppjoin_prefix_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Audit companion to :func:`ppjoin_pairs`: the size of every
+    prefix-shingle join bucket, ``(s, bucket_n)`` — the exact join-key
+    fan-in the candidate stage would see.  Use it to decide whether an
+    opt-in ``max_bucket`` cap is safe (every capped bucket voids the
+    zero-false-negative guarantee for pairs that only meet in that
+    bucket) and to quantify what a cap would drop
+    (``sum(bucket_n − cap)`` over buckets above the cap) — the
+    ``hot_bucket_report`` discipline applied to the exact join."""
+    _sh, pref = _ppjoin_prefix(df, text_col, id_col, shingle_n, threshold)
+    return pref.groupBy("s").agg(F.count(F.lit(1)).alias("bucket_n"))
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family — Xiao et al. 2008, Bayardo et al. 2007,
+    public papers).  With the default ``max_bucket=None`` every pair
+    with word-shingle Jaccard ≥ τ is returned, ZERO false negatives by
+    theorem — unlike the LSH and char-prefix-blocked near-dup paths,
+    which trade recall for speed heuristically.  Passing a
+    ``max_bucket`` cap is strictly OPT-IN and voids that guarantee for
+    any pair whose only shared prefix shingle lands in a capped bucket;
+    audit first with :func:`ppjoin_prefix_buckets`.
+
+    The pruning: order each document's distinct shingles by GLOBAL
+    rarity (document frequency asc, shingle asc — ties portable), keep
+    only the first ``p = |s| − ceil(τ·|s|) + 1`` as its *prefix*.  Two
+    sets with ``J ≥ τ`` must overlap in ≥ ``τ/(1+τ)·(|a|+|b|)``
+    elements, which forces at least one shared PREFIX element — so an
+    equi-join on prefix shingles finds every qualifying pair.  A length
+    filter (``min ≥ τ·max``, also implied by ``J ≥ τ``) prunes further
+    before the exact verify.
+
+    Scale shape: one shuffle for shingle document-frequencies, one for
+    the per-doc sort, an equi-join keyed on RARE-by-construction
+    shingles, then exact verification on candidate pairs only.  The
+    DuckDB oracle is the brute-force DEFINITION over all pairs, so a
+    green row proves the pruning loses nothing.
+
+    Honest caveat: the pruning power IS the corpus's shingle rarity.
+    On natural text (Zipf tails) each document's rarest shingles are
+    near-unique and candidates stay near-linear; on a LOW-ENTROPY
+    corpus (tiny vocabulary — the synthetic fixture is adversarial
+    here) even the rarest shingles have df growing linearly with the
+    corpus, so candidates grow superlinearly: measured 3.3% of the
+    pair space at sf0.1.  For corpora like that, either opt into
+    ``max_bucket`` (exactness degrades, loudly) or use the MinHash-LSH
+    paths (recall-bounded, density-immune); this operator stays the
+    exactness escape hatch.
+    """
+    sh, pref = _ppjoin_prefix(df, text_col, id_col, shingle_n, threshold)
     pref = _cap_buckets(
         pref, ["s"], id_col, max_bucket, "ppjoin_pairs"
     ).persist()  # self-joined: run the prefix pipeline once

@@ -1636,6 +1636,69 @@ def ppjoin_survivors(spark, sf):
     return DD.dedup_survivors(d, pairs).select("doc_id", "lang")
 
 
+@query(
+    "ppjoin_capped_audit",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS ws FROM norm
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM words
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+    ), freq AS (
+      SELECT s, count(*) AS df FROM ex GROUP BY s
+    ), ranked AS (
+      SELECT e.doc_id, e.s, e.sz,
+             row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.s) AS rn
+      FROM ex e JOIN freq f ON e.s = f.s
+    ), pref AS (
+      SELECT doc_id, s FROM ranked
+      WHERE rn <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1
+    ), b AS (
+      SELECT s, count(*) AS bucket_n FROM pref GROUP BY s
+    )
+    SELECT count(*) AS n_buckets,
+           CAST(sum(CASE WHEN bucket_n > 32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped,
+           CAST(sum(CASE WHEN bucket_n > 32 THEN bucket_n - 32 ELSE 0 END)
+             AS BIGINT) AS rows_dropped,
+           max(bucket_n) AS max_bucket_n
+    FROM b
+    """,
+)
+def ppjoin_capped_audit(spark, sf):
+    """Cap-safety audit for the exact set-similarity join
+    (dedup.ppjoin_prefix_buckets): the size of every prefix-shingle
+    join bucket, summarized against a hypothetical max_bucket=32 cap —
+    how many buckets would be capped and how many candidate rows a cap
+    would drop.  ppjoin_pairs is exact by DEFAULT (max_bucket=None,
+    ADVICE r7); this row is the evidence a user consults before opting
+    into a cap, and its oracle recomputes the rarity-ordered prefix
+    definition (df asc, shingle asc; p = |s| − ceil(τ·|s|) + 1)
+    independently in SQL — so a green row ALSO pins the prefix stage
+    the exactness theorem rides on."""
+    d = _t(spark, sf, "documents")
+    buckets = DD.ppjoin_prefix_buckets(d, shingle_n=3, threshold=0.5)
+    cap = 32
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("bucket_n") > cap).cast("long")).alias("n_capped"),
+        F.sum(
+            F.when(F.col("bucket_n") > cap, F.col("bucket_n") - cap)
+            .otherwise(F.lit(0))
+        ).alias("rows_dropped"),
+        F.max("bucket_n").alias("max_bucket_n"),
+    )
+
+
 @query("bm25_stream_append_topk", None)
 def bm25_stream_append_topk(spark, sf):
     """STREAMING text-index maintenance end-to-end (textindex.

@@ -2689,3 +2689,54 @@ def test_ppjoin_exact_beats_char_prefix_blocking(spark):
         for r in DD.prefix_jaccard_pairs(df, threshold=tau).collect()
     }
     assert (0, 1) not in blocked  # the heuristic really does miss it
+
+
+def test_ppjoin_cap_is_opt_in_and_audited(spark):
+    """ADVICE r7: ppjoin_pairs must be exact with DEFAULT arguments —
+    the bucket cap is strictly opt-in, and when a corpus would trigger
+    it, ppjoin_prefix_buckets surfaces the hot bucket BEFORE the user
+    opts in.  Engineer a hot prefix shingle (many near-dup docs share
+    their rarest shingles) and check: (a) the audit reports a bucket
+    larger than the cap, (b) default ppjoin_pairs finds every
+    brute-force pair anyway, (c) the capped variant finds strictly
+    fewer — the documented degradation, loud not silent."""
+    from itertools import combinations
+
+    from kerf_spark.operators import dedup as DD
+
+    # 12 docs sharing one body → every prefix shingle bucket holds all 12
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"tag{i} " + body) for i in range(12)] + [
+        (99, "unrelated totally different words nothing shared at all")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tau = 0.5
+    cap = 4
+
+    buckets = {
+        r["s"]: r["bucket_n"]
+        for r in DD.ppjoin_prefix_buckets(df, threshold=tau).collect()
+    }
+    assert max(buckets.values()) > cap  # (a) audit flags the hot bucket
+
+    def shingles(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+    want = set()
+    for (ia, ta), (ib, tb) in combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if len(sa & sb) / len(sa | sb) >= tau:
+            want.add((min(ia, ib), max(ia, ib)))
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ppjoin_pairs(df, threshold=tau).collect()
+    }
+    assert exact == want  # (b) default arguments stay exact
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ppjoin_pairs(df, threshold=tau, max_bucket=cap).collect()
+    }
+    assert capped < exact  # (c) opting in degrades — visibly
