@@ -92,6 +92,64 @@ def index_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _clear_derived(path: str, meta_name: str = _META) -> None:
+    """Reset ``path`` for a fresh build (shared with textindex).
+
+    Removes the sidecar FIRST — so a crash mid-build leaves an index
+    that fails LOUDLY (``index_meta`` raises, ``is_stale`` → True)
+    instead of an old sidecar describing trees that no longer match —
+    then every leftover derived artifact from the previous index life:
+    the streaming delta tree ``stream/`` and any ``*.compacting`` /
+    ``*.old`` compaction staging dirs.  Without this, a rebuild after
+    streaming silently unions STALE deltas back in (duplicate rows;
+    and after a source-change rebuild the delta cells were assigned
+    with the OLD quantizer but probed with the NEW sidecar's — wrong
+    neighbors).  ADVICE r7 #2."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for name in list(os.listdir(path)):
+        p = os.path.join(path, name)
+        if name in (meta_name, meta_name + ".tmp"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        elif (
+            name == "stream"
+            or name.endswith(".compacting")
+            or name.endswith(".old")
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _read(
+    spark: SparkSession,
+    p: str,
+    schema_json: str | None,
+    with_epoch: bool = False,
+) -> DataFrame:
+    """Read one index tree with the sidecar-recorded schema when
+    available: a delta tree whose every epoch was an EMPTY micro-batch
+    contains no parquet data files at all (empty partitioned writes
+    emit nothing), and a schema-less read of it fails with
+    UNABLE_TO_INFER_SCHEMA — the recorded schema makes empty trees
+    first-class (the textindex ``_read`` discipline; ADVICE r7 #3).
+    ``with_epoch`` appends the delta tree's ``epoch=N`` partition
+    column to the schema.  Pre-schema sidecars fall back to inference
+    (non-empty by construction)."""
+    r = spark.read
+    if schema_json:
+        from pyspark.sql.types import LongType, StructType
+
+        st = StructType.fromJson(json.loads(schema_json))
+        if with_epoch:
+            st = st.add("epoch", LongType())
+        r = r.schema(st)
+    return r.parquet(p)
+
+
 def is_stale(path: str, corpus: DataFrame) -> bool:
     """True when no index exists at ``path`` or its recorded source
     freshness no longer matches ``corpus`` — rebuild then.  A corpus
@@ -123,6 +181,7 @@ def build_ivf_index(
     corpus as parquet partitioned by ``cell``.  One full scan + one
     write — the 100 TB batch-build shape (cell count bounds the file
     fan-out; rows within a cell stay together for the probe scan)."""
+    _clear_derived(path)
     cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
     cents_lit = array_lit([[float(x) for x in c] for c in cents])
     assigned = corpus.select(
@@ -131,10 +190,11 @@ def build_ivf_index(
         cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
     ).select(id_col, vec_col, argmin_cell("__d2s").alias("cell"))
     cpath = os.path.join(path, "corpus")
+    schema_json = assigned.schema.json()
     assigned.write.mode("overwrite").partitionBy("cell").parquet(cpath)
     spark = corpus.sparkSession
     # parquet count() is footer metadata only — no data scan
-    n_rows = spark.read.parquet(cpath).count()
+    n_rows = _read(spark, cpath, schema_json).count()
     meta = {
         "format": FORMAT,
         "kind": "ivf",
@@ -145,6 +205,7 @@ def build_ivf_index(
         "id_col": id_col,
         "centroids": [[float(x) for x in c] for c in cents],
         "rows": n_rows,
+        "schema": schema_json,
         "freshness": list(_input_freshness(corpus)),
     }
     _write_meta(path, meta)
@@ -222,14 +283,16 @@ def build_pq_index(
     ``pq_topk``), encode every vector once, persist the codes table —
     the 4-32x-smaller artifact queries scan instead of the embedding
     lake.  One full scan + one narrow write."""
+    _clear_derived(path)
     books = pq_fit(corpus, m, k, iters, dim, vec_col, id_col, seed)
     enc = pq_encode(corpus, books, vec_col, id_col).select(
         _c(id_col).alias("neighbor_id"), "codes"
     )
     cpath = os.path.join(path, "codes")
+    schema_json = enc.schema.json()
     enc.write.mode("overwrite").parquet(cpath)
     spark = corpus.sparkSession
-    n_rows = spark.read.parquet(cpath).count()
+    n_rows = _read(spark, cpath, schema_json).count()
     meta = {
         "format": FORMAT,
         "kind": "pq",
@@ -242,6 +305,7 @@ def build_pq_index(
         "id_col": id_col,
         "codebooks": books,
         "rows": n_rows,
+        "schema": schema_json,
         "freshness": list(_input_freshness(corpus)),
     }
     _write_meta(path, meta)
@@ -269,6 +333,7 @@ def build_ivfpq_index(
     probed cells only.  Fits use the same deterministic recipes as
     ``ivfpq_topk``, so the indexed query is bitwise-equal to the
     unindexed operator and shares its DuckDB oracle."""
+    _clear_derived(path)
     cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
     books = pq_fit(corpus, m, n_codewords, iters, dim, vec_col, id_col, seed)
     cents_lit = array_lit([[float(x) for x in c] for c in cents])
@@ -276,9 +341,10 @@ def build_ivfpq_index(
         corpus, cents_lit, books, dim // m, vec_col, id_col
     )
     cpath = os.path.join(path, "corpus")
+    schema_json = assigned.schema.json()
     assigned.write.mode("overwrite").partitionBy("cell").parquet(cpath)
     spark = corpus.sparkSession
-    n_rows = spark.read.parquet(cpath).count()
+    n_rows = _read(spark, cpath, schema_json).count()
     meta = {
         "format": FORMAT,
         "kind": "ivfpq",
@@ -293,6 +359,7 @@ def build_ivfpq_index(
         "centroids": [[float(x) for x in c] for c in cents],
         "codebooks": books,
         "rows": n_rows,
+        "schema": schema_json,
         "freshness": list(_input_freshness(corpus)),
     }
     _write_meta(path, meta)
@@ -484,7 +551,7 @@ def append_to_index(path: str, rows: DataFrame) -> dict:
     if pcols:
         w = w.partitionBy(*pcols)
     w.parquet(cpath)
-    n_rows = rows.sparkSession.read.parquet(cpath).count()
+    n_rows = _read(rows.sparkSession, cpath, meta.get("schema")).count()
     appended = n_rows - meta["rows"]
     meta["appends"] = meta.get("appends", []) + [
         {"rows": appended, "freshness": list(_input_freshness(rows))}
@@ -524,12 +591,15 @@ def _stored(
     """The live index contents: base tree ∪ delta tree (if any), plus
     the live row count (sidecar base rows + delta footer count).  The
     union preserves partition pruning — ``cell`` is a partition column
-    in BOTH trees, so a probe filter prunes each scan independently."""
-    base = spark.read.parquet(os.path.join(path, _base_dir(meta)))
+    in BOTH trees, so a probe filter prunes each scan independently.
+    Both trees read with the sidecar-recorded schema so empty trees
+    (e.g. a delta whose every micro-batch was empty) are first-class."""
+    sch = meta.get("schema")
+    base = _read(spark, os.path.join(path, _base_dir(meta)), sch)
     spath = os.path.join(path, "stream")
     if not os.path.isdir(spath):
         return base, meta.get("rows")
-    delta = spark.read.parquet(spath).drop("epoch")
+    delta = _read(spark, spath, sch, with_epoch=True).drop("epoch")
     n = meta.get("rows")
     live = (n + delta.count()) if n is not None else None
     return base.unionByName(delta.select(*base.columns)), live
@@ -576,7 +646,7 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     if meta.get("kind") != "pq":
         w = w.partitionBy("cell")
     w.parquet(tmp)
-    n_rows = spark.read.parquet(tmp).count()
+    n_rows = _read(spark, tmp, meta.get("schema")).count()
     meta["folding"] = True
     _write_meta(path, meta)  # intent marker: metadata window begins
     old = bpath + ".old"

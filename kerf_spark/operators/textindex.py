@@ -205,6 +205,13 @@ def build_text_index(
     bucket partitioning: the phrase-query index.  Positions are
     0-based offsets in the token stream, sorted, unique per
     ``(doc, term)``."""
+    from .annindex import _clear_derived
+
+    # sidecar removed first, stale stream/ + staging dirs next: a
+    # rebuild must never union a previous life's deltas back in, and a
+    # crash mid-build must fail loudly (no sidecar), not read-wrong.
+    # Shared discipline with the ANN builds (ADVICE r7 #2).
+    _clear_derived(path, _META)
     tables = _derive_tables(
         docs, text_col, id_col, min_len, n_buckets, positions
     )

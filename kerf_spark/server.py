@@ -34,7 +34,16 @@ Each CONNECTION is a session: one persistent interpreter environment
 (variables, lambdas, temp views live across requests), all sessions
 sharing one SparkSession — the reference's one-process-many-consoles
 shape (main.cc:83-97 libevent loop).
-"""
+
+TRUST MODEL — same as the reference's port (main.cc): the protocol has
+NO authentication, and executing kerf source is by design arbitrary
+computation with the server's filesystem permissions.  Expose the port
+ONLY to trusted clients (the default bind is loopback); anything wider
+belongs behind an authenticating proxy / network policy.  The ``save``
+side channel additionally writes parquet to a client-supplied path with
+overwrite semantics — pass ``save_root`` to :class:`KerfServer` to
+confine those writes to one workspace directory (recommended whenever
+the bind is not loopback)."""
 
 from __future__ import annotations
 
@@ -138,12 +147,17 @@ class _Saved(dict):
     """Marker: a save-side-channel acknowledgement, pre-encoded."""
 
 
-def _save_result(v: Any, path: str) -> "_Saved":
+def _save_result(v: Any, path: str, save_root: str | None) -> "_Saved":
     """The full-table side channel the module doc prescribes: instead
     of a bounded preview, write the request's table result to parquet
     at ``path`` (executor-parallel — the rows never transit the socket
     or the driver) and acknowledge with the path.  Non-table results
-    refuse: the inline planes already carry them whole."""
+    refuse: the inline planes already carry them whole.  With a
+    configured ``save_root``, targets outside it (after symlink/..
+    resolution) refuse — the overwrite-anywhere hazard is confined to
+    one workspace directory (module-doc TRUST MODEL)."""
+    import os
+
     from pyspark.sql import DataFrame
 
     from .errors import KerfTypeError
@@ -152,6 +166,14 @@ def _save_result(v: Any, path: str) -> "_Saved":
         raise KerfTypeError(
             f"save needs a table result, got {type(v).__name__}"
         )
+    if save_root is not None:
+        root = os.path.realpath(save_root)
+        target = os.path.realpath(path)
+        if os.path.commonpath([root, target]) != root:
+            raise KerfTypeError(
+                f"save target {path!r} is outside the server's "
+                f"save_root {save_root!r}"
+            )
     v.write.mode("overwrite").parquet(path)
     return _Saved(
         {"ok": True, "kind": "saved", "path": path, "columns": v.columns}
@@ -204,7 +226,9 @@ class _Handler(socketserver.StreamRequestHandler):
                     ret = interp.exec_stmt(stmt, env)
                 save = req.get("save")
                 if save is not None:
-                    ret = _save_result(ret, str(save))
+                    ret = _save_result(
+                        ret, str(save), server.save_root
+                    )
                 # serialize INSIDE the boundary: a cell json can't
                 # carry must answer with a kinded error, not a dead
                 # connection
@@ -234,6 +258,7 @@ class KerfServer:
         host: str = "127.0.0.1",
         port: int = 0,
         tables: dict | None = None,
+        save_root: str | None = None,
     ):
         import logging
         import uuid
@@ -246,6 +271,7 @@ class KerfServer:
         )
         self.spark = spark
         self.tables = dict(tables or {})
+        self.save_root = save_root
         # server-unique namespace token: a second KerfServer with the
         # same table name on this SparkSession must not overwrite ours
         self.view_token = uuid.uuid4().hex[:8]
@@ -265,6 +291,7 @@ class KerfServer:
         self._srv.spark = spark  # type: ignore[attr-defined]
         self._srv.tables = self.tables  # type: ignore[attr-defined]
         self._srv.view_token = self.view_token  # type: ignore[attr-defined]
+        self._srv.save_root = save_root  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property

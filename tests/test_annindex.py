@@ -281,3 +281,62 @@ def test_interrupted_compaction_fails_loud_and_reads_stale(spark, emb, tmp_path)
     AI.build_ivf_index(emb, path, n_cells=8)
     assert not AI.is_stale(path, emb)
     assert AI.ivf_topk_indexed(spark, path, q, k=3).count() == 6
+
+
+def test_rebuild_clears_stale_deltas_and_staging(spark, emb, tmp_path):
+    """ADVICE r7 #2: a rebuild over a path that has streamed deltas (or
+    leftover compaction staging dirs) must NOT union the previous
+    life's delta rows back in — they were assigned with the OLD
+    quantizer and would duplicate or mis-cell rows.  build_* now resets
+    stream/, *.compacting and *.old before writing anything."""
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(even, path, n_cells=8)
+    AI.index_stream_sink(path)(odd, 0)
+    # plant staging leftovers from a hypothetical interrupted compaction
+    os.makedirs(os.path.join(path, "corpus.compacting"), exist_ok=True)
+    os.makedirs(os.path.join(path, "corpus.old"), exist_ok=True)
+    # rebuild on the SAME source: must describe exactly the new build
+    meta = AI.build_ivf_index(even, path, n_cells=8)
+    assert meta["rows"] == even.count()
+    assert not os.path.isdir(os.path.join(path, "stream"))
+    assert not os.path.isdir(os.path.join(path, "corpus.compacting"))
+    assert not os.path.isdir(os.path.join(path, "corpus.old"))
+    q = emb.where(F.col("vec_id") < 8)
+    got = AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=8)
+    # no neighbor can come from the dropped odd half
+    assert all(
+        r["neighbor_id"] % 2 == 0 for r in got.collect()
+    )
+
+
+def test_empty_stream_epochs_are_first_class(spark, emb, tmp_path):
+    """ADVICE r7 #3: a delta tree whose every micro-batch was EMPTY
+    contains no parquet data files (empty partitioned writes emit
+    nothing) — query and compaction must still work via the
+    sidecar-recorded schema, not die with UNABLE_TO_INFER_SCHEMA."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    empty = emb.where(F.lit(False))
+    sink = AI.index_stream_sink(path)
+    sink(empty, 0)
+    sink(empty, 1)
+    assert os.path.isdir(os.path.join(path, "stream"))
+    q = emb.where(F.col("vec_id") < 4)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    got = _rows(AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4), cols)
+    # identical to an index that never streamed at all
+    bpath = str(tmp_path / "ivf_clean")
+    AI.build_ivf_index(emb, bpath, n_cells=8)
+    want = _rows(AI.ivf_topk_indexed(spark, bpath, q, k=5, nprobe=4), cols)
+    assert got == want
+    meta = AI.compact_index(spark, path)
+    assert meta["rows"] == emb.count()
+    assert not os.path.isdir(os.path.join(path, "stream"))
+    # PQ delta flavor too (no partition columns in the codes table)
+    ppath = str(tmp_path / "pq")
+    AI.build_pq_index(emb, ppath, m=8, k=16)
+    AI.index_stream_sink(ppath)(empty, 0)
+    got_pq = AI.pq_topk_indexed(spark, ppath, q, k=5)
+    assert got_pq.count() == 4 * 5

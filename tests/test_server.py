@@ -184,3 +184,41 @@ def test_save_side_channel_writes_full_table(server, spark, tmp_path):
     assert got.count() == 25 and set(got.columns) == {
         "n_nationkey", "n_name"
     }
+
+
+def test_save_root_confines_side_channel_writes(spark, tmp_path):
+    """TRUST MODEL (module doc): with save_root configured, the save
+    side channel refuses any target that resolves outside it —
+    including ../ escapes — with a Type error on the wire, while
+    in-root saves work normally."""
+    import os
+
+    from kerf_spark.sources.io import read_table
+
+    root = tmp_path / "ws"
+    root.mkdir()
+    srv = KerfServer(
+        spark,
+        tables={"region": read_table(spark, SF, "region")},
+        save_root=str(root),
+    ).start()
+    try:
+        with _client(srv) as c:
+            ok = c.execute(
+                "select r_regionkey from region", save=str(root / "r")
+            )
+            assert ok["ok"] and ok["kind"] == "saved"
+            assert spark.read.parquet(str(root / "r")).count() == 5
+            for evil in (
+                str(tmp_path / "outside"),
+                str(root / ".." / "sneaky"),
+            ):
+                bad = c.execute(
+                    "select r_regionkey from region", save=evil
+                )
+                assert not bad["ok"] and bad["kind"] == "Type error"
+                assert "save_root" in bad["message"]
+        assert not os.path.exists(str(tmp_path / "outside"))
+        assert not os.path.exists(str(tmp_path / "sneaky"))
+    finally:
+        srv.stop()

@@ -292,3 +292,24 @@ def test_empty_corpus_index_is_first_class(spark, tmp_path):
     assert TI.bm25_topk(spark, path, TERMS).count() == 0
     TI.compact_text_index(spark, path)
     assert TI.keyword_search(spark, path, TERMS, "or").count() == 0
+
+
+def test_rebuild_clears_stale_deltas_and_staging(spark, docs, tmp_path):
+    """ADVICE r7 #2 (textindex flavor): a rebuild over a path with
+    streamed deltas or compaction staging leftovers must describe
+    exactly the new build — never union a previous life's postings
+    back in (duplicate postings would skew tf and BM25)."""
+    path = str(tmp_path / "tix")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    TI.build_text_index(even, path)
+    TI.text_index_stream_sink(path)(odd, 0)
+    os.makedirs(os.path.join(path, "postings.compacting"), exist_ok=True)
+    os.makedirs(os.path.join(path, "doclens.old"), exist_ok=True)
+    meta = TI.build_text_index(even, path)
+    assert meta["n_docs"] == even.count()
+    assert not os.path.isdir(os.path.join(path, "stream"))
+    assert not os.path.isdir(os.path.join(path, "postings.compacting"))
+    assert not os.path.isdir(os.path.join(path, "doclens.old"))
+    hits = TI.keyword_search(spark, path, ["the"])
+    assert all(r["doc_id"] % 2 == 0 for r in hits.collect())
