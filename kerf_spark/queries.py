@@ -3200,6 +3200,65 @@ def workspace_roundtrip(spark, sf):
 
 
 @query(
+    "workspace_tree_roundtrip",
+    """
+    SELECT o_orderkey,
+           o_totalprice * 0.75 AS discounted,
+           75.0::DOUBLE AS f100,
+           CAST(2 AS BIGINT) AS tier_big,
+           60.0::DOUBLE AS cuts_sum
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def workspace_tree_roundtrip(spark, sf):
+    """FULL Kerf-Tree persistence (sources.tree — file.h:34-36
+    write_k_to_path/read_k_from_path over the WHOLE value tree,
+    test.cc:825-900): a console environment holding a scalar, a map, a
+    vector, a LAMBDA (closing over the scalar), and a table is saved,
+    reloaded into a fresh env (lambda re-parsed from source against
+    the reloaded globals), and every reloaded value feeds the result —
+    the scalar scales a column of the reloaded table, the lambda/map/
+    vector land as computed literal columns the oracle pins.  A wrong
+    round-trip of ANY plane (scalar bits, lambda source, map entry,
+    vector dtype, table rows) flips the hash."""
+    import tempfile
+
+    from .plans.kerf_lang import Env, Interp
+    from .sources.tree import load_tree, save_tree
+
+    import numpy as np
+
+    root = tempfile.mkdtemp(prefix="kerf_tree_")
+    interp = Interp(spark)
+    env = Env()
+    interp.exec_stmt("rate: 0.25", env)
+    interp.exec_stmt("f: {[x] x * (1 - rate)}", env)
+    env.set_local("tiers", {"small": 1, "big": 2})
+    env.set_local("cuts", np.array([10.0, 50.0]))
+    env.set_local("ords", _t(spark, sf, "orders"))
+    save_tree(spark, root, env)
+
+    got = load_tree(spark, root)  # fresh env: nothing shared with env
+    i2 = Interp(spark)
+    f100 = float(i2.call(got.get("f"), [100.0]))      # 75.0
+    tier_big = int(got.get("tiers")["big"])           # 2
+    cuts_sum = float(got.get("cuts").sum())           # 60.0
+    rate = got.get("rate")                            # 0.25 exact
+    return (
+        got.get("ords")
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * F.lit(1.0 - rate)).alias("discounted"),
+            F.lit(f100).alias("f100"),
+            F.lit(tier_big).cast("long").alias("tier_big"),
+            F.lit(cuts_sum).alias("cuts_sum"),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
     "compact_roundtrip",
     """
     WITH s AS (

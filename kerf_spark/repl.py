@@ -186,13 +186,28 @@ class Repl:
         return self._interp
 
     def load_dir(self, sf_dir: str) -> list[str]:
-        """Register every ``<name>.parquet`` under ``sf_dir`` as a temp
-        view + script variable (the console analogue of the reference's
-        workspace open)."""
+        """Open ``sf_dir`` into the session — the console analogue of
+        the reference's workspace open.  A directory holding a saved
+        kerf tree (``tree.json`` from ``\\s`` / ``sources.tree``)
+        restores the WHOLE environment — scalars, vectors, maps,
+        lambdas, tables (file.h:34-36 read_k_from_path semantics);
+        otherwise every ``<name>.parquet`` registers as a temp view +
+        script variable."""
         import glob
 
-        from .sources.io import read_table
+        from pyspark.sql import DataFrame
 
+        from .sources.io import read_table
+        from .sources.tree import has_tree, load_tree
+
+        if has_tree(sf_dir):
+            load_tree(self.spark, sf_dir, self.env)
+            names = []
+            for name, v in sorted(self.env.vars.items()):
+                if isinstance(v, DataFrame):
+                    v.createOrReplaceTempView(name)
+                names.append(name)
+            return names
         names = sorted(
             os.path.basename(p)[:-8]
             for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
@@ -203,6 +218,13 @@ class Repl:
             self.env.set_local(name, df)
         self.sf_dir = sf_dir
         return names
+
+    def save_workspace(self, root: str) -> list[str]:
+        """Persist the whole session environment (the kerf tree) under
+        ``root`` — ``\\s DIR``, the write_k_to_path analogue."""
+        from .sources.tree import save_tree
+
+        return save_tree(self.spark, root, self.env)["vars"]
 
     # ---- statement execution ----
     def eval_source(self, src: str) -> Any:
@@ -226,6 +248,17 @@ class Repl:
             try:
                 names = self.load_dir(arg)
                 print("loaded: " + " ".join(names), file=out)
+            except Exception as exc:
+                print(format_error(exc), file=out)
+            return True
+        if not self.buffer and stripped.startswith("\\s"):
+            # \s DIR — save the whole session environment (scalars,
+            # vectors, maps, lambdas, tables) as a kerf tree; \l DIR
+            # restores it, lambdas re-parsed from source
+            arg = stripped[2:].strip()
+            try:
+                names = self.save_workspace(arg)
+                print("saved: " + " ".join(names), file=out)
             except Exception as exc:
                 print(format_error(exc), file=out)
             return True
@@ -369,8 +402,8 @@ def main(argv: list[str] | None = None) -> int:
     except Exception:
         pass
     print(
-        "kerf_spark console — \\l DIR loads tables, \\e STMT explains, "
-        "\\t STMT times, \\q quits"
+        "kerf_spark console — \\l DIR loads tables/workspace, \\s DIR "
+        "saves the workspace, \\e STMT explains, \\t STMT times, \\q quits"
     )
     while True:
         try:
