@@ -117,7 +117,7 @@ def _clear_derived(path: str, meta_name: str = _META) -> None:
             except OSError:
                 pass
         elif (
-            name == "stream"
+            name in ("stream", "tombstones")
             or name.endswith(".compacting")
             or name.endswith(".old")
         ):
@@ -561,6 +561,46 @@ def append_to_index(path: str, rows: DataFrame) -> dict:
     return meta
 
 
+def _tomb_id(meta: dict) -> str:
+    """The stored table's id column name (pq stores ``neighbor_id``)."""
+    return "neighbor_id" if meta.get("kind") == "pq" else meta["id_col"]
+
+
+def delete_from_index(path: str, ids: DataFrame) -> dict:
+    """Delete vectors from the index — the FAISS ``remove_ids``
+    analogue, done LSM-style with TOMBSTONES: the ids land in an
+    append-only ``tombstones/`` parquet table, every query anti-joins
+    it (broadcast — the tombstone set is small relative to the corpus
+    by the time-between-compactions contract), and
+    :func:`compact_index` folds them in by rewriting the base without
+    the dead rows and dropping the tombstone table.  At 100 TB with
+    retention policies this is the only shape that works: a delete
+    never rewrites the base (that is compaction's batch job), and
+    reads stay pruned — the anti-join runs AFTER partition pruning.
+
+    ``ids``: a DataFrame whose FIRST column holds the ids to delete
+    (any column name; it is aligned to the stored id column).
+    Deleting an id twice, or an id the index never held, is a no-op
+    at read time (anti-join semantics); the sidecar's ``tombstones``
+    count is the DISTINCT tombstone count, so the live-row arithmetic
+    stays exact for replayed deletes."""
+    meta = index_meta(path)
+    _check_not_folding(meta, path)
+    idname = _tomb_id(meta)
+    rows = ids.select(F.col(ids.columns[0]).alias(idname))
+    tpath = os.path.join(path, "tombstones")
+    # unpartitioned append: even an empty batch writes a schema-bearing
+    # footer, so the tombstone tree always self-describes
+    rows.write.mode("append").parquet(tpath)
+    n = (
+        ids.sparkSession.read.parquet(tpath)
+        .select(idname).distinct().count()
+    )
+    meta["tombstones"] = int(n)
+    _write_meta(path, meta)
+    return meta
+
+
 def index_stream_sink(path: str):
     """Streaming index maintenance: a fanout-compatible foreachBatch
     sink that assigns each micro-batch with the sidecar's FROZEN fits
@@ -597,12 +637,21 @@ def _stored(
     sch = meta.get("schema")
     base = _read(spark, os.path.join(path, _base_dir(meta)), sch)
     spath = os.path.join(path, "stream")
-    if not os.path.isdir(spath):
-        return base, meta.get("rows")
-    delta = _read(spark, spath, sch, with_epoch=True).drop("epoch")
-    n = meta.get("rows")
-    live = (n + delta.count()) if n is not None else None
-    return base.unionByName(delta.select(*base.columns)), live
+    out, live = base, meta.get("rows")
+    if os.path.isdir(spath):
+        delta = _read(spark, spath, sch, with_epoch=True).drop("epoch")
+        live = (live + delta.count()) if live is not None else None
+        out = base.unionByName(delta.select(*base.columns))
+    tpath = os.path.join(path, "tombstones")
+    if os.path.isdir(tpath):
+        idname = _tomb_id(meta)
+        tomb = spark.read.parquet(tpath).select(idname).distinct()
+        # broadcast anti-join AFTER partition pruning: the probe still
+        # reads only probed cells, then drops the dead ids in-stream
+        out = out.join(F.broadcast(tomb), idname, "left_anti")
+        if live is not None:
+            live = max(live - int(meta.get("tombstones", 0)), 0)
+    return out, live
 
 
 def _check_not_folding(meta: dict, path: str) -> None:
@@ -637,9 +686,12 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     meta = index_meta(path)
     _check_not_folding(meta, path)
     spath = os.path.join(path, "stream")
-    if not os.path.isdir(spath):
+    tpath = os.path.join(path, "tombstones")
+    if not os.path.isdir(spath) and not os.path.isdir(tpath):
         return meta
     bpath = os.path.join(path, _base_dir(meta))
+    # _stored already excludes tombstoned ids, so the folded rewrite IS
+    # the delete fold: dead rows leave the base, tombstones drop after
     merged, _ = _stored(spark, path, meta)
     tmp = bpath + ".compacting"
     w = merged.write.mode("overwrite")
@@ -652,9 +704,11 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     old = bpath + ".old"
     os.rename(bpath, old)
     os.rename(tmp, bpath)
-    shutil.rmtree(spath)
+    shutil.rmtree(spath, ignore_errors=True)
+    shutil.rmtree(tpath, ignore_errors=True)
     shutil.rmtree(old)
     meta.pop("folding", None)
+    meta.pop("tombstones", None)
     meta["rows"] = n_rows
     meta["compactions"] = meta.get("compactions", 0) + 1
     _write_meta(path, meta)  # commit: marker cleared last

@@ -275,26 +275,33 @@ def _index_table(
     reaches each scan independently (the annindex._stored shape)."""
     base = _read(spark, os.path.join(path, name), meta, name)
     spath = os.path.join(path, "stream")
-    if not os.path.isdir(spath):
-        return base
-    epochs = [
-        os.path.join(spath, e, name)
-        for e in sorted(os.listdir(spath))
-        if e.startswith("epoch=")
-        and os.path.isdir(os.path.join(spath, e, name))
-    ]
-    if not epochs:
-        return base
-    # one read PER epoch root, then union: each root is its own
-    # partitioned tree (tb=N subdirs), and Spark refuses a multi-root
-    # read over conflicting partition bases — the per-root partition
-    # discovery keeps tb a partition column in every branch, so bucket
-    # pruning still reaches each scan
     out = base
-    for e in epochs:
-        out = out.unionByName(
-            _read(spark, e, meta, name).select(*base.columns)
+    if os.path.isdir(spath):
+        epochs = [
+            os.path.join(spath, e, name)
+            for e in sorted(os.listdir(spath))
+            if e.startswith("epoch=")
+            and os.path.isdir(os.path.join(spath, e, name))
+        ]
+        # one read PER epoch root, then union: each root is its own
+        # partitioned tree (tb=N subdirs), and Spark refuses a
+        # multi-root read over conflicting partition bases — the
+        # per-root partition discovery keeps tb a partition column in
+        # every branch, so bucket pruning still reaches each scan
+        for e in epochs:
+            out = out.unionByName(
+                _read(spark, e, meta, name).select(*base.columns)
+            )
+    tpath = os.path.join(path, "tombstones")
+    if os.path.isdir(tpath) and meta is not None:
+        tomb = (
+            spark.read.parquet(tpath)
+            .select(meta["id_col"]).distinct()
         )
+        # broadcast anti-join AFTER bucket pruning: postings/positions
+        # scans stay pruned to the query terms' buckets, then dead
+        # docs drop in-stream (delete_from_text_index semantics)
+        out = out.join(F.broadcast(tomb), meta["id_col"], "left_anti")
     return out
 
 
@@ -328,7 +335,54 @@ def _live_stats(
             )
             n_docs += int(row["n"])
             sum_dl += int(row["s"])
+    # deletes: the sidecar's exact removed-doc counters (maintained by
+    # delete_from_text_index over the LIVE doclens at delete time), so
+    # avgdl/idf reflect the surviving corpus exactly
+    n_docs -= int(meta.get("tomb_docs", 0))
+    sum_dl -= int(meta.get("tomb_dl", 0))
     return n_docs, sum_dl
+
+
+def delete_from_text_index(path: str, ids) -> dict:
+    """Delete documents from the index — tombstone semantics, the
+    mirror of :func:`operators.annindex.delete_from_index`: ids land in
+    an append-only ``tombstones/`` parquet table; every read
+    (:func:`keyword_search` / :func:`bm25_topk` / :func:`phrase_search`)
+    anti-joins it after bucket pruning; BM25's corpus stats subtract
+    the deleted docs' exact ``(count, Σdl)`` recorded here at delete
+    time; :func:`compact_text_index` folds the tombstones into a
+    rewritten base and drops them.  A deleted-then-compacted index
+    answers bitwise like one built fresh without those docs (same
+    integer stats → same avgdl literal → same scores).
+
+    ``ids``: DataFrame whose FIRST column holds doc ids (any name),
+    or a Python iterable of ids.  Replayed/unknown ids are no-ops
+    (the removed-doc counters only count docs that were live)."""
+    meta = index_meta(path)
+    _check_not_folding(meta, path)
+    id_col = meta["id_col"]
+    if not isinstance(ids, DataFrame):
+        raise TypeError(
+            "delete_from_text_index needs a DataFrame of doc ids"
+        )
+    spark = ids.sparkSession
+    rows = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    # exact removed-stat delta over the LIVE doclens (prior tombstones
+    # already filtered by _index_table, so replays contribute zero)
+    gone = (
+        _index_table(spark, path, "doclens", meta)
+        .join(F.broadcast(rows), id_col, "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    rows.write.mode("append").parquet(os.path.join(path, "tombstones"))
+    meta["tomb_docs"] = int(meta.get("tomb_docs", 0)) + int(gone["n"])
+    meta["tomb_dl"] = int(meta.get("tomb_dl", 0)) + int(gone["s"])
+    _write_meta(path, meta)
+    return meta
 
 
 def _pruned_postings(
@@ -576,12 +630,15 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     meta = index_meta(path)
     _check_not_folding(meta, path)
     spath = os.path.join(path, "stream")
-    if not os.path.isdir(spath):
+    tomb = os.path.join(path, "tombstones")
+    if not os.path.isdir(spath) and not os.path.isdir(tomb):
         return meta
     names = ["postings", "doclens"] + (
         ["positions"] if meta.get("has_positions") else []
     )
     for name in names:  # heavy phase: all staging dirs written first
+        # _index_table already excludes tombstoned docs, so the folded
+        # rewrite IS the delete fold too
         merged = _index_table(spark, path, name, meta)
         w = merged.write.mode("overwrite")
         if name != "doclens":
@@ -593,10 +650,13 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
         bpath = os.path.join(path, name)
         os.rename(bpath, bpath + ".old")
         os.rename(bpath + ".compacting", bpath)
-    shutil.rmtree(spath)
+    shutil.rmtree(spath, ignore_errors=True)
+    shutil.rmtree(tomb, ignore_errors=True)
     for name in names:
         shutil.rmtree(os.path.join(path, name) + ".old")
     meta.pop("folding", None)
+    meta.pop("tomb_docs", None)
+    meta.pop("tomb_dl", None)
     stats = (
         spark.read.parquet(os.path.join(path, "doclens"))
         .agg(

@@ -4804,7 +4804,7 @@ ORACLES["lsh_ann_topk_oracle"] = _lsh_oracle_sql()
 
 def _ivf_oracle_sql(
     k=5, n_cells=8, nprobe=4, nq=8, sf_dir="/root/testdata/sf0.01",
-    build_where="",
+    build_where="", corpus_where="",
 ) -> str:
     """Build the DuckDB oracle for IVF top-k.  The centroids come from
     the SAME deterministic driver-side k-means (`kmeans_centroids`) over
@@ -4816,12 +4816,17 @@ def _ivf_oracle_sql(
 
     ``build_where`` restricts the centroid-FIT corpus only (the
     append-path oracle: quantizer frozen on the build half, assignments
-    over everything — annindex.append_to_index semantics)."""
+    over everything — annindex.append_to_index semantics).
+    ``corpus_where`` restricts the candidate NEIGHBOR corpus only (the
+    delete-path oracle: quantizer fit before the delete, tombstoned
+    rows excluded from answers — annindex.delete_from_index
+    semantics); queries keep probing with the full-fit centroids."""
     import duckdb
 
     from .operators.similarity import kmeans_centroids
 
     bw = f"WHERE {build_where} " if build_where else ""
+    cw = f"WHERE {corpus_where}" if corpus_where else ""
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
@@ -4849,7 +4854,7 @@ def _ivf_oracle_sql(
     ), cc AS (
       SELECT vec_id, emb,
              list_position(dists, list_min(dists)) - 1 AS cell
-      FROM cd
+      FROM cd {cw}
     ), qp AS (
       SELECT vec_id AS query_id, emb,
              list_transform(
@@ -5157,6 +5162,36 @@ def ivf_stream_append_topk(spark, sf):
     )
 
 
+@query("ivf_delete_topk", None)
+def ivf_delete_topk(spark, sf):
+    """Index DELETES end-to-end (annindex.delete_from_index — the
+    FAISS remove_ids analogue, LSM tombstones): build the IVF index on
+    the full corpus, tombstone every vec_id ≡ 9 (mod 10), answer top-k.
+    The tombstone anti-join runs AFTER partition pruning (the probe
+    still reads nprobe/n_cells of the bytes) and the oracle assigns
+    with the FULL-corpus centroids but excludes the deleted rows from
+    the candidate set — exactly the delete contract, so a resurrection
+    or over-delete bug is a value mismatch.  The unit suite proves the
+    compaction fold separately (delete → compact → bitwise-equals the
+    tombstone-filtered answers)."""
+    em = _t(spark, sf, "embeddings")
+    path = _ann_index_dir(sf, "ivfdel")
+    need = AI.is_stale(path, em)
+    if not need:
+        # a build that died before its delete leaves a fresh-but-full
+        # index; the tombstones record is the completion marker
+        need = "tombstones" not in AI.index_meta(path)
+    if need:
+        AI.build_ivf_index(em, path, n_cells=8)
+        AI.delete_from_index(
+            path, em.where(F.col("vec_id") % 10 == 9).select("vec_id")
+        )
+    q = em.where(F.col("vec_id") < 8)
+    return AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 @query("ivfpq_indexed_topk", None)
 def ivfpq_indexed_topk(spark, sf):
     """The composed IVF-PQ index PERSISTED (annindex.build_ivfpq_index):
@@ -5184,6 +5219,12 @@ _attach_oracle(
 _attach_oracle(
     "ivf_stream_append_topk",
     lambda: _ivf_oracle_sql(build_where="vec_id % 2 = 0"),
+)
+# delete row: full-corpus quantizer, tombstoned rows out of the
+# candidate set only
+_attach_oracle(
+    "ivf_delete_topk",
+    lambda: _ivf_oracle_sql(corpus_where="vec_id % 10 <> 9"),
 )
 
 
@@ -6788,6 +6829,81 @@ def bm25_append_topk(spark, sf):
     if need:
         TI.build_text_index(even, path, n_buckets=32)
         TI.append_to_text_index(path, odd)
+    return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
+@query(
+    "bm25_delete_topk",
+    """
+    WITH live AS (
+      SELECT * FROM documents WHERE doc_id % 7 <> 3
+    ), toks AS (
+      SELECT doc_id, t AS term
+      FROM live,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> '' AND length(t) >= 3
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('merge', 'stream', 'vector')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM post GROUP BY term
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.dfreq + 0.5)
+                        / (f.dfreq + 0.5))
+               * ((p.tf * 2.2) / (p.tf + 1.2 *
+                   (1.0 - 0.75 + 0.75 * d.dl /
+                    (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+               * 1000000.0
+             ) AS BIGINT) AS c
+      FROM post p
+      JOIN dfreq f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id,
+             round(sum(c) / 1000000.0, 6) AS score,
+             CAST(count(*) AS BIGINT) AS matched
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score, matched,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+      FROM agg
+    )
+    SELECT doc_id, score, matched, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def bm25_delete_topk(spark, sf):
+    """Text-index DELETES end-to-end (textindex.delete_from_text_index
+    — the retrieval mirror of ivf_delete_topk): build on the full
+    corpus, tombstone every doc_id ≡ 3 (mod 7), answer BM25.  Deletes
+    must adjust EVERYTHING the score depends on — the tombstoned docs
+    leave the postings (anti-join after bucket pruning), per-term df
+    shrinks, and the sidecar's removed-doc counters shift n_docs/avgdl
+    — so the oracle is the full BM25 replay over the SURVIVING corpus
+    only: a stale-stat, resurrection, or over-delete bug is a value
+    mismatch, not just a row-count drift."""
+    docs = _t(spark, sf, "documents")
+    path = _ann_index_dir(sf, "textdel")
+    need = TI.is_stale(path, docs)
+    if not need:
+        # a build that died before its delete leaves a fresh-but-full
+        # index; the tombstone counters are the completion marker
+        need = "tomb_docs" not in TI.index_meta(path)
+    if need:
+        TI.build_text_index(docs, path, n_buckets=32)
+        TI.delete_from_text_index(
+            path, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+        )
     return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
 
 
@@ -11715,6 +11831,12 @@ def refit_oracles(sf_dir: str) -> None:
     _attach_oracle(
         "ivf_stream_append_topk",
         lambda: _ivf_oracle_sql(sf_dir=sf_dir, build_where="vec_id % 2 = 0"),
+    )
+    _attach_oracle(
+        "ivf_delete_topk",
+        lambda: _ivf_oracle_sql(
+            sf_dir=sf_dir, corpus_where="vec_id % 10 <> 9"
+        ),
     )
     _attach_oracle(
         "ivfpq_indexed_topk", lambda: _ivfpq_oracle_sql(sf_dir=sf_dir)

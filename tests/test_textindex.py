@@ -313,3 +313,46 @@ def test_rebuild_clears_stale_deltas_and_staging(spark, docs, tmp_path):
     assert not os.path.isdir(os.path.join(path, "doclens.old"))
     hits = TI.keyword_search(spark, path, ["the"])
     assert all(r["doc_id"] % 2 == 0 for r in hits.collect())
+
+
+def test_delete_docs_then_compact_equals_fresh_build(spark, docs, tmp_path):
+    """Tombstoned docs vanish from keyword/BM25/phrase results
+    immediately (anti-join after bucket pruning, stats counters
+    adjusted), and after compaction the index answers BITWISE like one
+    built fresh without those docs — same integer stats, same avgdl
+    literal, same scores."""
+    path = str(tmp_path / "tix")
+    TI.build_text_index(docs, path)
+    dead = docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    n_dead = dead.count()
+    assert n_dead > 0
+    meta = TI.delete_from_text_index(path, dead)
+    assert meta["tomb_docs"] > 0
+
+    terms = ["the", "and"]
+    hits = TI.keyword_search(spark, path, terms, mode="or")
+    assert all(r["doc_id"] % 7 != 3 for r in hits.collect())
+    # replayed delete: counters unchanged (live doclens already filtered)
+    meta2 = TI.delete_from_text_index(path, dead)
+    assert meta2["tomb_docs"] == meta["tomb_docs"]
+    assert meta2["tomb_dl"] == meta["tomb_dl"]
+
+    def rows(df, cols):
+        return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+    bcols = ["doc_id", "score", "matched", "rank"]
+    before = rows(TI.bm25_topk(spark, path, terms, k=10), bcols)
+    TI.compact_text_index(spark, path)
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(path, "tombstones"))
+    after = rows(TI.bm25_topk(spark, path, terms, k=10), bcols)
+    assert before == after
+
+    fresh = str(tmp_path / "fresh")
+    TI.build_text_index(docs.where(F.col("doc_id") % 7 != 3), fresh)
+    want = rows(TI.bm25_topk(spark, fresh, terms, k=10), bcols)
+    assert after == want
+    # phrase search over the compacted positional index excludes too
+    ph = TI.phrase_search(spark, path, ["of", "the"])
+    assert all(r["doc_id"] % 7 != 3 for r in ph.collect())
