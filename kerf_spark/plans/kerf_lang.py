@@ -554,6 +554,91 @@ def _loc_count(x):
     return len(x) if hasattr(x, "__len__") else 1
 
 
+def _loc_cut(idx, x):
+    """kerf1 ``cut``: a VECTOR of ascending start positions cuts ``x``
+    at those indices (``x[i0:i1], x[i1:i2], …, x[ik:]``); a SCALAR n
+    cuts ``x`` into consecutive chunks of n (the kerf1/q convenience).
+    Returns a vector of subvectors (FLIPPED-style nested value)."""
+    v = _np(x)
+    if np.ndim(idx) == 0:
+        n = int(idx)
+        if n <= 0:
+            raise ArgsError(f"cut chunk size must be positive, got {n}")
+        starts = list(range(0, max(len(v), 1), n))
+    else:
+        starts = [int(i) for i in _np(idx)]
+        if starts != sorted(starts):
+            raise ArgsError("cut indices must be ascending")
+        if starts and (starts[0] < 0 or starts[-1] > len(v)):
+            raise ArgsError("cut indices out of range")
+    bounds = starts + [len(v)]
+    out = np.empty(len(starts), dtype=object)
+    for j in range(len(starts)):
+        out[j] = v[bounds[j]:bounds[j + 1]]
+    return out
+
+
+def _loc_rotate(n, x):
+    """kerf1 ``rotate``: cyclic LEFT shift by n (negative n rotates
+    right) — ``rotate(2, 1 2 3 4 5)`` is ``3 4 5 1 2``."""
+    v = _np(x)
+    if len(v) == 0:
+        return v
+    return np.roll(v, -int(n))
+
+
+def _loc_bin(xs, y):
+    """kerf1/k ``bin``: binary search — for each y, the index of the
+    RIGHTMOST element of sorted ``xs`` that is <= y; -1 when y sorts
+    before everything.  Vectorized over scalar or vector y."""
+    v = _np(xs)
+    pos = np.searchsorted(v, _np(y), side="right") - 1
+    return pos
+
+
+def _loc_flip(x):
+    """kerf1 ``flip``: transpose a rectangular list-of-vectors (the
+    FLIPPED/TRANSPOSED object, enums.h:260).  Table-plane transposes
+    go through operators.relational.transpose_vectors (distributed) —
+    a driver-side flip of a DataFrame would be an unbounded collect,
+    so it refuses here."""
+    if isinstance(x, DataFrame):
+        raise KerfTypeError(
+            "flip of a table is a distributed reshape — use "
+            "relational.transpose_vectors, not the script verb"
+        )
+    v = _np(x)
+    if v.dtype == object:
+        rows = [_np(r) for r in v]
+        if not rows:
+            return v
+        w = len(rows[0])
+        if any(len(r) != w for r in rows):
+            raise ArgsError("flip needs rectangular rows (ragged input)")
+        return np.array([[r[j] for r in rows] for j in range(w)])
+    if v.ndim != 2:
+        raise ArgsError(f"flip needs a matrix, got ndim={v.ndim}")
+    return v.T.copy()
+
+
+def _loc_grade_up(x):
+    """kerf1 ``grade_up``: the STABLE ascending permutation (argsort;
+    ties keep first-appearance order) — ``x[grade_up(x)]`` sorts x."""
+    return np.argsort(_np(x), kind="stable")
+
+
+def _loc_grade_down(x):
+    """kerf1 ``grade_down``: descending permutation with ties in
+    first-appearance order (k semantics) — NOT reversed grade_up,
+    which would flip tie order.  Python's reverse sort is tie-stable,
+    so sorted(..., reverse=True) gives exactly this."""
+    v = _np(x)
+    return np.array(
+        sorted(range(len(v)), key=lambda i: v[i], reverse=True),
+        dtype=np.int64,
+    )
+
+
 _BUILTINS: dict[str, tuple[Any, str | None]] = {
     # first-class error introspection (presented.h:386-389 A_ERROR
     # is_error()); the error VALUE itself comes from the try(...) form
@@ -592,6 +677,15 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "trim": (lambda s: s.strip(), "trim({0})"),
     "ifelse": (lambda c, a, b: a if _truthy(c) else b,
                "(CASE WHEN {0} THEN {1} ELSE {2} END)"),
+    # kerf1 vector-structure verbs (VERDICT r7 next #4): the operators
+    # existed (windows.grade, relational.transpose_vectors) — these are
+    # their local-plane script spellings
+    "cut": (_loc_cut, None),
+    "rotate": (_loc_rotate, None),
+    "bin": (_loc_bin, None),
+    "flip": (_loc_flip, None),
+    "grade_up": (_loc_grade_up, None),
+    "grade_down": (_loc_grade_down, None),
     # tick verbs, same floored-bucket semantics as functions/temporal.xbar
     # (pmod keeps pre-epoch stamps correct; np.mod floors identically)
     "xbar": (lambda x, w: _np(x) - np.mod(_np(x), w),

@@ -3710,6 +3710,48 @@ def kerf_lang_table_literal(spark, sf):
 
 
 @query(
+    "kerf_lang_verb_breadth",
+    """
+    WITH t(pos, r, gu, gd, b, fs, ls) AS (VALUES
+      (0, 30, 3, 2, 2, 4, 5),
+      (1, 40, 4, 1, 3, 4, 5),
+      (2, 50, 0, 0, 4, 4, 5),
+      (3, 10, 1, 4, 0, 4, 5),
+      (4, 20, 2, 3, 1, 4, 5))
+    SELECT CAST(pos AS BIGINT) AS pos, CAST(r AS BIGINT) AS r,
+           CAST(gu AS BIGINT) AS gu, CAST(gd AS BIGINT) AS gd,
+           CAST(b AS BIGINT) AS b, CAST(fs AS BIGINT) AS fs,
+           CAST(ls AS BIGINT) AS ls
+    FROM t ORDER BY pos
+    """,
+)
+def kerf_lang_verb_breadth(spark, sf):
+    """kerf1 vector-structure verbs as SCRIPT spellings (VERDICT r7
+    next #4: cut/rotate/bin/flip/grade_up/grade_down were Python-plane
+    operators only): one script chains all six — rotate a vector,
+    grade it both ways (tie-stable k semantics), binary-search it
+    against itself, cut-into-chunks + flip a matrix + mapdown-count a
+    ragged cut — and lands the results in a table literal the oracle
+    pins value-for-value (hand-derived expected permutations)."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "v: 10 20 30 40 50\n"
+        "rv: rotate(2, v)\n"
+        "guv: grade_up(rv)\n"
+        "gdv: grade_down(rv)\n"
+        "bv: bin(v, rv)\n"
+        "fsv: take(5, sum(first(flip(cut(2, 1 2 3 4)))))\n"
+        "lsv: take(5, sum(count mapdown cut(2, v)))\n"
+        "t: {{pos: til(5), r: rv, gu: guv, gd: gdv, b: bv,"
+        " fs: fsv, ls: lsv}}\n"
+        "select pos, r, gu, gd, b, fs, ls from t order by pos",
+        tables={},
+    )
+
+
+@query(
     "kerf_lang_temporal",
     """
     SELECT count(*) AS n,

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from kerf_spark.errors import (
+    ArgsError,
     ArityError,
     KerfTypeError,
     ParseError,
@@ -616,3 +617,61 @@ def test_sql_literals_with_backslash_escaped_quotes(spark):
         tables={"t": t},
     )
     assert [r.n for r in got2.collect()] == [1]
+
+
+# --------------------------------------- kerf1 vector-structure verbs (r8)
+
+def test_cut_vector_indices_and_chunks():
+    parts = run("cut(0 2 3, 10 20 30 40 50)")
+    assert [list(p) for p in parts] == [[10, 20], [30], [40, 50]]
+    chunks = run("cut(2, 10 20 30 40 50)")
+    assert [list(p) for p in chunks] == [[10, 20], [30, 40], [50]]
+    with pytest.raises(ArgsError):
+        run("cut(0, 1 2 3)")
+    with pytest.raises(ArgsError):
+        run("cut(3 1, 1 2 3)")  # not ascending
+
+
+def test_rotate_both_directions_and_empty():
+    assert list(run("rotate(2, 1 2 3 4 5)")) == [3, 4, 5, 1, 2]
+    assert list(run("rotate(-1, 1 2 3)")) == [3, 1, 2]
+    assert list(run("rotate(7, 1 2 3)")) == [2, 3, 1]  # wraps mod len
+    assert len(run("rotate(2, til(0))")) == 0
+
+
+def test_bin_binary_search():
+    assert run("bin(10 20 30 40 50, 35)") == 2
+    assert run("bin(10 20 30 40 50, 10)") == 0
+    assert run("bin(10 20 30 40 50, 5)") == -1   # below first
+    assert list(run("bin(10 20 30, 5 10 25 99)")) == [-1, 0, 1, 2]
+
+
+def test_flip_rectangular_and_refusals():
+    m = run("flip(cut(2, 1 2 3 4))")
+    assert [list(r) for r in m] == [[1, 3], [2, 4]]
+    # involution on rectangular input
+    mm = run("flip(flip(cut(2, 1 2 3 4)))")
+    assert [list(r) for r in mm] == [[1, 2], [3, 4]]
+    with pytest.raises(ArgsError):
+        run("flip(cut(2, 1 2 3 4 5))")  # ragged
+    with pytest.raises(ArgsError):
+        run("flip(1 2 3)")  # not a matrix
+
+
+def test_grade_up_down_stable_ties():
+    assert list(run("grade_up(30 10 20)")) == [1, 2, 0]
+    assert list(run("grade_down(30 10 20)")) == [0, 2, 1]
+    # ties keep first-appearance order in BOTH directions (k semantics:
+    # grade_down is NOT reversed grade_up)
+    assert list(run("grade_up(5 1 5 1)")) == [1, 3, 0, 2]
+    assert list(run("grade_down(5 1 5 1)")) == [0, 2, 1, 3]
+    # grade of grade: x[grade_up(x)] is sorted
+    v = run("x: 3 1 4 1 5; x[grade_up(x)]")
+    if v is not None:  # indexing-by-vector supported on the local plane
+        assert list(v) == [1, 1, 3, 4, 5]
+
+
+def test_verbs_compose_with_adverbs():
+    lens = run("count mapdown cut(2, 10 20 30 40 50)")
+    assert list(lens) == [2, 2, 1]
+    assert run("sum(count mapdown cut(2, til(7)))") == 7
