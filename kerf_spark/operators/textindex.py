@@ -469,6 +469,67 @@ def phrase_search(
     ).where(F.col("hits") > 0)
 
 
+def near_search(
+    spark: SparkSession,
+    path: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    ordered: bool = False,
+) -> DataFrame:
+    """Proximity retrieval (NEAR/k) over the SAME positional postings
+    exact phrase uses (VERDICT r7 next #6): docs where ``term_a`` and
+    ``term_b`` occur within ``slop`` token positions.  ``ordered=False``
+    (NEAR semantics) counts pairs with ``|pb − pa| ≤ slop``;
+    ``ordered=True`` (a BEFORE b, the k-slop phrase relaxation) counts
+    ``1 ≤ pb − pa ≤ slop``.  Returns ``(doc_id, hits)`` — hits = the
+    qualifying position-pair count.
+
+    Plan shape mirrors :func:`phrase_search`: ≤2 bucket-pruned
+    partition reads, one doc_id equi-join of the two term rows, then
+    the pair count as a pure array fold (``aggregate`` over
+    ``filter``) — whole-stage codegen, positions never explode into
+    rows, the corpus is never touched."""
+    meta = index_meta(path)
+    _check_not_folding(meta, path)
+    if not meta.get("has_positions"):
+        raise ValueError(f"index at {path} was built without positions")
+    a, b = _check_terms([term_a, term_b])
+    if a == b:
+        raise ValueError("near_search needs two distinct terms")
+    if int(slop) < 1:
+        raise ValueError(f"slop must be >= 1, got {slop}")
+    id_col = meta["id_col"]
+    buckets = sorted(
+        {term_bucket_py(t, meta["n_buckets"]) for t in (a, b)}
+    )
+    pos = _index_table(spark, path, "positions", meta).where(
+        F.col("tb").isin(buckets)
+    )
+    pa = pos.where(F.col("term") == a).select(
+        F.col(id_col), F.col("positions").alias("__pa")
+    )
+    pb = pos.where(F.col("term") == b).select(
+        F.col(id_col), F.col("positions").alias("__pb")
+    )
+    s = F.lit(int(slop))
+    if ordered:
+        cond = lambda x, y: (y - x >= 1) & (y - x <= s)  # noqa: E731
+    else:
+        cond = lambda x, y: F.abs(y - x) <= s  # noqa: E731
+    hits = F.aggregate(
+        F.col("__pa"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.size(F.filter(F.col("__pb"), lambda y: cond(x, y))),
+    )
+    return (
+        pa.join(pb, id_col)
+        .select(F.col(id_col), hits.cast("long").alias("hits"))
+        .where(F.col("hits") > 0)
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     path: str,

@@ -6988,6 +6988,51 @@ def phrase_search_docs(spark, sf):
     return TI.phrase_search(spark, path, ["fast", "table"])
 
 
+@query(
+    "near_search_docs",
+    """
+    WITH pt AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               string_split_regex(lower(text), '[^a-z]+'),
+               (t, i) -> {'term': t, 'pos': i - 1})) AS u
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM pt
+      WHERE u.term <> ''
+    ), post AS (
+      SELECT doc_id, term, list_sort(list(pos)) AS positions
+      FROM toks GROUP BY doc_id, term
+    ), a AS (
+      SELECT doc_id, positions AS pa FROM post WHERE term = 'fast'
+    ), b AS (
+      SELECT doc_id, positions AS pb FROM post WHERE term = 'table'
+    ), paired AS (
+      SELECT a.doc_id,
+             CAST(list_sum(list_transform(
+               pa, x -> len(list_filter(pb, y -> abs(y - x) <= 4))
+             )) AS BIGINT) AS hits
+      FROM a JOIN b USING (doc_id)
+    )
+    SELECT doc_id, hits FROM paired WHERE hits > 0
+    """,
+)
+def near_search_docs(spark, sf):
+    """Proximity retrieval NEAR/4 ("fast" within 4 tokens of "table",
+    either order) over the persisted positional index
+    (textindex.near_search — VERDICT r7 next #6): the k-slop
+    generalization of exact phrase, answered from the SAME positional
+    postings via a pure array fold (aggregate-over-filter pair count,
+    whole-stage codegen, ≤2 pruned buckets read).  The oracle
+    recomputes matches from tokenized text directly — the
+    text_index_search discipline — so stored positions, the window
+    arithmetic, and the pair count are all value-pinned."""
+    path = _text_index_path(spark, sf)
+    return TI.near_search(
+        spark, path, "fast", "table", slop=4, ordered=False
+    )
+
+
 # the appended/streamed index must equal a full rebuild exactly (no
 # learned fits) — both share the full-corpus BM25 replay oracle
 _attach_oracle("bm25_append_topk", lambda: ORACLES["bm25_topk_docs"])

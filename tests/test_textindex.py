@@ -356,3 +356,64 @@ def test_delete_docs_then_compact_equals_fresh_build(spark, docs, tmp_path):
     # phrase search over the compacted positional index excludes too
     ph = TI.phrase_search(spark, path, ["of", "the"])
     assert all(r["doc_id"] % 7 != 3 for r in ph.collect())
+
+
+def _py_near_hits(text, a, b, slop, ordered):
+    raw = [t for t in re.split(r"[^a-z]+", text.lower())]
+    pa = [i for i, t in enumerate(raw) if t == a]
+    pb = [i for i, t in enumerate(raw) if t == b]
+    if ordered:
+        return sum(1 for x in pa for y in pb if 1 <= y - x <= slop)
+    return sum(1 for x in pa for y in pb if abs(y - x) <= slop)
+
+
+@pytest.mark.parametrize(
+    "a,b,slop,ordered",
+    [
+        ("fast", "table", 3, False),
+        ("fast", "table", 1, True),   # == adjacency when phrase-like
+        ("big", "scan", 5, False),
+        ("the", "and", 2, True),
+    ],
+)
+def test_near_search_matches_bruteforce(spark, docs, index, a, b, slop, ordered):
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = {
+        r["doc_id"]: _py_near_hits(r["text"], a, b, slop, ordered)
+        for _, r in pdf.iterrows()
+    }
+    want = {d: h for d, h in want.items() if h > 0}
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in TI.near_search(
+            spark, index, a, b, slop=slop, ordered=ordered
+        ).collect()
+    }
+    assert got == want
+
+
+def test_near_search_ordered_slop1_equals_phrase(spark, docs, index):
+    """ordered NEAR/1 IS the exact 2-term phrase — the relaxation
+    collapses to adjacency, pinning both operators to each other."""
+    ph = {
+        (r["doc_id"], r["hits"])
+        for r in TI.phrase_search(spark, index, ["fast", "table"]).collect()
+    }
+    nr = {
+        (r["doc_id"], r["hits"])
+        for r in TI.near_search(
+            spark, index, "fast", "table", slop=1, ordered=True
+        ).collect()
+    }
+    assert ph == nr
+
+
+def test_near_search_refusals(spark, docs, index, tmp_path):
+    with pytest.raises(ValueError, match="distinct"):
+        TI.near_search(spark, index, "fast", "fast")
+    with pytest.raises(ValueError, match="slop"):
+        TI.near_search(spark, index, "fast", "table", slop=0)
+    nopos = str(tmp_path / "nopos2")
+    TI.build_text_index(docs, nopos, positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        TI.near_search(spark, nopos, "fast", "table")
