@@ -7,10 +7,14 @@ re-expression keeps the TRANSPORT trivial and engine-portable — one
 newline-delimited JSON request/response pair per round trip, the same
 wire discipline the feed handler's ``parse_feed_lines`` decodes — and
 keeps the HEAVY data where it belongs: results are bounded previews
-(``limit`` rows, default 1000); a client that wants a full table asks
-the server to ``save`` it into the Workspace and reads the parquet
-side-channel, exactly how a kerf client would mmap the server's folio
-rather than pull it through the socket.
+(``limit`` rows, default 1000); a client that wants a full table either
+pulls it as ONE binary Arrow IPC stream frame on the same socket
+(``arrow: true`` — bit-exact, driver-bounded at ``ARROW_MAX_ROWS``,
+the public re-expression of the reference's network-order MESSAGE
+slabs) or asks the server to ``save`` it into the Workspace and reads
+the parquet side-channel (executor-parallel, unbounded), exactly how a
+kerf client would mmap the server's folio rather than pull it through
+the socket.
 
 Protocol (one JSON object per line, UTF-8):
 
@@ -29,6 +33,13 @@ Protocol (one JSON object per line, UTF-8):
     <- {"ok": true, "kind": "saved", "path": "/data/out",
         "columns": ["r_regionkey", ...]}   # full table via parquet,
                                            # rows never on the socket
+
+    -> {"src": "select * from region", "arrow": true}
+    <- {"ok": true, "kind": "arrow", "nbytes": N, "rows": R,
+        "columns": [...]}\\n<N raw bytes>  # full table as one Arrow
+                                           # IPC stream frame on the
+                                           # SAME socket (pyarrow.ipc)
+                                           # — bit-exact, no filesystem
 
 Each CONNECTION is a session: one persistent interpreter environment
 (variables, lambdas, temp views live across requests), all sessions
@@ -62,6 +73,14 @@ DEFAULT_LIMIT = 1000
 #: never turn into an unbounded driver collect; full tables go through
 #: the Workspace parquet side-channel, as the module doc prescribes
 MAX_LIMIT = 100_000
+
+#: row ceiling for the Arrow IPC result plane: the stream frame is
+#: built driver-side (df.toArrow()), so it must stay driver-bounded —
+#: beyond this the parquet side-channel (executor-parallel, unbounded)
+#: is the right plane and the server says so in a typed error.  The
+#: reference's binary MESSAGE slabs (enums.h:278) are likewise a
+#: materialize-then-send wire plane.
+ARROW_MAX_ROWS = 1_000_000
 
 
 def _json_cell(v: Any) -> Any:
@@ -180,6 +199,51 @@ def _save_result(v: Any, path: str, save_root: str | None) -> "_Saved":
     )
 
 
+def _arrow_frame(v: Any) -> tuple[dict, bytes]:
+    """The binary wire plane (reference MESSAGE slabs, enums.h:278
+    "use network order"; bus.h:117 "sending kerf tree over network" —
+    re-expressed as the PUBLIC Arrow IPC stream format): serialize a
+    table result to one Arrow stream and return ``(header, payload)``.
+    The header's ``nbytes`` length-prefixes the raw bytes that follow
+    it on the socket, so the line protocol stays line-parseable.
+
+    Bit-exactness is Arrow's own contract: Spark collects the result
+    AS Arrow (``df.toArrow``, the same Arrow data path Pandas UDFs
+    ride), and the IPC writer round-trips buffers verbatim — floats,
+    ns timestamps, decimals, nested arrays all survive untouched.
+    Driver-bounded by ``ARROW_MAX_ROWS``; larger results belong to the
+    parquet side-channel (executor-parallel) and the error says so."""
+    import pyarrow as pa
+
+    from pyspark.sql import DataFrame
+
+    from .errors import KerfTypeError
+
+    if not isinstance(v, DataFrame):
+        raise KerfTypeError(
+            f"arrow needs a table result, got {type(v).__name__}"
+        )
+    tbl = v.limit(ARROW_MAX_ROWS + 1).toArrow()
+    if tbl.num_rows > ARROW_MAX_ROWS:
+        raise KerfTypeError(
+            f"arrow result exceeds {ARROW_MAX_ROWS} rows — use the "
+            f"save side-channel (parquet, executor-parallel) for "
+            f"unbounded results"
+        )
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    payload = sink.getvalue().to_pybytes()
+    header = {
+        "ok": True,
+        "kind": "arrow",
+        "nbytes": len(payload),
+        "rows": tbl.num_rows,
+        "columns": tbl.schema.names,
+    }
+    return header, payload
+
+
 def encode_error(exc: BaseException) -> dict:
     """Raised exception -> taxonomy-kinded failure response
     (jump.h:144-198 display names via KerfErrorValue.from_exception,
@@ -231,15 +295,26 @@ class _Handler(socketserver.StreamRequestHandler):
                     )
                 # serialize INSIDE the boundary: a cell json can't
                 # carry must answer with a kinded error, not a dead
-                # connection
-                payload = json.dumps(
-                    encode_result(ret, limit=limit), separators=(",", ":")
-                )
+                # connection.  The arrow frame builds its whole binary
+                # payload here too, so a mid-serialize failure still
+                # answers with one clean error line.
+                blob = b""
+                if req.get("arrow"):
+                    header, blob = _arrow_frame(ret)
+                    payload = json.dumps(header, separators=(",", ":"))
+                else:
+                    payload = json.dumps(
+                        encode_result(ret, limit=limit),
+                        separators=(",", ":"),
+                    )
             except Exception as exc:  # noqa: BLE001 - wire boundary
+                blob = b""
                 payload = json.dumps(
                     encode_error(exc), separators=(",", ":")
                 )
             self.wfile.write(payload.encode() + b"\n")
+            if blob:
+                self.wfile.write(blob)
             self.wfile.flush()
 
 
@@ -335,17 +410,39 @@ class KerfClient:
         src: str,
         limit: int = DEFAULT_LIMIT,
         save: str | None = None,
+        arrow: bool = False,
     ) -> dict:
+        """One request/response round trip.  With ``arrow=True`` a
+        table result arrives as a length-prefixed Arrow IPC stream on
+        the same socket and the returned dict carries it parsed under
+        ``"table"`` (a ``pyarrow.Table`` — bit-exact, no filesystem)."""
         req_obj: dict = {"src": src, "limit": limit}
         if save is not None:
             req_obj["save"] = save
+        if arrow:
+            req_obj["arrow"] = True
         req = json.dumps(req_obj)
         self._file.write(req.encode() + b"\n")
         self._file.flush()
         line = self._file.readline()
         if not line:
             raise ConnectionError("kerf server closed the connection")
-        return json.loads(line)
+        resp = json.loads(line)
+        if resp.get("kind") == "arrow":
+            import pyarrow as pa
+
+            n = int(resp["nbytes"])
+            buf = bytearray()
+            while len(buf) < n:
+                chunk = self._file.read(n - len(buf))
+                if not chunk:
+                    raise ConnectionError(
+                        "kerf server closed mid arrow frame"
+                    )
+                buf.extend(chunk)
+            with pa.ipc.open_stream(pa.py_buffer(bytes(buf))) as r:
+                resp["table"] = r.read_all()
+        return resp
 
     def close(self) -> None:
         try:

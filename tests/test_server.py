@@ -222,3 +222,54 @@ def test_save_root_confines_side_channel_writes(spark, tmp_path):
         assert not os.path.exists(str(tmp_path / "sneaky"))
     finally:
         srv.stop()
+
+
+def test_arrow_stream_roundtrips_100k_rows_bit_exact(spark, tmp_path):
+    """The binary result plane (module doc: reference MESSAGE slabs →
+    public Arrow IPC): a 100k-row table with floats/strings/longs
+    round-trips the socket BIT-exactly as one length-prefixed Arrow
+    stream frame — no filesystem involved — and the line protocol
+    stays usable on the same connection afterwards."""
+    df = spark.range(100_000).selectExpr(
+        "id",
+        "cast(id as double) / 7.0 as x",
+        "concat('s', cast(id % 997 as string)) as s",
+        "cast(id % 2 = 0 as boolean) as b",
+    )
+    srv = KerfServer(spark, tables={"t": df}).start()
+    try:
+        with _client(srv) as c:
+            r = c.execute("select * from t order by id", arrow=True)
+            assert r["ok"] and r["kind"] == "arrow"
+            assert r["rows"] == 100_000
+            got = r["table"]
+            want = df.orderBy("id").toArrow()
+            assert got.equals(want)  # bit-exact: Arrow buffer equality
+            # the connection still speaks the line protocol
+            r2 = c.execute("select count(*) as n from t")
+            assert r2["ok"] and r2["rows"] == [[100_000]]
+            # non-table results refuse with a typed error, socket alive
+            bad = c.execute("1 + 1", arrow=True)
+            assert not bad["ok"] and bad["kind"] == "Type error"
+            assert c.execute("2 + 2")["value"] == 4
+    finally:
+        srv.stop()
+
+
+def test_arrow_row_ceiling_refuses_loudly(spark, monkeypatch):
+    """Beyond ARROW_MAX_ROWS the server refuses with a typed error
+    naming the save side-channel — the wire plane stays
+    driver-bounded by design."""
+    import kerf_spark.server as SRV
+
+    monkeypatch.setattr(SRV, "ARROW_MAX_ROWS", 1000)
+    df = spark.range(1001)
+    srv = KerfServer(spark, tables={"t": df}).start()
+    try:
+        with _client(srv) as c:
+            bad = c.execute("select * from t", arrow=True)
+            assert not bad["ok"] and "side-channel" in bad["message"]
+            ok = c.execute("select * from t where id < 10", arrow=True)
+            assert ok["ok"] and ok["table"].num_rows == 10
+    finally:
+        srv.stop()
