@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     # falsifiable like everything else)
     "ivfpq_indexed_topk",
     "bm25_topk_docs",
+    # round-8 additions: proximity retrieval (positional pair-count
+    # fold over ≤2 pruned buckets) and the tombstone-delete query path
+    # (broadcast anti-join AFTER partition pruning — its cost at scale
+    # is the claim, so it's measured)
+    "near_search_docs",
+    "ivf_delete_topk",
 ]
 
 
