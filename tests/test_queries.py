@@ -240,6 +240,8 @@ PLAN_LINT_ALLOW = {
                                    # appended index
         "bm25_stream_append_topk", # same bounded shape over the
                                    # streamed+compacted index
+        "bm25_delete_topk",        # same bounded shape over the
+                                   # tombstoned index
         "hist_quantile_merged",    # cumsum window over the CONSTANT
                                    # <=256 sketch bins (no group key)
     },
