@@ -1,0 +1,373 @@
+"""Materialized incremental rollups: continuous aggregates on disk.
+
+The reference's tick-DB discipline appends time-ordered rows and reads
+bar queries over them (the mmap'd-table path, file.cc + the xbar verb's
+bucketing role in SURVEY §3.3); every production time-series store
+pairs that with a *continuous aggregate* — the hypertable-rollup shape:
+a persisted bars table that refreshes INCREMENTALLY on append, so a
+"5-minute bars over 100 TB of ticks" query reads the rollup (GB) and a
+refresh after an append aggregates the new tail only (MB), never the
+corpus.
+
+Design (Spark-native LSM, the same base+delta+epoch discipline as
+``operators.annindex`` / ``operators.textindex``):
+
+* The rollup stores MERGEABLE PARTIALS per ``(keys…, bucket)``:
+  ``cnt`` + per value column ``min/max/sum`` + ``open/close`` carried
+  as ``(ts, value)`` pairs so merge = lexicographic min/max.  Any two
+  partial rows for the same bucket merge associatively — the property
+  that makes the refresh a bounded job instead of a rescan.
+* Layout: ``path/bars/epoch=N/part_ns=P/*.parquet``.  ``part_ns`` is a
+  coarse time partition (default 1 day) derived from the bucket, so an
+  epoch touches only the partitions its increment's time span covers.
+  Epoch 0 is the initial build; each refresh writes one epoch holding
+  the MERGED state of the touched partitions.  A partition's current
+  state lives in the highest epoch that lists it (resolution is sidecar
+  metadata — no filesystem scan).
+* Refresh reads ``source WHERE ts >= watermark`` — a pushed-down range
+  predicate, so with time-ordered appends (the tick contract) parquet
+  row-group min/max skip everything but the new tail.  Late rows behind
+  the watermark are NOT picked up (document/backfill via
+  :func:`compact_rollup` + rebuild, or widen the source filter
+  yourself); this is the standard continuous-aggregate contract.
+* Crash safety: the epoch directory is written first (``overwrite`` —
+  a replayed refresh recomputes the same epoch deterministically and
+  overwrites it), the sidecar swaps in atomically LAST.  Readers only
+  trust epochs the sidecar lists, so a half-written epoch is invisible
+  and the replay is idempotent.  ``compact_rollup`` folds all epochs
+  into a fresh epoch-0 base through a staging dir + atomic swap.
+
+Exactness: ``cnt``/``min``/``max``/``open``/``close`` and integer
+``sum`` are associativity-immune — incremental refresh is bitwise equal
+to a full rebuild.  Double ``sum`` partials carry the usual fp
+association caveat (same as any distributed sum); keep money in int
+cents if you need bit-stable totals (the engine-wide discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import ArgsError
+from ..functions.temporal import DAY, ts_to_ns, xbar
+
+_META = "rollup.json"
+#: bump when the on-disk layout or partial-aggregation expressions
+#: change: readers refuse a different format loudly instead of
+#: misreading it
+FORMAT = 1
+
+
+# ----------------------------------------------------------------- sidecar
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, _META))  # atomic swap
+
+
+def rollup_meta(path: str) -> dict:
+    """The rollup sidecar (spec, watermark, epoch ledger)."""
+    with open(os.path.join(path, _META)) as fh:
+        meta = json.load(fh)
+    if meta.get("format") != FORMAT:
+        raise ArgsError(
+            f"rollup at {path} has format {meta.get('format')}, "
+            f"this code reads format {FORMAT} — rebuild it"
+        )
+    return meta
+
+
+def _tns(meta: dict):
+    c = F.col(meta["time_col"])
+    return ts_to_ns(c) if meta["time_kind"] == "timestamp" else c.cast("long")
+
+
+# ---------------------------------------------------------------- partials
+def _partials(df: DataFrame, meta: dict) -> DataFrame:
+    """Aggregate raw rows to one MERGEABLE partial row per
+    ``(keys…, bucket_ns)``.  open/close ride as ``(ts, value)`` structs
+    so the merge step is a plain lexicographic min/max — ties on the
+    timestamp break by value, deterministically on any layout."""
+    keys, values = meta["keys"], meta["values"]
+    tns = _tns(meta)
+    sel = df.select(
+        *[F.col(k) for k in keys],
+        xbar(tns, int(meta["width_ns"])).alias("bucket_ns"),
+        tns.alias("__tns"),
+        *[F.col(v) for v in values],
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for v in values:
+        aggs += [
+            F.min(v).alias(f"{v}_min"),
+            F.max(v).alias(f"{v}_max"),
+            F.sum(v).alias(f"{v}_sum"),
+            F.min(F.struct(F.col("__tns").alias("t"), F.col(v).alias("v"))).alias(
+                f"{v}_open"
+            ),
+            F.max(F.struct(F.col("__tns").alias("t"), F.col(v).alias("v"))).alias(
+                f"{v}_close"
+            ),
+        ]
+    return sel.groupBy(*keys, "bucket_ns").agg(*aggs)
+
+
+def _merge(parts: DataFrame, meta: dict) -> DataFrame:
+    """Fold partial rows with identical ``(keys…, bucket_ns)`` — the
+    associative merge that makes refresh incremental."""
+    keys, values = meta["keys"], meta["values"]
+    aggs = [F.sum("cnt").alias("cnt")]
+    for v in values:
+        aggs += [
+            F.min(f"{v}_min").alias(f"{v}_min"),
+            F.max(f"{v}_max").alias(f"{v}_max"),
+            F.sum(f"{v}_sum").alias(f"{v}_sum"),
+            F.min(f"{v}_open").alias(f"{v}_open"),
+            F.max(f"{v}_close").alias(f"{v}_close"),
+        ]
+    return parts.groupBy(*keys, "bucket_ns").agg(*aggs)
+
+
+def _with_part(parts: DataFrame, meta: dict) -> DataFrame:
+    # part_ns is DERIVED from bucket_ns, so leaf-dir reads (which drop
+    # the hive column) can always reconstruct it
+    return parts.withColumn(
+        "part_ns", xbar(F.col("bucket_ns"), int(meta["part_width_ns"]))
+    )
+
+
+def _partials_schema(meta: dict) -> T.StructType:
+    return T.StructType.fromJson(meta["partials_schema"])
+
+
+def _resolution(meta: dict) -> dict[int, int]:
+    """part_ns -> epoch holding its current state (last writer wins)."""
+    res: dict[int, int] = {}
+    for e in meta["epochs"]:
+        for p in e["parts"]:
+            res[int(p)] = int(e["epoch"])
+    return res
+
+
+def _leaf(path: str, epoch: int, part: int) -> str:
+    return os.path.join(path, "bars", f"epoch={epoch}", f"part_ns={part}")
+
+
+# ------------------------------------------------------------ create/read
+def create_rollup(
+    source: DataFrame,
+    path: str,
+    *,
+    time_col: str,
+    keys: list[str],
+    values: list[str],
+    width_ns: int,
+    part_width_ns: int = DAY,
+) -> dict:
+    """Build the rollup from scratch (epoch 0 = full partial aggregate).
+
+    ``time_col`` may be a Spark timestamp (converted to epoch-ns) or an
+    epoch-ns long.  ``width_ns`` is the bucket (e.g. ``span_ns(5,'m')``),
+    ``part_width_ns`` the coarse storage partition (default 1 day) —
+    choose it so one partition's bars fit an executor comfortably and an
+    append's time span touches few partitions."""
+    if width_ns <= 0 or part_width_ns <= 0:
+        raise ArgsError("width_ns and part_width_ns must be positive")
+    if part_width_ns % width_ns != 0:
+        raise ArgsError(
+            f"part_width_ns ({part_width_ns}) must be a multiple of "
+            f"width_ns ({width_ns}) so no bucket straddles partitions"
+        )
+    if not keys and not values:
+        raise ArgsError("need at least one key or value column")
+    dt = dict(zip(source.schema.names, source.schema.fields))
+    kind = (
+        "timestamp"
+        if isinstance(
+            dt[time_col].dataType, (T.TimestampType, T.TimestampNTZType)
+        )
+        else "ns"
+    )
+    # reset any previous rollup life FIRST (sidecar before trees), the
+    # build-hygiene discipline shared with annindex._clear_derived
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "format": FORMAT,
+        "time_col": time_col,
+        "time_kind": kind,
+        "keys": list(keys),
+        "values": list(values),
+        "width_ns": int(width_ns),
+        "part_width_ns": int(part_width_ns),
+        "watermark_ns": None,
+        "epochs": [],
+    }
+    stats = source.agg(
+        F.count(F.lit(1)).alias("n"), F.max(_tns(meta)).alias("mx")
+    ).head()
+    parts = _with_part(_partials(source, meta), meta)
+    meta["partials_schema"] = parts.drop("part_ns").schema.jsonValue()
+    if stats["n"] == 0:
+        # empty corpora are first-class: no epoch dir (empty partitioned
+        # writes leave schema-less trees), schema lives in the sidecar
+        meta["watermark_ns"] = 0
+        _write_meta(path, meta)
+        return meta
+    epoch_dir = os.path.join(path, "bars", "epoch=0")
+    parts.write.mode("overwrite").partitionBy("part_ns").parquet(epoch_dir)
+    touched = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(epoch_dir)
+        if d.startswith("part_ns=")
+    )
+    meta["epochs"] = [{"epoch": 0, "watermark_ns": int(stats["mx"]) + 1,
+                       "parts": touched}]
+    meta["watermark_ns"] = int(stats["mx"]) + 1
+    _write_meta(path, meta)
+    return meta
+
+
+def refresh_rollup(spark: SparkSession, path: str, source: DataFrame) -> dict:
+    """Fold everything at/after the watermark into the rollup.
+
+    Cost shape: one pushed-down tail scan of the source + a merge over
+    the TOUCHED partitions only (increment span / part_width of the
+    rollup, not the rollup).  Replay-idempotent: the epoch number and
+    its content are deterministic functions of (source, watermark), and
+    the sidecar — the only thing readers trust — swaps in last."""
+    meta = rollup_meta(path)
+    if meta["watermark_ns"] is None:
+        raise ArgsError(f"rollup at {path} was never created")
+    w_old = int(meta["watermark_ns"])
+    inc = source.where(_tns(meta) >= F.lit(w_old))
+    stats = inc.agg(
+        F.count(F.lit(1)).alias("n"), F.max(_tns(meta)).alias("mx")
+    ).head()
+    if stats["n"] == 0:
+        return {"rows": 0, "parts": [], "watermark_ns": w_old}
+    w_new = int(stats["mx"]) + 1
+    inc_parts = _with_part(_partials(inc, meta), meta)
+    epoch = len(meta["epochs"])
+    epoch_dir = os.path.join(path, "bars", f"epoch={epoch}")
+    # stage the increment's partials once; the touched-partition list
+    # is bounded by the increment's time span (appends are a tail)
+    inc_parts.write.mode("overwrite").parquet(epoch_dir + ".inc")
+    inc_stored = spark.read.parquet(epoch_dir + ".inc")
+    touched = sorted(
+        r["part_ns"] for r in inc_stored.select("part_ns").distinct().collect()
+    )
+    res = _resolution(meta)
+    old_dirs = [
+        _leaf(path, res[p], p) for p in touched if p in res
+    ]
+    schema = _partials_schema(meta)
+    merged = inc_stored.drop("part_ns")
+    if old_dirs:
+        old = spark.read.schema(schema).parquet(*old_dirs)
+        merged = _merge(merged.unionByName(old), meta)
+    merged = _with_part(merged, meta)
+    merged.write.mode("overwrite").partitionBy("part_ns").parquet(epoch_dir)
+    shutil.rmtree(epoch_dir + ".inc", ignore_errors=True)
+    meta["epochs"].append(
+        {"epoch": epoch, "watermark_ns": w_new, "parts": touched}
+    )
+    meta["watermark_ns"] = w_new
+    _write_meta(path, meta)  # commit point
+    return {"rows": int(stats["n"]), "parts": touched, "watermark_ns": w_new}
+
+
+def read_rollup(
+    spark: SparkSession,
+    path: str,
+    lo_ns: int | None = None,
+    hi_ns: int | None = None,
+    finalize: bool = True,
+) -> DataFrame:
+    """The current bars.  ``lo_ns``/``hi_ns`` bound the read at the
+    STORAGE layer — only partitions overlapping the range are opened
+    (driver-side leaf selection over sidecar metadata), then row-group
+    min/max on ``bucket_ns`` skip within them.
+
+    ``finalize=True`` unwraps the open/close pairs and adds ``{v}_avg``;
+    ``finalize=False`` returns raw partials (what :func:`_merge` eats —
+    the mergeable form, e.g. for cross-rollup unions)."""
+    meta = rollup_meta(path)
+    res = _resolution(meta)
+    pw = int(meta["part_width_ns"])
+    leafs = [
+        _leaf(path, e, p)
+        for p, e in sorted(res.items())
+        if (lo_ns is None or p + pw > lo_ns) and (hi_ns is None or p <= hi_ns)
+    ]
+    schema = _partials_schema(meta)
+    if leafs:
+        bars = spark.read.schema(schema).parquet(*leafs)
+    else:
+        bars = spark.createDataFrame([], schema)
+    if lo_ns is not None:
+        bars = bars.where(F.col("bucket_ns") >= F.lit(int(lo_ns)))
+    if hi_ns is not None:
+        bars = bars.where(F.col("bucket_ns") <= F.lit(int(hi_ns)))
+    if not finalize:
+        return bars
+    cols = [*(F.col(k) for k in meta["keys"]), F.col("bucket_ns"), F.col("cnt")]
+    for v in meta["values"]:
+        cols += [
+            F.col(f"{v}_min"),
+            F.col(f"{v}_max"),
+            F.col(f"{v}_sum"),
+            (F.col(f"{v}_sum") / F.col("cnt")).alias(f"{v}_avg"),
+            F.col(f"{v}_open.v").alias(f"{v}_open"),
+            F.col(f"{v}_close.v").alias(f"{v}_close"),
+        ]
+    return bars.select(*cols)
+
+
+def compact_rollup(spark: SparkSession, path: str) -> dict:
+    """Fold the epoch chain into a fresh single-epoch base.
+
+    Reads the RESOLVED state (no merge needed — resolution already
+    dedups partitions), rewrites it as epoch 0 through a staging dir,
+    swaps atomically, drops the old chain.  Run it when the epoch
+    ledger grows long (each refresh adds one)."""
+    meta = rollup_meta(path)
+    bars = _with_part(read_rollup(spark, path, finalize=False), meta)
+    staging = os.path.join(path, "bars.compacting")
+    shutil.rmtree(staging, ignore_errors=True)
+    n_parts = 0
+    if meta["epochs"]:
+        bars.write.mode("overwrite").partitionBy("part_ns").parquet(
+            os.path.join(staging, "epoch=0")
+        )
+        parts = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(staging, "epoch=0"))
+            if d.startswith("part_ns=")
+        )
+        n_parts = len(parts)
+    else:
+        parts = []
+    old = os.path.join(path, "bars")
+    trash = os.path.join(path, "bars.old")
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(old):
+        os.replace(old, trash)
+    if meta["epochs"]:
+        os.replace(staging, old)
+    meta["epochs"] = (
+        [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts}]
+        if parts
+        else []
+    )
+    _write_meta(path, meta)  # commit point
+    shutil.rmtree(trash, ignore_errors=True)
+    return {"epochs_folded": True, "parts": n_parts}

@@ -1,0 +1,276 @@
+"""Materialized incremental rollups (sources.rollup): the continuous-
+aggregate contract — incremental refresh == full rebuild, crash-replay
+idempotence, touched-partition-only writes, storage-level range reads.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kerf_spark.errors import ArgsError
+from kerf_spark.functions.temporal import DAY, HOUR, MINUTE, span_ns, ts_to_ns
+from kerf_spark.sources import rollup as RU
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path / "rollup")
+
+
+def _events(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _bars(spark, path):
+    return RU.read_rollup(spark, path).orderBy("event_type", "bucket_ns")
+
+
+def _full(spark, ev, path):
+    RU.create_rollup(
+        ev, path, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    return _bars(spark, path).collect()
+
+
+def test_incremental_equals_full_over_three_refreshes(spark, tmp):
+    ev = _events(spark)
+    full = _full(spark, ev, tmp + "/full")
+    # three time-ordered chunks (the tick-append shape)
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.4) a", "percentile(t, 0.8) b"
+    ).head()
+    a, b = int(qs["a"]), int(qs["b"])
+    path = tmp + "/inc"
+    RU.create_rollup(
+        ev.where(ts_to_ns("ts") < a), path, time_col="ts",
+        keys=["event_type"], values=["value"], width_ns=span_ns(5, "m"),
+    )
+    r1 = RU.refresh_rollup(spark, path, ev.where(ts_to_ns("ts") < b))
+    r2 = RU.refresh_rollup(spark, path, ev)
+    assert r1["rows"] > 0 and r2["rows"] > 0
+    assert _bars(spark, path).collect() == full
+    # the epoch ledger recorded each refresh
+    assert [e["epoch"] for e in RU.rollup_meta(path)["epochs"]] == [0, 1, 2]
+
+
+def test_empty_refresh_is_noop_and_watermark_advances(spark, tmp):
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    w = RU.rollup_meta(tmp)["watermark_ns"]
+    assert w == ev.agg(F.max(ts_to_ns("ts"))).head()[0] + 1
+    res = RU.refresh_rollup(spark, tmp, ev)
+    assert res == {"rows": 0, "parts": [], "watermark_ns": w}
+    assert len(RU.rollup_meta(tmp)["epochs"]) == 1  # no epoch written
+
+
+def test_create_on_empty_then_refresh_everything(spark, tmp):
+    ev = _events(spark)
+    full = _full(spark, ev, tmp + "/full")
+    path = tmp + "/inc"
+    RU.create_rollup(
+        ev.where(F.lit(False)), path, time_col="ts",
+        keys=["event_type"], values=["value"], width_ns=span_ns(5, "m"),
+    )
+    # empty rollup reads first-class (schema lives in the sidecar)
+    assert RU.read_rollup(spark, path).count() == 0
+    RU.refresh_rollup(spark, path, ev)
+    assert _bars(spark, path).collect() == full
+
+
+def test_crash_replay_is_idempotent(spark, tmp):
+    """A refresh that died after writing its epoch dir but before the
+    sidecar swap must replay to the exact same state: the sidecar is
+    the only thing readers trust, and the replayed epoch overwrites."""
+    import json
+
+    ev = _events(spark)
+    full = _full(spark, ev, tmp + "/full")
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.6) a"
+    ).head()
+    a = int(qs["a"])
+    path = tmp + "/inc"
+    RU.create_rollup(
+        ev.where(ts_to_ns("ts") < a), path, time_col="ts",
+        keys=["event_type"], values=["value"], width_ns=span_ns(5, "m"),
+    )
+    pre = RU.rollup_meta(path)
+    RU.refresh_rollup(spark, path, ev)
+    # simulate the crash: epoch=1 is on disk, sidecar says pre-refresh
+    with open(os.path.join(path, RU._META), "w") as fh:
+        json.dump(pre, fh)
+    # a reader between crash and replay sees the pre-refresh state
+    assert RU.rollup_meta(path)["watermark_ns"] == pre["watermark_ns"]
+    RU.refresh_rollup(spark, path, ev)  # the replay
+    assert _bars(spark, path).collect() == full
+
+
+def test_untouched_partitions_are_not_rewritten(spark, tmp):
+    """The incremental story: a refresh rewrites only the partitions
+    its increment touches — early days' files are byte-identical
+    (same paths, same mtimes)."""
+    ev = _events(spark)
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.9) a"
+    ).head()
+    a = int(qs["a"])
+    RU.create_rollup(
+        ev.where(ts_to_ns("ts") < a), tmp, time_col="ts",
+        keys=["event_type"], values=["value"], width_ns=span_ns(5, "m"),
+    )
+    e0 = os.path.join(tmp, "bars", "epoch=0")
+    before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(e0)
+        for f in fs
+    }
+    res = RU.refresh_rollup(spark, tmp, ev)
+    after = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(e0)
+        for f in fs
+    }
+    assert before == after  # epoch 0 untouched byte-for-byte
+    # and the touched-partition list is the increment's day span only
+    inc_days = sorted(
+        r[0]
+        for r in ev.where(ts_to_ns("ts") >= a)
+        .select((ts_to_ns("ts") - F.pmod(ts_to_ns("ts"), F.lit(DAY))))
+        .distinct()
+        .collect()
+    )
+    assert res["parts"] == inc_days
+
+
+def test_range_read_opens_only_overlapping_partitions(spark, tmp):
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    all_files = set(RU.read_rollup(spark, tmp).inputFiles())
+    days = sorted(
+        {p for p in RU._resolution(RU.rollup_meta(tmp))}
+    )
+    assert len(days) > 2
+    lo = days[len(days) // 2]
+    sub = RU.read_rollup(spark, tmp, lo_ns=lo)
+    sub_files = set(sub.inputFiles())
+    # storage-level pruning: strictly fewer files opened
+    assert sub_files < all_files
+    rows = sub.collect()
+    assert rows and all(r["bucket_ns"] >= lo for r in rows)
+
+
+def test_partials_exactness_and_finalize_columns(spark, tmp):
+    """cnt/min/max/open/close and INTEGER sums are associativity-immune
+    — bit-equal between incremental and full — and open/close break
+    timestamp ties by value, deterministically."""
+    rows = [
+        # one bucket, tied timestamps: open = min (t, v), close = max
+        (1000, "a", 5), (1000, "a", 3), (1000, "a", 7),
+        (2000, "a", 1),
+        # second key
+        (1500, "b", 4),
+    ]
+    df = spark.createDataFrame(rows, "tns long, k string, v long")
+    RU.create_rollup(
+        df.where(F.col("tns") < 1500), tmp, time_col="tns", keys=["k"],
+        values=["v"], width_ns=MINUTE, part_width_ns=HOUR,
+    )
+    RU.refresh_rollup(spark, tmp, df)
+    got = {
+        (r["k"],): r
+        for r in RU.read_rollup(spark, tmp).collect()
+    }
+    ra, rb = got[("a",)], got[("b",)]
+    assert ra["cnt"] == 4 and ra["v_sum"] == 16  # long-exact
+    assert ra["v_min"] == 1 and ra["v_max"] == 7
+    assert ra["v_open"] == 3   # tie at t=1000 -> smallest value
+    assert ra["v_close"] == 1  # t=2000 is latest
+    assert ra["v_avg"] == 4.0
+    assert rb["cnt"] == 1 and rb["v_open"] == rb["v_close"] == 4
+
+
+def test_compact_folds_epochs_and_is_idempotent(spark, tmp):
+    ev = _events(spark)
+    full = _full(spark, ev, tmp + "/full")
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.5) a"
+    ).head()
+    a = int(qs["a"])
+    path = tmp + "/inc"
+    RU.create_rollup(
+        ev.where(ts_to_ns("ts") < a), path, time_col="ts",
+        keys=["event_type"], values=["value"], width_ns=span_ns(5, "m"),
+    )
+    RU.refresh_rollup(spark, path, ev)
+    assert len(RU.rollup_meta(path)["epochs"]) == 2
+    RU.compact_rollup(spark, path)
+    meta = RU.rollup_meta(path)
+    assert [e["epoch"] for e in meta["epochs"]] == [0]
+    assert _bars(spark, path).collect() == full
+    # idempotent, and refresh keeps working after a compaction
+    RU.compact_rollup(spark, path)
+    assert _bars(spark, path).collect() == full
+    assert RU.refresh_rollup(spark, path, ev)["rows"] == 0
+
+
+def test_create_rejects_bad_spec(spark, tmp):
+    ev = _events(spark)
+    with pytest.raises(ArgsError, match="positive"):
+        RU.create_rollup(
+            ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+            width_ns=0,
+        )
+    with pytest.raises(ArgsError, match="multiple"):
+        RU.create_rollup(
+            ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+            width_ns=7 * MINUTE, part_width_ns=DAY,
+        )
+    with pytest.raises(ArgsError, match="key or value"):
+        RU.create_rollup(
+            ev, tmp, time_col="ts", keys=[], values=[], width_ns=MINUTE,
+        )
+
+
+def test_format_mismatch_refuses_loudly(spark, tmp):
+    import json
+
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    meta = RU.rollup_meta(tmp)
+    meta["format"] = RU.FORMAT + 1
+    with open(os.path.join(tmp, RU._META), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ArgsError, match="format"):
+        RU.read_rollup(spark, tmp)
+
+
+def test_create_clears_previous_rollup_life(spark, tmp):
+    """Build hygiene (the annindex._clear_derived discipline): a
+    re-create must not union stale epochs from the previous life."""
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    RU.refresh_rollup(spark, tmp, ev)  # no-op, but exercise the path
+    # re-create on HALF the data: old epoch-0 (full) must be gone
+    half = ev.where(F.col("event_id") % 2 == 0)
+    RU.create_rollup(
+        half, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    n_half = RU.read_rollup(spark, tmp).agg(F.sum("cnt")).head()[0]
+    assert n_half == half.count()
