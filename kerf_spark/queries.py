@@ -11960,6 +11960,79 @@ def refit_oracles(sf_dir: str) -> None:
     )
 
 
+@query(
+    "rollup_incremental_bars",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 300000000000 AS bucket_ns,
+             epoch_ns(ts) AS tns, value
+      FROM events
+    ), r AS (
+      SELECT event_type, bucket_ns, tns, value,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns ASC, value ASC) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns DESC, value DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket_ns, count(*) AS cnt,
+           min(value) AS value_min, max(value) AS value_max,
+           max(CASE WHEN ra = 1 THEN value END) AS value_open,
+           max(CASE WHEN rd = 1 THEN value END) AS value_close
+    FROM r GROUP BY event_type, bucket_ns
+    ORDER BY event_type, bucket_ns
+    """,
+)
+def rollup_incremental_bars(spark, sf):
+    """Materialized incremental rollup end-to-end (sources.rollup —
+    the continuous-aggregate/hypertable-rollup shape over the
+    reference's tick-append discipline, file.cc + the xbar bucketing
+    verb): CREATE the persisted 5-minute bars on the first ~80% of
+    events by time, REFRESH with the full table (only the tail behind
+    the watermark is aggregated; only the touched day-partitions are
+    rewritten as a new epoch), then read the finalized bars.  The
+    oracle recomputes every bar from the raw events directly, so a
+    refresh that drops/duplicates tail rows, resurrects a stale epoch,
+    or merges open/close pairs in the wrong order is a value mismatch.
+    Selected columns are associativity-immune (cnt/min/max and
+    (ts,value)-lexicographic open/close) — incremental == full rebuild
+    bitwise, which is exactly what the oracle asserts."""
+    from .sources import rollup as RU
+
+    ev = _t(spark, sf, "events")
+    path = _ann_index_dir(sf, "rollup")
+    mx = ev.agg(F.max("ts")).head()[0]
+    fresh = False
+    try:
+        meta = RU.rollup_meta(path)
+        fresh = (
+            meta["watermark_ns"] == int(mx) + 1
+            and len(meta["epochs"]) >= 2
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        split = int(ev.selectExpr("percentile(ts, 0.8) AS p").head()["p"])
+        RU.create_rollup(
+            ev.where(F.col("ts") < split),
+            path,
+            time_col="ts",
+            keys=["event_type"],
+            values=["value"],
+            width_ns=TM.span_ns(5, "m"),
+        )
+        RU.refresh_rollup(spark, path, ev)
+    return (
+        RU.read_rollup(spark, path)
+        .select(
+            "event_type", "bucket_ns", "cnt",
+            "value_min", "value_max", "value_open", "value_close",
+        )
+        .orderBy("event_type", "bucket_ns")
+    )
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
@@ -12169,6 +12242,7 @@ _R08_WINDOW = [
     # round-8 additions
     "workspace_tree_roundtrip", "ivf_delete_topk", "bm25_delete_topk",
     "kerf_lang_verb_breadth", "near_search_docs", "ppjoin_capped_audit",
+    "rollup_incremental_bars",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",
