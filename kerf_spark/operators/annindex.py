@@ -74,8 +74,13 @@ from .similarity import (
 _META = "ann_index.json"
 # bump when the on-disk layout or assignment expressions change: a
 # sidecar with a different format is_stale, so persisted indexes built
-# by older code rebuild instead of being misread
-FORMAT = 1
+# by older code rebuild instead of being misread.
+# 2: stored rows carry a ``__gen`` write-generation column and
+#    tombstones carry ``__upto`` — point-in-time deletes (the Lucene
+#    segment-generation discipline), which is what makes UPSERT
+#    (delete-then-add of the same id) possible without resurrecting or
+#    re-killing the new version.
+FORMAT = 2
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -188,7 +193,10 @@ def build_ivf_index(
         _c(id_col).alias(id_col),
         _c(vec_col).alias(vec_col),
         cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
-    ).select(id_col, vec_col, argmin_cell("__d2s").alias("cell"))
+    ).select(
+        id_col, vec_col, argmin_cell("__d2s").alias("cell"),
+        F.lit(0).cast("long").alias("__gen"),
+    )
     cpath = os.path.join(path, "corpus")
     schema_json = assigned.schema.json()
     assigned.write.mode("overwrite").partitionBy("cell").parquet(cpath)
@@ -205,6 +213,8 @@ def build_ivf_index(
         "id_col": id_col,
         "centroids": [[float(x) for x in c] for c in cents],
         "rows": n_rows,
+        "seq": 0,
+        "tomb_killed": 0,
         "schema": schema_json,
         "freshness": list(_input_freshness(corpus)),
     }
@@ -286,7 +296,8 @@ def build_pq_index(
     _clear_derived(path)
     books = pq_fit(corpus, m, k, iters, dim, vec_col, id_col, seed)
     enc = pq_encode(corpus, books, vec_col, id_col).select(
-        _c(id_col).alias("neighbor_id"), "codes"
+        _c(id_col).alias("neighbor_id"), "codes",
+        F.lit(0).cast("long").alias("__gen"),
     )
     cpath = os.path.join(path, "codes")
     schema_json = enc.schema.json()
@@ -305,6 +316,8 @@ def build_pq_index(
         "id_col": id_col,
         "codebooks": books,
         "rows": n_rows,
+        "seq": 0,
+        "tomb_killed": 0,
         "schema": schema_json,
         "freshness": list(_input_freshness(corpus)),
     }
@@ -339,7 +352,7 @@ def build_ivfpq_index(
     cents_lit = array_lit([[float(x) for x in c] for c in cents])
     assigned = _ivfpq_assign(
         corpus, cents_lit, books, dim // m, vec_col, id_col
-    )
+    ).withColumn("__gen", F.lit(0).cast("long"))
     cpath = os.path.join(path, "corpus")
     schema_json = assigned.schema.json()
     assigned.write.mode("overwrite").partitionBy("cell").parquet(cpath)
@@ -359,6 +372,8 @@ def build_ivfpq_index(
         "centroids": [[float(x) for x in c] for c in cents],
         "codebooks": books,
         "rows": n_rows,
+        "seq": 0,
+        "tomb_killed": 0,
         "schema": schema_json,
         "freshness": list(_input_freshness(corpus)),
     }
@@ -545,7 +560,9 @@ def append_to_index(path: str, rows: DataFrame) -> dict:
     freshness signal so the full lineage is auditable."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    gen = _gen_high(path, meta) + 1
     assigned, pcols = _assign_rows(meta, rows)
+    assigned = assigned.withColumn("__gen", F.lit(gen).cast("long"))
     cpath = os.path.join(path, _base_dir(meta))
     w = assigned.write.mode("append")
     if pcols:
@@ -557,8 +574,31 @@ def append_to_index(path: str, rows: DataFrame) -> dict:
         {"rows": appended, "freshness": list(_input_freshness(rows))}
     ]
     meta["rows"] = n_rows
+    meta["seq"] = gen
     _write_meta(path, meta)
     return meta
+
+
+def _gen_high(path: str, meta: dict) -> int:
+    """The highest write-generation currently visible: the sidecar's
+    ``seq`` (batch appends) folded with any streaming delta epochs on
+    disk (delta rows carry ``stream_base + epoch`` — the sink can't
+    bump the sidecar per epoch, it is lock-free by design, so the gen
+    order is recovered here from the epoch directory names).  Bounded:
+    one directory listing."""
+    g = int(meta.get("seq", 0))
+    sb = meta.get("stream_base")
+    if sb is not None:
+        spath = os.path.join(path, "stream")
+        if os.path.isdir(spath):
+            eps = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(spath)
+                if d.startswith("epoch=")
+            ]
+            if eps:
+                g = max(g, int(sb) + max(eps))
+    return g
 
 
 def _tomb_id(meta: dict) -> str:
@@ -581,22 +621,65 @@ def delete_from_index(path: str, ids: DataFrame) -> dict:
     ``ids``: a DataFrame whose FIRST column holds the ids to delete
     (any column name; it is aligned to the stored id column).
     Deleting an id twice, or an id the index never held, is a no-op
-    at read time (anti-join semantics); the sidecar's ``tombstones``
-    count is the DISTINCT tombstone count, so the live-row arithmetic
-    stays exact for replayed deletes."""
+    at read time; the sidecar's ``tomb_killed`` counter is the EXACT
+    number of stored rows each delete killed (measured over the live
+    view, so replays contribute zero) — the live-row arithmetic that
+    sizes the top-k strategy stays exact.
+
+    Tombstones are POINT-IN-TIME: each carries ``__upto`` = the
+    highest write-generation visible at delete time, and reads kill a
+    row only when its ``__gen <= __upto``.  A later re-add of the same
+    id (``upsert_into_index``) gets a higher generation and survives —
+    the Lucene segment-generation discipline."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
     idname = _tomb_id(meta)
-    rows = ids.select(F.col(ids.columns[0]).alias(idname))
+    upto = _gen_high(path, meta)
+    spark = ids.sparkSession
+    # exact killed-count over the LIVE view (prior tombstones already
+    # filtered by _stored, so replayed ids contribute zero)
+    live, _ = _stored(spark, path, meta)
+    killed = live.join(
+        F.broadcast(ids.select(F.col(ids.columns[0]).alias(idname))),
+        idname,
+        "left_semi",
+    ).count()
+    rows = ids.select(
+        F.col(ids.columns[0]).alias(idname),
+        F.lit(upto).cast("long").alias("__upto"),
+    )
     tpath = os.path.join(path, "tombstones")
     # unpartitioned append: even an empty batch writes a schema-bearing
     # footer, so the tombstone tree always self-describes
     rows.write.mode("append").parquet(tpath)
     n = (
-        ids.sparkSession.read.parquet(tpath)
+        spark.read.parquet(tpath)
         .select(idname).distinct().count()
     )
     meta["tombstones"] = int(n)
+    meta["tomb_killed"] = int(meta.get("tomb_killed", 0)) + int(killed)
+    _write_meta(path, meta)
+    return meta
+
+
+def upsert_into_index(path: str, rows: DataFrame) -> dict:
+    """Update-or-insert vectors by id — delete-then-add, the only
+    upsert shape a write-once format supports (FAISS has no update
+    either; Lucene does exactly this with generations): tombstone the
+    incoming ids at the current generation, then append ``rows`` at
+    the next one, so the new versions survive the tombstone and the
+    old versions die.  Ids the index never held are plain inserts (the
+    tombstone is a no-op for them).
+
+    Crash between the two steps leaves the ids deleted but not
+    re-added; re-running the upsert converges (the replayed tombstone
+    kills nothing — the old versions are already dead)."""
+    meta = index_meta(path)
+    _check_not_folding(meta, path)
+    idname = _tomb_id(meta)
+    delete_from_index(path, rows.select(_c(meta["id_col"]).alias(idname)))
+    meta = append_to_index(path, rows)
+    meta["upserts"] = meta.get("upserts", 0) + 1
     _write_meta(path, meta)
     return meta
 
@@ -611,12 +694,24 @@ def index_stream_sink(path: str):
     own directory, so exactly-once per epoch with zero sink-side
     state.  The sidecar is NOT touched per epoch (lock-free under
     concurrent readers); the delta tree is self-describing and its
-    row count is footer metadata at query time."""
+    row count is footer metadata at query time.
+
+    Write generations: sink creation records ``stream_base`` in the
+    sidecar once; each epoch's rows carry ``__gen = stream_base +
+    epoch`` — monotone across epochs without per-epoch sidecar writes,
+    and :func:`_gen_high` recovers the order for later appends and
+    point-in-time deletes from the epoch directory names."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    base = _gen_high(path, meta) + 1
+    meta["stream_base"] = base
+    _write_meta(path, meta)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         assigned, pcols = _assign_rows(meta, batch)
+        assigned = assigned.withColumn(
+            "__gen", F.lit(base + int(epoch_id)).cast("long")
+        )
         w = assigned.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
@@ -645,13 +740,24 @@ def _stored(
     tpath = os.path.join(path, "tombstones")
     if os.path.isdir(tpath):
         idname = _tomb_id(meta)
-        tomb = spark.read.parquet(tpath).select(idname).distinct()
-        # broadcast anti-join AFTER partition pruning: the probe still
-        # reads only probed cells, then drops the dead ids in-stream
-        out = out.join(F.broadcast(tomb), idname, "left_anti")
+        # point-in-time kill: a row dies only when some tombstone for
+        # its id was written at-or-after the row's generation —
+        # max(__upto) per id carries every delete, and an upserted
+        # row's higher __gen survives.  Broadcast left join AFTER
+        # partition pruning: the probe still reads only probed cells.
+        tomb = (
+            spark.read.parquet(tpath)
+            .groupBy(idname)
+            .agg(F.max("__upto").alias("__upto"))
+        )
+        out = (
+            out.join(F.broadcast(tomb), idname, "left")
+            .where(F.col("__upto").isNull() | (F.col("__gen") > F.col("__upto")))
+            .drop("__upto")
+        )
         if live is not None:
-            live = max(live - int(meta.get("tombstones", 0)), 0)
-    return out, live
+            live = max(live - int(meta.get("tomb_killed", 0)), 0)
+    return out.drop("__gen"), live
 
 
 def _check_not_folding(meta: dict, path: str) -> None:
@@ -692,7 +798,10 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     bpath = os.path.join(path, _base_dir(meta))
     # _stored already excludes tombstoned ids, so the folded rewrite IS
     # the delete fold: dead rows leave the base, tombstones drop after
+    # the folded base restarts the generation clock at 0 (every
+    # surviving row is equally "current" after the fold)
     merged, _ = _stored(spark, path, meta)
+    merged = merged.withColumn("__gen", F.lit(0).cast("long"))
     tmp = bpath + ".compacting"
     w = merged.write.mode("overwrite")
     if meta.get("kind") != "pq":
@@ -709,7 +818,10 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     shutil.rmtree(old)
     meta.pop("folding", None)
     meta.pop("tombstones", None)
+    meta.pop("stream_base", None)
     meta["rows"] = n_rows
+    meta["seq"] = 0
+    meta["tomb_killed"] = 0
     meta["compactions"] = meta.get("compactions", 0) + 1
     _write_meta(path, meta)  # commit: marker cleared last
     return meta

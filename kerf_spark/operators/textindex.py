@@ -70,8 +70,11 @@ from .similarity import _input_freshness
 
 _META = "text_index.json"
 # bump when the on-disk layout or tokenizer expressions change (the
-# annindex.FORMAT contract): older-code indexes rebuild, never misread
-FORMAT = 1
+# annindex.FORMAT contract): older-code indexes rebuild, never misread.
+# 2: every table row carries a ``__gen`` write-generation column and
+#    tombstones carry ``__upto`` — point-in-time deletes (the
+#    annindex FORMAT 2 discipline) enabling document UPSERT.
+FORMAT = 2
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -149,6 +152,7 @@ def _derive_tables(
     min_len: int,
     n_buckets: int,
     positions: bool,
+    gen: int = 0,
 ) -> dict:
     """Every index table derived from ``docs`` —
     ``{name: (df, partition_cols)}`` — shared by build, batch append,
@@ -182,7 +186,13 @@ def _derive_tables(
             .sortWithinPartitions("term", id_col)
         )
         out["positions"] = (pos_post, ["tb"])
-    return out
+    # write-generation stamp (constant per write batch): what lets a
+    # point-in-time tombstone kill the old version of an upserted doc
+    # while its re-derived rows survive at the next generation
+    return {
+        name: (df.withColumn("__gen", F.lit(int(gen)).cast("long")), pcols)
+        for name, (df, pcols) in out.items()
+    }
 
 
 def build_text_index(
@@ -244,6 +254,7 @@ def build_text_index(
         "has_positions": bool(positions),
         "n_docs": int(stats["n"]),
         "sum_dl": int(stats["s"]),
+        "seq": 0,
         "schemas": schemas,
         "freshness": list(_input_freshness(docs)),
     }
@@ -294,15 +305,24 @@ def _index_table(
             )
     tpath = os.path.join(path, "tombstones")
     if os.path.isdir(tpath) and meta is not None:
+        # point-in-time kill (the annindex._stored discipline): a row
+        # dies only when a tombstone for its doc was written at-or-
+        # after the row's generation — an upserted doc's re-derived
+        # rows carry a higher __gen and survive.  Broadcast join AFTER
+        # bucket pruning: postings/positions scans stay pruned.
         tomb = (
             spark.read.parquet(tpath)
-            .select(meta["id_col"]).distinct()
+            .groupBy(meta["id_col"])
+            .agg(F.max("__upto").alias("__upto"))
         )
-        # broadcast anti-join AFTER bucket pruning: postings/positions
-        # scans stay pruned to the query terms' buckets, then dead
-        # docs drop in-stream (delete_from_text_index semantics)
-        out = out.join(F.broadcast(tomb), meta["id_col"], "left_anti")
-    return out
+        out = (
+            out.join(F.broadcast(tomb), meta["id_col"], "left")
+            .where(
+                F.col("__upto").isNull() | (F.col("__gen") > F.col("__upto"))
+            )
+            .drop("__upto")
+        )
+    return out.drop("__gen")
 
 
 def _live_stats(
@@ -365,6 +385,8 @@ def delete_from_text_index(path: str, ids) -> dict:
         raise TypeError(
             "delete_from_text_index needs a DataFrame of doc ids"
         )
+    from .annindex import _gen_high
+
     spark = ids.sparkSession
     rows = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
     # exact removed-stat delta over the LIVE doclens (prior tombstones
@@ -378,9 +400,34 @@ def delete_from_text_index(path: str, ids) -> dict:
         )
         .collect()[0]
     )
+    # point-in-time: kills everything visible NOW, spares later gens
+    rows = rows.withColumn(
+        "__upto", F.lit(_gen_high(path, meta)).cast("long")
+    )
     rows.write.mode("append").parquet(os.path.join(path, "tombstones"))
     meta["tomb_docs"] = int(meta.get("tomb_docs", 0)) + int(gone["n"])
     meta["tomb_dl"] = int(meta.get("tomb_dl", 0)) + int(gone["s"])
+    _write_meta(path, meta)
+    return meta
+
+
+def upsert_into_text_index(path: str, docs: DataFrame) -> dict:
+    """Update-or-insert documents by id — delete-then-add with write
+    generations (the annindex.upsert_into_index mirror, Lucene's
+    update-document shape): tombstone the incoming doc ids at the
+    current generation (exact ``(count, Σdl)`` of the OLD versions
+    leaves the BM25 stats), then append the new texts at the next
+    generation (their doclens enter the stats) — so avgdl/idf reflect
+    the corpus with the NEW text, and reads return exactly one live
+    version per doc.  Ids the index never held are plain inserts.
+
+    Crash between the steps leaves the docs deleted; re-running the
+    upsert converges (the replayed tombstone kills nothing)."""
+    meta = index_meta(path)
+    _check_not_folding(meta, path)
+    delete_from_text_index(path, docs.select(meta["id_col"]))
+    meta = append_to_text_index(path, docs)
+    meta["upserts"] = meta.get("upserts", 0) + 1
     _write_meta(path, meta)
     return meta
 
@@ -608,6 +655,9 @@ def append_to_text_index(path: str, docs: DataFrame) -> dict:
     the reference's tick-log model)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    from .annindex import _gen_high
+
+    gen = _gen_high(path, meta) + 1
     tables = _derive_tables(
         docs,
         meta["text_col"],
@@ -615,6 +665,7 @@ def append_to_text_index(path: str, docs: DataFrame) -> dict:
         meta["min_len"],
         meta["n_buckets"],
         meta.get("has_positions", False),
+        gen=gen,
     )
     for name, (df, pcols) in tables.items():
         w = df.write.mode("append")
@@ -638,6 +689,7 @@ def append_to_text_index(path: str, docs: DataFrame) -> dict:
             "freshness": list(_input_freshness(docs)),
         }
     ]
+    meta["seq"] = gen
     _write_meta(path, meta)
     return meta
 
@@ -651,8 +703,13 @@ def text_index_stream_sink(path: str):
     untouched per epoch (lock-free); query-time stats add one tiny
     aggregation over the delta doclens.  Fold with
     :func:`compact_text_index`."""
+    from .annindex import _gen_high
+
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    base = _gen_high(path, meta) + 1
+    meta["stream_base"] = base
+    _write_meta(path, meta)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         tables = _derive_tables(
@@ -662,6 +719,7 @@ def text_index_stream_sink(path: str):
             meta["min_len"],
             meta["n_buckets"],
             meta.get("has_positions", False),
+            gen=base + int(epoch_id),
         )
         edir = os.path.join(path, "stream", f"epoch={int(epoch_id)}")
         for name, (df, pcols) in tables.items():
@@ -700,7 +758,9 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     for name in names:  # heavy phase: all staging dirs written first
         # _index_table already excludes tombstoned docs, so the folded
         # rewrite IS the delete fold too
-        merged = _index_table(spark, path, name, meta)
+        merged = _index_table(spark, path, name, meta).withColumn(
+            "__gen", F.lit(0).cast("long")
+        )
         w = merged.write.mode("overwrite")
         if name != "doclens":
             w = w.partitionBy("tb")
@@ -718,6 +778,8 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     meta.pop("folding", None)
     meta.pop("tomb_docs", None)
     meta.pop("tomb_dl", None)
+    meta.pop("stream_base", None)
+    meta["seq"] = 0
     stats = (
         spark.read.parquet(os.path.join(path, "doclens"))
         .agg(

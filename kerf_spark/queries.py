@@ -4846,7 +4846,7 @@ ORACLES["lsh_ann_topk_oracle"] = _lsh_oracle_sql()
 
 def _ivf_oracle_sql(
     k=5, n_cells=8, nprobe=4, nq=8, sf_dir="/root/testdata/sf0.01",
-    build_where="", corpus_where="",
+    build_where="", corpus_where="", corpus_emb="embedding",
 ) -> str:
     """Build the DuckDB oracle for IVF top-k.  The centroids come from
     the SAME deterministic driver-side k-means (`kmeans_centroids`) over
@@ -4862,7 +4862,11 @@ def _ivf_oracle_sql(
     ``corpus_where`` restricts the candidate NEIGHBOR corpus only (the
     delete-path oracle: quantizer fit before the delete, tombstoned
     rows excluded from answers — annindex.delete_from_index
-    semantics); queries keep probing with the full-fit centroids."""
+    semantics); queries keep probing with the full-fit centroids.
+    ``corpus_emb`` rewrites the LIVE embedding expression (the
+    upsert-path oracle: quantizer fit on the original vectors, but
+    candidates/queries carry the post-upsert ones —
+    annindex.upsert_into_index semantics)."""
     import duckdb
 
     from .operators.similarity import kmeans_centroids
@@ -4889,7 +4893,7 @@ def _ivf_oracle_sql(
     )
     return f"""
     WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      SELECT vec_id, list_transform({corpus_emb}, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ), cd AS (
       SELECT vec_id, emb, {dist} AS dists FROM e
@@ -5250,7 +5254,54 @@ def ivfpq_indexed_topk(spark, sf):
     return AI.ivfpq_topk_indexed(spark, path, q, k=5, nprobe=4, cand=50)
 
 
+@query("ivf_upsert_topk", None)
+def ivf_upsert_topk(spark, sf):
+    """Index UPSERTS end-to-end (annindex.upsert_into_index —
+    delete-then-add with write generations, the Lucene
+    update-document discipline): build the IVF index on the full
+    corpus, upsert every vec_id ≡ 3 (mod 10) with its REVERSED
+    embedding (re-assigns most of them to a different cell), answer
+    top-k with queries that also carry the post-upsert vectors.  The
+    oracle fits centroids on the ORIGINAL vectors (the quantizer is
+    frozen at build) but scores the post-upsert corpus — so a
+    resurrected old version, a lost new version, or a double-counted
+    id is a value mismatch."""
+    em = _t(spark, sf, "embeddings")
+    path = _ann_index_dir(sf, "ivfups")
+    need = AI.is_stale(path, em)
+    if not need:
+        # a build that died before its upsert leaves a fresh-but-
+        # unmodified index; the upserts record is the completion marker
+        need = "upserts" not in AI.index_meta(path)
+    if need:
+        AI.build_ivf_index(em, path, n_cells=8)
+        AI.upsert_into_index(
+            path,
+            em.where(F.col("vec_id") % 10 == 3).select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            ),
+        )
+    q = em.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 10 == 3, F.reverse("embedding")
+        ).otherwise(F.col("embedding")),
+    ).where(F.col("vec_id") < 8)
+    return AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+_UPSERT_EMB_CASE = (
+    "CASE WHEN vec_id % 10 = 3 THEN list_reverse(embedding) "
+    "ELSE embedding END"
+)
+
 _attach_oracle("ivf_indexed_topk", _ivf_oracle_sql)
+_attach_oracle(
+    "ivf_upsert_topk",
+    lambda: _ivf_oracle_sql(corpus_emb=_UPSERT_EMB_CASE),
+)
 _attach_oracle("pq_indexed_topk", _pq_topk_oracle_sql)
 _attach_oracle(
     "ivf_append_topk",
@@ -6946,6 +6997,94 @@ def bm25_delete_topk(spark, sf):
         TI.delete_from_text_index(
             path, docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
         )
+    return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
+
+
+@query(
+    "bm25_upsert_topk",
+    """
+    WITH nxt AS (
+      SELECT doc_id - 1 AS doc_id, text AS ntext FROM documents
+    ), upd AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 7 = 3 AND n.ntext IS NOT NULL
+                  THEN n.ntext ELSE d.text END AS text
+      FROM documents d LEFT JOIN nxt n USING (doc_id)
+    ), toks AS (
+      SELECT doc_id, t AS term
+      FROM upd,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+      WHERE t <> '' AND length(t) >= 3
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('merge', 'stream', 'vector')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM post GROUP BY term
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.dfreq + 0.5)
+                        / (f.dfreq + 0.5))
+               * ((p.tf * 2.2) / (p.tf + 1.2 *
+                   (1.0 - 0.75 + 0.75 * d.dl /
+                    (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+               * 1000000.0
+             ) AS BIGINT) AS c
+      FROM post p
+      JOIN dfreq f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id,
+             round(sum(c) / 1000000.0, 6) AS score,
+             CAST(count(*) AS BIGINT) AS matched
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score, matched,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+      FROM agg
+    )
+    SELECT doc_id, score, matched, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def bm25_upsert_topk(spark, sf):
+    """Text-index UPSERTS end-to-end (textindex.upsert_into_text_index
+    — the retrieval mirror of ivf_upsert_topk): build on the full
+    corpus, replace the TEXT of every doc_id ≡ 3 (mod 7) with its
+    successor's text (delete-then-add with write generations), answer
+    BM25.  An upsert must swap EVERYTHING the score depends on — the
+    old postings die at their generation while the re-derived ones
+    survive, per-term df moves, and the sidecar counters subtract the
+    old doclens and add the new — so the oracle is the full BM25
+    replay over the UPDATED corpus: stale postings, resurrected text,
+    or drifted avgdl is a value mismatch."""
+    docs = _t(spark, sf, "documents")
+    path = _ann_index_dir(sf, "textups")
+    need = TI.is_stale(path, docs)
+    if not need:
+        # a build that died before its upsert leaves a fresh-but-
+        # unmodified index; the upserts record is the completion marker
+        need = "upserts" not in TI.index_meta(path)
+    if need:
+        TI.build_text_index(docs, path, n_buckets=32)
+        nxt = docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("text").alias("__new"),
+        )
+        up = (
+            docs.where(F.col("doc_id") % 7 == 3)
+            .join(nxt, "doc_id", "inner")
+            .select("doc_id", F.col("__new").alias("text"))
+        )
+        TI.upsert_into_text_index(path, up)
     return TI.bm25_topk(spark, path, _BM25_TERMS, k=10, k1=1.2, b=0.75)
 
 
@@ -11926,6 +12065,10 @@ def refit_oracles(sf_dir: str) -> None:
         ),
     )
     _attach_oracle(
+        "ivf_upsert_topk",
+        lambda: _ivf_oracle_sql(sf_dir=sf_dir, corpus_emb=_UPSERT_EMB_CASE),
+    )
+    _attach_oracle(
         "ivfpq_indexed_topk", lambda: _ivfpq_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
@@ -12242,7 +12385,7 @@ _R08_WINDOW = [
     # round-8 additions
     "workspace_tree_roundtrip", "ivf_delete_topk", "bm25_delete_topk",
     "kerf_lang_verb_breadth", "near_search_docs", "ppjoin_capped_audit",
-    "rollup_incremental_bars",
+    "rollup_incremental_bars", "ivf_upsert_topk", "bm25_upsert_topk",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",

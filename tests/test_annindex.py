@@ -393,3 +393,118 @@ def test_delete_from_pq_and_delta_interplay(spark, emb, tmp_path):
     assert all(r["neighbor_id"] % 4 != 1 for r in got.collect())
     meta = AI.compact_index(spark, path)
     assert meta["rows"] == even.count() + odd.count() - dead.count()
+
+
+def test_upsert_replaces_vectors_and_inserts_new(spark, emb, tmp_path):
+    """upsert_into_index: changed vectors re-enter at a higher write
+    generation, so the point-in-time tombstone kills only the OLD
+    version — no resurrection, no loss of the new one — and unknown
+    ids are plain inserts."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    n0 = AI.index_meta(path)["rows"]
+    # replace vec_id%10==3 with REVERSED embeddings (changes the cell
+    # assignment for most) and insert two brand-new ids
+    changed = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    fresh = emb.where(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    up = changed.unionByName(fresh)
+    meta = AI.upsert_into_index(path, up)
+    assert meta["rows"] == n0 + up.count()  # physical rows: old+new
+    stored, live = AI._stored(spark, path, AI.index_meta(path))
+    # live view: every id exactly once, upserted ids carry NEW vectors
+    assert live == n0 + fresh.count()
+    assert stored.count() == live
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in stored.join(
+            F.broadcast(up.select("vec_id")), "vec_id", "left_semi"
+        ).collect()
+    }
+    want = {r["vec_id"]: list(r["embedding"]) for r in up.collect()}
+    assert got == want
+    # queries see the new versions; compaction preserves them bitwise
+    q = emb.where(F.col("vec_id") < 8)
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    before = _rows(AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=8), cols)
+    AI.compact_index(spark, path)
+    after = _rows(AI.ivf_topk_indexed(spark, path, q, k=5, nprobe=8), cols)
+    assert before == after
+    assert AI.index_meta(path)["rows"] == live
+
+
+def test_upsert_twice_latest_generation_wins(spark, emb, tmp_path):
+    """Two upserts of the same id: the second version wins (gen order),
+    and a replayed delete of the FIRST generation cannot kill it."""
+    path = str(tmp_path / "pq")
+    AI.build_pq_index(emb, path, m=8, k=16)
+    one = emb.where(F.col("vec_id") == 7)
+    v1 = one.select("vec_id", F.reverse("embedding").alias("embedding"))
+    AI.upsert_into_index(path, v1)
+    AI.upsert_into_index(path, one)  # back to the original vector
+    stored, _ = AI._stored(spark, path, AI.index_meta(path))
+    rows = stored.where(F.col("neighbor_id") == 7).collect()
+    assert len(rows) == 1  # exactly one live version
+    # codes equal a fresh encode of the ORIGINAL vector
+    want = AI._assign_rows(AI.index_meta(path), one)[0].collect()[0]["codes"]
+    assert list(rows[0]["codes"]) == list(want)
+
+
+def test_upsert_after_stream_delta_gen_ordering(spark, emb, tmp_path):
+    """Rows living in the streaming delta tree are upsertable: the
+    tombstone's __upto (recovered from epoch dirs via _gen_high) covers
+    the delta generation, and the appended new version outranks it."""
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(even, path, n_cells=8)
+    AI.index_stream_sink(path)(odd, 0)
+    target = odd.where(F.col("vec_id") % 10 == 1)
+    newv = target.select("vec_id", F.reverse("embedding").alias("embedding"))
+    AI.upsert_into_index(path, newv)
+    stored, _ = AI._stored(spark, path, AI.index_meta(path))
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in stored.join(
+            F.broadcast(newv.select("vec_id")), "vec_id", "left_semi"
+        ).collect()
+    }
+    want = {r["vec_id"]: list(r["embedding"]) for r in newv.collect()}
+    assert got == want
+    # compaction folds delta + tombstones + upserts into one clean base
+    meta = AI.compact_index(spark, path)
+    assert meta["rows"] == even.count() + odd.count()
+    stored2, _ = AI._stored(spark, path, AI.index_meta(path))
+    got2 = {
+        r["vec_id"]: list(r["embedding"])
+        for r in stored2.join(
+            F.broadcast(newv.select("vec_id")), "vec_id", "left_semi"
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_upsert_crash_between_delete_and_add_converges(spark, emb, tmp_path):
+    """The documented crash contract: delete landed, append didn't —
+    the id is missing; re-running the same upsert converges to the
+    upserted state without double-killing or duplicating."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    up = emb.where(F.col("vec_id") == 11).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    # simulate the crash: only the tombstone half ran
+    AI.delete_from_index(path, up.select("vec_id"))
+    stored, _ = AI._stored(spark, path, AI.index_meta(path))
+    assert stored.where(F.col("vec_id") == 11).count() == 0
+    AI.upsert_into_index(path, up)  # the retry
+    stored, live = AI._stored(spark, path, AI.index_meta(path))
+    rows = stored.where(F.col("vec_id") == 11).collect()
+    assert len(rows) == 1
+    assert list(rows[0]["embedding"]) == [
+        float(x) for x in up.collect()[0]["embedding"]
+    ]
+    assert live == emb.count()

@@ -417,3 +417,91 @@ def test_near_search_refusals(spark, docs, index, tmp_path):
     TI.build_text_index(docs, nopos, positions=False)
     with pytest.raises(ValueError, match="positions"):
         TI.near_search(spark, nopos, "fast", "table")
+
+
+def test_upsert_doc_text_replaces_postings_and_stats(spark, docs, tmp_path):
+    """upsert_into_text_index: the new text's postings win (old
+    version dies at its generation, new survives at the next), BM25
+    stats reflect the corpus WITH the new text exactly, and after
+    compaction the index answers bitwise like one built fresh over the
+    updated corpus."""
+    path = str(tmp_path / "tix")
+    TI.build_text_index(docs, path)
+    # swap each upserted doc's text for the NEXT doc's text (stays
+    # inside the fixture vocabulary, guarantees real posting changes)
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__new")
+    )
+    up = (
+        docs.where(F.col("doc_id") % 7 == 3)
+        .join(nxt, "doc_id", "inner")
+        .select("doc_id", F.col("__new").alias("text"))
+    )
+    assert up.count() > 0
+    meta = TI.upsert_into_text_index(path, up)
+    assert meta["upserts"] == 1
+
+    # the updated corpus, as a plain DataFrame, for the fresh twin
+    updated = (
+        docs.join(up.select("doc_id", F.col("text").alias("__u")),
+                  "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__u"), F.col("text")).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+
+    def rows(df, cols):
+        return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+    terms = ["the", "and"]
+    bcols = ["doc_id", "score", "matched", "rank"]
+    got = rows(TI.bm25_topk(spark, path, terms, k=10), bcols)
+    fresh = str(tmp_path / "fresh")
+    TI.build_text_index(updated, fresh)
+    want = rows(TI.bm25_topk(spark, fresh, terms, k=10), bcols)
+    assert got == want  # live stats match the fresh build exactly
+    # compaction folds the upsert and stays bitwise-equal
+    TI.compact_text_index(spark, path)
+    assert rows(TI.bm25_topk(spark, path, terms, k=10), bcols) == want
+    # keyword + phrase surfaces agree with the fresh twin too
+    kw = rows(TI.keyword_search(spark, path, terms, mode="or"), ["doc_id"])
+    assert kw == rows(
+        TI.keyword_search(spark, fresh, terms, mode="or"), ["doc_id"]
+    )
+    ph = rows(TI.phrase_search(spark, path, ["of", "the"]), ["doc_id"])
+    assert ph == rows(TI.phrase_search(spark, fresh, ["of", "the"]), ["doc_id"])
+
+
+def test_upsert_inserts_unknown_doc_ids(spark, docs, tmp_path):
+    path = str(tmp_path / "tix")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    TI.build_text_index(half, path)
+    other = docs.where(F.col("doc_id") % 2 == 1)
+    TI.upsert_into_text_index(path, other)
+    # stats equal the full corpus
+    meta = TI.index_meta(path)
+    full = str(tmp_path / "full")
+    fmeta = TI.build_text_index(docs, full)
+    n, s = TI._live_stats(spark, path, meta)
+    assert (n, s) == (fmeta["n_docs"], fmeta["sum_dl"])
+
+
+def test_upsert_crash_replay_converges(spark, docs, tmp_path):
+    """Delete landed, append didn't: the doc is gone; re-running the
+    upsert converges without double-subtracting stats."""
+    path = str(tmp_path / "tix")
+    TI.build_text_index(docs, path)
+    up = docs.where(F.col("doc_id") == 5).select(
+        "doc_id", F.lit("replacement words only").alias("text")
+    )
+    meta0 = TI.index_meta(path)
+    TI.delete_from_text_index(path, up.select("doc_id"))  # the "crash"
+    TI.upsert_into_text_index(path, up)  # the retry
+    meta = TI.index_meta(path)
+    n, s = TI._live_stats(spark, path, meta)
+    # n_docs is back to the original count; sum_dl swapped old->new dl
+    assert n == meta0["n_docs"]
+    hits = TI.keyword_search(spark, path, ["replacement"], mode="and")
+    assert [r["doc_id"] for r in hits.collect()] == [5]
