@@ -627,6 +627,106 @@ def _loc_grade_up(x):
     return np.argsort(_np(x), kind="stable")
 
 
+def _loc_moving(agg, needs_float: bool = False):
+    """kerf1/q moving-window verbs ``m{avg,sum,min,max,count}(n, x)``:
+    the window EXPANDS over the first ``n-1`` positions (windows of
+    ``min(i+1, n)`` items — q's documented head behavior), then slides.
+    Script-plane values are driver-bounded literals, so the O(n·w)
+    slice walk is fine; the distributed spellings are
+    operators.windows.moving_* / chunked_moving."""
+
+    def run(n, x):
+        n = int(n)
+        if n <= 0:
+            raise ArgsError(f"moving window must be positive, got {n}")
+        v = _np(x)
+        out = [agg(v[max(0, i - n + 1): i + 1]) for i in range(len(v))]
+        return np.array(out, dtype=np.float64 if needs_float else None)
+
+    return run
+
+
+def _loc_ema(alpha, x):
+    """kerf1 ``ema``: y0 = x0, yi = a·xi + (1-a)·y(i-1) — the
+    recursive exponential smoother (the windows.ema_exact twin)."""
+    a = float(alpha)
+    v = _np(x).astype(np.float64)
+    out = np.empty(len(v))
+    for i in range(len(v)):
+        out[i] = v[i] if i == 0 else a * v[i] + (1.0 - a) * out[i - 1]
+    return out
+
+
+def _loc_prev(x):
+    """kerf1 ``prev``: shift right, null (NaN) in front — integer
+    input widens to float64, the script plane's null convention."""
+    v = _np(x).astype(np.float64)
+    if len(v) == 0:
+        return v
+    out = np.empty(len(v))
+    out[0], out[1:] = np.nan, v[:-1]
+    return out
+
+
+def _loc_next(x):
+    """kerf1 ``next``: shift left, null (NaN) at the back."""
+    v = _np(x).astype(np.float64)
+    if len(v) == 0:
+        return v
+    out = np.empty(len(v))
+    out[-1], out[:-1] = np.nan, v[1:]
+    return out
+
+
+def _loc_fills(x):
+    """kerf1 ``fills``: forward-fill nulls (NaN); leading nulls stay
+    (nothing to carry) — the windows.ffill twin."""
+    v = _np(x).astype(np.float64)
+    mask = np.isnan(v)
+    idx = np.where(~mask, np.arange(len(v)), 0)
+    np.maximum.accumulate(idx, out=idx)
+    return v[idx]
+
+
+def _loc_ratios(x):
+    """kerf1 ``ratios``: first element unchanged, then x[i]/x[i-1]
+    (the multiplicative mapback — deltas' sibling)."""
+    v = _np(x).astype(np.float64)
+    if len(v) == 0:
+        return v
+    return np.concatenate(([v[0]], v[1:] / v[:-1]))
+
+
+def _loc_union(x, y):
+    """kerf1 ``union``: distinct elements, first-appearance order
+    across x then y (NOT np.unique's sorted order)."""
+    a = np.concatenate([np.atleast_1d(_np(x)), np.atleast_1d(_np(y))])
+    _, idx = np.unique(a, return_index=True)
+    return a[np.sort(idx)]
+
+
+def _loc_enlist(x):
+    """kerf1 ``enlist``: wrap in a 1-item list (vectors nest)."""
+    v = _np(x)
+    if np.ndim(v) == 0:
+        return np.array([v])
+    out = np.empty(1, dtype=object)
+    out[0] = v
+    return out
+
+
+def _loc_raze(x):
+    """kerf1 ``raze``: flatten ONE level of nesting; a flat vector
+    passes through."""
+    v = _np(x)
+    if v.dtype == object:
+        parts = [np.atleast_1d(_np(e)) for e in v]
+        return (
+            np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+        )
+    return v
+
+
 def _loc_grade_down(x):
     """kerf1 ``grade_down``: descending permutation with ties in
     first-appearance order (k semantics) — NOT reversed grade_up,
@@ -686,6 +786,40 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "flip": (_loc_flip, None),
     "grade_up": (_loc_grade_up, None),
     "grade_down": (_loc_grade_down, None),
+    # kerf1/q uniform verbs (moving windows, shifts, fills) — local
+    # spellings of operators.windows; q's expanding-head window rule
+    "mavg": (_loc_moving(np.mean, needs_float=True), None),
+    "msum": (_loc_moving(np.sum), None),
+    "mmin": (_loc_moving(np.min), None),
+    "mmax": (_loc_moving(np.max), None),
+    "mcount": (
+        _loc_moving(lambda w: np.count_nonzero(~np.isnan(
+            w.astype(np.float64)))),
+        None,
+    ),
+    "ema": (_loc_ema, None),
+    "prev": (_loc_prev, None),
+    "next": (_loc_next, None),
+    "fills": (_loc_fills, None),
+    "ratios": (_loc_ratios, None),
+    # kerf1 set/list verbs (stable orders, k semantics)
+    "union": (_loc_union, None),
+    "intersect": (
+        lambda x, y: _np(x)[np.isin(_np(x), _np(y))], None),
+    "except": (
+        lambda x, y: _np(x)[~np.isin(_np(x), _np(y))], None),
+    "in": (
+        lambda x, y: np.isin(_np(x), _np(y)).astype(np.int64),
+        "({0} IN {1})",
+    ),
+    "within": (
+        lambda x, lo, hi: (
+            (_np(x) >= _np(lo)) & (_np(x) <= _np(hi))
+        ).astype(np.int64),
+        "({0} BETWEEN {1} AND {2})",
+    ),
+    "enlist": (_loc_enlist, None),
+    "raze": (_loc_raze, None),
     # tick verbs, same floored-bucket semantics as functions/temporal.xbar
     # (pmod keeps pre-epoch stamps correct; np.mod floors identically)
     "xbar": (lambda x, w: _np(x) - np.mod(_np(x), w),

@@ -3752,6 +3752,94 @@ def kerf_lang_verb_breadth(spark, sf):
 
 
 @query(
+    "kerf_lang_uniform_verbs",
+    """
+    WITH t(pos, ma, ms, mn, mx, em, pv, nx, rt, fl) AS (VALUES
+      (0, 2.0::DOUBLE, 2,  2, 2,  2.0::DOUBLE,   2.0::DOUBLE,
+       4.0::DOUBLE,  2.0::DOUBLE, 1.5::DOUBLE),
+      (1, 3.0::DOUBLE, 6,  2, 4,  3.0::DOUBLE,   4.0::DOUBLE,
+       6.0::DOUBLE,  2.0::DOUBLE, 1.5::DOUBLE),
+      (2, 5.0::DOUBLE, 12, 4, 6,  4.5::DOUBLE,   6.0::DOUBLE,
+       4.0::DOUBLE,  1.5::DOUBLE, 3.5::DOUBLE),
+      (3, 5.0::DOUBLE, 14, 4, 6,  4.25::DOUBLE,  4.0::DOUBLE,
+       10.0::DOUBLE, 0.6666666666666666::DOUBLE, 3.5::DOUBLE),
+      (4, 7.0::DOUBLE, 20, 4, 10, 7.125::DOUBLE, 2.0::DOUBLE,
+       4.0::DOUBLE,  2.5::DOUBLE, 2.5::DOUBLE))
+    SELECT CAST(pos AS BIGINT) AS pos, ma, CAST(ms AS BIGINT) AS ms,
+           CAST(mn AS BIGINT) AS mn, CAST(mx AS BIGINT) AS mx,
+           em, pv, nx, rt, fl
+    FROM t ORDER BY pos
+    """,
+)
+def kerf_lang_uniform_verbs(spark, sf):
+    """kerf1/q UNIFORM verbs as script spellings (the round-8 sequel
+    to kerf_lang_verb_breadth): moving windows with q's expanding-head
+    rule (mavg/msum/mmin/mmax), the recursive exponential smoother
+    (ema), shifts with the NaN-null convention (prev/next — composed
+    through drop/take here so the pinned table carries no nulls), the
+    multiplicative mapback (ratios, deltas' sibling), and forward-fill
+    (fills).  Every value is hand-derived in the oracle's VALUES —
+    including the nonterminating 4/6 ratio, whose repr round-trips to
+    the same double in both engines."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "v: 2 4 6 4 10\n"
+        "t: {{pos: til(5), ma: mavg(2, v), ms: msum(3, v),"
+        " mn: mmin(2, v), mx: mmax(3, v), em: ema(0.5, v),"
+        " pv: take(5, drop(1, prev(v))),"
+        " nx: take(5, drop(-1, next(v))),"
+        " rt: ratios(v),"
+        " fl: fills([1.5, nan, 3.5, nan, 2.5])}}\n"
+        "select pos, ma, ms, mn, mx, em, pv, nx, rt, fl"
+        " from t order by pos",
+        tables={},
+    )
+
+
+@query(
+    "kerf_lang_set_verbs",
+    """
+    WITH t(pos, u, it, ex, im, wn, mc, rz, en) AS (VALUES
+      (0, 1, 2, 1, 0, 0, 1, 1, 1),
+      (1, 2, 3, 1, 1, 1, 2, 2, 1),
+      (2, 3, 2, 1, 1, 1, 2, 3, 1),
+      (3, 5, 2, 1, 1, 1, 2, 2, 1),
+      (4, 1, 3, 1, 0, 0, 2, 1, 1))
+    SELECT CAST(pos AS BIGINT) AS pos, CAST(u AS BIGINT) AS u,
+           CAST(it AS BIGINT) AS it, CAST(ex AS BIGINT) AS ex,
+           CAST(im AS BIGINT) AS im, CAST(wn AS BIGINT) AS wn,
+           CAST(mc AS BIGINT) AS mc, CAST(rz AS BIGINT) AS rz,
+           CAST(en AS BIGINT) AS en
+    FROM t ORDER BY pos
+    """,
+)
+def kerf_lang_set_verbs(spark, sf):
+    """kerf1 SET/LIST verbs as script spellings: union (distinct,
+    first-appearance order across both operands), intersect/except
+    (keep the left's order AND duplicates — k semantics, not SQL set
+    semantics), elementwise membership (in) and range (within) as 0/1
+    ints, the moving non-null count (mcount), and the enlist/raze
+    nesting pair (raze(cut(n, v)) == v — the partition-flatten
+    round-trip).  Ragged results normalize through cyclic take so the
+    oracle pins one rectangular table."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "a: 1 2 3 2 1\n"
+        "b: 2 3 5\n"
+        "t: {{pos: til(5), u: take(5, union(a, b)),"
+        " it: take(5, intersect(a, b)), ex: take(5, except(a, b)),"
+        " im: in(a, b), wn: within(a, 2, 3), mc: mcount(2, a),"
+        " rz: raze(cut(2, a)), en: take(5, count(enlist(a)))}}\n"
+        "select pos, u, it, ex, im, wn, mc, rz, en from t order by pos",
+        tables={},
+    )
+
+
+@query(
     "kerf_lang_temporal",
     """
     SELECT count(*) AS n,
@@ -12386,6 +12474,7 @@ _R08_WINDOW = [
     "workspace_tree_roundtrip", "ivf_delete_topk", "bm25_delete_topk",
     "kerf_lang_verb_breadth", "near_search_docs", "ppjoin_capped_audit",
     "rollup_incremental_bars", "ivf_upsert_topk", "bm25_upsert_topk",
+    "kerf_lang_uniform_verbs", "kerf_lang_set_verbs",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",

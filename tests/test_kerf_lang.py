@@ -675,3 +675,61 @@ def test_verbs_compose_with_adverbs():
     lens = run("count mapdown cut(2, 10 20 30 40 50)")
     assert list(lens) == [2, 2, 1]
     assert run("sum(count mapdown cut(2, til(7)))") == 7
+
+
+# ------------------------------------ kerf1 uniform + set verbs (r8, #2)
+
+def test_moving_verbs_expanding_head():
+    # q's head rule: windows of min(i+1, n) items
+    assert list(run("mavg(2, 2 4 6 4 10)")) == [2.0, 3.0, 5.0, 5.0, 7.0]
+    assert list(run("msum(3, 2 4 6 4 10)")) == [2, 6, 12, 14, 20]
+    assert list(run("mmin(2, 2 4 6 4 10)")) == [2, 2, 4, 4, 4]
+    assert list(run("mmax(3, 2 4 6 4 10)")) == [2, 4, 6, 6, 10]
+    assert list(run("mcount(2, 1 2 3 2 1)")) == [1, 2, 2, 2, 2]
+    with pytest.raises(ArgsError):
+        run("mavg(0, 1 2 3)")
+
+
+def test_ema_recursive_smoother():
+    assert list(run("ema(0.5, 2 4 6 4 10)")) == [2.0, 3.0, 4.5, 4.25, 7.125]
+    assert list(run("ema(1.0, 3 1 4)")) == [3.0, 1.0, 4.0]  # alpha=1: identity
+
+
+def test_prev_next_null_convention():
+    import numpy as np
+
+    pv = run("prev(2 4 6)")
+    assert np.isnan(pv[0]) and list(pv[1:]) == [2.0, 4.0]
+    nx = run("next(2 4 6)")
+    assert list(nx[:2]) == [4.0, 6.0] and np.isnan(nx[2])
+    assert len(run("prev(til(0))")) == 0
+
+
+def test_fills_forward_fill_and_leading_null():
+    import numpy as np
+
+    f = run("fills([1.5, nan, 3.5, nan, 2.5])")
+    assert list(f) == [1.5, 1.5, 3.5, 3.5, 2.5]
+    lead = run("fills([nan, 2.0, nan])")
+    assert np.isnan(lead[0]) and list(lead[1:]) == [2.0, 2.0]
+
+
+def test_ratios_multiplicative_mapback():
+    assert list(run("ratios(2 4 6 4 10)")) == [2.0, 2.0, 1.5, 4 / 6, 2.5]
+    # deltas/ratios duality: ratios of a geometric series is constant
+    assert list(run("ratios(1 2 4 8)")) == [1.0, 2.0, 2.0, 2.0]
+
+
+def test_set_verbs_stable_orders():
+    assert list(run("union(1 2 3 2 1, 2 3 5)")) == [1, 2, 3, 5]
+    assert list(run("intersect(1 2 3 2 1, 2 3 5)")) == [2, 3, 2]
+    assert list(run("except(1 2 3 2 1, 2 3 5)")) == [1, 1]
+    assert list(run("in(1 2 3 2 1, 2 3 5)")) == [0, 1, 1, 1, 0]
+    assert list(run("within(1 2 3 2 1, 2, 3)")) == [0, 1, 1, 1, 0]
+
+
+def test_enlist_raze_roundtrip():
+    assert run("count(enlist(1 2 3))") == 1
+    assert list(run("raze(enlist(1 2 3))")) == [1, 2, 3]
+    assert list(run("raze(cut(2, 1 2 3 2 1))")) == [1, 2, 3, 2, 1]
+    assert list(run("raze(1 2 3)")) == [1, 2, 3]  # flat passes through
