@@ -12264,6 +12264,102 @@ def rollup_incremental_bars(spark, sf):
     )
 
 
+@query(
+    "rollup_stream_bars",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 300000000000 AS bucket_ns,
+             epoch_ns(ts) AS tns, value
+      FROM events
+    ), r AS (
+      SELECT event_type, bucket_ns, tns, value,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns ASC, value ASC) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns DESC, value DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket_ns, count(*) AS cnt,
+           min(value) AS value_min, max(value) AS value_max,
+           max(CASE WHEN ra = 1 THEN value END) AS value_open,
+           max(CASE WHEN rd = 1 THEN value END) AS value_close
+    FROM r GROUP BY event_type, bucket_ns
+    ORDER BY event_type, bucket_ns
+    """,
+)
+def rollup_stream_bars(spark, sf):
+    """STREAMING rollup maintenance end-to-end (sources.rollup.
+    rollup_stream_sink): create the persisted bars on the first ~60%
+    of events by time, feed the tail through a real checkpointed
+    availableNow stream (two time-ordered files → two genuine epochs)
+    whose foreachBatch sink folds each micro-batch via
+    refresh_rollup, then read the bars.  The watermark filter makes
+    epoch replays no-ops for the time-ordered feed, so the streamed
+    rollup must equal the batch-built one EXACTLY — the oracle is the
+    same full recompute from raw events as rollup_incremental_bars."""
+    import shutil
+    import tempfile
+
+    from .sources import rollup as RU
+    from .streaming.ingest import fanout, read_file_stream
+
+    ev = _t(spark, sf, "events")
+    path = _ann_index_dir(sf, "rollupstream")
+    mx = ev.agg(F.max("ts")).head()[0]
+    fresh = False
+    try:
+        meta = RU.rollup_meta(path)
+        fresh = (
+            meta["watermark_ns"] == int(mx) + 1
+            and len(meta["epochs"]) >= 3
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        qs = ev.selectExpr(
+            "percentile(ts, 0.6) AS a", "percentile(ts, 0.8) AS b"
+        ).head()
+        a, b = int(qs["a"]), int(qs["b"])
+        RU.create_rollup(
+            ev.where(F.col("ts") < a),
+            path,
+            time_col="ts",
+            keys=["event_type"],
+            values=["value"],
+            width_ns=TM.span_ns(5, "m"),
+        )
+        root = tempfile.mkdtemp(prefix="kerf_rollupstream_")
+        # two time-ordered source files -> two genuine epochs, written
+        # oldest-first so the file stream delivers them in time order
+        # (the sink's watermark contract)
+        ev.where((F.col("ts") >= a) & (F.col("ts") < b)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{root}/src/part0")
+        ev.where(F.col("ts") >= b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/src/part1")
+        feed = read_file_stream(
+            spark, f"{root}/src/part*", ev.schema, maxFilesPerTrigger=1
+        )
+        q = fanout(
+            feed,
+            f"{root}/ckpt",
+            RU.rollup_stream_sink(spark, path),
+            available_now=True,
+        )
+        q.awaitTermination()
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        RU.read_rollup(spark, path)
+        .select(
+            "event_type", "bucket_ns", "cnt",
+            "value_min", "value_max", "value_open", "value_close",
+        )
+        .orderBy("event_type", "bucket_ns")
+    )
+
+
 # =====================================================================
 # Registry ordering for the driver sweep
 # =====================================================================
@@ -12475,6 +12571,7 @@ _R08_WINDOW = [
     "kerf_lang_verb_breadth", "near_search_docs", "ppjoin_capped_audit",
     "rollup_incremental_bars", "ivf_upsert_topk", "bm25_upsert_topk",
     "kerf_lang_uniform_verbs", "kerf_lang_set_verbs",
+    "rollup_stream_bars",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",

@@ -301,7 +301,7 @@ class Workspace:
         truth (rebuilds/appends/compactions mutate it freely); the
         manifest holds only the pointer and the adopted-at snapshot."""
         meta = None
-        for sidecar in ("ann_index.json", "text_index.json"):
+        for sidecar in ("ann_index.json", "text_index.json", "rollup.json"):
             p = os.path.join(path, sidecar)
             if os.path.exists(p):
                 with open(p) as fh:

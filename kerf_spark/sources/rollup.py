@@ -202,6 +202,7 @@ def create_rollup(
     os.makedirs(path, exist_ok=True)
     meta = {
         "format": FORMAT,
+        "kind": "rollup",
         "time_col": time_col,
         "time_kind": kind,
         "keys": list(keys),
@@ -330,6 +331,77 @@ def read_rollup(
             F.col(f"{v}_close.v").alias(f"{v}_close"),
         ]
     return bars.select(*cols)
+
+
+def backfill_rollup(
+    spark: SparkSession, path: str, late_rows: DataFrame
+) -> dict:
+    """Fold LATE rows — rows behind the watermark that
+    :func:`refresh_rollup` would skip — into their buckets.
+
+    Same epoch mechanics as a refresh (merge into touched partitions,
+    sidecar commit last) but with no watermark filter and no watermark
+    move: the caller asserts these rows were never folded before (a
+    re-delivered row double-counts — at 100 TB, dedup belongs to the
+    feed, e.g. ``dropDuplicatesWithinWatermark`` upstream).  Rows
+    at/after the watermark are REFUSED (they belong to refresh; letting
+    them in here would double-count them on the next refresh)."""
+    meta = rollup_meta(path)
+    if meta["watermark_ns"] is None:
+        raise ArgsError(f"rollup at {path} was never created")
+    w = int(meta["watermark_ns"])
+    tns = _tns(meta)
+    stats = late_rows.agg(
+        F.count(F.lit(1)).alias("n"), F.max(tns).alias("mx")
+    ).head()
+    if stats["n"] == 0:
+        return {"rows": 0, "parts": []}
+    if int(stats["mx"]) >= w:
+        raise ArgsError(
+            f"backfill_rollup got rows at/after the watermark ({w}) — "
+            f"those belong to refresh_rollup (folding them here would "
+            f"double-count them on the next refresh)"
+        )
+    inc_parts = _with_part(_partials(late_rows, meta), meta)
+    epoch = len(meta["epochs"])
+    epoch_dir = os.path.join(path, "bars", f"epoch={epoch}")
+    inc_parts.write.mode("overwrite").parquet(epoch_dir + ".inc")
+    inc_stored = spark.read.parquet(epoch_dir + ".inc")
+    touched = sorted(
+        r["part_ns"] for r in inc_stored.select("part_ns").distinct().collect()
+    )
+    res = _resolution(meta)
+    old_dirs = [_leaf(path, res[p], p) for p in touched if p in res]
+    schema = _partials_schema(meta)
+    merged = inc_stored.drop("part_ns")
+    if old_dirs:
+        old = spark.read.schema(schema).parquet(*old_dirs)
+        merged = _merge(merged.unionByName(old), meta)
+    merged = _with_part(merged, meta)
+    merged.write.mode("overwrite").partitionBy("part_ns").parquet(epoch_dir)
+    shutil.rmtree(epoch_dir + ".inc", ignore_errors=True)
+    meta["epochs"].append(
+        {"epoch": epoch, "watermark_ns": w, "parts": touched,
+         "backfill": True}
+    )
+    _write_meta(path, meta)  # commit point (watermark unchanged)
+    return {"rows": int(stats["n"]), "parts": touched}
+
+
+def rollup_stream_sink(spark: SparkSession, path: str):
+    """Streaming rollup maintenance: a fanout-compatible foreachBatch
+    sink that folds each micro-batch of raw rows into the rollup via
+    :func:`refresh_rollup`.  The watermark filter makes crash-replayed
+    epochs no-ops for TIME-ORDERED feeds (re-delivered rows sit behind
+    the watermark — the tick-append contract this module documents);
+    each non-empty batch lands as one epoch in the ledger, so run
+    :func:`compact_rollup` on a schedule to keep the chain short."""
+    rollup_meta(path)  # fail fast if the rollup was never created
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        refresh_rollup(spark, path, batch)
+
+    return sink
 
 
 def compact_rollup(spark: SparkSession, path: str) -> dict:

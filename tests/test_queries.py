@@ -242,6 +242,8 @@ PLAN_LINT_ALLOW = {
                                    # streamed+compacted index
         "bm25_delete_topk",        # same bounded shape over the
                                    # tombstoned index
+        "bm25_upsert_topk",        # same bounded shape over the
+                                   # upserted index
         "hist_quantile_merged",    # cumsum window over the CONSTANT
                                    # <=256 sketch bins (no group key)
     },

@@ -274,3 +274,131 @@ def test_create_clears_previous_rollup_life(spark, tmp):
     )
     n_half = RU.read_rollup(spark, tmp).agg(F.sum("cnt")).head()[0]
     assert n_half == half.count()
+
+
+def test_stream_sink_folds_batches_and_replay_is_noop(spark, tmp):
+    """rollup_stream_sink: two micro-batches == full build; replaying
+    an epoch is a no-op (its rows sit behind the watermark)."""
+    ev = _events(spark)
+    full = _full(spark, ev, tmp + "/full")
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.3) a", "percentile(t, 0.7) b"
+    ).head()
+    a, b = int(qs["a"]), int(qs["b"])
+    path = tmp + "/inc"
+    RU.create_rollup(
+        ev.where(ts_to_ns("ts") < a), path, time_col="ts",
+        keys=["event_type"], values=["value"], width_ns=span_ns(5, "m"),
+    )
+    sink = RU.rollup_stream_sink(spark, path)
+    b1 = ev.where((ts_to_ns("ts") >= a) & (ts_to_ns("ts") < b))
+    b2 = ev.where(ts_to_ns("ts") >= b)
+    sink(b1, 0)
+    sink(b1, 0)  # crash replay: same batch re-delivered
+    sink(b2, 1)
+    assert _bars(spark, path).collect() == full
+    # the replay added no epoch (empty refresh short-circuits)
+    assert len(RU.rollup_meta(path)["epochs"]) == 3
+
+
+def test_workspace_registers_rollup_as_index_citizen(spark, tmp):
+    from kerf_spark.sources.catalog import Workspace
+
+    ev = _events(spark)
+    path = tmp + "/r"
+    RU.create_rollup(
+        ev, path, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    ws = Workspace(spark, tmp + "/ws")
+    entry = ws.register_index("bars5m", path)
+    assert entry["kind"] == "rollup"
+    assert ws.index_path("bars5m") == path
+    # reopen: the pointer persists
+    ws2 = Workspace(spark, tmp + "/ws")
+    assert "bars5m" in ws2.indexes()
+
+
+def test_backfill_folds_late_rows_and_refuses_fresh_ones(spark, tmp):
+    """Late data behind the watermark folds in via backfill_rollup;
+    the result equals a full build over everything, and rows at/after
+    the watermark are refused (they belong to refresh)."""
+    ev = _events(spark)
+    full = _full(spark, ev, tmp + "/full")
+    # withhold a slice from the MIDDLE of the time range (late data)
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.4) a", "percentile(t, 0.5) b"
+    ).head()
+    a, b = int(qs["a"]), int(qs["b"])
+    late = ev.where((ts_to_ns("ts") >= a) & (ts_to_ns("ts") < b))
+    on_time = ev.where((ts_to_ns("ts") < a) | (ts_to_ns("ts") >= b))
+    assert late.count() > 0
+    path = tmp + "/inc"
+    RU.create_rollup(
+        on_time, path, time_col="ts", keys=["event_type"],
+        values=["value"], width_ns=span_ns(5, "m"),
+    )
+    w = RU.rollup_meta(path)["watermark_ns"]
+    res = RU.backfill_rollup(spark, path, late)
+    assert res["rows"] == late.count()
+    assert RU.rollup_meta(path)["watermark_ns"] == w  # unmoved
+    assert _bars(spark, path).collect() == full
+    # rows at/after the watermark are refused
+    future = ev.limit(5).withColumn("ts", F.expr("ts + INTERVAL 30 DAYS"))
+    with pytest.raises(ArgsError, match="at/after the watermark"):
+        RU.backfill_rollup(spark, path, future)
+    # empty backfill is a no-op
+    assert RU.backfill_rollup(spark, path, late.where(F.lit(False))) == {
+        "rows": 0, "parts": [],
+    }
+
+
+def test_property_incremental_equals_full_random_multisets(spark, tmp):
+    """Hypothesis: for ANY multiset of (ts, key, value) rows and ANY
+    ordered split into create/refresh chunks, incremental == full —
+    over the exact columns (cnt/min/max/int-sum/open/close)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10 * 60 * 10**9),  # ts ns
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_st, frac=st.floats(min_value=0.0, max_value=1.0))
+    def check(rows, frac):
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+        df = spark.createDataFrame(
+            rows, "tns long, k string, v long"
+        ) if rows else spark.createDataFrame([], "tns long, k string, v long")
+        cut = int(sorted(r[0] for r in rows)[int(frac * (len(rows) - 1))]) if rows else 0
+        RU.create_rollup(
+            df.where(F.col("tns") < cut), tmp + "/i", time_col="tns",
+            keys=["k"], values=["v"], width_ns=MINUTE, part_width_ns=HOUR,
+        )
+        RU.refresh_rollup(spark, tmp + "/i", df)
+        RU.create_rollup(
+            df, tmp + "/f", time_col="tns", keys=["k"], values=["v"],
+            width_ns=MINUTE, part_width_ns=HOUR,
+        )
+        cols = ["k", "bucket_ns", "cnt", "v_min", "v_max", "v_sum",
+                "v_open", "v_close"]
+        gi = [tuple(r) for r in RU.read_rollup(spark, tmp + "/i")
+              .select(cols).orderBy("k", "bucket_ns").collect()]
+        gf = [tuple(r) for r in RU.read_rollup(spark, tmp + "/f")
+              .select(cols).orderBy("k", "bucket_ns").collect()]
+        assert gi == gf
+
+    check()
