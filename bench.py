@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     # is the claim, so it's measured)
     "near_search_docs",
     "ivf_delete_topk",
+    # round-8 (cont.): the materialized-rollup read path (create +
+    # refresh amortize into the warmup; the claim is that reading bars
+    # beats re-aggregating ticks, so the read is what's measured) and
+    # the upsert query path (gen-filtered broadcast join after
+    # partition pruning)
+    "rollup_incremental_bars",
+    "ivf_upsert_topk",
 ]
 
 

@@ -12265,6 +12265,84 @@ def rollup_incremental_bars(spark, sf):
 
 
 @query(
+    "rollup_quantile_bars",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns,
+             value
+      FROM events
+    ), h AS (
+      SELECT event_type, bucket_ns,
+             CAST(least(greatest(floor((value - 0.0) / 15.625), 0), 63)
+                  AS INT) AS bin,
+             count(*) AS cnt
+      FROM b WHERE value IS NOT NULL
+      GROUP BY event_type, bucket_ns, bin
+    ), t AS (
+      SELECT event_type, bucket_ns, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type, bucket_ns
+                            ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type, bucket_ns) AS nn
+      FROM h
+    ), r AS (
+      SELECT *, greatest(1, CAST(ceil(0.5 * nn) AS BIGINT)) AS rk FROM t
+    )
+    SELECT event_type, bucket_ns, CAST(nn AS BIGINT) AS n,
+           max(CASE WHEN cum >= rk AND cum - cnt < rk
+                    THEN 0.0 + 15.625 *
+                         (bin + (rk - (cum - cnt)) / CAST(cnt AS DOUBLE))
+               END) AS q50
+    FROM r GROUP BY event_type, bucket_ns, nn
+    ORDER BY event_type, bucket_ns
+    """,
+)
+def rollup_quantile_bars(spark, sf):
+    """QUANTILE-capable continuous aggregate (sources.rollup with an
+    embedded sketches.hist_build histogram — the fifth mergeable
+    summary riding inside the fourth's storage): each bar carries 64
+    fixed-boundary integer bins as one array<long>, merged elementwise
+    on refresh, and rollup_quantile answers per-bar p50 as ONE
+    windowless array fold — at 100 TB, per-bar percentiles without
+    ever re-scanning ticks.  Built incrementally here (create on the
+    first ~80% by time, refresh with the rest — bin merges are integer
+    adds, so incremental == full bitwise); the oracle replays bins,
+    rank rule, and interpolation from raw events with identical
+    arithmetic, so the estimate matches bit-for-bit."""
+    from .sources import rollup as RU
+
+    ev = _t(spark, sf, "events")
+    path = _ann_index_dir(sf, "rolluphist")
+    mx = ev.agg(F.max("ts")).head()[0]
+    fresh = False
+    try:
+        meta = RU.rollup_meta(path)
+        fresh = (
+            meta["watermark_ns"] == int(mx) + 1
+            and len(meta["epochs"]) >= 2
+            and meta.get("hist") is not None
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        split = int(ev.selectExpr("percentile(ts, 0.8) AS p").head()["p"])
+        RU.create_rollup(
+            ev.where(F.col("ts") < split),
+            path,
+            time_col="ts",
+            keys=["event_type"],
+            values=["value"],
+            width_ns=TM.span_ns(60, "m"),
+            hist={"col": "value", "lo": 0.0, "hi": 1000.0, "n_bins": 64},
+        )
+        RU.refresh_rollup(spark, path, ev)
+    return (
+        RU.rollup_quantile(spark, path, 0.5, out="q50")
+        .orderBy("event_type", "bucket_ns")
+    )
+
+
+@query(
     "rollup_stream_bars",
     """
     WITH b AS (
@@ -12571,7 +12649,7 @@ _R08_WINDOW = [
     "kerf_lang_verb_breadth", "near_search_docs", "ppjoin_capped_audit",
     "rollup_incremental_bars", "ivf_upsert_topk", "bm25_upsert_topk",
     "kerf_lang_uniform_verbs", "kerf_lang_set_verbs",
-    "rollup_stream_bars",
+    "rollup_stream_bars", "rollup_quantile_bars",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",

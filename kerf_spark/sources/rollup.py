@@ -116,7 +116,31 @@ def _partials(df: DataFrame, meta: dict) -> DataFrame:
                 f"{v}_close"
             ),
         ]
+    h = meta.get("hist")
+    if h:
+        # the sketches.hist_build bins as ONE array<long> per bucket —
+        # the fifth mergeable summary, embedded in the rollup so per-bar
+        # quantiles never re-scan ticks.  Fixed [lo, hi) equi-width
+        # bins, out-of-range clamps to the edge bins, nulls drop (every
+        # when() is false for a null value).
+        lo, w, n = float(h["lo"]), _hist_w(h), int(h["n_bins"])
+        b = F.least(
+            F.greatest(F.floor((F.col(h["col"]) - lo) / w), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("int")
+        aggs.append(
+            F.array(*[
+                F.sum(
+                    F.when(b == i, F.lit(1)).otherwise(F.lit(0))
+                ).cast("long")
+                for i in range(n)
+            ]).alias("__hist")
+        )
     return sel.groupBy(*keys, "bucket_ns").agg(*aggs)
+
+
+def _hist_w(h: dict) -> float:
+    return (float(h["hi"]) - float(h["lo"])) / int(h["n_bins"])
 
 
 def _merge(parts: DataFrame, meta: dict) -> DataFrame:
@@ -132,6 +156,18 @@ def _merge(parts: DataFrame, meta: dict) -> DataFrame:
             F.min(f"{v}_open").alias(f"{v}_open"),
             F.max(f"{v}_close").alias(f"{v}_close"),
         ]
+    h = meta.get("hist")
+    if h:
+        n = int(h["n_bins"])
+        # elementwise vector add over the (bounded) partials per bucket
+        # — integer adds commute, so the fold order never matters
+        aggs.append(
+            F.aggregate(
+                F.collect_list("__hist"),
+                F.array_repeat(F.lit(0).cast("long"), n),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("__hist")
+        )
     return parts.groupBy(*keys, "bucket_ns").agg(*aggs)
 
 
@@ -170,6 +206,7 @@ def create_rollup(
     values: list[str],
     width_ns: int,
     part_width_ns: int = DAY,
+    hist: dict | None = None,
 ) -> dict:
     """Build the rollup from scratch (epoch 0 = full partial aggregate).
 
@@ -177,7 +214,24 @@ def create_rollup(
     epoch-ns long.  ``width_ns`` is the bucket (e.g. ``span_ns(5,'m')``),
     ``part_width_ns`` the coarse storage partition (default 1 day) —
     choose it so one partition's bars fit an executor comfortably and an
-    append's time span touches few partitions."""
+    append's time span touches few partitions.
+
+    ``hist={"col": v, "lo": a, "hi": b, "n_bins": n}`` embeds a
+    fixed-boundary equi-width histogram (the ``sketches.hist_build``
+    summary) as one ``array<long>`` per bar — constant-size, mergeable
+    by elementwise add, so :func:`rollup_quantile` answers per-bar
+    p50/p99 without ever re-scanning ticks.  ``col`` must be one of
+    ``values``."""
+    if hist is not None:
+        missing = {"col", "lo", "hi", "n_bins"} - set(hist)
+        if missing:
+            raise ArgsError(f"hist spec missing {sorted(missing)}")
+        if hist["col"] not in values:
+            raise ArgsError(
+                f"hist col {hist['col']!r} must be one of values={values}"
+            )
+        if int(hist["n_bins"]) <= 0 or float(hist["hi"]) <= float(hist["lo"]):
+            raise ArgsError("hist needs n_bins > 0 and hi > lo")
     if width_ns <= 0 or part_width_ns <= 0:
         raise ArgsError("width_ns and part_width_ns must be positive")
     if part_width_ns % width_ns != 0:
@@ -209,6 +263,16 @@ def create_rollup(
         "values": list(values),
         "width_ns": int(width_ns),
         "part_width_ns": int(part_width_ns),
+        "hist": (
+            {
+                "col": hist["col"],
+                "lo": float(hist["lo"]),
+                "hi": float(hist["hi"]),
+                "n_bins": int(hist["n_bins"]),
+            }
+            if hist is not None
+            else None
+        ),
         "watermark_ns": None,
         "epochs": [],
     }
@@ -331,6 +395,74 @@ def read_rollup(
             F.col(f"{v}_close.v").alias(f"{v}_close"),
         ]
     return bars.select(*cols)
+
+
+def rollup_quantile(
+    spark: SparkSession,
+    path: str,
+    q: float,
+    lo_ns: int | None = None,
+    hi_ns: int | None = None,
+    out: str = "quantile",
+) -> DataFrame:
+    """Per-bar quantile ``q`` off the embedded histogram — the
+    ``sketches.hist_quantile`` estimate (rank location + linear
+    interpolation, error bounded by the bin width) computed as ONE
+    array fold per bar: no window, no shuffle beyond the pruned bars
+    read itself.  Deterministic: the estimate is a pure function of
+    the (exact, integer) bin counts, reproduced bit-for-bit by a SQL
+    oracle that replays the same arithmetic."""
+    meta = rollup_meta(path)
+    h = meta.get("hist")
+    if not h:
+        raise ArgsError(
+            f"rollup at {path} carries no histogram — rebuild with "
+            f"create_rollup(..., hist={{...}})"
+        )
+    if not (0.0 < q <= 1.0):
+        raise ArgsError(f"quantile must be in (0, 1], got {q}")
+    lo, w, n = float(h["lo"]), _hist_w(h), int(h["n_bins"])
+    bars = read_rollup(spark, path, lo_ns, hi_ns, finalize=False)
+    npts = F.aggregate(
+        F.col("__hist"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    r = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("__n")))
+    # indexed fold: carry (cum, est); the first bin whose cumulative
+    # count reaches the rank sets the estimate — same pick rule and
+    # interpolation as sketches.hist_quantile, windowless
+    zipped = F.arrays_zip(
+        F.col("__hist"),
+        F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>"),
+    )
+    fold = F.aggregate(
+        zipped,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("double").alias("est"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["__hist"]).alias("cum"),
+            F.coalesce(
+                acc["est"],
+                F.when(
+                    (acc["cum"] + x["__hist"] >= r) & (x["__hist"] > 0),
+                    F.lit(lo)
+                    + F.lit(w)
+                    * (x["1"] + (r - acc["cum"]) / x["__hist"]),
+                ),
+            ).alias("est"),
+        ),
+        lambda acc: acc["est"],
+    )
+    return (
+        bars.withColumn("__n", npts)
+        .where(F.col("__n") > 0)
+        .select(
+            *meta["keys"], "bucket_ns",
+            F.col("__n").alias("n"),
+            fold.alias(out),
+        )
+    )
 
 
 def backfill_rollup(

@@ -402,3 +402,99 @@ def test_property_incremental_equals_full_random_multisets(spark, tmp):
         assert gi == gf
 
     check()
+
+
+HIST = {"col": "value", "lo": 0.0, "hi": 1000.0, "n_bins": 64}
+
+
+def test_hist_rollup_matches_sketch_module_bitwise(spark, tmp):
+    """The embedded per-bar histogram answers quantiles exactly like
+    the standalone sketches.hist_build/hist_quantile pipeline over the
+    same grouping — same bins, same rank rule, same interpolation."""
+    from kerf_spark.operators import sketches as SK
+    from kerf_spark.functions.temporal import xbar
+
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(60, "m"), hist=HIST,
+    )
+    got = {
+        (r["event_type"], r["bucket_ns"]): r["q50"]
+        for r in RU.rollup_quantile(spark, tmp, 0.5, out="q50").collect()
+    }
+    base = ev.select(
+        "event_type",
+        xbar(ts_to_ns("ts"), span_ns(60, "m")).alias("bucket_ns"),
+        "value",
+    )
+    hist = SK.hist_build(
+        base, "value", 0.0, 1000.0, 64, by=("event_type", "bucket_ns")
+    )
+    want = {
+        (r["event_type"], r["bucket_ns"]): r["q50"]
+        for r in SK.hist_quantile(
+            hist, 0.5, 0.0, 1000.0, 64,
+            by=("event_type", "bucket_ns"), out="q50",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hist_rollup_incremental_and_compact_equal_full(spark, tmp):
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp + "/full", time_col="ts", keys=["event_type"],
+        values=["value"], width_ns=span_ns(60, "m"), hist=HIST,
+    )
+    full = [
+        tuple(r)
+        for r in RU.rollup_quantile(spark, tmp + "/full", 0.9, out="q")
+        .orderBy("event_type", "bucket_ns").collect()
+    ]
+    med = int(
+        ev.select(ts_to_ns("ts").alias("t"))
+        .selectExpr("percentile(t, 0.7) p").head()["p"]
+    )
+    path = tmp + "/inc"
+    RU.create_rollup(
+        ev.where(ts_to_ns("ts") < med), path, time_col="ts",
+        keys=["event_type"], values=["value"],
+        width_ns=span_ns(60, "m"), hist=HIST,
+    )
+    RU.refresh_rollup(spark, path, ev)
+    q = lambda: [
+        tuple(r)
+        for r in RU.rollup_quantile(spark, path, 0.9, out="q")
+        .orderBy("event_type", "bucket_ns").collect()
+    ]
+    assert q() == full  # integer bin merges: bitwise
+    RU.compact_rollup(spark, path)
+    assert q() == full
+
+
+def test_hist_spec_validation_and_missing_hist_refusal(spark, tmp):
+    ev = _events(spark)
+    with pytest.raises(ArgsError, match="missing"):
+        RU.create_rollup(
+            ev, tmp, time_col="ts", keys=[], values=["value"],
+            width_ns=MINUTE, hist={"col": "value"},
+        )
+    with pytest.raises(ArgsError, match="one of values"):
+        RU.create_rollup(
+            ev, tmp, time_col="ts", keys=[], values=["value"],
+            width_ns=MINUTE,
+            hist={"col": "nope", "lo": 0, "hi": 1, "n_bins": 4},
+        )
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(60, "m"),
+    )
+    with pytest.raises(ArgsError, match="no histogram"):
+        RU.rollup_quantile(spark, tmp, 0.5)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(60, "m"), hist=HIST,
+    )
+    with pytest.raises(ArgsError, match="quantile must be"):
+        RU.rollup_quantile(spark, tmp, 0.0)
