@@ -336,6 +336,88 @@ class Workspace:
 
             shutil.rmtree(entry["path"], ignore_errors=True)
 
+    # ------------------------------------------------- attached rollups
+    def attach_rollup(
+        self,
+        table: str,
+        name: str,
+        *,
+        time_col: str,
+        keys: Sequence[str],
+        values: Sequence[str],
+        width_ns: int,
+        part_width_ns: int | None = None,
+        hist: dict | None = None,
+    ) -> dict:
+        """A continuous aggregate ATTACHED to a workspace table (the
+        hypertable UX): builds a ``sources.rollup`` over the table's
+        current contents under ``root/_rollups/<name>`` and keeps it
+        fresh automatically — every :meth:`append` to the table folds
+        the new tail in (``refresh_rollup``: watermark-pruned, touched
+        partitions only), and :meth:`upsert` — which rewrites history
+        behind the watermark — REBUILDS it (correctness over cost;
+        the manifest records which maintenance ran).
+
+        Contract: meaningful for append-mostly tick tables.  Read it
+        with ``rollup.read_rollup(spark, ws.rollup_path(name))`` or
+        ``rollup.rollup_quantile`` when built with ``hist``."""
+        from . import rollup as RU
+
+        if table not in self.manifest["tables"]:
+            raise KeyError(f"no table named {table!r} in this workspace")
+        path = os.path.join(self.root, "_rollups", name)
+        kw = dict(
+            time_col=time_col,
+            keys=list(keys),
+            values=list(values),
+            width_ns=int(width_ns),
+            hist=hist,
+        )
+        if part_width_ns is not None:
+            kw["part_width_ns"] = int(part_width_ns)
+        RU.create_rollup(self.load(table), path, **kw)
+        entry = {"table": table, "path": path, "spec": _jsonable_dict(kw)}
+        self.manifest.setdefault("rollups", {})[name] = entry
+        self._flush()
+        return entry
+
+    def rollups(self, table: str | None = None) -> list[str]:
+        ents = self.manifest.get("rollups", {})
+        return sorted(
+            n for n, e in ents.items() if table is None or e["table"] == table
+        )
+
+    def rollup_path(self, name: str) -> str:
+        try:
+            return self.manifest["rollups"][name]["path"]
+        except KeyError:
+            raise KeyError(f"no rollup named {name!r} in this workspace")
+
+    def detach_rollup(self, name: str, delete: bool = False) -> None:
+        entry = self.manifest.get("rollups", {}).pop(name, None)
+        self._flush()
+        if delete and entry is not None:
+            import shutil
+
+            shutil.rmtree(entry["path"], ignore_errors=True)
+
+    def _maintain_rollups(self, table: str, rebuild: bool = False) -> None:
+        """Post-write hook: fold the table's new tail into every
+        attached rollup (append) or rebuild them (upsert — history
+        moved behind the watermark, a refresh would miss it)."""
+        ents = self.manifest.get("rollups", {})
+        hit = [n for n, e in ents.items() if e["table"] == table]
+        if not hit:
+            return
+        from . import rollup as RU
+
+        for n in hit:
+            e = ents[n]
+            if rebuild:
+                RU.create_rollup(self.load(table), e["path"], **e["spec"])
+            else:
+                RU.refresh_rollup(self.spark, e["path"], self.load(table))
+
     def register_external(
         self,
         name: str,
@@ -491,6 +573,7 @@ class Workspace:
             ]
             meta["schema"] = T.StructType(new_fields).jsonValue()
         self._flush()
+        self._maintain_rollups(name)
 
     def upsert(self, name: str, rows: DataFrame, keys: Sequence[str]) -> None:
         """Keyed upsert via staging-dir + atomic directory swap.
@@ -533,6 +616,9 @@ class Workspace:
         shutil.rmtree(old)
         self.manifest["tables"][name]["schema"] = merged.schema.jsonValue()
         self._flush()
+        # upsert rewrites history behind attached rollups' watermarks —
+        # a refresh would miss it, so they rebuild (documented contract)
+        self._maintain_rollups(name, rebuild=True)
 
     def compact(self, name: str, target_file_mb: int = 128) -> dict:
         """Rewrite ``name`` into ~``target_file_mb``-sized files — the
@@ -647,6 +733,10 @@ def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
 
 def _parse_type(s: str) -> T.DataType:
     return T._parse_datatype_string(s)
+
+
+def _jsonable_dict(d: dict) -> dict:
+    return {k: v for k, v in d.items()}
 
 
 def _jsonable(v):

@@ -536,6 +536,39 @@ def rollup_stream_sink(spark: SparkSession, path: str):
     return sink
 
 
+def drop_rollup_range(spark: SparkSession, path: str, before_ns: int) -> dict:
+    """Retention: drop every storage partition strictly OLDER than
+    ``before_ns`` (bars with ``part_ns + part_width <= before_ns``) —
+    the 100 TB lifecycle move (age out cold bars without touching the
+    live tail).  Metadata-first commit: the sidecar's epoch ledger
+    stops listing the dropped partitions (readers go blind to them
+    atomically), then the leaf directories are removed best-effort (a
+    crash mid-delete leaves unreferenced dirs that the next
+    :func:`compact_rollup` sweep ignores and whose space a re-run
+    reclaims).  The watermark is untouched: refresh keeps appending at
+    the tail."""
+    meta = rollup_meta(path)
+    pw = int(meta["part_width_ns"])
+    cut = int(before_ns)
+    dropped: list[int] = []
+    doomed: list[str] = []
+    for e in meta["epochs"]:
+        keep = []
+        for p in e["parts"]:
+            if int(p) + pw <= cut:
+                dropped.append(int(p))
+                doomed.append(_leaf(path, int(e["epoch"]), int(p)))
+            else:
+                keep.append(p)
+        e["parts"] = keep
+    if not dropped:
+        return {"parts_dropped": 0}
+    _write_meta(path, meta)  # commit point: readers stop seeing them
+    for d in doomed:
+        shutil.rmtree(d, ignore_errors=True)
+    return {"parts_dropped": len(set(dropped))}
+
+
 def compact_rollup(spark: SparkSession, path: str) -> dict:
     """Fold the epoch chain into a fresh single-epoch base.
 

@@ -498,3 +498,66 @@ def test_hist_spec_validation_and_missing_hist_refusal(spark, tmp):
     )
     with pytest.raises(ArgsError, match="quantile must be"):
         RU.rollup_quantile(spark, tmp, 0.0)
+
+
+def test_drop_rollup_range_retention(spark, tmp):
+    """Retention: partitions older than the horizon vanish from reads
+    (metadata-first commit) and their directories are gone; the tail
+    keeps refreshing normally."""
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    days = sorted(RU._resolution(RU.rollup_meta(tmp)))
+    assert len(days) > 2
+    cut = days[2]  # drop the two oldest days
+    res = RU.drop_rollup_range(spark, tmp, cut)
+    assert res["parts_dropped"] == 2
+    rows = RU.read_rollup(spark, tmp).collect()
+    assert rows and min(r["bucket_ns"] for r in rows) >= cut
+    # the dropped leaf dirs are gone from disk
+    for p in days[:2]:
+        assert not os.path.exists(RU._leaf(tmp, 0, p))
+    # idempotent; refresh still a clean no-op
+    assert RU.drop_rollup_range(spark, tmp, cut) == {"parts_dropped": 0}
+    assert RU.refresh_rollup(spark, tmp, ev)["rows"] == 0
+
+
+def test_workspace_attached_rollup_auto_refreshes(spark, tmp):
+    """The hypertable UX: a rollup attached to a workspace table folds
+    every append in automatically, and an upsert (history rewrite)
+    rebuilds it — both end-states equal a fresh rollup over the
+    table's current contents."""
+    from kerf_spark.sources.catalog import Workspace
+
+    ev = _events(spark)
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.7) a"
+    ).head()
+    a = int(qs["a"])
+    ws = Workspace(spark, tmp + "/ws")
+    ws.save("ticks", ev.where(ts_to_ns("ts") < a))
+    ws.attach_rollup(
+        "ticks", "bars5m", time_col="ts", keys=["event_type"],
+        values=["value"], width_ns=span_ns(5, "m"),
+    )
+    assert ws.rollups() == ["bars5m"] and ws.rollups("ticks") == ["bars5m"]
+    path = ws.rollup_path("bars5m")
+
+    ws.append("ticks", ev.where(ts_to_ns("ts") >= a))
+    got = _bars(spark, path).collect()
+    want = _full(spark, ws.load("ticks"), tmp + "/fresh1")
+    assert got == want  # append auto-folded the tail
+
+    # upsert rewrites history -> attached rollup rebuilds
+    bump = ev.limit(50).withColumn("value", F.col("value") + 1000.0)
+    ws.upsert("ticks", bump, keys=["event_id"])
+    got2 = _bars(spark, path).collect()
+    want2 = _full(spark, ws.load("ticks"), tmp + "/fresh2")
+    assert got2 == want2
+    # reopened workspace still knows the attachment
+    ws2 = Workspace(spark, tmp + "/ws")
+    assert ws2.rollups() == ["bars5m"]
+    ws2.detach_rollup("bars5m", delete=True)
+    assert ws2.rollups() == [] and not os.path.exists(path)
