@@ -301,6 +301,33 @@ def create_rollup(
     return meta
 
 
+def _increment(source: DataFrame, meta: dict) -> DataFrame:
+    """The refresh's tail scan: everything at/after the watermark.
+
+    The predicate is a plain range comparison on the time column (for
+    timestamp sources, on the reconstructed timestamp bound — not on a
+    derived expression), so it PUSHES DOWN to the parquet scan and
+    row-group min/max skip the already-folded history — the property
+    that makes a refresh cost O(increment), plan-asserted in tests."""
+    w = int(meta["watermark_ns"])
+    tc = meta["time_col"]
+    if meta["time_kind"] == "timestamp":
+        # compare the RAW column against a literal of ITS OWN type:
+        # parquet pushes attribute-vs-literal range predicates, while
+        # the old unix_micros(col)*1000 >= w form wrapped the column in
+        # a function and scanned everything.  Ceil-to-µs keeps the ns
+        # semantics exact (ts_ns is µs*1000 at this kind, so
+        # ts_ns >= w  <=>  ts_us >= ceil(w/1000)); the cast to the
+        # column's exact type (TIMESTAMP vs TIMESTAMP_NTZ) is on the
+        # LITERAL side and lossless under the engine's fixed UTC.
+        bound_us = -((-w) // 1000)
+        dt = source.schema[tc].dataType.simpleString()
+        return source.where(
+            F.col(tc) >= F.timestamp_micros(F.lit(int(bound_us))).cast(dt)
+        )
+    return source.where(F.col(tc).cast("long") >= F.lit(w))
+
+
 def refresh_rollup(spark: SparkSession, path: str, source: DataFrame) -> dict:
     """Fold everything at/after the watermark into the rollup.
 
@@ -313,7 +340,7 @@ def refresh_rollup(spark: SparkSession, path: str, source: DataFrame) -> dict:
     if meta["watermark_ns"] is None:
         raise ArgsError(f"rollup at {path} was never created")
     w_old = int(meta["watermark_ns"])
-    inc = source.where(_tns(meta) >= F.lit(w_old))
+    inc = _increment(source, meta)
     stats = inc.agg(
         F.count(F.lit(1)).alias("n"), F.max(_tns(meta)).alias("mx")
     ).head()

@@ -561,3 +561,48 @@ def test_workspace_attached_rollup_auto_refreshes(spark, tmp):
     assert ws2.rollups() == ["bars5m"]
     ws2.detach_rollup("bars5m", delete=True)
     assert ws2.rollups() == [] and not os.path.exists(path)
+
+
+def test_refresh_tail_scan_predicate_is_pushed_down(spark, tmp):
+    """The refresh's O(increment) cost claim, plan-asserted: the
+    watermark predicate reaches the parquet scan as a PushedFilter on
+    the raw time column — for the TIMESTAMP kind (literal converted to
+    the column's type) and the epoch-ns LONG kind alike."""
+    ev = _events(spark)  # TIMESTAMP_NTZ ts
+    RU.create_rollup(
+        ev, tmp + "/t", time_col="ts", keys=["event_type"],
+        values=["value"], width_ns=span_ns(5, "m"),
+    )
+    inc = RU._increment(ev, RU.rollup_meta(tmp + "/t"))
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    seg = plan[plan.index("PushedFilters"):][:200]
+    assert "GreaterThanOrEqual(ts" in seg, seg
+    # long-ns kind (the engine's post-read-edge convention)
+    evl = ev.select(ts_to_ns("ts").alias("ts"), "event_type", "value")
+    p2 = tmp + "/l"
+    RU.create_rollup(
+        evl, p2, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    # persist as parquet so there is a scan to push into
+    evl.write.mode("overwrite").parquet(tmp + "/src")
+    src = spark.read.parquet(tmp + "/src")
+    inc2 = RU._increment(src, RU.rollup_meta(p2))
+    plan2 = inc2._jdf.queryExecution().executedPlan().toString()
+    seg2 = plan2[plan2.index("PushedFilters"):][:200]
+    assert "GreaterThanOrEqual(ts" in seg2, seg2
+
+
+def test_quantile_plan_is_windowless(spark, tmp):
+    """rollup_quantile's scale claim: the per-bar estimate is an array
+    fold — no Window operator, no extra Exchange beyond the bars read
+    itself."""
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(60, "m"), hist=HIST,
+    )
+    q = RU.rollup_quantile(spark, tmp, 0.5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange" not in plan  # pure per-row projection over the read
