@@ -12265,6 +12265,70 @@ def rollup_incremental_bars(spark, sf):
 
 
 @query(
+    "matview_enriched_lineitem",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey AS p_partkey,
+           p.p_brand, p.p_type, l.l_extendedprice
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    ORDER BY l.l_orderkey, l.l_linenumber, p_partkey
+    """,
+)
+def matview_enriched_lineitem(spark, sf):
+    """Incremental materialized ENRICHMENT view (sources.matview — the
+    denormalize-at-ingest pattern, the join-side sibling of the
+    rollup): snapshot the part dimension inside the view, left-join
+    the first ~70% of lineitem by ship date at create, then refresh
+    with the full fact — only the tail behind the watermark is scanned
+    (raw-column pushed-down predicate) and joined against the
+    BROADCAST stored dim as a new disjoint epoch.  The oracle replays
+    the full join from the raw tables, so a dropped/duplicated tail
+    row, a stale dim, or an epoch resurrection is a value mismatch.
+    The join adds no arithmetic — incremental == full, row-for-row."""
+    from .sources import matview as MV
+
+    li = _t(spark, sf, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    pt = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_type")
+    path = _ann_index_dir(sf, "matview")
+    mx = li.agg(F.max(TM.ts_to_ns("l_shipdate"))).head()[0]
+    fresh = False
+    try:
+        meta = MV.matview_meta(path)
+        fresh = (
+            meta["watermark_ns"] == int(mx) + 1
+            and len(meta["epochs"]) >= 2
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        split = int(
+            li.select(TM.ts_to_ns("l_shipdate").alias("t"))
+            .selectExpr("percentile(t, 0.7) AS p").head()["p"]
+        )
+        MV.create_enrich_view(
+            li.where(TM.ts_to_ns("l_shipdate") < split),
+            pt,
+            path,
+            on=["p_partkey"],
+            time_col="l_shipdate",
+            columns=[
+                "l_orderkey", "l_linenumber", "p_partkey",
+                "p_brand", "p_type", "l_extendedprice",
+            ],
+        )
+        MV.refresh_enrich_view(spark, path, li)
+    return (
+        MV.read_enrich_view(spark, path)
+        .select(
+            "l_orderkey", "l_linenumber", "p_partkey",
+            "p_brand", "p_type", "l_extendedprice",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+    )
+
+
+@query(
     "rollup_quantile_bars",
     """
     WITH b AS (
@@ -12650,6 +12714,7 @@ _R08_WINDOW = [
     "rollup_incremental_bars", "ivf_upsert_topk", "bm25_upsert_topk",
     "kerf_lang_uniform_verbs", "kerf_lang_set_verbs",
     "rollup_stream_bars", "rollup_quantile_bars",
+    "matview_enriched_lineitem",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",

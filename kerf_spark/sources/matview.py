@@ -1,0 +1,281 @@
+"""Incremental materialized ENRICHMENT views: denormalize at ingest.
+
+The rollup (``sources.rollup``) maintains the aggregation side of a
+tick store incrementally; this module maintains the JOIN side — the
+"enrich every fact row with its dimension attributes once, at ingest"
+pattern every 100 TB pipeline runs (trades ⋈ instrument master,
+documents ⋈ source metadata, lineitems ⋈ part catalog).  Re-joining at
+query time pays the dimension broadcast on every query; the
+materialized view pays it once per increment and every downstream read
+is a plain pruned scan.
+
+Design (the rollup's epoch-LSM discipline, minus the merge — an
+enrichment view is APPEND-ONLY because each epoch's fact rows are
+disjoint by the watermark, so epochs union instead of superseding):
+
+* ``create_enrich_view`` snapshots the DIMENSION inside the view
+  (``dim/`` parquet — the view is self-contained; enrichment uses the
+  dim AS OF creation, the slowly-changing-dimension type-0 contract,
+  and a changed dim is a deliberate rebuild), left-joins the fact's
+  current contents, and lands ``rows/epoch=0/part_ns=P/`` partitioned
+  by a coarse bucket of the fact's time column.
+* ``refresh_enrich_view`` reads the fact tail behind the watermark
+  (raw-column pushed-down predicate — the rollup's ``_increment``),
+  joins it against the BROADCAST stored dim, and appends one new epoch.
+  Epochs are disjoint row sets, so the read is a union of every
+  epoch's selected partitions; replays overwrite their own epoch dir
+  (deterministic), and the sidecar — committed last — is the only
+  thing readers trust.
+* ``read_enrich_view`` selects leaf dirs at the driver from the
+  sidecar ledger (storage-level time-range pruning, the rollup's
+  read shape), ``compact_enrich_view`` folds the epoch chain into a
+  fresh epoch 0 (small-files maintenance).
+
+Join semantics: LEFT join on the declared keys — fact rows with no
+dimension match keep null attributes (they are data, not errors, at
+ingest time).  Exactness: the join adds no arithmetic, so incremental
+== full rebuild row-for-row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import ArgsError
+from ..functions.temporal import DAY, ts_to_ns, xbar
+from .rollup import _increment
+
+_META = "matview.json"
+#: bump when the on-disk layout changes: readers refuse loudly
+FORMAT = 1
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, _META))  # atomic swap
+
+
+def matview_meta(path: str) -> dict:
+    """The view sidecar (spec, watermark, epoch ledger)."""
+    with open(os.path.join(path, _META)) as fh:
+        meta = json.load(fh)
+    if meta.get("format") != FORMAT:
+        raise ArgsError(
+            f"matview at {path} has format {meta.get('format')}, "
+            f"this code reads format {FORMAT} — rebuild it"
+        )
+    return meta
+
+
+def _tns(meta: dict):
+    c = F.col(meta["time_col"])
+    return ts_to_ns(c) if meta["time_kind"] == "timestamp" else c.cast("long")
+
+
+def _enrich(fact: DataFrame, dim: DataFrame, meta: dict) -> DataFrame:
+    """One increment's enrichment: left join against the broadcast
+    dimension snapshot, time bucket derived for the partition key.
+    part_ns rides as a DATA column too (leaf-dir reads drop the hive
+    column and here the bucket is not derivable from the projected
+    output)."""
+    on = meta["on"]
+    out = fact.join(F.broadcast(dim), on, "left")
+    part = xbar(_tns(meta), int(meta["part_width_ns"]))
+    cols = meta["columns"]
+    return out.select(*[F.col(c) for c in cols], part.alias("part_ns"))
+
+
+def create_enrich_view(
+    fact: DataFrame,
+    dim: DataFrame,
+    path: str,
+    *,
+    on: list[str],
+    time_col: str,
+    columns: list[str] | None = None,
+    part_width_ns: int = 30 * DAY,
+) -> dict:
+    """Build the enrichment view: snapshot ``dim``, left-join the
+    fact's current contents, land the result partitioned by a coarse
+    time bucket.  ``columns`` projects the stored output (default:
+    every fact column plus every non-key dim column); the join keys
+    must be in it or in ``on``."""
+    if not on:
+        raise ArgsError("need at least one join key")
+    dt = dict(zip(fact.schema.names, fact.schema.fields))
+    if time_col not in dt:
+        raise ArgsError(f"time_col {time_col!r} not in fact columns")
+    kind = (
+        "timestamp"
+        if isinstance(
+            dt[time_col].dataType, (T.TimestampType, T.TimestampNTZType)
+        )
+        else "ns"
+    )
+    if columns is None:
+        columns = list(fact.columns) + [
+            c for c in dim.columns if c not in on
+        ]
+    missing = [c for c in on if c not in fact.columns or c not in dim.columns]
+    if missing:
+        raise ArgsError(f"join keys missing from fact or dim: {missing}")
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # build hygiene: never union a prior life
+    os.makedirs(path, exist_ok=True)
+    dpath = os.path.join(path, "dim")
+    dim.write.mode("overwrite").parquet(dpath)
+    spark = fact.sparkSession
+    dim_stored = spark.read.parquet(dpath)
+    meta = {
+        "format": FORMAT,
+        "kind": "matview",
+        "on": list(on),
+        "time_col": time_col,
+        "time_kind": kind,
+        "columns": list(columns),
+        "part_width_ns": int(part_width_ns),
+        "watermark_ns": None,
+        "epochs": [],
+    }
+    stats = fact.agg(
+        F.count(F.lit(1)).alias("n"), F.max(_tns(meta)).alias("mx")
+    ).head()
+    rows = _enrich(fact, dim_stored, meta)
+    meta["rows_schema"] = rows.drop("part_ns").schema.jsonValue()
+    if stats["n"] == 0:
+        meta["watermark_ns"] = 0
+        _write_meta(path, meta)
+        return meta
+    edir = os.path.join(path, "rows", "epoch=0")
+    rows.write.mode("overwrite").partitionBy("part_ns").parquet(edir)
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(edir)
+        if d.startswith("part_ns=")
+    )
+    meta["watermark_ns"] = int(stats["mx"]) + 1
+    meta["epochs"] = [
+        {"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts}
+    ]
+    _write_meta(path, meta)
+    return meta
+
+
+def refresh_enrich_view(spark: SparkSession, path: str, fact: DataFrame) -> dict:
+    """Enrich everything at/after the watermark and append it as a new
+    epoch.  Cost shape: one pushed-down tail scan + one broadcast join
+    over the increment — never the view, never the history.  Replay-
+    idempotent (deterministic epoch content, sidecar committed last)."""
+    meta = matview_meta(path)
+    if meta["watermark_ns"] is None:
+        raise ArgsError(f"matview at {path} was never created")
+    w_old = int(meta["watermark_ns"])
+    inc = _increment(fact, meta)
+    stats = inc.agg(
+        F.count(F.lit(1)).alias("n"), F.max(_tns(meta)).alias("mx")
+    ).head()
+    if stats["n"] == 0:
+        return {"rows": 0, "parts": [], "watermark_ns": w_old}
+    dim = spark.read.parquet(os.path.join(path, "dim"))
+    epoch = len(meta["epochs"])
+    edir = os.path.join(path, "rows", f"epoch={epoch}")
+    _enrich(inc, dim, meta).write.mode("overwrite").partitionBy(
+        "part_ns"
+    ).parquet(edir)
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(edir)
+        if d.startswith("part_ns=")
+    )
+    meta["epochs"].append(
+        {"epoch": epoch, "watermark_ns": int(stats["mx"]) + 1, "parts": parts}
+    )
+    meta["watermark_ns"] = int(stats["mx"]) + 1
+    _write_meta(path, meta)  # commit point
+    return {
+        "rows": int(stats["n"]),
+        "parts": parts,
+        "watermark_ns": meta["watermark_ns"],
+    }
+
+
+def read_enrich_view(
+    spark: SparkSession,
+    path: str,
+    lo_ns: int | None = None,
+    hi_ns: int | None = None,
+) -> DataFrame:
+    """The enriched rows.  ``lo_ns``/``hi_ns`` bound the read at the
+    STORAGE layer: leaf dirs are selected at the driver from the
+    sidecar ledger (epochs are disjoint row sets, so every epoch's
+    overlapping partitions union in)."""
+    meta = matview_meta(path)
+    pw = int(meta["part_width_ns"])
+    leafs = [
+        os.path.join(path, "rows", f"epoch={e['epoch']}", f"part_ns={p}")
+        for e in meta["epochs"]
+        for p in e["parts"]
+        if (lo_ns is None or int(p) + pw > lo_ns)
+        and (hi_ns is None or int(p) <= hi_ns)
+    ]
+    schema = T.StructType.fromJson(meta["rows_schema"])
+    if leafs:
+        rows = spark.read.schema(schema).parquet(*leafs)
+    else:
+        rows = spark.createDataFrame([], schema)
+    if (lo_ns is not None or hi_ns is not None) and meta[
+        "time_col"
+    ] in schema.names:
+        # row-level trim inside the boundary partitions — only when
+        # the view stored its time column; otherwise the read is
+        # partition-granular (the leaf selection above), documented
+        tns = _tns(meta)
+        if lo_ns is not None:
+            rows = rows.where(tns >= F.lit(int(lo_ns)))
+        if hi_ns is not None:
+            rows = rows.where(tns <= F.lit(int(hi_ns)))
+    return rows
+
+
+def compact_enrich_view(spark: SparkSession, path: str) -> dict:
+    """Fold the epoch chain into a fresh single epoch — small-files
+    maintenance after many refreshes.  Staging + atomic swap, sidecar
+    committed last (the rollup's crash discipline)."""
+    meta = matview_meta(path)
+    rows = read_enrich_view(spark, path)
+    part = xbar(_tns(meta), int(meta["part_width_ns"]))
+    staging = os.path.join(path, "rows.compacting")
+    shutil.rmtree(staging, ignore_errors=True)
+    parts: list[int] = []
+    if meta["epochs"]:
+        rows.withColumn("part_ns", part).write.mode("overwrite").partitionBy(
+            "part_ns"
+        ).parquet(os.path.join(staging, "epoch=0"))
+        parts = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(staging, "epoch=0"))
+            if d.startswith("part_ns=")
+        )
+    old = os.path.join(path, "rows")
+    trash = os.path.join(path, "rows.old")
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(old):
+        os.replace(old, trash)
+    if meta["epochs"]:
+        os.replace(staging, old)
+    meta["epochs"] = (
+        [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts}]
+        if parts
+        else []
+    )
+    _write_meta(path, meta)  # commit point
+    shutil.rmtree(trash, ignore_errors=True)
+    return {"epochs_folded": True, "parts": len(parts)}

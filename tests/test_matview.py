@@ -1,0 +1,159 @@
+"""Incremental materialized enrichment views (sources.matview): the
+denormalize-at-ingest contract — incremental refresh == full rebuild,
+broadcast-join increments, storage-level range reads, crash-replay
+idempotence, epoch-chain compaction.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kerf_spark.errors import ArgsError
+from kerf_spark.functions.temporal import ts_to_ns
+from kerf_spark.sources import matview as MV
+
+SF_DIR = "/root/testdata/sf0.001"
+COLS = [
+    "l_orderkey", "l_linenumber", "p_partkey", "l_shipdate",
+    "l_extendedprice", "p_brand", "p_type",
+]
+KEY = ["l_orderkey", "l_linenumber"]
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+
+
+def _create(fact, dim, path):
+    return MV.create_enrich_view(
+        fact, dim, path, on=["p_partkey"], time_col="l_shipdate",
+        columns=COLS,
+    )
+
+
+def _rows(spark, path):
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture — sort
+    # the collected tuples in Python for a total order
+    return sorted(
+        tuple(r) for r in MV.read_enrich_view(spark, path).collect()
+    )
+
+
+def test_incremental_equals_full_and_left_join_keeps_orphans(
+    spark, fact, dim, tmp_path
+):
+    full_path = str(tmp_path / "full")
+    _create(fact, dim, full_path)
+    full = _rows(spark, full_path)
+    assert len(full) == fact.count()
+
+    split = int(
+        fact.select(ts_to_ns("l_shipdate").alias("t"))
+        .selectExpr("percentile(t, 0.7) p").head()["p"]
+    )
+    inc_path = str(tmp_path / "inc")
+    _create(fact.where(ts_to_ns("l_shipdate") < split), dim, inc_path)
+    res = MV.refresh_enrich_view(spark, inc_path, fact)
+    assert res["rows"] > 0
+    assert _rows(spark, inc_path) == full
+
+    # LEFT semantics: a fact row with no dim match keeps null attrs
+    orphan_path = str(tmp_path / "orph")
+    half_dim = dim.where(F.col("p_partkey") % 2 == 0)
+    _create(fact, half_dim, orphan_path)
+    got = MV.read_enrich_view(spark, orphan_path)
+    assert got.count() == fact.count()
+    assert got.where(F.col("p_brand").isNull()).count() > 0
+
+
+def test_refresh_joins_increment_against_broadcast_dim(
+    spark, fact, dim, tmp_path
+):
+    """Plan shape of the increment enrichment: BroadcastHashJoin (the
+    dim snapshot broadcasts; the fact tail never shuffles) and the
+    watermark predicate pushed to the fact scan."""
+    path = str(tmp_path / "v")
+    _create(fact.limit(0), dim, path)
+    meta = MV.matview_meta(path)
+    dstored = spark.read.parquet(os.path.join(path, "dim"))
+    inc = MV._increment(fact, meta)
+    plan = (
+        MV._enrich(inc, dstored, meta)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    seg = plan[plan.index("PushedFilters"):][:250]
+    assert "l_shipdate" in seg, seg
+
+
+def test_replay_overwrites_its_epoch(spark, fact, dim, tmp_path):
+    import json
+
+    path = str(tmp_path / "v")
+    split = int(
+        fact.select(ts_to_ns("l_shipdate").alias("t"))
+        .selectExpr("percentile(t, 0.5) p").head()["p"]
+    )
+    _create(fact.where(ts_to_ns("l_shipdate") < split), dim, path)
+    pre = MV.matview_meta(path)
+    MV.refresh_enrich_view(spark, path, fact)
+    want = _rows(spark, path)
+    # crash: epoch on disk, sidecar rolled back -> replay converges
+    with open(os.path.join(path, MV._META), "w") as fh:
+        json.dump(pre, fh)
+    MV.refresh_enrich_view(spark, path, fact)
+    assert _rows(spark, path) == want
+
+
+def test_range_read_and_compaction(spark, fact, dim, tmp_path):
+    path = str(tmp_path / "v")
+    split = int(
+        fact.select(ts_to_ns("l_shipdate").alias("t"))
+        .selectExpr("percentile(t, 0.6) p").head()["p"]
+    )
+    _create(fact.where(ts_to_ns("l_shipdate") < split), dim, path)
+    MV.refresh_enrich_view(spark, path, fact)
+    full = _rows(spark, path)
+    meta = MV.matview_meta(path)
+    days = sorted({p for e in meta["epochs"] for p in e["parts"]})
+    lo = days[len(days) // 2]
+    sub = MV.read_enrich_view(spark, path, lo_ns=lo)
+    n_sub = sub.count()
+    assert 0 < n_sub < len(full)
+    assert sub.select(F.min(ts_to_ns("l_shipdate"))).head()[0] >= lo
+    # fewer files opened than the full read
+    assert len(set(sub.inputFiles())) < len(
+        set(MV.read_enrich_view(spark, path).inputFiles())
+    )
+    MV.compact_enrich_view(spark, path)
+    assert [e["epoch"] for e in MV.matview_meta(path)["epochs"]] == [0]
+    assert _rows(spark, path) == full
+    # refresh keeps working post-compaction
+    assert MV.refresh_enrich_view(spark, path, fact)["rows"] == 0
+
+
+def test_spec_validation_and_empty_create(spark, fact, dim, tmp_path):
+    path = str(tmp_path / "v")
+    with pytest.raises(ArgsError, match="join key"):
+        MV.create_enrich_view(
+            fact, dim, path, on=[], time_col="l_shipdate"
+        )
+    with pytest.raises(ArgsError, match="missing from fact"):
+        MV.create_enrich_view(
+            fact, dim, path, on=["nope"], time_col="l_shipdate"
+        )
+    _create(fact.where(F.lit(False)), dim, path)
+    assert MV.read_enrich_view(spark, path).count() == 0
+    MV.refresh_enrich_view(spark, path, fact)
+    assert MV.read_enrich_view(spark, path).count() == fact.count()
