@@ -201,6 +201,10 @@ class Workspace:
             )
         self.manifest["tables"][name] = meta
         self._flush()
+        # a re-save REPLACES the table: every attached derived artifact
+        # (rollups over it, matviews using it as fact or dim) rebuilds
+        self._maintain_rollups(name, rebuild=True)
+        self._maintain_matviews(name)
 
     def load(self, name: str) -> DataFrame:
         meta = self.manifest["tables"][name]
@@ -418,6 +422,89 @@ class Workspace:
             else:
                 RU.refresh_rollup(self.spark, e["path"], self.load(table))
 
+    # ------------------------------------------------ attached matviews
+    def attach_matview(
+        self,
+        fact: str,
+        dim: str,
+        name: str,
+        *,
+        on: Sequence[str],
+        time_col: str,
+        columns: Sequence[str] | None = None,
+        part_width_ns: int | None = None,
+    ) -> dict:
+        """An enrichment view ATTACHED to two workspace tables (the
+        denormalize-at-ingest sibling of :meth:`attach_rollup`): builds
+        a ``sources.matview`` over ``fact`` ⋈ ``dim`` under
+        ``root/_matviews/<name>`` and keeps it fresh — appends to the
+        FACT fold the new tail in (broadcast join against the stored
+        dim snapshot); any rewrite of the fact's history (upsert/save)
+        or ANY change to the DIM (append/upsert/save) rebuilds, since
+        the stored snapshot no longer reflects it."""
+        from . import matview as MV
+
+        for t in (fact, dim):
+            if t not in self.manifest["tables"]:
+                raise KeyError(f"no table named {t!r} in this workspace")
+        path = os.path.join(self.root, "_matviews", name)
+        kw = dict(on=list(on), time_col=time_col)
+        if columns is not None:
+            kw["columns"] = list(columns)
+        if part_width_ns is not None:
+            kw["part_width_ns"] = int(part_width_ns)
+        MV.create_enrich_view(self.load(fact), self.load(dim), path, **kw)
+        entry = {"fact": fact, "dim": dim, "path": path,
+                 "spec": _jsonable_dict(kw)}
+        self.manifest.setdefault("matviews", {})[name] = entry
+        self._flush()
+        return entry
+
+    def matviews(self, table: str | None = None) -> list[str]:
+        ents = self.manifest.get("matviews", {})
+        return sorted(
+            n for n, e in ents.items()
+            if table is None or table in (e["fact"], e["dim"])
+        )
+
+    def matview_path(self, name: str) -> str:
+        try:
+            return self.manifest["matviews"][name]["path"]
+        except KeyError:
+            raise KeyError(f"no matview named {name!r} in this workspace")
+
+    def detach_matview(self, name: str, delete: bool = False) -> None:
+        entry = self.manifest.get("matviews", {}).pop(name, None)
+        self._flush()
+        if delete and entry is not None:
+            import shutil
+
+            shutil.rmtree(entry["path"], ignore_errors=True)
+
+    def _maintain_matviews(self, table: str, fact_append: bool = False) -> None:
+        """Post-write hook: a fact append refreshes (tail fold); every
+        other shape — fact history rewrite, or any dim change — rebuilds
+        (the stored snapshot is stale either way)."""
+        ents = self.manifest.get("matviews", {})
+        hit = [
+            n for n, e in ents.items() if table in (e["fact"], e["dim"])
+        ]
+        if not hit:
+            return
+        from . import matview as MV
+
+        for n in hit:
+            e = ents[n]
+            if fact_append and e["fact"] == table and e["dim"] != table:
+                MV.refresh_enrich_view(
+                    self.spark, e["path"], self.load(e["fact"])
+                )
+            else:
+                MV.create_enrich_view(
+                    self.load(e["fact"]), self.load(e["dim"]),
+                    e["path"], **e["spec"],
+                )
+
     def register_external(
         self,
         name: str,
@@ -574,6 +661,7 @@ class Workspace:
             meta["schema"] = T.StructType(new_fields).jsonValue()
         self._flush()
         self._maintain_rollups(name)
+        self._maintain_matviews(name, fact_append=True)
 
     def upsert(self, name: str, rows: DataFrame, keys: Sequence[str]) -> None:
         """Keyed upsert via staging-dir + atomic directory swap.
@@ -619,6 +707,7 @@ class Workspace:
         # upsert rewrites history behind attached rollups' watermarks —
         # a refresh would miss it, so they rebuild (documented contract)
         self._maintain_rollups(name, rebuild=True)
+        self._maintain_matviews(name)
 
     def compact(self, name: str, target_file_mb: int = 128) -> dict:
         """Rewrite ``name`` into ~``target_file_mb``-sized files — the

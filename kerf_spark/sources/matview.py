@@ -49,7 +49,7 @@ from pyspark.sql import types as T
 
 from ..errors import ArgsError
 from ..functions.temporal import DAY, ts_to_ns, xbar
-from .rollup import _increment
+from .rollup import _increment, cast_to, promote_schema
 
 _META = "matview.json"
 #: bump when the on-disk layout changes: readers refuse loudly
@@ -163,7 +163,8 @@ def create_enrich_view(
     )
     meta["watermark_ns"] = int(stats["mx"]) + 1
     meta["epochs"] = [
-        {"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts}
+        {"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts,
+         "schema": meta["rows_schema"]}
     ]
     _write_meta(path, meta)
     return meta
@@ -187,16 +188,28 @@ def refresh_enrich_view(spark: SparkSession, path: str, fact: DataFrame) -> dict
     dim = spark.read.parquet(os.path.join(path, "dim"))
     epoch = len(meta["epochs"])
     edir = os.path.join(path, "rows", f"epoch={epoch}")
-    _enrich(inc, dim, meta).write.mode("overwrite").partitionBy(
-        "part_ns"
-    ).parquet(edir)
+    rows = _enrich(inc, dim, meta)
+    # width promotion (the rollup discipline): a fact that widened
+    # since create widens the view schema; old epochs widen at read
+    target = promote_schema(
+        T.StructType.fromJson(meta["rows_schema"]),
+        rows.drop("part_ns").schema,
+    )
+    meta["rows_schema"] = target.jsonValue()
+    part_col = rows.schema["part_ns"]
+    rows = cast_to(
+        rows,
+        T.StructType(list(target.fields) + [part_col]),
+    )
+    rows.write.mode("overwrite").partitionBy("part_ns").parquet(edir)
     parts = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(edir)
         if d.startswith("part_ns=")
     )
     meta["epochs"].append(
-        {"epoch": epoch, "watermark_ns": int(stats["mx"]) + 1, "parts": parts}
+        {"epoch": epoch, "watermark_ns": int(stats["mx"]) + 1,
+         "parts": parts, "schema": target.jsonValue()}
     )
     meta["watermark_ns"] = int(stats["mx"]) + 1
     _write_meta(path, meta)  # commit point
@@ -219,17 +232,23 @@ def read_enrich_view(
     overlapping partitions union in)."""
     meta = matview_meta(path)
     pw = int(meta["part_width_ns"])
-    leafs = [
-        os.path.join(path, "rows", f"epoch={e['epoch']}", f"part_ns={p}")
-        for e in meta["epochs"]
-        for p in e["parts"]
-        if (lo_ns is None or int(p) + pw > lo_ns)
-        and (hi_ns is None or int(p) <= hi_ns)
-    ]
     schema = T.StructType.fromJson(meta["rows_schema"])
-    if leafs:
-        rows = spark.read.schema(schema).parquet(*leafs)
-    else:
+    rows = None
+    for e in meta["epochs"]:
+        leafs = [
+            os.path.join(
+                path, "rows", f"epoch={e['epoch']}", f"part_ns={p}"
+            )
+            for p in e["parts"]
+            if (lo_ns is None or int(p) + pw > lo_ns)
+            and (hi_ns is None or int(p) <= hi_ns)
+        ]
+        if not leafs:
+            continue
+        esch = T.StructType.fromJson(e.get("schema") or meta["rows_schema"])
+        df = cast_to(spark.read.schema(esch).parquet(*leafs), schema)
+        rows = df if rows is None else rows.unionByName(df)
+    if rows is None:
         rows = spark.createDataFrame([], schema)
     if (lo_ns is not None or hi_ns is not None) and meta[
         "time_col"
@@ -243,6 +262,21 @@ def read_enrich_view(
         if hi_ns is not None:
             rows = rows.where(tns <= F.lit(int(hi_ns)))
     return rows
+
+
+def matview_stream_sink(spark: SparkSession, path: str):
+    """Streaming view maintenance: a fanout-compatible foreachBatch
+    sink folding each micro-batch of fact rows through
+    :func:`refresh_enrich_view`.  The watermark filter makes crash-
+    replayed epochs no-ops for TIME-ORDERED feeds (the
+    rollup_stream_sink contract); compact on a schedule to keep the
+    epoch chain short."""
+    matview_meta(path)  # fail fast if the view was never created
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        refresh_enrich_view(spark, path, batch)
+
+    return sink
 
 
 def compact_enrich_view(spark: SparkSession, path: str) -> dict:
@@ -272,7 +306,8 @@ def compact_enrich_view(spark: SparkSession, path: str) -> dict:
     if meta["epochs"]:
         os.replace(staging, old)
     meta["epochs"] = (
-        [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts}]
+        [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts,
+          "schema": meta["rows_schema"]}]
         if parts
         else []
     )

@@ -183,6 +183,76 @@ def _partials_schema(meta: dict) -> T.StructType:
     return T.StructType.fromJson(meta["partials_schema"])
 
 
+# ------------------------------------------------------ schema promotion
+def promote_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Widest-wins promotion over the kerf numeric ladder, recursing
+    through structs/arrays — the reference's promote-on-append width
+    discipline (layout.cc:726-934) applied to DERIVED artifacts: a
+    source that widened between create and refresh (e.g. a Workspace
+    table whose minimal-width smallint outgrew into bigint) widens the
+    artifact's schema instead of corrupting its reads."""
+    if a == b:
+        return a
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        if [f.name for f in a.fields] != [f.name for f in b.fields]:
+            raise ArgsError(
+                f"cannot promote structs with different fields: "
+                f"{a.simpleString()} vs {b.simpleString()}"
+            )
+        return T.StructType(
+            [
+                T.StructField(
+                    fa.name, promote_type(fa.dataType, fb.dataType), True
+                )
+                for fa, fb in zip(a.fields, b.fields)
+            ]
+        )
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            promote_type(a.elementType, b.elementType), True
+        )
+    from .catalog import _promote
+
+    prom = _promote(a.simpleString(), b.simpleString())  # raises loudly
+    return _parse_simple(prom)
+
+
+_SIMPLE = {
+    "tinyint": T.ByteType(), "smallint": T.ShortType(),
+    "int": T.IntegerType(), "bigint": T.LongType(),
+    "float": T.FloatType(), "double": T.DoubleType(),
+    "string": T.StringType(),
+}
+
+
+def _parse_simple(s: str) -> T.DataType:
+    return _SIMPLE[s]
+
+
+def promote_schema(a: T.StructType, b: T.StructType) -> T.StructType:
+    if [f.name for f in a.fields] != [f.name for f in b.fields]:
+        raise ArgsError(
+            f"schema drift beyond width promotion: "
+            f"{[f.name for f in a.fields]} vs {[f.name for f in b.fields]}"
+        )
+    return T.StructType(
+        [
+            T.StructField(fa.name, promote_type(fa.dataType, fb.dataType), True)
+            for fa, fb in zip(a.fields, b.fields)
+        ]
+    )
+
+
+def cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Align ``df``'s columns to ``schema`` (widening casts only, by
+    construction of :func:`promote_schema`)."""
+    if df.schema == schema:
+        return df
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def _resolution(meta: dict) -> dict[int, int]:
     """part_ns -> epoch holding its current state (last writer wins)."""
     res: dict[int, int] = {}
@@ -194,6 +264,34 @@ def _resolution(meta: dict) -> dict[int, int]:
 
 def _leaf(path: str, epoch: int, part: int) -> str:
     return os.path.join(path, "bars", f"epoch={epoch}", f"part_ns={part}")
+
+
+def _read_leafs(
+    spark: SparkSession, path: str, meta: dict, pairs, target: T.StructType
+) -> DataFrame | None:
+    """Read ``[(epoch, part), ...]`` leaf dirs, each epoch with ITS
+    recorded schema (epochs written before a width promotion are
+    narrower than the current one), cast to ``target``, union.  The
+    promote-on-append discipline for derived artifacts: old epochs
+    never rewrite, reads widen."""
+    by_epoch: dict[int, list[int]] = {}
+    for e, pt in pairs:
+        by_epoch.setdefault(int(e), []).append(int(pt))
+    esch = {
+        int(en["epoch"]): en.get("schema") or meta["partials_schema"]
+        for en in meta["epochs"]
+    }
+    out = None
+    for e, ps in sorted(by_epoch.items()):
+        sch = T.StructType.fromJson(esch[e])
+        df = cast_to(
+            spark.read.schema(sch).parquet(
+                *[_leaf(path, e, pt) for pt in ps]
+            ),
+            target,
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 # ------------------------------------------------------------ create/read
@@ -295,7 +393,8 @@ def create_rollup(
         if d.startswith("part_ns=")
     )
     meta["epochs"] = [{"epoch": 0, "watermark_ns": int(stats["mx"]) + 1,
-                       "parts": touched}]
+                       "parts": touched,
+                       "schema": meta["partials_schema"]}]
     meta["watermark_ns"] = int(stats["mx"]) + 1
     _write_meta(path, meta)
     return meta
@@ -348,6 +447,13 @@ def refresh_rollup(spark: SparkSession, path: str, source: DataFrame) -> dict:
         return {"rows": 0, "parts": [], "watermark_ns": w_old}
     w_new = int(stats["mx"]) + 1
     inc_parts = _with_part(_partials(inc, meta), meta)
+    # width promotion: a source that widened since create widens the
+    # artifact schema; old epochs stay narrow on disk and widen at read
+    target = promote_schema(
+        _partials_schema(meta), inc_parts.drop("part_ns").schema
+    )
+    meta["partials_schema"] = target.jsonValue()
+    inc_parts = _with_part(cast_to(inc_parts.drop("part_ns"), target), meta)
     epoch = len(meta["epochs"])
     epoch_dir = os.path.join(path, "bars", f"epoch={epoch}")
     # stage the increment's partials once; the touched-partition list
@@ -358,19 +464,19 @@ def refresh_rollup(spark: SparkSession, path: str, source: DataFrame) -> dict:
         r["part_ns"] for r in inc_stored.select("part_ns").distinct().collect()
     )
     res = _resolution(meta)
-    old_dirs = [
-        _leaf(path, res[p], p) for p in touched if p in res
-    ]
-    schema = _partials_schema(meta)
-    merged = inc_stored.drop("part_ns")
-    if old_dirs:
-        old = spark.read.schema(schema).parquet(*old_dirs)
-        merged = _merge(merged.unionByName(old), meta)
-    merged = _with_part(merged, meta)
+    merged = cast_to(inc_stored.drop("part_ns"), target)
+    prior = _read_leafs(
+        spark, path, meta,
+        [(res[p], p) for p in touched if p in res], target,
+    )
+    if prior is not None:
+        merged = _merge(merged.unionByName(prior), meta)
+    merged = _with_part(cast_to(merged, target), meta)
     merged.write.mode("overwrite").partitionBy("part_ns").parquet(epoch_dir)
     shutil.rmtree(epoch_dir + ".inc", ignore_errors=True)
     meta["epochs"].append(
-        {"epoch": epoch, "watermark_ns": w_new, "parts": touched}
+        {"epoch": epoch, "watermark_ns": w_new, "parts": touched,
+         "schema": target.jsonValue()}
     )
     meta["watermark_ns"] = w_new
     _write_meta(path, meta)  # commit point
@@ -395,15 +501,14 @@ def read_rollup(
     meta = rollup_meta(path)
     res = _resolution(meta)
     pw = int(meta["part_width_ns"])
-    leafs = [
-        _leaf(path, e, p)
+    schema = _partials_schema(meta)
+    pairs = [
+        (e, p)
         for p, e in sorted(res.items())
         if (lo_ns is None or p + pw > lo_ns) and (hi_ns is None or p <= hi_ns)
     ]
-    schema = _partials_schema(meta)
-    if leafs:
-        bars = spark.read.schema(schema).parquet(*leafs)
-    else:
+    bars = _read_leafs(spark, path, meta, pairs, schema)
+    if bars is None:
         bars = spark.createDataFrame([], schema)
     if lo_ns is not None:
         bars = bars.where(F.col("bucket_ns") >= F.lit(int(lo_ns)))
@@ -522,6 +627,11 @@ def backfill_rollup(
             f"double-count them on the next refresh)"
         )
     inc_parts = _with_part(_partials(late_rows, meta), meta)
+    target = promote_schema(
+        _partials_schema(meta), inc_parts.drop("part_ns").schema
+    )
+    meta["partials_schema"] = target.jsonValue()
+    inc_parts = _with_part(cast_to(inc_parts.drop("part_ns"), target), meta)
     epoch = len(meta["epochs"])
     epoch_dir = os.path.join(path, "bars", f"epoch={epoch}")
     inc_parts.write.mode("overwrite").parquet(epoch_dir + ".inc")
@@ -530,18 +640,19 @@ def backfill_rollup(
         r["part_ns"] for r in inc_stored.select("part_ns").distinct().collect()
     )
     res = _resolution(meta)
-    old_dirs = [_leaf(path, res[p], p) for p in touched if p in res]
-    schema = _partials_schema(meta)
-    merged = inc_stored.drop("part_ns")
-    if old_dirs:
-        old = spark.read.schema(schema).parquet(*old_dirs)
-        merged = _merge(merged.unionByName(old), meta)
-    merged = _with_part(merged, meta)
+    merged = cast_to(inc_stored.drop("part_ns"), target)
+    prior = _read_leafs(
+        spark, path, meta,
+        [(res[p], p) for p in touched if p in res], target,
+    )
+    if prior is not None:
+        merged = _merge(merged.unionByName(prior), meta)
+    merged = _with_part(cast_to(merged, target), meta)
     merged.write.mode("overwrite").partitionBy("part_ns").parquet(epoch_dir)
     shutil.rmtree(epoch_dir + ".inc", ignore_errors=True)
     meta["epochs"].append(
         {"epoch": epoch, "watermark_ns": w, "parts": touched,
-         "backfill": True}
+         "backfill": True, "schema": target.jsonValue()}
     )
     _write_meta(path, meta)  # commit point (watermark unchanged)
     return {"rows": int(stats["n"]), "parts": touched}
@@ -628,7 +739,8 @@ def compact_rollup(spark: SparkSession, path: str) -> dict:
     if meta["epochs"]:
         os.replace(staging, old)
     meta["epochs"] = (
-        [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts}]
+        [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts,
+          "schema": meta["partials_schema"]}]
         if parts
         else []
     )

@@ -157,3 +157,106 @@ def test_spec_validation_and_empty_create(spark, fact, dim, tmp_path):
     assert MV.read_enrich_view(spark, path).count() == 0
     MV.refresh_enrich_view(spark, path, fact)
     assert MV.read_enrich_view(spark, path).count() == fact.count()
+
+
+def test_stream_sink_and_replay_noop(spark, fact, dim, tmp_path):
+    path = str(tmp_path / "v")
+    full_path = str(tmp_path / "full")
+    _create(fact, dim, full_path)
+    full = _rows(spark, full_path)
+    qs = fact.select(ts_to_ns("l_shipdate").alias("t")).selectExpr(
+        "percentile(t, 0.4) a", "percentile(t, 0.7) b"
+    ).head()
+    a, b = int(qs["a"]), int(qs["b"])
+    _create(fact.where(ts_to_ns("l_shipdate") < a), dim, path)
+    sink = MV.matview_stream_sink(spark, path)
+    b1 = fact.where(
+        (ts_to_ns("l_shipdate") >= a) & (ts_to_ns("l_shipdate") < b)
+    )
+    sink(b1, 0)
+    sink(b1, 0)  # replay: behind the watermark now, no-op
+    sink(fact.where(ts_to_ns("l_shipdate") >= b), 1)
+    assert _rows(spark, path) == full
+    assert len(MV.matview_meta(path)["epochs"]) == 3
+
+
+def test_workspace_attached_matview_maintenance(spark, fact, dim, tmp_path):
+    """Fact append refreshes; fact upsert rebuilds; DIM change rebuilds
+    (the stored snapshot is stale) — each end-state equals a fresh view
+    over the tables' current contents."""
+    from kerf_spark.sources.catalog import Workspace
+
+    qs = fact.select(ts_to_ns("l_shipdate").alias("t")).selectExpr(
+        "percentile(t, 0.7) a"
+    ).head()
+    a = int(qs["a"])
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    ws.save("li", fact.where(ts_to_ns("l_shipdate") < a))
+    ws.save("pt", dim)
+    ws.attach_matview(
+        "li", "pt", "enriched", on=["p_partkey"], time_col="l_shipdate",
+        columns=COLS,
+    )
+    assert ws.matviews() == ["enriched"]
+    assert ws.matviews("pt") == ["enriched"]
+    path = ws.matview_path("enriched")
+
+    def fresh(tag):
+        p = str(tmp_path / tag)
+        _create(ws.load("li"), ws.load("pt"), p)
+        return _rows(spark, p)
+
+    # fact append -> refresh
+    ws.append("li", fact.where(ts_to_ns("l_shipdate") >= a))
+    assert _rows(spark, path) == fresh("f1")
+    # dim upsert -> rebuild (new brand must appear in the view)
+    newdim = dim.limit(20).withColumn("p_brand", F.lit("Brand#ZZ"))
+    ws.upsert("pt", newdim, keys=["p_partkey"])
+    got = _rows(spark, path)
+    assert got == fresh("f2")
+    assert any(r[-2] == "Brand#ZZ" for r in got)
+    # reopen persistence + detach
+    ws2 = Workspace(spark, str(tmp_path / "ws"))
+    assert ws2.matviews() == ["enriched"]
+    ws2.detach_matview("enriched", delete=True)
+    assert ws2.matviews() == [] and not os.path.exists(path)
+
+
+def test_property_incremental_equals_full_random_splits(spark, fact, dim, tmp_path):
+    """Hypothesis: any ordered split of the fact into create/refresh
+    chunks lands the same enriched rows as the full build."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    full_path = str(tmp_path / "full")
+    _create(fact, dim, full_path)
+    full = _rows(spark, full_path)
+    ts = sorted(
+        r["t"]
+        for r in fact.select(ts_to_ns("l_shipdate").alias("t"))
+        .distinct().collect()
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(fa=st.floats(min_value=0.0, max_value=1.0),
+           fb=st.floats(min_value=0.0, max_value=1.0))
+    def check(fa, fb):
+        import shutil as _sh
+
+        a, b = sorted(
+            (ts[int(f * (len(ts) - 1))] for f in (fa, fb))
+        )
+        p = str(tmp_path / "inc")
+        _sh.rmtree(p, ignore_errors=True)
+        _create(fact.where(ts_to_ns("l_shipdate") < a), dim, p)
+        MV.refresh_enrich_view(
+            spark, p, fact.where(ts_to_ns("l_shipdate") < b)
+        )
+        MV.refresh_enrich_view(spark, p, fact)
+        assert _rows(spark, p) == full
+
+    check()

@@ -606,3 +606,34 @@ def test_quantile_plan_is_windowless(spark, tmp):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Exchange" not in plan  # pure per-row projection over the read
+
+
+def test_width_promotion_between_create_and_refresh(spark, tmp):
+    """The promote-on-append discipline for derived artifacts
+    (layout.cc:726-934 applied to rollups): a source whose value
+    column widened smallint→bigint between create and refresh widens
+    the artifact schema; the narrow epoch 0 stays on disk and widens
+    at read — no PARQUET_COLUMN_DATA_TYPE_MISMATCH, values exact."""
+    narrow = spark.createDataFrame(
+        [(1000, "a", 5), (2000, "a", 7)], "tns long, k string, v long"
+    ).select("tns", "k", F.col("v").cast("smallint").alias("v"))
+    wide = spark.createDataFrame(
+        [(90_000_000_000, "a", 100000)], "tns long, k string, v long"
+    )
+    RU.create_rollup(
+        narrow, tmp, time_col="tns", keys=["k"], values=["v"],
+        width_ns=MINUTE, part_width_ns=HOUR,
+    )
+    RU.refresh_rollup(spark, tmp, narrow.unionByName(wide))
+    rows = {r["bucket_ns"]: r for r in RU.read_rollup(spark, tmp).collect()}
+    assert rows[0]["v_sum"] == 12 and rows[0]["v_min"] == 5
+    assert rows[60_000_000_000]["v_max"] == 100000  # past smallint range
+    sch = dict(
+        (f.name, f.dataType.simpleString())
+        for f in RU.read_rollup(spark, tmp, finalize=False).schema.fields
+    )
+    assert sch["v_min"] == "bigint"  # promoted
+    # compaction folds the mixed-width epochs into one wide base
+    RU.compact_rollup(spark, tmp)
+    rows2 = {r["bucket_ns"]: r for r in RU.read_rollup(spark, tmp).collect()}
+    assert rows2 == rows
