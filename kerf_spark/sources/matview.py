@@ -72,6 +72,10 @@ def matview_meta(path: str) -> dict:
             f"matview at {path} has format {meta.get('format')}, "
             f"this code reads format {FORMAT} — rebuild it"
         )
+    if meta.get("folding"):
+        raise ArgsError(
+            f"matview at {path} has an interrupted compaction — rebuild it"
+        )
     return meta
 
 
@@ -298,6 +302,10 @@ def compact_enrich_view(spark: SparkSession, path: str) -> dict:
             for d in os.listdir(os.path.join(staging, "epoch=0"))
             if d.startswith("part_ns=")
         )
+    # intent marker brackets only the rename window (the rollup /
+    # annindex crash discipline): readers refuse a mid-swap tree
+    meta["folding"] = True
+    _write_meta(path, meta)
     old = os.path.join(path, "rows")
     trash = os.path.join(path, "rows.old")
     shutil.rmtree(trash, ignore_errors=True)
@@ -305,6 +313,7 @@ def compact_enrich_view(spark: SparkSession, path: str) -> dict:
         os.replace(old, trash)
     if meta["epochs"]:
         os.replace(staging, old)
+    meta.pop("folding", None)
     meta["epochs"] = (
         [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts,
           "schema": meta["rows_schema"]}]

@@ -81,6 +81,13 @@ def rollup_meta(path: str) -> dict:
             f"rollup at {path} has format {meta.get('format')}, "
             f"this code reads format {FORMAT} — rebuild it"
         )
+    if meta.get("folding"):
+        # a compaction died inside its swap window: the bars tree may
+        # be mid-rename (missing leafs) — fail loud, rebuild (the
+        # annindex._check_not_folding discipline)
+        raise ArgsError(
+            f"rollup at {path} has an interrupted compaction — rebuild it"
+        )
     return meta
 
 
@@ -731,6 +738,11 @@ def compact_rollup(spark: SparkSession, path: str) -> dict:
         n_parts = len(parts)
     else:
         parts = []
+    # intent marker brackets ONLY the tight rename window: a crash
+    # inside it leaves the marker set and every reader refuses (the
+    # bars tree may be mid-swap) instead of answering from half a tree
+    meta["folding"] = True
+    _write_meta(path, meta)
     old = os.path.join(path, "bars")
     trash = os.path.join(path, "bars.old")
     shutil.rmtree(trash, ignore_errors=True)
@@ -738,6 +750,7 @@ def compact_rollup(spark: SparkSession, path: str) -> dict:
         os.replace(old, trash)
     if meta["epochs"]:
         os.replace(staging, old)
+    meta.pop("folding", None)
     meta["epochs"] = (
         [{"epoch": 0, "watermark_ns": meta["watermark_ns"], "parts": parts,
           "schema": meta["partials_schema"]}]

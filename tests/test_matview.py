@@ -260,3 +260,18 @@ def test_property_incremental_equals_full_random_splits(spark, fact, dim, tmp_pa
         assert _rows(spark, p) == full
 
     check()
+
+
+def test_interrupted_compaction_fails_loud(spark, fact, dim, tmp_path):
+    import json
+
+    path = str(tmp_path / "v")
+    _create(fact, dim, path)
+    meta = MV.matview_meta(path)
+    meta["folding"] = True
+    with open(os.path.join(path, MV._META), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ArgsError, match="interrupted compaction"):
+        MV.read_enrich_view(spark, path)
+    with pytest.raises(ArgsError, match="interrupted compaction"):
+        MV.refresh_enrich_view(spark, path, fact)

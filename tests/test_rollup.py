@@ -637,3 +637,27 @@ def test_width_promotion_between_create_and_refresh(spark, tmp):
     RU.compact_rollup(spark, tmp)
     rows2 = {r["bucket_ns"]: r for r in RU.read_rollup(spark, tmp).collect()}
     assert rows2 == rows
+
+
+def test_interrupted_compaction_fails_loud(spark, tmp):
+    """A crash inside compaction's rename window leaves the folding
+    marker set — every reader refuses instead of answering from half a
+    tree (the annindex discipline)."""
+    import json
+
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    meta = RU.rollup_meta(tmp)
+    meta["folding"] = True
+    with open(os.path.join(tmp, RU._META), "w") as fh:
+        json.dump(meta, fh)
+    for fn in (
+        lambda: RU.read_rollup(spark, tmp),
+        lambda: RU.refresh_rollup(spark, tmp, ev),
+        lambda: RU.compact_rollup(spark, tmp),
+    ):
+        with pytest.raises(ArgsError, match="interrupted compaction"):
+            fn()
