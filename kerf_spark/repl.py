@@ -208,6 +208,34 @@ class Repl:
                     v.createOrReplaceTempView(name)
                 names.append(name)
             return names
+        if os.path.exists(os.path.join(sf_dir, "workspace.json")):
+            # a Workspace root: its named tables AND its derived
+            # artifacts (attached rollups as finalized bars, matviews
+            # as enriched rows) all register as views + variables — the
+            # console sees the whole catalog, not just the base tables
+            from .sources import matview as MV
+            from .sources import rollup as RU
+            from .sources.catalog import Workspace
+
+            ws = Workspace(self.spark, sf_dir)
+            names = []
+            for t in ws.tables():
+                df = ws.load(t)
+                df.createOrReplaceTempView(t)
+                self.env.set_local(t, df)
+                names.append(t)
+            for r in ws.rollups():
+                df = RU.read_rollup(self.spark, ws.rollup_path(r))
+                df.createOrReplaceTempView(r)
+                self.env.set_local(r, df)
+                names.append(r)
+            for m in ws.matviews():
+                df = MV.read_enrich_view(self.spark, ws.matview_path(m))
+                df.createOrReplaceTempView(m)
+                self.env.set_local(m, df)
+                names.append(m)
+            self.sf_dir = sf_dir
+            return names
         names = sorted(
             os.path.basename(p)[:-8]
             for p in glob.glob(os.path.join(sf_dir, "*.parquet"))

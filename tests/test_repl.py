@@ -205,3 +205,40 @@ def test_completions_cover_env_builtins_keywords(spark):
     assert "count" in r.completions("cou")
     assert "select" in r.completions("sel")
     assert r.completions("zzz_nothing") == []
+
+
+def test_repl_loads_workspace_root_with_derived_artifacts(spark, tmp_path):
+    """``\\l`` of a Workspace root registers the named tables AND the
+    attached derived artifacts (rollup bars, matview rows) as views +
+    script variables — the console sees the whole catalog."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.functions.temporal import span_ns
+    from kerf_spark.sources.catalog import Workspace
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    ws.save("ticks", ev)
+    ws.attach_rollup(
+        "ticks", "bars5m", time_col="ts", keys=["event_type"],
+        values=["value"], width_ns=span_ns(5, "m"),
+    )
+    dim = ev.select("event_type").distinct().withColumn(
+        "flag", F.lit("x")
+    )
+    ws.save("etypes", dim)
+    ws.attach_matview(
+        "ticks", "etypes", "enriched", on=["event_type"], time_col="ts",
+        columns=["event_id", "ts", "event_type", "flag"],
+    )
+
+    r = Repl(spark=spark)
+    out = io.StringIO()
+    names = r.load_dir(str(tmp_path / "ws"))
+    assert set(names) >= {"ticks", "etypes", "bars5m", "enriched"}
+    r.handle_line("select count(*) as n from bars5m", out)
+    n_bars = int(out.getvalue().strip().splitlines()[2])
+    assert n_bars > 0
+    out2 = io.StringIO()
+    r.handle_line("select count(*) as n from enriched where flag = 'x'", out2)
+    assert int(out2.getvalue().strip().splitlines()[2]) == ev.count()
