@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     # partition pruning)
     "rollup_incremental_bars",
     "ivf_upsert_topk",
+    # the per-bar quantile read (windowless array fold over the pruned
+    # bars) and the denormalized enriched-read path (the matview's
+    # whole point: reading pre-joined rows beats re-joining)
+    "rollup_quantile_bars",
+    "matview_enriched_lineitem",
 ]
 
 
