@@ -12329,6 +12329,81 @@ def matview_enriched_lineitem(spark, sf):
 
 
 @query(
+    "workspace_rollup_append",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 300000000000 AS bucket_ns,
+             epoch_ns(ts) AS tns, value
+      FROM events
+    ), r AS (
+      SELECT event_type, bucket_ns, tns, value,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns ASC, value ASC) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns DESC, value DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket_ns, count(*) AS cnt,
+           min(value) AS value_min, max(value) AS value_max,
+           max(CASE WHEN ra = 1 THEN value END) AS value_open,
+           max(CASE WHEN rd = 1 THEN value END) AS value_close
+    FROM r GROUP BY event_type, bucket_ns
+    ORDER BY event_type, bucket_ns
+    """,
+)
+def workspace_rollup_append(spark, sf):
+    """The ATTACHED continuous aggregate end-to-end (catalog.
+    attach_rollup — the hypertable UX): save the first ~80% of events
+    as a workspace table, attach 5-minute bars to it, APPEND the tail
+    through Workspace.append — the maintenance hook folds it into the
+    rollup automatically (watermark-pruned refresh, touched partitions
+    only) — then read the bars through the catalog pointer.  The
+    oracle recomputes every bar from the raw events, so a hook that
+    fails to fire, double-folds, or reads a stale attachment is a
+    value mismatch."""
+    import os as _os
+
+    from .sources import rollup as RU
+    from .sources.catalog import Workspace
+
+    ev = _t(spark, sf, "events")
+    root = _ann_index_dir(sf, "wsrollup")
+    mx = ev.agg(F.max("ts")).head()[0]
+    fresh = False
+    try:
+        ws = Workspace(spark, root)
+        meta = RU.rollup_meta(ws.rollup_path("bars5m"))
+        fresh = (
+            meta["watermark_ns"] == int(mx) + 1
+            and len(meta["epochs"]) >= 2
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)
+        _os.makedirs(root, exist_ok=True)
+        ws = Workspace(spark, root)
+        split = int(ev.selectExpr("percentile(ts, 0.8) AS p").head()["p"])
+        ws.save("ticks", ev.where(F.col("ts") < split))
+        ws.attach_rollup(
+            "ticks", "bars5m", time_col="ts", keys=["event_type"],
+            values=["value"], width_ns=TM.span_ns(5, "m"),
+        )
+        ws.append("ticks", ev.where(F.col("ts") >= split))
+    return (
+        RU.read_rollup(spark, ws.rollup_path("bars5m"))
+        .select(
+            "event_type", "bucket_ns", "cnt",
+            "value_min", "value_max", "value_open", "value_close",
+        )
+        .orderBy("event_type", "bucket_ns")
+    )
+
+
+@query(
     "rollup_quantile_bars",
     """
     WITH b AS (
@@ -12714,7 +12789,7 @@ _R08_WINDOW = [
     "rollup_incremental_bars", "ivf_upsert_topk", "bm25_upsert_topk",
     "kerf_lang_uniform_verbs", "kerf_lang_set_verbs",
     "rollup_stream_bars", "rollup_quantile_bars",
-    "matview_enriched_lineitem",
+    "matview_enriched_lineitem", "workspace_rollup_append",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",

@@ -91,7 +91,8 @@ def _enrich(fact: DataFrame, dim: DataFrame, meta: dict) -> DataFrame:
     column and here the bucket is not derivable from the projected
     output)."""
     on = meta["on"]
-    out = fact.join(F.broadcast(dim), on, "left")
+    dimj = F.broadcast(dim) if meta.get("broadcast_dim", True) else dim
+    out = fact.join(dimj, on, "left")
     part = xbar(_tns(meta), int(meta["part_width_ns"]))
     cols = meta["columns"]
     return out.select(*[F.col(c) for c in cols], part.alias("part_ns"))
@@ -106,12 +107,19 @@ def create_enrich_view(
     time_col: str,
     columns: list[str] | None = None,
     part_width_ns: int = 30 * DAY,
+    broadcast_dim: bool = True,
 ) -> dict:
     """Build the enrichment view: snapshot ``dim``, left-join the
     fact's current contents, land the result partitioned by a coarse
     time bucket.  ``columns`` projects the stored output (default:
     every fact column plus every non-key dim column); the join keys
-    must be in it or in ``on``."""
+    must be in it or in ``on``.
+
+    ``broadcast_dim`` (default) forces the broadcast join — right for
+    the instrument-master-sized dims this pattern exists for.  Set it
+    False for a dimension too big to broadcast: the join plans
+    unhinted and AQE picks the strategy (shuffled hash / sort-merge);
+    the increment side is still only the watermark tail."""
     if not on:
         raise ArgsError("need at least one join key")
     dt = dict(zip(fact.schema.names, fact.schema.fields))
@@ -146,6 +154,7 @@ def create_enrich_view(
         "time_kind": kind,
         "columns": list(columns),
         "part_width_ns": int(part_width_ns),
+        "broadcast_dim": bool(broadcast_dim),
         "watermark_ns": None,
         "epochs": [],
     }

@@ -539,18 +539,21 @@ def read_rollup(
 def rollup_quantile(
     spark: SparkSession,
     path: str,
-    q: float,
+    q: float | list[float],
     lo_ns: int | None = None,
     hi_ns: int | None = None,
-    out: str = "quantile",
+    out: str | list[str] = "quantile",
 ) -> DataFrame:
-    """Per-bar quantile ``q`` off the embedded histogram — the
+    """Per-bar quantile(s) off the embedded histogram — the
     ``sketches.hist_quantile`` estimate (rank location + linear
     interpolation, error bounded by the bin width) computed as ONE
-    array fold per bar: no window, no shuffle beyond the pruned bars
-    read itself.  Deterministic: the estimate is a pure function of
-    the (exact, integer) bin counts, reproduced bit-for-bit by a SQL
-    oracle that replays the same arithmetic."""
+    array fold per bar PER quantile: no window, no shuffle beyond the
+    pruned bars read itself.  Deterministic: the estimate is a pure
+    function of the (exact, integer) bin counts, reproduced
+    bit-for-bit by a SQL oracle that replays the same arithmetic.
+
+    ``q`` may be a list (e.g. ``[0.5, 0.95, 0.99]`` with matching
+    ``out`` names) — every quantile reads the bars ONCE."""
     meta = rollup_meta(path)
     h = meta.get("hist")
     if not h:
@@ -558,14 +561,21 @@ def rollup_quantile(
             f"rollup at {path} carries no histogram — rebuild with "
             f"create_rollup(..., hist={{...}})"
         )
-    if not (0.0 < q <= 1.0):
-        raise ArgsError(f"quantile must be in (0, 1], got {q}")
+    qs = list(q) if isinstance(q, (list, tuple)) else [q]
+    outs = list(out) if isinstance(out, (list, tuple)) else [out]
+    if len(qs) != len(outs):
+        raise ArgsError(
+            f"{len(qs)} quantiles need {len(qs)} output names, "
+            f"got {len(outs)}"
+        )
+    for one in qs:
+        if not (0.0 < one <= 1.0):
+            raise ArgsError(f"quantile must be in (0, 1], got {one}")
     lo, w, n = float(h["lo"]), _hist_w(h), int(h["n_bins"])
     bars = read_rollup(spark, path, lo_ns, hi_ns, finalize=False)
     npts = F.aggregate(
         F.col("__hist"), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    r = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("__n")))
     # indexed fold: carry (cum, est); the first bin whose cumulative
     # count reaches the rank sets the estimate — same pick rule and
     # interpolation as sketches.hist_quantile, windowless
@@ -573,33 +583,39 @@ def rollup_quantile(
         F.col("__hist"),
         F.sequence(F.lit(0), F.lit(n - 1)).cast("array<long>"),
     )
-    fold = F.aggregate(
-        zipped,
-        F.struct(
-            F.lit(0).cast("long").alias("cum"),
-            F.lit(None).cast("double").alias("est"),
-        ),
-        lambda acc, x: F.struct(
-            (acc["cum"] + x["__hist"]).alias("cum"),
-            F.coalesce(
-                acc["est"],
-                F.when(
-                    (acc["cum"] + x["__hist"] >= r) & (x["__hist"] > 0),
-                    F.lit(lo)
-                    + F.lit(w)
-                    * (x["1"] + (r - acc["cum"]) / x["__hist"]),
-                ),
-            ).alias("est"),
-        ),
-        lambda acc: acc["est"],
-    )
+
+    def fold_for(one_q):
+        r = F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.lit(one_q) * F.col("__n"))
+        )
+        return F.aggregate(
+            zipped,
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("double").alias("est"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["__hist"]).alias("cum"),
+                F.coalesce(
+                    acc["est"],
+                    F.when(
+                        (acc["cum"] + x["__hist"] >= r) & (x["__hist"] > 0),
+                        F.lit(lo)
+                        + F.lit(w)
+                        * (x["1"] + (r - acc["cum"]) / x["__hist"]),
+                    ),
+                ).alias("est"),
+            ),
+            lambda acc: acc["est"],
+        )
+
     return (
         bars.withColumn("__n", npts)
         .where(F.col("__n") > 0)
         .select(
             *meta["keys"], "bucket_ns",
             F.col("__n").alias("n"),
-            fold.alias(out),
+            *[fold_for(one).alias(name) for one, name in zip(qs, outs)],
         )
     )
 

@@ -275,3 +275,24 @@ def test_interrupted_compaction_fails_loud(spark, fact, dim, tmp_path):
         MV.read_enrich_view(spark, path)
     with pytest.raises(ArgsError, match="interrupted compaction"):
         MV.refresh_enrich_view(spark, path, fact)
+
+
+def test_unbroadcast_dim_escape_hatch(spark, fact, dim, tmp_path):
+    """broadcast_dim=False: a dimension too big to broadcast plans
+    unhinted (AQE picks the strategy) — identical rows, no forced
+    broadcast hint in the increment plan."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    _create(fact, dim, a)
+    MV.create_enrich_view(
+        fact, dim, b, on=["p_partkey"], time_col="l_shipdate",
+        columns=COLS, broadcast_dim=False,
+    )
+    assert _rows(spark, a) == _rows(spark, b)
+    meta = MV.matview_meta(b)
+    assert meta["broadcast_dim"] is False
+    dstored = spark.read.parquet(os.path.join(b, "dim"))
+    logical = str(
+        MV._enrich(fact, dstored, meta)._jdf.queryExecution().logical()
+    )
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()

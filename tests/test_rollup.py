@@ -661,3 +661,27 @@ def test_interrupted_compaction_fails_loud(spark, tmp):
     ):
         with pytest.raises(ArgsError, match="interrupted compaction"):
             fn()
+
+
+def test_multi_quantile_single_read(spark, tmp):
+    """rollup_quantile with a list: every quantile off ONE bars read,
+    each matching its single-q twin exactly."""
+    ev = _events(spark)
+    RU.create_rollup(
+        ev, tmp, time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(60, "m"), hist=HIST,
+    )
+    multi = {
+        (r["event_type"], r["bucket_ns"]): (r["q50"], r["q95"])
+        for r in RU.rollup_quantile(
+            spark, tmp, [0.5, 0.95], out=["q50", "q95"]
+        ).collect()
+    }
+    for q, idx in ((0.5, 0), (0.95, 1)):
+        single = {
+            (r["event_type"], r["bucket_ns"]): r["x"]
+            for r in RU.rollup_quantile(spark, tmp, q, out="x").collect()
+        }
+        assert {k: v[idx] for k, v in multi.items()} == single
+    with pytest.raises(ArgsError, match="output names"):
+        RU.rollup_quantile(spark, tmp, [0.5, 0.9], out="only_one")
