@@ -508,3 +508,82 @@ def test_upsert_crash_between_delete_and_add_converges(spark, emb, tmp_path):
         float(x) for x in up.collect()[0]["embedding"]
     ]
     assert live == emb.count()
+
+
+def test_property_mutation_interleavings_match_model(spark, emb, tmp_path):
+    """Hypothesis over random append/delete/upsert interleavings: the
+    live view always equals a plain dict model (id -> latest version's
+    vector).  This is the adversarial check on the write-generation
+    machinery — any upto/gen ordering bug (resurrection, lost new
+    version, double-kill) diverges from the model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    dim = len(emb.head()["embedding"])
+    base = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    }
+    ids_st = st.lists(
+        st.integers(min_value=0, max_value=7), min_size=1, max_size=3
+    )
+    ops_st = st.lists(
+        st.tuples(st.sampled_from(["add", "del", "ups"]), ids_st),
+        min_size=1,
+        max_size=4,
+    )
+
+    def vec(i, version):
+        return base[i] if version == 0 else [float(version)] * dim
+
+    def frame(pairs):  # [(id, version)]
+        return spark.createDataFrame(
+            [(i, vec(i, v)) for i, v in pairs],
+            "vec_id long, embedding array<float>",
+        )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=ops_st, start=st.sets(st.integers(0, 7), min_size=1))
+    def check(ops, start):
+        import shutil as _sh
+
+        path = str(tmp_path / "prop")
+        _sh.rmtree(path, ignore_errors=True)
+        model = {i: 0 for i in sorted(start)}
+        AI.build_ivf_index(frame(sorted(model.items())), path, n_cells=2)
+        ver = 0
+        for op, ids in ops:
+            ids = sorted(set(ids))
+            if op == "del":
+                AI.delete_from_index(path, frame([(i, 0) for i in ids]).select("vec_id"))
+                for i in ids:
+                    model.pop(i, None)
+            elif op == "ups":
+                ver += 1
+                AI.upsert_into_index(path, frame([(i, ver) for i in ids]))
+                for i in ids:
+                    model[i] = ver
+            else:  # add: only ids not live (the append contract)
+                fresh = [i for i in ids if i not in model]
+                if not fresh:
+                    continue
+                ver += 1
+                AI.append_to_index(path, frame([(i, ver) for i in fresh]))
+                for i in fresh:
+                    model[i] = ver
+        stored, live = AI._stored(spark, path, AI.index_meta(path))
+        got = {
+            r["vec_id"]: [round(float(x), 4) for x in r["embedding"]]
+            for r in stored.collect()
+        }
+        want = {
+            i: [round(x, 4) for x in vec(i, v)] for i, v in model.items()
+        }
+        assert got == want
+        assert live == len(model)
+
+    check()

@@ -505,3 +505,90 @@ def test_upsert_crash_replay_converges(spark, docs, tmp_path):
     assert n == meta0["n_docs"]
     hits = TI.keyword_search(spark, path, ["replacement"], mode="and")
     assert [r["doc_id"] for r in hits.collect()] == [5]
+
+
+def test_property_mutation_interleavings_match_model(spark, tmp_path):
+    """Hypothesis over random append/delete/upsert interleavings on the
+    text index: boolean retrieval always equals a dict model (doc_id ->
+    latest version), version-discriminating terms included — the
+    adversarial check on the generation-tombstone machinery."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ids_st = st.lists(
+        st.integers(min_value=0, max_value=7), min_size=1, max_size=3
+    )
+    ops_st = st.lists(
+        st.tuples(st.sampled_from(["add", "del", "ups"]), ids_st),
+        min_size=1,
+        max_size=4,
+    )
+
+    letters = "abcdefghijklmnop"
+
+    def frame(pairs):  # [(doc_id, version)]
+        # version token must stay inside the tokenizer's [a-z]+ alphabet
+        return spark.createDataFrame(
+            [
+                (i, f"common filler words vvx{letters[v]} plus doc body")
+                for i, v in pairs
+            ],
+            "doc_id long, text string",
+        )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=ops_st, start=st.sets(st.integers(0, 7), min_size=1))
+    def check(ops, start):
+        import shutil as _sh
+
+        path = str(tmp_path / "prop")
+        _sh.rmtree(path, ignore_errors=True)
+        model = {i: 0 for i in sorted(start)}
+        TI.build_text_index(frame(sorted(model.items())), path, n_buckets=4)
+        ver = 0
+        for op, ids in ops:
+            ids = sorted(set(ids))
+            if op == "del":
+                TI.delete_from_text_index(
+                    path,
+                    spark.createDataFrame(
+                        [(i,) for i in ids], "doc_id long"
+                    ),
+                )
+                for i in ids:
+                    model.pop(i, None)
+            elif op == "ups":
+                ver += 1
+                TI.upsert_into_text_index(path, frame([(i, ver) for i in ids]))
+                for i in ids:
+                    model[i] = ver
+            else:
+                fresh = [i for i in ids if i not in model]
+                if not fresh:
+                    continue
+                ver += 1
+                TI.append_to_text_index(path, frame([(i, ver) for i in fresh]))
+                for i in fresh:
+                    model[i] = ver
+        live = sorted(
+            r["doc_id"]
+            for r in TI.keyword_search(spark, path, ["common"]).collect()
+        )
+        assert live == sorted(model)
+        for v in {0, ver} | set(model.values()):
+            hits = sorted(
+                r["doc_id"]
+                for r in TI.keyword_search(
+                    spark, path, [f"vvx{letters[v]}"]
+                ).collect()
+            )
+            assert hits == sorted(i for i, mv in model.items() if mv == v)
+        # live stats stay exact through every interleaving
+        n, s = TI._live_stats(spark, path, TI.index_meta(path))
+        assert n == len(model)
+
+    check()
