@@ -592,3 +592,47 @@ def test_property_mutation_interleavings_match_model(spark, tmp_path):
         assert n == len(model)
 
     check()
+
+
+def test_upsert_of_streamed_doc_gen_ordering(spark, docs, tmp_path):
+    """Docs living in the streaming delta tree are upsertable: the
+    tombstone's __upto (recovered from epoch dirs) covers the delta
+    generation, the re-derived postings outrank it, and compaction
+    folds the whole interleaving into a clean base."""
+    path = str(tmp_path / "tix")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    TI.build_text_index(even, path, n_buckets=8)
+    TI.text_index_stream_sink(path)(odd, 0)
+    # replace a STREAMED doc's text
+    target = odd.select(F.min("doc_id").alias("d")).head()["d"]
+    up = spark.createDataFrame(
+        [(int(target), "entirely replacement vocabulary here")],
+        "doc_id long, text string",
+    )
+    TI.upsert_into_text_index(path, up)
+    hits = TI.keyword_search(spark, path, ["replacement"], mode="and")
+    assert [r["doc_id"] for r in hits.collect()] == [target]
+    # the OLD streamed text no longer matches for that doc
+    sample_terms = [
+        t for t in
+        (docs.where(F.col("doc_id") == target).head()["text"] or "").lower().split()
+        if t.isalpha() and len(t) >= 3
+    ][:1]
+    if sample_terms:
+        old_hits = {
+            r["doc_id"]
+            for r in TI.keyword_search(spark, path, sample_terms, "and").collect()
+        }
+        assert target not in old_hits or "replacement" in sample_terms
+    # compaction preserves the interleaving bitwise
+    before = sorted(
+        tuple(r)
+        for r in TI.bm25_topk(spark, path, ["replacement"], k=5).collect()
+    )
+    TI.compact_text_index(spark, path)
+    after = sorted(
+        tuple(r)
+        for r in TI.bm25_topk(spark, path, ["replacement"], k=5).collect()
+    )
+    assert before == after
