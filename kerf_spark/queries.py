@@ -12329,6 +12329,80 @@ def matview_enriched_lineitem(spark, sf):
 
 
 @query(
+    "rollup_backfill_bars",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 300000000000 AS bucket_ns,
+             epoch_ns(ts) AS tns, value
+      FROM events
+    ), r AS (
+      SELECT event_type, bucket_ns, tns, value,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns ASC, value ASC) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns DESC, value DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket_ns, count(*) AS cnt,
+           min(value) AS value_min, max(value) AS value_max,
+           max(CASE WHEN ra = 1 THEN value END) AS value_open,
+           max(CASE WHEN rd = 1 THEN value END) AS value_close
+    FROM r GROUP BY event_type, bucket_ns
+    ORDER BY event_type, bucket_ns
+    """,
+)
+def rollup_backfill_bars(spark, sf):
+    """LATE DATA folded into the rollup (sources.rollup.
+    backfill_rollup — the continuous-aggregate escape hatch for rows
+    behind the watermark that refresh would skip): create the bars on
+    events with a middle time slice WITHHELD (so the watermark is
+    already past it), then backfill the late slice — same epoch
+    mechanics as a refresh, watermark untouched.  The oracle
+    recomputes every bar from ALL events: a backfill that drops late
+    rows, double-folds them, or moves the watermark (which would make
+    the next refresh skip or double-count) is a value mismatch."""
+    from .sources import rollup as RU
+
+    ev = _t(spark, sf, "events")
+    path = _ann_index_dir(sf, "rollupbf")
+    mx = ev.agg(F.max("ts")).head()[0]
+    fresh = False
+    try:
+        meta = RU.rollup_meta(path)
+        fresh = (
+            meta["watermark_ns"] == int(mx) + 1
+            and any(e.get("backfill") for e in meta["epochs"])
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        qs = ev.selectExpr(
+            "percentile(ts, 0.4) AS a", "percentile(ts, 0.5) AS b"
+        ).head()
+        a, b = int(qs["a"]), int(qs["b"])
+        on_time = ev.where((F.col("ts") < a) | (F.col("ts") >= b))
+        late = ev.where((F.col("ts") >= a) & (F.col("ts") < b))
+        RU.create_rollup(
+            on_time,
+            path,
+            time_col="ts",
+            keys=["event_type"],
+            values=["value"],
+            width_ns=TM.span_ns(5, "m"),
+        )
+        RU.backfill_rollup(spark, path, late)
+    return (
+        RU.read_rollup(spark, path)
+        .select(
+            "event_type", "bucket_ns", "cnt",
+            "value_min", "value_max", "value_open", "value_close",
+        )
+        .orderBy("event_type", "bucket_ns")
+    )
+
+
+@query(
     "workspace_rollup_append",
     """
     WITH b AS (
@@ -12790,6 +12864,7 @@ _R08_WINDOW = [
     "kerf_lang_uniform_verbs", "kerf_lang_set_verbs",
     "rollup_stream_bars", "rollup_quantile_bars",
     "matview_enriched_lineitem", "workspace_rollup_append",
+    "rollup_backfill_bars",
     # longest-unchecked parked greens: r1-era relational + scalar core
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue_forecast", "q10_returned_items", "filter_project",
