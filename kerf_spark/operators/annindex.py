@@ -167,6 +167,8 @@ def is_stale(path: str, corpus: DataFrame) -> bool:
         return True
     if meta.get("folding"):  # interrupted compaction: rebuild
         return True
+    if meta.get("upserting"):  # interrupted upsert: ids deleted, not re-added
+        return True
     if meta.get("format") != FORMAT:  # layout from another code version
         return True
     return meta.get("freshness") != list(_input_freshness(corpus))
@@ -244,6 +246,7 @@ def ivf_topk_indexed(
     if meta.get("kind") != "ivf":
         raise ValueError(f"not an IVF index at {path}: {meta.get('kind')}")
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     cents = meta["centroids"]
     cents_lit = array_lit(cents)
@@ -439,6 +442,7 @@ def ivfpq_topk_indexed(
             f"not an IVF-PQ index at {path}: {meta.get('kind')}"
         )
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     cents, books = meta["centroids"], meta["codebooks"]
     m, sub = meta["m"], meta["dim"] // meta["m"]
@@ -575,6 +579,16 @@ def append_to_index(path: str, rows: DataFrame) -> dict:
     ]
     meta["rows"] = n_rows
     meta["seq"] = gen
+    if meta.get("stream_base") is not None:
+        # RE-BASE an active stream sink past this batch write: the sink
+        # reads stream_base from the sidecar per epoch, so every FUTURE
+        # epoch mints (gen+1)+epoch_id > gen — no future stream row can
+        # carry a generation <= an __upto issued after this append (the
+        # lost-new-version interleaving: sink → epoch 0 → batch append
+        # → delete → epoch 1).  Batch writes and a live sink still
+        # serialize at micro-batch granularity — a write racing INSIDE
+        # one epoch's landing is outside the lock-free contract.
+        meta["stream_base"] = gen + 1
     _write_meta(path, meta)
     return meta
 
@@ -672,15 +686,21 @@ def upsert_into_index(path: str, rows: DataFrame) -> dict:
     tombstone is a no-op for them).
 
     Crash between the two steps leaves the ids deleted but not
-    re-added; re-running the upsert converges (the replayed tombstone
-    kills nothing — the old versions are already dead)."""
+    re-added — and DETECTABLE: an ``upserting`` intent marker brackets
+    the pair, queries refuse while it is set (the ``folding``
+    discipline), ``is_stale`` reports True so guarded callers rebuild,
+    and re-running the upsert converges and clears it (the replayed
+    tombstone kills nothing — the old versions are already dead)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
     idname = _tomb_id(meta)
+    meta["upserting"] = True
+    _write_meta(path, meta)  # intent marker: delete→append window
     delete_from_index(path, rows.select(_c(meta["id_col"]).alias(idname)))
     meta = append_to_index(path, rows)
     meta["upserts"] = meta.get("upserts", 0) + 1
-    _write_meta(path, meta)
+    meta.pop("upserting", None)
+    _write_meta(path, meta)  # commit: marker cleared last
     return meta
 
 
@@ -698,19 +718,26 @@ def index_stream_sink(path: str):
 
     Write generations: sink creation records ``stream_base`` in the
     sidecar once; each epoch's rows carry ``__gen = stream_base +
-    epoch`` — monotone across epochs without per-epoch sidecar writes,
+    epoch`` — monotone across epochs without per-epoch sidecar WRITES,
     and :func:`_gen_high` recovers the order for later appends and
-    point-in-time deletes from the epoch directory names."""
+    point-in-time deletes from the epoch directory names.  The sink
+    READS ``stream_base`` per epoch (one tiny JSON read, still
+    lock-free): a batch append issued mid-stream re-bases it past its
+    own generation, so epochs landing after the append outrank it —
+    and outrank any ``__upto`` a delete issued in between."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     base = _gen_high(path, meta) + 1
     meta["stream_base"] = base
     _write_meta(path, meta)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        live = index_meta(path)  # re-based by any interleaved append
+        b = int(live.get("stream_base") or base)
         assigned, pcols = _assign_rows(meta, batch)
         assigned = assigned.withColumn(
-            "__gen", F.lit(base + int(epoch_id)).cast("long")
+            "__gen", F.lit(b + int(epoch_id)).cast("long")
         )
         w = assigned.write.mode("overwrite")
         if pcols:
@@ -745,19 +772,48 @@ def _stored(
         # max(__upto) per id carries every delete, and an upserted
         # row's higher __gen survives.  Broadcast left join AFTER
         # partition pruning: the probe still reads only probed cells.
+        # The broadcast hint is SIZE-GUARDED by the sidecar's exact
+        # distinct-tombstone count: a retention sweep that tombstones
+        # an unbounded id set between compactions must not be forced
+        # into executor memory — above the threshold the join plans
+        # unhinted and AQE picks the strategy.
         tomb = (
             spark.read.parquet(tpath)
             .groupBy(idname)
             .agg(F.max("__upto").alias("__upto"))
         )
+        if int(meta.get("tombstones") or 0) <= TOMB_BROADCAST_MAX:
+            tomb = F.broadcast(tomb)
         out = (
-            out.join(F.broadcast(tomb), idname, "left")
+            out.join(tomb, idname, "left")
             .where(F.col("__upto").isNull() | (F.col("__gen") > F.col("__upto")))
             .drop("__upto")
         )
         if live is not None:
             live = max(live - int(meta.get("tomb_killed", 0)), 0)
     return out.drop("__gen"), live
+
+
+#: tombstone-id count above which the anti-join drops its broadcast
+#: hint and lets AQE choose (shuffled hash / sort-merge) — ~10M ids is
+#: the point where a forced broadcast starts threatening executor
+#: memory at typical id widths
+TOMB_BROADCAST_MAX = 10_000_000
+
+
+def _check_not_upserting(meta: dict, path: str) -> None:
+    """An upsert that crashed between its tombstone write and its
+    re-append leaves the incoming ids DELETED — convergent on replay,
+    but a read in between would silently miss live entities.  The
+    ``upserting`` intent marker makes that window detectable: queries
+    refuse while it is set; replaying the upsert (or a rebuild — the
+    marker makes ``is_stale`` report True) clears it."""
+    if meta.get("upserting"):
+        raise RuntimeError(
+            f"index at {path} has an interrupted upsert — replay the "
+            f"upsert or rebuild (is_stale() returns True while this "
+            f"marker is set)"
+        )
 
 
 def _check_not_folding(meta: dict, path: str) -> None:
@@ -791,6 +847,7 @@ def compact_index(spark: SparkSession, path: str) -> dict:
 
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     spath = os.path.join(path, "stream")
     tpath = os.path.join(path, "tombstones")
     if not os.path.isdir(spath) and not os.path.isdir(tpath):
@@ -842,6 +899,7 @@ def pq_topk_indexed(
     if meta.get("kind") != "pq":
         raise ValueError(f"not a PQ index at {path}: {meta.get('kind')}")
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     enc, live_rows = _stored(spark, path, meta)
     return adc_topk(
         enc,

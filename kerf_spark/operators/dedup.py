@@ -22,6 +22,12 @@ from .text import ngrams, normalize_text
 
 _LOG = logging.getLogger("kerf_spark.dedup")
 
+# one warning per (operator, cap) per process — the cap fires at plan
+# build, so a bench loop re-planning the same operator hundreds of
+# times would otherwise bury its own output in identical lines; the
+# per-bucket drop audit lives in hot_bucket_report, not the log
+_CAP_WARNED: set[tuple[str, int]] = set()
+
 # In-bucket candidate generation is O(bucket²) per bucket: one
 # degenerate bucket (empty/boilerplate docs sharing a band hash or
 # prefix) can go quadratic at corpus scale.  Every blocked candidate
@@ -54,12 +60,15 @@ def _cap_buckets(
     """
     if max_bucket is None:
         return df
-    _LOG.warning(
-        "%s: bucket cap %d in effect — buckets larger than this keep only "
-        "their %d smallest ids as candidates; run "
-        "dedup.hot_bucket_report(...) to audit dropped volume",
-        what, max_bucket, max_bucket,
-    )
+    if (what, max_bucket) not in _CAP_WARNED:
+        _CAP_WARNED.add((what, max_bucket))
+        _LOG.warning(
+            "%s: bucket cap %d in effect — buckets larger than this keep "
+            "only their %d smallest ids as candidates; run "
+            "dedup.hot_bucket_report(...) to audit dropped volume "
+            "(warned once per operator)",
+            what, max_bucket, max_bucket,
+        )
     w = Window.partitionBy(*keys).orderBy(F.col(id_col))
     return (
         df.withColumn("__kf_rn", F.row_number().over(w))
@@ -1111,6 +1120,7 @@ def _ppjoin_prefix(
     id_col: str,
     shingle_n: int,
     threshold: float,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared PPJoin prefix stage: ``(sh, pref)`` where ``sh`` is the
     persisted per-doc distinct word-shingle arrays and ``pref`` is the
@@ -1143,8 +1153,12 @@ def _ppjoin_prefix(
     # rarity ordering, and both verify sides), and explode over the
     # raw expression collapses the staged projections — re-tokenizing
     # per element (measured 25 s vs 0.4 s at sf0.1).  The same stage
-    # boundary you'd checkpoint in a 100 TB run.
-    sh = sh.persist()
+    # boundary you'd checkpoint in a 100 TB run.  The audit path
+    # (ppjoin_prefix_buckets) never reads ``sh`` twice, so it passes
+    # persist=False — otherwise each audit call would pin a cached
+    # DataFrame in the Spark cache for the life of the session.
+    if persist:
+        sh = sh.persist()
     ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc shingles sorted by (global df asc, shingle asc): struct
@@ -1185,7 +1199,9 @@ def ppjoin_prefix_buckets(
     bucket) and to quantify what a cap would drop
     (``sum(bucket_n − cap)`` over buckets above the cap) — the
     ``hot_bucket_report`` discipline applied to the exact join."""
-    _sh, pref = _ppjoin_prefix(df, text_col, id_col, shingle_n, threshold)
+    _sh, pref = _ppjoin_prefix(
+        df, text_col, id_col, shingle_n, threshold, persist=False
+    )
     return pref.groupBy("s").agg(F.count(F.lit(1)).alias("bucket_n"))
 
 

@@ -99,6 +99,8 @@ def is_stale(path: str, docs: DataFrame) -> bool:
         return True
     if meta.get("folding"):  # interrupted compaction: rebuild
         return True
+    if meta.get("upserting"):  # interrupted upsert: docs deleted, not re-added
+        return True
     if meta.get("format") != FORMAT:  # layout from another code version
         return True
     return meta.get("freshness") != list(_input_freshness(docs))
@@ -115,6 +117,25 @@ def _check_not_folding(meta: dict, path: str) -> None:
             f"text index at {path} has an interrupted compaction — "
             f"rebuild it (is_stale() returns True while this marker "
             f"is set)"
+        )
+
+
+#: tombstone-doc count above which the anti-join drops its broadcast
+#: hint and lets AQE choose (the annindex.TOMB_BROADCAST_MAX mirror)
+TOMB_BROADCAST_MAX = 10_000_000
+
+
+def _check_not_upserting(meta: dict, path: str) -> None:
+    """An upsert that crashed between its tombstone write and its
+    re-append leaves the incoming docs DELETED — convergent on replay,
+    but a read in between would silently miss live documents.  Queries
+    refuse while the ``upserting`` intent marker is set; replaying the
+    upsert (or a rebuild — ``is_stale`` reports True) clears it."""
+    if meta.get("upserting"):
+        raise RuntimeError(
+            f"text index at {path} has an interrupted upsert — replay "
+            f"the upsert or rebuild (is_stale() returns True while "
+            f"this marker is set)"
         )
 
 
@@ -315,8 +336,12 @@ def _index_table(
             .groupBy(meta["id_col"])
             .agg(F.max("__upto").alias("__upto"))
         )
+        # size-guarded hint (the annindex._stored discipline): above
+        # the threshold the join plans unhinted and AQE chooses
+        if int(meta.get("tombstones") or 0) <= TOMB_BROADCAST_MAX:
+            tomb = F.broadcast(tomb)
         out = (
-            out.join(F.broadcast(tomb), meta["id_col"], "left")
+            out.join(tomb, meta["id_col"], "left")
             .where(
                 F.col("__upto").isNull() | (F.col("__gen") > F.col("__upto"))
             )
@@ -382,9 +407,16 @@ def delete_from_text_index(path: str, ids) -> dict:
     _check_not_folding(meta, path)
     id_col = meta["id_col"]
     if not isinstance(ids, DataFrame):
-        raise TypeError(
-            "delete_from_text_index needs a DataFrame of doc ids"
-        )
+        vals = list(ids)
+        if not vals:
+            return meta  # deleting nothing is a no-op
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise TypeError(
+                "delete_from_text_index got a plain iterable of ids "
+                "but no SparkSession is active — pass a DataFrame"
+            )
+        ids = spark.createDataFrame([(v,) for v in vals], [id_col])
     from .annindex import _gen_high
 
     spark = ids.sparkSession
@@ -404,7 +436,13 @@ def delete_from_text_index(path: str, ids) -> dict:
     rows = rows.withColumn(
         "__upto", F.lit(_gen_high(path, meta)).cast("long")
     )
-    rows.write.mode("append").parquet(os.path.join(path, "tombstones"))
+    tpath = os.path.join(path, "tombstones")
+    rows.write.mode("append").parquet(tpath)
+    # exact distinct-tombstone count: sizes the anti-join's broadcast
+    # decision in _index_table (the annindex sidecar contract)
+    meta["tombstones"] = int(
+        spark.read.parquet(tpath).select(id_col).distinct().count()
+    )
     meta["tomb_docs"] = int(meta.get("tomb_docs", 0)) + int(gone["n"])
     meta["tomb_dl"] = int(meta.get("tomb_dl", 0)) + int(gone["s"])
     _write_meta(path, meta)
@@ -421,14 +459,20 @@ def upsert_into_text_index(path: str, docs: DataFrame) -> dict:
     the corpus with the NEW text, and reads return exactly one live
     version per doc.  Ids the index never held are plain inserts.
 
-    Crash between the steps leaves the docs deleted; re-running the
-    upsert converges (the replayed tombstone kills nothing)."""
+    Crash between the steps leaves the docs deleted — and DETECTABLE:
+    an ``upserting`` intent marker brackets the pair, queries refuse
+    while it is set, ``is_stale`` reports True, and re-running the
+    upsert converges and clears it (the replayed tombstone kills
+    nothing)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    meta["upserting"] = True
+    _write_meta(path, meta)  # intent marker: delete→append window
     delete_from_text_index(path, docs.select(meta["id_col"]))
     meta = append_to_text_index(path, docs)
     meta["upserts"] = meta.get("upserts", 0) + 1
-    _write_meta(path, meta)
+    meta.pop("upserting", None)
+    _write_meta(path, meta)  # commit: marker cleared last
     return meta
 
 
@@ -459,6 +503,7 @@ def keyword_search(
     ``(doc_id, matched)`` — matched distinct query terms."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     terms = sorted(set(_check_terms(terms)))
     if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
@@ -491,6 +536,7 @@ def phrase_search(
     terms = _check_terms(terms)
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     if not meta.get("has_positions"):
         raise ValueError(f"index at {path} was built without positions")
     id_col = meta["id_col"]
@@ -539,6 +585,7 @@ def near_search(
     rows, the corpus is never touched."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     if not meta.get("has_positions"):
         raise ValueError(f"index at {path} was built without positions")
     a, b = _check_terms([term_a, term_b])
@@ -593,6 +640,7 @@ def bm25_topk(
     over ≤k rows — bounded, never a corpus-sized window."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     id_col = meta["id_col"]
     terms = sorted(set(_check_terms(terms)))
     n_docs, sum_dl = _live_stats(spark, path, meta)
@@ -690,6 +738,13 @@ def append_to_text_index(path: str, docs: DataFrame) -> dict:
         }
     ]
     meta["seq"] = gen
+    if meta.get("stream_base") is not None:
+        # re-base an active stream sink past this batch write (the
+        # annindex.append_to_index discipline): the sink reads
+        # stream_base per epoch, so every future epoch mints
+        # (gen+1)+epoch_id > gen — no future stream row can carry a
+        # generation <= an __upto issued after this append
+        meta["stream_base"] = gen + 1
     _write_meta(path, meta)
     return meta
 
@@ -707,11 +762,14 @@ def text_index_stream_sink(path: str):
 
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     base = _gen_high(path, meta) + 1
     meta["stream_base"] = base
     _write_meta(path, meta)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        live = index_meta(path)  # re-based by any interleaved append
+        b = int(live.get("stream_base") or base)
         tables = _derive_tables(
             batch,
             meta["text_col"],
@@ -719,7 +777,7 @@ def text_index_stream_sink(path: str):
             meta["min_len"],
             meta["n_buckets"],
             meta.get("has_positions", False),
-            gen=base + int(epoch_id),
+            gen=b + int(epoch_id),
         )
         edir = os.path.join(path, "stream", f"epoch={int(epoch_id)}")
         for name, (df, pcols) in tables.items():
@@ -748,6 +806,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
 
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
     spath = os.path.join(path, "stream")
     tomb = os.path.join(path, "tombstones")
     if not os.path.isdir(spath) and not os.path.isdir(tomb):
@@ -776,6 +835,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     for name in names:
         shutil.rmtree(os.path.join(path, name) + ".old")
     meta.pop("folding", None)
+    meta.pop("tombstones", None)
     meta.pop("tomb_docs", None)
     meta.pop("tomb_dl", None)
     meta.pop("stream_base", None)

@@ -587,3 +587,95 @@ def test_property_mutation_interleavings_match_model(spark, emb, tmp_path):
         assert live == len(model)
 
     check()
+
+
+def test_interrupted_upsert_is_detectable_and_replay_clears(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The r8-verdict intent-marker contract: a crash between the
+    tombstone write and the re-append leaves the ``upserting`` marker
+    set — queries refuse loudly, is_stale reports True, and replaying
+    the upsert clears the marker and converges."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    up = emb.where(F.col("vec_id") == 11).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the re-append")
+
+    monkeypatch.setattr(AI, "append_to_index", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        AI.upsert_into_index(path, up)
+    monkeypatch.undo()
+    assert AI.index_meta(path).get("upserting") is True
+    q = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(RuntimeError, match="interrupted upsert"):
+        AI.ivf_topk_indexed(spark, path, q, k=3, nprobe=2)
+    with pytest.raises(RuntimeError, match="interrupted upsert"):
+        AI.compact_index(spark, path)
+    assert AI.is_stale(path, emb)  # guarded callers rebuild
+    AI.upsert_into_index(path, up)  # the replay
+    assert "upserting" not in AI.index_meta(path)
+    stored, _ = AI._stored(spark, path, AI.index_meta(path))
+    assert stored.where(F.col("vec_id") == 11).count() == 1
+
+
+def test_huge_tombstone_set_plans_without_broadcast_hint(
+    spark, emb, tmp_path
+):
+    """The r8-verdict scale hazard: the tombstone anti-join must DROP
+    its forced broadcast hint once the sidecar's exact tombstone count
+    says the set is too big for executor memory — the join still plans
+    (AQE picks the strategy) and returns identical rows."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    dead = emb.where(F.col("vec_id") % 10 == 4).select("vec_id")
+    AI.delete_from_index(path, dead)
+
+    def hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    small, live_small = AI._stored(spark, path, AI.index_meta(path))
+    assert hinted(small)  # under the threshold: broadcast forced
+    meta = AI.index_meta(path)
+    meta["tombstones"] = AI.TOMB_BROADCAST_MAX + 1
+    AI._write_meta(path, meta)
+    big, live_big = AI._stored(spark, path, AI.index_meta(path))
+    assert not hinted(big)  # over: unhinted, AQE chooses
+    key = lambda df: sorted(r["vec_id"] for r in df.collect())
+    assert key(big) == key(small)
+    assert live_big == live_small
+
+
+def test_batch_append_mid_stream_rebases_future_epochs(
+    spark, emb, tmp_path
+):
+    """ADVICE r8 (medium): sink → epoch 0 → batch append → delete →
+    epoch 1 must NOT kill epoch 1's rows.  The batch append re-bases
+    the sidecar's stream_base past its own generation and the sink
+    reads it per epoch, so epoch 1 outranks the delete's __upto."""
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    e0 = odd.where(F.col("vec_id") % 3 == 0)   # epoch 0
+    ap = odd.where(F.col("vec_id") % 3 == 1)   # batch append
+    e1 = odd.where(F.col("vec_id") % 3 == 2)   # epoch 1 (after delete)
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(even, path, n_cells=8)
+    sink = AI.index_stream_sink(path)
+    sink(e0, 0)
+    AI.append_to_index(path, ap)
+    # delete a handful of epoch-0 ids AFTER the append: __upto covers
+    # the append's generation
+    dead = e0.select("vec_id").limit(3)
+    dead_ids = sorted(r["vec_id"] for r in dead.collect())
+    AI.delete_from_index(path, dead)
+    sink(e1, 1)  # lands AFTER the delete — must survive it
+    stored, _ = AI._stored(spark, path, AI.index_meta(path))
+    live = {r["vec_id"] for r in stored.select("vec_id").collect()}
+    e1_ids = {r["vec_id"] for r in e1.select("vec_id").collect()}
+    ap_ids = {r["vec_id"] for r in ap.select("vec_id").collect()}
+    assert e1_ids <= live          # the lost-new-version hazard, closed
+    assert ap_ids <= live          # the batch append is intact
+    assert not (set(dead_ids) & live)  # the delete still took

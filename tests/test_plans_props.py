@@ -1216,3 +1216,45 @@ def test_phrase_search_equals_python_on_random_docs(
         if h > 0:
             want.add((i, h))
     assert got == want, (texts, phrase)
+
+
+def test_ppjoin_audit_leaves_no_pinned_cache(spark):
+    """ADVICE r8 (low): ppjoin_prefix_buckets must not pin the shingle
+    stage in the Spark cache — the audit path never re-reads it, so it
+    skips the persist that ppjoin_pairs legitimately uses."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import dedup as DD
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc words number "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    DD.ppjoin_prefix_buckets(docs, threshold=0.5).collect()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_bucket_cap_warning_fires_once_per_operator(spark, caplog):
+    """The r8 bench tail was buried in identical bucket-cap lines; the
+    warning dedupes per (operator, cap) while staying loud the first
+    time."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators import dedup as DD
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same text everywhere").alias("text"),
+    )
+    DD._CAP_WARNED.discard(("unit-test-op", 5))
+    with caplog.at_level(logging.WARNING, logger="kerf_spark.dedup"):
+        for _ in range(3):
+            DD._cap_buckets(docs, ["text"], "doc_id", 5, "unit-test-op")
+    hits = [r for r in caplog.records if "unit-test-op" in r.getMessage()]
+    assert len(hits) == 1

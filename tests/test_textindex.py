@@ -636,3 +636,109 @@ def test_upsert_of_streamed_doc_gen_ordering(spark, docs, tmp_path):
         for r in TI.bm25_topk(spark, path, ["replacement"], k=5).collect()
     )
     assert before == after
+
+
+def test_delete_accepts_plain_iterable_of_ids(spark, docs, tmp_path):
+    """ADVICE r8 (low): the docstring's iterable form is implemented —
+    a Python list of ids deletes exactly like the DataFrame form, and
+    an empty iterable is a no-op."""
+    path = str(tmp_path / "tix")
+    TI.build_text_index(docs, path)
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+    meta0 = TI.index_meta(path)
+    meta = TI.delete_from_text_index(path, [])  # no-op
+    assert meta.get("tomb_docs", 0) == 0
+    meta = TI.delete_from_text_index(path, ids)
+    assert meta["tomb_docs"] == 3
+    assert meta["tombstones"] == 3
+    live = TI._index_table(spark, path, "doclens", TI.index_meta(path))
+    assert live.where(F.col("doc_id").isin(ids)).count() == 0
+    n, _ = TI._live_stats(spark, path, TI.index_meta(path))
+    assert n == meta0["n_docs"] - 3
+
+
+def test_interrupted_text_upsert_detectable_and_replay_clears(
+    spark, docs, tmp_path, monkeypatch
+):
+    """The intent-marker contract on the text index: crash between
+    tombstone and re-append leaves ``upserting`` set — searches refuse,
+    is_stale reports True, replay clears and converges."""
+    path = str(tmp_path / "tix")
+    TI.build_text_index(docs, path)
+    up = docs.where(F.col("doc_id") == 5).select(
+        "doc_id", F.lit("replacement words only").alias("text")
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the re-append")
+
+    monkeypatch.setattr(TI, "append_to_text_index", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        TI.upsert_into_text_index(path, up)
+    monkeypatch.undo()
+    assert TI.index_meta(path).get("upserting") is True
+    with pytest.raises(RuntimeError, match="interrupted upsert"):
+        TI.keyword_search(spark, path, ["replacement"])
+    with pytest.raises(RuntimeError, match="interrupted upsert"):
+        TI.bm25_topk(spark, path, ["replacement"], k=3)
+    assert TI.is_stale(path, docs)
+    TI.upsert_into_text_index(path, up)  # the replay
+    assert "upserting" not in TI.index_meta(path)
+    hits = TI.keyword_search(spark, path, ["replacement"], mode="and")
+    assert [r["doc_id"] for r in hits.collect()] == [5]
+
+
+def test_huge_text_tombstone_set_plans_without_broadcast_hint(
+    spark, docs, tmp_path
+):
+    """Size-guarded tombstone broadcast on the text index (the
+    annindex mirror): above the sidecar threshold the anti-join plans
+    unhinted and returns identical rows."""
+    path = str(tmp_path / "tix")
+    TI.build_text_index(docs, path)
+    dead = docs.where(F.col("doc_id") % 10 == 4).select("doc_id")
+    TI.delete_from_text_index(path, dead)
+
+    def hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    small = TI._index_table(spark, path, "doclens", TI.index_meta(path))
+    assert hinted(small)
+    meta = TI.index_meta(path)
+    meta["tombstones"] = TI.TOMB_BROADCAST_MAX + 1
+    TI._write_meta(path, meta)
+    big = TI._index_table(spark, path, "doclens", TI.index_meta(path))
+    assert not hinted(big)
+    key = lambda df: sorted(r["doc_id"] for r in df.collect())
+    assert key(big) == key(small)
+
+
+def test_text_batch_append_mid_stream_rebases_future_epochs(
+    spark, docs, tmp_path
+):
+    """ADVICE r8 (medium), textindex side: sink → epoch 0 → batch
+    append → delete → epoch 1 must not kill epoch 1's postings."""
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    e0 = odd.where(F.col("doc_id") % 3 == 0)
+    ap = odd.where(F.col("doc_id") % 3 == 1)
+    e1 = odd.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "tix")
+    TI.build_text_index(even, path, n_buckets=8)
+    sink = TI.text_index_stream_sink(path)
+    sink(e0, 0)
+    TI.append_to_text_index(path, ap)
+    dead_ids = [r["doc_id"] for r in e0.select("doc_id").limit(3).collect()]
+    TI.delete_from_text_index(path, dead_ids)
+    sink(e1, 1)  # lands AFTER the delete — must survive it
+    live = {
+        r["doc_id"]
+        for r in TI._index_table(
+            spark, path, "doclens", TI.index_meta(path)
+        ).collect()
+    }
+    e1_ids = {r["doc_id"] for r in e1.select("doc_id").collect()}
+    ap_ids = {r["doc_id"] for r in ap.select("doc_id").collect()}
+    assert e1_ids <= live
+    assert ap_ids <= live
+    assert not (set(dead_ids) & live)
