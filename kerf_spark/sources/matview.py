@@ -295,15 +295,39 @@ def matview_stream_sink(spark: SparkSession, path: str):
 def compact_enrich_view(spark: SparkSession, path: str) -> dict:
     """Fold the epoch chain into a fresh single epoch — small-files
     maintenance after many refreshes.  Staging + atomic swap, sidecar
-    committed last (the rollup's crash discipline)."""
+    committed last (the rollup's crash discipline).
+
+    PARTITION-GRANULAR: each epoch's tree is re-read with hive
+    partition discovery (``part_ns`` comes back as the directory
+    name), so rows land under the SAME ``part_ns`` they were written
+    with — the time bucket is never re-derived from a time column.
+    That makes compaction work for views whose ``columns`` projection
+    omits ``time_col`` (ADVICE r8: re-deriving ``part_ns`` via
+    ``_tns`` raised an unresolved-column AnalysisException on them,
+    breaking the documented compact-on-a-schedule maintenance path)."""
     meta = matview_meta(path)
-    rows = read_enrich_view(spark, path)
-    part = xbar(_tns(meta), int(meta["part_width_ns"]))
+    schema = T.StructType.fromJson(meta["rows_schema"])
+    part_field = T.StructField("part_ns", T.LongType())
+    wide = T.StructType(list(schema.fields) + [part_field])
     staging = os.path.join(path, "rows.compacting")
     shutil.rmtree(staging, ignore_errors=True)
     parts: list[int] = []
     if meta["epochs"]:
-        rows.withColumn("part_ns", part).write.mode("overwrite").partitionBy(
+        rows = None
+        for e in meta["epochs"]:
+            if not e["parts"]:
+                continue
+            esch = T.StructType.fromJson(
+                e.get("schema") or meta["rows_schema"]
+            )
+            df = spark.read.schema(
+                T.StructType(list(esch.fields) + [part_field])
+            ).parquet(os.path.join(path, "rows", f"epoch={e['epoch']}"))
+            df = cast_to(df, wide)
+            rows = df if rows is None else rows.unionByName(df)
+        if rows is None:  # every listed epoch empty (defensive)
+            rows = spark.createDataFrame([], wide)
+        rows.write.mode("overwrite").partitionBy(
             "part_ns"
         ).parquet(os.path.join(staging, "epoch=0"))
         parts = sorted(

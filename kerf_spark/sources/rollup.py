@@ -13,7 +13,8 @@ Design (Spark-native LSM, the same base+delta+epoch discipline as
 ``operators.annindex`` / ``operators.textindex``):
 
 * The rollup stores MERGEABLE PARTIALS per ``(keys…, bucket)``:
-  ``cnt`` + per value column ``min/max/sum`` + ``open/close`` carried
+  ``cnt`` + per value column ``min/max/sum`` + a non-null value count
+  (the exact ``avg`` denominator) + ``open/close`` carried
   as ``(ts, value)`` pairs so merge = lexicographic min/max.  Any two
   partial rows for the same bucket merge associatively — the property
   that makes the refresh a bounded job instead of a rescan.
@@ -60,8 +61,12 @@ from ..functions.temporal import DAY, ts_to_ns, xbar
 _META = "rollup.json"
 #: bump when the on-disk layout or partial-aggregation expressions
 #: change: readers refuse a different format loudly instead of
-#: misreading it
-FORMAT = 1
+#: misreading it.
+#: 2: partials carry a per-value NON-NULL count ``{v}_cnt`` so the
+#:    finalized ``{v}_avg`` divides by the values that actually entered
+#:    the sum — ``cnt`` counts rows, and min/max/sum skip nulls, so a
+#:    null-bearing value column used to bias the average low.
+FORMAT = 2
 
 
 # ----------------------------------------------------------------- sidecar
@@ -116,6 +121,10 @@ def _partials(df: DataFrame, meta: dict) -> DataFrame:
             F.min(v).alias(f"{v}_min"),
             F.max(v).alias(f"{v}_max"),
             F.sum(v).alias(f"{v}_sum"),
+            # non-null count: the avg denominator (sum/min/max skip
+            # nulls; cnt counts rows — dividing sum by cnt biases the
+            # average low on null-bearing value columns)
+            F.count(v).alias(f"{v}_cnt"),
             F.min(F.struct(F.col("__tns").alias("t"), F.col(v).alias("v"))).alias(
                 f"{v}_open"
             ),
@@ -160,6 +169,7 @@ def _merge(parts: DataFrame, meta: dict) -> DataFrame:
             F.min(f"{v}_min").alias(f"{v}_min"),
             F.max(f"{v}_max").alias(f"{v}_max"),
             F.sum(f"{v}_sum").alias(f"{v}_sum"),
+            F.sum(f"{v}_cnt").alias(f"{v}_cnt"),
             F.min(f"{v}_open").alias(f"{v}_open"),
             F.max(f"{v}_close").alias(f"{v}_close"),
         ]
@@ -529,7 +539,7 @@ def read_rollup(
             F.col(f"{v}_min"),
             F.col(f"{v}_max"),
             F.col(f"{v}_sum"),
-            (F.col(f"{v}_sum") / F.col("cnt")).alias(f"{v}_avg"),
+            (F.col(f"{v}_sum") / F.col(f"{v}_cnt")).alias(f"{v}_avg"),
             F.col(f"{v}_open.v").alias(f"{v}_open"),
             F.col(f"{v}_close.v").alias(f"{v}_close"),
         ]

@@ -296,3 +296,47 @@ def test_unbroadcast_dim_escape_hatch(spark, fact, dim, tmp_path):
         MV._enrich(fact, dstored, meta)._jdf.queryExecution().logical()
     )
     assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
+
+
+def test_compaction_works_when_columns_omit_time_col(
+    spark, fact, dim, tmp_path
+):
+    """ADVICE r8 (medium): a view whose ``columns`` projection omits
+    ``time_col`` must still compact — compaction is partition-granular
+    (rows rewrite under the part_ns they were stored with, recovered
+    from the hive directory names), never re-derived from a time
+    column the view may not carry.  This is exactly the shape of the
+    registry's matview_enriched_lineitem view."""
+    path = str(tmp_path / "mv")
+    split = int(
+        fact.select(ts_to_ns(F.col("l_shipdate")).alias("n"))
+        .agg(F.expr("percentile(n, 0.8)").alias("p"))
+        .head()["p"]
+    )
+    cols = ["l_orderkey", "l_linenumber", "p_partkey", "p_brand"]  # no time
+    MV.create_enrich_view(
+        fact.where(ts_to_ns(F.col("l_shipdate")) < split), dim, path,
+        on=["p_partkey"], time_col="l_shipdate", columns=cols,
+    )
+    MV.refresh_enrich_view(spark, path, fact)
+    before = sorted(
+        tuple(r) for r in MV.read_enrich_view(spark, path).collect()
+    )
+    parts_before = sorted(
+        {p for e in MV.matview_meta(path)["epochs"] for p in e["parts"]}
+    )
+    assert len(MV.matview_meta(path)["epochs"]) == 2
+    MV.compact_enrich_view(spark, path)
+    meta = MV.matview_meta(path)
+    assert len(meta["epochs"]) == 1
+    # rows identical and under the SAME partition buckets
+    after = sorted(
+        tuple(r) for r in MV.read_enrich_view(spark, path).collect()
+    )
+    assert after == before
+    assert meta["epochs"][0]["parts"] == parts_before
+    # idempotent
+    MV.compact_enrich_view(spark, path)
+    assert sorted(
+        tuple(r) for r in MV.read_enrich_view(spark, path).collect()
+    ) == before

@@ -685,3 +685,42 @@ def test_multi_quantile_single_read(spark, tmp):
         assert {k: v[idx] for k, v in multi.items()} == single
     with pytest.raises(ArgsError, match="output names"):
         RU.rollup_quantile(spark, tmp, [0.5, 0.9], out="only_one")
+
+
+def test_avg_skips_nulls_like_sql_avg(spark, tmp):
+    """ADVICE r8 (low): {v}_avg must divide the null-skipping sum by
+    the NON-NULL value count, not the row count — SQL AVG semantics.
+    Incremental refresh stays exact on null-bearing columns."""
+    rows = [
+        # (key, ts, value): bucket 0 has 2 non-null of 4 rows
+        ("a", 10, 4.0), ("a", 20, None), ("a", 30, 8.0), ("a", 40, None),
+        # bucket 1 is ALL-null: avg must be null, not 0/cnt
+        ("a", 310_000_000_000, None), ("a", 320_000_000_000, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts long, value double"
+    )
+    RU.create_rollup(
+        df.where(F.col("ts") < 300_000_000_000), tmp,
+        time_col="ts", keys=["event_type"], values=["value"],
+        width_ns=span_ns(5, "m"),
+    )
+    RU.refresh_rollup(spark, tmp, df)
+    got = {
+        r["bucket_ns"]: (r["cnt"], r["value_avg"])
+        for r in RU.read_rollup(spark, tmp).collect()
+    }
+    assert got[0] == (4, 6.0)                  # (4+8)/2, not /4
+    assert got[300_000_000_000][0] == 2
+    assert got[300_000_000_000][1] is None     # all-null bucket: SQL AVG
+    # and the SQL twin agrees
+    want = {
+        r["bucket_ns"]: (r["cnt"], r["a"])
+        for r in df.groupBy(
+            F.col("event_type"),
+            (F.col("ts") - F.col("ts") % 300_000_000_000).alias("bucket_ns"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("a"))
+        .collect()
+    }
+    assert got == want
