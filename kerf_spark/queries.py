@@ -12478,6 +12478,96 @@ def workspace_rollup_append(spark, sf):
 
 
 @query(
+    "workspace_rollup_late_append",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % 300000000000 AS bucket_ns,
+             epoch_ns(ts) AS tns, value
+      FROM events
+    ), r AS (
+      SELECT event_type, bucket_ns, tns, value,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns ASC, value ASC) AS ra,
+             row_number() OVER (PARTITION BY event_type, bucket_ns
+                                ORDER BY tns DESC, value DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket_ns, count(*) AS cnt,
+           min(value) AS value_min, max(value) AS value_max,
+           max(CASE WHEN ra = 1 THEN value END) AS value_open,
+           max(CASE WHEN rd = 1 THEN value END) AS value_close
+    FROM r GROUP BY event_type, bucket_ns
+    ORDER BY event_type, bucket_ns
+    """,
+)
+def workspace_rollup_late_append(spark, sf):
+    """LATE-DATA AUTO-BACKFILL on an attached continuous aggregate
+    (catalog._maintain_rollups — VERDICT r8 missing #5): seed the
+    workspace table with a time-range GAP (the middle 40–70%% band
+    missing) plus part of the tail, attach 5-minute bars, then append
+    ONE mixed batch holding both the gap's stragglers (behind the
+    rollup watermark — the refresh's pushed-down tail filter would
+    silently skip them) and the fresh tail.  The hook counts the
+    stragglers on the increment and routes them through
+    backfill_rollup while the tail folds through refresh — each row
+    exactly once.  The oracle recomputes every bar from the raw
+    events, so a dropped straggler, a double-folded tail row, or a
+    backfill that leaked at/after the watermark is a value mismatch."""
+    import os
+    import shutil as _sh
+
+    from .sources import rollup as RU
+    from .sources.catalog import Workspace
+
+    ev = _t(spark, sf, "events")
+    root = _ann_index_dir(sf, "wslateroll")
+    mx = ev.agg(F.max("ts")).head()[0]
+    fresh = False
+    try:
+        ws = Workspace(spark, root)
+        meta = RU.rollup_meta(ws.rollup_path("bars5m"))
+        fresh = meta["watermark_ns"] == int(mx) + 1 and any(
+            e.get("backfill") for e in meta["epochs"]
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        _sh.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ws = Workspace(spark, root)
+        q = ev.selectExpr(
+            "percentile(ts, 0.4) a", "percentile(ts, 0.7) b",
+            "percentile(ts, 0.85) c"
+        ).head()
+        a, b, c = int(q["a"]), int(q["b"]), int(q["c"])
+        seed = ev.where(
+            ((F.col("ts") < a) | (F.col("ts") >= b)) & (F.col("ts") < c)
+        )
+        ws.save("ticks", seed)
+        ws.attach_rollup(
+            "ticks", "bars5m", time_col="ts", keys=["event_type"],
+            values=["value"], width_ns=TM.span_ns(5, "m"),
+        )
+        # ONE mixed batch: the [a, b) stragglers + the [c, ∞) tail
+        ws.append(
+            "ticks",
+            ev.where(
+                ((F.col("ts") >= a) & (F.col("ts") < b))
+                | (F.col("ts") >= c)
+            ),
+        )
+    return (
+        RU.read_rollup(spark, ws.rollup_path("bars5m"))
+        .select(
+            "event_type", "bucket_ns", "cnt",
+            "value_min", "value_max", "value_open", "value_close",
+        )
+        .orderBy("event_type", "bucket_ns")
+    )
+
+
+@query(
     "rollup_quantile_bars",
     """
     WITH b AS (

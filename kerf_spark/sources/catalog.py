@@ -358,9 +358,12 @@ class Workspace:
         current contents under ``root/_rollups/<name>`` and keeps it
         fresh automatically — every :meth:`append` to the table folds
         the new tail in (``refresh_rollup``: watermark-pruned, touched
-        partitions only), and :meth:`upsert` — which rewrites history
-        behind the watermark — REBUILDS it (correctness over cost;
-        the manifest records which maintenance ran).
+        partitions only), stragglers in the appended batch that sit
+        BEHIND the watermark are detected and folded through
+        ``backfill_rollup`` instead of being dropped, and
+        :meth:`upsert` — which rewrites history behind the watermark —
+        REBUILDS it (correctness over cost; the manifest records which
+        maintenance ran).
 
         Contract: meaningful for append-mostly tick tables.  Read it
         with ``rollup.read_rollup(spark, ws.rollup_path(name))`` or
@@ -405,10 +408,25 @@ class Workspace:
 
             shutil.rmtree(entry["path"], ignore_errors=True)
 
-    def _maintain_rollups(self, table: str, rebuild: bool = False) -> None:
+    def _maintain_rollups(
+        self,
+        table: str,
+        rebuild: bool = False,
+        increment: DataFrame | None = None,
+    ) -> None:
         """Post-write hook: fold the table's new tail into every
         attached rollup (append) or rebuild them (upsert — history
-        moved behind the watermark, a refresh would miss it)."""
+        moved behind the watermark, a refresh would miss it).
+
+        LATE-DATA AUTO-BACKFILL: when the appended ``increment`` is
+        given, rows behind the rollup's watermark — which the refresh's
+        pushed-down tail filter would silently skip (the documented
+        continuous-aggregate contract) — are detected with one cheap
+        count over the increment and routed through
+        ``backfill_rollup`` instead of being dropped.  Only the
+        increment is probed (stored history behind the watermark was
+        already folded), so a mixed late+tail batch folds EXACTLY once:
+        tail via refresh, stragglers via backfill."""
         ents = self.manifest.get("rollups", {})
         hit = [n for n, e in ents.items() if e["table"] == table]
         if not hit:
@@ -419,8 +437,18 @@ class Workspace:
             e = ents[n]
             if rebuild:
                 RU.create_rollup(self.load(table), e["path"], **e["spec"])
-            else:
-                RU.refresh_rollup(self.spark, e["path"], self.load(table))
+                continue
+            late = None
+            if increment is not None:
+                meta = RU.rollup_meta(e["path"])
+                w = meta.get("watermark_ns")
+                if w is not None:
+                    late = increment.where(RU._tns(meta) < F.lit(int(w)))
+                    if late.limit(1).count() == 0:
+                        late = None
+            RU.refresh_rollup(self.spark, e["path"], self.load(table))
+            if late is not None:
+                RU.backfill_rollup(self.spark, e["path"], late)
 
     # ------------------------------------------------ attached matviews
     def attach_matview(
@@ -660,7 +688,7 @@ class Workspace:
             ]
             meta["schema"] = T.StructType(new_fields).jsonValue()
         self._flush()
-        self._maintain_rollups(name)
+        self._maintain_rollups(name, increment=rows_cast)
         self._maintain_matviews(name, fact_append=True)
 
     def upsert(self, name: str, rows: DataFrame, keys: Sequence[str]) -> None:
