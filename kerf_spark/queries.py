@@ -12478,6 +12478,82 @@ def workspace_rollup_append(spark, sf):
 
 
 @query(
+    "keyed_point_lookup",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 8
+    ) OR o_orderkey IN (
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 8
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def keyed_point_lookup(spark, sf):
+    """Unique-key SORT INDEX end-to-end (Workspace.save(key=...) —
+    the reference's SORT_INDEX_withOptUNIQUE_withOptNONNULLS,
+    enums.h:265, with ERROR_KEYS enforcement, jump.h:168): save orders
+    keyed on o_orderkey (unique+nonnull enforced, rows range-laid-out
+    so data files carry disjoint key ranges, per-file [min,max]
+    recorded in the manifest), then POINT-LOOK-UP the 8 lowest and 8
+    highest keys — the driver binary-searches the manifest ranges and
+    scans only the covering head/tail files, never the table (the
+    plan proof lives in tests/test_sources_plans.py).  The oracle is
+    the same lookup as a plain scan."""
+    import shutil as _sh
+
+    from .sources.catalog import Workspace
+
+    ords = _t(spark, sf, "orders")
+    root = _ann_index_dir(sf, "wskeyed")
+    n = ords.count()
+    fresh = False
+    try:
+        ws = Workspace(spark, root)
+        meta = ws.manifest["tables"]["orders"]
+        fresh = (
+            meta.get("key") == ["o_orderkey"]
+            and meta.get("rows") == n
+            and len(meta.get("key_file_ranges", {})) >= 4
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        import os
+
+        _sh.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ws = Workspace(spark, root)
+        ws.save(
+            "orders",
+            ords.select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ),
+            key="o_orderkey",
+            key_partitions=8,
+        )
+        ws.manifest["tables"]["orders"]["rows"] = n  # freshness marker
+        ws._flush()
+    lo = [r["o_orderkey"] for r in
+          ords.select("o_orderkey").orderBy("o_orderkey").limit(8).collect()]
+    hi = [r["o_orderkey"] for r in
+          ords.select("o_orderkey").orderBy(F.desc("o_orderkey")).limit(8)
+          .collect()]
+    return (
+        ws.key_lookup("orders", [int(k) for k in lo + hi])
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "o_orderstatus", "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "workspace_rollup_late_append",
     """
     WITH b AS (

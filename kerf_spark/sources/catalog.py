@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..errors import ColumnError, KerfTypeError
+from ..errors import ColumnError, KerfTypeError, KeysError
 
 # spark simpleString names (LongType -> "bigint", ByteType -> "tinyint")
 _NUM_WIDTH = {
@@ -92,6 +92,43 @@ def _promote(a: str, b: str) -> str:
     raise KerfTypeError(f"cannot promote {a} vs {b}")
 
 
+def _check_key_constraints(
+    df: DataFrame, key: list[str], unique: bool, nonnull: bool, what: str
+) -> None:
+    """Enforce the declared sort-index constraints on ``df`` — the
+    reference's keyed-table error hook (ERROR_KEYS, jump.h:168).  Cost
+    shape: one aggregation over the key columns only (column-pruned
+    scan + one shuffle on the key), nothing else moves."""
+    from functools import reduce
+
+    nullc = reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in key]
+    )
+    if nonnull:
+        n = df.where(nullc).limit(1).count()
+        if n:
+            raise KeysError(
+                f"{what}: null in declared nonnull key {key} "
+                f"(ERROR_KEYS — the reference refuses keyed writes "
+                f"with null keys)"
+            )
+    if unique:
+        # groupBy counts null keys as groups too, so the check holds
+        # even when nonnull=False
+        dup = (
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise KeysError(
+                f"{what}: duplicate values in declared unique key {key} "
+                f"(ERROR_KEYS)"
+            )
+
+
 class Workspace:
     """A named-table catalog over `root/` — the Kerf-Tree analogue."""
 
@@ -121,6 +158,10 @@ class Workspace:
         minimize_widths: bool = True,
         zorder_by: Sequence[str] | None = None,
         zorder_partitions: int | None = None,
+        key: Sequence[str] | str | None = None,
+        unique: bool = True,
+        nonnull: bool = True,
+        key_partitions: int | None = None,
     ) -> None:
         """Persist ``df`` as ``name``.
 
@@ -143,7 +184,41 @@ class Workspace:
         Columns interleave at min(16, floor(62/k)) bits each (16 for
         k<=3, 15 at k=4, ...) — the guard bits match the key's width.
         Mutually exclusive with ``sort_by``.
+
+        ``key=(col, ...)`` declares a SORT INDEX on the table — the
+        reference's ``SORT_INDEX_withOptUNIQUE_withOptNONNULLS``
+        (enums.h:265): rows are stored sorted by the key (``sort_by``
+        is implied and must not disagree), the constraint flags are
+        ENFORCED — ``unique`` (default) refuses duplicate keys,
+        ``nonnull`` (default) refuses null key columns, both with the
+        reference's keyed-table error (``KeysError`` — ERROR_KEYS,
+        jump.h:168) — at save, :meth:`append` (batch-internal AND
+        vs stored keys), and :meth:`upsert`.  The manifest records the
+        declaration plus each data file's leading-key [min, max], and
+        :meth:`key_lookup` EXPLOITS it: a point lookup binary-searches
+        the ranges at the driver and scans only the covering files
+        (row-group min/max skip inside them) — the sorted-manifest
+        point-lookup contract.  Mutually exclusive with
+        ``partition_by``/``zorder_by``.
         """
+        if key is not None:
+            key = [key] if isinstance(key, str) else list(key)
+            if not key:
+                raise ValueError("key takes at least one column")
+            missing = [c for c in key if c not in df.columns]
+            if missing:
+                raise ColumnError(f"key columns not in table: {missing}")
+            if partition_by or zorder_by:
+                raise ValueError(
+                    "key is mutually exclusive with partition_by/zorder_by"
+                )
+            if sort_by and list(sort_by) != key:
+                raise ValueError(
+                    f"sort_by {list(sort_by)} disagrees with key {key} — "
+                    f"a declared key IS the sort index"
+                )
+            sort_by = key
+            _check_key_constraints(df, key, unique, nonnull, f"save({name!r})")
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         if zorder_partitions is not None and not zorder_by:
@@ -175,6 +250,19 @@ class Workspace:
             # through _zcluster.  Callers quantize first (xbar
             # buckets, ntile ranks, value // step).
             out = _zcluster(df, zorder_by, zorder_partitions)
+        elif key:
+            # GLOBAL order for the sort index: range-partition on the
+            # key so data files carry (near-)disjoint key ranges — the
+            # driver-side binary search in key_lookup then selects few
+            # files, and row-group min/max stay sharp inside each.
+            # key_partitions pins the file fan-out (an explicit
+            # numPartitions is exempt from AQE coalescing, so the
+            # layout survives small inputs)
+            out = (
+                df.repartitionByRange(int(key_partitions), *key)
+                if key_partitions
+                else df.repartitionByRange(*key)
+            ).sortWithinPartitions(*key)
         elif sort_by:
             out = df.sortWithinPartitions(*sort_by)
         else:
@@ -199,6 +287,18 @@ class Workspace:
             meta["sort_key_max"] = _jsonable(
                 df.agg(F.max(sort_by[0])).head()[0]
             )
+        if key:
+            meta["key"] = key
+            meta["unique"] = bool(unique)
+            meta["nonnull"] = bool(nonnull)
+            meta["key_partitions"] = (
+                int(key_partitions) if key_partitions else None
+            )
+            meta["key_file_ranges"] = self._file_key_ranges(
+                meta, self.spark.read.schema(
+                    T.StructType.fromJson(meta["schema"])
+                ).parquet(path).inputFiles()
+            )
         self.manifest["tables"][name] = meta
         self._flush()
         # a re-save REPLACES the table: every attached derived artifact
@@ -215,6 +315,72 @@ class Workspace:
         # surface at the promoted width via the parquet reader's type
         # widening (INT32->INT64, FLOAT->DOUBLE) — no data rewrite
         return self.spark.read.schema(schema).parquet(meta["path"])
+
+    # ----------------------------------------------------- sort index
+    def _file_key_ranges(self, meta: dict, files: list[str]) -> dict:
+        """Per-data-file [min, max] of the LEADING key column — the
+        durable sort index.  One column-pruned scan of exactly
+        ``files`` (at append time that is the increment only)."""
+        key0 = meta["key"][0]
+        schema = T.StructType.fromJson(meta["schema"])
+        rows = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(F.min(key0).alias("__lo"), F.max(key0).alias("__hi"))
+            .collect()
+        )
+        return {
+            r["__f"]: [_jsonable(r["__lo"]), _jsonable(r["__hi"])]
+            for r in rows
+        }
+
+    def key_lookup(self, name: str, values) -> DataFrame:
+        """Point lookup by declared key — the sort-index read path
+        (enums.h:265's reason to exist): binary-search the manifest's
+        per-file key ranges at the DRIVER, scan only the covering
+        files (parquet row-group min/max skip inside them), filter the
+        exact key.  ``values``: one key value or an iterable of them
+        (leading key column; pass tuples for composite keys).  At 100
+        TB this reads O(matching files), never the table."""
+        meta = self.manifest["tables"][name]
+        key = meta.get("key")
+        if not key:
+            raise KeysError(
+                f"key_lookup({name!r}): table declares no key "
+                f"(save with key=...)"
+            )
+        # a list/set is many lookups; a TUPLE is one composite key value
+        vals = list(values) if isinstance(values, (list, set)) else [values]
+        vals = [v if isinstance(v, tuple) else (v,) for v in vals]
+        if any(len(v) > len(key) for v in vals):
+            raise KeysError(
+                f"key_lookup({name!r}): lookup tuple wider than key {key}"
+            )
+        # normalize like the stored ranges (_jsonable: timestamps ->
+        # ISO strings, which order lexicographically like the dates)
+        vals = [tuple(v) for v in vals]
+        leads = sorted({_jsonable(v[0]) for v in vals})
+        schema = T.StructType.fromJson(meta["schema"])
+        files = [
+            f
+            for f, (lo, hi) in meta.get("key_file_ranges", {}).items()
+            if lo is None  # all-null file: cannot prune
+            or any(lo <= v <= hi for v in leads)
+        ]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*files)
+        import functools
+
+        def one(v):
+            return functools.reduce(
+                lambda a, b: a & b,
+                [F.col(key[i]) == F.lit(x) for i, x in enumerate(v)],
+            )
+
+        pred = functools.reduce(lambda a, b: a | b, [one(v) for v in vals])
+        return df.where(pred)
 
     # ------------------------------------------------------- bucketed save
     def save_bucketed(
@@ -648,6 +814,28 @@ class Workspace:
         rows_cast = rows.select(
             *[F.col(c).cast(promoted[c]).alias(c) for c in stored_types]
         )
+        kcols = meta.get("key")
+        if kcols:
+            _check_key_constraints(
+                rows_cast, kcols, meta.get("unique", True),
+                meta.get("nonnull", True), f"append({name!r})",
+            )
+            if meta.get("unique", True):
+                # collision vs STORED keys: a key-pruned semi join —
+                # the stored side is column-pruned to the key and its
+                # row groups skip via the sort index
+                hit = (
+                    self.load(name).select(*kcols)
+                    .join(rows_cast.select(*kcols), kcols, "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if hit:
+                    raise KeysError(
+                        f"append({name!r}): incoming keys collide with "
+                        f"stored unique key {kcols} — use upsert to "
+                        f"replace (ERROR_KEYS)"
+                    )
         zorder_by = meta.get("zorder_by") or []
         if zorder_by:
             # appended files get per-file z clustering (row-group stats
@@ -687,11 +875,27 @@ class Workspace:
                 for f in stored.fields
             ]
             meta["schema"] = T.StructType(new_fields).jsonValue()
+        if kcols:
+            # extend the sort index with the appended files ONLY (one
+            # bounded scan of the new files' key column)
+            known = set(meta.get("key_file_ranges", {}))
+            allf = (
+                self.spark.read.schema(
+                    T.StructType.fromJson(meta["schema"])
+                ).parquet(meta["path"]).inputFiles()
+            )
+            new = [f for f in allf if f not in known]
+            if new:
+                meta.setdefault("key_file_ranges", {}).update(
+                    self._file_key_ranges(meta, new)
+                )
         self._flush()
         self._maintain_rollups(name, increment=rows_cast)
         self._maintain_matviews(name, fact_append=True)
 
-    def upsert(self, name: str, rows: DataFrame, keys: Sequence[str]) -> None:
+    def upsert(
+        self, name: str, rows: DataFrame, keys: Sequence[str] | None = None
+    ) -> None:
         """Keyed upsert via staging-dir + atomic directory swap.
 
         Spark reads lazily, so writing over the table being read would
@@ -707,6 +911,23 @@ class Workspace:
         from ..operators.relational import upsert as upsert_rows
 
         meta = self.manifest["tables"][name]
+        if keys is None:
+            keys = meta.get("key")
+            if not keys:
+                raise KeysError(
+                    f"upsert({name!r}): no keys given and the table "
+                    f"declares no key (ERROR_KEYS)"
+                )
+        if meta.get("key"):
+            _check_key_constraints(
+                rows, list(meta["key"]), meta.get("unique", True),
+                meta.get("nonnull", True), f"upsert({name!r})",
+            )
+            if list(keys) != list(meta["key"]):
+                raise KeysError(
+                    f"upsert({name!r}): keys {list(keys)} disagree with "
+                    f"the declared key {meta['key']} (ERROR_KEYS)"
+                )
         merged = upsert_rows(self.load(name), rows, keys)
         staging = meta["path"] + ".staging"
         if meta.get("zorder_by"):
@@ -718,6 +939,15 @@ class Workspace:
                 merged, meta["zorder_by"], meta.get("zorder_partitions")
             )
             meta["zorder"] = "global"
+        elif meta.get("key"):
+            # a keyed rewrite restores the GLOBAL sort-index layout at
+            # the fan-out the save pinned
+            kp = meta.get("key_partitions")
+            out = (
+                merged.repartitionByRange(int(kp), *meta["key"])
+                if kp
+                else merged.repartitionByRange(*meta["key"])
+            ).sortWithinPartitions(*meta["key"])
         elif meta["sort_by"]:
             out = merged.sortWithinPartitions(*meta["sort_by"])
         else:
@@ -731,6 +961,13 @@ class Workspace:
         os.rename(staging, meta["path"])
         shutil.rmtree(old)
         self.manifest["tables"][name]["schema"] = merged.schema.jsonValue()
+        if meta.get("key"):
+            meta["key_file_ranges"] = self._file_key_ranges(
+                meta,
+                self.spark.read.schema(
+                    T.StructType.fromJson(meta["schema"])
+                ).parquet(meta["path"]).inputFiles(),
+            )
         self._flush()
         # upsert rewrites history behind attached rollups' watermarks —
         # a refresh would miss it, so they rebuild (documented contract)

@@ -949,3 +949,96 @@ def test_kerfsql_fby_deeply_nested_argument():
         "select a from t where v > avg(abs(round(x, 2))) fby sym"
     )
     assert "avg(abs(round(x, 2))) OVER (PARTITION BY sym)" in sql
+
+
+# --------------------------------------------------- unique-key sort index
+def test_keyed_table_constraints_enforced(spark, tables, ws_root):
+    """VERDICT r8 missing #2 (enums.h:265
+    SORT_INDEX_withOptUNIQUE_withOptNONNULLS): a declared key is
+    ENFORCED — duplicate or null keys refuse with the reference's
+    keyed-table error (ERROR_KEYS, jump.h:168) at save, append, and
+    upsert."""
+    from kerf_spark.errors import KeysError
+
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"]
+    # save: duplicates refuse
+    with pytest.raises(KeysError, match="duplicate"):
+        ws.save("bad", ords.union(ords.limit(1)), key="o_orderkey")
+    # save: nulls refuse
+    nulled = ords.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") == 1, F.lit(None)).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    with pytest.raises(KeysError, match="null"):
+        ws.save("bad", nulled, key="o_orderkey")
+    # nonnull=False lets nulls through but still enforces unique
+    ws.save("tolerant", nulled, key="o_orderkey", nonnull=False)
+    assert ws.manifest["tables"]["tolerant"]["nonnull"] is False
+    # the good table
+    ws.save("orders", ords, key="o_orderkey")
+    meta = ws.manifest["tables"]["orders"]
+    assert meta["key"] == ["o_orderkey"]
+    assert meta["unique"] and meta["nonnull"]
+    assert meta["sort_by"] == ["o_orderkey"]  # key IS the sort index
+    assert len(meta["key_file_ranges"]) >= 1
+    # append: batch-internal duplicate refuses
+    fresh = ords.select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        *[c for c in ords.columns if c != "o_orderkey"],
+    ).limit(4)
+    with pytest.raises(KeysError, match="duplicate"):
+        ws.append("orders", fresh.union(fresh.limit(1)))
+    # append: collision with STORED keys refuses
+    with pytest.raises(KeysError, match="collide"):
+        ws.append("orders", ords.limit(2))
+    # append of genuinely new keys extends the table AND the index
+    n_files0 = len(ws.manifest["tables"]["orders"]["key_file_ranges"])
+    ws.append("orders", fresh)
+    meta = ws.manifest["tables"]["orders"]
+    assert len(meta["key_file_ranges"]) > n_files0
+    assert ws.load("orders").count() == ords.count() + 4
+    # upsert: keys default to the declared key; disagreeing keys refuse
+    with pytest.raises(KeysError, match="disagree"):
+        ws.upsert("orders", ords.limit(1), ["o_custkey"])
+    up = ords.limit(3).withColumn("o_totalprice", F.lit(0.0))
+    ws.upsert("orders", up)  # declared-key default
+    out = ws.load("orders")
+    assert out.where(F.col("o_totalprice") == 0.0).count() == 3
+    assert out.count() == ords.count() + 4  # replaced, not duplicated
+
+
+def test_key_lookup_scans_only_covering_files(spark, tables, ws_root):
+    """The sort-index READ contract: a point lookup selects files by
+    the manifest's per-file key ranges at the driver — the scan reads
+    a strict subset of the table's files and returns exactly the keyed
+    rows."""
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"]
+    # force a multi-file layout so pruning is observable
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    meta = ws.manifest["tables"]["orders"]
+    all_files = set(meta["key_file_ranges"])
+    assert len(all_files) >= 4  # range layout: several disjoint files
+    some = [r["o_orderkey"] for r in ords.limit(3).collect()]
+    hit = ws.key_lookup("orders", some)
+    got = sorted(r["o_orderkey"] for r in hit.collect())
+    assert got == sorted(some)
+    # the plan proof: the lookup's scan inputs are a strict subset
+    used = set(hit.inputFiles())
+    assert used <= all_files
+    assert len(used) < len(all_files)
+    # single-value and miss lookups
+    one = ws.key_lookup("orders", some[0])
+    assert one.count() == 1
+    assert ws.key_lookup("orders", -999).count() == 0
+    # reopened workspace keeps the index (manifest is the durable truth)
+    ws2 = Workspace(spark, ws_root)
+    assert ws2.key_lookup("orders", some[0]).count() == 1
+    # and the pushed filter reaches the pruned scan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split(
+        "PushedFilters", 1
+    )[1][:200]
