@@ -52,6 +52,7 @@ from ..errors import (
     ArgsError,
     DepthError,
     KerfErrorValue,
+    KerfIndexError,
     KerfTypeError,
     LexError,
     LexIncompleteError,
@@ -83,6 +84,7 @@ _TOKEN_RE = re.compile(
   | (?P<date>\d{4}[.-]\d{2}[.-]\d{2})
   | (?P<time>\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)
   | (?P<span>\d+(?:\.\d+)?(?:ns|us|ms|[smhd])(?![A-Za-z0-9_]))
+  | (?P<amend>[@.](?=\s*\[))
   | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:\\.|[^"\\])*")
   | (?P<sqlstr>'(?:''|\\.|[^'\\])*')
@@ -201,6 +203,11 @@ def lex(src: str) -> list[Tok]:
                     out.append(body[j])
                     j += 1
             toks.append(Tok("str", "".join(out), m.start()))
+        elif m.lastgroup == "amend":
+            # bound-square amend heads @[x;i;v] / .[x;p;v] — the
+            # reference PARSES these (parser.h:471-486); kerf1 executes
+            # them as functional amend (copy-on-write, k semantics)
+            toks.append(Tok("amend", text, m.start()))
         elif m.lastgroup == "name":
             low = text.lower()
             if low in _ADVERBS:
@@ -739,6 +746,101 @@ def _loc_grade_down(x):
     )
 
 
+#: missing-argument sentinel for the 3-arg amend forms
+_NOARG = object()
+
+
+def _amend_pick(v: Any, j: int, many: bool) -> Any:
+    """Itemwise argument alignment for vector amends: a vector ``y``
+    (or replacement vector) pairs element j with index j; scalars
+    broadcast."""
+    if v is _NOARG:
+        return v
+    if many and isinstance(v, (np.ndarray, list)) and np.ndim(v) >= 1:
+        out = v[j]
+        return out.item() if isinstance(out, np.generic) else out
+    return v
+
+
+def _loc_group(x):
+    """kerf1 ``group``: MAP from each distinct value to the index
+    vector of its occurrences, first-appearance order (k semantics) —
+    the script-plane twin of groupBy+collect_list(index)."""
+    v = _np(x)
+    out: dict = {}
+    for j in range(len(v)):
+        k = v[j]
+        k = k.item() if isinstance(k, np.generic) else k
+        out.setdefault(k, []).append(j)
+    return {k: np.array(ix, dtype=np.int64) for k, ix in out.items()}
+
+
+def _loc_xsort(desc: bool):
+    """kerf1/q ``xasc``/``xdesc``: TABLE sort by columns — the script
+    plane holds tables as DataFrames, so this is a Catalyst Sort,
+    never a driver-side order."""
+
+    def run(t, *cols):
+        if not isinstance(t, DataFrame):
+            raise KerfTypeError(
+                f"xasc/xdesc sort a table, got {type(t).__name__}"
+            )
+        if not cols:
+            raise ArityError("xasc/xdesc need at least one column name")
+        from pyspark.sql import functions as _F
+
+        order = [
+            _F.desc(str(c)) if desc else _F.asc(str(c)) for c in cols
+        ]
+        return t.orderBy(*order)
+
+    return run
+
+
+def _loc_sv(sep, parts):
+    """kerf1/q ``sv`` (string-from-vector): join string parts with the
+    separator."""
+    if isinstance(parts, np.ndarray):
+        parts = parts.tolist()
+    if not isinstance(parts, (list, tuple)):
+        raise KerfTypeError("sv joins a vector of strings")
+    return str(sep).join(str(p) for p in parts)
+
+
+def _loc_vs(sep, s):
+    """kerf1/q ``vs`` (vector-from-string): split on the separator."""
+    return np.array(str(s).split(str(sep)), dtype=object)
+
+
+def _loc_like(s, pat):
+    """kerf1/q ``like``: glob match (``*`` any run, ``?`` one char,
+    ``[abc]`` class — q's pattern alphabet, translated to an anchored
+    regex).  Vectorizes over a vector of strings -> int 0/1."""
+    import fnmatch
+
+    rx = re.compile(fnmatch.translate(str(pat)))
+
+    def one(v):
+        return int(rx.match(str(v)) is not None)
+
+    if isinstance(s, (np.ndarray, list)):
+        return np.array([one(v) for v in s], dtype=np.int64)
+    return one(s)
+
+
+def _loc_ss(s, sub):
+    """kerf1/q ``ss`` (string search): start indices of every
+    (possibly overlapping) occurrence of ``sub`` in ``s``."""
+    s, sub = str(s), str(sub)
+    if not sub:
+        raise ArgsError("ss needs a non-empty needle")
+    out, j = [], s.find(sub)
+    while j != -1:
+        out.append(j)
+        j = s.find(sub, j + 1)
+    return np.array(out, dtype=np.int64)
+
+
 _BUILTINS: dict[str, tuple[Any, str | None]] = {
     # first-class error introspection (presented.h:386-389 A_ERROR
     # is_error()); the error VALUE itself comes from the try(...) form
@@ -802,6 +904,14 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "next": (_loc_next, None),
     "fills": (_loc_fills, None),
     "ratios": (_loc_ratios, None),
+    # kerf1 grouping / table-sort / string verbs (VERDICT r8 next #4)
+    "group": (_loc_group, None),
+    "xasc": (_loc_xsort(False), None),
+    "xdesc": (_loc_xsort(True), None),
+    "sv": (_loc_sv, None),
+    "vs": (_loc_vs, None),
+    "like": (_loc_like, None),  # glob alphabet (*?) != SQL LIKE (%_)
+    "ss": (_loc_ss, None),
     # kerf1 set/list verbs (stable orders, k semantics)
     "union": (_loc_union, None),
     "intersect": (
@@ -997,6 +1107,23 @@ class _ExprParser:
     def _callable(v: Any) -> bool:
         return isinstance(v, (KerfLambda, _Builtin, _VerbRef))
 
+    def _args_flex(self, close: str) -> list[Any]:
+        """Argument list accepting ';' (the amend separator the
+        reference parses, parser.h:471-486) as well as ','."""
+        args: list[Any] = []
+        if self.peek().kind == "punct" and self.peek().text == close:
+            self.next()
+            return args
+        while True:
+            args.append(self._level(0))
+            t = self.next()
+            if t.kind == "punct" and t.text == close:
+                return args
+            if not (t.kind == "punct" and t.text in (",", ";")):
+                raise ParseUnmatchedError(
+                    f"expected ',', ';' or {close!r}, got {t.text!r}"
+                )
+
     def _args(self, close: str) -> list[Any]:
         args: list[Any] = []
         if self.peek().kind == "punct" and self.peek().text == close:
@@ -1051,6 +1178,15 @@ class _ExprParser:
             raise ParseError(
                 f"verb {t.text!r} needs an adverb or argument list here"
             )
+        if t.kind == "amend":
+            self.expect("punct", "[")
+            args = self._args_flex("]")
+            if len(args) not in (3, 4):
+                raise ArityError(
+                    f"{t.text}[...] amend takes 3 or 4 arguments, got "
+                    f"{len(args)}"
+                )
+            return self.interp.amend(t.text, args)
         if t.kind == "punct" and t.text == "(":
             v = self._level(0)
             self.expect("punct", ")")
@@ -1372,6 +1508,105 @@ class Interp:
                 return [v[int(k)] for k in i]
             return v[int(i)]
         raise KerfTypeError(f"cannot index {type(v).__name__}")
+
+    # ---- functional amend (@[x;i;v] / .[x;p;v]) ----
+    def amend(self, head: str, args: list[Any]) -> Any:
+        """kerf1/k functional amend, COPY-ON-WRITE (the reference
+        parses the bound-square forms, parser.h:471-486):
+
+        * ``@[x; i; v]``       — shallow: positions/keys ``i`` replaced
+          by ``v`` (``v`` vectorizes itemwise with vector ``i``);
+        * ``@[x; i; f]``       — monadic: ``x[i] := f(x[i])``;
+        * ``@[x; i; f; y]``    — dyadic: ``x[i] := f(x[i], y)``
+          (``y`` itemwise with vector ``i``);
+        * ``.[x; p; ...]``     — deep: same forms at nested path ``p``
+          (a vector/list of successive subscripts).
+
+        The input value is never mutated — amend returns a new value,
+        kerf's COW discipline (concurrency-model.md:33-51)."""
+        x, sel, f = args[0], args[1], args[2]
+        y = args[3] if len(args) == 4 else _NOARG
+        if head == "@":
+            return self._amend_at(x, sel, f, y)
+        path = list(_np(sel)) if isinstance(sel, (np.ndarray, list)) else [sel]
+        return self._amend_deep(x, path, f, y)
+
+    def _apply_amend(self, f: Any, old: Any, y: Any) -> Any:
+        if isinstance(f, (KerfLambda, _Builtin, _VerbRef)):
+            return self.call(f, [old] if y is _NOARG else [old, y])
+        if y is not _NOARG:
+            raise ArityError(
+                "amend with a replacement VALUE takes 3 args; the "
+                "4-arg form needs a function"
+            )
+        return f
+
+    def _amend_at(self, x: Any, i: Any, f: Any, y: Any) -> Any:
+        if isinstance(x, dict):
+            out = dict(x)
+            keys = (
+                [k for k in i] if isinstance(i, (np.ndarray, list)) else [i]
+            )
+            many = isinstance(i, (np.ndarray, list))
+            for j, k in enumerate(keys):
+                k = k.item() if isinstance(k, np.generic) else k
+                yj = _amend_pick(y, j, many)
+                fj = _amend_pick(f, j, many) if not self._callable_v(f) else f
+                out[k] = self._apply_amend(fj, out.get(k), yj)
+            return out
+        v = _np(x)
+        idxs = (
+            _np(i).astype(np.int64).ravel()
+            if isinstance(i, (np.ndarray, list))
+            else np.array([int(i)])
+        )
+        many = isinstance(i, (np.ndarray, list))
+        if len(idxs) and (idxs.min() < -len(v) or idxs.max() >= len(v)):
+            raise KerfIndexError(
+                f"amend index out of range for length {len(v)}"
+            )
+        news = []
+        for j, ix in enumerate(idxs):
+            old = v[int(ix)]
+            old = old.item() if isinstance(old, np.generic) else old
+            yj = _amend_pick(y, j, many)
+            fj = _amend_pick(f, j, many) if not self._callable_v(f) else f
+            news.append(self._apply_amend(fj, old, yj))
+        if not news:
+            return v.copy()
+        out = v.astype(np.result_type(v.dtype, np.asarray(news).dtype))
+        for ix, nv in zip(idxs, news):
+            out[int(ix)] = nv
+        return out
+
+    def _amend_deep(self, x: Any, path: list, f: Any, y: Any) -> Any:
+        if not path:
+            return self._apply_amend(f, x, y)
+        k = path[0]
+        k = k.item() if isinstance(k, np.generic) else k
+        if isinstance(x, dict):
+            out = dict(x)
+            out[k] = self._amend_deep(x.get(k), path[1:], f, y)
+            return out
+        v = _np(x)
+        ix = int(k)
+        if ix < -len(v) or ix >= len(v):
+            raise KerfIndexError(
+                f"amend path index {ix} out of range for length {len(v)}"
+            )
+        old = v[ix]
+        old = old.item() if isinstance(old, np.generic) else old
+        nv = self._amend_deep(old, path[1:], f, y)
+        if v.dtype == object:
+            out = v.copy()
+        else:
+            out = v.astype(np.result_type(v.dtype, np.asarray(nv).dtype))
+        out[ix] = nv
+        return out
+
+    @staticmethod
+    def _callable_v(f: Any) -> bool:
+        return isinstance(f, (KerfLambda, _Builtin, _VerbRef))
 
     # ---- table statements ----
     def _expand_lambdas(self, sql: str, env: Env) -> str:

@@ -3752,6 +3752,56 @@ def kerf_lang_verb_breadth(spark, sf):
 
 
 @query(
+    "kerf_lang_amend_group_verbs",
+    """
+    WITH t(pos, a, b, c, d, lk, gc, j, s1, s2) AS (VALUES
+      (0, 10, 15, 1.0::DOUBLE,   99, 1, 3, 'a-b-c', 1, 3),
+      (1,  0, 20, 20.0::DOUBLE,   5, 0, 3, 'a-b-c', 1, 3),
+      (2, 30, 30, 300.0::DOUBLE,  6, 1, 3, 'a-b-c', 1, 3),
+      (3,  0, 40, 4.0::DOUBLE,   99, 1, 3, 'a-b-c', 1, 3),
+      (4, 50, 50, 5.0::DOUBLE,    5, 0, 3, 'a-b-c', 1, 3))
+    SELECT CAST(pos AS BIGINT) AS pos, CAST(a AS BIGINT) AS a,
+           CAST(b AS BIGINT) AS b, c AS c, CAST(d AS BIGINT) AS d,
+           CAST(lk AS BIGINT) AS lk, CAST(gc AS BIGINT) AS gc,
+           j AS j, CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2
+    FROM t ORDER BY pos
+    """,
+)
+def kerf_lang_amend_group_verbs(spark, sf):
+    """kerf1 verb batch #3 as SCRIPT spellings (VERDICT r8 next #4:
+    group / xasc-xdesc / sv-vs / like-ss / the bound-square amends
+    @[x;i;v] and .[x;p;f] the reference PARSES, parser.h:471-486):
+    one script chains all of them — value/monadic/dyadic shallow
+    amends, a deep path amend into a nested matrix, the map-valued
+    group verb, split-join round-trip, glob match, substring search —
+    lands the results in a table literal, table-sorts it with xdesc
+    (a Catalyst Sort, unit-pinned in tests/test_kerf_lang.py), and
+    the oracle pins every cell (hand-derived k semantics: amend is
+    copy-on-write, ss finds overlapping hits, like uses the q glob
+    alphabet)."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "v: 10 20 30 40 50\n"
+        "av: @[v; 1 3; 0]\n"
+        "bv: @[v; 0; {[x] x + 5}]\n"
+        "cv: @[1.0 2.0 3.0 4.0 5.0; 1 2; {[x, y] x * y}; 10 100]\n"
+        "dd: .[[1 2 3, 4 5 6]; 1 0; 99]\n"
+        "dcol: take(5, dd[1])\n"
+        'lkc: take(5, like(["ab1", "zb2", "ab3"], "ab?"))\n'
+        "gcv: count(group(1 2 1 3 2 1)[1])\n"
+        'jv: sv("-", vs(",", "a,b,c"))\n'
+        'sx: ss("banana", "ana")\n'
+        "t: {{pos: til(5), a: av, b: bv, c: cv, d: dcol, lk: lkc,"
+        " gc: gcv, j: jv, s1: sx[0], s2: sx[1]}}\n"
+        'u: xdesc(t, "pos")\n'
+        "select pos, a, b, c, d, lk, gc, j, s1, s2 from u order by pos",
+        tables={},
+    )
+
+
+@query(
     "kerf_lang_uniform_verbs",
     """
     WITH t(pos, ma, ms, mn, mx, em, pv, nx, rt, fl) AS (VALUES

@@ -15,6 +15,7 @@ import pytest
 from kerf_spark.errors import (
     ArgsError,
     ArityError,
+    KerfIndexError,
     KerfTypeError,
     ParseError,
     RankError,
@@ -733,3 +734,90 @@ def test_enlist_raze_roundtrip():
     assert list(run("raze(enlist(1 2 3))")) == [1, 2, 3]
     assert list(run("raze(cut(2, 1 2 3 2 1))")) == [1, 2, 3, 2, 1]
     assert list(run("raze(1 2 3)")) == [1, 2, 3]  # flat passes through
+
+
+# ------------------------------------------------ r9 verb batch #3
+def test_group_verb_map_valued():
+    """kerf ``group``: distinct value -> index vector, first-appearance
+    order (k semantics)."""
+    g = run("group(1 2 1 3 2 1)")
+    assert list(g) == [1, 2, 3]  # first-appearance key order
+    assert list(g[1]) == [0, 2, 5]
+    assert list(g[2]) == [1, 4]
+    assert list(g[3]) == [3]
+    gs = run('group(["x", "y", "x"])')
+    assert list(gs["x"]) == [0, 2] and list(gs["y"]) == [1]
+
+
+def test_amend_at_value_function_and_dyadic():
+    """@[x;i;v] / @[x;i;f] / @[x;i;f;y] — functional, copy-on-write."""
+    assert list(run("@[10 20 30 40; 1 3; 0]")) == [10, 0, 30, 0]
+    assert list(run("@[10 20 30 40; 1 3; 7 9]")) == [10, 7, 30, 9]
+    assert list(run("@[1 2 3 4; 0; {[x] x + 100}]")) == [101, 2, 3, 4]
+    got = list(run("@[1.0 2.0 3.0; 1 2; {[x, y] x * y}; 10 100]"))
+    assert got == [1.0, 20.0, 300.0]
+    # semicolon AND comma separators both parse (the reference's
+    # bound-square amend uses ';', parser.h:471-486)
+    assert list(run("@[10 20 30, 1, 5]")) == [10, 5, 30]
+    # copy-on-write: the source vector is untouched
+    env = {}
+    out = run("v: 1 2 3\nw: @[v; 0; 99]\nv[0]", env)
+    assert out == 1
+    # int vector amended with a float widens (kerf promotion)
+    assert list(run("@[1 2 3; 1; 2.5]")) == [1.0, 2.5, 3.0]
+    # dict amend by key
+    m = run('@[{"a": 1, "b": 2}; "b"; {[x] x * 10}]')
+    assert m == {"a": 1, "b": 20}
+
+
+def test_amend_deep_path():
+    """.[x;p;f] — nested amend down a path of subscripts."""
+    v = run(".[[1 2 3, 4 5 6]; 1 0; 99]")
+    assert [list(r) for r in v] == [[1, 2, 3], [99, 5, 6]]
+    m = run('.[{"u": {"v": 5}}; ["u", "v"]; {[x] x * 7}]')
+    assert m == {"u": {"v": 35}}
+    # the original nested value is untouched
+    out = run('m: {"u": {"v": 5}}\nw: .[m; ["u", "v"]; 1]\nm["u"]["v"]')
+    assert out == 5
+
+
+def test_amend_errors_are_typed():
+    with pytest.raises(KerfIndexError):
+        run("@[1 2 3; 9; 0]")
+    with pytest.raises(ArityError):
+        run("@[1 2 3; 1; 5; 6]")  # 4-arg form needs a FUNCTION
+    with pytest.raises(ArityError):
+        run("@[1 2 3; 1]")
+
+
+def test_sv_vs_string_verbs():
+    assert run('sv("-", vs(",", "a,b,c"))') == "a-b-c"
+    assert list(run('vs(",", "x,y")')) == ["x", "y"]
+    assert run('sv(", ", ["p", "q"])') == "p, q"
+
+
+def test_like_and_ss_verbs():
+    assert list(run('like(["ab1", "zb2", "ab3"], "ab?")')) == [1, 0, 1]
+    assert run('like("hello", "h*o")') == 1
+    assert run('like("hello", "h?o")') == 0
+    assert list(run('ss("banana", "ana")')) == [1, 3]  # overlapping
+    assert list(run('ss("banana", "zz")')) == []
+    with pytest.raises(ArgsError):
+        run('ss("x", "")')
+
+
+def test_xasc_xdesc_route_to_catalyst(spark):
+    df = KL.run(spark, '''
+t: {{a: 3 1 2, b: 30 10 20}}
+xdesc(t, "a")
+''')
+    assert [r["a"] for r in df.collect()] == [3, 2, 1]
+    df2 = KL.run(spark, '''
+t: {{a: 3 1 2, b: 30 10 20}}
+xasc(t, "a")
+''')
+    assert [r["b"] for r in df2.collect()] == [10, 20, 30]
+    # a Sort lands in the plan — Catalyst, not a driver-side order
+    assert "Sort" in df2._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(KerfTypeError):
+        run('xasc(1 2 3, "a")')
