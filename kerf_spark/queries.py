@@ -13061,6 +13061,17 @@ _DRIVER_GREEN = [
     "ivf_append_topk", "ivf_stream_append_topk",
     "text_index_search", "bm25_topk_docs", "phrase_search_docs",
     "bm25_append_topk", "hist_quantile_events", "ppjoin_exact_pairs",
+    # r08 green (all of _R08_WINDOW — 50/50; first-time greens only,
+    # the backfill half were re-proves already listed above)
+    "ppjoin_survivors", "bm25_stream_append_topk", "knn_label_vote",
+    "text_index_search_any", "hist_quantile_merged",
+    "workspace_tree_roundtrip", "ivf_delete_topk", "bm25_delete_topk",
+    "kerf_lang_verb_breadth", "near_search_docs", "ppjoin_capped_audit",
+    "rollup_incremental_bars", "ivf_upsert_topk", "bm25_upsert_topk",
+    "kerf_lang_uniform_verbs", "kerf_lang_set_verbs",
+    "rollup_stream_bars", "rollup_quantile_bars",
+    "matview_enriched_lineitem", "workspace_rollup_append",
+    "rollup_backfill_bars",
 ]
 
 #: Round-7 driver window (exactly 50 = the driver's per-round budget):
@@ -13157,9 +13168,51 @@ _R08_WINDOW = [
 # simply return to parked-green status).
 
 
+#: Round-9 driver window (exactly 50): the four round-9 additions go
+#: FIRST (never driver-checked), then every row whose PLAN or on-disk
+#: FORMAT changed this round — the rollup family (partials carry
+#: {v}_cnt, FORMAT 2), the matview (partition-granular compaction),
+#: the persisted-index mutation rows (size-guarded tombstone
+#: broadcast, upsert intent markers, stream-append gen re-base), the
+#: ppjoin audit (persist change), and the workspace rows (sort-index
+#: plumbing in save/append/upsert) — then the STALEST parked greens:
+#: the 9 rows last green in r1 and the ~20 last green in r2 (the
+#: rotation-by-staleness plan from VERDICT r8 next #8).
+_R09_WINDOW = [
+    # round-9 additions (never driver-checked)
+    "workspace_rollup_late_append", "keyed_point_lookup",
+    "kerf_lang_amend_group_verbs", "folio_remote_scatter",
+    # plan/format changed this round: rollup FORMAT 2 + auto-backfill
+    "rollup_incremental_bars", "rollup_quantile_bars",
+    "rollup_stream_bars", "rollup_backfill_bars",
+    "workspace_rollup_append", "matview_enriched_lineitem",
+    # index mutation paths (broadcast guard, markers, re-base)
+    "ivf_delete_topk", "bm25_delete_topk", "ivf_upsert_topk",
+    "bm25_upsert_topk", "ivf_append_topk", "ivf_stream_append_topk",
+    "bm25_append_topk", "bm25_stream_append_topk", "ppjoin_capped_audit",
+    # workspace write paths (key plumbing touches save/append/upsert)
+    "workspace_roundtrip", "workspace_tree_roundtrip", "insert_append",
+    "upsert_keyed",
+    # stalest parked greens: last green r1
+    "cond_case_null", "cast_types", "json_extract", "array_funcs",
+    "range_til", "kerfsql_select_by", "exact_dedup_docs",
+    "token_count_docs", "quality_score_docs",
+    # stalest parked greens: last green r2
+    "group_vector_by", "math_funcs", "minhash_portable_pairs",
+    "simhash_portable_pairs", "ngram_jaccard_pairs", "dup_clusters_docs",
+    "cosine_neardup_pairs", "multimodal_meta", "multimodal_features",
+    "lang_id_docs", "fingerprint_docs", "hash_sample_docs",
+    "train_val_test_split", "salted_agg_hotkey", "salted_join_hotkey",
+    "q11_important_values", "ema_smoother", "kerfsql_update_agg",
+    "kerf_lang_pipeline", "kerf_lang_script", "kerf_lang_chain",
+]
+# overshoots 50 on purpose: _reorder_registry truncates, and late r9
+# additions displace tail re-proves back to parked-green status.
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R08_WINDOW if k in QUERIES][:50]
+    window = [k for k in _R09_WINDOW if k in QUERIES][:50]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)
