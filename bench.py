@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     # whole point: reading pre-joined rows beats re-joining)
     "rollup_quantile_bars",
     "matview_enriched_lineitem",
+    # round-9 additions: the sort-index point lookup (driver-side file
+    # binary search — the claim is O(matching files), so the lookup is
+    # what's measured; the keyed build amortizes into the warmup) and
+    # the distributed-folio scatter-gather (three live servers, one
+    # statement, Arrow partial frames — the wire+gather overhead IS
+    # the cost model, so it's measured end-to-end)
+    "keyed_point_lookup",
+    "folio_remote_scatter",
 ]
 
 

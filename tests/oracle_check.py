@@ -114,7 +114,14 @@ def main():
         refit_oracles(sf_dir)
 
     qs, oracles = E.queries(), E.oracle_sql()
-    names = [n for n in qs if not filters or any(f in n for f in filters)]
+    if len(filters) == 1 and filters[0].startswith("first:"):
+        # driver-window preflight: exactly the first N registry rows,
+        # the prefix the external driver will evaluate
+        names = list(qs)[: int(filters[0].split(":", 1)[1])]
+    else:
+        names = [
+            n for n in qs if not filters or any(f in n for f in filters)
+        ]
     passed = failed = weak = 0
     for name in names:
         try:
