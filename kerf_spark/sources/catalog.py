@@ -675,10 +675,21 @@ class Workspace:
 
             shutil.rmtree(entry["path"], ignore_errors=True)
 
-    def _maintain_matviews(self, table: str, fact_append: bool = False) -> None:
+    def _maintain_matviews(
+        self,
+        table: str,
+        fact_append: bool = False,
+        increment: DataFrame | None = None,
+    ) -> None:
         """Post-write hook: a fact append refreshes (tail fold); every
         other shape — fact history rewrite, or any dim change — rebuilds
-        (the stored snapshot is stale either way)."""
+        (the stored snapshot is stale either way).
+
+        LATE-DATA AUTO-BACKFILL (the rollup hook's mirror): appended
+        fact rows behind the view's watermark — which the refresh's
+        tail filter would silently skip — are detected on the
+        ``increment`` and enriched through ``backfill_enrich_view``,
+        so a mixed late+tail batch lands each row exactly once."""
         ents = self.manifest.get("matviews", {})
         hit = [
             n for n, e in ents.items() if table in (e["fact"], e["dim"])
@@ -690,9 +701,21 @@ class Workspace:
         for n in hit:
             e = ents[n]
             if fact_append and e["fact"] == table and e["dim"] != table:
+                late = None
+                if increment is not None:
+                    meta = MV.matview_meta(e["path"])
+                    w = meta.get("watermark_ns")
+                    if w is not None:
+                        late = increment.where(
+                            MV._tns(meta) < F.lit(int(w))
+                        )
+                        if late.limit(1).count() == 0:
+                            late = None
                 MV.refresh_enrich_view(
                     self.spark, e["path"], self.load(e["fact"])
                 )
+                if late is not None:
+                    MV.backfill_enrich_view(self.spark, e["path"], late)
             else:
                 MV.create_enrich_view(
                     self.load(e["fact"]), self.load(e["dim"]),
@@ -891,7 +914,7 @@ class Workspace:
                 )
         self._flush()
         self._maintain_rollups(name, increment=rows_cast)
-        self._maintain_matviews(name, fact_append=True)
+        self._maintain_matviews(name, fact_append=True, increment=rows_cast)
 
     def upsert(
         self, name: str, rows: DataFrame, keys: Sequence[str] | None = None

@@ -277,6 +277,57 @@ def read_enrich_view(
     return rows
 
 
+def backfill_enrich_view(
+    spark: SparkSession, path: str, late_rows: DataFrame
+) -> dict:
+    """Enrich LATE fact rows — rows behind the watermark that
+    :func:`refresh_enrich_view` would skip — and append them as a new
+    epoch (the rollup's ``backfill_rollup`` mirror).  The watermark
+    does not move; rows at/after it are REFUSED (they belong to
+    refresh — enriching them here would duplicate them on the next
+    refresh).  The caller asserts these rows were never enriched
+    before: epochs stay disjoint row sets, which is what makes the
+    read a plain union."""
+    meta = matview_meta(path)
+    if meta["watermark_ns"] is None:
+        raise ArgsError(f"matview at {path} was never created")
+    w = int(meta["watermark_ns"])
+    tns = _tns(meta)
+    stats = late_rows.agg(
+        F.count(F.lit(1)).alias("n"), F.max(tns).alias("mx")
+    ).head()
+    if stats["n"] == 0:
+        return {"rows": 0, "parts": []}
+    if int(stats["mx"]) >= w:
+        raise ArgsError(
+            f"backfill_enrich_view got rows at/after the watermark "
+            f"({w}) — those belong to refresh_enrich_view"
+        )
+    dim = spark.read.parquet(os.path.join(path, "dim"))
+    epoch = len(meta["epochs"])
+    edir = os.path.join(path, "rows", f"epoch={epoch}")
+    rows = _enrich(late_rows, dim, meta)
+    target = promote_schema(
+        T.StructType.fromJson(meta["rows_schema"]),
+        rows.drop("part_ns").schema,
+    )
+    meta["rows_schema"] = target.jsonValue()
+    part_col = rows.schema["part_ns"]
+    rows = cast_to(rows, T.StructType(list(target.fields) + [part_col]))
+    rows.write.mode("overwrite").partitionBy("part_ns").parquet(edir)
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(edir)
+        if d.startswith("part_ns=")
+    )
+    meta["epochs"].append(
+        {"epoch": epoch, "watermark_ns": w, "parts": parts,
+         "backfill": True, "schema": target.jsonValue()}
+    )
+    _write_meta(path, meta)  # commit point (watermark unchanged)
+    return {"rows": int(stats["n"]), "parts": parts}
+
+
 def matview_stream_sink(spark: SparkSession, path: str):
     """Streaming view maintenance: a fanout-compatible foreachBatch
     sink folding each micro-batch of fact rows through

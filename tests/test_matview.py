@@ -340,3 +340,76 @@ def test_compaction_works_when_columns_omit_time_col(
     assert sorted(
         tuple(r) for r in MV.read_enrich_view(spark, path).collect()
     ) == before
+
+
+def test_backfill_enrich_view_folds_late_rows_and_refuses_fresh(
+    spark, fact, dim, tmp_path
+):
+    """backfill_enrich_view: late fact rows enrich as a new epoch, the
+    watermark stays put, at/after-watermark rows refuse (they belong
+    to refresh)."""
+    path = str(tmp_path / "mv")
+    q = fact.select(ts_to_ns("l_shipdate").alias("t")).selectExpr(
+        "percentile(t, 0.4) a", "percentile(t, 0.7) b"
+    ).head()
+    a, b = int(q["a"]), int(q["b"])
+    tns = ts_to_ns(F.col("l_shipdate"))
+    MV.create_enrich_view(
+        fact.where((tns < a) | (tns >= b)), dim, path,
+        on=["p_partkey"], time_col="l_shipdate", columns=COLS,
+    )
+    w0 = MV.matview_meta(path)["watermark_ns"]
+    late = fact.where((tns >= a) & (tns < b))
+    assert late.count() > 0
+    res = MV.backfill_enrich_view(spark, path, late)
+    assert res["rows"] == late.count()
+    meta = MV.matview_meta(path)
+    assert meta["watermark_ns"] == w0  # unchanged
+    assert meta["epochs"][-1].get("backfill") is True
+    full = str(tmp_path / "full")
+    _create(fact, dim, full)
+    assert _rows(spark, path) == _rows(spark, full)
+    fresh_rows = fact.limit(5).withColumn(
+        "l_shipdate", F.col("l_shipdate") + F.expr("INTERVAL 50 YEARS")
+    )
+    with pytest.raises(ArgsError, match="at/after the watermark"):
+        MV.backfill_enrich_view(spark, path, fresh_rows)
+    # empty backfill is a no-op
+    assert MV.backfill_enrich_view(
+        spark, path, fact.limit(0)
+    )["rows"] == 0
+
+
+def test_workspace_append_auto_backfills_late_fact_rows(
+    spark, fact, dim, tmp_path
+):
+    """The rollup auto-backfill mirror on matviews: a fact append
+    mixing stragglers (behind the view watermark) with fresh tail rows
+    lands each row exactly once — end state equals a fresh view over
+    the table's full contents."""
+    from kerf_spark.sources.catalog import Workspace
+
+    q = fact.select(ts_to_ns("l_shipdate").alias("t")).selectExpr(
+        "percentile(t, 0.4) a", "percentile(t, 0.7) b",
+        "percentile(t, 0.85) c"
+    ).head()
+    a, b, c = int(q["a"]), int(q["b"]), int(q["c"])
+    tns = ts_to_ns(F.col("l_shipdate"))
+    ws = Workspace(spark, str(tmp_path / "ws"))
+    seed = fact.where(((tns < a) | (tns >= b)) & (tns < c))
+    ws.save("li", seed)
+    ws.save("pt", dim)
+    ws.attach_matview(
+        "li", "pt", "enriched", on=["p_partkey"], time_col="l_shipdate",
+        columns=COLS,
+    )
+    path = ws.matview_path("enriched")
+    # ONE mixed batch: the [a, b) stragglers + the [c, ∞) tail
+    batch = fact.where(((tns >= a) & (tns < b)) | (tns >= c))
+    ws.append("li", batch)
+    full = str(tmp_path / "full")
+    _create(ws.load("li"), dim, full)
+    assert _rows(spark, path) == _rows(spark, full)
+    assert any(
+        e.get("backfill") for e in MV.matview_meta(path)["epochs"]
+    )
