@@ -620,7 +620,7 @@ def _tomb_id(meta: dict) -> str:
     return "neighbor_id" if meta.get("kind") == "pq" else meta["id_col"]
 
 
-def delete_from_index(path: str, ids: DataFrame) -> dict:
+def delete_from_index(path: str, ids) -> dict:
     """Delete vectors from the index — the FAISS ``remove_ids``
     analogue, done LSM-style with TOMBSTONES: the ids land in an
     append-only ``tombstones/`` parquet table, every query anti-joins
@@ -633,7 +633,8 @@ def delete_from_index(path: str, ids: DataFrame) -> dict:
     reads stay pruned — the anti-join runs AFTER partition pruning.
 
     ``ids``: a DataFrame whose FIRST column holds the ids to delete
-    (any column name; it is aligned to the stored id column).
+    (any column name; it is aligned to the stored id column), or a
+    plain Python iterable of ids (textindex parity).
     Deleting an id twice, or an id the index never held, is a no-op
     at read time; the sidecar's ``tomb_killed`` counter is the EXACT
     number of stored rows each delete killed (measured over the live
@@ -648,6 +649,17 @@ def delete_from_index(path: str, ids: DataFrame) -> dict:
     meta = index_meta(path)
     _check_not_folding(meta, path)
     idname = _tomb_id(meta)
+    if not isinstance(ids, DataFrame):
+        vals = list(ids)
+        if not vals:
+            return meta  # deleting nothing is a no-op
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise TypeError(
+                "delete_from_index got a plain iterable of ids but no "
+                "SparkSession is active — pass a DataFrame"
+            )
+        ids = spark.createDataFrame([(v,) for v in vals], [idname])
     upto = _gen_high(path, meta)
     spark = ids.sparkSession
     # exact killed-count over the LIVE view (prior tombstones already

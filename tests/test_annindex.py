@@ -679,3 +679,17 @@ def test_batch_append_mid_stream_rebases_future_epochs(
     assert e1_ids <= live          # the lost-new-version hazard, closed
     assert ap_ids <= live          # the batch append is intact
     assert not (set(dead_ids) & live)  # the delete still took
+
+
+def test_delete_accepts_plain_iterable_of_ids(spark, emb, tmp_path):
+    """textindex parity: a Python list of ids deletes exactly like the
+    DataFrame form; an empty iterable is a no-op."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    assert AI.delete_from_index(path, []).get("tombstones") is None
+    ids = [r["vec_id"] for r in emb.select("vec_id").limit(3).collect()]
+    meta = AI.delete_from_index(path, ids)
+    assert meta["tombstones"] == 3 and meta["tomb_killed"] == 3
+    stored, live = AI._stored(spark, path, AI.index_meta(path))
+    assert stored.where(F.col("vec_id").isin(ids)).count() == 0
+    assert live == emb.count() - 3
