@@ -762,6 +762,33 @@ def _amend_pick(v: Any, j: int, many: bool) -> Any:
     return v
 
 
+def _loc_folio(addrs, src):
+    """Script spelling of the DISTRIBUTED FOLIO (presented.h:427-430
+    — the folio of socket-mapped remote tables, queried as one table):
+    ``folio(["host:port", ...], "select ...")`` runs the statement on
+    every server concurrently and returns the unioned DataFrame of
+    their Arrow-frame results.  Addresses are strings so the folio is
+    an ordinary kerf VALUE (a vector of members)."""
+    from pyspark.sql import SparkSession
+
+    from ..server import folio_remote
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise KerfTypeError("folio needs an active SparkSession")
+    if isinstance(addrs, np.ndarray):
+        addrs = addrs.tolist()
+    if isinstance(addrs, str):
+        addrs = [addrs]
+    parsed = []
+    for a in addrs:
+        host, _, port = str(a).rpartition(":")
+        if not host or not port.isdigit():
+            raise ArgsError(f"folio member must be 'host:port', got {a!r}")
+        parsed.append((host, int(port)))
+    return folio_remote(spark, parsed, str(src))
+
+
 def _loc_group(x):
     """kerf1 ``group``: MAP from each distinct value to the index
     vector of its occurrences, first-appearance order (k semantics) —
@@ -904,6 +931,8 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "next": (_loc_next, None),
     "fills": (_loc_fills, None),
     "ratios": (_loc_ratios, None),
+    # the distributed folio as a language value (presented.h:427-430)
+    "folio": (_loc_folio, None),
     # kerf1 grouping / table-sort / string verbs (VERDICT r8 next #4)
     "group": (_loc_group, None),
     "xasc": (_loc_xsort(False), None),

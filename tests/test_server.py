@@ -397,3 +397,45 @@ def test_folio_remote_member_failure_is_loud(spark):
             folio_remote(spark, [], "1")
     finally:
         srv.stop()
+
+
+def test_folio_script_verb_queries_remote_members(spark):
+    """The folio as a kerf VALUE: a script builds the member vector and
+    queries it like a table — the reference's socket-mapped folio
+    surface reached from the language plane."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.sources.io import read_table
+
+    nat = read_table(spark, SF, "nation")
+    halves = [nat.where(F.col("n_nationkey") % 2 == i) for i in range(2)]
+    srvs = [
+        KerfServer(spark, tables={"nation": h}).start() for h in halves
+    ]
+    try:
+        members = ", ".join(
+            f'"{h}:{p}"' for h, p in (s.address for s in srvs)
+        )
+        df = KL.run(
+            spark,
+            f'f: [{members}]\n'
+            f'folio(f, "select n_regionkey, count(*) as n '
+            f'from nation group by n_regionkey")',
+        )
+        got = sorted(
+            tuple(r)
+            for r in df.groupBy("n_regionkey")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in nat.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert got == want
+    finally:
+        for s in srvs:
+            s.stop()
