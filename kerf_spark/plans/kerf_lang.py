@@ -762,6 +762,16 @@ def _amend_pick(v: Any, j: int, many: bool) -> Any:
     return v
 
 
+def _loc_ssr(x, sub, rep):
+    """kerf1/q ``ssr``: string search-replace (non-overlapping, left
+    to right).  Vectorizes over a vector of strings."""
+    if isinstance(x, (np.ndarray, list)):
+        return np.array(
+            [str(v).replace(str(sub), str(rep)) for v in x], dtype=object
+        )
+    return str(x).replace(str(sub), str(rep))
+
+
 def _loc_folio(addrs, src):
     """Script spelling of the DISTRIBUTED FOLIO (presented.h:427-430
     — the folio of socket-mapped remote tables, queried as one table):
@@ -886,6 +896,14 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "mean": (lambda x: np.mean(_np(x)), "avg({0})"),
     "min": (lambda x: np.min(_np(x)), "min({0})"),
     "max": (lambda x: np.max(_np(x)), "max({0})"),
+    # med/var/dev: population moments, the kerf1 stats verbs (the
+    # table plane's var_pop/stddev_pop twins)
+    "med": (lambda x: float(np.median(_np(x))), "median({0})"),
+    "var": (lambda x: float(np.var(_np(x))), "var_pop({0})"),
+    "dev": (lambda x: float(np.std(_np(x))), "stddev_pop({0})"),
+    "mod": (lambda x, y: np.mod(_np(x), _np(y)), "pmod({0}, {1})"),
+    "neg": (lambda x: -_np(x), "(-({0}))"),
+    "signum": (lambda x: np.sign(_np(x)), "sign({0})"),
     "count": (_loc_count, "count({0})"),
     "len": (_loc_count, "length({0})"),
     "first": (lambda x: _np(x)[0], "first({0})"),
@@ -939,6 +957,11 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "xdesc": (_loc_xsort(True), None),
     "sv": (_loc_sv, None),
     "vs": (_loc_vs, None),
+    "ssr": (_loc_ssr, "replace({0}, {1}, {2})"),
+    "string": (lambda x: (
+        np.array([str(v) for v in x], dtype=object)
+        if isinstance(x, (np.ndarray, list)) else str(x)
+    ), "cast({0} as string)"),
     "like": (_loc_like, None),  # glob alphabet (*?) != SQL LIKE (%_)
     "ss": (_loc_ss, None),
     # kerf1 set/list verbs (stable orders, k semantics)
@@ -1192,6 +1215,19 @@ class _ExprParser:
                 and self.peek().text == "("
             ):
                 return self._try_form()
+            if (
+                low == "eval"
+                and not self.env.has(t.text)
+                and self.peek().kind == "punct"
+                and self.peek().text == "("
+            ):
+                # kerf1 eval: evaluate a SOURCE STRING in the current
+                # environment (the un-protected sibling of try)
+                self.next()
+                args = self._args(")")
+                if len(args) != 1 or not isinstance(args[0], str):
+                    raise ArityError("eval takes one source string")
+                return self.interp.eval_expr(args[0], self.env)
             if self.env.has(t.text):
                 return self.env.get(t.text)
             if low in _BUILTINS:

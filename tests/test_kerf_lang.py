@@ -821,3 +821,21 @@ xasc(t, "a")
     assert "Sort" in df2._jdf.queryExecution().optimizedPlan().toString()
     with pytest.raises(KerfTypeError):
         run('xasc(1 2 3, "a")')
+
+
+def test_small_verb_batch_ssr_stats_eval():
+    assert run('ssr("banana", "an", "AN")') == "bANANa"
+    assert list(run('ssr(["ab", "bb"], "b", "X")')) == ["aX", "XX"]
+    assert run("med(1 2 3 4)") == 2.5
+    assert run("var(1 2 3 4)") == 1.25     # population variance
+    assert run("dev(1 2 3 4)") == 1.25 ** 0.5
+    assert list(run("mod(5 6 7, 3)")) == [2, 0, 1]
+    assert list(run("neg(1 2 3)")) == [-1, -2, -3]
+    assert list(run("signum(-5 0 9)")) == [-1, 0, 1]
+    assert run("string(42)") == "42"
+    # eval: a source string evaluated in the CURRENT env (kerf1 eval)
+    assert run('a: 40\neval("a + 2")') == 42
+    with pytest.raises(ArityError):
+        run("eval(1, 2)")
+    # a user variable named eval shadows the special form
+    assert run("eval: 7\neval + 1") == 8
