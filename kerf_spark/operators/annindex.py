@@ -522,6 +522,27 @@ def _assign_rows(meta: dict, rows: DataFrame) -> tuple[DataFrame, list]:
     layouts."""
     kind = meta.get("kind")
     vec_col, id_col = meta["vec_col"], meta["id_col"]
+    sch = meta.get("schema")
+    if sch:
+        # align incoming columns to the STORED widths (the Workspace
+        # promote-on-append discipline, inverted: the index schema is
+        # frozen at build, so incoming wider types — e.g. a CDC feed
+        # whose transform widened float embeddings to double — cast
+        # down; without this the appended parquet files disagree with
+        # the recorded read schema and every later scan fails with
+        # PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+        from pyspark.sql.types import StructType
+
+        stored = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(sch)).fields
+        }
+        rows = rows.select(
+            *[
+                F.col(c).cast(stored[c]).alias(c) if c in stored else F.col(c)
+                for c in rows.columns
+            ]
+        )
     if kind == "ivf":
         cents_lit = array_lit(meta["centroids"])
         assigned = rows.select(
@@ -755,6 +776,29 @@ def index_stream_sink(path: str):
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(os.path.join(path, "stream", f"epoch={int(epoch_id)}"))
+
+    return sink
+
+
+def index_upsert_sink(path: str):
+    """CDC index maintenance: a fanout-compatible foreachBatch sink
+    that UPSERTS each micro-batch by id — the change-data-capture
+    shape (changed entities stream in; the latest version wins via the
+    write-generation machinery).  Trade-off vs :func:`index_stream_sink`:
+    the upsert path does a sidecar read-modify-write, a tombstone
+    write, and an exact-count pass PER BATCH — correct-over-cheap, the
+    right sink for low-rate change feeds; append-only tick feeds
+    belong on the delta-tree sink.  Crash replay converges: a replayed
+    epoch's tombstones kill nothing (the old versions are already
+    dead) and its re-append restores the same rows."""
+    meta = index_meta(path)
+    _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return  # an empty micro-batch must not bump generations
+        upsert_into_index(path, batch)
 
     return sink
 

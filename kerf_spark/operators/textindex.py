@@ -789,6 +789,24 @@ def text_index_stream_sink(path: str):
     return sink
 
 
+def text_index_upsert_sink(path: str):
+    """CDC text-index maintenance (the annindex.index_upsert_sink
+    mirror): each micro-batch of (id, text) rows UPSERTS — re-derived
+    postings outrank the old generation, BM25 stats swap old doclens
+    for new.  For append-only document feeds use
+    :func:`text_index_stream_sink` (cheaper per batch)."""
+    meta = index_meta(path)
+    _check_not_folding(meta, path)
+    _check_not_upserting(meta, path)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        upsert_into_text_index(path, batch)
+
+    return sink
+
+
 def compact_text_index(spark: SparkSession, path: str) -> dict:
     """Fold the streaming delta tree into the base tables, refresh the
     sidecar's exact stats from the compacted doclens, drop the delta

@@ -5346,6 +5346,64 @@ def ivf_stream_append_topk(spark, sf):
     )
 
 
+@query("ivf_stream_upsert_topk", None)
+def ivf_stream_upsert_topk(spark, sf):
+    """CDC INDEX MAINTENANCE end-to-end (annindex.index_upsert_sink):
+    build the IVF index on the full corpus, then stream TWO
+    micro-batches of CHANGED vectors (vec_id ≡ 3 then ≡ 7 mod 10,
+    embeddings reversed) through a real checkpointed availableNow
+    stream whose foreachBatch sink UPSERTS each batch — old versions
+    die at their generation, re-derived assignments enter at the next.
+    Queries carry the post-change vectors; the oracle fits centroids
+    on the ORIGINAL corpus (frozen quantizer) and scores the
+    post-change corpus — a lost change, a resurrected old version, or
+    a double-counted id is a value mismatch."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.ingest import fanout, read_file_stream
+
+    em = _t(spark, sf, "embeddings")
+    path = _ann_index_dir(sf, "ivfcdc")
+    changed = F.col("vec_id") % 10
+    stale = AI.is_stale(path, em) or not os.path.isdir(
+        os.path.join(path, "corpus")
+    )
+    if not stale:
+        stale = AI.index_meta(path).get("upserts", 0) < 2
+    if stale:
+        shutil.rmtree(path, ignore_errors=True)
+        AI.build_ivf_index(em, path, n_cells=8)
+        root = tempfile.mkdtemp(prefix="kerf_ivfcdc_")
+        for i, res in enumerate((3, 7)):  # two change batches
+            em.where(changed == res).select(
+                "vec_id", F.reverse("embedding").alias("embedding")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{root}/src/part{i}"
+            )
+        feed = read_file_stream(
+            spark, f"{root}/src/part*",
+            em.select("vec_id", "embedding").schema,
+            maxFilesPerTrigger=1,
+        )
+        q = fanout(
+            feed, f"{root}/ckpt", AI.index_upsert_sink(path),
+            available_now=True,
+        )
+        q.awaitTermination()
+        shutil.rmtree(root, ignore_errors=True)
+    qs = em.withColumn(
+        "embedding",
+        F.when(
+            (changed == 3) | (changed == 7), F.reverse("embedding")
+        ).otherwise(F.col("embedding")),
+    ).where(F.col("vec_id") < 8)
+    return AI.ivf_topk_indexed(spark, path, qs, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 @query("ivf_delete_topk", None)
 def ivf_delete_topk(spark, sf):
     """Index DELETES end-to-end (annindex.delete_from_index — the
@@ -5435,10 +5493,19 @@ _UPSERT_EMB_CASE = (
     "ELSE embedding END"
 )
 
+_CDC_EMB_CASE = (
+    "CASE WHEN vec_id % 10 = 3 OR vec_id % 10 = 7 "
+    "THEN list_reverse(embedding) ELSE embedding END"
+)
+
 _attach_oracle("ivf_indexed_topk", _ivf_oracle_sql)
 _attach_oracle(
     "ivf_upsert_topk",
     lambda: _ivf_oracle_sql(corpus_emb=_UPSERT_EMB_CASE),
+)
+_attach_oracle(
+    "ivf_stream_upsert_topk",
+    lambda: _ivf_oracle_sql(corpus_emb=_CDC_EMB_CASE),
 )
 _attach_oracle("pq_indexed_topk", _pq_topk_oracle_sql)
 _attach_oracle(
@@ -12207,6 +12274,10 @@ def refit_oracles(sf_dir: str) -> None:
         lambda: _ivf_oracle_sql(sf_dir=sf_dir, corpus_emb=_UPSERT_EMB_CASE),
     )
     _attach_oracle(
+        "ivf_stream_upsert_topk",
+        lambda: _ivf_oracle_sql(sf_dir=sf_dir, corpus_emb=_CDC_EMB_CASE),
+    )
+    _attach_oracle(
         "ivfpq_indexed_topk", lambda: _ivfpq_oracle_sql(sf_dir=sf_dir)
     )
     _attach_oracle(
@@ -13182,6 +13253,7 @@ _R09_WINDOW = [
     # round-9 additions (never driver-checked)
     "workspace_rollup_late_append", "keyed_point_lookup",
     "kerf_lang_amend_group_verbs", "folio_remote_scatter",
+    "ivf_stream_upsert_topk",
     # plan/format changed this round: rollup FORMAT 2 + auto-backfill
     "rollup_incremental_bars", "rollup_quantile_bars",
     "rollup_stream_bars", "rollup_backfill_bars",

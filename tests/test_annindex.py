@@ -693,3 +693,39 @@ def test_delete_accepts_plain_iterable_of_ids(spark, emb, tmp_path):
     stored, live = AI._stored(spark, path, AI.index_meta(path))
     assert stored.where(F.col("vec_id").isin(ids)).count() == 0
     assert live == emb.count() - 3
+
+
+def test_upsert_sink_cdc_batches_latest_version_wins(spark, emb, tmp_path):
+    """index_upsert_sink: two CDC micro-batches upsert; the second
+    batch's version of a twice-changed id wins, untouched ids stay,
+    and a replayed epoch converges."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    sink = AI.index_upsert_sink(path)
+    b1 = emb.where(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    b2 = emb.where(F.col("vec_id") % 20 == 3).select(
+        "vec_id", F.transform(
+            "embedding", lambda x: x * F.lit(2.0)
+        ).alias("embedding")
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # crash replay of the last epoch: converges
+    sink(emb.limit(0), 2)  # empty batch: no-op
+    stored, live = AI._stored(spark, path, AI.index_meta(path))
+    assert live == emb.count()
+    want = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    for r in b1.collect():
+        want[r["vec_id"]] = [float(x) for x in r["embedding"]]
+    for r in b2.collect():
+        want[r["vec_id"]] = [float(x) for x in r["embedding"]]
+    got = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in stored.collect()
+    }
+    assert got == want

@@ -742,3 +742,31 @@ def test_text_batch_append_mid_stream_rebases_future_epochs(
     assert e1_ids <= live
     assert ap_ids <= live
     assert not (set(dead_ids) & live)
+
+
+def test_text_upsert_sink_cdc_batches(spark, docs, tmp_path):
+    """text_index_upsert_sink: streamed text changes upsert — the new
+    postings win, BM25 stats track the updated corpus, replay
+    converges."""
+    path = str(tmp_path / "tix")
+    TI.build_text_index(docs, path)
+    sink = TI.text_index_upsert_sink(path)
+    b1 = docs.where(F.col("doc_id") % 7 == 3).select(
+        "doc_id", F.lit("first replacement vocabulary").alias("text")
+    )
+    b2 = docs.where(F.col("doc_id") % 14 == 3).select(
+        "doc_id", F.lit("second replacement vocabulary").alias("text")
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay converges
+    first = {r["doc_id"] for r in TI.keyword_search(
+        spark, path, ["first"]).collect()}
+    second = {r["doc_id"] for r in TI.keyword_search(
+        spark, path, ["second"]).collect()}
+    b1_ids = {r["doc_id"] for r in b1.collect()}
+    b2_ids = {r["doc_id"] for r in b2.collect()}
+    assert second == b2_ids
+    assert first == b1_ids - b2_ids  # overwritten docs left "first"
+    n, _ = TI._live_stats(spark, path, TI.index_meta(path))
+    assert n == docs.count()
