@@ -318,22 +318,32 @@ class Workspace:
 
     # ----------------------------------------------------- sort index
     def _file_key_ranges(self, meta: dict, files: list[str]) -> dict:
-        """Per-data-file [min, max] of the LEADING key column — the
-        durable sort index.  One column-pruned scan of exactly
-        ``files`` (at append time that is the increment only)."""
+        """Per-data-file ``[min, max, rows]`` of the LEADING key column
+        — the durable sort index.  One column-pruned scan of exactly
+        ``files`` (at append time that is the increment only).  Every
+        passed file gets an entry: a footer-only EMPTY file (Spark
+        writes one for an all-empty first partition) records
+        ``[None, None, 0]`` so lookups skip it and later appends don't
+        re-scan it."""
         key0 = meta["key"][0]
         schema = T.StructType.fromJson(meta["schema"])
+        out = {f: [None, None, 0] for f in files}
         rows = (
             self.spark.read.schema(schema)
             .parquet(*files)
             .groupBy(F.input_file_name().alias("__f"))
-            .agg(F.min(key0).alias("__lo"), F.max(key0).alias("__hi"))
+            .agg(
+                F.min(key0).alias("__lo"),
+                F.max(key0).alias("__hi"),
+                F.count(F.lit(1)).alias("__n"),
+            )
             .collect()
         )
-        return {
-            r["__f"]: [_jsonable(r["__lo"]), _jsonable(r["__hi"])]
-            for r in rows
-        }
+        for r in rows:
+            out[r["__f"]] = [
+                _jsonable(r["__lo"]), _jsonable(r["__hi"]), int(r["__n"])
+            ]
+        return out
 
     def key_lookup(self, name: str, values) -> DataFrame:
         """Point lookup by declared key — the sort-index read path
@@ -364,9 +374,12 @@ class Workspace:
         schema = T.StructType.fromJson(meta["schema"])
         files = [
             f
-            for f, (lo, hi) in meta.get("key_file_ranges", {}).items()
-            if lo is None  # all-null file: cannot prune
-            or any(lo <= v <= hi for v in leads)
+            for f, rng in meta.get("key_file_ranges", {}).items()
+            if (len(rng) < 3 or rng[2] > 0)  # skip footer-only files
+            and (
+                rng[0] is None  # all-null leading key: cannot prune
+                or any(rng[0] <= v <= rng[1] for v in leads)
+            )
         ]
         if not files:
             return self.spark.createDataFrame([], schema)

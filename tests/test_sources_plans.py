@@ -1042,3 +1042,90 @@ def test_key_lookup_scans_only_covering_files(spark, tables, ws_root):
     assert "PushedFilters" in plan and "o_orderkey" in plan.split(
         "PushedFilters", 1
     )[1][:200]
+
+
+def test_property_keyed_table_interleavings_match_model(spark, ws_root):
+    """Hypothesis over random append/upsert/lookup interleavings on a
+    keyed table: the stored table always equals a dict model (key ->
+    latest value), constraint violations always refuse, and key_lookup
+    agrees with the model for hits and misses."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kerf_spark.errors import KeysError
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["add", "ups", "lookup", "collide"]),
+            st.lists(
+                st.integers(min_value=0, max_value=39),
+                min_size=1, max_size=5,
+            ),
+        ),
+        min_size=1, max_size=6,
+    )
+
+    def frame(pairs):
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in pairs], "k long, v long"
+        )
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(start=st.sets(st.integers(0, 39), min_size=1, max_size=10),
+           ops=ops)
+    def check(start, ops):
+        import shutil as _sh
+
+        root = ws_root + "/prop"
+        _sh.rmtree(root, ignore_errors=True)
+        ws = Workspace(spark, root)
+        model = {k: 0 for k in sorted(start)}
+        ws.save("t", frame(sorted(model.items())), key="k",
+                minimize_widths=False)
+        ver = 0
+        for op, keys in ops:
+            keys = sorted(set(keys))
+            if op == "add":
+                fresh = [k for k in keys if k not in model]
+                if not fresh:
+                    continue
+                ver += 1
+                ws.append("t", frame([(k, ver) for k in fresh]))
+                for k in fresh:
+                    model[k] = ver
+            elif op == "ups":
+                ver += 1
+                ws.upsert("t", frame([(k, ver) for k in keys]))
+                for k in keys:
+                    model[k] = ver
+            elif op == "collide":
+                hit = [k for k in keys if k in model]
+                if not hit:
+                    continue
+                with pytest.raises(KeysError):
+                    ws.append("t", frame([(k, 99) for k in hit]))
+            else:  # lookup
+                got = {
+                    r["k"]: r["v"]
+                    for r in ws.key_lookup("t", [int(k) for k in keys])
+                    .collect()
+                }
+                want = {k: model[k] for k in keys if k in model}
+                assert got == want
+        stored = {r["k"]: r["v"] for r in ws.load("t").collect()}
+        assert stored == model
+        # the file-range index stays consistent with the data
+        from pyspark.sql import types as T
+
+        meta = ws.manifest["tables"]["t"]
+        files = set(
+            spark.read.schema(
+                T.StructType.fromJson(meta["schema"])
+            ).parquet(meta["path"]).inputFiles()
+        )
+        assert set(meta["key_file_ranges"]) == files
+
+    check()
