@@ -395,6 +395,46 @@ class Workspace:
         pred = functools.reduce(lambda a, b: a | b, [one(v) for v in vals])
         return df.where(pred)
 
+    def key_range(
+        self, name: str, lo=None, hi=None
+    ) -> DataFrame:
+        """Range scan by declared key — the binary-search-over-sorted
+        read (``[lo, hi]`` inclusive; either side open): files whose
+        manifest range overlaps the bounds are selected at the driver,
+        then the row-level predicate trims inside them (and reaches
+        the parquet scan as a pushed filter).  The sort index's other
+        read shape: O(overlapping files) bytes move."""
+        meta = self.manifest["tables"][name]
+        key = meta.get("key")
+        if not key:
+            raise KeysError(
+                f"key_range({name!r}): table declares no key "
+                f"(save with key=...)"
+            )
+        lo_j = _jsonable(lo) if lo is not None else None
+        hi_j = _jsonable(hi) if hi is not None else None
+        schema = T.StructType.fromJson(meta["schema"])
+        files = [
+            f
+            for f, rng in meta.get("key_file_ranges", {}).items()
+            if (len(rng) < 3 or rng[2] > 0)
+            and (
+                rng[0] is None
+                or (
+                    (lo_j is None or rng[1] >= lo_j)
+                    and (hi_j is None or rng[0] <= hi_j)
+                )
+            )
+        ]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*files)
+        if lo is not None:
+            df = df.where(F.col(key[0]) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(key[0]) <= F.lit(hi))
+        return df
+
     # ------------------------------------------------------- bucketed save
     def save_bucketed(
         self,

@@ -1129,3 +1129,28 @@ def test_property_keyed_table_interleavings_match_model(spark, ws_root):
         assert set(meta["key_file_ranges"]) == files
 
     check()
+
+
+def test_key_range_scans_only_overlapping_files(spark, tables, ws_root):
+    """The sort index's range read: [lo, hi] selects only files whose
+    manifest range overlaps, rows trim exactly, open-ended bounds
+    work."""
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"]
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    n = ords.count()
+    keys = sorted(r["o_orderkey"] for r in ords.select("o_orderkey").collect())
+    lo, hi = keys[n // 4], keys[n // 2]
+    got = ws.key_range("orders", lo, hi)
+    want = ords.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    )
+    assert got.count() == want.count()
+    all_files = set(ws.manifest["tables"]["orders"]["key_file_ranges"])
+    assert set(got.inputFiles()) < all_files  # strict subset
+    # open-ended: everything at/after hi
+    tail = ws.key_range("orders", lo=hi)
+    assert tail.count() == ords.where(F.col("o_orderkey") >= hi).count()
+    assert ws.key_range("orders").count() == n  # both open = full scan
+    # out-of-domain range: zero files, zero rows
+    assert ws.key_range("orders", lo=10**12).count() == 0
