@@ -12652,6 +12652,47 @@ def folio_remote_scatter(spark, sf):
     )
 
 
+def _keyed_orders_ws(spark, sf):
+    """Build-or-reuse the keyed orders workspace (shared by the point
+    lookup and range scan rows — one sort-index build, two read
+    shapes)."""
+    import os
+    import shutil as _sh
+
+    from .sources.catalog import Workspace
+
+    ords = _t(spark, sf, "orders")
+    root = _ann_index_dir(sf, "wskeyed")
+    n = ords.count()
+    fresh = False
+    try:
+        ws = Workspace(spark, root)
+        meta = ws.manifest["tables"]["orders"]
+        fresh = (
+            meta.get("key") == ["o_orderkey"]
+            and meta.get("rows") == n
+            and len(meta.get("key_file_ranges", {})) >= 4
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        _sh.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ws = Workspace(spark, root)
+        ws.save(
+            "orders",
+            ords.select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ),
+            key="o_orderkey",
+            key_partitions=8,
+        )
+        ws.manifest["tables"]["orders"]["rows"] = n  # freshness marker
+        ws._flush()
+    return ws
+
+
+
 @query(
     "keyed_point_lookup",
     """
@@ -12678,40 +12719,8 @@ def keyed_point_lookup(spark, sf):
     scans only the covering head/tail files, never the table (the
     plan proof lives in tests/test_sources_plans.py).  The oracle is
     the same lookup as a plain scan."""
-    import shutil as _sh
-
-    from .sources.catalog import Workspace
-
+    ws = _keyed_orders_ws(spark, sf)
     ords = _t(spark, sf, "orders")
-    root = _ann_index_dir(sf, "wskeyed")
-    n = ords.count()
-    fresh = False
-    try:
-        ws = Workspace(spark, root)
-        meta = ws.manifest["tables"]["orders"]
-        fresh = (
-            meta.get("key") == ["o_orderkey"]
-            and meta.get("rows") == n
-            and len(meta.get("key_file_ranges", {})) >= 4
-        )
-    except Exception:
-        fresh = False
-    if not fresh:
-        import os
-
-        _sh.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-        ws = Workspace(spark, root)
-        ws.save(
-            "orders",
-            ords.select(
-                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-            ),
-            key="o_orderkey",
-            key_partitions=8,
-        )
-        ws.manifest["tables"]["orders"]["rows"] = n  # freshness marker
-        ws._flush()
     lo = [r["o_orderkey"] for r in
           ords.select("o_orderkey").orderBy("o_orderkey").limit(8).collect()]
     hi = [r["o_orderkey"] for r in
@@ -12719,6 +12728,51 @@ def keyed_point_lookup(spark, sf):
           .collect()]
     return (
         ws.key_lookup("orders", [int(k) for k in lo + hi])
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "o_orderstatus", "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "keyed_range_scan",
+    """
+    WITH b AS (
+      SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus, o_totalprice
+    FROM orders, b
+    WHERE o_orderkey >= mn + (mx - mn) // 4
+      AND o_orderkey <= mn + (mx - mn) // 2
+    ORDER BY o_orderkey
+    """,
+)
+def keyed_range_scan(spark, sf):
+    """The sort index's RANGE read (Workspace.key_range — the
+    binary-search-over-sorted contract the reference's sorted
+    attribute exists for, slop.h:1193): on the keyed orders table,
+    scan [min + span/4, min + span/2] — the driver selects only files
+    whose manifest key range overlaps (a strict subset, plan-proven in
+    tests), the row trim pushes into the pruned scan.  Integer bound
+    arithmetic reproduces exactly in both engines.  Reuses
+    keyed_point_lookup's persisted workspace (one build, two read
+    shapes)."""
+    ws = _keyed_orders_ws(spark, sf)
+    row = (
+        _t(spark, sf, "orders")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .head()
+    )
+    mn, mx = int(row["mn"]), int(row["mx"])
+    lo = mn + (mx - mn) // 4
+    hi = mn + (mx - mn) // 2
+    return (
+        ws.key_range("orders", lo, hi)
         .select(
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
             F.col("o_custkey").cast("long").alias("o_custkey"),
@@ -13253,7 +13307,7 @@ _R09_WINDOW = [
     # round-9 additions (never driver-checked)
     "workspace_rollup_late_append", "keyed_point_lookup",
     "kerf_lang_amend_group_verbs", "folio_remote_scatter",
-    "ivf_stream_upsert_topk",
+    "ivf_stream_upsert_topk", "keyed_range_scan",
     # plan/format changed this round: rollup FORMAT 2 + auto-backfill
     "rollup_incremental_bars", "rollup_quantile_bars",
     "rollup_stream_bars", "rollup_backfill_bars",
