@@ -200,6 +200,12 @@ class Workspace:
         (row-group min/max skip inside them) — the sorted-manifest
         point-lookup contract.  Mutually exclusive with
         ``partition_by``/``zorder_by``.
+
+        Scale note: the manifest carries one [min, max, rows] entry
+        per data file — size ``key_partitions`` so file count stays
+        manifest-friendly (e.g. ~1 GB files: a 10 TB keyed table is
+        ~10k entries, trivial; pathological tiny-file layouts belong
+        to :meth:`compact` first).
         """
         if key is not None:
             key = [key] if isinstance(key, str) else list(key)
