@@ -903,21 +903,44 @@ class Workspace:
                 meta.get("nonnull", True), f"append({name!r})",
             )
             if meta.get("unique", True):
-                # collision vs STORED keys: a key-pruned semi join —
-                # the stored side is column-pruned to the key and its
-                # row groups skip via the sort index
-                hit = (
-                    self.load(name).select(*kcols)
-                    .join(rows_cast.select(*kcols), kcols, "left_semi")
-                    .limit(1)
-                    .count()
+                # MONOTONE fast path (the tick-append pattern): when
+                # the batch's minimum leading key clears every stored
+                # file's maximum, collision is impossible — one tiny
+                # aggregate instead of a join against the table.  The
+                # sorted manifest makes the stored high-water mark a
+                # driver-side max over the file ranges.
+                stored_hi = None
+                rngs = [
+                    r for r in meta.get("key_file_ranges", {}).values()
+                    if r[0] is not None
+                ]
+                if rngs and all(len(r) >= 2 for r in rngs):
+                    stored_hi = max(r[1] for r in rngs)
+                batch_lo = _jsonable(
+                    rows_cast.agg(F.min(kcols[0])).head()[0]
                 )
-                if hit:
-                    raise KeysError(
-                        f"append({name!r}): incoming keys collide with "
-                        f"stored unique key {kcols} — use upsert to "
-                        f"replace (ERROR_KEYS)"
+                if (
+                    stored_hi is not None
+                    and batch_lo is not None
+                    and batch_lo > stored_hi
+                ):
+                    pass  # strictly-above tail: no collision possible
+                else:
+                    # collision vs STORED keys: a key-pruned semi join
+                    # — the stored side is column-pruned to the key
+                    # and its row groups skip via the sort index
+                    hit = (
+                        self.load(name).select(*kcols)
+                        .join(rows_cast.select(*kcols), kcols, "left_semi")
+                        .limit(1)
+                        .count()
                     )
+                    if hit:
+                        raise KeysError(
+                            f"append({name!r}): incoming keys collide "
+                            f"with stored unique key {kcols} — use "
+                            f"upsert to replace (ERROR_KEYS)"
+                        )
         zorder_by = meta.get("zorder_by") or []
         if zorder_by:
             # appended files get per-file z clustering (row-group stats

@@ -439,3 +439,40 @@ def test_folio_script_verb_queries_remote_members(spark):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_folio_result_chains_into_kerfsql(spark):
+    """A folio gather is an ordinary script value: assign it and the
+    next statement queries it as a view — the 'behave like a table'
+    contract all the way into kerf-SQL."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.sources.io import read_table
+
+    nat = read_table(spark, SF, "nation")
+    halves = [nat.where(F.col("n_nationkey") % 2 == i) for i in range(2)]
+    srvs = [KerfServer(spark, tables={"nation": h}).start() for h in halves]
+    try:
+        members = ", ".join(
+            f'"{h}:{p}"' for h, p in (s.address for s in srvs)
+        )
+        df = KL.run(
+            spark,
+            f'parts: folio([{members}], "select n_regionkey, '
+            f'count(*) as n from nation group by n_regionkey")\n'
+            f"select total: sum(n) by n_regionkey from parts "
+            f"order by n_regionkey",
+        )
+        got = [(r["n_regionkey"], r["total"]) for r in df.collect()]
+        want = [
+            (r["n_regionkey"], r["n"])
+            for r in nat.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("n_regionkey")
+            .collect()
+        ]
+        assert got == want
+    finally:
+        for s in srvs:
+            s.stop()

@@ -1154,3 +1154,36 @@ def test_key_range_scans_only_overlapping_files(spark, tables, ws_root):
     assert ws.key_range("orders").count() == n  # both open = full scan
     # out-of-domain range: zero files, zero rows
     assert ws.key_range("orders", lo=10**12).count() == 0
+
+
+def test_keyed_monotone_append_skips_collision_join(spark, ws_root, monkeypatch):
+    """The tick-append fast path: a batch whose minimum key clears the
+    stored high-water mark appends without the collision semi-join
+    (Workspace.load never called); a non-monotone batch still takes
+    the join path and still refuses collisions."""
+    from kerf_spark.errors import KeysError
+
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long")
+    ws.save("t", df, key="k", minimize_widths=False)
+
+    calls = []
+    orig = Workspace.load
+
+    def counting_load(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(Workspace, "load", counting_load)
+    ws.append("t", spark.createDataFrame([(25, 1), (30, 1)], "k long, v long"))
+    assert calls == []  # strictly-above tail: no stored-side read at all
+    # interleaving batch: join path runs, fresh keys still append
+    ws.append("t", spark.createDataFrame([(22, 1)], "k long, v long"))
+    assert calls == ["t"]
+    # and collisions still refuse through the join path
+    with pytest.raises(KeysError, match="collide"):
+        ws.append("t", spark.createDataFrame([(22, 2)], "k long, v long"))
+    monkeypatch.undo()
+    assert ws.load("t").count() == 23
+    got = {r["k"]: r["v"] for r in ws.key_lookup("t", [25, 30, 22]).collect()}
+    assert got == {25: 1, 30: 1, 22: 1}
