@@ -916,12 +916,38 @@ class Workspace:
                 ]
                 if rngs and all(len(r) >= 2 for r in rngs):
                     stored_hi = max(r[1] for r in rngs)
-                batch_lo = _jsonable(
-                    rows_cast.agg(F.min(kcols[0])).head()[0]
+                from functools import reduce
+
+                nullc = reduce(
+                    lambda a, b: a | b,
+                    [F.col(c).isNull() for c in kcols],
                 )
+                row = rows_cast.agg(
+                    F.min(kcols[0]).alias("lo"),
+                    F.sum(F.when(nullc, 1).otherwise(0)).alias("nulls"),
+                ).head()
+                batch_lo = _jsonable(row["lo"])
+                if int(row["nulls"] or 0) and not meta.get("nonnull", True):
+                    # null keys join as never-equal in SQL, so the semi
+                    # join below cannot see a null-vs-null collision —
+                    # treat null as a VALUE (kerf unique semantics):
+                    # a stored null key refuses a second null
+                    stored_nulls = (
+                        self.load(name)
+                        .where(nullc)
+                        .limit(1)
+                        .count()
+                    )
+                    if stored_nulls:
+                        raise KeysError(
+                            f"append({name!r}): null key already "
+                            f"stored under unique key {kcols} "
+                            f"(ERROR_KEYS)"
+                        )
                 if (
                     stored_hi is not None
                     and batch_lo is not None
+                    and not int(row["nulls"] or 0)
                     and batch_lo > stored_hi
                 ):
                     pass  # strictly-above tail: no collision possible

@@ -1187,3 +1187,23 @@ def test_keyed_monotone_append_skips_collision_join(spark, ws_root, monkeypatch)
     assert ws.load("t").count() == 23
     got = {r["k"]: r["v"] for r in ws.key_lookup("t", [25, 30, 22]).collect()}
     assert got == {25: 1, 30: 1, 22: 1}
+
+
+def test_keyed_nullable_unique_null_collision_refuses(spark, ws_root):
+    """nonnull=False + unique=True: null is a VALUE for uniqueness —
+    a second null key refuses across appends too (SQL's null-never-
+    equals join semantics must not hide the collision)."""
+    from kerf_spark.errors import KeysError
+
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k long, v long"
+    )
+    ws.save("t", df, key="k", nonnull=False, minimize_widths=False)
+    with pytest.raises(KeysError, match="null key already stored"):
+        ws.append(
+            "t", spark.createDataFrame([(None, 40)], "k long, v long")
+        )
+    # non-null fresh keys still append fine
+    ws.append("t", spark.createDataFrame([(9, 90)], "k long, v long"))
+    assert ws.load("t").count() == 4
