@@ -790,10 +790,15 @@ def index_upsert_sink(path: str):
     right sink for low-rate change feeds; append-only tick feeds
     belong on the delta-tree sink.  Crash replay converges: a replayed
     epoch's tombstones kill nothing (the old versions are already
-    dead) and its re-append restores the same rows."""
+    dead) and its re-append restores the same rows.
+
+    Deliberately NOT gated on the ``upserting`` intent marker: after a
+    crash inside an upsert, restarting the stream replays the failed
+    epoch, and that replay IS the recovery that clears the marker —
+    refusing here would wedge the pipeline (queries still refuse until
+    the replay lands)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
-    _check_not_upserting(meta, path)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.limit(1).count() == 0:

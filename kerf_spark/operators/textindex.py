@@ -794,10 +794,11 @@ def text_index_upsert_sink(path: str):
     mirror): each micro-batch of (id, text) rows UPSERTS — re-derived
     postings outrank the old generation, BM25 stats swap old doclens
     for new.  For append-only document feeds use
-    :func:`text_index_stream_sink` (cheaper per batch)."""
+    :func:`text_index_stream_sink` (cheaper per batch).  NOT gated on
+    the ``upserting`` marker: a stream restart's replayed epoch is the
+    recovery that clears it (the annindex.index_upsert_sink note)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
-    _check_not_upserting(meta, path)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.limit(1).count() == 0:

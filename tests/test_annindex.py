@@ -729,3 +729,30 @@ def test_upsert_sink_cdc_batches_latest_version_wins(spark, emb, tmp_path):
         for r in stored.collect()
     }
     assert got == want
+
+
+def test_upsert_sink_restart_replays_through_interrupted_marker(
+    spark, emb, tmp_path, monkeypatch
+):
+    """A CDC stream that crashed mid-upsert must be able to RESTART:
+    the sink factory does not refuse on the ``upserting`` marker — the
+    replayed epoch is exactly the recovery that clears it."""
+    path = str(tmp_path / "ivf")
+    AI.build_ivf_index(emb, path, n_cells=8)
+    up = emb.where(F.col("vec_id") == 11).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the re-append")
+
+    monkeypatch.setattr(AI, "append_to_index", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        AI.index_upsert_sink(path)(up, 0)
+    monkeypatch.undo()
+    assert AI.index_meta(path).get("upserting") is True
+    sink = AI.index_upsert_sink(path)  # the restart: must not refuse
+    sink(up, 0)  # the replayed epoch clears the marker
+    assert "upserting" not in AI.index_meta(path)
+    stored, _ = AI._stored(spark, path, AI.index_meta(path))
+    assert stored.where(F.col("vec_id") == 11).count() == 1
