@@ -1171,6 +1171,15 @@ class Workspace:
         os.rename(meta["path"], old)
         os.rename(staging, meta["path"])
         shutil.rmtree(old)
+        if meta.get("key"):
+            # the sort index must follow the rewrite: the old entries
+            # point at deleted files (key_lookup would read ghosts)
+            meta["key_file_ranges"] = self._file_key_ranges(
+                meta,
+                self.spark.read.schema(
+                    T.StructType.fromJson(meta["schema"])
+                ).parquet(meta["path"]).inputFiles(),
+            )
         self._flush()
         files_after, bytes_after = _stats(meta["path"])
         return {

@@ -1207,3 +1207,31 @@ def test_keyed_nullable_unique_null_collision_refuses(spark, ws_root):
     # non-null fresh keys still append fine
     ws.append("t", spark.createDataFrame([(9, 90)], "k long, v long"))
     assert ws.load("t").count() == 4
+
+
+def test_compact_rebuilds_key_file_ranges(spark, tables, ws_root):
+    """Compaction rewrites every data file — the sort index must
+    follow, or lookups read ghost paths."""
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"]
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    fresh = ords.select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        *[c for c in ords.columns if c != "o_orderkey"],
+    ).limit(5)
+    ws.append("orders", fresh)
+    before = set(ws.manifest["tables"]["orders"]["key_file_ranges"])
+    ws.compact("orders")
+    meta = ws.manifest["tables"]["orders"]
+    after = set(meta["key_file_ranges"])
+    assert after.isdisjoint(before)  # every file rewritten
+    from pyspark.sql import types as T
+
+    on_disk = set(
+        spark.read.schema(T.StructType.fromJson(meta["schema"]))
+        .parquet(meta["path"]).inputFiles()
+    )
+    assert after == on_disk
+    some = [r["o_orderkey"] for r in ords.limit(2).collect()]
+    got = ws.key_lookup("orders", [int(k) for k in some] + [10_000_000])
+    assert got.count() == 3  # lookups work over the compacted layout
