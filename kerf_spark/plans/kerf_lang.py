@@ -1143,9 +1143,11 @@ class _ExprParser:
                 v = self.interp.call(v, args)
             elif t.kind == "punct" and t.text == "[":
                 self.next()
-                args = self._args("]")
+                # bound-square brackets accept ';' separators too —
+                # the k call convention f[x;y] the reference parses
+                args = self._args_flex("]")
                 if self._callable(v):
-                    v = self.interp.call(v, args)  # f[x,y] call form
+                    v = self.interp.call(v, args)  # f[x,y] / f[x;y]
                 else:
                     v = self.interp.index(v, args)
             elif t.kind == "adverb":

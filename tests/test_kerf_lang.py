@@ -839,3 +839,11 @@ def test_small_verb_batch_ssr_stats_eval():
         run("eval(1, 2)")
     # a user variable named eval shadows the special form
     assert run("eval: 7\neval + 1") == 8
+
+
+def test_bound_square_call_accepts_semicolons():
+    """f[x;y] — the k call-bracket convention the reference parses —
+    works alongside f[x,y] and plain indexing."""
+    assert run("f: {[x, y] x + y}\nf[40; 2]") == 42
+    assert run("f: {[x, y] x + y}\nf[40, 2]") == 42
+    assert list(run("v: 10 20 30\nv[1 2]")) == [20, 30]
