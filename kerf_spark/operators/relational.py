@@ -53,9 +53,27 @@ def upsert(df: DataFrame, rows: DataFrame, keys: Sequence[str]) -> DataFrame:
     MERGE emulation = (old rows anti-joined on keys) ∪ new rows.  The
     anti join broadcasts when ``rows`` is small — the common "today's
     corrections" shape; at scale both sides shuffle once on the keys.
+
+    Null keys are VALUES (kerf unique semantics, the discipline
+    append enforces): the anti join is null-safe (``<=>``), so an
+    incoming null-key row REPLACES a stored null-key row instead of
+    both surviving the merge — SQL ``null == null`` is never true,
+    which would silently break the unique invariant the catalog
+    declares (ERROR_KEYS, jump.h:168).  ``<=>`` is still an equi-join
+    key for Catalyst (null-safe hash join), so the plan shape is
+    unchanged.
     """
+    from functools import reduce
+
     keys = list(keys)
-    survivors = df.join(rows.select(*keys).distinct(), on=keys, how="left_anti")
+    incoming = rows.select(
+        *[F.col(k).alias(f"__up_{k}") for k in keys]
+    ).distinct()
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"__up_{k}")) for k in keys],
+    )
+    survivors = df.join(incoming, on=cond, how="left_anti")
     return survivors.unionByName(rows)
 
 

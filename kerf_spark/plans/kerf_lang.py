@@ -54,6 +54,7 @@ from ..errors import (
     KerfErrorValue,
     KerfIndexError,
     KerfTypeError,
+    LengthError,
     LexError,
     LexIncompleteError,
     ParseError,
@@ -760,6 +761,20 @@ def _amend_pick(v: Any, j: int, many: bool) -> Any:
         out = v[j]
         return out.item() if isinstance(out, np.generic) else out
     return v
+
+
+def _amend_conform(v: Any, n: int, many: bool, what: str) -> None:
+    """A vector operand of a vector amend must CONFORM to the index
+    vector — k length discipline (ERROR_LENGTH, jump.h:144-198): a
+    replacement/right-operand vector shorter or longer than ``i``
+    is a length error up front, never a stray IndexError mid-write."""
+    if v is _NOARG or not many:
+        return
+    if isinstance(v, (np.ndarray, list)) and np.ndim(v) >= 1 and len(v) != n:
+        raise LengthError(
+            f"amend: {what} vector of length {len(v)} does not conform "
+            f"to index vector of length {n}"
+        )
 
 
 def _loc_ssr(x, sub, rep):
@@ -1615,6 +1630,9 @@ class Interp:
                 [k for k in i] if isinstance(i, (np.ndarray, list)) else [i]
             )
             many = isinstance(i, (np.ndarray, list))
+            _amend_conform(y, len(keys), many, "replacement")
+            if not self._callable_v(f):
+                _amend_conform(f, len(keys), many, "replacement")
             for j, k in enumerate(keys):
                 k = k.item() if isinstance(k, np.generic) else k
                 yj = _amend_pick(y, j, many)
@@ -1628,10 +1646,21 @@ class Interp:
             else np.array([int(i)])
         )
         many = isinstance(i, (np.ndarray, list))
-        if len(idxs) and (idxs.min() < -len(v) or idxs.max() >= len(v)):
+        # a NEGATIVE index is a domain error in k/kerf amend (no
+        # Python end-relative extension), and out-of-range is an
+        # index error — both refused before any element is touched
+        if len(idxs) and idxs.min() < 0:
+            raise KerfIndexError(
+                f"amend index {int(idxs.min())} is negative — k amend "
+                f"takes nonnegative positions (domain error)"
+            )
+        if len(idxs) and idxs.max() >= len(v):
             raise KerfIndexError(
                 f"amend index out of range for length {len(v)}"
             )
+        _amend_conform(y, len(idxs), many, "replacement")
+        if not self._callable_v(f):
+            _amend_conform(f, len(idxs), many, "replacement")
         news = []
         for j, ix in enumerate(idxs):
             old = v[int(ix)]
@@ -1657,7 +1686,12 @@ class Interp:
             return out
         v = _np(x)
         ix = int(k)
-        if ix < -len(v) or ix >= len(v):
+        if ix < 0:
+            raise KerfIndexError(
+                f"amend path index {ix} is negative — k amend takes "
+                f"nonnegative positions (domain error)"
+            )
+        if ix >= len(v):
             raise KerfIndexError(
                 f"amend path index {ix} out of range for length {len(v)}"
             )

@@ -311,8 +311,26 @@ class _Handler(socketserver.StreamRequestHandler):
                     # The payload is drained BEFORE any validation
                     # error can answer, keeping the line protocol in
                     # sync.
-                    name = str(up["name"])
-                    n = int(up["nbytes"])
+                    # validate the FRAMING fields before touching the
+                    # socket: a malformed/negative nbytes must never
+                    # reach rfile.read (a negative count reads to EOF
+                    # and wedges the handler thread), and with no
+                    # trustworthy byte count there is nothing to drain
+                    # — the connection is unsalvageable, so refuse and
+                    # let the client reconnect
+                    try:
+                        n = int(up["nbytes"])
+                    except (KeyError, TypeError, ValueError):
+                        raise ValueError(
+                            "arrow upload needs an integer 'nbytes' "
+                            "field (protocol error — reconnect)"
+                        ) from None
+                    if n < 0:
+                        raise ValueError(
+                            f"arrow upload nbytes {n} is negative "
+                            f"(protocol error — reconnect)"
+                        )
+                    name = str(up.get("name", ""))
                     if n > ARROW_MAX_UPLOAD_BYTES:
                         # drain the oversized frame in chunks so the
                         # line protocol stays in sync, THEN refuse

@@ -658,14 +658,26 @@ class Workspace:
             return
         from . import rollup as RU
 
+        from ..errors import ArgsError
+
         for n in hit:
             e = ents[n]
             if rebuild:
                 RU.create_rollup(self.load(table), e["path"], **e["spec"])
                 continue
+            try:
+                meta = RU.rollup_meta(e["path"])
+            except ArgsError:
+                # stale on-disk FORMAT (code upgraded under an existing
+                # workspace) or an interrupted compaction: take the
+                # correctness-over-cost path upsert takes — rebuild
+                # from the base table — instead of wedging every
+                # append on the attached artifact (ADVICE r9,
+                # rollup.py:86)
+                RU.create_rollup(self.load(table), e["path"], **e["spec"])
+                continue
             late = None
             if increment is not None:
-                meta = RU.rollup_meta(e["path"])
                 w = meta.get("watermark_ns")
                 if w is not None:
                     late = increment.where(RU._tns(meta) < F.lit(int(w)))
@@ -757,12 +769,23 @@ class Workspace:
             return
         from . import matview as MV
 
+        from ..errors import ArgsError
+
         for n in hit:
             e = ents[n]
             if fact_append and e["fact"] == table and e["dim"] != table:
+                try:
+                    meta = MV.matview_meta(e["path"])
+                except ArgsError:
+                    # stale FORMAT / interrupted compaction: rebuild
+                    # instead of wedging the append (rollup mirror)
+                    MV.create_enrich_view(
+                        self.load(e["fact"]), self.load(e["dim"]),
+                        e["path"], **e["spec"],
+                    )
+                    continue
                 late = None
                 if increment is not None:
-                    meta = MV.matview_meta(e["path"])
                     w = meta.get("watermark_ns")
                     if w is not None:
                         late = increment.where(
@@ -967,6 +990,15 @@ class Workspace:
                             f"with stored unique key {kcols} — use "
                             f"upsert to replace (ERROR_KEYS)"
                         )
+        # snapshot the file set BEFORE the write (filesystem listing,
+        # no Spark job): the post-write diff identifies exactly the
+        # files this append created, and the maintenance increment is
+        # READ BACK from them — re-running the caller's lazy plan
+        # after the append could backfill different rows than were
+        # stored when the source is nondeterministic (sample, limit,
+        # shuffle-dependent ids), leaving rollups/matviews disagreeing
+        # with their base table (ADVICE r9, catalog.py:671)
+        pre_files = _data_files(meta["path"])
         zorder_by = meta.get("zorder_by") or []
         if zorder_by:
             # appended files get per-file z clustering (row-group stats
@@ -1021,8 +1053,21 @@ class Workspace:
                     self._file_key_ranges(meta, new)
                 )
         self._flush()
-        self._maintain_rollups(name, increment=rows_cast)
-        self._maintain_matviews(name, fact_append=True, increment=rows_cast)
+        # the increment handed to derived-artifact maintenance is the
+        # DATA THAT LANDED, not the caller's plan: read back the new
+        # files so the late-row probe and backfill see exactly the
+        # stored rows (deterministic by construction)
+        new_files = sorted(_data_files(meta["path"]) - pre_files)
+        stored_inc = rows_cast
+        if new_files:
+            rd = self.spark.read
+            if meta["partition_by"]:
+                rd = rd.option("basePath", meta["path"])
+            stored_inc = rd.schema(
+                T.StructType.fromJson(meta["schema"])
+            ).parquet(*new_files)
+        self._maintain_rollups(name, increment=stored_inc)
+        self._maintain_matviews(name, fact_append=True, increment=stored_inc)
 
     def upsert(
         self, name: str, rows: DataFrame, keys: Sequence[str] | None = None
@@ -1059,6 +1104,11 @@ class Workspace:
                     f"upsert({name!r}): keys {list(keys)} disagree with "
                     f"the declared key {meta['key']} (ERROR_KEYS)"
                 )
+        if meta.get("key") and meta.get("key_file_ranges"):
+            if self._upsert_keyed_pruned(name, meta, rows):
+                self._maintain_rollups(name, rebuild=True)
+                self._maintain_matviews(name)
+                return
         merged = upsert_rows(self.load(name), rows, keys)
         staging = meta["path"] + ".staging"
         if meta.get("zorder_by"):
@@ -1104,6 +1154,169 @@ class Workspace:
         # a refresh would miss it, so they rebuild (documented contract)
         self._maintain_rollups(name, rebuild=True)
         self._maintain_matviews(name)
+
+    #: a keyed upsert whose incoming key range covers more than this
+    #: fraction of the table's data files rewrites the whole table
+    #: (one clean global re-layout beats rewriting almost-everything
+    #: file by file and losing the pinned fan-out)
+    PRUNED_UPSERT_MAX_COVER = 0.5
+    #: batches up to this many rows prune by their exact distinct
+    #: lead-key set (collected to the driver); bigger batches prune by
+    #: the [min, max] span only
+    PRUNED_UPSERT_LEADS_CAP = 100_000
+
+    def _upsert_keyed_pruned(
+        self, name: str, meta: dict, rows: DataFrame
+    ) -> bool:
+        """KEY-PRUNED upsert: rewrite only the data files whose
+        manifest key range overlaps the incoming keys; every other
+        file stays on disk untouched (mtime and all).
+
+        This is the reference's append-discipline applied to updates
+        (presented.h:420-425: mutate the sublists you touch, never
+        the folio): the sort index's per-file [min, max] turns a
+        keyed merge from O(table) into O(matching files) — at 100 TB
+        a "today's corrections" batch rewrites a handful of files,
+        not ten terabytes.  Returns False when the pruned path does
+        not apply (the caller falls back to the full staged rewrite):
+
+        * incoming keys include NULL (null rows are invisible to the
+          range index — min/max skip nulls);
+        * the covering files exceed ``PRUNED_UPSERT_MAX_COVER`` of
+          the table (a global re-layout is the better write).
+
+        Wider incoming columns promote the manifest schema exactly
+        like :meth:`append` (manifest-only rewrite — untouched narrow
+        files widen losslessly at read through the declared schema).
+
+        Reader visibility: new files land (append mode) BEFORE the
+        covered files unlink, so a reader listing in between can see
+        both versions of a replaced key — the same trade
+        :meth:`drop_partitions` documents.  Snapshot readers needing
+        strict isolation take the full rewrite's staged swap.
+        """
+        from urllib.parse import urlparse
+
+        from ..operators.relational import upsert as upsert_rows
+
+        key = meta["key"]
+        ranges = meta["key_file_ranges"]
+        stored = T.StructType.fromJson(meta["schema"])
+        stored_types = {
+            f.name: f.dataType.simpleString() for f in stored.fields
+        }
+        incoming = {
+            f.name: f.dataType.simpleString() for f in rows.schema.fields
+        }
+        if set(stored_types) != set(incoming):
+            return False  # full path raises the proper error
+        promoted = {
+            c: _promote(stored_types[c], incoming[c]) for c in stored_types
+        }
+        rows_cast = rows.select(
+            *[F.col(c).cast(promoted[c]).alias(c) for c in stored.names]
+        )
+        if promoted != stored_types:
+            # widen: manifest-only rewrite, same as append — old
+            # narrow files read through the promoted schema losslessly
+            meta["schema"] = T.StructType(
+                [
+                    T.StructField(
+                        f.name, _parse_type(promoted[f.name]), f.nullable
+                    )
+                    for f in stored.fields
+                ]
+            ).jsonValue()
+            stored = T.StructType.fromJson(meta["schema"])
+        from functools import reduce
+
+        nullc = reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in key]
+        )
+        b = rows_cast.agg(
+            F.min(key[0]).alias("lo"),
+            F.max(key[0]).alias("hi"),
+            F.sum(F.when(nullc, 1).otherwise(0)).alias("nulls"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        if int(b["nulls"] or 0):
+            return False  # null keys: range index cannot see them
+        if not int(b["n"]):
+            return True  # empty increment: nothing to do
+        lo, hi = _jsonable(b["lo"]), _jsonable(b["hi"])
+        data_files = [f for f, r in ranges.items() if len(r) < 3 or r[2] > 0]
+        # small batches (the "today's corrections" shape) prune by the
+        # EXACT incoming lead set, not its span — two far-apart keys
+        # must not drag every file in between into the rewrite.  One
+        # bounded distinct+collect; driver-side binary search per file.
+        leads = None
+        if int(b["n"]) <= self.PRUNED_UPSERT_LEADS_CAP:
+            leads = sorted(
+                _jsonable(r[0])
+                for r in rows_cast.select(key[0]).distinct().collect()
+            )
+
+        def _covers(rng) -> bool:
+            # an all-null-lead file (rng [None, None]) holds only
+            # null-key rows — a non-null incoming key can never
+            # replace one (the merge is null-safe), so it stays put
+            if rng[0] is None:
+                return False
+            if leads is not None:
+                import bisect
+
+                i = bisect.bisect_left(leads, rng[0])
+                return i < len(leads) and leads[i] <= rng[1]
+            return rng[1] >= lo and rng[0] <= hi
+
+        covering = [f for f in data_files if _covers(ranges[f])]
+        if len(covering) > self.PRUNED_UPSERT_MAX_COVER * max(
+            1, len(data_files)
+        ):
+            return False
+        # merge = (rows of covering files, minus replaced keys) ∪ new
+        # rows.  Files OUTSIDE the covering set cannot hold a colliding
+        # key (their ranges miss the incoming span), so they never move.
+        if covering:
+            old_cov = self.spark.read.schema(stored).parquet(*covering)
+            merged = upsert_rows(old_cov, rows_cast, key)
+        else:
+            merged = rows_cast
+        out = merged.repartitionByRange(
+            max(1, len(covering)), *key
+        ).sortWithinPartitions(*key)
+        out.write.mode("append").parquet(meta["path"])
+        # index the NEW files (bounded scan of just them), then unlink
+        # the covered files and their index entries
+        known = set(ranges)
+        allf = (
+            self.spark.read.schema(stored).parquet(meta["path"]).inputFiles()
+        )
+        new = [f for f in allf if f not in known]
+        if new:
+            ranges.update(self._file_key_ranges(meta, new))
+        for f in covering:
+            try:
+                os.remove(urlparse(f).path)
+            except FileNotFoundError:
+                pass
+            ranges.pop(f, None)
+        # sorted-claim maintenance: the rewrite keeps 'global' only if
+        # every file's key range is still disjoint (driver-side check
+        # over the manifest — no scan)
+        live = sorted(
+            (r[0], r[1])
+            for r in ranges.values()
+            if r[0] is not None and (len(r) < 3 or r[2] > 0)
+        )
+        overlap = any(
+            live[i][1] > live[i + 1][0] for i in range(len(live) - 1)
+        )
+        meta["sorted"] = "files" if overlap else "global"
+        if live:
+            meta["sort_key_max"] = max(r[1] for r in live)
+        self._flush()
+        return True
 
     def compact(self, name: str, target_file_mb: int = 128) -> dict:
         """Rewrite ``name`` into ~``target_file_mb``-sized files — the
@@ -1223,6 +1436,18 @@ def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
             else zdf.repartitionByRange("__kf_z")
         )
     return zdf.sortWithinPartitions("__kf_z").drop("__kf_z")
+
+
+def _data_files(path: str) -> set[str]:
+    """All parquet data files under ``path`` (plain os.walk — a
+    metadata listing, no Spark job; on an object store this is the
+    same LIST the write itself just did)."""
+    return {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
 
 
 def _parse_type(s: str) -> T.DataType:

@@ -790,6 +790,30 @@ def test_amend_errors_are_typed():
         run("@[1 2 3; 1]")
 
 
+def test_amend_negative_index_is_domain_error():
+    # k/kerf amend has NO Python end-relative indexing: a negative
+    # position is a domain error, not vector[-1]
+    with pytest.raises(KerfIndexError):
+        run("@[1 2 3; 0 - 1; 9]")
+    with pytest.raises(KerfIndexError):
+        run(".[[1 2 3, 4 5 6]; [1, 0 - 2]; 9]")
+
+
+def test_amend_vector_operand_must_conform():
+    # replacement vector shorter/longer than the index vector is a
+    # LENGTH error up front (jump.h:144-198), never a raw IndexError
+    from kerf_spark.errors import LengthError
+
+    with pytest.raises(LengthError):
+        run("@[10 20 30 40; 1 3; 7 9 11]")
+    with pytest.raises(LengthError):
+        run("@[10 20 30 40; 1 2 3; 7 9]")
+    with pytest.raises(LengthError):
+        run("@[1.0 2.0 3.0; 1 2; {[x, y] x * y}; 10 100 1000]")
+    # scalars still broadcast
+    assert list(run("@[10 20 30 40; 1 3; 0]")) == [10, 0, 30, 0]
+
+
 def test_sv_vs_string_verbs():
     assert run('sv("-", vs(",", "a,b,c"))') == "a-b-c"
     assert list(run('vs(",", "x,y")')) == ["x", "y"]

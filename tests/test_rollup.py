@@ -563,6 +563,95 @@ def test_workspace_attached_rollup_auto_refreshes(spark, tmp):
     assert ws2.rollups() == [] and not os.path.exists(path)
 
 
+def test_workspace_append_survives_stale_rollup_format(spark, tmp):
+    """ADVICE r9 (rollup.py:86): a FORMAT bump must not wedge appends
+    on workspaces whose attached rollup predates it — the maintenance
+    hook catches the format refusal and REBUILDS the rollup from the
+    base table (the correctness-over-cost path upsert takes), so the
+    append lands and the rollup agrees with a fresh one."""
+    import json
+
+    from kerf_spark.sources.catalog import Workspace
+
+    ev = _events(spark)
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.7) a"
+    ).head()
+    a = int(qs["a"])
+    ws = Workspace(spark, tmp + "/ws")
+    ws.save("ticks", ev.where(ts_to_ns("ts") < a))
+    ws.attach_rollup(
+        "ticks", "bars5m", time_col="ts", keys=["event_type"],
+        values=["value"], width_ns=span_ns(5, "m"),
+    )
+    path = ws.rollup_path("bars5m")
+    # simulate a workspace written by OLDER code: stamp format 1
+    mp = os.path.join(path, "rollup.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["format"] = 1
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    # the append must SUCCEED (not raise the format refusal) ...
+    ws.append("ticks", ev.where(ts_to_ns("ts") >= a))
+    assert ws.load("ticks").count() == ev.count()
+    # ... and the rollup is rebuilt at the current format, correct
+    with open(mp) as fh:
+        assert json.load(fh)["format"] == RU.FORMAT
+    got = _bars(spark, path).collect()
+    want = _full(spark, ws.load("ticks"), tmp + "/fresh_fmt")
+    assert got == want
+
+
+def test_append_backfill_uses_stored_rows_not_caller_plan(spark, tmp):
+    """ADVICE r9 (catalog.py:671): the maintenance increment is read
+    back from the files the append just wrote, never the caller's lazy
+    plan — a nondeterministic source (rand()) would otherwise backfill
+    rows that differ from what was stored.  Proven two ways: the
+    captured increment's input files are exactly the post-append file
+    diff, and an actual rand()-valued late append leaves the rollup
+    equal to a fresh rollup over the stored table."""
+    from kerf_spark.sources.catalog import Workspace
+
+    ev = _events(spark)
+    qs = ev.select(ts_to_ns("ts").alias("t")).selectExpr(
+        "percentile(t, 0.7) a"
+    ).head()
+    a = int(qs["a"])
+    ws = Workspace(spark, tmp + "/ws2")
+    ws.save("ticks", ev.where(ts_to_ns("ts") < a))
+    ws.attach_rollup(
+        "ticks", "bars5m", time_col="ts", keys=["event_type"],
+        values=["value"], width_ns=span_ns(5, "m"),
+    )
+    # a LATE batch (behind the watermark) whose value column is
+    # NONDETERMINISTIC: every re-evaluation of the plan draws fresh
+    tpath = ws.manifest["tables"]["ticks"]["path"]
+    pre = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(tpath) for f in fs
+        if f.endswith(".parquet")
+    }
+    late = (
+        ev.where(ts_to_ns("ts") < a).limit(37)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("value", F.rand() * 1000.0)
+    )
+    ws.append("ticks", late)
+    post = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(tpath) for f in fs
+        if f.endswith(".parquet")
+    }
+    assert post - pre  # the append created files
+    # the rollup folded the STORED values: it equals a fresh rollup
+    # over the table as persisted (a re-evaluated rand() plan would
+    # disagree with probability ~1)
+    got = _bars(spark, ws.rollup_path("bars5m")).collect()
+    want = _full(spark, ws.load("ticks"), tmp + "/fresh_nd")
+    assert got == want
+
+
 def test_refresh_tail_scan_predicate_is_pushed_down(spark, tmp):
     """The refresh's O(increment) cost claim, plan-asserted: the
     watermark predicate reaches the parquet scan as a PushedFilter on

@@ -332,6 +332,53 @@ def test_arrow_upload_validates_name_and_size(spark, monkeypatch):
         srv.stop()
 
 
+def test_arrow_upload_framing_rejects_hostile_ints(spark):
+    """ADVICE r9 (server.py:330): framing fields are validated BEFORE
+    any socket read — a negative nbytes must not reach rfile.read
+    (negative count = read-to-EOF, wedging the handler), and a
+    missing 'name' with a valid nbytes drains exactly n bytes so the
+    line protocol stays in sync for the next request."""
+    import json
+    import socket as _socket
+
+    import pyarrow as pa
+
+    srv = KerfServer(spark, tables={}).start()
+    try:
+        host, port = srv.address
+        with _socket.create_connection((host, port), timeout=30) as s:
+            s.settimeout(30)
+            f = s.makefile("rwb")
+
+            def ask(obj, payload=b""):
+                f.write(json.dumps(obj).encode() + b"\n" + payload)
+                f.flush()
+                return json.loads(f.readline())
+
+            # negative nbytes: typed refusal, nothing read, in sync
+            r = ask({"src": "1", "upload": {"name": "t", "nbytes": -5}})
+            assert not r["ok"] and "negative" in r["message"]
+            assert ask({"src": "7 * 6"})["value"] == 42
+            # missing nbytes: typed refusal, in sync (no payload sent)
+            r = ask({"src": "1", "upload": {"name": "t"}})
+            assert not r["ok"] and "nbytes" in r["message"]
+            assert ask({"src": "6 * 7"})["value"] == 42
+            # missing NAME with a real payload: the n bytes are drained
+            # before the refusal, so the next request still parses
+            sink = pa.BufferOutputStream()
+            tbl = pa.table({"a": [1, 2, 3]})
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+            raw = sink.getvalue().to_pybytes()
+            r = ask(
+                {"src": "1", "upload": {"nbytes": len(raw)}}, payload=raw
+            )
+            assert not r["ok"]
+            assert ask({"src": "3 * 4"})["value"] == 12
+    finally:
+        srv.stop()
+
+
 def test_folio_remote_scatter_gather_matches_local(spark):
     """VERDICT r8 missing #1 (presented.h:427-430): a folio of remote
     tables behaves like a table — the same statement runs on THREE

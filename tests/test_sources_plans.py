@@ -1209,6 +1209,127 @@ def test_keyed_nullable_unique_null_collision_refuses(spark, ws_root):
     assert ws.load("t").count() == 4
 
 
+def test_keyed_nullable_unique_upsert_replaces_null_key(spark, ws_root):
+    """ADVICE r9 (catalog.py:1062): upsert must mirror append's
+    null-as-value uniqueness — an incoming null-key row REPLACES the
+    stored null-key row (null-safe <=> anti join), never duplicates
+    it.  Otherwise the merge leaves two null keys in a table whose
+    append path explicitly refuses a second null."""
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k long, v long"
+    )
+    ws.save("t", df, key="k", nonnull=False, minimize_widths=False)
+    ws.upsert(
+        "t",
+        spark.createDataFrame([(None, 99), (3, 33)], "k long, v long"),
+    )
+    got = {
+        (None if r["k"] is None else int(r["k"])): int(r["v"])
+        for r in ws.load("t").collect()
+    }
+    assert got == {1: 10, None: 99, 3: 33}
+    # and the invariant append relies on still holds: ONE stored null
+    from kerf_spark.errors import KeysError
+
+    with pytest.raises(KeysError, match="null key already stored"):
+        ws.append(
+            "t", spark.createDataFrame([(None, 7)], "k long, v long")
+        )
+
+
+def test_upsert_keyed_pruned_rewrites_only_covering_files(
+    spark, tables, ws_root
+):
+    """VERDICT r9 #1: the sort index turns a keyed upsert from
+    O(table) into O(matching files) — a narrow correction batch
+    rewrites only the files whose manifest key range holds its keys;
+    every other data file keeps its PATH AND MTIME (proven below),
+    and the merged table equals the full-merge oracle."""
+    import os
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    meta = ws.manifest["tables"]["orders"]
+    before = {
+        urlparse(f).path: os.path.getmtime(urlparse(f).path)
+        for f in meta["key_file_ranges"]
+    }
+    # corrections touching the 5 lowest keys — one file's range
+    lows = [
+        int(r[0]) for r in
+        ords.orderBy("o_orderkey").limit(5).select("o_orderkey").collect()
+    ]
+    ups = ords.where(F.col("o_orderkey").isin(lows)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    ws.upsert("orders", ups)
+    meta = ws.manifest["tables"]["orders"]
+    after_paths = {urlparse(f).path for f in meta["key_file_ranges"]}
+    survivors = set(before) & after_paths
+    rewritten = set(before) - after_paths
+    assert rewritten, "at least one covering file must be replaced"
+    # the pruned contract: MOST files survive, byte-identical
+    assert len(rewritten) <= 2, f"over-wide rewrite: {len(rewritten)}"
+    for p in survivors:
+        assert os.path.getmtime(p) == before[p], f"{p} was rewritten"
+    # index agrees with disk
+    on_disk = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(meta["path"])
+        for f in fs if f.endswith(".parquet")
+    }
+    assert {urlparse(f).path for f in meta["key_file_ranges"]} == on_disk
+    # values match the full-merge oracle
+    want = {
+        int(r["o_orderkey"]): float(r["o_totalprice"])
+        for r in ords.collect()
+    }
+    for k in lows:
+        want[k] = want[k] + 1000.0
+    got = {
+        int(r["o_orderkey"]): float(r["o_totalprice"])
+        for r in ws.load("orders").collect()
+    }
+    assert got == want
+    # point lookups still pruned and correct through the new index
+    hit = {
+        int(r["o_orderkey"]): float(r["o_totalprice"])
+        for r in ws.key_lookup("orders", lows).collect()
+    }
+    assert hit == {k: want[k] for k in lows}
+
+
+def test_upsert_keyed_pruned_falls_back_when_coverage_is_wide(
+    spark, tables, ws_root
+):
+    """A batch spanning most files takes the full staged rewrite (the
+    global re-layout), not a file-by-file shuffle: every data file is
+    fresh afterwards and the sorted claim returns to 'global'."""
+    import os
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"].select("o_orderkey", "o_totalprice")
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    before = {urlparse(f).path for f in
+              ws.manifest["tables"]["orders"]["key_file_ranges"]}
+    # every other key: covers every file
+    ups = ords.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ws.upsert("orders", ups)
+    meta = ws.manifest["tables"]["orders"]
+    after = {urlparse(f).path for f in meta["key_file_ranges"]}
+    assert after.isdisjoint(before)  # full rewrite: all files new
+    assert meta["sorted"] == "global"
+    assert ws.load("orders").count() == ords.count()
+
+
 def test_compact_rebuilds_key_file_ranges(spark, tables, ws_root):
     """Compaction rewrites every data file — the sort index must
     follow, or lookups read ghost paths."""
