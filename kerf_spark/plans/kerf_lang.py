@@ -814,6 +814,33 @@ def _loc_folio(addrs, src):
     return folio_remote(spark, parsed, str(src))
 
 
+def _loc_folio_select(addrs, src):
+    """``folio_select(members, "select sum(x) as s by k from t")`` —
+    the AGGREGATE auto-split over a distributed folio ("a folio of
+    tables should behave like a table", presented.h:409): algebraic
+    aggregates are rewritten into member partials + a local final
+    merge (avg → sum/count, never an average of averages); holistic
+    aggregates refuse with a typed error.  See server.folio_select."""
+    from pyspark.sql import SparkSession
+
+    from ..server import folio_select
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise KerfTypeError("folio_select needs an active SparkSession")
+    if isinstance(addrs, np.ndarray):
+        addrs = addrs.tolist()
+    if isinstance(addrs, str):
+        addrs = [addrs]
+    parsed = []
+    for a in addrs:
+        host, _, port = str(a).rpartition(":")
+        if not host or not port.isdigit():
+            raise ArgsError(f"folio member must be 'host:port', got {a!r}")
+        parsed.append((host, int(port)))
+    return folio_select(spark, parsed, str(src))
+
+
 def _loc_group(x):
     """kerf1 ``group``: MAP from each distinct value to the index
     vector of its occurrences, first-appearance order (k semantics) —
@@ -966,6 +993,7 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "ratios": (_loc_ratios, None),
     # the distributed folio as a language value (presented.h:427-430)
     "folio": (_loc_folio, None),
+    "folio_select": (_loc_folio_select, None),
     # kerf1 grouping / table-sort / string verbs (VERDICT r8 next #4)
     "group": (_loc_group, None),
     "xasc": (_loc_xsort(False), None),

@@ -629,3 +629,193 @@ def folio_remote(
             df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ------------------------------------------------- folio aggregate split
+#: aggregates folio_select can split into member partials + local final
+_FOLIO_ALGEBRAIC = ("sum", "count", "min", "max", "avg", "mean")
+_FOLIO_AGG_RE = re.compile(r"(?is)^\s*(\w+)\s*\((.*)\)\s*$")
+
+
+def _folio_parse_select(q: str):
+    """Parse the grouped-aggregate select shape folio_select accepts
+    (ANSI ``group by`` and kerf ``by`` both), returning
+    ``(items, keys, table, where, order, limit)`` where ``items`` is
+    ``[(alias, fn, argexpr)]`` for aggregates and ``(alias, None,
+    expr)`` for group-key projections."""
+    from .errors import ArgsError
+    from .plans.kerfsql import (
+        _split_clause,
+        _split_top,
+    )
+
+    q = q.strip().rstrip(";")
+    head = q.split(None, 1)[0].lower()
+    if head != "select":
+        raise ArgsError(
+            f"folio_select splits grouped aggregates — got a "
+            f"{head!r} statement (run it via folio_remote)"
+        )
+    body = q[len("select"):].strip()
+    body, limit = _split_clause(body, "limit")
+    body, order = _split_clause(body, "order\\s+by")
+    body, where = _split_clause(body, "where")
+    body, table = _split_clause(body, "from")
+    if table is None:
+        raise ArgsError("folio_select requires a from clause")
+    body, by = _split_clause(body, "by")  # kerf `select ... by k from t`
+    # ANSI `from t group by k` leaves the group clause inside `table`
+    table, ansi_by = _split_clause(table, "group\\s+by")
+    if ansi_by:
+        by = ansi_by if not by else f"{by}, {ansi_by}"
+    keys = [k.strip() for k in _split_top(by)] if by else []
+    items = []
+    for part in _split_top(body):
+        m = re.match(r"(?is)^(.*?)\s+as\s+(\w+)\s*$", part)
+        km = re.match(r"^\s*([A-Za-z_]\w*)\s*:\s*(.+)$", part, re.DOTALL)
+        if m:
+            expr, alias = m.group(1).strip(), m.group(2)
+        elif km:  # kerf `alias: expr`
+            alias, expr = km.group(1), km.group(2).strip()
+        else:
+            expr, alias = part.strip(), None
+        am = _FOLIO_AGG_RE.match(expr)
+        if am and am.group(1).lower() in _FOLIO_ALGEBRAIC + (
+            "median", "stddev", "stddev_samp", "variance", "var_samp",
+            "percentile", "quantile",
+        ):
+            fn, arg = am.group(1).lower(), am.group(2).strip()
+            if fn not in _FOLIO_ALGEBRAIC:
+                raise ArgsError(
+                    f"folio_select: {fn} is HOLISTIC — it cannot be "
+                    f"rebuilt from member partials (supported: "
+                    f"{', '.join(_FOLIO_ALGEBRAIC)}; run holistic "
+                    f"aggregates on a gathered table or a sketch)"
+                )
+            if re.match(r"(?is)^\s*distinct\b", arg):
+                raise ArgsError(
+                    "folio_select: count(DISTINCT ...) is HOLISTIC "
+                    "across members — a value present on two members "
+                    "would double-count (use a gathered distinct or a "
+                    "sketch)"
+                )
+            if alias is None:
+                raise ArgsError(
+                    f"folio_select: aggregate {expr!r} needs an alias "
+                    f"(`... as name` / `name: ...`)"
+                )
+            items.append((alias, fn, arg))
+        else:
+            # non-aggregate projection: must be a group key
+            if expr not in keys:
+                raise ArgsError(
+                    f"folio_select: non-aggregate column {expr!r} "
+                    f"must appear in the by/group-by clause"
+                )
+            items.append((alias or expr, None, expr))
+    return items, keys, table.strip(), where, order, limit
+
+
+def folio_select(
+    spark,
+    addrs: list[tuple[str, int]],
+    q: str,
+    timeout: float = 120.0,
+):
+    """Distributed grouped aggregation over a folio of remote tables —
+    "a folio of tables should behave like a table" (presented.h:409)
+    for the AGGREGATE case, without the manual-discipline trap:
+    ``folio_select(addrs, "select sum(x) as s, avg(y) as a by k from
+    t")`` rewrites each ALGEBRAIC aggregate into member partials (one
+    grouped query per member, shipped as one Arrow frame each) and a
+    local final merge:
+
+    * ``sum``/``min``/``max`` → member same, final sum/min/max;
+    * ``count(*)``/``count(e)`` → member count, final SUM of counts;
+    * ``avg(e)``/``mean(e)`` → member ``sum(e), count(e)``, final
+      ``sum(sums)/sum(counts)`` — exact SQL AVG semantics (the
+      non-null count is the denominator), never an average of member
+      averages (wrong under skew);
+
+    HOLISTIC aggregates (median/percentile/stddev, count DISTINCT)
+    refuse with a typed error — they cannot be rebuilt from partials;
+    gather the rows or use a sketch.  ``where`` pushes to the members
+    (each filters its own parquet); ``order by``/``limit`` apply to
+    the merged final (top-k over groups, driver-bounded).
+
+    Scale shape: the wire carries ONE partial row per (member, group)
+    — group-cardinality-sized frames, never member rows.  The final
+    merge is one local groupBy over |members| × |groups| rows.
+    """
+    from pyspark.sql import functions as F
+
+    from .errors import ArgsError
+
+    items, keys, table, where, order, limit = _folio_parse_select(q)
+    if not any(fn for _, fn, _ in items):
+        raise ArgsError(
+            "folio_select needs at least one aggregate — for plain "
+            "row gathers use folio_remote"
+        )
+    # ---- member query: one partial per aggregate ----------------------
+    partials, finals = [], []
+    for i, (alias, fn, arg) in enumerate(items):
+        if fn is None:
+            continue
+        if fn == "sum":
+            partials.append(f"sum({arg}) AS __p{i}")
+            finals.append(F.sum(f"__p{i}").alias(alias))
+        elif fn == "count":
+            partials.append(f"count({arg}) AS __p{i}")
+            finals.append(F.sum(f"__p{i}").cast("long").alias(alias))
+        elif fn == "min":
+            partials.append(f"min({arg}) AS __p{i}")
+            finals.append(F.min(f"__p{i}").alias(alias))
+        elif fn == "max":
+            partials.append(f"max({arg}) AS __p{i}")
+            finals.append(F.max(f"__p{i}").alias(alias))
+        else:  # avg / mean
+            partials.append(f"sum({arg}) AS __p{i}s")
+            partials.append(f"count({arg}) AS __p{i}c")
+            finals.append(
+                (F.sum(f"__p{i}s") / F.sum(f"__p{i}c")).alias(alias)
+            )
+    key_sel = ", ".join(keys)
+    member = "SELECT "
+    if keys:
+        member += f"{key_sel}, "
+    member += f"{', '.join(partials)} FROM {table}"
+    if where:
+        member += f" WHERE {where}"
+    if keys:
+        member += f" GROUP BY {key_sel}"
+    gathered = folio_remote(spark, addrs, member, timeout=timeout)
+    # ---- local final merge --------------------------------------------
+    if keys:
+        out = gathered.groupBy(*[k for k in keys]).agg(*finals)
+        # project in the statement's column order, honoring aliases
+        cols = []
+        for alias, fn, expr in items:
+            cols.append(
+                F.col(expr).alias(alias) if fn is None else F.col(alias)
+            )
+        out = out.select(*cols)
+    else:
+        out = gathered.agg(*finals)
+    if order:
+        from .plans.kerfsql import _split_top as _st
+
+        ocols = []
+        for o in _st(order):
+            m = re.match(r"(?is)^(.*?)\s+(asc|desc)\s*$", o.strip())
+            if m:
+                c = F.expr(m.group(1))
+                ocols.append(
+                    c.desc() if m.group(2).lower() == "desc" else c.asc()
+                )
+            else:
+                ocols.append(F.expr(o.strip()))
+        out = out.orderBy(*ocols)
+    if limit:
+        out = out.limit(int(limit))
+    return out

@@ -130,13 +130,29 @@ def _check_key_constraints(
 
 
 class Workspace:
-    """A named-table catalog over `root/` — the Kerf-Tree analogue."""
+    """A named-table catalog over `root/` — the Kerf-Tree analogue.
+
+    CONCURRENCY CONTRACT (the Kerf Tree's sutex analogue,
+    concurrency-model.md:53-97): manifest writes are serialized with
+    an advisory ``fcntl.flock`` on ``root/.workspace.lock`` — under
+    the lock :meth:`_flush` RE-READS the on-disk manifest and merges
+    this instance's entries over it, so two processes appending to
+    DIFFERENT tables both land (neither clobbers the other's entry).
+    Writes to the SAME table remain single-writer: the data files
+    tolerate concurrent appenders (distinct part names), but the
+    last flush's per-table metadata (key ranges, sorted claims) wins
+    — run one writer per table at a time.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "workspace.json")
+        self._lock_path = os.path.join(root, ".workspace.lock")
+        #: sections × names this instance DELETED — without tombstones
+        #: the merge-with-disk in _flush would resurrect them
+        self._dropped: dict[str, set] = {}
         self.manifest: dict = {"tables": {}}
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
@@ -144,10 +160,48 @@ class Workspace:
 
     # ------------------------------------------------------------- save/load
     def _flush(self) -> None:
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=2)
-        os.replace(tmp, self._manifest_path)  # atomic swap, snapshot reads
+        """Serialize load-merge-write across PROCESSES: take the
+        advisory lock, re-read the disk manifest, overlay this
+        instance's entries (ours win per name; disk-only names from
+        other writers survive), drop our tombstones, swap atomically.
+        The adopted merge becomes this instance's view, so later
+        operations see sibling writers' tables too."""
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: single-process semantics
+            fcntl = None
+        lf = open(self._lock_path, "a+")
+        try:
+            if fcntl is not None:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            disk: dict = {"tables": {}}
+            if os.path.exists(self._manifest_path):
+                with open(self._manifest_path) as f:
+                    disk = json.load(f)
+            merged = disk
+            for section, ours in self.manifest.items():
+                if not isinstance(ours, dict):
+                    merged[section] = ours
+                    continue
+                msec = merged.setdefault(section, {})
+                for name, entry in ours.items():
+                    msec[name] = entry
+            for section, names in self._dropped.items():
+                for name in names:
+                    # a name re-created after its drop (drop→save)
+                    # outlives its own tombstone
+                    if name not in self.manifest.get(section, {}):
+                        merged.get(section, {}).pop(name, None)
+            self.manifest = merged
+            self._dropped.clear()
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.manifest, f, indent=2)
+            os.replace(tmp, self._manifest_path)  # atomic swap
+        finally:
+            if fcntl is not None:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+            lf.close()
 
     def save(
         self,
@@ -330,25 +384,47 @@ class Workspace:
         passed file gets an entry: a footer-only EMPTY file (Spark
         writes one for an all-empty first partition) records
         ``[None, None, 0]`` so lookups skip it and later appends don't
-        re-scan it."""
-        key0 = meta["key"][0]
+        re-scan it.
+
+        COMPOSITE keys extend each entry to
+        ``[min, max, rows, min2, max2]`` — the second key column's
+        per-file bounds.  Within the range-partitioned layout the lead
+        is near-constant per file (the (sym, ts) tick key), so the
+        second bound distinguishes the many files of one hot lead and
+        a tuple probe in :meth:`key_lookup` scans strictly fewer files
+        than a lead-only probe.  The second bound is a correct coarse
+        filter regardless of lead mixture: a row matching ``(v1, v2)``
+        needs ``v2`` inside the file's [min2, max2] whatever its lead.
+        """
+        key = meta["key"]
+        composite = len(key) > 1
         schema = T.StructType.fromJson(meta["schema"])
-        out = {f: [None, None, 0] for f in files}
+        empty = [None, None, 0] + ([None, None] if composite else [])
+        out = {f: list(empty) for f in files}
+        aggs = [
+            F.min(key[0]).alias("__lo"),
+            F.max(key[0]).alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+        if composite:
+            aggs += [
+                F.min(key[1]).alias("__lo2"),
+                F.max(key[1]).alias("__hi2"),
+            ]
         rows = (
             self.spark.read.schema(schema)
             .parquet(*files)
             .groupBy(F.input_file_name().alias("__f"))
-            .agg(
-                F.min(key0).alias("__lo"),
-                F.max(key0).alias("__hi"),
-                F.count(F.lit(1)).alias("__n"),
-            )
+            .agg(*aggs)
             .collect()
         )
         for r in rows:
-            out[r["__f"]] = [
+            ent = [
                 _jsonable(r["__lo"]), _jsonable(r["__hi"]), int(r["__n"])
             ]
+            if composite:
+                ent += [_jsonable(r["__lo2"]), _jsonable(r["__hi2"])]
+            out[r["__f"]] = ent
         return out
 
     def key_lookup(self, name: str, values) -> DataFrame:
@@ -376,7 +452,25 @@ class Workspace:
         # normalize like the stored ranges (_jsonable: timestamps ->
         # ISO strings, which order lexicographically like the dates)
         vals = [tuple(v) for v in vals]
-        leads = sorted({_jsonable(v[0]) for v in vals})
+        probes = [
+            tuple(_jsonable(x) for x in v) for v in vals
+        ]
+
+        def _covers(rng, v) -> bool:
+            if rng[0] is not None and not (rng[0] <= v[0] <= rng[1]):
+                return False
+            # composite index: the probe's SECOND component must sit
+            # inside the file's [min2, max2] too (strictly fewer files
+            # than the lead test alone for multi-file hot leads)
+            if (
+                len(v) >= 2
+                and len(rng) >= 5
+                and rng[3] is not None
+                and not (rng[3] <= v[1] <= rng[4])
+            ):
+                return False
+            return True
+
         schema = T.StructType.fromJson(meta["schema"])
         files = [
             f
@@ -384,7 +478,7 @@ class Workspace:
             if (len(rng) < 3 or rng[2] > 0)  # skip footer-only files
             and (
                 rng[0] is None  # all-null leading key: cannot prune
-                or any(rng[0] <= v <= rng[1] for v in leads)
+                or any(_covers(rng, v) for v in probes)
             )
         ]
         if not files:
@@ -517,6 +611,7 @@ class Workspace:
 
     def drop(self, name: str) -> None:
         self.manifest["tables"].pop(name, None)
+        self._dropped.setdefault("tables", set()).add(name)
         self._flush()
 
     # ------------------------------------------------------------- indexes
@@ -559,6 +654,7 @@ class Workspace:
     def drop_index(self, name: str, delete: bool = False) -> None:
         """Forget (and with ``delete`` remove from disk) an index."""
         entry = self.manifest.get("indexes", {}).pop(name, None)
+        self._dropped.setdefault("indexes", set()).add(name)
         self._flush()
         if delete and entry is not None:
             import shutil
@@ -627,6 +723,7 @@ class Workspace:
 
     def detach_rollup(self, name: str, delete: bool = False) -> None:
         entry = self.manifest.get("rollups", {}).pop(name, None)
+        self._dropped.setdefault("rollups", set()).add(name)
         self._flush()
         if delete and entry is not None:
             import shutil
@@ -740,6 +837,7 @@ class Workspace:
 
     def detach_matview(self, name: str, delete: bool = False) -> None:
         entry = self.manifest.get("matviews", {}).pop(name, None)
+        self._dropped.setdefault("matviews", set()).add(name)
         self._flush()
         if delete and entry is not None:
             import shutil

@@ -488,6 +488,105 @@ def test_folio_script_verb_queries_remote_members(spark):
             s.stop()
 
 
+def test_folio_select_splits_algebraic_aggregates(spark):
+    """VERDICT r9 #4: folio_select rewrites a grouped aggregate into
+    member partials + a local final — sum/count/min/max direct,
+    avg as sum-of-sums over sum-of-counts (exact SQL AVG semantics
+    under member skew, never an average of member averages) — and the
+    result equals the unsharded local aggregate."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    # DELIBERATELY skewed shards: avg-of-avgs would be wrong
+    shards = [
+        cust.where(F.col("c_custkey") % 7 == 0),
+        cust.where(F.col("c_custkey") % 7 != 0),
+    ]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        got = folio_select(
+            spark,
+            [s.address for s in srvs],
+            "select c_nationkey, count(*) as n, avg(c_acctbal) as avg_bal,"
+            " sum(c_acctbal) as bal, min(c_acctbal) as lo,"
+            " max(c_acctbal) as hi from customer group by c_nationkey",
+        ).collect()
+        want = {
+            r["c_nationkey"]: r
+            for r in cust.groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("c_acctbal").alias("avg_bal"),
+                F.sum("c_acctbal").alias("bal"),
+                F.min("c_acctbal").alias("lo"),
+                F.max("c_acctbal").alias("hi"),
+            )
+            .collect()
+        }
+        assert len(got) == len(want)
+        for r in got:
+            w = want[r["c_nationkey"]]
+            assert r["n"] == w["n"]
+            assert abs(r["avg_bal"] - w["avg_bal"]) < 1e-9
+            assert r["lo"] == w["lo"] and r["hi"] == w["hi"]
+        # ungrouped + where pushes to members
+        tot = folio_select(
+            spark,
+            [s.address for s in srvs],
+            "select sum(c_acctbal) as bal, count(*) as n from customer "
+            "where c_nationkey < 10",
+        ).head()
+        wt = cust.where("c_nationkey < 10").agg(
+            F.sum("c_acctbal").alias("bal"), F.count(F.lit(1)).alias("n")
+        ).head()
+        assert tot["n"] == wt["n"] and abs(tot["bal"] - wt["bal"]) < 1e-9
+        # the script verb reaches the same plane
+        from kerf_spark.plans import kerf_lang as KL
+
+        members = ", ".join(
+            f'"{h}:{p}"' for h, p in (s.address for s in srvs)
+        )
+        df = KL.run(
+            spark,
+            f'f: [{members}]\n'
+            f'folio_select(f, "select c_nationkey, count(*) as n '
+            f'from customer group by c_nationkey")',
+        )
+        assert df.count() == len(want)
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_select_refuses_holistic_aggregates(spark):
+    """median/percentile/stddev and count(DISTINCT) cannot be rebuilt
+    from member partials — typed refusal, no silent wrong answer."""
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import folio_select
+
+    for bad in (
+        "select median(x) as m from t",
+        "select percentile(x, 0.5) as p from t",
+        "select stddev(x) as s from t",
+        "select count(distinct x) as d from t group by k",
+    ):
+        with pytest.raises(ArgsError):
+            folio_select(spark, [("127.0.0.1", 1)], bad)
+    # an unaliased aggregate and a non-key projection refuse too
+    with pytest.raises(ArgsError):
+        folio_select(spark, [("127.0.0.1", 1)], "select sum(x) from t")
+    with pytest.raises(ArgsError):
+        folio_select(
+            spark, [("127.0.0.1", 1)],
+            "select y, sum(x) as s from t group by k",
+        )
+
+
 def test_folio_result_chains_into_kerfsql(spark):
     """A folio gather is an ordinary script value: assign it and the
     next statement queries it as a view — the 'behave like a table'

@@ -1238,6 +1238,122 @@ def test_keyed_nullable_unique_upsert_replaces_null_key(spark, ws_root):
         )
 
 
+def test_manifest_flush_merges_across_writers(spark, ws_root):
+    """VERDICT r9 #3 (the Kerf Tree sutex analogue,
+    concurrency-model.md:53-97): two INDEPENDENT Workspace instances
+    over one root — each blind to the other's in-memory state —
+    append/save concurrently to DIFFERENT tables from two threads;
+    the flock-serialized merge-on-flush lands BOTH tables in the
+    disk manifest (pre-fix, the second flush clobbered the first)."""
+    import json
+    import threading
+
+    wsA = Workspace(spark, ws_root)
+    wsB = Workspace(spark, ws_root)
+
+    def work(ws, name, base):
+        df = spark.range(base, base + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        ws.save(name, df, minimize_widths=False)
+        for i in range(3):
+            ws.append(
+                name,
+                spark.range(base + 100 + i, base + 101 + i).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                ),
+            )
+
+    ta = threading.Thread(target=work, args=(wsA, "alpha", 0))
+    tb = threading.Thread(target=work, args=(wsB, "beta", 10_000))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    with open(f"{ws_root}/workspace.json") as fh:
+        disk = json.load(fh)
+    assert set(disk["tables"]) >= {"alpha", "beta"}
+    # a THIRD instance (fresh read of the merged manifest) sees both
+    ws3 = Workspace(spark, ws_root)
+    assert ws3.load("alpha").count() == 103
+    assert ws3.load("beta").count() == 103
+
+
+def test_manifest_flush_merges_across_processes(spark, ws_root):
+    """True cross-PROCESS proof: a child python process (no Spark —
+    manifest surgery only) registers a table while the parent holds
+    its own stale in-memory manifest; the parent's next flush merges
+    rather than clobbers, and the parent's tombstoned drop survives
+    the merge."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    ws = Workspace(spark, ws_root)
+    df = spark.range(10).select(F.col("id").alias("k"))
+    ws.save("mine", df, minimize_widths=False)
+    ws.save("gone", df, minimize_widths=False)
+    child = textwrap.dedent(f"""
+        import sys; sys.path.insert(0, {str('/root/repo')!r})
+        from kerf_spark.sources.catalog import Workspace
+        w = Workspace(None, {ws_root!r})
+        w.manifest["tables"]["theirs"] = {{"path": "x", "partition_by": [],
+            "sort_by": [], "zorder_by": [], "zorder": None,
+            "zorder_partitions": None, "schema": {{}}}}
+        w._flush()
+    """)
+    subprocess.run([sys.executable, "-c", child], check=True, timeout=60)
+    # parent's manifest object predates the child's write ...
+    assert "theirs" not in ws.manifest["tables"]
+    ws.drop("gone")  # ... its flush must merge, not clobber
+    with open(f"{ws_root}/workspace.json") as fh:
+        disk = json.load(fh)
+    assert "theirs" in disk["tables"]  # child's entry survived
+    assert "mine" in disk["tables"]
+    assert "gone" not in disk["tables"]  # tombstone applied
+
+
+def test_composite_key_ranges_prune_more_than_lead_only(spark, ws_root):
+    """VERDICT r9 #6: the manifest records [min,max] for the SECOND
+    key column too, and a tuple probe scans STRICTLY fewer files than
+    a lead-only probe — the (sym, ts) tick key: one hot sym spans
+    many files, the ts bound picks the one holding the probe."""
+    ws = Workspace(spark, ws_root)
+    # 2 syms × 20k ticks: range layout gives each sym several files
+    df = spark.range(40_000).select(
+        F.when(F.col("id") < 20_000, "AAPL").otherwise("MSFT").alias("sym"),
+        (F.col("id") % 20_000).alias("ts"),
+        (F.col("id") * 2).alias("px"),
+    )
+    ws.save("ticks", df, key=("sym", "ts"), key_partitions=8,
+            minimize_widths=False)
+    meta = ws.manifest["tables"]["ticks"]
+    rngs = meta["key_file_ranges"]
+    assert all(len(r) == 5 for r in rngs.values()), rngs
+    aapl_files = [
+        f for f, r in rngs.items() if r[2] > 0 and r[0] <= "AAPL" <= r[1]
+    ]
+    assert len(aapl_files) >= 2, "fixture must spread one sym over files"
+    # lead-only probe reads every AAPL file ...
+    lead_only = ws.key_lookup("ticks", [("AAPL",)])
+    assert set(lead_only.inputFiles()) == set(aapl_files)
+    # ... the tuple probe reads strictly fewer
+    tup = ws.key_lookup("ticks", [("AAPL", 7)])
+    assert set(tup.inputFiles()) < set(aapl_files)
+    got = tup.collect()
+    assert len(got) == 1 and got[0]["px"] == 14
+    # appends extend the composite index too
+    rngs = dict(rngs)  # snapshot — the manifest dict mutates in place
+    ws.append(
+        "ticks",
+        spark.createDataFrame(
+            [("ZZZZ", 1, 0)], "sym string, ts long, px long"
+        ),
+    )
+    rngs2 = ws.manifest["tables"]["ticks"]["key_file_ranges"]
+    new = [r for f, r in rngs2.items() if f not in rngs and r[2] > 0]
+    assert new and all(len(r) == 5 for r in new)
+    assert new[0][3] == 1 and new[0][4] == 1  # second-key bounds
+
+
 def test_upsert_keyed_pruned_rewrites_only_covering_files(
     spark, tables, ws_root
 ):
