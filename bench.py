@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     # the cost model, so it's measured end-to-end)
     "keyed_point_lookup",
     "folio_remote_scatter",
+    # round-10 additions: the composite-key tuple lookup (second-bound
+    # file pruning — strictly fewer files than a lead-only probe) and
+    # the folio aggregate auto-split (avg as member sum/count partials
+    # + local final; the wire carries one partial row per member-group)
+    "keyed_tuple_lookup",
+    "folio_remote_avg",
 ]
 
 
@@ -122,10 +128,19 @@ def main() -> None:
 
     run("q1_pricing_summary")  # warmup: JVM + parquet footer caches
 
+    # 3-run MEDIAN per query (r9 verdict: the r8→r9 uniform +18% drift
+    # was unattributable from single samples on a host whose same-plan
+    # spread is 2.2× — the median of three post-warmup runs is robust
+    # to one contended run in either direction, where min-of-2 tracked
+    # the host's best case and hid sustained contention)
+    import statistics
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         run(name)  # per-query warmup: codegen compile + file listing
-        times[name] = min(run(name), run(name))  # steady-state, noise-trimmed
+        times[name] = round(
+            statistics.median(run(name) for _ in range(3)), 4
+        )
 
     total = round(sum(times.values()), 4)
     out = {

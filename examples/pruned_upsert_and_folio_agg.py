@@ -1,0 +1,132 @@
+"""Round-10 surfaces end-to-end: the KEY-PRUNED upsert (rewrite only
+the files holding the corrected keys — mtimes prove it), the
+COMPOSITE-key sort index ((sym, ts)-style tuple probes scan fewer
+files than lead-only probes), the FOLIO AGGREGATE AUTO-SPLIT
+(avg/sum/count/min/max over live remote members, holistic aggregates
+refused), cross-process manifest merging, and the q table verbs
+(xkey / ij / lj / uj / ungroup).
+
+Run:  python examples/pruned_upsert_and_folio_agg.py [sf_dir]
+(defaults to /root/testdata/sf0.001; finishes in ~1 min on local[8])
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from urllib.parse import urlparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kerf_spark import get_spark  # noqa: E402
+from kerf_spark.errors import ArgsError  # noqa: E402
+from kerf_spark.plans import kerf_lang as KL  # noqa: E402
+from kerf_spark.server import KerfServer, folio_select  # noqa: E402
+from kerf_spark.sources.catalog import Workspace  # noqa: E402
+from kerf_spark.sources.io import read_table  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("pruned_upsert_and_folio_agg", master="local[8]")
+    root = tempfile.mkdtemp(prefix="kerf_r10_demo_")
+
+    # ------------------------------------------------ key-pruned upsert
+    print("== key-pruned upsert (O(matching files), not O(table)) ==")
+    orders = read_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ws = Workspace(spark, os.path.join(root, "ws"))
+    ws.save("orders", orders, key="o_orderkey", key_partitions=8)
+    ranges = ws.manifest["tables"]["orders"]["key_file_ranges"]
+    before = {
+        urlparse(f).path: os.path.getmtime(urlparse(f).path) for f in ranges
+    }
+    lows = [
+        int(r[0])
+        for r in orders.orderBy("o_orderkey").limit(5)
+        .select("o_orderkey").collect()
+    ]
+    corrections = orders.where(F.col("o_orderkey").isin(lows)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    ws.upsert("orders", corrections)  # the sort index prunes the rewrite
+    after = ws.manifest["tables"]["orders"]["key_file_ranges"]
+    kept = [
+        p for p in before
+        if p in {urlparse(f).path for f in after}
+        and os.path.getmtime(p) == before[p]
+    ]
+    print(f"  corrected {len(lows)} keys: {len(before) - len(kept)} file(s) "
+          f"rewritten, {len(kept)} of {len(before)} kept byte-identical "
+          f"(mtime-proven)")
+
+    # --------------------------------------- composite-key tuple lookup
+    print("== composite sort index: tuple probes prune deeper ==")
+    ticks = spark.range(40_000).select(
+        F.when(F.col("id") < 20_000, "AAPL").otherwise("MSFT").alias("sym"),
+        (F.col("id") % 20_000).alias("ts"),
+        (F.col("id") * 2).alias("px"),
+    )
+    ws.save("ticks", ticks, key=("sym", "ts"), key_partitions=8,
+            minimize_widths=False)
+    lead = ws.key_lookup("ticks", [("AAPL",)])
+    tup = ws.key_lookup("ticks", [("AAPL", 7)])
+    print(f"  lead-only probe ('AAPL',): {len(lead.inputFiles())} files; "
+          f"tuple probe ('AAPL', 7): {len(tup.inputFiles())} file(s) — "
+          f"px={tup.head()['px']}")
+
+    # --------------------------------------- folio aggregate auto-split
+    print("== folio_select: aggregates split into member partials ==")
+    cust = read_table(spark, SF, "customer")
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [KerfServer(spark, tables={"customer": s}).start() for s in shards]
+    try:
+        merged = folio_select(
+            spark, [s.address for s in srvs],
+            "select c_nationkey, count(*) as n, avg(c_acctbal) as avg_bal "
+            "from customer group by c_nationkey order by c_nationkey limit 5",
+        )
+        merged.show(5)
+        try:
+            folio_select(spark, [srvs[0].address],
+                         "select median(c_acctbal) as m from customer")
+        except ArgsError as e:
+            print(f"  holistic refused: {str(e)[:70]} ...")
+    finally:
+        for s in srvs:
+            s.stop()
+
+    # --------------------------------------------------- q table verbs
+    print("== q table verbs: xkey / lj / ij / uj / ungroup ==")
+    out = KL.run_df(
+        spark,
+        "n0: select n_nationkey as k, n_name from nation\n"
+        "c0: select c_custkey as custkey, c_nationkey as k,"
+        " c_acctbal as bal from customer\n"
+        'j: lj(c0, xkey(n0, "k"))\n'
+        "rich: select custkey, n_name, bal from j where bal >= 9000\n"
+        'xdesc(rich, "bal")',
+        tables={
+            "nation": read_table(spark, SF, "nation"),
+            "customer": cust,
+        },
+    )
+    out.show(3)
+    ug = KL.run_df(
+        spark,
+        "t: select custkey, array(1, 2) as leg, array(bal, 0.0 - bal)"
+        " as signed from r\nungroup(t)",
+        tables={"r": out.select("custkey", "bal").limit(2)},
+    )
+    ug.show()
+
+    print(f"demo workspace left at {root} (delete at will)")
+
+
+if __name__ == "__main__":
+    main()

@@ -876,6 +876,111 @@ def _loc_xsort(desc: bool):
     return run
 
 
+def _loc_xkey(t, *cols):
+    """q ``xkey``: declare key columns on a TABLE value — keys move to
+    the front and the key list rides the value (script-plane metadata,
+    the q keyed-table analogue) so ``ij``/``lj`` join on it.  The
+    engine's durable keyed tables are Workspace.save(key=...); this is
+    the in-flight form."""
+    if not isinstance(t, DataFrame):
+        raise KerfTypeError(f"xkey keys a table, got {type(t).__name__}")
+    if not cols:
+        raise ArityError("xkey needs at least one column name")
+    keys = [str(c) for c in cols]
+    missing = [c for c in keys if c not in t.columns]
+    if missing:
+        raise ArgsError(f"xkey: columns not in table: {missing}")
+    rest = [c for c in t.columns if c not in keys]
+    out = t.select(*keys, *rest)
+    out.__kerf_key__ = keys  # type: ignore[attr-defined]
+    return out
+
+
+def _loc_keyed_join(how: str):
+    """q ``ij``/``lj``: join against a KEYED right table with q's
+    UPDATE-JOIN semantics — on a column-name clash the right side's
+    value replaces the left's for MATCHED rows (lj keeps the left's
+    value on unmatched rows; ij keeps only matches).  The right side
+    must be keyed (``xkey``) or the key passed explicitly:
+    ``lj(t, kt)`` / ``lj(t, r, "k")``."""
+
+    def run(left, right, *cols):
+        from pyspark.sql import functions as _F
+
+        if not isinstance(left, DataFrame) or not isinstance(
+            right, DataFrame
+        ):
+            raise KerfTypeError(f"{how} joins two tables")
+        keys = (
+            [str(c) for c in cols]
+            if cols
+            else getattr(right, "__kerf_key__", None)
+        )
+        if not keys:
+            raise ArgsError(
+                f"{how}: right table is not keyed — xkey it or pass "
+                f"the key columns"
+            )
+        missing = [
+            c for c in keys
+            if c not in left.columns or c not in right.columns
+        ]
+        if missing:
+            raise ArgsError(f"{how}: key columns missing: {missing}")
+        nonkey = [c for c in right.columns if c not in keys]
+        r = right.select(
+            *keys,
+            _F.lit(True).alias("__kj_m"),
+            *[_F.col(c).alias(f"__kj_{c}") for c in nonkey],
+        )
+        j = left.join(
+            r, on=keys, how="inner" if how == "ij" else "left"
+        )
+        for c in nonkey:
+            if c in left.columns:
+                # clash: right's value for matched rows (even null —
+                # q replaces the record), left's otherwise
+                j = j.withColumn(
+                    c,
+                    _F.when(
+                        _F.coalesce(_F.col("__kj_m"), _F.lit(False)),
+                        _F.col(f"__kj_{c}"),
+                    ).otherwise(_F.col(c)),
+                )
+            else:
+                j = j.withColumn(c, _F.col(f"__kj_{c}"))
+        return j.drop("__kj_m", *[f"__kj_{c}" for c in nonkey])
+
+    return run
+
+
+def _loc_uj(a, b):
+    """q ``uj``: union join — the column SUPERSET, absent columns
+    null-filled (unionByName allowMissingColumns)."""
+    if not isinstance(a, DataFrame) or not isinstance(b, DataFrame):
+        raise KerfTypeError("uj unions two tables")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def _loc_ungroup(t):
+    """q ``ungroup``: explode a table's ARRAY columns in lockstep
+    (element i of every array column forms row i — arrays_zip keeps
+    the pairing; ragged arrays null-fill like q).  The inverse of the
+    grouped-vector select (collect_list)."""
+    if not isinstance(t, DataFrame):
+        raise KerfTypeError(f"ungroup takes a table, got {type(t).__name__}")
+    from pyspark.sql import functions as _F
+
+    arr = [c for c, ty in t.dtypes if ty.startswith("array")]
+    if not arr:
+        raise ArgsError("ungroup: table has no array columns")
+    plain = [c for c in t.columns if c not in arr]
+    z = t.withColumn("__ug", _F.explode(_F.arrays_zip(*arr)))
+    return z.select(
+        *plain, *[_F.col(f"__ug.{c}").alias(c) for c in arr]
+    )
+
+
 def _loc_sv(sep, parts):
     """kerf1/q ``sv`` (string-from-vector): join string parts with the
     separator."""
@@ -998,6 +1103,12 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "group": (_loc_group, None),
     "xasc": (_loc_xsort(False), None),
     "xdesc": (_loc_xsort(True), None),
+    # q table verbs batch #4 (VERDICT r9 next #5)
+    "xkey": (_loc_xkey, None),
+    "ij": (_loc_keyed_join("ij"), None),
+    "lj": (_loc_keyed_join("lj"), None),
+    "uj": (_loc_uj, None),
+    "ungroup": (_loc_ungroup, None),
     "sv": (_loc_sv, None),
     "vs": (_loc_vs, None),
     "ssr": (_loc_ssr, "replace({0}, {1}, {2})"),

@@ -12720,6 +12720,90 @@ def folio_remote_avg(spark, sf):
     )
 
 
+@query(
+    "kerf_lang_join_verbs",
+    """
+    WITH j AS (
+      SELECT c_custkey AS custkey, c_nationkey AS k,
+             c_acctbal AS bal, n_name
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT CAST(custkey AS BIGINT) AS custkey, CAST(k AS BIGINT) AS k,
+           bal, n_name
+    FROM j WHERE bal < 0 OR bal >= 9000 ORDER BY custkey
+    """,
+)
+def kerf_lang_join_verbs(spark, sf):
+    """q table-verb batch #4 (VERDICT r9 next #5): one script chains
+    ``xkey`` (key declaration as a value attribute), ``lj`` and ``ij``
+    (UPDATE-join semantics — right side replaces clashing columns on
+    match; unit-pinned in tests/test_kerf_lang.py), and ``uj`` (union
+    of column supersets) over real tables; the oracle is the plain
+    ANSI join + disjoint filter union.  All four verbs are Catalyst
+    plans — the joins broadcast the nation side, the union is a plain
+    UnionExec, nothing touches the driver."""
+    from .plans import kerf_lang as KL
+
+    out = KL.run_df(
+        spark,
+        'n0: select n_nationkey as k, n_name from nation\n'
+        "c0: select c_custkey as custkey, c_nationkey as k,"
+        " c_acctbal as bal from customer\n"
+        'kn: xkey(n0, "k")\n'
+        "lo0: lj(c0, kn)\n"
+        "lo: select custkey, k, bal, n_name from lo0 where bal < 0\n"
+        "hi0: ij(c0, kn)\n"
+        "hi: select custkey, k, bal, n_name from hi0 where bal >= 9000\n"
+        "u: uj(lo, hi)\n"
+        'xasc(u, "custkey")',
+        tables={
+            "nation": _t(spark, sf, "nation"),
+            "customer": _t(spark, sf, "customer"),
+        },
+    )
+    return out.select(
+        F.col("custkey").cast("long").alias("custkey"),
+        F.col("k").cast("long").alias("k"),
+        "bal", "n_name",
+    )
+
+
+@query(
+    "kerf_lang_ungroup_verb",
+    """
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           CAST(idx AS BIGINT) AS idx, v
+    FROM (
+      SELECT c_custkey AS custkey, 1 AS idx, c_acctbal AS v
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, c_acctbal * 2 FROM customer
+    ) ORDER BY custkey, idx
+    """,
+)
+def kerf_lang_ungroup_verb(spark, sf):
+    """q ``ungroup`` (VERDICT r9 next #5): array columns explode in
+    LOCKSTEP (arrays_zip keeps element i of every array column paired
+    on row i) — the inverse of the grouped-vector select.  The script
+    builds two parallel arrays per customer and ungroups; the oracle
+    is the equivalent positional UNION ALL."""
+    from .plans import kerf_lang as KL
+
+    out = KL.run_df(
+        spark,
+        "t: select c_custkey as custkey, array(1, 2) as idx,"
+        " array(c_acctbal, c_acctbal * 2) as v from customer\n"
+        "u: ungroup(t)\n"
+        'xasc(u, "custkey", "idx")',
+        tables={"customer": _t(spark, sf, "customer")},
+    )
+    return out.select(
+        F.col("custkey").cast("long").alias("custkey"),
+        F.col("idx").cast("long").alias("idx"),
+        "v",
+    )
+
+
 def _src_bytes(sf, name) -> int:
     """Byte size of a source fixture (file or directory) — a pure
     metadata freshness marker, no Spark job."""
@@ -13416,6 +13500,11 @@ _DRIVER_GREEN = [
     "rollup_stream_bars", "rollup_quantile_bars",
     "matview_enriched_lineitem", "workspace_rollup_append",
     "rollup_backfill_bars",
+    # r09 green (all of _R09_WINDOW — 50/50; first-time greens only,
+    # the re-proves were already listed above)
+    "workspace_rollup_late_append", "keyed_point_lookup",
+    "kerf_lang_amend_group_verbs", "folio_remote_scatter",
+    "ivf_stream_upsert_topk", "keyed_range_scan",
 ]
 
 #: Round-7 driver window (exactly 50 = the driver's per-round budget):
@@ -13554,10 +13643,49 @@ _R09_WINDOW = [
 # overshoots 50 on purpose: _reorder_registry truncates, and late r9
 # additions displace tail re-proves back to parked-green status.
 
+#: Round-10 driver window: the five round-10 additions (key-pruned
+#: upsert, composite-key tuple lookup, folio aggregate auto-split,
+#: q join-verb batch, ungroup), re-proves of every row whose PLAN
+#: changed this round (null-safe upsert merge touches upsert_keyed;
+#: the stored-increment backfill + flock + composite ranges touch the
+#: workspace write paths; manifest-derived probes touch the keyed
+#: lookups; the upload-framing and folio changes touch the server
+#: row; amend negative-index/conformance touches the amend row), then
+#: the STALENESS backlog: the five rows last green in r2 and the
+#: oldest r3 cohort.
+_R10_WINDOW = [
+    # round-10 additions (never driver-checked)
+    "upsert_keyed_pruned", "keyed_tuple_lookup", "folio_remote_avg",
+    "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",
+    # plan changed this round: write/merge/lookup/server/amend paths
+    "upsert_keyed", "keyed_point_lookup", "keyed_range_scan",
+    "folio_remote_scatter", "workspace_roundtrip",
+    "workspace_tree_roundtrip", "insert_append",
+    "workspace_rollup_append", "workspace_rollup_late_append",
+    "matview_enriched_lineitem", "kerf_lang_amend_group_verbs",
+    # stalest parked greens: last green r2
+    "kerf_lang_pipeline", "kerf_lang_script", "kerfsql_update_agg",
+    "ema_smoother", "kerf_lang_chain",
+    # stalest parked greens: last green r3 (oldest cohort)
+    "cube_agg", "ns_time_parts", "folio_partition_prune",
+    "topk_per_group", "amend_point", "kerf_lang_temporal",
+    "stream_window_counts", "kerf_lang_recursion", "cohort_retention",
+    "delete_point", "rollup_agg", "stream_stream_join_batch",
+    "interp_resample", "json_roundtrip", "resample_1h_ffill",
+    "ema_exact", "asof_merge_latest_order", "span_arithmetic",
+    "pivot_returnflag", "mapinpandas_scale", "stream_static_enrich",
+    "multimodal_real_decode", "funnel_conversion",
+    "bucketed_join_colocated", "differ_runs", "asof_tolerance_join",
+    "find_first", "asof_forward_next_purchase", "twap_by_user",
+    "ohlc_bars", "weighted_median_price", "stream_ema", "index_gather",
+]
+# overshoots 50 on purpose: _reorder_registry truncates, keeping the
+# truncated tail parked-green for the next rotation.
+
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R09_WINDOW if k in QUERIES][:50]
+    window = [k for k in _R10_WINDOW if k in QUERIES][:50]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)

@@ -830,6 +830,80 @@ def test_like_and_ss_verbs():
         run('ss("x", "")')
 
 
+def test_xkey_ij_lj_update_join_semantics(spark):
+    """q ij/lj against an xkey-keyed right table: UPDATE-join — on a
+    name clash the right value replaces the left for MATCHED rows;
+    lj keeps left's value on unmatched rows, ij keeps only matches."""
+    t1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, x double"
+    )
+    t2 = spark.createDataFrame(
+        [(1, "one", 99.0), (3, "three", 77.0)],
+        "k long, name string, x double",
+    )
+    out = KL.run(
+        spark,
+        'l: select * from t1\nr0: select * from t2\n'
+        'j: lj(l, xkey(r0, "k"))\nxasc(j, "k")',
+        {"t1": t1, "t2": t2},
+    ).collect()
+    assert [(r["k"], r["x"], r["name"]) for r in out] == [
+        (1, 99.0, "one"), (2, 20.0, None), (3, 77.0, "three")
+    ]
+    inner = KL.run(
+        spark,
+        'l: select * from t1\nr0: select * from t2\n'
+        'j: ij(l, xkey(r0, "k"))\nxasc(j, "k")',
+        {"t1": t1, "t2": t2},
+    ).collect()
+    assert [(r["k"], r["x"], r["name"]) for r in inner] == [
+        (1, 99.0, "one"), (3, 77.0, "three")
+    ]
+    # explicit key columns work without xkey; unkeyed right refuses
+    ex = KL.run(
+        spark,
+        'l: select * from t1\nr0: select * from t2\nij(l, r0, "k")',
+        {"t1": t1, "t2": t2},
+    )
+    assert ex.count() == 2
+    with pytest.raises(ArgsError):
+        KL.run(
+            spark,
+            "l: select * from t1\nr0: select * from t2\nlj(l, r0)",
+            {"t1": t1, "t2": t2},
+        )
+
+
+def test_uj_union_superset(spark):
+    a = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    b = spark.createDataFrame([(2, 5.0)], "k long, y double")
+    out = KL.run(
+        spark,
+        "a0: select k, x from a\nb0: select k, y from b\n"
+        'u: uj(a0, b0)\nxasc(u, "k")',
+        {"a": a, "b": b},
+    ).collect()
+    assert [(r["k"], r["x"], r["y"]) for r in out] == [
+        (1, 1.0, None), (2, None, 5.0)
+    ]
+
+
+def test_ungroup_explodes_array_columns_in_lockstep(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double")
+    out = KL.run(
+        spark,
+        "t: select k, array(1, 2) as idx, array(x, x * 2) as vals from a\n"
+        'u: ungroup(t)\nxasc(u, "k", "idx")',
+        {"a": df},
+    ).collect()
+    assert [(r["k"], r["idx"], r["vals"]) for r in out] == [
+        (1, 1, 10.0), (1, 2, 20.0), (2, 1, 20.0), (2, 2, 40.0)
+    ]
+    # no array column is a typed refusal
+    with pytest.raises(ArgsError):
+        KL.run(spark, "t: select k from a\nungroup(t)", {"a": df})
+
+
 def test_xasc_xdesc_route_to_catalyst(spark):
     df = KL.run(spark, '''
 t: {{a: 3 1 2, b: 30 10 20}}
