@@ -934,7 +934,7 @@ def _loc_keyed_join(how: str):
             *[_F.col(c).alias(f"__kj_{c}") for c in nonkey],
         )
         j = left.join(
-            r, on=keys, how="inner" if how == "ij" else "left"
+            r, on=keys, how="left" if how == "lj" else "inner"
         )
         for c in nonkey:
             if c in left.columns:
@@ -954,12 +954,61 @@ def _loc_keyed_join(how: str):
     return run
 
 
+def _loc_ej(cols, left, right):
+    """q ``ej``: equi-join on EXPLICIT columns (q argument order
+    ``ej[c; t1; t2]``) — ij's semantics (inner, right side replaces
+    clashing columns) without requiring a keyed right table."""
+    if isinstance(cols, np.ndarray):
+        cols = [str(c) for c in cols.tolist()]
+    elif isinstance(cols, str):
+        cols = [cols]
+    else:
+        cols = [str(c) for c in cols]
+    return _loc_keyed_join("ej")(left, right, *cols)
+
+
 def _loc_uj(a, b):
     """q ``uj``: union join — the column SUPERSET, absent columns
     null-filled (unionByName allowMissingColumns)."""
     if not isinstance(a, DataFrame) or not isinstance(b, DataFrame):
         raise KerfTypeError("uj unions two tables")
     return a.unionByName(b, allowMissingColumns=True)
+
+
+def _loc_xcol(t, *names):
+    """q ``xcol``: rename the FIRST n columns to the given names
+    (``xcol(t, "a", "b")``) — a pure projection, zero data motion."""
+    from pyspark.sql import functions as _F
+
+    if not isinstance(t, DataFrame):
+        raise KerfTypeError(f"xcol renames a table, got {type(t).__name__}")
+    names = [str(n) for n in names]
+    if len(names) > len(t.columns):
+        raise LengthError(
+            f"xcol: {len(names)} names for {len(t.columns)} columns"
+        )
+    return t.select(
+        *[
+            _F.col(c).alias(names[i]) if i < len(names) else _F.col(c)
+            for i, c in enumerate(t.columns)
+        ]
+    )
+
+
+def _loc_cols(t):
+    """q ``cols``: the table's column names as a string vector."""
+    if not isinstance(t, DataFrame):
+        raise KerfTypeError(f"cols takes a table, got {type(t).__name__}")
+    return np.array(t.columns, dtype=object)
+
+
+def _loc_tmeta(t):
+    """q ``meta``-alike (``tmeta`` — ``meta`` stays free for user
+    bindings): MAP from column name to Spark type string, schema-only
+    (no job runs)."""
+    if not isinstance(t, DataFrame):
+        raise KerfTypeError(f"tmeta takes a table, got {type(t).__name__}")
+    return {c: ty for c, ty in t.dtypes}
 
 
 def _loc_ungroup(t):
@@ -1107,7 +1156,11 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "xkey": (_loc_xkey, None),
     "ij": (_loc_keyed_join("ij"), None),
     "lj": (_loc_keyed_join("lj"), None),
+    "ej": (_loc_ej, None),
     "uj": (_loc_uj, None),
+    "xcol": (_loc_xcol, None),
+    "cols": (_loc_cols, None),
+    "tmeta": (_loc_tmeta, None),
     "ungroup": (_loc_ungroup, None),
     "sv": (_loc_sv, None),
     "vs": (_loc_vs, None),

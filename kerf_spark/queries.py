@@ -12721,6 +12721,53 @@ def folio_remote_avg(spark, sf):
 
 
 @query(
+    "keyed_tuple_range",
+    """
+    WITH t0 AS (SELECT min(event_type) AS t FROM events),
+         b AS (SELECT min(event_id) AS mn, max(event_id) AS mx
+               FROM events, t0 WHERE event_type = t)
+    SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value
+    FROM events, t0, b
+    WHERE event_type = t
+      AND event_id >= mn + (mx - mn) // 4
+      AND event_id <= mn + (mx - mn) // 2
+    ORDER BY event_type, event_id
+    """,
+)
+def keyed_tuple_range(spark, sf):
+    """Lexicographic TUPLE range on the composite sort index — the
+    tick read (one sym, a time slice): ``key_range(t, (sym, a),
+    (sym, b))`` engages the second key column's per-file bounds (the
+    same-lead slice scans strictly fewer files than the lead test
+    alone, plan-proven in tests), and the pushed row predicate is the
+    exact lexicographic window.  Reuses keyed_tuple_lookup's persisted
+    workspace; bounds derive from two tiny aggregates (integer floor
+    arithmetic reproduces exactly in both engines)."""
+    # build-or-reuse the same composite-keyed workspace
+    keyed_tuple_lookup(spark, sf)  # ensures the fixture exists
+    from .sources.catalog import Workspace
+
+    ws = Workspace(spark, _ann_index_dir(sf, "wstuple"))
+    ev = _t(spark, sf, "events")
+    t0 = ev.agg(F.min("event_type")).head()[0]
+    row = ev.where(F.col("event_type") == t0).agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).head()
+    mn, mx = int(row["mn"]), int(row["mx"])
+    lo = mn + (mx - mn) // 4
+    hi = mn + (mx - mn) // 2
+    return (
+        ws.key_range("events", (t0, lo), (t0, hi))
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            "value",
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@query(
     "kerf_lang_join_verbs",
     """
     WITH j AS (

@@ -669,6 +669,17 @@ def _folio_parse_select(q: str):
     if ansi_by:
         by = ansi_by if not by else f"{by}, {ansi_by}"
     keys = [k.strip() for k in _split_top(by)] if by else []
+    for k in keys:
+        # the final merge groups the gathered partials BY NAME — an
+        # expression key would need an alias contract both sides;
+        # refuse rather than mis-group (compute the bucket in a view
+        # on the members, then group by its name)
+        if not re.fullmatch(r"[A-Za-z_]\w*", k):
+            raise ArgsError(
+                f"folio_select: group key must be a plain column "
+                f"name, got {k!r} (alias the expression on the "
+                f"members first)"
+            )
     items = []
     for part in _split_top(body):
         m = re.match(r"(?is)^(.*?)\s+as\s+(\w+)\s*$", part)

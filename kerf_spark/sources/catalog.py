@@ -503,7 +503,14 @@ class Workspace:
         manifest range overlaps the bounds are selected at the driver,
         then the row-level predicate trims inside them (and reaches
         the parquet scan as a pushed filter).  The sort index's other
-        read shape: O(overlapping files) bytes move."""
+        read shape: O(overlapping files) bytes move.
+
+        TUPLE bounds are LEXICOGRAPHIC on a composite key — the tick
+        read ``key_range(t, ("AAPL", a), ("AAPL", b))`` (one sym, a
+        time slice): file selection uses the lead overlap AND, when
+        both bounds pin the SAME lead value, the composite index's
+        second-column [min2, max2] — strictly fewer files than the
+        lead test alone when a hot sym spans many files."""
         meta = self.manifest["tables"][name]
         key = meta.get("key")
         if not key:
@@ -511,28 +518,75 @@ class Workspace:
                 f"key_range({name!r}): table declares no key "
                 f"(save with key=...)"
             )
-        lo_j = _jsonable(lo) if lo is not None else None
-        hi_j = _jsonable(hi) if hi is not None else None
+        lo_t = lo if isinstance(lo, tuple) else (lo,) if lo is not None else None
+        hi_t = hi if isinstance(hi, tuple) else (hi,) if hi is not None else None
+        for b in (lo_t, hi_t):
+            if b is not None and len(b) > len(key):
+                raise KeysError(
+                    f"key_range({name!r}): bound tuple wider than key {key}"
+                )
+        lo_j = _jsonable(lo_t[0]) if lo_t is not None else None
+        hi_j = _jsonable(hi_t[0]) if hi_t is not None else None
+        # same-lead slice: both bounds pin one lead value, so the
+        # second key column's per-file bounds prune too
+        same_lead = (
+            lo_t is not None
+            and hi_t is not None
+            and len(lo_t) >= 2
+            and len(hi_t) >= 2
+            and lo_j == hi_j
+        )
+        lo2 = _jsonable(lo_t[1]) if same_lead else None
+        hi2 = _jsonable(hi_t[1]) if same_lead else None
+
+        def _covers(rng) -> bool:
+            if rng[0] is None:
+                return True  # all-null lead: cannot prune
+            if (lo_j is not None and rng[1] < lo_j) or (
+                hi_j is not None and rng[0] > hi_j
+            ):
+                return False
+            if same_lead and len(rng) >= 5 and rng[3] is not None:
+                if rng[4] < lo2 or rng[3] > hi2:
+                    return False
+            return True
+
         schema = T.StructType.fromJson(meta["schema"])
         files = [
             f
             for f, rng in meta.get("key_file_ranges", {}).items()
-            if (len(rng) < 3 or rng[2] > 0)
-            and (
-                rng[0] is None
-                or (
-                    (lo_j is None or rng[1] >= lo_j)
-                    and (hi_j is None or rng[0] <= hi_j)
-                )
-            )
+            if (len(rng) < 3 or rng[2] > 0) and _covers(rng)
         ]
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(*files)
-        if lo is not None:
-            df = df.where(F.col(key[0]) >= F.lit(lo))
-        if hi is not None:
-            df = df.where(F.col(key[0]) <= F.lit(hi))
+
+        def _lex(bound, op_ge: bool):
+            # lexicographic tuple compare as a Column predicate:
+            # (k0 > b0) | (k0 == b0 & (k1 >= b1 ...)) — stays a plain
+            # comparison chain Catalyst can push per-conjunct
+            k0 = F.col(key[0])
+            b0 = F.lit(bound[0])
+            if len(bound) == 1:
+                return k0 >= b0 if op_ge else k0 <= b0
+            rest = _lex_inner(bound, 1, op_ge)
+            return ((k0 > b0) if op_ge else (k0 < b0)) | (
+                (k0 == b0) & rest
+            )
+
+        def _lex_inner(bound, i: int, op_ge: bool):
+            kc = F.col(key[i])
+            bc = F.lit(bound[i])
+            if i == len(bound) - 1:
+                return kc >= bc if op_ge else kc <= bc
+            return ((kc > bc) if op_ge else (kc < bc)) | (
+                (kc == bc) & _lex_inner(bound, i + 1, op_ge)
+            )
+
+        if lo_t is not None:
+            df = df.where(_lex(lo_t, True))
+        if hi_t is not None:
+            df = df.where(_lex(hi_t, False))
         return df
 
     # ------------------------------------------------------- bucketed save

@@ -874,6 +874,27 @@ def test_xkey_ij_lj_update_join_semantics(spark):
         )
 
 
+def test_ej_equi_join_q_arg_order(spark):
+    """q ``ej[c; t1; t2]``: inner equi-join on explicit columns, right
+    side replacing clashes — no keyed right table required."""
+    t1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, x double"
+    )
+    t2 = spark.createDataFrame(
+        [(1, "one", 99.0), (3, "three", 77.0)],
+        "k long, name string, x double",
+    )
+    out = KL.run(
+        spark,
+        'l: select * from t1\nr0: select * from t2\n'
+        'j: ej("k", l, r0)\nxasc(j, "k")',
+        {"t1": t1, "t2": t2},
+    ).collect()
+    assert [(r["k"], r["x"], r["name"]) for r in out] == [
+        (1, 99.0, "one"), (3, 77.0, "three")
+    ]
+
+
 def test_uj_union_superset(spark):
     a = spark.createDataFrame([(1, 1.0)], "k long, x double")
     b = spark.createDataFrame([(2, 5.0)], "k long, y double")
@@ -886,6 +907,27 @@ def test_uj_union_superset(spark):
     assert [(r["k"], r["x"], r["y"]) for r in out] == [
         (1, 1.0, None), (2, None, 5.0)
     ]
+
+
+def test_xcol_cols_tmeta(spark):
+    """q xcol (rename first n columns — pure projection), cols (name
+    vector), tmeta (name→type map, schema-only)."""
+    df = spark.createDataFrame([(1, 2.0, "z")], "a long, b double, c string")
+    out = KL.run(
+        spark,
+        't: select * from d\nxcol(t, "x", "y")',
+        {"d": df},
+    )
+    assert out.columns == ["x", "y", "c"]
+    names = KL.run(spark, "t: select * from d\ncols(t)", {"d": df})
+    assert list(names) == ["a", "b", "c"]
+    m = KL.run(spark, "t: select * from d\ntmeta(t)", {"d": df})
+    assert m == {"a": "bigint", "b": "double", "c": "string"}
+    from kerf_spark.errors import LengthError
+
+    with pytest.raises(LengthError):
+        KL.run(spark, 't: select * from d\nxcol(t, "p","q","r","s")',
+               {"d": df})
 
 
 def test_ungroup_explodes_array_columns_in_lockstep(spark):

@@ -1354,6 +1354,39 @@ def test_composite_key_ranges_prune_more_than_lead_only(spark, ws_root):
     assert new[0][3] == 1 and new[0][4] == 1  # second-key bounds
 
 
+def test_key_range_tuple_bounds_same_lead_slice(spark, ws_root):
+    """key_range with LEXICOGRAPHIC tuple bounds — the tick read
+    (one sym, a time slice): same-lead bounds engage the composite
+    index's second-column file pruning, and the row predicate is the
+    exact lexicographic slice."""
+    ws = Workspace(spark, ws_root)
+    df = spark.range(40_000).select(
+        F.when(F.col("id") < 20_000, "AAPL").otherwise("MSFT").alias("sym"),
+        (F.col("id") % 20_000).alias("ts"),
+        (F.col("id") * 2).alias("px"),
+    )
+    ws.save("ticks", df, key=("sym", "ts"), key_partitions=8,
+            minimize_widths=False)
+    rngs = ws.manifest["tables"]["ticks"]["key_file_ranges"]
+    aapl_files = {
+        f for f, r in rngs.items() if r[2] > 0 and r[0] <= "AAPL" <= r[1]
+    }
+    sl = ws.key_range("ticks", ("AAPL", 100), ("AAPL", 150))
+    assert set(sl.inputFiles()) < aapl_files  # second-bound pruning
+    got = sorted(r["ts"] for r in sl.collect())
+    assert got == list(range(100, 151))
+    assert {r["sym"] for r in sl.collect()} == {"AAPL"}
+    # cross-lead tuple range is lexicographic (tail of AAPL + head of
+    # MSFT), and falls back to lead-overlap file selection
+    x = ws.key_range("ticks", ("AAPL", 19_998), ("MSFT", 1))
+    rows = sorted((r["sym"], r["ts"]) for r in x.collect())
+    assert rows == [
+        ("AAPL", 19_998), ("AAPL", 19_999), ("MSFT", 0), ("MSFT", 1)
+    ]
+    # scalar bounds still work unchanged
+    assert ws.key_range("ticks", "MSFT", None).count() == 20_000
+
+
 def test_upsert_keyed_pruned_rewrites_only_covering_files(
     spark, tables, ws_root
 ):
