@@ -1073,6 +1073,15 @@ class Workspace:
         )
         kcols = meta.get("key")
         if kcols:
+            # PIN the batch before any check: the constraint checks,
+            # bound aggregates, and the write each re-evaluate the
+            # caller's plan — a nondeterministic source (rand, sample,
+            # limit) could pass the unique check and then WRITE
+            # different rows, corrupting the enforced invariant.  An
+            # eager localCheckpoint materializes the increment once
+            # (increment-sized, executor-local) so every consumer
+            # reads the same rows.
+            rows_cast = rows_cast.localCheckpoint(eager=True)
             _check_key_constraints(
                 rows_cast, kcols, meta.get("unique", True),
                 meta.get("nonnull", True), f"append({name!r})",
@@ -1247,6 +1256,9 @@ class Workspace:
                     f"declares no key (ERROR_KEYS)"
                 )
         if meta.get("key"):
+            # pin the batch: checks, pruning aggregates, and the merge
+            # write must all see the SAME rows (append's discipline)
+            rows = rows.localCheckpoint(eager=True)
             _check_key_constraints(
                 rows, list(meta["key"]), meta.get("unique", True),
                 meta.get("nonnull", True), f"upsert({name!r})",

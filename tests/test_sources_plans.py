@@ -1354,6 +1354,43 @@ def test_composite_key_ranges_prune_more_than_lead_only(spark, ws_root):
     assert new[0][3] == 1 and new[0][4] == 1  # second-key bounds
 
 
+def test_keyed_append_pins_nondeterministic_batch(spark, ws_root):
+    """A keyed append evaluates the caller's plan several times
+    (unique check, bound aggregates, the write) — the batch is PINNED
+    with an eager localCheckpoint so all of them see the same rows; a
+    rand()-keyed batch must land with manifest claims (sort_key_max,
+    per-file ranges) that agree exactly with the stored data."""
+    from pyspark.sql import types as T
+
+    ws = Workspace(spark, ws_root)
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ws.save("t", base, key="k", minimize_widths=False)
+    nd = spark.range(50).select(
+        ((F.rand() * 1e15).cast("long") + 10_000).alias("k"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    ws.append("t", nd)
+    meta = ws.manifest["tables"]["t"]
+    stored = ws.load("t")
+    assert stored.count() == 150
+    true_max = stored.agg(F.max("k")).head()[0]
+    assert int(meta["sort_key_max"]) == int(true_max)
+    # per-file index bounds agree with the files they describe
+    schema = T.StructType.fromJson(meta["schema"])
+    for f, rng in meta["key_file_ranges"].items():
+        if rng[2] == 0:
+            continue
+        got = (
+            spark.read.schema(schema).parquet(f)
+            .agg(F.min("k"), F.max("k"), F.count(F.lit(1))).head()
+        )
+        assert [int(got[0]), int(got[1]), int(got[2])] == [
+            int(rng[0]), int(rng[1]), int(rng[2])
+        ], f
+
+
 def test_key_range_tuple_bounds_same_lead_slice(spark, ws_root):
     """key_range with LEXICOGRAPHIC tuple bounds — the tick read
     (one sym, a time slice): same-lead bounds engage the composite
