@@ -158,6 +158,15 @@ class Workspace:
             with open(self._manifest_path) as f:
                 self.manifest = json.load(f)
 
+    def refresh(self) -> None:
+        """Re-read the on-disk manifest — a long-lived READER process
+        picks up sibling writers' tables/attachments (the flush merge
+        covers writers; this is the read-side half of the concurrency
+        contract).  Cheap: one JSON read, no Spark job."""
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                self.manifest = json.load(f)
+
     # ------------------------------------------------------------- save/load
     def _flush(self) -> None:
         """Serialize load-merge-write across PROCESSES: take the

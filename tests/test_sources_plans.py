@@ -1309,6 +1309,11 @@ def test_manifest_flush_merges_across_processes(spark, ws_root):
     assert "theirs" in disk["tables"]  # child's entry survived
     assert "mine" in disk["tables"]
     assert "gone" not in disk["tables"]  # tombstone applied
+    # the read-side half: refresh() picks up sibling writers' entries
+    ws2 = Workspace(spark, ws_root)
+    ws2.manifest["tables"].pop("theirs", None)  # simulate stale view
+    ws2.refresh()
+    assert "theirs" in ws2.manifest["tables"]
 
 
 def test_composite_key_ranges_prune_more_than_lead_only(spark, ws_root):
