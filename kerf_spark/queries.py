@@ -13063,6 +13063,65 @@ def upsert_keyed_pruned(spark, sf):
 
 
 @query(
+    "delete_keyed_pruned",
+    """
+    WITH b AS (
+      SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(o_totalprice, 2) + 0.0 AS totalprice
+    FROM orders, b
+    WHERE NOT (o_orderkey <= mn + (mx - mn) // 8 AND o_orderkey % 10 = 0)
+    """,
+)
+def delete_keyed_pruned(spark, sf):
+    """KEY-PRUNED delete — the third write shape of the reference's
+    append discipline (presented.h:420-425: mutate the sublists you
+    touch, never the folio): orders saved keyed on o_orderkey (8
+    range-partitioned files), then a purge batch whose keys live in
+    the lowest eighth of the key space — ``Workspace.delete_keys``
+    reads and rewrites ONLY the covering file(s) via a broadcast
+    anti-join (survivors keep path+mtime, proven in
+    tests/test_sources_plans.py), returns the deleted-row count, and
+    the remaining table equals the filtered oracle."""
+    import os
+    import shutil as _sh
+
+    from .sources.catalog import Workspace
+
+    root = _ann_index_dir(sf, "wsdelete")
+    _sh.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ws = Workspace(spark, root)
+    ords = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    rngs = [
+        r
+        for r in ws.manifest["tables"]["orders"]["key_file_ranges"].values()
+        if r[0] is not None and (len(r) < 3 or r[2] > 0)
+    ]
+    mn = int(min(r[0] for r in rngs))
+    mx = int(max(r[1] for r in rngs))
+    cut = mn + (mx - mn) // 8
+    doomed = [
+        int(r[0])
+        for r in ords.where(
+            (F.col("o_orderkey") <= cut) & (F.col("o_orderkey") % 10 == 0)
+        ).select("o_orderkey").collect()
+    ]
+    n = ws.delete_keys("orders", doomed)
+    assert n == len(doomed), f"deleted {n}, probed {len(doomed)}"
+    return ws.load("orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
+    )
+
+
+@query(
     "keyed_tuple_lookup",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -13702,7 +13761,8 @@ _R09_WINDOW = [
 #: oldest r3 cohort.
 _R10_WINDOW = [
     # round-10 additions (never driver-checked)
-    "upsert_keyed_pruned", "keyed_tuple_lookup", "folio_remote_avg",
+    "upsert_keyed_pruned", "delete_keyed_pruned", "keyed_tuple_lookup",
+    "keyed_tuple_range", "folio_remote_avg",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",
     # plan changed this round: write/merge/lookup/server/amend paths
     "upsert_keyed", "keyed_point_lookup", "keyed_range_scan",

@@ -1491,6 +1491,209 @@ class Workspace:
         self._flush()
         return True
 
+    def delete_keys(self, name: str, values) -> int:
+        """KEY-PRUNED delete on a sort-indexed table — the third write
+        shape of the append discipline (presented.h:420-425: mutate
+        the sublists you touch, never the folio).  ``values`` follows
+        :meth:`key_lookup`'s convention: one key value or an iterable,
+        tuples for composite keys; a tuple SHORTER than the key is a
+        prefix delete (drop every row of one sym).  Returns the number
+        of rows deleted.
+
+        Scale shape: the sort index's per-file [min, max] selects the
+        covering files at the driver; only those are read (count +
+        anti-filter) and rewritten — every other file keeps its path
+        and mtime.  A file whose rows all match simply unlinks (no
+        rewrite at all).  At 100 TB a "purge these ids" batch touches
+        a handful of files, not the table.
+
+        Falls back to the full staged-swap rewrite (upsert's snapshot
+        discipline, correct for every case) when a probe contains
+        NULL (null keys are invisible to the range index: a mixed
+        file's min/max skip them) or when the covering files exceed
+        ``PRUNED_UPSERT_MAX_COVER`` of the table.
+
+        Maintenance: a delete rewrites history behind attached
+        rollups' watermarks, so they REBUILD (the same documented
+        contract as :meth:`upsert`); matviews likewise.
+        """
+        import functools
+        import shutil
+        from urllib.parse import urlparse
+
+        meta = self.manifest["tables"][name]
+        key = meta.get("key")
+        if not key:
+            raise KeysError(
+                f"delete_keys({name!r}): table declares no key "
+                f"(save with key=...) (ERROR_KEYS)"
+            )
+        vals = list(values) if isinstance(values, (list, set)) else [values]
+        vals = [v if isinstance(v, tuple) else (v,) for v in vals]
+        if any(len(v) > len(key) for v in vals):
+            raise KeysError(
+                f"delete_keys({name!r}): probe tuple wider than key {key}"
+            )
+        if not vals:
+            return 0
+        schema = T.StructType.fromJson(meta["schema"])
+        # probes become a BROADCAST anti-join, not an OR-chain of
+        # literals: a million-key purge batch is one hashed lookup per
+        # row, where a literal predicate tree overflows the planner.
+        # eqNullSafe twice over: stored null components compare FALSE
+        # against non-null probes (a plain == yields SQL null and the
+        # anti join would silently drop the row from the keep set),
+        # and null probes match the stored null-as-value rows (r9
+        # unique-key semantics).
+        key_fields = {
+            f.name: T.StructField(f.name, f.dataType, True)
+            for f in schema.fields
+            if f.name in key
+        }
+        by_width: dict[int, list[tuple]] = {}
+        for v in vals:
+            by_width.setdefault(len(v), []).append(tuple(v))
+
+        def _keep(df: DataFrame) -> DataFrame:
+            out = df
+            for w, vs in sorted(by_width.items()):
+                pschema = T.StructType([key_fields[key[i]] for i in range(w)])
+                probe = self.spark.createDataFrame(
+                    sorted(set(vs), key=repr), pschema
+                )
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        out[key[i]].eqNullSafe(probe[key[i]])
+                        for i in range(w)
+                    ],
+                )
+                out = out.join(F.broadcast(probe), cond, "left_anti")
+            return out
+
+        ranges = meta.get("key_file_ranges") or {}
+        has_null = any(any(x is None for x in v) for v in vals)
+        probes = [tuple(_jsonable(x) for x in v) for v in vals]
+
+        def _covers(rng, v) -> bool:
+            if rng[0] is not None and not (rng[0] <= v[0] <= rng[1]):
+                return False
+            if (
+                len(v) >= 2
+                and len(rng) >= 5
+                and rng[3] is not None
+                and not (rng[3] <= v[1] <= rng[4])
+            ):
+                return False
+            return True
+
+        data_files = [
+            f for f, r in ranges.items() if len(r) < 3 or r[2] > 0
+        ]
+        covering = (
+            [
+                f
+                for f in data_files
+                if ranges[f][0] is None  # all-null lead: unprunable
+                or any(_covers(ranges[f], v) for v in probes)
+            ]
+            if ranges and not has_null
+            else []
+        )
+        pruned = (
+            ranges
+            and not has_null
+            and len(covering)
+            <= self.PRUNED_UPSERT_MAX_COVER * max(1, len(data_files))
+        )
+        if pruned:
+            if not covering:
+                return 0
+            df = self.spark.read.schema(schema).parquet(*covering)
+            keep_df = _keep(df)
+            kept = keep_df.count()
+            n_del = sum(
+                (ranges[f][2] if len(ranges[f]) >= 3 else 0)
+                for f in covering
+            ) - kept
+            if not n_del:
+                return 0
+            if kept > 0:
+                out = (
+                    keep_df
+                    .repartitionByRange(max(1, len(covering)), *key)
+                    .sortWithinPartitions(*key)
+                )
+                out.write.mode("append").parquet(meta["path"])
+                known = set(ranges)
+                allf = (
+                    self.spark.read.schema(schema)
+                    .parquet(meta["path"])
+                    .inputFiles()
+                )
+                new = [f for f in allf if f not in known]
+                if new:
+                    ranges.update(self._file_key_ranges(meta, new))
+            for f in covering:
+                try:
+                    os.remove(urlparse(f).path)
+                except FileNotFoundError:
+                    pass
+                ranges.pop(f, None)
+            # sorted-claim maintenance (same driver-side check as the
+            # pruned upsert: no scan, just the manifest)
+            live = sorted(
+                (r[0], r[1])
+                for r in ranges.values()
+                if r[0] is not None and (len(r) < 3 or r[2] > 0)
+            )
+            overlap = any(
+                live[i][1] > live[i + 1][0] for i in range(len(live) - 1)
+            )
+            meta["sorted"] = "files" if overlap else "global"
+            if live:
+                meta["sort_key_max"] = max(r[1] for r in live)
+            self._flush()
+        else:
+            # full staged rewrite: correct for null probes and global
+            # re-layout for wide coverage (upsert's swap discipline)
+            df_all = self.load(name)
+            total = df_all.count()
+            remainder = _keep(df_all)
+            n_del = total - remainder.count()
+            if not n_del:
+                return 0
+            kp = meta.get("key_partitions")
+            out = (
+                remainder.repartitionByRange(int(kp), *key)
+                if kp
+                else remainder.repartitionByRange(*key)
+            ).sortWithinPartitions(*key)
+            staging = meta["path"] + ".staging"
+            out.write.mode("overwrite").parquet(staging)
+            old = meta["path"] + ".old"
+            os.rename(meta["path"], old)
+            os.rename(staging, meta["path"])
+            shutil.rmtree(old)
+            meta["key_file_ranges"] = self._file_key_ranges(
+                meta,
+                self.spark.read.schema(schema)
+                .parquet(meta["path"])
+                .inputFiles(),
+            )
+            meta["sorted"] = "global"
+            live = [
+                r
+                for r in meta["key_file_ranges"].values()
+                if r[0] is not None and (len(r) < 3 or r[2] > 0)
+            ]
+            if live:
+                meta["sort_key_max"] = max(r[1] for r in live)
+            self._flush()
+        self._maintain_rollups(name, rebuild=True)
+        self._maintain_matviews(name)
+        return int(n_del)
+
     def compact(self, name: str, target_file_mb: int = 128) -> dict:
         """Rewrite ``name`` into ~``target_file_mb``-sized files — the
         small-files maintenance op an append-heavy tick store needs

@@ -1521,6 +1521,158 @@ def test_upsert_keyed_pruned_falls_back_when_coverage_is_wide(
     assert ws.load("orders").count() == ords.count()
 
 
+def test_delete_keys_pruned_rewrites_only_covering_files(
+    spark, tables, ws_root
+):
+    """delete_keys — the third write shape of the append discipline:
+    a narrow purge batch rewrites ONLY the covering files (survivors
+    keep path+mtime), returns the deleted-row count, and the index
+    stays disk-true."""
+    import os
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    meta = ws.manifest["tables"]["orders"]
+    before = {
+        urlparse(f).path: os.path.getmtime(urlparse(f).path)
+        for f in meta["key_file_ranges"]
+    }
+    lows = [
+        int(r[0]) for r in
+        ords.orderBy("o_orderkey").limit(5).select("o_orderkey").collect()
+    ]
+    n = ws.delete_keys("orders", lows)
+    assert n == 5
+    meta = ws.manifest["tables"]["orders"]
+    after_paths = {urlparse(f).path for f in meta["key_file_ranges"]}
+    rewritten = set(before) - after_paths
+    assert rewritten and len(rewritten) <= 2
+    for p in set(before) & after_paths:
+        assert os.path.getmtime(p) == before[p], f"{p} was rewritten"
+    # index agrees with disk
+    on_disk = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(meta["path"])
+        for f in fs if f.endswith(".parquet")
+    }
+    assert after_paths == on_disk
+    # values: exactly the probed keys are gone
+    total = ords.count()
+    assert ws.load("orders").count() == total - 5
+    assert ws.key_lookup("orders", lows).count() == 0
+    # deleting keys that no longer exist: 0, nothing moves
+    mt = {
+        urlparse(f).path: os.path.getmtime(urlparse(f).path)
+        for f in meta["key_file_ranges"]
+    }
+    assert ws.delete_keys("orders", lows) == 0
+    for p, t in mt.items():
+        assert os.path.getmtime(p) == t
+
+
+def test_delete_keys_prefix_unlinks_whole_files(spark, ws_root):
+    """A prefix probe (drop one sym entirely) on a composite-key
+    table: files wholly owned by that lead UNLINK without any rewrite
+    — no new data files appear at all."""
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    base = spark.range(20_000).select(
+        F.lit("AAPL").alias("sym"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).alias("px"),
+    )
+    # save AAPL, append MSFT: appends land in their own files, so the
+    # AAPL lead wholly owns its files (no mixed boundary file)
+    ws.save("ticks", base, key=("sym", "ts"), key_partitions=4,
+            minimize_widths=False)
+    ws.append(
+        "ticks",
+        spark.range(20_000).select(
+            F.lit("MSFT").alias("sym"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 3).alias("px"),
+        ),
+    )
+    before = {
+        urlparse(f).path
+        for f in ws.manifest["tables"]["ticks"]["key_file_ranges"]
+    }
+    n = ws.delete_keys("ticks", [("AAPL",)])
+    assert n == 20_000
+    meta = ws.manifest["tables"]["ticks"]
+    after = {urlparse(f).path for f in meta["key_file_ranges"]}
+    assert after < before  # pure unlink: no new files written
+    got = ws.load("ticks")
+    assert got.count() == 20_000
+    assert {r["sym"] for r in got.select("sym").distinct().collect()} == {
+        "MSFT"
+    }
+
+
+def test_delete_keys_null_probe_takes_full_path(spark, ws_root):
+    """A NULL probe is invisible to the range index (min/max skip
+    nulls), so it takes the staged full rewrite — and null-as-value
+    semantics hold: the stored null-key row is the one deleted."""
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "nullrow")], "k int, v string"
+    )
+    ws.save("t", df, key="k", unique=True, nonnull=False,
+            minimize_widths=False)
+    assert ws.delete_keys("t", [None]) == 1
+    rows = {(r["k"], r["v"]) for r in ws.load("t").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
+def test_delete_keys_wide_coverage_falls_back(spark, tables, ws_root):
+    """A probe set spanning most files takes the full staged rewrite:
+    all data files fresh, sorted claim back to 'global'."""
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"].select("o_orderkey", "o_totalprice")
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    before = {urlparse(f).path for f in
+              ws.manifest["tables"]["orders"]["key_file_ranges"]}
+    evens = [
+        int(r[0])
+        for r in ords.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey").collect()
+    ]
+    n = ws.delete_keys("orders", evens)
+    assert n == len(evens)
+    meta = ws.manifest["tables"]["orders"]
+    after = {urlparse(f).path for f in meta["key_file_ranges"]}
+    assert after.isdisjoint(before)
+    assert meta["sorted"] == "global"
+    assert ws.load("orders").count() == ords.count() - n
+    assert ws.load("orders").where(
+        F.col("o_orderkey") % 2 == 0
+    ).count() == 0
+
+
+def test_delete_keys_typed_errors(spark, tables, ws_root):
+    """Unkeyed table and over-wide probe tuples refuse with
+    KeysError (ERROR_KEYS), matching key_lookup's contract."""
+    import pytest
+
+    from kerf_spark.errors import KeysError
+
+    ws = Workspace(spark, ws_root)
+    ws.save("plain", tables["region"])
+    with pytest.raises(KeysError):
+        ws.delete_keys("plain", [1])
+    ws.save("keyed", tables["region"], key="r_regionkey")
+    with pytest.raises(KeysError):
+        ws.delete_keys("keyed", [(1, 2)])
+    assert ws.delete_keys("keyed", []) == 0
+
+
 def test_compact_rebuilds_key_file_ranges(spark, tables, ws_root):
     """Compaction rewrites every data file — the sort index must
     follow, or lookups read ghost paths."""
