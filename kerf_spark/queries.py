@@ -12721,6 +12721,65 @@ def folio_remote_avg(spark, sf):
 
 
 @query(
+    "folio_remote_median",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           median(CAST(round(c_acctbal * 100) AS BIGINT)) AS med,
+           quantile_cont(CAST(round(c_acctbal * 100) AS BIGINT), 0.25)
+             AS q1,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS segs
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_remote_median(spark, sf):
+    """HOLISTIC aggregates over the folio — EXACTLY (the upgrade past
+    r10's algebraic auto-split, presented.h:409 "a folio of tables
+    should behave like a table" now including order statistics):
+    customer sharded across three live KerfServers, one statement with
+    median / percentile(0.25) / count(DISTINCT) — folio_select gathers
+    one (nation, value, count) HISTOGRAM frame per member, merges
+    member histograms by value locally, counts the merged distinct
+    values, and interpolates percentile_cont over the merged weights.
+    The wire carries distinct-value counts, never rows; the bound is
+    the distinct domain (ARROW_MAX_ROWS fail-loud).  Exactness is the
+    point — a sketch would approximate; the histogram split is exact
+    and the DuckDB oracle (median == quantile_cont) must hash-match.
+
+    Cross-engine hashing note: medians run over integer CENTS
+    (round(bal*100) as BIGINT) so the interpolated midpoints are
+    quarter-integers — exactly representable doubles both engines
+    compute bit-identically."""
+    from .server import KerfServer, folio_select
+
+    cust = _t(spark, sf, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start()
+        for sh in shards
+    ]
+    try:
+        merged = folio_select(
+            spark,
+            [s_.address for s_ in srvs],
+            "select c_nationkey, median(cents) as med,"
+            " percentile(cents, 0.25) as q1,"
+            " count(distinct c_mktsegment) as segs"
+            " from customer group by c_nationkey",
+        )
+    finally:
+        # the gathers already happened inside folio_select (histogram
+        # frames are local); the merge needs no live member
+        for s_ in srvs:
+            s_.stop()
+    return merged.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "med", "q1", F.col("segs").cast("long").alias("segs"),
+    ).orderBy("c_nationkey")
+
+
+@query(
     "keyed_tuple_range",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -13762,7 +13821,7 @@ _R09_WINDOW = [
 _R10_WINDOW = [
     # round-10 additions (never driver-checked)
     "upsert_keyed_pruned", "delete_keyed_pruned", "keyed_tuple_lookup",
-    "keyed_tuple_range", "folio_remote_avg",
+    "keyed_tuple_range", "folio_remote_avg", "folio_remote_median",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",
     # plan changed this round: write/merge/lookup/server/amend paths
     "upsert_keyed", "keyed_point_lookup", "keyed_range_scan",

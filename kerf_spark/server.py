@@ -634,6 +634,24 @@ def folio_remote(
 # ------------------------------------------------- folio aggregate split
 #: aggregates folio_select can split into member partials + local final
 _FOLIO_ALGEBRAIC = ("sum", "count", "min", "max", "avg", "mean")
+#: variance family — ALGEBRAIC after all: rebuilds exactly from
+#: (sum, sum-of-squares, count) partials; bare names take SQL's
+#: sample semantics (stddev == stddev_samp, variance == var_samp)
+_FOLIO_VARIANCE = {
+    "stddev": "stddev_samp", "stddev_samp": "stddev_samp",
+    "stddev_pop": "stddev_pop", "variance": "var_samp",
+    "var_samp": "var_samp", "var_pop": "var_pop",
+}
+#: order statistics + count DISTINCT — holistic, but EXACT over the
+#: folio via bounded (group, value) histogram partials (see
+#: folio_select); the wire bound is the distinct-value count, guarded
+#: by ARROW_MAX_ROWS fail-loud
+_FOLIO_HISTOGRAM = ("median", "percentile", "quantile")
+#: genuinely unsupported: order/position-dependent across members
+_FOLIO_REFUSED = (
+    "mode", "first", "last", "first_value", "last_value", "string_agg",
+    "group_concat", "collect_list", "collect_set", "arbitrary", "any_value",
+)
 _FOLIO_AGG_RE = re.compile(r"(?is)^\s*(\w+)\s*\((.*)\)\s*$")
 
 
@@ -691,31 +709,68 @@ def _folio_parse_select(q: str):
         else:
             expr, alias = part.strip(), None
         am = _FOLIO_AGG_RE.match(expr)
-        if am and am.group(1).lower() in _FOLIO_ALGEBRAIC + (
-            "median", "stddev", "stddev_samp", "variance", "var_samp",
-            "percentile", "quantile",
+        fn = am.group(1).lower() if am else None
+        if am and fn in _FOLIO_REFUSED:
+            raise ArgsError(
+                f"folio_select: {fn} is order/position-dependent "
+                f"across members — it cannot be rebuilt from partials "
+                f"(gather the rows via folio_remote instead)"
+            )
+        if am and fn in (
+            _FOLIO_ALGEBRAIC
+            + tuple(_FOLIO_VARIANCE)
+            + _FOLIO_HISTOGRAM
         ):
-            fn, arg = am.group(1).lower(), am.group(2).strip()
-            if fn not in _FOLIO_ALGEBRAIC:
+            arg, param = am.group(2).strip(), None
+            dm = re.match(r"(?is)^\s*distinct\b(.*)$", arg)
+            if dm:
+                if fn != "count":
+                    raise ArgsError(
+                        f"folio_select: {fn}(DISTINCT ...) is not "
+                        f"supported over a folio"
+                    )
+                fn, arg = "count_distinct", dm.group(1).strip()
+            elif fn in ("percentile", "quantile"):
+                pieces = _split_top(arg)
+                if len(pieces) != 2:
+                    raise ArgsError(
+                        f"folio_select: {fn} takes (column, fraction)"
+                    )
+                arg = pieces[0].strip()
+                try:
+                    param = float(pieces[1])
+                except ValueError:
+                    raise ArgsError(
+                        f"folio_select: {fn} fraction must be a "
+                        f"literal number, got {pieces[1]!r}"
+                    ) from None
+                if not 0.0 <= param <= 1.0:
+                    raise ArgsError(
+                        f"folio_select: {fn} fraction {param} outside "
+                        f"[0, 1]"
+                    )
+                fn = "percentile"
+            elif fn == "median":
+                fn, param = "percentile", 0.5
+            elif fn in _FOLIO_VARIANCE:
+                fn = _FOLIO_VARIANCE[fn]
+            if fn in ("count_distinct", "percentile") and not re.fullmatch(
+                r"[A-Za-z_]\w*", arg
+            ):
                 raise ArgsError(
-                    f"folio_select: {fn} is HOLISTIC — it cannot be "
-                    f"rebuilt from member partials (supported: "
-                    f"{', '.join(_FOLIO_ALGEBRAIC)}; run holistic "
-                    f"aggregates on a gathered table or a sketch)"
-                )
-            if re.match(r"(?is)^\s*distinct\b", arg):
-                raise ArgsError(
-                    "folio_select: count(DISTINCT ...) is HOLISTIC "
-                    "across members — a value present on two members "
-                    "would double-count (use a gathered distinct or a "
-                    "sketch)"
+                    f"folio_select: the argument of a histogram-split "
+                    f"aggregate (median/percentile/count DISTINCT) "
+                    f"must be a plain column name, got {arg!r} — its "
+                    f"member partial is a (group, value) histogram "
+                    f"merged BY NAME (alias the expression on the "
+                    f"members first)"
                 )
             if alias is None:
                 raise ArgsError(
                     f"folio_select: aggregate {expr!r} needs an alias "
                     f"(`... as name` / `name: ...`)"
                 )
-            items.append((alias, fn, arg))
+            items.append((alias, fn, arg, param))
         else:
             # non-aggregate projection: must be a group key
             if expr not in keys:
@@ -723,7 +778,7 @@ def _folio_parse_select(q: str):
                     f"folio_select: non-aggregate column {expr!r} "
                     f"must appear in the by/group-by clause"
                 )
-            items.append((alias or expr, None, expr))
+            items.append((alias or expr, None, expr, None))
     return items, keys, table.strip(), where, order, limit
 
 
@@ -748,30 +803,45 @@ def folio_select(
       non-null count is the denominator), never an average of member
       averages (wrong under skew);
 
-    HOLISTIC aggregates (median/percentile/stddev, count DISTINCT)
-    refuse with a typed error — they cannot be rebuilt from partials;
-    gather the rows or use a sketch.  ``where`` pushes to the members
-    (each filters its own parquet); ``order by``/``limit`` apply to
-    the merged final (top-k over groups, driver-bounded).
+    HOLISTIC aggregates split too, as EXACT bounded histograms:
+    ``median(x)`` / ``percentile(x, p)`` / ``count(DISTINCT x)`` each
+    gather one (group, value, count) histogram frame per member —
+    member histograms merge by value locally, count DISTINCT counts
+    the merged values, and percentiles interpolate over the merged
+    weighted histogram (percentile_cont semantics, the same rule SQL
+    median follows).  The wire bound is the DISTINCT-VALUE count, not
+    the row count — guarded fail-loud by ``ARROW_MAX_ROWS``; for
+    unbounded domains use a mergeable sketch (operators.sketches)
+    instead.  ``stddev``/``variance`` turn out algebraic — they
+    rebuild exactly from (sum, sum-of-squares, count) partials (the
+    textbook one-pass identity; fine for analytics scales, documented
+    cancellation hazard when |mean| >> stddev).  Order-dependent
+    aggregates (mode/first/last/string_agg) refuse with a typed
+    error.  ``where`` pushes to the members (each filters its own
+    parquet); ``order by``/``limit`` apply to the merged final (top-k
+    over groups, driver-bounded).
 
     Scale shape: the wire carries ONE partial row per (member, group)
-    — group-cardinality-sized frames, never member rows.  The final
-    merge is one local groupBy over |members| × |groups| rows.
+    — plus one histogram row per (member, group, distinct value) for
+    histogram-split aggregates — never member rows.  The final merge
+    is one local groupBy over |members| × |groups| rows.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from .errors import ArgsError
 
     items, keys, table, where, order, limit = _folio_parse_select(q)
-    if not any(fn for _, fn, _ in items):
+    if not any(fn for _, fn, _, _ in items):
         raise ArgsError(
             "folio_select needs at least one aggregate — for plain "
             "row gathers use folio_remote"
         )
+    hist_fns = ("count_distinct", "percentile")
     # ---- member query: one partial per aggregate ----------------------
     partials, finals = [], []
-    for i, (alias, fn, arg) in enumerate(items):
-        if fn is None:
+    for i, (alias, fn, arg, param) in enumerate(items):
+        if fn is None or fn in hist_fns:
             continue
         if fn == "sum":
             partials.append(f"sum({arg}) AS __p{i}")
@@ -785,6 +855,19 @@ def folio_select(
         elif fn == "max":
             partials.append(f"max({arg}) AS __p{i}")
             finals.append(F.max(f"__p{i}").alias(alias))
+        elif fn in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
+            partials.append(f"sum(({arg}) * 1.0) AS __p{i}s")
+            partials.append(f"sum(({arg}) * ({arg}) * 1.0) AS __p{i}q")
+            partials.append(f"count({arg}) AS __p{i}c")
+            n = F.sum(f"__p{i}c").cast("double")
+            s, q2 = F.sum(f"__p{i}s"), F.sum(f"__p{i}q")
+            # clamp the tiny negative the one-pass identity can leave
+            ss = F.greatest(q2 - s * s / n, F.lit(0.0))
+            den = n if fn.endswith("_pop") else F.when(n > 1, n - 1)
+            v = ss / den
+            finals.append(
+                (F.sqrt(v) if fn.startswith("stddev") else v).alias(alias)
+            )
         else:  # avg / mean
             partials.append(f"sum({arg}) AS __p{i}s")
             partials.append(f"count({arg}) AS __p{i}c")
@@ -792,6 +875,11 @@ def folio_select(
                 (F.sum(f"__p{i}s") / F.sum(f"__p{i}c")).alias(alias)
             )
     key_sel = ", ".join(keys)
+    if not partials:
+        # histogram-only statement: a hidden count(*) defines the
+        # group spine (dropped at the final projection)
+        partials.append("count(*) AS __spine")
+        finals.append(F.sum("__spine").alias("__spine"))
     member = "SELECT "
     if keys:
         member += f"{key_sel}, "
@@ -801,18 +889,88 @@ def folio_select(
     if keys:
         member += f" GROUP BY {key_sel}"
     gathered = folio_remote(spark, addrs, member, timeout=timeout)
-    # ---- local final merge --------------------------------------------
-    if keys:
-        out = gathered.groupBy(*[k for k in keys]).agg(*finals)
-        # project in the statement's column order, honoring aliases
-        cols = []
-        for alias, fn, expr in items:
-            cols.append(
-                F.col(expr).alias(alias) if fn is None else F.col(alias)
+    # ---- histogram gathers: one per distinct holistic argument --------
+    hists: dict[str, Any] = {}
+    for arg in {it[2] for it in items if it[1] in hist_fns}:
+        hq = "SELECT "
+        if keys:
+            hq += f"{key_sel}, "
+        hq += f"{arg}, count({arg}) AS __hc FROM {table}"
+        if where:
+            hq += f" WHERE {where}"
+        hq += " GROUP BY " + ", ".join(keys + [arg])
+        h = folio_remote(spark, addrs, hq, timeout=timeout)
+        # merge member histograms by value; nulls drop (SQL aggregate
+        # semantics: COUNT(DISTINCT)/percentile ignore nulls)
+        hists[arg] = (
+            h.where(F.col(arg).isNotNull())
+            .groupBy(*(keys + [arg]))
+            .agg(F.sum("__hc").alias("__hc"))
+        )
+    hol_frames = []
+    for alias, fn, arg, param in items:
+        if fn not in hist_fns:
+            continue
+        h = hists[arg]
+        if fn == "count_distinct":
+            agg = F.count(F.lit(1)).cast("long").alias(alias)
+            hol_frames.append(
+                h.groupBy(*keys).agg(agg) if keys else h.agg(agg)
             )
-        out = out.select(*cols)
-    else:
-        out = gathered.agg(*finals)
+            continue
+        # percentile_cont over the merged weighted histogram: the
+        # target 0-indexed position p*(n-1) falls between the values
+        # covering floor/ceil of it (cumulative counts locate them);
+        # linear interpolation between the two — SQL median semantics
+        wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        wo = wp.orderBy(arg).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        hh = (
+            h.withColumn("__cum", F.sum("__hc").over(wo))
+            .withColumn("__n", F.sum("__hc").over(wp))
+            .withColumn(
+                "__pos", F.lit(float(param)) * (F.col("__n") - 1)
+            )
+        )
+        lo = hh.where(
+            (F.col("__cum") - F.col("__hc") <= F.floor("__pos"))
+            & (F.floor("__pos") < F.col("__cum"))
+        ).select(
+            *keys, F.col(arg).cast("double").alias("__lo"), "__pos"
+        )
+        hi = hh.where(
+            (F.col("__cum") - F.col("__hc") <= F.ceil("__pos"))
+            & (F.ceil("__pos") < F.col("__cum"))
+        ).select(*keys, F.col(arg).cast("double").alias("__hi"))
+        r = lo.join(hi, list(keys)) if keys else lo.crossJoin(hi)
+        hol_frames.append(
+            r.select(
+                *keys,
+                (
+                    F.col("__lo")
+                    + (F.col("__hi") - F.col("__lo"))
+                    * (F.col("__pos") - F.floor("__pos"))
+                ).alias(alias),
+            )
+        )
+    # ---- local final merge --------------------------------------------
+    out = (
+        gathered.groupBy(*[k for k in keys]).agg(*finals)
+        if keys
+        else gathered.agg(*finals)
+    )
+    for r in hol_frames:
+        # left join: a group whose holistic argument is all-null has
+        # no histogram rows — its median/count lands NULL, as SQL does
+        out = out.join(r, list(keys), "left") if keys else out.crossJoin(r)
+    # project in the statement's column order, honoring aliases
+    cols = []
+    for alias, fn, expr, param in items:
+        cols.append(
+            F.col(expr).alias(alias) if fn is None else F.col(alias)
+        )
+    out = out.select(*cols)
     if order:
         from .plans.kerfsql import _split_top as _st
 

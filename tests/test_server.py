@@ -563,28 +563,115 @@ def test_folio_select_splits_algebraic_aggregates(spark):
             s.stop()
 
 
-def test_folio_select_refuses_holistic_aggregates(spark):
-    """median/percentile/stddev and count(DISTINCT) cannot be rebuilt
-    from member partials — typed refusal, no silent wrong answer."""
+def test_folio_select_refuses_unsplittable_aggregates(spark):
+    """Order/position-dependent aggregates cannot be rebuilt from
+    member partials — typed refusal, no silent wrong answer; bad
+    percentile fractions, expression histogram args, unaliased
+    aggregates, and non-key projections refuse too."""
     from kerf_spark.errors import ArgsError
     from kerf_spark.server import folio_select
 
     for bad in (
-        "select median(x) as m from t",
-        "select percentile(x, 0.5) as p from t",
-        "select stddev(x) as s from t",
-        "select count(distinct x) as d from t group by k",
+        "select mode(x) as m from t",
+        "select first(x) as f from t",
+        "select collect_list(x) as l from t",
+        "select sum(distinct x) as s from t",
+        "select percentile(x, 1.5) as p from t",
+        "select percentile(x) as p from t",
+        "select median(x + 1) as m from t",
+        "select count(distinct x + 1) as d from t group by k",
+        "select sum(x) from t",
+        "select y, sum(x) as s from t group by k",
     ):
         with pytest.raises(ArgsError):
             folio_select(spark, [("127.0.0.1", 1)], bad)
-    # an unaliased aggregate and a non-key projection refuse too
-    with pytest.raises(ArgsError):
-        folio_select(spark, [("127.0.0.1", 1)], "select sum(x) from t")
-    with pytest.raises(ArgsError):
-        folio_select(
-            spark, [("127.0.0.1", 1)],
-            "select y, sum(x) as s from t group by k",
+
+
+def test_folio_select_splits_holistic_via_histograms(spark):
+    """median/percentile/count(DISTINCT) over the folio are EXACT:
+    members ship (group, value, count) histograms, the local final
+    merges by value, counts the distinct values, and interpolates
+    percentile_cont over the merged weights.  stddev/variance rebuild
+    from sum/sum²/count partials.  Everything checked against the
+    unsharded local computation under DELIBERATELY skewed shards."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    shards = [
+        cust.where(F.col("c_custkey") % 7 == 0),
+        cust.where(F.col("c_custkey") % 7 != 0),
+    ]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        got = {
+            r["c_nationkey"]: r
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select c_nationkey, median(cents) as med,"
+                " percentile(cents, 0.25) as q1,"
+                " count(distinct c_mktsegment) as segs,"
+                " stddev(cents) as sd, var_pop(cents) as vp"
+                " from customer group by c_nationkey",
+            ).collect()
+        }
+        want = {
+            r["c_nationkey"]: r
+            for r in cust.groupBy("c_nationkey")
+            .agg(
+                F.expr("percentile(cents, 0.5)").alias("med"),
+                F.expr("percentile(cents, 0.25)").alias("q1"),
+                F.countDistinct("c_mktsegment").alias("segs"),
+                F.stddev_samp("cents").alias("sd"),
+                F.var_pop("cents").alias("vp"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k, r in got.items():
+            w = want[k]
+            assert r["med"] == w["med"], (k, r["med"], w["med"])
+            assert r["q1"] == w["q1"]
+            assert r["segs"] == w["segs"]
+            assert math.isclose(r["sd"], w["sd"], rel_tol=1e-9)
+            assert math.isclose(r["vp"], w["vp"], rel_tol=1e-9)
+        # histogram-ONLY statement (no algebraic partials): the hidden
+        # spine defines the groups and drops from the projection
+        only = folio_select(
+            spark,
+            [s.address for s in srvs],
+            "select c_nationkey, median(cents) as med from customer "
+            "group by c_nationkey",
         )
+        assert set(only.columns) == {"c_nationkey", "med"}
+        assert {
+            r["c_nationkey"]: r["med"] for r in only.collect()
+        } == {k: w["med"] for k, w in want.items()}
+        # ungrouped holistic + where pushes to members
+        tot = folio_select(
+            spark,
+            [s.address for s in srvs],
+            "select median(cents) as med, count(distinct c_nationkey)"
+            " as nk from customer where c_nationkey < 10",
+        ).head()
+        flt = cust.where("c_nationkey < 10")
+        wt = flt.agg(
+            F.expr("percentile(cents, 0.5)").alias("med"),
+            F.countDistinct("c_nationkey").alias("nk"),
+        ).head()
+        assert tot["med"] == wt["med"] and tot["nk"] == wt["nk"]
+    finally:
+        for s in srvs:
+            s.stop()
 
 
 def test_folio_result_chains_into_kerfsql(spark):
