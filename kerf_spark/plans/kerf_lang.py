@@ -635,6 +635,88 @@ def _loc_grade_up(x):
     return np.argsort(_np(x), kind="stable")
 
 
+def _loc_differ(x):
+    """q/kerf ``differ``: 1 where the value differs from its
+    predecessor; the FIRST element is 1 (nothing before it to equal).
+    Works on any dtype (object-safe elementwise compare)."""
+    v = _np(x)
+    if len(v) == 0:
+        return np.array([], dtype=np.int64)
+    out = np.ones(len(v), dtype=np.int64)
+    out[1:] = (v[1:] != v[:-1]).astype(np.int64)
+    return out
+
+
+def _loc_xprev(n, x):
+    """q ``xprev``: the value n positions back (generalizing
+    ``prev``); the first n slots are null (NaN — integers widen to
+    float64, the script plane's null convention).  Negative n looks
+    FORWARD (q's documented behavior via xprev with negative n)."""
+    n = int(n)
+    v = _np(x).astype(np.float64)
+    out = np.full(len(v), np.nan)
+    if n == 0 or len(v) == 0:
+        return v if n == 0 else out
+    if n > 0:
+        out[n:] = v[:-n]
+    else:
+        out[:n] = v[-n:]
+    return out
+
+
+def _loc_rank(x):
+    """q ``rank``: position each item would take in the sorted order
+    — ``grade_up(grade_up(x))``; ties resolve by first appearance
+    (stability twice over)."""
+    return np.argsort(np.argsort(_np(x), kind="stable"), kind="stable")
+
+
+def _loc_cov(sample: bool):
+    """q ``cov``/``scov``: covariance of two conforming vectors —
+    population (cov) or sample (scov) denominator, q's documented
+    split.  Pairs with a null (NaN) component drop, matching SQL's
+    covar_pop/covar_samp null handling."""
+
+    def run(x, y):
+        a = _np(x).astype(np.float64)
+        b = _np(y).astype(np.float64)
+        if len(a) != len(b):
+            raise LengthError(
+                f"cov operands must conform: {len(a)} vs {len(b)}"
+            )
+        ok = ~(np.isnan(a) | np.isnan(b))
+        a, b = a[ok], b[ok]
+        n = len(a)
+        if n == 0 or (sample and n < 2):
+            return float("nan")
+        # two-pass centered form (not E[xy]-E[x]E[y]: that one
+        # cancels catastrophically when |mean| >> spread)
+        c = float(np.mean((a - np.mean(a)) * (b - np.mean(b))))
+        return c * n / (n - 1) if sample else c
+
+    return run
+
+
+def _loc_cor(x, y):
+    """q ``cor``: Pearson correlation (population moments — the
+    n's cancel, so population vs sample is immaterial here)."""
+    a = _np(x).astype(np.float64)
+    b = _np(y).astype(np.float64)
+    if len(a) != len(b):
+        raise LengthError(
+            f"cor operands must conform: {len(a)} vs {len(b)}"
+        )
+    ok = ~(np.isnan(a) | np.isnan(b))
+    a, b = a[ok], b[ok]
+    if len(a) == 0:
+        return float("nan")
+    ca, cb = a - np.mean(a), b - np.mean(b)
+    sa, sb = float(np.std(a)), float(np.std(b))
+    if sa == 0.0 or sb == 0.0:
+        return float("nan")
+    return float(np.mean(ca * cb) / (sa * sb))
+
+
 def _loc_moving(agg, needs_float: bool = False):
     """kerf1/q moving-window verbs ``m{avg,sum,min,max,count}(n, x)``:
     the window EXPANDS over the first ``n-1`` positions (windows of
@@ -1140,6 +1222,24 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
             w.astype(np.float64)))),
         None,
     ),
+    "mdev": (_loc_moving(np.std, needs_float=True), None),
+    # q/kerf1 uniform-verb batch #5: cumulative forms, ordered shifts,
+    # ranking, and the two-vector moments (population cov, sample
+    # scov, q's documented split)
+    "sums": (lambda x: np.cumsum(_np(x)), None),
+    "avgs": (
+        lambda x: np.cumsum(_np(x).astype(np.float64))
+        / np.arange(1, len(_np(x)) + 1),
+        None,
+    ),
+    "mins": (lambda x: np.minimum.accumulate(_np(x)), None),
+    "maxs": (lambda x: np.maximum.accumulate(_np(x)), None),
+    "differ": (_loc_differ, None),
+    "xprev": (_loc_xprev, None),
+    "rank": (_loc_rank, None),
+    "cov": (_loc_cov(False), "covar_pop({0}, {1})"),
+    "scov": (_loc_cov(True), "covar_samp({0}, {1})"),
+    "cor": (_loc_cor, "corr({0}, {1})"),
     "ema": (_loc_ema, None),
     "prev": (_loc_prev, None),
     "next": (_loc_next, None),

@@ -12910,6 +12910,63 @@ def kerf_lang_ungroup_verb(spark, sf):
     )
 
 
+@query(
+    "kerf_lang_running_verbs",
+    """
+    WITH t(pos, s, a, mn, mx, df, xp, rk, md, cv, sc, cr) AS (VALUES
+      (0, 3,  2.0::DOUBLE, 3, 3,  1, 0.0::DOUBLE,  3, 0.0::DOUBLE,
+       3.75::DOUBLE, 5.0::DOUBLE, -1.0::DOUBLE),
+      (1, 4,  3.0::DOUBLE, 1, 3,  0, 0.0::DOUBLE,  0, 1.0::DOUBLE,
+       3.75::DOUBLE, 5.0::DOUBLE, -1.0::DOUBLE),
+      (2, 8,  4.0::DOUBLE, 1, 4,  1, 10.0::DOUBLE, 2, 1.0::DOUBLE,
+       3.75::DOUBLE, 5.0::DOUBLE, -1.0::DOUBLE),
+      (3, 9,  4.0::DOUBLE, 1, 4,  0, 20.0::DOUBLE, 1, 1.0::DOUBLE,
+       3.75::DOUBLE, 5.0::DOUBLE, -1.0::DOUBLE),
+      (4, 14, 5.2::DOUBLE, 1, 5,  1, 30.0::DOUBLE, 4, 3.0::DOUBLE,
+       3.75::DOUBLE, 5.0::DOUBLE, -1.0::DOUBLE))
+    SELECT CAST(pos AS BIGINT) AS pos, CAST(s AS BIGINT) AS s, a,
+           CAST(mn AS BIGINT) AS mn, CAST(mx AS BIGINT) AS mx,
+           CAST(df AS BIGINT) AS df, xp, CAST(rk AS BIGINT) AS rk,
+           md, cv, sc, cr
+    FROM t ORDER BY pos
+    """,
+)
+def kerf_lang_running_verbs(spark, sf):
+    """kerf1/q verb batch #5 as script spellings: cumulative forms
+    (sums/avgs/mins/maxs), change flags (differ — first element 1),
+    the n-back shift (xprev, NaN head amended to 0 through the
+    bound-square @ so the pinned table carries no nulls), ranking
+    (rank = grade of grade, stable ties), the moving population
+    deviation with q's expanding head (mdev), and the two-vector
+    moments with q's documented population/sample split (cov/scov)
+    plus Pearson cor.  One script chains them all into a table
+    literal; the oracle pins every cell hand-derived (the moment
+    fixtures are chosen so every intermediate is an exact binary
+    fraction — centered products of quarter-integers — making the
+    pinned doubles reproducible bitwise in both engines)."""
+    from .plans import kerf_lang as KL
+
+    return KL.run_df(
+        spark,
+        "rs: sums(3 1 4 1 5)\n"
+        "ra: avgs(2 4 6 4 10)\n"
+        "rmn: mins(3 1 4 1 5)\n"
+        "rmx: maxs(3 1 4 1 5)\n"
+        "dfv: differ(1 1 2 2 3)\n"
+        "xpv: @[xprev(2, 10 20 30 40 50); 0 1; 0]\n"
+        "rkv: rank(30 10 20 10 40)\n"
+        "mdv: mdev(2, 2 4 6 4 10)\n"
+        "cvv: cov(0 1 2 3, 0 3 6 9)\n"
+        "scv: scov(0 1 2 3, 0 3 6 9)\n"
+        "crv: cor(0 1, 2 0)\n"
+        "t: {{pos: til(5), s: rs, a: ra, mn: rmn, mx: rmx, df: dfv,"
+        " xp: xpv, rk: rkv, md: mdv, cv: cvv, sc: scv, cr: crv}}\n"
+        "select pos, s, a, mn, mx, df, xp, rk, md, cv, sc, cr"
+        " from t order by pos",
+        tables={},
+    )
+
+
 def _src_bytes(sf, name) -> int:
     """Byte size of a source fixture (file or directory) — a pure
     metadata freshness marker, no Spark job."""
@@ -13823,6 +13880,7 @@ _R10_WINDOW = [
     "upsert_keyed_pruned", "delete_keyed_pruned", "keyed_tuple_lookup",
     "keyed_tuple_range", "folio_remote_avg", "folio_remote_median",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",
+    "kerf_lang_running_verbs",
     # plan changed this round: write/merge/lookup/server/amend paths
     "upsert_keyed", "keyed_point_lookup", "keyed_range_scan",
     "folio_remote_scatter", "workspace_roundtrip",

@@ -691,6 +691,52 @@ def test_moving_verbs_expanding_head():
         run("mavg(0, 1 2 3)")
 
 
+def test_cumulative_verbs():
+    # q's running forms: sums/avgs/mins/maxs
+    assert list(run("sums(2 4 6 4)")) == [2, 6, 12, 16]
+    assert list(run("avgs(2 4 6 4)")) == [2.0, 3.0, 4.0, 4.0]
+    assert list(run("mins(3 1 4 1 5)")) == [3, 1, 1, 1, 1]
+    assert list(run("maxs(3 1 4 1 5)")) == [3, 3, 4, 4, 5]
+    assert len(run("sums(til(0))")) == 0
+
+
+def test_differ_xprev_rank_verbs():
+    import numpy as np
+
+    # differ: first element 1, then change flags
+    assert list(run("differ(1 1 2 2 2 3)")) == [1, 0, 1, 0, 0, 1]
+    assert len(run("differ(til(0))")) == 0
+    # xprev: n-back shift, NaN head; negative n looks forward
+    xp = run("xprev(2, 10 20 30 40)")
+    assert np.isnan(xp[0]) and np.isnan(xp[1]) and list(xp[2:]) == [
+        10.0, 20.0,
+    ]
+    xn = run("xprev(-1, 10 20 30)")
+    assert list(xn[:2]) == [20.0, 30.0] and np.isnan(xn[2])
+    assert list(run("xprev(0, 5 6)")) == [5.0, 6.0]
+    # rank = grade of grade: position in the sorted order, stable ties
+    assert list(run("rank(30 10 20 10)")) == [3, 0, 2, 1]
+
+
+def test_mdev_cov_scov_cor_verbs():
+    import math
+
+    from kerf_spark.errors import LengthError
+
+    # mdev: moving POPULATION std with q's expanding head
+    got = run("mdev(2, 2 4 6 4)")
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 1.0
+    # cov population vs scov sample (q's documented split)
+    assert run("cov(1 2 3, 2 4 6)") == pytest.approx(4.0 / 3.0)
+    assert run("scov(1 2 3, 2 4 6)") == pytest.approx(2.0)
+    assert run("cor(1 2 3, 2 4 6)") == pytest.approx(1.0)
+    assert run("cor(1 2 3, 6 4 2)") == pytest.approx(-1.0)
+    # constant vector: undefined correlation -> null, not a crash
+    assert math.isnan(run("cor(1 1 1, 2 4 6)"))
+    with pytest.raises(LengthError):
+        run("cov(1 2 3, 1 2)")
+
+
 def test_ema_recursive_smoother():
     assert list(run("ema(0.5, 2 4 6 4 10)")) == [2.0, 3.0, 4.5, 4.25, 7.125]
     assert list(run("ema(1.0, 3 1 4)")) == [3.0, 1.0, 4.0]  # alpha=1: identity
