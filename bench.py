@@ -90,6 +90,13 @@ BENCH_QUERIES = [
     # + local final; the wire carries one partial row per member-group)
     "keyed_tuple_lookup",
     "folio_remote_avg",
+    # round-10 additions (cont.): key-pruned delete (rewrite only the
+    # covering files of a purge batch), exact holistic aggregates over
+    # the folio (median/percentile/count-distinct via merged member
+    # histograms — the wire carries distinct-value counts, not rows)
+    "delete_keyed_pruned",
+    "delete_keyed_range",
+    "folio_remote_median",
 ]
 
 

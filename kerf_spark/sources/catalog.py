@@ -1694,6 +1694,126 @@ class Workspace:
         self._maintain_matviews(name)
         return int(n_del)
 
+    def delete_range(self, name: str, lo=None, hi=None) -> int:
+        """Key-RANGE delete on a sort-indexed table — the tick-store
+        retention op ("expire everything before this stamp") for
+        tables keyed on time rather than partitioned by date: drop
+        every row whose LEADING key falls in ``[lo, hi]`` (inclusive;
+        either bound may be None for open).  Returns rows deleted.
+
+        Scale shape, all driver-side from the manifest: a data file
+        wholly inside the range UNLINKS — no read, no rewrite, O(1)
+        per file, exactly like :meth:`drop_partitions` but addressed
+        by key; only the (at most two) BOUNDARY files whose range
+        straddles an endpoint are read and rewritten with the pushed
+        row trim; every other file keeps its path and mtime.  A year
+        of retention on a 100 TB tick table is a handful of unlinks
+        plus two small rewrites.
+
+        Null leading keys are INVISIBLE to a range (SQL comparison
+        semantics — they compare null, so they survive any range
+        delete); purge them explicitly with ``delete_keys([None])``.
+
+        Maintenance: attached rollups/matviews REBUILD (history
+        moved), the same documented contract as :meth:`upsert`.
+        """
+        from urllib.parse import urlparse
+
+        meta = self.manifest["tables"][name]
+        key = meta.get("key")
+        if not key:
+            raise KeysError(
+                f"delete_range({name!r}): table declares no key "
+                f"(save with key=...) (ERROR_KEYS)"
+            )
+        if lo is None and hi is None:
+            raise KeysError(
+                f"delete_range({name!r}): both bounds open would "
+                f"truncate the table — use drop() if you mean that"
+            )
+        ranges = meta.get("key_file_ranges") or {}
+        jlo, jhi = _jsonable(lo), _jsonable(hi)
+        schema = T.StructType.fromJson(meta["schema"])
+        # a file's [min, max] skips null leads, so on a nullable-key
+        # table a null row can HIDE inside an "inside" file — blind
+        # unlink would destroy it.  nonnull tables (the tick default)
+        # keep the O(1) unlink; nullable ones trim every overlapping
+        # file through the read path (correct, null rows survive).
+        unlink_ok = bool(meta.get("nonnull", True))
+        doomed, boundary = [], []
+        for f, r in ranges.items():
+            if len(r) >= 3 and r[2] == 0:
+                continue  # footer-only empty file
+            if r[0] is None:
+                continue  # all-null leads: ranges cannot address them
+            overlaps = (jlo is None or r[1] >= jlo) and (
+                jhi is None or r[0] <= jhi
+            )
+            if not overlaps:
+                continue
+            inside = unlink_ok and (jlo is None or r[0] >= jlo) and (
+                jhi is None or r[1] <= jhi
+            )
+            (doomed if inside else boundary).append(f)
+        if not doomed and not boundary:
+            return 0
+        n_del = sum(ranges[f][2] for f in doomed)
+        if boundary:
+            cond = None
+            if lo is not None:
+                cond = F.col(key[0]) >= F.lit(lo)
+            if hi is not None:
+                c2 = F.col(key[0]) <= F.lit(hi)
+                cond = c2 if cond is None else cond & c2
+            # null leads survive: coalesce(cond, False) keeps them
+            keep_pred = ~F.coalesce(cond, F.lit(False))
+            df = self.spark.read.schema(schema).parquet(*boundary)
+            keep_df = df.where(keep_pred)
+            kept = keep_df.count()
+            b_total = sum(ranges[f][2] for f in boundary)
+            n_del += b_total - kept
+            if b_total == kept:
+                boundary = []  # nothing to trim after all
+            elif kept > 0:
+                out = (
+                    keep_df.repartitionByRange(
+                        max(1, len(boundary)), *key
+                    ).sortWithinPartitions(*key)
+                )
+                out.write.mode("append").parquet(meta["path"])
+                known = set(ranges)
+                allf = (
+                    self.spark.read.schema(schema)
+                    .parquet(meta["path"])
+                    .inputFiles()
+                )
+                new = [f for f in allf if f not in known]
+                if new:
+                    ranges.update(self._file_key_ranges(meta, new))
+        if not n_del:
+            return 0
+        for f in doomed + boundary:
+            try:
+                os.remove(urlparse(f).path)
+            except FileNotFoundError:
+                pass
+            ranges.pop(f, None)
+        live = sorted(
+            (r[0], r[1])
+            for r in ranges.values()
+            if r[0] is not None and (len(r) < 3 or r[2] > 0)
+        )
+        overlap = any(
+            live[i][1] > live[i + 1][0] for i in range(len(live) - 1)
+        )
+        meta["sorted"] = "files" if overlap else "global"
+        if live:
+            meta["sort_key_max"] = max(r[1] for r in live)
+        self._flush()
+        self._maintain_rollups(name, rebuild=True)
+        self._maintain_matviews(name)
+        return int(n_del)
+
     def compact(self, name: str, target_file_mb: int = 128) -> dict:
         """Rewrite ``name`` into ~``target_file_mb``-sized files — the
         small-files maintenance op an append-heavy tick store needs

@@ -1656,6 +1656,90 @@ def test_delete_keys_wide_coverage_falls_back(spark, tables, ws_root):
     ).count() == 0
 
 
+def test_delete_range_unlinks_inside_rewrites_boundaries(
+    spark, tables, ws_root
+):
+    """delete_range — key-addressed retention: files wholly inside
+    [lo, hi] UNLINK with no read; only boundary files rewrite; every
+    other file keeps path+mtime; the count and the surviving rows
+    match the filtered oracle."""
+    import os
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    ords = tables["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ws.save("orders", ords, key="o_orderkey", key_partitions=8)
+    meta = ws.manifest["tables"]["orders"]
+    rngs = {
+        f: r for f, r in meta["key_file_ranges"].items() if r[2] > 0
+    }
+    before = {
+        urlparse(f).path: os.path.getmtime(urlparse(f).path) for f in rngs
+    }
+    # range spanning files 2..5 wholly, cutting into 1 and 6
+    ordered = sorted(rngs.items(), key=lambda kv: kv[1][0])
+    lo = (ordered[1][1][0] + ordered[1][1][1]) // 2  # mid of file 1
+    hi = (ordered[6][1][0] + ordered[6][1][1]) // 2  # mid of file 6
+    inside = {
+        urlparse(f).path
+        for f, r in ordered
+        if r[0] >= lo and r[1] <= hi
+    }
+    assert len(inside) >= 3  # the fixture really has interior files
+    n = ws.delete_range("orders", lo, hi)
+    want_n = ords.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    ).count()
+    assert n == want_n
+    meta = ws.manifest["tables"]["orders"]
+    after = {urlparse(f).path for f in meta["key_file_ranges"]}
+    assert inside.isdisjoint(after)  # interior files gone
+    untouched = set(before) & after
+    for p in untouched:
+        assert os.path.getmtime(p) == before[p]
+    # survivors equal the filtered oracle
+    got = sorted(
+        r["o_orderkey"] for r in ws.load("orders").collect()
+    )
+    want = sorted(
+        int(r[0])
+        for r in ords.where(
+            ~((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+        ).select("o_orderkey").collect()
+    )
+    assert got == want
+
+
+def test_delete_range_open_bound_retention(spark, ws_root):
+    """The retention shape: delete everything BELOW a cutoff (open
+    lo) — old files unlink, the boundary file trims, null leads
+    survive (ranges cannot address them), and a second sweep with the
+    same cutoff is a no-op."""
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)] + [(None, "nullrow")],
+        "ts int, v string",
+    )
+    ws.save("ticks", df, key="ts", nonnull=False, key_partitions=4,
+            minimize_widths=False)
+    n = ws.delete_range("ticks", None, 449)
+    assert n == 450
+    rows = ws.load("ticks")
+    assert rows.count() == 551  # 550 live + the null row
+    assert rows.where(F.col("ts").isNull()).count() == 1
+    assert rows.where(F.col("ts") < 450).count() == 0
+    assert ws.delete_range("ticks", None, 449) == 0
+    # both bounds open refuses (that's drop(), not retention)
+    import pytest
+
+    from kerf_spark.errors import KeysError
+
+    with pytest.raises(KeysError):
+        ws.delete_range("ticks")
+
+
 def test_delete_keys_typed_errors(spark, tables, ws_root):
     """Unkeyed table and over-wide probe tuples refuse with
     KeysError (ERROR_KEYS), matching key_lookup's contract."""
