@@ -13291,6 +13291,45 @@ def delete_keyed_pruned(spark, sf):
 
 
 @query(
+    "folio_remote_hll",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS segs,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_remote_hll(spark, sf):
+    """Count-DISTINCT over the folio for UNBOUNDED domains — the
+    mergeable-sketch path (the scale complement of
+    folio_remote_median's exact histograms): each member ships one
+    datasketches HLL buffer per (member, nation) — a few KB regardless
+    of how many distinct values the member holds — and the local final
+    unions the sketches and estimates.  The wire cost is O(groups),
+    full stop; the histogram path's O(distinct values) bound
+    disappears.  The oracle is DuckDB's EXACT count(DISTINCT): the
+    segment domain is small enough that the sketch stays in sparse
+    mode, where the estimate IS exact — so the approximate path is
+    hash-checked against exact truth."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    merged = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_nationkey,"
+        " approx_count_distinct(c_mktsegment) as segs,"
+        " count(*) as n"
+        " from customer group by c_nationkey",
+    )
+    return merged.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("segs").cast("long").alias("segs"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("c_nationkey")
+
+
+@query(
     "delete_keyed_range",
     """
     WITH b AS (
@@ -13976,6 +14015,7 @@ _R10_WINDOW = [
     "upsert_keyed_pruned", "delete_keyed_pruned", "delete_keyed_range",
     "keyed_tuple_lookup",
     "keyed_tuple_range", "folio_remote_avg", "folio_remote_median",
+    "folio_remote_hll",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",
     "kerf_lang_running_verbs",
     # plan changed this round: write/merge/lookup/server/amend paths

@@ -647,6 +647,12 @@ _FOLIO_VARIANCE = {
 #: folio_select); the wire bound is the distinct-value count, guarded
 #: by ARROW_MAX_ROWS fail-loud
 _FOLIO_HISTOGRAM = ("median", "percentile", "quantile")
+#: count DISTINCT for UNBOUNDED domains — approximate but mergeable:
+#: members ship one datasketches HLL buffer per group (≤ a few KB,
+#: independent of cardinality), the final unions and estimates; for
+#: small cardinalities the sketch is in sparse mode and the estimate
+#: is EXACT
+_FOLIO_SKETCH = ("approx_count_distinct",)
 #: genuinely unsupported: order/position-dependent across members
 _FOLIO_REFUSED = (
     "mode", "first", "last", "first_value", "last_value", "string_agg",
@@ -720,6 +726,7 @@ def _folio_parse_select(q: str):
             _FOLIO_ALGEBRAIC
             + tuple(_FOLIO_VARIANCE)
             + _FOLIO_HISTOGRAM
+            + _FOLIO_SKETCH
         ):
             arg, param = am.group(2).strip(), None
             dm = re.match(r"(?is)^\s*distinct\b(.*)$", arg)
@@ -811,8 +818,11 @@ def folio_select(
     weighted histogram (percentile_cont semantics, the same rule SQL
     median follows).  The wire bound is the DISTINCT-VALUE count, not
     the row count — guarded fail-loud by ``ARROW_MAX_ROWS``; for
-    unbounded domains use a mergeable sketch (operators.sketches)
-    instead.  ``stddev``/``variance`` turn out algebraic — they
+    unbounded domains ``approx_count_distinct(x)`` splits as a
+    MERGEABLE HLL SKETCH — members ship one datasketches buffer per
+    group (≤ a few KB regardless of cardinality), the final unions
+    and estimates (sparse-mode sketches make small cardinalities
+    exact).  ``stddev``/``variance`` turn out algebraic — they
     rebuild exactly from (sum, sum-of-squares, count) partials (the
     textbook one-pass identity; fine for analytics scales, documented
     cancellation hazard when |mean| >> stddev).  Order-dependent
@@ -855,6 +865,18 @@ def folio_select(
         elif fn == "max":
             partials.append(f"max({arg}) AS __p{i}")
             finals.append(F.max(f"__p{i}").alias(alias))
+        elif fn == "approx_count_distinct":
+            # mergeable HLL: one ≤KB sketch buffer per (member, group)
+            # regardless of cardinality — the unbounded-domain path
+            # the exact histogram split can't take; sparse-mode
+            # sketches make small cardinalities exact
+            partials.append(f"hll_sketch_agg({arg}) AS __p{i}")
+            finals.append(
+                F.coalesce(
+                    F.hll_sketch_estimate(F.hll_union_agg(f"__p{i}")),
+                    F.lit(0),
+                ).cast("long").alias(alias)
+            )
         elif fn in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
             partials.append(f"sum(({arg}) * 1.0) AS __p{i}s")
             partials.append(f"sum(({arg}) * ({arg}) * 1.0) AS __p{i}q")

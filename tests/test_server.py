@@ -669,6 +669,19 @@ def test_folio_select_splits_holistic_via_histograms(spark):
             F.countDistinct("c_nationkey").alias("nk"),
         ).head()
         assert tot["med"] == wt["med"] and tot["nk"] == wt["nk"]
+        # approx_count_distinct: mergeable HLL sketches on the wire —
+        # sparse mode makes the small segment domain EXACT
+        hll = {
+            r["c_nationkey"]: r["d"]
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select c_nationkey,"
+                " approx_count_distinct(c_mktsegment) as d"
+                " from customer group by c_nationkey",
+            ).collect()
+        }
+        assert hll == {k: w["segs"] for k, w in want.items()}
     finally:
         for s in srvs:
             s.stop()
