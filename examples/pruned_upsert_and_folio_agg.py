@@ -2,8 +2,12 @@
 the files holding the corrected keys — mtimes prove it), the
 COMPOSITE-key sort index ((sym, ts)-style tuple probes scan fewer
 files than lead-only probes), the FOLIO AGGREGATE AUTO-SPLIT
-(avg/sum/count/min/max over live remote members, holistic aggregates
-refused), cross-process manifest merging, and the q table verbs
+(avg/sum/count/min/max over live remote members; holistic
+median/percentile/count-DISTINCT split EXACTLY via merged member
+histograms, approx_count_distinct via mergeable HLL sketches;
+order-dependent aggregates refused), key-pruned deletes
+(delete_keys / delete_range retention), cross-process manifest
+merging, and the q table verbs
 (xkey / ij / lj / uj / ungroup).
 
 Run:  python examples/pruned_upsert_and_folio_agg.py [sf_dir]
@@ -65,6 +69,23 @@ def main() -> None:
           f"rewritten, {len(kept)} of {len(before)} kept byte-identical "
           f"(mtime-proven)")
 
+    # ------------------------------- key-pruned delete + range retention
+    print("== key-pruned deletes: delete_keys / delete_range ==")
+    n = ws.delete_keys("orders", lows[:3])  # purge by key list
+    mids = sorted(
+        int(r[0]) for r in ws.manifest["tables"]["orders"]
+        ["key_file_ranges"].values() if r[0] is not None and r[2] > 0
+    )
+    files_before = len(ws.manifest["tables"]["orders"]["key_file_ranges"])
+    # retention: expire everything in the middle half of the key space
+    lo, hi = mids[len(mids) // 4], mids[3 * len(mids) // 4]
+    nr = ws.delete_range("orders", lo, hi)
+    files_after = len(ws.manifest["tables"]["orders"]["key_file_ranges"])
+    print(f"  delete_keys purged {n} rows (broadcast anti-join, covering "
+          f"files only); delete_range expired {nr} rows "
+          f"[{lo}, {hi}] — {files_before} files -> {files_after} "
+          f"(interior files unlink with zero reads)")
+
     # --------------------------------------- composite-key tuple lookup
     print("== composite sort index: tuple probes prune deeper ==")
     ticks = spark.range(40_000).select(
@@ -92,11 +113,23 @@ def main() -> None:
             "from customer group by c_nationkey order by c_nationkey limit 5",
         )
         merged.show(5)
+        # holistic aggregates split EXACTLY via member histograms
+        # (the wire carries distinct-value counts, never rows), and
+        # approx_count_distinct ships mergeable HLL sketch buffers
+        hol = folio_select(
+            spark, [s.address for s in srvs],
+            "select c_nationkey, median(c_acctbal) as med,"
+            " count(distinct c_mktsegment) as segs,"
+            " approx_count_distinct(c_mktsegment) as segs_hll"
+            " from customer group by c_nationkey"
+            " order by c_nationkey limit 5",
+        )
+        hol.show(5)
         try:
             folio_select(spark, [srvs[0].address],
-                         "select median(c_acctbal) as m from customer")
+                         "select mode(c_acctbal) as m from customer")
         except ArgsError as e:
-            print(f"  holistic refused: {str(e)[:70]} ...")
+            print(f"  order-dependent refused: {str(e)[:70]} ...")
     finally:
         for s in srvs:
             s.stop()
