@@ -569,33 +569,10 @@ class Workspace:
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(*files)
-
-        def _lex(bound, op_ge: bool):
-            # lexicographic tuple compare as a Column predicate:
-            # (k0 > b0) | (k0 == b0 & (k1 >= b1 ...)) — stays a plain
-            # comparison chain Catalyst can push per-conjunct
-            k0 = F.col(key[0])
-            b0 = F.lit(bound[0])
-            if len(bound) == 1:
-                return k0 >= b0 if op_ge else k0 <= b0
-            rest = _lex_inner(bound, 1, op_ge)
-            return ((k0 > b0) if op_ge else (k0 < b0)) | (
-                (k0 == b0) & rest
-            )
-
-        def _lex_inner(bound, i: int, op_ge: bool):
-            kc = F.col(key[i])
-            bc = F.lit(bound[i])
-            if i == len(bound) - 1:
-                return kc >= bc if op_ge else kc <= bc
-            return ((kc > bc) if op_ge else (kc < bc)) | (
-                (kc == bc) & _lex_inner(bound, i + 1, op_ge)
-            )
-
         if lo_t is not None:
-            df = df.where(_lex(lo_t, True))
+            df = df.where(_lex_pred(key, lo_t, True))
         if hi_t is not None:
-            df = df.where(_lex(hi_t, False))
+            df = df.where(_lex_pred(key, hi_t, False))
         return df
 
     # ------------------------------------------------------- bucketed save
@@ -1710,6 +1687,12 @@ class Workspace:
         of retention on a 100 TB tick table is a handful of unlinks
         plus two small rewrites.
 
+        TUPLE bounds are LEXICOGRAPHIC on a composite key, mirroring
+        :meth:`key_range` — ``delete_range(t, ("AAPL", a),
+        ("AAPL", b))`` purges one sym's time slice: file selection
+        prunes on the lead AND (for a same-lead slice) the composite
+        index's second-column bounds; interior files still unlink.
+
         Null leading keys are INVISIBLE to a range (SQL comparison
         semantics — they compare null, so they survive any range
         delete); purge them explicitly with ``delete_keys([None])``.
@@ -1731,8 +1714,24 @@ class Workspace:
                 f"delete_range({name!r}): both bounds open would "
                 f"truncate the table — use drop() if you mean that"
             )
+        lo_t = lo if isinstance(lo, tuple) else (lo,) if lo is not None else None
+        hi_t = hi if isinstance(hi, tuple) else (hi,) if hi is not None else None
+        for b in (lo_t, hi_t):
+            if b is not None and len(b) > len(key):
+                raise KeysError(
+                    f"delete_range({name!r}): bound tuple wider than "
+                    f"key {key}"
+                )
+        lo_b = tuple(_jsonable(x) for x in lo_t) if lo_t else None
+        hi_b = tuple(_jsonable(x) for x in hi_t) if hi_t else None
+        same_lead = (
+            lo_b is not None
+            and hi_b is not None
+            and len(lo_b) >= 2
+            and len(hi_b) >= 2
+            and lo_b[0] == hi_b[0]
+        )
         ranges = meta.get("key_file_ranges") or {}
-        jlo, jhi = _jsonable(lo), _jsonable(hi)
         schema = T.StructType.fromJson(meta["schema"])
         # a file's [min, max] skips null leads, so on a nullable-key
         # table a null row can HIDE inside an "inside" file — blind
@@ -1740,30 +1739,55 @@ class Workspace:
         # keep the O(1) unlink; nullable ones trim every overlapping
         # file through the read path (correct, null rows survive).
         unlink_ok = bool(meta.get("nonnull", True))
+
+        def _bounds(r):
+            # the file's lexicographic lower/upper bound tuples from
+            # the manifest entry ([mn,mx,rows] or [..,mn2,mx2]):
+            # (mn, mn2) <= every row <= (mx, mx2) — per-column mins
+            # compose into a valid lex bound
+            if len(r) >= 5 and r[3] is not None:
+                return (r[0], r[3]), (r[1], r[4])
+            return (r[0],), (r[1],)
+
         doomed, boundary = [], []
         for f, r in ranges.items():
             if len(r) >= 3 and r[2] == 0:
                 continue  # footer-only empty file
             if r[0] is None:
                 continue  # all-null leads: ranges cannot address them
-            overlaps = (jlo is None or r[1] >= jlo) and (
-                jhi is None or r[0] <= jhi
-            )
-            if not overlaps:
+            fl, fu = _bounds(r)
+            # overlap: lead test + (same-lead slice) second bound
+            if lo_b is not None and r[1] < lo_b[0]:
                 continue
-            inside = unlink_ok and (jlo is None or r[0] >= jlo) and (
-                jhi is None or r[1] <= jhi
+            if hi_b is not None and r[0] > hi_b[0]:
+                continue
+            if same_lead and len(r) >= 5 and r[3] is not None and (
+                r[4] < lo_b[1] or r[3] > hi_b[1]
+            ):
+                continue
+            # wholly inside (lex): every row >= lo and <= hi — a
+            # prefix-equal compare resolves by bound exhaustion (a
+            # WIDER file bound than the range bound is decided; a
+            # NARROWER one is unknown -> boundary, conservative)
+            ge_ok = lo_b is None or (
+                (c := _lex_prefix_cmp(fl, lo_b)) > 0
+                or (c == 0 and len(fl) >= len(lo_b))
             )
+            le_ok = hi_b is None or (
+                (c := _lex_prefix_cmp(fu, hi_b)) < 0
+                or (c == 0 and len(fu) >= len(hi_b))
+            )
+            inside = unlink_ok and ge_ok and le_ok
             (doomed if inside else boundary).append(f)
         if not doomed and not boundary:
             return 0
         n_del = sum(ranges[f][2] for f in doomed)
         if boundary:
             cond = None
-            if lo is not None:
-                cond = F.col(key[0]) >= F.lit(lo)
-            if hi is not None:
-                c2 = F.col(key[0]) <= F.lit(hi)
+            if lo_t is not None:
+                cond = _lex_pred(key, lo_t, True)
+            if hi_t is not None:
+                c2 = _lex_pred(key, hi_t, False)
                 cond = c2 if cond is None else cond & c2
             # null leads survive: coalesce(cond, False) keeps them
             keep_pred = ~F.coalesce(cond, F.lit(False))
@@ -1932,6 +1956,43 @@ def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
             else zdf.repartitionByRange("__kf_z")
         )
     return zdf.sortWithinPartitions("__kf_z").drop("__kf_z")
+
+
+def _lex_pred(key, bound, op_ge: bool):
+    """Lexicographic tuple compare as a Column predicate:
+    ``(k0 > b0) | (k0 == b0 & (k1 >= b1 ...))`` — a plain comparison
+    chain Catalyst can push per-conjunct.  ``op_ge`` picks the
+    direction (>= for a lower bound, <= for an upper).  Shared by
+    :meth:`Workspace.key_range` and :meth:`Workspace.delete_range`."""
+
+    def inner(i: int):
+        kc = F.col(key[i])
+        bc = F.lit(bound[i])
+        if i == len(bound) - 1:
+            return kc >= bc if op_ge else kc <= bc
+        return ((kc > bc) if op_ge else (kc < bc)) | (
+            (kc == bc) & inner(i + 1)
+        )
+
+    k0 = F.col(key[0])
+    b0 = F.lit(bound[0])
+    if len(bound) == 1:
+        return k0 >= b0 if op_ge else k0 <= b0
+    return ((k0 > b0) if op_ge else (k0 < b0)) | (
+        (k0 == b0) & inner(1)
+    )
+
+
+def _lex_prefix_cmp(t, b) -> int:
+    """Compare tuples componentwise up to the shorter length: -1/0/1
+    (0 = prefix-equal).  Driver-side twin of the Column chain above,
+    over manifest (``_jsonable``-normalized) values."""
+    for x, y in zip(t, b):
+        if x < y:
+            return -1
+        if x > y:
+            return 1
+    return 0
 
 
 def _data_files(path: str) -> set[str]:

@@ -1740,6 +1740,62 @@ def test_delete_range_open_bound_retention(spark, ws_root):
         ws.delete_range("ticks")
 
 
+def test_delete_range_lexicographic_tuple_bounds(spark, ws_root):
+    """Tuple bounds purge ONE sym's time slice (the composite-key
+    retention shape, mirroring key_range's lexicographic contract):
+    only that sym's covering files move, the other sym's rows and
+    the sym's out-of-slice rows survive, and a whole-sym slice
+    unlinks its wholly-owned files."""
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "ticks",
+        spark.range(20_000).select(
+            F.lit("AAPL").alias("sym"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 2).alias("px"),
+        ),
+        key=("sym", "ts"), key_partitions=4, minimize_widths=False,
+    )
+    ws.append(
+        "ticks",
+        spark.range(20_000).select(
+            F.lit("MSFT").alias("sym"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 3).alias("px"),
+        ),
+    )
+    rngs = ws.manifest["tables"]["ticks"]["key_file_ranges"]
+    msft_files = {
+        urlparse(f).path
+        for f, r in rngs.items()
+        if r[2] > 0 and r[0] == "MSFT"
+    }
+    # slice out the middle of AAPL only
+    n = ws.delete_range("ticks", ("AAPL", 5_000), ("AAPL", 9_999))
+    assert n == 5_000
+    meta = ws.manifest["tables"]["ticks"]
+    after = {urlparse(f).path for f in meta["key_file_ranges"]}
+    assert msft_files <= after  # the other sym never moved
+    got = ws.load("ticks")
+    assert got.where(F.col("sym") == "MSFT").count() == 20_000
+    aapl = sorted(
+        r["ts"] for r in got.where(F.col("sym") == "AAPL").collect()
+    )
+    assert aapl == list(range(0, 5_000)) + list(range(10_000, 20_000))
+    # a whole-sym slice unlinks the wholly-owned interior files
+    before2 = {urlparse(f).path for f in meta["key_file_ranges"]}
+    n2 = ws.delete_range("ticks", ("MSFT",), ("MSFT",))
+    assert n2 == 20_000
+    after2 = {
+        urlparse(f).path
+        for f in ws.manifest["tables"]["ticks"]["key_file_ranges"]
+    }
+    assert after2 < before2 and msft_files.isdisjoint(after2)
+    assert ws.load("ticks").where(F.col("sym") == "MSFT").count() == 0
+
+
 def test_delete_keys_typed_errors(spark, tables, ws_root):
     """Unkeyed table and over-wide probe tuples refuse with
     KeysError (ERROR_KEYS), matching key_lookup's contract."""
