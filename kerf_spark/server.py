@@ -910,10 +910,13 @@ def folio_select(
         member += f" WHERE {where}"
     if keys:
         member += f" GROUP BY {key_sel}"
-    gathered = folio_remote(spark, addrs, member, timeout=timeout)
-    # ---- histogram gathers: one per distinct holistic argument --------
-    hists: dict[str, Any] = {}
-    for arg in {it[2] for it in items if it[1] in hist_fns}:
+    # ---- gathers: the partial spine + one histogram per distinct
+    # holistic argument, all CONCURRENT (each gather already fans one
+    # thread per member socket; the gathers themselves are independent
+    # round-trips, so they overlap too)
+    hist_args = sorted({it[2] for it in items if it[1] in hist_fns})
+    hqs = {}
+    for arg in hist_args:
         hq = "SELECT "
         if keys:
             hq += f"{key_sel}, "
@@ -921,7 +924,27 @@ def folio_select(
         if where:
             hq += f" WHERE {where}"
         hq += " GROUP BY " + ", ".join(keys + [arg])
-        h = folio_remote(spark, addrs, hq, timeout=timeout)
+        hqs[arg] = hq
+    if hqs:
+        import concurrent.futures as _fut
+
+        with _fut.ThreadPoolExecutor(max_workers=1 + len(hqs)) as pool:
+            fut_alg = pool.submit(
+                folio_remote, spark, addrs, member, timeout=timeout
+            )
+            fut_h = {
+                arg: pool.submit(
+                    folio_remote, spark, addrs, hq, timeout=timeout
+                )
+                for arg, hq in hqs.items()
+            }
+            gathered = fut_alg.result()
+            raw_h = {arg: f.result() for arg, f in fut_h.items()}
+    else:
+        gathered = folio_remote(spark, addrs, member, timeout=timeout)
+        raw_h = {}
+    hists: dict[str, Any] = {}
+    for arg, h in raw_h.items():
         # merge member histograms by value; nulls drop (SQL aggregate
         # semantics: COUNT(DISTINCT)/percentile ignore nulls)
         hists[arg] = (
