@@ -13373,6 +13373,74 @@ def delete_keyed_range(spark, sf):
 
 
 @query(
+    "stream_delete_keys",
+    """
+    WITH b AS (
+      SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(o_totalprice, 2) + 0.0 AS totalprice
+    FROM orders, b
+    WHERE NOT (o_orderkey % 100 = 0 AND o_orderkey <= mn + (mx - mn) // 2)
+    """,
+)
+def stream_delete_keys(spark, sf):
+    """STREAMING deletion requests end-to-end (the right-to-be-
+    forgotten feed): a real checkpointed file-source stream of key
+    batches drains through ``Workspace.delete_sink`` — each micro-
+    batch purges its keys via the KEY-PRUNED delete (covering files
+    only), extra feed columns ignored, and the surviving table equals
+    the filtered oracle.  Two micro-batches (maxFilesPerTrigger=1)
+    prove per-epoch application; replay converges because deleting an
+    absent key is a no-op."""
+    import shutil as _sh
+    import tempfile
+
+    from .streaming.ingest import fanout, read_file_stream
+
+    ws = _cloned_keyed_orders(spark, sf, "wsstreamdel")
+    rngs = [
+        r
+        for r in ws.manifest["tables"]["orders"]["key_file_ranges"].values()
+        if r[0] is not None and (len(r) < 3 or r[2] > 0)
+    ]
+    mn = int(min(r[0] for r in rngs))
+    mx = int(max(r[1] for r in rngs))
+    cut = mn + (mx - mn) // 2
+    doomed = list(range(((mn + 99) // 100) * 100, cut + 1, 100))
+    half = len(doomed) // 2
+    root = tempfile.mkdtemp(prefix="kerf_delfeed_")
+    try:
+        for i, chunk in enumerate((doomed[:half], doomed[half:])):
+            spark.createDataFrame(
+                [(k, f"req-{i}") for k in chunk],
+                "o_orderkey bigint, requested_by string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{root}/src/part{i}"
+            )
+        feed = read_file_stream(
+            spark, f"{root}/src/part*",
+            spark.createDataFrame(
+                [], "o_orderkey bigint, requested_by string"
+            ).schema,
+            maxFilesPerTrigger=1,
+        )
+        q = fanout(
+            feed, f"{root}/ckpt", ws.delete_sink("orders"),
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return ws.load("orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
+    )
+
+
+@query(
     "keyed_tuple_lookup",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -14013,7 +14081,7 @@ _R09_WINDOW = [
 _R10_WINDOW = [
     # round-10 additions (never driver-checked)
     "upsert_keyed_pruned", "delete_keyed_pruned", "delete_keyed_range",
-    "keyed_tuple_lookup",
+    "stream_delete_keys", "keyed_tuple_lookup",
     "keyed_tuple_range", "folio_remote_avg", "folio_remote_median",
     "folio_remote_hll",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",

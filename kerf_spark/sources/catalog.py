@@ -1838,6 +1838,49 @@ class Workspace:
         self._maintain_matviews(name)
         return int(n_del)
 
+    def delete_sink(self, name: str, cap: int = 1_000_000):
+        """Streaming DELETION requests — the right-to-be-forgotten
+        feed a training-data pipeline needs: a fanout-compatible
+        ``foreachBatch`` sink that applies each micro-batch of KEYS
+        through the key-pruned :meth:`delete_keys`.  Batch columns
+        must include the declared key columns (extra columns are
+        ignored); each batch purges its keys touching only covering
+        files.
+
+        Crash replay converges: deleting an already-absent key is a
+        no-op, so a replayed epoch changes nothing.  The probe list is
+        driver-bounded by construction — a micro-batch carrying more
+        than ``cap`` distinct keys refuses loudly (split the feed or
+        raise the cap) rather than silently collecting unbounded state
+        onto the driver."""
+        meta = self.manifest["tables"][name]
+        key = meta.get("key")
+        if not key:
+            raise KeysError(
+                f"delete_sink({name!r}): table declares no key "
+                f"(save with key=...) (ERROR_KEYS)"
+            )
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            missing = [k for k in key if k not in batch.columns]
+            if missing:
+                raise ColumnError(
+                    f"delete_sink({name!r}): micro-batch lacks key "
+                    f"column(s) {missing}"
+                )
+            rows = batch.select(*key).distinct().limit(cap + 1).collect()
+            if len(rows) > cap:
+                raise KeysError(
+                    f"delete_sink({name!r}): micro-batch carries more "
+                    f"than cap={cap} distinct keys — split the feed "
+                    f"or raise the cap"
+                )
+            if not rows:
+                return
+            self.delete_keys(name, [tuple(r) for r in rows])
+
+        return sink
+
     def compact(self, name: str, target_file_mb: int = 128) -> dict:
         """Rewrite ``name`` into ~``target_file_mb``-sized files — the
         small-files maintenance op an append-heavy tick store needs

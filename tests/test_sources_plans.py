@@ -1796,6 +1796,45 @@ def test_delete_range_lexicographic_tuple_bounds(spark, ws_root):
     assert ws.load("ticks").where(F.col("sym") == "MSFT").count() == 0
 
 
+def test_delete_sink_applies_and_replays_idempotently(spark, ws_root):
+    """The right-to-be-forgotten feed: each micro-batch of keys purges
+    key-pruned; a replayed epoch (same batch again) is a no-op; extra
+    batch columns are ignored; missing key columns and over-cap
+    batches refuse typed."""
+    import pytest
+
+    from kerf_spark.errors import ColumnError, KeysError
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "users",
+        spark.range(1000).select(
+            F.col("id").alias("uid"), (F.col("id") * 2).alias("v")
+        ),
+        key="uid", key_partitions=4, minimize_widths=False,
+    )
+    sink = ws.delete_sink("users", cap=100)
+    batch = spark.createDataFrame(
+        [(3, "req-a"), (500, "req-b"), (999, "req-c")],
+        "uid long, request string",  # extra column ignored
+    )
+    sink(batch, 0)
+    assert ws.load("users").count() == 997
+    assert ws.key_lookup("users", [3, 500, 999]).count() == 0
+    sink(batch, 0)  # crash replay: same epoch again -> no-op
+    assert ws.load("users").count() == 997
+    sink(spark.createDataFrame([], "uid long, request string"), 1)
+    assert ws.load("users").count() == 997
+    with pytest.raises(ColumnError):
+        sink(spark.createDataFrame([(1,)], "other long"), 2)
+    big = spark.range(200).select(F.col("id").alias("uid"))
+    with pytest.raises(KeysError):
+        sink(big, 3)
+    ws.save("plain", spark.range(3))
+    with pytest.raises(KeysError):
+        ws.delete_sink("plain")
+
+
 def test_delete_keys_typed_errors(spark, tables, ws_root):
     """Unkeyed table and over-wide probe tuples refuse with
     KeysError (ERROR_KEYS), matching key_lookup's contract."""
