@@ -1838,6 +1838,35 @@ class Workspace:
         self._maintain_matviews(name)
         return int(n_del)
 
+    def index_stats(self, name: str) -> DataFrame:
+        """The sort index as a TABLE — kdb ``meta``-style
+        introspection for the keyed layout: one row per data file with
+        ``(file, lo, hi, rows, lo2, hi2)`` straight from the manifest
+        (no scan).  Lets an operator see skew (one hot lead spanning
+        many files), verify pruning claims, and size compactions."""
+        meta = self.manifest["tables"][name]
+        if not meta.get("key"):
+            raise KeysError(
+                f"index_stats({name!r}): table declares no key "
+                f"(save with key=...)"
+            )
+        rows = [
+            (
+                f,
+                str(r[0]) if r[0] is not None else None,
+                str(r[1]) if r[1] is not None else None,
+                int(r[2]) if len(r) >= 3 else None,
+                str(r[3]) if len(r) >= 5 and r[3] is not None else None,
+                str(r[4]) if len(r) >= 5 and r[4] is not None else None,
+            )
+            for f, r in (meta.get("key_file_ranges") or {}).items()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file string, lo string, hi string, rows bigint, "
+            "lo2 string, hi2 string",
+        ).orderBy("lo", "lo2")
+
     def delete_sink(self, name: str, cap: int = 1_000_000):
         """Streaming DELETION requests — the right-to-be-forgotten
         feed a training-data pipeline needs: a fanout-compatible

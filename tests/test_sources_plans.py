@@ -1796,6 +1796,33 @@ def test_delete_range_lexicographic_tuple_bounds(spark, ws_root):
     assert ws.load("ticks").where(F.col("sym") == "MSFT").count() == 0
 
 
+def test_index_stats_reflects_manifest(spark, tables, ws_root):
+    """index_stats: the sort index as a table — one row per data
+    file, values matching the manifest, zero scans (it reads only the
+    manifest dict)."""
+    import pytest
+
+    from kerf_spark.errors import KeysError
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "orders",
+        tables["orders"].select("o_orderkey", "o_totalprice"),
+        key="o_orderkey", key_partitions=4,
+    )
+    stats = ws.index_stats("orders").collect()
+    rngs = ws.manifest["tables"]["orders"]["key_file_ranges"]
+    assert {r["file"] for r in stats} == set(rngs)
+    for r in stats:
+        ent = rngs[r["file"]]
+        assert r["rows"] == ent[2]
+        if ent[0] is not None:
+            assert r["lo"] == str(ent[0]) and r["hi"] == str(ent[1])
+    ws.save("plain", tables["region"])
+    with pytest.raises(KeysError):
+        ws.index_stats("plain")
+
+
 def test_delete_sink_applies_and_replays_idempotently(spark, ws_root):
     """The right-to-be-forgotten feed: each micro-batch of keys purges
     key-pruned; a replayed epoch (same batch again) is a no-op; extra
