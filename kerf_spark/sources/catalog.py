@@ -1843,7 +1843,9 @@ class Workspace:
         introspection for the keyed layout: one row per data file with
         ``(file, lo, hi, rows, lo2, hi2)`` straight from the manifest
         (no scan).  Lets an operator see skew (one hot lead spanning
-        many files), verify pruning claims, and size compactions."""
+        many files), verify pruning claims, and size compactions.
+        Bounds are STRINGIFIED for a uniform schema across key types —
+        sort on the underlying key domain, not these columns."""
         meta = self.manifest["tables"][name]
         if not meta.get("key"):
             raise KeysError(
@@ -1865,7 +1867,7 @@ class Workspace:
             rows,
             "file string, lo string, hi string, rows bigint, "
             "lo2 string, hi2 string",
-        ).orderBy("lo", "lo2")
+        )
 
     def delete_sink(self, name: str, cap: int = 1_000_000):
         """Streaming DELETION requests — the right-to-be-forgotten
