@@ -1056,7 +1056,9 @@ def test_property_keyed_table_interleavings_match_model(spark, ws_root):
 
     ops = st.lists(
         st.tuples(
-            st.sampled_from(["add", "ups", "lookup", "collide"]),
+            st.sampled_from(
+                ["add", "ups", "lookup", "collide", "del", "delrange"]
+            ),
             st.lists(
                 st.integers(min_value=0, max_value=39),
                 min_size=1, max_size=5,
@@ -1101,6 +1103,19 @@ def test_property_keyed_table_interleavings_match_model(spark, ws_root):
                 ws.upsert("t", frame([(k, ver) for k in keys]))
                 for k in keys:
                     model[k] = ver
+            elif op == "del":
+                n = ws.delete_keys("t", [int(k) for k in keys])
+                hit = [k for k in keys if k in model]
+                assert n == len(hit)
+                for k in hit:
+                    del model[k]
+            elif op == "delrange":
+                lo, hi = keys[0], keys[-1]
+                n = ws.delete_range("t", int(lo), int(hi))
+                hit = [k for k in list(model) if lo <= k <= hi]
+                assert n == len(hit)
+                for k in hit:
+                    del model[k]
             elif op == "collide":
                 hit = [k for k in keys if k in model]
                 if not hit:
