@@ -167,6 +167,39 @@ class Workspace:
             with open(self._manifest_path) as f:
                 self.manifest = json.load(f)
 
+    def _table_lock(self, name: str):
+        """Serialize SAME-TABLE writers across processes — the second
+        half of the concurrency contract (the manifest flock in
+        :meth:`_flush` merges entries across tables; without this, two
+        processes writing ONE table race the data-file writes and the
+        last flush wins, leaving index entries for files the loser
+        wrote but the winner never saw).  An advisory ``flock`` on
+        ``root/.tlock.<name>`` held for the whole write, with the
+        manifest RE-READ under the lock so the second writer builds on
+        the first's files.  Non-POSIX degrades to single-process
+        semantics, like the manifest lock."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def hold():
+            try:
+                import fcntl
+            except ImportError:  # non-POSIX
+                fcntl = None
+            safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+            lf = open(os.path.join(self.root, f".tlock.{safe}"), "a+")
+            try:
+                if fcntl is not None:
+                    fcntl.flock(lf, fcntl.LOCK_EX)
+                self.refresh()
+                yield
+            finally:
+                if fcntl is not None:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+                lf.close()
+
+        return hold()
+
     # ------------------------------------------------------------- save/load
     def _flush(self) -> None:
         """Serialize load-merge-write across PROCESSES: take the
@@ -1030,6 +1063,10 @@ class Workspace:
 
     # ------------------------------------------------------------- append
     def append(self, name: str, rows: DataFrame) -> None:
+        with self._table_lock(name):
+            self._append_locked(name, rows)
+
+    def _append_locked(self, name: str, rows: DataFrame) -> None:
         """Append with transparent schema promotion (kerf append
         semantics).  New partitions land as new files — the folio
         "append to last sublist" discipline (presented.h:420-425).
@@ -1217,6 +1254,12 @@ class Workspace:
         self._maintain_matviews(name, fact_append=True, increment=stored_inc)
 
     def upsert(
+        self, name: str, rows: DataFrame, keys: Sequence[str] | None = None
+    ) -> None:
+        with self._table_lock(name):
+            self._upsert_locked(name, rows, keys)
+
+    def _upsert_locked(
         self, name: str, rows: DataFrame, keys: Sequence[str] | None = None
     ) -> None:
         """Keyed upsert via staging-dir + atomic directory swap.
@@ -1469,6 +1512,10 @@ class Workspace:
         return True
 
     def delete_keys(self, name: str, values) -> int:
+        with self._table_lock(name):
+            return self._delete_keys_locked(name, values)
+
+    def _delete_keys_locked(self, name: str, values) -> int:
         """KEY-PRUNED delete on a sort-indexed table — the third write
         shape of the append discipline (presented.h:420-425: mutate
         the sublists you touch, never the folio).  ``values`` follows
@@ -1672,6 +1719,10 @@ class Workspace:
         return int(n_del)
 
     def delete_range(self, name: str, lo=None, hi=None) -> int:
+        with self._table_lock(name):
+            return self._delete_range_locked(name, lo, hi)
+
+    def _delete_range_locked(self, name: str, lo=None, hi=None) -> int:
         """Key-RANGE delete on a sort-indexed table — the tick-store
         retention op ("expire everything before this stamp") for
         tables keyed on time rather than partitioned by date: drop
@@ -1913,6 +1964,10 @@ class Workspace:
         return sink
 
     def compact(self, name: str, target_file_mb: int = 128) -> dict:
+        with self._table_lock(name):
+            return self._compact_locked(name, target_file_mb)
+
+    def _compact_locked(self, name: str, target_file_mb: int = 128) -> dict:
         """Rewrite ``name`` into ~``target_file_mb``-sized files — the
         small-files maintenance op an append-heavy tick store needs
         (each streaming micro-batch / folio append lands another file;
