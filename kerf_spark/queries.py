@@ -13256,7 +13256,8 @@ def upsert_keyed_pruned(spark, sf):
            CAST(o_custkey AS BIGINT) AS custkey,
            round(o_totalprice, 2) + 0.0 AS totalprice
     FROM orders, b
-    WHERE NOT (o_orderkey <= mn + (mx - mn) // 8 AND o_orderkey % 10 = 0)
+    WHERE NOT (o_orderkey <= mn + LEAST((mx - mn) // 8, 150000)
+           AND o_orderkey % 10 = 0)
     """,
 )
 def delete_keyed_pruned(spark, sf):
@@ -13271,7 +13272,10 @@ def delete_keyed_pruned(spark, sf):
     filtered oracle.  The pristine keyed table comes from a cloned
     base fixture and the probe keys from manifest arithmetic (every
     multiple of 10 up to the cut — absent probes no-op), so the timed
-    region holds ZERO table scans besides the delete itself."""
+    region holds ZERO table scans besides the delete itself.  The cut
+    is span/8 CAPPED at 150k keys: the purge batch is the user's
+    fixed-size input, the table is what scales — an uncapped cut made
+    the 10x slope measure probe-list construction, not the delete."""
     ws = _cloned_keyed_orders(spark, sf, "wsdelete")
     rngs = [
         r
@@ -13280,7 +13284,7 @@ def delete_keyed_pruned(spark, sf):
     ]
     mn = int(min(r[0] for r in rngs))
     mx = int(max(r[1] for r in rngs))
-    cut = mn + (mx - mn) // 8
+    cut = mn + min((mx - mn) // 8, 150_000)
     doomed = list(range(((mn + 9) // 10) * 10, cut + 1, 10))
     ws.delete_keys("orders", doomed)
     return ws.load("orders").select(
@@ -13327,6 +13331,43 @@ def folio_remote_hll(spark, sf):
         F.col("segs").cast("long").alias("segs"),
         F.col("n").cast("long").alias("n"),
     ).orderBy("c_nationkey")
+
+
+@query(
+    "folio_remote_bucket",
+    """
+    SELECT CAST(c_custkey % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS cents,
+           median(CAST(round(c_acctbal * 100) AS BIGINT)) AS med
+    FROM customer GROUP BY c_custkey % 7 ORDER BY bucket
+    """,
+)
+def folio_remote_bucket(spark, sf):
+    """EXPRESSION group keys over the folio (the distributed
+    time-bucket shape — xbar bars in one statement): members compute
+    the bucket expression under a synthetic alias, partials AND
+    histogram gathers group on it, the final merge maps it back to
+    the statement's name.  Here the bucket is ``c_custkey % 7`` with
+    an algebraic (count/sum) and a holistic (median over integer
+    cents) aggregate riding the same expression key, checked against
+    the unsharded DuckDB oracle."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    merged = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_custkey % 7 as bucket, count(*) as n,"
+        " sum(c_acctbal) as bal, median(cents) as med"
+        " from customer group by c_custkey % 7",
+    )
+    return merged.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("bal") * 100).cast("long").alias("cents"),
+        "med",
+    ).orderBy("bucket")
 
 
 @query(
@@ -14083,7 +14124,7 @@ _R10_WINDOW = [
     "upsert_keyed_pruned", "delete_keyed_pruned", "delete_keyed_range",
     "stream_delete_keys", "keyed_tuple_lookup",
     "keyed_tuple_range", "folio_remote_avg", "folio_remote_median",
-    "folio_remote_hll",
+    "folio_remote_hll", "folio_remote_bucket",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",
     "kerf_lang_running_verbs",
     # plan changed this round: write/merge/lookup/server/amend paths

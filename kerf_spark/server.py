@@ -692,18 +692,18 @@ def _folio_parse_select(q: str):
     table, ansi_by = _split_clause(table, "group\\s+by")
     if ansi_by:
         by = ansi_by if not by else f"{by}, {ansi_by}"
-    keys = [k.strip() for k in _split_top(by)] if by else []
-    for k in keys:
-        # the final merge groups the gathered partials BY NAME — an
-        # expression key would need an alias contract both sides;
-        # refuse rather than mis-group (compute the bucket in a view
-        # on the members, then group by its name)
-        if not re.fullmatch(r"[A-Za-z_]\w*", k):
-            raise ArgsError(
-                f"folio_select: group key must be a plain column "
-                f"name, got {k!r} (alias the expression on the "
-                f"members first)"
-            )
+    # group keys as (alias, expr) pairs: a plain column keys by its
+    # own name; an EXPRESSION key (xbar(ts, w), substr(sym, 1, 1), …)
+    # gets a synthetic member-side alias — members compute the bucket,
+    # the final merge groups on the alias, and the projection maps it
+    # back to the statement's name (distributed time-bucketed bars)
+    raw_keys = [k.strip() for k in _split_top(by)] if by else []
+    keys = []
+    for i, k in enumerate(raw_keys):
+        if re.fullmatch(r"[A-Za-z_]\w*", k):
+            keys.append((k, k))
+        else:
+            keys.append((f"__k{i}", k))
     items = []
     for part in _split_top(body):
         m = re.match(r"(?is)^(.*?)\s+as\s+(\w+)\s*$", part)
@@ -779,13 +779,23 @@ def _folio_parse_select(q: str):
                 )
             items.append((alias, fn, arg, param))
         else:
-            # non-aggregate projection: must be a group key
-            if expr not in keys:
+            # non-aggregate projection: must be a group key — matched
+            # by its member alias (plain column) or its raw expression
+            # text (expression key)
+            hit = next(
+                (ka for ka, ke in keys if expr in (ka, ke)), None
+            )
+            if hit is None:
                 raise ArgsError(
                     f"folio_select: non-aggregate column {expr!r} "
                     f"must appear in the by/group-by clause"
                 )
-            items.append((alias or expr, None, expr, None))
+            if hit != expr and alias is None:
+                raise ArgsError(
+                    f"folio_select: expression group key {expr!r} "
+                    f"needs a projection alias (`... as name`)"
+                )
+            items.append((alias or expr, None, hit, None))
     return items, keys, table.strip(), where, order, limit
 
 
@@ -896,7 +906,11 @@ def folio_select(
             finals.append(
                 (F.sum(f"__p{i}s") / F.sum(f"__p{i}c")).alias(alias)
             )
-    key_sel = ", ".join(keys)
+    key_names = [ka for ka, _ in keys]
+    key_sel = ", ".join(
+        ka if ka == ke else f"{ke} AS {ka}" for ka, ke in keys
+    )
+    key_grp = ", ".join(ke for _, ke in keys)
     if not partials:
         # histogram-only statement: a hidden count(*) defines the
         # group spine (dropped at the final projection)
@@ -909,7 +923,7 @@ def folio_select(
     if where:
         member += f" WHERE {where}"
     if keys:
-        member += f" GROUP BY {key_sel}"
+        member += f" GROUP BY {key_grp}"
     # ---- gathers: the partial spine + one histogram per distinct
     # holistic argument, all CONCURRENT (each gather already fans one
     # thread per member socket; the gathers themselves are independent
@@ -923,7 +937,7 @@ def folio_select(
         hq += f"{arg}, count({arg}) AS __hc FROM {table}"
         if where:
             hq += f" WHERE {where}"
-        hq += " GROUP BY " + ", ".join(keys + [arg])
+        hq += " GROUP BY " + ", ".join([ke for _, ke in keys] + [arg])
         hqs[arg] = hq
     if hqs:
         import concurrent.futures as _fut
@@ -949,7 +963,7 @@ def folio_select(
         # semantics: COUNT(DISTINCT)/percentile ignore nulls)
         hists[arg] = (
             h.where(F.col(arg).isNotNull())
-            .groupBy(*(keys + [arg]))
+            .groupBy(*(key_names + [arg]))
             .agg(F.sum("__hc").alias("__hc"))
         )
     hol_frames = []
@@ -960,14 +974,18 @@ def folio_select(
         if fn == "count_distinct":
             agg = F.count(F.lit(1)).cast("long").alias(alias)
             hol_frames.append(
-                h.groupBy(*keys).agg(agg) if keys else h.agg(agg)
+                h.groupBy(*key_names).agg(agg) if keys else h.agg(agg)
             )
             continue
         # percentile_cont over the merged weighted histogram: the
         # target 0-indexed position p*(n-1) falls between the values
         # covering floor/ceil of it (cumulative counts locate them);
         # linear interpolation between the two — SQL median semantics
-        wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        wp = (
+            Window.partitionBy(*key_names)
+            if keys
+            else Window.partitionBy()
+        )
         wo = wp.orderBy(arg).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
@@ -982,16 +1000,16 @@ def folio_select(
             (F.col("__cum") - F.col("__hc") <= F.floor("__pos"))
             & (F.floor("__pos") < F.col("__cum"))
         ).select(
-            *keys, F.col(arg).cast("double").alias("__lo"), "__pos"
+            *key_names, F.col(arg).cast("double").alias("__lo"), "__pos"
         )
         hi = hh.where(
             (F.col("__cum") - F.col("__hc") <= F.ceil("__pos"))
             & (F.ceil("__pos") < F.col("__cum"))
-        ).select(*keys, F.col(arg).cast("double").alias("__hi"))
-        r = lo.join(hi, list(keys)) if keys else lo.crossJoin(hi)
+        ).select(*key_names, F.col(arg).cast("double").alias("__hi"))
+        r = lo.join(hi, key_names) if keys else lo.crossJoin(hi)
         hol_frames.append(
             r.select(
-                *keys,
+                *key_names,
                 (
                     F.col("__lo")
                     + (F.col("__hi") - F.col("__lo"))
@@ -1001,14 +1019,14 @@ def folio_select(
         )
     # ---- local final merge --------------------------------------------
     out = (
-        gathered.groupBy(*[k for k in keys]).agg(*finals)
+        gathered.groupBy(*key_names).agg(*finals)
         if keys
         else gathered.agg(*finals)
     )
     for r in hol_frames:
         # left join: a group whose holistic argument is all-null has
         # no histogram rows — its median/count lands NULL, as SQL does
-        out = out.join(r, list(keys), "left") if keys else out.crossJoin(r)
+        out = out.join(r, key_names, "left") if keys else out.crossJoin(r)
     # project in the statement's column order, honoring aliases
     cols = []
     for alias, fn, expr, param in items:

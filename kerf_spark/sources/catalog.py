@@ -1599,30 +1599,50 @@ class Workspace:
         has_null = any(any(x is None for x in v) for v in vals)
         probes = [tuple(_jsonable(x) for x in v) for v in vals]
 
-        def _covers(rng, v) -> bool:
-            if rng[0] is not None and not (rng[0] <= v[0] <= rng[1]):
-                return False
-            if (
-                len(v) >= 2
-                and len(rng) >= 5
-                and rng[3] is not None
-                and not (rng[3] <= v[1] <= rng[4])
-            ):
-                return False
-            return True
+        def _covering_files() -> list[str]:
+            # binary-search the SORTED probe leads per file (upsert's
+            # leads discipline) — O(files · log probes), not the
+            # O(files · probes) linear walk a million-key purge batch
+            # would turn into minutes of driver Python
+            import bisect
+
+            by_lead: dict = {}
+            for p in probes:
+                by_lead.setdefault(p[0], []).append(p)
+            leads = sorted(by_lead)
+            out = []
+            for f in data_files:
+                rng = ranges[f]
+                if rng[0] is None:  # all-null lead: unprunable
+                    out.append(f)
+                    continue
+                i = bisect.bisect_left(leads, rng[0])
+                hit = False
+                while i < len(leads) and leads[i] <= rng[1]:
+                    # composite index: a probe with a second component
+                    # must sit inside the file's [min2, max2] too
+                    for p in by_lead[leads[i]]:
+                        if (
+                            len(p) >= 2
+                            and len(rng) >= 5
+                            and rng[3] is not None
+                            and not (rng[3] <= p[1] <= rng[4])
+                        ):
+                            continue
+                        hit = True
+                        break
+                    if hit:
+                        break
+                    i += 1
+                if hit:
+                    out.append(f)
+            return out
 
         data_files = [
             f for f, r in ranges.items() if len(r) < 3 or r[2] > 0
         ]
         covering = (
-            [
-                f
-                for f in data_files
-                if ranges[f][0] is None  # all-null lead: unprunable
-                or any(_covers(ranges[f], v) for v in probes)
-            ]
-            if ranges and not has_null
-            else []
+            _covering_files() if ranges and not has_null else []
         )
         pruned = (
             ranges

@@ -687,6 +687,58 @@ def test_folio_select_splits_holistic_via_histograms(spark):
             s.stop()
 
 
+def test_folio_select_expression_group_keys(spark):
+    """EXPRESSION group keys: members compute the bucket under a
+    synthetic alias, the final merge groups on the alias, and the
+    projection maps it back to the statement's name — distributed
+    time-bucketed bars in one statement.  Median rides the same
+    expression key (the histogram gather aliases it identically)."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import KerfServer, folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    shards = [cust.where(F.col("c_custkey") % 2 == i) for i in range(2)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        got = {
+            r["bucket"]: (r["n"], r["med"])
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select c_nationkey % 5 as bucket, count(*) as n,"
+                " median(c_custkey) as med from customer"
+                " group by c_nationkey % 5",
+            ).collect()
+        }
+        want = {
+            r["bucket"]: (r["n"], r["med"])
+            for r in cust.groupBy(
+                (F.col("c_nationkey") % 5).alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("percentile(c_custkey, 0.5)").alias("med"),
+            )
+            .collect()
+        }
+        assert got == want
+        # an expression key projected WITHOUT an alias refuses
+        with pytest.raises(ArgsError):
+            folio_select(
+                spark, [srvs[0].address],
+                "select c_nationkey % 5, count(*) as n from customer "
+                "group by c_nationkey % 5",
+            )
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_result_chains_into_kerfsql(spark):
     """A folio gather is an ordinary script value: assign it and the
     next statement queries it as a view — the 'behave like a table'
