@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "delete_keyed_pruned",
     "delete_keyed_range",
     "folio_remote_median",
+    # expression group keys: the distributed time-bucket shape
+    "folio_remote_bucket",
 ]
 
 
