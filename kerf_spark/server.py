@@ -683,13 +683,15 @@ def _folio_parse_select(q: str):
     body = q[len("select"):].strip()
     body, limit = _split_clause(body, "limit")
     body, order = _split_clause(body, "order\\s+by")
+    # ANSI group-by trails the where clause, so it must split FIRST —
+    # splitting where first left "w group by k" inside the where text
+    # and silently dropped the grouping (found by the fuzz suite)
+    body, ansi_by = _split_clause(body, "group\\s+by")
     body, where = _split_clause(body, "where")
     body, table = _split_clause(body, "from")
     if table is None:
         raise ArgsError("folio_select requires a from clause")
     body, by = _split_clause(body, "by")  # kerf `select ... by k from t`
-    # ANSI `from t group by k` leaves the group clause inside `table`
-    table, ansi_by = _split_clause(table, "group\\s+by")
     if ansi_by:
         by = ansi_by if not by else f"{by}, {ansi_by}"
     # group keys as (alias, expr) pairs: a plain column keys by its
@@ -934,7 +936,7 @@ def folio_select(
         hq = "SELECT "
         if keys:
             hq += f"{key_sel}, "
-        hq += f"{arg}, count({arg}) AS __hc FROM {table}"
+        hq += f"{arg} AS __hv, count({arg}) AS __hc FROM {table}"
         if where:
             hq += f" WHERE {where}"
         hq += " GROUP BY " + ", ".join([ke for _, ke in keys] + [arg])
@@ -962,8 +964,8 @@ def folio_select(
         # merge member histograms by value; nulls drop (SQL aggregate
         # semantics: COUNT(DISTINCT)/percentile ignore nulls)
         hists[arg] = (
-            h.where(F.col(arg).isNotNull())
-            .groupBy(*(key_names + [arg]))
+            h.where(F.col("__hv").isNotNull())
+            .groupBy(*(key_names + ["__hv"]))
             .agg(F.sum("__hc").alias("__hc"))
         )
     hol_frames = []
@@ -986,7 +988,7 @@ def folio_select(
             if keys
             else Window.partitionBy()
         )
-        wo = wp.orderBy(arg).rowsBetween(
+        wo = wp.orderBy("__hv").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         hh = (
@@ -1000,12 +1002,12 @@ def folio_select(
             (F.col("__cum") - F.col("__hc") <= F.floor("__pos"))
             & (F.floor("__pos") < F.col("__cum"))
         ).select(
-            *key_names, F.col(arg).cast("double").alias("__lo"), "__pos"
+            *key_names, F.col("__hv").cast("double").alias("__lo"), "__pos"
         )
         hi = hh.where(
             (F.col("__cum") - F.col("__hc") <= F.ceil("__pos"))
             & (F.ceil("__pos") < F.col("__cum"))
-        ).select(*key_names, F.col(arg).cast("double").alias("__hi"))
+        ).select(*key_names, F.col("__hv").cast("double").alias("__hi"))
         r = lo.join(hi, key_names) if keys else lo.crossJoin(hi)
         hol_frames.append(
             r.select(

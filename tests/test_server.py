@@ -739,6 +739,124 @@ def test_folio_select_expression_group_keys(spark):
             s.stop()
 
 
+def test_folio_select_fuzz_matches_local(spark):
+    """Hypothesis over random folio_select statements — any mix of
+    algebraic, variance, histogram, and sketch aggregates under any
+    key/where combination must match the local unsharded computation
+    (exact for counts/min/max/median-over-ints, 1e-9 relative for
+    sums/avg/stddev)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+
+    # (statement fragment, local Column, exact?)
+    AGGS = {
+        "n": ("count(*) as n", F.count(F.lit(1)), True),
+        "s": ("sum(cents) as s", F.sum("cents"), True),
+        "a": ("avg(cents) as a", F.avg("cents"), False),
+        "lo": ("min(cents) as lo", F.min("cents"), True),
+        "hi": ("max(cents) as hi", F.max("cents"), True),
+        "sd": ("stddev(cents) as sd", F.stddev_samp("cents"), False),
+        "med": (
+            "median(cents) as med",
+            F.expr("percentile(cents, 0.5)"),
+            True,
+        ),
+        "q9": (
+            # non-exact-fraction p: the interpolation term differs
+            # from Spark's by an ulp (lo+(hi-lo)*f vs the two-sided
+            # weighted form) — exact only for binary fractions like
+            # 0.5/0.25, which is what the driver rows pin
+            "percentile(cents, 0.9) as q9",
+            F.expr("percentile(cents, 0.9)"),
+            False,
+        ),
+        "d": (
+            "count(distinct c_mktsegment) as d",
+            F.countDistinct("c_mktsegment"),
+            True,
+        ),
+        "dh": (
+            "approx_count_distinct(c_mktsegment) as dh",
+            F.countDistinct("c_mktsegment"),
+            True,  # sparse-mode HLL: exact at this cardinality
+        ),
+    }
+    KEYS = [None, "c_nationkey", "c_mktsegment"]
+    WHERES = [None, "c_acctbal > 0", "c_nationkey < 12"]
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        agg_keys=st.sets(
+            st.sampled_from(sorted(AGGS)), min_size=1, max_size=4
+        ),
+        key=st.sampled_from(KEYS),
+        where=st.sampled_from(WHERES),
+    )
+    def check(agg_keys, key, where):
+        frags = [AGGS[k][0] for k in sorted(agg_keys)]
+        stmt = "select "
+        if key:
+            stmt += f"{key}, "
+        stmt += ", ".join(frags) + " from customer"
+        if where:
+            stmt += f" where {where}"
+        if key:
+            stmt += f" group by {key}"
+        got = folio_select(
+            spark, [s.address for s in srvs], stmt
+        ).collect()
+        loc = cust
+        if where:
+            loc = loc.where(where)
+        cols = [AGGS[k][1].alias(k) for k in sorted(agg_keys)]
+        want = (
+            loc.groupBy(key).agg(*cols) if key else loc.agg(*cols)
+        ).collect()
+        gm = {
+            (r[key] if key else None): r for r in got
+        }
+        wm = {
+            (r[key] if key else None): r for r in want
+        }
+        assert set(gm) == set(wm)
+        for g, r in gm.items():
+            w = wm[g]
+            for k in sorted(agg_keys):
+                exact = AGGS[k][2]
+                a, b = r[k], w[k]
+                if a is None or b is None:
+                    assert a == b, (stmt, g, k, a, b)
+                elif exact:
+                    assert a == b, (stmt, g, k, a, b)
+                else:
+                    assert math.isclose(a, b, rel_tol=1e-9), (
+                        stmt, g, k, a, b,
+                    )
+
+    try:
+        check()
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_result_chains_into_kerfsql(spark):
     """A folio gather is an ordinary script value: assign it and the
     next statement queries it as a view — the 'behave like a table'
