@@ -763,17 +763,6 @@ def _folio_parse_select(q: str):
                 fn, param = "percentile", 0.5
             elif fn in _FOLIO_VARIANCE:
                 fn = _FOLIO_VARIANCE[fn]
-            if fn in ("count_distinct", "percentile") and not re.fullmatch(
-                r"[A-Za-z_]\w*", arg
-            ):
-                raise ArgsError(
-                    f"folio_select: the argument of a histogram-split "
-                    f"aggregate (median/percentile/count DISTINCT) "
-                    f"must be a plain column name, got {arg!r} — its "
-                    f"member partial is a (group, value) histogram "
-                    f"merged BY NAME (alias the expression on the "
-                    f"members first)"
-                )
             if alias is None:
                 raise ArgsError(
                     f"folio_select: aggregate {expr!r} needs an alias "

@@ -578,8 +578,6 @@ def test_folio_select_refuses_unsplittable_aggregates(spark):
         "select sum(distinct x) as s from t",
         "select percentile(x, 1.5) as p from t",
         "select percentile(x) as p from t",
-        "select median(x + 1) as m from t",
-        "select count(distinct x + 1) as d from t group by k",
         "select sum(x) from t",
         "select y, sum(x) as s from t group by k",
     ):
@@ -793,6 +791,18 @@ def test_folio_select_fuzz_matches_local(spark):
             "approx_count_distinct(c_mktsegment) as dh",
             F.countDistinct("c_mktsegment"),
             True,  # sparse-mode HLL: exact at this cardinality
+        ),
+        "medx": (
+            # EXPRESSION histogram arg: members bucket the expression
+            # under the __hv alias, so any expr medians distribute
+            "median(cents * 2 + 1) as medx",
+            F.expr("percentile(cents * 2 + 1, 0.5)"),
+            True,
+        ),
+        "dx": (
+            "count(distinct c_nationkey % 5) as dx",
+            F.countDistinct(F.expr("c_nationkey % 5")),
+            True,
         ),
     }
     KEYS = [None, "c_nationkey", "c_mktsegment"]
