@@ -13482,6 +13482,96 @@ def stream_delete_keys(spark, sf):
 
 
 @query(
+    "stream_upsert_keyed",
+    """
+    WITH b AS (
+      SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+    ), c AS (
+      SELECT mn + LEAST((mx - mn) // 8, 150000) AS cut,
+             mn + LEAST((mx - mn) // 4, 300000) AS cut2 FROM b
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(CASE
+             WHEN o_orderkey % 200 = 0 AND o_orderkey <= cut
+               THEN o_totalprice + 2000
+             WHEN o_orderkey % 100 = 0 AND o_orderkey <= cut
+               THEN o_totalprice + 1000
+             WHEN o_orderkey % 100 = 0 AND o_orderkey > cut
+                  AND o_orderkey <= cut2
+               THEN o_totalprice + 3000
+             ELSE o_totalprice END, 2) + 0.0 AS totalprice
+    FROM orders, c
+    """,
+)
+def stream_upsert_keyed(spark, sf):
+    """STREAMING CDC upserts into a keyed Workspace table
+    (``Workspace.upsert_sink`` — the catalog twin of the persisted
+    indexes' CDC sinks): a real checkpointed two-batch file stream of
+    corrections drains through the sink; the FIRST batch carries TWO
+    versions of some keys (an entity changed twice inside one trigger
+    interval) and ``version_col`` resolves latest-wins before the
+    key-pruned merge; the second batch touches a disjoint slice.  The
+    final table equals the CASE oracle."""
+    import shutil as _sh
+    import tempfile
+
+    from .streaming.ingest import fanout, read_file_stream
+
+    ws = _cloned_keyed_orders(spark, sf, "wsstreamups")
+    rngs = [
+        r
+        for r in ws.manifest["tables"]["orders"]["key_file_ranges"].values()
+        if r[0] is not None and (len(r) < 3 or r[2] > 0)
+    ]
+    mn = int(min(r[0] for r in rngs))
+    mx = int(max(r[1] for r in rngs))
+    cut = mn + min((mx - mn) // 8, 150_000)
+    cut2 = mn + min((mx - mn) // 4, 300_000)
+    k = F.col("o_orderkey")
+    base = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sel1 = base.where((k % 100 == 0) & (k <= cut))
+    part0 = sel1.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") + 1000, 2).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("ver"),
+    ).unionByName(
+        sel1.where(k % 200 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.round(F.col("o_totalprice") + 2000, 2).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    part1 = base.where((k % 100 == 0) & (k > cut) & (k <= cut2)).select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") + 3000, 2).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    root = tempfile.mkdtemp(prefix="kerf_upsfeed_")
+    try:
+        part0.coalesce(1).write.mode("overwrite").parquet(f"{root}/src/part0")
+        part1.coalesce(1).write.mode("overwrite").parquet(f"{root}/src/part1")
+        feed = read_file_stream(
+            spark, f"{root}/src/part*", part0.schema, maxFilesPerTrigger=1,
+        )
+        q = fanout(
+            feed, f"{root}/ckpt",
+            ws.upsert_sink("orders", version_col="ver"),
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+    return ws.load("orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
+    )
+
+
+@query(
     "keyed_tuple_lookup",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -14122,7 +14212,7 @@ _R09_WINDOW = [
 _R10_WINDOW = [
     # round-10 additions (never driver-checked)
     "upsert_keyed_pruned", "delete_keyed_pruned", "delete_keyed_range",
-    "stream_delete_keys", "keyed_tuple_lookup",
+    "stream_delete_keys", "stream_upsert_keyed", "keyed_tuple_lookup",
     "keyed_tuple_range", "folio_remote_avg", "folio_remote_median",
     "folio_remote_hll", "folio_remote_bucket",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",

@@ -1940,6 +1940,55 @@ class Workspace:
             "lo2 string, hi2 string",
         )
 
+    def upsert_sink(self, name: str, version_col: str | None = None):
+        """CDC change feed into a keyed Workspace table — the
+        change-data-capture shape the persisted indexes already speak
+        (annindex.index_upsert_sink), at the catalog level: a
+        fanout-compatible ``foreachBatch`` sink that UPSERTS each
+        micro-batch (the key-pruned merge touches only covering
+        files).  Crash replay converges: re-upserting the same rows
+        lands the same table.
+
+        A micro-batch may carry SEVERAL versions of one key (an entity
+        changed twice inside the trigger interval): pass
+        ``version_col`` and the sink keeps the row with the highest
+        version per key before merging (ties break arbitrarily — give
+        the feed a total version order).  Without it, an intra-batch
+        duplicate key refuses via the upsert's own unique check —
+        loud, never last-writer-roulette.  ``version_col`` is dropped
+        before the merge unless the stored schema carries it."""
+        meta = self.manifest["tables"][name]
+        key = meta.get("key")
+        if not key:
+            raise KeysError(
+                f"upsert_sink({name!r}): table declares no key "
+                f"(save with key=...) (ERROR_KEYS)"
+            )
+        stored_cols = {
+            f["name"] for f in meta["schema"].get("fields", [])
+        }
+
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            if batch.limit(1).count() == 0:
+                return
+            rows = batch
+            if version_col is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*key).orderBy(
+                    F.col(version_col).desc()
+                )
+                rows = (
+                    rows.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                if version_col not in stored_cols:
+                    rows = rows.drop(version_col)
+            self.upsert(name, rows)
+
+        return sink
+
     def delete_sink(self, name: str, cap: int = 1_000_000):
         """Streaming DELETION requests — the right-to-be-forgotten
         feed a training-data pipeline needs: a fanout-compatible

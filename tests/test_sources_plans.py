@@ -1903,6 +1903,50 @@ def test_index_stats_reflects_manifest(spark, tables, ws_root):
         ws.index_stats("plain")
 
 
+def test_upsert_sink_latest_wins_and_replays(spark, ws_root):
+    """The catalog CDC sink: per-batch upserts through the key-pruned
+    merge; a twice-changed key inside one batch resolves by
+    version_col (latest wins); replaying the same batch converges;
+    without version_col an intra-batch duplicate refuses loudly."""
+    import pytest
+
+    from kerf_spark.errors import KeysError
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "users",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "uid long, v string"
+        ),
+        key="uid",
+    )
+    sink = ws.upsert_sink("users", version_col="ver")
+    batch = spark.createDataFrame(
+        [(2, "b1", 10), (2, "b2", 20), (4, "d", 5)],
+        "uid long, v string, ver long",
+    )
+    sink(batch, 0)
+    got = {r["uid"]: r["v"] for r in ws.load("users").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    sink(batch, 0)  # replay converges
+    got = {r["uid"]: r["v"] for r in ws.load("users").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+    sink(spark.createDataFrame([], "uid long, v string, ver long"), 1)
+    assert ws.load("users").count() == 4
+    # no version_col: an intra-batch duplicate key refuses loudly
+    plain = ws.upsert_sink("users")
+    with pytest.raises(KeysError):
+        plain(
+            spark.createDataFrame(
+                [(5, "x"), (5, "y")], "uid long, v string"
+            ),
+            2,
+        )
+    with pytest.raises(KeysError):
+        ws.save("plainT", spark.range(3))
+        ws.upsert_sink("plainT")
+
+
 def test_delete_sink_applies_and_replays_idempotently(spark, ws_root):
     """The right-to-be-forgotten feed: each micro-batch of keys purges
     key-pruned; a replayed epoch (same batch again) is a no-op; extra
