@@ -13572,6 +13572,51 @@ def stream_upsert_keyed(spark, sf):
 
 
 @query(
+    "workspace_snapshot_read",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(o_totalprice, 2) + 0.0 AS totalprice
+    FROM orders
+    """,
+)
+def workspace_snapshot_read(spark, sf):
+    """HARDLINK SNAPSHOTS — the strict read isolation the key-pruned
+    writes trade away, on demand (parquet immutability means a link
+    IS a version; O(files) metadata, zero bytes copied): snapshot the
+    keyed orders table, purge a slice of keys AND upsert a correction
+    through the pruned write paths (which UNLINK covered files in
+    place), then read THROUGH THE SNAPSHOT — the oracle is the
+    untouched source table, so any leak of the mutations into the
+    snapshot (or a broken link) is a value mismatch."""
+    ws = _cloned_keyed_orders(spark, sf, "wssnap")
+    ws.snapshot("pre")
+    rngs = [
+        r
+        for r in ws.manifest["tables"]["orders"]["key_file_ranges"].values()
+        if r[0] is not None and (len(r) < 3 or r[2] > 0)
+    ]
+    mn = int(min(r[0] for r in rngs))
+    mx = int(max(r[1] for r in rngs))
+    cut = mn + min((mx - mn) // 8, 150_000)
+    ws.delete_keys(
+        "orders", list(range(((mn + 9) // 10) * 10, cut + 1, 10))
+    )
+    ws.upsert(
+        "orders",
+        spark.createDataFrame(
+            [(int(mx), 0, 1.0)],
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+        ),
+    )
+    return ws.load_snapshot("pre", "orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
+    )
+
+
+@query(
     "keyed_tuple_lookup",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -14212,7 +14257,8 @@ _R09_WINDOW = [
 _R10_WINDOW = [
     # round-10 additions (never driver-checked)
     "upsert_keyed_pruned", "delete_keyed_pruned", "delete_keyed_range",
-    "stream_delete_keys", "stream_upsert_keyed", "keyed_tuple_lookup",
+    "stream_delete_keys", "stream_upsert_keyed",
+    "workspace_snapshot_read", "keyed_tuple_lookup",
     "keyed_tuple_range", "folio_remote_avg", "folio_remote_median",
     "folio_remote_hll", "folio_remote_bucket",
     "kerf_lang_join_verbs", "kerf_lang_ungroup_verb",

@@ -1909,6 +1909,132 @@ class Workspace:
         self._maintain_matviews(name)
         return int(n_del)
 
+    def snapshot(self, tag: str) -> str:
+        """Named point-in-time SNAPSHOT of every table — restores the
+        strict read isolation the key-pruned writes traded away
+        (delete_keys/upsert unlink covered files in place; a reader
+        that listed them mid-write fails; the staged-swap paths never
+        had this problem).  Implementation is hardlinks: every data
+        file of every table links into ``root/.snapshots/<tag>/`` —
+        O(files) metadata ops, ZERO bytes copied, and the snapshot
+        keeps the inodes alive after the live table unlinks them
+        (parquet files are immutable, so a link IS a version).
+
+        Consistency: taken under the manifest flock with a fresh
+        re-read, so the snapshot is one manifest's view.  Crash
+        discipline: the snapshot manifest writes LAST via atomic
+        rename — a tag without ``manifest.json`` is incomplete and
+        invisible to :meth:`snapshots`/:meth:`load_snapshot`.
+
+        Scope: plain and keyed tables (their data files).  Attached
+        rollups/matviews are derived state — rebuildable from the
+        snapshot — and are not captured."""
+        import shutil
+        from urllib.parse import urlparse
+
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: single-process semantics
+            fcntl = None
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", tag):
+            raise KerfTypeError(f"snapshot tag {tag!r}: use [A-Za-z0-9_.-]")
+        sdir = os.path.join(self.root, ".snapshots", tag)
+        if os.path.exists(os.path.join(sdir, "manifest.json")):
+            raise KerfTypeError(f"snapshot {tag!r} already exists")
+        shutil.rmtree(sdir, ignore_errors=True)
+        lf = open(self._lock_path, "a+")
+        try:
+            if fcntl is not None:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+            self.refresh()
+            snap = {"tables": {}}
+            for name, meta in self.manifest.get("tables", {}).items():
+                src = meta["path"]
+                if not os.path.isdir(src):
+                    continue  # external/bucketed oddities: skip
+                dst = os.path.join(sdir, name)
+                for d, _, fs in os.walk(src):
+                    rel = os.path.relpath(d, src)
+                    od = os.path.join(dst, rel) if rel != "." else dst
+                    os.makedirs(od, exist_ok=True)
+                    for f in fs:
+                        if f.endswith((".crc", ".tmp")):
+                            continue
+                        try:
+                            os.link(
+                                os.path.join(d, f), os.path.join(od, f)
+                            )
+                        except OSError:
+                            shutil.copy2(
+                                os.path.join(d, f), os.path.join(od, f)
+                            )
+                ent = dict(meta)
+                ent["path"] = dst
+                if meta.get("key_file_ranges"):
+                    ent["key_file_ranges"] = {
+                        f.replace(
+                            urlparse(f).path,
+                            urlparse(f).path.replace(src, dst, 1),
+                        ): r
+                        for f, r in meta["key_file_ranges"].items()
+                    }
+                snap["tables"][name] = ent
+            os.makedirs(sdir, exist_ok=True)
+            tmp = os.path.join(sdir, "manifest.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(snap, fh, indent=2)
+            os.replace(tmp, os.path.join(sdir, "manifest.json"))
+        finally:
+            if fcntl is not None:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+            lf.close()
+        return sdir
+
+    def snapshots(self) -> list[str]:
+        """Complete (manifest-bearing) snapshot tags, sorted."""
+        base = os.path.join(self.root, ".snapshots")
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            t
+            for t in os.listdir(base)
+            if os.path.exists(os.path.join(base, t, "manifest.json"))
+        )
+
+    def load_snapshot(self, tag: str, name: str) -> DataFrame:
+        """Read table ``name`` as of snapshot ``tag`` — bitwise the
+        rows at snapshot time, immune to every later append/upsert/
+        delete/compact (the links keep the old files alive)."""
+        sdir = os.path.join(self.root, ".snapshots", tag)
+        mp = os.path.join(sdir, "manifest.json")
+        if not os.path.exists(mp):
+            raise KerfTypeError(f"no snapshot {tag!r} (or incomplete)")
+        with open(mp) as fh:
+            snap = json.load(fh)
+        meta = snap["tables"].get(name)
+        if meta is None:
+            raise ColumnError(
+                f"snapshot {tag!r} holds no table {name!r}"
+            )
+        schema = T.StructType.fromJson(meta["schema"])
+        if meta.get("partition_by"):
+            return (
+                self.spark.read.schema(schema)
+                .option("basePath", meta["path"])
+                .parquet(meta["path"])
+            )
+        return self.spark.read.schema(schema).parquet(meta["path"])
+
+    def drop_snapshot(self, tag: str) -> None:
+        """Unlink a snapshot (frees the bytes once no live table
+        shares the inodes)."""
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.root, ".snapshots", tag),
+            ignore_errors=True,
+        )
+
     def index_stats(self, name: str) -> DataFrame:
         """The sort index as a TABLE — kdb ``meta``-style
         introspection for the keyed layout: one row per data file with

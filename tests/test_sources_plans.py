@@ -1903,6 +1903,63 @@ def test_index_stats_reflects_manifest(spark, tables, ws_root):
         ws.index_stats("plain")
 
 
+def test_snapshot_survives_pruned_writes(spark, ws_root):
+    """Hardlink snapshots: a tag taken before delete_keys/upsert/
+    append still reads the EXACT pre-mutation rows (the links keep
+    the unlinked inodes alive); the live table moves on; dropping the
+    snapshot frees it; an incomplete tag (no manifest) is invisible;
+    duplicate tags refuse."""
+    import os
+
+    import pytest
+
+    from kerf_spark.errors import ColumnError, KerfTypeError
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t",
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k", key_partitions=4, minimize_widths=False,
+    )
+    ws.save("plain", spark.range(7).select(F.col("id").alias("x")))
+    before = sorted(
+        (r["k"], r["v"]) for r in ws.load("t").collect()
+    )
+    path = ws.snapshot("v1")
+    assert os.path.isdir(path) and ws.snapshots() == ["v1"]
+    # mutate through every pruned write shape
+    ws.delete_keys("t", list(range(0, 100)))
+    ws.upsert(
+        "t",
+        spark.createDataFrame([(500, 999_999)], "k long, v long"),
+    )
+    ws.append(
+        "t", spark.createDataFrame([(5000, 1)], "k long, v long")
+    )
+    live = sorted((r["k"], r["v"]) for r in ws.load("t").collect())
+    assert live != before
+    snap = sorted(
+        (r["k"], r["v"])
+        for r in ws.load_snapshot("v1", "t").collect()
+    )
+    assert snap == before  # bitwise the pre-mutation table
+    assert ws.load_snapshot("v1", "plain").count() == 7
+    with pytest.raises(KerfTypeError):
+        ws.snapshot("v1")  # duplicate tag
+    with pytest.raises(ColumnError):
+        ws.load_snapshot("v1", "nope")
+    # incomplete snapshot (no manifest) is invisible
+    os.makedirs(os.path.join(ws_root, ".snapshots", "broken"),
+                exist_ok=True)
+    assert ws.snapshots() == ["v1"]
+    with pytest.raises(KerfTypeError):
+        ws.load_snapshot("broken", "t")
+    ws.drop_snapshot("v1")
+    assert ws.snapshots() == []
+
+
 def test_upsert_sink_latest_wins_and_replays(spark, ws_root):
     """The catalog CDC sink: per-batch upserts through the key-pruned
     merge; a twice-changed key inside one batch resolves by
