@@ -2025,6 +2025,74 @@ class Workspace:
             )
         return self.spark.read.schema(schema).parquet(meta["path"])
 
+    def restore(self, tag: str, name: str | None = None) -> None:
+        """Roll live table(s) BACK to snapshot ``tag`` — the recovery
+        path for a fat-fingered delete/upsert: hardlink the snapshot's
+        files into a staging dir, swap atomically (upsert's snapshot
+        discipline), and restore the manifest entry — schema, key, and
+        sort index included (the index's file ranges rewrite back to
+        the live paths).  ``name`` restores one table; None restores
+        every table the snapshot holds.  The snapshot itself is
+        untouched (restore twice, or keep it as a save point)."""
+        import shutil
+        from urllib.parse import urlparse
+
+        sdir = os.path.join(self.root, ".snapshots", tag)
+        mp = os.path.join(sdir, "manifest.json")
+        if not os.path.exists(mp):
+            raise KerfTypeError(f"no snapshot {tag!r} (or incomplete)")
+        with open(mp) as fh:
+            snap = json.load(fh)
+        names = [name] if name is not None else sorted(snap["tables"])
+        for t in names:
+            ent = snap["tables"].get(t)
+            if ent is None:
+                raise ColumnError(f"snapshot {tag!r} holds no table {t!r}")
+            with self._table_lock(t):
+                live = self.manifest["tables"].get(t, {}).get(
+                    "path"
+                ) or os.path.join(self.root, t)
+                src = ent["path"]
+                staging = live + ".staging"
+                shutil.rmtree(staging, ignore_errors=True)
+                for d, _, fs in os.walk(src):
+                    rel = os.path.relpath(d, src)
+                    od = (
+                        os.path.join(staging, rel)
+                        if rel != "."
+                        else staging
+                    )
+                    os.makedirs(od, exist_ok=True)
+                    for f in fs:
+                        try:
+                            os.link(
+                                os.path.join(d, f), os.path.join(od, f)
+                            )
+                        except OSError:
+                            shutil.copy2(
+                                os.path.join(d, f), os.path.join(od, f)
+                            )
+                old = live + ".old"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(live):
+                    os.rename(live, old)
+                os.rename(staging, live)
+                shutil.rmtree(old, ignore_errors=True)
+                meta = dict(ent)
+                meta["path"] = live
+                if ent.get("key_file_ranges"):
+                    meta["key_file_ranges"] = {
+                        f.replace(
+                            urlparse(f).path,
+                            urlparse(f).path.replace(src, live, 1),
+                        ): r
+                        for f, r in ent["key_file_ranges"].items()
+                    }
+                self.manifest["tables"][t] = meta
+                self._flush()
+            self._maintain_rollups(t, rebuild=True)
+            self._maintain_matviews(t)
+
     def drop_snapshot(self, tag: str) -> None:
         """Unlink a snapshot (frees the bytes once no live table
         shares the inodes)."""

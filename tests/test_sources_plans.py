@@ -1956,6 +1956,29 @@ def test_snapshot_survives_pruned_writes(spark, ws_root):
     assert ws.snapshots() == ["v1"]
     with pytest.raises(KerfTypeError):
         ws.load_snapshot("broken", "t")
+    # RESTORE: roll the live table back to the tag — the fat-finger
+    # recovery; the sort index follows (pruned lookups stay correct)
+    ws.restore("v1", "t")
+    restored = sorted(
+        (r["k"], r["v"]) for r in ws.load("t").collect()
+    )
+    assert restored == before
+    assert ws.key_lookup("t", [50]).count() == 1  # deleted key back
+    assert ws.key_lookup("t", [500]).head()["v"] == 1000  # upsert undone
+    meta = ws.manifest["tables"]["t"]
+    from urllib.parse import urlparse as _up
+
+    on_disk = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(meta["path"])
+        for f in fs if f.endswith(".parquet")
+    }
+    assert {_up(f).path for f in meta["key_file_ranges"]} == on_disk
+    # the snapshot survives its own restore (restore twice is fine)
+    ws.restore("v1", "t")
+    assert sorted(
+        (r["k"], r["v"]) for r in ws.load("t").collect()
+    ) == before
     ws.drop_snapshot("v1")
     assert ws.snapshots() == []
 
