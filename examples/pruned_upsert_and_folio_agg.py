@@ -86,6 +86,18 @@ def main() -> None:
           f"[{lo}, {hi}] — {files_before} files -> {files_after} "
           f"(interior files unlink with zero reads)")
 
+    # ------------------------------ snapshots: reads that survive writes
+    print("== hardlink snapshots: point-in-time reads + restore ==")
+    n_now = ws.load("orders").count()
+    ws.snapshot("before_purge")
+    ws.delete_range("orders", None, None if False else hi)  # purge low half
+    print(f"  live after purge: {ws.load('orders').count()} rows; "
+          f"snapshot still reads {ws.load_snapshot('before_purge', 'orders').count()} "
+          f"(zero bytes copied — links keep the unlinked inodes alive)")
+    ws.restore("before_purge", "orders")
+    print(f"  restore('before_purge'): live back to "
+          f"{ws.load('orders').count()} rows == {n_now}")
+
     # --------------------------------------- composite-key tuple lookup
     print("== composite sort index: tuple probes prune deeper ==")
     ticks = spark.range(40_000).select(
