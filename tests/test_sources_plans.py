@@ -1983,6 +1983,27 @@ def test_snapshot_survives_pruned_writes(spark, ws_root):
     assert ws.snapshots() == []
 
 
+def test_snapshot_covers_partitioned_tables(spark, ws_root):
+    """A folio (partitioned) table snapshots too: partition dirs
+    hardlink recursively, and the snapshot read keeps the partition
+    columns (basePath discovery) — drop_partitions retention after
+    the snapshot doesn't touch it."""
+    ws = Workspace(spark, ws_root)
+    df = spark.createDataFrame(
+        [(d, i, i * 1.0) for d in ("a", "b", "c") for i in range(10)],
+        "part string, k int, v double",
+    )
+    ws.save("f", df, partition_by=["part"], minimize_widths=False)
+    ws.snapshot("s1")
+    assert ws.drop_partitions("f", ["a"]) == 1
+    assert ws.load("f").count() == 20
+    snap = ws.load_snapshot("s1", "f")
+    assert snap.count() == 30
+    assert set(
+        r["part"] for r in snap.select("part").distinct().collect()
+    ) == {"a", "b", "c"}
+
+
 def test_upsert_sink_latest_wins_and_replays(spark, ws_root):
     """The catalog CDC sink: per-batch upserts through the key-pruned
     merge; a twice-changed key inside one batch resolves by
