@@ -737,6 +737,53 @@ def test_folio_select_expression_group_keys(spark):
             s.stop()
 
 
+def test_folio_select_member_side_star_join(spark):
+    """The star-schema folio shape: fact sharded across members, dim
+    REPLICATED to every member — the from clause (a kerf-SQL join)
+    passes through to the members whole, each joins ITS shard against
+    its local dim, and the partials merge as usual.  No rows cross
+    the wire; the dim never moves at query time."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    nat = read_table(spark, SF, "nation")
+    shards = [cust.where(F.col("c_custkey") % 2 == i) for i in range(2)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh, "nation": nat}).start()
+        for sh in shards
+    ]
+    try:
+        got = {
+            r["n_name"]: (r["n"], round(r["bal"], 2))
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select n_name, count(*) as n, sum(c_acctbal) as bal"
+                " from customer join nation on c_nationkey = n_nationkey"
+                " group by n_name",
+            ).collect()
+        }
+        want = {
+            r["n_name"]: (r["n"], round(r["bal"], 2))
+            for r in cust.join(
+                nat, cust.c_nationkey == nat.n_nationkey
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c_acctbal").alias("bal"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_select_fuzz_matches_local(spark):
     """Hypothesis over random folio_select statements — any mix of
     algebraic, variance, histogram, and sketch aggregates under any
