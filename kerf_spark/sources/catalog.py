@@ -1382,11 +1382,12 @@ class Workspace:
         like :meth:`append` (manifest-only rewrite — untouched narrow
         files widen losslessly at read through the declared schema).
 
-        Reader visibility: new files land (append mode) BEFORE the
-        covered files unlink, so a reader listing in between can see
-        both versions of a replaced key — the same trade
-        :meth:`drop_partitions` documents.  Snapshot readers needing
-        strict isolation take the full rewrite's staged swap.
+        Reader visibility: the commit is a hardlink-staged directory
+        SWAP (:meth:`_staged_pruned_swap`) — survivors link into
+        staging (zero bytes copied, mtimes intact), the merged
+        replacement writes there, one rename publishes.  A reader
+        sees the old table or the new one, never both versions of a
+        replaced key.
         """
         from urllib.parse import urlparse
 
@@ -1478,22 +1479,16 @@ class Workspace:
         out = merged.repartitionByRange(
             max(1, len(covering)), *key
         ).sortWithinPartitions(*key)
-        out.write.mode("append").parquet(meta["path"])
-        # index the NEW files (bounded scan of just them), then unlink
-        # the covered files and their index entries
-        known = set(ranges)
-        allf = (
-            self.spark.read.schema(stored).parquet(meta["path"]).inputFiles()
-        )
-        new = [f for f in allf if f not in known]
+        # atomic commit: survivors hardlink into staging, the merged
+        # replacement writes there, ONE swap — closes the crash window
+        # where new files had landed but covered files were not yet
+        # unlinked (a reader saw both versions of a replaced key)
+        survivors = [f for f in ranges if f not in set(covering)]
+        new = self._staged_pruned_swap(meta, survivors, out)
+        for f in covering:
+            ranges.pop(f, None)
         if new:
             ranges.update(self._file_key_ranges(meta, new))
-        for f in covering:
-            try:
-                os.remove(urlparse(f).path)
-            except FileNotFoundError:
-                pass
-            ranges.pop(f, None)
         # sorted-claim maintenance: the rewrite keeps 'global' only if
         # every file's key range is still disjoint (driver-side check
         # over the manifest — no scan)
@@ -1662,28 +1657,22 @@ class Workspace:
             ) - kept
             if not n_del:
                 return 0
-            if kept > 0:
-                out = (
-                    keep_df
-                    .repartitionByRange(max(1, len(covering)), *key)
-                    .sortWithinPartitions(*key)
-                )
-                out.write.mode("append").parquet(meta["path"])
-                known = set(ranges)
-                allf = (
-                    self.spark.read.schema(schema)
-                    .parquet(meta["path"])
-                    .inputFiles()
-                )
-                new = [f for f in allf if f not in known]
-                if new:
-                    ranges.update(self._file_key_ranges(meta, new))
+            out = (
+                keep_df.repartitionByRange(
+                    max(1, len(covering)), *key
+                ).sortWithinPartitions(*key)
+                if kept > 0
+                else None
+            )
+            # atomic commit: survivors hardlink into staging, the
+            # merged remainder writes there, ONE swap — readers never
+            # see both versions of a key (_staged_pruned_swap)
+            survivors = [f for f in ranges if f not in set(covering)]
+            new = self._staged_pruned_swap(meta, survivors, out)
             for f in covering:
-                try:
-                    os.remove(urlparse(f).path)
-                except FileNotFoundError:
-                    pass
                 ranges.pop(f, None)
+            if new:
+                ranges.update(self._file_key_ranges(meta, new))
             # sorted-claim maintenance (same driver-side check as the
             # pruned upsert: no scan, just the manifest)
             live = sorted(
@@ -1853,6 +1842,7 @@ class Workspace:
         if not doomed and not boundary:
             return 0
         n_del = sum(ranges[f][2] for f in doomed)
+        out = None
         if boundary:
             cond = None
             if lo_t is not None:
@@ -1875,24 +1865,19 @@ class Workspace:
                         max(1, len(boundary)), *key
                     ).sortWithinPartitions(*key)
                 )
-                out.write.mode("append").parquet(meta["path"])
-                known = set(ranges)
-                allf = (
-                    self.spark.read.schema(schema)
-                    .parquet(meta["path"])
-                    .inputFiles()
-                )
-                new = [f for f in allf if f not in known]
-                if new:
-                    ranges.update(self._file_key_ranges(meta, new))
         if not n_del:
             return 0
-        for f in doomed + boundary:
-            try:
-                os.remove(urlparse(f).path)
-            except FileNotFoundError:
-                pass
+        # atomic commit: survivors hardlink into staging, the trimmed
+        # boundary remainder writes there, ONE swap (same discipline
+        # as delete_keys — no interval where a reader sees dropped
+        # rows alongside their replacements)
+        removed = set(doomed) | set(boundary)
+        survivors = [f for f in ranges if f not in removed]
+        new = self._staged_pruned_swap(meta, survivors, out)
+        for f in removed:
             ranges.pop(f, None)
+        if new:
+            ranges.update(self._file_key_ranges(meta, new))
         live = sorted(
             (r[0], r[1])
             for r in ranges.values()
@@ -1908,6 +1893,97 @@ class Workspace:
         self._maintain_rollups(name, rebuild=True)
         self._maintain_matviews(name)
         return int(n_del)
+
+    def _staged_pruned_swap(
+        self, meta: dict, keep_files, write_df: DataFrame | None
+    ) -> list[str]:
+        """The pruned writes' ATOMIC commit: hardlink the surviving
+        data files into a staging dir (inode-preserving — zero bytes
+        copied, mtimes intact), write the merged/trimmed output there,
+        and swap directories.  Readers see the old table or the new
+        one, never the append-then-unlink intermediate state that
+        could show BOTH versions of a replaced key (the crash window
+        the in-place flow had: new files landed, covered files not yet
+        unlinked).  Returns the NEW files' paths (as inputFiles URIs)
+        for index maintenance; survivors keep their path strings (the
+        directory name is unchanged after the swap)."""
+        import shutil
+        from urllib.parse import urlparse
+
+        live = meta["path"]
+        staging = live + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        kept_names = set()
+        for f in keep_files:
+            p = urlparse(f).path
+            os.link(p, os.path.join(staging, os.path.basename(p)))
+            kept_names.add(os.path.basename(p))
+        if write_df is not None:
+            write_df.write.mode("append").parquet(staging)
+        old = live + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old, ignore_errors=True)
+        schema = T.StructType.fromJson(meta["schema"])
+        allf = (
+            self.spark.read.schema(schema).parquet(live).inputFiles()
+        )
+        return [
+            f
+            for f in allf
+            if os.path.basename(urlparse(f).path) not in kept_names
+        ]
+
+    def fsck(self, name: str) -> dict:
+        """Index-vs-disk audit and repair for a keyed table: a crash
+        between a pruned write's directory swap and its manifest flush
+        leaves the DATA correct (the swap is atomic) but the sort
+        index stale — lookups would prune against ghost entries.
+        ``fsck`` compares the manifest's file set with the directory
+        and, on any mismatch, rebuilds the per-file ranges and the
+        sorted claim from disk.  Returns
+        ``{"files", "missing", "extra", "rebuilt"}``."""
+        with self._table_lock(name):
+            meta = self.manifest["tables"][name]
+            if not meta.get("key"):
+                raise KeysError(
+                    f"fsck({name!r}): table declares no key"
+                )
+            schema = T.StructType.fromJson(meta["schema"])
+            allf = set(
+                self.spark.read.schema(schema)
+                .parquet(meta["path"])
+                .inputFiles()
+            )
+            known = set(meta.get("key_file_ranges") or {})
+            missing = known - allf  # index entries with no file
+            extra = allf - known  # files the index never saw
+            rebuilt = bool(missing or extra)
+            if rebuilt:
+                meta["key_file_ranges"] = self._file_key_ranges(
+                    meta, sorted(allf)
+                )
+                live = sorted(
+                    (r[0], r[1])
+                    for r in meta["key_file_ranges"].values()
+                    if r[0] is not None and (len(r) < 3 or r[2] > 0)
+                )
+                overlap = any(
+                    live[i][1] > live[i + 1][0]
+                    for i in range(len(live) - 1)
+                )
+                meta["sorted"] = "files" if overlap else "global"
+                if live:
+                    meta["sort_key_max"] = max(r[1] for r in live)
+                self._flush()
+            return {
+                "files": len(allf),
+                "missing": len(missing),
+                "extra": len(extra),
+                "rebuilt": rebuilt,
+            }
 
     def snapshot(self, tag: str) -> str:
         """Named point-in-time SNAPSHOT of every table — restores the

@@ -1983,6 +1983,51 @@ def test_snapshot_survives_pruned_writes(spark, ws_root):
     assert ws.snapshots() == []
 
 
+def test_fsck_repairs_stale_sort_index(spark, ws_root):
+    """The crash-between-swap-and-flush shape: data correct on disk,
+    index stale (ghost entries / unseen files).  fsck detects the
+    mismatch, rebuilds the ranges from disk, and lookups work again;
+    a clean table reports rebuilt=False."""
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t",
+        spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        key="k", key_partitions=4, minimize_widths=False,
+    )
+    clean = ws.fsck("t")
+    assert clean["rebuilt"] is False and clean["files"] == 4
+    # simulate the stale index: forget one entry, invent a ghost
+    meta = ws.manifest["tables"]["t"]
+    real = next(iter(meta["key_file_ranges"]))
+    ent = meta["key_file_ranges"].pop(real)
+    meta["key_file_ranges"][real + ".ghost"] = ent
+    ws._flush()
+    rep = ws.fsck("t")
+    assert rep["rebuilt"] is True
+    assert rep["missing"] == 1 and rep["extra"] == 1
+    # repaired: index == disk, pruned lookups correct
+    import os as _os
+    from urllib.parse import urlparse as _up
+
+    meta = ws.manifest["tables"]["t"]
+    on_disk = {
+        _os.path.join(d, f)
+        for d, _, fs in _os.walk(meta["path"])
+        for f in fs if f.endswith(".parquet")
+    }
+    assert {_up(f).path for f in meta["key_file_ranges"]} == on_disk
+    assert ws.key_lookup("t", [0, 499]).count() == 2
+    import pytest
+
+    from kerf_spark.errors import KeysError
+
+    ws.save("plain", spark.range(3))
+    with pytest.raises(KeysError):
+        ws.fsck("plain")
+
+
 def test_snapshot_covers_partitioned_tables(spark, ws_root):
     """A folio (partitioned) table snapshots too: partition dirs
     hardlink recursively, and the snapshot read keeps the partition
