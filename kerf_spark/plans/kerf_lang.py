@@ -1227,6 +1227,7 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     # ranking, and the two-vector moments (population cov, sample
     # scov, q's documented split)
     "sums": (lambda x: np.cumsum(_np(x)), None),
+    "prds": (lambda x: np.cumprod(_np(x)), None),
     "avgs": (
         lambda x: np.cumsum(_np(x).astype(np.float64))
         / np.arange(1, len(_np(x)) + 1),

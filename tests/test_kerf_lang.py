@@ -694,6 +694,7 @@ def test_moving_verbs_expanding_head():
 def test_cumulative_verbs():
     # q's running forms: sums/avgs/mins/maxs
     assert list(run("sums(2 4 6 4)")) == [2, 6, 12, 16]
+    assert list(run("prds(2 3 4)")) == [2, 6, 24]
     assert list(run("avgs(2 4 6 4)")) == [2.0, 3.0, 4.0, 4.0]
     assert list(run("mins(3 1 4 1 5)")) == [3, 1, 1, 1, 1]
     assert list(run("maxs(3 1 4 1 5)")) == [3, 3, 4, 4, 5]
