@@ -1996,11 +1996,14 @@ class Workspace:
         keeps the inodes alive after the live table unlinks them
         (parquet files are immutable, so a link IS a version).
 
-        Consistency: taken under the manifest flock with a fresh
-        re-read, so the snapshot is one manifest's view.  Crash
-        discipline: the snapshot manifest writes LAST via atomic
-        rename — a tag without ``manifest.json`` is incomplete and
-        invisible to :meth:`snapshots`/:meth:`load_snapshot`.
+        Consistency: PER TABLE — each table links under its write
+        lock (the one writers hold through their staged swap), so
+        every captured table is one write's consistent version and
+        the walk never races a mid-swap directory; cross-table skew
+        is bounded by the walk time.  Crash discipline: the snapshot
+        manifest writes LAST via atomic rename — a tag without
+        ``manifest.json`` is incomplete and invisible to
+        :meth:`snapshots`/:meth:`load_snapshot`.
 
         Scope: plain and keyed tables (their data files).  Attached
         rollups/matviews are derived state — rebuildable from the
@@ -2008,23 +2011,25 @@ class Workspace:
         import shutil
         from urllib.parse import urlparse
 
-        try:
-            import fcntl
-        except ImportError:  # non-POSIX: single-process semantics
-            fcntl = None
         if not re.fullmatch(r"[A-Za-z0-9_.-]+", tag):
             raise KerfTypeError(f"snapshot tag {tag!r}: use [A-Za-z0-9_.-]")
         sdir = os.path.join(self.root, ".snapshots", tag)
         if os.path.exists(os.path.join(sdir, "manifest.json")):
             raise KerfTypeError(f"snapshot {tag!r} already exists")
         shutil.rmtree(sdir, ignore_errors=True)
-        lf = open(self._lock_path, "a+")
-        try:
-            if fcntl is not None:
-                fcntl.flock(lf, fcntl.LOCK_EX)
-            self.refresh()
-            snap = {"tables": {}}
-            for name, meta in self.manifest.get("tables", {}).items():
+        # per-TABLE consistency: each table links under ITS write lock
+        # (writers hold it through the staged swap, so the walk never
+        # races a mid-swap directory — the manifest flock alone could
+        # not guarantee that, since writes only take it inside _flush).
+        # Cross-table skew is bounded by the walk time; each table is
+        # one write's consistent version.
+        self.refresh()
+        snap = {"tables": {}}
+        for name in sorted(self.manifest.get("tables", {})):
+            with self._table_lock(name):
+                meta = self.manifest.get("tables", {}).get(name)
+                if meta is None:
+                    continue  # dropped since the listing
                 src = meta["path"]
                 if not os.path.isdir(src):
                     continue  # external/bucketed oddities: skip
@@ -2055,15 +2060,11 @@ class Workspace:
                         for f, r in meta["key_file_ranges"].items()
                     }
                 snap["tables"][name] = ent
-            os.makedirs(sdir, exist_ok=True)
-            tmp = os.path.join(sdir, "manifest.json.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(snap, fh, indent=2)
-            os.replace(tmp, os.path.join(sdir, "manifest.json"))
-        finally:
-            if fcntl is not None:
-                fcntl.flock(lf, fcntl.LOCK_UN)
-            lf.close()
+        os.makedirs(sdir, exist_ok=True)
+        tmp = os.path.join(sdir, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=2)
+        os.replace(tmp, os.path.join(sdir, "manifest.json"))
         return sdir
 
     def snapshots(self) -> list[str]:

@@ -1983,6 +1983,77 @@ def test_snapshot_survives_pruned_writes(spark, ws_root):
     assert ws.snapshots() == []
 
 
+def test_snapshot_races_writer_consistently(spark, ws_root):
+    """A snapshot taken WHILE another instance upserts must capture a
+    consistent version of the table (the per-table lock serializes
+    the walk against the staged swap): every snapshot reads the full
+    row count (upserts never change it), and its manifest's file set
+    matches what was captured on disk — a torn capture would lose
+    rows or reference ghost files."""
+    import os
+    import threading
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    n = 2_000
+    ws.save(
+        "t",
+        spark.range(n).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        ),
+        key="k", key_partitions=4, minimize_widths=False,
+    )
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        try:
+            w = Workspace(spark, ws_root)
+            i = 0
+            while not stop.is_set() and i < 6:
+                i += 1
+                w.upsert(
+                    "t",
+                    spark.createDataFrame(
+                        [(j, i) for j in range(i * 10, i * 10 + 50)],
+                        "k long, v long",
+                    ),
+                )
+        except Exception as e:
+            errs.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        tags = []
+        for s in range(4):
+            tag = f"s{s}"
+            ws.snapshot(tag)
+            tags.append(tag)
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    for tag in tags:
+        snap = ws.load_snapshot(tag, "t")
+        assert snap.count() == n, f"snapshot {tag} lost rows"
+        import json as _json
+
+        with open(
+            os.path.join(ws_root, ".snapshots", tag, "manifest.json")
+        ) as fh:
+            sm = _json.load(fh)
+        ent = sm["tables"]["t"]
+        on_disk = {
+            os.path.join(d, f)
+            for d, _, fs in os.walk(ent["path"])
+            for f in fs if f.endswith(".parquet")
+        }
+        assert {
+            urlparse(f).path for f in ent["key_file_ranges"]
+        } == on_disk, f"snapshot {tag} index vs captured files"
+
+
 def test_fsck_repairs_stale_sort_index(spark, ws_root):
     """The crash-between-swap-and-flush shape: data correct on disk,
     index stale (ghost entries / unseen files).  fsck detects the
