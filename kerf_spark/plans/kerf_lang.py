@@ -1238,6 +1238,12 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "differ": (_loc_differ, None),
     "xprev": (_loc_xprev, None),
     "rank": (_loc_rank, None),
+    # q xrank: partition into n buckets by rank — floor(n*rank/count);
+    # equal-size buckets (±1) whatever the value distribution
+    "xrank": (
+        lambda n, x: (int(n) * _loc_rank(x)) // len(_np(x)),
+        None,
+    ),
     "cov": (_loc_cov(False), "covar_pop({0}, {1})"),
     "scov": (_loc_cov(True), "covar_samp({0}, {1})"),
     "cor": (_loc_cor, "corr({0}, {1})"),

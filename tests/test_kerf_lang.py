@@ -717,6 +717,9 @@ def test_differ_xprev_rank_verbs():
     assert list(run("xprev(0, 5 6)")) == [5.0, 6.0]
     # rank = grade of grade: position in the sorted order, stable ties
     assert list(run("rank(30 10 20 10)")) == [3, 0, 2, 1]
+    # xrank: n equal-size rank buckets (q semantics: floor(n*rank/cnt))
+    assert list(run("xrank(2, 30 10 20 10)")) == [1, 0, 1, 0]
+    assert list(run("xrank(4, 1 2 3 4)")) == [0, 1, 2, 3]
 
 
 def test_mdev_cov_scov_cor_verbs():
