@@ -1389,7 +1389,6 @@ class Workspace:
         sees the old table or the new one, never both versions of a
         replaced key.
         """
-        from urllib.parse import urlparse
 
         from ..operators.relational import upsert as upsert_rows
 
@@ -1538,7 +1537,6 @@ class Workspace:
         """
         import functools
         import shutil
-        from urllib.parse import urlparse
 
         meta = self.manifest["tables"][name]
         key = meta.get("key")
@@ -1760,7 +1758,6 @@ class Workspace:
         Maintenance: attached rollups/matviews REBUILD (history
         moved), the same documented contract as :meth:`upsert`.
         """
-        from urllib.parse import urlparse
 
         meta = self.manifest["tables"][name]
         key = meta.get("key")
