@@ -2167,6 +2167,25 @@ class Workspace:
             self._maintain_rollups(t, rebuild=True)
             self._maintain_matviews(t)
 
+    def prune_snapshots(self, keep: int) -> list[str]:
+        """Snapshot retention: drop all but the newest ``keep``
+        complete tags (by manifest mtime — creation order), returning
+        the dropped tags.  The nightly pairing of
+        ``snapshot(today)`` + ``prune_snapshots(7)``."""
+        if keep < 0:
+            raise KerfTypeError(f"prune_snapshots: keep={keep} < 0")
+        base = os.path.join(self.root, ".snapshots")
+        tags = sorted(
+            self.snapshots(),
+            key=lambda t: os.path.getmtime(
+                os.path.join(base, t, "manifest.json")
+            ),
+        )
+        doomed = tags[: max(0, len(tags) - keep)]
+        for t in doomed:
+            self.drop_snapshot(t)
+        return doomed
+
     def drop_snapshot(self, tag: str) -> None:
         """Unlink a snapshot (frees the bytes once no live table
         shares the inodes)."""

@@ -1979,7 +1979,18 @@ def test_snapshot_survives_pruned_writes(spark, ws_root):
     assert sorted(
         (r["k"], r["v"]) for r in ws.load("t").collect()
     ) == before
-    ws.drop_snapshot("v1")
+    # retention: keep the newest N tags
+    import time as _time
+
+    for i in range(3):
+        ws.snapshot(f"r{i}")
+        _time.sleep(0.02)  # distinct manifest mtimes
+    dropped = ws.prune_snapshots(keep=2)
+    assert dropped == ["v1", "r0"]
+    assert ws.snapshots() == ["r1", "r2"]
+    ws.prune_snapshots(keep=0)
+    assert ws.snapshots() == []
+    ws.drop_snapshot("v1")  # idempotent on a gone tag
     assert ws.snapshots() == []
 
 
