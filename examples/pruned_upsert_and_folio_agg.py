@@ -90,7 +90,7 @@ def main() -> None:
     print("== hardlink snapshots: point-in-time reads + restore ==")
     n_now = ws.load("orders").count()
     ws.snapshot("before_purge")
-    ws.delete_range("orders", None, None if False else hi)  # purge low half
+    ws.delete_range("orders", None, hi)  # purge everything up to hi
     print(f"  live after purge: {ws.load('orders').count()} rows; "
           f"snapshot still reads {ws.load_snapshot('before_purge', 'orders').count()} "
           f"(zero bytes copied — links keep the unlinked inodes alive)")

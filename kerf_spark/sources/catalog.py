@@ -369,12 +369,21 @@ class Workspace:
             out = df.sortWithinPartitions(*sort_by)
         else:
             out = df
+        # save publishes through the version pointer like every other
+        # write: the data lands in a staging dir and ONE atomic pointer
+        # swap makes it live — a re-save over an existing table never
+        # exposes a half-written directory, and readers pinned to the
+        # previous version finish their scans (grace-of-one retention)
+        staging = path + ".staging"
         w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*list(partition_by))
-        w.parquet(path)
+        w.parquet(staging)
         meta = {
             "path": path,
+            "publish_version": self.manifest["tables"]
+            .get(name, {})
+            .get("publish_version"),
             "partition_by": list(partition_by or []),
             "sort_by": list(sort_by or []),
             "zorder_by": list(zorder_by or []),
@@ -389,6 +398,7 @@ class Workspace:
             meta["sort_key_max"] = _jsonable(
                 df.agg(F.max(sort_by[0])).head()[0]
             )
+        self._publish_dir(meta, staging)
         if key:
             meta["key"] = key
             meta["unique"] = bool(unique)
@@ -396,6 +406,8 @@ class Workspace:
             meta["key_partitions"] = (
                 int(key_partitions) if key_partitions else None
             )
+            # index URIs record through the stable pointer path, so
+            # they survive every later publish unchanged
             meta["key_file_ranges"] = self._file_key_ranges(
                 meta, self.spark.read.schema(
                     T.StructType.fromJson(meta["schema"])
@@ -415,8 +427,90 @@ class Workspace:
         schema = T.StructType.fromJson(meta["schema"])
         # manifest schema applied AT READ: files written before a widen
         # surface at the promoted width via the parquet reader's type
-        # widening (INT32->INT64, FLOAT->DOUBLE) — no data rewrite
-        return self.spark.read.schema(schema).parquet(meta["path"])
+        # widening (INT32->INT64, FLOAT->DOUBLE) — no data rewrite.
+        # Pointer-published tables resolve the version pointer ONCE
+        # here, PINNING the version: the returned (lazy) DataFrame
+        # keeps reading this version even if a writer publishes a new
+        # one mid-scan — grace-of-one retention (_publish_dir) keeps
+        # the pinned version's files alive through that next publish.
+        path = meta["path"]
+        if os.path.islink(path):
+            path = os.path.realpath(path)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _pin_files(self, meta: dict, files: list[str]) -> list[str]:
+        """Rewrite manifest file URIs (recorded through the table's
+        stable path) onto the CURRENT version directory for a reader
+        that is about to scan them — the read-side half of the pointer
+        publish: a concurrent writer's swap cannot yank the files out
+        from under the scan, because grace-of-one retention keeps the
+        resolved version intact through one further publish."""
+        live = meta["path"]
+        if not os.path.islink(live):
+            return files
+        real = os.path.realpath(live)
+        return [f.replace(live, real, 1) for f in files]
+
+    def _publish_dir(self, meta: dict, staging: str) -> None:
+        """ONE-rename atomic publish through a VERSION POINTER: the
+        table path is a symlink to the current version directory
+        (``<path>.v<N>``); publishing renames the staged directory to
+        version N+1 and re-points the symlink with a single
+        ``os.replace`` — the table path always resolves to one
+        complete directory, closing the transient missing-path window
+        the old two-rename dance (live→old, staging→live) had.
+
+        Reader contract: :meth:`load` resolves the pointer once and
+        pins that version; the version a publish replaces survives
+        ONE further publish (grace-of-one retention) so pinned
+        in-flight scans finish, then is unlinked.  Staged survivors
+        are hardlinks, so a version costs O(new files) bytes.
+
+        Legacy tables (a real directory at the path) convert on their
+        first publish — the dir must move aside before a symlink can
+        take its name, a microsecond non-atomic window that happens
+        once per table, ever; every later publish is the atomic
+        pointer swap."""
+        import glob as _glob
+        import shutil
+
+        live = meta["path"]
+        ver = int(meta.get("publish_version") or 0) + 1
+        vdir = f"{live}.v{ver}"
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.rename(staging, vdir)
+        tmp = live + ".ptr.tmp"
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+        os.symlink(os.path.basename(vdir), tmp)
+        prev_target = None
+        if os.path.islink(live):
+            prev_target = os.path.realpath(live)
+        elif os.path.isdir(live):
+            # one-time legacy-directory conversion (see docstring)
+            prev_target = f"{live}.v{ver - 1}"
+            shutil.rmtree(prev_target, ignore_errors=True)
+            os.rename(live, prev_target)
+        os.replace(tmp, live)  # THE publish: atomic, path never missing
+        meta["publish_version"] = ver
+        # retention sweep: keep the new version + the grace version
+        # (what readers may have pinned); everything older goes.  The
+        # table-name guard keeps a sibling TABLE that happens to be
+        # named like a version dir out of the sweep.
+        keep = {os.path.realpath(vdir)}
+        if prev_target:
+            keep.add(os.path.realpath(prev_target))
+        base = os.path.basename(live)
+        for d in _glob.glob(live + ".v*"):
+            suf = d.rsplit(".v", 1)[-1]
+            if (
+                suf.isdigit()
+                and os.path.realpath(d) not in keep
+                and f"{base}.v{suf}" not in self.manifest.get("tables", {})
+            ):
+                shutil.rmtree(d, ignore_errors=True)
 
     # ----------------------------------------------------- sort index
     def _file_key_ranges(self, meta: dict, files: list[str]) -> dict:
@@ -525,7 +619,9 @@ class Workspace:
         ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(
+            *self._pin_files(meta, files)
+        )
         import functools
 
         def one(v):
@@ -601,7 +697,9 @@ class Workspace:
         ]
         if not files:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(
+            *self._pin_files(meta, files)
+        )
         if lo_t is not None:
             df = df.where(_lex_pred(key, lo_t, True))
         if hi_t is not None:
@@ -1330,10 +1428,7 @@ class Workspace:
         if meta["partition_by"]:
             w = w.partitionBy(*meta["partition_by"])
         w.parquet(staging)
-        old = meta["path"] + ".old"
-        os.rename(meta["path"], old)
-        os.rename(staging, meta["path"])
-        shutil.rmtree(old)
+        self._publish_dir(meta, staging)
         self.manifest["tables"][name]["schema"] = merged.schema.jsonValue()
         if meta.get("key"):
             meta["key_file_ranges"] = self._file_key_ranges(
@@ -1382,12 +1477,13 @@ class Workspace:
         like :meth:`append` (manifest-only rewrite — untouched narrow
         files widen losslessly at read through the declared schema).
 
-        Reader visibility: the commit is a hardlink-staged directory
-        SWAP (:meth:`_staged_pruned_swap`) — survivors link into
-        staging (zero bytes copied, mtimes intact), the merged
-        replacement writes there, one rename publishes.  A reader
-        sees the old table or the new one, never both versions of a
-        replaced key.
+        Reader visibility: the commit is a hardlink-staged VERSION
+        publish (:meth:`_staged_pruned_swap` → :meth:`_publish_dir`)
+        — survivors link into staging (zero bytes copied, mtimes
+        intact), the merged replacement writes there, one atomic
+        pointer swap publishes.  A reader sees the old version or the
+        new one — never both versions of a replaced key, and never a
+        missing table path.
         """
 
         from ..operators.relational import upsert as upsert_rows
@@ -1649,10 +1745,10 @@ class Workspace:
             df = self.spark.read.schema(schema).parquet(*covering)
             keep_df = _keep(df)
             kept = keep_df.count()
-            n_del = sum(
-                (ranges[f][2] if len(ranges[f]) >= 3 else 0)
-                for f in covering
-            ) - kept
+            # deleted count from the SCAN, not the index: a count over
+            # the covering files only (parquet footers make it cheap)
+            # — exact whatever shape the manifest entries carry
+            n_del = df.count() - kept
             if not n_del:
                 return 0
             out = (
@@ -1702,10 +1798,7 @@ class Workspace:
             ).sortWithinPartitions(*key)
             staging = meta["path"] + ".staging"
             out.write.mode("overwrite").parquet(staging)
-            old = meta["path"] + ".old"
-            os.rename(meta["path"], old)
-            os.rename(staging, meta["path"])
-            shutil.rmtree(old)
+            self._publish_dir(meta, staging)
             meta["key_file_ranges"] = self._file_key_ranges(
                 meta,
                 self.spark.read.schema(schema)
@@ -1896,14 +1989,16 @@ class Workspace:
     ) -> list[str]:
         """The pruned writes' ATOMIC commit: hardlink the surviving
         data files into a staging dir (inode-preserving — zero bytes
-        copied, mtimes intact), write the merged/trimmed output there,
-        and swap directories.  Readers see the old table or the new
-        one, never the append-then-unlink intermediate state that
-        could show BOTH versions of a replaced key (the crash window
-        the in-place flow had: new files landed, covered files not yet
-        unlinked).  Returns the NEW files' paths (as inputFiles URIs)
-        for index maintenance; survivors keep their path strings (the
-        directory name is unchanged after the swap)."""
+        copied, mtimes intact; filesystems without hardlinks fall back
+        to a byte copy), write the merged/trimmed output there, and
+        publish with ONE atomic pointer swap (:meth:`_publish_dir`) —
+        a reader sees the old version or the new one, never the
+        append-then-unlink intermediate state that could show BOTH
+        versions of a replaced key, and never a missing table path
+        (the defect the old live→old→live rename pair had).  Returns
+        the NEW files' paths (as inputFiles URIs) for index
+        maintenance; survivors keep their path strings (URIs record
+        through the stable pointer path)."""
         import shutil
         from urllib.parse import urlparse
 
@@ -1914,15 +2009,15 @@ class Workspace:
         kept_names = set()
         for f in keep_files:
             p = urlparse(f).path
-            os.link(p, os.path.join(staging, os.path.basename(p)))
+            dst = os.path.join(staging, os.path.basename(p))
+            try:
+                os.link(p, dst)
+            except OSError:  # no hardlink support: copy the bytes
+                shutil.copy2(p, dst)
             kept_names.add(os.path.basename(p))
         if write_df is not None:
             write_df.write.mode("append").parquet(staging)
-        old = live + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(live, old)
-        os.rename(staging, live)
-        shutil.rmtree(old, ignore_errors=True)
+        self._publish_dir(meta, staging)
         schema = T.StructType.fromJson(meta["schema"])
         allf = (
             self.spark.read.schema(schema).parquet(live).inputFiles()
@@ -1983,11 +2078,11 @@ class Workspace:
             }
 
     def snapshot(self, tag: str) -> str:
-        """Named point-in-time SNAPSHOT of every table — restores the
-        strict read isolation the key-pruned writes traded away
-        (delete_keys/upsert unlink covered files in place; a reader
-        that listed them mid-write fails; the staged-swap paths never
-        had this problem).  Implementation is hardlinks: every data
+        """Named point-in-time SNAPSHOT of every table.  Write paths
+        already publish through an atomic version pointer (readers
+        pin a version; grace-of-one retention carries them through
+        one concurrent publish) — a snapshot extends that isolation
+        INDEFINITELY under a name.  Implementation is hardlinks: every data
         file of every table links into ``root/.snapshots/<tag>/`` —
         O(files) metadata ops, ZERO bytes copied, and the snapshot
         keeps the inodes alive after the live table unlinks them
@@ -2146,14 +2241,17 @@ class Workspace:
                             shutil.copy2(
                                 os.path.join(d, f), os.path.join(od, f)
                             )
-                old = live + ".old"
-                shutil.rmtree(old, ignore_errors=True)
-                if os.path.isdir(live):
-                    os.rename(live, old)
-                os.rename(staging, live)
-                shutil.rmtree(old, ignore_errors=True)
                 meta = dict(ent)
                 meta["path"] = live
+                # the LIVE table's publish counter, never the
+                # snapshot's: a stale counter would collide with (and
+                # sweep) the current version directory
+                meta["publish_version"] = (
+                    self.manifest["tables"].get(t, {}).get(
+                        "publish_version"
+                    )
+                )
+                self._publish_dir(meta, staging)
                 if ent.get("key_file_ranges"):
                     meta["key_file_ranges"] = {
                         f.replace(
@@ -2385,10 +2483,7 @@ class Workspace:
         if meta.get("partition_by"):
             w = w.partitionBy(*meta["partition_by"])
         w.parquet(staging)
-        old = meta["path"] + ".old"
-        os.rename(meta["path"], old)
-        os.rename(staging, meta["path"])
-        shutil.rmtree(old)
+        self._publish_dir(meta, staging)
         if meta.get("key"):
             # the sort index must follow the rewrite: the old entries
             # point at deleted files (key_lookup would read ghosts)

@@ -1,5 +1,6 @@
 """Workspace catalog, kerf-SQL front-end, and streaming tests."""
 
+import os
 import shutil
 import tempfile
 
@@ -8,6 +9,13 @@ import pytest
 
 from kerf_spark.plans.kerfsql import translate
 from kerf_spark.sources.catalog import Workspace
+
+
+def _names(files):
+    """File URIs normalized to basenames: manifest URIs record through
+    the table's stable pointer path while a read PINS the resolved
+    version directory — same files, one prefix deep."""
+    return {os.path.basename(f) for f in files}
 
 
 # ------------------------------------------------------------- kerf-SQL
@@ -1027,8 +1035,8 @@ def test_key_lookup_scans_only_covering_files(spark, tables, ws_root):
     got = sorted(r["o_orderkey"] for r in hit.collect())
     assert got == sorted(some)
     # the plan proof: the lookup's scan inputs are a strict subset
-    used = set(hit.inputFiles())
-    assert used <= all_files
+    used = _names(hit.inputFiles())
+    assert used <= _names(all_files)
     assert len(used) < len(all_files)
     # single-value and miss lookups
     one = ws.key_lookup("orders", some[0])
@@ -1162,7 +1170,7 @@ def test_key_range_scans_only_overlapping_files(spark, tables, ws_root):
     )
     assert got.count() == want.count()
     all_files = set(ws.manifest["tables"]["orders"]["key_file_ranges"])
-    assert set(got.inputFiles()) < all_files  # strict subset
+    assert _names(got.inputFiles()) < _names(all_files)  # strict subset
     # open-ended: everything at/after hi
     tail = ws.key_range("orders", lo=hi)
     assert tail.count() == ords.where(F.col("o_orderkey") >= hi).count()
@@ -1419,10 +1427,10 @@ def test_composite_key_ranges_prune_more_than_lead_only(spark, ws_root):
     assert len(aapl_files) >= 2, "fixture must spread one sym over files"
     # lead-only probe reads every AAPL file ...
     lead_only = ws.key_lookup("ticks", [("AAPL",)])
-    assert set(lead_only.inputFiles()) == set(aapl_files)
+    assert _names(lead_only.inputFiles()) == _names(aapl_files)
     # ... the tuple probe reads strictly fewer
     tup = ws.key_lookup("ticks", [("AAPL", 7)])
-    assert set(tup.inputFiles()) < set(aapl_files)
+    assert _names(tup.inputFiles()) < _names(aapl_files)
     got = tup.collect()
     assert len(got) == 1 and got[0]["px"] == 14
     # appends extend the composite index too
@@ -1494,7 +1502,7 @@ def test_key_range_tuple_bounds_same_lead_slice(spark, ws_root):
         f for f, r in rngs.items() if r[2] > 0 and r[0] <= "AAPL" <= r[1]
     }
     sl = ws.key_range("ticks", ("AAPL", 100), ("AAPL", 150))
-    assert set(sl.inputFiles()) < aapl_files  # second-bound pruning
+    assert _names(sl.inputFiles()) < _names(aapl_files)  # second-bound pruning
     got = sorted(r["ts"] for r in sl.collect())
     assert got == list(range(100, 151))
     assert {r["sym"] for r in sl.collect()} == {"AAPL"}
@@ -2108,6 +2116,93 @@ def test_fsck_repairs_stale_sort_index(spark, ws_root):
     ws.save("plain", spark.range(3))
     with pytest.raises(KeysError):
         ws.fsck("plain")
+
+
+def test_publish_pointer_version_swap(spark, ws_root):
+    """Write paths publish through a VERSION POINTER: the table path
+    is a symlink that always resolves to one complete directory; each
+    publish bumps the version, keeps the just-replaced version for
+    pinned readers (grace-of-one), and sweeps older ones."""
+    ws = Workspace(spark, ws_root)
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ws.save("t", df, key="k", key_partitions=4, minimize_widths=False)
+    path = ws.manifest["tables"]["t"]["path"]
+    assert os.path.islink(path)
+    v1 = os.path.realpath(path)
+    assert v1.endswith(".v1")
+    # a reader pinned BEFORE a publish still reads its version after
+    pinned = ws.load("t")
+    up = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+    )
+    ws.upsert("t", up)
+    assert os.path.realpath(path).endswith(".v2")
+    assert os.path.isdir(v1)  # grace-of-one keeps the pinned version
+    assert pinned.count() == 2000  # the pinned scan still completes
+    ws.delete_keys("t", [5, 6])
+    assert os.path.realpath(path).endswith(".v3")
+    assert not os.path.exists(v1)  # swept after the SECOND publish
+    assert ws.load("t").count() == 1998
+    # compact publishes through the pointer too, and reads stay exact
+    ws.compact("t")
+    assert os.path.realpath(path).endswith(".v4")
+    assert ws.load("t").count() == 1998
+    assert ws.key_lookup("t", 7).count() == 1
+    # a re-save keeps climbing the version chain (no counter reset)
+    ws.save("t", df, key="k", key_partitions=4, minimize_widths=False)
+    assert os.path.realpath(path).endswith(".v5")
+    assert ws.load("t").count() == 2000
+
+
+def test_reader_hammer_zero_missing_path(spark, ws_root):
+    """The pointer publish's contract, proven under fire: reader
+    threads hammering refresh()+load()+count() through 50 concurrent
+    pruned writes observe ZERO path-not-found errors (the old
+    two-rename publish had a transient missing-path window between
+    live→old and staging→live)."""
+    import threading
+
+    ws = Workspace(spark, ws_root)
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ws.save("t", df, key="k", key_partitions=4, minimize_widths=False)
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def reader():
+        r = Workspace(spark, ws_root)
+        while not stop.is_set():
+            try:
+                r.refresh()
+                n = r.load("t").count()
+                assert n >= 3900, f"impossible row count {n}"
+            except Exception as e:  # noqa: BLE001 — collected for the assert
+                errors.append(repr(e))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(50):
+            if i % 2:
+                up = spark.range(i * 3, i * 3 + 40).select(
+                    F.col("id").alias("k"),
+                    F.lit(-i).cast("bigint").alias("v"),
+                )
+                ws.upsert("t", up)
+            else:
+                ws.delete_keys("t", [3999 - i])
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=180)
+    assert errors == [], errors
+    # 25 single-key deletes landed, upserts replaced (never re-added)
+    assert ws.load("t").count() == 4000 - 25
 
 
 def test_snapshot_covers_partitioned_tables(spark, ws_root):
