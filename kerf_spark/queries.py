@@ -12750,6 +12750,48 @@ def folio_remote_median(spark, sf):
 
 
 @query(
+    "folio_remote_last",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           max_by(c_acctbal, c_custkey) AS last_bal,
+           min_by(c_acctbal, c_custkey) AS first_bal,
+           max_by(c_mktsegment, c_custkey) AS last_seg
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_remote_last(spark, sf):
+    """ORDERED aggregates over the folio (VERDICT r10 next #1 — THE
+    canonical distributed tick query, ``select last price by sym``
+    over "a folio of tables [that] should behave like a table",
+    presented.h:409, with append-ordered sublists presented.h:420-425):
+    ``last(x, ord)``/``first(x, ord)``/``max_by``/``min_by`` split
+    exactly as member max_by/min_by partials + a final max_by/min_by
+    over the member partials — one partial row per (member, nation)
+    on the wire, never customer rows.  The ordering column
+    (c_custkey, unique) makes "last" well-defined across members and
+    the result deterministic; the DuckDB oracle computes the same
+    arg-max over the unsharded table, so a member whose extreme went
+    missing or a partial merged with the wrong ordering is a value
+    mismatch.  Values are STORED cells (no arithmetic), hash-exact
+    across engines."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    merged = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_nationkey, last(c_acctbal, c_custkey) as last_bal,"
+        " first(c_acctbal, c_custkey) as first_bal,"
+        " max_by(c_mktsegment, c_custkey) as last_seg"
+        " from customer group by c_nationkey",
+    )
+    return merged.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "last_bal", "first_bal", "last_seg",
+    ).orderBy("c_nationkey")
+
+
+@query(
     "keyed_tuple_range",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),

@@ -653,6 +653,18 @@ _FOLIO_HISTOGRAM = ("median", "percentile", "quantile")
 #: small cardinalities the sketch is in sparse mode and the estimate
 #: is EXACT
 _FOLIO_SKETCH = ("approx_count_distinct",)
+#: ordered "arg" aggregates — ALGEBRAIC once an explicit ordering
+#: column is named: ``last(x, ord)`` == ``max_by(x, ord)`` splits as
+#: member max_by partials + a final max_by over the member partials
+#: (the canonical distributed tick query ``select last price by sym``
+#: — presented.h:409/420-425: a folio of append-ordered tables should
+#: behave like a table; the explicit ordering column is what makes
+#: "last" well-defined across members)
+_FOLIO_ORDERED = {
+    "last": "max_by", "first": "min_by",
+    "max_by": "max_by", "min_by": "min_by",
+    "arg_max": "max_by", "arg_min": "min_by",
+}
 #: genuinely unsupported: order/position-dependent across members
 _FOLIO_REFUSED = (
     "mode", "first", "last", "first_value", "last_value", "string_agg",
@@ -718,11 +730,42 @@ def _folio_parse_select(q: str):
             expr, alias = part.strip(), None
         am = _FOLIO_AGG_RE.match(expr)
         fn = am.group(1).lower() if am else None
+        if am and fn in _FOLIO_ORDERED:
+            pieces = _split_top(am.group(2))
+            if len(pieces) == 2:
+                if alias is None:
+                    raise ArgsError(
+                        f"folio_select: aggregate {expr!r} needs an "
+                        f"alias (`... as name` / `name: ...`)"
+                    )
+                items.append(
+                    (
+                        alias,
+                        _FOLIO_ORDERED[fn],
+                        pieces[0].strip(),
+                        pieces[1].strip(),
+                    )
+                )
+                continue
+            if fn not in ("first", "last"):
+                raise ArgsError(
+                    f"folio_select: {fn} takes (value, ordering) — "
+                    f"two arguments"
+                )
+            # one-arg first/last falls through to the refusal below
         if am and fn in _FOLIO_REFUSED:
+            by_fn = _FOLIO_ORDERED.get(fn)
+            hint = (
+                f" — name an explicit ordering column instead: "
+                f"{fn}(x, ord) splits exactly as member {by_fn} "
+                f"partials + a final {by_fn}"
+                if by_fn
+                else " (gather the rows via folio_remote instead)"
+            )
             raise ArgsError(
                 f"folio_select: {fn} is order/position-dependent "
-                f"across members — it cannot be rebuilt from partials "
-                f"(gather the rows via folio_remote instead)"
+                f"across members — it cannot be rebuilt from "
+                f"partials{hint}"
             )
         if am and fn in (
             _FOLIO_ALGEBRAIC
@@ -795,6 +838,7 @@ def folio_select(
     addrs: list[tuple[str, int]],
     q: str,
     timeout: float = 120.0,
+    member_local_joins: bool = False,
 ):
     """Distributed grouped aggregation over a folio of remote tables —
     "a folio of tables should behave like a table" (presented.h:409)
@@ -823,14 +867,24 @@ def folio_select(
     MERGEABLE HLL SKETCH — members ship one datasketches buffer per
     group (≤ a few KB regardless of cardinality), the final unions
     and estimates (sparse-mode sketches make small cardinalities
-    exact).  ``stddev``/``variance`` turn out algebraic — they
-    rebuild exactly from (sum, sum-of-squares, count) partials (the
-    textbook one-pass identity; fine for analytics scales, documented
-    cancellation hazard when |mean| >> stddev).  Order-dependent
-    aggregates (mode/first/last/string_agg) refuse with a typed
-    error.  ``where`` pushes to the members (each filters its own
-    parquet); ``order by``/``limit`` apply to the merged final (top-k
-    over groups, driver-bounded).
+    exact).  ``stddev``/``variance`` are algebraic via SHIFTED
+    moment partials: members ship (count, mean, M2) and the final
+    re-centers member means on the group minimum before combining —
+    exact algebra with no catastrophic cancellation even when
+    |mean| >> stddev (nanosecond stamps, large notionals).  ORDERED
+    aggregates with an explicit ordering column — ``last(x, ord)`` /
+    ``first(x, ord)`` / ``max_by`` / ``min_by`` / ``arg_max`` /
+    ``arg_min`` — split exactly as member max_by/min_by partials + a
+    final max_by/min_by (the canonical distributed tick query
+    ``select last(price, ts) by sym``).  Genuinely order-dependent
+    aggregates (one-arg first/last, mode, string_agg) refuse with a
+    typed error naming the ordered form.  ``where`` pushes to the
+    members (each filters its own parquet); ``order by``/``limit``
+    apply to the merged final (top-k over groups, driver-bounded).
+    Joins in the from clause refuse by default (a member-side join
+    over two SHARDED tables would drop cross-member matches);
+    ``member_local_joins=True`` opts in when every non-fact side is
+    replicated on all members.
 
     Scale shape: the wire carries ONE partial row per (member, group)
     — plus one histogram row per (member, group, distinct value) for
@@ -843,18 +897,59 @@ def folio_select(
     from .errors import ArgsError
 
     items, keys, table, where, order, limit = _folio_parse_select(q)
+    if not member_local_joins and (
+        re.search(r"(?is)\bjoin\b", table) or "," in table
+    ):
+        # FACT-TO-FACT guard: a join shipped member-side joins each
+        # member's SHARD against its own local tables — correct only
+        # when every other side is replicated on all members.  Two
+        # member-SHARDED tables joined this way silently drop every
+        # cross-member match, so the default refuses.
+        raise ArgsError(
+            "folio_select: the from clause joins tables — a join "
+            "between two member-sharded tables cannot run member-side "
+            "(each member would join only its own shard, silently "
+            "dropping cross-member matches).  Options: gather rows "
+            "via folio_remote and join locally; co-shard both tables "
+            "on the join key so the member-side join is complete; or "
+            "pass member_local_joins=True when every joined table "
+            "besides the sharded fact is replicated on all members "
+            "(broadcast dims)."
+        )
     if not any(fn for _, fn, _, _ in items):
         raise ArgsError(
             "folio_select needs at least one aggregate — for plain "
             "row gathers use folio_remote"
         )
     hist_fns = ("count_distinct", "percentile")
+    var_fns = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
+    # one ANCHOR column per distinct variance argument: a window
+    # min(x) the member computes exactly (an actual data value), so
+    # the shipped sums are over CENTERED values — small-number space,
+    # no precision lost at |mean| >> stddev (see the var branch)
+    var_args = sorted({it[2] for it in items if it[1] in var_fns})
+    anchor = {arg: f"__va{j}" for j, arg in enumerate(var_args)}
     # ---- member query: one partial per aggregate ----------------------
     partials, finals = [], []
+    var_items: list[int] = []
     for i, (alias, fn, arg, param) in enumerate(items):
         if fn is None or fn in hist_fns:
             continue
-        if fn == "sum":
+        if fn in ("max_by", "min_by"):
+            # ordered "arg" aggregate: member ships (value at extreme
+            # ordering, extreme ordering); the final picks the value
+            # whose member ordering is the global extreme — exact, one
+            # partial row per (member, group), the distributed
+            # `select last price by sym` (ties on the ordering column
+            # resolve per SQL max_by: nondeterministically — name a
+            # unique ordering column for determinism)
+            o = "max" if fn == "max_by" else "min"
+            partials.append(f"{fn}({arg}, {param}) AS __p{i}v")
+            partials.append(f"{o}({param}) AS __p{i}o")
+            finals.append(
+                F.expr(f"{fn}(__p{i}v, __p{i}o)").alias(alias)
+            )
+        elif fn == "sum":
             partials.append(f"sum({arg}) AS __p{i}")
             finals.append(F.sum(f"__p{i}").alias(alias))
         elif fn == "count":
@@ -878,14 +973,38 @@ def folio_select(
                     F.lit(0),
                 ).cast("long").alias(alias)
             )
-        elif fn in ("var_pop", "var_samp", "stddev_pop", "stddev_samp"):
-            partials.append(f"sum(({arg}) * 1.0) AS __p{i}s")
-            partials.append(f"sum(({arg}) * ({arg}) * 1.0) AS __p{i}q")
+        elif fn in var_fns:
+            # ANCHORED shifted partials (r10 verdict "what's wrong"
+            # #3): the textbook sum/sum-of-squares identity cancels
+            # catastrophically when |mean| >> stddev (nanosecond
+            # stamps, large notionals).  Each member CENTERS on an
+            # exact per-group anchor a_i (a window min over its own
+            # rows — an actual data value, no rounding) and ships
+            #   (count, a_i, Σ(x−a_i), Σ(x−a_i)²)
+            # — sums over SMALL values, computed at full precision.
+            # The final re-centers every member on the group-global
+            # anchor A = min(a_i) via the exact shift d_i = a_i − A:
+            #   S = Σ(s_i + c_i·d_i)        == Σ(x−A)
+            #   Q = Σ(q_i + 2·d_i·s_i + c_i·d_i²)  == Σ(x−A)²
+            #   SS = Q − S²/N               == Σ(x−μ)²  (exact algebra)
+            # Every operand lives in data-RANGE space, never at the
+            # raw magnitude, so nothing large nearly-cancels.
+            a = anchor[arg]
             partials.append(f"count({arg}) AS __p{i}c")
+            partials.append(f"min({a}) AS __p{i}a")
+            partials.append(f"sum(({arg}) - {a}) AS __p{i}s")
+            partials.append(
+                f"sum((({arg}) - {a}) * (({arg}) - {a})) AS __p{i}q"
+            )
+            var_items.append(i)
+            c = F.col(f"__p{i}c").cast("double")
+            d = F.col(f"__p{i}d").cast("double")
+            s = F.col(f"__p{i}s").cast("double")
+            qq = F.col(f"__p{i}q").cast("double")
             n = F.sum(f"__p{i}c").cast("double")
-            s, q2 = F.sum(f"__p{i}s"), F.sum(f"__p{i}q")
-            # clamp the tiny negative the one-pass identity can leave
-            ss = F.greatest(q2 - s * s / n, F.lit(0.0))
+            big_s = F.sum(s + c * d)
+            big_q = F.sum(qq + F.lit(2.0) * d * s + c * d * d)
+            ss = F.greatest(big_q - big_s * big_s / n, F.lit(0.0))
             den = n if fn.endswith("_pop") else F.when(n > 1, n - 1)
             v = ss / den
             finals.append(
@@ -907,14 +1026,34 @@ def folio_select(
         # group spine (dropped at the final projection)
         partials.append("count(*) AS __spine")
         finals.append(F.sum("__spine").alias("__spine"))
-    member = "SELECT "
-    if keys:
-        member += f"{key_sel}, "
-    member += f"{', '.join(partials)} FROM {table}"
-    if where:
-        member += f" WHERE {where}"
-    if keys:
-        member += f" GROUP BY {key_grp}"
+    if var_args:
+        # variance anchors ride a member-side subquery: one window
+        # min per distinct argument, partitioned exactly like the
+        # grouping (the anchor is constant per group) — the grouped
+        # outer pass then sums the centered values
+        over = f"PARTITION BY {key_grp}" if keys else ""
+        acols = ", ".join(
+            f"min({arg}) OVER ({over}) AS {anchor[arg]}"
+            for arg in var_args
+        )
+        inner = f"SELECT *, {acols} FROM {table}"
+        if where:
+            inner += f" WHERE {where}"
+        member = "SELECT "
+        if keys:
+            member += f"{key_sel}, "
+        member += f"{', '.join(partials)} FROM ({inner})"
+        if keys:
+            member += f" GROUP BY {key_grp}"
+    else:
+        member = "SELECT "
+        if keys:
+            member += f"{key_sel}, "
+        member += f"{', '.join(partials)} FROM {table}"
+        if where:
+            member += f" WHERE {where}"
+        if keys:
+            member += f" GROUP BY {key_grp}"
     # ---- gathers: the partial spine + one histogram per distinct
     # holistic argument, all CONCURRENT (each gather already fans one
     # thread per member socket; the gathers themselves are independent
@@ -1009,6 +1148,21 @@ def folio_select(
             )
         )
     # ---- local final merge --------------------------------------------
+    if var_items:
+        # variance re-centering: d_i = member anchor − group-global
+        # anchor (both exact data values), computed over the SMALL
+        # gathered frame (one row per member×group) before the merge
+        # aggregates consume it
+        wall = (
+            Window.partitionBy(*key_names)
+            if keys
+            else Window.partitionBy()
+        )
+        for i in var_items:
+            gathered = gathered.withColumn(
+                f"__p{i}d",
+                F.col(f"__p{i}a") - F.min(f"__p{i}a").over(wall),
+            )
     out = (
         gathered.groupBy(*key_names).agg(*finals)
         if keys

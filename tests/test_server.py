@@ -742,9 +742,16 @@ def test_folio_select_member_side_star_join(spark):
     REPLICATED to every member — the from clause (a kerf-SQL join)
     passes through to the members whole, each joins ITS shard against
     its local dim, and the partials merge as usual.  No rows cross
-    the wire; the dim never moves at query time."""
+    the wire; the dim never moves at query time.  The join requires
+    the explicit ``member_local_joins=True`` opt-in: by default a
+    join in the from clause REFUSES (a join between two member-
+    sharded tables run member-side would silently drop every
+    cross-member match)."""
+    import pytest
+
     from pyspark.sql import functions as F
 
+    from kerf_spark.errors import ArgsError
     from kerf_spark.server import folio_select
     from kerf_spark.sources.io import read_table
 
@@ -755,15 +762,23 @@ def test_folio_select_member_side_star_join(spark):
         KerfServer(spark, tables={"customer": sh, "nation": nat}).start()
         for sh in shards
     ]
+    stmt = (
+        "select n_name, count(*) as n, sum(c_acctbal) as bal"
+        " from customer join nation on c_nationkey = n_nationkey"
+        " group by n_name"
+    )
     try:
+        # default: the fact-to-fact guard refuses, naming the opt-in
+        # and both workarounds
+        with pytest.raises(ArgsError, match="member_local_joins"):
+            folio_select(spark, [s.address for s in srvs], stmt)
         got = {
             r["n_name"]: (r["n"], round(r["bal"], 2))
             for r in folio_select(
                 spark,
                 [s.address for s in srvs],
-                "select n_name, count(*) as n, sum(c_acctbal) as bal"
-                " from customer join nation on c_nationkey = n_nationkey"
-                " group by n_name",
+                stmt,
+                member_local_joins=True,
             ).collect()
         }
         want = {
@@ -779,6 +794,161 @@ def test_folio_select_member_side_star_join(spark):
             .collect()
         }
         assert got == want
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_select_ordered_aggregates(spark):
+    """``last(x, ord)``/``first(x, ord)``/``max_by``/``min_by`` split
+    exactly: member max_by/min_by partials + a final max_by over the
+    member partials — the canonical distributed tick query
+    ``select last price by sym``, checked against the unsharded local
+    arg-max under deliberately skewed shards.  One-arg first/last
+    refuse with an error NAMING the ordered form; one-arg max_by
+    refuses as malformed."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    shards = [
+        cust.where(F.col("c_custkey") % 7 == 0),
+        cust.where(F.col("c_custkey") % 7 != 0),
+    ]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        got = {
+            r["c_nationkey"]: r
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select c_nationkey,"
+                " last(c_acctbal, c_custkey) as last_bal,"
+                " first(c_acctbal, c_custkey) as first_bal,"
+                " max_by(c_mktsegment, c_acctbal) as rich_seg,"
+                " arg_min(c_custkey, c_acctbal) as poorest"
+                " from customer group by c_nationkey",
+            ).collect()
+        }
+        want = {
+            r["c_nationkey"]: r
+            for r in cust.groupBy("c_nationkey")
+            .agg(
+                F.expr("max_by(c_acctbal, c_custkey)").alias("last_bal"),
+                F.expr("min_by(c_acctbal, c_custkey)").alias("first_bal"),
+                F.expr("max_by(c_mktsegment, c_acctbal)").alias(
+                    "rich_seg"
+                ),
+                F.expr("min_by(c_custkey, c_acctbal)").alias("poorest"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k, r in got.items():
+            w = want[k]
+            assert r["last_bal"] == w["last_bal"], k
+            assert r["first_bal"] == w["first_bal"], k
+            assert r["rich_seg"] == w["rich_seg"], k
+            assert r["poorest"] == w["poorest"], k
+        # ungrouped ordered agg + where pushdown
+        tot = folio_select(
+            spark,
+            [s.address for s in srvs],
+            "select last(c_acctbal, c_custkey) as lb from customer"
+            " where c_nationkey < 10",
+        ).head()
+        wt = (
+            cust.where("c_nationkey < 10")
+            .agg(F.expr("max_by(c_acctbal, c_custkey)").alias("lb"))
+            .head()
+        )
+        assert tot["lb"] == wt["lb"]
+        # one-arg last: the refusal NAMES the ordered two-arg form
+        with pytest.raises(ArgsError, match="max_by"):
+            folio_select(
+                spark, [srvs[0].address],
+                "select last(c_acctbal) as lb from customer",
+            )
+        # one-arg max_by is malformed, not order-dependent
+        with pytest.raises(ArgsError, match="two arguments"):
+            folio_select(
+                spark, [srvs[0].address],
+                "select max_by(c_acctbal) as lb from customer",
+            )
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_select_variance_no_cancellation(spark):
+    """r10 verdict "what's wrong" #3: the old sum/sum-of-squares
+    variance split cancels catastrophically when |mean| >> stddev.
+    The ANCHORED partials (members center on an exact window-min
+    anchor and ship sums of small centered values; the final
+    re-centers on the group-global anchor) must match the EXACT
+    rational-arithmetic variance to 1e-9 RELATIVE on data with mean
+    1e12 and stddev ~0.6 — the nanosecond-timestamp / large-notional
+    shape.  (Ground truth is Fraction arithmetic over the stored
+    doubles: at this condition number even single-node Welford —
+    Spark's own stddev_samp — is ~1e-5 off, which the split BEATS.)"""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+
+    base = spark.range(4000).select(
+        (F.col("id") % 4).alias("g"),
+        (
+            F.lit(1_000_000_000_000.0)
+            + (F.col("id") % 97).cast("double") / 48.0
+        ).alias("x"),
+    )
+    shards = [base.where(F.col("id") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"t": sh}).start() for sh in shards
+    ]
+
+    def exact(g):
+        xs = [
+            Fraction(1e12 + (i % 97) / 48.0)
+            for i in range(g, 4000, 4)
+        ]
+        n = len(xs)
+        mu = sum(xs) / n
+        ss = sum((x - mu) ** 2 for x in xs)
+        return {
+            "vp": float(ss / n),
+            "vs": float(ss / (n - 1)),
+            "sd": math.sqrt(float(ss / (n - 1))),
+        }
+
+    try:
+        got = {
+            r["g"]: r
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select g, stddev(x) as sd, var_pop(x) as vp,"
+                " var_samp(x) as vs from t group by g",
+            ).collect()
+        }
+        assert set(got) == {0, 1, 2, 3}
+        for k, r in got.items():
+            w = exact(k)
+            assert w["sd"] > 0.1  # the fixture really has spread ~0.6
+            for c in ("sd", "vp", "vs"):
+                assert math.isclose(r[c], w[c], rel_tol=1e-9), (
+                    k, c, r[c], w[c],
+                )
     finally:
         for s in srvs:
             s.stop()
