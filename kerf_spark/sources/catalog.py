@@ -2126,21 +2126,7 @@ class Workspace:
                 if not os.path.isdir(src):
                     continue  # external/bucketed oddities: skip
                 dst = os.path.join(sdir, name)
-                for d, _, fs in os.walk(src):
-                    rel = os.path.relpath(d, src)
-                    od = os.path.join(dst, rel) if rel != "." else dst
-                    os.makedirs(od, exist_ok=True)
-                    for f in fs:
-                        if f.endswith((".crc", ".tmp")):
-                            continue
-                        try:
-                            os.link(
-                                os.path.join(d, f), os.path.join(od, f)
-                            )
-                        except OSError:
-                            shutil.copy2(
-                                os.path.join(d, f), os.path.join(od, f)
-                            )
+                _link_tree(src, dst)
                 ent = dict(meta)
                 ent["path"] = dst
                 if meta.get("key_file_ranges"):
@@ -2152,6 +2138,20 @@ class Workspace:
                         for f, r in meta["key_file_ranges"].items()
                     }
                 snap["tables"][name] = ent
+        # registered ANN/text indexes snapshot too (r10 verdict missing
+        # #2): they are parquet + a JSON sidecar, so hardlinks work the
+        # same — without this, restoring a corpus table would leave its
+        # persisted index reflecting deleted history, silently
+        snap["indexes"] = {}
+        for iname in sorted(self.manifest.get("indexes", {})):
+            ient = self.manifest["indexes"][iname]
+            isrc = ient.get("path")
+            if not (isrc and os.path.isdir(isrc)):
+                continue
+            idst = os.path.join(sdir, ".indexes", iname)
+            _link_tree(isrc, idst)
+            snap["indexes"][iname] = {**ient, "path": idst,
+                                      "live_path": isrc}
         os.makedirs(sdir, exist_ok=True)
         tmp = os.path.join(sdir, "manifest.json.tmp")
         with open(tmp, "w") as fh:
@@ -2200,9 +2200,13 @@ class Workspace:
         files into a staging dir, swap atomically (upsert's snapshot
         discipline), and restore the manifest entry — schema, key, and
         sort index included (the index's file ranges rewrite back to
-        the live paths).  ``name`` restores one table; None restores
-        every table the snapshot holds.  The snapshot itself is
-        untouched (restore twice, or keep it as a save point)."""
+        the live paths).  ``name`` restores one table (or one
+        registered ANN/text index, matched by name); None restores
+        every table AND every registered index the snapshot holds —
+        a full restore rolls the derived retrieval state back WITH
+        the data, so an IVF/BM25 index never silently reflects
+        deleted history.  The snapshot itself is untouched (restore
+        twice, or keep it as a save point)."""
         import shutil
         from urllib.parse import urlparse
 
@@ -2212,7 +2216,40 @@ class Workspace:
             raise KerfTypeError(f"no snapshot {tag!r} (or incomplete)")
         with open(mp) as fh:
             snap = json.load(fh)
-        names = [name] if name is not None else sorted(snap["tables"])
+        idx_snap = snap.get("indexes", {})
+        if name is not None and name in idx_snap and name not in snap[
+            "tables"
+        ]:
+            names, idx_names = [], [name]
+        elif name is not None:
+            names, idx_names = [name], []
+        else:
+            names = sorted(snap["tables"])
+            idx_names = sorted(idx_snap)
+        for iname in idx_names:
+            ient = idx_snap[iname]
+            live = (
+                self.manifest.get("indexes", {}).get(iname, {}).get("path")
+                or ient.get("live_path")
+                or os.path.join(self.root, iname)
+            )
+            staging = live + ".staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            _link_tree(ient["path"], staging)
+            old = live + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(staging, live)
+            shutil.rmtree(old, ignore_errors=True)
+            entry = {
+                k: v
+                for k, v in ient.items()
+                if k not in ("path", "live_path")
+            }
+            entry["path"] = live
+            self.manifest.setdefault("indexes", {})[iname] = entry
+            self._flush()
         for t in names:
             ent = snap["tables"].get(t)
             if ent is None:
@@ -2224,23 +2261,7 @@ class Workspace:
                 src = ent["path"]
                 staging = live + ".staging"
                 shutil.rmtree(staging, ignore_errors=True)
-                for d, _, fs in os.walk(src):
-                    rel = os.path.relpath(d, src)
-                    od = (
-                        os.path.join(staging, rel)
-                        if rel != "."
-                        else staging
-                    )
-                    os.makedirs(od, exist_ok=True)
-                    for f in fs:
-                        try:
-                            os.link(
-                                os.path.join(d, f), os.path.join(od, f)
-                            )
-                        except OSError:
-                            shutil.copy2(
-                                os.path.join(d, f), os.path.join(od, f)
-                            )
+                _link_tree(src, staging)
                 meta = dict(ent)
                 meta["path"] = live
                 # the LIVE table's publish counter, never the
@@ -2501,6 +2522,27 @@ class Workspace:
             "bytes_before": bytes_before,
             "bytes_after": bytes_after,
         }
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recursively HARDLINK ``src`` into ``dst`` — O(files) metadata
+    ops, zero bytes copied (parquet files are immutable, so a link IS
+    a version); filesystems without hardlink support fall back to a
+    byte copy.  Spark write residue (``.crc``/``.tmp``) is skipped.
+    Shared by snapshot (live → tag) and restore (tag → staging)."""
+    import shutil
+
+    for d, _, fs in os.walk(src):
+        rel = os.path.relpath(d, src)
+        od = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(od, exist_ok=True)
+        for f in fs:
+            if f.endswith((".crc", ".tmp")):
+                continue
+            try:
+                os.link(os.path.join(d, f), os.path.join(od, f))
+            except OSError:
+                shutil.copy2(os.path.join(d, f), os.path.join(od, f))
 
 
 def _zcluster(df, zorder_by, zorder_partitions=None, within_only=False):
