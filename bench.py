@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     # distributed `select last price by sym` — member max_by partials,
     # one partial row per member-group on the wire)
     "folio_remote_last",
+    # round-11: SQL-text pruned writes (delete_range + delete_keys
+    # through kerf_sql(workspace=...) — the O(covering files) claim
+    # carries a measured slope like the Python-API write rows)
+    "kerfsql_delete_pruned",
 ]
 
 

@@ -469,7 +469,129 @@ def translate(q: str) -> str:
     raise LexError(f"unsupported kerf-SQL statement: {head}")
 
 
-def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
+_WS_DELETE_IN_RE = re.compile(
+    r"(?is)^delete\s+from\s+(\w+)\s+where\s+(\w+)\s+in\s*\((.*)\)\s*$"
+)
+_WS_DELETE_BETWEEN_RE = re.compile(
+    r"(?is)^delete\s+from\s+(\w+)\s+where\s+(\w+)\s+between\s+"
+    r"(.+?)\s+and\s+(.+?)\s*$"
+)
+_WS_UPSERT_RE = re.compile(
+    r"(?is)^upsert\s+into\s+(\w+)\s+on\s+([\w\s,]+?)\s+(values\s+.*?)\s*$"
+)
+
+
+def _sql_literal(tok: str):
+    """One SQL literal -> Python value (the keyed-probe domain:
+    numbers, single-quoted strings, null)."""
+    tok = tok.strip()
+    if re.fullmatch(r"'(?:[^']|'')*'", tok, re.DOTALL):
+        return tok[1:-1].replace("''", "'")
+    if re.fullmatch(r"[+-]?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?", tok):
+        return float(tok)
+    if tok.lower() == "null":
+        return None
+    raise ArgsError(
+        f"keyed delete probe must be a literal (number, 'string', "
+        f"null), got {tok!r}"
+    )
+
+
+def _route_workspace_write(spark, ws, q: str, head: str):
+    """Route keyed DML text on a Workspace table through the PRUNED
+    write paths — ``delete from t where k in (…)`` →
+    :meth:`Workspace.delete_keys`, ``… where k between a and b`` →
+    :meth:`Workspace.delete_range`, ``upsert into t on k values …`` →
+    :meth:`Workspace.upsert` — so SQL users get the O(covering files)
+    writes the Python API and script verbs already take (r10 verdict
+    next #7).  Returns the post-write table DataFrame, or None when
+    the statement is not workspace DML (the caller falls back to the
+    view-semantics translate path).  A delete/upsert that NAMES a
+    keyed workspace table but doesn't fit a routable shape raises,
+    never silently degrades to view semantics."""
+    tables = ws.manifest.get("tables", {})
+
+    def _keyed(table: str, what: str) -> list[str]:
+        meta = tables.get(table)
+        if meta is None:
+            raise ArgsError(
+                f"kerf-SQL {what}: no table {table!r} in this workspace"
+            )
+        key = meta.get("key")
+        if not key:
+            raise ArgsError(
+                f"kerf-SQL {what}: workspace table {table!r} declares "
+                f"no key — keyed DML routes through the sort index "
+                f"(save with key=...)"
+            )
+        return key
+
+    if head == "delete":
+        m = _WS_DELETE_IN_RE.match(q)
+        if m:
+            table, col, body = m.group(1), m.group(2), m.group(3)
+            key = _keyed(table, "delete")
+            if col != key[0]:
+                raise ArgsError(
+                    f"kerf-SQL delete on workspace table {table!r}: "
+                    f"column {col!r} is not the leading key "
+                    f"{key[0]!r} — only key-addressed deletes prune"
+                )
+            ws.delete_keys(
+                table, [_sql_literal(t) for t in _split_top(body)]
+            )
+            return ws.load(table)
+        m = _WS_DELETE_BETWEEN_RE.match(q)
+        if m:
+            table, col = m.group(1), m.group(2)
+            key = _keyed(table, "delete")
+            if col != key[0]:
+                raise ArgsError(
+                    f"kerf-SQL delete on workspace table {table!r}: "
+                    f"column {col!r} is not the leading key "
+                    f"{key[0]!r} — only key-addressed deletes prune"
+                )
+            ws.delete_range(
+                table, _sql_literal(m.group(3)), _sql_literal(m.group(4))
+            )
+            return ws.load(table)
+        m = re.match(r"(?is)^delete\s+from\s+(\w+)\b", q)
+        if m and m.group(1) in tables:
+            raise ArgsError(
+                "kerf-SQL delete on a workspace table routes through "
+                "the sort index — use `where <key> in (...)` or "
+                "`where <key> between <lo> and <hi>` (arbitrary "
+                "predicates: load + filter + save via the Python API)"
+            )
+        return None
+    if head == "upsert":
+        m = _WS_UPSERT_RE.match(q)
+        if m and m.group(1) in tables:
+            table, keys, body = m.group(1), m.group(2), m.group(3)
+            keys = [k.strip() for k in keys.split(",")]
+            meta = tables[table]
+            dkey = meta.get("key")
+            if dkey and list(keys) != list(dkey):
+                raise ArgsError(
+                    f"kerf-SQL upsert on workspace table {table!r}: "
+                    f"on-keys {keys} disagree with the declared key "
+                    f"{dkey}"
+                )
+            cols = [f["name"] for f in meta["schema"]["fields"]]
+            new_rows = spark.sql(
+                f"SELECT * FROM ({body}) AS __kf_new({', '.join(cols)})"
+            )
+            ws.upsert(table, new_rows, keys)
+            return ws.load(table)
+        return None
+    return None
+
+
+def kerf_sql(
+    spark: SparkSession, q: str, workspace=None
+) -> DataFrame:
     """Execute a kerf-SQL string against registered temp views.
 
     ``upsert into t on keys values (...)`` (lexer.h:103 declares the
@@ -477,9 +599,22 @@ def kerf_sql(spark: SparkSession, q: str) -> DataFrame:
     merge needs the target's column names from the catalog: new rows win
     per key, old rows survive only when their key is untouched — the
     kerf keyed-table upsert contract.
+
+    With ``workspace=`` (a :class:`~kerf_spark.sources.catalog
+    .Workspace`), keyed DML routes through the PRUNED write paths:
+    ``delete from t where k in (…)`` / ``where k between a and b`` hit
+    ``delete_keys``/``delete_range`` (O(covering files), interior
+    files unlink with zero reads) and ``upsert into t on k values …``
+    hits the key-pruned ``upsert`` — the same writes the Python API
+    takes.  These MUTATE the workspace and return the post-write
+    table.
     """
     q = q.strip().rstrip(";")
     head = q.split(None, 1)[0].lower()
+    if workspace is not None:
+        routed = _route_workspace_write(spark, workspace, q, head)
+        if routed is not None:
+            return routed
 
     def _resolve_via_view(joined, prefix, tag_parts, span):
         # deterministic name (md5, not seed-randomized hash()); the

@@ -13076,7 +13076,11 @@ def _cloned_keyed_orders(spark, sf, tag):
         ws._flush()
     root = _ann_index_dir(sf, tag)
     _sh.rmtree(root, ignore_errors=True)
-    _sh.copytree(base, root)
+    # symlinks=True keeps the version POINTER a pointer (the publish
+    # path's atomic-swap target); dereferencing would both double the
+    # copy and turn the clone's first pruned write into the one-time
+    # legacy-directory conversion
+    _sh.copytree(base, root, symlinks=True)
     mp = os.path.join(root, "workspace.json")
     with open(mp) as fh:
         txt = fh.read()
@@ -13330,6 +13334,71 @@ def delete_keyed_pruned(spark, sf):
     doomed = list(range(((mn + 9) // 10) * 10, cut + 1, 10))
     ws.delete_keys("orders", doomed)
     return ws.load("orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
+    )
+
+
+@query(
+    "kerfsql_delete_pruned",
+    """
+    WITH b AS (
+      SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(o_totalprice, 2) + 0.0 AS totalprice
+    FROM orders, b
+    WHERE NOT (o_orderkey >= mn
+           AND o_orderkey <= mn + LEAST((mx - mn) // 8, 150000))
+      AND NOT (o_orderkey % 1000 = 0
+           AND o_orderkey >= mx - (mx - mn) // 8)
+    """,
+)
+def kerfsql_delete_pruned(spark, sf):
+    """Kerf-SQL TEXT reaches the key-PRUNED write paths (VERDICT r10
+    next #7 — until now only the Python API and script verbs did):
+    ``kerf_sql(..., workspace=ws)`` routes ``delete from t where k
+    between a and b`` through :meth:`Workspace.delete_range` (interior
+    files UNLINK with zero reads, boundary files trim) and ``delete
+    from t where k in (…)`` through :meth:`Workspace.delete_keys`
+    (broadcast anti-join over the covering files only; untouched files
+    keep path+mtime — proven in tests/test_sources_plans.py).  The
+    surviving table must equal the double-filtered oracle: a delete
+    that touched a non-covering file, dropped a survivor, or missed a
+    probe is a value mismatch.  Probe lists come from manifest
+    arithmetic (zero setup scans in the timed region); both batches
+    are FIXED-size in table scale (range capped at 150k keys,
+    IN-list = multiples of 1000 in the top eighth)."""
+    from .plans.kerfsql import kerf_sql
+
+    ws = _cloned_keyed_orders(spark, sf, "wskerfsql")
+    rngs = [
+        r
+        for r in ws.manifest["tables"]["orders"]["key_file_ranges"].values()
+        if r[0] is not None and (len(r) < 3 or r[2] > 0)
+    ]
+    mn = int(min(r[0] for r in rngs))
+    mx = int(max(r[1] for r in rngs))
+    cut = mn + min((mx - mn) // 8, 150_000)
+    kerf_sql(
+        spark,
+        f"delete from orders where o_orderkey between {mn} and {cut}",
+        workspace=ws,
+    )
+    hi_cut = mx - (mx - mn) // 8
+    in_keys = list(range(((hi_cut + 999) // 1000) * 1000, mx + 1, 1000))
+    if in_keys:
+        out = kerf_sql(
+            spark,
+            "delete from orders where o_orderkey in "
+            f"({', '.join(map(str, in_keys))})",
+            workspace=ws,
+        )
+    else:  # degenerate tiny fixture: no multiples of 1000 up top
+        out = ws.load("orders")
+    return out.select(
         F.col("o_orderkey").cast("long").alias("orderkey"),
         F.col("o_custkey").cast("long").alias("custkey"),
         (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),

@@ -2118,6 +2118,84 @@ def test_fsck_repairs_stale_sort_index(spark, ws_root):
         ws.fsck("plain")
 
 
+def test_kerfsql_routes_pruned_writes(spark, ws_root):
+    """r10 verdict next #7: kerf-SQL text on a keyed Workspace table
+    reaches the PRUNED write paths — `delete ... where k between` →
+    delete_range, `... where k in (...)` → delete_keys, `upsert into
+    ... on k values ...` → the key-pruned upsert.  Untouched files
+    keep path AND mtime (the pruning proof); unroutable shapes raise
+    instead of silently degrading to view semantics."""
+    from urllib.parse import urlparse
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    ws = Workspace(spark, ws_root)
+    df = spark.range(8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("long").alias("v"),
+    )
+    ws.save("t", df, key="k", key_partitions=8, minimize_widths=False)
+    rngs = ws.manifest["tables"]["t"]["key_file_ranges"]
+    before = {
+        urlparse(f).path: os.path.getmtime(urlparse(f).path) for f in rngs
+    }
+    # range delete: the lowest eighth — interior/boundary files only
+    out = kerf_sql(
+        spark, "delete from t where k between 0 and 999", workspace=ws
+    )
+    assert out.count() == 7000
+    assert ws.load("t").where("k < 1000").count() == 0
+    # keyed IN delete: three probes high in the key space
+    out = kerf_sql(
+        spark, "delete from t where k in (7000, 7500, 7999)", workspace=ws
+    )
+    assert out.count() == 6997
+    # pruning proof: files whose range never covered a probe kept
+    # their exact path and mtime through BOTH deletes
+    rngs2 = ws.manifest["tables"]["t"]["key_file_ranges"]
+    survivors = [
+        urlparse(f).path
+        for f, r in rngs2.items()
+        if urlparse(f).path in before and r[0] is not None
+        and r[0] >= 1000 and r[1] < 7000
+    ]
+    assert len(survivors) >= 4, "fixture must leave untouched files"
+    for p in survivors:
+        assert os.path.getmtime(p) == before[p], f"{p} was rewritten"
+    # keyed upsert through SQL text: replaced, not duplicated
+    out = kerf_sql(
+        spark,
+        "upsert into t on k values (1500, -1), (6000, -2)",
+        workspace=ws,
+    )
+    assert out.count() == 6997
+    got = {
+        r["k"]: r["v"]
+        for r in ws.load("t").where("k in (1500, 6000)").collect()
+    }
+    assert got == {1500: -1, 6000: -2}
+    # guardrails: non-key column refuses; arbitrary predicate refuses;
+    # upsert on-keys disagreeing with the declared key refuses
+    with pytest.raises(ArgsError, match="leading key"):
+        kerf_sql(spark, "delete from t where v in (2)", workspace=ws)
+    with pytest.raises(ArgsError, match="sort index"):
+        kerf_sql(spark, "delete from t where v > 3", workspace=ws)
+    with pytest.raises(ArgsError, match="disagree"):
+        kerf_sql(
+            spark, "upsert into t on v values (1, 2)", workspace=ws
+        )
+    # statements that do NOT name a workspace table fall through to
+    # the view-semantics path untouched
+    spark.range(5).createOrReplaceTempView("plainview")
+    assert (
+        kerf_sql(
+            spark, "select count(*) as n from plainview", workspace=ws
+        ).head()["n"]
+        == 5
+    )
+
+
 def test_snapshot_restores_registered_indexes(spark, ws_root):
     """r10 verdict missing #2: snapshots now capture registered
     ANN/text indexes, and restore rolls them back WITH the data — an
