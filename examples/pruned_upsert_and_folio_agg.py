@@ -137,11 +137,35 @@ def main() -> None:
             " order by c_nationkey limit 5",
         )
         hol.show(5)
+        # ORDERED aggregates split exactly once an ordering column is
+        # named — the canonical distributed tick query
+        last = folio_select(
+            spark, [s.address for s in srvs],
+            "select c_nationkey, last(c_acctbal, c_custkey) as last_bal"
+            " from customer group by c_nationkey"
+            " order by c_nationkey limit 3",
+        )
+        last.show(3)
         try:
             folio_select(spark, [srvs[0].address],
                          "select mode(c_acctbal) as m from customer")
         except ArgsError as e:
             print(f"  order-dependent refused: {str(e)[:70]} ...")
+        # fact-to-fact joins refuse with guidance: a member-side join
+        # of two SHARDED tables would drop cross-member matches.  The
+        # scale paths: (a) replicate the dim on every member and pass
+        # member_local_joins=True (the star shape above), or (b)
+        # co-shard both tables on the join key — each member joins
+        # complete residue classes — or (c) gather via folio_remote
+        # and join locally.
+        try:
+            folio_select(
+                spark, [srvs[0].address],
+                "select count(*) as n from customer join orders"
+                " on c_custkey = o_custkey",
+            )
+        except ArgsError as e:
+            print(f"  fact-to-fact join refused: {str(e)[:70]} ...")
     finally:
         for s in srvs:
             s.stop()

@@ -2118,6 +2118,81 @@ def test_fsck_repairs_stale_sort_index(spark, ws_root):
         ws.fsck("plain")
 
 
+def test_transaction_rolls_back_touched_tables(spark, ws_root):
+    """Multi-table write transaction (r10 verdict missing #5): on
+    failure every TOUCHED table restores to its begin state (created
+    tables drop entirely); untouched tables never move; on success
+    the auto-snapshot drops; a named tag survives as a savepoint."""
+    ws = Workspace(spark, ws_root)
+    a = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ws.save("a", a, key="k", minimize_widths=False)
+    ws.save("b", spark.range(50).select(F.col("id").alias("x")))
+    ws.save("c", spark.range(7).select(F.col("id").alias("y")))
+    # failure path: a mutated, b replaced, d created — then boom
+    with pytest.raises(RuntimeError, match="boom"):
+        with ws.transaction():
+            ws.delete_keys("a", [1, 2, 3])
+            ws.save("b", spark.range(9).select(F.col("id").alias("x")))
+            ws.save("d", spark.range(3).select(F.col("id").alias("z")))
+            assert ws.load("a").count() == 97  # visible inside
+            raise RuntimeError("boom")
+    assert ws.load("a").count() == 100  # rolled back
+    assert ws.load("b").count() == 50
+    assert ws.load("c").count() == 7  # untouched, untouched path
+    assert "d" not in ws.manifest["tables"]  # created → dropped
+    assert ws.snapshots() == []  # auto-snapshot cleaned up
+    # keyed reads still work after the rollback (index restored)
+    assert ws.key_lookup("a", 1).count() == 1
+    # success path: both writes land, nothing lingers
+    with ws.transaction():
+        ws.delete_keys("a", [5])
+        ws.append("b", spark.range(100, 103).select(F.col("id").alias("x")))
+    assert ws.load("a").count() == 99
+    assert ws.load("b").count() == 53
+    assert ws.snapshots() == []
+    # a named tag is kept as a savepoint
+    with ws.transaction("save1"):
+        ws.delete_keys("a", [6])
+    assert ws.snapshots() == ["save1"]
+    assert ws.load_snapshot("save1", "a").count() == 99
+    # nesting refuses
+    from kerf_spark.errors import KerfTypeError
+
+    with pytest.raises(KerfTypeError, match="nesting"):
+        with ws.transaction():
+            with ws.transaction():
+                pass
+
+
+def test_consistent_view_spans_tables(spark, ws_root):
+    """consistent_view: one hardlink snapshot, every load() reads the
+    same point in time — a writer mutating BETWEEN the view's two
+    reads cannot skew them (the cross-table read the per-table
+    pointer publish alone cannot give)."""
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "a",
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k", minimize_widths=False,
+    )
+    ws.save("b", spark.range(100).select(F.col("id").alias("x")))
+    with ws.consistent_view() as view:
+        assert set(view.tables()) == {"a", "b"}
+        n_a = view.load("a").count()
+        # a writer lands BETWEEN the view's reads
+        ws.delete_keys("a", list(range(10)))
+        ws.save("b", spark.range(5).select(F.col("id").alias("x")))
+        assert view.load("a").count() == n_a == 100
+        assert view.load("b").count() == 100  # not 5
+    assert ws.load("a").count() == 90  # live sees the writes
+    assert ws.load("b").count() == 5
+    assert ws.snapshots() == []  # the view's snapshot is ephemeral
+
+
 def test_kerfsql_routes_pruned_writes(spark, ws_root):
     """r10 verdict next #7: kerf-SQL text on a keyed Workspace table
     reaches the PRUNED write paths — `delete ... where k between` →
