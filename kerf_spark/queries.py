@@ -13406,6 +13406,56 @@ def kerfsql_delete_pruned(spark, sf):
 
 
 @query(
+    "workspace_txn_rollback",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(o_totalprice, 2) + 0.0 AS totalprice
+    FROM orders
+    """,
+)
+def workspace_txn_rollback(spark, sf):
+    """Multi-table TRANSACTION failure atomicity (r10 verdict missing
+    #5): inside ``ws.transaction()`` a retention purge
+    (``delete_range``) and a correction ``upsert`` both land — then
+    the batch fails.  Every touched table must restore to its BEGIN
+    state (snapshot-at-begin + scoped rollback), so the surviving
+    table hash-matches the pristine oracle: one leaked deleted row,
+    one surviving upsert, or a broken sort index after rollback is a
+    value mismatch.  The intermediate states are asserted inside the
+    transaction (the writes really happened before the rollback)."""
+    ws = _cloned_keyed_orders(spark, sf, "wstxn")
+    rngs = [
+        r
+        for r in ws.manifest["tables"]["orders"]["key_file_ranges"].values()
+        if r[0] is not None and (len(r) < 3 or r[2] > 0)
+    ]
+    mn = int(min(r[0] for r in rngs))
+    mx = int(max(r[1] for r in rngs))
+    cut = mn + min((mx - mn) // 8, 150_000)
+    n0 = ws.load("orders").count()
+    try:
+        with ws.transaction():
+            nd = ws.delete_range("orders", mn, cut)
+            assert nd > 0, "fixture must actually delete rows"
+            ws.upsert(
+                "orders",
+                ws.load("orders")
+                .limit(5)
+                .withColumn("o_totalprice", F.lit(0.01)),
+            )
+            assert ws.load("orders").count() == n0 - nd
+            raise RuntimeError("batch failed after partial writes")
+    except RuntimeError:
+        pass
+    return ws.load("orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
+    )
+
+
+@query(
     "folio_remote_hll",
     """
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
@@ -14217,6 +14267,13 @@ _DRIVER_GREEN = [
     "workspace_rollup_late_append", "keyed_point_lookup",
     "kerf_lang_amend_group_verbs", "folio_remote_scatter",
     "ivf_stream_upsert_topk", "keyed_range_scan",
+    # r10 green (all of _R10_WINDOW — 50/50; first-time greens only)
+    "upsert_keyed_pruned", "delete_keyed_pruned", "delete_keyed_range",
+    "stream_delete_keys", "stream_upsert_keyed",
+    "workspace_snapshot_read", "keyed_tuple_lookup", "keyed_tuple_range",
+    "folio_remote_avg", "folio_remote_median", "folio_remote_hll",
+    "folio_remote_bucket", "kerf_lang_join_verbs",
+    "kerf_lang_ungroup_verb", "kerf_lang_running_verbs",
 ]
 
 #: Round-7 driver window (exactly 50 = the driver's per-round budget):
@@ -14399,10 +14456,49 @@ _R10_WINDOW = [
 # overshoots 50 on purpose: _reorder_registry truncates, keeping the
 # truncated tail parked-green for the next rotation.
 
+#: Round-11 driver window (exactly 50), rotation-by-staleness as the
+#: r10 verdict directed (next #6): the three round-11 additions go
+#: FIRST (never driver-checked), then the ENTIRE r3-stale cohort (23
+#: rows, last driver-proven in round 3 — seven rounds of churn since),
+#: then the oldest r4 cohort fills to 50.  The rows whose PLAN changed
+#: this round (folio_select aggregates, every workspace write path,
+#: kerfsql) are NOT re-queued here — they were all value-checked
+#: locally against the same DuckDB oracles before commit
+#: (tests/oracle_check.py + the per-row drives recorded in the round
+#: log), trading driver re-proof slots for staleness clearance.
+_R11_WINDOW = [
+    # round-11 additions (never driver-checked)
+    "folio_remote_last", "kerfsql_delete_pruned",
+    "workspace_txn_rollback",
+    # the r3-stale cohort, cleared in full
+    "asof_forward_next_purchase", "asof_tolerance_join",
+    "bucketed_join_colocated", "csv_roundtrip", "differ_runs",
+    "find_first", "funnel_conversion", "index_gather",
+    "kerf_lang_table_literal", "mapinpandas_scale", "moving_median",
+    "multimodal_real_decode", "narrow_width_roundtrip", "ohlc_bars",
+    "percentile_prices", "stats_agg", "stream_dedup_batch",
+    "stream_ema", "stream_session_windows", "stream_static_enrich",
+    "twap_by_user", "vwap_bars", "weighted_median_price",
+    # oldest r4 cohort (44 rows are r4-stale; these fill to 50, the
+    # rest queue for r12)
+    "multimodal_audio_decode", "take_cyclic", "hash_funcs",
+    "flip_matrix", "fold_generic", "applyinpandas_zscore",
+    "regex_format_funcs", "limit_offset", "lsh_hot_bucket_report",
+    "union_uneven_schemas", "unpivot_melt", "argminmax_agg",
+    "corr_regr_agg", "skew_kurt_moments", "histogram_bins",
+    "tfidf_top_terms", "levenshtein_pairs", "stratified_sample_docs",
+    "approx_distinct_tolerance", "repetition_signals_docs",
+    "corpus_curation_pipeline", "lsh_neardup_pairs",
+    "contamination_check_docs", "segment_dedup_docs",
+    "pii_scrub_docs", "vocab_zipf_stats",
+]
+# overshoots 50 on purpose: _reorder_registry truncates, keeping the
+# truncated tail parked-green for the next rotation.
+
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R10_WINDOW if k in QUERIES][:50]
+    window = [k for k in _R11_WINDOW if k in QUERIES][:50]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)
