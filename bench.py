@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     # through kerf_sql(workspace=...) — the O(covering files) claim
     # carries a measured slope like the Python-API write rows)
     "kerfsql_delete_pruned",
+    # round-11: co-sharded fact-to-fact folio join (member-side
+    # complete joins, partials-only wire — the guard's scale path)
+    "folio_remote_join",
 ]
 
 

@@ -13120,10 +13120,22 @@ def _folio_customer_servers(spark, sf):
     cust = _t(spark, sf, "customer").withColumn(
         "cents", F.round(F.col("c_acctbal") * 100).cast("long")
     )
-    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    # orders CO-SHARDED with customer on the join key (the same
+    # residue classes of the custkey) — each member's fact-to-dim...
+    # fact-to-fact join over the shared key is COMPLETE member-side,
+    # the scale path the folio join guard names
+    ords = _t(spark, sf, "orders").withColumn(
+        "ocents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
     srvs = [
-        KerfServer(spark, tables={"customer": sh}).start()
-        for sh in shards
+        KerfServer(
+            spark,
+            tables={
+                "customer": cust.where(F.col("c_custkey") % 3 == i),
+                "orders": ords.where(F.col("o_custkey") % 3 == i),
+            },
+        ).start()
+        for i in range(3)
     ]
     _FOLIO_SRVS[key] = srvs
 
@@ -13403,6 +13415,53 @@ def kerfsql_delete_pruned(spark, sf):
         F.col("o_custkey").cast("long").alias("custkey"),
         (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
     )
+
+
+@query(
+    "folio_remote_join",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents,
+           max_by(o_totalprice, o_orderkey) AS last_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_remote_join(spark, sf):
+    """CO-SHARDED fact-to-fact folio join — the scale path the folio
+    join guard names (r10 verdict missing #4, presented.h:427-430's
+    folio-of-remote-tables): orders and customer are sharded across
+    the SAME three members by the SAME residue classes of the join
+    key (o_custkey ≡ c_custkey mod 3), so each member's join is
+    COMPLETE — no cross-member match can exist — and
+    ``member_local_joins=True`` runs it member-side: only one partial
+    row per (member, nation) crosses the wire, never joined rows.
+    The DuckDB oracle joins the unsharded tables: a member whose
+    shards were NOT co-aligned (dropped or duplicated matches) is a
+    value mismatch.  Revenue sums integer CENTS (exact in both
+    engines); the ordered last-price rides the same statement,
+    proving ordered aggregates compose with member-side joins."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    merged = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_nationkey, count(*) as n,"
+        " sum(cast(round(o_totalprice * 100) as bigint)) as rev_cents,"
+        " last(o_totalprice, o_orderkey) as last_price"
+        " from orders join customer on o_custkey = c_custkey"
+        " group by c_nationkey",
+        member_local_joins=True,
+    )
+    return merged.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        "last_price",
+    ).orderBy("c_nationkey")
 
 
 @query(
@@ -14469,7 +14528,7 @@ _R10_WINDOW = [
 _R11_WINDOW = [
     # round-11 additions (never driver-checked)
     "folio_remote_last", "kerfsql_delete_pruned",
-    "workspace_txn_rollback",
+    "workspace_txn_rollback", "folio_remote_join",
     # the r3-stale cohort, cleared in full
     "asof_forward_next_purchase", "asof_tolerance_join",
     "bucketed_join_colocated", "csv_roundtrip", "differ_runs",

@@ -2037,6 +2037,62 @@ class Workspace:
             if os.path.basename(urlparse(f).path) not in kept_names
         ]
 
+    def vacuum(self, name: str | None = None) -> dict:
+        """Sweep write residue a CRASH can leave behind: staging
+        dirs, pointer temp files, legacy ``.old`` dirs, and version
+        directories the pointer no longer (or never) reached — a
+        publish that died after renaming staging to ``.v{N+1}`` but
+        before the pointer swap leaves an orphan version above the
+        manifest's counter; one that died mid-sweep leaves versions
+        below the grace window.  Keeps the CURRENT pointer target and
+        the grace version (``publish_version - 1``); removes
+        everything else.  Call when no long-running reader is pinned
+        older than grace (snapshots are unaffected — their hardlinks
+        keep shared bytes alive).  ``name`` scopes to one table; None
+        sweeps every manifest table.  Returns ``{"removed": [paths]}``.
+        """
+        import glob as _glob
+        import shutil
+
+        removed: list[str] = []
+        names = (
+            [name] if name is not None else sorted(self.manifest["tables"])
+        )
+        for t in names:
+            meta = self.manifest["tables"][t]
+            live = meta["path"]
+            with self._table_lock(t):
+                meta = self.manifest["tables"][t]
+                ver = int(meta.get("publish_version") or 0)
+                keep = set()
+                if os.path.islink(live):
+                    keep.add(os.path.realpath(live))
+                grace = f"{live}.v{ver - 1}"
+                if ver >= 2 and os.path.isdir(grace):
+                    keep.add(os.path.realpath(grace))
+                for suffix in (".staging", ".ptr.tmp", ".old"):
+                    p = live + suffix
+                    if os.path.lexists(p):
+                        # islink first: rmtree refuses symlinks, and a
+                        # crashed .ptr.tmp IS one (pointing at a dir)
+                        if os.path.islink(p) or not os.path.isdir(p):
+                            os.unlink(p)
+                        else:
+                            shutil.rmtree(p, ignore_errors=True)
+                        removed.append(p)
+                base = os.path.basename(live)
+                for d in _glob.glob(live + ".v*"):
+                    suf = d.rsplit(".v", 1)[-1]
+                    if (
+                        suf.isdigit()
+                        and os.path.realpath(d) not in keep
+                        and f"{base}.v{suf}"
+                        not in self.manifest.get("tables", {})
+                    ):
+                        shutil.rmtree(d, ignore_errors=True)
+                        removed.append(d)
+        return {"removed": sorted(removed)}
+
     def fsck(self, name: str) -> dict:
         """Index-vs-disk audit and repair for a keyed table: a crash
         between a pruned write's directory swap and its manifest flush

@@ -954,6 +954,79 @@ def test_folio_select_variance_no_cancellation(spark):
             s.stop()
 
 
+def test_folio_select_co_sharded_fact_join(spark):
+    """The fact-to-fact SCALE path the join guard names: two tables
+    sharded across the same members by the same residue classes of
+    the JOIN KEY have complete member-side joins — no cross-member
+    match exists — so member_local_joins=True computes the exact
+    global answer with only partials on the wire.  Checked against
+    the unsharded local join; a deliberately MIS-aligned sharding
+    (the wrong thing the guard exists for) provably loses rows."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    ords = read_table(spark, SF, "orders")
+    co = [
+        KerfServer(
+            spark,
+            tables={
+                "customer": cust.where(F.col("c_custkey") % 2 == i),
+                "orders": ords.where(F.col("o_custkey") % 2 == i),
+            },
+        ).start()
+        for i in range(2)
+    ]
+    # mis-aligned: orders sharded by ORDERKEY, not the join key
+    mis = [
+        KerfServer(
+            spark,
+            tables={
+                "customer": cust.where(F.col("c_custkey") % 2 == i),
+                "orders": ords.where(F.col("o_orderkey") % 2 == i),
+            },
+        ).start()
+        for i in range(2)
+    ]
+    stmt = (
+        "select c_nationkey, count(*) as n from orders join customer"
+        " on o_custkey = c_custkey group by c_nationkey"
+    )
+    try:
+        got = {
+            r["c_nationkey"]: r["n"]
+            for r in folio_select(
+                spark, [s.address for s in co], stmt,
+                member_local_joins=True,
+            ).collect()
+        }
+        want = {
+            r["c_nationkey"]: r["n"]
+            for r in ords.join(
+                cust, ords.o_custkey == cust.c_custkey
+            )
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+        # the mis-aligned folio silently LOSES cross-member matches —
+        # exactly why the guard refuses without the explicit opt-in
+        bad = {
+            r["c_nationkey"]: r["n"]
+            for r in folio_select(
+                spark, [s.address for s in mis], stmt,
+                member_local_joins=True,
+            ).collect()
+        }
+        assert sum(bad.values()) < sum(want.values())
+    finally:
+        for s in co + mis:
+            s.stop()
+
+
 def test_folio_select_fuzz_matches_local(spark):
     """Hypothesis over random folio_select statements — any mix of
     algebraic, variance, histogram, and sketch aggregates under any

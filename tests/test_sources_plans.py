@@ -2118,6 +2118,42 @@ def test_fsck_repairs_stale_sort_index(spark, ws_root):
         ws.fsck("plain")
 
 
+def test_vacuum_sweeps_crash_residue(spark, ws_root):
+    """vacuum(): staging dirs, pointer temp files, and orphaned
+    version dirs (above the counter — a publish that died before the
+    swap; or below grace — one that died mid-sweep) all go; the
+    current version and the grace version stay; the table reads
+    exactly as before."""
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t",
+        spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k", key_partitions=2, minimize_widths=False,
+    )
+    ws.upsert(
+        "t",
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+        ),
+    )  # -> v2 live, v1 grace
+    path = ws.manifest["tables"]["t"]["path"]
+    # simulate crash residue
+    os.makedirs(path + ".staging/junk", exist_ok=True)
+    os.symlink(os.path.basename(path) + ".v2", path + ".ptr.tmp")
+    os.makedirs(path + ".v9/orphan", exist_ok=True)  # above counter
+    os.makedirs(path + ".v0", exist_ok=True)  # below grace
+    rep = ws.vacuum("t")
+    assert {os.path.basename(p) for p in rep["removed"]} == {
+        "t.staging", "t.ptr.tmp", "t.v9", "t.v0",
+    }
+    assert os.path.isdir(path + ".v2") and os.path.isdir(path + ".v1")
+    assert not os.path.exists(path + ".v9")
+    assert ws.load("t").count() == 500
+    assert ws.vacuum()["removed"] == []  # idempotent, all tables
+
+
 def test_transaction_rolls_back_touched_tables(spark, ws_root):
     """Multi-table write transaction (r10 verdict missing #5): on
     failure every TOUCHED table restores to its begin state (created
