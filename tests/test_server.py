@@ -1094,6 +1094,25 @@ def test_folio_select_fuzz_matches_local(spark):
             F.countDistinct(F.expr("c_nationkey % 5")),
             True,
         ),
+        # ordered aggregates: the unique ordering key makes the
+        # arg-max deterministic, so the fuzz compares EXACT
+        "lb": (
+            "last(cents, c_custkey) as lb",
+            F.expr("max_by(cents, c_custkey)"),
+            True,
+        ),
+        "fb": (
+            "first(c_mktsegment, c_custkey) as fb",
+            F.expr("min_by(c_mktsegment, c_custkey)"),
+            True,
+        ),
+        "am": (
+            # EXPRESSION value and ordering (the ordering stays
+            # tie-free: an affine map of the unique key)
+            "arg_max(cents * 2, c_custkey * 2 + 1) as am",
+            F.expr("max_by(cents * 2, c_custkey * 2 + 1)"),
+            True,
+        ),
     }
     KEYS = [None, "c_nationkey", "c_mktsegment"]
     WHERES = [None, "c_acctbal > 0", "c_nationkey < 12"]
