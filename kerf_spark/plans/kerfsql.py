@@ -499,6 +499,67 @@ def _sql_literal(tok: str):
     )
 
 
+def _ws_view_rewrite(spark, ws, q: str) -> str:
+    """Rewrite every ``from``/``join`` table token that names a
+    WORKSPACE table into a uniquely-named temp view of its current
+    contents — ``kerf_sql(..., workspace=ws)`` then resolves catalog
+    tables without the caller registering views (and without ever
+    clobbering a session view that shares the name: the view names
+    are hashed).  Spans come from the quote-masked text, so a string
+    literal can't alias a table."""
+    import hashlib
+
+    tables = ws.manifest.get("tables", {})
+    masked = _mask_quoted(q)
+    spans = [
+        (m.start(2), m.end(2), m.group(2))
+        for m in re.finditer(r"(?is)\b(from|join)\s+(\w+)", masked)
+        if m.group(2) in tables
+    ]
+    if not spans:
+        return q
+    views: dict[str, str] = {}
+    for name in {s[2] for s in spans}:
+        v = (
+            "__kf_ws_"
+            + hashlib.md5(f"{ws.root}|{name}".encode()).hexdigest()[:10]
+        )
+        ws.load(name).createOrReplaceTempView(v)
+        views[name] = v
+    for s, e, name in sorted(spans, reverse=True):
+        q = q[:s] + views[name] + q[e:]
+    return q
+
+
+def _resave_like(ws, table: str, meta: dict, df) -> None:
+    """Re-save ``df`` as ``table`` PRESERVING the declared layout —
+    partitioning, sort, z-order, key + constraints — the full-rewrite
+    half of workspace DML (update / arbitrary-predicate delete).
+    Reads of the old version stay valid through the publish (pointer
+    grace), so ``df`` may lazily read the table it replaces."""
+    if meta.get("bucket_by"):
+        raise ArgsError(
+            f"kerf-SQL DML on bucketed table {table!r}: rewrite via "
+            f"save_bucketed"
+        )
+    key = meta.get("key") or None
+    ws.save(
+        table,
+        df,
+        partition_by=meta.get("partition_by") or None,
+        sort_by=None if key else (meta.get("sort_by") or None),
+        zorder_by=meta.get("zorder_by") or None,
+        zorder_partitions=(
+            meta.get("zorder_partitions") if meta.get("zorder_by") else None
+        ),
+        key=key,
+        unique=meta.get("unique", True),
+        nonnull=meta.get("nonnull", True),
+        key_partitions=meta.get("key_partitions"),
+        minimize_widths=False,  # keep the stored schema's widths
+    )
+
+
 def _route_workspace_write(spark, ws, q: str, head: str):
     """Route keyed DML text on a Workspace table through the PRUNED
     write paths — ``delete from t where k in (…)`` →
@@ -559,12 +620,63 @@ def _route_workspace_write(spark, ws, q: str, head: str):
             return ws.load(table)
         m = re.match(r"(?is)^delete\s+from\s+(\w+)\b", q)
         if m and m.group(1) in tables:
-            raise ArgsError(
-                "kerf-SQL delete on a workspace table routes through "
-                "the sort index — use `where <key> in (...)` or "
-                "`where <key> between <lo> and <hi>` (arbitrary "
-                "predicates: load + filter + save via the Python API)"
+            # arbitrary predicate: correct via the FULL staged rewrite
+            # (load → anti-filter → re-save in the declared layout) —
+            # the key-addressed shapes above stay the pruned fast path
+            table = m.group(1)
+            meta = tables[table]
+            remainder = spark.sql(
+                translate(_ws_view_rewrite(spark, ws, q))
             )
+            _resave_like(ws, table, meta, remainder)
+            return ws.load(table)
+        return None
+    if head == "update":
+        m = re.match(r"(?is)^update\s+(\w+)\b", q)
+        if m and m.group(1) in tables:
+            table = m.group(1)
+            meta = tables[table]
+            # translate's update is a SELECT with CASE-guarded
+            # assignments; run it over a view of the live table and
+            # re-save in the declared layout (key constraints
+            # re-enforced by save)
+            v = _ws_view_rewrite(spark, ws, f"from {table}").split(
+                None, 1
+            )[1]
+            body = re.sub(
+                r"(?is)^update\s+\w+", f"update {v}", q, count=1
+            )
+            updated = spark.sql(translate(body))
+            _resave_like(ws, table, meta, updated)
+            return ws.load(table)
+        return None
+    if head == "insert":
+        m = re.match(
+            r"(?is)^insert\s+into\s+(\w+)\s+(values\s+.*|select\s+.*)$",
+            q,
+        )
+        if m and m.group(1) in tables:
+            table, body = m.group(1), m.group(2).strip()
+            meta = tables[table]
+            cols = [f["name"] for f in meta["schema"]["fields"]]
+            if body.lower().startswith("values"):
+                rows = spark.sql(
+                    f"SELECT * FROM ({body}) AS __kf_new"
+                    f"({', '.join(cols)})"
+                )
+            else:  # insert-select: the select may read ws tables too
+                rows = spark.sql(
+                    translate(_ws_view_rewrite(spark, ws, body))
+                )
+                if len(rows.columns) != len(cols):
+                    raise ArgsError(
+                        f"kerf-SQL insert into {table!r}: select "
+                        f"yields {len(rows.columns)} columns, table "
+                        f"has {len(cols)}"
+                    )
+                rows = rows.toDF(*cols)  # SQL insert maps by POSITION
+            ws.append(table, rows)
+            return ws.load(table)
         return None
     if head == "upsert":
         m = _WS_UPSERT_RE.match(q)
@@ -601,13 +713,26 @@ def kerf_sql(
     kerf keyed-table upsert contract.
 
     With ``workspace=`` (a :class:`~kerf_spark.sources.catalog
-    .Workspace`), keyed DML routes through the PRUNED write paths:
-    ``delete from t where k in (…)`` / ``where k between a and b`` hit
-    ``delete_keys``/``delete_range`` (O(covering files), interior
-    files unlink with zero reads) and ``upsert into t on k values …``
-    hits the key-pruned ``upsert`` — the same writes the Python API
-    takes.  These MUTATE the workspace and return the post-write
-    table.
+    .Workspace`), kerf-SQL text is a COMPLETE catalog surface:
+
+    * reads — ``from``/``join`` tokens naming workspace tables
+      resolve through hashed temp views of their current contents
+      (no manual registration; session views with the same name are
+      never clobbered);
+    * keyed DML routes through the PRUNED write paths:
+      ``delete from t where k in (…)`` / ``where k between a and b``
+      hit ``delete_keys``/``delete_range`` (O(covering files),
+      interior files unlink with zero reads) and ``upsert into t on
+      k values …`` hits the key-pruned ``upsert``;
+    * arbitrary-predicate ``delete`` and ``update … set … where …``
+      run as the FULL staged rewrite (load → transform → re-save in
+      the declared layout, key constraints re-enforced) — correct
+      always, pruned when key-addressed;
+    * ``insert into t values (…)`` / ``insert into t select …``
+      append through the catalog (schema promotion, sort-index
+      maintenance, monotone fast path).
+
+    Writes MUTATE the workspace and return the post-write table.
     """
     q = q.strip().rstrip(";")
     head = q.split(None, 1)[0].lower()
@@ -615,6 +740,12 @@ def kerf_sql(
         routed = _route_workspace_write(spark, workspace, q, head)
         if routed is not None:
             return routed
+        # reads: every from/join token naming a workspace table
+        # resolves through a hashed temp view of its current contents
+        # — `select last(price) by sym from ticks` works against the
+        # catalog directly, and a session view sharing a table's name
+        # is never clobbered
+        q = _ws_view_rewrite(spark, workspace, q)
 
     def _resolve_via_view(joined, prefix, tag_parts, span):
         # deterministic name (md5, not seed-randomized hash()); the

@@ -2286,12 +2286,10 @@ def test_kerfsql_routes_pruned_writes(spark, ws_root):
         for r in ws.load("t").where("k in (1500, 6000)").collect()
     }
     assert got == {1500: -1, 6000: -2}
-    # guardrails: non-key column refuses; arbitrary predicate refuses;
-    # upsert on-keys disagreeing with the declared key refuses
+    # guardrails: non-key IN refuses (it LOOKS key-addressed but is
+    # not); upsert on-keys disagreeing with the declared key refuses
     with pytest.raises(ArgsError, match="leading key"):
         kerf_sql(spark, "delete from t where v in (2)", workspace=ws)
-    with pytest.raises(ArgsError, match="sort index"):
-        kerf_sql(spark, "delete from t where v > 3", workspace=ws)
     with pytest.raises(ArgsError, match="disagree"):
         kerf_sql(
             spark, "upsert into t on v values (1, 2)", workspace=ws
@@ -2305,6 +2303,71 @@ def test_kerfsql_routes_pruned_writes(spark, ws_root):
         ).head()["n"]
         == 5
     )
+
+
+def test_kerfsql_workspace_full_surface(spark, ws_root):
+    """kerf-SQL text as a COMPLETE catalog surface: selects resolve
+    workspace tables without manual view registration (and never
+    clobber a session view sharing the name); arbitrary-predicate
+    delete and update run as the full staged rewrite with the
+    declared layout preserved; insert appends through the catalog."""
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t",
+        spark.range(1000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).cast("long").alias("g"),
+            (F.col("id") * 2).cast("long").alias("v"),
+        ),
+        key="k", key_partitions=4, minimize_widths=False,
+    )
+    # a session view shares the table's name — workspace wins for
+    # the workspace= call, and the session view survives untouched
+    spark.range(3).createOrReplaceTempView("t")
+    got = kerf_sql(
+        spark, "select n: count(*) by g from t where v >= 0",
+        workspace=ws,
+    )
+    assert got.count() == 10
+    assert {r["n"] for r in got.collect()} == {100}
+    assert spark.table("t").count() == 3  # session view untouched
+    spark.catalog.dropTempView("t")
+    # arbitrary-predicate delete: full rewrite, layout preserved
+    out = kerf_sql(spark, "delete from t where g = 3", workspace=ws)
+    assert out.count() == 900
+    meta = ws.manifest["tables"]["t"]
+    assert meta.get("key") == ["k"]  # still keyed after the rewrite
+    assert ws.key_lookup("t", 4).count() == 1  # index still works
+    assert ws.key_lookup("t", 3).count() == 0  # g=3 rows gone
+    # update with a where: only matching rows change
+    kerf_sql(
+        spark, "update t set v = v + 1000 where g = 5", workspace=ws
+    )
+    rows = {r["k"]: r["v"] for r in ws.load("t").collect()}
+    assert rows[5] == 5 * 2 + 1000 and rows[4] == 8
+    # insert values + insert-select (reading the ws table itself)
+    kerf_sql(
+        spark,
+        "insert into t values (5000, 0, -1), (5001, 1, -2)",
+        workspace=ws,
+    )
+    assert ws.load("t").count() == 902
+    kerf_sql(
+        spark,
+        "insert into t select k + 9000, g, v from t where k >= 5000",
+        workspace=ws,
+    )
+    assert ws.load("t").count() == 904
+    assert ws.key_lookup("t", 14001).count() == 1
+    # duplicate-key insert refuses through the catalog's unique check
+    from kerf_spark.errors import KeysError
+
+    with pytest.raises(KeysError):
+        kerf_sql(
+            spark, "insert into t values (5000, 0, -1)", workspace=ws
+        )
 
 
 def test_snapshot_restores_registered_indexes(spark, ws_root):
