@@ -98,6 +98,38 @@ def main() -> None:
     print(f"  restore('before_purge'): live back to "
           f"{ws.load('orders').count()} rows == {n_now}")
 
+    # ------------------------- multi-table transactions + SQL surface
+    print("== transaction(): all-or-nothing multi-table writes ==")
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    n0 = ws.load("orders").count()
+    try:
+        with ws.transaction():
+            kerf_sql(
+                spark,
+                f"delete from orders where o_orderkey between "
+                f"{lows[0]} and {lows[-1]}",
+                workspace=ws,
+            )
+            raise RuntimeError("downstream validation failed")
+    except RuntimeError:
+        pass
+    print(f"  failed batch rolled back: {ws.load('orders').count()} "
+          f"rows == {n0} (created tables would drop too)")
+    with ws.consistent_view() as view:
+        print(f"  consistent_view: tables {view.tables()} read one "
+              f"point in time while writers keep publishing")
+    # kerf-SQL text is a complete catalog surface: selects resolve
+    # workspace tables without view registration; keyed DML prunes
+    top = kerf_sql(
+        spark,
+        "select n: count(*) by o_custkey from orders "
+        "order by n desc limit 3",
+        workspace=ws,
+    )
+    top.show(3)
+    ws.vacuum()  # sweep anything a crash could have left behind
+
     # --------------------------------------- composite-key tuple lookup
     print("== composite sort index: tuple probes prune deeper ==")
     ticks = spark.range(40_000).select(

@@ -787,12 +787,41 @@ class Workspace:
     def tables(self) -> list[str]:
         return sorted(self.manifest["tables"])
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str, delete: bool = False) -> None:
+        """Forget table ``name``; with ``delete`` also remove its
+        files — the pointer, every version directory, and any write
+        residue (snapshots keep their hardlinked bytes alive)."""
         if self._txn_touched is not None:
             self._txn_touched.add(name)
-        self.manifest["tables"].pop(name, None)
+        meta = self.manifest["tables"].pop(name, None)
         self._dropped.setdefault("tables", set()).add(name)
         self._flush()
+        if delete and meta:
+            self._delete_table_files(meta)
+
+    def _delete_table_files(self, meta: dict) -> None:
+        """Remove a (de-manifested) table's on-disk footprint: the
+        version pointer and every version dir, or the legacy real
+        directory, plus staging/ptr residue."""
+        import glob as _glob
+        import shutil
+
+        p = meta["path"]
+        if os.path.islink(p):
+            for d in _glob.glob(p + ".v*"):
+                suf = d.rsplit(".v", 1)[-1]
+                if suf.isdigit():
+                    shutil.rmtree(d, ignore_errors=True)
+            os.unlink(p)
+        elif os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        for suffix in (".staging", ".ptr.tmp", ".old"):
+            r = p + suffix
+            if os.path.lexists(r):
+                if os.path.islink(r) or not os.path.isdir(r):
+                    os.unlink(r)
+                else:
+                    shutil.rmtree(r, ignore_errors=True)
 
     # ------------------------------------------------------------- indexes
     def register_index(self, name: str, path: str) -> dict:
@@ -2433,23 +2462,7 @@ class Workspace:
                     else:
                         # created inside the failed transaction:
                         # drop the entry and its files
-                        import shutil
-
-                        meta = self.manifest["tables"].pop(name, None)
-                        self._dropped.setdefault(
-                            "tables", set()
-                        ).add(name)
-                        self._flush()
-                        if meta:
-                            p = meta["path"]
-                            if os.path.islink(p):
-                                import glob as _g
-
-                                for d in _g.glob(p + ".v*"):
-                                    shutil.rmtree(d, ignore_errors=True)
-                                os.unlink(p)
-                            else:
-                                shutil.rmtree(p, ignore_errors=True)
+                        self.drop(name, delete=True)
                 self.drop_snapshot(t)
                 raise
             else:

@@ -2118,6 +2118,34 @@ def test_fsck_repairs_stale_sort_index(spark, ws_root):
         ws.fsck("plain")
 
 
+def test_drop_delete_removes_versions(spark, ws_root):
+    """drop(delete=True) removes the pointer, every version dir, and
+    write residue; a snapshot taken before keeps reading (hardlinks);
+    re-saving the name starts a fresh version chain."""
+    ws = Workspace(spark, ws_root)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ws.save("t", df, key="k", minimize_widths=False)
+    ws.upsert(
+        "t",
+        spark.range(2).select(
+            F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+        ),
+    )
+    ws.snapshot("keepme")
+    path = ws.manifest["tables"]["t"]["path"]
+    ws.drop("t", delete=True)
+    assert not os.path.lexists(path)
+    assert not any(
+        e.startswith("t.v") for e in os.listdir(ws_root)
+    ), os.listdir(ws_root)
+    assert ws.load_snapshot("keepme", "t").count() == 100  # links live
+    ws.save("t", df, key="k", minimize_widths=False)
+    assert ws.load("t").count() == 100
+    assert ws.key_lookup("t", 5).count() == 1
+
+
 def test_vacuum_sweeps_crash_residue(spark, ws_root):
     """vacuum(): staging dirs, pointer temp files, and orphaned
     version dirs (above the counter — a publish that died before the
