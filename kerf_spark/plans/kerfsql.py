@@ -376,6 +376,8 @@ def translate(q: str) -> str:
         body = q[len("select"):].strip()
         body, limit = _split_clause(body, "limit")
         body, order = _split_clause(body, "order\\s+by")
+        # having trails where in the statement text, so it splits first
+        body, having = _split_clause(body, "having")
         body, where = _split_clause(body, "where")
         body, table = _split_clause(body, "from")
         if table is None:
@@ -394,6 +396,11 @@ def translate(q: str) -> str:
             # ordered-verb select: `by` partitions the windows instead of
             # grouping (the kerf `update deltas price by sym` shape); the
             # statement projects per-row, so no GROUP BY is emitted
+            if having:
+                raise ParseError(
+                    "having requires a grouped select (a `by` clause "
+                    "without window verbs)"
+                )
             sel = _expand_verbs(sel, part, order_x)
             sql.append(f"SELECT {sel} FROM {table_x}")
             if where:
@@ -411,6 +418,12 @@ def translate(q: str) -> str:
             if by:
                 # group by the raw expressions (alias only in the SELECT list)
                 sql.append(f"GROUP BY {_expand_verbs(_strip_aliases(by), None, None)}")
+                if having:
+                    # group filter — Spark resolves output aliases and
+                    # aggregate expressions both
+                    sql.append(f"HAVING {_expand_verbs(having, None, None)}")
+            elif having:
+                raise ParseError("having requires a `by` clause")
         if order_x:
             sql.append(f"ORDER BY {order_x}")
         if limit:

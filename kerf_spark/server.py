@@ -695,9 +695,9 @@ def _folio_parse_select(q: str):
     body = q[len("select"):].strip()
     body, limit = _split_clause(body, "limit")
     body, order = _split_clause(body, "order\\s+by")
-    # ANSI group-by trails the where clause, so it must split FIRST —
-    # splitting where first left "w group by k" inside the where text
-    # and silently dropped the grouping (found by the fuzz suite)
+    # having trails group-by, which trails where — strictly last-first
+    # (the fuzz suite caught the where/group-by ordering bug once)
+    body, having = _split_clause(body, "having")
     body, ansi_by = _split_clause(body, "group\\s+by")
     body, where = _split_clause(body, "where")
     body, table = _split_clause(body, "from")
@@ -830,7 +830,7 @@ def _folio_parse_select(q: str):
                     f"needs a projection alias (`... as name`)"
                 )
             items.append((alias or expr, None, hit, None))
-    return items, keys, table.strip(), where, order, limit
+    return items, keys, table.strip(), where, having, order, limit
 
 
 def folio_select(
@@ -896,7 +896,7 @@ def folio_select(
 
     from .errors import ArgsError
 
-    items, keys, table, where, order, limit = _folio_parse_select(q)
+    items, keys, table, where, having, order, limit = _folio_parse_select(q)
     if not member_local_joins and (
         re.search(r"(?is)\bjoin\b", table) or "," in table
     ):
@@ -1179,6 +1179,11 @@ def folio_select(
             F.col(expr).alias(alias) if fn is None else F.col(alias)
         )
     out = out.select(*cols)
+    if having:
+        # group filter over the MERGED final (the only place it can
+        # be correct — a member-side having would filter partials);
+        # references resolve against the statement's output ALIASES
+        out = out.where(F.expr(having))
     if order:
         from .plans.kerfsql import _split_top as _st
 

@@ -954,6 +954,58 @@ def test_folio_select_variance_no_cancellation(spark):
             s.stop()
 
 
+def test_folio_select_having_filters_merged_groups(spark):
+    """HAVING filters the MERGED final (a member-side having would
+    filter partials and silently under-count): groups pass or fail on
+    their GLOBAL aggregate, references resolve against the output
+    aliases, and where + having compose."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    shards = [
+        cust.where(F.col("c_custkey") % 7 == 0),
+        cust.where(F.col("c_custkey") % 7 != 0),
+    ]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        got = {
+            r["c_nationkey"]: r["n"]
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select c_nationkey, count(*) as n from customer"
+                " where c_acctbal > 0 group by c_nationkey"
+                " having n >= 5 order by c_nationkey",
+            ).collect()
+        }
+        want = {
+            r["c_nationkey"]: r["n"]
+            for r in cust.where("c_acctbal > 0")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n >= 5")
+            .collect()
+        }
+        assert got == want and len(want) > 0
+        # the point of merge-side having: SOME group must fail
+        # globally while passing on at least one member alone
+        assert len(want) < cust.select("c_nationkey").distinct().count()
+        # a non-select statement still refuses
+        with pytest.raises(ArgsError):
+            folio_select(spark, [srvs[0].address], "update t set x = 1")
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_select_co_sharded_fact_join(spark):
     """The fact-to-fact SCALE path the join guard names: two tables
     sharded across the same members by the same residue classes of

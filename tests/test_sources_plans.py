@@ -26,6 +26,24 @@ def test_translate_select_by():
     assert "WHERE l_discount > 0" in sql
 
 
+def test_translate_having():
+    sql = translate(
+        "select n: count(*) by l_returnflag from lineitem "
+        "where l_discount > 0 having n > 5 order by n desc limit 3"
+    )
+    assert "GROUP BY l_returnflag" in sql
+    assert "HAVING n > 5" in sql
+    assert sql.index("HAVING") > sql.index("GROUP BY")
+    assert sql.index("ORDER BY") > sql.index("HAVING")
+    # having without a by clause refuses
+    import pytest
+
+    from kerf_spark.errors import ParseError
+
+    with pytest.raises(ParseError, match="having"):
+        translate("select count(*) from t having 1 > 0")
+
+
 def test_translate_plain_select():
     sql = translate("select o_orderkey from orders limit 5")
     assert sql == "SELECT o_orderkey FROM orders LIMIT 5"
