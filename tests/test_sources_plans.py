@@ -2509,6 +2509,55 @@ def test_publish_pointer_version_swap(spark, ws_root):
     assert ws.load("t").count() == 2000
 
 
+def test_publish_crash_before_pointer_swap_recovers(spark, ws_root, monkeypatch):
+    """The pointer swap IS the commit point: a publish that dies
+    after renaming staging to the next version dir but before the
+    `os.replace` leaves the table bitwise on the OLD version, the
+    manifest unflushed, and the index consistent; the orphan version
+    is invisible to reads, vacuum sweeps it, and the retried write
+    succeeds cleanly."""
+    ws = Workspace(spark, ws_root)
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    ws.save("t", df, key="k", key_partitions=4, minimize_widths=False)
+    path = ws.manifest["tables"]["t"]["path"]
+    v1 = os.path.realpath(path)
+    up = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(-9).cast("bigint").alias("v")
+    )
+    real_replace = os.replace
+    tripped = {"n": 0}
+
+    def boom(src, dst):
+        if str(src).endswith(".ptr.tmp") and tripped["n"] == 0:
+            tripped["n"] = 1
+            raise OSError("injected crash before the pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError, match="injected"):
+        ws.upsert("t", up)
+    monkeypatch.undo()
+    assert tripped["n"] == 1
+    # the old version is still live, the write left no trace
+    assert os.path.realpath(path) == v1
+    fresh = Workspace(spark, ws_root)  # manifest was never flushed
+    assert fresh.load("t").count() == 2000
+    assert fresh.load("t").where("v = -9").count() == 0
+    assert fresh.key_lookup("t", 3).head()["v"] == 6
+    assert fresh.fsck("t")["rebuilt"] is False  # index == disk
+    # the orphan version dir above the counter exists until vacuumed
+    assert os.path.isdir(path + ".v2")
+    swept = fresh.vacuum("t")["removed"]
+    assert path + ".v2" in swept
+    # the retried write lands exactly
+    fresh.upsert("t", up)
+    assert os.path.realpath(path).endswith(".v2")
+    assert fresh.load("t").where("v = -9").count() == 5
+    assert fresh.load("t").count() == 2000
+
+
 def test_reader_hammer_zero_missing_path(spark, ws_root):
     """The pointer publish's contract, proven under fire: reader
     threads hammering refresh()+load()+count() through 50 concurrent
