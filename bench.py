@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     # round-11: co-sharded fact-to-fact folio join (member-side
     # complete joins, partials-only wire — the guard's scale path)
     "folio_remote_join",
+    # round-11: mergeable-KLL percentiles (few-KB buffers per
+    # member-group regardless of rows or value domain — the
+    # unbounded complement of the exact histogram split)
+    "folio_remote_kll",
 ]
 
 

@@ -13465,6 +13465,60 @@ def folio_remote_join(spark, sf):
 
 
 @query(
+    "folio_remote_kll",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           true AS med_in_band, true AS q9_in_band
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_remote_kll(spark, sf):
+    """Percentiles over the folio for UNBOUNDED value domains — the
+    mergeable-KLL complement (datasketches, Spark 4.1) of the exact
+    histogram split whose wire bound is the distinct-value count:
+    ``approx_median``/``approx_percentile`` partials are one few-KB
+    KLL buffer per (member, nation) REGARDLESS of rows or domain; the
+    final merges buffers and queries the quantile.  Gated like the
+    other sketch rows: the folio estimate must land inside the exact
+    [p25, p75] / [p80, p100] rank band of the unsharded data (KLL's
+    99%-confidence rank error at default k is ~1.7% — the band is an
+    order of magnitude wider, so the boolean is stable), and the
+    oracle asserts every band check is TRUE."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    est = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_nationkey, approx_median(cents) as med,"
+        " approx_percentile(cents, 0.9) as q9"
+        " from customer group by c_nationkey",
+    )
+    cust = _t(spark, sf, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    bands = cust.groupBy("c_nationkey").agg(
+        F.percentile("cents", F.lit(0.25)).alias("mlo"),
+        F.percentile("cents", F.lit(0.75)).alias("mhi"),
+        F.percentile("cents", F.lit(0.80)).alias("qlo"),
+        F.percentile("cents", F.lit(1.0)).alias("qhi"),
+    )
+    return (
+        est.join(bands, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.col("med").between(F.col("mlo"), F.col("mhi")).alias(
+                "med_in_band"
+            ),
+            F.col("q9").between(F.col("qlo"), F.col("qhi")).alias(
+                "q9_in_band"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
     "workspace_txn_rollback",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
@@ -14528,7 +14582,7 @@ _R10_WINDOW = [
 _R11_WINDOW = [
     # round-11 additions (never driver-checked)
     "folio_remote_last", "kerfsql_delete_pruned",
-    "workspace_txn_rollback", "folio_remote_join",
+    "workspace_txn_rollback", "folio_remote_join", "folio_remote_kll",
     # the r3-stale cohort, cleared in full
     "asof_forward_next_purchase", "asof_tolerance_join",
     "bucketed_join_colocated", "csv_roundtrip", "differ_runs",

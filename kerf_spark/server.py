@@ -653,6 +653,12 @@ _FOLIO_HISTOGRAM = ("median", "percentile", "quantile")
 #: small cardinalities the sketch is in sparse mode and the estimate
 #: is EXACT
 _FOLIO_SKETCH = ("approx_count_distinct",)
+#: percentiles for UNBOUNDED domains — the mergeable-KLL complement
+#: of the exact histogram split (whose wire bound is the distinct
+#: domain): members ship one datasketches KLL buffer per group (few
+#: KB regardless of rows or domain), the final merges and queries the
+#: quantile (~1% rank error at the default k)
+_FOLIO_KLL = ("approx_percentile", "approx_quantile", "approx_median")
 #: ordered "arg" aggregates — ALGEBRAIC once an explicit ordering
 #: column is named: ``last(x, ord)`` == ``max_by(x, ord)`` splits as
 #: member max_by partials + a final max_by over the member partials
@@ -772,6 +778,7 @@ def _folio_parse_select(q: str):
             + tuple(_FOLIO_VARIANCE)
             + _FOLIO_HISTOGRAM
             + _FOLIO_SKETCH
+            + _FOLIO_KLL
         ):
             arg, param = am.group(2).strip(), None
             dm = re.match(r"(?is)^\s*distinct\b(.*)$", arg)
@@ -804,6 +811,28 @@ def _folio_parse_select(q: str):
                 fn = "percentile"
             elif fn == "median":
                 fn, param = "percentile", 0.5
+            elif fn == "approx_median":
+                fn, param = "kll_percentile", 0.5
+            elif fn in ("approx_percentile", "approx_quantile"):
+                pieces = _split_top(arg)
+                if len(pieces) != 2:
+                    raise ArgsError(
+                        f"folio_select: {fn} takes (column, fraction)"
+                    )
+                arg = pieces[0].strip()
+                try:
+                    param = float(pieces[1])
+                except ValueError:
+                    raise ArgsError(
+                        f"folio_select: {fn} fraction must be a "
+                        f"literal number, got {pieces[1]!r}"
+                    ) from None
+                if not 0.0 <= param <= 1.0:
+                    raise ArgsError(
+                        f"folio_select: {fn} fraction {param} outside "
+                        f"[0, 1]"
+                    )
+                fn = "kll_percentile"
             elif fn in _FOLIO_VARIANCE:
                 fn = _FOLIO_VARIANCE[fn]
             if alias is None:
@@ -961,6 +990,27 @@ def folio_select(
         elif fn == "max":
             partials.append(f"max({arg}) AS __p{i}")
             finals.append(F.max(f"__p{i}").alias(alias))
+        elif fn == "kll_percentile":
+            # mergeable KLL quantile sketch (datasketches, Spark 4.1):
+            # one few-KB buffer per (member, group) REGARDLESS of rows
+            # or value domain — the unbounded-domain complement of the
+            # exact histogram split (whose wire bound is the distinct
+            # count).  ~1% rank error at the default k; the n-guard
+            # returns NULL for all-null groups (an empty sketch's
+            # quantile is an error, not a value).
+            partials.append(
+                f"kll_sketch_agg_double(CAST(({arg}) AS DOUBLE)) "
+                f"AS __p{i}"
+            )
+            finals.append(
+                F.expr(
+                    f"CASE WHEN kll_sketch_get_n_double("
+                    f"kll_merge_agg_double(__p{i})) > 0 THEN "
+                    f"kll_sketch_get_quantile_double("
+                    f"kll_merge_agg_double(__p{i}), "
+                    f"CAST({param!r} AS DOUBLE)) END"
+                ).alias(alias)
+            )
         elif fn == "approx_count_distinct":
             # mergeable HLL: one ≤KB sketch buffer per (member, group)
             # regardless of cardinality — the unbounded-domain path

@@ -954,6 +954,57 @@ def test_folio_select_variance_no_cancellation(spark):
             s.stop()
 
 
+def test_folio_select_kll_percentiles(spark):
+    """approx_percentile/approx_median over the folio ride mergeable
+    KLL sketches — a few KB per (member, group) regardless of rows or
+    value DOMAIN, the unbounded complement of the exact histogram
+    split.  The estimate's true rank must sit within 5% of the asked
+    fraction (KLL's guarantee at default k is ~1.7%); all-null groups
+    return NULL instead of erroring on the empty sketch."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+
+    base = spark.range(30000).select(
+        (F.col("id") % 3).alias("g"),
+        F.when(F.col("id") % 3 == 2, None)  # one all-null group
+        .otherwise((F.col("id") * 7 % 30011).cast("double"))
+        .alias("x"),
+    )
+    shards = [base.where(F.col("id") % 2 == i) for i in range(2)]
+    srvs = [
+        KerfServer(spark, tables={"t": sh}).start() for sh in shards
+    ]
+    try:
+        got = {
+            r["g"]: r
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select g, approx_median(x) as med,"
+                " approx_percentile(x, 0.9) as q9,"
+                " count(x) as n from t group by g",
+            ).collect()
+        }
+        assert set(got) == {0, 1, 2}
+        assert got[2]["med"] is None and got[2]["q9"] is None
+        for g in (0, 1):
+            vals = sorted(
+                r["x"] for r in base.where(F.col("g") == g).collect()
+                if r["x"] is not None
+            )
+            for col, p in (("med", 0.5), ("q9", 0.9)):
+                est = got[g][col]
+                assert est is not None
+                import bisect
+
+                rank = bisect.bisect_right(vals, est) / len(vals)
+                assert abs(rank - p) < 0.05, (g, col, est, rank)
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_select_having_filters_merged_groups(spark):
     """HAVING filters the MERGED final (a member-side having would
     filter partials and silently under-count): groups pass or fail on
