@@ -13519,6 +13519,89 @@ def folio_remote_kll(spark, sf):
 
 
 @query(
+    "theta_diff_users",
+    """
+    WITH t AS (SELECT min(event_type) AS base FROM events),
+    b AS (SELECT DISTINCT user_id FROM events, t
+          WHERE event_type = base AND user_id % 3 = 0)
+    SELECT e.event_type,
+           CAST(count(DISTINCT e.user_id)
+                FILTER (WHERE e.user_id NOT IN (SELECT user_id FROM b))
+                AS BIGINT) AS exact_diff,
+           true AS in_band
+    FROM events e, t WHERE e.event_type <> t.base
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def theta_diff_users(spark, sf):
+    """Theta-sketch SET ALGEBRA (datasketches, Spark 4.1) — the
+    operation HLL cannot do: a DIFFERENCE estimate (distinct users in
+    type X but NOT in the base type) via `theta_difference` on
+    mergeable per-group sketch buffers.  HLL's inclusion-exclusion
+    gives intersections but degrades on differences; theta set
+    operations are first-class.  Wire/scale shape: one ≤32KB buffer
+    per group regardless of user cardinality — sketches fan out, user
+    ids never do.  Gated like the other sketch rows: the estimate
+    must land within max(5%, 25) of the exact anti-join count —
+    below k=4096 distinct values the theta sketch is EXACT, so at
+    test scale the band check is equality in disguise — and the
+    oracle asserts every band check TRUE."""
+    ev = _t(spark, sf, "events")
+    base = ev.agg(F.min("event_type")).head()[0]
+    sk = (
+        ev.where(F.col("event_type") != base)
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    # the base SET is a strict subset (every third user of the base
+    # type) so the differences are non-trivial — an all-zero diff
+    # column would make the band check vacuous
+    base_rows = ev.where(
+        (F.col("event_type") == base) & (F.col("user_id") % 3 == 0)
+    )
+    bsk = base_rows.agg(
+        F.expr("theta_sketch_agg(user_id)").alias("bsk")
+    )
+    bu = (
+        base_rows.select("user_id")
+        .distinct()
+        .withColumn("__inb", F.lit(1))
+    )
+    # conditional distinct keeps every group (an all-overlapping
+    # type must report exact_diff = 0, not vanish from the output)
+    exact = (
+        ev.where(F.col("event_type") != base)
+        .join(F.broadcast(bu), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("__inb").isNull(), F.col("user_id"))
+            ).alias("exact_diff")
+        )
+    )
+    est = sk.crossJoin(F.broadcast(bsk)).select(
+        "event_type",
+        F.expr(
+            "theta_sketch_estimate(theta_difference(sk, bsk))"
+        ).alias("est"),
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_diff").cast("long").alias("exact_diff"),
+            (
+                F.abs(F.col("est") - F.col("exact_diff"))
+                <= F.greatest(
+                    F.col("exact_diff") * 0.05, F.lit(25.0)
+                )
+            ).alias("in_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "workspace_txn_rollback",
     """
     SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
@@ -14583,6 +14666,7 @@ _R11_WINDOW = [
     # round-11 additions (never driver-checked)
     "folio_remote_last", "kerfsql_delete_pruned",
     "workspace_txn_rollback", "folio_remote_join", "folio_remote_kll",
+    "theta_diff_users",
     # the r3-stale cohort, cleared in full
     "asof_forward_next_purchase", "asof_tolerance_join",
     "bucketed_join_colocated", "csv_roundtrip", "differ_runs",
