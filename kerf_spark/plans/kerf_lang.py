@@ -900,9 +900,14 @@ def _loc_folio_select(addrs, src):
     """``folio_select(members, "select sum(x) as s by k from t")`` —
     the AGGREGATE auto-split over a distributed folio ("a folio of
     tables should behave like a table", presented.h:409): algebraic
-    aggregates are rewritten into member partials + a local final
-    merge (avg → sum/count, never an average of averages); holistic
-    aggregates refuse with a typed error.  See server.folio_select."""
+    aggregates rewrite into member partials + a local final merge
+    (avg → sum/count, never an average of averages; variance via
+    anchored centered partials), holistic median/percentile/count
+    DISTINCT rebuild EXACTLY from merged member histograms, ordered
+    last/first/max_by/min_by split as member arg-max partials, and
+    approx_median/approx_count_distinct ride mergeable KLL/HLL
+    sketches; genuinely order-dependent aggregates refuse with a
+    typed error.  See server.folio_select."""
     from pyspark.sql import SparkSession
 
     from ..server import folio_select
