@@ -218,6 +218,10 @@ PLAN_LINT_ALLOW = {
         "knn_label_vote",        # the 16-query broadcast probe frame
                                  # of cosine_topk (same as
                                  # cosine_topk_exact)
+        "theta_diff_users",      # the base theta sketch is ONE 32KB
+                                 # buffer row broadcast against ≤|event
+                                 # types| group sketches — bounded both
+                                 # sides by construction
     },
     # global windows over provably bounded inputs: a TakeOrdered prefix,
     # a per-bucket totals table, a vocabulary, a contingency table, a
