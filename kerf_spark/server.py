@@ -560,6 +560,40 @@ class KerfClient:
 
 
 # ------------------------------------------------- distributed folio
+def _gather_frames(
+    addrs: list[tuple[str, int]], src: str, timeout: float
+) -> list[tuple[tuple[str, int], "object"]]:
+    """Run ``src`` on every member concurrently (one thread per
+    socket-obj, presented.h:430) and return ``[(addr, pyarrow.Table)]``
+    — members compute their partials in parallel; the gather is
+    bounded by the largest single frame, not the sum of member compute
+    times.  Fail-loud: any member error (or a non-table result) raises
+    with the member address; a partial gather never silently unions."""
+    import concurrent.futures as _fut
+
+    if not addrs:
+        raise ValueError("folio gather needs at least one server address")
+
+    def fetch(addr):
+        host, port = addr
+        with KerfClient(host, int(port), timeout=timeout) as cli:
+            resp = cli.execute(src, arrow=True)
+        if not resp.get("ok"):
+            raise RuntimeError(
+                f"folio member {host}:{port} failed: "
+                f"{resp.get('kind')}: {resp.get('message')}"
+            )
+        if resp.get("kind") != "arrow":
+            raise TypeError(
+                f"folio member {host}:{port} returned "
+                f"{resp.get('kind')!r}, not a table"
+            )
+        return addr, resp["table"]
+
+    with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
+        return list(pool.map(fetch, addrs))
+
+
 def folio_remote(
     spark,
     addrs: list[tuple[str, int]],
@@ -593,32 +627,7 @@ def folio_remote(
     Fail-loud: any member error (or a non-table result) raises with
     the member address; a partial gather never silently unions.
     """
-    import concurrent.futures as _fut
-
-    if not addrs:
-        raise ValueError("folio_remote needs at least one server address")
-
-    def fetch(addr):
-        host, port = addr
-        with KerfClient(host, int(port), timeout=timeout) as cli:
-            resp = cli.execute(src, arrow=True)
-        if not resp.get("ok"):
-            raise RuntimeError(
-                f"folio member {host}:{port} failed: "
-                f"{resp.get('kind')}: {resp.get('message')}"
-            )
-        if resp.get("kind") != "arrow":
-            raise TypeError(
-                f"folio member {host}:{port} returned "
-                f"{resp.get('kind')!r}, not a table"
-            )
-        return addr, resp["table"]
-
-    # one thread per socket-obj (presented.h:430) — members compute
-    # their partials in parallel; the gather is bounded by the largest
-    # single frame, not the sum of member compute times
-    with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
-        parts = list(pool.map(fetch, addrs))
+    parts = _gather_frames(addrs, src, timeout)
 
     out = None
     for (host, port), tbl in parts:
@@ -862,6 +871,127 @@ def _folio_parse_select(q: str):
     return items, keys, table.strip(), where, having, order, limit
 
 
+def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
+    """Histogram finals (count DISTINCT / percentile_cont) computed
+    DRIVER-SIDE over the gathered member frames.  The frames are
+    already local Arrow tables — driver-bounded by ``ARROW_MAX_ROWS``
+    fail-loud on the server side — so merging member histograms by
+    value, accumulating cumulative weights, and interpolating the
+    bracketing values is millisecond pandas work; routing the same
+    few-thousand-row math through Spark stages costs seconds of pure
+    local stage-scheduling overhead.  Semantics mirror the Spark
+    fallback exactly: nulls drop (SQL aggregate rules), percentile is
+    percentile_cont over the merged weighted histogram (position
+    p*(n-1), linear interpolation between the bracketing values —
+    float64 throughout, the identical expression the oracle engines
+    evaluate), count DISTINCT counts merged distinct values.  Returns
+    ONE Spark frame carrying every holistic alias, typed explicitly
+    (keys keep their member Arrow types; percentiles double; counts
+    long)."""
+    import functools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = []
+    frame_col = concat.column("__frame")
+    for j, arg in enumerate(hist_args):
+        arg_items = [it for it in hist_items if it[2] == arg]
+        ht = concat.filter(pc.equal(frame_col, j + 1)).select(
+            key_names + [f"__h{j}", f"__hc{j}"]
+        )
+        pdf = ht.to_pandas().rename(
+            columns={f"__h{j}": "__hv", f"__hc{j}": "__hc"}
+        )
+        pdf = pdf[pdf["__hv"].notna()]
+        gcols = key_names + ["__hv"]
+        merged = pdf.groupby(
+            gcols, dropna=False, as_index=False, sort=False
+        )["__hc"].sum()
+        merged = merged.sort_values(
+            gcols, kind="mergesort", ignore_index=True
+        )
+        if key_names:
+            g = merged.groupby(key_names, dropna=False, sort=False)
+            merged["__cum"] = g["__hc"].cumsum()
+            merged["__n"] = g["__hc"].transform("sum")
+        else:
+            merged["__cum"] = merged["__hc"].cumsum()
+            merged["__n"] = merged["__hc"].sum()
+        for alias, fn, _a, pm in arg_items:
+            if fn == "count_distinct":
+                if key_names:
+                    p = (
+                        merged.groupby(
+                            key_names,
+                            dropna=False,
+                            as_index=False,
+                            sort=False,
+                        )
+                        .size()
+                        .rename(columns={"size": alias})
+                    )
+                else:
+                    p = pd.DataFrame({alias: [len(merged)]})
+                parts.append(p)
+                continue
+            # percentile_cont: exactly one row per group brackets the
+            # floor/ceil positions, selected by the cumulative counts
+            pos = float(pm) * (merged["__n"].astype("float64") - 1.0)
+            flo, cei = np.floor(pos), np.ceil(pos)
+            br = merged["__cum"] - merged["__hc"]
+            lo = merged[(br <= flo) & (flo < merged["__cum"])]
+            hi = merged[(br <= cei) & (cei < merged["__cum"])]
+            lo2 = (
+                lo[key_names].copy()
+                if key_names
+                else pd.DataFrame(index=range(len(lo)))
+            )
+            lo2["__lo"] = lo["__hv"].astype("float64").to_numpy()
+            lo2["__ps"] = (
+                float(pm) * (lo["__n"].astype("float64") - 1.0)
+            ).to_numpy()
+            hi2 = (
+                hi[key_names].copy()
+                if key_names
+                else pd.DataFrame(index=range(len(hi)))
+            )
+            hi2["__hi"] = hi["__hv"].astype("float64").to_numpy()
+            if key_names:
+                m = lo2.merge(hi2, on=key_names)
+            else:
+                m = lo2.reset_index(drop=True).join(
+                    hi2.reset_index(drop=True)
+                )
+            frac = m["__ps"] - np.floor(m["__ps"])
+            m[alias] = m["__lo"] + (m["__hi"] - m["__lo"]) * frac
+            parts.append(m[key_names + [alias]])
+    if key_names:
+        res = functools.reduce(
+            lambda a, b: a.merge(b, on=key_names, how="outer"), parts
+        )
+    else:
+        res = functools.reduce(
+            lambda a, b: a.join(b, how="outer"),
+            [p.reset_index(drop=True) for p in parts],
+        )
+    order = key_names + [it[0] for it in hist_items]
+    res = res[order]
+    fields = [concat.schema.field(k) for k in key_names]
+    for alias, fn, _a, _pm in hist_items:
+        if fn == "count_distinct":
+            res[alias] = res[alias].astype("Int64")
+            fields.append(pa.field(alias, pa.int64()))
+        else:
+            fields.append(pa.field(alias, pa.float64()))
+    tbl = pa.Table.from_pandas(
+        res, schema=pa.schema(fields), preserve_index=False
+    )
+    return spark.createDataFrame(tbl)
+
+
 def folio_select(
     spark,
     addrs: list[tuple[str, int]],
@@ -890,8 +1020,13 @@ def folio_select(
     member histograms merge by value locally, count DISTINCT counts
     the merged values, and percentiles interpolate over the merged
     weighted histogram (percentile_cont semantics, the same rule SQL
-    median follows).  The wire bound is the DISTINCT-VALUE count, not
-    the row count — guarded fail-loud by ``ARROW_MAX_ROWS``; for
+    median follows).  The spine and EVERY histogram ride ONE member
+    statement (GROUPING SETS: set 0 = the group spine, set j+1 = the
+    j-th holistic argument, a grouping() CASE tags each row's frame)
+    — one member Spark job and one socket round trip regardless of
+    how many holistic aggregates the statement names.  The wire bound
+    is the DISTINCT-VALUE count, not the row count — guarded
+    fail-loud by ``ARROW_MAX_ROWS``; for
     unbounded domains ``approx_count_distinct(x)`` splits as a
     MERGEABLE HLL SKETCH — members ship one datasketches buffer per
     group (≤ a few KB regardless of cardinality), the final unions
@@ -1076,11 +1211,11 @@ def folio_select(
         # group spine (dropped at the final projection)
         partials.append("count(*) AS __spine")
         finals.append(F.sum("__spine").alias("__spine"))
+    # source relation: variance anchors ride a member-side subquery —
+    # one window min per distinct argument, partitioned exactly like
+    # the grouping (the anchor is constant per group); the grouped
+    # outer pass then sums the centered values
     if var_args:
-        # variance anchors ride a member-side subquery: one window
-        # min per distinct argument, partitioned exactly like the
-        # grouping (the anchor is constant per group) — the grouped
-        # outer pass then sums the centered values
         over = f"PARTITION BY {key_grp}" if keys else ""
         acols = ", ".join(
             f"min({arg}) OVER ({over}) AS {anchor[arg]}"
@@ -1089,54 +1224,146 @@ def folio_select(
         inner = f"SELECT *, {acols} FROM {table}"
         if where:
             inner += f" WHERE {where}"
-        member = "SELECT "
-        if keys:
-            member += f"{key_sel}, "
-        member += f"{', '.join(partials)} FROM ({inner})"
-        if keys:
-            member += f" GROUP BY {key_grp}"
+        src_rel, src_where = f"({inner})", None
     else:
-        member = "SELECT "
-        if keys:
-            member += f"{key_sel}, "
-        member += f"{', '.join(partials)} FROM {table}"
-        if where:
-            member += f" WHERE {where}"
-        if keys:
-            member += f" GROUP BY {key_grp}"
-    # ---- gathers: the partial spine + one histogram per distinct
-    # holistic argument, all CONCURRENT (each gather already fans one
-    # thread per member socket; the gathers themselves are independent
-    # round-trips, so they overlap too)
+        src_rel, src_where = table, where
+    # ---- ONE member round trip (r11 verdict next #1): the partial
+    # spine and every histogram frame ride a single GROUPING SETS
+    # statement — set 0 is the group spine, set j+1 adds holistic
+    # argument j as a grouping column, and a CASE over grouping()
+    # tags each output row with its frame.  One gather (one member
+    # Spark job, one socket round trip) replaces the old
+    # 1 + |histogram args| independent gathers whose fan-out made
+    # folio_remote_median the suite's slowest row.  Spine partials
+    # are NULL-masked on histogram rows (and vice versa) so the wire
+    # still carries exactly the old frames' bytes — a KLL/HLL sketch
+    # buffer never rides a histogram row.
     hist_args = sorted({it[2] for it in items if it[1] in hist_fns})
-    hqs = {}
-    for arg in hist_args:
-        hq = "SELECT "
-        if keys:
-            hq += f"{key_sel}, "
-        hq += f"{arg} AS __hv, count({arg}) AS __hc FROM {table}"
-        if where:
-            hq += f" WHERE {where}"
-        hq += " GROUP BY " + ", ".join([ke for _, ke in keys] + [arg])
-        hqs[arg] = hq
-    if hqs:
-        import concurrent.futures as _fut
-
-        with _fut.ThreadPoolExecutor(max_workers=1 + len(hqs)) as pool:
-            fut_alg = pool.submit(
-                folio_remote, spark, addrs, member, timeout=timeout
+    key_texts = {re.sub(r"\s+", "", ke) for _, ke in keys} | {
+        ka for ka, _ in keys
+    }
+    fused = hist_args and all(
+        re.sub(r"\s+", "", a) not in key_texts for a in hist_args
+    )
+    palias = [p.rsplit(" AS ", 1)[1] for p in partials]
+    if fused:
+        hv = [f"{arg} AS __h{j}" for j, arg in enumerate(hist_args)]
+        hc = [
+            f"count({arg}) AS __hc{j}"
+            for j, arg in enumerate(hist_args)
+        ]
+        frame = (
+            "CASE "
+            + " ".join(
+                f"WHEN grouping({arg}) = 0 THEN {j + 1}"
+                for j, arg in enumerate(hist_args)
             )
-            fut_h = {
-                arg: pool.submit(
-                    folio_remote, spark, addrs, hq, timeout=timeout
-                )
-                for arg, hq in hqs.items()
-            }
-            gathered = fut_alg.result()
-            raw_h = {arg: f.result() for arg, f in fut_h.items()}
-    else:
-        gathered = folio_remote(spark, addrs, member, timeout=timeout)
+            + " ELSE 0 END AS __frame"
+        )
+        gsets = ", ".join(
+            [f"({key_grp})" if keys else "()"]
+            + [
+                f"({key_grp}, {arg})" if keys else f"({arg})"
+                for arg in hist_args
+            ]
+        )
+        inner_sel = "SELECT "
+        if keys:
+            inner_sel += f"{key_sel}, "
+        inner_sel += ", ".join(hv + hc + partials + [frame])
+        inner_sel += f" FROM {src_rel}"
+        if src_where:
+            inner_sel += f" WHERE {src_where}"
+        inner_sel += f" GROUP BY GROUPING SETS ({gsets})"
+        outer_cols = (
+            list(key_names)
+            + [f"__h{j}" for j in range(len(hist_args))]
+            + [
+                f"CASE WHEN __frame = {j + 1} THEN __hc{j} END"
+                f" AS __hc{j}"
+                for j in range(len(hist_args))
+            ]
+            + [
+                f"CASE WHEN __frame = 0 THEN {a} END AS {a}"
+                for a in palias
+            ]
+            + ["__frame"]
+        )
+        member = (
+            f"SELECT {', '.join(outer_cols)} FROM ({inner_sel})"
+        )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        frames = _gather_frames(addrs, member, timeout)
+        concat = pa.concat_tables([t for _, t in frames])
+        spine = concat.filter(
+            pc.equal(concat.column("__frame"), 0)
+        ).select(key_names + palias)
+        gathered = spark.createDataFrame(spine)
+        # histogram finals run DRIVER-SIDE in pandas: the gathered
+        # frames are already local Arrow tables (driver-bounded by
+        # ARROW_MAX_ROWS, fail-loud server-side), so the merge /
+        # cumulative-weight / interpolation math over them is
+        # millisecond pandas work — pushing it back through Spark
+        # stages cost folio_remote_median ~1.5 s of pure local
+        # stage-scheduling overhead on ~15k histogram rows
+        pandas_hol = _hist_finals_pandas(
+            spark,
+            concat,
+            hist_args,
+            [it for it in items if it[1] in hist_fns],
+            key_names,
+        )
         raw_h = {}
+    else:
+        # spine-only statement — or the degenerate fallback where a
+        # histogram argument IS a group key (duplicate grouping sets
+        # would make the frame tag ambiguous): concurrent gathers,
+        # one per histogram argument, as before the fusion
+        member = "SELECT "
+        if keys:
+            member += f"{key_sel}, "
+        member += f"{', '.join(partials)} FROM {src_rel}"
+        if src_where:
+            member += f" WHERE {src_where}"
+        if keys:
+            member += f" GROUP BY {key_grp}"
+        hqs = {}
+        for arg in hist_args:
+            hq = "SELECT "
+            if keys:
+                hq += f"{key_sel}, "
+            hq += f"{arg} AS __hv, count({arg}) AS __hc FROM {src_rel}"
+            if src_where:
+                hq += f" WHERE {src_where}"
+            hq += " GROUP BY " + ", ".join(
+                [ke for _, ke in keys] + [arg]
+            )
+            hqs[arg] = hq
+        if hqs:
+            import concurrent.futures as _fut
+
+            with _fut.ThreadPoolExecutor(
+                max_workers=1 + len(hqs)
+            ) as pool:
+                fut_alg = pool.submit(
+                    folio_remote, spark, addrs, member, timeout=timeout
+                )
+                fut_h = {
+                    arg: pool.submit(
+                        folio_remote, spark, addrs, hq, timeout=timeout
+                    )
+                    for arg, hq in hqs.items()
+                }
+                gathered = fut_alg.result()
+                raw_h = {arg: f.result() for arg, f in fut_h.items()}
+        else:
+            gathered = folio_remote(
+                spark, addrs, member, timeout=timeout
+            )
+            raw_h = {}
+        pandas_hol = None
     hists: dict[str, Any] = {}
     for arg, h in raw_h.items():
         # merge member histograms by value; nulls drop (SQL aggregate
@@ -1146,57 +1373,80 @@ def folio_select(
             .groupBy(*(key_names + ["__hv"]))
             .agg(F.sum("__hc").alias("__hc"))
         )
-    hol_frames = []
-    for alias, fn, arg, param in items:
-        if fn not in hist_fns:
-            continue
-        h = hists[arg]
-        if fn == "count_distinct":
-            agg = F.count(F.lit(1)).cast("long").alias(alias)
-            hol_frames.append(
-                h.groupBy(*key_names).agg(agg) if keys else h.agg(agg)
+    # ---- holistic finals: ONE frame per distinct argument -----------
+    # percentile_cont over the merged weighted histogram: the target
+    # 0-indexed position p*(n-1) falls between the values covering
+    # floor/ceil of it (cumulative counts locate them); linear
+    # interpolation between the two — SQL median semantics.  Every
+    # aggregate sharing the argument (all its percentiles + its count
+    # DISTINCT) collapses into one window pass + ONE grouped
+    # aggregation — conditional max() picks the bracketing values, so
+    # no per-item filter/join chains multiply local stages (the old
+    # per-item plan cost folio_remote_median ~1 s of pure local stage
+    # overhead on top of the gather).
+    hol_frames = [] if pandas_hol is None else [pandas_hol]
+    for arg, h in hists.items():
+        arg_items = [
+            (al, fn, pm)
+            for al, fn, a2, pm in items
+            if fn in hist_fns and a2 == arg
+        ]
+        pct = [(al, pm) for al, fn, pm in arg_items if fn == "percentile"]
+        if pct:
+            wp = (
+                Window.partitionBy(*key_names)
+                if keys
+                else Window.partitionBy()
             )
-            continue
-        # percentile_cont over the merged weighted histogram: the
-        # target 0-indexed position p*(n-1) falls between the values
-        # covering floor/ceil of it (cumulative counts locate them);
-        # linear interpolation between the two — SQL median semantics
-        wp = (
-            Window.partitionBy(*key_names)
-            if keys
-            else Window.partitionBy()
-        )
-        wo = wp.orderBy("__hv").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        hh = (
-            h.withColumn("__cum", F.sum("__hc").over(wo))
-            .withColumn("__n", F.sum("__hc").over(wp))
-            .withColumn(
-                "__pos", F.lit(float(param)) * (F.col("__n") - 1)
+            wo = wp.orderBy("__hv").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
             )
-        )
-        lo = hh.where(
-            (F.col("__cum") - F.col("__hc") <= F.floor("__pos"))
-            & (F.floor("__pos") < F.col("__cum"))
-        ).select(
-            *key_names, F.col("__hv").cast("double").alias("__lo"), "__pos"
-        )
-        hi = hh.where(
-            (F.col("__cum") - F.col("__hc") <= F.ceil("__pos"))
-            & (F.ceil("__pos") < F.col("__cum"))
-        ).select(*key_names, F.col("__hv").cast("double").alias("__hi"))
-        r = lo.join(hi, key_names) if keys else lo.crossJoin(hi)
-        hol_frames.append(
-            r.select(
-                *key_names,
+            hh = h.withColumn("__cum", F.sum("__hc").over(wo)).withColumn(
+                "__n", F.sum("__hc").over(wp)
+            )
+        else:
+            hh = h
+        aggs = []
+        for j, (al, pm) in enumerate(pct):
+            pos = F.lit(float(pm)) * (F.col("__n") - 1)
+            bracket = F.col("__cum") - F.col("__hc")
+            aggs.append(
+                F.max(
+                    F.when(
+                        (bracket <= F.floor(pos))
+                        & (F.floor(pos) < F.col("__cum")),
+                        F.col("__hv").cast("double"),
+                    )
+                ).alias(f"__lo{j}")
+            )
+            aggs.append(
+                F.max(
+                    F.when(
+                        (bracket <= F.ceil(pos))
+                        & (F.ceil(pos) < F.col("__cum")),
+                        F.col("__hv").cast("double"),
+                    )
+                ).alias(f"__hi{j}")
+            )
+            aggs.append(F.max(pos).alias(f"__ps{j}"))
+        for al, fn, pm in arg_items:
+            if fn == "count_distinct":
+                aggs.append(F.count(F.lit(1)).cast("long").alias(al))
+        g = hh.groupBy(*key_names).agg(*aggs) if keys else hh.agg(*aggs)
+        sel = list(key_names)
+        for j, (al, pm) in enumerate(pct):
+            ps = F.col(f"__ps{j}")
+            sel.append(
                 (
-                    F.col("__lo")
-                    + (F.col("__hi") - F.col("__lo"))
-                    * (F.col("__pos") - F.floor("__pos"))
-                ).alias(alias),
+                    F.col(f"__lo{j}")
+                    + (F.col(f"__hi{j}") - F.col(f"__lo{j}"))
+                    * (ps - F.floor(ps))
+                ).alias(al)
             )
-        )
+        for al, fn, pm in arg_items:
+            if fn == "count_distinct":
+                sel.append(F.col(al))
+        hol_frames.append(g.select(*sel))
     # ---- local final merge --------------------------------------------
     if var_items:
         # variance re-centering: d_i = member anchor − group-global
