@@ -1722,6 +1722,47 @@ class Workspace:
                 out = out.join(F.broadcast(probe), cond, "left_anti")
             return out
 
+        def _counts(df: DataFrame) -> tuple[int, int]:
+            # (total, deleted) in ONE aggregation job (r11 verdict
+            # what's-wrong #1 — the split df.count()/keep.count() pair
+            # scanned the covering files twice): probes join as
+            # broadcast LEFT joins carrying a marker column — the
+            # probe frames are deduped per width, so a stored row
+            # matches at most one probe row per width and never
+            # multiplies — and one agg counts rows and marker hits
+            # together.  Same match semantics as _keep (eqNullSafe
+            # both ways).
+            out, flags = df, []
+            for w, vs in sorted(by_width.items()):
+                pschema = T.StructType(
+                    [key_fields[key[i]] for i in range(w)]
+                )
+                probe = self.spark.createDataFrame(
+                    sorted(set(vs), key=repr), pschema
+                )
+                flag = f"__kf_del{w}"
+                probe = probe.withColumn(flag, F.lit(1))
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        out[key[i]].eqNullSafe(probe[key[i]])
+                        for i in range(w)
+                    ],
+                )
+                out = out.join(F.broadcast(probe), cond, "left").select(
+                    *[out[c] for c in out.columns], probe[flag]
+                )
+                flags.append(flag)
+            hit = functools.reduce(
+                lambda a, b: a | b,
+                [F.col(f).isNotNull() for f in flags],
+            )
+            row = out.agg(
+                F.count(F.lit(1)).alias("t"),
+                F.sum(F.when(hit, 1).otherwise(0)).alias("d"),
+            ).head()
+            return int(row["t"]), int(row["d"] or 0)
+
         ranges = meta.get("key_file_ranges") or {}
         has_null = any(any(x is None for x in v) for v in vals)
         probes = [tuple(_jsonable(x) for x in v) for v in vals]
@@ -1781,16 +1822,15 @@ class Workspace:
             if not covering:
                 return 0
             df = self.spark.read.schema(schema).parquet(*covering)
-            keep_df = _keep(df)
-            kept = keep_df.count()
-            # deleted count from the SCAN, not the index: a count over
-            # the covering files only (parquet footers make it cheap)
-            # — exact whatever shape the manifest entries carry
-            n_del = df.count() - kept
+            # deleted count from the SCAN, not the index — exact
+            # whatever shape the manifest entries carry — and total +
+            # deleted fused into ONE job over the covering files
+            total, n_del = _counts(df)
+            kept = total - n_del
             if not n_del:
                 return 0
             out = (
-                keep_df.repartitionByRange(
+                _keep(df).repartitionByRange(
                     max(1, len(covering)), *key
                 ).sortWithinPartitions(*key)
                 if kept > 0
@@ -1821,13 +1861,13 @@ class Workspace:
             self._flush()
         else:
             # full staged rewrite: correct for null probes and global
-            # re-layout for wide coverage (upsert's swap discipline)
+            # re-layout for wide coverage (upsert's swap discipline);
+            # total + deleted in the same fused single count job
             df_all = self.load(name)
-            total = df_all.count()
-            remainder = _keep(df_all)
-            n_del = total - remainder.count()
+            total, n_del = _counts(df_all)
             if not n_del:
                 return 0
+            remainder = _keep(df_all)
             kp = meta.get("key_partitions")
             out = (
                 remainder.repartitionByRange(int(kp), *key)
