@@ -12792,6 +12792,60 @@ def folio_remote_last(spark, sf):
 
 
 @query(
+    "folio_remote_mode",
+    """
+    WITH h AS (SELECT c_nationkey, c_mktsegment AS v, count(*) AS c
+               FROM customer GROUP BY c_nationkey, c_mktsegment),
+    m AS (SELECT c_nationkey, v,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c DESC, v ASC) AS rn
+          FROM h),
+    s AS (SELECT c_nationkey,
+                 string_agg(c_mktsegment, ','
+                            ORDER BY c_custkey) AS segs
+          FROM customer GROUP BY c_nationkey)
+    SELECT CAST(m.c_nationkey AS BIGINT) AS c_nationkey,
+           m.v AS seg_mode, s.segs AS segs
+    FROM m JOIN s ON m.c_nationkey = s.c_nationkey
+    WHERE m.rn = 1
+    ORDER BY c_nationkey
+    """,
+)
+def folio_remote_mode(spark, sf):
+    """MODE + ordered STRING_AGG over the folio (VERDICT r11 next #4
+    — the last two refusals on the already-proven partial paths,
+    presented.h:409 "a folio of tables should behave like a table"):
+    ``mode(x)`` rides the existing histogram split — members ship
+    (group, value, count) frames inside the SAME single GROUPING SETS
+    round trip as every other holistic aggregate, the final takes the
+    max-count value with ties broken toward the SMALLEST value (the
+    documented, engine-stable rule the oracle reproduces with an
+    explicit window) — and ``string_agg(x, ord)`` ships one (ord,
+    value) struct list per (member, group), the final sorting the
+    flattened merge by (ord, value) before joining with ','.  The
+    concat's wire cost is the RESULT's own bytes — there is no
+    smaller exact partial for a concatenation — so it is the one
+    aggregate whose frame scales with values, still bounded by the
+    Arrow frame guard.  The DuckDB oracle computes both over the
+    unsharded table (string_agg ORDER BY the same unique ordering
+    column), so a shard merged out of order is a value mismatch."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    merged = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_nationkey, mode(c_mktsegment) as seg_mode,"
+        " string_agg(c_mktsegment, c_custkey) as segs"
+        " from customer group by c_nationkey",
+    )
+    return merged.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "seg_mode", "segs",
+    ).orderBy("c_nationkey")
+
+
+@query(
     "keyed_tuple_range",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),

@@ -651,11 +651,13 @@ _FOLIO_VARIANCE = {
     "stddev_pop": "stddev_pop", "variance": "var_samp",
     "var_samp": "var_samp", "var_pop": "var_pop",
 }
-#: order statistics + count DISTINCT — holistic, but EXACT over the
-#: folio via bounded (group, value) histogram partials (see
+#: order statistics + count DISTINCT + mode — holistic, but EXACT
+#: over the folio via bounded (group, value) histogram partials (see
 #: folio_select); the wire bound is the distinct-value count, guarded
-#: by ARROW_MAX_ROWS fail-loud
-_FOLIO_HISTOGRAM = ("median", "percentile", "quantile")
+#: by ARROW_MAX_ROWS fail-loud.  mode is histogram-splittable the
+#: same way: merge member (group, value, count) histograms, take the
+#: max-count value (ties -> SMALLEST value, documented and stable)
+_FOLIO_HISTOGRAM = ("median", "percentile", "quantile", "mode")
 #: count DISTINCT for UNBOUNDED domains — approximate but mergeable:
 #: members ship one datasketches HLL buffer per group (≤ a few KB,
 #: independent of cardinality), the final unions and estimates; for
@@ -680,9 +682,19 @@ _FOLIO_ORDERED = {
     "max_by": "max_by", "min_by": "min_by",
     "arg_max": "max_by", "arg_min": "min_by",
 }
+#: ordered concatenation — exact over the folio once an explicit
+#: ordering column is named: ``string_agg(x, ord)`` ships one
+#: (ord, value) struct list per (member, group) and the final sorts
+#: the flattened lists before joining with ','.  The wire carries the
+#: RESULT's own bytes (string_agg output is O(values) by definition —
+#: there is no smaller exact partial), so this is the one aggregate
+#: whose frame scales with values, bounded by the Arrow frame guard.
+_FOLIO_CONCAT = ("string_agg", "group_concat")
 #: genuinely unsupported: order/position-dependent across members
+#: (one-arg first/last and friends; the two-arg ordered forms split —
+#: see _FOLIO_ORDERED/_FOLIO_CONCAT)
 _FOLIO_REFUSED = (
-    "mode", "first", "last", "first_value", "last_value", "string_agg",
+    "first", "last", "first_value", "last_value", "string_agg",
     "group_concat", "collect_list", "collect_set", "arbitrary", "any_value",
 )
 _FOLIO_AGG_RE = re.compile(r"(?is)^\s*(\w+)\s*\((.*)\)\s*$")
@@ -768,15 +780,41 @@ def _folio_parse_select(q: str):
                     f"two arguments"
                 )
             # one-arg first/last falls through to the refusal below
+        if am and fn in _FOLIO_CONCAT:
+            pieces = _split_top(am.group(2))
+            if len(pieces) == 2:
+                if alias is None:
+                    raise ArgsError(
+                        f"folio_select: aggregate {expr!r} needs an "
+                        f"alias (`... as name` / `name: ...`)"
+                    )
+                items.append(
+                    (
+                        alias,
+                        "string_agg",
+                        pieces[0].strip(),
+                        pieces[1].strip(),
+                    )
+                )
+                continue
+            # one-arg form falls through to the refusal below
         if am and fn in _FOLIO_REFUSED:
             by_fn = _FOLIO_ORDERED.get(fn)
-            hint = (
-                f" — name an explicit ordering column instead: "
-                f"{fn}(x, ord) splits exactly as member {by_fn} "
-                f"partials + a final {by_fn}"
-                if by_fn
-                else " (gather the rows via folio_remote instead)"
-            )
+            if by_fn:
+                hint = (
+                    f" — name an explicit ordering column instead: "
+                    f"{fn}(x, ord) splits exactly as member {by_fn} "
+                    f"partials + a final {by_fn}"
+                )
+            elif fn in _FOLIO_CONCAT:
+                hint = (
+                    f" — name an explicit ordering column instead: "
+                    f"{fn}(x, ord) ships member (ord, value) lists "
+                    f"and sorts the flattened merge before joining "
+                    f"with ','"
+                )
+            else:
+                hint = " (gather the rows via folio_remote instead)"
             raise ArgsError(
                 f"folio_select: {fn} is order/position-dependent "
                 f"across members — it cannot be rebuilt from "
@@ -937,6 +975,26 @@ def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
                     p = pd.DataFrame({alias: [len(merged)]})
                 parts.append(p)
                 continue
+            if fn == "mode":
+                # highest merged count wins; ties -> SMALLEST value
+                # (merged is sorted by value asc, the stable count-
+                # desc sort preserves that within equal counts)
+                mo = merged.sort_values(
+                    "__hc", ascending=False, kind="mergesort"
+                )
+                if key_names:
+                    mo = mo.sort_values(key_names, kind="mergesort")
+                    pick = mo.drop_duplicates(
+                        subset=key_names, keep="first"
+                    )
+                else:
+                    pick = mo.head(1)
+                parts.append(
+                    pick[key_names + ["__hv"]].rename(
+                        columns={"__hv": alias}
+                    )
+                )
+                continue
             # percentile_cont: exactly one row per group brackets the
             # floor/ceil positions, selected by the cumulative counts
             pos = float(pm) * (merged["__n"].astype("float64") - 1.0)
@@ -984,6 +1042,16 @@ def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
         if fn == "count_distinct":
             res[alias] = res[alias].astype("Int64")
             fields.append(pa.field(alias, pa.int64()))
+        elif fn == "mode":
+            # the mode IS a stored value: keep its member Arrow type
+            fields.append(
+                pa.field(
+                    alias,
+                    concat.schema.field(
+                        f"__h{hist_args.index(_a)}"
+                    ).type,
+                )
+            )
         else:
             fields.append(pa.field(alias, pa.float64()))
     tbl = pa.Table.from_pandas(
@@ -1085,7 +1153,7 @@ def folio_select(
             "folio_select needs at least one aggregate — for plain "
             "row gathers use folio_remote"
         )
-    hist_fns = ("count_distinct", "percentile")
+    hist_fns = ("count_distinct", "percentile", "mode")
     var_fns = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
     # one ANCHOR column per distinct variance argument: a window
     # min(x) the member computes exactly (an actual data value), so
@@ -1112,6 +1180,28 @@ def folio_select(
             partials.append(f"{o}({param}) AS __p{i}o")
             finals.append(
                 F.expr(f"{fn}(__p{i}v, __p{i}o)").alias(alias)
+            )
+        elif fn == "string_agg":
+            # ordered concat: member ships its group's (ord, value)
+            # struct list — the RESULT's own bytes, there is no
+            # smaller exact partial for a concatenation — and the
+            # final sorts the flattened member lists by (ord, value)
+            # (deterministic tie-break) before joining with ','.
+            # NULL values drop member-side (SQL string_agg rule: the
+            # CASE yields NULL for them and collect_list skips NULLs);
+            # an all-null group lands NULL, not '' (the size() guard).
+            partials.append(
+                f"collect_list(CASE WHEN ({arg}) IS NOT NULL THEN "
+                f"named_struct('o', ({param}), 'v', ({arg})) END) "
+                f"AS __p{i}"
+            )
+            finals.append(
+                F.expr(
+                    f"CASE WHEN size(flatten(collect_list(__p{i}))) "
+                    f"= 0 THEN NULL ELSE array_join(transform("
+                    f"array_sort(flatten(collect_list(__p{i}))), "
+                    f"s -> CAST(s.v AS STRING)), ',') END"
+                ).alias(alias)
             )
         elif fn == "sum":
             partials.append(f"sum({arg}) AS __p{i}")
@@ -1407,6 +1497,20 @@ def folio_select(
         else:
             hh = h
         aggs = []
+        for j, (al, _pm) in enumerate(
+            (al, pm) for al, fn, pm in arg_items if fn == "mode"
+        ):
+            # mode over the merged histogram: min over (-count, value)
+            # structs = highest count, ties -> SMALLEST value (stable
+            # across engines, works for any orderable value type)
+            aggs.append(
+                F.min(
+                    F.struct(
+                        (-F.col("__hc")).alias("nc"),
+                        F.col("__hv").alias("v"),
+                    )
+                ).alias(f"__md{j}")
+            )
         for j, (al, pm) in enumerate(pct):
             pos = F.lit(float(pm)) * (F.col("__n") - 1)
             bracket = F.col("__cum") - F.col("__hc")
@@ -1434,6 +1538,10 @@ def folio_select(
                 aggs.append(F.count(F.lit(1)).cast("long").alias(al))
         g = hh.groupBy(*key_names).agg(*aggs) if keys else hh.agg(*aggs)
         sel = list(key_names)
+        for j, (al, _pm) in enumerate(
+            (al, pm) for al, fn, pm in arg_items if fn == "mode"
+        ):
+            sel.append(F.col(f"__md{j}").getField("v").alias(al))
         for j, (al, pm) in enumerate(pct):
             ps = F.col(f"__ps{j}")
             sel.append(

@@ -572,8 +572,8 @@ def test_folio_select_refuses_unsplittable_aggregates(spark):
     from kerf_spark.server import folio_select
 
     for bad in (
-        "select mode(x) as m from t",
         "select first(x) as f from t",
+        "select string_agg(x) as s from t",
         "select collect_list(x) as l from t",
         "select sum(distinct x) as s from t",
         "select percentile(x, 1.5) as p from t",
@@ -583,6 +583,11 @@ def test_folio_select_refuses_unsplittable_aggregates(spark):
     ):
         with pytest.raises(ArgsError):
             folio_select(spark, [("127.0.0.1", 1)], bad)
+    # the ordered concat refusal NAMES the ordered two-arg form
+    with pytest.raises(ArgsError, match=r"string_agg\(x, ord\)"):
+        folio_select(
+            spark, [("127.0.0.1", 1)], "select string_agg(x) as s from t"
+        )
 
 
 def test_folio_select_splits_holistic_via_histograms(spark):
@@ -680,6 +685,80 @@ def test_folio_select_splits_holistic_via_histograms(spark):
             ).collect()
         }
         assert hll == {k: w["segs"] for k, w in want.items()}
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_select_mode_and_ordered_string_agg(spark):
+    """r11 verdict next #4: ``mode`` splits via the existing histogram
+    machinery (merge member (group,value,count) histograms, take the
+    max-count value, ties -> SMALLEST value — asserted against a local
+    window computation with the same tie rule), and ordered
+    ``string_agg(x, ord)`` ships member (ord, value) lists whose
+    flattened merge sorts before joining with ','.  Checked under
+    deliberately skewed shards so cross-member merge order matters."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    shards = [
+        cust.where(F.col("c_custkey") % 5 == 0),
+        cust.where(F.col("c_custkey") % 5 != 0),
+    ]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        got = {
+            r["c_nationkey"]: r
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select c_nationkey, mode(c_mktsegment) as seg,"
+                " string_agg(c_mktsegment, c_custkey) as segs"
+                " from customer group by c_nationkey",
+            ).collect()
+        }
+        from pyspark.sql import Window
+
+        h = cust.groupBy("c_nationkey", "c_mktsegment").count()
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.col("count").desc(), F.col("c_mktsegment").asc()
+        )
+        want_mode = {
+            r["c_nationkey"]: r["c_mktsegment"]
+            for r in h.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .collect()
+        }
+        want_concat = {
+            r["c_nationkey"]: r["s"]
+            for r in cust.groupBy("c_nationkey")
+            .agg(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "named_struct('o', c_custkey, 'v', c_mktsegment)"
+                    ")), s -> CAST(s.v AS STRING)), ',')"
+                ).alias("s")
+            )
+            .collect()
+        }
+        assert {k: r["seg"] for k, r in got.items()} == want_mode
+        assert {k: r["segs"] for k, r in got.items()} == want_concat
+        # mode composes with percentile on ANOTHER argument in the
+        # same statement (two histogram args, one member round trip)
+        both = folio_select(
+            spark,
+            [s.address for s in srvs],
+            "select c_nationkey, mode(c_mktsegment) as seg,"
+            " median(c_nationkey + 0) as mk"
+            " from customer group by c_nationkey",
+        ).collect()
+        assert {r["c_nationkey"]: r["seg"] for r in both} == want_mode
+        assert all(r["mk"] == float(r["c_nationkey"]) for r in both)
     finally:
         for s in srvs:
             s.stop()
