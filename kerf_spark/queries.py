@@ -13187,6 +13187,10 @@ def _folio_customer_servers(spark, sf):
             tables={
                 "customer": cust.where(F.col("c_custkey") % 3 == i),
                 "orders": ords.where(F.col("o_custkey") % 3 == i),
+                # deliberately MISALIGNED shard set (orderkey residues,
+                # not custkey): the folio_reshard row re-shards it onto
+                # the join key before the co-sharded member-side join
+                "orders_byok": ords.where(F.col("o_orderkey") % 3 == i),
             },
         ).start()
         for i in range(3)
@@ -13515,6 +13519,57 @@ def folio_remote_join(spark, sf):
         F.col("n").cast("long").alias("n"),
         F.col("rev_cents").cast("long").alias("rev_cents"),
         "last_price",
+    ).orderBy("c_nationkey")
+
+
+@query(
+    "folio_reshard_join",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_reshard_join(spark, sf):
+    """FOLIO RESHARD exchange end-to-end (VERDICT r11 next #5 — the
+    missing half of DISTRIBUTED_ARRAY_FOLIO, enums.h:263 +
+    presented.h:427-430: making two DIFFERENTLY-sharded member tables
+    co-sharded on demand, without re-ingesting): the fixture's
+    ``orders_byok`` is deliberately sharded by o_orderkey residues —
+    misaligned with customer's custkey shards, so a member-side join
+    would silently drop cross-member matches (the exact hazard the
+    folio join guard refuses).  ``folio_reshard`` hash-buckets BOTH
+    tables onto pmod(hash(custkey), 3) over the binary Arrow wire
+    (each member ships (N-1)/N of its rows exactly once; row
+    conservation checked fail-loud), after which the fact-to-fact
+    join is COMPLETE member-side and runs through
+    ``member_local_joins=True`` — one partial row per (member,
+    nation) gathers back.  The DuckDB oracle joins the UNSHARDED
+    tables: any row lost, duplicated, or mis-bucketed by the exchange
+    is a value mismatch.  Revenue sums integer cents (exact in both
+    engines)."""
+    from .server import folio_reshard, folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    addrs = [s_.address for s_ in srvs]
+    folio_reshard(addrs, "orders_byok", "o_custkey", "orders_rs")
+    folio_reshard(addrs, "customer", "c_custkey", "customer_rs")
+    merged = folio_select(
+        spark,
+        addrs,
+        "select c_nationkey, count(*) as n,"
+        " sum(cast(round(o_totalprice * 100) as bigint)) as rev_cents"
+        " from orders_rs join customer_rs on o_custkey = c_custkey"
+        " group by c_nationkey",
+        member_local_joins=True,
+    )
+    return merged.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
     ).orderBy("c_nationkey")
 
 

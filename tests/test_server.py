@@ -764,6 +764,61 @@ def test_folio_select_mode_and_ordered_string_agg(spark):
             s.stop()
 
 
+def test_folio_reshard_exchange(spark):
+    """r11 verdict next #5: folio_reshard hash-partitions a member-
+    sharded table across the member set over the Arrow wire — member
+    i keeps bucket i, ships bucket j to member j, each receiver
+    publishes keep ∪ received.  Asserts: row conservation (the
+    built-in fail-loud check), every member holds EXACTLY its hash
+    bucket, the union across members equals the original table
+    bit-for-bit, and the published table is visible to NEW
+    connections (the publish plane)."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import (
+        KerfClient,
+        KerfServer,
+        folio_remote,
+        folio_reshard,
+    )
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    n_rows = cust.count()
+    # deliberately misaligned shards: residue RANGES, not hash buckets
+    shards = [
+        cust.where(F.col("c_custkey") % 7 < 2),
+        cust.where(
+            (F.col("c_custkey") % 7 >= 2) & (F.col("c_custkey") % 7 < 5)
+        ),
+        cust.where(F.col("c_custkey") % 7 >= 5),
+    ]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        stats = folio_reshard(addrs, "customer", "c_custkey", "cust_rs")
+        assert stats["rows"] == n_rows
+        assert stats["moved"] > 0  # misaligned shards must move rows
+        for j, addr in enumerate(addrs):
+            with KerfClient(*addr) as cli:
+                r = cli.execute(
+                    f"select count(*) as bad from cust_rs "
+                    f"where pmod(hash(c_custkey), 3) != {j}"
+                )
+                assert r["ok"] and r["rows"][0][0] == 0, (j, r)
+        got = folio_remote(spark, addrs, "select * from cust_rs")
+        assert got.count() == n_rows
+        assert got.exceptAll(cust).count() == 0
+        assert cust.exceptAll(got).count() == 0
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_select_expression_group_keys(spark):
     """EXPRESSION group keys: members compute the bucket under a
     synthetic alias, the final merge groups on the alias, and the
