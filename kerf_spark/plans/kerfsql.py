@@ -603,34 +603,53 @@ def _route_workspace_write(spark, ws, q: str, head: str):
         return key
 
     if head == "delete":
+        # the IN/BETWEEN regexes are greedy: a COMPOUND predicate on
+        # the leading key (`k between 1 and 5 and g = 3`, `k in
+        # (select …)`) lands its trailing tokens inside the bound/
+        # probe capture.  When those captures aren't literals, the
+        # statement is not key-addressed — fall through to the
+        # arbitrary-predicate full rewrite (correct for any
+        # predicate) instead of raising a misleading literal error
+        # (ADVICE r11 #1).  A clean key-addressed shape on the WRONG
+        # column still raises: that is a real refusal to prune, not
+        # a parse artifact.
         m = _WS_DELETE_IN_RE.match(q)
         if m:
             table, col, body = m.group(1), m.group(2), m.group(3)
-            key = _keyed(table, "delete")
-            if col != key[0]:
-                raise ArgsError(
-                    f"kerf-SQL delete on workspace table {table!r}: "
-                    f"column {col!r} is not the leading key "
-                    f"{key[0]!r} — only key-addressed deletes prune"
-                )
-            ws.delete_keys(
-                table, [_sql_literal(t) for t in _split_top(body)]
-            )
-            return ws.load(table)
+            try:
+                probes = [_sql_literal(t) for t in _split_top(body)]
+            except ArgsError:
+                probes = None  # compound/subquery: full rewrite below
+            if probes is not None:
+                key = _keyed(table, "delete")
+                if col != key[0]:
+                    raise ArgsError(
+                        f"kerf-SQL delete on workspace table {table!r}: "
+                        f"column {col!r} is not the leading key "
+                        f"{key[0]!r} — only key-addressed deletes prune"
+                    )
+                ws.delete_keys(table, probes)
+                return ws.load(table)
         m = _WS_DELETE_BETWEEN_RE.match(q)
         if m:
             table, col = m.group(1), m.group(2)
-            key = _keyed(table, "delete")
-            if col != key[0]:
-                raise ArgsError(
-                    f"kerf-SQL delete on workspace table {table!r}: "
-                    f"column {col!r} is not the leading key "
-                    f"{key[0]!r} — only key-addressed deletes prune"
+            try:
+                bounds = (
+                    _sql_literal(m.group(3)),
+                    _sql_literal(m.group(4)),
                 )
-            ws.delete_range(
-                table, _sql_literal(m.group(3)), _sql_literal(m.group(4))
-            )
-            return ws.load(table)
+            except ArgsError:
+                bounds = None  # compound predicate: full rewrite below
+            if bounds is not None:
+                key = _keyed(table, "delete")
+                if col != key[0]:
+                    raise ArgsError(
+                        f"kerf-SQL delete on workspace table {table!r}: "
+                        f"column {col!r} is not the leading key "
+                        f"{key[0]!r} — only key-addressed deletes prune"
+                    )
+                ws.delete_range(table, bounds[0], bounds[1])
+                return ws.load(table)
         m = re.match(r"(?is)^delete\s+from\s+(\w+)\b", q)
         if m and m.group(1) in tables:
             # arbitrary predicate: correct via the FULL staged rewrite
@@ -746,9 +765,63 @@ def kerf_sql(
       maintenance, monotone fast path).
 
     Writes MUTATE the workspace and return the post-write table.
+
+    TRANSACTIONS (r11 verdict next #6 — the SQL surface for
+    :meth:`Workspace.transaction`, the all-or-nothing discipline
+    kerf1's workspace save/load model implies, file.h:34-36): a
+    statement BATCH of the form ``begin; <stmt>; ...; commit`` runs
+    every body statement inside one workspace transaction — any
+    failure rolls back every table the batch touched (and the commit
+    publishes all staged versions under ONE manifest epoch, so
+    readers see the batch's tables flip together).  A batch ending in
+    ``rollback`` instead of ``commit`` undoes the body
+    unconditionally (returns None).  Requires ``workspace=``.
     """
     q = q.strip().rstrip(";")
-    head = q.split(None, 1)[0].lower()
+    # rstrip(';') only trims the tail: `begin; …` yields head
+    # "begin;" from the whitespace split, so strip the separator too
+    head = q.split(None, 1)[0].rstrip(";").lower()
+    if head == "begin":
+        from .kerf_lang import split_statements
+
+        if workspace is None:
+            raise ArgsError(
+                "kerf-SQL begin/commit needs a workspace= — "
+                "transactions are a catalog discipline"
+            )
+        parts = [s for s in split_statements(q) if s.strip()]
+        if parts[0].strip().lower() != "begin":
+            raise ParseError(f"malformed transaction batch: {q!r}")
+        tail = parts[-1].strip().lower()
+        if tail not in ("commit", "rollback"):
+            raise ParseIncompleteError(
+                "kerf-SQL transaction must end with `commit` or "
+                "`rollback`"
+            )
+        body = parts[1:-1]
+        for s in body:
+            h = s.strip().split(None, 1)[0].lower()
+            if h in ("begin", "commit", "rollback"):
+                raise ParseError(
+                    f"nested/stray {h!r} inside transaction batch"
+                )
+        if tail == "rollback":
+            class _Rollback(Exception):
+                pass
+
+            try:
+                with workspace.transaction():
+                    for s in body:
+                        kerf_sql(spark, s, workspace=workspace)
+                    raise _Rollback()
+            except _Rollback:
+                pass
+            return None
+        ret = None
+        with workspace.transaction():
+            for s in body:
+                ret = kerf_sql(spark, s, workspace=workspace)
+        return ret
     if workspace is not None:
         routed = _route_workspace_write(spark, workspace, q, head)
         if routed is not None:

@@ -13761,6 +13761,72 @@ def workspace_txn_rollback(spark, sf):
 
 
 @query(
+    "kerfsql_txn_rollback",
+    """
+    WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+               FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(o_totalprice, 2) + 0.0 AS totalprice
+    FROM orders, b
+    WHERE NOT (o_orderkey >= mn
+           AND o_orderkey <= mn + LEAST((mx - mn) // 8, 150000))
+    """,
+)
+def kerfsql_txn_rollback(spark, sf):
+    """Kerf-SQL TRANSACTIONS (VERDICT r11 next #6 — the SQL surface
+    for the workspace's all-or-nothing discipline, kerf1's workspace
+    model via file.h:34-36): ``begin; …; commit`` batches run inside
+    ``Workspace.transaction()``.  Three batches prove the contract:
+    (1) a batch whose TAIL statement fails (names a missing table)
+    rolls back the head's landed delete — the table is bitwise
+    pristine after; (2) a batch ending in explicit ``rollback``
+    undoes its body unconditionally; (3) the same body ending in
+    ``commit`` survives — and its staged versions publish under ONE
+    manifest epoch (readers see the batch atomically).  The oracle is
+    the committed batch's filter over pristine orders: one leaked
+    rolled-back delete or one lost committed row is a value
+    mismatch."""
+    from .plans.kerfsql import kerf_sql
+
+    ws = _cloned_keyed_orders(spark, sf, "wssqltxn")
+    rngs = [
+        r
+        for r in ws.manifest["tables"]["orders"]["key_file_ranges"].values()
+        if r[0] is not None and (len(r) < 3 or r[2] > 0)
+    ]
+    mn = int(min(r[0] for r in rngs))
+    mx = int(max(r[1] for r in rngs))
+    cut = mn + min((mx - mn) // 8, 150_000)
+    n0 = ws.load("orders").count()
+    body = f"delete from orders where o_orderkey between {mn} and {cut}"
+    # (1) failing tail: the whole batch rolls back
+    try:
+        kerf_sql(
+            spark,
+            f"begin; {body}; delete from no_such_table "
+            "where x in (1); commit",
+            workspace=ws,
+        )
+        raise AssertionError("batch with missing table must fail")
+    except Exception as exc:  # noqa: BLE001 - the refusal rolls back
+        assert "no_such_table" in str(exc) or "no table" in str(exc)
+    assert ws.load("orders").count() == n0, "rollback leaked a delete"
+    # (2) explicit rollback tail: body undone unconditionally
+    assert (
+        kerf_sql(spark, f"begin; {body}; rollback", workspace=ws) is None
+    )
+    assert ws.load("orders").count() == n0
+    # (3) commit: the delete survives, published as one epoch
+    kerf_sql(spark, f"begin; {body}; commit", workspace=ws)
+    return ws.load("orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (F.round("o_totalprice", 2) + F.lit(0.0)).alias("totalprice"),
+    )
+
+
+@query(
     "folio_remote_hll",
     """
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -156,6 +156,13 @@ class Workspace:
         #: table names written inside an open transaction() — None
         #: when no transaction is open
         self._txn_touched: set[str] | None = None
+        #: epoch-publish state: None outside a transaction; inside,
+        #: a dict mapping each staged table path to its deferred
+        #: pointer swap ({"prev": pre-txn target, "vdir": latest
+        #: staged version, "all": every staged vdir for cleanup})
+        self._txn_pending: dict[str, dict] | None = None
+        #: a _flush was requested while deferred — commit flushes once
+        self._txn_dirty = False
         self.manifest: dict = {"tables": {}}
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
@@ -165,10 +172,24 @@ class Workspace:
         """Re-read the on-disk manifest — a long-lived READER process
         picks up sibling writers' tables/attachments (the flush merge
         covers writers; this is the read-side half of the concurrency
-        contract).  Cheap: one JSON read, no Spark job."""
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                self.manifest = json.load(f)
+        contract).  Cheap: one JSON read, no Spark job.
+
+        Inside an open :meth:`transaction` the manifest flush is
+        DEFERRED (the epoch publish), so a plain replace would wipe
+        the transaction's staged in-memory entries — there, disk
+        merges UNDER ours (ours win per name), the same merge rule
+        :meth:`_flush` applies in the other direction."""
+        if not os.path.exists(self._manifest_path):
+            return
+        with open(self._manifest_path) as f:
+            disk = json.load(f)
+        if self._txn_pending is not None:
+            for section, ours in self.manifest.items():
+                if isinstance(ours, dict):
+                    disk.setdefault(section, {}).update(ours)
+                else:
+                    disk[section] = ours
+        self.manifest = disk
 
     def _table_lock(self, name: str):
         """Serialize SAME-TABLE writers across processes — the second
@@ -212,7 +233,16 @@ class Workspace:
         instance's entries (ours win per name; disk-only names from
         other writers survive), drop our tombstones, swap atomically.
         The adopted merge becomes this instance's view, so later
-        operations see sibling writers' tables too."""
+        operations see sibling writers' tables too.
+
+        Inside an open :meth:`transaction` the write DEFERS (the
+        epoch publish): the manifest is what makes versions visible
+        to sibling readers, so it must land as ONE atomic swap at
+        commit, after every staged pointer has swapped — not
+        per-write."""
+        if self._txn_pending is not None:
+            self._txn_dirty = True
+            return
         try:
             import fcntl
         except ImportError:  # non-POSIX: single-process semantics
@@ -380,17 +410,22 @@ class Workspace:
         # write: the data lands in a staging dir and ONE atomic pointer
         # swap makes it live — a re-save over an existing table never
         # exposes a half-written directory, and readers pinned to the
-        # previous version finish their scans (grace-of-one retention)
-        staging = path + ".staging"
+        # previous version finish their scans (grace-of-one retention).
+        # The staging name is WRITER-UNIQUE and the publish + manifest
+        # update run under the table lock with a refresh (ADVICE r11
+        # #2): two concurrent save()s of one table can no longer
+        # overwrite each other's staging dir or publish from a stale
+        # version counter (which made _publish_dir's vdir rmtree
+        # collide with the sibling's just-published live version).
+        import uuid as _uuid
+
+        staging = f"{path}.staging-{os.getpid():x}{_uuid.uuid4().hex[:6]}"
         w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*list(partition_by))
         w.parquet(staging)
         meta = {
             "path": path,
-            "publish_version": self.manifest["tables"]
-            .get(name, {})
-            .get("publish_version"),
             "partition_by": list(partition_by or []),
             "sort_by": list(sort_by or []),
             "zorder_by": list(zorder_by or []),
@@ -405,27 +440,64 @@ class Workspace:
             meta["sort_key_max"] = _jsonable(
                 df.agg(F.max(sort_by[0])).head()[0]
             )
-        self._publish_dir(meta, staging)
-        if key:
-            meta["key"] = key
-            meta["unique"] = bool(unique)
-            meta["nonnull"] = bool(nonnull)
-            meta["key_partitions"] = (
-                int(key_partitions) if key_partitions else None
+        with self._table_lock(name):
+            # version counter read UNDER the lock, post-refresh: the
+            # publish builds on whatever a sibling writer just landed
+            meta["publish_version"] = (
+                self.manifest["tables"].get(name, {}).get("publish_version")
             )
-            # index URIs record through the stable pointer path, so
-            # they survive every later publish unchanged
-            meta["key_file_ranges"] = self._file_key_ranges(
-                meta, self.spark.read.schema(
-                    T.StructType.fromJson(meta["schema"])
-                ).parquet(path).inputFiles()
-            )
-        self.manifest["tables"][name] = meta
-        self._flush()
+            self._publish_dir(meta, staging)
+            if key:
+                meta["key"] = key
+                meta["unique"] = bool(unique)
+                meta["nonnull"] = bool(nonnull)
+                meta["key_partitions"] = (
+                    int(key_partitions) if key_partitions else None
+                )
+                # index URIs record through the stable pointer path, so
+                # they survive every later publish unchanged
+                meta["key_file_ranges"] = self._file_key_ranges(
+                    meta, self._published_files(meta)
+                )
+            self.manifest["tables"][name] = meta
+            self._flush()
         # a re-save REPLACES the table: every attached derived artifact
         # (rollups over it, matviews using it as fact or dim) rebuilds
         self._maintain_rollups(name, rebuild=True)
         self._maintain_matviews(name)
+
+    def _data_dir(self, meta: dict) -> str:
+        """The directory holding the version THIS instance's manifest
+        declares — the read-side half of the EPOCH publish.  The
+        manifest (one atomic ``os.replace`` in :meth:`_flush`) is what
+        governs visibility: resolving ``<path>.v{N}`` from the
+        manifest's own version counter means a reader whose manifest
+        says N keeps reading N even while a writer's pointer moves,
+        and a transaction's tables become visible TOGETHER at its one
+        commit flush.  Falls back to the symlink target (then the raw
+        path) for external/legacy/bucketed layouts that never
+        pointer-published."""
+        path = meta["path"]
+        ver = meta.get("publish_version")
+        if ver:
+            vdir = f"{path}.v{int(ver)}"
+            if os.path.isdir(vdir):
+                return vdir
+            if os.path.islink(path) or os.path.isdir(path):
+                # the declared version was SWEPT: this manifest
+                # outlived grace-of-one (two+ publishes since the
+                # refresh).  Fail LOUD — silently following the
+                # symlink to the newest version would break the epoch
+                # contract (a transaction's tables could appear to
+                # flip one-by-one).  The cure is refresh() + retry.
+                raise FileNotFoundError(
+                    f"version {int(ver)} of {path!r} was swept by "
+                    f"later publishes (reader outlived grace-of-one "
+                    f"retention) — refresh() and retry"
+                )
+        if os.path.islink(path):
+            return os.path.realpath(path)
+        return path
 
     def load(self, name: str) -> DataFrame:
         meta = self.manifest["tables"][name]
@@ -435,15 +507,16 @@ class Workspace:
         # manifest schema applied AT READ: files written before a widen
         # surface at the promoted width via the parquet reader's type
         # widening (INT32->INT64, FLOAT->DOUBLE) — no data rewrite.
-        # Pointer-published tables resolve the version pointer ONCE
-        # here, PINNING the version: the returned (lazy) DataFrame
-        # keeps reading this version even if a writer publishes a new
-        # one mid-scan — grace-of-one retention (_publish_dir) keeps
-        # the pinned version's files alive through that next publish.
-        path = meta["path"]
-        if os.path.islink(path):
-            path = os.path.realpath(path)
-        return self.spark.read.schema(schema).parquet(path)
+        # The version resolves from THIS manifest's counter (_data_dir)
+        # — the epoch-publish read side — PINNING it: the returned
+        # (lazy) DataFrame keeps reading this version even if a writer
+        # publishes a new one mid-scan (grace-of-one retention keeps
+        # the pinned version's files alive through that next publish),
+        # and a transaction's staged writes are visible to ITS OWN
+        # loads while invisible to other processes until commit.
+        return self.spark.read.schema(schema).parquet(
+            self._data_dir(meta)
+        )
 
     def _pin_files(self, meta: dict, files: list[str]) -> list[str]:
         """Rewrite manifest file URIs (recorded through the table's
@@ -453,9 +526,9 @@ class Workspace:
         from under the scan, because grace-of-one retention keeps the
         resolved version intact through one further publish."""
         live = meta["path"]
-        if not os.path.islink(live):
+        real = self._data_dir(meta)
+        if real == live:
             return files
-        real = os.path.realpath(live)
         return [f.replace(live, real, 1) for f in files]
 
     def _publish_dir(self, meta: dict, staging: str) -> None:
@@ -477,8 +550,17 @@ class Workspace:
         first publish — the dir must move aside before a symlink can
         take its name, a microsecond non-atomic window that happens
         once per table, ever; every later publish is the atomic
-        pointer swap."""
-        import glob as _glob
+        pointer swap.
+
+        Inside an open :meth:`transaction` the pointer swap DEFERS
+        (the EPOCH publish, r11 verdict next #8): the staged directory
+        still renames to its version number (so the transaction's own
+        reads resolve it through :meth:`_data_dir`), but the symlink
+        stays on the pre-transaction version and the swap queues in
+        ``_txn_pending`` — commit swaps every queued pointer and then
+        flushes the manifest ONCE, so manifest-governed readers see
+        every table of the transaction flip together in one atomic
+        ``os.replace`` of the manifest."""
         import shutil
 
         live = meta["path"]
@@ -486,6 +568,34 @@ class Workspace:
         vdir = f"{live}.v{ver}"
         shutil.rmtree(vdir, ignore_errors=True)
         os.rename(staging, vdir)
+        meta["publish_version"] = ver
+        if self._txn_pending is not None:
+            ent = self._txn_pending.setdefault(
+                live,
+                {
+                    "prev": os.path.realpath(live)
+                    if os.path.islink(live)
+                    else None,
+                    "all": [],
+                },
+            )
+            ent["vdir"] = vdir
+            ent["all"].append(vdir)
+            return
+        self._swap_pointer(live, vdir)
+
+    def _swap_pointer(
+        self, live: str, vdir: str, prev: str | None = None
+    ) -> None:
+        """The pointer swap + retention sweep half of
+        :meth:`_publish_dir` — also the commit step of a deferred
+        (transaction) publish, where ``prev`` names the
+        pre-transaction version that pinned readers may still hold
+        (the grace version to keep even when the transaction staged
+        several versions in between)."""
+        import glob as _glob
+        import shutil
+
         tmp = live + ".ptr.tmp"
         try:
             os.unlink(tmp)
@@ -497,11 +607,11 @@ class Workspace:
             prev_target = os.path.realpath(live)
         elif os.path.isdir(live):
             # one-time legacy-directory conversion (see docstring)
+            ver = int(vdir.rsplit(".v", 1)[-1])
             prev_target = f"{live}.v{ver - 1}"
             shutil.rmtree(prev_target, ignore_errors=True)
             os.rename(live, prev_target)
         os.replace(tmp, live)  # THE publish: atomic, path never missing
-        meta["publish_version"] = ver
         # retention sweep: keep the new version + the grace version
         # (what readers may have pinned); everything older goes.  The
         # table-name guard keeps a sibling TABLE that happens to be
@@ -509,6 +619,8 @@ class Workspace:
         keep = {os.path.realpath(vdir)}
         if prev_target:
             keep.add(os.path.realpath(prev_target))
+        if prev:
+            keep.add(os.path.realpath(prev))
         base = os.path.basename(live)
         for d in _glob.glob(live + ".v*"):
             suf = d.rsplit(".v", 1)[-1]
@@ -518,6 +630,19 @@ class Workspace:
                 and f"{base}.v{suf}" not in self.manifest.get("tables", {})
             ):
                 shutil.rmtree(d, ignore_errors=True)
+
+    def _published_files(self, meta: dict) -> list[str]:
+        """``inputFiles`` of the CURRENT (possibly transaction-staged)
+        version, with URIs rewritten onto the STABLE table path —
+        index entries must survive later publishes, so they never
+        record a version directory."""
+        schema = T.StructType.fromJson(meta["schema"])
+        d = self._data_dir(meta)
+        files = self.spark.read.schema(schema).parquet(d).inputFiles()
+        live = meta["path"]
+        if d != live:
+            files = [f.replace(d, live, 1) for f in files]
+        return files
 
     # ----------------------------------------------------- sort index
     def _file_key_ranges(self, meta: dict, files: list[str]) -> dict:
@@ -554,9 +679,18 @@ class Workspace:
                 F.min(key[1]).alias("__lo2"),
                 F.max(key[1]).alias("__hi2"),
             ]
+        # SCAN through the current version directory (the stable-path
+        # URIs resolve through the pointer, which inside a transaction
+        # still names the pre-txn version), but KEY the entries by the
+        # stable path — the index must survive later publishes
+        d = self._data_dir(meta)
+        live = meta["path"]
+        scan = (
+            [f.replace(live, d, 1) for f in files] if d != live else files
+        )
         rows = (
             self.spark.read.schema(schema)
-            .parquet(*files)
+            .parquet(*scan)
             .groupBy(F.input_file_name().alias("__f"))
             .agg(*aggs)
             .collect()
@@ -567,7 +701,8 @@ class Workspace:
             ]
             if composite:
                 ent += [_jsonable(r["__lo2"]), _jsonable(r["__hi2"])]
-            out[r["__f"]] = ent
+            f = r["__f"].replace(d, live, 1) if d != live else r["__f"]
+            out[f] = ent
         return out
 
     def key_lookup(self, name: str, values) -> DataFrame:
@@ -808,15 +943,18 @@ class Workspace:
 
         p = meta["path"]
         if os.path.islink(p):
-            for d in _glob.glob(p + ".v*"):
-                suf = d.rsplit(".v", 1)[-1]
-                if suf.isdigit():
-                    shutil.rmtree(d, ignore_errors=True)
             os.unlink(p)
         elif os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
-        for suffix in (".staging", ".ptr.tmp", ".old"):
-            r = p + suffix
+        # version dirs sweep UNCONDITIONALLY: a table created inside a
+        # rolled-back transaction has staged versions but no pointer
+        for d in _glob.glob(p + ".v*"):
+            suf = d.rsplit(".v", 1)[-1]
+            if suf.isdigit():
+                shutil.rmtree(d, ignore_errors=True)
+        residue = [p + ".ptr.tmp", p + ".old"]
+        residue += _glob.glob(p + ".staging*")  # incl. writer-unique names
+        for r in residue:
             if os.path.lexists(r):
                 if os.path.islink(r) or not os.path.isdir(r):
                     os.unlink(r)
@@ -1318,7 +1456,16 @@ class Workspace:
         # stored when the source is nondeterministic (sample, limit,
         # shuffle-dependent ids), leaving rollups/matviews disagreeing
         # with their base table (ADVICE r9, catalog.py:671)
-        pre_files = _data_files(meta["path"])
+        # append is IN-PLACE into the current version directory —
+        # O(new files), the tick hot path.  _data_dir keeps that
+        # correct inside a transaction too (a table already staged in
+        # this txn receives the append in its staged, not-yet-visible
+        # version); an append to a table NOT otherwise written in the
+        # txn lands in the visible version immediately — appends are
+        # the one write that trades epoch visibility for O(new)
+        # (documented at transaction()).
+        dest = self._data_dir(meta)
+        pre_files = _data_files(dest)
         zorder_by = meta.get("zorder_by") or []
         if zorder_by:
             # appended files get per-file z clustering (row-group stats
@@ -1345,9 +1492,9 @@ class Workspace:
             rows_cast = rows_cast.sortWithinPartitions(*sort_by)
         rows_cast.write.mode("append").partitionBy(
             *meta["partition_by"]
-        ).parquet(meta["path"]) if meta["partition_by"] else rows_cast.write.mode(
+        ).parquet(dest) if meta["partition_by"] else rows_cast.write.mode(
             "append"
-        ).parquet(meta["path"])
+        ).parquet(dest)
         if promoted != stored_types:  # widen: manifest-only rewrite
             new_fields = [
                 T.StructField(
@@ -1362,11 +1509,7 @@ class Workspace:
             # extend the sort index with the appended files ONLY (one
             # bounded scan of the new files' key column)
             known = set(meta.get("key_file_ranges", {}))
-            allf = (
-                self.spark.read.schema(
-                    T.StructType.fromJson(meta["schema"])
-                ).parquet(meta["path"]).inputFiles()
-            )
+            allf = self._published_files(meta)
             new = [f for f in allf if f not in known]
             if new:
                 meta.setdefault("key_file_ranges", {}).update(
@@ -1377,12 +1520,12 @@ class Workspace:
         # DATA THAT LANDED, not the caller's plan: read back the new
         # files so the late-row probe and backfill see exactly the
         # stored rows (deterministic by construction)
-        new_files = sorted(_data_files(meta["path"]) - pre_files)
+        new_files = sorted(_data_files(dest) - pre_files)
         stored_inc = rows_cast
         if new_files:
             rd = self.spark.read
             if meta["partition_by"]:
-                rd = rd.option("basePath", meta["path"])
+                rd = rd.option("basePath", dest)
             stored_inc = rd.schema(
                 T.StructType.fromJson(meta["schema"])
             ).parquet(*new_files)
@@ -1470,10 +1613,7 @@ class Workspace:
         self.manifest["tables"][name]["schema"] = merged.schema.jsonValue()
         if meta.get("key"):
             meta["key_file_ranges"] = self._file_key_ranges(
-                meta,
-                self.spark.read.schema(
-                    T.StructType.fromJson(meta["schema"])
-                ).parquet(meta["path"]).inputFiles(),
+                meta, self._published_files(meta)
             )
         self._flush()
         # upsert rewrites history behind attached rollups' watermarks —
@@ -1605,7 +1745,9 @@ class Workspace:
         # rows.  Files OUTSIDE the covering set cannot hold a colliding
         # key (their ranges miss the incoming span), so they never move.
         if covering:
-            old_cov = self.spark.read.schema(stored).parquet(*covering)
+            old_cov = self.spark.read.schema(stored).parquet(
+                *self._pin_files(meta, covering)
+            )
             merged = upsert_rows(old_cov, rows_cast, key)
         else:
             merged = rows_cast
@@ -1821,7 +1963,9 @@ class Workspace:
         if pruned:
             if not covering:
                 return 0
-            df = self.spark.read.schema(schema).parquet(*covering)
+            df = self.spark.read.schema(schema).parquet(
+                *self._pin_files(meta, covering)
+            )
             # deleted count from the SCAN, not the index — exact
             # whatever shape the manifest entries carry — and total +
             # deleted fused into ONE job over the covering files
@@ -1878,10 +2022,7 @@ class Workspace:
             out.write.mode("overwrite").parquet(staging)
             self._publish_dir(meta, staging)
             meta["key_file_ranges"] = self._file_key_ranges(
-                meta,
-                self.spark.read.schema(schema)
-                .parquet(meta["path"])
-                .inputFiles(),
+                meta, self._published_files(meta)
             )
             meta["sorted"] = "global"
             live = [
@@ -2020,7 +2161,9 @@ class Workspace:
                 cond = c2 if cond is None else cond & c2
             # null leads survive: coalesce(cond, False) keeps them
             keep_pred = ~F.coalesce(cond, F.lit(False))
-            df = self.spark.read.schema(schema).parquet(*boundary)
+            df = self.spark.read.schema(schema).parquet(
+                *self._pin_files(meta, boundary)
+            )
             keep_df = df.where(keep_pred)
             kept = keep_df.count()
             b_total = sum(ranges[f][2] for f in boundary)
@@ -2081,12 +2224,20 @@ class Workspace:
         from urllib.parse import urlparse
 
         live = meta["path"]
+        # survivors resolve through the CURRENT version directory —
+        # the stable-path URIs in the manifest must link against the
+        # version this manifest actually declares (inside a
+        # transaction the symlink still points at the pre-txn
+        # version, so resolving through it would link stale files)
+        cur = self._data_dir(meta)
         staging = live + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging, exist_ok=True)
         kept_names = set()
         for f in keep_files:
             p = urlparse(f).path
+            if cur != live:
+                p = p.replace(live, cur, 1)
             dst = os.path.join(staging, os.path.basename(p))
             try:
                 os.link(p, dst)
@@ -2096,10 +2247,7 @@ class Workspace:
         if write_df is not None:
             write_df.write.mode("append").parquet(staging)
         self._publish_dir(meta, staging)
-        schema = T.StructType.fromJson(meta["schema"])
-        allf = (
-            self.spark.read.schema(schema).parquet(live).inputFiles()
-        )
+        allf = self._published_files(meta)
         return [
             f
             for f in allf
@@ -2118,12 +2266,19 @@ class Workspace:
         everything else.  Call when no long-running reader is pinned
         older than grace (snapshots are unaffected — their hardlinks
         keep shared bytes alive).  ``name`` scopes to one table; None
-        sweeps every manifest table.  Returns ``{"removed": [paths]}``.
+        sweeps every manifest table.  Returns ``{"removed": [paths],
+        "recovery": [paths]}`` — ``recovery`` lists ``.old`` dirs NOT
+        swept because the live path is missing or dangling (ADVICE
+        r11 #3: a table that crashed under the pre-pointer two-rename
+        publish has its ONLY data copy in ``.old``; sweeping it would
+        destroy the sole survivor — surface it for manual recovery
+        instead).
         """
         import glob as _glob
         import shutil
 
         removed: list[str] = []
+        recovery: list[str] = []
         names = (
             [name] if name is not None else sorted(self.manifest["tables"])
         )
@@ -2139,8 +2294,20 @@ class Workspace:
                 grace = f"{live}.v{ver - 1}"
                 if ver >= 2 and os.path.isdir(grace):
                     keep.add(os.path.realpath(grace))
-                for suffix in (".staging", ".ptr.tmp", ".old"):
-                    p = live + suffix
+                residue = [live + ".ptr.tmp"]
+                residue += _glob.glob(live + ".staging*")
+                # .old is residue ONLY when the live path resolves to
+                # a real directory — otherwise it may be the sole
+                # surviving copy of a legacy two-rename crash
+                old = live + ".old"
+                if os.path.lexists(old):
+                    if os.path.isdir(live) and os.path.isdir(
+                        os.path.realpath(live)
+                    ):
+                        residue.append(old)
+                    else:
+                        recovery.append(old)
+                for p in residue:
                     if os.path.lexists(p):
                         # islink first: rmtree refuses symlinks, and a
                         # crashed .ptr.tmp IS one (pointing at a dir)
@@ -2160,7 +2327,7 @@ class Workspace:
                     ):
                         shutil.rmtree(d, ignore_errors=True)
                         removed.append(d)
-        return {"removed": sorted(removed)}
+        return {"removed": sorted(removed), "recovery": sorted(recovery)}
 
     def fsck(self, name: str) -> dict:
         """Index-vs-disk audit and repair for a keyed table: a crash
@@ -2177,12 +2344,7 @@ class Workspace:
                 raise KeysError(
                     f"fsck({name!r}): table declares no key"
                 )
-            schema = T.StructType.fromJson(meta["schema"])
-            allf = set(
-                self.spark.read.schema(schema)
-                .parquet(meta["path"])
-                .inputFiles()
-            )
+            allf = set(self._published_files(meta))
             known = set(meta.get("key_file_ranges") or {})
             missing = known - allf  # index entries with no file
             extra = allf - known  # files the index never saw
@@ -2229,7 +2391,10 @@ class Workspace:
         is bounded by the walk time.  Crash discipline: the snapshot
         manifest writes LAST via atomic rename — a tag without
         ``manifest.json`` is incomplete and invisible to
-        :meth:`snapshots`/:meth:`load_snapshot`.
+        :meth:`snapshots`/:meth:`load_snapshot`.  Inside an open
+        transaction, the snapshot captures the PRE-transaction
+        versions (the symlinks have not swapped yet) — exactly what
+        rollback needs and what a consistent reader should see.
 
         Scope: plain and keyed tables (their data files).  Attached
         rollups/matviews are derived state — rebuildable from the
@@ -2458,19 +2623,29 @@ class Workspace:
         success drop the snapshot — or keep it when ``tag`` is given
         (a named savepoint).
 
-        Isolation boundary, stated plainly: each table's writes stay
-        individually atomic (the pointer publish), and they become
-        VISIBLE per table as they publish — a concurrent reader
-        crossing two tables mid-transaction can see A-new with B-old
-        (READ COMMITTED per table, not serializable across tables).
-        A reader that needs cross-table consistency takes
-        :meth:`consistent_view` — a hardlink snapshot of its own,
-        O(files) metadata, zero bytes.  What the transaction buys is
-        DURABILITY discipline: a half-failed batch never leaves the
-        workspace in a mixed state.  Sibling processes writing the
-        SAME tables still serialize on the per-table locks; writes to
-        OTHER tables are untouched by a rollback (restore is scoped
-        to the touched set)."""
+        Isolation — the EPOCH publish (r11 verdict next #8): inside
+        the transaction, staged-publish writes (save / upsert /
+        delete / compact / kerf-SQL DML) rename their version
+        directories into place but DEFER both the pointer swap and
+        the manifest flush; commit swaps every queued pointer and
+        then flushes the manifest ONCE — a single atomic
+        ``os.replace``.  A reader going through the Workspace
+        (``refresh()`` + ``load()``) resolves versions from ITS
+        manifest (:meth:`_data_dir`), so it sees every table of the
+        transaction flip TOGETHER: never A-new with B-old.  Two
+        documented edges remain per-table: raw-path readers
+        (``spark.read.parquet(table_path)`` outside the Workspace)
+        follow the symlinks, which swap in quick succession at
+        commit rather than atomically; and :meth:`append` — the one
+        O(new-files) in-place write — lands in the VISIBLE version
+        immediately unless its table was already staged by this
+        transaction.  The transaction's own loads see its staged
+        writes throughout.  :meth:`consistent_view` remains the
+        read-side tool for pinning one instant across tables under
+        ongoing writes.  Sibling processes writing the SAME tables
+        still serialize on the per-table locks; writes to OTHER
+        tables are untouched by a rollback (restore is scoped to the
+        touched set)."""
         from contextlib import contextmanager
 
         @contextmanager
@@ -2480,16 +2655,27 @@ class Workspace:
                     "transaction(): already inside a transaction "
                     "(nesting is not supported)"
                 )
+            import shutil
             import uuid
 
             t = tag or f"__txn_{uuid.uuid4().hex[:12]}"
             self.snapshot(t)
             self._txn_touched = set()
+            self._txn_pending = {}
+            self._txn_dirty = False
             try:
                 yield t
             except BaseException:
+                pending = self._txn_pending or {}
+                self._txn_pending = None
+                self._txn_dirty = False
                 touched = self._txn_touched or set()
                 self._txn_touched = None
+                # staged versions never became visible: discard them
+                # before restore re-publishes the snapshot state
+                for ent in pending.values():
+                    for d in ent.get("all", ()):
+                        shutil.rmtree(d, ignore_errors=True)
                 with open(
                     os.path.join(
                         self.root, ".snapshots", t, "manifest.json"
@@ -2506,7 +2692,25 @@ class Workspace:
                 self.drop_snapshot(t)
                 raise
             else:
+                pending = self._txn_pending or {}
+                self._txn_pending = None
                 self._txn_touched = None
+                # COMMIT: swap every staged pointer (keeping the
+                # pre-transaction version as the grace copy even when
+                # several versions staged in between), then ONE
+                # manifest flush — the atomic epoch boundary for
+                # manifest-governed readers.  A crash between swaps
+                # leaves the disk manifest on the old epoch; its
+                # readers keep resolving the grace versions, and
+                # vacuum sweeps the orphans.
+                for live in sorted(pending):
+                    ent = pending[live]
+                    self._swap_pointer(
+                        live, ent["vdir"], prev=ent.get("prev")
+                    )
+                if self._txn_dirty:
+                    self._flush()
+                self._txn_dirty = False
                 if tag is None:
                     self.drop_snapshot(t)
 
@@ -2715,7 +2919,7 @@ class Workspace:
                         bytes_ += os.path.getsize(os.path.join(d, f))
             return files, bytes_
 
-        files_before, bytes_before = _stats(meta["path"])
+        files_before, bytes_before = _stats(self._data_dir(meta))
         n = max(1, -(-bytes_before // (int(target_file_mb) << 20)))
         df = self.load(name)
         if meta.get("zorder_by"):
@@ -2745,13 +2949,10 @@ class Workspace:
             # the sort index must follow the rewrite: the old entries
             # point at deleted files (key_lookup would read ghosts)
             meta["key_file_ranges"] = self._file_key_ranges(
-                meta,
-                self.spark.read.schema(
-                    T.StructType.fromJson(meta["schema"])
-                ).parquet(meta["path"]).inputFiles(),
+                meta, self._published_files(meta)
             )
         self._flush()
-        files_after, bytes_after = _stats(meta["path"])
+        files_after, bytes_after = _stats(self._data_dir(meta))
         return {
             "files_before": files_before,
             "files_after": files_after,
