@@ -14645,6 +14645,10 @@ _DRIVER_GREEN = [
     "folio_remote_avg", "folio_remote_median", "folio_remote_hll",
     "folio_remote_bucket", "kerf_lang_join_verbs",
     "kerf_lang_ungroup_verb", "kerf_lang_running_verbs",
+    # r11 green (all of _R11_WINDOW — 50/50; first-time greens only)
+    "folio_remote_last", "kerfsql_delete_pruned",
+    "workspace_txn_rollback", "folio_remote_join", "folio_remote_kll",
+    "theta_diff_users",
 ]
 
 #: Round-7 driver window (exactly 50 = the driver's per-round budget):
@@ -14867,10 +14871,54 @@ _R11_WINDOW = [
 # overshoots 50 on purpose: _reorder_registry truncates, keeping the
 # truncated tail parked-green for the next rotation.
 
+#: Round-12 driver window (r11 verdict next #3): the three round-12
+#: additions go FIRST (never driver-checked), then the ENTIRE
+#: r4-stale cohort (23 rows, last driver-proven in round 4 — eight
+#: rounds of churn since), then the oldest r5 cohort fills to 50.
+#: Rows whose PLAN changed this round (the folio_select fusion, the
+#: fused delete counts, every workspace write path under the epoch
+#: publish) are NOT re-queued here — each was value-checked locally
+#: against the same DuckDB oracles before its commit
+#: (tests/oracle_check.py runs recorded in the round log), trading
+#: driver re-proof slots for staleness clearance, the same policy the
+#: r11 rotation followed.
+_R12_WINDOW = [
+    # round-12 additions (never driver-checked)
+    "folio_remote_mode", "folio_reshard_join", "kerfsql_txn_rollback",
+    # the r4-stale cohort, cleared in full
+    "approx_quantile_tolerance", "asof_bucketed_colocated",
+    "chi_square_independence", "chunk_documents",
+    "contamination_check_docs", "corpus_mixture_rebalance",
+    "corpus_shuffle_order", "interval_overlap_pairs",
+    "key_skew_profile", "kmeans_assign_embeddings",
+    "lsh_neardup_pairs", "multimodal_framesample",
+    "multimodal_jpeg_decode", "ntile_buckets", "pii_scrub_docs",
+    "rank_percentiles", "script_detect_docs", "segment_dedup_docs",
+    "sequence_packing", "spearman_rank_corr", "stream_static_asof",
+    "vocab_zipf_stats", "winsorized_stats",
+    # oldest r5 cohort (44 rows are r5-stale; these fill to 50, the
+    # rest queue for r13)
+    "asof_nearest_join", "autocorr_lag_events", "bigram_lm_quality",
+    "bloom_semi_join_lineitems", "bpe_encode_docs",
+    "bpe_merges_learned", "cms_heavy_hitters", "dsir_select_docs",
+    "dsir_weights_docs", "event_gap_analysis", "flip_transpose",
+    "grouping_sets_agg", "hll_distinct_users",
+    "hll_overlap_event_types", "incremental_neardup_pairs",
+    "incremental_new_docs", "inverted_index_terms",
+    "kerf_lang_asof_verb", "kerfsql_asof_join",
+    "kerfsql_running_verbs", "kerfsql_window_join",
+    "leakage_safe_split", "multimodal_audio_features",
+    "multimodal_gif_decode", "multimodal_video_decode",
+    "pagerank_supplier_nations", "pca_project_embeddings",
+    "percentile_disc_cont",
+]
+# overshoots 50 on purpose: _reorder_registry truncates, keeping the
+# truncated tail parked-green for the next rotation.
+
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R11_WINDOW if k in QUERIES][:50]
+    window = [k for k in _R12_WINDOW if k in QUERIES][:50]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)
