@@ -928,6 +928,37 @@ def _loc_folio_select(addrs, src):
     return folio_select(spark, parsed, str(src))
 
 
+def _parse_folio_addrs(addrs):
+    if isinstance(addrs, np.ndarray):
+        addrs = addrs.tolist()
+    if isinstance(addrs, str):
+        addrs = [addrs]
+    parsed = []
+    for a in addrs:
+        host, _, port = str(a).rpartition(":")
+        if not host or not port.isdigit():
+            raise ArgsError(f"folio member must be 'host:port', got {a!r}")
+        parsed.append((host, int(port)))
+    return parsed
+
+
+def _loc_folio_reshard(addrs, table, key, out_name):
+    """``folio_reshard(members, "orders", "o_custkey", "orders_rs")``
+    — the RESHARD exchange (DISTRIBUTED_ARRAY_FOLIO at full strength,
+    enums.h:263 + presented.h:427-430): every member hash-buckets its
+    shard by the key, keeps its own bucket, ships the rest over the
+    Arrow wire, and publishes the resharded table under the new name;
+    afterwards a join between two tables resharded on one key is
+    complete member-side.  Returns the stats map ({"rows", "moved"});
+    row conservation is checked fail-loud.  See
+    server.folio_reshard."""
+    from ..server import folio_reshard
+
+    return folio_reshard(
+        _parse_folio_addrs(addrs), str(table), str(key), str(out_name)
+    )
+
+
 def _loc_group(x):
     """kerf1 ``group``: MAP from each distinct value to the index
     vector of its occurrences, first-appearance order (k semantics) —
@@ -1260,6 +1291,7 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     # the distributed folio as a language value (presented.h:427-430)
     "folio": (_loc_folio, None),
     "folio_select": (_loc_folio_select, None),
+    "folio_reshard": (_loc_folio_reshard, None),
     # kerf1 grouping / table-sort / string verbs (VERDICT r8 next #4)
     "group": (_loc_group, None),
     "xasc": (_loc_xsort(False), None),

@@ -488,6 +488,41 @@ def test_folio_script_verb_queries_remote_members(spark):
             s.stop()
 
 
+def test_folio_reshard_script_verb(spark):
+    """The reshard exchange from the LANGUAGE plane: a script builds
+    the member vector, reshards a misaligned table onto the key, and
+    queries the published result through the same folio verb."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.sources.io import read_table
+
+    nat = read_table(spark, SF, "nation")
+    halves = [nat.where(F.col("n_regionkey") <= 1),
+              nat.where(F.col("n_regionkey") > 1)]
+    srvs = [
+        KerfServer(spark, tables={"nation": h}).start() for h in halves
+    ]
+    try:
+        members = ", ".join(
+            f'"{h}:{p}"' for h, p in (s.address for s in srvs)
+        )
+        stats = KL.run(
+            spark,
+            f'f: [{members}]\n'
+            f'folio_reshard(f, "nation", "n_nationkey", "nation_rs")',
+        )
+        assert stats["rows"] == nat.count()
+        df = KL.run(
+            spark,
+            f'folio([{members}], "select count(*) as n from nation_rs")',
+        )
+        assert df.agg(F.sum("n")).head()[0] == nat.count()
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_select_splits_algebraic_aggregates(spark):
     """VERDICT r9 #4: folio_select rewrites a grouped aggregate into
     member partials + a local final — sum/count/min/max direct,
