@@ -1000,12 +1000,23 @@ def _folio_parse_select(q: str):
             arg, param = am.group(2).strip(), None
             dm = re.match(r"(?is)^\s*distinct\b(.*)$", arg)
             if dm:
-                if fn != "count":
+                # DISTINCT aggregates ride the histogram split: the
+                # merged member histograms ARE the distinct domain per
+                # group, so count/sum/avg over it are exact; min/max
+                # are distinct-insensitive and stay algebraic
+                if fn == "count":
+                    fn, arg = "count_distinct", dm.group(1).strip()
+                elif fn == "sum":
+                    fn, arg = "sum_distinct", dm.group(1).strip()
+                elif fn in ("avg", "mean"):
+                    fn, arg = "avg_distinct", dm.group(1).strip()
+                elif fn in ("min", "max"):
+                    arg = dm.group(1).strip()  # DISTINCT is a no-op
+                else:
                     raise ArgsError(
                         f"folio_select: {fn}(DISTINCT ...) is not "
                         f"supported over a folio"
                     )
-                fn, arg = "count_distinct", dm.group(1).strip()
             elif fn in ("percentile", "quantile"):
                 pieces = _split_top(arg)
                 if len(pieces) != 2:
@@ -1145,6 +1156,27 @@ def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
                     p = pd.DataFrame({alias: [len(merged)]})
                 parts.append(p)
                 continue
+            if fn in ("sum_distinct", "avg_distinct"):
+                # the merged histogram IS the per-group distinct
+                # domain: sum/avg over its values are exact
+                red = "sum" if fn == "sum_distinct" else "mean"
+                if key_names:
+                    p = (
+                        merged.groupby(
+                            key_names,
+                            dropna=False,
+                            as_index=False,
+                            sort=False,
+                        )["__hv"]
+                        .agg(red)
+                        .rename(columns={"__hv": alias})
+                    )
+                else:
+                    p = pd.DataFrame(
+                        {alias: [getattr(merged["__hv"], red)()]}
+                    )
+                parts.append(p)
+                continue
             if fn == "mode":
                 # highest merged count wins; ties -> SMALLEST value
                 # (merged is sorted by value asc, the stable count-
@@ -1222,7 +1254,14 @@ def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
                     ).type,
                 )
             )
-        else:
+        elif fn == "sum_distinct":
+            vt = concat.schema.field(f"__h{hist_args.index(_a)}").type
+            if pa.types.is_integer(vt):
+                res[alias] = res[alias].astype("Int64")
+                fields.append(pa.field(alias, pa.int64()))
+            else:
+                fields.append(pa.field(alias, pa.float64()))
+        else:  # percentile / avg_distinct
             fields.append(pa.field(alias, pa.float64()))
     tbl = pa.Table.from_pandas(
         res, schema=pa.schema(fields), preserve_index=False
@@ -1323,7 +1362,10 @@ def folio_select(
             "folio_select needs at least one aggregate — for plain "
             "row gathers use folio_remote"
         )
-    hist_fns = ("count_distinct", "percentile", "mode")
+    hist_fns = (
+        "count_distinct", "percentile", "mode",
+        "sum_distinct", "avg_distinct",
+    )
     var_fns = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
     # one ANCHOR column per distinct variance argument: a window
     # min(x) the member computes exactly (an actual data value), so
@@ -1706,6 +1748,10 @@ def folio_select(
         for al, fn, pm in arg_items:
             if fn == "count_distinct":
                 aggs.append(F.count(F.lit(1)).cast("long").alias(al))
+            elif fn == "sum_distinct":
+                aggs.append(F.sum("__hv").alias(al))
+            elif fn == "avg_distinct":
+                aggs.append(F.avg("__hv").alias(al))
         g = hh.groupBy(*key_names).agg(*aggs) if keys else hh.agg(*aggs)
         sel = list(key_names)
         for j, (al, _pm) in enumerate(
@@ -1722,7 +1768,7 @@ def folio_select(
                 ).alias(al)
             )
         for al, fn, pm in arg_items:
-            if fn == "count_distinct":
+            if fn in ("count_distinct", "sum_distinct", "avg_distinct"):
                 sel.append(F.col(al))
         hol_frames.append(g.select(*sel))
     # ---- local final merge --------------------------------------------

@@ -610,7 +610,7 @@ def test_folio_select_refuses_unsplittable_aggregates(spark):
         "select first(x) as f from t",
         "select string_agg(x) as s from t",
         "select collect_list(x) as l from t",
-        "select sum(distinct x) as s from t",
+        "select stddev(distinct x) as s from t",
         "select percentile(x, 1.5) as p from t",
         "select percentile(x) as p from t",
         "select sum(x) from t",
@@ -794,6 +794,35 @@ def test_folio_select_mode_and_ordered_string_agg(spark):
         ).collect()
         assert {r["c_nationkey"]: r["seg"] for r in both} == want_mode
         assert all(r["mk"] == float(r["c_nationkey"]) for r in both)
+        # sum/avg(DISTINCT) ride the same histogram split — the merged
+        # member histograms ARE the per-group distinct domain
+        dk = {
+            r["c_nationkey"]: r
+            for r in folio_select(
+                spark,
+                [s.address for s in srvs],
+                "select c_nationkey,"
+                " sum(distinct c_custkey % 97) as sd,"
+                " avg(distinct c_custkey % 97) as ad,"
+                " max(distinct c_custkey % 97) as mx"
+                " from customer group by c_nationkey",
+            ).collect()
+        }
+        want_d = {
+            r["c_nationkey"]: r
+            for r in cust.groupBy("c_nationkey")
+            .agg(
+                F.sum_distinct(F.col("c_custkey") % 97).alias("sd"),
+                F.expr("avg(distinct c_custkey % 97)").alias("ad"),
+                F.max(F.col("c_custkey") % 97).alias("mx"),
+            )
+            .collect()
+        }
+        assert set(dk) == set(want_d)
+        for k, r in dk.items():
+            assert r["sd"] == want_d[k]["sd"], (k, r["sd"])
+            assert abs(r["ad"] - want_d[k]["ad"]) < 1e-9
+            assert r["mx"] == want_d[k]["mx"]
     finally:
         for s in srvs:
             s.stop()
