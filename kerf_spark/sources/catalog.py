@@ -2764,22 +2764,42 @@ class Workspace:
             else:
                 pending = self._txn_pending or {}
                 self._txn_pending = None
+                touched = self._txn_touched or set()
                 self._txn_touched = None
                 # COMMIT: swap every staged pointer (keeping the
                 # pre-transaction version as the grace copy even when
                 # several versions staged in between), then ONE
                 # manifest flush — the atomic epoch boundary for
-                # manifest-governed readers.  A crash between swaps
-                # leaves the disk manifest on the old epoch; its
-                # readers keep resolving the grace versions, and
-                # vacuum sweeps the orphans.
-                for live in sorted(pending):
-                    ent = pending[live]
-                    self._swap_pointer(
-                        live, ent["vdir"], prev=ent.get("prev")
-                    )
-                if self._txn_dirty:
-                    self._flush()
+                # manifest-governed readers.  A HARD crash between
+                # swaps leaves the disk manifest on the old epoch;
+                # its readers keep resolving the grace versions, and
+                # vacuum sweeps the orphans.  A SOFT failure (an
+                # exception mid-commit in a live process) rolls the
+                # touched tables back from the begin snapshot, so the
+                # partial swap never survives as a mixed state.
+                try:
+                    for live in sorted(pending):
+                        ent = pending[live]
+                        self._swap_pointer(
+                            live, ent["vdir"], prev=ent.get("prev")
+                        )
+                    if self._txn_dirty:
+                        self._flush()
+                except BaseException:
+                    self._txn_dirty = False
+                    with open(
+                        os.path.join(
+                            self.root, ".snapshots", t, "manifest.json"
+                        )
+                    ) as fh:
+                        snap_tables = set(json.load(fh)["tables"])
+                    for name in sorted(touched):
+                        if name in snap_tables:
+                            self.restore(t, name)
+                        else:
+                            self.drop(name, delete=True)
+                    self.drop_snapshot(t)
+                    raise
                 self._txn_dirty = False
                 if tag is None:
                     self.drop_snapshot(t)

@@ -3006,3 +3006,54 @@ def test_pin_lease_survives_multiple_publishes(spark, ws_root):
         assert not os.path.exists(path + ".v5")
     finally:
         ws.LEASE_TTL_S = old
+
+
+def test_transaction_epoch_commit_crash_recovery(spark, ws_root):
+    """Crash DURING the epoch commit (after some pointer swaps,
+    before the manifest flush): the disk manifest still names the old
+    epoch, so manifest-governed readers keep resolving the grace
+    versions of BOTH tables — never a mixed epoch; a later vacuum
+    sweeps the orphaned staged versions and the workspace stays
+    fully writable."""
+    ws = Workspace(spark, ws_root)
+
+    def mk(i):
+        return spark.range(30).select(
+            F.col("id").alias("k"), F.lit(i).cast("long").alias("gen")
+        )
+
+    ws.save("a", mk(0), minimize_widths=False)
+    ws.save("b", mk(0), minimize_widths=False)
+    orig = ws._swap_pointer
+    calls = {"n": 0}
+
+    def dying_swap(live, vdir, prev=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash mid-commit")
+        return orig(live, vdir, prev=prev)
+
+    ws._swap_pointer = dying_swap
+    try:
+        with pytest.raises(OSError, match="injected"):
+            with ws.transaction():
+                ws.save("a", mk(1), minimize_widths=False)
+                ws.save("b", mk(1), minimize_widths=False)
+    finally:
+        ws._swap_pointer = orig
+    # a SOFT commit failure rolls the touched tables back from the
+    # begin snapshot — a fresh reader sees the PRE-transaction state
+    # on BOTH tables, never a mix, through every read plane
+    r = Workspace(spark, ws_root)
+    ga = r.load("a").agg(F.max("gen")).head()[0]
+    gb = r.load("b").agg(F.max("gen")).head()[0]
+    assert (ga, gb) == (0, 0), f"commit crash leaked state: {ga}, {gb}"
+    # the workspace stays writable and converges
+    ws2 = Workspace(spark, ws_root)
+    ws2.vacuum()
+    with ws2.transaction():
+        ws2.save("a", mk(7), minimize_widths=False)
+        ws2.save("b", mk(7), minimize_widths=False)
+    r.refresh()
+    assert r.load("a").agg(F.max("gen")).head()[0] == 7
+    assert r.load("b").agg(F.max("gen")).head()[0] == 7
