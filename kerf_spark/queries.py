@@ -13761,6 +13761,48 @@ def workspace_txn_rollback(spark, sf):
 
 
 @query(
+    "folio_remote_distinct",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(sum(DISTINCT c_custkey % 97) AS BIGINT) AS sd,
+           avg(DISTINCT c_custkey % 97) + 0.0 AS ad,
+           CAST(count(DISTINCT c_custkey % 97) AS BIGINT) AS cd
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_remote_distinct(spark, sf):
+    """sum/avg(DISTINCT) over the folio (round-12 extension of the
+    histogram split): the merged member (group, value, count)
+    histograms ARE the per-group distinct domain, so summing or
+    averaging their VALUES is exact — the same wire and finals
+    count(DISTINCT) rides, inside the same single fused member round
+    trip.  The argument is an EXPRESSION (c_custkey % 97) with heavy
+    cross-member duplication, so a double-counted value (a member
+    histogram merged as rows instead of by value) shifts the sum and
+    mismatches the unsharded DuckDB oracle.  Integer domain keeps the
+    sum exact in both engines; avg divides that exact sum by the
+    exact distinct count — one double division both engines evaluate
+    identically."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    merged = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_nationkey, sum(distinct c_custkey % 97) as sd,"
+        " avg(distinct c_custkey % 97) as ad,"
+        " count(distinct c_custkey % 97) as cd"
+        " from customer group by c_nationkey",
+    )
+    return merged.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("sd").cast("long").alias("sd"),
+        (F.col("ad") + F.lit(0.0)).alias("ad"),
+        F.col("cd").cast("long").alias("cd"),
+    ).orderBy("c_nationkey")
+
+
+@query(
     "kerfsql_txn_rollback",
     """
     WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
