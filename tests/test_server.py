@@ -1414,6 +1414,28 @@ def test_folio_select_fuzz_matches_local(spark):
             F.expr("max_by(cents * 2, c_custkey * 2 + 1)"),
             True,
         ),
+        # round-12 families: DISTINCT sums/averages over the merged
+        # histogram domain, and the ordered concat (unique ordering
+        # key -> deterministic, compared as exact strings)
+        "sdx": (
+            "sum(distinct c_custkey % 97) as sdx",
+            F.sum_distinct(F.expr("c_custkey % 97")),
+            True,
+        ),
+        "adx": (
+            "avg(distinct c_custkey % 97) as adx",
+            F.expr("avg(distinct c_custkey % 97)"),
+            False,
+        ),
+        "sa": (
+            "string_agg(c_mktsegment, c_custkey) as sa",
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "named_struct('o', c_custkey, 'v', c_mktsegment))), "
+                "s -> CAST(s.v AS STRING)), ',')"
+            ),
+            True,
+        ),
     }
     KEYS = [None, "c_nationkey", "c_mktsegment"]
     WHERES = [None, "c_acctbal > 0", "c_nationkey < 12"]
