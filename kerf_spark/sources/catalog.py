@@ -2359,6 +2359,14 @@ class Workspace:
                 keep = set()
                 if os.path.islink(live):
                     keep.add(os.path.realpath(live))
+                # the manifest's CURRENT version explicitly: outside a
+                # transaction it is the symlink target; inside one it
+                # is the STAGED (deferred-swap) version the symlink
+                # does not name yet — sweeping it would destroy the
+                # transaction's writes
+                cur = f"{live}.v{ver}"
+                if ver >= 1 and os.path.isdir(cur):
+                    keep.add(os.path.realpath(cur))
                 grace = f"{live}.v{ver - 1}"
                 if ver >= 2 and os.path.isdir(grace):
                     keep.add(os.path.realpath(grace))

@@ -3057,3 +3057,29 @@ def test_transaction_epoch_commit_crash_recovery(spark, ws_root):
     r.refresh()
     assert r.load("a").agg(F.max("gen")).head()[0] == 7
     assert r.load("b").agg(F.max("gen")).head()[0] == 7
+
+
+def test_vacuum_inside_transaction_spares_staged_versions(spark, ws_root):
+    """vacuum() during an open transaction must not sweep the staged
+    (deferred-swap) version the symlink does not name yet — the
+    manifest's declared version is kept explicitly, in or out of a
+    transaction."""
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t",
+        spark.range(50).select(F.col("id").alias("k")),
+        minimize_widths=False,
+    )
+    path = ws.manifest["tables"]["t"]["path"]
+    with ws.transaction():
+        ws.save(
+            "t",
+            spark.range(70).select(F.col("id").alias("k")),
+            minimize_widths=False,
+        )
+        staged = f"{path}.v{ws.manifest['tables']['t']['publish_version']}"
+        assert os.path.isdir(staged)
+        ws.vacuum("t")
+        assert os.path.isdir(staged), "vacuum swept the staged version"
+        assert ws.load("t").count() == 70  # txn still reads its write
+    assert ws.load("t").count() == 70  # committed intact
