@@ -2714,10 +2714,13 @@ class Workspace:
         documented edges remain per-table: raw-path readers
         (``spark.read.parquet(table_path)`` outside the Workspace)
         follow the symlinks, which swap in quick succession at
-        commit rather than atomically; and :meth:`append` — the one
+        commit rather than atomically; :meth:`append` — the one
         O(new-files) in-place write — lands in the VISIBLE version
         immediately unless its table was already staged by this
-        transaction.  The transaction's own loads see its staged
+        transaction; and :meth:`drop` ``delete=True`` removes files
+        immediately (rollback recovers them from the begin snapshot's
+        hardlinks, but concurrent readers of the dropped table fail
+        mid-transaction rather than at commit).  The transaction's own loads see its staged
         writes throughout.  :meth:`consistent_view` remains the
         read-side tool for pinning one instant across tables under
         ongoing writes.  Sibling processes writing the SAME tables

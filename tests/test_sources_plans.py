@@ -3083,3 +3083,24 @@ def test_vacuum_inside_transaction_spares_staged_versions(spark, ws_root):
         assert os.path.isdir(staged), "vacuum swept the staged version"
         assert ws.load("t").count() == 70  # txn still reads its write
     assert ws.load("t").count() == 70  # committed intact
+
+
+def test_transaction_drop_rolls_back_from_snapshot(spark, ws_root):
+    """drop(delete=True) inside a failed transaction: the begin
+    snapshot's hardlinks keep the bytes alive, so rollback restores
+    the table — entry, data, and sort index."""
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t",
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k", minimize_widths=False,
+    )
+    with pytest.raises(RuntimeError, match="boom3"):
+        with ws.transaction():
+            ws.drop("t", delete=True)
+            assert "t" not in ws.manifest["tables"]
+            raise RuntimeError("boom3")
+    assert ws.load("t").count() == 100
+    assert ws.key_lookup("t", 7).head()["v"] == 14
