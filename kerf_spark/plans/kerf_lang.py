@@ -232,10 +232,13 @@ def lex(src: str) -> list[Tok]:
 _OPENS, _CLOSES = "([{", ")]}"
 
 
-def split_statements(src: str) -> list[str]:
+def split_statements(src: str, seps: str = ";\n") -> list[str]:
     """Split a script into top-level statements on ``;`` and newlines,
     depth-aware (braces/brackets/parens, strings, comments survive
-    intact — TOKEN_GROUP_SEPARATION in lexer.h:83)."""
+    intact — TOKEN_GROUP_SEPARATION in lexer.h:83).  ``seps=";"``
+    gives SQL batch semantics — a normally-formatted multi-line SQL
+    statement stays ONE statement (kerf-SQL transaction batches use
+    this; ADVICE r12 low, kerfsql.py:792)."""
     stmts, cur, depth = [], [], 0
     i, n = 0, len(src)
     while i < n:
@@ -286,7 +289,7 @@ def split_statements(src: str) -> list[str]:
             depth -= 1
             if depth < 0:
                 raise ParseUnmatchedError(f"unmatched {ch!r} in kerf source")
-        if depth == 0 and ch in ";\n":
+        if depth == 0 and ch in seps:
             s = "".join(cur).strip()
             if s:
                 stmts.append(s)

@@ -778,9 +778,11 @@ def kerf_sql(
     unconditionally (returns None).  Requires ``workspace=``.
     """
     q = q.strip().rstrip(";")
-    # rstrip(';') only trims the tail: `begin; …` yields head
-    # "begin;" from the whitespace split, so strip the separator too
-    head = q.split(None, 1)[0].rstrip(";").lower()
+    # the head must survive `begin;delete …` (no space after the
+    # separator) — a whitespace split would glue the separator on
+    # (ADVICE r12 low), so take the leading word-run directly
+    _m = re.match(r"\s*(\w+)", q)
+    head = _m.group(1).lower() if _m else ""
     if head == "begin":
         from .kerf_lang import split_statements
 
@@ -789,7 +791,10 @@ def kerf_sql(
                 "kerf-SQL begin/commit needs a workspace= — "
                 "transactions are a catalog discipline"
             )
-        parts = [s for s in split_statements(q) if s.strip()]
+        # ';'-only split: a transaction batch is SQL, where newlines
+        # are whitespace — splitting on them would fragment a
+        # normally-formatted multi-line statement (ADVICE r12 low)
+        parts = [s for s in split_statements(q, seps=";") if s.strip()]
         if parts[0].strip().lower() != "begin":
             raise ParseError(f"malformed transaction batch: {q!r}")
         tail = parts[-1].strip().lower()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..errors import ColumnError, KerfTypeError, KeysError
+from ..errors import ColumnError, FileError, KerfTypeError, KeysError
 
 # spark simpleString names (LongType -> "bigint", ByteType -> "tinyint")
 _NUM_WIDTH = {
@@ -163,6 +163,13 @@ class Workspace:
         self._txn_pending: dict[str, dict] | None = None
         #: a _flush was requested while deferred — commit flushes once
         self._txn_dirty = False
+        #: per-table lock FDs HELD OPEN by an open transaction (ADVICE
+        #: r12 medium): a write inside a transaction keeps its table
+        #: lock until commit/rollback, so a sibling process writing the
+        #: same table blocks instead of staging over (and destroying)
+        #: the transaction's deferred version.  Keyed by the sanitized
+        #: lock name; released by _release_txn_locks.
+        self._txn_locks: dict = {}
         self.manifest: dict = {"tables": {}}
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
@@ -189,7 +196,26 @@ class Workspace:
                     disk.setdefault(section, {}).update(ours)
                 else:
                     disk[section] = ours
+            # re-apply the deferred drop tombstones: an in-txn drop()
+            # removed the entry from OUR manifest but the flush (and
+            # so the disk copy) is deferred — without this, the merge
+            # resurrects the dropped table, and commit's tombstone
+            # check (`name not in self.manifest`) then skips the
+            # tombstone, silently undoing the drop (ADVICE r12 high)
+            for section, names in self._dropped.items():
+                ours = self.manifest.get(section, {})
+                for nm in names:
+                    if nm not in ours:
+                        disk.get(section, {}).pop(nm, None)
         self.manifest = disk
+
+    #: lock-file paths held-until-commit by ANY Workspace instance in
+    #: this process — flock between two fds of the SAME process blocks
+    #: just like across processes, so a sibling instance writing a
+    #: transaction-locked table would self-deadlock; this registry
+    #: turns that into a fail-loud error instead of a hang
+    _process_held: set = set()
+    _process_held_mu = None  # lazily a threading.Lock
 
     def _table_lock(self, name: str):
         """Serialize SAME-TABLE writers across processes — the second
@@ -201,7 +227,18 @@ class Workspace:
         ``root/.tlock.<name>`` held for the whole write, with the
         manifest RE-READ under the lock so the second writer builds on
         the first's files.  Non-POSIX degrades to single-process
-        semantics, like the manifest lock."""
+        semantics, like the manifest lock.
+
+        Inside an open :meth:`transaction` the lock is HELD UNTIL
+        COMMIT/ROLLBACK (ADVICE r12 medium): the transaction defers
+        its pointer swaps, so releasing between the stage and the
+        commit would let a sibling process stage the same ``.v{N+1}``
+        and ``shutil.rmtree`` the transaction's not-yet-visible
+        version.  The sibling now blocks until the epoch publishes —
+        true same-table serialization.  Two concurrent transactions
+        locking overlapping tables in opposite orders can deadlock
+        (classic 2PL); keep multi-table transaction lock order
+        consistent across writers."""
         from contextlib import contextmanager
 
         @contextmanager
@@ -210,21 +247,73 @@ class Workspace:
                 import fcntl
             except ImportError:  # non-POSIX
                 fcntl = None
+            import threading
+
+            if Workspace._process_held_mu is None:
+                Workspace._process_held_mu = threading.Lock()
             safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
-            lf = open(os.path.join(self.root, f".tlock.{safe}"), "a+")
+            lock_path = os.path.join(self.root, f".tlock.{safe}")
+            if safe in self._txn_locks:
+                # this transaction already holds the lock — flock on a
+                # second fd of the same file would self-deadlock, so
+                # re-enter on the held fd
+                self.refresh()
+                if self._txn_touched is not None:
+                    self._txn_touched.add(name)
+                yield
+                return
+            with Workspace._process_held_mu:
+                if lock_path in Workspace._process_held:
+                    raise FileError(
+                        f"table {name!r} is locked by an open "
+                        f"transaction of another Workspace instance in "
+                        f"this process — commit/rollback it first "
+                        f"(blocking would self-deadlock on flock)"
+                    )
+            lf = open(lock_path, "a+")
+            held_by_txn = False
             try:
                 if fcntl is not None:
                     fcntl.flock(lf, fcntl.LOCK_EX)
                 self.refresh()
                 if self._txn_touched is not None:
                     self._txn_touched.add(name)
+                if self._txn_pending is not None:
+                    # transaction isolation: retain until commit
+                    self._txn_locks[safe] = lf
+                    with Workspace._process_held_mu:
+                        Workspace._process_held.add(lock_path)
+                    held_by_txn = True
                 yield
             finally:
+                if not held_by_txn:
+                    if fcntl is not None:
+                        fcntl.flock(lf, fcntl.LOCK_UN)
+                    lf.close()
+
+        return hold()
+
+    def _release_txn_locks(self) -> None:
+        """Release every table lock a transaction retained — the
+        commit/rollback epilogue (always runs, even when the commit
+        itself fails and rolls back)."""
+        try:
+            import fcntl
+        except ImportError:
+            fcntl = None
+        for safe, lf in self._txn_locks.items():
+            try:
+                if Workspace._process_held_mu is not None:
+                    with Workspace._process_held_mu:
+                        Workspace._process_held.discard(
+                            os.path.join(self.root, f".tlock.{safe}")
+                        )
                 if fcntl is not None:
                     fcntl.flock(lf, fcntl.LOCK_UN)
                 lf.close()
-
-        return hold()
+            except OSError:
+                pass
+        self._txn_locks.clear()
 
     # ------------------------------------------------------------- save/load
     def _flush(self) -> None:
@@ -639,6 +728,25 @@ class Workspace:
             return
         self._swap_pointer(live, vdir)
 
+    def _version_dirs(self, live: str) -> list:
+        """``(dir, N)`` pairs for THIS table's ``<live>.v<N>`` version
+        directories only.  The naive glob ``live + ".v*"`` also
+        catches a sibling table literally named ``<live>.v3`` AND that
+        sibling's own ``<live>.v3.v1`` version dirs — ``rsplit('.v')``
+        then yields a digit suffix and the sweep destroys the
+        sibling's data (ADVICE r12 low, generalized) — so the tail
+        after ``live`` must be EXACTLY ``.v<digits>``.  The sibling's
+        pointer symlink itself (tail ``.v3``) still matches; callers
+        keep the manifest-name guard for it."""
+        import glob as _glob
+
+        out = []
+        for d in _glob.glob(live + ".v*"):
+            m = re.fullmatch(r"\.v(\d+)", d[len(live):])
+            if m:
+                out.append((d, m.group(1)))
+        return out
+
     def _swap_pointer(
         self, live: str, vdir: str, prev: str | None = None
     ) -> None:
@@ -677,11 +785,9 @@ class Workspace:
         if prev:
             keep.add(os.path.realpath(prev))
         base = os.path.basename(live)
-        for d in _glob.glob(live + ".v*"):
-            suf = d.rsplit(".v", 1)[-1]
+        for d, suf in self._version_dirs(live):
             if (
-                suf.isdigit()
-                and os.path.realpath(d) not in keep
+                os.path.realpath(d) not in keep
                 and f"{base}.v{suf}" not in self.manifest.get("tables", {})
             ):
                 if self._live_leases(d):
@@ -1008,18 +1114,39 @@ class Workspace:
             os.unlink(p)
         elif os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
-        # version dirs sweep UNCONDITIONALLY: a table created inside a
-        # rolled-back transaction has staged versions but no pointer;
-        # lease files of a dropped table are residue too
-        for d in _glob.glob(p + ".v*"):
-            suf = d.rsplit(".v", 1)[-1]
-            if suf.isdigit():
-                shutil.rmtree(d, ignore_errors=True)
-            elif re.fullmatch(r"\d+\.lease\.\w+", suf):
-                try:
+        # version dirs sweep regardless of the pointer (a table
+        # created inside a rolled-back transaction has staged versions
+        # but no pointer; lease files of a dropped table are residue
+        # too) — but, as in _swap_pointer's retention sweep, spare a
+        # sibling TABLE literally named `<p>.v<N>` and any version a
+        # pinned long scan still holds a live lease on (ADVICE r12
+        # low; vacuum reaps the leased orphan once the lease lifts)
+        base = os.path.basename(p)
+        for d, suf in self._version_dirs(p):
+            if f"{base}.v{suf}" in self.manifest.get("tables", {}):
+                continue  # a sibling TABLE literally named <p>.v<N>
+            if self._live_leases(d):
+                continue  # a pinned long scan still reads this one
+            shutil.rmtree(d, ignore_errors=True)
+        for d in _glob.glob(p + ".v*.lease.*"):
+            # a LIVE lease guards its (spared) version dir until the
+            # scan finishes — unlink only expired ones; a sibling
+            # table's leases (`<p>.v3.v1.lease.*`) don't match this
+            # table's `.v<digits>.lease.*` shape
+            if not re.fullmatch(
+                r"\.v\d+\.lease\.\w+", d[len(p):]
+            ):
+                continue
+            import time as _time
+
+            try:
+                if (
+                    _time.time() - os.path.getmtime(d)
+                    >= self.LEASE_TTL_S
+                ):
                     os.unlink(d)
-                except OSError:
-                    pass
+            except OSError:
+                pass
         residue = [p + ".ptr.tmp", p + ".old"]
         residue += _glob.glob(p + ".staging*")  # incl. writer-unique names
         for r in residue:
@@ -2393,11 +2520,9 @@ class Workspace:
                             shutil.rmtree(p, ignore_errors=True)
                         removed.append(p)
                 base = os.path.basename(live)
-                for d in _glob.glob(live + ".v*"):
-                    suf = d.rsplit(".v", 1)[-1]
+                for d, suf in self._version_dirs(live):
                     if (
-                        suf.isdigit()
-                        and os.path.realpath(d) not in keep
+                        os.path.realpath(d) not in keep
                         and f"{base}.v{suf}"
                         not in self.manifest.get("tables", {})
                     ):
@@ -2752,25 +2877,28 @@ class Workspace:
                 self._txn_dirty = False
                 touched = self._txn_touched or set()
                 self._txn_touched = None
-                # staged versions never became visible: discard them
-                # before restore re-publishes the snapshot state
-                for ent in pending.values():
-                    for d in ent.get("all", ()):
-                        shutil.rmtree(d, ignore_errors=True)
-                with open(
-                    os.path.join(
-                        self.root, ".snapshots", t, "manifest.json"
-                    )
-                ) as fh:
-                    snap_tables = set(json.load(fh)["tables"])
-                for name in sorted(touched):
-                    if name in snap_tables:
-                        self.restore(t, name)
-                    else:
-                        # created inside the failed transaction:
-                        # drop the entry and its files
-                        self.drop(name, delete=True)
-                self.drop_snapshot(t)
+                try:
+                    # staged versions never became visible: discard
+                    # them before restore re-publishes snapshot state
+                    for ent in pending.values():
+                        for d in ent.get("all", ()):
+                            shutil.rmtree(d, ignore_errors=True)
+                    with open(
+                        os.path.join(
+                            self.root, ".snapshots", t, "manifest.json"
+                        )
+                    ) as fh:
+                        snap_tables = set(json.load(fh)["tables"])
+                    for name in sorted(touched):
+                        if name in snap_tables:
+                            self.restore(t, name)
+                        else:
+                            # created inside the failed transaction:
+                            # drop the entry and its files
+                            self.drop(name, delete=True)
+                    self.drop_snapshot(t)
+                finally:
+                    self._release_txn_locks()
                 raise
             else:
                 pending = self._txn_pending or {}
@@ -2798,19 +2926,24 @@ class Workspace:
                         self._flush()
                 except BaseException:
                     self._txn_dirty = False
-                    with open(
-                        os.path.join(
-                            self.root, ".snapshots", t, "manifest.json"
-                        )
-                    ) as fh:
-                        snap_tables = set(json.load(fh)["tables"])
-                    for name in sorted(touched):
-                        if name in snap_tables:
-                            self.restore(t, name)
-                        else:
-                            self.drop(name, delete=True)
-                    self.drop_snapshot(t)
+                    try:
+                        with open(
+                            os.path.join(
+                                self.root, ".snapshots", t,
+                                "manifest.json",
+                            )
+                        ) as fh:
+                            snap_tables = set(json.load(fh)["tables"])
+                        for name in sorted(touched):
+                            if name in snap_tables:
+                                self.restore(t, name)
+                            else:
+                                self.drop(name, delete=True)
+                        self.drop_snapshot(t)
+                    finally:
+                        self._release_txn_locks()
                     raise
+                self._release_txn_locks()
                 self._txn_dirty = False
                 if tag is None:
                     self.drop_snapshot(t)

@@ -3104,3 +3104,153 @@ def test_transaction_drop_rolls_back_from_snapshot(spark, ws_root):
             raise RuntimeError("boom3")
     assert ws.load("t").count() == 100
     assert ws.key_lookup("t", 7).head()["v"] == 14
+
+
+def test_transaction_drop_survives_later_refresh(spark, ws_root):
+    """ADVICE r12 high: drop(name) inside a transaction, followed by
+    ANY later write in the same transaction (whose _table_lock →
+    refresh() merges the disk manifest back in), must not resurrect
+    the dropped table — commit's tombstone has to land."""
+    ws = Workspace(spark, ws_root)
+    ws.save("victim", spark.range(10).select(F.col("id").alias("k")))
+    ws.save("other", spark.range(5).select(F.col("id").alias("x")))
+    with ws.transaction():
+        ws.drop("victim", delete=True)
+        assert "victim" not in ws.manifest["tables"]
+        # this save's _table_lock refreshes from the (stale) disk
+        # manifest, which still lists `victim`
+        ws.save("other", spark.range(7).select(F.col("id").alias("x")))
+        assert "victim" not in ws.manifest["tables"], (
+            "in-txn refresh resurrected the dropped table"
+        )
+    assert "victim" not in ws.manifest["tables"]
+    sibling = Workspace(spark, ws_root)
+    assert "victim" not in sibling.manifest["tables"], (
+        "commit skipped the drop tombstone"
+    )
+    assert sibling.load("other").count() == 7
+
+
+def test_transaction_holds_table_locks_until_commit(spark, ws_root):
+    """ADVICE r12 medium: a write inside a transaction retains its
+    per-table flock until commit, so a sibling PROCESS writing the
+    same table blocks (cannot stage over the deferred version); a
+    sibling Workspace instance in THIS process fails loud instead of
+    self-deadlocking on flock."""
+    import subprocess
+    import sys
+
+    from kerf_spark.errors import FileError
+
+    ws = Workspace(spark, ws_root)
+    ws.save("locked", spark.range(10).select(F.col("id").alias("k")))
+
+    def probe():
+        # a subprocess's non-blocking flock stands in for a sibling
+        # writer's _table_lock acquisition (no second SparkSession)
+        code = (
+            "import fcntl,sys\n"
+            f"f=open({os.path.join(ws_root, '.tlock.locked')!r},'a+')\n"
+            "try:\n"
+            "    fcntl.flock(f,fcntl.LOCK_EX|fcntl.LOCK_NB)\n"
+            "    print('ACQUIRED')\n"
+            "except OSError:\n"
+            "    print('BLOCKED')\n"
+        )
+        return subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        ).stdout.strip()
+
+    sibling = Workspace(spark, ws_root)
+    with ws.transaction():
+        ws.save("locked", spark.range(20).select(F.col("id").alias("k")))
+        assert probe() == "BLOCKED", "txn released the table lock early"
+        # same-table re-entry within the transaction still works
+        ws.append("locked", spark.range(3).select(F.col("id").alias("k")))
+        # in-process sibling instance: fail loud, not deadlock
+        with pytest.raises(FileError, match="open transaction"):
+            sibling.save(
+                "locked", spark.range(1).select(F.col("id").alias("k"))
+            )
+    assert probe() == "ACQUIRED", "commit did not release the lock"
+    assert ws.load("locked").count() == 23
+    # rollback releases too
+    with pytest.raises(RuntimeError, match="lockboom"):
+        with ws.transaction():
+            ws.save(
+                "locked", spark.range(9).select(F.col("id").alias("k"))
+            )
+            assert probe() == "BLOCKED"
+            raise RuntimeError("lockboom")
+    assert probe() == "ACQUIRED", "rollback did not release the lock"
+    assert ws.load("locked").count() == 23
+    # and the sibling instance can write again after the epilogue
+    sibling.refresh()
+    sibling.save("locked", spark.range(4).select(F.col("id").alias("k")))
+    ws.refresh()
+    assert ws.load("locked").count() == 4
+
+
+def test_drop_delete_spares_sibling_table_and_leased_version(
+    spark, ws_root
+):
+    """ADVICE r12 low: drop(name, delete=True)'s version-dir sweep
+    must spare (a) a sibling TABLE literally named `<name>.v<N>` and
+    (b) a version directory a live reader lease pins."""
+    ws = Workspace(spark, ws_root)
+    ws.save("t", spark.range(10).select(F.col("id").alias("k")))
+    ws.save("t.v3", spark.range(33).select(F.col("id").alias("k")))
+    sib_dir = ws.manifest["tables"]["t.v3"]["path"]
+    meta = dict(ws.manifest["tables"]["t"])
+    with ws.pin("t") as df:
+        pinned = ws._data_dir(ws.manifest["tables"]["t"])
+        assert df.count() == 10
+        ws.drop("t", delete=True)
+        assert os.path.isdir(pinned), (
+            "drop deleted a version a live lease still pins"
+        )
+        assert df.count() == 10  # the pinned scan still reads
+    assert ws.load("t.v3").count() == 33, "sweep hit the sibling table"
+    assert os.path.lexists(sib_dir)
+    # lease lifted: the file cleanup may now reap the orphan —
+    # and still spares the sibling table's dirs
+    ws._delete_table_files(meta)
+    assert not os.path.isdir(pinned)
+    assert ws.load("t.v3").count() == 33
+
+
+def test_kerfsql_txn_batch_multiline_and_no_space(spark, ws_root):
+    """ADVICE r12 lows: a transaction batch splits on top-level ';'
+    ONLY (a multi-line statement stays whole), and `begin;stmt` with
+    no space after the separator still enters the transaction path."""
+    from kerf_spark.plans.kerfsql import kerf_sql
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "txm",
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k", minimize_widths=False,
+    )
+    out = kerf_sql(
+        spark,
+        "begin;\n"
+        "delete from txm\n"
+        "where k in (1, 2);\n"
+        "update txm\n"
+        "  set v = v + 100\n"
+        "  where k = 3;\n"
+        "commit",
+        workspace=ws,
+    )
+    assert out is not None
+    assert ws.load("txm").count() == 8
+    assert ws.load("txm").where("k = 3").head()["v"] == 106
+    # no-space head: `begin;delete …;rollback` — body undone
+    kerf_sql(
+        spark,
+        "begin;delete from txm where k in (5);rollback",
+        workspace=ws,
+    )
+    assert ws.load("txm").count() == 8
