@@ -364,10 +364,80 @@ class Workspace:
             with open(tmp, "w") as f:
                 json.dump(self.manifest, f, indent=2)
             os.replace(tmp, self._manifest_path)  # atomic swap
+            self._write_epoch()
         finally:
             if fcntl is not None:
                 fcntl.flock(lf, fcntl.LOCK_UN)
             lf.close()
+
+    def _write_epoch(self) -> None:
+        """Root-level EPOCH pointer for RAW-PATH readers (r12 verdict
+        next #7): ``<root>/epoch`` is ONE symlink naming a directory
+        of per-table symlinks, each resolving the version THIS
+        manifest declares.  Rebuilt on every flush under the manifest
+        lock (O(tables) symlinks, no data moved) and flipped with a
+        single atomic ``os.replace`` — so even a consumer outside the
+        Workspace (``spark.read.parquet``) gets a cross-table atomic
+        view: resolve the flip target once (:meth:`epoch_path`) and
+        every table read from it belongs to the same epoch, closing
+        the quick-succession per-table symlink swaps at transaction
+        commit.  Two epoch dirs are retained (grace-of-one, matching
+        version retention); filesystems without symlinks degrade
+        silently — the manifest stays the source of truth."""
+        import glob as _glob
+        import shutil
+
+        edir_root = os.path.join(self.root, ".epochs")
+        os.makedirs(edir_root, exist_ok=True)
+        ptr = os.path.join(self.root, "epoch")
+        n = 0
+        if os.path.islink(ptr):
+            m = re.search(r"e(\d+)$", os.readlink(ptr))
+            if m:
+                n = int(m.group(1))
+        new = os.path.join(edir_root, f"e{n + 1}")
+        shutil.rmtree(new, ignore_errors=True)
+        try:
+            os.makedirs(new)
+            for name, meta in self.manifest.get("tables", {}).items():
+                try:
+                    target = os.path.realpath(self._data_dir(meta))
+                except (OSError, KeyError):
+                    continue  # swept mid-build: next flush catches up
+                os.symlink(
+                    target, os.path.join(new, name.replace(os.sep, "_"))
+                )
+            tmp = ptr + ".epoch.tmp"
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            os.symlink(new, tmp)
+            os.replace(tmp, ptr)  # THE cross-table flip: atomic
+        except OSError:
+            return  # no symlink support: epoch pointer unavailable
+        for d in _glob.glob(os.path.join(edir_root, "e*")):
+            m = re.fullmatch(r"e(\d+)", os.path.basename(d))
+            if m and int(m.group(1)) < n:  # keep e{n} (grace), e{n+1}
+                shutil.rmtree(d, ignore_errors=True)
+
+    def epoch_path(self, name: str) -> str:
+        """RAW-PATH reader entry point: the parquet directory of
+        ``name`` in the CURRENT epoch.  Resolves the root ``epoch``
+        pointer and the per-table symlink ONCE, so the returned path
+        is immune to later flips mid-scan (version grace-of-one
+        retention and reader leases protect the resolved files,
+        exactly as Workspace loads).  Pair with the manifest schema
+        (or :meth:`load`) when type width matters — this is the
+        bare-directory view."""
+        edir = os.path.realpath(os.path.join(self.root, "epoch"))
+        p = os.path.join(edir, name.replace(os.sep, "_"))
+        if not os.path.lexists(p):
+            raise KeyError(
+                f"no table {name!r} in the current epoch "
+                f"(epoch pointer at {edir!r})"
+            )
+        return os.path.realpath(p)
 
     def save(
         self,
@@ -1655,10 +1725,28 @@ class Workspace:
         # O(new files), the tick hot path.  _data_dir keeps that
         # correct inside a transaction too (a table already staged in
         # this txn receives the append in its staged, not-yet-visible
-        # version); an append to a table NOT otherwise written in the
-        # txn lands in the visible version immediately — appends are
-        # the one write that trades epoch visibility for O(new)
-        # (documented at transaction()).
+        # version).  A table NOT yet staged by the open transaction
+        # first hardlink-clones its current version into a NEW staged
+        # version and appends there (r12 verdict next #4) — O(existing
+        # file count) metadata, zero bytes copied — so append joins
+        # the epoch publish: a concurrent Workspace reader never sees
+        # this append before the transaction's other writes.  Legacy
+        # never-pointer-published and bucketed tables keep the
+        # immediate-visibility in-place append (no version to stage).
+        if (
+            self._txn_pending is not None
+            and meta["path"] not in self._txn_pending
+            and meta.get("publish_version")
+            and os.path.isdir(self._data_dir(meta))
+        ):
+            import uuid as _uuid
+
+            cur = self._data_dir(meta)
+            staging = (
+                f"{meta['path']}.staging.txnappend.{_uuid.uuid4().hex[:8]}"
+            )
+            _clone_tree(cur, staging)
+            self._publish_dir(meta, staging)
         dest = self._data_dir(meta)
         pre_files = _data_files(dest)
         zorder_by = meta.get("zorder_by") or []
@@ -2839,10 +2927,12 @@ class Workspace:
         documented edges remain per-table: raw-path readers
         (``spark.read.parquet(table_path)`` outside the Workspace)
         follow the symlinks, which swap in quick succession at
-        commit rather than atomically; :meth:`append` — the one
-        O(new-files) in-place write — lands in the VISIBLE version
-        immediately unless its table was already staged by this
-        transaction; and :meth:`drop` ``delete=True`` removes files
+        commit rather than atomically — :meth:`epoch_path` closes
+        this for readers that opt in; :meth:`append` on a
+        pointer-published table JOINS the epoch (it hardlink-clones
+        the current version into a staged one and appends there —
+        r12 verdict next #4), while legacy/bucketed tables keep the
+        immediate in-place append; and :meth:`drop` ``delete=True`` removes files
         immediately (rollback recovers them from the begin snapshot's
         hardlinks, but concurrent readers of the dropped table fail
         mid-transaction rather than at commit).  The transaction's own loads see its staged
@@ -3286,6 +3376,26 @@ def _lex_prefix_cmp(t, b) -> int:
         if x > y:
             return 1
     return 0
+
+
+def _clone_tree(src: str, dst: str) -> None:
+    """Hardlink-clone a version directory (recursively — partitioned
+    tables nest): zero bytes copied, O(files) metadata.  Filesystems
+    without hardlink support fall back to byte copies, matching the
+    staging commit in Workspace._commit_staged."""
+    import shutil
+
+    for d, _, fs in os.walk(src):
+        rel = os.path.relpath(d, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in fs:
+            s = os.path.join(d, f)
+            t = os.path.join(out, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
 
 
 def _data_files(path: str) -> set[str]:

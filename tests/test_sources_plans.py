@@ -3254,3 +3254,129 @@ def test_kerfsql_txn_batch_multiline_and_no_space(spark, ws_root):
         workspace=ws,
     )
     assert ws.load("txm").count() == 8
+
+
+def test_txn_append_joins_epoch_publish(spark, ws_root):
+    """r12 verdict next #4: append() inside a transaction on a table
+    not otherwise staged clones the current version and appends into
+    the STAGED copy — a sibling Workspace reader mid-transaction never
+    sees the appended rows (no A-appended/B-old skew), commit
+    publishes them with the rest of the epoch, and rollback discards
+    them."""
+    ws = Workspace(spark, ws_root)
+    ws.save("fact", spark.range(100).select(F.col("id").alias("k")))
+    ws.save("dim", spark.range(10).select(F.col("id").alias("x")))
+    sibling = Workspace(spark, ws_root)
+    with ws.transaction():
+        ws.append("fact", spark.range(7).select(F.col("id").alias("k")))
+        ws.save("dim", spark.range(20).select(F.col("id").alias("x")))
+        assert ws.load("fact").count() == 107  # own staged view
+        sibling.refresh()
+        assert sibling.load("fact").count() == 100, (
+            "in-txn append leaked into the visible version"
+        )
+        assert sibling.load("dim").count() == 10
+    sibling.refresh()
+    assert sibling.load("fact").count() == 107
+    assert sibling.load("dim").count() == 20
+    # rollback: an appended-then-failed transaction leaves no trace
+    with pytest.raises(RuntimeError, match="apboom"):
+        with ws.transaction():
+            ws.append(
+                "fact", spark.range(5).select(F.col("id").alias("k"))
+            )
+            assert ws.load("fact").count() == 112
+            raise RuntimeError("apboom")
+    assert ws.load("fact").count() == 107
+    sibling.refresh()
+    assert sibling.load("fact").count() == 107
+
+
+def test_txn_append_keyed_sort_index_and_second_write(spark, ws_root):
+    """In-txn append composes with the keyed sort index and with a
+    LATER staged write to the same table in the same transaction."""
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "kt",
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k", minimize_widths=False,
+    )
+    with ws.transaction():
+        ws.append(
+            "kt",
+            spark.range(100, 110).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            ),
+        )
+        ws.delete_keys("kt", [0, 1])
+        assert ws.load("kt").count() == 108
+    assert ws.load("kt").count() == 108
+    assert ws.key_lookup("kt", 105).head()["v"] == 315
+    assert ws.key_lookup("kt", 0).count() == 0
+
+
+def test_epoch_pointer_raw_reader_atomicity(spark, ws_root):
+    """r12 verdict next #7: the root-level `epoch` pointer gives
+    RAW-PATH readers (spark.read.parquet, no Workspace manifest) one
+    atomic cross-table flip per commit — a reader resolving
+    epoch_path() for two tables inside one epoch resolution never
+    observes mixed generations across 6 transactional rewrites."""
+    import threading
+
+    ws = Workspace(spark, ws_root)
+
+    def mk(i):
+        return spark.range(20).select(
+            F.col("id").alias("k"), F.lit(i).cast("long").alias("gen")
+        )
+
+    ws.save("ea", mk(0), minimize_widths=False)
+    ws.save("eb", mk(0), minimize_widths=False)
+    reader = Workspace(spark, ws_root)  # only for root; no refresh()
+    stop = threading.Event()
+    mixed, errors = [], []
+
+    def rdr():
+        while not stop.is_set():
+            try:
+                # ONE epoch resolution covers both tables
+                pa = reader.epoch_path("ea")
+                pb = reader.epoch_path("eb")
+                if os.path.dirname(pa) and not os.path.isdir(pa):
+                    continue
+                ga = spark.read.parquet(pa).agg(F.max("gen")).head()[0]
+                gb = spark.read.parquet(pb).agg(F.max("gen")).head()[0]
+                if ga != gb:
+                    mixed.append((ga, gb))
+                    return
+            except Exception as e:  # noqa: BLE001
+                msg = repr(e) + str(e)  # Py4J buries the cause in str
+                if (
+                    "PATH_NOT_FOUND" in msg
+                    or "swept" in msg
+                    or "does not exist" in msg
+                    or "FileNotFound" in msg
+                ):
+                    continue  # lapped by 2+ epochs: documented, retry
+                errors.append(msg)
+                return
+
+    threads = [threading.Thread(target=rdr) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for gen in range(1, 7):
+            with ws.transaction():
+                ws.save("ea", mk(gen), minimize_widths=False)
+                ws.save("eb", mk(gen), minimize_widths=False)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=180)
+    assert mixed == [], f"raw reader saw cross-table skew: {mixed}"
+    assert errors == [], errors
+    assert spark.read.parquet(ws.epoch_path("ea")).count() == 20
+    with pytest.raises(KeyError):
+        ws.epoch_path("nope")
