@@ -49,6 +49,21 @@ Protocol (one JSON object per line, UTF-8):
                                            # before src runs — the
                                            # binary wire goes BOTH ways
 
+    -> {"src": "select * from t where ...",
+        "ship": {"to": [host, port], "name": "part"}}
+    <- {"ok": true, "kind": "shipped", "rows": R, "chunks": C,
+        "names": ["part_c0", ...]}         # MEMBER→MEMBER push: this
+                                           # server uploads the result
+                                           # straight to a peer server
+                                           # (chunked under the Arrow
+                                           # bounds) — the reshard
+                                           # exchange plane; a "peers"
+                                           # list + "bucket_col" fans
+                                           # one result out to many
+
+    -> {"src": "null", "unpublish": "part_c0"}   # or "prefix*"
+    <- {"ok": true, "kind": "unpublished", "names": [...]}
+
 Each CONNECTION is a session: one persistent interpreter environment
 (variables, lambdas, temp views live across requests), all sessions
 sharing one SparkSession — the reference's one-process-many-consoles
@@ -96,6 +111,14 @@ ARROW_MAX_ROWS = 1_000_000
 #: stay driver-bounded — bigger tables belong on the parquet
 #: side-channel (write once, every session reads it pruned)
 ARROW_MAX_UPLOAD_BYTES = 1 << 30
+
+#: row ceiling for ONE member→member ship (the reshard exchange's
+#: per-(shipper, receiver) bucket): the bucket materializes on the
+#: SHIPPER's driver before chunking — ~1/N² of the folio per pair
+#: under even hashing — so this bound trips only on extreme skew,
+#: where the parquet side-channel (save + member-local read) is the
+#: honest plane and the error says so
+SHIP_MAX_ROWS = 10_000_000
 
 
 def _json_cell(v: Any) -> Any:
@@ -259,6 +282,141 @@ def _arrow_frame(v: Any) -> tuple[dict, bytes]:
     return header, payload
 
 
+def _ship_chunks(tbl, name: str, host, port, timeout: float, per: int):
+    """Push one Arrow table to one peer as published chunk tables
+    ``<name>_c<k>`` (chunk 0 always ships, possibly empty, so the
+    receiver holds the schema).  Returns the published names."""
+    names: list[str] = []
+    with KerfClient(host, int(port), timeout=timeout) as cli:
+        offs = list(range(0, tbl.num_rows, per)) or [0]
+        for k, off in enumerate(offs):
+            chunk = tbl.slice(off, per)
+            nm = f"{name}_c{k}"
+            r = cli.execute(
+                f"select * from {nm}", upload=(nm, chunk), publish=nm
+            )
+            if not r.get("ok"):
+                raise RuntimeError(
+                    f"ship chunk {nm} to {host}:{port} refused: "
+                    f"{r.get('kind')}: {r.get('message')}"
+                )
+            names.append(nm)
+    return names
+
+
+def _ship_result(v: Any, spec: dict) -> "_Saved":
+    """MEMBER→MEMBER push plane (r12 verdict next #1): serialize the
+    request's table result and upload it DIRECTLY to peer servers as
+    published chunk tables — the shipper acts as a client of the
+    receivers, so the bytes never transit the coordinating client
+    (the reference's folio-of-remote-tables story,
+    presented.h:427-430, is peer-to-peer by construction).
+
+    Two shapes:
+
+    * ``{"to": [host, port], "name": n}`` — ship the whole result to
+      one peer as ``n_c<k>`` chunks;
+    * ``{"peers": [[h,p] | null, ...], "bucket_col": c, "name": n}``
+      — ONE local evaluation fans out to every peer: rows route by
+      the integer column ``c`` (null peers skip — the shipper's own
+      bucket), each peer j receiving ``n_b<j>_c<k>`` chunks, pushed
+      concurrently.  This is the reshard's exchange: one Spark job
+      per shipper, N-1 direct pushes.
+
+    The result is chunked under the Arrow frame bounds (each chunk
+    ≤ ``ARROW_MAX_ROWS`` rows and ~half ``ARROW_MAX_UPLOAD_BYTES``),
+    so a bucket larger than one frame still ships.  Each chunk
+    publishes on its receiver as a SERVER table, visible to
+    connections opened later (the reshard's stage phase).  Returns
+    an acknowledgement with the published names (``names`` for the
+    single-peer shape, ``names_by_peer`` keyed by bucket index for
+    the fan-out shape)."""
+    import concurrent.futures as _fut
+
+    import pyarrow.compute as pc
+
+    from pyspark.sql import DataFrame
+
+    from .errors import KerfTypeError
+
+    if not isinstance(v, DataFrame):
+        raise KerfTypeError(
+            f"ship needs a table result, got {type(v).__name__}"
+        )
+    name = str(spec.get("name", ""))
+    if not re.fullmatch(r"[A-Za-z_]\w*", name):
+        raise ValueError(f"ship name {name!r} is not a valid name")
+    tbl = v.limit(SHIP_MAX_ROWS + 1).toArrow()
+    if tbl.num_rows > SHIP_MAX_ROWS:
+        raise KerfTypeError(
+            f"ship result exceeds {SHIP_MAX_ROWS} rows — this bucket "
+            f"is skewed beyond the wire plane; use the parquet "
+            f"side-channel (save + member-local read)"
+        )
+    per = int(spec.get("chunk_rows") or ARROW_MAX_ROWS)
+    per = max(1, min(per, ARROW_MAX_ROWS))
+    if tbl.num_rows:
+        bpr = max(1, tbl.nbytes // tbl.num_rows)
+        per = max(1, min(per, (ARROW_MAX_UPLOAD_BYTES // 2) // bpr))
+    timeout = float(spec.get("timeout") or 240.0)
+    peers = spec.get("peers")
+    if peers is None:
+        try:
+            host, port = spec["to"]
+        except (KeyError, TypeError, ValueError):
+            raise ValueError(
+                "ship needs {'to': [host, port]} or {'peers': [...]}"
+            ) from None
+        names = _ship_chunks(tbl, name, host, port, timeout, per)
+        return _Saved(
+            {
+                "ok": True,
+                "kind": "shipped",
+                "to": f"{host}:{port}",
+                "rows": tbl.num_rows,
+                "chunks": len(names),
+                "names": names,
+            }
+        )
+    bcol = str(spec.get("bucket_col", ""))
+    if bcol not in tbl.schema.names:
+        raise ValueError(
+            f"ship bucket_col {bcol!r} is not in the result columns"
+        )
+    col = tbl.column(bcol)
+    data = tbl.drop_columns([bcol])
+
+    def push(j_peer):
+        j, peer = j_peer
+        part = data.filter(pc.equal(col, j))
+        names = _ship_chunks(
+            part, f"{name}_b{j}", peer[0], peer[1], timeout, per
+        )
+        return j, names, part.num_rows
+
+    targets = [
+        (j, peer) for j, peer in enumerate(peers) if peer is not None
+    ]
+    by_peer: dict[str, list[str]] = {}
+    sent = 0
+    chunks = 0
+    if targets:
+        with _fut.ThreadPoolExecutor(max_workers=len(targets)) as pool:
+            for j, names, rows in pool.map(push, targets):
+                by_peer[str(j)] = names
+                sent += rows
+                chunks += len(names)
+    return _Saved(
+        {
+            "ok": True,
+            "kind": "shipped",
+            "rows": sent,
+            "chunks": chunks,
+            "names_by_peer": by_peer,
+        }
+    )
+
+
 def encode_error(exc: BaseException) -> dict:
     """Raised exception -> taxonomy-kinded failure response
     (jump.h:144-198 display names via KerfErrorValue.from_exception,
@@ -369,6 +527,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 ret = None
                 for stmt in split_statements(src):
                     ret = interp.exec_stmt(stmt, env)
+                ship = req.get("ship")
+                if ship is not None:
+                    # member→member push: this server uploads the
+                    # result straight to a peer (the reshard exchange
+                    # plane) — the requesting client gets only an
+                    # acknowledgement with the published chunk names
+                    ret = _ship_result(ret, ship)
                 save = req.get("save")
                 if save is not None:
                     ret = _save_result(
@@ -405,12 +570,56 @@ class _Handler(socketserver.StreamRequestHandler):
                         f"__kerf_srv_{server.view_token}_{name}"
                     )
                     server.tables[name] = ret
+                    # the PUBLISHING connection sees its own table
+                    # immediately (other existing connections still
+                    # reconnect, as documented) — the reshard's
+                    # stage→persist sequence rides one connection
+                    ret.createOrReplaceTempView(name)
+                    env.set_local(name, session.table(name))
                     ret = _Saved(
                         {
                             "ok": True,
                             "kind": "published",
                             "name": name,
                             "columns": ret.columns,
+                        }
+                    )
+                unpub = req.get("unpublish")
+                if unpub is not None:
+                    # retire SERVER tables (the publish plane's
+                    # inverse): exact name, or `prefix*` to drop every
+                    # matching table — the reshard cleanup path.  The
+                    # published views' plans inline their sources
+                    # (LocalRelations / analyzed children), so
+                    # dropping an intermediate never breaks a table
+                    # published FROM it.
+                    pat = str(unpub)
+                    if pat.endswith("*"):
+                        pre = pat[:-1]
+                        if not re.fullmatch(r"[A-Za-z_]\w*", pre):
+                            raise ValueError(
+                                f"unpublish prefix {pat!r} is invalid"
+                            )
+                        victims = [
+                            t for t in list(server.tables)
+                            if t.startswith(pre)
+                        ]
+                    else:
+                        if not re.fullmatch(r"[A-Za-z_]\w*", pat):
+                            raise ValueError(
+                                f"unpublish name {pat!r} is invalid"
+                            )
+                        victims = [pat] if pat in server.tables else []
+                    for t in victims:
+                        server.tables.pop(t, None)
+                        session.catalog.dropGlobalTempView(
+                            f"__kerf_srv_{server.view_token}_{t}"
+                        )
+                    ret = _Saved(
+                        {
+                            "ok": True,
+                            "kind": "unpublished",
+                            "names": sorted(victims),
                         }
                     )
                 # serialize INSIDE the boundary: a cell json can't
@@ -533,6 +742,8 @@ class KerfClient:
         arrow: bool = False,
         upload: tuple[str, "object"] | None = None,
         publish: str | None = None,
+        ship: dict | None = None,
+        unpublish: str | None = None,
     ) -> dict:
         """One request/response round trip.  With ``arrow=True`` a
         table result arrives as a length-prefixed Arrow IPC stream on
@@ -562,6 +773,10 @@ class KerfClient:
             req_obj["save"] = save
         if publish is not None:
             req_obj["publish"] = publish
+        if ship is not None:
+            req_obj["ship"] = ship
+        if unpublish is not None:
+            req_obj["unpublish"] = unpublish
         if arrow:
             req_obj["arrow"] = True
         req = json.dumps(req_obj)
@@ -683,6 +898,28 @@ def folio_remote(
     return out
 
 
+def _reshard_cleanup(
+    addrs, out_name: str, stage: str, timeout: float, drop_stage: bool
+) -> None:
+    """Best-effort retirement of the exchange's intermediate server
+    tables (received chunks, and optionally the staged relation) on
+    every member — a dead member simply restarts clean, since all the
+    intermediates are in-memory relations."""
+    import concurrent.futures as _fut
+
+    def clean(addr):
+        try:
+            with KerfClient(*addr, timeout=timeout) as cli:
+                cli.execute("null", unpublish=f"__rs_{out_name}_f*")
+                if drop_stage:
+                    cli.execute("null", unpublish=stage)
+        except Exception:  # noqa: BLE001 — cleanup never masks
+            pass
+
+    with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
+        list(pool.map(clean, addrs))
+
+
 def folio_reshard(
     addrs: list[tuple[str, int]],
     table: str,
@@ -690,6 +927,9 @@ def folio_reshard(
     out_name: str,
     timeout: float = 240.0,
     check: bool = True,
+    persist: str | None = None,
+    chunk_rows: int | None = None,
+    cleanup: bool = True,
 ) -> dict:
     """RESHARD a member-sharded folio table onto a named key — the
     exchange that makes any fact-to-fact folio join co-shardable on
@@ -697,31 +937,43 @@ def folio_reshard(
     folio-of-remote-tables presented.h:427-430 at full strength).
     Every member hash-buckets its shard by ``pmod(hash(key), N)``
     (Spark's Murmur3 — one deterministic function evaluated member-
-    side, so all members agree); member i KEEPS bucket i and ships
-    bucket j to member j over the existing binary Arrow wire; each
-    receiver publishes ``out_name`` = its kept bucket ∪ the received
-    frames, visible to every NEW connection (the ``publish`` plane).
-    After the exchange, a join between two tables resharded on the
-    same key is COMPLETE member-side — ``folio_select(...,
-    member_local_joins=True)`` runs it without a gather.
+    side, so all members agree); member i keeps bucket i and SHIPS
+    bucket j DIRECTLY to member j (r12 verdict next #1: the ``ship``
+    plane — each member acts as a client of its peers), so the moved
+    bytes go shipper→receiver over N·(N-1) concurrent peer
+    connections and the coordinator's wire carries only ADDRESSES
+    and acknowledgements: O(N²) tiny JSON lines, zero data rows, and
+    O(1) coordinator memory regardless of table size.
+
+    TWO-PHASE PUBLISH (r12 verdict next #2): received chunks land as
+    ``__rs_<out>_f<i>_c<k>`` server tables; every member then STAGES
+    ``__rs_stage_<out>`` = kept bucket ∪ received chunks — nothing
+    user-visible yet; the row-conservation check runs against the
+    STAGED relations; only then does the FLIP publish ``out_name``
+    on every member.  A failure anywhere before the flip (a ship
+    crash, a dead member, a failed check) leaves ``out_name``
+    unpublished on EVERY member — never partially visible — and the
+    intermediates are retired best-effort.  The flip itself is
+    post-validation metadata (one publish per member, idempotent —
+    re-running the whole reshard converges).
 
     Scale shape: this IS the shuffle — each member ships (N-1)/N of
-    its rows exactly once, as one outgoing frame per member split
-    client-side into per-receiver buckets, 2N round trips total
-    (N pulls + N pushes, each phase concurrent).  Each frame is
-    bounded by the Arrow guards fail-loud; a shard whose outgoing
-    rows exceed them belongs on the parquet side-channel (save +
-    member-local read), same discipline as every other bulk plane.
-    Published tables live as in-memory relations on the member —
-    production members persist with ``save`` and re-serve from
-    parquet.  ``check=True`` (default) verifies row conservation
-    across the exchange (Σ member rows before == Σ resharded rows)
-    and raises on any loss/duplication.  Returns
-    ``{"rows": total, "moved": shipped_rows}``.
+    its rows exactly once; each (shipper, receiver) bucket chunks
+    under the Arrow frame bounds (``_ship_result``), so buckets
+    larger than one frame still move, and only a bucket beyond
+    ``SHIP_MAX_ROWS`` (extreme skew) is refused toward the parquet
+    side-channel.  ``persist="/dir"`` additionally saves each
+    member's staged shard to ``<dir>/<out_name>_m<j>`` (parquet,
+    executor-parallel, confined by the member's ``save_root``)
+    before the flip — the exchange then survives member restarts:
+    reload with ``KerfServer(spark, tables={out_name:
+    spark.read.parquet(path)})``.  After the exchange, a join
+    between two tables resharded on the same key is COMPLETE
+    member-side — ``folio_select(..., member_local_joins=True)``
+    runs it without a gather.  Returns ``{"rows": total, "moved":
+    shipped_rows, "persisted": [paths]}``.
     """
     import concurrent.futures as _fut
-
-    import pyarrow.compute as pc
 
     n = len(addrs)
     if n < 1:
@@ -729,85 +981,128 @@ def folio_reshard(
     if not re.fullmatch(r"[A-Za-z_]\w*", out_name):
         raise ValueError(f"out_name {out_name!r} is not a valid name")
     bucket = f"pmod(hash({key}), {n})"
+    stage = f"__rs_stage_{out_name}"
 
-    def pull(i):
-        # one round trip: ship ONLY the outgoing rows, tagged with
-        # their destination bucket; split per receiver client-side
+    def count(addr, t):
+        with KerfClient(*addr, timeout=timeout) as cli:
+            r = cli.execute(f"select count(*) as n from {t}")
+        if not r.get("ok"):
+            raise RuntimeError(
+                f"folio_reshard count on {addr} failed: "
+                f"{r.get('message')}"
+            )
+        return int(r["rows"][0][0])
+
+    # ---- phase 1: member→member SHIP (the map + exchange) — one
+    # request per shipper: member i evaluates its ENTIRE outgoing set
+    # in ONE Spark job (bucket-tagged), splits it per receiver in
+    # Arrow, and pushes each bucket straight to its peer concurrently
+    def ship(i):
+        peers = [
+            [addrs[j][0], int(addrs[j][1])] if j != i else None
+            for j in range(n)
+        ]
         with KerfClient(*addrs[i], timeout=timeout) as cli:
-            resp = cli.execute(
+            r = cli.execute(
                 f"select *, {bucket} as __rs_bucket from {table} "
                 f"where {bucket} != {i}",
-                arrow=True,
+                ship={
+                    "peers": peers,
+                    "bucket_col": "__rs_bucket",
+                    "name": f"__rs_{out_name}_f{i}",
+                    "chunk_rows": chunk_rows,
+                    "timeout": timeout,
+                },
             )
-        if not resp.get("ok"):
+        if not r.get("ok"):
             raise RuntimeError(
-                f"folio_reshard pull from {addrs[i]} failed: "
-                f"{resp.get('kind')}: {resp.get('message')}"
+                f"folio_reshard ship from {addrs[i]} failed: "
+                f"{r.get('kind')}: {r.get('message')}"
             )
-        tbl = resp["table"]
-        col = tbl.column("__rs_bucket")
-        return {
-            j: tbl.filter(pc.equal(col, j)).drop_columns(["__rs_bucket"])
-            for j in range(n)
-            if j != i
-        }
+        return r.get("names_by_peer") or {}, int(r.get("rows") or 0)
 
-    with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-        moving = list(pool.map(pull, range(n)))
-    moved = sum(t.num_rows for m in moving for t in m.values())
+    received: dict[int, list[str]] = {j: [] for j in range(n)}
+    moved = 0
+    saved: list[str] = []
+    total = None
+    try:
+        if n > 1:
+            with _fut.ThreadPoolExecutor(max_workers=n) as pool:
+                for by_peer, rows in pool.map(ship, range(n)):
+                    for j, names in by_peer.items():
+                        received[int(j)].extend(names)
+                    moved += rows
 
-    def push(j):
-        host, port = addrs[j]
-        with KerfClient(host, int(port), timeout=timeout) as cli:
-            names = []
-            for i in range(n):
-                if i == j:
-                    continue
-                nm = f"__rs_in{i}"
-                r = cli.execute("null", upload=(nm, moving[i][j]))
+        # ---- phase 2: STAGE kept ∪ received on every member (a
+        # server table under the staging name — not user-visible),
+        # optionally persisting each staged shard to parquet
+        def stage_member(j):
+            src = f"select * from {table} where {bucket} = {j}"
+            for nm in sorted(received[j]):
+                src += f" union all select * from {nm}"
+            with KerfClient(*addrs[j], timeout=timeout) as cli:
+                r = cli.execute(src, publish=stage)
                 if not r.get("ok"):
                     raise RuntimeError(
-                        f"folio_reshard upload to {addrs[j]} failed: "
+                        f"folio_reshard stage on {addrs[j]} failed: "
                         f"{r.get('kind')}: {r.get('message')}"
                     )
-                names.append(nm)
-            src = f"select * from {table} where {bucket} = {j}"
-            for nm in names:
-                src += f" union all select * from {nm}"
-            r = cli.execute(src, publish=out_name)
-            if not r.get("ok"):
-                raise RuntimeError(
-                    f"folio_reshard publish on {addrs[j]} failed: "
-                    f"{r.get('kind')}: {r.get('message')}"
-                )
-
-    with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-        list(pool.map(push, range(n)))
-
-    total = None
-    if check:
-        def count(addr, t):
-            with KerfClient(*addr, timeout=timeout) as cli:
-                r = cli.execute(f"select count(*) as n from {t}")
-            if not r.get("ok"):
-                raise RuntimeError(
-                    f"folio_reshard count on {addr} failed: "
-                    f"{r.get('message')}"
-                )
-            return int(r["rows"][0][0])
+                if persist is not None:
+                    p = f"{persist.rstrip('/')}/{out_name}_m{j}"
+                    r = cli.execute(f"select * from {stage}", save=p)
+                    if not r.get("ok"):
+                        raise RuntimeError(
+                            f"folio_reshard persist on {addrs[j]} "
+                            f"failed: {r.get('kind')}: "
+                            f"{r.get('message')}"
+                        )
+                    return p
+            return None
 
         with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-            before = sum(pool.map(lambda a: count(a, table), addrs))
-            after = sum(pool.map(lambda a: count(a, out_name), addrs))
-        if before != after:
+            saved = [p for p in pool.map(stage_member, range(n)) if p]
+
+        # ---- phase 3: row conservation against the STAGED relations,
+        # BEFORE anything becomes user-visible
+        if check:
+            with _fut.ThreadPoolExecutor(max_workers=n) as pool:
+                before = sum(pool.map(lambda a: count(a, table), addrs))
+                after = sum(pool.map(lambda a: count(a, stage), addrs))
+            if before != after:
+                raise RuntimeError(
+                    f"folio_reshard row-conservation check failed: "
+                    f"{before} rows in {table!r} across members, "
+                    f"{after} staged for {out_name!r} — exchange "
+                    f"lost or duplicated rows"
+                )
+            total = before
+    except BaseException:
+        # nothing flipped: retire chunks + stage so no member ever
+        # shows a partially-built out_name (a pre-existing out_name
+        # from an earlier exchange is left untouched)
+        _reshard_cleanup(addrs, out_name, stage, timeout, drop_stage=True)
+        raise
+
+    # ---- phase 4: FLIP — publish out_name from the staged relation
+    # on every member; post-validation metadata only
+    def flip(j):
+        with KerfClient(*addrs[j], timeout=timeout) as cli:
+            r = cli.execute(f"select * from {stage}", publish=out_name)
+        if not r.get("ok"):
             raise RuntimeError(
-                f"folio_reshard row-conservation check failed: "
-                f"{before} rows in {table!r} across members, "
-                f"{after} in {out_name!r} — exchange lost or "
-                f"duplicated rows"
+                f"folio_reshard flip on {addrs[j]} failed: "
+                f"{r.get('kind')}: {r.get('message')}"
             )
-        total = before
-    return {"rows": total, "moved": moved}
+
+    with _fut.ThreadPoolExecutor(max_workers=n) as pool:
+        list(pool.map(flip, range(n)))
+
+    # ---- cleanup: published plans inline their sources (uploaded
+    # chunks are LocalRelations), so retiring the intermediates never
+    # breaks out_name
+    if cleanup:
+        _reshard_cleanup(addrs, out_name, stage, timeout, drop_stage=True)
+    return {"rows": total, "moved": moved, "persisted": saved}
 
 
 # ------------------------------------------------- folio aggregate split

@@ -1534,3 +1534,163 @@ def test_folio_result_chains_into_kerfsql(spark):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_folio_reshard_p2p_wire_and_chunking(spark):
+    """r12 verdict next #1: the reshard exchange is member→member —
+    the ship plane moves every byte shipper→receiver direct, chunked
+    under the Arrow bounds (chunk_rows forces multi-chunk here), and
+    the coordinator never carries rows.  After cleanup the published
+    table still answers on NEW connections (published plans inline
+    their chunk LocalRelations)."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_remote, folio_reshard
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n_rows = cust.count()
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        stats = folio_reshard(
+            addrs, "customer", "c_custkey", "cust_rs2", chunk_rows=40
+        )
+        assert stats["rows"] == n_rows
+        assert stats["moved"] > 0
+        # intermediates retired on every member
+        for s in srvs:
+            leftovers = [t for t in s.tables if t.startswith("__rs_")]
+            assert leftovers == [], leftovers
+            assert "cust_rs2" in s.tables
+        got = folio_remote(spark, addrs, "select * from cust_rs2")
+        assert got.count() == n_rows
+        assert got.exceptAll(cust).count() == 0
+        assert cust.exceptAll(got).count() == 0
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_reshard_failure_leaves_no_partial_publish(spark):
+    """r12 verdict next #2 (atomicity): a ship failing mid-exchange
+    (dead peer) aborts BEFORE the flip — out_name is published on NO
+    member, and the received-chunk intermediates are retired."""
+    import socket as _socket
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_reshard
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    shards = [cust.where(F.col("c_custkey") % 2 == i) for i in range(2)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    # a third "member" that is a dead port: reserve one, then close it
+    dead = _socket.socket()
+    dead.bind(("127.0.0.1", 0))
+    dead_addr = dead.getsockname()
+    dead.close()
+    try:
+        addrs = [s.address for s in srvs] + [dead_addr]
+        with pytest.raises((RuntimeError, OSError)):
+            folio_reshard(addrs, "customer", "c_custkey", "cust_dead")
+        for s in srvs:
+            assert "cust_dead" not in s.tables, (
+                "partial publish survived a failed exchange"
+            )
+            leftovers = [t for t in s.tables if t.startswith("__rs_")]
+            assert leftovers == [], leftovers
+        with _client(srvs[0]) as c:
+            r = c.execute("select count(*) as n from cust_dead")
+            assert not r["ok"]
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_reshard_persist_survives_member_restart(spark, tmp_path):
+    """r12 verdict next #2 (durability): persist= saves each member's
+    staged shard to parquet before the flip; a restarted member
+    reloads its shard from disk and serves identical content."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_remote, folio_reshard
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n_rows = cust.count()
+    shards = [cust.where(F.col("c_custkey") % 2 == i) for i in range(2)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        stats = folio_reshard(
+            addrs, "customer", "c_custkey", "cust_ps",
+            persist=str(tmp_path),
+        )
+        assert stats["rows"] == n_rows
+        assert sorted(stats["persisted"]) == [
+            f"{tmp_path}/cust_ps_m0", f"{tmp_path}/cust_ps_m1"
+        ]
+        # "restart" member 1: stop it, start a fresh server whose
+        # cust_ps loads from the persisted parquet
+        pre = folio_remote(
+            spark, [addrs[1]], "select * from cust_ps"
+        ).collect()
+        srvs[1].stop()
+        reborn = KerfServer(
+            spark,
+            tables={
+                "cust_ps": spark.read.parquet(f"{tmp_path}/cust_ps_m1")
+            },
+        ).start()
+        srvs[1] = reborn
+        post = folio_remote(
+            spark, [reborn.address], "select * from cust_ps"
+        ).collect()
+        assert sorted(map(tuple, pre)) == sorted(map(tuple, post))
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_publish_unpublish_plane(spark):
+    """unpublish retires a server table (exact name and prefix*), and
+    a table published FROM an intermediate keeps answering after the
+    intermediate is dropped (plan inlining)."""
+    from kerf_spark.sources.io import read_table
+
+    srv = KerfServer(
+        spark, tables={"nation": read_table(spark, SF, "nation")}
+    ).start()
+    try:
+        with _client(srv) as c:
+            c.execute("select * from nation where n_regionkey = 0",
+                      publish="tmp_base")
+            c.execute("select count(*) as n from tmp_base",
+                      publish="derived")
+            r = c.execute("null", unpublish="tmp_base")
+            assert r["ok"] and r["names"] == ["tmp_base"]
+        assert "tmp_base" not in srv.tables
+        with _client(srv) as c:  # NEW connection: derived still works
+            r = c.execute("select * from derived")
+            assert r["ok"] and r["rows"][0][0] == 5
+            r = c.execute("null", unpublish="deri*")
+            assert r["ok"] and r["names"] == ["derived"]
+            r = c.execute("null", unpublish="no_such")
+            assert r["ok"] and r["names"] == []
+    finally:
+        srv.stop()
