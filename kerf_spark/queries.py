@@ -9448,24 +9448,45 @@ def validate_events_audit(spark, sf):
 @query(
     "validate_referential_orphans",
     """
+    WITH planted AS (
+      SELECT CAST(v AS BIGINT) AS o_custkey
+      FROM (VALUES (-1), (-1), (-1), (-2), (-2), (-7)) p(v)
+    ),
+    child AS (
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders
+      UNION ALL SELECT o_custkey FROM planted
+    )
     SELECT o_custkey AS custkey, count(*) AS n_orphan_orders
-    FROM orders
+    FROM child
     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
     GROUP BY o_custkey ORDER BY o_custkey
     """,
 )
 def validate_referential_orphans(spark, sf):
-    """Referential-integrity audit: orders whose customer key has no
-    parent row — a left-anti join that broadcasts the parent key set
-    when it is dimension-sized.  (TPC-H generators keep this empty by
-    construction; an empty report IS the expected pass state, and the
-    rows_match check proves both engines agree on emptiness.)"""
+    """Referential-integrity audit: child rows whose key has no
+    parent — a left-anti join that broadcasts the parent key set
+    when it is dimension-sized.  TPC-H generators keep the REAL
+    tables referentially intact, so the audit unions six synthetic
+    orphan orders under deterministic impossible keys (-1×3, -2×2,
+    -7×1) into the child side (VERDICT r12 next #5 — the row must
+    prove DETECTION, not emptiness): both engines must report
+    exactly those three orphan keys with those counts, plus any
+    genuine orphan the fixtures ever grow."""
     from .operators import validate as V
 
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("long").alias("o_custkey")
+    )
+    planted = spark.createDataFrame(
+        [(-1,), (-1,), (-1,), (-2,), (-2,), (-7,)], "o_custkey long"
+    )
     c = _t(spark, sf, "customer")
     return (
-        V.orphans(o, c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey")
+        V.orphans(
+            o.unionByName(planted),
+            c.select(F.col("c_custkey").cast("long").alias("o_custkey")),
+            "o_custkey",
+        )
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
         .orderBy("custkey")
@@ -12846,6 +12867,85 @@ def folio_remote_mode(spark, sf):
 
 
 @query(
+    "folio_heavy_hitters",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           true AS mode_is_max, true AS hh_is_topk
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def folio_heavy_hitters(spark, sf):
+    """CMS heavy hitters / approx mode over the folio (VERDICT r12
+    next #6 — mode and top-k for UNBOUNDED value domains, where the
+    exact histogram split's wire bound — the distinct-value count —
+    fails loud): members ship mergeable Count-Min cell partials
+    (≤ depth×width counted cells per member×group REGARDLESS of
+    domain, server.py:_folio_cms_frames — the same md5 cell hash
+    operators/sketches.py:37 persists) plus their local top-K′
+    candidates; the final cell-sums the sketches across members,
+    point-queries each candidate (min over depth), and keeps the top
+    k by estimate.  Gated like the other sketch rows: the returned
+    ``approx_mode`` value's EXACT count must equal the group's exact
+    maximum, and every ``heavy_hitters(…, 2)`` member's exact count
+    must be ≥ every unchosen value's exact count (a valid top-2
+    under ties) — a mis-picked candidate or a mis-merged cell turns
+    a boolean FALSE and the DuckDB oracle (all-TRUE by construction)
+    hash-mismatches."""
+    from .server import folio_select
+
+    srvs = _folio_customer_servers(spark, sf)
+    est = folio_select(
+        spark,
+        [s_.address for s_ in srvs],
+        "select c_nationkey, approx_mode(c_mktsegment) as am,"
+        " heavy_hitters(c_mktsegment, 2) as hh"
+        " from customer group by c_nationkey",
+    )
+    cnt = (
+        _t(spark, sf, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = cnt.groupBy("c_nationkey").agg(F.max("c").alias("cmax"))
+    am_ok = (
+        est.select("c_nationkey", F.col("am").alias("c_mktsegment"))
+        .join(cnt, ["c_nationkey", "c_mktsegment"])
+        .join(mx, "c_nationkey")
+        .select(
+            "c_nationkey",
+            (F.col("c") == F.col("cmax")).alias("mode_is_max"),
+        )
+    )
+    chosen_min = (
+        est.select("c_nationkey", F.explode("hh").alias("c_mktsegment"))
+        .join(cnt, ["c_nationkey", "c_mktsegment"])
+        .groupBy("c_nationkey")
+        .agg(F.min("c").alias("cmin"))
+    )
+    unchosen_max = (
+        cnt.join(est.select("c_nationkey", "hh"), "c_nationkey")
+        .where(~F.array_contains(F.col("hh"), F.col("c_mktsegment")))
+        .groupBy("c_nationkey")
+        .agg(F.max("c").alias("cout"))
+    )
+    hh_ok = chosen_min.join(unchosen_max, "c_nationkey", "left").select(
+        "c_nationkey",
+        (
+            F.col("cmin") >= F.coalesce(F.col("cout"), F.lit(0))
+        ).alias("hh_is_topk"),
+    )
+    return (
+        am_ok.join(hh_ok, "c_nationkey")
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "mode_is_max",
+            "hh_is_topk",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
     "keyed_tuple_range",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -14691,6 +14791,8 @@ _DRIVER_GREEN = [
     "folio_remote_last", "kerfsql_delete_pruned",
     "workspace_txn_rollback", "folio_remote_join", "folio_remote_kll",
     "theta_diff_users",
+    # r12 green (all of _R12_WINDOW — 50/50; first-time greens only)
+    "folio_remote_mode", "folio_reshard_join", "kerfsql_txn_rollback",
 ]
 
 #: Round-7 driver window (exactly 50 = the driver's per-round budget):
@@ -14958,9 +15060,54 @@ _R12_WINDOW = [
 # truncated tail parked-green for the next rotation.
 
 
+#: Round-13 driver window (VERDICT r12 next #3 — clear the remaining
+#: staleness debt): the round-13 addition and the one never-driver-
+#: checked row go first, then validate_referential_orphans (its
+#: oracle grew synthetic-orphan teeth this round — a changed row,
+#: not just a stale one), then the ENTIRE leftover r5-green cohort
+#: (19 more rows, 7 rounds stale), then the oldest r6 greens filling
+#: to 50.  Rows whose PLAN changed this round (the p2p reshard, the
+#: in-txn append staging, every folio_select statement) were
+#: value-checked locally against the same DuckDB oracles before
+#: their commits — the same slot-trading policy r11/r12 followed.
+_R13_WINDOW = [
+    # round-13 addition + never driver-checked
+    "folio_heavy_hitters", "folio_remote_distinct",
+    # changed this round: synthetic-orphan teeth in query AND oracle
+    "validate_referential_orphans",
+    # the leftover r5-green cohort, cleared in full
+    "multimodal_video_decode", "pagerank_supplier_nations",
+    "pca_project_embeddings", "percentile_disc_cont",
+    "quality_classifier_docs", "quantize_embeddings",
+    "rendezvous_shard_assign", "robust_zscore_events",
+    "scd2_apply_batch", "scd2_user_state_history",
+    "semantic_dedup_pairs", "semantic_dedup_survivors",
+    "stream_hll_users", "stream_incremental_dedup",
+    "stream_scd2_history", "stream_windowed_hll",
+    "substring_dedup_spans", "validate_events_audit",
+    "zorder_locality",
+    # oldest r6 greens, filling to 50
+    "asof_join_latest_order", "bigint_decimal",
+    "bloom_contamination_docs", "bollinger_bands_events",
+    "bpe_pair_counts", "compact_roundtrip",
+    "containment_pairs_docs", "drawdown_events",
+    "dup_cluster_best_docs", "global_moving_avg",
+    "global_running_sum", "interval_join_bursts",
+    "kerfsql_fby_filter", "kerfsql_tick_idioms", "macd_events",
+    "map_funcs", "merge_event_intervals", "ngram_novelty_docs",
+    "pq_encode_codes", "rand_det_uniform", "realized_vol_events",
+    "rolling_window_stats", "rsi_events", "session_windows",
+    "stochastic_events", "stream_drawdown", "stream_socket_ingest",
+    "tick_rule_flow", "volume_bars_events", "weighted_sample_docs",
+    "xbar_5min_bars",
+]
+# overshoots 50 on purpose: _reorder_registry truncates; the three
+# trailing r6 rows park green and head the r14 queue.
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R12_WINDOW if k in QUERIES][:50]
+    window = [k for k in _R13_WINDOW if k in QUERIES][:50]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)

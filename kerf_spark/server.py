@@ -1135,6 +1135,22 @@ _FOLIO_SKETCH = ("approx_count_distinct",)
 #: KB regardless of rows or domain), the final merges and queries the
 #: quantile (~1% rank error at the default k)
 _FOLIO_KLL = ("approx_percentile", "approx_quantile", "approx_median")
+#: heavy hitters / mode for UNBOUNDED value domains (r12 verdict next
+#: #6) — approximate but mergeable, the Count-Min complement of the
+#: exact histogram split (whose wire bound is the distinct-value
+#: count): members ship (a) CMS cell partials — ≤ depth×width counted
+#: cells per (member, group) REGARDLESS of domain — and (b) their
+#: local top-K candidate values; the final cell-sums the sketches
+#: across members (CMS merges by cell addition), point-queries every
+#: candidate (min over depth — the classic one-sided overestimate),
+#: and keeps the top k by estimated count.  A true global heavy
+#: hitter is a local heavy hitter on at least one member (pigeonhole
+#: with the K' slack), so candidacy holds for genuinely heavy keys;
+#: exact ``mode`` stays available for bounded domains via the
+#: histogram split.
+_FOLIO_CMS = ("approx_mode", "heavy_hitters")
+_CMS_DEPTH, _CMS_WIDTH = 4, 2048
+
 #: ordered "arg" aggregates — ALGEBRAIC once an explicit ordering
 #: column is named: ``last(x, ord)`` == ``max_by(x, ord)`` splits as
 #: member max_by partials + a final max_by over the member partials
@@ -1291,6 +1307,7 @@ def _folio_parse_select(q: str):
             + _FOLIO_HISTOGRAM
             + _FOLIO_SKETCH
             + _FOLIO_KLL
+            + _FOLIO_CMS
         ):
             arg, param = am.group(2).strip(), None
             dm = re.match(r"(?is)^\s*distinct\b(.*)$", arg)
@@ -1356,6 +1373,28 @@ def _folio_parse_select(q: str):
                         f"[0, 1]"
                     )
                 fn = "kll_percentile"
+            elif fn == "approx_mode":
+                fn, param = "cms_mode", None
+            elif fn == "heavy_hitters":
+                pieces = _split_top(arg)
+                if len(pieces) != 2:
+                    raise ArgsError(
+                        f"folio_select: {fn} takes (column, k)"
+                    )
+                arg = pieces[0].strip()
+                try:
+                    param = int(pieces[1])
+                except ValueError:
+                    raise ArgsError(
+                        f"folio_select: {fn} k must be a literal "
+                        f"integer, got {pieces[1]!r}"
+                    ) from None
+                if not 1 <= param <= 1000:
+                    raise ArgsError(
+                        f"folio_select: {fn} k {param} outside "
+                        f"[1, 1000]"
+                    )
+                fn = "cms_topk"
             elif fn in _FOLIO_VARIANCE:
                 fn = _FOLIO_VARIANCE[fn]
             if alias is None:
@@ -1383,6 +1422,171 @@ def _folio_parse_select(q: str):
                 )
             items.append((alias or expr, None, hit, None))
     return items, keys, table.strip(), where, having, order, limit
+
+
+def _folio_cms_frames(
+    spark,
+    addrs,
+    src_rel,
+    src_where,
+    keys,
+    key_names,
+    key_sel,
+    key_grp,
+    cms_items,
+    timeout,
+):
+    """CMS heavy-hitter finals — ``approx_mode(x)`` / ``heavy_hitters
+    (x, k)`` over the folio for UNBOUNDED value domains (r12 verdict
+    next #6).  Two concurrent member gathers per distinct argument:
+
+    * CELLS — the Count-Min partial: each value hashes (the md5
+      ``_h60`` construction operators/sketches.py:37 uses) into one
+      of ``_CMS_WIDTH`` buckets per depth row; the member ships
+      per-(group, depth, bucket) counts — ≤ depth×width rows per
+      (member, group) REGARDLESS of the domain, the property the
+      exact histogram split lacks.  CMS sketches merge across
+      members by plain cell addition.
+    * CANDIDATES — the member's local top-K′ values by count
+      (K′ = 4·k + 8 slack): a global heavy hitter is a local heavy
+      hitter on at least one member (pigeonhole over the slack), so
+      the union of local candidates covers the global top k.
+
+    The final cell-sums the member sketches, point-queries every
+    candidate (min over depth — the classic one-sided overestimate,
+    within εN ≈ e/width of truth w.h.p.), ranks per group (ties →
+    smaller value, stable across engines), and emits the top-1 value
+    for ``approx_mode`` / the best-first k-array for
+    ``heavy_hitters``.  Returns one frame per distinct argument."""
+    import concurrent.futures as _fut
+
+    from pyspark.sql import Window, functions as F
+
+    D, W = _CMS_DEPTH, _CMS_WIDTH
+    args = sorted({it[2] for it in cms_items})
+    ks = [int(it[3]) for it in cms_items if it[1] == "cms_topk"]
+    kprime = 4 * max(ks or [1]) + 8
+
+    def h_expr(val: str, d: str) -> str:
+        # _h60(concat(value, '#cms', depth)) % W — bit-identical to
+        # operators.sketches._cms_cells, so persisted CMS artifacts
+        # and the folio plane agree
+        return (
+            f"pmod(cast(conv(substring(md5(concat("
+            f"cast(({val}) as string), '#cms', cast(({d}) as string)"
+            f")), 1, 15), 16, 10) as bigint), {W})"
+        )
+
+    gathers = {}
+    for arg in args:
+        cond = f"({arg}) IS NOT NULL"
+        if src_where:
+            cond += f" AND ({src_where})"
+        cells = "SELECT "
+        if keys:
+            cells += f"{key_sel}, "
+        cells += (
+            f"__d, {h_expr(arg, '__d')} AS __b, count(*) AS __n "
+            f"FROM {src_rel} CROSS JOIN "
+            f"(SELECT explode(sequence(0, {D - 1})) AS __d) __cmsd "
+            f"WHERE {cond} GROUP BY "
+        )
+        cells += ", ".join(
+            ([key_grp] if keys else [])
+            + ["__d", h_expr(arg, "__d")]
+        )
+        inner = "SELECT "
+        if keys:
+            inner += f"{key_sel}, "
+        inner += (
+            f"({arg}) AS __v, count(*) AS __n FROM {src_rel} "
+            f"WHERE {cond} GROUP BY "
+        )
+        inner += ", ".join(([key_grp] if keys else []) + [f"({arg})"])
+        part = (
+            f"PARTITION BY {', '.join(key_names)} " if keys else ""
+        )
+        cand = (
+            f"SELECT "
+            + (f"{', '.join(key_names)}, " if keys else "")
+            + f"__v, __n FROM (SELECT *, row_number() OVER "
+            f"({part}ORDER BY __n DESC, __v ASC) AS __r "
+            f"FROM ({inner})) WHERE __r <= {kprime}"
+        )
+        gathers[(arg, "cells")] = cells
+        gathers[(arg, "cand")] = cand
+    with _fut.ThreadPoolExecutor(max_workers=len(gathers)) as pool:
+        got = dict(
+            zip(
+                gathers,
+                pool.map(
+                    lambda s: folio_remote(
+                        spark, addrs, s, timeout=timeout
+                    ),
+                    gathers.values(),
+                ),
+            )
+        )
+    frames = []
+    for arg in args:
+        merged = (
+            got[(arg, "cells")]
+            .groupBy(*(key_names + ["__d", "__b"]))
+            .agg(F.sum("__n").alias("__n"))
+        )
+        cand = got[(arg, "cand")].select(*(key_names + ["__v"])).distinct()
+        probe = cand.withColumn(
+            "__d",
+            F.explode(F.sequence(F.lit(0), F.lit(D - 1))),
+        ).withColumn("__b", F.expr(h_expr("__v", "__d")))
+        est = (
+            probe.join(merged, key_names + ["__d", "__b"], "left")
+            .groupBy(*(key_names + ["__v"]))
+            .agg(
+                F.min(F.coalesce(F.col("__n"), F.lit(0))).alias("__est")
+            )
+        )
+        w = (
+            Window.partitionBy(*key_names)
+            if key_names
+            else Window.partitionBy()
+        ).orderBy(F.desc("__est"), F.asc("__v"))
+        ranked = est.withColumn("__r", F.row_number().over(w))
+        aggs = []
+        for alias, fn, a2, param in cms_items:
+            if a2 != arg:
+                continue
+            if fn == "cms_mode":
+                aggs.append(
+                    F.max(F.when(F.col("__r") == 1, F.col("__v"))).alias(
+                        alias
+                    )
+                )
+            else:  # cms_topk
+                k = int(param)
+                aggs.append(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__r") <= k,
+                                    F.struct(
+                                        F.col("__r").alias("r"),
+                                        F.col("__v").alias("v"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("v"),
+                    ).alias(alias)
+                )
+        g = (
+            ranked.groupBy(*key_names).agg(*aggs)
+            if key_names
+            else ranked.agg(*aggs)
+        )
+        frames.append(g)
+    return frames
 
 
 def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
@@ -1661,6 +1865,7 @@ def folio_select(
         "count_distinct", "percentile", "mode",
         "sum_distinct", "avg_distinct",
     )
+    cms_fns = ("cms_mode", "cms_topk")
     var_fns = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
     # one ANCHOR column per distinct variance argument: a window
     # min(x) the member computes exactly (an actual data value), so
@@ -1672,7 +1877,7 @@ def folio_select(
     partials, finals = [], []
     var_items: list[int] = []
     for i, (alias, fn, arg, param) in enumerate(items):
-        if fn is None or fn in hist_fns:
+        if fn is None or fn in hist_fns or fn in cms_fns:
             continue
         if fn in ("max_by", "min_by"):
             # ordered "arg" aggregate: member ships (value at extreme
@@ -2066,6 +2271,17 @@ def folio_select(
             if fn in ("count_distinct", "sum_distinct", "avg_distinct"):
                 sel.append(F.col(al))
         hol_frames.append(g.select(*sel))
+    # ---- CMS finals: heavy hitters / approx mode for unbounded
+    # domains — their own bounded gathers (cells + candidates), one
+    # frame per argument, joined like the histogram frames
+    cms_items = [it for it in items if it[1] in cms_fns]
+    if cms_items:
+        hol_frames.extend(
+            _folio_cms_frames(
+                spark, addrs, src_rel, src_where, keys, key_names,
+                key_sel, key_grp, cms_items, timeout,
+            )
+        )
     # ---- local final merge --------------------------------------------
     if var_items:
         # variance re-centering: d_i = member anchor − group-global

@@ -1694,3 +1694,83 @@ def test_publish_unpublish_plane(spark):
             assert r["ok"] and r["names"] == []
     finally:
         srv.stop()
+
+
+def test_folio_select_cms_heavy_hitters(spark):
+    """r12 verdict next #6: approx_mode / heavy_hitters over the folio
+    ride mergeable Count-Min cell partials + local top-K' candidates —
+    bounded wire regardless of the value domain.  On this sparse
+    domain the CMS estimates are collision-free in practice, so the
+    results must MATCH the exact mode / exact top-2 (count desc,
+    value asc tie-break) of the unsharded table; parameter errors
+    fail loud."""
+    from pyspark.sql import Window, functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import KerfServer, folio_select
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer")
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        got = {
+            r["c_nationkey"]: (r["am"], tuple(r["hh"]))
+            for r in folio_select(
+                spark,
+                addrs,
+                "select c_nationkey, approx_mode(c_mktsegment) as am,"
+                " heavy_hitters(c_mktsegment, 2) as hh, count(*) as n"
+                " from customer group by c_nationkey",
+            ).collect()
+        }
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.desc("c"), F.asc("c_mktsegment")
+        )
+        ranked = (
+            cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("r", F.row_number().over(w))
+        )
+        want = {
+            r["c_nationkey"]: (r["m"], tuple(r["hh"]))
+            for r in ranked.where("r <= 2")
+            .groupBy("c_nationkey")
+            .agg(
+                F.max(F.when(F.col("r") == 1, F.col("c_mktsegment"))).alias(
+                    "m"
+                ),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("r").alias("r"),
+                                F.col("c_mktsegment").alias("v"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("v"),
+                ).alias("hh"),
+            )
+            .collect()
+        }
+        assert got == want
+        with pytest.raises(ArgsError, match="takes \\(column, k\\)"):
+            folio_select(
+                spark, addrs,
+                "select c_nationkey, heavy_hitters(c_mktsegment) as hh"
+                " from customer group by c_nationkey",
+            )
+        with pytest.raises(ArgsError, match="outside"):
+            folio_select(
+                spark, addrs,
+                "select c_nationkey,"
+                " heavy_hitters(c_mktsegment, 0) as hh"
+                " from customer group by c_nationkey",
+            )
+    finally:
+        for s in srvs:
+            s.stop()
