@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     # over the Arrow wire, then a co-sharded member-side join)
     "folio_remote_mode",
     "folio_reshard_join",
+    # round-13: CMS heavy hitters over the folio (mergeable Count-Min
+    # cell partials + local candidates — bounded wire regardless of
+    # the value domain; the exchange is two extra bounded gathers)
+    "folio_heavy_hitters",
 ]
 
 

@@ -945,20 +945,28 @@ def _parse_folio_addrs(addrs):
     return parsed
 
 
-def _loc_folio_reshard(addrs, table, key, out_name):
+def _loc_folio_reshard(addrs, table, key, out_name, persist=None):
     """``folio_reshard(members, "orders", "o_custkey", "orders_rs")``
     — the RESHARD exchange (DISTRIBUTED_ARRAY_FOLIO at full strength,
     enums.h:263 + presented.h:427-430): every member hash-buckets its
-    shard by the key, keeps its own bucket, ships the rest over the
-    Arrow wire, and publishes the resharded table under the new name;
-    afterwards a join between two tables resharded on one key is
-    complete member-side.  Returns the stats map ({"rows", "moved"});
-    row conservation is checked fail-loud.  See
+    shard by the key, keeps its own bucket, SHIPS the rest directly
+    to its peers (member→member, the coordinator carries only
+    addresses), stages kept ∪ received, row-conservation-checks the
+    staged relations, and only then flips the new name visible on
+    every member — a failure anywhere before the flip publishes
+    nothing anywhere.  An optional fifth argument persists each
+    member's staged shard to ``<dir>/<out>_m<j>`` parquet before the
+    flip, so the exchange survives member restarts.  Returns the
+    stats map ({"rows", "moved", "persisted"}).  See
     server.folio_reshard."""
     from ..server import folio_reshard
 
     return folio_reshard(
-        _parse_folio_addrs(addrs), str(table), str(key), str(out_name)
+        _parse_folio_addrs(addrs),
+        str(table),
+        str(key),
+        str(out_name),
+        persist=None if persist is None else str(persist),
     )
 
 
