@@ -13651,12 +13651,22 @@ def folio_reshard_join(spark, sf):
     tables: any row lost, duplicated, or mis-bucketed by the exchange
     is a value mismatch.  Revenue sums integer cents (exact in both
     engines)."""
+    import concurrent.futures as _fut
+
     from .server import folio_reshard, folio_select
 
     srvs = _folio_customer_servers(spark, sf)
     addrs = [s_.address for s_ in srvs]
-    folio_reshard(addrs, "orders_byok", "o_custkey", "orders_rs")
-    folio_reshard(addrs, "customer", "c_custkey", "customer_rs")
+    # the two exchanges are independent — run them CONCURRENTLY (the
+    # ships/stages/checks of one overlap the other's round trips)
+    with _fut.ThreadPoolExecutor(max_workers=2) as pool:
+        a = pool.submit(
+            folio_reshard, addrs, "orders_byok", "o_custkey", "orders_rs"
+        )
+        b = pool.submit(
+            folio_reshard, addrs, "customer", "c_custkey", "customer_rs"
+        )
+        a.result(), b.result()
     merged = folio_select(
         spark,
         addrs,

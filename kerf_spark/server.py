@@ -441,14 +441,20 @@ class _Handler(socketserver.StreamRequestHandler):
         gdb = server.spark.conf.get(
             "spark.sql.globalTempDatabase", "global_temp"
         )
-        # list(): a concurrent publish may grow the table set mid-walk
+        # list(): a concurrent publish may grow the table set mid-walk;
+        # a concurrent UNPUBLISH may drop a captured name's global view
+        # before its CREATE runs (the reshard cleanup races new
+        # connections) — skip it rather than kill the connection
         for name in list(server.tables):
-            session.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS "
-                f"SELECT * FROM {gdb}."
-                f"`__kerf_srv_{server.view_token}_{name}`"
-            )
-            env.set_local(name, session.table(name))
+            try:
+                session.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS "
+                    f"SELECT * FROM {gdb}."
+                    f"`__kerf_srv_{server.view_token}_{name}`"
+                )
+                env.set_local(name, session.table(name))
+            except Exception:  # noqa: BLE001 — TOCTOU with unpublish
+                continue
         while True:
             line = self.rfile.readline()
             if not line:
@@ -983,16 +989,6 @@ def folio_reshard(
     bucket = f"pmod(hash({key}), {n})"
     stage = f"__rs_stage_{out_name}"
 
-    def count(addr, t):
-        with KerfClient(*addr, timeout=timeout) as cli:
-            r = cli.execute(f"select count(*) as n from {t}")
-        if not r.get("ok"):
-            raise RuntimeError(
-                f"folio_reshard count on {addr} failed: "
-                f"{r.get('message')}"
-            )
-        return int(r["rows"][0][0])
-
     # ---- phase 1: member→member SHIP (the map + exchange) — one
     # request per shipper: member i evaluates its ENTIRE outgoing set
     # in ONE Spark job (bucket-tagged), splits it per receiver in
@@ -1063,11 +1059,30 @@ def folio_reshard(
             saved = [p for p in pool.map(stage_member, range(n)) if p]
 
         # ---- phase 3: row conservation against the STAGED relations,
-        # BEFORE anything becomes user-visible
+        # BEFORE anything becomes user-visible.  ONE round trip and
+        # ONE Spark job per member: the source and staged counts ride
+        # a single UNION ALL statement (tagged rows), instead of two
+        # serialized pools of fresh-connection single counts
         if check:
+            def both_counts(addr):
+                with KerfClient(*addr, timeout=timeout) as cli:
+                    r = cli.execute(
+                        f"select 0 as side, count(*) as n from {table}"
+                        f" union all"
+                        f" select 1 as side, count(*) as n from {stage}"
+                    )
+                if not r.get("ok"):
+                    raise RuntimeError(
+                        f"folio_reshard count on {addr} failed: "
+                        f"{r.get('message')}"
+                    )
+                rows = {int(x[0]): int(x[1]) for x in r["rows"]}
+                return rows[0], rows[1]
+
             with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-                before = sum(pool.map(lambda a: count(a, table), addrs))
-                after = sum(pool.map(lambda a: count(a, stage), addrs))
+                pairs = list(pool.map(both_counts, addrs))
+            before = sum(b for b, _ in pairs)
+            after = sum(a for _, a in pairs)
             if before != after:
                 raise RuntimeError(
                     f"folio_reshard row-conservation check failed: "
@@ -1084,24 +1099,24 @@ def folio_reshard(
         raise
 
     # ---- phase 4: FLIP — publish out_name from the staged relation
-    # on every member; post-validation metadata only
+    # on every member; post-validation metadata only.  Cleanup rides
+    # the same connection (published plans inline their sources —
+    # uploaded chunks are LocalRelations — so retiring the
+    # intermediates never breaks out_name)
     def flip(j):
         with KerfClient(*addrs[j], timeout=timeout) as cli:
             r = cli.execute(f"select * from {stage}", publish=out_name)
-        if not r.get("ok"):
-            raise RuntimeError(
-                f"folio_reshard flip on {addrs[j]} failed: "
-                f"{r.get('kind')}: {r.get('message')}"
-            )
+            if not r.get("ok"):
+                raise RuntimeError(
+                    f"folio_reshard flip on {addrs[j]} failed: "
+                    f"{r.get('kind')}: {r.get('message')}"
+                )
+            if cleanup:
+                cli.execute("null", unpublish=f"__rs_{out_name}_f*")
+                cli.execute("null", unpublish=stage)
 
     with _fut.ThreadPoolExecutor(max_workers=n) as pool:
         list(pool.map(flip, range(n)))
-
-    # ---- cleanup: published plans inline their sources (uploaded
-    # chunks are LocalRelations), so retiring the intermediates never
-    # breaks out_name
-    if cleanup:
-        _reshard_cleanup(addrs, out_name, stage, timeout, drop_stage=True)
     return {"rows": total, "moved": moved, "persisted": saved}
 
 

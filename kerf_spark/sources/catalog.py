@@ -209,6 +209,13 @@ class Workspace:
                         disk.get(section, {}).pop(nm, None)
         self.manifest = disk
 
+    #: deadline for acquiring a SECOND (or later) table lock inside an
+    #: open transaction — the only acquisition shape that can form a
+    #: cross-transaction deadlock cycle (env KERF_TXN_LOCK_TIMEOUT
+    #: overrides); first acquisitions and non-transaction writers
+    #: still block indefinitely, as before
+    TXN_LOCK_TIMEOUT_S = 300.0
+
     #: lock-file paths held-until-commit by ANY Workspace instance in
     #: this process — flock between two fds of the SAME process blocks
     #: just like across processes, so a sibling instance writing a
@@ -237,8 +244,11 @@ class Workspace:
         version.  The sibling now blocks until the epoch publishes —
         true same-table serialization.  Two concurrent transactions
         locking overlapping tables in opposite orders can deadlock
-        (classic 2PL); keep multi-table transaction lock order
-        consistent across writers."""
+        (classic 2PL), so an acquisition made WHILE ALREADY HOLDING
+        transaction locks fails loud after ``TXN_LOCK_TIMEOUT_S``
+        (env ``KERF_TXN_LOCK_TIMEOUT``) instead of hanging both
+        writers forever; keep multi-table lock order consistent
+        across writers to avoid paying the timeout."""
         from contextlib import contextmanager
 
         @contextmanager
@@ -274,7 +284,41 @@ class Workspace:
             held_by_txn = False
             try:
                 if fcntl is not None:
-                    fcntl.flock(lf, fcntl.LOCK_EX)
+                    if self._txn_locks:
+                        # already holding txn locks: a blocking wait
+                        # here is the classic 2PL deadlock shape —
+                        # poll with a deadline and fail loud
+                        import time as _time
+
+                        deadline = _time.monotonic() + float(
+                            os.environ.get(
+                                "KERF_TXN_LOCK_TIMEOUT",
+                                self.TXN_LOCK_TIMEOUT_S,
+                            )
+                        )
+                        while True:
+                            try:
+                                fcntl.flock(
+                                    lf, fcntl.LOCK_EX | fcntl.LOCK_NB
+                                )
+                                break
+                            except OSError:
+                                if _time.monotonic() >= deadline:
+                                    raise FileError(
+                                        f"table {name!r}: lock not "
+                                        f"acquired within the "
+                                        f"transaction lock timeout — "
+                                        f"possible cross-transaction "
+                                        f"deadlock (another writer "
+                                        f"holds it while this "
+                                        f"transaction holds "
+                                        f"{sorted(self._txn_locks)}); "
+                                        f"acquire multi-table locks "
+                                        f"in a consistent order"
+                                    ) from None
+                                _time.sleep(0.05)
+                    else:
+                        fcntl.flock(lf, fcntl.LOCK_EX)
                 self.refresh()
                 if self._txn_touched is not None:
                     self._txn_touched.add(name)
@@ -523,6 +567,14 @@ class Workspace:
             raise ValueError("zorder_partitions requires zorder_by")
         if zorder_partitions is not None and int(zorder_partitions) <= 0:
             raise ValueError("zorder_partitions must be positive")
+        if name == "epoch":
+            # the root `epoch` symlink is the cross-table pointer for
+            # raw-path readers (_write_epoch) — a table by that name
+            # would fight it for the path
+            raise ValueError(
+                "table name 'epoch' is reserved for the workspace "
+                "epoch pointer"
+            )
         path = os.path.join(self.root, name)
         if minimize_widths:
             cur = {f.name: f.dataType.simpleString() for f in df.schema.fields}

@@ -3380,3 +3380,64 @@ def test_epoch_pointer_raw_reader_atomicity(spark, ws_root):
     assert spark.read.parquet(ws.epoch_path("ea")).count() == 20
     with pytest.raises(KeyError):
         ws.epoch_path("nope")
+
+
+def test_epoch_name_reserved_and_txn_lock_timeout(spark, ws_root):
+    """`epoch` is a reserved table name (it is the root cross-table
+    pointer for raw readers), and a second table-lock acquisition
+    inside an open transaction fails loud after the deadline instead
+    of deadlocking — the classic 2PL cycle shape."""
+    import subprocess
+    import sys
+
+    from kerf_spark.errors import FileError
+
+    ws = Workspace(spark, ws_root)
+    with pytest.raises(ValueError, match="reserved"):
+        ws.save("epoch", spark.range(3).select(F.col("id").alias("k")))
+    ws.save("ta", spark.range(5).select(F.col("id").alias("k")))
+    ws.save("tb", spark.range(5).select(F.col("id").alias("k")))
+    holder = None
+    os.environ["KERF_TXN_LOCK_TIMEOUT"] = "0.5"
+    try:
+        with pytest.raises(FileError, match="deadlock"):
+            with ws.transaction():
+                ws.save(
+                    "ta",
+                    spark.range(9).select(F.col("id").alias("k")),
+                )  # first lock: held until commit
+                # NOW a foreign process grabs tb's lock (stands in
+                # for a second transaction that locked tb first —
+                # started inside the body, because the begin
+                # snapshot itself serializes on every table lock)
+                holder = subprocess.Popen(
+                    [
+                        sys.executable,
+                        "-c",
+                        (
+                            "import fcntl,sys,time\n"
+                            "f=open("
+                            f"{os.path.join(ws_root, '.tlock.tb')!r},"
+                            "'a+')\n"
+                            "fcntl.flock(f,fcntl.LOCK_EX)\n"
+                            "print('HELD',flush=True)\n"
+                            "time.sleep(60)\n"
+                        ),
+                    ],
+                    stdout=subprocess.PIPE,
+                    text=True,
+                )
+                assert holder.stdout.readline().strip() == "HELD"
+                ws.save(
+                    "tb",
+                    spark.range(9).select(F.col("id").alias("k")),
+                )  # second lock: foreign holder -> timeout, not hang
+        # the failed transaction rolled back and released its locks
+        assert ws.load("ta").count() == 5
+        ws.save("ta", spark.range(7).select(F.col("id").alias("k")))
+        assert ws.load("ta").count() == 7
+    finally:
+        del os.environ["KERF_TXN_LOCK_TIMEOUT"]
+        if holder is not None:
+            holder.kill()
+            holder.wait()
