@@ -1774,3 +1774,62 @@ def test_folio_select_cms_heavy_hitters(spark):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_folio_reshard_string_key_and_single_member(spark):
+    """Edge shapes of the exchange: a STRING key whose 5-value domain
+    leaves some (shipper, receiver) buckets empty (the empty chunk-0
+    schema carrier must still union cleanly), and the degenerate
+    single-member folio (no ships at all — stage/check/flip only)."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_remote, folio_reshard
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_rows = cust.count()
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        stats = folio_reshard(
+            addrs, "customer", "c_mktsegment", "cust_seg"
+        )
+        assert stats["rows"] == n_rows
+        got = folio_remote(spark, addrs, "select * from cust_seg")
+        assert got.count() == n_rows
+        assert got.exceptAll(cust).count() == 0
+        # every member holds whole segments (hash buckets of a
+        # 5-value domain): no segment spans members
+        spans = (
+            folio_remote(
+                spark, addrs,
+                "select distinct c_mktsegment from cust_seg",
+                tag_col="__m",
+            )
+            .groupBy("c_mktsegment")
+            .count()
+            .where("count > 1")
+            .count()
+        )
+        assert spans == 0
+    finally:
+        for s in srvs:
+            s.stop()
+    solo = KerfServer(spark, tables={"customer": cust}).start()
+    try:
+        stats = folio_reshard(
+            [solo.address], "customer", "c_custkey", "cust_solo"
+        )
+        assert stats["rows"] == n_rows
+        assert stats["moved"] == 0
+        got = folio_remote(
+            spark, [solo.address], "select count(*) as n from cust_solo"
+        )
+        assert got.head()["n"] == n_rows
+    finally:
+        solo.stop()
