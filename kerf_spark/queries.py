@@ -12901,41 +12901,38 @@ def folio_heavy_hitters(spark, sf):
         " heavy_hitters(c_mktsegment, 2) as hh"
         " from customer group by c_nationkey",
     )
+    # ONE scan, ONE join, ONE aggregation: the exact per-(group,
+    # value) counts join the estimate row once, and both gates fall
+    # out of conditional aggregates — a NULL (phantom mode / empty
+    # hh) hash-mismatches the all-TRUE oracle just as a FALSE does
     cnt = (
         _t(spark, sf, "customer")
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    mx = cnt.groupBy("c_nationkey").agg(F.max("c").alias("cmax"))
-    am_ok = (
-        est.select("c_nationkey", F.col("am").alias("c_mktsegment"))
-        .join(cnt, ["c_nationkey", "c_mktsegment"])
-        .join(mx, "c_nationkey")
-        .select(
-            "c_nationkey",
-            (F.col("c") == F.col("cmax")).alias("mode_is_max"),
-        )
-    )
-    chosen_min = (
-        est.select("c_nationkey", F.explode("hh").alias("c_mktsegment"))
-        .join(cnt, ["c_nationkey", "c_mktsegment"])
-        .groupBy("c_nationkey")
-        .agg(F.min("c").alias("cmin"))
-    )
-    unchosen_max = (
-        cnt.join(est.select("c_nationkey", "hh"), "c_nationkey")
-        .where(~F.array_contains(F.col("hh"), F.col("c_mktsegment")))
-        .groupBy("c_nationkey")
-        .agg(F.max("c").alias("cout"))
-    )
-    hh_ok = chosen_min.join(unchosen_max, "c_nationkey", "left").select(
+    flagged = cnt.join(F.broadcast(est), "c_nationkey").select(
         "c_nationkey",
-        (
-            F.col("cmin") >= F.coalesce(F.col("cout"), F.lit(0))
-        ).alias("hh_is_topk"),
+        "c",
+        (F.col("c_mktsegment") == F.col("am")).alias("is_am"),
+        F.array_contains(F.col("hh"), F.col("c_mktsegment")).alias(
+            "in_hh"
+        ),
     )
     return (
-        am_ok.join(hh_ok, "c_nationkey")
+        flagged.groupBy("c_nationkey")
+        .agg(
+            (
+                F.max(F.when(F.col("is_am"), F.col("c")))
+                == F.max("c")
+            ).alias("mode_is_max"),
+            (
+                F.min(F.when(F.col("in_hh"), F.col("c")))
+                >= F.coalesce(
+                    F.max(F.when(~F.col("in_hh"), F.col("c"))),
+                    F.lit(0),
+                )
+            ).alias("hh_is_topk"),
+        )
         .select(
             F.col("c_nationkey").cast("long").alias("c_nationkey"),
             "mode_is_max",
