@@ -1467,15 +1467,24 @@ def _folio_cms_frames(
       hitter on at least one member (pigeonhole over the slack), so
       the union of local candidates covers the global top k.
 
-    The final cell-sums the member sketches, point-queries every
-    candidate (min over depth — the classic one-sided overestimate,
-    within εN ≈ e/width of truth w.h.p.), ranks per group (ties →
-    smaller value, stable across engines), and emits the top-1 value
+    The final runs DRIVER-SIDE in pandas over the already-local Arrow
+    frames (the same discipline as ``_hist_finals_pandas`` — routing
+    a few-thousand-row merge/min/rank through Spark stages costs
+    ~0.7 s of pure local stage scheduling): cell-sum the member
+    sketches, point-query every candidate (min over depth — the
+    classic one-sided overestimate, within εN ≈ e/width of truth
+    w.h.p.; the candidates carry their bucket addresses computed
+    MEMBER-SIDE by the same Spark expression, so no cast-to-string
+    semantics are re-implemented here), rank per group (ties →
+    smaller value, stable across engines), and emit the top-1 value
     for ``approx_mode`` / the best-first k-array for
-    ``heavy_hitters``.  Returns one frame per distinct argument."""
+    ``heavy_hitters``.  Returns one typed Spark frame per distinct
+    argument (LocalRelation — no further stages)."""
     import concurrent.futures as _fut
 
-    from pyspark.sql import Window, functions as F
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
 
     D, W = _CMS_DEPTH, _CMS_WIDTH
     args = sorted({it[2] for it in cms_items})
@@ -1521,10 +1530,13 @@ def _folio_cms_frames(
         part = (
             f"PARTITION BY {', '.join(key_names)} " if keys else ""
         )
+        bcols = ", ".join(
+            f"{h_expr('__v', str(d))} AS __b{d}" for d in range(D)
+        )
         cand = (
             f"SELECT "
             + (f"{', '.join(key_names)}, " if keys else "")
-            + f"__v, __n FROM (SELECT *, row_number() OVER "
+            + f"__v, {bcols} FROM (SELECT *, row_number() OVER "
             f"({part}ORDER BY __n DESC, __v ASC) AS __r "
             f"FROM ({inner})) WHERE __r <= {kprime}"
         )
@@ -1535,72 +1547,88 @@ def _folio_cms_frames(
             zip(
                 gathers,
                 pool.map(
-                    lambda s: folio_remote(
-                        spark, addrs, s, timeout=timeout
-                    ),
+                    lambda s: _gather_frames(addrs, s, timeout),
                     gathers.values(),
                 ),
             )
         )
     frames = []
     for arg in args:
-        merged = (
-            got[(arg, "cells")]
-            .groupBy(*(key_names + ["__d", "__b"]))
-            .agg(F.sum("__n").alias("__n"))
+        cand_schema = got[(arg, "cand")][0][1].schema
+        cells_pdf = pd.concat(
+            [t.to_pandas() for _, t in got[(arg, "cells")]],
+            ignore_index=True,
         )
-        cand = got[(arg, "cand")].select(*(key_names + ["__v"])).distinct()
-        probe = cand.withColumn(
-            "__d",
-            F.explode(F.sequence(F.lit(0), F.lit(D - 1))),
-        ).withColumn("__b", F.expr(h_expr("__v", "__d")))
-        est = (
-            probe.join(merged, key_names + ["__d", "__b"], "left")
-            .groupBy(*(key_names + ["__v"]))
-            .agg(
-                F.min(F.coalesce(F.col("__n"), F.lit(0))).alias("__est")
+        merged = cells_pdf.groupby(
+            key_names + ["__d", "__b"], dropna=False, as_index=False
+        )["__n"].sum()
+        cand = pd.concat(
+            [t.to_pandas() for _, t in got[(arg, "cand")]],
+            ignore_index=True,
+        ).drop_duplicates(subset=key_names + ["__v"])
+        # point-query: one merge per depth (pandas matches NaN keys,
+        # so null group keys line up), min across depths
+        for d in range(D):
+            sub = merged[merged["__d"] == d][
+                key_names + ["__b", "__n"]
+            ].rename(columns={"__b": f"__b{d}", "__n": f"__n{d}"})
+            cand = cand.merge(
+                sub, on=key_names + [f"__b{d}"], how="left"
             )
+        ncols = [f"__n{d}" for d in range(D)]
+        cand["__est"] = (
+            cand[ncols].fillna(0).min(axis=1).astype("int64")
         )
-        w = (
-            Window.partitionBy(*key_names)
-            if key_names
-            else Window.partitionBy()
-        ).orderBy(F.desc("__est"), F.asc("__v"))
-        ranked = est.withColumn("__r", F.row_number().over(w))
-        aggs = []
-        for alias, fn, a2, param in cms_items:
-            if a2 != arg:
-                continue
+        cand = cand.sort_values(
+            key_names + ["__est", "__v"],
+            ascending=[True] * len(key_names) + [False, True],
+            kind="mergesort",
+        )
+        if key_names:
+            cand["__r"] = (
+                cand.groupby(key_names, dropna=False).cumcount() + 1
+            )
+            heads = cand[cand["__r"] == 1][key_names].reset_index(
+                drop=True
+            )
+        else:
+            cand["__r"] = np.arange(1, len(cand) + 1)
+            heads = pd.DataFrame(index=[0])
+        res = heads.copy()
+        arg_items = [it for it in cms_items if it[2] == arg]
+        fields = [cand_schema.field(k) for k in key_names]
+        vtype = cand_schema.field("__v").type
+        for alias, fn, _a2, param in arg_items:
             if fn == "cms_mode":
-                aggs.append(
-                    F.max(F.when(F.col("__r") == 1, F.col("__v"))).alias(
-                        alias
+                top1 = cand[cand["__r"] == 1]
+                if key_names:
+                    res = res.merge(
+                        top1[key_names + ["__v"]].rename(
+                            columns={"__v": alias}
+                        ),
+                        on=key_names,
+                        how="left",
                     )
-                )
+                else:
+                    res[alias] = top1["__v"].reset_index(drop=True)
+                fields.append(pa.field(alias, vtype))
             else:  # cms_topk
                 k = int(param)
-                aggs.append(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__r") <= k,
-                                    F.struct(
-                                        F.col("__r").alias("r"),
-                                        F.col("__v").alias("v"),
-                                    ),
-                                )
-                            )
-                        ),
-                        lambda s: s.getField("v"),
-                    ).alias(alias)
-                )
-        g = (
-            ranked.groupBy(*key_names).agg(*aggs)
-            if key_names
-            else ranked.agg(*aggs)
+                sel = cand[cand["__r"] <= k]
+                if key_names:
+                    lists = (
+                        sel.groupby(key_names, dropna=False)["__v"]
+                        .apply(list)
+                        .reset_index(name=alias)
+                    )
+                    res = res.merge(lists, on=key_names, how="left")
+                else:
+                    res[alias] = [sel["__v"].tolist()]
+                fields.append(pa.field(alias, pa.list_(vtype)))
+        tbl = pa.Table.from_pandas(
+            res, schema=pa.schema(fields), preserve_index=False
         )
-        frames.append(g)
+        frames.append(spark.createDataFrame(tbl))
     return frames
 
 
