@@ -204,17 +204,36 @@ class _Saved(dict):
     """Marker: a save-side-channel acknowledgement, pre-encoded."""
 
 
-def _save_result(v: Any, path: str, save_root: str | None) -> "_Saved":
+def _check_save_root(path: str, save_root: str | None, what: str) -> None:
+    """Confine a client-supplied filesystem path to ``save_root``
+    (after symlink/.. resolution) — the module-doc TRUST MODEL."""
+    import os
+
+    from .errors import KerfTypeError
+
+    if save_root is not None:
+        root = os.path.realpath(save_root)
+        target = os.path.realpath(path)
+        if os.path.commonpath([root, target]) != root:
+            raise KerfTypeError(
+                f"{what} target {path!r} is outside the server's "
+                f"save_root {save_root!r}"
+            )
+
+
+def _save_result(v: Any, spec, save_root: str | None) -> "_Saved":
     """The full-table side channel the module doc prescribes: instead
     of a bounded preview, write the request's table result to parquet
     at ``path`` (executor-parallel — the rows never transit the socket
     or the driver) and acknowledge with the path.  Non-table results
-    refuse: the inline planes already carry them whole.  With a
-    configured ``save_root``, targets outside it (after symlink/..
-    resolution) refuse — the overwrite-anywhere hazard is confined to
-    one workspace directory (module-doc TRUST MODEL)."""
-    import os
-
+    refuse: the inline planes already carry them whole.  ``spec`` is
+    the path string, or ``{"path": p, "partition_by": [cols]}`` for a
+    directory-partitioned write (the parquet-mode reshard ships
+    per-receiver buckets as partition directories the receivers read
+    partition-pruned).  With a configured ``save_root``, targets
+    outside it (after symlink/.. resolution) refuse — the
+    overwrite-anywhere hazard is confined to one workspace directory
+    (module-doc TRUST MODEL)."""
     from pyspark.sql import DataFrame
 
     from .errors import KerfTypeError
@@ -223,15 +242,19 @@ def _save_result(v: Any, path: str, save_root: str | None) -> "_Saved":
         raise KerfTypeError(
             f"save needs a table result, got {type(v).__name__}"
         )
-    if save_root is not None:
-        root = os.path.realpath(save_root)
-        target = os.path.realpath(path)
-        if os.path.commonpath([root, target]) != root:
-            raise KerfTypeError(
-                f"save target {path!r} is outside the server's "
-                f"save_root {save_root!r}"
-            )
-    v.write.mode("overwrite").parquet(path)
+    part: list[str] = []
+    if isinstance(spec, dict):
+        path = str(spec.get("path", ""))
+        part = [str(c) for c in (spec.get("partition_by") or [])]
+    else:
+        path = str(spec)
+    if not path:
+        raise KerfTypeError("save needs a target path")
+    _check_save_root(path, save_root, "save")
+    w = v.write.mode("overwrite")
+    if part:
+        w = w.partitionBy(*part)
+    w.parquet(path)
     return _Saved(
         {"ok": True, "kind": "saved", "path": path, "columns": v.columns}
     )
@@ -530,6 +553,27 @@ class _Handler(socketserver.StreamRequestHandler):
                     df = session.createDataFrame(tbl)
                     df.createOrReplaceTempView(name)
                     env.set_local(name, session.table(name))
+                reg = req.get("register")
+                if reg is not None:
+                    # the parquet side-channel's READ half (the save
+                    # plane writes it): register an on-disk parquet
+                    # directory as a session view BEFORE src runs —
+                    # confined by save_root like save itself.  The
+                    # parquet-mode reshard receivers read their
+                    # partition-pruned buckets through this.
+                    rname = str(reg.get("name", ""))
+                    rpath = str(reg.get("path", ""))
+                    if not re.fullmatch(r"[A-Za-z_]\w*", rname):
+                        raise ValueError(
+                            f"register name {rname!r} is not a valid "
+                            f"view name"
+                        )
+                    _check_save_root(
+                        rpath, server.save_root, "register"
+                    )
+                    rdf = session.read.parquet(rpath)
+                    rdf.createOrReplaceTempView(rname)
+                    env.set_local(rname, session.table(rname))
                 ret = None
                 for stmt in split_statements(src):
                     ret = interp.exec_stmt(stmt, env)
@@ -543,7 +587,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 save = req.get("save")
                 if save is not None:
                     ret = _save_result(
-                        ret, str(save), server.save_root
+                        ret,
+                        save if isinstance(save, dict) else str(save),
+                        server.save_root,
                     )
                 pub = req.get("publish")
                 if pub is not None:
@@ -744,12 +790,13 @@ class KerfClient:
         self,
         src: str,
         limit: int = DEFAULT_LIMIT,
-        save: str | None = None,
+        save: "str | dict | None" = None,
         arrow: bool = False,
         upload: tuple[str, "object"] | None = None,
         publish: str | None = None,
         ship: dict | None = None,
         unpublish: str | None = None,
+        register: dict | None = None,
     ) -> dict:
         """One request/response round trip.  With ``arrow=True`` a
         table result arrives as a length-prefixed Arrow IPC stream on
@@ -783,6 +830,8 @@ class KerfClient:
             req_obj["ship"] = ship
         if unpublish is not None:
             req_obj["unpublish"] = unpublish
+        if register is not None:
+            req_obj["register"] = register
         if arrow:
             req_obj["arrow"] = True
         req = json.dumps(req_obj)
@@ -936,6 +985,8 @@ def folio_reshard(
     persist: str | None = None,
     chunk_rows: int | None = None,
     cleanup: bool = True,
+    via: str = "arrow",
+    shared_dir: str | None = None,
 ) -> dict:
     """RESHARD a member-sharded folio table onto a named key — the
     exchange that makes any fact-to-fact folio join co-shardable on
@@ -978,6 +1029,18 @@ def folio_reshard(
     member-side — ``folio_select(..., member_local_joins=True)``
     runs it without a gather.  Returns ``{"rows": total, "moved":
     shipped_rows, "persisted": [paths]}``.
+
+    ``via="parquet"`` (with ``shared_dir=``) is the SHARED-STORAGE
+    exchange for members that mount one filesystem/object store:
+    each member writes its outgoing set as bucket-PARTITIONED parquet
+    under ``shared_dir`` (executor-parallel, zero bytes on any socket
+    or driver — no ship-size bound at all), and each receiver stages
+    kept ∪ partition-pruned reads of its own bucket directories (the
+    ``register`` protocol plane).  The published table then reads
+    from ``shared_dir``, which must outlive it — or pass ``persist=``
+    too, in which case the flip publishes from the persisted copy and
+    the exchange files are disposable.  ``moved`` derives from the
+    conservation counts (before − Σ kept) in this mode.
     """
     import concurrent.futures as _fut
 
@@ -988,6 +1051,17 @@ def folio_reshard(
         raise ValueError(f"out_name {out_name!r} is not a valid name")
     bucket = f"pmod(hash({key}), {n})"
     stage = f"__rs_stage_{out_name}"
+    if via not in ("arrow", "parquet"):
+        raise ValueError(
+            f"folio_reshard via must be 'arrow' or 'parquet', "
+            f"got {via!r}"
+        )
+    if via == "parquet" and not shared_dir:
+        raise ValueError(
+            "folio_reshard via='parquet' needs shared_dir — a "
+            "filesystem path every member can read and write"
+        )
+    shared = (shared_dir or "").rstrip("/")
 
     # ---- phase 1: member→member SHIP (the map + exchange) — one
     # request per shipper: member i evaluates its ENTIRE outgoing set
@@ -1017,26 +1091,86 @@ def folio_reshard(
             )
         return r.get("names_by_peer") or {}, int(r.get("rows") or 0)
 
+    # ---- phase 1p (via='parquet' — the SHARED-FILESYSTEM exchange,
+    # the plane to run when members mount one storage layer): member i
+    # writes its ENTIRE outgoing set as bucket-PARTITIONED parquet
+    # under shared_dir — executor-parallel, zero bytes on any socket
+    # or driver — and each receiver later reads ONLY its partition
+    # directory (partition-pruned scan).  This is the exchange shape a
+    # 100× folio runs: both halves scale with executors, not with any
+    # single process.
+    def ship_parquet(i):
+        with KerfClient(*addrs[i], timeout=timeout) as cli:
+            r = cli.execute(
+                f"select *, {bucket} as __rs_bucket from {table} "
+                f"where {bucket} != {i}",
+                save={
+                    "path": f"{shared}/__rs_{out_name}_f{i}",
+                    "partition_by": ["__rs_bucket"],
+                },
+            )
+        if not r.get("ok"):
+            raise RuntimeError(
+                f"folio_reshard parquet ship from {addrs[i]} failed: "
+                f"{r.get('kind')}: {r.get('message')}"
+            )
+        return [c for c in r.get("columns", []) if c != "__rs_bucket"]
+
     received: dict[int, list[str]] = {j: [] for j in range(n)}
-    moved = 0
-    saved: list[str] = []
+    moved = None if via == "parquet" else 0
+    saved: dict[int, str] = {}
     total = None
+    cols: list[str] = []
     try:
-        if n > 1:
+        if n > 1 and via == "arrow":
             with _fut.ThreadPoolExecutor(max_workers=n) as pool:
                 for by_peer, rows in pool.map(ship, range(n)):
                     for j, names in by_peer.items():
                         received[int(j)].extend(names)
                     moved += rows
+        elif n > 1:
+            with _fut.ThreadPoolExecutor(max_workers=n) as pool:
+                for c in pool.map(ship_parquet, range(n)):
+                    cols = c or cols
 
         # ---- phase 2: STAGE kept ∪ received on every member (a
         # server table under the staging name — not user-visible),
         # optionally persisting each staged shard to parquet
         def stage_member(j):
-            src = f"select * from {table} where {bucket} = {j}"
-            for nm in sorted(received[j]):
-                src += f" union all select * from {nm}"
             with KerfClient(*addrs[j], timeout=timeout) as cli:
+                if via == "parquet" and n > 1:
+                    collist = ", ".join(cols)
+                    src = (
+                        f"select {collist} from {table} "
+                        f"where {bucket} = {j}"
+                    )
+                    for i in range(n):
+                        if i == j:
+                            continue
+                        nm = f"__rs_in{i}"
+                        r = cli.execute(
+                            "null",
+                            register={
+                                "name": nm,
+                                "path": f"{shared}/__rs_{out_name}_f{i}",
+                            },
+                        )
+                        if not r.get("ok"):
+                            raise RuntimeError(
+                                f"folio_reshard register on {addrs[j]} "
+                                f"failed: {r.get('kind')}: "
+                                f"{r.get('message')}"
+                            )
+                        # partition-pruned read: only bucket j's
+                        # directory of shipper i's exchange output
+                        src += (
+                            f" union all select {collist} from {nm} "
+                            f"where __rs_bucket = {j}"
+                        )
+                else:
+                    src = f"select * from {table} where {bucket} = {j}"
+                    for nm in sorted(received[j]):
+                        src += f" union all select * from {nm}"
                 r = cli.execute(src, publish=stage)
                 if not r.get("ok"):
                     raise RuntimeError(
@@ -1052,37 +1186,47 @@ def folio_reshard(
                             f"failed: {r.get('kind')}: "
                             f"{r.get('message')}"
                         )
-                    return p
-            return None
+                    return j, p
+            return j, None
 
         with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-            saved = [p for p in pool.map(stage_member, range(n)) if p]
+            saved = {
+                j: p for j, p in pool.map(stage_member, range(n)) if p
+            }
 
         # ---- phase 3: row conservation against the STAGED relations,
         # BEFORE anything becomes user-visible.  ONE round trip and
         # ONE Spark job per member: the source and staged counts ride
         # a single UNION ALL statement (tagged rows), instead of two
-        # serialized pools of fresh-connection single counts
+        # serialized pools of fresh-connection single counts.  Parquet
+        # mode adds a kept-bucket arm so `moved` derives exactly
+        # (before − Σ kept).
         if check:
-            def both_counts(addr):
-                with KerfClient(*addr, timeout=timeout) as cli:
-                    r = cli.execute(
-                        f"select 0 as side, count(*) as n from {table}"
-                        f" union all"
-                        f" select 1 as side, count(*) as n from {stage}"
+            def both_counts(j):
+                src = (
+                    f"select 0 as side, count(*) as n from {table}"
+                    f" union all"
+                    f" select 1 as side, count(*) as n from {stage}"
+                )
+                if via == "parquet":
+                    src += (
+                        f" union all select 2 as side, count(*) as n "
+                        f"from {table} where {bucket} = {j}"
                     )
+                with KerfClient(*addrs[j], timeout=timeout) as cli:
+                    r = cli.execute(src)
                 if not r.get("ok"):
                     raise RuntimeError(
-                        f"folio_reshard count on {addr} failed: "
+                        f"folio_reshard count on {addrs[j]} failed: "
                         f"{r.get('message')}"
                     )
                 rows = {int(x[0]): int(x[1]) for x in r["rows"]}
-                return rows[0], rows[1]
+                return rows[0], rows[1], rows.get(2, 0)
 
             with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-                pairs = list(pool.map(both_counts, addrs))
-            before = sum(b for b, _ in pairs)
-            after = sum(a for _, a in pairs)
+                triples = list(pool.map(both_counts, range(n)))
+            before = sum(b for b, _, _ in triples)
+            after = sum(a for _, a, _ in triples)
             if before != after:
                 raise RuntimeError(
                     f"folio_reshard row-conservation check failed: "
@@ -1091,6 +1235,8 @@ def folio_reshard(
                     f"lost or duplicated rows"
                 )
             total = before
+            if via == "parquet":
+                moved = before - sum(k for _, _, k in triples)
     except BaseException:
         # nothing flipped: retire chunks + stage so no member ever
         # shows a partially-built out_name (a pre-existing out_name
@@ -1098,14 +1244,27 @@ def folio_reshard(
         _reshard_cleanup(addrs, out_name, stage, timeout, drop_stage=True)
         raise
 
-    # ---- phase 4: FLIP — publish out_name from the staged relation
-    # on every member; post-validation metadata only.  Cleanup rides
-    # the same connection (published plans inline their sources —
-    # uploaded chunks are LocalRelations — so retiring the
-    # intermediates never breaks out_name)
+    # ---- phase 4: FLIP — publish out_name on every member;
+    # post-validation metadata only.  With persist=, the flip
+    # publishes FROM the persisted parquet (registering it first), so
+    # the published table is disk-backed and independent of both the
+    # staged relation and — in parquet mode — the exchange files
+    # under shared_dir.  Cleanup rides the same connection (published
+    # plans inline their sources — uploaded chunks are
+    # LocalRelations, registered paths are stable parquet relations —
+    # so retiring the intermediates never breaks out_name).
     def flip(j):
         with KerfClient(*addrs[j], timeout=timeout) as cli:
-            r = cli.execute(f"select * from {stage}", publish=out_name)
+            if j in saved:
+                r = cli.execute(
+                    "select * from __rs_pub",
+                    register={"name": "__rs_pub", "path": saved[j]},
+                    publish=out_name,
+                )
+            else:
+                r = cli.execute(
+                    f"select * from {stage}", publish=out_name
+                )
             if not r.get("ok"):
                 raise RuntimeError(
                     f"folio_reshard flip on {addrs[j]} failed: "
@@ -1117,7 +1276,11 @@ def folio_reshard(
 
     with _fut.ThreadPoolExecutor(max_workers=n) as pool:
         list(pool.map(flip, range(n)))
-    return {"rows": total, "moved": moved, "persisted": saved}
+    return {
+        "rows": total,
+        "moved": moved,
+        "persisted": sorted(saved.values()),
+    }
 
 
 # ------------------------------------------------- folio aggregate split

@@ -1833,3 +1833,97 @@ def test_folio_reshard_string_key_and_single_member(spark):
         assert got.head()["n"] == n_rows
     finally:
         solo.stop()
+
+
+def test_folio_reshard_via_parquet(spark, tmp_path):
+    """The shared-filesystem exchange: via='parquet' writes each
+    member's outgoing set as bucket-partitioned parquet under
+    shared_dir (no bytes on any socket), receivers stage kept ∪
+    partition-pruned reads, and the same two-phase check/flip
+    applies.  With persist= the flip publishes from the persisted
+    copy, so the exchange files become disposable."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_remote, folio_reshard
+    from kerf_spark.sources.io import read_table
+
+    cust = read_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n_rows = cust.count()
+    shards = [cust.where(F.col("c_custkey") % 3 == i) for i in range(3)]
+    srvs = [
+        KerfServer(spark, tables={"customer": sh}).start() for sh in shards
+    ]
+    shared = tmp_path / "exchange"
+    persist = tmp_path / "durable"
+    try:
+        addrs = [s.address for s in srvs]
+        stats = folio_reshard(
+            addrs, "customer", "c_custkey", "cust_pq",
+            via="parquet", shared_dir=str(shared), persist=str(persist),
+        )
+        assert stats["rows"] == n_rows
+        assert stats["moved"] > 0  # misaligned shards moved rows
+        assert len(stats["persisted"]) == 3
+        # exchange files are disposable once persisted+flipped
+        shutil.rmtree(shared)
+        got = folio_remote(spark, addrs, "select * from cust_pq")
+        assert got.count() == n_rows
+        assert got.exceptAll(cust).count() == 0
+        assert cust.exceptAll(got).count() == 0
+        for j, addr in enumerate(addrs):
+            with KerfClient(*addr) as cli:
+                r = cli.execute(
+                    f"select count(*) as bad from cust_pq "
+                    f"where pmod(hash(c_custkey), 3) != {j}"
+                )
+                assert r["ok"] and r["rows"][0][0] == 0, (j, r)
+        # bad via / missing shared_dir refuse
+        with pytest.raises(ValueError, match="shared_dir"):
+            folio_reshard(
+                addrs, "customer", "c_custkey", "x", via="parquet"
+            )
+        with pytest.raises(ValueError, match="arrow.*parquet"):
+            folio_reshard(
+                addrs, "customer", "c_custkey", "x", via="ftp"
+            )
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_register_plane_confinement(spark, tmp_path):
+    """register reads a parquet directory into the session, and a
+    save_root-confined server refuses paths outside it — the same
+    trust boundary as save."""
+    from kerf_spark.sources.io import read_table
+
+    inside = tmp_path / "root" / "nat"
+    outside = tmp_path / "elsewhere"
+    nat = read_table(spark, SF, "nation")
+    nat.write.parquet(str(inside))
+    nat.write.parquet(str(outside))
+    srv = KerfServer(
+        spark, tables={}, save_root=str(tmp_path / "root")
+    ).start()
+    try:
+        with _client(srv) as c:
+            r = c.execute(
+                "select count(*) as n from reg_n",
+                register={"name": "reg_n", "path": str(inside)},
+            )
+            assert r["ok"] and r["rows"][0][0] == 25
+            r = c.execute(
+                "select count(*) as n from reg_x",
+                register={"name": "reg_x", "path": str(outside)},
+            )
+            assert not r["ok"] and "outside" in r["message"]
+            r = c.execute(
+                "null", register={"name": "1bad", "path": str(inside)}
+            )
+            assert not r["ok"]
+    finally:
+        srv.stop()
