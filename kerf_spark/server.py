@@ -64,6 +64,20 @@ Protocol (one JSON object per line, UTF-8):
     -> {"src": "null", "unpublish": "part_c0"}   # or "prefix*"
     <- {"ok": true, "kind": "unpublished", "names": [...]}
 
+    -> {"src": "select count(*) as n from r",
+        "register": {"name": "r", "path": "/shared/dir"}}
+    <- {"ok": true, "kind": "table", ...}  # the parquet side-channel's
+                                           # READ half: an on-disk
+                                           # parquet dir registers as a
+                                           # session view before src
+                                           # runs (save_root-confined,
+                                           # like save) — the
+                                           # parquet-mode reshard's
+                                           # receive plane; "save" also
+                                           # accepts {"path",
+                                           # "partition_by"} for the
+                                           # send plane
+
 Each CONNECTION is a session: one persistent interpreter environment
 (variables, lambdas, temp views live across requests), all sessions
 sharing one SparkSession — the reference's one-process-many-consoles
