@@ -126,3 +126,18 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# Appendix: when members mount ONE filesystem/object store, the
+# exchange can skip the socket plane entirely —
+#
+#   folio_reshard(addrs, "orders", "o_custkey", "orders_rs",
+#                 via="parquet", shared_dir="/mnt/shared/exchange",
+#                 persist="/mnt/shared/durable")
+#
+# each member writes its outgoing rows as bucket-PARTITIONED parquet
+# (executor-parallel), receivers stage partition-pruned reads of their
+# own bucket directories, and the flip publishes from the persisted
+# copy so the exchange files are disposable.  This is the shape a
+# 100x folio runs: both halves scale with executors, not with any
+# single process.

@@ -945,7 +945,9 @@ def _parse_folio_addrs(addrs):
     return parsed
 
 
-def _loc_folio_reshard(addrs, table, key, out_name, persist=None):
+def _loc_folio_reshard(
+    addrs, table, key, out_name, persist=None, via=None, shared_dir=None
+):
     """``folio_reshard(members, "orders", "o_custkey", "orders_rs")``
     — the RESHARD exchange (DISTRIBUTED_ARRAY_FOLIO at full strength,
     enums.h:263 + presented.h:427-430): every member hash-buckets its
@@ -967,6 +969,8 @@ def _loc_folio_reshard(addrs, table, key, out_name, persist=None):
         str(key),
         str(out_name),
         persist=None if persist is None else str(persist),
+        via="arrow" if via is None else str(via),
+        shared_dir=None if shared_dir is None else str(shared_dir),
     )
 
 
