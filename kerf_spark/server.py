@@ -2027,7 +2027,12 @@ def folio_select(
     MERGEABLE HLL SKETCH — members ship one datasketches buffer per
     group (≤ a few KB regardless of cardinality), the final unions
     and estimates (sparse-mode sketches make small cardinalities
-    exact).  ``stddev``/``variance`` are algebraic via SHIFTED
+    exact); ``approx_median``/``approx_percentile`` likewise ride
+    mergeable KLL buffers, and ``approx_mode(x)`` /
+    ``heavy_hitters(x, k)`` ride mergeable Count-Min cell partials +
+    local top-K′ candidates with a driver-side pandas final
+    (``_folio_cms_frames``) — mode/top-k for domains the exact
+    histogram cannot carry.  ``stddev``/``variance`` are algebraic via SHIFTED
     moment partials: members ship (count, mean, M2) and the final
     re-centers member means on the group minimum before combining —
     exact algebra with no catastrophic cancellation even when
@@ -2036,9 +2041,12 @@ def folio_select(
     ``first(x, ord)`` / ``max_by`` / ``min_by`` / ``arg_max`` /
     ``arg_min`` — split exactly as member max_by/min_by partials + a
     final max_by/min_by (the canonical distributed tick query
-    ``select last(price, ts) by sym``).  Genuinely order-dependent
-    aggregates (one-arg first/last, mode, string_agg) refuse with a
-    typed error naming the ordered form.  ``where`` pushes to the
+    ``select last(price, ts) by sym``); ``mode(x)`` splits via the
+    histogram path (ties → smallest value) and ``string_agg(x,
+    ord)`` ships sorted (ord, value) lists.  Genuinely
+    order-dependent aggregates (one-arg first/last/string_agg,
+    collect_list) refuse with a typed error naming the ordered
+    form.  ``where`` pushes to the
     members (each filters its own parquet); ``order by``/``limit``
     apply to the merged final (top-k over groups, driver-bounded).
     Joins in the from clause refuse by default (a member-side join
