@@ -170,6 +170,18 @@ class Workspace:
         #: the transaction's deferred version.  Keyed by the sanitized
         #: lock name; released by _release_txn_locks.
         self._txn_locks: dict = {}
+        #: LAZY begin-image state for an anonymous transaction: the
+        #: snapshot tag captures grow per table at FIRST TOUCH (under
+        #: that table's retained lock) instead of a whole-workspace
+        #: walk at begin — a begin walk takes EVERY table lock, which
+        #: serialized (and could deadlock) two processes running
+        #: transactions on DISJOINT tables.  _txn_pre_tables records
+        #: the manifest's table set at begin, so rollback can tell a
+        #: touched-but-never-written table (leave alone) from one the
+        #: transaction created (drop).
+        self._txn_snap: str | None = None
+        self._txn_captured: set = set()
+        self._txn_pre_tables: set = set()
         self.manifest: dict = {"tables": {}}
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
@@ -328,6 +340,9 @@ class Workspace:
                     with Workspace._process_held_mu:
                         Workspace._process_held.add(lock_path)
                     held_by_txn = True
+                    # first touch: capture the begin-image under the
+                    # just-acquired (and retained) lock
+                    self._txn_capture(name)
                 yield
             finally:
                 if not held_by_txn:
@@ -1218,6 +1233,7 @@ class Workspace:
         residue (snapshots keep their hardlinked bytes alive)."""
         if self._txn_touched is not None:
             self._txn_touched.add(name)
+            self._txn_capture(name)  # begin-image before the files go
         meta = self.manifest["tables"].pop(name, None)
         self._dropped.setdefault("tables", set()).add(name)
         self._flush()
@@ -2716,6 +2732,49 @@ class Workspace:
                 "rebuilt": rebuilt,
             }
 
+    def _txn_capture(self, name: str) -> None:
+        """LAZY per-table begin-image for an open ANONYMOUS
+        transaction: at a table's first touch, hardlink its CURRENT
+        files into the transaction's snapshot directory and extend
+        the snapshot manifest — called under the table's (retained)
+        write lock, so the capture is one write's consistent
+        version.  The old whole-workspace snapshot at begin walked
+        EVERY table lock, which serialized — and with held-to-commit
+        locks, deadlocked — two processes running transactions on
+        DISJOINT tables.  Named-tag transactions keep the full
+        upfront snapshot (they double as user savepoints covering
+        every table)."""
+        t = self._txn_snap
+        if t is None or name in self._txn_captured:
+            return
+        self._txn_captured.add(name)
+        from urllib.parse import urlparse
+
+        meta = self.manifest.get("tables", {}).get(name)
+        sdir = os.path.join(self.root, ".snapshots", t)
+        mpath = os.path.join(sdir, "manifest.json")
+        with open(mpath) as fh:
+            snap = json.load(fh)
+        if meta is not None and os.path.isdir(meta["path"]):
+            src = meta["path"]
+            dst = os.path.join(sdir, name)
+            _link_tree(src, dst)
+            ent = dict(meta)
+            ent["path"] = dst
+            if meta.get("key_file_ranges"):
+                ent["key_file_ranges"] = {
+                    f.replace(
+                        urlparse(f).path,
+                        urlparse(f).path.replace(src, dst, 1),
+                    ): r
+                    for f, r in meta["key_file_ranges"].items()
+                }
+            snap["tables"][name] = ent
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=2)
+        os.replace(tmp, mpath)
+
     def snapshot(self, tag: str) -> str:
         """Named point-in-time SNAPSHOT of every table.  Write paths
         already publish through an atomic version pointer (readers
@@ -2960,11 +3019,15 @@ class Workspace:
     # --------------------------------------------- multi-table writes
     def transaction(self, tag: str | None = None):
         """Multi-table write transaction with ALL-OR-NOTHING failure
-        semantics (r10 verdict missing #5): snapshot every table at
-        begin; run the body's writes; on any exception RESTORE every
-        table the body touched (created tables drop) and re-raise; on
-        success drop the snapshot — or keep it when ``tag`` is given
-        (a named savepoint).
+        semantics (r10 verdict missing #5): capture each table's
+        begin-image LAZILY at its first touch (under that table's
+        retained write lock — an anonymous transaction takes NO locks
+        at begin, so transactions on disjoint tables run concurrently
+        across processes); run the body's writes; on any exception
+        RESTORE every table the body modified (created tables drop)
+        and re-raise; on success drop the begin-images.  A NAMED
+        ``tag`` instead snapshots every table upfront and keeps the
+        snapshot (a user savepoint covering the whole workspace).
 
         Isolation — the EPOCH publish (r11 verdict next #8): inside
         the transaction, staged-publish writes (save / upsert /
@@ -3007,7 +3070,32 @@ class Workspace:
             import uuid
 
             t = tag or f"__txn_{uuid.uuid4().hex[:12]}"
-            self.snapshot(t)
+            if tag is None:
+                # LAZY begin-image (anonymous transactions): an empty
+                # snapshot directory that grows one table at a time at
+                # first touch (_txn_capture, under that table's
+                # retained lock).  The old whole-workspace snapshot at
+                # begin walked EVERY table lock — with held-to-commit
+                # locks, two processes running transactions on
+                # DISJOINT tables deadlocked on each other's begins.
+                sdir = os.path.join(self.root, ".snapshots", t)
+                shutil.rmtree(sdir, ignore_errors=True)
+                os.makedirs(sdir)
+                with open(
+                    os.path.join(sdir, "manifest.json"), "w"
+                ) as fh:
+                    json.dump(
+                        {"tables": {}, "indexes": {}, "lazy": True}, fh
+                    )
+                self.refresh()
+                self._txn_snap = t
+            else:
+                # a NAMED tag doubles as a user savepoint covering
+                # every table: keep the full upfront snapshot
+                self.snapshot(t)
+                self._txn_snap = None
+            self._txn_captured = set()
+            self._txn_pre_tables = set(self.manifest.get("tables", {}))
             self._txn_touched = set()
             self._txn_pending = {}
             self._txn_dirty = False
@@ -3019,6 +3107,10 @@ class Workspace:
                 self._txn_dirty = False
                 touched = self._txn_touched or set()
                 self._txn_touched = None
+                pre_tables = self._txn_pre_tables
+                self._txn_snap = None
+                self._txn_captured = set()
+                self._txn_pre_tables = set()
                 try:
                     # staged versions never became visible: discard
                     # them before restore re-publishes snapshot state
@@ -3034,10 +3126,13 @@ class Workspace:
                     for name in sorted(touched):
                         if name in snap_tables:
                             self.restore(t, name)
-                        else:
+                        elif name not in pre_tables:
                             # created inside the failed transaction:
                             # drop the entry and its files
                             self.drop(name, delete=True)
+                        # else: touched (e.g. a write that failed its
+                        # checks before locking/capturing) but never
+                        # modified — leave the live table alone
                     self.drop_snapshot(t)
                 finally:
                     self._release_txn_locks()
@@ -3047,6 +3142,10 @@ class Workspace:
                 self._txn_pending = None
                 touched = self._txn_touched or set()
                 self._txn_touched = None
+                pre_tables = self._txn_pre_tables
+                self._txn_snap = None
+                self._txn_captured = set()
+                self._txn_pre_tables = set()
                 # COMMIT: swap every staged pointer (keeping the
                 # pre-transaction version as the grace copy even when
                 # several versions staged in between), then ONE
@@ -3079,7 +3178,7 @@ class Workspace:
                         for name in sorted(touched):
                             if name in snap_tables:
                                 self.restore(t, name)
-                            else:
+                            elif name not in pre_tables:
                                 self.drop(name, delete=True)
                         self.drop_snapshot(t)
                     finally:

@@ -3441,3 +3441,85 @@ def test_epoch_name_reserved_and_txn_lock_timeout(spark, ws_root):
         if holder is not None:
             holder.kill()
             holder.wait()
+
+
+def test_concurrent_transactions_across_processes(spark, ws_root):
+    """TRUE multi-process concurrency over one workspace root: a
+    sibling PROCESS (own SparkSession) commits a transaction on its
+    own tables while THIS process holds an open transaction on
+    different tables — both epochs land (the deferred flushes merge
+    under the manifest flock) — and the sibling's write to a table
+    THIS transaction holds blocks on the retained table lock until
+    our commit, then lands on top (its version wins).  File-based
+    handshakes sequence the processes deterministically."""
+    import subprocess
+    import sys
+    import time
+
+    ws = Workspace(spark, ws_root)
+    ws.save("a1", spark.range(20).select(F.col("id").alias("k")))
+    ws.save("a2", spark.range(20).select(F.col("id").alias("k")))
+    sib_script = f"""
+import os, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath("tests")))!r})
+sys.path.insert(0, ".")
+from kerf_spark.session import get_spark
+from pyspark.sql import functions as F
+from kerf_spark.sources.catalog import Workspace
+spark = get_spark("sibproc", master="local[2]", shuffle_partitions=2)
+ws = Workspace(spark, {ws_root!r})
+with ws.transaction():
+    ws.save("b1", spark.range(7).select(F.col("id").alias("k")))
+    ws.save("b2", spark.range(8).select(F.col("id").alias("k")))
+open(os.path.join({ws_root!r}, ".sib_b_done"), "w").write("1")
+# now write a table the MAIN transaction holds: must block until
+# its commit, then land on top
+ws.refresh()
+ws.save("a1", spark.range(5).select(F.col("id").alias("k")))
+open(os.path.join({ws_root!r}, ".sib_a_done"), "w").write("1")
+spark.stop()
+"""
+    sib = subprocess.Popen(
+        [sys.executable, "-c", sib_script],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd="/root/repo",
+    )
+    try:
+        with ws.transaction():
+            ws.save("a1", spark.range(30).select(F.col("id").alias("k")))
+            ws.save("a2", spark.range(31).select(F.col("id").alias("k")))
+            # wait for the sibling's own transaction to commit
+            deadline = time.time() + 180
+            while not os.path.exists(os.path.join(ws_root, ".sib_b_done")):
+                assert sib.poll() is None or sib.returncode == 0, (
+                    "sibling died"
+                )
+                assert time.time() < deadline, "sibling b-txn timed out"
+                time.sleep(0.2)
+            # the sibling's epoch landed while ours is open
+            ws.refresh()
+            assert ws.load("b1").count() == 7
+            assert ws.load("b2").count() == 8
+            # our staged writes still ours
+            assert ws.load("a1").count() == 30
+            # give the sibling time to reach (and block on) a1's lock
+            time.sleep(2.0)
+            assert not os.path.exists(
+                os.path.join(ws_root, ".sib_a_done")
+            ), "sibling wrote a txn-locked table before our commit"
+        # commit released the locks: the sibling's a1 write proceeds
+        deadline = time.time() + 180
+        while not os.path.exists(os.path.join(ws_root, ".sib_a_done")):
+            assert time.time() < deadline, "sibling a1 write timed out"
+            time.sleep(0.2)
+        assert sib.wait(timeout=120) == 0
+        ws.refresh()
+        assert ws.load("a1").count() == 5  # sibling landed ON TOP
+        assert ws.load("a2").count() == 31  # ours intact
+        assert ws.load("b1").count() == 7
+        assert ws.load("b2").count() == 8
+    finally:
+        if sib.poll() is None:
+            sib.kill()
+            sib.wait()
