@@ -3523,3 +3523,65 @@ spark.stop()
         if sib.poll() is None:
             sib.kill()
             sib.wait()
+
+
+def test_consistent_view_lock_free_and_epoch_pinned(spark, ws_root):
+    """r13: consistent_view rides the epoch pointer + reader leases —
+    it must open WITHOUT taking table locks (a foreign process
+    holding a table's lock — an open transaction — no longer blocks
+    readers), and its loads stay pinned to ONE epoch while a commit
+    rewrites the tables mid-view."""
+    import subprocess
+    import sys
+
+    ws = Workspace(spark, ws_root)
+    ws.save("va", spark.range(10).select(F.col("id").alias("k")))
+    ws.save("vb", spark.range(20).select(F.col("id").alias("k")))
+    # a foreign process holds va's write lock for 60s
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl,time\n"
+                f"f=open({os.path.join(ws_root, '.tlock.va')!r},'a+')\n"
+                "fcntl.flock(f,fcntl.LOCK_EX)\n"
+                "print('HELD',flush=True)\n"
+                "time.sleep(60)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "HELD"
+        import time
+
+        t0 = time.time()
+        with ws.consistent_view() as v:
+            assert time.time() - t0 < 10, (
+                "consistent_view blocked on a held table lock"
+            )
+            assert v.load("va").count() == 10
+            assert v.load("vb").count() == 20
+            assert set(v.tables()) >= {"va", "vb"}
+            # release the foreign lock so the writes below don't
+            # serialize against it (the lock-free claim is proven)
+            holder.kill()
+            holder.wait()
+            # a transactional rewrite commits MID-VIEW: the view's
+            # loads stay on its epoch (the leases spare the versions)
+            with ws.transaction():
+                ws.save("va", spark.range(1).select(F.col("id").alias("k")))
+                ws.save("vb", spark.range(2).select(F.col("id").alias("k")))
+            with ws.transaction():
+                ws.save("va", spark.range(3).select(F.col("id").alias("k")))
+                ws.save("vb", spark.range(4).select(F.col("id").alias("k")))
+            assert v.load("va").count() == 10
+            assert v.load("vb").count() == 20
+        ws.refresh()
+        assert ws.load("va").count() == 3
+        assert ws.load("vb").count() == 4
+    finally:
+        holder.kill()
+        holder.wait()
