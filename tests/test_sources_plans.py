@@ -3585,3 +3585,98 @@ def test_consistent_view_lock_free_and_epoch_pinned(spark, ws_root):
     finally:
         holder.kill()
         holder.wait()
+
+
+@pytest.mark.parametrize(
+    "ops",
+    [
+        # drop then recreate the SAME table, plus a sibling write
+        [("drop", "t1"), ("save", "t1", 7), ("save", "t2", 9)],
+        # append then keyed delete on one table, create another
+        [("append", "t1", 5), ("delkeys", "t1", [0, 1]), ("save", "new1", 3)],
+        # create then drop the created table inside the txn
+        [("save", "new2", 4), ("drop", "new2"), ("append", "t2", 2)],
+        # double rewrite of one table + drop of another
+        [("save", "t1", 11), ("save", "t1", 12), ("drop", "t2")],
+        # touch-without-write: a save that fails its key check after
+        # marking the table touched must leave the table alone
+        [("badsave", "t1"), ("save", "t2", 6)],
+    ],
+    ids=["drop-recreate", "append-delete-create", "create-drop",
+         "double-rewrite-drop", "failed-check-touch"],
+)
+def test_txn_rollback_equivalence_sequences(spark, ws_root, ops):
+    """Rollback == begin state for gnarly op sequences through the
+    LAZY begin-image machinery (r13): whatever the body did — drop
+    then recreate, append then keyed delete, create then drop, double
+    rewrites, or a write that failed its checks after marking the
+    table touched — a failing transaction restores every pre-existing
+    table bitwise and leaves no created table behind."""
+    from kerf_spark.errors import KeysError
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t1",
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k", minimize_widths=False,
+    )
+    ws.save(
+        "t2",
+        spark.range(50).select(F.col("id").alias("k")),
+        minimize_widths=False,
+    )
+    pre = {
+        n: sorted(map(tuple, ws.load(n).collect())) for n in ("t1", "t2")
+    }
+
+    def run(op):
+        kind = op[0]
+        if kind == "save":
+            ws.save(
+                op[1],
+                spark.range(op[2]).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") * 3).alias("v"),
+                ),
+                minimize_widths=False,
+            )
+        elif kind == "append":
+            ws.append(
+                op[1],
+                ws.load(op[1]).limit(0).unionByName(
+                    spark.range(1000, 1000 + op[2]).select(
+                        *[
+                            F.col("id").cast(f.dataType).alias(f.name)
+                            for f in ws.load(op[1]).schema.fields
+                        ]
+                    )
+                ),
+            )
+        elif kind == "delkeys":
+            ws.delete_keys(op[1], op[2])
+        elif kind == "drop":
+            ws.drop(op[1], delete=True)
+        elif kind == "badsave":
+            with pytest.raises(KeysError):
+                ws.save(
+                    op[1],
+                    spark.range(5).select(
+                        F.lit(1).alias("k"), F.lit(0).alias("v")
+                    ),
+                    key="k", minimize_widths=False,
+                )  # duplicate keys: fails the unique check
+
+    with pytest.raises(RuntimeError, match="seqboom"):
+        with ws.transaction():
+            for op in ops:
+                run(op)
+            raise RuntimeError("seqboom")
+    ws.refresh()
+    assert set(ws.manifest["tables"]) >= {"t1", "t2"}
+    for extra in ("new1", "new2"):
+        assert extra not in ws.manifest["tables"]
+    for n in ("t1", "t2"):
+        assert sorted(map(tuple, ws.load(n).collect())) == pre[n], n
+    assert ws.key_lookup("t1", 7).head()["v"] == 14  # index restored
