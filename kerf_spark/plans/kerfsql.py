@@ -44,10 +44,19 @@ _KW = r"(?i)\b{}\b"
 
 
 def _split_clause(q: str, kw: str) -> tuple[str, str | None]:
-    m = re.search(_KW.format(kw), q)
-    if not m:
-        return q, None
-    return q[: m.start()].strip(), q[m.end():].strip()
+    """Split ``q`` at the first ``kw`` that sits at paren depth 0
+    OUTSIDE string literals — a keyword nested in a call, subquery,
+    or window spec (the ``order by`` inside ``OVER (... ORDER BY
+    ...)``, the ``from`` of a scalar subquery) belongs to that nested
+    scope, never to this statement level, so explicit ANSI window
+    functions pass through ``translate`` intact."""
+    mask = _mask_quoted(q)
+    for m in re.finditer(_KW.format(kw), mask):
+        if mask.count("(", 0, m.start()) == mask.count(
+            ")", 0, m.start()
+        ):
+            return q[: m.start()].strip(), q[m.end():].strip()
+    return q, None
 
 
 def _split_top(exprs: str) -> list[str]:

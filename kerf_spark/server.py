@@ -967,6 +967,339 @@ def folio_remote(
     return out
 
 
+def _over_spans(mask: str) -> list[tuple[int, int]]:
+    """(start, end) spans of the INNER text of every ``OVER ( ... )``
+    clause in ``mask`` (a quote-blanked copy from ``_mask_quoted``, so
+    a literal ``'over ('`` never matches) — paren-depth matched, so
+    nested calls inside the window spec stay inside their span."""
+    spans = []
+    for m in re.finditer(r"(?is)\bover\s*\(", mask):
+        depth, i = 1, m.end()
+        while i < len(mask) and depth:
+            if mask[i] == "(":
+                depth += 1
+            elif mask[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(
+                "unbalanced parentheses in OVER clause"
+            )
+        spans.append((m.end(), i - 1))
+    return spans
+
+
+def folio_window(
+    spark,
+    addrs: list[tuple[str, int]],
+    q: str,
+    shard_key: str,
+    timeout: float = 120.0,
+    tag_col: str | None = None,
+    publish: str | None = None,
+    check: bool = True,
+):
+    """Member-complete WINDOW ANALYTICS over a folio sharded by
+    ``shard_key`` — the ordered half of "a folio of tables should
+    behave like a table" (presented.h:409; the folio aggregates ride
+    :func:`folio_select`, row gathers :func:`folio_remote`).  The
+    canonical tick shapes — ``mavg(5, price)`` per symbol, running
+    sums, deltas, lag/lead, ranks — are WINDOW functions: when every
+    window partitions by the key the folio is sharded on, each
+    member's frames are COMPLETE (all rows of any partition live on
+    exactly one member), so the whole computation is embarrassingly
+    parallel with ZERO cross-member data movement — the shuffle the
+    sharding already paid for is reused, exactly the plan a
+    1000-executor cluster wants.
+
+    The guard IS the feature (the same silent-wrongness class as
+    folio_select's fact-to-fact join refusal): ``folio_remote`` would
+    happily run a mis-partitioned window statement and return frames
+    missing every other member's rows.  Here every ``OVER`` clause of
+    the statement (kerf ordered verbs expand to OVER first, via the
+    same ``translate`` the members run) must name ``shard_key`` bare
+    in its PARTITION BY — no PARTITION BY (a global window) or a
+    partition list without the shard key refuses with a typed error
+    naming the offending clause and the fix (add the key, or
+    :func:`folio_reshard` the folio onto the window key first).
+    Joins refuse toward folio_reshard + member_local_joins.
+
+    A top-level ``order by`` / ``limit`` is stripped from the member
+    statement and re-applied to the merged result (member-side global
+    ordering cannot survive a union; sorting |result| rows locally is
+    the driver-bounded final, same class as folio_select's).
+
+    ``check=True`` (default) additionally verifies the folio really
+    IS sharded by ``shard_key``: gather mode checks the gathered
+    frames' key sets pairwise-disjoint driver-side (zero extra member
+    compute or wire); publish mode pre-gathers each member's distinct
+    keys (wire O(distinct keys), one extra member pass) BEFORE any
+    member publishes, so a mis-sharded folio publishes NOTHING.  Two
+    members sharing a key — including NULL, whose rows form one SQL
+    window partition — fail loud naming the key and both members.
+
+    ``publish="name"`` is the scale path: each member keeps its
+    windowed shard as a server table (nothing gathered — wire carries
+    row COUNTS only), ready for folio_select / further folio_window
+    passes; gather mode unions the member frames under the Arrow
+    bounds (``ARROW_MAX_ROWS`` fail-loud), with ``tag_col`` adding
+    member provenance.
+    """
+    import concurrent.futures as _fut
+
+    from .errors import ArgsError
+    from .plans.kerfsql import _mask_quoted, _split_top, translate
+
+    if not re.fullmatch(r"[A-Za-z_]\w*", shard_key):
+        raise ArgsError(
+            f"folio_window shard_key {shard_key!r} is not a bare "
+            f"column name"
+        )
+    if re.search(r"(?is)\b(asof|window)\s+join\b", _mask_quoted(q)):
+        raise ArgsError(
+            "folio_window does not take asof/window joins — a "
+            "temporal join needs BOTH sides co-sharded on the equi "
+            "keys; folio_reshard both tables onto the key, then run "
+            "the join member-side via folio_remote"
+        )
+    ansi = translate(q)
+    mask = _mask_quoted(ansi)
+    if re.search(r"(?is)\bjoin\b", mask):
+        raise ArgsError(
+            "folio_window: the statement joins tables — a join "
+            "between two member-sharded tables cannot run member-side "
+            "(each member would join only its own shard).  Co-shard "
+            "both tables on the join key (folio_reshard) and run the "
+            "join via folio_select(..., member_local_joins=True) or "
+            "folio_remote."
+        )
+    spans = _over_spans(mask)
+    if not spans:
+        raise ArgsError(
+            "folio_window found no window function (no OVER clause, "
+            "and no kerf ordered verb that expands to one) — use "
+            "folio_select for aggregates or folio_remote for row "
+            "gathers"
+        )
+    for s, e in spans:
+        body = " ".join(ansi[s:e].split())
+        bm = _mask_quoted(body)
+        pm = re.search(r"(?is)\bpartition\s+by\s+", bm)
+        if not pm:
+            raise ArgsError(
+                f"window 'over ({body})' has no PARTITION BY — a "
+                f"global window frame spans every member's rows, "
+                f"which no single member can see; partition by the "
+                f"shard key {shard_key!r}, or gather the rows with "
+                f"folio_remote and window locally"
+            )
+        tail = body[pm.end():]
+        tm = re.search(
+            r"(?is)\b(order\s+by|rows|range|groups)\b",
+            _mask_quoted(tail),
+        )
+        plist = tail[: tm.start()] if tm else tail
+        cols = {
+            c.strip().strip("`").lower() for c in _split_top(plist)
+        }
+        if shard_key.lower() not in cols:
+            raise ArgsError(
+                f"window 'over ({body})' partitions by "
+                f"{sorted(cols)}, which does not include the shard "
+                f"key {shard_key!r} — its frames would need rows "
+                f"from other members and a member-side run is "
+                f"silently wrong.  Add {shard_key!r} to PARTITION "
+                f"BY, or folio_reshard the folio onto the window "
+                f"key first."
+            )
+    # ---- strip the statement-level ordering for the merged final ----
+    ship = ansi
+    order_tail: str | None = None
+    limit_n: int | None = None
+    depth0 = [
+        m
+        for m in re.finditer(r"(?is)\border\s+by\b", mask)
+        if mask.count("(", 0, m.start())
+        == mask.count(")", 0, m.start())
+    ]
+    if depth0:
+        m = depth0[-1]
+        ship = ansi[: m.start()].strip()
+        order_tail = ansi[m.end():].strip()
+        lm = re.search(r"(?is)\blimit\s+(\d+)\s*$", order_tail)
+        if lm:
+            limit_n = int(lm.group(1))
+            order_tail = order_tail[: lm.start()].strip()
+    else:
+        sm = _mask_quoted(ship)
+        lm = re.search(r"(?is)\blimit\s+(\d+)\s*$", sm)
+        if lm and sm.count("(", 0, lm.start()) == sm.count(
+            ")", 0, lm.start()
+        ):
+            limit_n = int(lm.group(1))
+            ship = ship[: lm.start()].strip()
+
+    def _ord_cols(tail: str):
+        from pyspark.sql import functions as F
+
+        out = []
+        for item in _split_top(tail):
+            it = item.strip()
+            nulls = None
+            m_ = re.search(r"(?is)\s+nulls\s+(first|last)\s*$", it)
+            if m_:
+                nulls = m_.group(1).lower()
+                it = it[: m_.start()].strip()
+            desc = False
+            m_ = re.search(r"(?is)\s+(asc|desc)\s*$", it)
+            if m_:
+                desc = m_.group(1).lower() == "desc"
+                it = it[: m_.start()].strip()
+            c = F.expr(it)
+            if desc:
+                c = (
+                    c.desc_nulls_first()
+                    if nulls == "first"
+                    else c.desc()
+                )
+            else:
+                c = (
+                    c.asc_nulls_last()
+                    if nulls == "last"
+                    else c.asc()
+                )
+            out.append(c)
+        return out
+
+    # ---- publish mode: member-side shards, nothing gathered ---------
+    if publish is not None:
+        if not re.fullmatch(r"[A-Za-z_]\w*", publish):
+            raise ArgsError(
+                f"publish name {publish!r} is not a valid table name"
+            )
+        if order_tail is not None or limit_n is not None:
+            raise ArgsError(
+                "folio_window(publish=...) keeps member-side shards "
+                "— a statement-level order by / limit has no meaning "
+                "across them; drop it, or gather instead"
+            )
+        if check:
+            # disjointness FIRST, so a mis-sharded folio publishes
+            # NOTHING on any member (two-phase, like the reshard)
+            probe = (
+                f"select {shard_key} as __k from ({ship}) "
+                f"group by {shard_key}"
+            )
+            key_parts = _gather_frames(addrs, probe, timeout)
+            _check_disjoint_keys(key_parts, "__k", shard_key)
+
+        def pub(addr):
+            host, port = addr
+            with KerfClient(host, int(port), timeout=timeout) as cli:
+                r = cli.execute(ship, publish=publish)
+                if not r.get("ok"):
+                    raise RuntimeError(
+                        f"folio member {host}:{port} publish failed: "
+                        f"{r.get('kind')}: {r.get('message')}"
+                    )
+                rc = cli.execute(
+                    f"select count(*) as __c from {publish}",
+                    arrow=True,
+                )
+                rows = rc["table"].column("__c")[0].as_py()
+            return f"{host}:{port}", int(rows)
+
+        with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
+            counts = dict(pool.map(pub, addrs))
+        return {
+            "ok": True,
+            "published": publish,
+            "rows": sum(counts.values()),
+            "rows_by_member": counts,
+        }
+
+    # ---- gather mode: union member frames, re-apply the ordering ----
+    parts = _gather_frames(addrs, ship, timeout)
+    if check:
+        _check_disjoint_keys(parts, shard_key, shard_key)
+    from pyspark.sql import functions as F
+
+    out = None
+    for (host, port), tbl in parts:
+        df = spark.createDataFrame(tbl)
+        if tag_col is not None:
+            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
+        out = df if out is None else out.unionByName(df)
+    if order_tail:
+        # SQL resolves a statement-level ORDER BY against the INPUT
+        # (unprojected columns sort fine); the merged union only has
+        # the output columns — refuse with the fix instead of an
+        # unresolved-column stack
+        from .errors import ArgsError as _AErr
+
+        for item in _split_top(order_tail):
+            it = re.sub(
+                r"(?is)\s+(asc|desc|nulls\s+(?:first|last))\s*$",
+                "",
+                item.strip(),
+            ).strip()
+            it = re.sub(
+                r"(?is)\s+(asc|desc)\s*$", "", it
+            ).strip()
+            if re.fullmatch(r"[A-Za-z_]\w*", it) and it not in (
+                out.columns
+            ):
+                raise _AErr(
+                    f"folio_window: the statement-level order by "
+                    f"names {it!r}, which is not among the result "
+                    f"columns {out.columns} — the merged union can "
+                    f"only sort on what the members returned; select "
+                    f"{it!r} too, or drop the final ordering"
+                )
+        out = out.orderBy(*_ord_cols(order_tail))
+    if limit_n is not None:
+        out = out.limit(limit_n)
+    return out
+
+
+def _check_disjoint_keys(
+    parts, col: str, shard_key: str
+) -> None:
+    """Every member's set of ``col`` values must be pairwise disjoint
+    — the precise precondition for member-complete windows (checked
+    POST-filter: a window select preserves its input rows 1:1, so the
+    result's keys are the windowed rows' keys).  NULL counts as a key:
+    SQL puts all NULL-key rows in ONE window partition, so NULLs on
+    two members are cross-member frames too."""
+    import pyarrow.compute as pc
+
+    from .errors import ArgsError
+
+    seen: dict = {}
+    _null = object()
+    for (host, port), tbl in parts:
+        if col not in tbl.schema.names:
+            raise ArgsError(
+                f"folio_window check needs the shard key "
+                f"{shard_key!r} among the result columns (member "
+                f"{host}:{port} returned {tbl.schema.names}) — "
+                f"select it, or pass check=False"
+            )
+        me = f"{host}:{port}"
+        for v in pc.unique(tbl.column(col)).to_pylist():
+            k = _null if v is None else v
+            other = seen.setdefault(k, me)
+            if other != me:
+                raise ArgsError(
+                    f"folio is not sharded by {shard_key!r}: value "
+                    f"{'NULL' if k is _null else v!r} has rows on "
+                    f"both {other} and {me} — their window frames "
+                    f"span members.  folio_reshard the table onto "
+                    f"{shard_key!r} first (or pass check=False if "
+                    f"the overlap is intended)."
+                )
+
+
 def _reshard_cleanup(
     addrs, out_name: str, stage: str, timeout: float, drop_stage: bool
 ) -> None:

@@ -1927,3 +1927,166 @@ def test_register_plane_confinement(spark, tmp_path):
             assert not r["ok"]
     finally:
         srv.stop()
+
+
+def test_folio_window_member_complete_and_publish(spark):
+    """folio_window: ordered analytics over a key-sharded folio are
+    member-complete (every OVER partitions by the shard key), so the
+    gathered union equals the unsharded local run EXACTLY — windows,
+    final order by + limit, and all-integer frames (no float
+    summation-order hazards).  publish= keeps the windowed shards
+    member-side (wire = row counts only); the kerf ordered-verb form
+    (msum by k ... order by ts) validates through the SAME translate
+    expansion the members execute."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import folio_remote, folio_window
+    from kerf_spark.sources.io import read_table
+
+    orders = read_table(spark, SF, "orders").withColumn(
+        "oc", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    srvs = [
+        KerfServer(
+            spark,
+            tables={"orders": orders.where(F.col("o_custkey") % 3 == i)},
+        ).start()
+        for i in range(3)
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        q = (
+            "select o_custkey, o_orderkey, oc,"
+            " sum(oc) over (partition by o_custkey"
+            "   order by o_orderdate, o_orderkey"
+            "   rows between 2 preceding and current row) as m3,"
+            " sum(oc) over (partition by o_custkey"
+            "   order by o_orderdate, o_orderkey) as rsum,"
+            " row_number() over (partition by o_custkey"
+            "   order by o_orderdate, o_orderkey) as rn"
+            " from orders where o_custkey % 20 = 7"
+            " order by o_custkey, rn limit 400"
+        )
+        got = folio_window(spark, addrs, q, shard_key="o_custkey")
+        orders.createOrReplaceTempView("__fw_orders_all")
+        want = spark.sql(q.replace("from orders ", "from __fw_orders_all "))
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+        # kerf ordered-verb form expands to the same guarded OVER
+        verb = folio_window(
+            spark,
+            addrs,
+            "select o_custkey, o_orderkey, o_orderdate,"
+            " msum(3, oc) as m3 by o_custkey from orders"
+            " order by o_orderdate, o_orderkey",
+            shard_key="o_custkey",
+        )
+        assert verb.count() == orders.count()
+
+        # publish: member-side shards, nothing gathered
+        res = folio_window(
+            spark,
+            addrs,
+            "select o_custkey, o_orderkey, sum(oc) over"
+            " (partition by o_custkey order by o_orderkey) as rsum"
+            " from orders",
+            shard_key="o_custkey",
+            publish="owin",
+        )
+        assert res["rows"] == orders.count()
+        assert len(res["rows_by_member"]) == 3
+        back = folio_remote(
+            spark, addrs, "select count(*) as c from owin"
+        )
+        assert sum(r.c for r in back.collect()) == orders.count()
+
+        # ---- refusals: each names the failure and the fix ----
+        with pytest.raises(ArgsError, match="no PARTITION BY"):
+            folio_window(
+                spark, addrs,
+                "select o_orderkey, sum(oc) over"
+                " (order by o_orderdate) as s from orders",
+                shard_key="o_custkey",
+            )
+        with pytest.raises(ArgsError, match="does not include the shard key"):
+            folio_window(
+                spark, addrs,
+                "select o_orderkey, sum(oc) over"
+                " (partition by o_orderstatus order by o_orderdate)"
+                " as s from orders",
+                shard_key="o_custkey",
+            )
+        with pytest.raises(ArgsError, match="no window function"):
+            folio_window(
+                spark, addrs, "select o_orderkey from orders",
+                shard_key="o_custkey",
+            )
+        with pytest.raises(ArgsError, match="joins tables"):
+            folio_window(
+                spark, addrs,
+                "select o_orderkey, row_number() over (partition by"
+                " o_custkey order by o_orderkey) as rn"
+                " from orders join nation on o_custkey = n_nationkey",
+                shard_key="o_custkey",
+            )
+        # order by an unprojected column: typed, names the fix
+        with pytest.raises(ArgsError, match="not among the result columns"):
+            folio_window(
+                spark, addrs,
+                "select o_custkey, row_number() over (partition by"
+                " o_custkey order by o_orderkey) as rn from orders"
+                " order by o_orderdate",
+                shard_key="o_custkey",
+            )
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_window_missharded_folio_fails_loud(spark):
+    """The disjointness check: a folio NOT sharded by the window key
+    (orderkey residues, windows by custkey) trips BOTH modes — gather
+    checks the gathered frames driver-side; publish pre-gathers key
+    sets and publishes NOTHING on any member."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import folio_remote, folio_window
+    from kerf_spark.sources.io import read_table
+
+    orders = read_table(spark, SF, "orders")
+    srvs = [
+        KerfServer(
+            spark,
+            tables={"orders": orders.where(F.col("o_orderkey") % 3 == i)},
+        ).start()
+        for i in range(3)
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        q = (
+            "select o_custkey, row_number() over (partition by"
+            " o_custkey order by o_orderkey) as rn from orders"
+        )
+        with pytest.raises(ArgsError, match="not sharded by"):
+            folio_window(spark, addrs, q, shard_key="o_custkey")
+        with pytest.raises(ArgsError, match="not sharded by"):
+            folio_window(
+                spark, addrs, q, shard_key="o_custkey", publish="bad_w"
+            )
+        # two-phase: the failed check left NO member publishing bad_w
+        with pytest.raises(
+            RuntimeError, match="cannot be found|undefined name"
+        ):
+            folio_remote(spark, addrs[:1], "select * from bad_w")
+        # check=False is the documented escape hatch (overlap intended)
+        out = folio_window(
+            spark, addrs, q, shard_key="o_custkey", check=False
+        )
+        assert out.count() == orders.count()
+    finally:
+        for s in srvs:
+            s.stop()

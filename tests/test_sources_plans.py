@@ -26,6 +26,39 @@ def test_translate_select_by():
     assert "WHERE l_discount > 0" in sql
 
 
+def test_translate_clause_split_is_depth_aware():
+    """_split_clause honors paren depth and string literals: the
+    ``order by`` inside an explicit ``OVER (...)`` window spec, the
+    ``from`` of a scalar subquery, and keywords inside quoted strings
+    all belong to their nested scope — explicit ANSI window functions
+    pass through translate INTACT (previously the first in-window
+    ``order by`` ate the rest of the statement and the select lost
+    its from clause)."""
+    q = (
+        "select k, v, sum(v) over (partition by k order by ts "
+        "rows between 2 preceding and current row) as m3 "
+        "from t where v > 0 order by k limit 5"
+    )
+    sql = translate(q)
+    assert "over (partition by k order by ts" in sql
+    assert "FROM t" in sql
+    assert sql.rstrip().endswith("LIMIT 5")
+    # the statement-level ORDER BY is the depth-0 one, not the OVER's
+    assert "ORDER BY k" in sql
+
+    # scalar subquery: its `from` stays inside the select item
+    sql = translate(
+        "select (select max(x) from u where u.k = t.k) as mx, v "
+        "from t where v > 0"
+    )
+    assert "FROM t" in sql
+    assert "(select max(x) from u where u.k = t.k)" in sql
+
+    # keywords inside string literals never split the statement
+    sql = translate("select v from t where note = 'a from b order by c'")
+    assert "WHERE note = 'a from b order by c'" in sql
+
+
 def test_translate_having():
     sql = translate(
         "select n: count(*) by l_returnflag from lineitem "
