@@ -124,6 +124,13 @@ BENCH_QUERIES = [
     # cell partials + local candidates — bounded wire regardless of
     # the value domain; the exchange is two extra bounded gathers)
     "folio_heavy_hitters",
+    # round-13: member-complete window analytics (every member windows
+    # its own shard — zero cross-member bytes; the wire carries the
+    # filtered RESULT rows, so the gather is the measured cost) and
+    # the co-sharded distributed as-of join (member-local asof plans,
+    # result-rows-only wire — the temporal-join scale path)
+    "folio_window_ma",
+    "folio_asof_cosharded",
 ]
 
 

@@ -974,6 +974,34 @@ def _loc_folio_reshard(
     )
 
 
+def _loc_folio_window(addrs, src, shard_key, publish=None):
+    """``folio_window(members, "select k, ts, msum(3, v) as m by k
+    from t order by ts", "k")`` — member-complete WINDOW analytics
+    over a folio sharded by the third argument (the ordered half of
+    presented.h:409's folio-behaves-like-a-table; aggregates ride
+    folio_select): every OVER clause (kerf ordered verbs expand to
+    OVER first) must partition by the shard key, the gathered frames'
+    key sets are checked pairwise-disjoint, and a statement-level
+    order by re-applies to the merged union.  An optional fourth
+    argument publishes each member's windowed shard server-side
+    instead of gathering (returns the counts map).  See
+    server.folio_window."""
+    from pyspark.sql import SparkSession
+
+    from ..server import folio_window
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise KerfTypeError("folio_window needs an active SparkSession")
+    return folio_window(
+        spark,
+        _parse_folio_addrs(addrs),
+        str(src),
+        str(shard_key),
+        publish=None if publish is None else str(publish),
+    )
+
+
 def _loc_group(x):
     """kerf1 ``group``: MAP from each distinct value to the index
     vector of its occurrences, first-appearance order (k semantics) —
@@ -1307,6 +1335,7 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "folio": (_loc_folio, None),
     "folio_select": (_loc_folio_select, None),
     "folio_reshard": (_loc_folio_reshard, None),
+    "folio_window": (_loc_folio_window, None),
     # kerf1 grouping / table-sort / string verbs (VERDICT r8 next #4)
     "group": (_loc_group, None),
     "xasc": (_loc_xsort(False), None),

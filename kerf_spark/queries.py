@@ -12943,6 +12943,135 @@ def folio_heavy_hitters(spark, sf):
 
 
 @query(
+    "folio_window_ma",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS ocents
+      FROM orders WHERE o_custkey % 25 = 1
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(sum(ocents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS m3,
+           CAST(sum(ocents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS rsum,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS rn
+    FROM o ORDER BY o_custkey, rn
+    """,
+)
+def folio_window_ma(spark, sf):
+    """MEMBER-COMPLETE window analytics over the folio
+    (``folio_window`` — the ordered half of presented.h:409's "a
+    folio of tables should behave like a table"; the aggregates ride
+    folio_select, rows folio_remote): the canonical tick shapes —
+    3-row moving sum, running sum, per-key row rank — are window
+    functions, and when every OVER partitions by the key the folio is
+    sharded on (orders co-sharded on o_custkey residues here), every
+    member's frames are COMPLETE: zero cross-member movement, the
+    shuffle the sharding already paid for is reused.  folio_window
+    VALIDATES that precondition instead of trusting it — each OVER
+    clause must name the shard key in its PARTITION BY (kerf ordered
+    verbs expand through the same ``translate`` the members run), and
+    the gathered frames' key sets are checked pairwise-disjoint
+    (NULL included) before the union, so a mis-sharded folio fails
+    loud rather than returning frames missing other members' rows.
+    The statement-level ORDER BY re-applies to the merged union
+    driver-side.  All-integer frames (cents; (o_orderdate,
+    o_orderkey) unique ordering), so the DuckDB oracle over the
+    UNSHARDED table must match bit-for-bit — any row on the wrong
+    member, dropped, or mis-framed is a value mismatch."""
+    from .server import folio_window
+
+    srvs = _folio_customer_servers(spark, sf)
+    df = folio_window(
+        spark,
+        [s_.address for s_ in srvs],
+        "select o_custkey, o_orderkey,"
+        " sum(ocents) over (partition by o_custkey"
+        "   order by o_orderdate, o_orderkey"
+        "   rows between 2 preceding and current row) as m3,"
+        " sum(ocents) over (partition by o_custkey"
+        "   order by o_orderdate, o_orderkey) as rsum,"
+        " row_number() over (partition by o_custkey"
+        "   order by o_orderdate, o_orderkey) as rn"
+        " from orders where o_custkey % 25 = 1",
+        shard_key="o_custkey",
+    )
+    return df.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("m3").cast("long").alias("m3"),
+        F.col("rsum").cast("long").alias("rsum"),
+        F.col("rn").cast("long").alias("rn"),
+    ).orderBy("o_custkey", "rn")
+
+
+@query(
+    "folio_asof_cosharded",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC,
+                                         o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      WHERE e.user_id % 10 = 3
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(ts_us AS BIGINT) AS ts_us,
+           CAST(o_orderkey AS BIGINT) AS orderkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def folio_asof_cosharded(spark, sf):
+    """DISTRIBUTED AS-OF JOIN over a co-sharded folio — the temporal
+    join at folio scale (presented.h:427-430's folio of remote tables
+    + the kdb/kerf aj convention; the path folio_window's asof-join
+    refusal names): events and orders are CO-SHARDED on user_id
+    residues across the three members, so each member's kerf-SQL
+    ``from events_aj asof join orders_aj on user_id, ts`` is
+    COMPLETE — every equi key's rows (both sides) live on exactly one
+    member, the as-of resolves member-locally through the same
+    union-tag single-shuffle asof_join plan the local rows use, and
+    the gathered union equals the unsharded run bit-for-bit.  Zero
+    cross-member movement: the shuffle the co-sharding already paid
+    for is reused, the same discipline folio_select's
+    member_local_joins documents for equi joins.  The DuckDB oracle
+    ranks the full join over UNSHARDED tables (latest order at or
+    before each event per user, date ties toward the larger
+    orderkey), so a key on the wrong member, a dropped match, or a
+    tie broken differently is a value mismatch."""
+    from .server import folio_remote
+
+    srvs = _folio_customer_servers(spark, sf)
+    merged = folio_remote(
+        spark,
+        [s_.address for s_ in srvs],
+        "select event_id, user_id, ts_us: ts div 1000,"
+        " orderkey: o_orderkey, totalprice: round(o_totalprice, 2)"
+        " from events_aj asof join orders_aj on user_id, ts"
+        " where o_orderkey is not null and user_id % 10 = 3",
+    )
+    return merged.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.col("orderkey").cast("long").alias("orderkey"),
+        "totalprice",
+    ).orderBy("event_id")
+
+
+@query(
     "keyed_tuple_range",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -13278,6 +13407,15 @@ def _folio_customer_servers(spark, sf):
     ords = _t(spark, sf, "orders").withColumn(
         "ocents", F.round(F.col("o_totalprice") * 100).cast("long")
     )
+    # events + orders CO-SHARDED on user_id — the distributed as-of
+    # join's precondition (both sides of every equi key on one member)
+    ev_aj = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    ord_aj = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
     srvs = [
         KerfServer(
             spark,
@@ -13288,6 +13426,8 @@ def _folio_customer_servers(spark, sf):
                 # not custkey): the folio_reshard row re-shards it onto
                 # the join key before the co-sharded member-side join
                 "orders_byok": ords.where(F.col("o_orderkey") % 3 == i),
+                "events_aj": ev_aj.where(F.col("user_id") % 3 == i),
+                "orders_aj": ord_aj.where(F.col("user_id") % 3 == i),
             },
         ).start()
         for i in range(3)
@@ -15078,7 +15218,8 @@ _R12_WINDOW = [
 #: value-checked locally against the same DuckDB oracles before
 #: their commits — the same slot-trading policy r11/r12 followed.
 _R13_WINDOW = [
-    # round-13 addition + never driver-checked
+    # round-13 additions + never driver-checked
+    "folio_window_ma", "folio_asof_cosharded",
     "folio_heavy_hitters", "folio_remote_distinct",
     # changed this round: synthetic-orphan teeth in query AND oracle
     "validate_referential_orphans",

@@ -2046,6 +2046,53 @@ def test_folio_window_member_complete_and_publish(spark):
             s.stop()
 
 
+def test_folio_window_script_verb(spark):
+    """folio_window from the LANGUAGE plane: the member vector is an
+    ordinary kerf value, the statement a string — the verb validates
+    the shard-key partitioning and unions the member frames like the
+    direct call."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.sources.io import read_table
+
+    orders = read_table(spark, SF, "orders")
+    srvs = [
+        KerfServer(
+            spark,
+            tables={"orders": orders.where(F.col("o_custkey") % 2 == i)},
+        ).start()
+        for i in range(2)
+    ]
+    try:
+        members = ", ".join(
+            f'"{h}:{p}"' for h, p in (s.address for s in srvs)
+        )
+        df = KL.run(
+            spark,
+            f'folio_window([{members}],'
+            f' "select o_custkey, o_orderkey, row_number() over'
+            f' (partition by o_custkey order by o_orderkey) as rn'
+            f' from orders", "o_custkey")',
+        )
+        assert df.count() == orders.count()
+        # per-key max rank == per-key row count: frames were complete
+        chk = (
+            df.groupBy("o_custkey").agg(F.max("rn").alias("mx"))
+            .join(
+                orders.groupBy("o_custkey").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+                "o_custkey",
+            )
+            .where(F.col("mx") != F.col("n"))
+        )
+        assert chk.count() == 0
+    finally:
+        for s in srvs:
+            s.stop()
+
+
 def test_folio_window_missharded_folio_fails_loud(spark):
     """The disjointness check: a folio NOT sharded by the window key
     (orderkey residues, windows by custkey) trips BOTH modes — gather
