@@ -9736,6 +9736,58 @@ def kerfsql_running_verbs(spark, sf):
 
 
 @query(
+    "kerfsql_over_window",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenumber,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+                AS BIGINT) AS rext,
+           CAST(rank() OVER (PARTITION BY l_orderkey
+                             ORDER BY l_quantity DESC, l_linenumber)
+                AS BIGINT) AS qrank,
+           CAST(lead(l_linenumber) OVER (PARTITION BY l_orderkey
+                                         ORDER BY l_linenumber)
+                AS BIGINT) AS nxt
+    FROM lineitem WHERE l_orderkey % 500 = 1
+    ORDER BY orderkey, linenumber
+    """,
+)
+def kerfsql_over_window(spark, sf):
+    """EXPLICIT ANSI window functions through the kerf-SQL front end
+    (r13: the clause splitter is paren-depth + string-literal aware,
+    so ``OVER (... ORDER BY ...)`` no longer eats the statement —
+    before this round only the kerf VERB spellings reached windows
+    from SQL text).  A running sum, a descending rank with a
+    deterministic tie-break, and a lead — all in one statement, one
+    shuffle where the partitioning+ordering agree, with the
+    statement-level ORDER BY correctly split from the windows'
+    internal ones.  Integer cents keep both engines bit-identical."""
+    _t(spark, sf, "lineitem").withColumn(
+        "lcents",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    ).createOrReplaceTempView("li_ow")
+    return kerf_sql(
+        spark,
+        "select orderkey: l_orderkey, linenumber: l_linenumber,"
+        " rext: sum(lcents) over (partition by l_orderkey"
+        "   order by l_linenumber),"
+        " qrank: rank() over (partition by l_orderkey"
+        "   order by l_quantity desc, l_linenumber),"
+        " nxt: lead(l_linenumber) over (partition by l_orderkey"
+        "   order by l_linenumber)"
+        " from li_ow where l_orderkey % 500 = 1"
+        " order by l_orderkey, l_linenumber",
+    ).select(
+        F.col("orderkey").cast("long").alias("orderkey"),
+        F.col("linenumber").cast("long").alias("linenumber"),
+        F.col("rext").cast("long").alias("rext"),
+        F.col("qrank").cast("long").alias("qrank"),
+        F.col("nxt").cast("long").alias("nxt"),
+    )
+
+
+@query(
     "kerfsql_fby_filter",
     """
     SELECT user_id, event_type, event_id, round(value, 6) AS value
@@ -15219,7 +15271,7 @@ _R12_WINDOW = [
 #: their commits — the same slot-trading policy r11/r12 followed.
 _R13_WINDOW = [
     # round-13 additions + never driver-checked
-    "folio_window_ma", "folio_asof_cosharded",
+    "folio_window_ma", "folio_asof_cosharded", "kerfsql_over_window",
     "folio_heavy_hitters", "folio_remote_distinct",
     # changed this round: synthetic-orphan teeth in query AND oracle
     "validate_referential_orphans",

@@ -1185,11 +1185,36 @@ def folio_window(
             )
         if check:
             # disjointness FIRST, so a mis-sharded folio publishes
-            # NOTHING on any member (two-phase, like the reshard)
-            probe = (
-                f"select {shard_key} as __k from ({ship}) "
-                f"group by {shard_key}"
+            # NOTHING on any member (two-phase, like the reshard).
+            # For the common single-table shape the probe scans the
+            # BASE table's keys directly (no second window pass);
+            # anything fancier probes the statement's own output
+            # keys through a subquery (correct always, 2x compute).
+            from .plans.kerfsql import _split_clause
+
+            head_, where_ = _split_clause(ship, "where")
+            _, tbl_ = _split_clause(head_, "from")
+            grouped_ = re.search(
+                r"(?is)\b(group\s+by|having|qualify|distinct)\b",
+                _mask_quoted(ship),
             )
+            if (
+                grouped_ is None
+                and tbl_ is not None
+                and re.fullmatch(r"[A-Za-z_]\w*", tbl_.strip())
+            ):
+                src_ = tbl_.strip() + (
+                    f" where {where_}" if where_ else ""
+                )
+                probe = (
+                    f"select {shard_key} as __k from {src_} "
+                    f"group by {shard_key}"
+                )
+            else:
+                probe = (
+                    f"select {shard_key} as __k from ({ship}) "
+                    f"group by {shard_key}"
+                )
             key_parts = _gather_frames(addrs, probe, timeout)
             _check_disjoint_keys(key_parts, "__k", shard_key)
 
@@ -2420,7 +2445,10 @@ def folio_select(
     if not any(fn for _, fn, _, _ in items):
         raise ArgsError(
             "folio_select needs at least one aggregate — for plain "
-            "row gathers use folio_remote"
+            "row gathers use folio_remote, and for per-row ordered "
+            "analytics (moving/running aggregates, lag, ranks) use "
+            "folio_window, which validates the windows are "
+            "member-complete"
         )
     hist_fns = (
         "count_distinct", "percentile", "mode",
