@@ -1002,6 +1002,29 @@ def _loc_folio_window(addrs, src, shard_key, publish=None):
     )
 
 
+def _loc_folio_asof(addrs, src, publish=None):
+    """``folio_asof(members, "select ... from t asof join q on
+    keys..., ts")`` — the distributed temporal join over a CO-SHARDED
+    folio: verifies both tables' equi-key sets are member-disjoint
+    (a mis-sharded folio fails loud toward folio_reshard), then runs
+    the as-of/window join member-locally and unions the frames; an
+    optional third argument publishes each member's joined shard
+    server-side instead of gathering.  See server.folio_asof."""
+    from pyspark.sql import SparkSession
+
+    from ..server import folio_asof
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise KerfTypeError("folio_asof needs an active SparkSession")
+    return folio_asof(
+        spark,
+        _parse_folio_addrs(addrs),
+        str(src),
+        publish=None if publish is None else str(publish),
+    )
+
+
 def _loc_group(x):
     """kerf1 ``group``: MAP from each distinct value to the index
     vector of its occurrences, first-appearance order (k semantics) —
@@ -1336,6 +1359,7 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "folio_select": (_loc_folio_select, None),
     "folio_reshard": (_loc_folio_reshard, None),
     "folio_window": (_loc_folio_window, None),
+    "folio_asof": (_loc_folio_asof, None),
     # kerf1 grouping / table-sort / string verbs (VERDICT r8 next #4)
     "group": (_loc_group, None),
     "xasc": (_loc_xsort(False), None),

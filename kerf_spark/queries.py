@@ -13098,15 +13098,20 @@ def folio_asof_cosharded(spark, sf):
     the gathered union equals the unsharded run bit-for-bit.  Zero
     cross-member movement: the shuffle the co-sharding already paid
     for is reused, the same discipline folio_select's
-    member_local_joins documents for equi joins.  The DuckDB oracle
+    member_local_joins documents for equi joins.  The GUARDED surface
+    runs it: ``folio_asof`` verifies the co-sharding first (each
+    member's distinct equi-key sets for BOTH tables, any key on two
+    members fails loud toward folio_reshard) — a bare folio_remote
+    would ship a mis-sharded temporal join and silently drop every
+    cross-member match.  The DuckDB oracle
     ranks the full join over UNSHARDED tables (latest order at or
     before each event per user, date ties toward the larger
     orderkey), so a key on the wrong member, a dropped match, or a
     tie broken differently is a value mismatch."""
-    from .server import folio_remote
+    from .server import folio_asof
 
     srvs = _folio_customer_servers(spark, sf)
-    merged = folio_remote(
+    merged = folio_asof(
         spark,
         [s_.address for s_ in srvs],
         "select event_id, user_id, ts_us: ts div 1000,"

@@ -967,6 +967,108 @@ def folio_remote(
     return out
 
 
+def _split_order_limit(text: str):
+    """``(head, order_tail, limit_n)`` — the STATEMENT-level ``order
+    by`` / ``limit`` split off ``text`` at paren depth 0 outside
+    string literals (an OVER clause's or subquery's internal ordering
+    is depth-nested and stays put).  Member-side global ordering
+    cannot survive a union, so the folio surfaces ship ``head`` and
+    re-apply the tail to the merged result."""
+    from .plans.kerfsql import _mask_quoted
+
+    mask = _mask_quoted(text)
+    ship, order_tail, limit_n = text, None, None
+    depth0 = [
+        m
+        for m in re.finditer(r"(?is)\border\s+by\b", mask)
+        if mask.count("(", 0, m.start())
+        == mask.count(")", 0, m.start())
+    ]
+    if depth0:
+        m = depth0[-1]
+        ship = text[: m.start()].strip()
+        order_tail = text[m.end():].strip()
+        lm = re.search(r"(?is)\blimit\s+(\d+)\s*$", order_tail)
+        if lm:
+            limit_n = int(lm.group(1))
+            order_tail = order_tail[: lm.start()].strip()
+    else:
+        sm = _mask_quoted(ship)
+        lm = re.search(r"(?is)\blimit\s+(\d+)\s*$", sm)
+        if lm and sm.count("(", 0, lm.start()) == sm.count(
+            ")", 0, lm.start()
+        ):
+            limit_n = int(lm.group(1))
+            ship = ship[: lm.start()].strip()
+    return ship, order_tail, limit_n
+
+
+def _ord_cols(tail: str):
+    """Statement-tail ``order by`` items -> Column sort expressions
+    (asc/desc + nulls first/last), for re-applying a stripped global
+    ordering to the merged union."""
+    from pyspark.sql import functions as F
+
+    from .plans.kerfsql import _split_top
+
+    out = []
+    for item in _split_top(tail):
+        it = item.strip()
+        nulls = None
+        m_ = re.search(r"(?is)\s+nulls\s+(first|last)\s*$", it)
+        if m_:
+            nulls = m_.group(1).lower()
+            it = it[: m_.start()].strip()
+        desc = False
+        m_ = re.search(r"(?is)\s+(asc|desc)\s*$", it)
+        if m_:
+            desc = m_.group(1).lower() == "desc"
+            it = it[: m_.start()].strip()
+        c = F.expr(it)
+        if desc:
+            c = (
+                c.desc_nulls_first()
+                if nulls == "first"
+                else c.desc()
+            )
+        else:
+            c = c.asc_nulls_last() if nulls == "last" else c.asc()
+        out.append(c)
+    return out
+
+
+def _apply_order_limit(out, order_tail, limit_n):
+    """Re-apply a stripped statement-level ordering to the merged
+    union — refusing (typed) when it names a column the members did
+    not return, since SQL resolves a statement-level ORDER BY against
+    the INPUT but the union only has the output columns."""
+    from .errors import ArgsError
+    from .plans.kerfsql import _split_top
+
+    if order_tail:
+        for item in _split_top(order_tail):
+            it = re.sub(
+                r"(?is)\s+(asc|desc|nulls\s+(?:first|last))\s*$",
+                "",
+                item.strip(),
+            ).strip()
+            it = re.sub(r"(?is)\s+(asc|desc)\s*$", "", it).strip()
+            if re.fullmatch(r"[A-Za-z_]\w*", it) and it not in (
+                out.columns
+            ):
+                raise ArgsError(
+                    f"the statement-level order by names {it!r}, "
+                    f"which is not among the result columns "
+                    f"{out.columns} — the merged union can only "
+                    f"sort on what the members returned; select "
+                    f"{it!r} too, or drop the final ordering"
+                )
+        out = out.orderBy(*_ord_cols(order_tail))
+    if limit_n is not None:
+        out = out.limit(limit_n)
+    return out
+
+
 def _over_spans(mask: str) -> list[tuple[int, int]]:
     """(start, end) spans of the INNER text of every ``OVER ( ... )``
     clause in ``mask`` (a quote-blanked copy from ``_mask_quoted``, so
@@ -1057,10 +1159,10 @@ def folio_window(
         )
     if re.search(r"(?is)\b(asof|window)\s+join\b", _mask_quoted(q)):
         raise ArgsError(
-            "folio_window does not take asof/window joins — a "
-            "temporal join needs BOTH sides co-sharded on the equi "
-            "keys; folio_reshard both tables onto the key, then run "
-            "the join member-side via folio_remote"
+            "folio_window does not take asof/window joins — use "
+            "folio_asof, which verifies BOTH sides are co-sharded "
+            "on the equi keys before running the join member-side "
+            "(folio_reshard makes them co-sharded on demand)"
         )
     ansi = translate(q)
     mask = _mask_quoted(ansi)
@@ -1113,63 +1215,7 @@ def folio_window(
                 f"key first."
             )
     # ---- strip the statement-level ordering for the merged final ----
-    ship = ansi
-    order_tail: str | None = None
-    limit_n: int | None = None
-    depth0 = [
-        m
-        for m in re.finditer(r"(?is)\border\s+by\b", mask)
-        if mask.count("(", 0, m.start())
-        == mask.count(")", 0, m.start())
-    ]
-    if depth0:
-        m = depth0[-1]
-        ship = ansi[: m.start()].strip()
-        order_tail = ansi[m.end():].strip()
-        lm = re.search(r"(?is)\blimit\s+(\d+)\s*$", order_tail)
-        if lm:
-            limit_n = int(lm.group(1))
-            order_tail = order_tail[: lm.start()].strip()
-    else:
-        sm = _mask_quoted(ship)
-        lm = re.search(r"(?is)\blimit\s+(\d+)\s*$", sm)
-        if lm and sm.count("(", 0, lm.start()) == sm.count(
-            ")", 0, lm.start()
-        ):
-            limit_n = int(lm.group(1))
-            ship = ship[: lm.start()].strip()
-
-    def _ord_cols(tail: str):
-        from pyspark.sql import functions as F
-
-        out = []
-        for item in _split_top(tail):
-            it = item.strip()
-            nulls = None
-            m_ = re.search(r"(?is)\s+nulls\s+(first|last)\s*$", it)
-            if m_:
-                nulls = m_.group(1).lower()
-                it = it[: m_.start()].strip()
-            desc = False
-            m_ = re.search(r"(?is)\s+(asc|desc)\s*$", it)
-            if m_:
-                desc = m_.group(1).lower() == "desc"
-                it = it[: m_.start()].strip()
-            c = F.expr(it)
-            if desc:
-                c = (
-                    c.desc_nulls_first()
-                    if nulls == "first"
-                    else c.desc()
-                )
-            else:
-                c = (
-                    c.asc_nulls_last()
-                    if nulls == "last"
-                    else c.asc()
-                )
-            out.append(c)
-        return out
+    ship, order_tail, limit_n = _split_order_limit(ansi)
 
     # ---- publish mode: member-side shards, nothing gathered ---------
     if publish is not None:
@@ -1218,30 +1264,7 @@ def folio_window(
             key_parts = _gather_frames(addrs, probe, timeout)
             _check_disjoint_keys(key_parts, "__k", shard_key)
 
-        def pub(addr):
-            host, port = addr
-            with KerfClient(host, int(port), timeout=timeout) as cli:
-                r = cli.execute(ship, publish=publish)
-                if not r.get("ok"):
-                    raise RuntimeError(
-                        f"folio member {host}:{port} publish failed: "
-                        f"{r.get('kind')}: {r.get('message')}"
-                    )
-                rc = cli.execute(
-                    f"select count(*) as __c from {publish}",
-                    arrow=True,
-                )
-                rows = rc["table"].column("__c")[0].as_py()
-            return f"{host}:{port}", int(rows)
-
-        with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
-            counts = dict(pool.map(pub, addrs))
-        return {
-            "ok": True,
-            "published": publish,
-            "rows": sum(counts.values()),
-            "rows_by_member": counts,
-        }
+        return _publish_members(addrs, ship, publish, timeout)
 
     # ---- gather mode: union member frames, re-apply the ordering ----
     parts = _gather_frames(addrs, ship, timeout)
@@ -1255,36 +1278,168 @@ def folio_window(
         if tag_col is not None:
             df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
         out = df if out is None else out.unionByName(df)
-    if order_tail:
-        # SQL resolves a statement-level ORDER BY against the INPUT
-        # (unprojected columns sort fine); the merged union only has
-        # the output columns — refuse with the fix instead of an
-        # unresolved-column stack
-        from .errors import ArgsError as _AErr
+    return _apply_order_limit(out, order_tail, limit_n)
 
-        for item in _split_top(order_tail):
-            it = re.sub(
-                r"(?is)\s+(asc|desc|nulls\s+(?:first|last))\s*$",
-                "",
-                item.strip(),
-            ).strip()
-            it = re.sub(
-                r"(?is)\s+(asc|desc)\s*$", "", it
-            ).strip()
-            if re.fullmatch(r"[A-Za-z_]\w*", it) and it not in (
-                out.columns
-            ):
-                raise _AErr(
-                    f"folio_window: the statement-level order by "
-                    f"names {it!r}, which is not among the result "
-                    f"columns {out.columns} — the merged union can "
-                    f"only sort on what the members returned; select "
-                    f"{it!r} too, or drop the final ordering"
+
+def _publish_members(
+    addrs, ship: str, publish: str, timeout: float
+) -> dict:
+    """Run ``ship`` on every member and publish each member's result
+    server-side under ``publish`` — nothing gathered, the wire
+    carries row COUNTS only.  Fail-loud per member."""
+    import concurrent.futures as _fut
+
+    def pub(addr):
+        host, port = addr
+        with KerfClient(host, int(port), timeout=timeout) as cli:
+            r = cli.execute(ship, publish=publish)
+            if not r.get("ok"):
+                raise RuntimeError(
+                    f"folio member {host}:{port} publish failed: "
+                    f"{r.get('kind')}: {r.get('message')}"
                 )
-        out = out.orderBy(*_ord_cols(order_tail))
-    if limit_n is not None:
-        out = out.limit(limit_n)
-    return out
+            rc = cli.execute(
+                f"select count(*) as __c from {publish}",
+                arrow=True,
+            )
+            rows = rc["table"].column("__c")[0].as_py()
+        return f"{host}:{port}", int(rows)
+
+    with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
+        counts = dict(pool.map(pub, addrs))
+    return {
+        "ok": True,
+        "published": publish,
+        "rows": sum(counts.values()),
+        "rows_by_member": counts,
+    }
+
+
+def folio_asof(
+    spark,
+    addrs: list[tuple[str, int]],
+    q: str,
+    timeout: float = 120.0,
+    tag_col: str | None = None,
+    publish: str | None = None,
+    check: bool = True,
+):
+    """Distributed AS-OF / WINDOW JOIN over a CO-SHARDED folio — the
+    temporal join at folio scale (presented.h:427-430's folio of
+    remote tables + the kdb/kerf aj convention: the LAST on-column is
+    the ordering key, the rest are equi keys).  When BOTH tables'
+    rows for every equi key live on the same member, each member's
+    ``from t asof join q on keys..., ts`` is COMPLETE member-locally
+    — zero cross-member movement, each member running the same
+    union-tag single-shuffle asof plan (operators/asof.py) the local
+    rows use.
+
+    The guard is the surface (same class as folio_window's): a bare
+    ``folio_remote`` would happily ship a mis-sharded temporal join
+    and silently drop every cross-member match.  Here the statement
+    must be the kerf-SQL asof/window-join shape with at least one
+    equi key (a pure temporal as-of has no sharding key — no member
+    can see all rows; gather with folio_remote and join locally), no
+    other joins, and ``check=True`` (default) verifies the
+    CO-SHARDING: each member's distinct equi-key sets for BOTH tables
+    gather (wire O(distinct keys)), and any key with rows on two
+    members — either side, either table — fails loud naming the key
+    and both members, pointing at :func:`folio_reshard`.  NULL equi
+    keys are exempt (SQL equality never matches them).
+
+    A statement-level ``order by`` / ``limit`` re-applies to the
+    merged union; ``publish=`` keeps each member's joined result
+    server-side (wire = row counts — the scale path, ready for
+    folio_select over the joined shards)."""
+    from .errors import ArgsError
+    from .plans.kerfsql import _mask_quoted
+
+    mask = _mask_quoted(q)
+    m = re.search(
+        r"(?is)\bfrom\s+(\w+)\s+(asof|window)\s+join\s+(\w+)\s+on"
+        r"\s+([\w\s,]+?)(?=\s+(?:within|where|order|limit)\b|\s*$)",
+        mask,
+    )
+    if not m:
+        raise ArgsError(
+            "folio_asof needs the kerf-SQL temporal-join shape: "
+            "'select ... from <t> asof join <q> on <keys..., tscol>' "
+            "or 'from <t> window join <q> on <keys..., tscol> within "
+            "<lo> <hi>'"
+        )
+    lt, rt = m.group(1), m.group(3)
+    keys = [k.strip() for k in m.group(4).split(",") if k.strip()]
+    equi = keys[:-1]
+    if len(addrs) > 1 and not equi:
+        raise ArgsError(
+            "folio_asof: the join names only the ordering column "
+            f"({keys[0]!r}) — with no equi key there is nothing the "
+            "folio can be co-sharded on, and no member sees all "
+            "rows.  Gather both tables with folio_remote and join "
+            "locally, or add the sharding key to the on-list."
+        )
+    extra = [
+        j
+        for j in re.finditer(r"(?is)\bjoin\b", mask)
+        if not (m.start() <= j.start() < m.end())
+    ]
+    if extra:
+        raise ArgsError(
+            "folio_asof takes exactly ONE temporal join — further "
+            "joins cannot be proven member-complete here; run them "
+            "on the merged result, or co-shard and use "
+            "folio_select(member_local_joins=True)"
+        )
+    if check and equi:
+        cols = ", ".join(equi)
+        seen: dict = {}
+        for side, table in (("left", lt), ("right", rt)):
+            parts = _gather_frames(
+                addrs, f"select {cols} from {table} group by {cols}",
+                timeout,
+            )
+            for (host, port), tbl in parts:
+                me = f"{host}:{port}"
+                vecs = [tbl.column(c).to_pylist() for c in equi]
+                for tup in zip(*vecs):
+                    if any(v is None for v in tup):
+                        continue  # NULL equi keys never match
+                    other = seen.setdefault(tup, me)
+                    if other != me:
+                        raise ArgsError(
+                            f"folio is not co-sharded on "
+                            f"({cols}): key {tup!r} has rows on "
+                            f"both {other} and {me} (detected on "
+                            f"the {side} table {table!r}) — a "
+                            f"member-side temporal join would drop "
+                            f"its cross-member matches.  "
+                            f"folio_reshard BOTH tables onto the "
+                            f"equi key first (or pass check=False "
+                            f"if the overlap is intended)."
+                        )
+    ship, order_tail, limit_n = _split_order_limit(q)
+    if publish is not None:
+        if not re.fullmatch(r"[A-Za-z_]\w*", publish):
+            raise ArgsError(
+                f"publish name {publish!r} is not a valid table name"
+            )
+        if order_tail is not None or limit_n is not None:
+            raise ArgsError(
+                "folio_asof(publish=...) keeps member-side shards — "
+                "a statement-level order by / limit has no meaning "
+                "across them; drop it, or gather instead"
+            )
+        return _publish_members(addrs, ship, publish, timeout)
+    from pyspark.sql import functions as F
+
+    parts = _gather_frames(addrs, ship, timeout)
+    out = None
+    for (host, port), tbl in parts:
+        df = spark.createDataFrame(tbl)
+        if tag_col is not None:
+            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
+        out = df if out is None else out.unionByName(df)
+    return _apply_order_limit(out, order_tail, limit_n)
 
 
 def _check_disjoint_keys(

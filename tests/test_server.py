@@ -2137,3 +2137,134 @@ def test_folio_window_missharded_folio_fails_loud(spark):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_folio_asof_cosharded_guarded(spark):
+    """folio_asof: the distributed temporal join with the co-sharding
+    VERIFIED — the gathered union over a user-co-sharded folio equals
+    the bare scatter-gather result (the fixture IS co-sharded), the
+    publish path keeps joined shards member-side, and the no-equi-key
+    / non-temporal shapes refuse typed."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.functions import temporal as TM
+    from kerf_spark.server import folio_asof, folio_remote
+    from kerf_spark.sources.io import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    oaj = read_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    srvs = [
+        KerfServer(
+            spark,
+            tables={
+                "ev": ev.where(F.col("user_id") % 3 == i),
+                "ord": oaj.where(F.col("user_id") % 3 == i),
+            },
+        ).start()
+        for i in range(3)
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        q = (
+            "select event_id, user_id, orderkey: o_orderkey"
+            " from ev asof join ord on user_id, ts"
+            " where o_orderkey is not null and user_id % 5 = 2"
+            " order by event_id limit 150"
+        )
+        got = folio_asof(spark, addrs, q)
+        want = (
+            folio_remote(
+                spark,
+                addrs,
+                q.replace(" order by event_id limit 150", ""),
+            )
+            .orderBy("event_id")
+            .limit(150)
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+        res = folio_asof(
+            spark,
+            addrs,
+            "select event_id, user_id, orderkey: o_orderkey"
+            " from ev asof join ord on user_id, ts"
+            " where o_orderkey is not null",
+            publish="aj_pub",
+        )
+        assert res["rows"] == ev.count()
+        assert len(res["rows_by_member"]) == 3
+
+        with pytest.raises(ArgsError, match="only the ordering column"):
+            folio_asof(
+                spark, addrs, "select * from ev asof join ord on ts"
+            )
+        with pytest.raises(ArgsError, match="temporal-join shape"):
+            folio_asof(
+                spark, addrs, "select event_id from ev where user_id > 0"
+            )
+    finally:
+        for s in srvs:
+            s.stop()
+
+
+def test_folio_asof_miscosharded_fails_loud(spark):
+    """The co-sharding check catches the cross-TABLE hazard per-table
+    disjointness misses: each table's keys are member-disjoint, but
+    the right table's assignment is the OPPOSITE of the left's — every
+    member-side match would be dropped.  folio_asof refuses naming
+    the key and both members."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.functions import temporal as TM
+    from kerf_spark.server import KerfServer, folio_asof
+    from kerf_spark.sources.io import read_table
+
+    ev = read_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    oaj = read_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    srvs = [
+        KerfServer(
+            spark,
+            tables={
+                "ev": ev.where(F.col("user_id") % 2 == i),
+                "ord": oaj.where(F.col("user_id") % 2 == (1 - i)),
+            },
+        ).start()
+        for i in range(2)
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        with pytest.raises(ArgsError, match="not co-sharded"):
+            folio_asof(
+                spark,
+                addrs,
+                "select event_id, o_orderkey"
+                " from ev asof join ord on user_id, ts",
+            )
+        # check=False is the documented escape hatch
+        out = folio_asof(
+            spark,
+            addrs,
+            "select event_id, orderkey: o_orderkey"
+            " from ev asof join ord on user_id, ts",
+            check=False,
+        )
+        assert out.count() == ev.count()
+    finally:
+        for s in srvs:
+            s.stop()
