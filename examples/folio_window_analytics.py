@@ -32,8 +32,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from kerf_spark import get_spark  # noqa: E402
 from kerf_spark.errors import ArgsError  # noqa: E402
 from kerf_spark.plans import kerf_lang as KL  # noqa: E402
+from kerf_spark.functions import temporal as TM  # noqa: E402
 from kerf_spark.server import (  # noqa: E402
     KerfServer,
+    folio_asof,
     folio_remote,
     folio_reshard,
     folio_window,
@@ -160,6 +162,43 @@ def main() -> None:
               f"frames complete")
     finally:
         for s in srvs2:
+            s.stop()
+
+    # The temporal join gets the same treatment: folio_asof verifies
+    # BOTH tables are co-sharded on the equi key (the cross-table
+    # hazard per-table disjointness misses), then joins member-side.
+    print("== folio_asof: guarded distributed as-of join ==")
+    ev = read_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    oaj = read_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        TM.ts_to_ns("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    srvs3 = [
+        KerfServer(
+            spark,
+            tables={
+                "ev": ev.where(F.col("user_id") % 3 == i),
+                "ord": oaj.where(F.col("user_id") % 3 == i),
+            },
+        ).start()
+        for i in range(3)
+    ]
+    try:
+        joined = folio_asof(
+            spark,
+            [s.address for s in srvs3],
+            "select event_id, user_id, orderkey: o_orderkey"
+            " from ev asof join ord on user_id, ts"
+            " where o_orderkey is not null"
+            " order by event_id limit 5",
+        )
+        joined.show()
+        print("   (co-sharding verified before any member joined)")
+    finally:
+        for s in srvs3:
             s.stop()
     spark.stop()
 
