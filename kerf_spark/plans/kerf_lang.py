@@ -974,7 +974,7 @@ def _loc_folio_reshard(
     )
 
 
-def _loc_folio_window(addrs, src, shard_key, publish=None):
+def _loc_folio_window(addrs, src, shard_key, publish=None, persist=None):
     """``folio_window(members, "select k, ts, msum(3, v) as m by k
     from t order by ts", "k")`` — member-complete WINDOW analytics
     over a folio sharded by the third argument (the ordered half of
@@ -999,10 +999,11 @@ def _loc_folio_window(addrs, src, shard_key, publish=None):
         str(src),
         str(shard_key),
         publish=None if publish is None else str(publish),
+        persist=None if persist is None else str(persist),
     )
 
 
-def _loc_folio_asof(addrs, src, publish=None):
+def _loc_folio_asof(addrs, src, publish=None, persist=None):
     """``folio_asof(members, "select ... from t asof join q on
     keys..., ts")`` — the distributed temporal join over a CO-SHARDED
     folio: verifies both tables' equi-key sets are member-disjoint
@@ -1022,6 +1023,7 @@ def _loc_folio_asof(addrs, src, publish=None):
         _parse_folio_addrs(addrs),
         str(src),
         publish=None if publish is None else str(publish),
+        persist=None if persist is None else str(persist),
     )
 
 

@@ -1099,6 +1099,7 @@ def folio_window(
     timeout: float = 120.0,
     tag_col: str | None = None,
     publish: str | None = None,
+    persist: str | None = None,
     check: bool = True,
 ):
     """Member-complete WINDOW ANALYTICS over a folio sharded by
@@ -1145,7 +1146,10 @@ def folio_window(
     row COUNTS only), ready for folio_select / further folio_window
     passes; gather mode unions the member frames under the Arrow
     bounds (``ARROW_MAX_ROWS`` fail-loud), with ``tag_col`` adding
-    member provenance.
+    member provenance.  ``persist="/dir"`` (with publish) saves each
+    member's windowed shard to ``<dir>/<name>_m<j>`` parquet and
+    publishes FROM the persisted copy — disk-backed, survives member
+    restarts, same durability contract as folio_reshard's persist.
     """
     import concurrent.futures as _fut
 
@@ -1218,6 +1222,12 @@ def folio_window(
     ship, order_tail, limit_n = _split_order_limit(ansi)
 
     # ---- publish mode: member-side shards, nothing gathered ---------
+    if persist is not None and publish is None:
+        raise ArgsError(
+            "persist= needs publish= — the persisted parquet backs "
+            "the published member table; for a local copy of a "
+            "gathered result just save the returned DataFrame"
+        )
     if publish is not None:
         if not re.fullmatch(r"[A-Za-z_]\w*", publish):
             raise ArgsError(
@@ -1264,7 +1274,9 @@ def folio_window(
             key_parts = _gather_frames(addrs, probe, timeout)
             _check_disjoint_keys(key_parts, "__k", shard_key)
 
-        return _publish_members(addrs, ship, publish, timeout)
+        return _publish_members(
+            addrs, ship, publish, timeout, persist=persist
+        )
 
     # ---- gather mode: union member frames, re-apply the ordering ----
     parts = _gather_frames(addrs, ship, timeout)
@@ -1282,17 +1294,49 @@ def folio_window(
 
 
 def _publish_members(
-    addrs, ship: str, publish: str, timeout: float
+    addrs,
+    ship: str,
+    publish: str,
+    timeout: float,
+    persist: str | None = None,
 ) -> dict:
     """Run ``ship`` on every member and publish each member's result
     server-side under ``publish`` — nothing gathered, the wire
-    carries row COUNTS only.  Fail-loud per member."""
+    carries row COUNTS only.  With ``persist="/dir"`` each member
+    first SAVES its result to ``<dir>/<publish>_m<j>`` parquet
+    (executor-parallel, confined by the member's ``save_root``) and
+    the publish reads from the persisted copy — the published table
+    is disk-backed and survives a member restart (reload with
+    ``KerfServer(spark, tables={publish:
+    spark.read.parquet(path)})``), the same durability contract
+    folio_reshard's ``persist=`` gives the exchange.  Fail-loud per
+    member."""
     import concurrent.futures as _fut
 
-    def pub(addr):
+    def pub(j_addr):
+        j, addr = j_addr
         host, port = addr
+        path = None
         with KerfClient(host, int(port), timeout=timeout) as cli:
-            r = cli.execute(ship, publish=publish)
+            if persist is not None:
+                path = f"{persist.rstrip('/')}/{publish}_m{j}"
+                r = cli.execute(ship, save={"path": path})
+                if not r.get("ok"):
+                    raise RuntimeError(
+                        f"folio member {host}:{port} persist "
+                        f"failed: {r.get('kind')}: "
+                        f"{r.get('message')}"
+                    )
+                # publish FROM the persisted copy, so the published
+                # plan is disk-backed and the in-memory intermediate
+                # is disposable
+                r = cli.execute(
+                    "__fp_reload",
+                    register={"name": "__fp_reload", "path": path},
+                    publish=publish,
+                )
+            else:
+                r = cli.execute(ship, publish=publish)
             if not r.get("ok"):
                 raise RuntimeError(
                     f"folio member {host}:{port} publish failed: "
@@ -1303,16 +1347,19 @@ def _publish_members(
                 arrow=True,
             )
             rows = rc["table"].column("__c")[0].as_py()
-        return f"{host}:{port}", int(rows)
+        return f"{host}:{port}", (int(rows), path)
 
     with _fut.ThreadPoolExecutor(max_workers=len(addrs)) as pool:
-        counts = dict(pool.map(pub, addrs))
-    return {
+        got = dict(pool.map(pub, enumerate(addrs)))
+    out = {
         "ok": True,
         "published": publish,
-        "rows": sum(counts.values()),
-        "rows_by_member": counts,
+        "rows": sum(r for r, _ in got.values()),
+        "rows_by_member": {k: r for k, (r, _) in got.items()},
     }
+    if persist is not None:
+        out["persisted"] = [p for _, p in got.values()]
+    return out
 
 
 def folio_asof(
@@ -1322,6 +1369,7 @@ def folio_asof(
     timeout: float = 120.0,
     tag_col: str | None = None,
     publish: str | None = None,
+    persist: str | None = None,
     check: bool = True,
 ):
     """Distributed AS-OF / WINDOW JOIN over a CO-SHARDED folio — the
@@ -1350,7 +1398,9 @@ def folio_asof(
     A statement-level ``order by`` / ``limit`` re-applies to the
     merged union; ``publish=`` keeps each member's joined result
     server-side (wire = row counts — the scale path, ready for
-    folio_select over the joined shards)."""
+    folio_select over the joined shards), and ``persist="/dir"``
+    makes the published shards disk-backed parquet that survives
+    member restarts."""
     from .errors import ArgsError
     from .plans.kerfsql import _mask_quoted
 
@@ -1418,6 +1468,12 @@ def folio_asof(
                             f"if the overlap is intended)."
                         )
     ship, order_tail, limit_n = _split_order_limit(q)
+    if persist is not None and publish is None:
+        raise ArgsError(
+            "persist= needs publish= — the persisted parquet backs "
+            "the published member table; for a local copy of a "
+            "gathered result just save the returned DataFrame"
+        )
     if publish is not None:
         if not re.fullmatch(r"[A-Za-z_]\w*", publish):
             raise ArgsError(
@@ -1429,7 +1485,9 @@ def folio_asof(
                 "a statement-level order by / limit has no meaning "
                 "across them; drop it, or gather instead"
             )
-        return _publish_members(addrs, ship, publish, timeout)
+        return _publish_members(
+            addrs, ship, publish, timeout, persist=persist
+        )
     from pyspark.sql import functions as F
 
     parts = _gather_frames(addrs, ship, timeout)

@@ -2268,3 +2268,71 @@ def test_folio_asof_miscosharded_fails_loud(spark):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_folio_window_publish_persist_survives_restart(spark, tmp_path):
+    """publish= + persist=: each member's windowed shard lands as
+    parquet under its save_root and the published table reads FROM
+    the persisted copy — a restarted member reloads the shard
+    bit-identical (the same durability contract folio_reshard's
+    persist gives the exchange).  persist without publish refuses;
+    a persist target outside save_root is confined."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.server import folio_remote, folio_window
+    from kerf_spark.sources.io import read_table
+
+    d = str(tmp_path / "fw_persist")
+    orders = read_table(spark, SF, "orders").withColumn(
+        "oc", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    srvs = [
+        KerfServer(
+            spark,
+            tables={"orders": orders.where(F.col("o_custkey") % 2 == i)},
+            save_root=d,
+        ).start()
+        for i in range(2)
+    ]
+    re0 = None
+    try:
+        addrs = [s.address for s in srvs]
+        q = (
+            "select o_custkey, o_orderkey, sum(oc) over"
+            " (partition by o_custkey order by o_orderkey) as rsum"
+            " from orders"
+        )
+        res = folio_window(
+            spark, addrs, q, shard_key="o_custkey",
+            publish="owp", persist=d,
+        )
+        assert res["rows"] == orders.count()
+        assert len(res["persisted"]) == 2
+        tot = folio_remote(spark, addrs, "select count(*) as c from owp")
+        assert sum(r.c for r in tot.collect()) == orders.count()
+
+        # restart member 0 from its persisted shard: identical content
+        me0 = f"{addrs[0][0]}:{addrs[0][1]}"
+        srvs[0].stop()
+        re0 = KerfServer(
+            spark,
+            tables={"owp": spark.read.parquet(res["persisted"][0])},
+        ).start()
+        back = folio_remote(
+            spark, [re0.address], "select count(*) as c from owp"
+        )
+        assert back.collect()[0].c == res["rows_by_member"][me0]
+
+        with pytest.raises(ArgsError, match="persist= needs publish="):
+            folio_window(
+                spark, addrs[1:], q, shard_key="o_custkey", persist=d
+            )
+        with pytest.raises(RuntimeError, match="persist failed"):
+            folio_window(
+                spark, addrs[1:], q, shard_key="o_custkey",
+                publish="bad_p", persist=str(tmp_path / "outside".join("xx")),
+            )
+    finally:
+        for s in ([re0] if re0 else []) + srvs[1:]:
+            s.stop()
