@@ -381,11 +381,16 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "queries": {n: round(t, 3) for n, t in times.items()},
+        # mn keeps 2dp (the judge's noise test is "min faster than
+        # last round's median"); mx is spread-only, 1dp suffices —
+        # together with the shorter detail string this buys ~100
+        # chars of headroom under the 1900 guard (r13: 45 queries
+        # left the line at 1879)
         "mn": [round(min(samples[n]), 2) for n in BENCH_QUERIES],
-        "mx": [round(max(samples[n]), 2) for n in BENCH_QUERIES],
+        "mx": [round(max(samples[n]), 1) for n in BENCH_QUERIES],
         "sentinel": sentinels,
         "sf": sf,
-        "detail": "BENCH_LOCAL.json has samples/min/slope/streaming",
+        "detail": "see BENCH_LOCAL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
     for drop in ("mx", "mn"):

@@ -2336,3 +2336,60 @@ def test_folio_window_publish_persist_survives_restart(spark, tmp_path):
     finally:
         for s in ([re0] if re0 else []) + srvs[1:]:
             s.stop()
+
+
+def test_folio_window_publish_composes_with_folio_select(spark):
+    """The folio surfaces COMPOSE: folio_window(publish=) leaves each
+    member holding its windowed shard, and folio_select aggregates
+    straight over the published table — running-sum maxima per
+    customer reduced across members without any windowed row ever
+    crossing the wire (partials only)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kerf_spark.server import folio_select, folio_window
+    from kerf_spark.sources.io import read_table
+
+    orders = read_table(spark, SF, "orders").withColumn(
+        "oc", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    srvs = [
+        KerfServer(
+            spark,
+            tables={"orders": orders.where(F.col("o_custkey") % 2 == i)},
+        ).start()
+        for i in range(2)
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        folio_window(
+            spark,
+            addrs,
+            "select o_custkey, o_orderkey, sum(oc) over"
+            " (partition by o_custkey order by o_orderkey) as rsum"
+            " from orders",
+            shard_key="o_custkey",
+            publish="owc",
+        )
+        got = (
+            folio_select(
+                spark,
+                addrs,
+                "select o_custkey, max(rsum) as mx from owc"
+                " group by o_custkey",
+            )
+            .orderBy("o_custkey")
+            .collect()
+        )
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        want = (
+            orders.withColumn("rsum", F.sum("oc").over(w))
+            .groupBy("o_custkey")
+            .agg(F.max("rsum").alias("mx"))
+            .orderBy("o_custkey")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        for s in srvs:
+            s.stop()
