@@ -1027,6 +1027,22 @@ def _loc_folio_asof(addrs, src, publish=None, persist=None):
     )
 
 
+def _loc_folio_topk(addrs, src):
+    """``folio_topk(members, "select ... from t order by x desc limit
+    k")`` — distributed top-k rows: each member computes its local
+    top-k (bounding the wire to |members|*k rows), the final re-sorts
+    the union and takes k.  Correct on any member layout — no
+    co-sharding needed.  See server.folio_topk."""
+    from pyspark.sql import SparkSession
+
+    from ..server import folio_topk
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise KerfTypeError("folio_topk needs an active SparkSession")
+    return folio_topk(spark, _parse_folio_addrs(addrs), str(src))
+
+
 def _loc_group(x):
     """kerf1 ``group``: MAP from each distinct value to the index
     vector of its occurrences, first-appearance order (k semantics) —
@@ -1362,6 +1378,7 @@ _BUILTINS: dict[str, tuple[Any, str | None]] = {
     "folio_reshard": (_loc_folio_reshard, None),
     "folio_window": (_loc_folio_window, None),
     "folio_asof": (_loc_folio_asof, None),
+    "folio_topk": (_loc_folio_topk, None),
     # kerf1 grouping / table-sort / string verbs (VERDICT r8 next #4)
     "group": (_loc_group, None),
     "xasc": (_loc_xsort(False), None),

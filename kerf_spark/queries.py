@@ -13129,6 +13129,46 @@ def folio_asof_cosharded(spark, sf):
 
 
 @query(
+    "folio_topk_orders",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_custkey AS BIGINT) AS custkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY totalprice DESC, orderkey LIMIT 25
+    """,
+)
+def folio_topk_orders(spark, sf):
+    """DISTRIBUTED TOP-K rows over the folio (``folio_topk`` — the
+    scatter-gather twin of the local TakeOrderedAndProject, SURVEY
+    §2.6, over presented.h:427-430's folio of remote tables): the
+    statement ships AS IS, each member computes its LOCAL top-25
+    (any global top-k row is necessarily in its own member's top-k,
+    so the |members|·k union provably contains the answer — the wire
+    is bounded by k·members, never by table size), and the final
+    re-sorts the union and cuts k once more.  Runs on the fixture's
+    deliberately MISALIGNED orderkey-residue shards: top-k is the
+    one folio surface needing NO co-sharding discipline, correct on
+    any layout.  The unique (totalprice DESC, orderkey) tie-break
+    makes the DuckDB oracle over the unsharded table an exact value
+    match."""
+    from .server import folio_topk
+
+    srvs = _folio_customer_servers(spark, sf)
+    df = folio_topk(
+        spark,
+        [s_.address for s_ in srvs],
+        "select orderkey: o_orderkey, custkey: o_custkey,"
+        " totalprice: round(o_totalprice, 2) from orders_byok"
+        " order by totalprice desc, orderkey limit 25",
+    )
+    return df.select(
+        F.col("orderkey").cast("long").alias("orderkey"),
+        F.col("custkey").cast("long").alias("custkey"),
+        "totalprice",
+    )
+
+
+@query(
     "keyed_tuple_range",
     """
     WITH t0 AS (SELECT min(event_type) AS t FROM events),
@@ -15277,6 +15317,7 @@ _R12_WINDOW = [
 _R13_WINDOW = [
     # round-13 additions + never driver-checked
     "folio_window_ma", "folio_asof_cosharded", "kerfsql_over_window",
+    "folio_topk_orders",
     "folio_heavy_hitters", "folio_remote_distinct",
     # changed this round: synthetic-orphan teeth in query AND oracle
     "validate_referential_orphans",

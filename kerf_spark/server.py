@@ -1500,6 +1500,65 @@ def folio_asof(
     return _apply_order_limit(out, order_tail, limit_n)
 
 
+def folio_topk(
+    spark,
+    addrs: list[tuple[str, int]],
+    q: str,
+    timeout: float = 120.0,
+    tag_col: str | None = None,
+):
+    """Distributed TOP-K rows over a folio — the scatter-gather twin
+    of the local TakeOrderedAndProject (SURVEY §2.6): ``select ...
+    from t order by x desc limit k`` ships to every member AS IS —
+    unlike folio_window's stripped ordering, the member-side
+    order+limit here is the POINT: each member's local top-k bounds
+    the wire to |members|·k rows (any global top-k row is necessarily
+    in its own member's top-k, so the union provably contains the
+    answer) — then the final re-sorts the gathered union and takes k
+    once more.  No sharding assumption at all: correct on ANY member
+    layout, the one folio surface that needs no co-sharding guard.
+
+    Requires the statement-level ``order by`` AND ``limit`` (without
+    both there is no top-k to bound the wire — use folio_remote for
+    plain gathers); refuses joins like the other folio surfaces.
+    ``tag_col`` adds member provenance to the merged rows."""
+    from .errors import ArgsError
+    from .plans.kerfsql import _mask_quoted
+
+    mask = _mask_quoted(q)
+    if re.search(r"(?is)\b(asof|window)\s+join\b", mask):
+        raise ArgsError(
+            "folio_topk does not take asof/window joins — use "
+            "folio_asof for the temporal join, then top-k the "
+            "merged result"
+        )
+    if re.search(r"(?is)\bjoin\b", mask):
+        raise ArgsError(
+            "folio_topk: the statement joins tables — a join "
+            "between two member-sharded tables cannot run "
+            "member-side; co-shard (folio_reshard) and use "
+            "folio_select(member_local_joins=True), or gather via "
+            "folio_remote"
+        )
+    _, order_tail, limit_n = _split_order_limit(q)
+    if order_tail is None or limit_n is None:
+        raise ArgsError(
+            "folio_topk needs BOTH a statement-level order by and a "
+            "limit — member-local top-k is what bounds the wire to "
+            "|members|*k rows; for unbounded gathers use folio_remote"
+        )
+    from pyspark.sql import functions as F
+
+    parts = _gather_frames(addrs, q, timeout)
+    out = None
+    for (host, port), tbl in parts:
+        df = spark.createDataFrame(tbl)
+        if tag_col is not None:
+            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
+        out = df if out is None else out.unionByName(df)
+    return _apply_order_limit(out, order_tail, limit_n)
+
+
 def _check_disjoint_keys(
     parts, col: str, shard_key: str
 ) -> None:

@@ -2393,3 +2393,69 @@ def test_folio_window_publish_composes_with_folio_select(spark):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_folio_topk_bounded_gather(spark):
+    """folio_topk: each member ships only its LOCAL top-k (any global
+    top-k row is in its own member's top-k), the final re-sorts the
+    |members|*k union and takes k — equal to the unsharded top-k with
+    a unique tie-break, on a layout with NO sharding discipline at
+    all.  Missing order-by/limit and joins refuse typed."""
+    from pyspark.sql import functions as F
+
+    from kerf_spark.errors import ArgsError
+    from kerf_spark.plans import kerf_lang as KL
+    from kerf_spark.server import folio_topk
+    from kerf_spark.sources.io import read_table
+
+    orders = read_table(spark, SF, "orders")
+    # arbitrary (non-key) member layout: top-k needs no co-sharding
+    srvs = [
+        KerfServer(
+            spark,
+            tables={"orders": orders.where(F.col("o_orderkey") % 3 == i)},
+        ).start()
+        for i in range(3)
+    ]
+    try:
+        addrs = [s.address for s in srvs]
+        q = (
+            "select o_orderkey, o_custkey, o_totalprice from orders"
+            " order by o_totalprice desc, o_orderkey limit 7"
+        )
+        got = folio_topk(spark, addrs, q)
+        orders.createOrReplaceTempView("__tk_orders")
+        want = spark.sql(q.replace("from orders", "from __tk_orders"))
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+        # the gather is bounded: members*k rows before the final cut
+        assert got.count() == 7
+
+        # script plane
+        members = ", ".join(
+            f'"{h}:{p}"' for h, p in addrs
+        )
+        out = KL.run(spark, f'folio_topk([{members}], "{q}")')
+        assert [tuple(r) for r in out.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+        with pytest.raises(ArgsError, match="BOTH a statement-level"):
+            folio_topk(
+                spark, addrs,
+                "select o_orderkey from orders order by o_orderkey",
+            )
+        with pytest.raises(ArgsError, match="BOTH a statement-level"):
+            folio_topk(
+                spark, addrs, "select o_orderkey from orders limit 5"
+            )
+        with pytest.raises(ArgsError, match="joins tables"):
+            folio_topk(
+                spark, addrs,
+                "select o_orderkey from orders join nation on"
+                " o_custkey = n_nationkey order by o_orderkey limit 5",
+            )
+    finally:
+        for s in srvs:
+            s.stop()
