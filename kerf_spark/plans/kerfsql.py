@@ -385,6 +385,9 @@ def translate(q: str) -> str:
         body = q[len("select"):].strip()
         body, limit = _split_clause(body, "limit")
         body, order = _split_clause(body, "order\\s+by")
+        # QUALIFY (the Snowflake/DuckDB window filter — ANSI forbids
+        # window results in WHERE): trails having in statement text
+        body, qualify = _split_clause(body, "qualify")
         # having trails where in the statement text, so it splits first
         body, having = _split_clause(body, "having")
         body, where = _split_clause(body, "where")
@@ -433,6 +436,29 @@ def translate(q: str) -> str:
                     sql.append(f"HAVING {_expand_verbs(having, None, None)}")
             elif having:
                 raise ParseError("having requires a `by` clause")
+        core = " ".join(sql)
+        if qualify:
+            # filter on WINDOW RESULTS: the select (with its window
+            # columns) wraps as a subquery and the qualify condition
+            # becomes an ordinary WHERE over its output — the same
+            # inline-subquery shape the fby rewriter emits.  The
+            # condition references window columns BY ALIAS; a window
+            # expression inline in qualify would land in WHERE, which
+            # ANSI forbids, so it refuses with the fix.
+            if re.search(r"(?i)\bover\s*\(", _mask_quoted(qualify)) or (
+                _has_window_verb(qualify)
+            ):
+                raise ParseError(
+                    "qualify takes window results by ALIAS — name "
+                    "the window expression in the select list "
+                    "(e.g. `rn: row_number() over (...)`) and write "
+                    "`qualify rn <= k`"
+                )
+            core = (
+                f"SELECT * FROM ({core}) "
+                f"WHERE {_expand_verbs(qualify, None, None)}"
+            )
+        sql = [core]
         if order_x:
             sql.append(f"ORDER BY {order_x}")
         if limit:

@@ -9788,6 +9788,48 @@ def kerfsql_over_window(spark, sf):
 
 
 @query(
+    "kerfsql_qualify_topn",
+    """
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(o_orderkey AS BIGINT) AS orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 2 ORDER BY custkey, rn, orderkey
+    """,
+)
+def kerfsql_qualify_topn(spark, sf):
+    """QUALIFY in kerf-SQL (r13 — the Snowflake/DuckDB window filter;
+    ANSI forbids window results in WHERE): ``qualify rn <= 2`` wraps
+    the select (with its window columns) as an inline subquery and
+    filters its OUTPUT — the canonical top-n-per-group idiom
+    (``select last 2 orders by customer``) in one statement, no
+    manual subquery.  The condition references window columns by
+    alias; an inline window expression in qualify refuses with the
+    fix named.  One shuffle: the window's partition exchange is the
+    only exchange, the filter is a post-window Catalyst Filter."""
+    _t(spark, sf, "orders").createOrReplaceTempView("ord_q")
+    return kerf_sql(
+        spark,
+        "select custkey: o_custkey, orderkey: o_orderkey,"
+        " totalprice: round(o_totalprice, 2),"
+        " rn: row_number() over (partition by o_custkey"
+        "   order by o_totalprice desc, o_orderkey)"
+        " from ord_q qualify rn <= 2"
+        " order by custkey, rn, orderkey",
+    ).select(
+        F.col("custkey").cast("long").alias("custkey"),
+        F.col("orderkey").cast("long").alias("orderkey"),
+        "totalprice",
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+@query(
     "kerfsql_fby_filter",
     """
     SELECT user_id, event_type, event_id, round(value, 6) AS value
@@ -15317,7 +15359,7 @@ _R12_WINDOW = [
 _R13_WINDOW = [
     # round-13 additions + never driver-checked
     "folio_window_ma", "folio_asof_cosharded", "kerfsql_over_window",
-    "folio_topk_orders",
+    "folio_topk_orders", "kerfsql_qualify_topn",
     "folio_heavy_hitters", "folio_remote_distinct",
     # changed this round: synthetic-orphan teeth in query AND oracle
     "validate_referential_orphans",

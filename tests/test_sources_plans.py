@@ -59,6 +59,36 @@ def test_translate_clause_split_is_depth_aware():
     assert "WHERE note = 'a from b order by c'" in sql
 
 
+def test_translate_qualify():
+    """QUALIFY filters on WINDOW RESULTS by wrapping the select as an
+    inline subquery (ANSI forbids windows in WHERE): alias-referencing
+    conditions pass, inline window expressions refuse with the fix,
+    and the statement-level ORDER BY lands outside the wrapper."""
+    sql = translate(
+        "select k, rn: row_number() over (partition by k order by v "
+        "desc) from t qualify rn <= 2 order by k, rn"
+    )
+    assert sql.startswith("SELECT * FROM (SELECT k, row_number()")
+    assert sql.rstrip().endswith("ORDER BY k, rn")
+    assert "WHERE rn <= 2" in sql
+    # kerf ordered verbs compose with qualify the same way
+    sql = translate(
+        "select sym, ts, ma: mavg(3, price) by sym from t "
+        "qualify ma > 100 order by ts"
+    )
+    assert "WHERE ma > 100" in sql
+    assert "OVER (PARTITION BY sym ORDER BY ts" in sql
+
+    import pytest
+
+    from kerf_spark.errors import ParseError
+
+    with pytest.raises(ParseError, match="by ALIAS"):
+        translate(
+            "select k from t qualify row_number() over (order by k) = 1"
+        )
+
+
 def test_translate_having():
     sql = translate(
         "select n: count(*) by l_returnflag from lineitem "
