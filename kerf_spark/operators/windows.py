@@ -361,11 +361,55 @@ def chunked_moving(
     ``aggs`` maps output column -> (agg fn name, value column); each is
     computed over ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``.  All
     windows share one (series, chunk) partitioning: one exchange.
+
+    PLAN SHAPE (optimization r13): the big table crosses exactly ONE
+    exchange + sort.  The previous shape unioned borrowed tails into
+    the data *before* the window, which cost three full passes (a
+    distinct for successor chunks, a full descending sort to rank out
+    each chunk's tail, and the union's own exchange+sort).  Now the
+    single (series, chunk)-partitioned pass computes every frame
+    in-chunk plus a row number and the chunk size; rows deeper than
+    ``n-1`` into their chunk have complete frames already, and only
+    the first ``n-1`` rows of each chunk — whose frames span the
+    boundary — are recomputed in a FIX-UP window over (early rows ∪
+    predecessor tails), a dataset of O(n · chunks) rows regardless of
+    table size.  The windowed pass is locally checkpointed so its
+    four consumers (complete rows, early rows, donor tails, chunk
+    directory) read it once instead of re-sorting per branch.  Frame
+    contents and in-frame order are identical to the union shape, so
+    results are bitwise unchanged.
     """
     ckey = F.col(chunk) if isinstance(chunk, str) else chunk
     d = df.withColumn("__chunk", ckey)
-    # successor chunk per series (chunk values may be sparse): a tiny
-    # distinct table, window over one row per (series, chunk)
+    pcols = [F.col(c) for c in by] + [F.col("__chunk")]
+    word = Window.partitionBy(*pcols).orderBy(*[F.col(c) for c in order])
+    wframe = word.rowsBetween(-(n - 1), 0)
+    wall = Window.partitionBy(*pcols)
+
+    def _agg_cols() -> list[Column]:
+        out = []
+        for name, (fn, col) in aggs.items():
+            c = F.col(col) if isinstance(col, str) else col
+            # fn is either a pyspark.sql.functions aggregate name, or a
+            # callable (col, window) -> Column for frame folds the
+            # builtin aggregates can't express (e.g. ewma_over) — all
+            # share the one (series, chunk) exchange
+            expr = fn(c, wframe) if callable(fn) else getattr(F, fn)(c).over(wframe)
+            out.append(expr.alias(name))
+        return out
+
+    # the ONE pass over the big table: every agg frame (truncated at
+    # chunk start), the in-chunk row number, and the chunk row count
+    # ride the same exchange + sort; eager local checkpoint so the
+    # branches below scan the materialized result, not the lineage
+    main = d.select(
+        "*",
+        F.row_number().over(word).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+        *_agg_cols(),
+    ).localCheckpoint()
+    # successor chunk per series (chunk values may be sparse): one row
+    # per (series, chunk) out of the checkpoint, window over that
     sw = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__chunk")
     if validate:
         # enforce the >= n-1 precondition: an interior chunk (has both
@@ -378,7 +422,7 @@ def chunked_moving(
         # (series, chunk) table.
         lead_ord = F.col(order[0])
         counts = (
-            d.groupBy(*by, "__chunk")
+            main.groupBy(*by, "__chunk")
             .agg(
                 F.count(F.lit(1)).alias("__rows"),
                 F.min(lead_ord).alias("__omin"),
@@ -430,38 +474,41 @@ def chunked_moving(
                 "truncate.  Use coarser chunks (or validate=False if "
                 "the chunking is safe by construction)."
             )
+    src_cols = list(df.columns)
+    out_cols = src_cols + list(aggs)
+    # rows at least n deep into their chunk: frames complete in-chunk,
+    # already correct from the single pass
+    ok = main.where(F.col("__rn") > n - 1).select(*out_cols)
+    # boundary FIX-UP over O(n · chunks) rows: the first n-1 rows of
+    # every chunk (their frames span the boundary; first-chunk rows
+    # recompute to the same truncated value) windowed together with the
+    # predecessor chunk's last n-1 rows, retagged via the successor map
     succ = (
-        d.select(*by, "__chunk").distinct()
+        main.where(F.col("__rn") == 1)
+        .select(*by, "__chunk")
         .withColumn("__next", F.lead("__chunk").over(sw))
         .where(F.col("__next").isNotNull())
     )
-    # donors: last n-1 rows of each chunk, retagged into the successor
-    dw = Window.partitionBy(*([F.col(c) for c in by] + [F.col("__chunk")])).orderBy(
-        *[F.col(c).desc() for c in order]
-    )
     donors = (
-        d.withColumn("__rev", F.row_number().over(dw))
-        .where(F.col("__rev") <= n - 1)
-        .drop("__rev")
+        main.where(F.col("__cnt") - F.col("__rn") <= n - 2)
+        .select(*src_cols, "__chunk")
         .join(succ, [*by, "__chunk"], "inner")  # AQE broadcasts when small
         .withColumn("__chunk", F.col("__next"))
         .drop("__next")
         .withColumn("__borrowed", F.lit(1))
     )
-    both = d.withColumn("__borrowed", F.lit(0)).unionByName(donors)
-    w = Window.partitionBy(
-        *([F.col(c) for c in by] + [F.col("__chunk")])
-    ).orderBy(*[F.col(c) for c in order]).rowsBetween(-(n - 1), 0)
-    out = both
-    for name, (fn, col) in aggs.items():
-        c = F.col(col) if isinstance(col, str) else col
-        # fn is either a pyspark.sql.functions aggregate name, or a
-        # callable (col, window) -> Column for frame folds the builtin
-        # aggregates can't express (e.g. ewma_over) — both share the
-        # one (series, chunk) exchange
-        expr = fn(c, w) if callable(fn) else getattr(F, fn)(c).over(w)
-        out = out.withColumn(name, expr)
-    return out.where(F.col("__borrowed") == 0).drop("__borrowed", "__chunk")
+    early = (
+        main.where(F.col("__rn") <= n - 1)
+        .select(*src_cols, "__chunk")
+        .withColumn("__borrowed", F.lit(0))
+    )
+    fix = (
+        early.unionByName(donors)
+        .select("*", *_agg_cols())
+        .where(F.col("__borrowed") == 0)
+        .select(*out_cols)
+    )
+    return ok.unionByName(fix)
 
 
 def mcorr(x, y, n, by, order) -> Column:

@@ -7784,7 +7784,11 @@ def rolling_window_stats(spark, sf):
     # moving frames deterministic on any engine
     by = ["l_returnflag"]
     order = ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
-    li = _t(spark, sf, "lineitem")
+    # project to the 5 used columns BEFORE the window pass: the
+    # chunked_moving checkpoint materializes every input column, so
+    # pruning must happen here, not at the final select (guide §2.3 —
+    # the scan then reads 5 of lineitem's 16 columns)
+    li = _t(spark, sf, "lineitem").select(*by, *order)
     q, dsc = F.col("l_quantity"), F.col("l_discount")
     rolled = W.chunked_moving(
         li,
@@ -11413,7 +11417,9 @@ def global_moving_avg(spark, sf):
     check this query's own first draft tripped — it chunked on
     orderkey while ordering by date).  Exact integer-cents sums; one
     fp division per row."""
-    o = _t(spark, sf, "orders")
+    # project ahead of the windowed checkpoint (only these two columns
+    # survive to the output — see rolling_window_stats)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     rolled = W.chunked_moving(
         o,
