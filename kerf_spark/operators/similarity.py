@@ -212,10 +212,11 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    scored = c.join(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        cosine("__qv", "__cv").alias("cosine"),
+    # score the |corpus|·|Q| fan-out in the Arrow kernel (bitwise twin
+    # of the HOF cosine — see cosine_scores_arrow): the interpreted
+    # fold was ~the whole cost of the exact scan
+    scored = cosine_scores_arrow(
+        c.join(F.broadcast(q)), "__qv", "__cv", "cosine"
     ).where(F.col("query_id") != F.col("neighbor_id"))
     order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
     return two_phase_topk(
@@ -638,6 +639,232 @@ def probe_cells(d2s, n_cells: int, nprobe: int) -> Column:
     )
 
 
+def argmin_codes_arrow(
+    src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    specs: list[tuple[int, list[list[float]], str]],
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Nearest-codeword assignment as ONE Arrow-batched NumPy kernel —
+    the vectorized twin of :func:`cell_d2s`/:func:`_pq_sub_d2s` +
+    :func:`argmin_cell` for the CORPUS side, where the interpreted
+    higher-order-function fold (~0.4 ms/row for 8 subspaces × 16
+    codewords) dominated every PQ/IVF query (guide §4.2: hand whole
+    batches to vectorized native code).
+
+    ``specs`` is ``[(offset, codewords, out_name), …]``: for each spec
+    the kernel computes squared L2 distances of ``vec[offset:offset+s]``
+    to every codeword and emits the argmin index.  BITWISE identical to
+    the Column path by construction: float32→float64 widening is exact;
+    the accumulation is the same left fold ``((0.0 + t_0) + t_1) + …``
+    over ``t_i = (x_i - w_i)²`` executed elementwise in dimension
+    order; NaN distances rank greatest (as in Spark's array_min) and
+    ties take the first codeword (np.argmin == array_position-of-min).
+    NULL vectors yield NULL codes, ragged vectors fail loud.
+
+    Returns ``id [, vec] , codes…`` — a narrow zero-shuffle projection,
+    exactly like the expression form it replaces.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    id_field = src.schema[id_col]
+    vec_field = src.schema[vec_col]
+    cols = [id_col, vec_col]
+    out_schema = [
+        f"{id_col} {id_field.dataType.simpleString()}",
+    ]
+    if keep_vec:
+        out_schema.append(f"{vec_col} {vec_field.dataType.simpleString()}")
+    out_schema += [f"{name} int" for _, _, name in specs]
+    schema_ddl = ", ".join(out_schema)
+    mats = [
+        (off, [[float(x) for x in cw] for cw in mat], name)
+        for off, mat, name in specs
+    ]
+
+    def kernel(batches):
+        for b in batches:
+            ids = b.column(0)
+            lst = b.column(1)
+            n = len(lst)
+            if n == 0:
+                continue
+            valid = np.asarray(lst.is_valid())
+            lens = np.asarray(lst.value_lengths().fill_null(dim))
+            if (lens[valid] != dim).any():
+                bad = int(lens[valid][(lens[valid] != dim)][0])
+                raise ValueError(
+                    f"argmin_codes_arrow: vector of length {bad} != "
+                    f"declared dim {dim}"
+                )
+            flat = np.asarray(lst.flatten(), dtype=np.float64)
+            x = flat.reshape(-1, dim)
+            nv = x.shape[0]
+            arrs = [ids] + ([lst] if keep_vec else [])
+            for off, mat, _name in mats:
+                w = np.asarray(mat, dtype=np.float64)
+                kk, s = w.shape
+                d2 = np.empty((kk, nv), dtype=np.float64)
+                for c in range(kk):
+                    acc = np.zeros(nv, dtype=np.float64)
+                    for i in range(s):
+                        d = x[:, off + i] - w[c, i]
+                        acc += d * d
+                    d2[c] = acc
+                np.copyto(d2, np.inf, where=np.isnan(d2))
+                code_v = d2.argmin(axis=0).astype(np.int32)
+                codes = np.zeros(n, dtype=np.int32)
+                codes[valid] = code_v
+                arrs.append(pa.array(codes, type=pa.int32(), mask=~valid))
+            names = [id_col] + ([vec_col] if keep_vec else []) + [
+                m[2] for m in mats
+            ]
+            yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+    return src.select(*cols).mapInArrow(kernel, schema_ddl)
+
+
+def cosine_scores_arrow(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out: str = "cosine",
+) -> DataFrame:
+    """Cosine of two vector columns as an Arrow-batched NumPy kernel —
+    the vectorized twin of :func:`cosine` for SCORING stages (candidate
+    sets after a blocking join), where the three interpreted HOF folds
+    per row (dot + two norms) were the per-row cost.  Bitwise identical:
+    the same left folds in dimension order (``0.0 + x_0·y_0 + …``,
+    ``0.0 + x_i² + …``), each product/square computed at the INPUT
+    element precision before the float64 accumulation (Spark's
+    ``zip_with(x, y, x*y)`` over two ``array<float>`` columns multiplies
+    in float32 and only the running add widens — the kernel reproduces
+    that, and uses float64 products exactly when the Column form would
+    coerce, i.e. when either side is ``array<double>``), ``sqrt``
+    IEEE-correctly-rounded in both runtimes, ``dot/(na·nb)`` in that
+    association order, and NULL when either norm is exactly zero or
+    either vector is NULL.  Keeps every other column unchanged."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import ArrayType, FloatType
+
+    other = [c for c in df.columns if c not in (a_col, b_col)]
+    out_schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in other]
+        + [f"{out} double"]
+    )
+    a_idx = df.columns.index(a_col)
+    b_idx = df.columns.index(b_col)
+    other_idx = [df.columns.index(c) for c in other]
+
+    def _elem_dtype(col: str):
+        t = df.schema[col].dataType
+        if isinstance(t, ArrayType) and isinstance(t.elementType, FloatType):
+            return np.float32
+        return np.float64
+
+    dt_a, dt_b = _elem_dtype(a_col), _elem_dtype(b_col)
+    # dot products: float32 only when BOTH sides are float32 (otherwise
+    # zip_with coerces both arrays to double before multiplying)
+    dt_dot = np.float32 if (dt_a is np.float32 and dt_b is np.float32) \
+        else np.float64
+
+    def kernel(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            la, lb = b.column(a_idx), b.column(b_idx)
+            va = np.asarray(la.is_valid())
+            vb = np.asarray(lb.is_valid())
+            lens_a = np.asarray(la.value_lengths().fill_null(0))
+            lens_b = np.asarray(lb.value_lengths().fill_null(0))
+            res = np.full(n, np.nan, dtype=np.float64)
+            null_mask = ~(va & vb)  # NULL input -> NULL cosine
+            ok = va & vb & (lens_a == lens_b)
+            # group rows by vector length so each group vectorizes;
+            # in practice one fixed dim per call
+            for dim in np.unique(lens_a[ok]):
+                dim = int(dim)
+                sel = ok & (lens_a == dim) & (lens_b == dim)
+                if dim == 0:
+                    continue
+                xa = _gather_rows(la, sel, dim, dt_a)
+                xb = _gather_rows(lb, sel, dim, dt_b)
+                xa_d = xa.astype(dt_dot, copy=False)
+                xb_d = xb.astype(dt_dot, copy=False)
+                dot = np.zeros(sel.sum(), dtype=np.float64)
+                na = np.zeros_like(dot)
+                nb = np.zeros_like(dot)
+                for i in range(dim):
+                    # per-term products at the input precision; the
+                    # += accumulation widens exactly to float64
+                    dot += xa_d[:, i] * xb_d[:, i]
+                    na += xa[:, i] * xa[:, i]
+                    nb += xb[:, i] * xb[:, i]
+                na = np.sqrt(na)
+                nb = np.sqrt(nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosv = dot / (na * nb)
+                res[sel] = cosv
+                # zero norm -> NULL (the F.when branch); a NaN cosine
+                # from NaN inputs stays a VALUE, as in the Column form
+                zm = np.zeros(n, dtype=bool)
+                zm[sel] = (na == 0.0) | (nb == 0.0)
+                null_mask |= zm
+            # rows where zip_with would mix lengths: the Column form
+            # zips to the shorter vector; such rows (absent from every
+            # fixture) fall back to the expression semantics row-wise
+            ragged = va & vb & (lens_a != lens_b)
+            if ragged.any():
+                for j in np.nonzero(ragged)[0]:
+                    j = int(j)
+                    aa = np.asarray(la[j].as_py(), dtype=dt_a)
+                    bb = np.asarray(lb[j].as_py(), dtype=dt_b)
+                    aa_d = aa.astype(dt_dot, copy=False)
+                    bb_d = bb.astype(dt_dot, copy=False)
+                    mlen = min(len(aa), len(bb))
+                    dot = 0.0
+                    naa = 0.0
+                    nbb = 0.0
+                    for i in range(mlen):
+                        dot += float(aa_d[i] * bb_d[i])
+                    for i in range(len(aa)):
+                        naa += float(aa[i] * aa[i])
+                    for i in range(len(bb)):
+                        nbb += float(bb[i] * bb[i])
+                    naa, nbb = np.sqrt(naa), np.sqrt(nbb)
+                    if naa == 0.0 or nbb == 0.0:
+                        null_mask[j] = True
+                    else:
+                        res[j] = dot / (naa * nbb)
+            arrs = [b.column(i) for i in other_idx]
+            arrs.append(pa.array(res, type=pa.float64(), mask=null_mask))
+            yield pa.RecordBatch.from_arrays(arrs, names=other + [out])
+
+    return df.mapInArrow(kernel, out_schema)
+
+
+def _gather_rows(lst, sel, dim, dtype):
+    """Rows ``sel`` of a fixed-width list array as an (n, dim) matrix
+    at the requested element dtype (flatten + boolean gather)."""
+    import numpy as np
+
+    lens = np.asarray(lst.value_lengths().fill_null(0))
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    flat = np.asarray(lst.flatten(), dtype=dtype)
+    idx = np.nonzero(sel)[0]
+    outm = np.empty((len(idx), dim), dtype=dtype)
+    for r, j in enumerate(idx):
+        s = starts[j]
+        outm[r] = flat[s:s + dim]
+    return outm
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -661,12 +888,21 @@ def ivf_topk(
     """
     cents = fit_centroids(corpus, n_cells, iters, vec_col, id_col, seed)
     cents_lit = array_lit([[float(x) for x in cvec] for cvec in cents])
+    dim = len(cents[0])
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        cell_d2s(F.col(vec_col), cents_lit).alias("__d2s"),
-    ).select("neighbor_id", "__cv", argmin_cell("__d2s").alias("cell"))
+    # corpus side: cell assignment in the Arrow kernel (bitwise twin of
+    # cell_d2s+argmin_cell; the query side below stays on the Column
+    # path — it needs the full distance VECTOR for probe_cells and is
+    # |Q| rows)
+    c = argmin_codes_arrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+        ),
+        "neighbor_id", "__cv", dim,
+        [(0, cents, "cell")],
+        keep_vec=True,
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -677,8 +913,11 @@ def ivf_topk(
         "__qv",
         F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
     )
-    scored = c.join(F.broadcast(q), "cell").select(
-        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cosine")
+    scored = cosine_scores_arrow(
+        c.join(F.broadcast(q), "cell").select(
+            "query_id", "neighbor_id", "__qv", "__cv"
+        ),
+        "__qv", "__cv", "cosine",
     ).where(F.col("query_id") != F.col("neighbor_id"))
     order = [F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()]
     return two_phase_topk(
@@ -1028,15 +1267,18 @@ def pq_encode(
     a narrow projection, zero shuffle at any scale."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
-    staged = corpus.select(_c(id_col).alias(id_col), emb.alias("__emb"))
-    codes = []
-    for j in range(m):
-        d2s = _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(codebooks[j]))
-        codes.append(
-            (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-        )
-    return staged.select(id_col, F.array(*codes).alias("codes"))
+    # the per-row encode argmin runs in the Arrow kernel (bitwise twin
+    # of the _pq_sub_d2s Column fold — see argmin_codes_arrow); the
+    # interpreted HOF fold was the dominant cost of every PQ query
+    enc = argmin_codes_arrow(
+        corpus.select(_c(id_col).alias(id_col), _c(vec_col).alias("__vec")),
+        id_col, "__vec", m * sub,
+        [(j * sub, codebooks[j], f"__code{j}") for j in range(m)],
+    )
+    return enc.select(
+        id_col,
+        F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
+    )
 
 
 def pq_topk(
@@ -1173,25 +1415,18 @@ def ivfpq_topk(
     def argmin(arr: Column) -> Column:
         return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
-    # stage 1: cell + codes over the corpus — the distance ARRAYS are
-    # staged through a projection boundary so each row evaluates the
-    # HOF aggregates exactly once (the ivf_topk discipline)
-    s0 = corpus.select(_c(id_col).alias("neighbor_id"), emb.alias("__emb"))
-    s1 = s0.select(
-        "neighbor_id",
-        d2s_expr(F.col("__emb")).alias("__d2s"),
-        *[
-            _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(books[j])).alias(
-                f"__pqd{j}"
-            )
-            for j in range(m)
-        ],
-    )
-    staged = s1.select(
-        "neighbor_id",
-        argmin(F.col("__d2s")).alias("cell"),
-        *[argmin(F.col(f"__pqd{j}")).alias(f"__code{j}") for j in range(m)],
-    )
+    # stage 1: cell + codes over the corpus in ONE Arrow kernel pass
+    # (bitwise twin of the staged HOF distance arrays + argmins — see
+    # argmin_codes_arrow; the query side keeps the Column path below,
+    # it needs the distance VECTORS and is |Q| rows)
+    staged = argmin_codes_arrow(
+        corpus.select(
+            _c(id_col).alias("neighbor_id"), _c(vec_col).alias("__vec")
+        ),
+        "neighbor_id", "__vec", dim,
+        [(0, [[float(x) for x in cvec] for cvec in cents], "cell")]
+        + [(j * sub, books[j], f"__code{j}") for j in range(m)],
+    ).drop("__vec")
     # stage 2: query probes + LUTs (LUTs ARE the staged sub-distance
     # arrays — no argmin on the query side)
     probe_idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
