@@ -478,26 +478,70 @@ class _Handler(socketserver.StreamRequestHandler):
         gdb = server.spark.conf.get(
             "spark.sql.globalTempDatabase", "global_temp"
         )
-        # list(): a concurrent publish may grow the table set mid-walk;
-        # a concurrent UNPUBLISH may drop a captured name's global view
-        # before its CREATE runs (the reshard cleanup races new
-        # connections) — skip it rather than kill the connection
-        for name in list(server.tables):
-            try:
-                session.sql(
-                    f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS "
-                    f"SELECT * FROM {gdb}."
-                    f"`__kerf_srv_{server.view_token}_{name}`"
-                )
-                env.set_local(name, session.table(name))
-            except Exception:  # noqa: BLE001 — TOCTOU with unpublish
-                continue
+        # bounded previews/Arrow frames run limit+collect; Spark's
+        # incremental limit ladder (1 partition, then 4, then 20 — one
+        # JOB per round) costs ~3 scheduler round trips per statement
+        # on small results, so start wider: one job covering up to
+        # this many partitions (driver rows stay bounded by
+        # limit × initialNumPartitions).  Parameterized on KerfServer
+        # for clusters where a first-round full-width take is too wide.
+        try:
+            session.conf.set(
+                "spark.sql.limit.initialNumPartitions",
+                str(getattr(server, "limit_initial_partitions", 64)),
+            )
+        except Exception:  # noqa: BLE001 — older Spark without the conf
+            pass
+
+        # LAZY per-request view sync: a server table's local view is
+        # (re)created only when a request's src actually NAMES it and
+        # the backing DataFrame changed since this connection last
+        # derived it.  Two wins over the old sync-everything-at-connect
+        # shape: a fresh connection no longer pays one catalog round
+        # trip per server table before its first statement, and tables
+        # published after the connection opened (the reshard flip, a
+        # sibling's publish, the ship plane's chunk tables) become
+        # visible to the NEXT request that mentions them — which is
+        # what makes connection POOLING on the client side safe.
+        # ``synced`` maps name -> id(df) so a REPUBLISH under the same
+        # name recreates the view; the no-change case costs a token
+        # scan and dict lookups, zero JVM calls.  The name match is
+        # textual (identifier tokens of src, case-insensitive — SQL
+        # identifiers are), so a table can only be reached by naming
+        # it, which every statement plane here does.  A concurrent
+        # UNPUBLISH may drop a captured name's global view before its
+        # CREATE runs (the reshard cleanup races) — skip it rather
+        # than kill the connection.
+        synced: dict[str, int] = {}
+
+        def _sync_views(src: str) -> None:
+            toks = {
+                t.lower() for t in re.findall(r"[A-Za-z_]\w*", src)
+            }
+            for name in list(server.tables):
+                if name.lower() not in toks:
+                    continue
+                df = server.tables.get(name)
+                if df is None or synced.get(name) == id(df):
+                    continue
+                try:
+                    session.sql(
+                        f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS "
+                        f"SELECT * FROM {gdb}."
+                        f"`__kerf_srv_{server.view_token}_{name}`"
+                    )
+                    env.set_local(name, session.table(name))
+                    synced[name] = id(df)
+                except Exception:  # noqa: BLE001 — TOCTOU with unpublish
+                    continue
+
         while True:
             line = self.rfile.readline()
             if not line:
                 return
             try:
                 req = json.loads(line)
+                _sync_views(str(req.get("src", "")))
                 src = req.get("src", "")
                 limit = max(
                     1, min(int(req.get("limit", DEFAULT_LIMIT)), MAX_LIMIT)
@@ -729,6 +773,7 @@ class KerfServer:
         port: int = 0,
         tables: dict | None = None,
         save_root: str | None = None,
+        limit_initial_partitions: int = 64,
     ):
         import logging
         import uuid
@@ -762,6 +807,14 @@ class KerfServer:
         self._srv.tables = self.tables  # type: ignore[attr-defined]
         self._srv.view_token = self.view_token  # type: ignore[attr-defined]
         self._srv.save_root = save_root  # type: ignore[attr-defined]
+        # first-round width of the bounded-fetch limit ladder (see
+        # _Handler): one job over up to this many partitions instead of
+        # Spark's 1 -> 4 -> 20 job-per-round escalation; driver rows
+        # stay bounded by limit × this.  Tune down for clusters with
+        # very wide tables where even round one should stay narrow.
+        self._srv.limit_initial_partitions = (  # type: ignore[attr-defined]
+            int(limit_initial_partitions)
+        )
         self._thread: threading.Thread | None = None
 
     @property
@@ -886,6 +939,64 @@ class KerfClient:
         self.close()
 
 
+#: idle pooled connections per (host, port) — see pooled_client
+_CLIENT_POOL: dict[tuple[str, int], list[KerfClient]] = {}
+_CLIENT_POOL_LOCK = threading.Lock()
+#: bound per address so a burst of concurrent gathers cannot park an
+#: unbounded number of sockets (each holds a server thread + session)
+_CLIENT_POOL_MAX = 8
+
+
+def pooled_client(host: str, port: int, timeout: float = 60.0):
+    """Context manager yielding a REUSED KerfClient to ``(host,
+    port)`` when one is idle, else a fresh connection; on clean exit
+    the connection returns to the pool, on error it is closed (its
+    wire state is unknown mid-frame).  Motivation: every connection
+    costs the server a ``newSession()`` + one temp view per table
+    (~0.15 s of driver catalog work), paid by EVERY folio statement
+    when each gather dials fresh sockets.  Reuse is correct because
+    the server re-syncs its table views per REQUEST (tables published
+    before a request — e.g. by a reshard flip — are visible to pooled
+    connections), and per-connection temp names have replace
+    semantics.  The requested ``timeout`` is applied to the reused
+    socket on acquisition."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = (host, int(port))
+        cli = None
+        with _CLIENT_POOL_LOCK:
+            lst = _CLIENT_POOL.get(key)
+            if lst:
+                cli = lst.pop()
+        if cli is None:
+            cli = KerfClient(host, int(port), timeout=timeout)
+        else:
+            try:
+                cli._sock.settimeout(timeout)
+            except OSError:
+                cli = KerfClient(host, int(port), timeout=timeout)
+        try:
+            yield cli
+        except BaseException:
+            try:
+                cli.close()
+            except Exception:  # noqa: BLE001 — already failing
+                pass
+            raise
+        else:
+            with _CLIENT_POOL_LOCK:
+                lst = _CLIENT_POOL.setdefault(key, [])
+                if len(lst) < _CLIENT_POOL_MAX:
+                    lst.append(cli)
+                    cli = None
+            if cli is not None:
+                cli.close()
+
+    return _cm()
+
+
 # ------------------------------------------------- distributed folio
 def _gather_frames(
     addrs: list[tuple[str, int]], src: str, timeout: float
@@ -903,7 +1014,7 @@ def _gather_frames(
 
     def fetch(addr):
         host, port = addr
-        with KerfClient(host, int(port), timeout=timeout) as cli:
+        with pooled_client(host, int(port), timeout=timeout) as cli:
             resp = cli.execute(src, arrow=True)
         if not resp.get("ok"):
             raise RuntimeError(
