@@ -670,12 +670,31 @@ class _Handler(socketserver.StreamRequestHandler):
                             f"publish needs a table result, got "
                             f"{type(ret).__name__}"
                         )
-                    name = str(pub)
+                    if isinstance(pub, dict):
+                        name = str(pub.get("name", ""))
+                        materialize = bool(pub.get("materialize"))
+                    else:
+                        name = str(pub)
+                        materialize = False
                     if not re.fullmatch(r"[A-Za-z_]\w*", name):
                         raise ValueError(
                             f"publish name {name!r} is not a valid "
                             f"table name"
                         )
+                    if materialize:
+                        # plans built from uploaded Arrow frames are
+                        # LocalRelations: every later statement over
+                        # the published table re-ships those rows
+                        # driver->executor inside the job (measured
+                        # ~0.3-0.5 s per statement on a reshard
+                        # shard).  A lazy local checkpoint turns the
+                        # plan into executor-resident blocks on first
+                        # use; every subsequent statement scans the
+                        # blocks.  Lazy so the publish itself stays
+                        # metadata-only; MEMORY_AND_DISK so big
+                        # shards spill instead of OOM (persist= is
+                        # the disk-backed alternative).
+                        ret = ret.localCheckpoint(eager=False)
                     ret.createOrReplaceGlobalTempView(
                         f"__kerf_srv_{server.view_token}_{name}"
                     )
@@ -860,7 +879,7 @@ class KerfClient:
         save: "str | dict | None" = None,
         arrow: bool = False,
         upload: tuple[str, "object"] | None = None,
-        publish: str | None = None,
+        publish: "str | dict | None" = None,
         ship: dict | None = None,
         unpublish: str | None = None,
         register: dict | None = None,
@@ -1926,7 +1945,15 @@ def folio_reshard(
                     src = f"select * from {table} where {bucket} = {j}"
                     for nm in sorted(received[j]):
                         src += f" union all select * from {nm}"
-                r = cli.execute(src, publish=stage)
+                # materialize: the staged shard unions uploaded Arrow
+                # LocalRelations; checkpointing at publish makes the
+                # conservation check, the flip, and every later join
+                # over the resharded table scan executor-resident
+                # blocks instead of re-shipping the uploaded rows
+                # per job
+                r = cli.execute(
+                    src, publish={"name": stage, "materialize": True}
+                )
                 if not r.get("ok"):
                     raise RuntimeError(
                         f"folio_reshard stage on {addrs[j]} failed: "
