@@ -13103,13 +13103,15 @@ def folio_window_ma(spark, sf):
         " from orders where o_custkey % 25 = 1",
         shard_key="o_custkey",
     )
+    # no final orderBy (driver compare is order-insensitive; the sort's
+    # sample pass would re-execute the gathered member frames)
     return df.select(
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         F.col("m3").cast("long").alias("m3"),
         F.col("rsum").cast("long").alias("rsum"),
         F.col("rn").cast("long").alias("rn"),
-    ).orderBy("o_custkey", "rn")
+    )
 
 
 @query(
@@ -13167,13 +13169,18 @@ def folio_asof_cosharded(spark, sf):
         " from events_aj asof join orders_aj on user_id, ts"
         " where o_orderkey is not null and user_id % 10 = 3",
     )
+    # no final orderBy: the driver's compare is order-insensitive, and
+    # a global sort over the gathered union re-executes the member
+    # frames for the range-partition sample pass (~0.8 s of the row's
+    # cost at sf0.1 — guide §2.4's "orderBy used only to make output
+    # deterministic")
     return merged.select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),
         F.col("ts_us").cast("long").alias("ts_us"),
         F.col("orderkey").cast("long").alias("orderkey"),
         "totalprice",
-    ).orderBy("event_id")
+    )
 
 
 @query(

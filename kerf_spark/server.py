@@ -1573,30 +1573,42 @@ def folio_asof(
     if check and equi:
         cols = ", ".join(equi)
         seen: dict = {}
-        for side, table in (("left", lt), ("right", rt)):
-            parts = _gather_frames(
-                addrs, f"select {cols} from {table} group by {cols}",
-                timeout,
-            )
-            for (host, port), tbl in parts:
-                me = f"{host}:{port}"
-                vecs = [tbl.column(c).to_pylist() for c in equi]
-                for tup in zip(*vecs):
-                    if any(v is None for v in tup):
-                        continue  # NULL equi keys never match
-                    other = seen.setdefault(tup, me)
-                    if other != me:
-                        raise ArgsError(
-                            f"folio is not co-sharded on "
-                            f"({cols}): key {tup!r} has rows on "
-                            f"both {other} and {me} (detected on "
-                            f"the {side} table {table!r}) — a "
-                            f"member-side temporal join would drop "
-                            f"its cross-member matches.  "
-                            f"folio_reshard BOTH tables onto the "
-                            f"equi key first (or pass check=False "
-                            f"if the overlap is intended)."
-                        )
+        # ONE gather round for both tables' key sets (side-tagged
+        # union — one member job and one wire frame instead of two
+        # serialized rounds); detection semantics unchanged: any
+        # non-NULL key with rows on two members, either side, either
+        # table, fails loud
+        sides = {0: ("left", lt), 1: ("right", rt)}
+        parts = _gather_frames(
+            addrs,
+            f"select {cols}, 0 as __side from {lt} group by {cols}"
+            f" union all "
+            f"select {cols}, 1 as __side from {rt} group by {cols}",
+            timeout,
+        )
+        for (host, port), tbl in parts:
+            me = f"{host}:{port}"
+            vecs = [tbl.column(c).to_pylist() for c in equi]
+            tags = tbl.column("__side").to_pylist()
+            for tup in zip(*vecs, tags):
+                *key, tag = tup
+                key = tuple(key)
+                if any(v is None for v in key):
+                    continue  # NULL equi keys never match
+                other = seen.setdefault(key, me)
+                if other != me:
+                    side, table = sides[int(tag)]
+                    raise ArgsError(
+                        f"folio is not co-sharded on "
+                        f"({cols}): key {key!r} has rows on "
+                        f"both {other} and {me} (detected on "
+                        f"the {side} table {table!r}) — a "
+                        f"member-side temporal join would drop "
+                        f"its cross-member matches.  "
+                        f"folio_reshard BOTH tables onto the "
+                        f"equi key first (or pass check=False "
+                        f"if the overlap is intended)."
+                    )
     ship, order_tail, limit_n = _split_order_limit(q)
     if persist is not None and publish is None:
         raise ArgsError(
