@@ -422,6 +422,75 @@ def doc_amend_udf(edit):
     return call
 
 
+def doc_amend_project_udf(edit, projections: dict):
+    """:func:`doc_amend_udf`'s fused READ-BACK twin: parse each
+    document once, apply ``edit``, and emit PROJECTED values straight
+    from the edited dict as a struct — for amend-then-extract chains
+    where the caller never keeps the document text.  Skipping the
+    re-serialize (json.dumps per row) and the downstream
+    ``get_json_object`` re-parses (one JVM JSON parse per extracted
+    field) halves the amend kernel and removes the whole extraction
+    stage (measured ~0.7 s of atlas_nested_update's cost at sf0.1).
+
+    ``projections`` maps field name -> (spark type DDL, fn(dict) ->
+    value); values must be Python natives, exactly as a JSON
+    round-trip would yield them (json.dumps(repr) -> JVM parse is the
+    identity for finite floats/ints/strings, so emitting the dict
+    value directly is bitwise-identical to extracting it from the
+    rebuilt text).  Malformed / non-object / NULL documents yield a
+    NULL struct — matching get_json_object's NULL on the same rows."""
+    names = list(projections)
+    schema = ", ".join(f"{n} {t}" for n, (t, _) in projections.items())
+
+    def _run(doc, vals) -> pd.DataFrame:
+        import json
+
+        rows = []
+        for row in zip(doc, *vals):
+            p = row[0]
+            d = None
+            if p is not None:
+                try:
+                    parsed = json.loads(p)
+                    if isinstance(parsed, dict):
+                        d = parsed
+                except ValueError:
+                    d = None
+            if d is not None:
+                d = edit(d, *row[1:])
+            if d is None:
+                rows.append((None,) * len(names))
+            else:
+                rows.append(
+                    tuple(fn(d) for _, fn in projections.values())
+                )
+        return pd.DataFrame(rows, columns=names, dtype=object)
+
+    @F.pandas_udf(f"struct<{schema}>")
+    def p1(doc: pd.Series, a: pd.Series) -> pd.DataFrame:
+        return _run(doc, (a,))
+
+    @F.pandas_udf(f"struct<{schema}>")
+    def p0(doc: pd.Series) -> pd.DataFrame:
+        return _run(doc, ())
+
+    @F.pandas_udf(f"struct<{schema}>")
+    def p2(doc: pd.Series, a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        return _run(doc, (a, b))
+
+    by_arity = {1: p0, 2: p1, 3: p2}
+
+    def call(*cols):
+        if len(cols) not in by_arity:
+            raise ValueError(
+                f"doc_amend_project_udf supports 0-2 extra columns, "
+                f"got {len(cols) - 1}"
+            )
+        return by_arity[len(cols)](*cols)
+
+    return call
+
+
 # ------------------------------------------------------- schema profile
 #: Fragment-text type inference, shared with the SQL oracle (both
 #: engines regex the same fragment text, so the profile is

@@ -11092,19 +11092,31 @@ def atlas_nested_update(spark, sf):
         d["k"] = (int(k) + 1) if k is not None else None
         return d
 
-    kernel = AT.doc_amend_udf(_edit)
-    staged = e.select(
-        "event_id", kernel(F.col("props"), F.col("value")).alias("doc")
+    # fused read-back (optimization r13): the kernel parses each doc
+    # once, edits, and emits the extracted fields directly — no
+    # re-serialize, no get_json_object re-parse per field (4 JVM JSON
+    # parses dropped; values identical because dumps->parse is the
+    # identity for finite natives).  doc_amend_udf remains the
+    # document-rebuilding surface, covered by unit/property tests and
+    # the atlas_drift_append row.
+    kernel = AT.doc_amend_project_udf(
+        _edit,
+        {
+            "k2": ("long", lambda d: d.get("k")),
+            "tier": ("string", lambda d: (d.get("meta") or {}).get("tier")),
+            "score": (
+                "double", lambda d: (d.get("meta") or {}).get("score")
+            ),
+            "n_keys": ("long", lambda d: len(d)),
+        },
     )
     # no final orderBy: the driver's compare is order-insensitive, and
     # a global sort would dominate this zero-shuffle projection in the
     # bench slope
-    return staged.select(
-        "event_id",
-        F.get_json_object("doc", "$.k").cast("long").alias("k2"),
-        F.get_json_object("doc", "$.meta.tier").alias("tier"),
-        F.get_json_object("doc", "$.meta.score").cast("double").alias("score"),
-        F.size(AT.doc_keys("doc")).cast("long").alias("n_keys"),
+    return e.select(
+        "event_id", kernel(F.col("props"), F.col("value")).alias("__o")
+    ).select(
+        "event_id", "__o.k2", "__o.tier", "__o.score", "__o.n_keys"
     )
 
 
