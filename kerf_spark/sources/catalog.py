@@ -2198,33 +2198,17 @@ class Workspace:
         for v in vals:
             by_width.setdefault(len(v), []).append(tuple(v))
 
-        def _keep(df: DataFrame) -> DataFrame:
-            out = df
-            for w, vs in sorted(by_width.items()):
-                pschema = T.StructType([key_fields[key[i]] for i in range(w)])
-                probe = self.spark.createDataFrame(
-                    sorted(set(vs), key=repr), pschema
-                )
-                cond = functools.reduce(
-                    lambda a, b: a & b,
-                    [
-                        out[key[i]].eqNullSafe(probe[key[i]])
-                        for i in range(w)
-                    ],
-                )
-                out = out.join(F.broadcast(probe), cond, "left_anti")
-            return out
-
-        def _counts(df: DataFrame) -> tuple[int, int]:
-            # (total, deleted) in ONE aggregation job (r11 verdict
-            # what's-wrong #1 — the split df.count()/keep.count() pair
-            # scanned the covering files twice): probes join as
-            # broadcast LEFT joins carrying a marker column — the
-            # probe frames are deduped per width, so a stored row
-            # matches at most one probe row per width and never
-            # multiplies — and one agg counts rows and marker hits
-            # together.  Same match semantics as _keep (eqNullSafe
-            # both ways).
+        def _marked(df: DataFrame) -> tuple[DataFrame, Column]:
+            # probes join as broadcast LEFT joins carrying a marker
+            # column — the probe frames are deduped per width, so a
+            # stored row matches at most one probe row per width and
+            # never multiplies.  eqNullSafe twice over (see the class
+            # comment above).  ONE marked frame feeds BOTH the fused
+            # (total, deleted) aggregation and the survivor write
+            # (optimization r13 — the _counts/_keep pair built the
+            # probe frames and ran the broadcast join twice; the
+            # marked frame persists between the two actions so the
+            # covering files scan and the broadcast build run once).
             out, flags = df, []
             for w, vs in sorted(by_width.items()):
                 pschema = T.StructType(
@@ -2250,7 +2234,13 @@ class Workspace:
                 lambda a, b: a | b,
                 [F.col(f).isNotNull() for f in flags],
             )
-            row = out.agg(
+            return out, hit
+
+        def _counts(marked: DataFrame, hit: Column) -> tuple[int, int]:
+            # (total, deleted) in ONE aggregation job (r11 verdict
+            # what's-wrong #1 — the split df.count()/keep.count() pair
+            # scanned the covering files twice)
+            row = marked.agg(
                 F.count(F.lit(1)).alias("t"),
                 F.sum(F.when(hit, 1).otherwise(0)).alias("d"),
             ).head()
@@ -2319,23 +2309,38 @@ class Workspace:
             )
             # deleted count from the SCAN, not the index — exact
             # whatever shape the manifest entries carry — and total +
-            # deleted fused into ONE job over the covering files
-            total, n_del = _counts(df)
-            kept = total - n_del
-            if not n_del:
-                return 0
-            out = (
-                _keep(df).repartitionByRange(
-                    max(1, len(covering)), *key
-                ).sortWithinPartitions(*key)
-                if kept > 0
-                else None
-            )
-            # atomic commit: survivors hardlink into staging, the
-            # merged remainder writes there, ONE swap — readers never
-            # see both versions of a key (_staged_pruned_swap)
-            survivors = [f for f in ranges if f not in set(covering)]
-            new = self._staged_pruned_swap(meta, survivors, out)
+            # deleted fused into ONE job over the covering files.
+            # The marked frame persists so the survivor write below
+            # reuses the scan + broadcast probe join instead of
+            # re-running both.
+            marked, hit = _marked(df)
+            marked = marked.persist()
+            try:
+                total, n_del = _counts(marked, hit)
+                kept = total - n_del
+                if not n_del:
+                    return 0
+                remainder = marked.where(~hit).select(*df.columns)
+                out = None
+                if kept > 0:
+                    # one covering file rewrites to one file without
+                    # the range-partition SAMPLE pass (coalesce is
+                    # narrow); multi-file rewrites keep the ranged
+                    # layout so files stay disjoint on the key
+                    out = (
+                        remainder.coalesce(1)
+                        if len(covering) == 1
+                        else remainder.repartitionByRange(
+                            len(covering), *key
+                        )
+                    ).sortWithinPartitions(*key)
+                # atomic commit: survivors hardlink into staging, the
+                # merged remainder writes there, ONE swap — readers
+                # never see both versions of a key
+                survivors = [f for f in ranges if f not in set(covering)]
+                new = self._staged_pruned_swap(meta, survivors, out)
+            finally:
+                marked.unpersist()
             for f in covering:
                 ranges.pop(f, None)
             if new:
@@ -2359,18 +2364,23 @@ class Workspace:
             # re-layout for wide coverage (upsert's swap discipline);
             # total + deleted in the same fused single count job
             df_all = self.load(name)
-            total, n_del = _counts(df_all)
-            if not n_del:
-                return 0
-            remainder = _keep(df_all)
-            kp = meta.get("key_partitions")
-            out = (
-                remainder.repartitionByRange(int(kp), *key)
-                if kp
-                else remainder.repartitionByRange(*key)
-            ).sortWithinPartitions(*key)
-            staging = meta["path"] + ".staging"
-            out.write.mode("overwrite").parquet(staging)
+            marked, hit = _marked(df_all)
+            marked = marked.persist()
+            try:
+                total, n_del = _counts(marked, hit)
+                if not n_del:
+                    return 0
+                remainder = marked.where(~hit).select(*df_all.columns)
+                kp = meta.get("key_partitions")
+                out = (
+                    remainder.repartitionByRange(int(kp), *key)
+                    if kp
+                    else remainder.repartitionByRange(*key)
+                ).sortWithinPartitions(*key)
+                staging = meta["path"] + ".staging"
+                out.write.mode("overwrite").parquet(staging)
+            finally:
+                marked.unpersist()
             self._publish_dir(meta, staging)
             meta["key_file_ranges"] = self._file_key_ranges(
                 meta, self._published_files(meta)
@@ -2470,6 +2480,7 @@ class Workspace:
             return (r[0],), (r[1],)
 
         doomed, boundary = [], []
+        keep_df = None
         for f, r in ranges.items():
             if len(r) >= 3 and r[2] == 0:
                 continue  # footer-only empty file
@@ -2515,7 +2526,11 @@ class Workspace:
             df = self.spark.read.schema(schema).parquet(
                 *self._pin_files(meta, boundary)
             )
-            keep_df = df.where(keep_pred)
+            # persist the trimmed remainder between the count and the
+            # write so the boundary files scan runs once; one boundary
+            # file rewrites via coalesce (no range-sample pass), the
+            # two-file case keeps the ranged layout
+            keep_df = df.where(keep_pred).persist()
             kept = keep_df.count()
             b_total = sum(ranges[f][2] for f in boundary)
             n_del += b_total - kept
@@ -2523,11 +2538,15 @@ class Workspace:
                 boundary = []  # nothing to trim after all
             elif kept > 0:
                 out = (
-                    keep_df.repartitionByRange(
-                        max(1, len(boundary)), *key
-                    ).sortWithinPartitions(*key)
-                )
+                    keep_df.coalesce(1)
+                    if len(boundary) == 1
+                    else keep_df.repartitionByRange(
+                        len(boundary), *key
+                    )
+                ).sortWithinPartitions(*key)
         if not n_del:
+            if keep_df is not None:
+                keep_df.unpersist()
             return 0
         # atomic commit: survivors hardlink into staging, the trimmed
         # boundary remainder writes there, ONE swap (same discipline
@@ -2535,7 +2554,11 @@ class Workspace:
         # rows alongside their replacements)
         removed = set(doomed) | set(boundary)
         survivors = [f for f in ranges if f not in removed]
-        new = self._staged_pruned_swap(meta, survivors, out)
+        try:
+            new = self._staged_pruned_swap(meta, survivors, out)
+        finally:
+            if keep_df is not None:
+                keep_df.unpersist()
         for f in removed:
             ranges.pop(f, None)
         if new:
