@@ -96,6 +96,7 @@ the bind is not loopback)."""
 from __future__ import annotations
 
 import json
+import os
 import re
 import socket
 import socketserver
@@ -341,7 +342,9 @@ def _ship_chunks(tbl, name: str, host, port, timeout: float, per: int):
     return names
 
 
-def _ship_result(v: Any, spec: dict) -> "_Saved":
+def _ship_result(
+    v: Any, spec: dict, session=None, server=None
+) -> "_Saved":
     """MEMBER→MEMBER push plane (r12 verdict next #1): serialize the
     request's table result and upload it DIRECTLY to peer servers as
     published chunk tables — the shipper acts as a client of the
@@ -356,7 +359,8 @@ def _ship_result(v: Any, spec: dict) -> "_Saved":
     * ``{"peers": [[h,p] | null, ...], "bucket_col": c, "name": n}``
       — ONE local evaluation fans out to every peer: rows route by
       the integer column ``c`` (null peers skip — the shipper's own
-      bucket), each peer j receiving ``n_b<j>_c<k>`` chunks, pushed
+      bucket, unless ``keep`` names it), each peer j receiving
+      ``n_b<j>_c<k>`` chunks, pushed
       concurrently.  This is the reshard's exchange: one Spark job
       per shipper, N-1 direct pushes.
 
@@ -429,27 +433,65 @@ def _ship_result(v: Any, spec: dict) -> "_Saved":
         names = _ship_chunks(
             part, f"{name}_b{j}", peer[0], peer[1], timeout, per
         )
-        return j, names, part.num_rows
+        return j, names, part.num_rows, part.nbytes
+
+    # ``keep``: the shipper's OWN bucket publishes IN-PROCESS as the
+    # same ``<name>_b<j>_c<k>`` chunk tables a peer would receive —
+    # zero socket bytes for rows that are not moving, and the ship
+    # response's ``total`` (the collected row count of the WHOLE
+    # evaluated result, pre-split) gives the reshard's conservation
+    # check an actual-rows "before" without a second source scan.
+    keep = spec.get("keep")
+
+    def publish_local(j):
+        part = data.filter(pc.equal(col, j))
+        names = []
+        offs = list(range(0, part.num_rows, per)) or [0]
+        for k, off in enumerate(offs):
+            chunk = part.slice(off, per)
+            nm = f"{name}_b{j}_c{k}"
+            df = session.createDataFrame(chunk)
+            df.createOrReplaceGlobalTempView(
+                f"__kerf_srv_{server.view_token}_{nm}"
+            )
+            server.tables[nm] = df
+            names.append(nm)
+        return j, names, part.num_rows, part.nbytes
 
     targets = [
         (j, peer) for j, peer in enumerate(peers) if peer is not None
     ]
     by_peer: dict[str, list[str]] = {}
+    rows_by_peer: dict[str, int] = {}
+    bytes_by_peer: dict[str, int] = {}
     sent = 0
+    kept = 0
     chunks = 0
     if targets:
         with _fut.ThreadPoolExecutor(max_workers=len(targets)) as pool:
-            for j, names, rows in pool.map(push, targets):
+            for j, names, rows, nbytes in pool.map(push, targets):
                 by_peer[str(j)] = names
+                rows_by_peer[str(j)] = rows
+                bytes_by_peer[str(j)] = nbytes
                 sent += rows
                 chunks += len(names)
+    if keep is not None and session is not None and server is not None:
+        j, names, kept, kbytes = publish_local(int(keep))
+        by_peer[str(j)] = names
+        rows_by_peer[str(j)] = kept
+        bytes_by_peer[str(j)] = kbytes
+        chunks += len(names)
     return _Saved(
         {
             "ok": True,
             "kind": "shipped",
             "rows": sent,
+            "kept": kept,
+            "total": tbl.num_rows,
             "chunks": chunks,
             "names_by_peer": by_peer,
+            "rows_by_peer": rows_by_peer,
+            "bytes_by_peer": bytes_by_peer,
         }
     )
 
@@ -641,7 +683,9 @@ class _Handler(socketserver.StreamRequestHandler):
                     # result straight to a peer (the reshard exchange
                     # plane) — the requesting client gets only an
                     # acknowledgement with the published chunk names
-                    ret = _ship_result(ret, ship)
+                    ret = _ship_result(
+                        ret, ship, session=session, server=server
+                    )
                 save = req.get("save")
                 if save is not None:
                     ret = _save_result(
@@ -673,9 +717,11 @@ class _Handler(socketserver.StreamRequestHandler):
                     if isinstance(pub, dict):
                         name = str(pub.get("name", ""))
                         materialize = bool(pub.get("materialize"))
+                        ncoalesce = pub.get("coalesce")
                     else:
                         name = str(pub)
                         materialize = False
+                        ncoalesce = None
                     if not re.fullmatch(r"[A-Za-z_]\w*", name):
                         raise ValueError(
                             f"publish name {name!r} is not a valid "
@@ -694,6 +740,18 @@ class _Handler(socketserver.StreamRequestHandler):
                         # metadata-only; MEMORY_AND_DISK so big
                         # shards spill instead of OOM (persist= is
                         # the disk-backed alternative).
+                        # ``coalesce``: a union of uploaded chunk
+                        # frames carries leaf-default partitions PER
+                        # CHUNK (measured 96 for a 3-member shard) —
+                        # every later scan schedules that many tiny
+                        # tasks (a 3-member join measured 6x slower
+                        # than the same data at 4 partitions).  The
+                        # coordinator sizes the block count from the
+                        # ACTUAL shipped bytes (scale-adaptive, guide
+                        # §2.2 "fewer, larger partitions"); coalesce
+                        # is a narrow merge, no shuffle.
+                        if ncoalesce:
+                            ret = ret.coalesce(max(1, int(ncoalesce)))
                         ret = ret.localCheckpoint(eager=False)
                     ret.createOrReplaceGlobalTempView(
                         f"__kerf_srv_{server.view_token}_{name}"
@@ -1850,9 +1908,15 @@ def folio_reshard(
     shared = (shared_dir or "").rstrip("/")
 
     # ---- phase 1: member→member SHIP (the map + exchange) — one
-    # request per shipper: member i evaluates its ENTIRE outgoing set
-    # in ONE Spark job (bucket-tagged), splits it per receiver in
-    # Arrow, and pushes each bucket straight to its peer concurrently
+    # request per shipper: member i evaluates its ENTIRE shard in ONE
+    # Spark job (bucket-tagged, no filter — the source is scanned
+    # exactly once for the whole exchange), splits it per bucket in
+    # Arrow, pushes each outgoing bucket straight to its peer
+    # concurrently, and publishes its OWN bucket in-process
+    # (``keep``) as the same chunk tables.  The response's ``total``
+    # — the collected row count of the whole shard, measured on the
+    # actual Arrow rows BEFORE the split — is the conservation
+    # check's "before", so no later round re-scans the source.
     def ship(i):
         peers = [
             [addrs[j][0], int(addrs[j][1])] if j != i else None
@@ -1860,14 +1924,14 @@ def folio_reshard(
         ]
         with KerfClient(*addrs[i], timeout=timeout) as cli:
             r = cli.execute(
-                f"select *, {bucket} as __rs_bucket from {table} "
-                f"where {bucket} != {i}",
+                f"select *, {bucket} as __rs_bucket from {table}",
                 ship={
                     "peers": peers,
                     "bucket_col": "__rs_bucket",
                     "name": f"__rs_{out_name}_f{i}",
                     "chunk_rows": chunk_rows,
                     "timeout": timeout,
+                    "keep": i,
                 },
             )
         if not r.get("ok"):
@@ -1875,7 +1939,12 @@ def folio_reshard(
                 f"folio_reshard ship from {addrs[i]} failed: "
                 f"{r.get('kind')}: {r.get('message')}"
             )
-        return r.get("names_by_peer") or {}, int(r.get("rows") or 0)
+        return (
+            r.get("names_by_peer") or {},
+            int(r.get("rows") or 0),
+            int(r.get("total") or 0),
+            r.get("bytes_by_peer") or {},
+        )
 
     # ---- phase 1p (via='parquet' — the SHARED-FILESYSTEM exchange,
     # the plane to run when members mount one storage layer): member i
@@ -1904,123 +1973,167 @@ def folio_reshard(
 
     received: dict[int, list[str]] = {j: [] for j in range(n)}
     moved = None if via == "parquet" else 0
+    totals = 0
     saved: dict[int, str] = {}
     total = None
     cols: list[str] = []
+    # one held connection per member carries stage → staged-count →
+    # persist → flip: statements after the first skip the connect +
+    # session round, and the stage/check phases need no cross-member
+    # barrier between them (each member's counts are its own; only
+    # the flip waits on the GLOBAL conservation verdict)
+    clients: dict[int, KerfClient] = {}
+
+    def _close_clients():
+        for cli in clients.values():
+            try:
+                cli.close()
+            except Exception:  # noqa: BLE001 — already failing
+                pass
+        clients.clear()
+
+    # staged bytes per member (actual Arrow bytes, summed over
+    # shippers) size each member's checkpoint block count — guide
+    # §2.2: partitions in the ~100 MB range, derived from real data
+    # size, never a constant tuned for one scale
+    staged_bytes: dict[int, int] = {j: 0 for j in range(n)}
+    part_bytes = int(
+        os.environ.get("KERF_RESHARD_PART_BYTES", str(64 << 20))
+    )
     try:
         if n > 1 and via == "arrow":
             with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-                for by_peer, rows in pool.map(ship, range(n)):
+                for by_peer, rows, tot, bts in pool.map(ship, range(n)):
                     for j, names in by_peer.items():
                         received[int(j)].extend(names)
+                    for j, b in bts.items():
+                        staged_bytes[int(j)] += int(b)
                     moved += rows
+                    totals += tot
         elif n > 1:
             with _fut.ThreadPoolExecutor(max_workers=n) as pool:
                 for c in pool.map(ship_parquet, range(n)):
                     cols = c or cols
 
-        # ---- phase 2: STAGE kept ∪ received on every member (a
-        # server table under the staging name — not user-visible),
-        # optionally persisting each staged shard to parquet
+        # ---- phase 2+3: STAGE ∪-of-chunks on every member (a server
+        # table under the staging name — not user-visible) and, on
+        # the SAME connection, the member's STAGED count — the
+        # conservation check's "after" (its "before" came from the
+        # ship totals, actual Arrow rows; parquet mode still recounts
+        # the source, its exchange carries no row counts).  persist=
+        # rides the same connection after the count.
         def stage_member(j):
-            with KerfClient(*addrs[j], timeout=timeout) as cli:
-                if via == "parquet" and n > 1:
-                    collist = ", ".join(cols)
-                    src = (
-                        f"select {collist} from {table} "
-                        f"where {bucket} = {j}"
-                    )
-                    for i in range(n):
-                        if i == j:
-                            continue
-                        nm = f"__rs_in{i}"
-                        r = cli.execute(
-                            "null",
-                            register={
-                                "name": nm,
-                                "path": f"{shared}/__rs_{out_name}_f{i}",
-                            },
-                        )
-                        if not r.get("ok"):
-                            raise RuntimeError(
-                                f"folio_reshard register on {addrs[j]} "
-                                f"failed: {r.get('kind')}: "
-                                f"{r.get('message')}"
-                            )
-                        # partition-pruned read: only bucket j's
-                        # directory of shipper i's exchange output
-                        src += (
-                            f" union all select {collist} from {nm} "
-                            f"where __rs_bucket = {j}"
-                        )
-                else:
-                    src = f"select * from {table} where {bucket} = {j}"
-                    for nm in sorted(received[j]):
-                        src += f" union all select * from {nm}"
-                # materialize: the staged shard unions uploaded Arrow
-                # LocalRelations; checkpointing at publish makes the
-                # conservation check, the flip, and every later join
-                # over the resharded table scan executor-resident
-                # blocks instead of re-shipping the uploaded rows
-                # per job
-                r = cli.execute(
-                    src, publish={"name": stage, "materialize": True}
+            cli = KerfClient(*addrs[j], timeout=timeout)
+            clients[j] = cli
+            if via == "parquet" and n > 1:
+                collist = ", ".join(cols)
+                src = (
+                    f"select {collist} from {table} "
+                    f"where {bucket} = {j}"
                 )
-                if not r.get("ok"):
-                    raise RuntimeError(
-                        f"folio_reshard stage on {addrs[j]} failed: "
-                        f"{r.get('kind')}: {r.get('message')}"
+                for i in range(n):
+                    if i == j:
+                        continue
+                    nm = f"__rs_in{i}"
+                    r = cli.execute(
+                        "null",
+                        register={
+                            "name": nm,
+                            "path": f"{shared}/__rs_{out_name}_f{i}",
+                        },
                     )
-                if persist is not None:
-                    p = f"{persist.rstrip('/')}/{out_name}_m{j}"
-                    r = cli.execute(f"select * from {stage}", save=p)
                     if not r.get("ok"):
                         raise RuntimeError(
-                            f"folio_reshard persist on {addrs[j]} "
+                            f"folio_reshard register on {addrs[j]} "
                             f"failed: {r.get('kind')}: "
                             f"{r.get('message')}"
                         )
-                    return j, p
-            return j, None
-
-        with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-            saved = {
-                j: p for j, p in pool.map(stage_member, range(n)) if p
-            }
-
-        # ---- phase 3: row conservation against the STAGED relations,
-        # BEFORE anything becomes user-visible.  ONE round trip and
-        # ONE Spark job per member: the source and staged counts ride
-        # a single UNION ALL statement (tagged rows), instead of two
-        # serialized pools of fresh-connection single counts.  Parquet
-        # mode adds a kept-bucket arm so `moved` derives exactly
-        # (before − Σ kept).
-        if check:
-            def both_counts(j):
-                src = (
-                    f"select 0 as side, count(*) as n from {table}"
-                    f" union all"
-                    f" select 1 as side, count(*) as n from {stage}"
-                )
-                if via == "parquet":
+                    # partition-pruned read: only bucket j's
+                    # directory of shipper i's exchange output
                     src += (
-                        f" union all select 2 as side, count(*) as n "
-                        f"from {table} where {bucket} = {j}"
+                        f" union all select {collist} from {nm} "
+                        f"where __rs_bucket = {j}"
                     )
-                with KerfClient(*addrs[j], timeout=timeout) as cli:
-                    r = cli.execute(src)
+            elif n > 1:
+                names = sorted(received[j])
+                src = f"select * from {names[0]}"
+                for nm in names[1:]:
+                    src += f" union all select * from {nm}"
+            else:
+                src = f"select * from {table} where {bucket} = {j}"
+            # materialize: the staged shard unions uploaded Arrow
+            # LocalRelations; checkpointing at publish makes the
+            # conservation check, the flip, and every later join
+            # over the resharded table scan executor-resident
+            # blocks instead of re-shipping the uploaded rows
+            # per job.  coalesce sizes the blocks from the actual
+            # staged bytes (the chunk-per-frame union otherwise
+            # carries leaf-default partitions PER CHUNK).
+            pub: dict = {"name": stage, "materialize": True}
+            if via == "arrow" and n > 1:
+                pub["coalesce"] = max(
+                    1, -(-staged_bytes[j] // part_bytes)
+                )
+            r = cli.execute(src, publish=pub)
+            if not r.get("ok"):
+                raise RuntimeError(
+                    f"folio_reshard stage on {addrs[j]} failed: "
+                    f"{r.get('kind')}: {r.get('message')}"
+                )
+            staged_n = src_n = kept_n = 0
+            if check:
+                if via == "arrow" and n > 1:
+                    csrc = f"select count(*) as c from {stage}"
+                else:
+                    csrc = (
+                        f"select 0 as side, count(*) as n from {table}"
+                        f" union all"
+                        f" select 1 as side, count(*) as n from {stage}"
+                    )
+                    if via == "parquet":
+                        csrc += (
+                            f" union all select 2 as side, count(*) "
+                            f"as n from {table} where {bucket} = {j}"
+                        )
+                r = cli.execute(csrc)
                 if not r.get("ok"):
                     raise RuntimeError(
                         f"folio_reshard count on {addrs[j]} failed: "
                         f"{r.get('message')}"
                     )
-                rows = {int(x[0]): int(x[1]) for x in r["rows"]}
-                return rows[0], rows[1], rows.get(2, 0)
+                if via == "arrow" and n > 1:
+                    staged_n = int(r["rows"][0][0])
+                else:
+                    rows = {int(x[0]): int(x[1]) for x in r["rows"]}
+                    src_n, staged_n = rows[0], rows[1]
+                    kept_n = rows.get(2, 0)
+            p = None
+            if persist is not None:
+                p = f"{persist.rstrip('/')}/{out_name}_m{j}"
+                r = cli.execute(f"select * from {stage}", save=p)
+                if not r.get("ok"):
+                    raise RuntimeError(
+                        f"folio_reshard persist on {addrs[j]} "
+                        f"failed: {r.get('kind')}: "
+                        f"{r.get('message')}"
+                    )
+            return j, p, staged_n, src_n, kept_n
 
-            with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-                triples = list(pool.map(both_counts, range(n)))
-            before = sum(b for b, _, _ in triples)
-            after = sum(a for _, a, _ in triples)
+        with _fut.ThreadPoolExecutor(max_workers=n) as pool:
+            staged = list(pool.map(stage_member, range(n)))
+        saved = {j: p for j, p, _, _, _ in staged if p}
+
+        # ---- conservation verdict, BEFORE anything becomes
+        # user-visible: "before" is the ship phase's collected totals
+        # (actual Arrow rows, measured pre-split — a chunk lost,
+        # duplicated, or mis-bucketed anywhere after the collect
+        # breaks the equation), "after" the staged counts
+        if check:
+            after = sum(s for _, _, s, _, _ in staged)
+            if via == "arrow" and n > 1:
+                before = totals
+            else:
+                before = sum(sn for _, _, _, sn, _ in staged)
             if before != after:
                 raise RuntimeError(
                     f"folio_reshard row-conservation check failed: "
@@ -2030,46 +2143,51 @@ def folio_reshard(
                 )
             total = before
             if via == "parquet":
-                moved = before - sum(k for _, _, k in triples)
+                moved = before - sum(k for _, _, _, _, k in staged)
     except BaseException:
         # nothing flipped: retire chunks + stage so no member ever
         # shows a partially-built out_name (a pre-existing out_name
         # from an earlier exchange is left untouched)
+        _close_clients()
         _reshard_cleanup(addrs, out_name, stage, timeout, drop_stage=True)
         raise
 
     # ---- phase 4: FLIP — publish out_name on every member;
-    # post-validation metadata only.  With persist=, the flip
-    # publishes FROM the persisted parquet (registering it first), so
-    # the published table is disk-backed and independent of both the
-    # staged relation and — in parquet mode — the exchange files
-    # under shared_dir.  Cleanup rides the same connection (published
+    # post-validation metadata only, riding the held stage
+    # connection.  With persist=, the flip publishes FROM the
+    # persisted parquet (registering it first), so the published
+    # table is disk-backed and independent of both the staged
+    # relation and — in parquet mode — the exchange files under
+    # shared_dir.  Cleanup rides the same connection (published
     # plans inline their sources — uploaded chunks are
     # LocalRelations, registered paths are stable parquet relations —
     # so retiring the intermediates never breaks out_name).
     def flip(j):
-        with KerfClient(*addrs[j], timeout=timeout) as cli:
-            if j in saved:
-                r = cli.execute(
-                    "select * from __rs_pub",
-                    register={"name": "__rs_pub", "path": saved[j]},
-                    publish=out_name,
-                )
-            else:
-                r = cli.execute(
-                    f"select * from {stage}", publish=out_name
-                )
-            if not r.get("ok"):
-                raise RuntimeError(
-                    f"folio_reshard flip on {addrs[j]} failed: "
-                    f"{r.get('kind')}: {r.get('message')}"
-                )
-            if cleanup:
-                cli.execute("null", unpublish=f"__rs_{out_name}_f*")
-                cli.execute("null", unpublish=stage)
+        cli = clients.get(j) or KerfClient(*addrs[j], timeout=timeout)
+        if j in saved:
+            r = cli.execute(
+                "select * from __rs_pub",
+                register={"name": "__rs_pub", "path": saved[j]},
+                publish=out_name,
+            )
+        else:
+            r = cli.execute(
+                f"select * from {stage}", publish=out_name
+            )
+        if not r.get("ok"):
+            raise RuntimeError(
+                f"folio_reshard flip on {addrs[j]} failed: "
+                f"{r.get('kind')}: {r.get('message')}"
+            )
+        if cleanup:
+            cli.execute("null", unpublish=f"__rs_{out_name}_f*")
+            cli.execute("null", unpublish=stage)
 
-    with _fut.ThreadPoolExecutor(max_workers=n) as pool:
-        list(pool.map(flip, range(n)))
+    try:
+        with _fut.ThreadPoolExecutor(max_workers=n) as pool:
+            list(pool.map(flip, range(n)))
+    finally:
+        _close_clients()
     return {
         "rows": total,
         "moved": moved,
