@@ -10805,16 +10805,13 @@ def bloom_contamination_docs(spark, sf):
     flagged = probed.join(
         F.broadcast(bench.withColumn("__true", F.lit(1))), "fp", "left"
     )
-    return (
-        flagged.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("maybe_member").cast("long").alias("n_flagged"),
-            F.sum(
-                F.when(F.col("__true").isNotNull(), 1).otherwise(0)
-            ).cast("long").alias("n_true"),
-        )
-        .orderBy("source")
+    # no final orderBy: result-only sort (order-insensitive compare)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("maybe_member").cast("long").alias("n_flagged"),
+        F.sum(
+            F.when(F.col("__true").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_true"),
     )
 
 
@@ -12508,13 +12505,11 @@ def rollup_incremental_bars(spark, sf):
             width_ns=TM.span_ns(5, "m"),
         )
         RU.refresh_rollup(spark, path, ev)
-    return (
-        RU.read_rollup(spark, path)
-        .select(
-            "event_type", "bucket_ns", "cnt",
-            "value_min", "value_max", "value_open", "value_close",
-        )
-        .orderBy("event_type", "bucket_ns")
+    # no final orderBy: result-only sort; its sample pass re-read the
+    # bars (order-insensitive driver compare)
+    return RU.read_rollup(spark, path).select(
+        "event_type", "bucket_ns", "cnt",
+        "value_min", "value_max", "value_open", "value_close",
     )
 
 
@@ -12572,13 +12567,13 @@ def matview_enriched_lineitem(spark, sf):
             ],
         )
         MV.refresh_enrich_view(spark, path, li)
-    return (
-        MV.read_enrich_view(spark, path)
-        .select(
-            "l_orderkey", "l_linenumber", "p_partkey",
-            "p_brand", "p_type", "l_extendedprice",
-        )
-        .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+    # no final orderBy: the driver's compare is order-insensitive and
+    # the global sort's range-partition sample pass re-executed the
+    # whole epoch-union read (~0.6M rows at sf0.1 — guide §2.4's
+    # "orderBy used only to make output deterministic")
+    return MV.read_enrich_view(spark, path).select(
+        "l_orderkey", "l_linenumber", "p_partkey",
+        "p_brand", "p_type", "l_extendedprice",
     )
 
 
@@ -12646,13 +12641,11 @@ def rollup_backfill_bars(spark, sf):
             width_ns=TM.span_ns(5, "m"),
         )
         RU.backfill_rollup(spark, path, late)
-    return (
-        RU.read_rollup(spark, path)
-        .select(
-            "event_type", "bucket_ns", "cnt",
-            "value_min", "value_max", "value_open", "value_close",
-        )
-        .orderBy("event_type", "bucket_ns")
+    # no final orderBy: result-only sort; its sample pass re-read the
+    # bars (order-insensitive driver compare)
+    return RU.read_rollup(spark, path).select(
+        "event_type", "bucket_ns", "cnt",
+        "value_min", "value_max", "value_open", "value_close",
     )
 
 
@@ -14833,10 +14826,8 @@ def rollup_quantile_bars(spark, sf):
             hist={"col": "value", "lo": 0.0, "hi": 1000.0, "n_bins": 64},
         )
         RU.refresh_rollup(spark, path, ev)
-    return (
-        RU.rollup_quantile(spark, path, 0.5, out="q50")
-        .orderBy("event_type", "bucket_ns")
-    )
+    # no final orderBy: result-only sort (order-insensitive compare)
+    return RU.rollup_quantile(spark, path, 0.5, out="q50")
 
 
 @query(
@@ -14925,13 +14916,11 @@ def rollup_stream_bars(spark, sf):
         )
         q.awaitTermination()
         shutil.rmtree(root, ignore_errors=True)
-    return (
-        RU.read_rollup(spark, path)
-        .select(
-            "event_type", "bucket_ns", "cnt",
-            "value_min", "value_max", "value_open", "value_close",
-        )
-        .orderBy("event_type", "bucket_ns")
+    # no final orderBy: result-only sort; its sample pass re-read the
+    # bars (order-insensitive driver compare)
+    return RU.read_rollup(spark, path).select(
+        "event_type", "bucket_ns", "cnt",
+        "value_min", "value_max", "value_open", "value_close",
     )
 
 
