@@ -2708,6 +2708,16 @@ def _folio_cms_frames(
 
 
 def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
+    """Histogram finals as ONE Spark frame — the Spark-final-merge
+    path's wrapper over :func:`_hist_finals_table` (which holds the
+    actual pandas math; the driver-final fast path consumes the Arrow
+    table directly and never builds this frame)."""
+    return spark.createDataFrame(
+        _hist_finals_table(concat, hist_args, hist_items, key_names)
+    )
+
+
+def _hist_finals_table(concat, hist_args, hist_items, key_names):
     """Histogram finals (count DISTINCT / percentile_cont) computed
     DRIVER-SIDE over the gathered member frames.  The frames are
     already local Arrow tables — driver-bounded by ``ARROW_MAX_ROWS``
@@ -2721,7 +2731,7 @@ def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
     p*(n-1), linear interpolation between the bracketing values —
     float64 throughout, the identical expression the oracle engines
     evaluate), count DISTINCT counts merged distinct values.  Returns
-    ONE Spark frame carrying every holistic alias, typed explicitly
+    ONE pyarrow Table carrying every holistic alias, typed explicitly
     (keys keep their member Arrow types; percentiles double; counts
     long)."""
     import functools
@@ -2880,10 +2890,269 @@ def _hist_finals_pandas(spark, concat, hist_args, hist_items, key_names):
                 fields.append(pa.field(alias, pa.float64()))
         else:  # percentile / avg_distinct
             fields.append(pa.field(alias, pa.float64()))
-    tbl = pa.Table.from_pandas(
+    return pa.Table.from_pandas(
         res, schema=pa.schema(fields), preserve_index=False
     )
-    return spark.createDataFrame(tbl)
+
+
+def _fast_types_ok(spine, items, key_names):
+    """Gate the driver-final fast path on the gathered partial TYPES:
+    the Python folds reproduce Spark's final-merge arithmetic only
+    for primitive columns (ints/floats fold bit-identically; string/
+    binary/date/timestamp compare identically).  Decimals (different
+    overflow/scale rules), nested types, and float GROUP KEYS (NaN
+    breaks hash-group identity) fall back to the Spark final."""
+    import pyarrow as pa
+
+    t = {f.name: f.type for f in spine.schema}
+
+    def prim(ty, num_only=False):
+        if ty is None:
+            return False
+        if pa.types.is_integer(ty) or pa.types.is_floating(ty):
+            return True
+        if num_only:
+            return False
+        return (
+            pa.types.is_boolean(ty)
+            or pa.types.is_string(ty)
+            or pa.types.is_large_string(ty)
+            or pa.types.is_date(ty)
+            or pa.types.is_timestamp(ty)
+            or pa.types.is_binary(ty)
+        )
+
+    for kn in key_names:
+        ty = t.get(kn)
+        if ty is None or pa.types.is_floating(ty) or not prim(ty):
+            return False
+    for i, (alias, fn, arg, param) in enumerate(items):
+        if fn == "sum":
+            if not prim(t.get(f"__p{i}"), num_only=True):
+                return False
+        elif fn in ("avg", "mean"):
+            if not prim(t.get(f"__p{i}s"), num_only=True):
+                return False
+        elif fn in ("min", "max"):
+            if not prim(t.get(f"__p{i}")):
+                return False
+        elif fn in ("max_by", "min_by"):
+            if not prim(t.get(f"__p{i}v")) or not prim(
+                t.get(f"__p{i}o")
+            ):
+                return False
+        elif fn == "string_agg":
+            # member partial: list<struct<o, v>> — the Python final
+            # reproduces CAST(v AS STRING) only when v IS a string,
+            # and the (o, v) sort only for non-float o (NaN ordering)
+            ty = t.get(f"__p{i}")
+            if ty is None or not pa.types.is_list(ty):
+                return False
+            sty = ty.value_type
+            if not pa.types.is_struct(sty) or sty.num_fields != 2:
+                return False
+            oty, vty = sty.field(0).type, sty.field(1).type
+            if not (
+                pa.types.is_string(vty) or pa.types.is_large_string(vty)
+            ):
+                return False
+            if pa.types.is_floating(oty) or not prim(oty):
+                return False
+    return True
+
+
+def _folio_driver_final(
+    spark,
+    spine,
+    items,
+    key_names,
+    hist_tbl,
+    order,
+    limit,
+):
+    """Final merge computed entirely DRIVER-SIDE — the fast path for
+    folio statements whose finals are algebraic (sum/count/min/max/
+    avg/max_by/min_by) plus histogram holistics.  ``spine`` is the
+    gathered member-partials Arrow table (one row per member×group);
+    the fold over it reproduces the Spark final-merge plan BITWISE:
+    Spark's hash aggregate over the single-partition local relation
+    accumulates each group's partial rows in scan order, so a
+    sequential left fold over the same rows in the same (member
+    frame) order performs the identical IEEE-754 operation sequence.
+    Returning ``createDataFrame(arrow)`` makes the caller's action a
+    LocalTableScan — the old shape paid ~0.2-0.4 s of local planning/
+    codegen/stage overhead per statement to aggregate <100 rows
+    (guide §5: the driver should do almost no data work — and
+    scheduling a distributed job over 75 local rows is the mirrored
+    mistake)."""
+    import math
+
+    import pyarrow as pa
+
+    rows = spine.to_pylist()
+
+    def _is_nan(v):
+        return isinstance(v, float) and math.isnan(v)
+
+    def _gt(a, b):
+        # Spark ordering: NaN greater than any non-NaN double
+        if _is_nan(a):
+            return not _is_nan(b)
+        if _is_nan(b):
+            return False
+        return a > b
+
+    groups: dict[tuple, list] = {}
+    order_of: list[tuple] = []
+    n_it = len(items)
+    for r in rows:
+        k = tuple(r[kn] for kn in key_names)
+        st = groups.get(k)
+        if st is None:
+            groups[k] = st = [None] * n_it
+            order_of.append(k)
+        for i, (alias, fn, arg, param) in enumerate(items):
+            if fn is None or fn in ("max_by", "min_by"):
+                if fn is not None:
+                    # strict-improvement update only (ties keep the
+                    # earlier row) — Spark's MaxBy/MinBy update rule
+                    o = r[f"__p{i}o"]
+                    if o is not None:
+                        cur = st[i]
+                        if cur is None or (
+                            _gt(o, cur[1])
+                            if fn == "max_by"
+                            else _gt(cur[1], o)
+                        ):
+                            st[i] = (r[f"__p{i}v"], o)
+                continue
+            if fn == "sum" or fn == "count":
+                v = r[f"__p{i}"]
+                if v is not None:
+                    st[i] = v if st[i] is None else st[i] + v
+            elif fn == "min":
+                v = r[f"__p{i}"]
+                if v is not None and (
+                    st[i] is None or _gt(st[i], v)
+                ):
+                    st[i] = v
+            elif fn == "max":
+                v = r[f"__p{i}"]
+                if v is not None and (
+                    st[i] is None or _gt(v, st[i])
+                ):
+                    st[i] = v
+            elif fn in ("avg", "mean"):
+                # (Σ member sums, Σ member counts)
+                s, c = r[f"__p{i}s"], r[f"__p{i}c"]
+                cur = st[i] or (None, 0)
+                ns = cur[0]
+                if s is not None:
+                    ns = s if ns is None else ns + s
+                st[i] = (ns, cur[1] + (c or 0))
+            elif fn == "string_agg":
+                lst = r[f"__p{i}"]
+                if lst:
+                    st[i] = (
+                        list(lst) if st[i] is None else st[i] + list(lst)
+                    )
+            # histogram holistics: joined from hist_tbl below
+
+    hmap: dict[tuple, dict] = {}
+    if hist_tbl is not None:
+        for hr in hist_tbl.to_pylist():
+            hmap[tuple(hr[kn] for kn in key_names)] = hr
+
+    out_rows = []
+    for k in order_of:
+        st = groups[k]
+        kd = dict(zip(key_names, k))
+        od = {}
+        hr = hmap.get(k)
+        for i, (alias, fn, arg, param) in enumerate(items):
+            name = alias if alias is not None else arg
+            if fn is None:
+                od[name] = kd[arg]
+            elif fn in ("max_by", "min_by"):
+                od[name] = None if st[i] is None else st[i][0]
+            elif fn == "count":
+                od[name] = int(st[i] or 0)
+            elif fn in ("sum", "min", "max"):
+                od[name] = st[i]
+            elif fn in ("avg", "mean"):
+                s, c = st[i] or (None, 0)
+                od[name] = (
+                    None
+                    if s is None or c == 0
+                    else float(s) / float(c)
+                )
+            elif fn == "string_agg":
+                # flatten member lists, sort by (o, v) with null o
+                # first (Spark struct asc ordering), join with ','
+                lst = st[i]
+                od[name] = (
+                    None
+                    if not lst
+                    else ",".join(
+                        s["v"]
+                        for s in sorted(
+                            lst,
+                            key=lambda s: (
+                                s["o"] is not None,
+                                s["o"] if s["o"] is not None else 0,
+                                s["v"],
+                            ),
+                        )
+                    )
+                )
+            else:  # histogram holistic: join on the group key
+                od[name] = None if hr is None else hr.get(alias)
+        out_rows.append(od)
+
+    # ORDER BY over output aliases, Spark null/NaN placement (asc →
+    # nulls first, desc → nulls last; NaN above every non-NaN)
+    for col, desc in reversed(order or []):
+        out_rows.sort(
+            key=lambda r: (
+                r[col] is not None,
+                1 if _is_nan(r[col]) else 0,
+                0 if r[col] is None or _is_nan(r[col]) else r[col],
+            ),
+            reverse=desc,
+        )
+    if limit:
+        out_rows = out_rows[: int(limit)]
+
+    fields = []
+    for i, (alias, fn, arg, param) in enumerate(items):
+        name = alias if alias is not None else arg
+        if fn is None:
+            fields.append(pa.field(name, spine.schema.field(arg).type))
+        elif fn == "count":
+            fields.append(pa.field(name, pa.int64()))
+        elif fn in ("sum", "min", "max"):
+            fields.append(
+                pa.field(name, spine.schema.field(f"__p{i}").type)
+            )
+        elif fn in ("avg", "mean"):
+            fields.append(pa.field(name, pa.float64()))
+        elif fn in ("max_by", "min_by"):
+            fields.append(
+                pa.field(name, spine.schema.field(f"__p{i}v").type)
+            )
+        elif fn == "string_agg":
+            fields.append(pa.field(name, pa.string()))
+        else:
+            fields.append(
+                pa.field(name, hist_tbl.schema.field(alias).type)
+            )
+    schema = pa.schema(fields)
+    cols = {
+        f.name: [r[f.name] for r in out_rows] for f in fields
+    }
+    return spark.createDataFrame(
+        pa.Table.from_pydict(cols, schema=schema)
+    )
 
 
 def folio_select(
@@ -3002,6 +3271,38 @@ def folio_select(
     # no precision lost at |mean| >> stddev (see the var branch)
     var_args = sorted({it[2] for it in items if it[1] in var_fns})
     anchor = {arg: f"__va{j}" for j, arg in enumerate(var_args)}
+    # ---- driver-final fast path eligibility ---------------------------
+    # When every final is algebraic (sum/count/min/max/avg/max_by/
+    # min_by) or histogram-holistic, the merge over the gathered
+    # member partials runs DRIVER-SIDE (_folio_driver_final) and the
+    # statement's result is one LocalTableScan — no local Spark plan
+    # to optimize/codegen/schedule per statement.  Sketch merges
+    # (KLL/HLL), CMS frames, variance re-centering and string_agg
+    # keep the Spark final (JVM sketch functions / window algebra);
+    # HAVING and non-trivial ORDER BY expressions likewise.
+    _fast_safe = {
+        None, "sum", "count", "min", "max", "avg", "mean",
+        "max_by", "min_by", "string_agg",
+    }
+    fast = having is None and all(
+        fn in _fast_safe or fn in hist_fns
+        for _, fn, _, _ in items
+    )
+    fast_order: list[tuple[str, bool]] = []
+    if fast and order:
+        from .plans.kerfsql import _split_top as _st0
+
+        out_names = {it[0] for it in items}
+        for o in _st0(order):
+            m = re.match(
+                r"(?is)^\s*([A-Za-z_]\w*)\s*(asc|desc)?\s*$", o
+            )
+            if not m or m.group(1) not in out_names:
+                fast = False
+                break
+            fast_order.append(
+                (m.group(1), (m.group(2) or "asc").lower() == "desc")
+            )
     # ---- member query: one partial per aggregate ----------------------
     partials, finals = [], []
     var_items: list[int] = []
@@ -3231,6 +3532,21 @@ def folio_select(
         spine = concat.filter(
             pc.equal(concat.column("__frame"), 0)
         ).select(key_names + palias)
+        if fast and _fast_types_ok(spine, items, key_names):
+            return _folio_driver_final(
+                spark,
+                spine,
+                items,
+                key_names,
+                _hist_finals_table(
+                    concat,
+                    hist_args,
+                    [it for it in items if it[1] in hist_fns],
+                    key_names,
+                ),
+                fast_order,
+                limit,
+            )
         gathered = spark.createDataFrame(spine)
         # histogram finals run DRIVER-SIDE in pandas: the gathered
         # frames are already local Arrow tables (driver-bounded by
@@ -3290,9 +3606,21 @@ def folio_select(
                 gathered = fut_alg.result()
                 raw_h = {arg: f.result() for arg, f in fut_h.items()}
         else:
-            gathered = folio_remote(
-                spark, addrs, member, timeout=timeout
-            )
+            if fast:
+                import pyarrow as pa
+
+                frames = _gather_frames(addrs, member, timeout)
+                spine = pa.concat_tables([t for _, t in frames])
+                if _fast_types_ok(spine, items, key_names):
+                    return _folio_driver_final(
+                        spark, spine, items, key_names, None,
+                        fast_order, limit,
+                    )
+                gathered = spark.createDataFrame(spine)
+            else:
+                gathered = folio_remote(
+                    spark, addrs, member, timeout=timeout
+                )
             raw_h = {}
         pandas_hol = None
     hists: dict[str, Any] = {}
