@@ -12768,7 +12768,6 @@ def folio_remote_scatter(spark, sf):
             F.col("c_nationkey").cast("long").alias("c_nationkey"),
             "n", "bal",
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -12825,7 +12824,6 @@ def folio_remote_avg(spark, sf):
             F.col("lo"),
             F.col("hi"),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -12872,7 +12870,7 @@ def folio_remote_median(spark, sf):
     return merged.select(
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         "med", "q1", F.col("segs").cast("long").alias("segs"),
-    ).orderBy("c_nationkey")
+    )
 
 
 @query(
@@ -12914,7 +12912,7 @@ def folio_remote_last(spark, sf):
     return merged.select(
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         "last_bal", "first_bal", "last_seg",
-    ).orderBy("c_nationkey")
+    )
 
 
 @query(
@@ -12968,7 +12966,7 @@ def folio_remote_mode(spark, sf):
     return merged.select(
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         "seg_mode", "segs",
-    ).orderBy("c_nationkey")
+    )
 
 
 @query(
@@ -13043,7 +13041,6 @@ def folio_heavy_hitters(spark, sf):
             "mode_is_max",
             "hh_is_topk",
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -13913,7 +13910,7 @@ def folio_remote_join(spark, sf):
         F.col("n").cast("long").alias("n"),
         F.col("rev_cents").cast("long").alias("rev_cents"),
         "last_price",
-    ).orderBy("c_nationkey")
+    )
 
 
 @query(
@@ -13974,7 +13971,7 @@ def folio_reshard_join(spark, sf):
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         F.col("n").cast("long").alias("n"),
         F.col("rev_cents").cast("long").alias("rev_cents"),
-    ).orderBy("c_nationkey")
+    )
 
 
 @query(
@@ -14027,7 +14024,6 @@ def folio_remote_kll(spark, sf):
                 "q9_in_band"
             ),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -14203,7 +14199,7 @@ def folio_remote_distinct(spark, sf):
         F.col("sd").cast("long").alias("sd"),
         (F.col("ad") + F.lit(0.0)).alias("ad"),
         F.col("cd").cast("long").alias("cd"),
-    ).orderBy("c_nationkey")
+    )
 
 
 @query(
@@ -14308,7 +14304,7 @@ def folio_remote_hll(spark, sf):
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         F.col("segs").cast("long").alias("segs"),
         F.col("n").cast("long").alias("n"),
-    ).orderBy("c_nationkey")
+    )
 
 
 @query(
@@ -14345,7 +14341,7 @@ def folio_remote_bucket(spark, sf):
         F.col("n").cast("long").alias("n"),
         F.round(F.col("bal") * 100).cast("long").alias("cents"),
         "med",
-    ).orderBy("bucket")
+    )
 
 
 @query(
