@@ -2526,6 +2526,29 @@ def _folio_cms_frames(
     cms_items,
     timeout,
 ):
+    """Spark-frame wrapper over :func:`_folio_cms_tables` for the
+    Spark final-merge path (the driver-final fast path consumes the
+    Arrow tables directly)."""
+    return [
+        spark.createDataFrame(t)
+        for t in _folio_cms_tables(
+            addrs, src_rel, src_where, keys, key_names, key_sel,
+            key_grp, cms_items, timeout,
+        )
+    ]
+
+
+def _folio_cms_tables(
+    addrs,
+    src_rel,
+    src_where,
+    keys,
+    key_names,
+    key_sel,
+    key_grp,
+    cms_items,
+    timeout,
+):
     """CMS heavy-hitter finals — ``approx_mode(x)`` / ``heavy_hitters
     (x, k)`` over the folio for UNBOUNDED value domains (r12 verdict
     next #6).  Two concurrent member gathers per distinct argument:
@@ -2700,10 +2723,11 @@ def _folio_cms_frames(
                 else:
                     res[alias] = [sel["__v"].tolist()]
                 fields.append(pa.field(alias, pa.list_(vtype)))
-        tbl = pa.Table.from_pandas(
-            res, schema=pa.schema(fields), preserve_index=False
+        frames.append(
+            pa.Table.from_pandas(
+                res, schema=pa.schema(fields), preserve_index=False
+            )
         )
-        frames.append(spark.createDataFrame(tbl))
     return frames
 
 
@@ -2966,7 +2990,7 @@ def _folio_driver_final(
     spine,
     items,
     key_names,
-    hist_tbl,
+    hol_tables,
     order,
     limit,
 ):
@@ -3058,17 +3082,25 @@ def _folio_driver_final(
                     )
             # histogram holistics: joined from hist_tbl below
 
-    hmap: dict[tuple, dict] = {}
-    if hist_tbl is not None:
-        for hr in hist_tbl.to_pylist():
-            hmap[tuple(hr[kn] for kn in key_names)] = hr
+    # holistic finals (histogram / CMS) arrive as already-computed
+    # Arrow tables keyed on the group: build one lookup per alias
+    amap: dict[str, dict] = {}
+    atype: dict[str, object] = {}
+    for t in hol_tables or []:
+        hcols = [c for c in t.column_names if c not in key_names]
+        for c in hcols:
+            atype[c] = t.schema.field(c).type
+            amap[c] = {}
+        for hr in t.to_pylist():
+            k = tuple(hr[kn] for kn in key_names)
+            for c in hcols:
+                amap[c][k] = hr[c]
 
     out_rows = []
     for k in order_of:
         st = groups[k]
         kd = dict(zip(key_names, k))
         od = {}
-        hr = hmap.get(k)
         for i, (alias, fn, arg, param) in enumerate(items):
             name = alias if alias is not None else arg
             if fn is None:
@@ -3106,7 +3138,7 @@ def _folio_driver_final(
                     )
                 )
             else:  # histogram holistic: join on the group key
-                od[name] = None if hr is None else hr.get(alias)
+                od[name] = amap.get(alias, {}).get(k)
         out_rows.append(od)
 
     # ORDER BY over output aliases, Spark null/NaN placement (asc →
@@ -3143,9 +3175,7 @@ def _folio_driver_final(
         elif fn == "string_agg":
             fields.append(pa.field(name, pa.string()))
         else:
-            fields.append(
-                pa.field(name, hist_tbl.schema.field(alias).type)
-            )
+            fields.append(pa.field(name, atype[alias]))
     schema = pa.schema(fields)
     cols = {
         f.name: [r[f.name] for r in out_rows] for f in fields
@@ -3282,7 +3312,7 @@ def folio_select(
     # HAVING and non-trivial ORDER BY expressions likewise.
     _fast_safe = {
         None, "sum", "count", "min", "max", "avg", "mean",
-        "max_by", "min_by", "string_agg",
+        "max_by", "min_by", "string_agg", "cms_mode", "cms_topk",
     }
     fast = having is None and all(
         fn in _fast_safe or fn in hist_fns
@@ -3533,19 +3563,24 @@ def folio_select(
             pc.equal(concat.column("__frame"), 0)
         ).select(key_names + palias)
         if fast and _fast_types_ok(spine, items, key_names):
-            return _folio_driver_final(
-                spark,
-                spine,
-                items,
-                key_names,
+            hol = [
                 _hist_finals_table(
                     concat,
                     hist_args,
                     [it for it in items if it[1] in hist_fns],
                     key_names,
-                ),
-                fast_order,
-                limit,
+                )
+            ]
+            cms_fast = [it for it in items if it[1] in cms_fns]
+            if cms_fast:
+                hol.extend(
+                    _folio_cms_tables(
+                        addrs, src_rel, src_where, keys, key_names,
+                        key_sel, key_grp, cms_fast, timeout,
+                    )
+                )
+            return _folio_driver_final(
+                spark, spine, items, key_names, hol, fast_order, limit,
             )
         gathered = spark.createDataFrame(spine)
         # histogram finals run DRIVER-SIDE in pandas: the gathered
@@ -3607,13 +3642,30 @@ def folio_select(
                 raw_h = {arg: f.result() for arg, f in fut_h.items()}
         else:
             if fast:
+                import concurrent.futures as _fut
                 import pyarrow as pa
 
-                frames = _gather_frames(addrs, member, timeout)
+                cms_fast = [it for it in items if it[1] in cms_fns]
+                with _fut.ThreadPoolExecutor(max_workers=2) as pool:
+                    fut_sp = pool.submit(
+                        _gather_frames, addrs, member, timeout
+                    )
+                    fut_cms = (
+                        pool.submit(
+                            _folio_cms_tables,
+                            addrs, src_rel, src_where, keys,
+                            key_names, key_sel, key_grp, cms_fast,
+                            timeout,
+                        )
+                        if cms_fast
+                        else None
+                    )
+                    frames = fut_sp.result()
+                    hol = fut_cms.result() if fut_cms else []
                 spine = pa.concat_tables([t for _, t in frames])
                 if _fast_types_ok(spine, items, key_names):
                     return _folio_driver_final(
-                        spark, spine, items, key_names, None,
+                        spark, spine, items, key_names, hol,
                         fast_order, limit,
                     )
                 gathered = spark.createDataFrame(spine)
