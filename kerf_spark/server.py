@@ -1142,17 +1142,28 @@ def folio_remote(
     Fail-loud: any member error (or a non-table result) raises with
     the member address; a partial gather never silently unions.
     """
+    import pyarrow as pa
+
     parts = _gather_frames(addrs, src, timeout)
 
-    out = None
+    # ONE local relation from the concatenated member frames (member
+    # order preserved — identical rows to the old per-member
+    # createDataFrame + unionByName chain, without N driver round
+    # trips and an N-leg Union plan); the member tag rides the Arrow
+    # table as a constant column
+    tbls = []
     for (host, port), tbl in parts:
-        df = spark.createDataFrame(tbl)
         if tag_col is not None:
-            from pyspark.sql import functions as F
-
-            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
-        out = df if out is None else out.unionByName(df)
-    return out
+            tbl = tbl.append_column(
+                tag_col,
+                pa.array([f"{host}:{port}"] * tbl.num_rows, pa.string()),
+            )
+        if tbls and tbl.column_names != tbls[0].column_names:
+            # unionByName semantics: align by name (same column set,
+            # possibly different order) before the concat
+            tbl = tbl.select(tbls[0].column_names)
+        tbls.append(tbl)
+    return spark.createDataFrame(pa.concat_tables(tbls))
 
 
 def _split_order_limit(text: str):
