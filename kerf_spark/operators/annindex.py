@@ -59,6 +59,8 @@ from .similarity import (
     _c,
     _input_freshness,
     _pq_sub_d2s,
+    _probe_local_df,
+    _query_vec_local_df,
     adc_topk,
     argmin_cell,
     array_lit,
@@ -68,6 +70,7 @@ from .similarity import (
     pq_encode,
     pq_fit,
     probe_cells,
+    query_stage_local,
     two_phase_topk,
 )
 
@@ -250,18 +253,34 @@ def ivf_topk_indexed(
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     cents = meta["centroids"]
     cents_lit = array_lit(cents)
-    q = queries.select(
-        _c(id_col).alias("query_id"),
-        _c(vec_col).alias("__qv"),
-        cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
-    ).select(
-        "query_id",
-        "__qv",
-        F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+    # driver-local probe stage when |Q| is broadcast-small: ONE tiny
+    # local relation AND the probed-cell union computed without a
+    # Spark job (see similarity.query_stage_local); Column path +
+    # distinct-collect kept for oversized/NULL query sets
+    local = query_stage_local(
+        queries, vec_col, id_col,
+        centroids=[[float(x) for x in cv] for cv in cents],
+        nprobe=nprobe,
     )
-    probed = sorted(
-        r["cell"] for r in q.select("cell").distinct().collect()
-    )
+    if local is not None:
+        ids, vecs, _, qprobes, _ = local
+        q = _probe_local_df(
+            queries, vec_col, id_col, ids, vecs, qprobes, vec_name="__qv"
+        )
+        probed = sorted({c for p in qprobes if p for c in p})
+    else:
+        q = queries.select(
+            _c(id_col).alias("query_id"),
+            _c(vec_col).alias("__qv"),
+            cell_d2s(_c(vec_col), cents_lit).alias("__d2s"),
+        ).select(
+            "query_id",
+            "__qv",
+            F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+        )
+        probed = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
     stored, live_rows = _stored(spark, path, meta)
     c = stored.where(F.col("cell").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"),
@@ -449,23 +468,44 @@ def ivfpq_topk_indexed(
     cents_lit = array_lit(cents)
     emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
 
-    qs = queries.select(_c(id_col).alias("query_id"), emb.alias("__emb"))
-    qd = qs.select(
-        "query_id",
-        cell_d2s(F.col("__emb"), cents_lit).alias("__d2s"),
-        *[
-            _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(books[j])).alias(
-                f"__lut{j}"
-            )
-            for j in range(m)
-        ],
+    # driver-local probe+LUT stage when |Q| is broadcast-small: ONE
+    # tiny local relation AND the probed-cell union computed without a
+    # Spark job (see similarity.query_stage_local); Column path +
+    # distinct-collect kept for oversized/NULL query sets
+    local = query_stage_local(
+        queries, vec_col, id_col,
+        centroids=[[float(x) for x in cv] for cv in cents],
+        codebooks=books, nprobe=nprobe,
     )
-    q = qd.select(
-        "query_id",
-        F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
-        *[F.col(f"__lut{j}") for j in range(m)],
-    )
-    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    if local is not None:
+        ids, vecs, _, qprobes, qluts = local
+        q = _probe_local_df(
+            queries, vec_col, id_col, ids, vecs, qprobes, luts=qluts
+        )
+        qs = _query_vec_local_df(queries, id_col, ids, vecs, "__emb")
+        probed = sorted({c for p in qprobes if p for c in p})
+    else:
+        qs = queries.select(
+            _c(id_col).alias("query_id"), emb.alias("__emb")
+        )
+        qd = qs.select(
+            "query_id",
+            cell_d2s(F.col("__emb"), cents_lit).alias("__d2s"),
+            *[
+                _pq_sub_d2s(
+                    F.col("__emb"), j, sub, array_lit(books[j])
+                ).alias(f"__lut{j}")
+                for j in range(m)
+            ],
+        )
+        q = qd.select(
+            "query_id",
+            F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+            *[F.col(f"__lut{j}") for j in range(m)],
+        )
+        probed = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
 
     live, live_rows = _stored(spark, path, meta)
     stored = live.where(F.col("cell").isin(probed))

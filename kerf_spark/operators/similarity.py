@@ -639,6 +639,207 @@ def probe_cells(d2s, n_cells: int, nprobe: int) -> Column:
     )
 
 
+#: query sets above this row count keep the Column-expression query
+#: stage (scale-safe for unknown-size probe tables); below it the
+#: driver computes the stage locally — the broadcast-small shape every
+#: ANN operator already presumes
+_QUERY_LOCAL_MAX_ROWS = 65536
+
+
+def query_stage_local(
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list | None = None,
+    codebooks: list | None = None,
+    nprobe: int = 0,
+    max_rows: int = _QUERY_LOCAL_MAX_ROWS,
+):
+    """Driver-side twin of the ANN query-side Column stage
+    (:func:`cell_d2s` / :func:`probe_cells` / :func:`_pq_sub_d2s`) for
+    broadcast-sized query sets.
+
+    The query side of every ANN operator is |Q| rows — driver-scale by
+    the broadcast-queries precondition — yet rode the same giant
+    literal expression trees as a corpus pass: plan construction was
+    hundreds of py4j calls, codegen compiled the full fold chain per
+    query job, and the persisted-index probes paid a Spark JOB just to
+    learn the probed-cell union.  Here the identical arithmetic runs on
+    the driver in NumPy — per-dimension ``acc += (x-w)²`` accumulation
+    in dimension order, exactly :func:`argmin_codes_arrow`'s proven
+    bitwise discipline (float32→float64 widening is exact; Python
+    floats ARE IEEE doubles) — and callers ship the result as ONE small
+    local relation: no job, no codegen, no py4j storm.
+
+    Probe selection replicates ``probe_cells``' (distance, cell) struct
+    sort: ascending distance, ties to the lower cell, NaN greatest.
+
+    Returns ``(ids, vecs, d2s, probes, luts)`` aligned per query row.
+    Returns ``None`` — caller keeps the Column path — when the query
+    set exceeds ``max_rows`` or any vector is NULL, ragged or
+    non-finite (the Column path's NULL/NaN propagation semantics are
+    preserved by not replicating them).
+    """
+    import math
+
+    import numpy as np
+
+    got = (
+        queries.select(_c(id_col), _c(vec_col))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(got) > max_rows:
+        return None
+    dim = None
+    if centroids is not None:
+        dim = len(centroids[0])
+    elif codebooks is not None:
+        dim = len(codebooks) * len(codebooks[0][0])
+    ids = [r[0] for r in got]
+    vecs: list = []
+    for r in got:
+        v = r[1]
+        if v is None:
+            return None  # NULL vector: Column path semantics
+        v = list(v)
+        if (dim is not None and len(v) != dim) or not all(
+            math.isfinite(x) for x in v
+        ):
+            return None  # ragged / non-finite: Column path semantics
+        vecs.append(v)
+    d2s: list = [None] * len(vecs)
+    probes: list = [None] * len(vecs)
+    luts: list = [None] * len(vecs)
+    if not vecs:
+        return ids, vecs, d2s, probes, luts
+    x = np.asarray(vecs, dtype=np.float64)
+
+    def _dists(mat: list, off: int) -> np.ndarray:
+        w = np.asarray(mat, dtype=np.float64)
+        kk, s = w.shape
+        d2 = np.empty((len(vecs), kk), dtype=np.float64)
+        for c in range(kk):
+            acc = np.zeros(len(vecs), dtype=np.float64)
+            for i in range(s):
+                d = x[:, off + i] - w[c, i]
+                acc += d * d
+            d2[:, c] = acc
+        return d2
+
+    if centroids is not None:
+        cd = _dists([[float(v) for v in cv] for cv in centroids], 0)
+        for qi in range(len(vecs)):
+            ds = cd[qi].tolist()
+            d2s[qi] = ds
+            if nprobe:
+                ordered = sorted(
+                    range(len(ds)), key=lambda c: (ds[c], c)
+                )
+                probes[qi] = ordered[:nprobe]
+    if codebooks is not None:
+        m = len(codebooks)
+        sub = len(codebooks[0][0])
+        per_sub = [
+            _dists([[float(v) for v in cw] for cw in codebooks[j]], j * sub)
+            for j in range(m)
+        ]
+        for qi in range(len(vecs)):
+            luts[qi] = [per_sub[j][qi].tolist() for j in range(m)]
+    return ids, vecs, d2s, probes, luts
+
+
+def _probe_local_df(
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    ids: list,
+    vecs: list,
+    probes: list,
+    vec_name: str | None = None,
+    vec_type=None,
+    luts: list | None = None,
+) -> DataFrame:
+    """One small LOCAL RELATION of exploded (query_id[, vec][, luts…],
+    cell) probe rows — the shipped form of :func:`query_stage_local`'s
+    output.  Column types mirror the Column path exactly: query_id
+    keeps the queries schema's id type, the vector keeps its source
+    array type (or the caller's ``vec_type``, e.g. the double-cast
+    form), cells are int, LUTs are array<double>."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    fields = [StructField("query_id", queries.schema[id_col].dataType)]
+    if vec_name is not None:
+        fields.append(
+            StructField(
+                vec_name, vec_type or queries.schema[vec_col].dataType
+            )
+        )
+    m = len(luts[0]) if luts is not None and luts and luts[0] else 0
+    fields += [
+        StructField(f"__lut{j}", ArrayType(DoubleType())) for j in range(m)
+    ]
+    fields.append(StructField("cell", IntegerType()))
+    names = [f.name for f in fields]
+    rows = []
+    for i in range(len(ids)):
+        if probes[i] is None:
+            continue
+        base = [ids[i]]
+        if vec_name is not None:
+            base.append(vecs[i])
+        if m:
+            base.extend(luts[i])
+        for cell in probes[i]:
+            rows.append(dict(zip(names, base + [cell])))
+    return _local_relation(
+        queries.sparkSession, rows, StructType(fields)
+    )
+
+
+def _local_relation(spark, row_dicts: list, schema) -> DataFrame:
+    """A true LocalRelation from driver rows: an Arrow table resolves
+    to a LocalTableScan (zero jobs to scan, instant broadcast build),
+    where a plain ``createDataFrame(rows)`` parallelizes into a
+    ``Scan ExistingRDD`` that re-ships the rows per job."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tbl = pa.Table.from_pylist(row_dicts, schema=to_arrow_schema(schema))
+    return spark.createDataFrame(tbl)
+
+
+def _query_vec_local_df(
+    queries: DataFrame,
+    id_col: str,
+    ids: list,
+    vecs: list,
+    name: str,
+    vec_type=None,
+) -> DataFrame:
+    """Local relation of (query_id, vector) — the shipped form of the
+    collected query vectors.  Defaults to array<double> (the
+    ``cast("double")`` shape every re-rank/LUT stage uses; the widened
+    values are bit-exact), or the caller's ``vec_type``."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField(name, vec_type or ArrayType(DoubleType())),
+        ]
+    )
+    return _local_relation(
+        queries.sparkSession,
+        [{"query_id": i, name: v} for i, v in zip(ids, vecs)],
+        schema,
+    )
+
+
 def argmin_codes_arrow(
     src: DataFrame,
     id_col: str,
@@ -904,15 +1105,30 @@ def ivf_topk(
         keep_vec=True,
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        cell_d2s(F.col(vec_col), cents_lit).alias("__d2s"),
-    ).select(
-        "query_id",
-        "__qv",
-        F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+    # query side: driver-local probe stage when |Q| is broadcast-small
+    # (ONE tiny local relation instead of the literal expression trees
+    # + codegen per job — see query_stage_local); Column path kept for
+    # oversized/NULL/ragged query sets
+    local = query_stage_local(
+        queries, vec_col, id_col,
+        centroids=[[float(x) for x in cv] for cv in cents],
+        nprobe=nprobe,
     )
+    if local is not None:
+        ids, vecs, _, probes, _ = local
+        q = _probe_local_df(
+            queries, vec_col, id_col, ids, vecs, probes, vec_name="__qv"
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            cell_d2s(F.col(vec_col), cents_lit).alias("__d2s"),
+        ).select(
+            "query_id",
+            "__qv",
+            F.explode(probe_cells("__d2s", len(cents), nprobe)).alias("cell"),
+        )
     scored = cosine_scores_arrow(
         c.join(F.broadcast(q), "cell").select(
             "query_id", "neighbor_id", "__qv", "__cv"
@@ -1330,17 +1546,44 @@ def adc_topk(
     ranking to ``pq_topk`` by construction."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
-    qs = queries.select(
-        _c(id_col).alias("query_id"), emb.alias("__emb")
-    )
-    luts = [
-        _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(codebooks[j])).alias(
-            f"__lut{j}"
+    # query side: driver-local LUT stage when |Q| is broadcast-small
+    # (see query_stage_local); Column path kept for oversized/NULL sets
+    local = query_stage_local(queries, vec_col, id_col, codebooks=codebooks)
+    if local is not None:
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, StructField, StructType,
         )
-        for j in range(m)
-    ]
-    q = qs.select("query_id", *luts)
+
+        ids, _, _, _, qluts = local
+        fields = [
+            StructField("query_id", queries.schema[id_col].dataType)
+        ] + [
+            StructField(f"__lut{j}", ArrayType(DoubleType()))
+            for j in range(m)
+        ]
+        q = _local_relation(
+            queries.sparkSession,
+            [
+                dict(
+                    [("query_id", ids[i])]
+                    + [(f"__lut{j}", qluts[i][j]) for j in range(m)]
+                )
+                for i in range(len(ids))
+            ],
+            StructType(fields),
+        )
+    else:
+        emb = F.transform(_c(vec_col), lambda x: x.cast("double"))
+        qs = queries.select(
+            _c(id_col).alias("query_id"), emb.alias("__emb")
+        )
+        luts = [
+            _pq_sub_d2s(
+                F.col("__emb"), j, sub, array_lit(codebooks[j])
+            ).alias(f"__lut{j}")
+            for j in range(m)
+        ]
+        q = qs.select("query_id", *luts)
     joined = enc.crossJoin(F.broadcast(q))
     dist = F.element_at(F.col("__lut0"), F.col("codes")[0] + 1)
     for j in range(1, m):
@@ -1429,37 +1672,53 @@ def ivfpq_topk(
     ).drop("__vec")
     # stage 2: query probes + LUTs (LUTs ARE the staged sub-distance
     # arrays — no argmin on the query side)
-    probe_idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    qs = queries.select(_c(id_col).alias("query_id"), emb.alias("__emb"))
-    qd = qs.select(
-        "query_id",
-        d2s_expr(F.col("__emb")).alias("__d2s"),
-        *[
-            _pq_sub_d2s(F.col("__emb"), j, sub, array_lit(books[j])).alias(
-                f"__lut{j}"
-            )
-            for j in range(m)
-        ],
+    # driver-local probe+LUT stage when |Q| is broadcast-small (see
+    # query_stage_local); Column path kept for oversized/NULL sets
+    local = query_stage_local(
+        queries, vec_col, id_col,
+        centroids=[[float(x) for x in cv] for cv in cents],
+        codebooks=books, nprobe=nprobe,
     )
-    probes = F.transform(
-        F.slice(
-            F.array_sort(
-                F.zip_with(
-                    F.col("__d2s"),
-                    probe_idx,
-                    lambda d, i: F.struct(d.alias("d"), i.alias("c")),
-                )
+    if local is not None:
+        ids, vecs, _, qprobes, qluts = local
+        q = _probe_local_df(
+            queries, vec_col, id_col, ids, vecs, qprobes, luts=qluts
+        )
+        qs = _query_vec_local_df(queries, id_col, ids, vecs, "__emb")
+    else:
+        probe_idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+        qs = queries.select(
+            _c(id_col).alias("query_id"), emb.alias("__emb")
+        )
+        qd = qs.select(
+            "query_id",
+            d2s_expr(F.col("__emb")).alias("__d2s"),
+            *[
+                _pq_sub_d2s(
+                    F.col("__emb"), j, sub, array_lit(books[j])
+                ).alias(f"__lut{j}")
+                for j in range(m)
+            ],
+        )
+        probes = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        F.col("__d2s"),
+                        probe_idx,
+                        lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+                    )
+                ),
+                1,
+                nprobe,
             ),
-            1,
-            nprobe,
-        ),
-        lambda s: s["c"],
-    )
-    q = qd.select(
-        "query_id",
-        F.explode(probes).alias("cell"),
-        *[F.col(f"__lut{j}") for j in range(m)],
-    )
+            lambda s: s["c"],
+        )
+        q = qd.select(
+            "query_id",
+            F.explode(probes).alias("cell"),
+            *[F.col(f"__lut{j}") for j in range(m)],
+        )
     joined = staged.join(F.broadcast(q), "cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
