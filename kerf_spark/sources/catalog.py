@@ -2214,8 +2214,8 @@ class Workspace:
                 pschema = T.StructType(
                     [key_fields[key[i]] for i in range(w)]
                 )
-                probe = self.spark.createDataFrame(
-                    sorted(set(vs), key=repr), pschema
+                probe = _probe_frame(
+                    self.spark, sorted(set(vs), key=repr), pschema
                 )
                 flag = f"__kf_del{w}"
                 probe = probe.withColumn(flag, F.lit(1))
@@ -2315,9 +2315,40 @@ class Workspace:
             # re-running both.
             marked, hit = _marked(df)
             marked = marked.persist()
+            single = len(covering) == 1
+            new_entry = None
             try:
-                total, n_del = _counts(marked, hit)
-                kept = total - n_del
+                if single:
+                    # single-file rewrite: the fused aggregation ALSO
+                    # carries the survivors' key bounds, so the new
+                    # file's sort-index entry needs no third scan
+                    # (_file_key_ranges re-read the staged file)
+                    composite = len(key) > 1
+                    aggs = [
+                        F.count(F.lit(1)).alias("t"),
+                        F.sum(F.when(hit, 1).otherwise(0)).alias("d"),
+                        F.min(F.when(~hit, F.col(key[0]))).alias("__lo"),
+                        F.max(F.when(~hit, F.col(key[0]))).alias("__hi"),
+                    ]
+                    if composite:
+                        aggs += [
+                            F.min(F.when(~hit, F.col(key[1]))).alias("__lo2"),
+                            F.max(F.when(~hit, F.col(key[1]))).alias("__hi2"),
+                        ]
+                    row = marked.agg(*aggs).head()
+                    total, n_del = int(row["t"]), int(row["d"] or 0)
+                    kept = total - n_del
+                    new_entry = [
+                        _jsonable(row["__lo"]), _jsonable(row["__hi"]),
+                        kept,
+                    ]
+                    if composite:
+                        new_entry += [
+                            _jsonable(row["__lo2"]), _jsonable(row["__hi2"])
+                        ]
+                else:
+                    total, n_del = _counts(marked, hit)
+                    kept = total - n_del
                 if not n_del:
                     return 0
                 remainder = marked.where(~hit).select(*df.columns)
@@ -2344,7 +2375,10 @@ class Workspace:
             for f in covering:
                 ranges.pop(f, None)
             if new:
-                ranges.update(self._file_key_ranges(meta, new))
+                if single and new_entry is not None and len(new) == 1:
+                    ranges[new[0]] = new_entry
+                else:
+                    ranges.update(self._file_key_ranges(meta, new))
             # sorted-claim maintenance (same driver-side check as the
             # pruned upsert: no scan, just the manifest)
             live = sorted(
@@ -2514,6 +2548,7 @@ class Workspace:
             return 0
         n_del = sum(ranges[f][2] for f in doomed)
         out = None
+        new_entry = None
         if boundary:
             cond = None
             if lo_t is not None:
@@ -2531,7 +2566,34 @@ class Workspace:
             # file rewrites via coalesce (no range-sample pass), the
             # two-file case keeps the ranged layout
             keep_df = df.where(keep_pred).persist()
-            kept = keep_df.count()
+            if len(boundary) == 1:
+                # single boundary file: the count job ALSO carries the
+                # trimmed remainder's key bounds, so the new file's
+                # sort-index entry needs no third scan (same fusion as
+                # delete_keys' single-covering-file path)
+                composite = len(key) > 1
+                aggs = [
+                    F.count(F.lit(1)).alias("__n"),
+                    F.min(key[0]).alias("__lo"),
+                    F.max(key[0]).alias("__hi"),
+                ]
+                if composite:
+                    aggs += [
+                        F.min(key[1]).alias("__lo2"),
+                        F.max(key[1]).alias("__hi2"),
+                    ]
+                row = keep_df.agg(*aggs).head()
+                kept = int(row["__n"])
+                new_entry = [
+                    _jsonable(row["__lo"]), _jsonable(row["__hi"]), kept
+                ]
+                if composite:
+                    new_entry += [
+                        _jsonable(row["__lo2"]), _jsonable(row["__hi2"])
+                    ]
+            else:
+                kept = keep_df.count()
+                new_entry = None
             b_total = sum(ranges[f][2] for f in boundary)
             n_del += b_total - kept
             if b_total == kept:
@@ -2562,7 +2624,10 @@ class Workspace:
         for f in removed:
             ranges.pop(f, None)
         if new:
-            ranges.update(self._file_key_ranges(meta, new))
+            if new_entry is not None and len(new) == 1:
+                ranges[new[0]] = new_entry
+            else:
+                ranges.update(self._file_key_ranges(meta, new))
         live = sorted(
             (r[0], r[1])
             for r in ranges.values()
@@ -3642,6 +3707,37 @@ def _parse_type(s: str) -> T.DataType:
 
 def _jsonable_dict(d: dict) -> dict:
     return {k: v for k, v in d.items()}
+
+
+#: probe-frame types safe for the Arrow local-relation fast path —
+#: value conversion is trivially exact for these; anything else
+#: (timestamps, decimals, nested) keeps the row-path createDataFrame
+#: so conversion semantics cannot drift
+_ARROW_PROBE_TYPES = (
+    T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.StringType, T.DoubleType, T.FloatType, T.BooleanType,
+)
+
+
+def _probe_frame(spark, rows: list, pschema) -> "DataFrame":
+    """Broadcast-probe frame for the key-pruned write paths.  For
+    simple key types the rows ship as ONE Arrow-backed LocalRelation
+    (LocalTableScan — no parallelize job, instant broadcast build);
+    other types keep the classic createDataFrame row path."""
+    if all(isinstance(f.dataType, _ARROW_PROBE_TYPES) for f in pschema):
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            names = [f.name for f in pschema]
+            tbl = pa.Table.from_pylist(
+                [dict(zip(names, r)) for r in rows],
+                schema=to_arrow_schema(pschema),
+            )
+            return spark.createDataFrame(tbl)
+        except Exception:
+            pass  # fall through to the row path
+    return spark.createDataFrame(rows, pschema)
 
 
 def _jsonable(v):
