@@ -497,7 +497,13 @@ def bloom_member_col(
     built distributed can be densified (`bloom_words_list`) and probed
     as a projection.
     """
-    arr = F.lit(words)
+    # ONE expr-string literal, not F.lit(list): the latter is a py4j
+    # round trip per element (~1k calls for a 64 Kbit filter — pure
+    # plan-construction latency); the rendered array is bit-identical
+    # (exact integer decimals, outer cast pins the type)
+    from .similarity import array_lit
+
+    arr = array_lit([int(w) for w in words], "bigint")
     # SAME hash family as bloom_positions (one md5 per key, k slices of
     # min(32//k, 15) hex digits each — 8 digits at the default k=4) but
     # UNROLLED into plain expressions: higher-order functions
