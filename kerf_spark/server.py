@@ -1142,15 +1142,18 @@ def folio_remote(
     Fail-loud: any member error (or a non-table result) raises with
     the member address; a partial gather never silently unions.
     """
+    parts = _gather_frames(addrs, src, timeout)
+    return _frames_to_df(spark, parts, tag_col)
+
+
+def _frames_to_df(spark, parts, tag_col: str | None = None):
+    """ONE local relation from the concatenated member frames (member
+    order preserved — identical rows to the old per-member
+    createDataFrame + unionByName chain, without N driver round
+    trips and an N-leg Union plan); the member tag rides the Arrow
+    table as a constant column."""
     import pyarrow as pa
 
-    parts = _gather_frames(addrs, src, timeout)
-
-    # ONE local relation from the concatenated member frames (member
-    # order preserved — identical rows to the old per-member
-    # createDataFrame + unionByName chain, without N driver round
-    # trips and an N-leg Union plan); the member tag rides the Arrow
-    # table as a constant column
     tbls = []
     for (host, port), tbl in parts:
         if tag_col is not None:
@@ -1481,15 +1484,9 @@ def folio_window(
     parts = _gather_frames(addrs, ship, timeout)
     if check:
         _check_disjoint_keys(parts, shard_key, shard_key)
-    from pyspark.sql import functions as F
-
-    out = None
-    for (host, port), tbl in parts:
-        df = spark.createDataFrame(tbl)
-        if tag_col is not None:
-            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
-        out = df if out is None else out.unionByName(df)
-    return _apply_order_limit(out, order_tail, limit_n)
+    return _apply_order_limit(
+        _frames_to_df(spark, parts, tag_col), order_tail, limit_n
+    )
 
 
 def _publish_members(
@@ -1639,7 +1636,7 @@ def folio_asof(
             "on the merged result, or co-shard and use "
             "folio_select(member_local_joins=True)"
         )
-    if check and equi:
+    def _run_guard() -> None:
         cols = ", ".join(equi)
         seen: dict = {}
         # ONE gather round for both tables' key sets (side-tagged
@@ -1678,6 +1675,7 @@ def folio_asof(
                         f"equi key first (or pass check=False "
                         f"if the overlap is intended)."
                     )
+
     ship, order_tail, limit_n = _split_order_limit(q)
     if persist is not None and publish is None:
         raise ArgsError(
@@ -1696,19 +1694,35 @@ def folio_asof(
                 "a statement-level order by / limit has no meaning "
                 "across them; drop it, or gather instead"
             )
+        # publish flips member state: the guard must pass FIRST
+        if check and equi:
+            _run_guard()
         return _publish_members(
             addrs, ship, publish, timeout, persist=persist
         )
-    from pyspark.sql import functions as F
+    if check and equi:
+        # gather path: the guard round and the join gather OVERLAP
+        # (guide §2.6 — independent member jobs back-fill each other;
+        # the pool hands concurrent rounds separate connections).
+        # Read-only member statements make this safe: on a guard
+        # failure the joined frames are discarded and the guard's
+        # ArgsError surfaces exactly as before — it is checked first,
+        # whatever order the rounds finish in.
+        import concurrent.futures as _fut
 
-    parts = _gather_frames(addrs, ship, timeout)
-    out = None
-    for (host, port), tbl in parts:
-        df = spark.createDataFrame(tbl)
-        if tag_col is not None:
-            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
-        out = df if out is None else out.unionByName(df)
-    return _apply_order_limit(out, order_tail, limit_n)
+        with _fut.ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_gather_frames, addrs, ship, timeout)
+            try:
+                _run_guard()
+            except BaseException:
+                fut.cancel()
+                raise
+            parts = fut.result()
+    else:
+        parts = _gather_frames(addrs, ship, timeout)
+    return _apply_order_limit(
+        _frames_to_df(spark, parts, tag_col), order_tail, limit_n
+    )
 
 
 def folio_topk(
@@ -1758,16 +1772,10 @@ def folio_topk(
             "limit — member-local top-k is what bounds the wire to "
             "|members|*k rows; for unbounded gathers use folio_remote"
         )
-    from pyspark.sql import functions as F
-
     parts = _gather_frames(addrs, q, timeout)
-    out = None
-    for (host, port), tbl in parts:
-        df = spark.createDataFrame(tbl)
-        if tag_col is not None:
-            df = df.withColumn(tag_col, F.lit(f"{host}:{port}"))
-        out = df if out is None else out.unionByName(df)
-    return _apply_order_limit(out, order_tail, limit_n)
+    return _apply_order_limit(
+        _frames_to_df(spark, parts, tag_col), order_tail, limit_n
+    )
 
 
 def _check_disjoint_keys(
