@@ -128,7 +128,8 @@ def q1(spark, sf):
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no final orderBy: result-only sort over the 4 group rows
+        # (order-insensitive driver compare — guide §2.4)
     )
 
 
@@ -214,7 +215,8 @@ def q5(spark, sf):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), F.col("nation"))
+        # no final orderBy: result-only sort over the ~5 nation rows
+        # (order-insensitive driver compare — guide §2.4)
     )
 
 
