@@ -12486,14 +12486,26 @@ def rollup_incremental_bars(spark, sf):
 
     ev = _t(spark, sf, "events")
     path = _ann_index_dir(sf, "rollup")
-    mx = ev.agg(F.max("ts")).head()[0]
+    # freshness rides the SOURCE FILE BYTES (a stat call, not a
+    # max(ts) scan of events per run — the matview/keyed-workspace
+    # discipline); the watermark check runs only when the bytes
+    # marker is absent (legacy sidecar), i.e. at (re)build time
+    src = _src_bytes(sf, "events")
     fresh = False
     try:
         meta = RU.rollup_meta(path)
         fresh = (
-            meta["watermark_ns"] == int(mx) + 1
-            and len(meta["epochs"]) >= 2
+            meta.get("src_bytes") == src and len(meta["epochs"]) >= 2
         )
+        if not fresh and meta.get("src_bytes") is None:
+            mx = ev.agg(F.max("ts")).head()[0]
+            fresh = (
+                meta["watermark_ns"] == int(mx) + 1
+                and len(meta["epochs"]) >= 2
+            )
+            if fresh:  # upgrade the legacy sidecar once
+                meta["src_bytes"] = src
+                RU._write_meta(path, meta)
     except Exception:
         fresh = False
     if not fresh:
@@ -12507,6 +12519,9 @@ def rollup_incremental_bars(spark, sf):
             width_ns=TM.span_ns(5, "m"),
         )
         RU.refresh_rollup(spark, path, ev)
+        meta = RU.rollup_meta(path)
+        meta["src_bytes"] = src
+        RU._write_meta(path, meta)
     # no final orderBy: result-only sort; its sample pass re-read the
     # bars (order-insensitive driver compare)
     return RU.read_rollup(spark, path).select(
@@ -12559,6 +12574,9 @@ def matview_enriched_lineitem(spark, sf):
                 meta["watermark_ns"] == int(mx) + 1
                 and len(meta["epochs"]) >= 2
             )
+            if fresh:  # upgrade the legacy sidecar once
+                meta["src_bytes"] = src
+                MV._write_meta(path, meta)
     except Exception:
         fresh = False
     if not fresh:
@@ -14656,21 +14674,20 @@ def keyed_tuple_lookup(spark, sf):
         )
         ws.manifest["tables"]["events"]["src_bytes"] = src
         ws._flush()
-    lo = ev.agg(F.min("event_type")).head()[0]
-    hi = ev.agg(F.max("event_type")).head()[0]
-    ilo = ev.where(F.col("event_type") == lo).agg(
-        F.min("event_id")
-    ).head()[0]
-    ihi = ev.where(F.col("event_type") == hi).agg(
-        F.max("event_id")
-    ).head()[0]
-    return (
-        ws.key_lookup("events", [(lo, int(ilo)), (hi, int(ihi))])
-        .select(
-            "event_type", F.col("event_id").cast("long").alias("event_id"),
-            "value",
-        )
-        .orderBy("event_type", "event_id")
+    # ONE probe-selection job, not four: the lexicographic struct
+    # min/max IS (min type, min id within it) / (max type, max id
+    # within it) — both key columns are non-null in the keyed save,
+    # so the struct extrema equal the conditional aggregates exactly
+    pr = ev.agg(
+        F.min(F.struct("event_type", "event_id")).alias("lo"),
+        F.max(F.struct("event_type", "event_id")).alias("hi"),
+    ).head()
+    lo, ilo = pr["lo"]["event_type"], pr["lo"]["event_id"]
+    hi, ihi = pr["hi"]["event_type"], pr["hi"]["event_id"]
+    # no final orderBy: result-only sort (order-insensitive compare)
+    return ws.key_lookup("events", [(lo, int(ilo)), (hi, int(ihi))]).select(
+        "event_type", F.col("event_id").cast("long").alias("event_id"),
+        "value",
     )
 
 
@@ -14813,15 +14830,27 @@ def rollup_quantile_bars(spark, sf):
 
     ev = _t(spark, sf, "events")
     path = _ann_index_dir(sf, "rolluphist")
-    mx = ev.agg(F.max("ts")).head()[0]
+    # freshness by source bytes (stat call), watermark check only on
+    # legacy sidecars — same discipline as rollup_incremental_bars
+    src = _src_bytes(sf, "events")
     fresh = False
     try:
         meta = RU.rollup_meta(path)
         fresh = (
-            meta["watermark_ns"] == int(mx) + 1
+            meta.get("src_bytes") == src
             and len(meta["epochs"]) >= 2
             and meta.get("hist") is not None
         )
+        if not fresh and meta.get("src_bytes") is None:
+            mx = ev.agg(F.max("ts")).head()[0]
+            fresh = (
+                meta["watermark_ns"] == int(mx) + 1
+                and len(meta["epochs"]) >= 2
+                and meta.get("hist") is not None
+            )
+            if fresh:  # upgrade the legacy sidecar once
+                meta["src_bytes"] = src
+                RU._write_meta(path, meta)
     except Exception:
         fresh = False
     if not fresh:
@@ -14836,6 +14865,9 @@ def rollup_quantile_bars(spark, sf):
             hist={"col": "value", "lo": 0.0, "hi": 1000.0, "n_bins": 64},
         )
         RU.refresh_rollup(spark, path, ev)
+        meta = RU.rollup_meta(path)
+        meta["src_bytes"] = src
+        RU._write_meta(path, meta)
     # no final orderBy: result-only sort (order-insensitive compare)
     return RU.rollup_quantile(spark, path, 0.5, out="q50")
 
