@@ -157,9 +157,14 @@ def q3(spark, sf):
     li = _t(spark, sf, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
     )
+    # lineitem STREAMS (guide §3.1): c⋈o first, projected to the two
+    # carried columns, as the right operand — Catalyst builds the hash
+    # relation on it instead of on the (bigger) filtered fact side
+    co = c.join(o, c.c_custkey == o.o_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     joined = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(co, li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
         .agg(
             F.round(
@@ -200,11 +205,23 @@ def q5(spark, sf):
     r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
     # fixed-size dims (nation/region) broadcast; supplier scales with SF —
     # 100x-unsafe to pin as a broadcast build side, so Catalyst/AQE choose
-    # its strategy (BHJ at test scale, shuffle join at cluster scale)
+    # its strategy (BHJ at test scale, shuffle join at cluster scale).
+    # lineitem STREAMS: written c⋈o-then-⋈li, Catalyst made the 600k-row
+    # fact table the BHJ build side (a single-threaded driver hash build
+    # of the biggest input — guide §3.1: build on the small side); with
+    # the pre-projected c⋈o as the right operand the optimizer builds on
+    # it instead, and at cluster scale the same shape degrades to a
+    # sort-merge keyed on the join key rather than a fact broadcast
+    co = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_nationkey", "o_orderkey"
+    )
     joined = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        li.join(co, li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -266,10 +283,14 @@ def q10(spark, sf):
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
     n = _t(spark, sf, "nation")
+    # lineitem STREAMS (guide §3.1, same reorder as q3/q5): the filtered
+    # fact side probes the c⋈o hash relation instead of being built
+    co = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "o_orderkey"
+    )
     g = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        li.join(co, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
