@@ -2308,70 +2308,90 @@ class Workspace:
                 *self._pin_files(meta, covering)
             )
             # deleted count from the SCAN, not the index — exact
-            # whatever shape the manifest entries carry — and total +
-            # deleted fused into ONE job over the covering files.
-            # The marked frame persists so the survivor write below
-            # reuses the scan + broadcast probe join instead of
-            # re-running both.
+            # whatever shape the manifest entries carry.
             marked, hit = _marked(df)
-            marked = marked.persist()
             single = len(covering) == 1
             new_entry = None
-            try:
-                if single:
-                    # single-file rewrite: the fused aggregation ALSO
-                    # carries the survivors' key bounds, so the new
-                    # file's sort-index entry needs no third scan
-                    # (_file_key_ranges re-read the staged file)
-                    composite = len(key) > 1
-                    aggs = [
-                        F.count(F.lit(1)).alias("t"),
-                        F.sum(F.when(hit, 1).otherwise(0)).alias("d"),
-                        F.min(F.when(~hit, F.col(key[0]))).alias("__lo"),
-                        F.max(F.when(~hit, F.col(key[0]))).alias("__hi"),
+            survivors = [f for f in ranges if f not in set(covering)]
+            if single:
+                # ONE job for the whole delete (optimization r13): the
+                # survivor write CARRIES the (total, deleted) count and
+                # the new file's sort-index bounds as OBSERVED metrics
+                # (CollectMetrics sits below the keep-filter; Catalyst
+                # does not push filters through it, verified by plan),
+                # so the previous persist + separate aggregation job
+                # disappear.  A no-op delete (no probe matched) aborts
+                # at precommit: staging is discarded, nothing swaps,
+                # untouched files keep path+mtime.
+                from pyspark.sql import Observation
+
+                composite = len(key) > 1
+                aggs = [
+                    F.count(F.lit(1)).alias("t"),
+                    F.sum(F.when(hit, 1).otherwise(0)).alias("d"),
+                    F.min(F.when(~hit, F.col(key[0]))).alias("__lo"),
+                    F.max(F.when(~hit, F.col(key[0]))).alias("__hi"),
+                ]
+                if composite:
+                    aggs += [
+                        F.min(F.when(~hit, F.col(key[1]))).alias("__lo2"),
+                        F.max(F.when(~hit, F.col(key[1]))).alias("__hi2"),
                     ]
-                    if composite:
-                        aggs += [
-                            F.min(F.when(~hit, F.col(key[1]))).alias("__lo2"),
-                            F.max(F.when(~hit, F.col(key[1]))).alias("__hi2"),
-                        ]
-                    row = marked.agg(*aggs).head()
-                    total, n_del = int(row["t"]), int(row["d"] or 0)
-                    kept = total - n_del
-                    new_entry = [
-                        _jsonable(row["__lo"]), _jsonable(row["__hi"]),
-                        kept,
+                obs = Observation()
+                remainder = (
+                    marked.observe(obs, *aggs)
+                    .where(~hit)
+                    .select(*df.columns)
+                )
+                # one covering file rewrites to one file without the
+                # range-partition SAMPLE pass (coalesce is narrow)
+                out = remainder.coalesce(1).sortWithinPartitions(*key)
+                state: dict = {}
+
+                def _precommit() -> bool:
+                    state.update(obs.get)
+                    return int(state["d"] or 0) > 0
+
+                new = self._staged_pruned_swap(
+                    meta, survivors, out, precommit=_precommit
+                )
+                if new is None:
+                    return 0  # nothing matched: nothing deleted
+                total, n_del = int(state["t"]), int(state["d"] or 0)
+                kept = total - n_del
+                new_entry = [
+                    _jsonable(state["__lo"]), _jsonable(state["__hi"]),
+                    kept,
+                ]
+                if composite:
+                    new_entry += [
+                        _jsonable(state["__lo2"]),
+                        _jsonable(state["__hi2"]),
                     ]
-                    if composite:
-                        new_entry += [
-                            _jsonable(row["__lo2"]), _jsonable(row["__hi2"])
-                        ]
-                else:
+            else:
+                # multi-file rewrite: the marked frame persists so the
+                # fused (total, deleted) count job and the survivor
+                # write share the scan + broadcast probe build
+                marked = marked.persist()
+                try:
                     total, n_del = _counts(marked, hit)
                     kept = total - n_del
-                if not n_del:
-                    return 0
-                remainder = marked.where(~hit).select(*df.columns)
-                out = None
-                if kept > 0:
-                    # one covering file rewrites to one file without
-                    # the range-partition SAMPLE pass (coalesce is
-                    # narrow); multi-file rewrites keep the ranged
-                    # layout so files stay disjoint on the key
-                    out = (
-                        remainder.coalesce(1)
-                        if len(covering) == 1
-                        else remainder.repartitionByRange(
+                    if not n_del:
+                        return 0
+                    remainder = marked.where(~hit).select(*df.columns)
+                    out = None
+                    if kept > 0:
+                        # keep the ranged layout so files stay
+                        # disjoint on the key
+                        out = remainder.repartitionByRange(
                             len(covering), *key
-                        )
-                    ).sortWithinPartitions(*key)
-                # atomic commit: survivors hardlink into staging, the
-                # merged remainder writes there, ONE swap — readers
-                # never see both versions of a key
-                survivors = [f for f in ranges if f not in set(covering)]
-                new = self._staged_pruned_swap(meta, survivors, out)
-            finally:
-                marked.unpersist()
+                        ).sortWithinPartitions(*key)
+                    # atomic commit: survivors hardlink into staging,
+                    # the merged remainder writes there, ONE swap —
+                    # readers never see both versions of a key
+                    new = self._staged_pruned_swap(meta, survivors, out)
+                finally:
+                    marked.unpersist()
             for f in covering:
                 ranges.pop(f, None)
             if new:
@@ -2549,6 +2569,8 @@ class Workspace:
         n_del = sum(ranges[f][2] for f in doomed)
         out = None
         new_entry = None
+        new = None
+        fused = False
         if boundary:
             cond = None
             if lo_t is not None:
@@ -2561,17 +2583,19 @@ class Workspace:
             df = self.spark.read.schema(schema).parquet(
                 *self._pin_files(meta, boundary)
             )
-            # persist the trimmed remainder between the count and the
-            # write so the boundary files scan runs once; one boundary
-            # file rewrites via coalesce (no range-sample pass), the
-            # two-file case keeps the ranged layout
-            keep_df = df.where(keep_pred).persist()
+            b_total = sum(ranges[f][2] for f in boundary)
+            composite = len(key) > 1
             if len(boundary) == 1:
-                # single boundary file: the count job ALSO carries the
-                # trimmed remainder's key bounds, so the new file's
-                # sort-index entry needs no third scan (same fusion as
-                # delete_keys' single-covering-file path)
-                composite = len(key) > 1
+                # single boundary file — ONE job for the whole trim
+                # (optimization r13): the staged rewrite CARRIES the
+                # kept-count and the new file's sort-index bounds as
+                # OBSERVED metrics, replacing the persist + separate
+                # count job.  When the boundary file turns out to lose
+                # no rows, precommit aborts the stage (its path+mtime
+                # stay untouched) and the doomed-only swap below
+                # publishes without it.
+                from pyspark.sql import Observation
+
                 aggs = [
                     F.count(F.lit(1)).alias("__n"),
                     F.min(key[0]).alias("__lo"),
@@ -2582,45 +2606,72 @@ class Workspace:
                         F.min(key[1]).alias("__lo2"),
                         F.max(key[1]).alias("__hi2"),
                     ]
-                row = keep_df.agg(*aggs).head()
-                kept = int(row["__n"])
-                new_entry = [
-                    _jsonable(row["__lo"]), _jsonable(row["__hi"]), kept
-                ]
-                if composite:
-                    new_entry += [
-                        _jsonable(row["__lo2"]), _jsonable(row["__hi2"])
-                    ]
+                obs = Observation()
+                trimmed = df.where(keep_pred).observe(obs, *aggs)
+                out_f = trimmed.coalesce(1).sortWithinPartitions(*key)
+                removed = set(doomed) | set(boundary)
+                survivors = [f for f in ranges if f not in removed]
+                state: dict = {}
+
+                def _precommit() -> bool:
+                    state.update(obs.get)
+                    return int(state["__n"]) != b_total
+
+                new = self._staged_pruned_swap(
+                    meta, survivors, out_f, precommit=_precommit
+                )
+                fused = True
+                if new is None:
+                    # boundary file loses nothing
+                    boundary = []
+                    if not n_del:
+                        return 0  # pure no-op range
+                    removed = set(doomed)
+                    survivors = [f for f in ranges if f not in removed]
+                    new = self._staged_pruned_swap(meta, survivors, None)
+                else:
+                    kept = int(state["__n"])
+                    n_del += b_total - kept
+                    if kept > 0:
+                        new_entry = [
+                            _jsonable(state["__lo"]),
+                            _jsonable(state["__hi"]),
+                            kept,
+                        ]
+                        if composite:
+                            new_entry += [
+                                _jsonable(state["__lo2"]),
+                                _jsonable(state["__hi2"]),
+                            ]
             else:
+                # two boundary files: persist the trimmed remainder
+                # between the count and the write so the scan runs
+                # once; the ranged layout keeps files disjoint
+                keep_df = df.where(keep_pred).persist()
                 kept = keep_df.count()
-                new_entry = None
-            b_total = sum(ranges[f][2] for f in boundary)
-            n_del += b_total - kept
-            if b_total == kept:
-                boundary = []  # nothing to trim after all
-            elif kept > 0:
-                out = (
-                    keep_df.coalesce(1)
-                    if len(boundary) == 1
-                    else keep_df.repartitionByRange(
+                n_del += b_total - kept
+                if b_total == kept:
+                    boundary = []  # nothing to trim after all
+                elif kept > 0:
+                    out = keep_df.repartitionByRange(
                         len(boundary), *key
-                    )
-                ).sortWithinPartitions(*key)
-        if not n_del:
-            if keep_df is not None:
-                keep_df.unpersist()
-            return 0
-        # atomic commit: survivors hardlink into staging, the trimmed
-        # boundary remainder writes there, ONE swap (same discipline
-        # as delete_keys — no interval where a reader sees dropped
-        # rows alongside their replacements)
-        removed = set(doomed) | set(boundary)
-        survivors = [f for f in ranges if f not in removed]
-        try:
-            new = self._staged_pruned_swap(meta, survivors, out)
-        finally:
-            if keep_df is not None:
-                keep_df.unpersist()
+                    ).sortWithinPartitions(*key)
+        if not fused:
+            if not n_del:
+                if keep_df is not None:
+                    keep_df.unpersist()
+                return 0
+            # atomic commit: survivors hardlink into staging, the
+            # trimmed boundary remainder writes there, ONE swap (same
+            # discipline as delete_keys — no interval where a reader
+            # sees dropped rows alongside their replacements)
+            removed = set(doomed) | set(boundary)
+            survivors = [f for f in ranges if f not in removed]
+            try:
+                new = self._staged_pruned_swap(meta, survivors, out)
+            finally:
+                if keep_df is not None:
+                    keep_df.unpersist()
         for f in removed:
             ranges.pop(f, None)
         if new:
@@ -2645,8 +2696,12 @@ class Workspace:
         return int(n_del)
 
     def _staged_pruned_swap(
-        self, meta: dict, keep_files, write_df: DataFrame | None
-    ) -> list[str]:
+        self,
+        meta: dict,
+        keep_files,
+        write_df: DataFrame | None,
+        precommit=None,
+    ) -> list[str] | None:
         """The pruned writes' ATOMIC commit: hardlink the surviving
         data files into a staging dir (inode-preserving — zero bytes
         copied, mtimes intact; filesystems without hardlinks fall back
@@ -2658,7 +2713,15 @@ class Workspace:
         (the defect the old live→old→live rename pair had).  Returns
         the NEW files' paths (as inputFiles URIs) for index
         maintenance; survivors keep their path strings (URIs record
-        through the stable pointer path)."""
+        through the stable pointer path).
+
+        ``precommit`` (optimization r13): called after the staged
+        write's job completes but BEFORE the pointer swap — the hook
+        that lets a caller fuse its count/bounds aggregation into the
+        write job as observed metrics and still abort a no-op.  A
+        False return removes the staging dir, publishes nothing, and
+        returns None (the live version is untouched, survivors keep
+        their paths and mtimes)."""
         import shutil
         from urllib.parse import urlparse
 
@@ -2685,6 +2748,9 @@ class Workspace:
             kept_names.add(os.path.basename(p))
         if write_df is not None:
             write_df.write.mode("append").parquet(staging)
+        if precommit is not None and not precommit():
+            shutil.rmtree(staging, ignore_errors=True)
+            return None
         self._publish_dir(meta, staging)
         allf = self._published_files(meta)
         return [

@@ -1909,6 +1909,58 @@ def test_delete_range_open_bound_retention(spark, ws_root):
         ws.delete_range("ticks")
 
 
+def test_delete_range_boundary_abort_keeps_file_dooms_interior(
+    spark, ws_root
+):
+    """The fused single-boundary trim (observed-metrics write,
+    optimization r13) must ABORT its staged rewrite when the boundary
+    file turns out to lose no rows — the file keeps its exact
+    path+mtime — while interior files wholly inside the range still
+    unlink in the fallback doomed-only swap.  Layout: one saved file
+    spanning [0, 110] holding only {0, 110}, plus an appended file
+    [70, 90] (overlapping spans — the 'files' sort claim), then
+    delete_range(61, 100): the appended file is doomed, the wide file
+    is selected as boundary by its span but holds no row in range."""
+    import os
+    from urllib.parse import urlparse
+
+    ws = Workspace(spark, ws_root)
+    ws.save(
+        "t",
+        spark.createDataFrame([(0, "a"), (110, "b")], "k int, v string"),
+        key="k",
+        minimize_widths=False,
+    )
+    wide = [
+        urlparse(f).path
+        for f in ws.manifest["tables"]["t"]["key_file_ranges"]
+    ]
+    assert len(wide) == 1
+    ws.append(
+        "t",
+        spark.createDataFrame(
+            [(i, f"i{i}") for i in range(70, 91)], "k int, v string"
+        ),
+    )
+    meta = ws.manifest["tables"]["t"]
+    assert meta["sorted"] == "files"  # overlapping spans
+    mt = os.path.getmtime(wide[0])
+    # pure no-op first: boundary selected by span, no row in range —
+    # precommit aborts, nothing swaps, mtime intact
+    assert ws.delete_range("t", 1, 60) == 0
+    assert os.path.getmtime(wide[0]) == mt
+    # doomed + no-loss boundary: interior file unlinks, wide file
+    # survives the abort with path+mtime intact
+    n = ws.delete_range("t", 61, 100)
+    assert n == 21
+    meta = ws.manifest["tables"]["t"]
+    live = {urlparse(f).path for f in meta["key_file_ranges"]}
+    assert wide[0] in live
+    assert os.path.getmtime(wide[0]) == mt
+    got = sorted(r["k"] for r in ws.load("t").collect())
+    assert got == [0, 110]
+
+
 def test_delete_range_lexicographic_tuple_bounds(spark, ws_root):
     """Tuple bounds purge ONE sym's time slice (the composite-key
     retention shape, mirroring key_range's lexicographic contract):
