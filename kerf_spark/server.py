@@ -718,10 +718,12 @@ class _Handler(socketserver.StreamRequestHandler):
                         name = str(pub.get("name", ""))
                         materialize = bool(pub.get("materialize"))
                         ncoalesce = pub.get("coalesce")
+                        want_count = bool(pub.get("count"))
                     else:
                         name = str(pub)
                         materialize = False
                         ncoalesce = None
+                        want_count = False
                     if not re.fullmatch(r"[A-Za-z_]\w*", name):
                         raise ValueError(
                             f"publish name {name!r} is not a valid "
@@ -763,14 +765,21 @@ class _Handler(socketserver.StreamRequestHandler):
                     # stage→persist sequence rides one connection
                     ret.createOrReplaceTempView(name)
                     env.set_local(name, session.table(name))
-                    ret = _Saved(
-                        {
-                            "ok": True,
-                            "kind": "published",
-                            "name": name,
-                            "columns": ret.columns,
-                        }
-                    )
+                    payload = {
+                        "ok": True,
+                        "kind": "published",
+                        "name": name,
+                        "columns": ret.columns,
+                    }
+                    if want_count:
+                        # {"count": true} fuses the published table's
+                        # row count into THIS response (one statement
+                        # round instead of a follow-up count query —
+                        # the reshard stage+conservation-count shape);
+                        # on a materialize publish the count action is
+                        # also what materializes the lazy checkpoint
+                        payload["rows"] = int(ret.count())
+                    ret = _Saved(payload)
                 unpub = req.get("unpublish")
                 if unpub is not None:
                     # retire SERVER tables (the publish plane's
@@ -780,23 +789,31 @@ class _Handler(socketserver.StreamRequestHandler):
                     # (LocalRelations / analyzed children), so
                     # dropping an intermediate never breaks a table
                     # published FROM it.
-                    pat = str(unpub)
-                    if pat.endswith("*"):
-                        pre = pat[:-1]
-                        if not re.fullmatch(r"[A-Za-z_]\w*", pre):
-                            raise ValueError(
-                                f"unpublish prefix {pat!r} is invalid"
-                            )
-                        victims = [
-                            t for t in list(server.tables)
-                            if t.startswith(pre)
-                        ]
-                    else:
-                        if not re.fullmatch(r"[A-Za-z_]\w*", pat):
-                            raise ValueError(
-                                f"unpublish name {pat!r} is invalid"
-                            )
-                        victims = [pat] if pat in server.tables else []
+                    pats = (
+                        [str(p) for p in unpub]
+                        if isinstance(unpub, (list, tuple))
+                        else [str(unpub)]
+                    )
+                    victims = []
+                    for pat in pats:
+                        if pat.endswith("*"):
+                            pre = pat[:-1]
+                            if not re.fullmatch(r"[A-Za-z_]\w*", pre):
+                                raise ValueError(
+                                    f"unpublish prefix {pat!r} is invalid"
+                                )
+                            victims += [
+                                t for t in list(server.tables)
+                                if t.startswith(pre)
+                            ]
+                        else:
+                            if not re.fullmatch(r"[A-Za-z_]\w*", pat):
+                                raise ValueError(
+                                    f"unpublish name {pat!r} is invalid"
+                                )
+                            if pat in server.tables:
+                                victims.append(pat)
+                    victims = sorted(set(victims))
                     for t in victims:
                         server.tables.pop(t, None)
                         session.catalog.dropGlobalTempView(
@@ -939,7 +956,7 @@ class KerfClient:
         upload: tuple[str, "object"] | None = None,
         publish: "str | dict | None" = None,
         ship: dict | None = None,
-        unpublish: str | None = None,
+        unpublish: "str | list[str] | None" = None,
         register: dict | None = None,
     ) -> dict:
         """One request/response round trip.  With ``arrow=True`` a
@@ -2089,10 +2106,17 @@ def folio_reshard(
             # staged bytes (the chunk-per-frame union otherwise
             # carries leaf-default partitions PER CHUNK).
             pub: dict = {"name": stage, "materialize": True}
-            if via == "arrow" and n > 1:
+            arrow_multi = via == "arrow" and n > 1
+            if arrow_multi:
                 pub["coalesce"] = max(
                     1, -(-staged_bytes[j] // part_bytes)
                 )
+                # the staged count (the conservation check's "after")
+                # rides the publish RESPONSE — one statement round per
+                # member instead of a follow-up count query, and the
+                # count action doubles as the checkpoint materializer
+                if check:
+                    pub["count"] = True
             r = cli.execute(src, publish=pub)
             if not r.get("ok"):
                 raise RuntimeError(
@@ -2100,32 +2124,28 @@ def folio_reshard(
                     f"{r.get('kind')}: {r.get('message')}"
                 )
             staged_n = src_n = kept_n = 0
-            if check:
-                if via == "arrow" and n > 1:
-                    csrc = f"select count(*) as c from {stage}"
-                else:
-                    csrc = (
-                        f"select 0 as side, count(*) as n from {table}"
-                        f" union all"
-                        f" select 1 as side, count(*) as n from {stage}"
+            if check and arrow_multi:
+                staged_n = int(r.get("rows") or 0)
+            elif check:
+                csrc = (
+                    f"select 0 as side, count(*) as n from {table}"
+                    f" union all"
+                    f" select 1 as side, count(*) as n from {stage}"
+                )
+                if via == "parquet":
+                    csrc += (
+                        f" union all select 2 as side, count(*) "
+                        f"as n from {table} where {bucket} = {j}"
                     )
-                    if via == "parquet":
-                        csrc += (
-                            f" union all select 2 as side, count(*) "
-                            f"as n from {table} where {bucket} = {j}"
-                        )
                 r = cli.execute(csrc)
                 if not r.get("ok"):
                     raise RuntimeError(
                         f"folio_reshard count on {addrs[j]} failed: "
                         f"{r.get('message')}"
                     )
-                if via == "arrow" and n > 1:
-                    staged_n = int(r["rows"][0][0])
-                else:
-                    rows = {int(x[0]): int(x[1]) for x in r["rows"]}
-                    src_n, staged_n = rows[0], rows[1]
-                    kept_n = rows.get(2, 0)
+                rows = {int(x[0]): int(x[1]) for x in r["rows"]}
+                src_n, staged_n = rows[0], rows[1]
+                kept_n = rows.get(2, 0)
             p = None
             if persist is not None:
                 p = f"{persist.rstrip('/')}/{out_name}_m{j}"
@@ -2183,24 +2203,30 @@ def folio_reshard(
     # so retiring the intermediates never breaks out_name).
     def flip(j):
         cli = clients.get(j) or KerfClient(*addrs[j], timeout=timeout)
+        # cleanup rides the SAME request as the flip (the unpublish
+        # plane accepts a pattern list and runs after publish): one
+        # statement round per member instead of three
+        unpub = (
+            [f"__rs_{out_name}_f*", stage] if cleanup else None
+        )
         if j in saved:
             r = cli.execute(
                 "select * from __rs_pub",
                 register={"name": "__rs_pub", "path": saved[j]},
                 publish=out_name,
+                unpublish=unpub,
             )
         else:
             r = cli.execute(
-                f"select * from {stage}", publish=out_name
+                f"select * from {stage}",
+                publish=out_name,
+                unpublish=unpub,
             )
         if not r.get("ok"):
             raise RuntimeError(
                 f"folio_reshard flip on {addrs[j]} failed: "
                 f"{r.get('kind')}: {r.get('message')}"
             )
-        if cleanup:
-            cli.execute("null", unpublish=f"__rs_{out_name}_f*")
-            cli.execute("null", unpublish=stage)
 
     try:
         with _fut.ThreadPoolExecutor(max_workers=n) as pool:
