@@ -387,9 +387,12 @@ def bloom_positions(
     membership (false positives included) stays deterministic and
     oracle-checkable.
     """
+    if isinstance(key, str):
+        return F.expr(_bloom_positions_sql(key, m_bits, k, salt))
+    # Column inputs keep the builder form (rare path; the hot callers
+    # pass names and ride the single parsed expr below)
     w = _bloom_geometry(m_bits, k)
-    kc = F.col(key) if isinstance(key, str) else key
-    h = F.md5(F.concat(kc, F.lit("#" + salt)))
+    h = F.md5(F.concat(key, F.lit("#" + salt)))
     return F.transform(
         F.sequence(F.lit(0), F.lit(int(k) - 1)),
         lambda j: F.conv(
@@ -400,6 +403,22 @@ def bloom_positions(
             10,
         ).cast("long")
         % F.lit(int(m_bits)),
+    )
+
+
+def _bloom_positions_sql(
+    key: str, m_bits: int = 65536, k: int = 4, salt: str = "bloom"
+) -> str:
+    """`bloom_positions` as ONE SQL expr string (optimization r13):
+    the transform/lambda Column tree cost ~40 py4j round trips per
+    construction; the parsed expression evaluates identically (same
+    md5 slice family, same int arithmetic)."""
+    w = _bloom_geometry(m_bits, k)
+    return (
+        f"transform(sequence(0, {int(k) - 1}),"
+        f" j -> cast(conv(substring(md5(concat({key}, '#{salt}')),"
+        f" cast(j * {w} + 1 as int), {w}), 16, 10) as bigint)"
+        f" % {int(m_bits)})"
     )
 
 
@@ -420,14 +439,13 @@ def bloom_build(
     100 TB contamination-check shape: the benchmark side compresses to
     a constant-size bitset instead of a join-able row set.
     """
-    pos = df.select(
-        F.explode(bloom_positions(key_col, m_bits, k, salt)).alias("__p")
+    pos = df.selectExpr(
+        f"explode({_bloom_positions_sql(key_col, m_bits, k, salt)}) as __p"
     )
     return (
-        pos.withColumn("__w", F.floor(F.col("__p") / F.lit(64)).cast("long"))
-        .withColumn(
-            "__bit",
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))"),
+        pos.selectExpr(
+            "cast(floor(__p / 64) as bigint) as __w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)) as __bit",
         )
         .groupBy("__w")
         .agg(F.bit_or("__bit").alias("__mask"))
@@ -454,25 +472,18 @@ def bloom_probe(
     of (m_bits, k, member count) — pair with an exact semi-join column
     when the query needs to report the FP rate itself.
     """
-    pos = df.select(
+    pos = df.selectExpr(
         *id_cols,
-        F.explode(bloom_positions(key_col, m_bits, k, salt)).alias("__p"),
+        f"explode({_bloom_positions_sql(key_col, m_bits, k, salt)}) as __p",
     )
-    hits = (
-        pos.withColumn("__w", F.floor(F.col("__p") / F.lit(64)).cast("long"))
-        .withColumn(
-            "__bit",
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))"),
-        )
-        .join(F.broadcast(words), "__w", "left")
-        .withColumn(
-            "__hit",
-            F.when(
-                F.col("__mask").isNotNull()
-                & (F.col("__mask").bitwiseAND(F.col("__bit")) != 0),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
+    hits = pos.selectExpr(
+        "*",
+        "cast(floor(__p / 64) as bigint) as __w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)) as __bit",
+    ).join(F.broadcast(words), "__w", "left").selectExpr(
+        "*",
+        "CASE WHEN __mask IS NOT NULL AND (__mask & __bit) != 0"
+        " THEN 1 ELSE 0 END as __hit",
     )
     return hits.groupBy(*id_cols).agg(F.min("__hit").alias(out))
 

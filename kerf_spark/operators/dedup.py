@@ -171,6 +171,32 @@ def dedup_rows(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 # ------------------------------------------------------------------ minhash
+#: word_tokens(normalize_text(col)) as one SQL expr — lowercase,
+#: collapse whitespace, trim, whitespace-split; blank text -> empty
+#: array (the exact Column-form composition, value-for-value)
+_TOKENIZE_SQL = (
+    "CASE WHEN length(trim(lower(trim(regexp_replace({t}, '\\\\s+', ' ')))))"
+    " = 0 THEN cast(array() as array<string>)"
+    " ELSE split(trim(lower(trim(regexp_replace({t}, '\\\\s+', ' ')))),"
+    " '\\\\s+') END"
+)
+
+
+def _shingle_sql(n: int, words: str = "__w") -> str:
+    """Distinct word-``n``-gram strings of a token-array column as one
+    SQL expr (the staged-projection twin of the old transform/sequence
+    Column tree — identical values, one parse instead of ~n·4 py4j
+    round trips)."""
+    parts = ", ".join(
+        f"element_at({words}, i)" if j == 0 else f"element_at({words}, i + {j})"
+        for j in range(n)
+    )
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({words})"
+        f" - {n - 1}, 1)), i -> concat_ws(' ', {parts})))"
+    )
+
+
 def _shingle_hash_df(
     df: DataFrame, text_col: str, id_col: str, n: int, out: str = "sh",
     spread: bool = True,
@@ -190,28 +216,20 @@ def _shingle_hash_df(
     a full redundant analysis+physical-planning pass over the upstream
     plan, which measurably dominated driver time on deep pipelines.
     """
-    from .text import normalize_text, word_tokens
-
     if spread:
         ncores = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < ncores:
             df = df.repartition(ncores)
-    words = df.select(
-        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
-    )
-    k = F.greatest(F.size("__w") - (n - 1), F.lit(1))
-    grams = words.select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
-            ),
-        ).alias("__g"),
-    )
-    return grams.select(
-        F.col(id_col),
-        F.array_distinct(F.transform("__g", lambda g: F.xxhash64(g))).alias(out),
+    # each stage is ONE parsed expr, not a Column-builder tree: the
+    # lambda/HOF builder forms cost hundreds of py4j round trips per
+    # plan construction (measured ~0.3-0.7 s of pure driver latency
+    # per dedup query — optimization r13); the parsed expressions
+    # evaluate identically (same deterministic string/hash functions)
+    words = df.selectExpr(id_col, f"{_TOKENIZE_SQL.format(t=text_col)} as __w")
+    grams = words.selectExpr(id_col, f"{_shingle_sql(n)} as __g")
+    return grams.selectExpr(
+        id_col,
+        f"array_distinct(transform(__g, g -> xxhash64(g))) as {out}",
     )
 
 
@@ -236,19 +254,18 @@ def minhash_signature(
     """
     shdf = _shingle_hash_df(df, text_col, id_col, shingle_n)
 
-    # ONE nested HOF over a literal seed array, not num_hashes parallel
-    # subtrees: the values are bit-identical (int seeds, same xxhash64
-    # inputs) but the expression tree is ~k× smaller — measured 5×
-    # faster plan construction, which dominated this operator's bench
-    # time (py4j round trips, not executor work)
-    seeds = F.lit(list(range(num_hashes))).cast("array<int>")
-    sig = F.transform(
-        seeds,
-        lambda i: F.array_min(
-            F.transform("sh", lambda h: F.xxhash64(h, i))
-        ),
+    # ONE parsed expr over a literal seed array (optimization r13 —
+    # previously one nested HOF Column tree, itself an improvement on
+    # num_hashes parallel subtrees): the values are bit-identical
+    # (int seeds, same xxhash64 inputs) and the whole projection is a
+    # single py4j round trip
+    seeds = ", ".join(str(i) for i in range(num_hashes))
+    return shdf.selectExpr(
+        id_col,
+        f"transform(cast(array({seeds}) as array<int>),"
+        " i -> array_min(transform(sh, h -> xxhash64(h, i))))"
+        " as minhash",
     )
-    return shdf.select(F.col(id_col), sig.alias("minhash"))
 
 
 def lsh_candidates(
@@ -378,65 +395,42 @@ def portable_band_keys(
     query — the band keys are md5-family so any SQL engine re-derives
     them bit-for-bit.
     """
-    from .text import normalize_text, word_tokens
-
     rows_per_band = num_hashes // bands
     ncores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < ncores:
         df = df.repartition(ncores)
     # staged tokens -> shingles (see _shingle_hash_df: unstaged ngrams()
-    # re-evaluates the tokenizer per shingle)
-    words = df.select(
-        F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
+    # re-evaluates the tokenizer per shingle); every stage is ONE
+    # parsed expr — the Column/lambda builder forms cost hundreds of
+    # py4j round trips per plan construction (optimization r13)
+    words = df.selectExpr(
+        id_col, f"{_TOKENIZE_SQL.format(t=text_col)} as __w"
     )
-    k = F.greatest(F.size("__w") - (shingle_n - 1), F.lit(1))
-    sh = words.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(F.col("__w"), i + j) for j in range(shingle_n)],
-                ),
-            )
-        ).alias("sh"),
-    )
+    sh = words.selectExpr(id_col, f"{_shingle_sql(shingle_n)} as sh")
 
     # single fold pass, as in minhash_signature: running-minimum array
     # accumulator against the portable "#i" suffix family
-    sufs = F.lit([f"#{i}" for i in range(num_hashes)])
-    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
-    sig = sh.select(
-        F.col(id_col),
-        F.aggregate(
-            F.col("sh"),
-            init,
-            lambda acc, s: F.zip_with(
-                acc,
-                sufs,
-                lambda a, suf: F.least(
-                    a,
-                    F.conv(
-                        F.substring(F.md5(F.concat(s, suf)), 1, 15), 16, 10
-                    ).cast("long"),
-                ),
-            ),
-        ).alias("sig"),
+    sufs = ", ".join(f"'#{i}'" for i in range(num_hashes))
+    sig = sh.selectExpr(
+        id_col,
+        f"aggregate(sh,"
+        f" array_repeat(cast({2**63 - 1} as bigint), {num_hashes}),"
+        f" (acc, s) -> zip_with(acc, array({sufs}),"
+        f" (a, suf) -> least(a, cast(conv(substring(md5(concat(s, suf)),"
+        f" 1, 15), 16, 10) as bigint)))) as sig",
     )
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",", *[F.element_at("sig", b * rows_per_band + r + 1)
-                               for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "key"),
+    band_elems = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(
+            f"element_at(sig, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        id_col,
+        f"posexplode(array({band_elems})) as (band, key)",
     )
     return banded, sh
 
