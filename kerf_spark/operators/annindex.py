@@ -848,6 +848,20 @@ def index_upsert_sink(path: str):
     return sink
 
 
+def _footer_rows(tree: str) -> int:
+    """Total rows under a parquet tree from file FOOTERS only — the
+    same number a count() job returns (parquet metadata is
+    authoritative), without running a Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for d, _, fs in os.walk(tree):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return total
+
+
 def _stored(
     spark: SparkSession, path: str, meta: dict
 ) -> tuple[DataFrame, int | None]:
@@ -863,7 +877,12 @@ def _stored(
     out, live = base, meta.get("rows")
     if os.path.isdir(spath):
         delta = _read(spark, spath, sch, with_epoch=True).drop("epoch")
-        live = (live + delta.count()) if live is not None else None
+        if live is not None:
+            # delta rows from the parquet FOOTERS (authoritative row
+            # counts, a driver-side metadata read) — the delta.count()
+            # Spark job this replaces ran on EVERY index read
+            # construction (optimization r13)
+            live = live + _footer_rows(spath)
         out = base.unionByName(delta.select(*base.columns))
     tpath = os.path.join(path, "tombstones")
     if os.path.isdir(tpath):

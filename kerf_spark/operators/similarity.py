@@ -77,8 +77,28 @@ def array_lit(nested, element_type: str = "double") -> Column:
 
 
 # ------------------------------------------------------------ primitives
+# name-arg calls ride ONE parsed expr (optimization r13: each HOF
+# lambda Column costs ~20 ms of py4j round trips at plan construction;
+# the ANN top-k family builds several per query).  The parsed
+# expressions are the identical fold/zip trees, value-for-value.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _l2_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> x * x),"
+        f" cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+
+
 def dot(a, b) -> Column:
     """Dot product of two array columns — zip_with + aggregate, codegen'd."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -87,6 +107,8 @@ def dot(a, b) -> Column:
 
 
 def l2_norm(a) -> Column:
+    if isinstance(a, str):
+        return F.expr(_l2_sql(a))
     return F.sqrt(
         F.aggregate(
             F.transform(_c(a), lambda x: x * x),
@@ -97,6 +119,12 @@ def l2_norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        d, na, nb = _dot_sql(a, b), _l2_sql(a), _l2_sql(b)
+        return F.expr(
+            f"CASE WHEN ({na} = 0) OR ({nb} = 0) THEN NULL"
+            f" ELSE {d} / ({na} * {nb}) END"
+        )
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(d / (na * nb))
