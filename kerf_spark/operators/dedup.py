@@ -69,10 +69,18 @@ def _cap_buckets(
             "(warned once per operator)",
             what, max_bucket, max_bucket,
         )
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col))
+    # ONE parsed window expr (optimization r13): the Window-builder tree
+    # (partitionBy/orderBy/over/withColumn/col) costs ~10 py4j round
+    # trips per cap site; the SQL form is the identical RowNumber window
+    # (asc nulls-first default both ways)
+    part = ", ".join(f"`{k}`" for k in keys)
     return (
-        df.withColumn("__kf_rn", F.row_number().over(w))
-        .where(F.col("__kf_rn") <= max_bucket)
+        df.selectExpr(
+            "*",
+            f"row_number() over (partition by {part} order by `{id_col}`)"
+            " as __kf_rn",
+        )
+        .where(f"__kf_rn <= {int(max_bucket)}")
         .drop("__kf_rn")
     )
 
@@ -108,29 +116,23 @@ def _bucket_pairs(
     per-bucket pair set is never materialized as one array.
     """
     capped = _cap_buckets(df, keys, id_col, max_bucket, what)
-    elem = (
-        F.col(id_col)
+    # parsed-expr forms of the collect/explode stages (optimization r13
+    # — identical expressions, a handful of py4j round trips instead of
+    # dozens of Column-builder calls per construction)
+    elem_sql = (
+        f"`{id_col}`"
         if not payload
-        else F.struct(F.col(id_col), *[F.col(p) for p in payload])
+        else "struct(" + ", ".join(f"`{c}`" for c in (id_col, *payload)) + ")"
     )
     a_name, b_name = ("id_a", "id_b") if not payload else ("__a", "__b")
     buckets = capped.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(elem)).alias("__m")
+        F.expr(f"sort_array(collect_list({elem_sql}))").alias("__m")
     )
-    return (
-        buckets.select(
-            F.posexplode("__m").alias("__i", a_name), F.col("__m")
-        )
-        .select(
-            a_name,
-            F.explode(
-                F.slice(
-                    "__m",
-                    F.col("__i") + 2,
-                    F.size("__m") - F.col("__i") - 1,
-                )
-            ).alias(b_name),
-        )
+    return buckets.selectExpr(
+        f"posexplode(__m) as (__i, {a_name})", "__m"
+    ).selectExpr(
+        a_name,
+        f"explode(slice(__m, __i + 2, size(__m) - __i - 1)) as {b_name}",
     )
 
 
@@ -285,21 +287,22 @@ def lsh_candidates(
     ``max_bucket`` cap (see module header).
     Returns distinct (id_a < id_b) candidate pairs.
     """
-    b = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("minhash", i * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+    # ONE parsed expr for the band array (optimization r13): the nested
+    # F.xxhash64/element_at builders cost ~bands×rows_per_band py4j
+    # round trips per construction; the SQL form parses to the identical
+    # XxHash64(seed 42) over the identical element_at children
+    band_elems = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"element_at(minhash, {i * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for i in range(bands)
+    )
+    b = sigs.selectExpr(
+        f"`{id_col}`",
+        f"posexplode(array({band_elems})) as (band, band_hash)",
     )
     return _bucket_pairs(
         b, ["band", "band_hash"], id_col, max_bucket, "lsh_candidates"
@@ -326,24 +329,26 @@ def jaccard_verify(
     expensive tokenize/shingle pass must not rerun over everything.
     """
     cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        pairs.selectExpr(f"id_a as `{id_col}`")
+        .unionByName(pairs.selectExpr(f"id_b as `{id_col}`"))
         .distinct()
     )
     needed = df.join(cand_ids, id_col, "left_semi")
     # spread=False: the semi-join output is already post-shuffle, and
     # probing its partition count would re-plan the whole LSH pipeline
     sh = _shingle_hash_df(needed, text_col, id_col, shingle_n, spread=False)
+    # selectExpr renames + ONE parsed jaccard expr (optimization r13):
+    # withColumnRenamed chains and the size/intersect Column tree cost
+    # dozens of py4j round trips; the parsed forms analyze to the
+    # identical expressions (Spark `/` is double division both ways)
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
+        pairs.join(sh.selectExpr(f"`{id_col}` as id_a", "sh as sh_a"), "id_a")
+        .join(sh.selectExpr(f"`{id_col}` as id_b", "sh as sh_b"), "id_b")
+        .selectExpr(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+            "(size(array_intersect(sh_a, sh_b))"
+            " / size(array_union(sh_a, sh_b))) as jaccard",
         )
     )
     return j.where(F.col("jaccard") >= threshold)
@@ -466,17 +471,19 @@ def minhash_dedup_portable(
         .distinct()
         .persist()
     )
-    x = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
-    y = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        9,
-    )
+    # parsed-expr renames + jaccard (optimization r13 — identical
+    # round(size/size, 9) expression, single parse per projection)
+    x = sh.selectExpr(f"`{id_col}` as id_a", "sh as sh_a")
+    y = sh.selectExpr(f"`{id_col}` as id_b", "sh as sh_b")
     return (
         cand.join(x, "id_a")
         .join(y, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "round(size(array_intersect(sh_a, sh_b))"
+            " / size(array_union(sh_a, sh_b)), 9) as jaccard",
+        )
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -996,31 +1003,32 @@ def incremental_neardup(
         )
     ib = _cap_buckets(ib, ["band", "key"], id_col, max_bucket, "incremental_neardup")
     bb = _cap_buckets(bb, ["band", "key"], id_col, max_bucket, "incremental_neardup")
+    # parsed-expr renames + jaccard throughout (optimization r13 —
+    # identical expressions, single parse per projection)
     cand = (
-        bb.withColumnRenamed(id_col, "batch_id")
-        .join(ib.withColumnRenamed(id_col, "index_id"), ["band", "key"])
+        bb.selectExpr(f"`{id_col}` as batch_id", "band", "key")
+        .join(ib.selectExpr(f"`{id_col}` as index_id", "band", "key"),
+              ["band", "key"])
         .select("batch_id", "index_id")
         .distinct()
         .persist()
     )
     ish_needed = ish.join(
-        cand.select(F.col("index_id").alias(id_col)).distinct(),
+        cand.selectExpr(f"index_id as `{id_col}`").distinct(),
         id_col,
         "left_semi",
     )
-    x = bsh.withColumnRenamed(id_col, "batch_id").withColumnRenamed("sh", "sh_a")
-    y = ish_needed.withColumnRenamed(id_col, "index_id").withColumnRenamed(
-        "sh", "sh_b"
-    )
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        9,
-    )
+    x = bsh.selectExpr(f"`{id_col}` as batch_id", "sh as sh_a")
+    y = ish_needed.selectExpr(f"`{id_col}` as index_id", "sh as sh_b")
     return (
         cand.join(x, "batch_id")
         .join(y, "index_id")
-        .select("batch_id", "index_id", jac.alias("jaccard"))
+        .selectExpr(
+            "batch_id",
+            "index_id",
+            "round(size(array_intersect(sh_a, sh_b))"
+            " / size(array_union(sh_a, sh_b)), 9) as jaccard",
+        )
         .where(F.col("jaccard") >= threshold)
     )
 
