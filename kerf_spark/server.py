@@ -275,7 +275,7 @@ def _save_result(v: Any, spec, save_root: str | None) -> "_Saved":
     )
 
 
-def _arrow_frame(v: Any) -> tuple[dict, bytes]:
+def _arrow_frame(v: Any, _memo: list | None = None) -> tuple[dict, bytes]:
     """The binary wire plane (reference MESSAGE slabs, enums.h:278
     "use network order"; bus.h:117 "sending kerf tree over network" —
     re-expressed as the PUBLIC Arrow IPC stream format): serialize a
@@ -299,7 +299,16 @@ def _arrow_frame(v: Any) -> tuple[dict, bytes]:
         raise KerfTypeError(
             f"arrow needs a table result, got {type(v).__name__}"
         )
-    tbl = v.limit(ARROW_MAX_ROWS + 1).toArrow()
+    # ``_memo`` (the handler's plan-cache entry) memoizes the bounded
+    # .limit() twin: .limit() builds a NEW DataFrame each call, which
+    # would re-plan even when ``v`` itself came from the plan cache
+    if _memo is not None and _memo[1] is not None:
+        lim = _memo[1]
+    else:
+        lim = v.limit(ARROW_MAX_ROWS + 1)
+        if _memo is not None:
+            _memo[1] = lim
+    tbl = lim.toArrow()
     if tbl.num_rows > ARROW_MAX_ROWS:
         raise KerfTypeError(
             f"arrow result exceeds {ARROW_MAX_ROWS} rows — use the "
@@ -504,8 +513,21 @@ def encode_error(exc: BaseException) -> dict:
     return {"ok": False, "kind": ev.kind, "message": ev.message}
 
 
+# plan-cache gates: only a single pure SELECT statement caches, and
+# never one naming a non-deterministic function (a reused optimized
+# plan would freeze now()/rand() at first-plan time)
+_PLAN_CACHEABLE = re.compile(r"(?is)^\s*select\b")
+_PLAN_NONDET = re.compile(
+    r"(?i)\b(now|current_timestamp|current_date|current_timezone|"
+    r"rand|randn|random|uuid|shuffle|monotonically_increasing_id)"
+    r"\s*\("
+)
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one thread per connection
+        from pyspark.sql import DataFrame
+
         from .plans.kerf_lang import Env, Interp, split_statements
 
         server = self.server  # _Srv carrying spark + tables
@@ -556,7 +578,7 @@ class _Handler(socketserver.StreamRequestHandler):
         # than kill the connection.
         synced: dict[str, int] = {}
 
-        def _sync_views(src: str) -> None:
+        def _sync_views(src: str) -> tuple:
             toks = {
                 t.lower() for t in re.findall(r"[A-Za-z_]\w*", src)
             }
@@ -576,6 +598,36 @@ class _Handler(socketserver.StreamRequestHandler):
                     synced[name] = id(df)
                 except Exception:  # noqa: BLE001 — TOCTOU with unpublish
                     continue
+            # view-epoch signature for the plan cache: which backing
+            # DataFrame each server table NAMED by src resolved to
+            return tuple(
+                sorted(
+                    (n, synced.get(n, -1))
+                    for n in list(server.tables)
+                    if n.lower() in toks
+                )
+            )
+
+        # PREPARED-STATEMENT PLAN CACHE (optimization r13, guide §1 —
+        # "re-planning identical statements is pure driver work"): a
+        # repeated single pure-SELECT request on this connection reuses
+        # the analyzed/optimized/codegen'd DataFrame instead of paying
+        # parse+optimize+codegen again (~0.2 s per statement measured;
+        # the job itself re-executes from the member tables every time
+        # — this caches the PLAN, never results).  Keyed by the exact
+        # src, a connection epoch (bumped by ANY request that can
+        # rebind a name the SQL rewriter inlines: uploads, registers,
+        # publishes, unpublishes, and every non-SELECT statement), and
+        # the server-table view signature from _sync_views (a sibling's
+        # republish changes the backing id -> new key).  Statements
+        # naming non-deterministic functions never cache (a reused
+        # optimized plan would freeze now()/rand()).  The second slot
+        # memoizes the Arrow reply's bounded .limit() twin so the wire
+        # plane rides the same cached physical plan.
+        from collections import OrderedDict
+
+        plan_cache: OrderedDict[tuple, list] = OrderedDict()
+        conn_epoch = 0
 
         while True:
             line = self.rfile.readline()
@@ -583,7 +635,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
             try:
                 req = json.loads(line)
-                _sync_views(str(req.get("src", "")))
+                view_sig = _sync_views(str(req.get("src", "")))
                 src = req.get("src", "")
                 limit = max(
                     1, min(int(req.get("limit", DEFAULT_LIMIT)), MAX_LIMIT)
@@ -674,9 +726,41 @@ class _Handler(socketserver.StreamRequestHandler):
                     rdf = session.read.parquet(rpath)
                     rdf.createOrReplaceTempView(rname)
                     env.set_local(rname, session.table(rname))
-                ret = None
-                for stmt in split_statements(src):
-                    ret = interp.exec_stmt(stmt, env)
+                stmts = split_statements(src)
+                rebinders = any(
+                    req.get(k) is not None
+                    for k in ("upload", "register", "publish", "unpublish")
+                )
+                cacheable = (
+                    not rebinders
+                    and req.get("ship") is None
+                    and req.get("save") is None
+                    and len(stmts) == 1
+                    and _PLAN_CACHEABLE.match(stmts[0]) is not None
+                    and _PLAN_NONDET.search(stmts[0]) is None
+                )
+                cache_entry = None
+                if cacheable:
+                    ckey = (stmts[0], conn_epoch, view_sig)
+                    cache_entry = plan_cache.get(ckey)
+                    if cache_entry is not None:
+                        plan_cache.move_to_end(ckey)
+                if cache_entry is not None:
+                    ret = cache_entry[0]
+                else:
+                    ret = None
+                    for stmt in stmts:
+                        ret = interp.exec_stmt(stmt, env)
+                    if cacheable and isinstance(ret, DataFrame):
+                        cache_entry = [ret, None]
+                        plan_cache[ckey] = cache_entry
+                        while len(plan_cache) > 64:
+                            plan_cache.popitem(last=False)
+                if not cacheable:
+                    # a non-SELECT statement (assignment, def, DDL) or
+                    # a name-rebinding plane may change what an
+                    # identical later statement means — invalidate
+                    conn_epoch += 1
                 ship = req.get("ship")
                 if ship is not None:
                     # member→member push: this server uploads the
@@ -833,7 +917,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 # answers with one clean error line.
                 blob = b""
                 if req.get("arrow"):
-                    header, blob = _arrow_frame(ret)
+                    header, blob = _arrow_frame(ret, _memo=cache_entry)
                     payload = json.dumps(header, separators=(",", ":"))
                 else:
                     payload = json.dumps(

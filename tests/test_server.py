@@ -2459,3 +2459,51 @@ def test_folio_topk_bounded_gather(spark):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_plan_cache_repeats_and_invalidation(spark):
+    """The per-connection prepared-plan cache (optimization r13): a
+    repeated identical SELECT reuses the planned DataFrame — results
+    must stay bitwise identical — and every rebinding plane
+    invalidates it: a republish under the same name, an upload
+    shadowing the name, and an assignment statement between repeats
+    must all change what the SAME statement returns."""
+    from kerf_spark.sources.io import read_table
+
+    nation = read_table(spark, SF, "nation")
+    srv = KerfServer(spark, tables={"nation": nation}).start()
+    stmt = "select count(*) as n, sum(n_regionkey) as s from nation"
+    try:
+        with _client(srv) as c:
+            r1 = c.execute(stmt, arrow=True)
+            r2 = c.execute(stmt, arrow=True)  # cache hit
+            r3 = c.execute(stmt, arrow=True)  # cache hit
+            assert r1["table"].equals(r2["table"])
+            assert r1["table"].equals(r3["table"])
+            assert r1["table"].column("n")[0].as_py() == 25
+
+            # republish under the same name -> view signature changes
+            c.execute("select * from nation where n_regionkey = 0",
+                      publish="nation")
+            r4 = c.execute(stmt, arrow=True)
+            assert r4["table"].column("n")[0].as_py() == 5
+
+            # upload shadowing the name -> epoch bump, fresh plan
+            up = nation.limit(3).toArrow()
+            c.execute("1", upload=("nation", up))
+            r5 = c.execute(stmt, arrow=True)
+            assert r5["table"].column("n")[0].as_py() == 3
+
+            # an assignment between repeats invalidates too: the SQL
+            # rewriter inlines env vars, so `k` must re-resolve
+            # (nation is the 3-row upload here: regionkeys 0, 1, 1)
+            c.execute("k: 1")
+            ra = c.execute("select count(*) as n from nation where"
+                           " n_regionkey >= k", arrow=True)
+            c.execute("k: 99")
+            rb = c.execute("select count(*) as n from nation where"
+                           " n_regionkey >= k", arrow=True)
+            assert ra["table"].column("n")[0].as_py() == 2
+            assert rb["table"].column("n")[0].as_py() == 0
+    finally:
+        srv.stop()
