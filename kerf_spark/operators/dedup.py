@@ -235,26 +235,183 @@ def _shingle_hash_df(
     )
 
 
+#: XXH64 primes — decompiled from Spark's
+#: org.apache.spark.sql.catalyst.expressions.XXH64 (javap -c of the
+#: catalyst jar); identical to the published xxHash spec constants.
+_XXH_P1 = 11400714785074694791
+_XXH_P2 = 14029467366897019727
+_XXH_P3 = 1609587929392839161
+_XXH_P4 = 9650029242287828579
+_XXH_P5 = 2870177450012600261
+
+
+def minhash_arrow(
+    shdf: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    sh_col: str = "sh",
+    out: str = "minhash",
+) -> DataFrame:
+    """The k-seed xxhash64 MinHash projection as ONE Arrow-batched NumPy
+    kernel — the vectorized twin of the ``transform(seeds, i ->
+    array_min(transform(sh, h -> xxhash64(h, i))))`` expression, where
+    the interpreted higher-order-function passes (k rescans of every
+    shingle array, no codegen inside lambda scopes) dominated the
+    minhash stage (guide §4.2: hand whole batches to vectorized native
+    code).
+
+    BITWISE identical to the expression form by construction: Spark's
+    ``xxhash64(h: bigint, i: int)`` is ``XXH64.hashInt(i,
+    XXH64.hashLong(h, 42))`` (null children leave the running hash
+    untouched), reproduced here in wrap-around uint64 NumPy arithmetic
+    with the decompiled constants and verified value-for-value against
+    the SQL function over the int64 domain extremes
+    (tests/test_operators.py); the per-seed minimum compares SIGNED
+    int64 exactly like ``array_min`` over bigints; NULL and EMPTY
+    shingle arrays both yield an all-NULL signature — the outer
+    ``transform`` runs over the (never-null) seeds array, so a NULL
+    ``sh`` nulls each ELEMENT (``array_min(NULL)``), not the row.
+
+    Narrow zero-shuffle projection, same as the expression it replaces.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    U = np.uint64
+    P1, P2, P3 = U(_XXH_P1), U(_XXH_P2), U(_XXH_P3)
+    P4, P5 = U(_XXH_P4), U(_XXH_P5)
+
+    def _rotl(x, r):
+        return (x << U(r)) | (x >> U(64 - r))
+
+    def _fmix(h):
+        h = h ^ (h >> U(33))
+        h = h * P2
+        h = h ^ (h >> U(29))
+        h = h * P3
+        return h ^ (h >> U(32))
+
+    def _hash_long(v, seed):  # XXH64.hashLong(v, seed), vectorized
+        h = seed + P5 + U(8)
+        h = h ^ (_rotl(v * P2, 31) * P1)
+        h = _rotl(h, 27) * P1 + P4
+        return _fmix(h)
+
+    def _hash_int(i, seed):  # XXH64.hashInt(i, seed), vector seed
+        h = seed + P5 + U(4)
+        h = h ^ (U(i & 0xFFFFFFFF) * P1)
+        h = _rotl(h, 23) * P2 + P3
+        return _fmix(h)
+
+    k = int(num_hashes)
+    id_field = shdf.schema[id_col]
+    schema_ddl = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, "
+        f"`{out}` array<bigint>"
+    )
+
+    def kernel(batches):
+        import warnings
+
+        with np.errstate(over="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            for b in batches:
+                ids, lst = b.column(0), b.column(1)
+                n = len(lst)
+                if n == 0:
+                    continue
+                lens = np.asarray(
+                    lst.value_lengths().fill_null(0), dtype=np.int64
+                )
+                vals = lst.flatten()
+                if lst.null_count or vals.null_count or (lens == 0).any():
+                    mh = _minhash_rare(
+                        np, pa, lst, lens, vals, k,
+                        _hash_long, _hash_int, U,
+                    )
+                else:
+                    u = np.asarray(vals).view(np.uint64)
+                    h1 = _hash_long(u, U(42))
+                    starts = np.zeros(n, dtype=np.int64)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    res = np.empty((n, k), dtype=np.int64)
+                    for i in range(k):
+                        full = _hash_int(i, h1).view(np.int64)
+                        res[:, i] = np.minimum.reduceat(full, starts)
+                    offs = pa.array(
+                        np.arange(0, (n + 1) * k, k, dtype=np.int32),
+                        type=pa.int32(),
+                    )
+                    mh = pa.ListArray.from_arrays(
+                        offs, pa.array(res.reshape(-1), type=pa.int64())
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, mh], names=[id_col, out]
+                )
+
+    return shdf.select(id_col, sh_col).mapInArrow(kernel, schema_ddl)
+
+
+def _minhash_rare(np, pa, lst, lens, vals, k, _hash_long, _hash_int, U):
+    """Null/empty-aware minhash for the rare batch shapes the fast
+    reduceat path cannot express (NULL shingle arrays, empty arrays,
+    NULL elements) — per-row, Python-object output, same formulas:
+    a NULL element contributes ``hashInt(i, 42)`` (the null child
+    leaves the running hash at the seed); NULL and empty arrays both
+    yield ``[NULL]*k`` (the outer transform iterates the seeds array,
+    so ``array_min`` sees NULL / an empty array per element)."""
+    n = len(lst)
+    row_null = np.asarray(lst.is_null())
+    elem_null = (
+        np.asarray(vals.is_null()) if vals.null_count else None
+    )
+    u = np.asarray(vals.fill_null(0)).view(np.uint64)
+    h1 = _hash_long(u, U(42))
+    if elem_null is not None:
+        h1[elem_null] = U(42)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out_rows: list = []
+    for r in range(n):
+        if row_null[r] or lens[r] == 0:
+            out_rows.append([None] * k)
+        else:
+            seg = h1[starts[r] : starts[r] + lens[r]]
+            out_rows.append(
+                [
+                    int(_hash_int(i, seg).view(np.int64).min())
+                    for i in range(k)
+                ]
+            )
+    return pa.array(out_rows, type=pa.list_(pa.int64()))
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """MinHash signatures, fully JVM-side.
+    """MinHash signatures, zero-shuffle.
 
     Universal-hash family over one base hash: h_i(x) = xxhash64(x, i)
     via seeding each permutation with a distinct literal — standard
     practice (equivalent to k independent hash functions for MinHash's
-    purposes).  Per row: array_min over transform, k passes over the
-    shingle array.  Measured note: the single-fold running-minimum
-    shape (see minhash_dedup_portable) is SLOWER here — xxhash64 is so
-    cheap that the fold's per-shingle accumulator-array allocation
-    dominates, while k cheap rescans don't; for the md5 family the
-    opposite holds.  No shuffle, no UDF either way.
+    purposes).  The k-seed min stage runs as the :func:`minhash_arrow`
+    NumPy kernel (bit-identical by construction — see its docstring);
+    ``use_arrow=False`` keeps the pure-expression twin (k array_min
+    rescans of the shingle array — the equality oracle for the kernel,
+    and the measured-slower fallback: interpreted HOF lambdas evaluate
+    per element with no codegen).  Measured note: the single-fold
+    running-minimum expression shape (see minhash_dedup_portable) is
+    SLOWER here than the k-rescan form — xxhash64 is so cheap that the
+    fold's per-shingle accumulator-array allocation dominates.
     """
     shdf = _shingle_hash_df(df, text_col, id_col, shingle_n)
+    if use_arrow:
+        return minhash_arrow(shdf, id_col, num_hashes)
 
     # ONE parsed expr over a literal seed array (optimization r13 —
     # previously one nested HOF Column tree, itself an improvement on

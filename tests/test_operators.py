@@ -268,6 +268,52 @@ def test_minhash_fast_path_matches_portable_twin_and_bruteforce(spark):
     assert portable == truth
 
 
+def test_minhash_arrow_kernel_matches_expression_form(spark):
+    """The NumPy XXH64 kernel (minhash_arrow) must be bit-identical to
+    the transform/array_min SQL expression it replaced — on the real
+    corpus AND on the rare shapes the fast reduceat path can't express
+    (NULL arrays, empty arrays, NULL elements, int64 domain extremes)."""
+    from kerf_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = {
+        r.doc_id: r.minhash
+        for r in DD.minhash_signature(docs, use_arrow=True).collect()
+    }
+    expr = {
+        r.doc_id: r.minhash
+        for r in DD.minhash_signature(docs, use_arrow=False).collect()
+    }
+    assert fast == expr and len(fast) == docs.count()
+
+    shdf = spark.createDataFrame(
+        [
+            (1, [1, 2, 3]),
+            (2, []),
+            (3, None),
+            (4, [None, 5]),
+            (5, [-(2**63), 2**63 - 1, 0, -1]),
+            (6, [42]),
+        ],
+        "doc_id bigint, sh array<bigint>",
+    )
+    seeds = ", ".join(str(i) for i in range(32))
+    want = {
+        r.doc_id: r.minhash
+        for r in shdf.selectExpr(
+            "doc_id",
+            f"transform(cast(array({seeds}) as array<int>),"
+            " i -> array_min(transform(sh, h -> xxhash64(h, i))))"
+            " as minhash",
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.minhash
+        for r in DD.minhash_arrow(shdf, "doc_id", 32).collect()
+    }
+    assert got == want
+
+
 def test_bigram_lm_score_known_probs(spark):
     """Hand-computable corpus: 'x' continues to 'y' or 'z' with equal
     probability, so both docs score p=1/2 per bigram -> ppl 2.0; a
