@@ -203,6 +203,25 @@ def q5(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    # transitive region pushdown (guide §3.2 semi-join pre-filter):
+    # c_nationkey = s_nationkey = n_nationkey and region filters n, but
+    # Catalyst cannot infer it through the join chain — without it every
+    # non-ASIA customer and supplier survives to the final nation join.
+    # Semi-filtering BOTH scale sides against the 5 ASIA nation keys
+    # (broadcast, fixed-size) drops ~4/5 of c⋈o and of every downstream
+    # join input; the row multiset entering the aggregation is identical
+    # (inner-join algebra — the nation⋈region join applied the same
+    # filter at the end).
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("__asia_nk"), "n_name"
+    )
+    akeys = asia.select("__asia_nk")
+    c = c.join(
+        F.broadcast(akeys), c.c_nationkey == F.col("__asia_nk"), "left_semi"
+    )
+    s = s.join(
+        F.broadcast(akeys), s.s_nationkey == F.col("__asia_nk"), "left_semi"
+    )
     # fixed-size dims (nation/region) broadcast; supplier scales with SF —
     # 100x-unsafe to pin as a broadcast build side, so Catalyst/AQE choose
     # its strategy (BHJ at test scale, shuffle join at cluster scale).
@@ -215,6 +234,9 @@ def q5(spark, sf):
     co = c.join(o, c.c_custkey == o.o_custkey).select(
         "c_nationkey", "o_orderkey"
     )
+    # the nation⋈region dim IS the asia frame (5 rows, already joined
+    # for the semi filters) — one broadcast join instead of two, and the
+    # ASIA restriction it carries is the same filter the n⋈r pair applied
     joined = (
         li.join(co, li.l_orderkey == F.col("o_orderkey"))
         .join(
@@ -222,8 +244,7 @@ def q5(spark, sf):
             (li.l_suppkey == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(asia), s.s_nationkey == F.col("__asia_nk"))
     )
     return (
         joined.groupBy(F.col("n_name").alias("nation"))
