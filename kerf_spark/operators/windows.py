@@ -511,208 +511,6 @@ def chunked_moving(
     return ok.unionByName(fix)
 
 
-def chunked_moving_sums(
-    df: DataFrame,
-    values: dict[str, Column],
-    n: int,
-    by: Sequence[str],
-    order: Sequence[str],
-    chunk: Column | str,
-    count_col: str = "__m",
-    validate: bool = True,
-) -> DataFrame:
-    """:func:`chunked_moving` specialized to trailing-``n`` COUNT+SUM
-    frames, computed in ONE grouped Arrow/NumPy kernel instead of the
-    window-exec + checkpoint + boundary-fix-up machinery (guide §4.2:
-    hand whole batches to vectorized native code; §2.4: one exchange).
-
-    Same chunking contract as :func:`chunked_moving` (monotone
-    ``chunk`` of the leading order column; every non-final chunk holds
-    ≥ n-1 rows; ``validate=True`` enforces both).  Plan: one partial
-    aggregation builds the per-(series, chunk) directory (row counts,
-    order bounds, successor chunk — the validation reads it too), each
-    chunk's rows are shuffled to their own group plus REPLICATED to the
-    successor group as borrowed context (2× narrow-projection shuffle
-    volume replaces the old checkpoint + three downstream window
-    passes), and the kernel sorts each group once and emits every real
-    row's frame count and sums.
-
-    BITWISE identical to the window form by construction: Spark's
-    windowed ``sum`` folds ``coalesce(sum, 0.0) + x`` over frame rows
-    in partition order, i.e. a left fold seeded with ``+0.0`` — the
-    kernel reproduces it exactly as a zero-padded shifted-add chain
-    (n-1 leading zeros, then ``acc = pad[p]; acc += pad[p+1]; …`` in
-    oldest→newest order, the identical IEEE-754 operation sequence,
-    with exact int64 adds for integral sums); ``count`` over the frame
-    is ``min(position+1, n)``.  Frame contents match because borrowed
-    context ⊇ the predecessor's last n-1 rows and the group sort uses
-    the same order columns.  Preconditions the kernel cannot honor are
-    FAIL-LOUD, never silent: NULLs in order/value columns, non-numeric
-    order types, or an int64 sum that could overflow all raise.
-
-    Group memory: chunks are fixed key ranges, so group row counts are
-    scale-invariant (more data ⇒ more chunks, not bigger ones) — size
-    ``chunk`` so a group (≈ 2 chunks of rows) fits a task comfortably.
-
-    Returns ``by + order + count_col + sums`` columns only.
-    """
-    import numpy as np
-    import pyarrow as pa
-
-    ckey = (F.col(chunk) if isinstance(chunk, str) else chunk).alias("__chunk")
-    vnames = list(values)
-    d = df.select(
-        *by, *order, ckey, *[values[v].alias(v) for v in vnames]
-    )
-    # per-(series, chunk) directory: one map-side-combined aggregation
-    # over the projection — feeds BOTH the precondition checks and the
-    # successor map the donor replication rides
-    lead_ord = F.col(order[0])
-    sw = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__chunk")
-    dir_ = (
-        d.groupBy(*by, "__chunk")
-        .agg(
-            F.count(F.lit(1)).alias("__rows"),
-            F.min(lead_ord).alias("__omin"),
-            F.max(lead_ord).alias("__omax"),
-        )
-        .withColumn("__next", F.lead("__chunk").over(sw))
-        .withColumn("__prev_omax", F.lag("__omax").over(sw))
-        .withColumn("__has_prev", F.lag("__chunk").over(sw).isNotNull())
-    )
-    if validate:
-        bad = (
-            dir_.where(
-                (
-                    F.col("__next").isNotNull()
-                    & F.col("__has_prev")
-                    & (F.col("__rows") < n - 1)
-                )
-                | (F.col("__prev_omax") >= F.col("__omin"))
-            )
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            r = bad[0]
-            key = {c: r[c] for c in by}
-            if r["__prev_omax"] is not None and r["__prev_omax"] >= r["__omin"]:
-                raise ValueError(
-                    f"chunked_moving_sums: chunk {r['__chunk']!r} of series "
-                    f"{key} starts at {order[0]}={r['__omin']!r} but the "
-                    f"previous chunk runs to {r['__prev_omax']!r} — the "
-                    "chunk expression is not monotone in the leading "
-                    "order column, so borrowed tails land on the wrong "
-                    "rows.  Chunk on a function of the order columns "
-                    "themselves."
-                )
-            raise ValueError(
-                f"chunked_moving_sums: interior chunk {r['__chunk']!r} of "
-                f"series {key} holds {r['__rows']} rows < n-1={n - 1}; "
-                "its successor's trailing frames would silently "
-                "truncate.  Use coarser chunks (or validate=False if "
-                "the chunking is safe by construction)."
-            )
-    succ = dir_.where(F.col("__next").isNotNull()).select(
-        *by, "__chunk", "__next"
-    )
-    donors = (
-        d.join(F.broadcast(succ), [*by, "__chunk"], "inner")
-        .withColumn("__chunk", F.col("__next"))
-        .drop("__next")
-        .withColumn("__b", F.lit(1))
-    )
-    base = d.withColumn("__b", F.lit(0))
-    uni = base.unionByName(donors)
-
-    vtypes = {v: d.schema[v].dataType.simpleString() for v in vnames}
-    for v, t in vtypes.items():
-        if t not in ("double", "float", "bigint", "int", "smallint",
-                     "tinyint"):
-            raise ValueError(
-                f"chunked_moving_sums: value {v!r} has type {t}; only "
-                "float/integral sums are supported (use chunked_moving)"
-            )
-    out_fields = (
-        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by]
-        + [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in order]
-        + [f"`{count_col}` bigint"]
-        + [
-            f"`{v}` "
-            + ("double" if vtypes[v] in ("double", "float") else "bigint")
-            for v in vnames
-        ]
-    )
-    schema_ddl = ", ".join(out_fields)
-    keep = [*by, *order]
-    nn = int(n)
-
-    def kernel(tbl: "pa.Table") -> "pa.Table":
-        m = tbl.num_rows
-        if m == 0:
-            res = tbl.select(keep).append_column(
-                count_col, pa.array([], type=pa.int64())
-            )
-            for v in vnames:
-                res = res.append_column(
-                    v,
-                    pa.array(
-                        [],
-                        type=(
-                            pa.float64()
-                            if vtypes[v] in ("double", "float")
-                            else pa.int64()
-                        ),
-                    ),
-                )
-            return res
-        sort_keys = []
-        for c in reversed(order):
-            col = tbl.column(c)
-            if col.null_count:
-                raise ValueError(
-                    f"chunked_moving_sums: NULL in order column {c!r}"
-                )
-            sort_keys.append(np.asarray(col))
-        idx = np.lexsort(sort_keys) if sort_keys else np.arange(m)
-        real = np.asarray(tbl.column("__b"))[idx] == 0
-        pos = np.arange(m, dtype=np.int64)
-        cnt = np.minimum(pos + 1, nn)
-        out_cols = [cnt[real]]
-        for v in vnames:
-            col = tbl.column(v)
-            if col.null_count:
-                raise ValueError(
-                    f"chunked_moving_sums: NULL in value column {v!r}"
-                )
-            x = np.asarray(col)[idx]
-            if x.dtype.kind in "iu":
-                x = x.astype(np.int64, copy=False)
-                amax = int(np.abs(x).max()) if m else 0
-                if amax > (2**63 - 1) // max(nn, 1):
-                    raise OverflowError(
-                        f"chunked_moving_sums: int64 moving sum of {v!r} "
-                        "could overflow; widen to double upstream"
-                    )
-                pad = np.zeros(m + nn - 1, dtype=np.int64)
-            else:
-                x = x.astype(np.float64, copy=False)
-                pad = np.zeros(m + nn - 1, dtype=np.float64)
-            pad[nn - 1 :] = x
-            acc = pad[0:m].copy()
-            for j in range(1, nn):
-                acc += pad[j : j + m]
-            out_cols.append(acc[real])
-        take = pa.array(idx[real], type=pa.int64())
-        res = tbl.select(keep).take(take)
-        res = res.append_column(count_col, pa.array(out_cols[0]))
-        for v, arr in zip(vnames, out_cols[1:]):
-            res = res.append_column(v, pa.array(arr))
-        return res
-
-    return uni.groupBy(*by, "__chunk").applyInArrow(kernel, schema_ddl)
-
-
 def mcorr(x, y, n, by, order) -> Column:
     """n-row trailing Pearson correlation of two columns (rolling
     corr/beta — the pairs-trading window stat).  Sum-form:

@@ -7815,9 +7815,9 @@ def rolling_window_stats(spark, sf):
     (pairs-trading mcorr) per return-flag series.  SCALE: l_returnflag
     has THREE distinct values — a window partitioned by it alone is 3
     tasks forever, so the five moving sums run through
-    windows.chunked_moving_sums (order-aligned l_orderkey chunks with
-    predecessor rows replicated into the next as borrowed context —
-    parallelism becomes flags x chunks).  Sum-form stats — not
+    windows.chunked_moving (order-aligned l_orderkey chunks with the
+    last 19 rows of each replicated into the next — parallelism becomes
+    flags x chunks, replication 19/chunk_rows).  Sum-form stats — not
     streaming Welford, so any engine reproduces the arithmetic;
     constant-window fp boundaries are guarded on both sides (variance
     clamp + 9dp-zero denominator test).  `+ 0.0` after every round()
@@ -7834,34 +7834,26 @@ def rolling_window_stats(spark, sf):
     # the scan then reads 5 of lineitem's 16 columns)
     li = _t(spark, sf, "lineitem").select(*by, *order)
     q, dsc = F.col("l_quantity"), F.col("l_discount")
-    # optimization r13: the five moving sums + count run in the
-    # chunked_moving_sums grouped Arrow kernel (one exchange, no window
-    # exec/checkpoint/boundary fix-up) — bitwise identical to the
-    # window form by construction (zero-seeded left folds in frame-row
-    # order; see its docstring), proven by the equality test in
-    # tests/test_operators.py
-    rolled = W.chunked_moving_sums(
+    rolled = W.chunked_moving(
         li,
         {
-            "__sx": q,
-            "__sxx": q * q,
-            "__sy": dsc,
-            "__syy": dsc * dsc,
-            "__sxy": q * dsc,
+            "__m": ("count", F.lit(1)),
+            "__sx": ("sum", q),
+            "__sxx": ("sum", q * q),
+            "__sy": ("sum", dsc),
+            "__syy": ("sum", dsc * dsc),
+            "__sxy": ("sum", q * dsc),
         },
         n=20,
         by=by,
         order=order,
         chunk=(F.col("l_orderkey") - F.col("l_orderkey") % 2048),
-        count_col="__m",
         # safe by construction at every scale factor: TPC-H orderkeys
         # are dense and each 2048-orderkey chunk holds ~2.7k lineitem
         # rows per flag (>> n-1 = 19, and the ratio is scale-invariant),
         # so the precondition count-check would only burn ~0.3 s on the
         # bench's slowest query.  An r6 sweep also confirmed 2048 is
         # the fastest chunk size (2.0 s vs 2.2/2.2/2.9 at 8k/32k/128k).
-        # tests/test_queries.py re-runs the validate=True check on every
-        # shipped fixture.
         validate=False,
     )
     m = F.col("__m").cast("double")
@@ -11471,7 +11463,7 @@ def containment_pairs_docs(spark, sf):
 def global_moving_avg(spark, sf):
     """Whole-table trailing 50-row moving average with NO series key —
     the §2.5 shape that is a single task forever as a plain window.
-    windows.chunked_moving_sums with by=[] distributes it: order-aligned
+    windows.chunked_moving with by=[] distributes it: order-aligned
     orderkey chunks with 49-row borrowed tails, parallelism = chunks,
     and BOTH preconditions ENFORCED at run time (validate=True: the
     interior-chunk >= n-1 size check AND the chunk-monotone-in-order
@@ -11482,17 +11474,13 @@ def global_moving_avg(spark, sf):
     # survive to the output — see rolling_window_stats)
     o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # optimization r13: grouped Arrow kernel (exact int64 adds,
-    # overflow-guarded) — same validate=True enforcement, bitwise
-    # identical to the window form (equality test in tests)
-    rolled = W.chunked_moving_sums(
+    rolled = W.chunked_moving(
         o,
-        {"s": cents},
+        {"m": ("count", F.lit(1)), "s": ("sum", cents)},
         n=50,
         by=[],
         order=["o_orderkey"],
         chunk=(F.col("o_orderkey") - F.col("o_orderkey") % 4096),
-        count_col="m",
     )
     return rolled.select(
         F.col("o_orderkey").alias("orderkey"),

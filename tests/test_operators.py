@@ -1982,81 +1982,6 @@ def test_chunked_moving_equals_plain_moving_window(spark):
     assert bad.count() == 0
 
 
-def test_chunked_moving_sums_kernel_matches_window_form(spark):
-    """The grouped Arrow kernel (chunked_moving_sums) must be BITWISE
-    identical to the window-exec form it replaced — double sums compare
-    by IEEE-754 bit pattern, counts and int64 sums exactly — on a shape
-    with chunk boundaries, truncated series starts, and duplicate order
-    tuples; the validate path must reject a non-monotone chunking and
-    a short interior chunk like chunked_moving does."""
-    import struct
-
-    import pytest
-    from pyspark.sql import functions as F
-
-    from kerf_spark.operators.windows import chunked_moving, chunked_moving_sums
-
-    df = spark.createDataFrame(
-        [
-            (i % 2, i // 3, float((i * 37) % 19) / 7.0, (i * 13) % 100)
-            for i in range(400)
-        ],
-        "k long, pos long, v double, c long",
-    ).repartition(6)
-    n = 7
-    ch = F.col("pos") - F.col("pos") % 20
-    old = chunked_moving(
-        df,
-        {
-            "m": ("count", F.lit(1)),
-            "sv": ("sum", F.col("v")),
-            "svv": ("sum", F.col("v") * F.col("v")),
-            "sc": ("sum", F.col("c")),
-        },
-        n=n, by=["k"], order=["pos", "v", "c"], chunk=ch,
-    )
-    new = chunked_moving_sums(
-        df.select("k", "pos", "v", "c"),
-        {"sv": F.col("v"), "svv": F.col("v") * F.col("v"), "sc": F.col("c")},
-        n=n, by=["k"], order=["pos", "v", "c"], chunk=ch, count_col="m",
-    )
-
-    def canon(rows):
-        out = {}
-        for r in rows:
-            key = (r["k"], r["pos"], struct.pack(">d", r["v"]).hex(), r["c"])
-            val = (
-                r["m"],
-                struct.pack(">d", r["sv"]).hex(),
-                struct.pack(">d", r["svv"]).hex(),
-                r["sc"],
-            )
-            out.setdefault(key, []).append(val)
-        return {k: sorted(v) for k, v in out.items()}
-
-    a = canon(old.select("k", "pos", "v", "c", "m", "sv", "svv", "sc").collect())
-    b = canon(new.collect())
-    assert a == b and sum(len(v) for v in a.values()) == 400
-
-    # validate: non-monotone chunk expression rejected at construction
-    with pytest.raises(ValueError, match="not monotone"):
-        chunked_moving_sums(
-            df.select("k", "pos", "v"),
-            {"sv": F.col("v")},
-            n=n, by=["k"], order=["pos"],
-            chunk=(F.col("pos") % 3), validate=True,
-        )
-    # validate: short interior chunk rejected (chunk width 2 < n-1=6
-    # rows per interior chunk for one series)
-    with pytest.raises(ValueError, match="rows < n-1"):
-        chunked_moving_sums(
-            df.select("k", "pos", "v"),
-            {"sv": F.col("v")},
-            n=n, by=["k"], order=["pos"],
-            chunk=(F.col("pos") - F.col("pos") % 2), validate=True,
-        )
-
-
 def test_global_rank_grouped_matches_per_key_window(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
