@@ -540,18 +540,14 @@ def word_freq_table(
     )
 
 
-def _char_tokens(word) -> Column:
-    """Word → character-token array (split('') yields chars plus empty
-    fragments at the edges — filtered)."""
-    return F.filter(F.split(_c(word), ""), lambda t: F.length(t) > 0)
-
-
 def _apply_merge(tokens: Column, left: str, right: str) -> Column:
     """Greedy left-to-right, non-overlapping BPE merge of the pair
     (left, right) — the fold appends, or fuses with the accumulator's
     tail when it equals ``left`` and the next token is ``right``.  On
     'aaa' with merge (a,a) this yields [aa, a], the standard BPE
-    convention.  Pure Column fold, no UDF."""
+    convention.  Pure Column fold, no UDF.  This Column form is the
+    property-tested semantic reference; the hot paths ride
+    :func:`_apply_merge_sql` (the identical expression, one parse)."""
     fused = F.lit(left + right)
     return F.aggregate(
         tokens,
@@ -565,6 +561,46 @@ def _apply_merge(tokens: Column, left: str, right: str) -> Column:
     )
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal of an arbitrary token
+    (backslash and quote escaped — merge pairs come from corpus
+    text)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _char_tokens_sql(w: str) -> str:
+    """Word → character-token array as a SQL expr string (split('')
+    yields chars plus empty fragments at the edges — filtered)."""
+    return f"filter(split({w}, ''), t -> length(t) > 0)"
+
+
+def _apply_merge_sql(toks: str, left: str, right: str) -> str:
+    """:func:`_apply_merge` as ONE SQL expr string (optimization r13):
+    the aggregate/when Column tree costs ~40 py4j round trips PER
+    MERGE per construction — bpe_learn builds one per iteration and
+    bpe_encode nests len(merges) of them; the parsed expression
+    evaluates identically (same aggregate fold, same CASE)."""
+    L, R = _sql_str(left), _sql_str(right)
+    LR = _sql_str(left + right)
+    return (
+        f"aggregate({toks}, cast(array() as array<string>),"
+        f" (acc, t) -> CASE WHEN size(acc) > 0"
+        f" AND element_at(acc, -1) = {L} AND t = {R}"
+        f" THEN concat(slice(acc, 1, size(acc) - 1), array({LR}))"
+        f" ELSE concat(acc, array(t)) END)"
+    )
+
+
+def _pair_explode_sql(toks: str) -> str:
+    """Adjacent-pair explode of a token-array column as one SQL expr —
+    the zip_with/slice/struct Column tree of the pair-count stage."""
+    return (
+        f"explode(zip_with(slice({toks}, 1, size({toks}) - 1),"
+        f" slice({toks}, 2, size({toks}) - 1),"
+        f" (a, b) -> named_struct('l', a, 'r', b)))"
+    )
+
+
 def bpe_pair_counts(
     df: "DataFrame",  # noqa: F821
     text_col: str = "text",
@@ -574,17 +610,14 @@ def bpe_pair_counts(
     weighted by word frequency — iteration 0 of BPE training, fully
     SQL-oracle-checkable.  Deterministic order: count desc, then pair."""
     wf = word_freq_table(df, text_col)
-    toks = wf.select("word", "freq", _char_tokens("word").alias("__t"))
-    pairs = toks.select(
-        "freq",
-        F.explode(
-            F.zip_with(
-                F.slice("__t", 1, F.size("__t") - 1),
-                F.slice("__t", 2, F.size("__t") - 1),
-                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
-            )
-        ).alias("__p"),
-    ).select("freq", F.col("__p.left").alias("left"), F.col("__p.right").alias("right"))
+    toks = wf.selectExpr(
+        "word", "freq", f"{_char_tokens_sql('word')} as __t"
+    )
+    pairs = toks.selectExpr(
+        "freq", f"{_pair_explode_sql('__t')} as __p"
+    ).select(
+        "freq", F.col("__p.l").alias("left"), F.col("__p.r").alias("right")
+    )
     counts = pairs.groupBy("left", "right").agg(F.sum("freq").alias("pair_count"))
     return counts.orderBy(
         F.desc("pair_count"), F.asc("left"), F.asc("right")
@@ -612,23 +645,22 @@ def bpe_learn(
     a downstream tokenizer ships as its artifact.
     """
     spark = df.sparkSession
+    # parsed-expr step projections + LAZY checkpoints (optimization
+    # r13): the per-iteration zip_with/aggregate Column trees cost
+    # ~0.16 s of py4j per step (measured: 3,917 round trips for 8
+    # merges); each is now ONE parsed expr.  eager=True additionally
+    # ran one extra materialization JOB per step (plus a final
+    # checkpoint nothing consumed); lazy still truncates the
+    # iterative lineage — each step's argmax collect materializes
+    # exactly one checkpoint + one pair aggregation in ONE job.
     wf = word_freq_table(df, text_col)
-    cur = wf.select(
-        "word", "freq", _char_tokens("word").alias("toks")
-    ).localCheckpoint(eager=True)
+    cur = wf.selectExpr(
+        "word", "freq", f"{_char_tokens_sql('word')} as toks"
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
         best = (
-            cur.select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice("toks", 1, F.size("toks") - 1),
-                        F.slice("toks", 2, F.size("toks") - 1),
-                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                    )
-                ).alias("__p"),
-            )
+            cur.selectExpr("freq", f"{_pair_explode_sql('toks')} as __p")
             .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
@@ -639,9 +671,11 @@ def bpe_learn(
             break
         left, right, cnt = best[0].l, best[0].r, int(best[0].c)
         merges.append((step, left, right, cnt))
-        cur = cur.select(
-            "word", "freq", _apply_merge(F.col("toks"), left, right).alias("toks")
-        ).localCheckpoint(eager=True)
+        cur = cur.selectExpr(
+            "word",
+            "freq",
+            f"{_apply_merge_sql('toks', left, right)} as toks",
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
@@ -671,23 +705,19 @@ def bpe_encode(
             F.array().cast("array<string>"),
         ).alias("__w"),
     )
-    per_word = F.transform(F.col("__w"), lambda w: _encode_word(w, merges))
-    return words.select(
-        F.col(id_col),
-        F.flatten(per_word).alias("tokens"),
+    # the whole merge chain as ONE parsed expr (optimization r13):
+    # the nested transform/aggregate Column trees cost ~40 py4j round
+    # trips per merge per construction; the parsed expression
+    # evaluates identically (see _apply_merge_sql)
+    enc = _char_tokens_sql("w")
+    for left, right in merges:
+        enc = _apply_merge_sql(enc, left, right)
+    return words.selectExpr(
+        f"`{id_col}`",
+        f"flatten(transform(__w, w -> {enc})) as tokens",
     ).select(
         id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
     )
-
-
-def _encode_word(word: Column, merges: list[tuple[str, str]]) -> Column:
-    """Chars, then the learned merges in order — one shared fold
-    implementation (:func:`_apply_merge`), so the subtle non-overlap
-    semantics live in exactly one place."""
-    toks = _char_tokens(word)
-    for left, right in merges:
-        toks = _apply_merge(toks, left, right)
-    return toks
 
 
 def inverted_index(
