@@ -43,7 +43,7 @@ from .operators import text as TX
 from .operators import textindex as TI
 from .operators import windows as W
 from .plans.kerfsql import kerf_sql
-from .sources.io import read_table
+from .sources.io import read_table, spread_scan
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -11110,7 +11110,16 @@ def atlas_nested_update(spark, sf):
     (RFC 7386 merge semantics — nested objects merge, not replace);
     both engines then EXTRACT the fields, so the comparison is over
     values, never over JSON text formatting."""
-    e = _t(spark, sf, "events")
+    # project to the 3 used columns FIRST, then spread the unsplittable
+    # single-row-group scan so the Arrow kernel runs on every core
+    # instead of one (guide §2.5 / §2.3; exchange carries 3 of 6 cols;
+    # no-op at cluster scale where the scan is already parallel)
+    e = spread_scan(
+        spark,
+        _t(spark, sf, "events").select("event_id", "props", "value"),
+        f"{sf}/events.parquet",
+        "event_id",
+    )
 
     # BULK amend path: one Arrow-batched kernel parses each document
     # once and applies all three edits (atlas.doc_amend_udf explains

@@ -88,6 +88,104 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: layout-probe memo, keyed by (path, total_bytes) — fixture paths are
+#: immutable, but a rewritten path (new bytes) re-probes
+_SPLITS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def effective_scan_splits(path: str, cap: int) -> int:
+    """Driver-side estimate of how many NON-EMPTY tasks a parquet scan
+    of ``path`` can produce, short-circuiting at ``cap``.
+
+    Parquet splits at ROW-GROUP granularity: a single-file,
+    single-row-group table scans as ONE task no matter how
+    ``maxPartitionBytes``/``openCostInBytes`` slice it (the extra
+    slices contain no row-group start and read nothing).  The probe is
+    pure driver-side metadata, cheapest check first:
+
+    1. count data files — ``>= cap`` files is parallel enough, stop;
+    2. total bytes ``>= cap * 128MB`` — any sane writer rolls row
+       groups well under 128 MB, so the scan is splittable, stop
+       (this is the branch a 100 TB table takes: a handful of stat
+       calls, never a footer sweep);
+    3. only now (few files AND small) read the parquet footers and sum
+       the actual row-group counts.
+    """
+    import os
+
+    try:
+        if os.path.isfile(path):
+            files = [path]
+        else:
+            files = []
+            for root, _dirs, names in os.walk(path):
+                for nm in names:
+                    if nm.endswith(".parquet") and not nm.startswith(("_", ".")):
+                        files.append(os.path.join(root, nm))
+                        if len(files) >= cap:
+                            return cap
+        if not files:
+            return cap  # unknown layout: claim parallel, never reshuffle
+        total = sum(os.path.getsize(f) for f in files)
+        key = (path, total)
+        hit = _SPLITS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        if total >= cap * (128 << 20):
+            splits = cap
+        else:
+            import pyarrow.parquet as _pq
+
+            splits = 0
+            for f in files:
+                splits += _pq.ParquetFile(f).metadata.num_row_groups
+                if splits >= cap:
+                    splits = cap
+                    break
+        if len(_SPLITS_CACHE) > 256:
+            _SPLITS_CACHE.clear()
+        _SPLITS_CACHE[key] = splits
+        return splits
+    except OSError:
+        return cap
+
+
+def spread_scan(
+    spark: SparkSession, df: DataFrame, path: str, key: str
+) -> DataFrame:
+    """Hash-repartition an UNSPLITTABLE-small scan across the cluster
+    (guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read").
+
+    A single-row-group parquet file scans as one task, so everything
+    upstream of the first exchange — including Arrow/Python kernels —
+    runs on one core.  When (and only when) the layout probe says the
+    scan cannot reach ``defaultParallelism`` tasks, repartition by a
+    named high-cardinality KEY COLUMN: hash partitioning is
+    deterministic under task retry (no rand-derived keys — SPARK-38388)
+    and, unlike keyless round-robin, pays no sort-before-repartition
+    pass.  At cluster scale the probe short-circuits on file count or
+    bytes and this is a NO-OP — the exchange exists only where the
+    input is provably serial.  Callers should project to the needed
+    columns FIRST so the exchange carries only those (guide §2.3); the
+    key column must survive that projection.  Set ``KERF_SPREAD_SCAN=0``
+    to disable.
+
+    Row-preserving and row-wise-deterministic: the output multiset is
+    identical, so any row-wise or aggregate consumer computes the same
+    result (aggregation merge ORDER may differ, as it already does
+    under AQE coalescing).
+    """
+    import os
+
+    if os.environ.get("KERF_SPREAD_SCAN", "1") == "0":
+        return df
+    p = spark.sparkContext.defaultParallelism
+    if p <= 1 or effective_scan_splits(path, p) >= p:
+        return df
+    return df.repartition(p, F.col(key))
+
+
 def read_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Physical-schema read (no ts normalization) — for the streaming
     path, where ``readStream.schema(...)`` must match the file exactly;

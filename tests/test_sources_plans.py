@@ -3795,3 +3795,42 @@ def test_txn_rollback_equivalence_sequences(spark, ws_root, ops):
     for n in ("t1", "t2"):
         assert sorted(map(tuple, ws.load(n).collect())) == pre[n], n
     assert ws.key_lookup("t1", 7).head()["v"] == 14  # index restored
+
+
+# ------------------------------------------------- spread_scan (r13 opt)
+def test_spread_scan_parallelizes_unsplittable_and_noops_on_parallel(
+    spark, tmp_path
+):
+    """spread_scan repartitions ONLY when the layout probe proves the
+    scan split-deficient: a single-file single-row-group parquet gains
+    a hash exchange at defaultParallelism with the row multiset intact;
+    a many-row-group layout comes back untouched (the no-op branch a
+    cluster-scale table takes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kerf_spark.sources.io import effective_scan_splits, spread_scan
+
+    p = spark.sparkContext.defaultParallelism
+    one = str(tmp_path / "one.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(1000)), "v": [i * 2 for i in range(1000)]}),
+        one,
+    )
+    assert effective_scan_splits(one, p) == 1
+    df = spark.read.parquet(one)
+    out = spread_scan(spark, df, one, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan and "Exchange" in plan
+    assert out.rdd.getNumPartitions() == p
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+    many = str(tmp_path / "many.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(1000))}), many, row_group_size=1000 // p
+    )
+    assert effective_scan_splits(many, p) >= p
+    df2 = spark.read.parquet(many)
+    assert spread_scan(spark, df2, many, "k") is df2
