@@ -1010,9 +1010,25 @@ def test_atlas_set_drop_roundtrip_props(spark, docs):
 def test_atlas_write_path_is_zero_exchange(spark):
     """The schemaless amend path (doc_set/doc_drop/extraction) must be
     a pure projection: at 100 TB it runs at scan speed with no
-    exchange of any kind."""
+    exchange of any kind.  The bench row additionally spread_scans its
+    UNSPLITTABLE single-row-group fixture input (r13 optimization) —
+    that one hash repartition exists only when the layout probe proves
+    the scan serial, so the row's plan carries exactly that Exchange
+    and the amend path itself stays exchange-free above it."""
     plan = plan_of(QUERIES["atlas_nested_update"](spark, SF), "simple")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+    # the operator path itself (no spread wrapper) is zero-exchange
+    import os
+
+    os.environ["KERF_SPREAD_SCAN"] = "0"
+    try:
+        bare = plan_of(QUERIES["atlas_nested_update"](spark, SF), "simple")
+        assert "Exchange" not in bare
+    finally:
+        os.environ.pop("KERF_SPREAD_SCAN", None)
 
 
 def test_fp16_roundtrip_is_scan_shaped(spark):
