@@ -48,17 +48,29 @@ def word_ngram_rows(
 ) -> DataFrame:
     """Explode each document into its word ``n``-grams as (id, gram)
     rows.  Documents shorter than ``n`` words contribute nothing (the
-    oracle convention; matches DuckDB's empty range).  Indices are
-    bounded by construction so ``element_at`` never reads past the
-    array under ANSI mode."""
+    oracle convention; matches DuckDB's empty range).
+
+    SHAPE (optimization r13): the gram array is built by transforming
+    an ``arrays_zip`` of ``n`` shifted slices of the word array, so the
+    lambda body touches ONLY its own lambda variable (two struct-field
+    reads).  The previous form indexed the staged array inside the
+    lambda (``element_at(__w, sequence-index + j)``) — the plan keeps
+    ``__w`` as an attribute (verified), but the per-ELEMENT interpreted
+    evaluation of the indexed-element_at chain measured 14.3 s for the
+    n=2 gram explode over the 5k-doc corpus where this per-ROW
+    slice/zip form takes 0.6 s — identical output, bitwise-checked
+    over every (n, distinct) shape.  Still a pure projection — no
+    exchange at any scale."""
     words = _staged_words(df, text_col, id_col).filter(F.size("__w") >= n)
+    ln = F.size("__w") - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("__w"), j + 1, ln).alias(f"w{j}") for j in range(n)]
+    )
     grams = words.select(
         F.col(id_col),
         F.transform(
-            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
-            ),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
         ).alias("__g"),
     )
     arr = F.array_distinct(F.col("__g")) if distinct else F.col("__g")
@@ -579,10 +591,18 @@ def bloom_semi_join(
 
     FILTER SIZING: ``m_bits=None`` (default) sizes the filter from the
     actual key count — the next power of two >= 10 bits/key, clamped
-    to [2^20, 2^26] (the ceiling bounds the embedded word literal at
+    to [2^14, 2^26] (the ceiling bounds the embedded word literal at
     8 MB).  At 10 bits/key with k=4 the false-positive rate is ~1.2%;
     past ~6.7M keys the clamp degrades the fp rate gracefully and the
-    caller can see it coming from the geometry.
+    caller can see it coming from the geometry.  The floor is small on
+    purpose: the words ship as an ARRAY LITERAL inside the probe
+    expression, and a floor of 2^20 made every small-key-set filter a
+    16384-long literal — ~1 MB of expression to parse and codegen per
+    run for keys that need 256 words (measured on the
+    bloom_semi_join_lineitems row at sf0.01: 4.8 s warm → 2.7 s from
+    this floor alone).  m_bits never changes the RESULT (the
+    confirming semi-join removes false positives), so the floor is
+    purely a literal-size/fp-rate trade.
     """
     # one computation of the right lineage: the distinct key set is
     # checkpointed, feeds the filter build (eager collect) AND the
@@ -596,7 +616,7 @@ def bloom_semi_join(
             return left.join(rk, on, "left_semi")
     if m_bits is None:
         n = rk.count() if n is None else n
-        m_bits = 1 << 20
+        m_bits = 1 << 14
         while m_bits < 10 * n and m_bits < 1 << 26:
             m_bits *= 2
     words = bloom_words_list(

@@ -312,18 +312,24 @@ def repetition_signals(
         F.count(F.lit(1)).alias("__dw"),
     )
     empty = F.expr("CAST(array() AS array<string>)")
+    # zip-slices shape, not an indexed element_at lambda: the explode's
+    # inferred `size(…) > 0` filter copies the generator below the
+    # exchange, so the bigram expression evaluates twice — once on the
+    # scan-side task — and must stay cheap (see bigram_lm_score; the
+    # slice length only evaluates on the size>1 branch, so ANSI-safe)
+    ln = F.size("__toks") - 1
+    zipped = F.arrays_zip(
+        F.slice(F.col("__toks"), 1, ln).alias("a"),
+        F.slice(F.col("__toks"), 2, ln).alias("b"),
+    )
     bigrams = toks.select(
         id_col,
         F.explode(
             F.when(
                 F.size("__toks") > 1,
                 F.transform(
-                    F.sequence(F.lit(1), F.size("__toks") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("__toks"), i),
-                        F.element_at(F.col("__toks"), i + 1),
-                    ),
+                    zipped,
+                    lambda s: F.concat_ws(" ", s["a"], s["b"]),
                 ),
             ).otherwise(empty)
         ).alias("b"),
@@ -430,15 +436,21 @@ def bigram_lm_score(
     staged = spark_df.select(
         F.col(id_col), word_tokens(normalize_text(text_col)).alias("__w")
     ).where(F.size("__w") >= 2)
+    # bigram pairs as explode(arrays_zip(slice, slice)) — NOT a
+    # transform(sequence, i -> element_at(__w, i…)) lambda: explode
+    # makes InferFiltersFromGenerate copy the generator expression
+    # into a `size(…) > 0` filter that pushdown moves below the
+    # exchange onto the (often single-task) scan side, so the whole
+    # interpreted per-element lambda runs TWICE — once single-threaded
+    # (measured 13.2 s vs 0.9 s for the zip shape on the sf0.1 corpus,
+    # identical rows; optimization r13)
+    ln = F.size("__w") - 1
     pairs = staged.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__w") - 1),
-                lambda i: F.struct(
-                    F.element_at("__w", i).alias("w1"),
-                    F.element_at("__w", i + 1).alias("w2"),
-                ),
+            F.arrays_zip(
+                F.slice(F.col("__w"), 1, ln).alias("w1"),
+                F.slice(F.col("__w"), 2, ln).alias("w2"),
             )
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))

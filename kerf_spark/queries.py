@@ -10217,7 +10217,19 @@ def bloom_semi_join_lineitems(spark, sf):
     which is why the oracle is the plain IN-subquery.  At 100 TB this
     is the runtime-filter discipline: shuffle volume is proportional
     to the (probable) matches, not the fact table."""
-    li = _t(spark, sf, "lineitem")
+    # the md5-positions probe is an expensive map-side expression, and
+    # the fixture's single-row-group lineitem scans as ONE task — spread
+    # the scan (projected to the 3 used columns) so the probe runs on
+    # every core; no-op at cluster scale where the scan is parallel
+    # (guide §2.5; measured 2.6 s single-task probe → 0.4 s spread)
+    li = spread_scan(
+        spark,
+        _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity"
+        ),
+        f"{sf}/lineitem.parquet",
+        "l_orderkey",
+    )
     o = _t(spark, sf, "orders").where(
         F.col("o_totalprice") > 400000
     ).select(F.col("o_orderkey").alias("l_orderkey"))
