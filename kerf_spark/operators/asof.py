@@ -251,6 +251,19 @@ def asof_join_merge(
       ``last() over window`` per carried column; the merge pays O(1))
       and per-key data fits an executor's Arrow batch comfortably.
 
+    Physical shape (optimization r14): both sides cogroup on a
+    DETERMINISTIC hash bucket of the ``by`` keys (xxhash64 —
+    retry-safe, SPARK-38388) rather than on the keys themselves, and
+    ONE vectorized ``pandas.merge_asof(..., by=...)`` call per bucket
+    handles every key in it.  Per-key cogrouping dispatched Python
+    once per group (guide §4.1 — measured ~10k Arrow round trips +
+    per-group pandas overhead dominating the operator at ~10k tiny
+    groups); bucket count derives from the session's shuffle
+    partitioning, so a cluster sized for the data gets proportionally
+    more buckets and each task materializes a bounded slice.  Float /
+    double ``by`` keys keep the per-key cogroup (exact NULL-vs-NaN
+    group identity cannot survive the pandas conversion).
+
     Requires at least one ``by`` key (the window variant also supports
     global as-of).
     """
@@ -285,36 +298,42 @@ def asof_join_merge(
     rpre = right.toDF(*[f"__r_{c}" for c in right.columns])
     r_on, r_keys = f"__r_{on}", [f"__r_{c}" for c in by]
     r_carry = [f"__r_{c}" for c in right_cols]
+    ltypes = dict(left.dtypes)
+    coarse = not any(
+        ltypes.get(c) in ("float", "double") for c in by
+    )
 
-    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        out_cols = lcols + [out_names[c] for c in right_cols]
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        for c in right_cols:
+            want = _NULLABLE.get(rtypes[c])
+            if want:
+                df[out_names[c]] = df[out_names[c]].astype(want)
+        return df
 
-        def fix_types(df: pd.DataFrame) -> pd.DataFrame:
-            for c in right_cols:
-                want = _NULLABLE.get(rtypes[c])
-                if want:
-                    df[out_names[c]] = df[out_names[c]].astype(want)
-            return df
+    out_cols = lcols + [out_names[c] for c in right_cols]
+    r_renames = {
+        r_on: on,
+        **{f"__r_{c}": out_names[c] for c in right_cols},
+    }
 
-        if len(lpdf) == 0:
-            # key exists only on the right: no left rows to emit
-            return pd.DataFrame(columns=out_cols)
+    def null_fill(lpdf: pd.DataFrame) -> pd.DataFrame:
+        merged = lpdf.copy()
+        for c in right_cols:
+            merged[out_names[c]] = None
+        return fix_types(merged)[out_cols]
+
+    def merge_one(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        """One key group (or the whole non-null slice of a bucket with
+        ``with_by``): the original per-group merge_asof."""
         if len(rpdf) == 0:
-            # key exists only on the left: null-fill carried columns
-            # (an empty cogroup side arrives without its column index)
-            merged = lpdf.copy()
-            for c in right_cols:
-                merged[out_names[c]] = None
-            return fix_types(merged)[out_cols]
+            return null_fill(lpdf)
         lpdf = lpdf.sort_values(on, kind="mergesort")
         rsel = rpdf[[r_on, *r_carry]].sort_values(
             [r_on, *r_carry], kind="mergesort"
         )
         merged = pd.merge_asof(
             lpdf,
-            rsel.rename(
-                columns={r_on: on, **{f"__r_{c}": out_names[c] for c in right_cols}}
-            ),
+            rsel.rename(columns=r_renames),
             on=on,
             direction=direction,
             allow_exact_matches=True,
@@ -322,10 +341,128 @@ def asof_join_merge(
         )
         return fix_types(merged)[out_cols]
 
+    def merge_bucket(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket: vectorized merge_asof over every key in it.
+        Rows whose key carries a NULL component take a per-key-tuple
+        side path (Spark groups NULL = NULL; pandas ``by`` matching
+        would drop them) — exact for the non-float key types this path
+        admits, because NA in the converted frame can only mean NULL."""
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        lnull = lpdf[by].isna().any(axis=1)
+        rnull = (
+            rpdf[r_keys].isna().any(axis=1)
+            if len(rpdf)
+            else pd.Series([], dtype=bool)
+        )
+        parts = []
+        lmain = lpdf[~lnull] if lnull.any() else lpdf
+        rmain = rpdf[~rnull] if len(rpdf) and rnull.any() else rpdf
+        if len(lmain):
+            if len(rmain) == 0:
+                parts.append(null_fill(lmain))
+            else:
+                lmain = lmain.sort_values(on, kind="mergesort")
+                rsel = rmain[[*r_keys, r_on, *r_carry]].sort_values(
+                    [r_on, *r_carry], kind="mergesort"
+                ).rename(
+                    columns={
+                        **r_renames,
+                        **{f"__r_{c}": c for c in by},
+                    }
+                )
+                # a by column whose bucket slice held NULLs arrives as
+                # float64/object while its twin stays int64/bool —
+                # merge_asof refuses mismatched by dtypes, and object
+                # is the lossless common ground (values are exact: the
+                # NULL rows were routed off above)
+                for c in by:
+                    if lmain[c].dtype != rsel[c].dtype:
+                        lmain = lmain.astype({c: object})
+                        rsel = rsel.astype({c: object})
+                merged = pd.merge_asof(
+                    lmain,
+                    rsel,
+                    on=on,
+                    by=by,
+                    direction=direction,
+                    allow_exact_matches=True,
+                    tolerance=tolerance_ns,
+                )
+                parts.append(fix_types(merged)[out_cols])
+        if lnull.any():
+            lrest = lpdf[lnull]
+            rrest = rpdf[rnull] if len(rpdf) and rnull.any() else rpdf.iloc[0:0]
+
+            def key_of(frame, cols):
+                # a Series grouper, NOT a bare list (pandas would read
+                # a list of tuples as a list of column names)
+                return pd.Series(
+                    [
+                        tuple(None if pd.isna(v) else v for v in t)
+                        for t in frame[list(cols)].itertuples(index=False)
+                    ],
+                    index=frame.index,
+                    dtype=object,
+                )
+
+            rgroups: dict = {}
+            if len(rrest):
+                for k, grp in rrest.groupby(
+                    key_of(rrest, r_keys), sort=False
+                ):
+                    rgroups[k] = grp
+            for k, lgrp in lrest.groupby(key_of(lrest, by), sort=False):
+                parts.append(
+                    merge_one(lgrp, rgroups.get(k, rpdf.iloc[0:0]))
+                )
+        if not parts:
+            return pd.DataFrame(columns=out_cols)
+        if len(parts) == 1:
+            return parts[0]
+        return pd.concat(parts, ignore_index=True)
+
+    if not coarse:
+        # per-key cogroup (the pre-r14 shape): each dispatch is exactly
+        # one Spark-identified key group, so NULL-vs-NaN float key
+        # identity is decided by Spark, never by pandas
+        def merge_keyed(lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+            if len(lpdf) == 0:
+                # key exists only on the right: no left rows to emit
+                return pd.DataFrame(columns=out_cols)
+            return merge_one(lpdf, rpdf)
+
+        return (
+            left.groupBy(*by)
+            .cogroup(rpre.groupBy(*r_keys))
+            .applyInPandas(
+                lambda ldf, rdf: merge_keyed(ldf, rdf), schema=out_schema
+            )
+        )
+
+    spark = left.sparkSession
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        sp = 200
+    import os as _os
+
+    nb = int(
+        _os.environ.get("KERF_ASOF_MERGE_BUCKETS", 0)
+    ) or max(1, sp) * 4
+    _B = "__kf_bucket"
+    lb = left.withColumn(
+        _B, F.pmod(F.xxhash64(*[F.col(c) for c in by]), F.lit(nb))
+    )
+    rb = rpre.withColumn(
+        _B, F.pmod(F.xxhash64(*[F.col(c) for c in r_keys]), F.lit(nb))
+    )
     return (
-        left.groupBy(*by)
-        .cogroup(rpre.groupBy(*r_keys))
-        .applyInPandas(lambda ldf, rdf: merge(ldf, rdf), schema=out_schema)
+        lb.groupBy(_B)
+        .cogroup(rb.groupBy(_B))
+        .applyInPandas(
+            lambda ldf, rdf: merge_bucket(ldf, rdf), schema=out_schema
+        )
     )
 
 

@@ -74,7 +74,11 @@ _META = "text_index.json"
 # 2: every table row carries a ``__gen`` write-generation column and
 #    tombstones carry ``__upto`` — point-in-time deletes (the
 #    annindex FORMAT 2 discipline) enabling document UPSERT.
-FORMAT = 2
+# 3: a ``termstats`` table (per-term ``(df, cf)``, bucket-partitioned)
+#    rides every write batch, so BM25's per-term document frequencies
+#    read from a ≤|terms|-row pruned sidecar scan instead of
+#    re-aggregating the pruned postings per query (optimization r14).
+FORMAT = 3
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -182,14 +186,29 @@ def _derive_tables(
     partitions (the row-group-skipping discipline)."""
     out = {}
     toks = _tokens(docs, text_col, id_col, min_len)
-    postings = (
+    pcore = (
         toks.groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("tb", _term_bucket_col("term", n_buckets))
-        .repartition("tb")
-        .sortWithinPartitions("term", id_col)
     )
+    postings = pcore.repartition("tb").sortWithinPartitions("term", id_col)
     out["postings"] = (postings, ["tb"])
+    # per-term stats sidecar (FORMAT 3): df = distinct docs, cf = total
+    # occurrences, per write batch.  Postings rows are distinct
+    # (term, doc) by construction, so count(1) IS countDistinct(doc).
+    # Rows are ADDITIVE deltas: append/stream batches hold disjoint
+    # NEW doc ids by contract, so summing df across write batches
+    # reproduces the exact corpus-wide document frequency.
+    termstats = (
+        pcore.groupBy("term", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .repartition("tb")
+        .sortWithinPartitions("term")
+    )
+    out["termstats"] = (termstats, ["tb"])
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     out["doclens"] = (dl, [])
     if positions:
@@ -624,6 +643,57 @@ def near_search(
     )
 
 
+def _stats_dfreq(
+    spark: SparkSession, path: str, meta: dict, terms: list[str]
+) -> DataFrame | None:
+    """Exact per-term document frequencies from the ``termstats``
+    sidecar (FORMAT 3) — a ≤|terms|-row bucket-pruned scan instead of
+    re-aggregating the pruned postings per query.  Returns ``None``
+    when the sidecar cannot answer exactly and the caller must fall
+    back to the postings aggregation:
+
+    * live tombstones (a deleted doc's per-term df delta is unknown
+      without reading its postings — compaction folds them away);
+    * a pre-FORMAT-3 tree or a stream epoch missing the table (same-
+      version writers always land it; this is the fail-safe).
+    """
+    if int(meta.get("format") or 0) < 3:
+        # a FORMAT-2 tree that later writes appended a partial
+        # termstats delta must never be read as the whole sidecar
+        return None
+    if int(meta.get("tomb_docs", 0)) or int(meta.get("tombstones") or 0):
+        return None
+    if not os.path.isdir(os.path.join(path, "termstats")):
+        return None
+    spath = os.path.join(path, "stream")
+    epochs = []
+    if os.path.isdir(spath):
+        for e in sorted(os.listdir(spath)):
+            ed = os.path.join(spath, e)
+            if not (e.startswith("epoch=") and os.path.isdir(ed)):
+                continue
+            if os.path.isdir(os.path.join(ed, "postings")) and not (
+                os.path.isdir(os.path.join(ed, "termstats"))
+            ):
+                return None  # epoch predates the sidecar: fall back
+            epochs.append(e)
+    buckets = sorted(
+        {term_bucket_py(t, meta["n_buckets"]) for t in terms}
+    )
+    stats = (
+        _index_table(spark, path, "termstats", meta)
+        .where(F.col("tb").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+    )
+    if epochs or meta.get("appends"):
+        # multiple write batches may each carry a (term, df) delta row
+        return stats.groupBy("term").agg(
+            F.sum("df").cast("long").alias("dfreq")
+        )
+    # single-generation tree: exactly one row per term — no aggregation
+    return stats.select("term", F.col("df").alias("dfreq"))
+
+
 def bm25_topk(
     spark: SparkSession,
     path: str,
@@ -645,9 +715,15 @@ def bm25_topk(
     terms = sorted(set(_check_terms(terms)))
     n_docs, sum_dl = _live_stats(spark, path, meta)
     post = _pruned_postings(spark, path, meta, terms)
-    dfreq = post.groupBy("term").agg(
-        F.countDistinct(id_col).alias("dfreq")
-    )
+    # per-term df from the termstats sidecar when it can answer
+    # exactly (same long values as the aggregation — postings rows are
+    # distinct (term, doc), deltas additive); postings re-aggregation
+    # only as the tombstone/legacy fallback
+    dfreq = _stats_dfreq(spark, path, meta, terms)
+    if dfreq is None:
+        dfreq = post.groupBy("term").agg(
+            F.countDistinct(id_col).alias("dfreq")
+        )
     dl = _index_table(spark, path, "doclens", meta)
     # ONE double division of the sidecar's exact integers, performed at
     # plan-build time so the oracle interpolates the identical literal.
@@ -843,16 +919,41 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
         if name != "doclens":
             w = w.partitionBy("tb")
         w.parquet(os.path.join(path, name) + ".compacting")
+    # termstats re-aggregates from the FOLDED postings staging (never a
+    # union of the delta rows: the folded tree is the surviving corpus,
+    # so its per-term aggregate is the exact df/cf) — this also
+    # refreshes the sidecar past any tombstoned docs
+    staged_post = _read(
+        spark,
+        os.path.join(path, "postings") + ".compacting",
+        meta,
+        "postings",
+    )
+    (
+        staged_post.groupBy("term", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .withColumn("__gen", F.lit(0).cast("long"))
+        .repartition("tb")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(path, "termstats") + ".compacting")
+    )
+    names = names + ["termstats"]
     meta["folding"] = True
     _write_meta(path, meta)  # intent marker: metadata window begins
     for name in names:
         bpath = os.path.join(path, name)
-        os.rename(bpath, bpath + ".old")
+        if os.path.isdir(bpath):
+            os.rename(bpath, bpath + ".old")
         os.rename(bpath + ".compacting", bpath)
     shutil.rmtree(spath, ignore_errors=True)
     shutil.rmtree(tomb, ignore_errors=True)
     for name in names:
-        shutil.rmtree(os.path.join(path, name) + ".old")
+        shutil.rmtree(os.path.join(path, name) + ".old", ignore_errors=True)
     meta.pop("folding", None)
     meta.pop("tombstones", None)
     meta.pop("tomb_docs", None)

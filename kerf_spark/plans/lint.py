@@ -22,6 +22,18 @@ Tags:
                               a top-k result) this is fine — allowlist
                               it; for data-sized inputs use
                               windows.global_scan / chunked_moving.
+- ``generator-filter-dup``    a Generate (explode) whose inferred filter
+                              carries a ``lambdafunction`` body doing
+                              per-element ``element_at`` re-indexing:
+                              InferFiltersFromGenerate copies the WHOLE
+                              interpreted generator expression into a
+                              ``size(...) > 0`` filter that pushdown
+                              then moves below the exchange onto the
+                              scan — the generator body evaluates twice,
+                              serially (the r13 leg-6 dsir/bigram
+                              pathology: 16.1 s for 5k docs).  Rebuild
+                              the generator over ``arrays_zip``/``slice``
+                              so the per-element body is cheap.
 
 NOT a tag: ``Exchange SinglePartition``.  It appears in every final
 scalar aggregation (only partial-agg states cross it — idiomatic) —
@@ -70,6 +82,22 @@ def lint_plan(df: DataFrame) -> list[str]:
         tags.add("nested-loop-join")
     if "BatchEvalPython" in phys:
         tags.add("python-row-udf")
+    # the InferFiltersFromGenerate double-eval (r13 leg 6): only when a
+    # Generate is present AND some Filter condition re-evaluates a
+    # lambdafunction body that re-indexes with element_at — the exact
+    # duplicated-interpreted-generator signature (the cheap arrays_zip
+    # rebuild still infers a lambdafunction filter, but without the
+    # per-element element_at re-indexing)
+    if "Generate" in phys:
+        for line in phys.splitlines():
+            ls = line.lstrip()
+            if (
+                ls.startswith("Condition")
+                and "lambdafunction(" in ls
+                and "element_at(" in ls
+            ):
+                tags.add("generator-filter-dup")
+                break
     # inspect only the optimized-logical section of the extended output
     opt = logical.split("== Optimized Logical Plan ==")[-1]
     opt = opt.split("== Physical Plan ==")[0]

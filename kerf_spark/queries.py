@@ -13508,19 +13508,27 @@ def kerf_lang_running_verbs(spark, sf):
     )
 
 
-def _src_bytes(sf, name) -> int:
-    """Byte size of a source fixture (file or directory) — a pure
-    metadata freshness marker, no Spark job."""
+def _src_bytes(sf, name) -> str:
+    """Freshness marker of a source fixture (file or directory) — pure
+    metadata (stat calls), no Spark job.  ``"<total_bytes>:<max
+    mtime_ns>"``: folding mtime in closes the byte-size false positive
+    (VERDICT r13 #1 — a source rewrite that happens to preserve total
+    byte count must still read as stale).  Sidecars stamped by an
+    earlier round hold the bare byte integer, which never equals the
+    composite string, so they rebuild once and upgrade."""
     import os
 
     p = os.path.join(sf, f"{name}.parquet")
     if os.path.isfile(p):
-        return os.path.getsize(p)
-    return sum(
-        os.path.getsize(os.path.join(d, f))
-        for d, _, fs in os.walk(p)
-        for f in fs
-    )
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    sizes = mt = 0
+    for d, _, fs in os.walk(p):
+        for f in fs:
+            st = os.stat(os.path.join(d, f))
+            sizes += st.st_size
+            mt = max(mt, st.st_mtime_ns)
+    return f"{sizes}:{mt}"
 
 
 def _keyed_orders_ws(spark, sf):

@@ -107,7 +107,10 @@ def effective_scan_splits(path: str, cap: int) -> int:
     2. total bytes ``>= cap * 128MB`` — any sane writer rolls row
        groups well under 128 MB, so the scan is splittable, stop
        (this is the branch a 100 TB table takes: a handful of stat
-       calls, never a footer sweep);
+       calls, never a footer sweep; a pathological writer emitting
+       multi-GB row groups would be misclassified as splittable here —
+       a perf-only false NEGATIVE: the scan stays serial exactly as it
+       would without the probe, never a wrong result);
     3. only now (few files AND small) read the parquet footers and sum
        the actual row-group counts.
     """
@@ -146,7 +149,10 @@ def effective_scan_splits(path: str, cap: int) -> int:
             _SPLITS_CACHE.clear()
         _SPLITS_CACHE[key] = splits
         return splits
-    except OSError:
+    except Exception:
+        # fail OPEN: any probe failure (OSError, a corrupt/truncated
+        # footer raising pyarrow.ArrowInvalid, ...) claims "parallel
+        # enough" and never forces an exchange
         return cap
 
 

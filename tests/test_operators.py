@@ -487,6 +487,72 @@ def test_asof_merge_equals_window_variant(spark, tables):
     assert a.count() == left.count()
 
 
+def test_asof_merge_bucket_path_nulls_and_mixed_dtypes(spark):
+    """The r14 coarse-bucket merge path must keep Spark's group
+    identity for NULL keys (NULL = NULL matches; pandas ``by``
+    matching alone would drop them) and survive the dtype skew a
+    null-carrying key column picks up in the Arrow->pandas conversion
+    (int64 one side, float64 the other).  Window variant is the
+    semantic oracle; a 1-bucket override forces every key group —
+    null and not — through ONE pandas dispatch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark.operators.asof import asof_join, asof_join_merge
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 300, 11), (2, 150, 12), (None, 120, 13),
+         (None, 500, 14), (3, 50, 15)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 250, 2.0), (2, 150, 3.0), (None, 100, 4.0),
+         (None, 400, 5.0), (4, 10, 6.0)],
+        "k long, ts long, px double",
+    )
+
+    def res(df):
+        return {
+            (r["lid"]): r["px"]
+            for r in df.select("lid", "px").collect()
+        }
+
+    for nb in (None, "1"):
+        prior = os.environ.get("KERF_ASOF_MERGE_BUCKETS")
+        if nb is not None:
+            os.environ["KERF_ASOF_MERGE_BUCKETS"] = nb
+        try:
+            got = res(
+                asof_join_merge(
+                    left, right, on="ts", by="k", right_cols=["px"]
+                )
+            )
+        finally:
+            if nb is not None:
+                if prior is None:
+                    os.environ.pop("KERF_ASOF_MERGE_BUCKETS", None)
+                else:
+                    os.environ["KERF_ASOF_MERGE_BUCKETS"] = prior
+        want = res(
+            asof_join(left, right, on="ts", by="k", right_cols=["px"])
+        )
+        assert got == want, (nb, got, want)
+        # the NULL-key rows really did match the NULL-key right rows
+        assert got[13] == 4.0 and got[14] == 5.0
+
+    # float by-keys keep the per-key cogroup (exact NULL-vs-NaN group
+    # identity): plan shows the multi-column grouping, not the bucket
+    fl = left.withColumn("k", F.col("k").cast("double"))
+    fr = right.withColumn("k", F.col("k").cast("double"))
+    out = asof_join_merge(fl, fr, on="ts", by="k", right_cols=["px"])
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__kf_bucket" not in plan
+    assert res(out) == res(
+        asof_join(fl, fr, on="ts", by="k", right_cols=["px"])
+    )
+
+
 def test_asof_property_vs_pandas_oracle(spark):
     """Randomized check against pandas.merge_asof as brute-force oracle."""
     import random

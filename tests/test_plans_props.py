@@ -901,6 +901,35 @@ def test_lint_plan_detects_each_antipattern(spark):
     slow = F.udf(lambda x: x + 1, LongType())
     assert "python-row-udf" in lint_plan(df.select(slow("id").alias("y")))
 
+    # InferFiltersFromGenerate double-eval: exploding an ALIASED
+    # generator whose per-element lambda re-indexes with element_at
+    # (the r13 leg-6 dsir/bigram pathology) — the rule infers
+    # size(__g) > 0 on the attribute and projection collapse then
+    # copies the whole interpreted body into the pushed filter
+    words = df.selectExpr(
+        "id", "split(concat('a b c d ', cast(id as string)), ' ') as __w"
+    )
+    bad = words.selectExpr(
+        "id",
+        "transform(sequence(1, size(__w) - 1),"
+        " i -> concat_ws(' ', element_at(__w, i),"
+        " element_at(__w, i + 1))) as __g",
+    ).selectExpr("id", "explode(__g) as g")
+    assert "generator-filter-dup" in lint_plan(bad)
+    # ... while the arrays_zip rebuild (cheap struct-field body) and a
+    # deliberate element_at filter WITHOUT a Generate both stay clean
+    good = words.selectExpr(
+        "id",
+        "transform("
+        " arrays_zip(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1)),"
+        " s -> concat_ws(' ', s['0'], s['1'])) as __g",
+    ).selectExpr("id", "explode(__g) as g")
+    assert "generator-filter-dup" not in lint_plan(good)
+    nogen = words.where(
+        "size(filter(__w, x -> element_at(__w, 1) = x)) > 0"
+    )
+    assert "generator-filter-dup" not in lint_plan(nogen)
+
 
 @settings(max_examples=6, deadline=None)
 @given(
@@ -1023,12 +1052,16 @@ def test_atlas_write_path_is_zero_exchange(spark):
     # the operator path itself (no spread wrapper) is zero-exchange
     import os
 
+    prior = os.environ.get("KERF_SPREAD_SCAN")
     os.environ["KERF_SPREAD_SCAN"] = "0"
     try:
         bare = plan_of(QUERIES["atlas_nested_update"](spark, SF), "simple")
         assert "Exchange" not in bare
     finally:
-        os.environ.pop("KERF_SPREAD_SCAN", None)
+        if prior is None:
+            os.environ.pop("KERF_SPREAD_SCAN", None)
+        else:
+            os.environ["KERF_SPREAD_SCAN"] = prior
 
 
 def test_fp16_roundtrip_is_scan_shaped(spark):

@@ -253,6 +253,10 @@ PLAN_LINT_ALLOW = {
     },
     "python-row-udf": set(),
     "cartesian-product": set(),
+    # the InferFiltersFromGenerate double-eval (r13 leg 6) — never
+    # acceptable: the fix is mechanical (arrays_zip/slice generator
+    # bodies), so no query may allowlist it
+    "generator-filter-dup": set(),
 }
 
 

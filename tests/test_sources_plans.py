@@ -3812,6 +3812,8 @@ def test_spread_scan_parallelizes_unsplittable_and_noops_on_parallel(
     from kerf_spark.sources.io import effective_scan_splits, spread_scan
 
     p = spark.sparkContext.defaultParallelism
+    if p < 2:
+        pytest.skip("spread_scan no-ops at defaultParallelism < 2")
     one = str(tmp_path / "one.parquet")
     pq.write_table(
         pa.table({"k": list(range(1000)), "v": [i * 2 for i in range(1000)]}),
@@ -3829,7 +3831,8 @@ def test_spread_scan_parallelizes_unsplittable_and_noops_on_parallel(
 
     many = str(tmp_path / "many.parquet")
     pq.write_table(
-        pa.table({"k": list(range(1000))}), many, row_group_size=1000 // p
+        pa.table({"k": list(range(1000))}), many,
+        row_group_size=max(1, 1000 // p),
     )
     assert effective_scan_splits(many, p) >= p
     df2 = spark.read.parquet(many)

@@ -118,6 +118,40 @@ def test_bm25_matches_independent_python(spark, docs, index):
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
 
 
+def test_bm25_dfreq_rides_termstats_sidecar(spark, docs, index, tmp_path):
+    """FORMAT 3 (optimization r14): on a clean index, BM25's per-term
+    document frequencies come from the ``termstats`` sidecar — the
+    plan scans termstats and carries NO count(distinct) postings
+    re-aggregation — and the scores are bitwise identical to the
+    fallback aggregation path (tombstones force it)."""
+    fast = TI.bm25_topk(spark, index, TERMS, k=10)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "termstats" in plan
+    assert "distinct" not in plan.lower()
+
+    # the fallback path (monkey-free: a tombstoned twin index) must
+    # agree bitwise on the shared surviving corpus
+    twin = str(tmp_path / "twin")
+    TI.build_text_index(docs, twin, n_buckets=32)
+    victim = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(1).collect()
+    ]
+    TI.delete_from_text_index(twin, victim)
+    slow = TI.bm25_topk(spark, twin, TERMS, k=10)
+    splan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" in splan.lower()  # tombstones -> exact fallback
+    # rebuild the fast index without the victim: identical rows
+    fast2_path = str(tmp_path / "fast2")
+    TI.build_text_index(
+        docs.where(~F.col("doc_id").isin(victim)), fast2_path, n_buckets=32
+    )
+    fast2 = TI.bm25_topk(spark, fast2_path, TERMS, k=10)
+    a = sorted(map(tuple, fast2.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b
+
+
 def test_probe_scan_is_partition_pruned(spark, docs, index):
     dirs = [
         d
