@@ -10217,11 +10217,16 @@ def bloom_semi_join_lineitems(spark, sf):
     which is why the oracle is the plain IN-subquery.  At 100 TB this
     is the runtime-filter discipline: shuffle volume is proportional
     to the (probable) matches, not the fact table."""
-    # the md5-positions probe is an expensive map-side expression, and
-    # the fixture's single-row-group lineitem scans as ONE task — spread
-    # the scan (projected to the 3 used columns) so the probe runs on
-    # every core; no-op at cluster scale where the scan is parallel
-    # (guide §2.5; measured 2.6 s single-task probe → 0.4 s spread)
+    # spread the unsplittable single-row-group lineitem scan (projected
+    # to the 3 used columns); no-op at cluster scale (guide §2.5).
+    # ATTRIBUTION (ADVICE r13, re-measured r14): Catalyst pushes the
+    # deterministic md5 probe filter BELOW this exchange onto the
+    # single-task scan, so the spread parallelizes only the downstream
+    # partial aggregate — a small, real win (5.60 → 5.28 s med at
+    # sf0.1; the r13 2.6→0.4 claim belonged to the m_bits floor).  A
+    # nondeterministic pushdown barrier pinning the probe ABOVE the
+    # exchange was built and measured SLOWER (5.90 med): post-floor the
+    # serial probe is cheaper than shuffling the pre-filter rows.
     li = spread_scan(
         spark,
         _t(spark, sf, "lineitem").select(

@@ -48,6 +48,17 @@ ENGINE_CONFS: dict[str, str] = {
     # (region/nation) are pinned with F.broadcast() at the query sites.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Streaming state store: RocksDB instead of the default HDFS-backed
+    # in-heap map (guide §5 — bounded native memory, no per-batch full
+    # snapshot rewrite).  Measured r14 at sf0.01, warm runs: the
+    # stream-stream join 22.0 → 13.8 s, incremental stream dedup
+    # 4.03 → 2.46 s (multi-micro-batch stateful rows, 1.6x); the
+    # single-batch windowed-bars metric pays RocksDB init once
+    # (2.64 → 3.45 s) — the many-batch shape is what production runs.
+    # Results are state-store-independent (oracle-checked either way).
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     # BIGINT_UNIT boundary (enums.h:230, SURVEY §1.2): kerf's
     # arbitrary-precision integer maps to DecimalType(38,0).  Pinned ANSI
     # mode (Spark 4's default, but a cluster's spark-defaults may flip

@@ -856,3 +856,47 @@ def test_workspace_append_auto_backfills_late_rows(spark, tmp):
     n_epochs = len(meta["epochs"])
     ws.append("ticks", ev.limit(0))  # empty: no-op on both paths
     assert len(RU.rollup_meta(path)["epochs"]) == n_epochs
+
+
+def test_freshness_marker_catches_same_byte_rewrite(spark, tmp_path):
+    """VERDICT r13 #1: the source-bytes freshness marker must fold
+    mtime in — a source rewrite that preserves total byte count still
+    reads as stale and rebuilds — while the fresh path stays a pure
+    stat probe (ZERO Spark jobs in its job group)."""
+    from kerf_spark.queries import QUERIES, _ann_index_dir, _src_bytes
+
+    sfdir = str(tmp_path / "sfx")
+    os.makedirs(sfdir)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(sfdir, "events.parquet"),
+    )
+    q = QUERIES["rollup_incremental_bars"]
+    path = _ann_index_dir(sfdir, "rollup")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        q(spark, sfdir).collect()  # builds + stamps the marker
+        m0 = RU.rollup_meta(path)["src_bytes"]
+        assert m0 == _src_bytes(sfdir, "events")
+        # fresh path: constructing the query runs NO Spark jobs
+        sc = spark.sparkContext
+        sc.setJobGroup("freshprobe_r14", "freshness probe")
+        try:
+            q(spark, sfdir)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert (
+            list(sc.statusTracker().getJobIdsForGroup("freshprobe_r14"))
+            == []
+        )
+        assert RU.rollup_meta(path)["src_bytes"] == m0
+        # rewrite with IDENTICAL bytes but a new mtime -> stale
+        src = os.path.join(sfdir, "events.parquet")
+        st = os.stat(src)
+        os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+        m1 = _src_bytes(sfdir, "events")
+        assert m1 != m0
+        q(spark, sfdir).collect()  # rebuild happened: marker restamped
+        assert RU.rollup_meta(path)["src_bytes"] == m1
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

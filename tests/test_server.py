@@ -598,6 +598,103 @@ def test_folio_select_splits_algebraic_aggregates(spark):
             s.stop()
 
 
+def test_folio_driver_final_matches_spark_final_bitwise(
+    spark, monkeypatch
+):
+    """VERDICT r13 #2/#5: ``_folio_driver_final`` is a second
+    implementation of Spark's final-merge semantics, so the invariant
+    must be ENFORCED, not remembered — randomized member data heavy in
+    NaN / NULL / ±0.0 / ties runs every supported final through BOTH
+    paths (the driver fold, then the Spark final with the fast gate
+    monkeypatched off) and compares float cells by their IEEE-754 bit
+    patterns.  Ten dataset draws x ~10 groups x 9 finals ≈ hundreds of
+    per-group fold shapes.  Tied max_by/min_by orderings carry the
+    SAME payload value (ties are resolved by member/scan order, which
+    two independent gathers may legitimately differ on — equal
+    payloads make the comparison tie-invariant while still exercising
+    the NaN-greatest and strict-improvement update rules)."""
+    import math
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from kerf_spark import server as SRV
+    from kerf_spark.server import folio_select
+
+    rng = random.Random(20260818)
+    NAN = float("nan")
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            t = []
+            for v in r:
+                if isinstance(v, float):
+                    t.append("f:" + struct.pack(">d", v).hex())
+                else:
+                    t.append(repr(v))
+            out.append(tuple(t))
+        return sorted(out)
+
+    stmt = (
+        "select k, count(*) as n, sum(v) as sv, sum(i) as si,"
+        " min(v) as mnv, max(v) as mxv, avg(v) as av,"
+        " max_by(name, o) as mb, min_by(name, o) as nb,"
+        " string_agg(name, i) as sa"
+        " from t group by k"
+    )
+    vpool = [
+        0.0, -0.0, NAN, 1e300, -1e300, 1e-300, 0.1, 0.1, 2.5,
+        -7.25, None, None, 1234567.875,
+    ]
+    opool = [0.0, -0.0, NAN, NAN, 1.5, 1.5, -3.0, 9e99, None, 42.0]
+    for draw in range(10):
+        keys = [f"g{j}" for j in range(rng.randint(1, 9))] + [None]
+        rows = []
+        for ridx in range(rng.randint(5, 120)):
+            o = rng.choice(opool)
+            # tie-invariant payload: equal o => equal name (NaN keys
+            # one shared name; None keeps a NULL payload sometimes)
+            name = (
+                None
+                if o is None and rng.random() < 0.5
+                else "n" + (
+                    "nan" if isinstance(o, float) and math.isnan(o)
+                    else repr(abs(o) if o == 0 else o)
+                )
+            )
+            rows.append((
+                rng.choice(keys),
+                rng.choice(vpool),
+                rng.randint(-5, 5) if rng.random() < 0.9 else None,
+                name,
+                o,
+            ))
+        nsh = rng.randint(2, 3)
+        # deterministic shard split on the row index
+        idx = spark.createDataFrame(
+            [(i, *r) for i, r in enumerate(rows)],
+            "ri long, k string, v double, i bigint, name string, o double",
+        )
+        shards = [
+            idx.where(F.col("ri") % nsh == j).drop("ri") for j in range(nsh)
+        ]
+        srvs = [
+            KerfServer(spark, tables={"t": sh}).start() for sh in shards
+        ]
+        try:
+            addrs = [s.address for s in srvs]
+            fast_rows = folio_select(spark, addrs, stmt).collect()
+            with monkeypatch.context() as m:
+                m.setattr(SRV, "_fast_types_ok", lambda *a, **k: False)
+                slow_rows = folio_select(spark, addrs, stmt).collect()
+            assert canon(fast_rows) == canon(slow_rows), (draw, stmt)
+        finally:
+            for s in srvs:
+                s.stop()
+
+
 def test_folio_select_refuses_unsplittable_aggregates(spark):
     """Order/position-dependent aggregates cannot be rebuilt from
     member partials — typed refusal, no silent wrong answer; bad
