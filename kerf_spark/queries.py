@@ -7534,14 +7534,21 @@ def approx_distinct_tolerance(spark, sf):
     sf0.001), so the boolean holds at every fixture scale while still
     exercising the sketch path."""
     li = _t(spark, sf, "lineitem")
-    return li.agg(
-        F.countDistinct("l_orderkey").alias("exact_cnt"),
+    # ONE distinct pass feeds both sides (optimization r14): mixing a
+    # DISTINCT aggregate with a non-distinct one in a single agg makes
+    # Catalyst plan the 4-Exchange distinct rewrite (measured 2.2-2.6 s
+    # vs 0.35 + 0.9 for each alone at sf0.01).  HLL++ is duplicate-
+    # insensitive — registers are per-bucket maxima of a deterministic
+    # hash, so the sketch over the DISTINCT key set is bit-identical to
+    # the sketch over the multiset — and count(*) over the distinct
+    # keys IS countDistinct.  2 Exchanges, one scan, same values.
+    keys = li.select("l_orderkey").distinct()
+    cnt = F.count(F.lit(1))
+    return keys.agg(
+        cnt.alias("exact_cnt"),
         (
-            F.abs(
-                F.approx_count_distinct("l_orderkey", 0.01)
-                - F.countDistinct("l_orderkey")
-            )
-            <= 0.05 * F.countDistinct("l_orderkey")
+            F.abs(F.approx_count_distinct("l_orderkey", 0.01) - cnt)
+            <= 0.05 * cnt
         ).alias("within_5pct"),
     )
 
@@ -8242,9 +8249,12 @@ def interp_resample(spark, sf):
         d, on="t_us", step=21_600_000_000, by="event_type", val_col="value",
         out="interp",
     )
+    # no final orderBy: result-only sort (order-insensitive driver/
+    # oracle compare); its range-partition sample pass re-executed the
+    # whole double-as-of pipeline (the r13 f651b40 discipline)
     return out.select(
         "event_type", "t_us", F.round("interp", 6).alias("interp")
-    ).orderBy("event_type", "t_us")
+    )
 
 
 @query(
@@ -10220,13 +10230,14 @@ def bloom_semi_join_lineitems(spark, sf):
     # spread the unsplittable single-row-group lineitem scan (projected
     # to the 3 used columns); no-op at cluster scale (guide §2.5).
     # ATTRIBUTION (ADVICE r13, re-measured r14): Catalyst pushes the
-    # deterministic md5 probe filter BELOW this exchange onto the
-    # single-task scan, so the spread parallelizes only the downstream
-    # partial aggregate — a small, real win (5.60 → 5.28 s med at
-    # sf0.1; the r13 2.6→0.4 claim belonged to the m_bits floor).  A
-    # nondeterministic pushdown barrier pinning the probe ABOVE the
-    # exchange was built and measured SLOWER (5.90 med): post-floor the
-    # serial probe is cheaper than shuffling the pre-filter rows.
+    # deterministic md5 probe filter BELOW a bare spread exchange onto
+    # the single-task scan (filters push through RepartitionByExpression
+    # regardless of determinism — a nondeterministic wrapper was built,
+    # did NOT stop the pushdown, and was removed), so the plain spread
+    # only parallelized the downstream partial aggregate (5.60 → 5.28 s
+    # med; the r13 2.6→0.4 claim belonged to the m_bits floor).
+    # pin=True cuts lineage so the probe genuinely evaluates
+    # post-exchange on every core: probe 2.7 s serial → 0.36 s.
     li = spread_scan(
         spark,
         _t(spark, sf, "lineitem").select(
@@ -10234,6 +10245,7 @@ def bloom_semi_join_lineitems(spark, sf):
         ),
         f"{sf}/lineitem.parquet",
         "l_orderkey",
+        pin=True,
     )
     o = _t(spark, sf, "orders").where(
         F.col("o_totalprice") > 400000
@@ -12401,7 +12413,11 @@ def ann_recall_meter(spark, sf):
     only — corpus-size-independent."""
     em = _t(spark, sf, "embeddings")
     q = em.where(F.col("vec_id") < 8)
-    exact = SIM.cosine_topk(em, q, k=5)
+    # the exact top-k feeds all FOUR meter branches: without the lazy
+    # checkpoint each union branch re-executes the whole exact cosine
+    # pass (4 copies of the subtree in one plan) — |q|*k rows, so the
+    # checkpoint is tiny (optimization r14; 4.43 -> 2.41 s med sf0.01)
+    exact = SIM.cosine_topk(em, q, k=5).localCheckpoint(eager=False)
     ivf = SIM.ivf_topk(em, q, k=5, n_cells=8, nprobe=4)
     books = SIM.pq_fit(em, m=8, k=16)
     pq = SIM.pq_topk(em, q, books, k=5)
@@ -12420,12 +12436,14 @@ def ann_recall_meter(spark, sf):
             "recall",
         )
 
+    # no final orderBy: result-only sort (order-insensitive driver/
+    # oracle compare); its range-partition sample pass re-executed the
+    # whole four-branch union (the r13 f651b40 discipline)
     return (
         meter(ivf, "ivf")
         .unionByName(meter(ivfpq, "ivfpq"))
         .unionByName(meter(pq, "pq"))
         .unionByName(meter(pqr, "pq_rerank"))
-        .orderBy("method", "query_id")
     )
 
 
@@ -15525,9 +15543,47 @@ _R13_WINDOW = [
 # trailing r6 rows park green and head the r14 queue.
 
 
+#: Round-14 driver window (VERDICT r13 next #10 — keep the rotation
+#: honest): first every row whose RESULTS this round's optimization
+#: could touch — the rewritten asof merge operator, the whole
+#: text-index family (FORMAT 3 termstats sidecar), the pinned-spread
+#: bloom semi-join, the freshness-marker rollup/matview/keyed rows,
+#: and three stateful stream rows under the new RocksDB state store —
+#: then the OLDEST-checked rows filling to 50 (the r6 cohort that the
+#: r13 truncation parked, then r7 greens; staleness table mined from
+#: CORRECTNESS_r01..r13 in OPTIMIZATION_r14.md).  Every touched row
+#: was value-checked locally against the same DuckDB oracle before its
+#: commit — the slot-trading policy r11-r13 followed.
+_R14_WINDOW = [
+    # results-touched this round
+    "asof_merge_latest_order", "bm25_topk_docs", "bm25_append_topk",
+    "bm25_stream_append_topk", "bm25_delete_topk", "bm25_upsert_topk",
+    "near_search_docs", "phrase_search_docs", "inverted_index_terms",
+    "text_index_search", "text_index_search_any",
+    "bloom_semi_join_lineitems",
+    "rollup_incremental_bars", "rollup_quantile_bars",
+    "matview_enriched_lineitem",
+    "keyed_point_lookup", "keyed_tuple_lookup",
+    "stream_stream_join_batch", "stream_window_counts", "stream_ema",
+    # oldest-checked fillers: the parked r6 cohort ...
+    "session_windows", "stochastic_events", "stream_drawdown",
+    "stream_socket_ingest", "tick_rule_flow", "volume_bars_events",
+    "weighted_sample_docs", "xbar_5min_bars",
+    # ... then the oldest r7 greens, filling to 50
+    "ann_recall_meter", "atlas_collection_find", "atlas_drift_append",
+    "atlas_json_struct", "atlas_nested_update", "atlas_schema_profile",
+    "cosine_topk_exact", "ewma_user_value", "ffill_quotes",
+    "fp16_embeddings_roundtrip", "grade_rank", "hist_quantile_events",
+    "ivf_ann_topk_oracle", "ivf_indexed_topk", "ivfpq_ann_topk",
+    "ivfpq_indexed_topk", "kerf_lang_protected_eval", "lead_lag_shift",
+    "lsh_ann_topk_oracle", "moving_avg", "ppjoin_exact_pairs",
+    "pq_ann_topk",
+]
+
+
 def _reorder_registry() -> None:
     global QUERIES, ORACLES
-    window = [k for k in _R13_WINDOW if k in QUERIES][:50]
+    window = [k for k in _R14_WINDOW if k in QUERIES][:50]
     taken = set(window)
     green = [k for k in _DRIVER_GREEN if k in QUERIES and k not in taken]
     taken |= set(green)

@@ -157,7 +157,11 @@ def effective_scan_splits(path: str, cap: int) -> int:
 
 
 def spread_scan(
-    spark: SparkSession, df: DataFrame, path: str, key: str
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    pin: bool = False,
 ) -> DataFrame:
     """Hash-repartition an UNSPLITTABLE-small scan across the cluster
     (guide §2.5 "input skew: one huge unsplittable file … repartition
@@ -181,6 +185,18 @@ def spread_scan(
     identical, so any row-wise or aggregate consumer computes the same
     result (aggregation merge ORDER may differ, as it already does
     under AQE coalescing).
+
+    ``pin=True`` additionally cuts lineage with a LAZY localCheckpoint
+    on the spread branch: Catalyst pushes filters through
+    ``RepartitionByExpression`` regardless of determinism (placement
+    cannot change filter semantics), so an expensive downstream
+    predicate otherwise slides below the exchange back onto the serial
+    scan (ADVICE r13 — the bloom md5 probe, measured 2.7 s single-task
+    vs 0.36 s post-exchange at sf0.1).  The checkpoint materializes
+    inside the consumer's first action (a few MB for the projected
+    columns) and exists ONLY where the probe fired — the cluster-scale
+    no-op branch returns ``df`` untouched and never materializes
+    anything.
     """
     import os
 
@@ -189,7 +205,10 @@ def spread_scan(
     p = spark.sparkContext.defaultParallelism
     if p <= 1 or effective_scan_splits(path, p) >= p:
         return df
-    return df.repartition(p, F.col(key))
+    out = df.repartition(p, F.col(key))
+    if pin:
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def read_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -283,9 +283,9 @@ def test_driver_window_is_the_first_fifty():
     round; the rotation window must BE that prefix, every name must
     resolve, and never-checked new work must sit immediately after it
     (before the parked greens) so the next rotation reaches it."""
-    from kerf_spark.queries import _DRIVER_GREEN, _R13_WINDOW
+    from kerf_spark.queries import _DRIVER_GREEN, _R14_WINDOW
 
-    window = [k for k in _R13_WINDOW if k in QUERIES][:50]
+    window = [k for k in _R14_WINDOW if k in QUERIES][:50]
     assert len(window) == 50
     assert list(QUERIES)[:50] == window
     green = set(_DRIVER_GREEN)
