@@ -234,6 +234,7 @@ def asof_join_merge(
     tolerance_ns: int | None = None,
     suffix: str = "_r",
     direction: str = "backward",
+    batch_keys: bool = True,
 ) -> DataFrame:
     """Same semantics as :func:`asof_join` (all three directions),
     alternate physical strategy: co-grouped ``applyInPandas`` running
@@ -262,7 +263,11 @@ def asof_join_merge(
     partitioning, so a cluster sized for the data gets proportionally
     more buckets and each task materializes a bounded slice.  Float /
     double ``by`` keys keep the per-key cogroup (exact NULL-vs-NaN
-    group identity cannot survive the pandas conversion).
+    group identity cannot survive the pandas conversion) — as does
+    ``batch_keys=False``: pass it when both inputs are CO-BUCKETED on
+    ``by`` (``Workspace.save_bucketed``), where the per-key cogroup
+    inherits the bucketed scans' distribution and the whole as-of runs
+    with ZERO exchanges (a derived batch key would reintroduce two).
 
     Requires at least one ``by`` key (the window variant also supports
     global as-of).
@@ -299,7 +304,7 @@ def asof_join_merge(
     r_on, r_keys = f"__r_{on}", [f"__r_{c}" for c in by]
     r_carry = [f"__r_{c}" for c in right_cols]
     ltypes = dict(left.dtypes)
-    coarse = not any(
+    coarse = batch_keys and not any(
         ltypes.get(c) in ("float", "double") for c in by
     )
 

@@ -526,6 +526,44 @@ def bloom_member_col(
     # (exact integer decimals, outer cast pins the type)
     from .similarity import array_lit
 
+    w = _bloom_geometry(m_bits, k)
+    if len(words) > 2048:
+        # LARGE filters (> 128 Kbit): the array literal is thousands of
+        # expression-tree NODES, parsed per run and re-walked by every
+        # optimizer/AQE pass (measured ~1.3 s of construct for the
+        # 8192-word sf0.1 semi-join filter).  Encode the whole bitset
+        # as ONE binary literal (a single tree node, one py4j call,
+        # codegen reference) and test the bit through an O(1) one-byte
+        # slice: byte j of the buffer holds filter bits [8j, 8j+8)
+        # (little-endian within each 64-bit word), so bit p lives at
+        # byte p//8, position p%8 — proven bitwise equal to the array
+        # form over random filters (the focused test below) and on the
+        # oracle rows.  Small filters keep the array form: element_at
+        # on a small literal is cheaper per row than hex+conv.
+        buf = bytearray(len(words) * 8)
+        for wi, wv in enumerate(words):
+            buf[wi * 8:(wi + 1) * 8] = (
+                int(wv) & ((1 << 64) - 1)
+            ).to_bytes(8, "little")
+        blit = F.lit(bytes(buf))
+        kc = F.col(key) if isinstance(key, str) else key
+        h = F.md5(F.concat(kc, F.lit("#" + salt)))
+        out = None
+        for j in range(int(k)):
+            p = F.conv(F.substring(h, 1 + w * j, w), 16, 10).cast(
+                "long"
+            ) % F.lit(int(m_bits))
+            byte = F.substr(
+                blit, (F.floor(p / F.lit(8)) + 1).cast("long"), F.lit(1)
+            )
+            v = F.conv(F.hex(byte), 16, 10).cast("int")
+            mask = F.pow(
+                F.lit(2.0), (p % F.lit(8)).cast("double")
+            ).cast("int")
+            hit = v.bitwiseAND(mask) != 0
+            out = hit if out is None else (out & hit)
+        return out
+
     arr = array_lit([int(w) for w in words], "bigint")
     # SAME hash family as bloom_positions (one md5 per key, k slices of
     # min(32//k, 15) hex digits each — 8 digits at the default k=4) but
@@ -535,7 +573,6 @@ def bloom_member_col(
     # (measured 12.8s vs 2.8s codegen'd at sf1).  Unrolling keeps
     # codegen; repeated md5 collapses via subexpression elimination,
     # and big literals enter generated code as references, not source.
-    w = _bloom_geometry(m_bits, k)
     kc = (F.col(key) if isinstance(key, str) else key)
     h = F.md5(F.concat(kc, F.lit("#" + salt)))
     out = None

@@ -9084,6 +9084,10 @@ def asof_bucketed_colocated(spark, sf):
     out = asof_join_merge(
         ws.load("ev_bkt"), ws.load("ord_bkt"),
         on="ts", by="user_id", right_cols=["orderkey", "totalprice"],
+        # co-bucketed inputs: the per-key cogroup inherits the bucketed
+        # distribution (zero exchanges); a derived batch key would
+        # reintroduce two (r14 batch_keys note)
+        batch_keys=False,
     )
     return out.where(F.col("orderkey").isNotNull()).select(
         "event_id", "user_id", "orderkey",
@@ -15491,6 +15495,12 @@ _R12_WINDOW = [
     "multimodal_gif_decode", "multimodal_video_decode",
     "pagerank_supplier_nations", "pca_project_embeddings",
     "percentile_disc_cont",
+    # r13 green (CORRECTNESS_r13 — 50/50; these 7 are the rows not
+    # already green from an earlier round, folded in by r14 since the
+    # r13 driver pass ran after the r13 builder's last commit)
+    "folio_window_ma", "folio_asof_cosharded", "kerfsql_over_window",
+    "folio_topk_orders", "kerfsql_qualify_topn", "folio_heavy_hitters",
+    "folio_remote_distinct",
 ]
 # overshoots 50 on purpose: _reorder_registry truncates, keeping the
 # truncated tail parked-green for the next rotation.

@@ -1403,6 +1403,45 @@ def test_bloom_bit63_is_reachable_and_roundtrips(spark):
     assert flagged.filter(F.col("maybe_member") == 0).count() == 0
 
 
+def test_bloom_member_binary_form_equals_array_form(spark):
+    """The r14 large-filter probe encoding (one binary literal + O(1)
+    byte slice) must test exactly the filter bits the array form does:
+    compared against a pure-Python twin of the md5 position family
+    over a random signed-word filter — any byte-layout or
+    sign-extension slip is a mismatch."""
+    import random
+
+    from kerf_spark.operators import curation as CU
+
+    rng = random.Random(20260819)
+    m_bits, k, salt = 1 << 18, 4, "bsj"  # 4096 words: binary branch
+    uw = [rng.getrandbits(64) for _ in range(m_bits // 64)]
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in uw]
+    keys = spark.range(5000).select(F.col("id").cast("string").alias("s"))
+    assert len(words) > 2048  # takes the binary-literal branch
+    got = [
+        r.x
+        for r in keys.select(
+            CU.bloom_member_col(F.col("s"), words, m_bits, k, salt)
+            .alias("x")
+        ).collect()
+    ]
+    import hashlib
+
+    w = 32 // k
+    def py_member(s):
+        h = hashlib.md5((s + "#" + salt).encode()).hexdigest()
+        for j in range(k):
+            p = int(h[w * j: w * j + w], 16) % m_bits
+            if not (words[p // 64] >> (p % 64)) & 1:
+                return False
+        return True
+
+    want = [py_member(str(i)) for i in range(5000)]
+    assert got == want
+    assert any(want) and not all(want)
+
+
 def test_inverted_index_df_exact_and_postings_capped(spark):
     docs = spark.createDataFrame(
         [

@@ -1269,8 +1269,13 @@ def test_phrase_search_equals_python_on_random_docs(
 
 def test_ppjoin_audit_leaves_no_pinned_cache(spark):
     """ADVICE r8 (low): ppjoin_prefix_buckets must not pin the shingle
-    stage in the Spark cache — the audit path never re-reads it, so it
-    skips the persist that ppjoin_pairs legitimately uses."""
+    stage in the session-lived plan cache.  The r14 lazy
+    ``localCheckpoint`` on the audit path DOES register its
+    materialized RDD in ``getPersistentRDDs`` — but that entry is
+    ContextCleaner-managed (unpersisted when the DataFrame is GC'd),
+    unlike a ``.persist()``, whose CacheManager entry survives until an
+    explicit unpersist.  So the invariant is: every persistent RDD the
+    audit adds is a locally-checkpointed one, never a cache entry."""
     from pyspark.sql import functions as F
 
     from kerf_spark.operators import dedup as DD
@@ -1281,10 +1286,13 @@ def test_ppjoin_audit_leaves_no_pinned_cache(spark):
             "text"
         ),
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    jm = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(k) for k in jm.keySet().toArray()}
     DD.ppjoin_prefix_buckets(docs, threshold=0.5).collect()
-    assert jsc.getPersistentRDDs().size() == before
+    jm = spark.sparkContext._jsc.getPersistentRDDs()
+    added = {int(k) for k in jm.keySet().toArray()} - before
+    for rid in added:
+        assert jm.get(rid).rdd().isLocallyCheckpointed(), rid
 
 
 def test_bucket_cap_warning_fires_once_per_operator(spark, caplog):
