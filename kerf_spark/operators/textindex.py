@@ -78,7 +78,12 @@ _META = "text_index.json"
 #    rides every write batch, so BM25's per-term document frequencies
 #    read from a ≤|terms|-row pruned sidecar scan instead of
 #    re-aggregating the pruned postings per query (optimization r14).
-FORMAT = 3
+# 4: deletes append NEGATIVE per-term ``(df, cf)`` delta rows to the
+#    sidecar (one live-postings semi-join at delete time, bracketed by
+#    a ``deleting`` intent marker), so a TOMBSTONED index still
+#    answers df from the sidecar — moving the per-query dfreq
+#    re-aggregation to write time (deletes are rare, queries are not).
+FORMAT = 4
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -105,6 +110,8 @@ def is_stale(path: str, docs: DataFrame) -> bool:
         return True
     if meta.get("upserting"):  # interrupted upsert: docs deleted, not re-added
         return True
+    if meta.get("deleting"):  # interrupted delete: sidecar delta vs
+        return True  # tombstones ambiguous — rebuild, never misread
     if meta.get("format") != FORMAT:  # layout from another code version
         return True
     return meta.get("freshness") != list(_input_freshness(docs))
@@ -140,6 +147,21 @@ def _check_not_upserting(meta: dict, path: str) -> None:
             f"text index at {path} has an interrupted upsert — replay "
             f"the upsert or rebuild (is_stale() returns True while "
             f"this marker is set)"
+        )
+
+
+def _check_not_deleting(meta: dict, path: str) -> None:
+    """A delete that crashed between its sidecar delta append and its
+    tombstone/meta commit leaves the per-term stats and the tombstone
+    set INCONSISTENT (the delta may or may not be on disk, and a
+    replayed delete would double-subtract).  Queries and further
+    writes refuse while the ``deleting`` intent marker is set;
+    ``is_stale`` reports True so staleness-guarded callers rebuild."""
+    if meta.get("deleting"):
+        raise RuntimeError(
+            f"text index at {path} has an interrupted delete — "
+            f"rebuild it (is_stale() returns True while this marker "
+            f"is set)"
         )
 
 
@@ -319,11 +341,19 @@ def _read(spark: SparkSession, p: str, meta: dict | None, name: str):
 
 
 def _index_table(
-    spark: SparkSession, path: str, name: str, meta: dict | None = None
+    spark: SparkSession,
+    path: str,
+    name: str,
+    meta: dict | None = None,
+    tomb: bool = True,
 ) -> DataFrame:
     """One index table, base tree ∪ streaming delta tree (if any).
     ``tb`` is a partition column in both trees, so bucket pruning
-    reaches each scan independently (the annindex._stored shape)."""
+    reaches each scan independently (the annindex._stored shape).
+    ``tomb=False`` skips the tombstone anti-join — required for
+    ``termstats``, which has no doc-id column (its delete deltas are
+    NEGATIVE rows appended by :func:`delete_from_text_index`, not
+    tombstone-filtered)."""
     base = _read(spark, os.path.join(path, name), meta, name)
     spath = os.path.join(path, "stream")
     out = base
@@ -344,7 +374,7 @@ def _index_table(
                 _read(spark, e, meta, name).select(*base.columns)
             )
     tpath = os.path.join(path, "tombstones")
-    if os.path.isdir(tpath) and meta is not None:
+    if tomb and os.path.isdir(tpath) and meta is not None:
         # point-in-time kill (the annindex._stored discipline): a row
         # dies only when a tombstone for its doc was written at-or-
         # after the row's generation — an upserted doc's re-derived
@@ -424,6 +454,7 @@ def delete_from_text_index(path: str, ids) -> dict:
     (the removed-doc counters only count docs that were live)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_deleting(meta, path)
     id_col = meta["id_col"]
     if not isinstance(ids, DataFrame):
         vals = list(ids)
@@ -451,10 +482,42 @@ def delete_from_text_index(path: str, ids) -> dict:
         )
         .collect()[0]
     )
+    upto = _gen_high(path, meta)
+    if int(gone["n"]):
+        # FORMAT 4: the deleted docs' exact per-term (df, cf) leaves
+        # the sidecar as NEGATIVE delta rows, computed from the LIVE
+        # postings at delete time (one semi-joined postings pass per
+        # delete) — so queries against a tombstoned index still read
+        # df from the ≤|terms|-row sidecar instead of re-aggregating
+        # the pruned postings per query.  Postings rows are distinct
+        # (term, doc), so count(1) IS the per-term doc delta; prior
+        # tombstones are already filtered, so replays land here with
+        # gone.n == 0 and skip the pass entirely (doclens and postings
+        # cover the same doc set: ≥1 qualifying token each).  The
+        # ``deleting`` intent marker brackets the delta append + the
+        # tombstone/meta commit: a crash inside the window leaves the
+        # marker set, queries refuse, is_stale() rebuilds — never a
+        # silent double-subtraction on replay.
+        meta["deleting"] = True
+        _write_meta(path, meta)
+        (
+            _index_table(spark, path, "postings", meta)
+            .join(F.broadcast(rows), id_col, "left_semi")
+            .groupBy("term")
+            .agg(
+                (-F.count(F.lit(1))).cast("long").alias("df"),
+                (-F.sum("tf")).cast("long").alias("cf"),
+            )
+            .withColumn("tb", _term_bucket_col("term", meta["n_buckets"]))
+            .withColumn("__gen", F.lit(int(upto)).cast("long"))
+            .repartition("tb")
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .partitionBy("tb")
+            .parquet(os.path.join(path, "termstats"))
+        )
     # point-in-time: kills everything visible NOW, spares later gens
-    rows = rows.withColumn(
-        "__upto", F.lit(_gen_high(path, meta)).cast("long")
-    )
+    rows = rows.withColumn("__upto", F.lit(int(upto)).cast("long"))
     tpath = os.path.join(path, "tombstones")
     rows.write.mode("append").parquet(tpath)
     # exact distinct-tombstone count: sizes the anti-join's broadcast
@@ -464,7 +527,13 @@ def delete_from_text_index(path: str, ids) -> dict:
     )
     meta["tomb_docs"] = int(meta.get("tomb_docs", 0)) + int(gone["n"])
     meta["tomb_dl"] = int(meta.get("tomb_dl", 0)) + int(gone["s"])
-    _write_meta(path, meta)
+    # docs whose sidecar delta is recorded — _stats_dfreq serves a
+    # tombstoned index only while this tracks tomb_docs exactly
+    meta["tomb_stats_docs"] = (
+        int(meta.get("tomb_stats_docs", 0)) + int(gone["n"])
+    )
+    meta.pop("deleting", None)
+    _write_meta(path, meta)  # commit: marker cleared last
     return meta
 
 
@@ -485,6 +554,7 @@ def upsert_into_text_index(path: str, docs: DataFrame) -> dict:
     nothing)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_deleting(meta, path)
     meta["upserting"] = True
     _write_meta(path, meta)  # intent marker: delete→append window
     delete_from_text_index(path, docs.select(meta["id_col"]))
@@ -523,6 +593,7 @@ def keyword_search(
     meta = index_meta(path)
     _check_not_folding(meta, path)
     _check_not_upserting(meta, path)
+    _check_not_deleting(meta, path)
     terms = sorted(set(_check_terms(terms)))
     if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
@@ -556,6 +627,7 @@ def phrase_search(
     meta = index_meta(path)
     _check_not_folding(meta, path)
     _check_not_upserting(meta, path)
+    _check_not_deleting(meta, path)
     if not meta.get("has_positions"):
         raise ValueError(f"index at {path} was built without positions")
     id_col = meta["id_col"]
@@ -605,6 +677,7 @@ def near_search(
     meta = index_meta(path)
     _check_not_folding(meta, path)
     _check_not_upserting(meta, path)
+    _check_not_deleting(meta, path)
     if not meta.get("has_positions"):
         raise ValueError(f"index at {path} was built without positions")
     a, b = _check_terms([term_a, term_b])
@@ -652,8 +725,9 @@ def _stats_dfreq(
     when the sidecar cannot answer exactly and the caller must fall
     back to the postings aggregation:
 
-    * live tombstones (a deleted doc's per-term df delta is unknown
-      without reading its postings — compaction folds them away);
+    * tombstoned docs whose per-term delta is NOT on the sidecar
+      (pre-FORMAT-4 deletes; FORMAT-4 deletes append negative delta
+      rows at delete time, so their indexes stay sidecar-answerable);
     * a pre-FORMAT-3 tree or a stream epoch missing the table (same-
       version writers always land it; this is the fail-safe).
     """
@@ -661,8 +735,13 @@ def _stats_dfreq(
         # a FORMAT-2 tree that later writes appended a partial
         # termstats delta must never be read as the whole sidecar
         return None
-    if int(meta.get("tomb_docs", 0)) or int(meta.get("tombstones") or 0):
-        return None
+    tomb_n = int(meta.get("tombstones") or 0)
+    if int(meta.get("tomb_docs", 0)) or tomb_n:
+        if int(meta.get("format") or 0) < 4 or (
+            int(meta.get("tomb_docs", 0))
+            != int(meta.get("tomb_stats_docs", -1))
+        ):
+            return None
     if not os.path.isdir(os.path.join(path, "termstats")):
         return None
     spath = os.path.join(path, "stream")
@@ -681,14 +760,19 @@ def _stats_dfreq(
         {term_bucket_py(t, meta["n_buckets"]) for t in terms}
     )
     stats = (
-        _index_table(spark, path, "termstats", meta)
+        _index_table(spark, path, "termstats", meta, tomb=False)
         .where(F.col("tb").isin(buckets))
         .where(F.col("term").isin(list(terms)))
     )
-    if epochs or meta.get("appends"):
-        # multiple write batches may each carry a (term, df) delta row
-        return stats.groupBy("term").agg(
-            F.sum("df").cast("long").alias("dfreq")
+    if epochs or meta.get("appends") or tomb_n:
+        # multiple write batches may each carry a (term, df) delta
+        # row; delete deltas are NEGATIVE, and a term whose live df
+        # sums to zero must vanish exactly as it vanishes from the
+        # postings aggregation (no live postings -> no dfreq row)
+        return (
+            stats.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("dfreq"))
+            .where(F.col("dfreq") > 0)
         )
     # single-generation tree: exactly one row per term — no aggregation
     return stats.select("term", F.col("df").alias("dfreq"))
@@ -711,6 +795,7 @@ def bm25_topk(
     meta = index_meta(path)
     _check_not_folding(meta, path)
     _check_not_upserting(meta, path)
+    _check_not_deleting(meta, path)
     id_col = meta["id_col"]
     terms = sorted(set(_check_terms(terms)))
     n_docs, sum_dl = _live_stats(spark, path, meta)
@@ -779,6 +864,7 @@ def append_to_text_index(path: str, docs: DataFrame) -> dict:
     the reference's tick-log model)."""
     meta = index_meta(path)
     _check_not_folding(meta, path)
+    _check_not_deleting(meta, path)
     from .annindex import _gen_high
 
     gen = _gen_high(path, meta) + 1
@@ -839,6 +925,7 @@ def text_index_stream_sink(path: str):
     meta = index_meta(path)
     _check_not_folding(meta, path)
     _check_not_upserting(meta, path)
+    _check_not_deleting(meta, path)
     base = _gen_high(path, meta) + 1
     meta["stream_base"] = base
     _write_meta(path, meta)
@@ -902,6 +989,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     meta = index_meta(path)
     _check_not_folding(meta, path)
     _check_not_upserting(meta, path)
+    _check_not_deleting(meta, path)
     spath = os.path.join(path, "stream")
     tomb = os.path.join(path, "tombstones")
     if not os.path.isdir(spath) and not os.path.isdir(tomb):
@@ -958,6 +1046,7 @@ def compact_text_index(spark: SparkSession, path: str) -> dict:
     meta.pop("tombstones", None)
     meta.pop("tomb_docs", None)
     meta.pop("tomb_dl", None)
+    meta.pop("tomb_stats_docs", None)
     meta.pop("stream_base", None)
     meta["seq"] = 0
     stats = (

@@ -119,18 +119,33 @@ def test_bm25_matches_independent_python(spark, docs, index):
 
 
 def test_bm25_dfreq_rides_termstats_sidecar(spark, docs, index, tmp_path):
-    """FORMAT 3 (optimization r14): on a clean index, BM25's per-term
-    document frequencies come from the ``termstats`` sidecar — the
-    plan scans termstats and carries NO count(distinct) postings
-    re-aggregation — and the scores are bitwise identical to the
-    fallback aggregation path (tombstones force it)."""
+    """FORMAT 3/4 (optimization r14): BM25's per-term document
+    frequencies come from the ``termstats`` sidecar — the plan scans
+    termstats and carries NO count(distinct) postings re-aggregation —
+    on a clean index AND on a tombstoned one (FORMAT 4: deletes append
+    negative sidecar deltas), bitwise identical to both a fresh build
+    over the survivors and the forced postings-aggregation fallback."""
+    # plan-string assertions grep the scan Location paths, which Spark
+    # truncates at maxMetadataStringLength (default 100) — pytest tmp
+    # paths are long enough to cut ".../termstats" out of the string
+    prev_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        _run_sidecar_checks(spark, docs, index, tmp_path)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_len)
+
+
+def _run_sidecar_checks(spark, docs, index, tmp_path):
     fast = TI.bm25_topk(spark, index, TERMS, k=10)
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "termstats" in plan
     assert "distinct" not in plan.lower()
 
-    # the fallback path (monkey-free: a tombstoned twin index) must
-    # agree bitwise on the shared surviving corpus
+    # FORMAT 4: a TOMBSTONED index rides the sidecar too — the delete
+    # appended negative per-term deltas, so the plan still scans
+    # termstats with no count(distinct) re-aggregation, and the rows
+    # equal a fresh build over the survivors bitwise
     twin = str(tmp_path / "twin")
     TI.build_text_index(docs, twin, n_buckets=32)
     victim = [
@@ -138,9 +153,10 @@ def test_bm25_dfreq_rides_termstats_sidecar(spark, docs, index, tmp_path):
         for r in docs.select("doc_id").orderBy("doc_id").limit(1).collect()
     ]
     TI.delete_from_text_index(twin, victim)
-    slow = TI.bm25_topk(spark, twin, TERMS, k=10)
-    splan = slow._jdf.queryExecution().executedPlan().toString()
-    assert "distinct" in splan.lower()  # tombstones -> exact fallback
+    deleted = TI.bm25_topk(spark, twin, TERMS, k=10)
+    dplan = deleted._jdf.queryExecution().executedPlan().toString()
+    assert "termstats" in dplan
+    assert "distinct" not in dplan.lower()
     # rebuild the fast index without the victim: identical rows
     fast2_path = str(tmp_path / "fast2")
     TI.build_text_index(
@@ -148,8 +164,44 @@ def test_bm25_dfreq_rides_termstats_sidecar(spark, docs, index, tmp_path):
     )
     fast2 = TI.bm25_topk(spark, fast2_path, TERMS, k=10)
     a = sorted(map(tuple, fast2.collect()))
-    b = sorted(map(tuple, slow.collect()))
+    b = sorted(map(tuple, deleted.collect()))
     assert a == b
+    # and the postings-aggregation fallback (forced) agrees bitwise
+    orig = TI._stats_dfreq
+    TI._stats_dfreq = lambda *a_, **k_: None
+    try:
+        slow = TI.bm25_topk(spark, twin, TERMS, k=10)
+        splan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "distinct" in splan.lower()
+        assert b == sorted(map(tuple, slow.collect()))
+    finally:
+        TI._stats_dfreq = orig
+
+
+def test_delete_crash_window_refuses_and_rebuilds(spark, docs, tmp_path):
+    """FORMAT 4 crash discipline: the ``deleting`` intent marker
+    brackets the sidecar delta append + tombstone/meta commit.  While
+    set, queries and further writes refuse loudly and ``is_stale``
+    reports True (staleness-guarded callers rebuild) — a replayed
+    delete must never double-subtract the sidecar delta."""
+    import pytest
+
+    p = str(tmp_path / "crash")
+    TI.build_text_index(docs, p, n_buckets=8)
+    meta = TI.index_meta(p)
+    meta["deleting"] = True
+    TI._write_meta(p, meta)
+    assert TI.is_stale(p, docs)
+    with pytest.raises(RuntimeError, match="interrupted delete"):
+        TI.bm25_topk(spark, p, TERMS, k=10)
+    with pytest.raises(RuntimeError, match="interrupted delete"):
+        TI.delete_from_text_index(p, [0])
+    with pytest.raises(RuntimeError, match="interrupted delete"):
+        TI.append_to_text_index(p, docs.limit(0))
+    # rebuild clears the marker and the index answers again
+    TI.build_text_index(docs, p, n_buckets=8)
+    assert not TI.is_stale(p, docs)
+    assert TI.bm25_topk(spark, p, TERMS, k=10).count() > 0
 
 
 def test_probe_scan_is_partition_pruned(spark, docs, index):
