@@ -15570,7 +15570,7 @@ _R14_WINDOW = [
     "bloom_semi_join_lineitems",
     "rollup_incremental_bars", "rollup_quantile_bars",
     "matview_enriched_lineitem",
-    "keyed_point_lookup", "keyed_tuple_lookup",
+    "keyed_point_lookup", "keyed_tuple_lookup", "upsert_keyed_pruned",
     "stream_stream_join_batch", "stream_window_counts", "stream_ema",
     # oldest-checked fillers: the parked r6 cohort ...
     "session_windows", "stochastic_events", "stream_drawdown",
